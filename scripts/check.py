@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run graft.Verify
+output against DuckDB oracles over the same parquet tables, compare
+row/schema/hash per query. Usage: check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = [c.lower() for c in got.columns]
+            got_rows = canon(got.fetchall(), got_cols)
+            exp = con.sql(sql)
+            exp_cols = [c.lower() for c in exp.columns]
+            exp_rows = canon(exp.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+        elif got_rows != exp_rows:
+            diff = [(a, b) for a, b in zip(got_rows, exp_rows) if a != b]
+            print(f"FAIL {name}: {len(got_rows)} vs {len(exp_rows)} rows; first diffs {diff[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact hashing,
+  * n-gram Jaccard, MinHash+LSH banding, SimHash. All are shuffle-keyed
+  * group-bys and equi-joins — no cross joins, no driver collection — so
+  * candidate generation stays near-linear in corpus size and the only
+  * quadratic work is within hash buckets (the LSH guarantee).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id. One
+    * shuffle on the 128-bit digest; at 100 TB the digest (not the text)
+    * is what shuffles once the hash is projected before the exchange.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle) rows.
+    * Shingling is a narrow transform; DISTINCT folds into the downstream
+    * aggregation's first shuffle.
+    */
+  def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val grams =
+      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
+        (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))"
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(grams))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: |A∩B| via a self-equi-join on
+    * shingle, |A∪B| = nA + nB − |A∩B|. The shingle join is the classic
+    * inverted-index candidate generator: only documents sharing a
+    * shingle ever meet, so sparsity (not corpus size²) bounds the work.
+    * Stop-shingle skew (a shingle shared by k docs fans out k²) is the
+    * scale risk — AQE skew-join splitting handles moderate skew; drop
+    * top-frequency shingles before joining for adversarial corpora.
+    */
+  def jaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, textCol)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val left = sh.toDF("doc_a", "sh_a")
+    val right = sh.toDF("doc_b", "sh_b")
+    val common = left
+      .join(right, left("sh_a") === right("sh_b") && left("doc_a") < right("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("na") + col("nb") - col("common"))
+    common
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent hash functions, min over the
+    * document's shingle set. One shuffle (groupBy doc_id) computing all k
+    * mins as map-side-combinable aggregates. xxhash64(seed=i) gives the
+    * i-th hash function — codegen'd, no UDF.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    shingles(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: split the k-row signature into
+    * `bands` bands of k/bands rows, hash each band, and emit candidate
+    * pairs that collide in ≥1 band. The band join is an equi-join on
+    * (band_idx, band_hash): only same-bucket documents pair up. With
+    * k=32, bands=8 (r=4) the S-curve puts the 50% catch point near
+    * Jaccard ≈ (1/8)^(1/4) ≈ 0.59.
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignatures(docs, k, n)
+    val bandHashes = (0 until bands).map(b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    val left = banded.toDF("doc_a", "band_idx", "band_hash")
+    val right = banded.toDF("doc_b", "band_idx", "band_hash")
+    left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, bitwise weighted
+    * majority across tokens. Implemented as 64 sum aggregates (one per
+    * bit) in a single groupBy — map-side combinable, whole-stage
+    * codegen'd. Near-dups are pairs at small Hamming distance; bucket by
+    * 16-bit quarters to find them without a cross join (any pair within
+    * Hamming ≤ 3 shares at least one exact quarter).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val h = xxhash64(col("token"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i"))
+    val assembled = (0 until 64)
+      .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: + is bitwise OR
+    docs
+      .select(col("doc_id"), explode(TextAnalytics.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates via quarter-banding + Hamming check. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val quarters = (0 until 4).map(q =>
+      shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL))
+    val banded = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array(quarters: _*)).as(Seq("q_idx", "q_val")))
+    val left = banded.toDF("doc_a", "sim_a", "q_idx", "q_val")
+    val right = banded.toDF("doc_b", "sim_b", "q_idx", "q_val")
+    left.join(right, Seq("q_idx", "q_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded media object's typed metadata. */
+final case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    width: Long,
+    height: Long,
+    n_frames: Long,
+)
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata extracted by a per-partition
+  * batch decoder.
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs — but the Spark-side plumbing is real: binary column in,
+  * `mapPartitions` batch-amortized decode (where a real codec would be
+  * initialized once per partition, not per row), typed `Dataset[MediaMeta]`
+  * out. Partitioning survives (narrow transform); at 100 TB the binary
+  * payloads stream through executors without ever concentrating on the
+  * driver.
+  */
+object Multimodal {
+
+  /** STUB decoder: deterministic fake metadata derived from the byte
+    * length, standing in for a real `decode(bytes) → (w, h, frames)`.
+    */
+  def decodeOne(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    MediaMeta(docId, n, n % 640, (n * 7) % 480, n % 30)
+  }
+
+  /** Batch decode: one decoder per partition, rows streamed through. */
+  def decodeStub(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      // real pipeline: initialize the codec here, once per partition
+      it.map { case (id, bytes) => decodeOne(id, bytes) }
+    }
+  }
+
+  /** Fixture adapter: treat each document's UTF-8 text as an opaque
+    * binary payload and run it through the decode plumbing.
+    */
+  def decodeDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    decodeStub(payloads).toDF()
+  }
+}

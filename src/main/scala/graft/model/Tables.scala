@@ -1,0 +1,97 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types._
+
+/** Core data model of the engine.
+  *
+  * The reference's single table is `ULS_TRAFSYS_DATA` (reference
+  * `script.js:111-122`): hourly people-counter traffic keyed by the
+  * composite PK (SiteCode, Location, PeriodEnding). [[TrafRecord]] is the
+  * Spark-native equivalent (SURVEY §1.2): `varchar2(100)` → unbounded
+  * `String`, `number(1)` boolean convention → `Int` 0/1 (`script.js:160-163`),
+  * Oracle `date` → `java.sql.Timestamp` with the session pinned to UTC.
+  */
+final case class TrafRecord(
+    siteCode: String,
+    location: String,
+    isInternal: Int,
+    periodEnding: java.sql.Timestamp,
+    ins: Long,
+    outs: Long,
+)
+
+/** One run's audit/state record — the reference's nedb `logs.db` document
+  * (`script.js:15-23`, store at `script.js:10-11`). `createdAt` replaces
+  * nedb's `timestampData: true` auto-stamp.
+  */
+final case class RunInfo(
+    accessToken: String,
+    accessTokenExpiresAt: java.sql.Timestamp,
+    fromDate: String,
+    toDate: String,
+    records: Long,
+    createdAt: java.sql.Timestamp,
+)
+
+/** Loaders for the driver's parquet fixture tables (TESTDATA.md /
+  * FIXTURES.md). Every query in the registry takes `sfDir` and loads
+  * through here so scan options stay in one place.
+  */
+object Tables {
+  /** Composite merge key of the traffic table — reference PK
+    * `script.js:119`. On the `events` fixture the surrogate mapping is
+    * user_id≈SiteCode, event_type≈Location, hourly window≈PeriodEnding
+    * (FIXTURES.md role mapping).
+    */
+  val trafKeys: Seq[String] = Seq("SiteCode", "Location", "PeriodEnding")
+
+  /** Surrogate key columns of the `events` fixture in the same role. */
+  val eventKeys: Seq[String] = Seq("user_id", "event_type", "period_ending")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` fixture carries a nanosecond-precision parquet
+    * timestamp, which Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL).
+    * Read it as epoch-nanos long (legacy conf) and truncate to the
+    * microsecond grain — integer `div 1000`, the same truncation DuckDB
+    * applies when casting ns→µs, so oracles agree. (Double division
+    * would be wrong: epoch nanos ≈ 1.7e18 exceeds 2^53.)
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Schema of the engine's traffic table, mirroring the reference DDL
+    * (`script.js:111-122`).
+    */
+  val trafSchema: StructType = StructType(Seq(
+    StructField("SiteCode", StringType),
+    StructField("Location", StringType),
+    StructField("IsInternal", IntegerType),
+    StructField("PeriodEnding", TimestampType),
+    StructField("Ins", LongType),
+    StructField("Outs", LongType),
+  ))
+
+  /** Timestamp wire format of the reference API/sink —
+    * `TO_DATE(:PeriodEnding, 'YYYY-MM-DD"T"HH24:MI:SS')` (`script.js:191`)
+    * in Java pattern syntax (SURVEY §7.4 risk 2).
+    */
+  val isoPattern: String = "yyyy-MM-dd'T'HH:mm:ss"
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The operator library: every data operation the reference performs
+  * (SURVEY §2), as pure `DataFrame => DataFrame` combinators. All of them
+  * stay declarative so Catalyst keeps pushdown/pruning/codegen; none of
+  * them collect to the driver, so every one scales with partitions.
+  */
+object TrafOps {
+
+  /** Exact decimal sum of a double column, surfaced back as a double.
+    *
+    * Summing IEEE doubles is order-dependent, so a parallel Spark sum and
+    * a single-threaded oracle can disagree in the last bits. Casting each
+    * value to an exact decimal first makes the aggregate associative and
+    * therefore partition-order-independent — the same trick keeps
+    * map-side partial aggregation safe at 100 TB. Scale 2 matches the
+    * money/quantity columns of the fixtures.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact decimal mean of a double column (same rationale as [[dsum]]). */
+  def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
+
+  /** P1 — the reference's boolean→0/1 cast projection
+    * (`script.js:160-163`: `record.IsInternal = +record.IsInternal`,
+    * "Oracle has no boolean datatype").
+    */
+  def castBooleanToInt(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName, col(colName).cast("int"))
+
+  /** F5 — payload validation (`script.js:156-159` iterability check →
+    * schema + null enforcement): keep rows where all required columns are
+    * present.
+    */
+  def validate(df: DataFrame, required: Seq[String]): DataFrame =
+    df.filter(required.map(col(_).isNotNull).reduce(_ && _))
+
+  /** I4/A2 — derive the reference's hourly grain (`script.js:131`,
+    * `DataSummedByDay: false` at `script.js:146`) from a raw event
+    * stream: tumbling 1-hour window per key, partial+final hash agg.
+    *
+    * `date_trunc` keeps the group key a plain timestamp column (instead
+    * of a window struct) so the output is directly comparable and
+    * joinable, and the aggregation is a single shuffle on the full merge
+    * key.
+    */
+  def hourlyRollup(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    timeRollup(events, "hour", tsCol)
+
+  /** A2 — the daily rollup the reference's API offers server-side
+    * (`DataSummedByDay`, `script.js:146`).
+    */
+  def dailyRollup(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    timeRollup(events, "day", tsCol)
+
+  private def timeRollup(events: DataFrame, grain: String, tsCol: String): DataFrame =
+    events
+      .groupBy(
+        col("user_id"),
+        col("event_type"),
+        date_trunc(grain, col(tsCol)).as("period_ending"),
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+      )
+
+  /** J1/S6 — the keyed merge (upsert). The reference does
+    * `INSERT … EXCEPTION WHEN dup_val_on_index THEN UPDATE` per row
+    * (`script.js:185-201`); relationally that is "batch wins on the PK,
+    * target rows survive only where unmatched". The anti-join
+    * decomposition `batch ∪ (target ⟕anti batch)` needs one shuffle on
+    * the merge key (or zero when the batch broadcasts) and never
+    * materializes a full-outer row — at 100 TB the nightly batch is tiny
+    * next to the target, so Spark/AQE picks a broadcast anti join and the
+    * target is never shuffled.
+    */
+  def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    batch.unionByName(target.join(batch, keys, "left_anti"))
+
+  /** W2 — last-write-wins within one batch. The reference resolves
+    * duplicate keys by arrival order (last PL/SQL execution wins,
+    * `script.js:184`); under parallelism that order must be made explicit
+    * (SURVEY §7.4 risk 4), so callers pass deterministic tie-breakers.
+    */
+  def lastWriteWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W1 — top-1 by timestamp (`findOne().sort({createdAt:-1}).limit(1)`,
+    * `script.js:34-35`). `orderBy(...).limit(1)` compiles to
+    * `TakeOrderedAndProject`: each partition keeps one candidate, no full
+    * sort — the run-log stays O(1) to read at any scale.
+    */
+  def latestBy(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(1)
+
+  /** PK-uniqueness check — the invariant the reference's composite PK
+    * enforces in Oracle (`script.js:119`); Spark has no constraints, so
+    * violations are surfaced as rows.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** I1 — high-water-mark incremental filter: rows of `source` strictly
+    * after the max watermark of `state`. The scalar watermark is crossed
+    * in via an explicit broadcast of the 1-row aggregate — no
+    * `.collect()`, no driver round trip inside the plan, so the pattern
+    * holds when `source` is 100 TB.
+    */
+  def afterHighWaterMark(source: DataFrame, state: DataFrame, tsCol: String): DataFrame = {
+    val hwm = state.agg(max(col(tsCol)).as("__hwm"))
+    source.crossJoin(broadcast(hwm)).filter(col(tsCol) > col("__hwm")).drop("__hwm")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{RunInfo, Tables}
+import graft.ops.TrafOps
+import graft.state.RunLog
+
+/** The end-to-end nightly run (SURVEY §3.1), re-expressed as a Spark
+  * batch pipeline: read state top-1 → compute incremental window → load
+  * source slice → hourly rollup → last-write-wins → merge into target →
+  * append run log.
+  *
+  * Ordering mirrors the reference's effectively-once recipe
+  * (`script.js:255-256`, SURVEY O4): the run-log row is appended only
+  * after the merge commits, so a failed run never advances the
+  * high-water mark, and the idempotent upsert absorbs the re-fetched
+  * boundary day (I3).
+  */
+final class IngestPipeline(spark: SparkSession, targetPath: String, runLog: RunLog) {
+
+  /** Run one incremental window over the `events` fixture source.
+    * Returns the number of source rows ingested (the reference's
+    * `runInfo.Records`, `script.js:164`).
+    */
+  def run(sfDir: String, today: java.time.LocalDate): Long = {
+    val (fromDate, toDate) = runLog.nextWindow(today)
+
+    // Source scan with the window pushed down (reference S2: DateFrom/
+    // DateTo are source-side parameters, `script.js:143-149`). On parquet
+    // the filter reaches the scan as PushedFilters; on the REST source it
+    // would become API query params.
+    val slice = Tables.events(spark, sfDir)
+      .filter(col("ts") >= to_timestamp(lit(fromDate)) &&
+        col("ts") < to_timestamp(lit(toDate)) + expr("INTERVAL 1 DAY"))
+
+    val batchRows = slice.count()
+
+    val hourly = TrafOps.hourlyRollup(slice)
+    val batch = TrafOps.lastWriteWins(
+      hourly, Tables.eventKeys, Seq(desc("period_ending")))
+
+    val merged = TrafOps.upsert(readTarget(), batch, Tables.eventKeys)
+
+    // Self-overwrite hazard (SURVEY §7.4 risk 1): the merge reads the
+    // path it is about to replace, so materialize before overwriting.
+    val materialized = merged.localCheckpoint(eager = true)
+    materialized.write.mode(SaveMode.Overwrite).parquet(targetPath)
+
+    runLog.append(RunInfo(
+      accessToken = "fixture", // connector concern (S3) — not exercised on parquet
+      accessTokenExpiresAt = java.sql.Timestamp.valueOf(today.atStartOfDay()),
+      fromDate = fromDate,
+      toDate = toDate,
+      records = batchRows,
+      createdAt = java.sql.Timestamp.valueOf(today.atStartOfDay()),
+    ))
+    batchRows
+  }
+
+  def readTarget(): DataFrame =
+    try spark.read.parquet(targetPath)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("period_ending", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_value", org.apache.spark.sql.types.DoubleType),
+          )))
+    }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalytics}
+import graft.model.Tables
+
+/** The training-data-pipeline extension surface (SURVEY §7.5 + north
+  * star): dedup, similarity search, text analysis, multimodal plumbing
+  * over the `documents`/`embeddings` fixtures.
+  *
+  * Queries whose semantics rest on engine-specific hashing (xxhash64)
+  * have no DuckDB oracle — the driver records a rows-only check and the
+  * ScalaTest specs carry their correctness (planted-duplicate recall).
+  */
+object ExtensionQueries {
+
+  private val shingleSqlCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingle
+      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    // Exact dedup by content hash.
+    QueryDef(
+      "dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir)),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin),
+    ),
+
+    // Exact trigram-Jaccard near-dup pairs (inverted-index join).
+    QueryDef(
+      "dedup_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.05),
+      Some(s"""WITH $shingleSqlCte,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |       CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+              |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05""".stripMargin),
+    ),
+
+    // MinHash+LSH candidate pairs — hashing is xxhash64: rows-only check.
+    QueryDef(
+      "dedup_minhash_candidates",
+      (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir)),
+      None,
+    ),
+
+    // SimHash signatures — xxhash64-based: rows-only check.
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir)),
+      None,
+    ),
+
+    // Text quality features.
+    QueryDef(
+      "text_quality_score",
+      (s, dir) => TextAnalytics.qualityFeatures(Tables.documents(s, dir)),
+      Some("""SELECT doc_id, n_chars,
+             |CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+             |CAST((text LIKE 'the %' OR text LIKE '% the %' OR text LIKE '% the') AS INT) AS has_the
+             |FROM documents""".stripMargin),
+    ),
+
+    // Corpus token histogram.
+    QueryDef(
+      "text_token_histogram",
+      (s, dir) => TextAnalytics.tokenHistogram(Tables.documents(s, dir)),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // Language-ID heuristic (marker-token overlap).
+    QueryDef(
+      "text_lang_id",
+      (s, dir) => TextAnalytics.langId(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+             |                             ['the', 'a', 'key', 'order'])) >= 2
+             |     THEN 'en' ELSE 'unknown' END AS lang_pred
+             |FROM documents""".stripMargin),
+    ),
+
+    // Portable 64-bit document fingerprint.
+    QueryDef(
+      "doc_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalytics.fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fp FROM documents"),
+    ),
+
+    // Exact brute-force cosine top-10 around vec_id 0 (decimal-exact dot
+    // products make the scores engine-portable bit-for-bit).
+    QueryDef(
+      "embed_cosine_topk",
+      (s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir), queryVecId = 0L, k = 10),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |pr AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+             |       FROM embeddings e CROSS JOIN q),
+             |d AS (SELECT vec_id,
+             |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+             |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+             |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+             |  FROM pr GROUP BY 1)
+             |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine FROM d
+             |WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+
+    // LSH bucket assignment (the ANN scale path) — xxhash64 hyperplanes:
+    // rows-only check; recall is spec-tested.
+    QueryDef(
+      "embed_lsh_buckets",
+      (s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64),
+      None,
+    ),
+
+    // Multimodal decode plumbing (stub codec, real Dataset pipeline).
+    QueryDef(
+      "multimodal_decode_stub",
+      (s, dir) => Multimodal.decodeDocuments(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+             |CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+             |CAST(octet_length(encode(text)) % 30 AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.TrafOps
+import graft.ops.TrafOps.dsum
+
+/** Reference-parity queries — one per operator of SURVEY §2, each over
+  * the driver fixtures with `events` standing in for the TrafSys sensor
+  * feed (FIXTURES.md role mapping).
+  */
+object ParityQueries {
+
+  // Fixed clocks/windows: verified queries must be deterministic
+  // (SURVEY §7.4 risk 2) — never current_timestamp().
+  private val overlapFrom = "2024-01-19 00:00:00" // batch window start (I3 boundary re-fetch)
+  private val targetUpTo = "2024-01-20 00:00:00" // target = all data loaded before this
+  private val hwmCutoff = "2024-01-15 00:00:00"
+
+  /** Shared hourly-rollup SQL fragment (oracle twin of
+    * [[TrafOps.hourlyRollup]]).
+    */
+  private def rollupSql(grain: String, where: String = ""): String =
+    s"""SELECT user_id, event_type, date_trunc('$grain', ts) AS period_ending,
+       |count(*) AS n_events,
+       |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events $where GROUP BY 1, 2, 3""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    // I4/A2 — the flagship ingest: raw events → the reference's hourly
+    // grain (`script.js:131`, `script.js:146`). One shuffle (hash agg
+    // with map-side partials); group key count ~ |sites×locations×hours|.
+    QueryDef(
+      "flagship_hourly_ingest",
+      (s, dir) => TrafOps.hourlyRollup(Tables.events(s, dir)),
+      Some(rollupSql("hour")),
+    ),
+
+    // P1 — boolean→0/1 cast projection (`script.js:160-163`). Pure
+    // narrow projection: no shuffle, codegen'd, column-pruned scan.
+    QueryDef(
+      "p1_cast_projection",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          col("user_id"),
+          (col("value") >= 50).cast("int").as("is_internal"),
+          floor(col("value")).cast("long").as("value_floor"),
+        ),
+      Some("""SELECT event_id, user_id, CAST(value >= 50 AS INT) AS is_internal,
+             |CAST(FLOOR(value) AS BIGINT) AS value_floor FROM events""".stripMargin),
+    ),
+
+    // F1/J2 — membership anti-join (`script.js:93`): orders with no
+    // lineitem play "required keys missing from env".
+    QueryDef(
+      "f1_missing_keys_anti",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(
+            Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"),
+            "left_anti")
+          .select(col("o_orderkey")),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin),
+    ),
+
+    // F2/D2 — token-expiry predicate (`script.js:37-47`): timestamp
+    // comparison against a clock minus a 5-minute interval.
+    QueryDef(
+      "f2_expiry_filter",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts") >
+            to_timestamp(lit("2024-01-25 00:00:00")) - expr("INTERVAL 5 MINUTES"))
+          .select(col("event_id"), col("ts"), col("user_id")),
+      Some("""SELECT event_id, ts, user_id FROM events
+             |WHERE ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 5 MINUTE""".stripMargin),
+    ),
+
+    // F5 — payload validation (`script.js:156-159`): null-enforcement
+    // filter, summarized per type so the result is compact at any SF.
+    QueryDef(
+      "f5_validate_counts",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        TrafOps.validate(ev, Seq("event_id", "ts", "user_id", "event_type", "value"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_valid"))
+      },
+      Some("""SELECT event_type, count(*) AS n_valid FROM events
+             |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+             |AND event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1""".stripMargin),
+    ),
+
+    // J1/S6/I3 — the keyed merge (upsert) with the reference's deliberate
+    // one-day overlap (`script.js:54`): target holds everything loaded
+    // before `targetUpTo`, the batch re-fetches from `overlapFrom`, and
+    // the batch wins on the PK. Oracle twin is the W2 windowed-dedup form
+    // (SURVEY §2.3 J1).
+    QueryDef(
+      "j1_merge_upsert",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val target = TrafOps.hourlyRollup(ev.filter(col("ts") < lit(targetUpTo).cast("timestamp")))
+        val batch = TrafOps.hourlyRollup(ev.filter(col("ts") >= lit(overlapFrom).cast("timestamp")))
+        TrafOps.upsert(target, batch, Tables.eventKeys)
+      },
+      Some(s"""WITH t AS (${rollupSql("hour", s"WHERE ts < TIMESTAMP '$targetUpTo'")}),
+              |b AS (${rollupSql("hour", s"WHERE ts >= TIMESTAMP '$overlapFrom'")}),
+              |u AS (SELECT *, 1 AS pri FROM b UNION ALL SELECT *, 0 AS pri FROM t)
+              |SELECT user_id, event_type, period_ending, n_events, sum_value FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY user_id, event_type, period_ending ORDER BY pri DESC) AS rn
+              |  FROM u) WHERE rn = 1""".stripMargin),
+    ),
+
+    // W1 — top-1 by timestamp (`script.js:34-35`) →
+    // TakeOrderedAndProject; deterministic tie-break on event_id.
+    QueryDef(
+      "w1_latest_run",
+      (s, dir) =>
+        TrafOps.latestBy(Tables.events(s, dir), Seq(desc("ts"), desc("event_id")))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin),
+    ),
+
+    // W2 — last-write-wins per key (`script.js:184`, SURVEY §7.4 risk 4):
+    // the latest event per (site, location) surrogate key.
+    QueryDef(
+      "w2_last_write_wins",
+      (s, dir) =>
+        TrafOps.lastWriteWins(
+          Tables.events(s, dir),
+          Seq("user_id", "event_type"),
+          Seq(desc("ts"), desc("event_id")))
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value")),
+      Some("""SELECT user_id, event_type, event_id, ts, value FROM (
+             |  SELECT user_id, event_type, event_id, ts, value, row_number() OVER (
+             |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin),
+    ),
+
+    // A1 — batch cardinality (`script.js:164`).
+    QueryDef(
+      "a1_record_count",
+      (s, dir) => Tables.events(s, dir).agg(count(lit(1)).as("records")),
+      Some("SELECT count(*) AS records FROM events"),
+    ),
+
+    // A2 — the daily rollup the API offers server-side
+    // (`DataSummedByDay`, `script.js:146`).
+    QueryDef(
+      "a2_daily_rollup",
+      (s, dir) => TrafOps.dailyRollup(Tables.events(s, dir)),
+      // DuckDB's date_trunc('day') yields DATE; cast back to TIMESTAMP
+      // to match Spark's date_trunc.
+      Some(rollupSql("day").replace(
+        "date_trunc('day', ts) AS period_ending",
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS period_ending")),
+    ),
+
+    // D1 — "yesterday" window arithmetic (`script.js:171-175`,
+    // defaults `script.js:54-55`), clocked by the data not wall time.
+    QueryDef(
+      "d1_incremental_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("run_day")).distinct()
+          .select(
+            col("run_day"),
+            date_format(date_sub(col("run_day"), 1), "yyyy-MM-dd").as("from_date"),
+            date_format(date_sub(col("run_day"), 1), "yyyy-MM-dd").as("to_date"),
+          ),
+      Some("""SELECT DISTINCT CAST(ts AS DATE) AS run_day,
+             |strftime(CAST(ts AS DATE) - 1, '%Y-%m-%d') AS from_date,
+             |strftime(CAST(ts AS DATE) - 1, '%Y-%m-%d') AS to_date FROM events""".stripMargin),
+    ),
+
+    // D3 — the sink's timestamp wire format round-trip
+    // (`TO_DATE(:PeriodEnding, 'YYYY-MM-DD"T"HH24:MI:SS')`,
+    // `script.js:191`): format to ISO seconds, parse back.
+    QueryDef(
+      "d3_timestamp_roundtrip",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          to_timestamp(date_format(col("ts"), Tables.isoPattern), Tables.isoPattern)
+            .as("period_ending"),
+        ),
+      Some("""SELECT event_id,
+             |strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS period_ending
+             |FROM events""".stripMargin),
+    ),
+
+    // I1 — high-water-mark resume (`script.js:54`, state read
+    // `script.js:35`): only rows after the max timestamp already loaded.
+    QueryDef(
+      "i1_high_water_mark",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        TrafOps.afterHighWaterMark(
+          ev, ev.filter(col("ts") < lit(hwmCutoff).cast("timestamp")), "ts")
+          .select(col("event_id"), col("ts"))
+      },
+      Some(s"""SELECT event_id, ts FROM events WHERE ts >
+              |(SELECT max(ts) FROM events WHERE ts < TIMESTAMP '$hwmCutoff')""".stripMargin),
+    ),
+
+    // PK-uniqueness — the invariant the reference's composite PK enforces
+    // (`script.js:119`): hours where a key has more than one raw event.
+    QueryDef(
+      "pk_uniqueness_violations",
+      (s, dir) =>
+        TrafOps.duplicateKeys(
+          Tables.events(s, dir)
+            .withColumn("period_ending", date_trunc("hour", col("ts"))),
+          Tables.eventKeys),
+      Some("""SELECT user_id, event_type, date_trunc('hour', ts) AS period_ending,
+             |count(*) AS n FROM events GROUP BY 1, 2, 3 HAVING count(*) > 1""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registry entry: a named Spark query over the fixture tables plus,
+  * when the semantics are ANSI-SQL-expressible, a DuckDB oracle twin the
+  * driver hash-compares against (SURVEY §5 strategy 1).
+  *
+  * Column names are aliased identically on both sides — the driver sorts
+  * columns by name before hashing. Double aggregates go through exact
+  * DECIMAL casts on both sides so the hashes are bit-stable regardless of
+  * partitioning/summation order (see [[graft.ops.TrafOps.dsum]]).
+  */
+final case class QueryDef(
+    name: String,
+    impl: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+object Registry {
+  def all: Seq[QueryDef] =
+    ParityQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.impl).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

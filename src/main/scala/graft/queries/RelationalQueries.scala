@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+import graft.ops.TrafOps.dsum
+
+/** The generic relational surface (SURVEY §2.3/2.4/2.5/2.6 "engine
+  * exposes Spark's full join surface"): joins of every flavor, grouped
+  * and windowed aggregation, set ops, top-k, scalar/JSON functions —
+  * exercised on the TPC-H-ish fixtures.
+  *
+  * Scale notes are per-query; the common rules: dimensions broadcast
+  * (region/nation/supplier/customer are tiny next to lineitem), fact
+  * scans are column-pruned + filter-pushed, and every aggregate is
+  * partial-aggregated map-side before its single shuffle.
+  */
+object RelationalQueries {
+
+  /** Exact disc-price expression — double multiply is IEEE-identical in
+    * any engine; the DECIMAL cast happens before SUM so the aggregate is
+    * order-independent.
+    */
+  // Scale 8, not 4: the true products have exactly ≤4 (disc) / ≤6
+  // (charge) decimals, so casting AT that scale puts every row on a
+  // rounding boundary where engines' double→decimal algorithms can
+  // disagree by one ulp. Two digits of headroom (5e-9 boundary vs ~1e-11
+  // double error) makes the cast deterministic across engines.
+  private val discPrice = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    .cast(DecimalType(18, 8))
+
+  def defs: Seq[QueryDef] = Seq(
+    // TPC-H Q1-shaped pricing summary: one wide hash agg over the fact
+    // table, ~6 groups. At 100 TB this is scan-bound — partial aggs
+    // reduce the shuffle to bytes.
+    QueryDef(
+      "q1_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            // Rescale the scale-8 sums before surfacing as double, for two
+            // reasons: (1) a scale-8 corpus sum's unscaled value exceeds
+            // 2^53, where DuckDB's int128→double conversion and an exact
+            // decimal→double conversion can differ by one ulp; (2) the
+            // rescale must drop only digits that are exactly 0 — engines
+            // disagree on decimal downscale rounding (truncate vs
+            // HALF_UP). True disc values have ≤4 decimals and charge ≤6,
+            // so scales 4 and 6 drop only zeros and keep the unscaled
+            // value under 2^53.
+            sum(discPrice).cast(DecimalType(28, 4)).cast("double").as("sum_disc_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+              .cast(DecimalType(18, 8))).cast(DecimalType(28, 6)).cast("double").as("sum_charge"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"),
+          ),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+             |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |COUNT(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // TPC-H Q3-shaped: 3-way join + agg + top-k by revenue. Revenue is
+    // kept DECIMAL through the ORDER BY so the top-10 cut is exact, then
+    // surfaced as double. customer broadcasts; orders⋈lineitem shuffles
+    // on orderkey once.
+    QueryDef(
+      "q3_revenue_topk",
+      (s, dir) =>
+        broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > lit("1996-01-01 00:00:00").cast("timestamp"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(discPrice).as("rev_d"))
+          .orderBy(desc("rev_d"), asc("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_orderdate"), col("rev_d").cast("double").as("revenue")),
+      Some("""SELECT o_orderkey, o_orderdate, CAST(rev_d AS DOUBLE) AS revenue FROM (
+             |  SELECT o_orderkey, o_orderdate,
+             |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS rev_d
+             |  FROM customer JOIN orders ON c_custkey = o_custkey
+             |                JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |    AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+             |  GROUP BY 1, 2 ORDER BY rev_d DESC, o_orderkey LIMIT 10)
+             |ORDER BY revenue DESC, o_orderkey""".stripMargin),
+    ),
+
+    // TPC-H Q5-shaped: 5-way join, dims broadcast, revenue per nation.
+    QueryDef(
+      "q5_region_revenue",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(
+            col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          // same 2^53 rationale as q1: scale-4 round before the double cast
+          .agg(sum(discPrice).cast(DecimalType(28, 4)).cast("double").as("revenue")),
+      Some("""SELECT n_name,
+             |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // Left-semi join: customers having at least one big order.
+    QueryDef(
+      "join_semi_customers",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir).filter(col("o_totalprice") > 200000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin),
+    ),
+
+    // Full-outer join: per-key quantity on two disjoint-ish slices,
+    // coalesced — the other decomposition of the merge (SURVEY J1).
+    QueryDef(
+      "join_full_outer_coalesce",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val a = li.filter(col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_partkey").as("pk")).agg(dsum(col("l_quantity")).as("qty_a"))
+        val b = li.filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_partkey").as("pk")).agg(dsum(col("l_quantity")).as("qty_b"))
+        a.join(b, Seq("pk"), "full_outer")
+          .select(
+            col("pk").as("l_partkey"),
+            coalesce(col("qty_a"), lit(0.0)).as("qty_early"),
+            coalesce(col("qty_b"), lit(0.0)).as("qty_late"),
+          )
+      },
+      Some("""WITH a AS (SELECT l_partkey AS pk, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_a
+             |          FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
+             |b AS (SELECT l_partkey AS pk, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_b
+             |      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1)
+             |SELECT COALESCE(a.pk, b.pk) AS l_partkey,
+             |       COALESCE(qty_a, 0.0) AS qty_early,
+             |       COALESCE(qty_b, 0.0) AS qty_late
+             |FROM a FULL OUTER JOIN b ON a.pk = b.pk""".stripMargin),
+    ),
+
+    // Set ops: customers active in 1995 but not 1996 (EXCEPT), and
+    // in both (INTERSECT) — both with SQL DISTINCT semantics.
+    QueryDef(
+      "setop_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+          .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin),
+    ),
+    QueryDef(
+      "setop_intersect",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+          .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin),
+    ),
+
+    // Analytic windows: rank / dense_rank / ntile / lag per customer,
+    // all with explicit tie-breakers so results are deterministic under
+    // any partitioning.
+    QueryDef(
+      "window_rank_lag",
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        val byDate = Window.partitionBy(col("o_custkey"))
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          rank().over(byPrice).as("price_rank"),
+          dense_rank().over(byPrice).as("price_dense_rank"),
+          ntile(4).over(byDate).as("date_quartile"),
+          lag(col("o_orderkey"), 1).over(byDate).as("prev_orderkey"),
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+             |dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_dense_rank,
+             |ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS date_quartile,
+             |lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+             |FROM orders""".stripMargin),
+    ),
+
+    // Sliding frame: 7-row moving sum of daily order totals —
+    // rowsBetween frame spec (SURVEY §2.5 "frame specs").
+    QueryDef(
+      "window_moving_sum",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(dsum(col("o_totalprice")).as("day_total"))
+        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        daily.select(
+          col("d"),
+          col("day_total"),
+          sum(col("day_total").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("week_total"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+             |  FROM orders GROUP BY 1)
+             |SELECT d, day_total,
+             |CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER (
+             |  ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS week_total
+             |FROM daily""".stripMargin),
+    ),
+
+    // Top-k: ORDER BY + LIMIT fuses to TakeOrderedAndProject — per-
+    // partition heaps, no global sort (SURVEY W1 physical note).
+    QueryDef(
+      "topk_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    ),
+
+    // ROLLUP grouping sets over order status/priority.
+    QueryDef(
+      "rollup_status_priority",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
+    ),
+
+    // Scalar string functions (SURVEY §2.7 T1/T2).
+    QueryDef(
+      "scalar_string_funcs",
+      (s, dir) =>
+        Tables.customer(s, dir).select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nation"),
+          length(col("c_name")).as("name_len"),
+        ),
+      Some("""SELECT c_custkey, upper(c_name) AS name_upper,
+             |substr(c_name, 1, 8) AS name_prefix,
+             |concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+             |CAST(length(c_name) AS INT) AS name_len FROM customer""".stripMargin),
+    ),
+
+    // JSON extraction on the events side-channel payload (SURVEY §2.7,
+    // engine use of `events.props`).
+    QueryDef(
+      "json_extract_props",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events""".stripMargin),
+    ),
+  )
+}

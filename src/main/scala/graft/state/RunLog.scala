@@ -1,0 +1,45 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.RunInfo
+import graft.ops.TrafOps
+
+/** Parquet-backed run log replacing the reference's nedb `logs.db`
+  * (`script.js:10-11`): an append-only state table whose newest row is
+  * the incremental high-water mark (SURVEY §2.8 I1).
+  *
+  * Append-only + top-1 read keeps the store safe under concurrent
+  * writers and trivially partitionable; the read is a
+  * `TakeOrderedAndProject`, never a full sort (SURVEY W1).
+  */
+final class RunLog(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def append(run: RunInfo): Unit =
+    Seq(run).toDS().write.mode(SaveMode.Append).parquet(path)
+
+  def all(): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException => spark.emptyDataset[RunInfo].toDF() }
+
+  /** The reference's `findOne({}).sort({createdAt:-1}).limit(1)`
+    * (`script.js:34-35`); ties broken on `toDate` for determinism.
+    */
+  def latest(): Option[RunInfo] =
+    TrafOps.latestBy(all(), Seq(desc("createdAt"), desc("toDate")))
+      .as[RunInfo].collect().headOption
+
+  /** I1/I2 — next incremental window: from = previous run's ToDate
+    * (inclusive overlap, `script.js:54` — the boundary day is re-fetched
+    * deliberately and the idempotent merge absorbs it), to = yesterday
+    * relative to `today` (the reference's 1-day completeness delay,
+    * `script.js:55`, `script.js:171-175`). The clock is a parameter so
+    * windows stay deterministic and testable (SURVEY §7.4 risk 2).
+    */
+  def nextWindow(today: java.time.LocalDate): (String, String) = {
+    val yesterday = today.minusDays(1).toString
+    (latest().map(_.toDate).getOrElse(yesterday), yesterday)
+  }
+}
