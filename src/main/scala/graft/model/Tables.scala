@@ -62,11 +62,14 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
+    normalizeEventTs(table(spark, sfDir, "events"))
+  }
+
+  /** ns-long → µs timestamp, applied to batch and streaming scans alike. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
-  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

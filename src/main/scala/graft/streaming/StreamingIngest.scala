@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One raw sensor/event reading on the streaming path. */
+final case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+)
+
+/** Running per-key ingest state for [[StreamingIngest.runningTotals]]. */
+final case class KeyTotal(user_id: Long, event_type: String, n_events: Long, sum_value: Double)
+
+/** The reference's hand-rolled incremental loop (SURVEY §2.8), expressed
+  * as Structured Streaming. The batch pipeline stays the correctness
+  * path; this is the always-on form of the same semantics:
+  *
+  *  - I1 high-water-mark resume      → the stream's checkpoint
+  *  - I2 1-day completeness delay    → `withWatermark("ts", "1 day")`
+  *  - I3 idempotent re-fetch + merge → update output mode into a keyed sink
+  *  - I4 hourly grain                → 1-hour tumbling `window`
+  *
+  * State scales with |open windows × keys|, not with input volume: the
+  * watermark bounds retained state, so a 1000-executor cluster holds
+  * ~25 h × |site,location| rows of aggregation state regardless of
+  * throughput.
+  */
+object StreamingIngest {
+
+  /** Raw event stream → hourly upsert stream (update mode). Emits the
+    * same schema as the batch [[graft.ops.TrafOps.hourlyRollup]], keyed
+    * by (user_id, event_type, period_ending) — each update row is one
+    * merge-upsert against the target table.
+    */
+  def hourlyStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(
+        window(col("ts"), "1 hour"),
+        col("user_id"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("window.end").as("period_ending"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Exactly-once-effect dedup on the event id within the watermark
+    * horizon — the streaming form of the reference's idempotent re-fetch
+    * (I3): replayed boundary rows are dropped, not double-counted.
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicates("event_id", "ts")
+
+  /** Arbitrary stateful op (SURVEY §2.8 "mapGroupsWithState" surface):
+    * running per-key totals across micro-batches — the streaming
+    * equivalent of the run-log's cumulative `Records` counter
+    * (`script.js:164`, summed over runs).
+    */
+  def runningTotals(events: Dataset[Event]): Dataset[KeyTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[KeyTotal]) =>
+          val prev = state.getOption.getOrElse(KeyTotal(key._1, key._2, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = KeyTotal(
+            key._1, key._2,
+            prev.n_events + batch.size,
+            prev.sum_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}

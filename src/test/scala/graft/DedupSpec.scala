@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.Dedup
+
+/** Planted-duplicate recall specs for the dedup family — these carry
+  * correctness for the xxhash64-based ops the DuckDB oracle can't check.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one changed word in 30 → trigram jaccard ≈ 0.8, well above the
+  // k=32/b=8 LSH 50% point (~0.59) so candidate recall is deterministic
+  private val near1 = "the quick brown fox jumps over the lazy dog while the sun rises " +
+    "slowly over the quiet green valley and every bird begins to sing a morning song"
+  private val near2 = near1.replace("lazy dog", "lazy cat")
+  private val other = "completely different words appear here with zero overlap whatsoever present"
+
+  private def docs = Seq(
+    (1L, near1),
+    (2L, near2),
+    (3L, other),
+    (4L, near1), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates to min id") {
+    val out = Dedup.exactGroups(docs).where($"n_dups" > 1)
+    assert(rows(out.select("keep_id", "n_dups")) == Set(Seq(1L, 2L)))
+  }
+
+  test("jaccardPairs finds near-dups and not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard of an exact duplicate is 1.0") {
+    val j = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3)
+      .where($"doc_a" === 1L && $"doc_b" === 4L)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhashCandidates recalls exact and near duplicates") {
+    val cands = Dedup.minhashCandidates(docs, k = 32, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L))) // identical signatures always collide
+    assert(cands.contains((1L, 2L))) // jaccard ~0.8 ≫ LSH 50% point ~0.59
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs get identical signatures; near-dups are close") {
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+  }
+
+  test("simhashCandidates pairs exact duplicates at hamming 0") {
+    val cands = Dedup.simhashCandidates(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L)))
+  }
+}

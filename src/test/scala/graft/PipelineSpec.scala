@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import graft.model.RunInfo
+import graft.pipeline.IngestPipeline
+import graft.state.RunLog
+
+/** End-to-end smoke (SURVEY §5 item 4): state → window → load →
+  * transform → merge → state append, with re-run idempotence (I3) and
+  * high-water-mark monotonicity (I1).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("run log: append, latest, next window defaults") {
+    val log = new RunLog(spark, tmp("runlog") + "/log")
+    assert(log.latest().isEmpty)
+    // no previous run → both default to yesterday (script.js:54-55)
+    assert(log.nextWindow(LocalDate.parse("2024-01-16")) == ("2024-01-15", "2024-01-15"))
+
+    log.append(RunInfo("t", ts("2024-01-16 00:00:00"), "2024-01-15", "2024-01-15",
+      10L, ts("2024-01-16 00:00:00")))
+    log.append(RunInfo("t", ts("2024-01-17 00:00:00"), "2024-01-15", "2024-01-16",
+      12L, ts("2024-01-17 00:00:00")))
+    assert(log.latest().map(_.toDate).contains("2024-01-16"))
+    // from = previous ToDate: the deliberate overlap day (I3)
+    assert(log.nextWindow(LocalDate.parse("2024-01-18")) == ("2024-01-16", "2024-01-17"))
+  }
+
+  test("ingest pipeline: incremental runs merge idempotently over the overlap") {
+    val dir = tmp("pipeline")
+    val log = new RunLog(spark, s"$dir/log")
+    val pipe = new IngestPipeline(spark, s"$dir/target", log)
+    val sf = "/root/testdata/sf0.001"
+
+    val n1 = pipe.run(sf, LocalDate.parse("2024-01-16"))
+    assert(n1 > 0)
+    val c1 = pipe.readTarget().count()
+    assert(c1 > 0)
+
+    // next day: window [01-15, 01-16] re-fetches the 01-15 boundary
+    val n2 = pipe.run(sf, LocalDate.parse("2024-01-17"))
+    assert(n2 >= n1) // superset window
+    val c2 = pipe.readTarget().count()
+    assert(c2 >= c1)
+
+    // re-run the same day: same window again → target must not change
+    pipe.run(sf, LocalDate.parse("2024-01-17"))
+    assert(pipe.readTarget().count() == c2)
+
+    // PK invariant holds after merges (script.js:119)
+    val dups = graft.ops.TrafOps.duplicateKeys(
+      pipe.readTarget(), graft.model.Tables.eventKeys)
+    assert(dups.isEmpty)
+
+    // high-water mark advanced monotonically
+    assert(log.latest().map(_.toDate).contains("2024-01-16"))
+  }
+}

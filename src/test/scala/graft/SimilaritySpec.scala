@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // nearest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks identical first, then near, orthogonal, opposite") {
+    val out = Similarity.cosineTopK(embs, queryVecId = 0L, k = 4)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(4L, 1L, 2L, 3L))
+    assert(out.head._2 == 1.0) // exact decimal dot: identical vector is exactly 1
+    assert(out.last._2 == -1.0)
+  }
+
+  test("cosine of orthogonal vectors is exactly 0") {
+    val c = Similarity.cosineTopK(embs, 0L, 4)
+      .where($"vec_id" === 2L).select("cosine").as[Double].head()
+    assert(c == 0.0)
+  }
+
+  test("lshBuckets is deterministic and puts identical vectors together") {
+    val a = Similarity.lshBuckets(embs, dim = 4).as[(Long, Long)].collect().toMap
+    val b = Similarity.lshBuckets(embs, dim = 4).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a(0L) == a(4L))
+  }
+
+  test("annTopK finds the identical vector through the bucket index") {
+    val out = Similarity.annTopK(embs, queryVecId = 0L, dim = 4, k = 3)
+      .as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._1 == 4L && out.head._2 == 1.0)
+  }
+}

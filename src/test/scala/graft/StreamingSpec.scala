@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Event, StreamingIngest}
+
+/** Structured-Streaming specs: the hourly ingest stream (I2/I4), the
+  * dedup stream (I3), and arbitrary state (mapGroupsWithState).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkpoint = Files.createTempDirectory("ckpt").toString
+
+  test("hourlyStream aggregates into 1-hour windows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.hourlyStream(source.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("hourly_sink")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(
+        Event(1L, ts("2024-01-01 10:10:00"), 7L, "in", 2.0),
+        Event(2L, ts("2024-01-01 10:50:00"), 7L, "in", 3.0))
+      q.processAllAvailable()
+      source.addData( // same window, next micro-batch → updated row
+        Event(3L, ts("2024-01-01 10:55:00"), 7L, "in", 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("hourly_sink")
+        .orderBy($"n_events".desc).limit(1)
+        .select("user_id", "event_type", "n_events", "sum_value")
+        .as[(Long, String, Long, Double)].head()
+      assert(latest == ((7L, "in", 3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("dedupedStream drops replayed event ids (idempotent re-fetch, I3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.dedupedStream(source.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("dedup_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      val e = Event(1L, ts("2024-01-01 10:10:00"), 7L, "in", 2.0)
+      source.addData(e, e.copy(event_id = 2L))
+      q.processAllAvailable()
+      source.addData(e) // replayed boundary row
+      q.processAllAvailable()
+      assert(spark.table("dedup_sink").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningTotals accumulates per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.runningTotals(source.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("totals_sink")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "in", 2.0))
+      q.processAllAvailable()
+      source.addData(Event(2L, ts("2024-01-01 11:00:00"), 7L, "in", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("totals_sink")
+        .orderBy($"n_events".desc).limit(1)
+        .as[(Long, String, Long, Double)].head()
+      assert(last == ((7L, "in", 2L, 5.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{Multimodal, TextAnalytics}
+
+class TextAndMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat", 22L),
+    (2L, "one-token", 9L),
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("qualityFeatures: token counts and average token length") {
+    val out = TextAnalytics.qualityFeatures(docs)
+      .select("doc_id", "n_tokens", "avg_token_len", "has_the")
+      .as[(Long, Int, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6, 17.0 / 6, 1)))
+    assert(out(2L) == ((1, 9.0, 0)))
+  }
+
+  test("fingerprint is case/trim-insensitive and 16 hex chars") {
+    val fps = Seq((1L, "The Cat "), (2L, "the cat"), (3L, "a dog"))
+      .toDF("doc_id", "text")
+      .select(TextAnalytics.fingerprint($"text").as("fp"))
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(2) != fps(0))
+    assert(fps.forall(_.matches("[0-9a-f]{16}")))
+  }
+
+  test("tokenHistogram counts corpus-wide token frequencies") {
+    val hist = TextAnalytics.tokenHistogram(docs)
+      .as[(String, Long)].collect().toMap
+    assert(hist("the") == 2L)
+    assert(hist("cat") == 1L)
+  }
+
+  test("langId marks stopword-bearing docs") {
+    val out = TextAnalytics.langId(
+      Seq((1L, "the key and a order"), (2L, "xyzzy plugh")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "unknown")
+  }
+
+  test("multimodal decode stub: typed metadata from binary payloads") {
+    val out = Multimodal.decodeDocuments(spark, docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // "the cat sat on the mat" = 22 utf-8 bytes
+    assert(out(1L) == ((22L, 22L % 640, (22L * 7) % 480, 22L % 30)))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrafOps
+
+/** Unit specs for the operator library (SURVEY §5 item 2): merge J1
+  * (insert-only / update-only / mixed / empty S8), top-1 W1 ties,
+  * last-write-wins W2, validation F5, high-water mark I1, PK check.
+  */
+class TrafOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k1", "k2")
+
+  private def tbl(rows: (String, String, Long)*) =
+    rows.toDF("k1", "k2", "v")
+
+  test("upsert: insert-only when keys are disjoint") {
+    val target = tbl(("a", "x", 1L))
+    val batch = tbl(("b", "y", 2L))
+    val out = TrafOps.upsert(target, batch, keys)
+    assert(rows(out) == Set(Seq("a", "x", 1L), Seq("b", "y", 2L)))
+  }
+
+  test("upsert: update-only — batch wins on matched keys") {
+    val target = tbl(("a", "x", 1L), ("b", "y", 2L))
+    val batch = tbl(("a", "x", 10L), ("b", "y", 20L))
+    val out = TrafOps.upsert(target, batch, keys)
+    assert(rows(out) == Set(Seq("a", "x", 10L), Seq("b", "y", 20L)))
+  }
+
+  test("upsert: mixed insert + update (the reference's dup_val_on_index path)") {
+    val target = tbl(("a", "x", 1L), ("b", "y", 2L))
+    val batch = tbl(("b", "y", 20L), ("c", "z", 3L))
+    val out = TrafOps.upsert(target, batch, keys)
+    assert(rows(out) == Set(Seq("a", "x", 1L), Seq("b", "y", 20L), Seq("c", "z", 3L)))
+  }
+
+  test("upsert: empty batch short-circuits to target (S8)") {
+    val target = tbl(("a", "x", 1L))
+    val batch = tbl().limit(0)
+    assert(rows(TrafOps.upsert(target, batch, keys)) == rows(target))
+  }
+
+  test("upsert is idempotent: merge(merge(T,B),B) == merge(T,B)") {
+    val target = tbl(("a", "x", 1L), ("b", "y", 2L))
+    val batch = tbl(("b", "y", 20L), ("c", "z", 3L))
+    val once = TrafOps.upsert(target, batch, keys)
+    val twice = TrafOps.upsert(once, batch, keys)
+    assert(rows(once) == rows(twice))
+  }
+
+  test("lastWriteWins keeps exactly one row per key, by explicit order") {
+    val df = Seq(
+      ("a", "x", ts("2024-01-01 10:00:00"), 1L),
+      ("a", "x", ts("2024-01-01 11:00:00"), 2L),
+      ("a", "x", ts("2024-01-01 11:00:00"), 3L), // ts tie → higher id wins
+      ("b", "y", ts("2024-01-01 09:00:00"), 4L),
+    ).toDF("k1", "k2", "ts", "id")
+    val out = TrafOps.lastWriteWins(df, keys, Seq(desc("ts"), desc("id")))
+    assert(rows(out.select("k1", "k2", "id")) == Set(Seq("a", "x", 3L), Seq("b", "y", 4L)))
+  }
+
+  test("latestBy returns the single newest row with deterministic ties (W1)") {
+    val df = Seq(
+      (ts("2024-01-02 00:00:00"), 1L),
+      (ts("2024-01-03 00:00:00"), 2L),
+      (ts("2024-01-03 00:00:00"), 3L),
+    ).toDF("createdAt", "id")
+    val out = TrafOps.latestBy(df, Seq(desc("createdAt"), desc("id")))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("validate drops rows with nulls in required columns (F5)") {
+    val df = Seq(
+      (Some("a"), Some(1L)),
+      (None, Some(2L)),
+      (Some("c"), None),
+    ).toDF("k", "v")
+    assert(TrafOps.validate(df, Seq("k", "v")).count() == 1)
+  }
+
+  test("duplicateKeys surfaces only violated keys") {
+    val df = tbl(("a", "x", 1L), ("a", "x", 2L), ("b", "y", 3L))
+    val out = TrafOps.duplicateKeys(df, keys)
+    assert(rows(out) == Set(Seq("a", "x", 2L)))
+  }
+
+  test("afterHighWaterMark keeps strictly-later rows only (I1)") {
+    val state = Seq(ts("2024-01-02 00:00:00")).toDF("ts")
+    val src = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-02 00:00:00")), // equal to HWM → excluded
+      (3L, ts("2024-01-03 00:00:00")),
+    ).toDF("id", "ts")
+    val out = TrafOps.afterHighWaterMark(src, state, "ts")
+    assert(out.select("id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("hourlyRollup produces the reference grain") {
+    val df = Seq(
+      (1L, "in", ts("2024-01-01 10:15:00"), 2.0),
+      (1L, "in", ts("2024-01-01 10:45:00"), 3.0),
+      (1L, "in", ts("2024-01-01 11:05:00"), 4.0),
+    ).toDF("user_id", "event_type", "ts", "value")
+    val out = TrafOps.hourlyRollup(df)
+    assert(rows(out) == Set(
+      Seq(1L, "in", ts("2024-01-01 10:00:00"), 2L, 5.0),
+      Seq(1L, "in", ts("2024-01-01 11:00:00"), 1L, 4.0),
+    ))
+  }
+
+  test("merge equals its W2 windowed-dedup oracle form on random data") {
+    // hand-rolled property (seeded, deterministic): the anti-join merge
+    // must agree with the row_number-dedup formulation the DuckDB oracle
+    // uses, for any overlap pattern.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val mkRows = (src: Int) => Seq.fill(20)(
+        (s"k${rnd.nextInt(6)}", s"l${rnd.nextInt(3)}", rnd.nextLong(1000), src))
+      val target = mkRows(0).toDF("k1", "k2", "v", "src")
+        .groupBy("k1", "k2").agg(max("v").as("v"), min("src").as("src"))
+      val batch = mkRows(1).toDF("k1", "k2", "v", "src")
+        .groupBy("k1", "k2").agg(max("v").as("v"), max("src").as("src"))
+      val merged = TrafOps.upsert(target, batch, keys)
+      val oracle = TrafOps.lastWriteWins(
+        target.unionByName(batch), keys, Seq(desc("src")))
+      assert(rows(merged) == rows(oracle))
+    }
+  }
+}
