@@ -96,4 +96,97 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Fast double dot product (plain `aggregate` fold, whole-stage
+    * codegen'd). Order-dependent in the last ulps, so use it where the
+    * consumer is a ranking/threshold with slack — not in oracle-compared
+    * scores (use [[dotDecimal]] there).
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineDouble(a: Column, b: Column): Column =
+    dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))
+
+  /** IVF (inverted-file) ANN index: coarse-quantize the corpus into
+    * `nCells` cells, then answer queries by scanning only the `nProbe`
+    * cells whose centroids are nearest the query.
+    *
+    * Centroid selection is deterministic: the vectors with the `nCells`
+    * smallest vec_ids seed the cells (a k-means iteration would refine
+    * them; seeding keeps the index reproducible with zero extra passes).
+    * Assignment is one narrow projection — centroids broadcast as a
+    * literal-free 1-row cross join, argmax over cosine — so building the
+    * index is a single scan however large the corpus; the shuffle-free
+    * cell scan at query time is the 100 TB path (cells ≈ partitions:
+    * write the assigned table partitioned by `cell` and the probe reads
+    * `nProbe/nCells` of the data).
+    */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("__cid"), col("embedding").as("__cemb"))
+      .groupBy().agg(
+        collect_list(struct(col("__cid"), col("__cemb"))).as("__cents"))
+    // argmax_{c} cosine(embedding, c): fold over the centroid array keeping
+    // (best_sim, best_cell) — one pass, no shuffle, codegen'd double math.
+    val best = aggregate(
+      col("__cents"),
+      struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val sim = cosineDouble(col("embedding"), c.getField("__cemb"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("__cid").as("cell"))).otherwise(acc)
+      },
+    )
+    embeddings
+      .crossJoin(broadcast(cents))
+      .withColumn("cell", best.getField("cell"))
+      .drop("__cents")
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` cells nearest the query, exact
+    * decimal cosine within the probed cells only.
+    */
+  def ivfTopK(embeddings: DataFrame, queryVecId: Long,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCells)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("__q"))
+    val probedCells = embeddings.filter(col("vec_id") < nCells)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("cell"),
+        cosineDouble(col("embedding"), col("__q")).as("__csim"))
+      .orderBy(desc("__csim"), asc("cell")).limit(nProbe)
+      .select(col("cell"))
+    assigned
+      .join(broadcast(probedCells), "cell")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH buckets generate the
+    * candidates (equi-join — only same-bucket vectors ever meet), exact
+    * decimal cosine keeps pairs at/above the threshold. The bucket join
+    * bounds the pair work to collisions, so the pattern survives corpus
+    * sizes where all-pairs (n²) cannot; recall is governed by `nPlanes`
+    * exactly like [[annTopK]].
+    */
+  def embeddingNearDups(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.9, nPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(embeddings, dim, nPlanes).join(embeddings, "vec_id")
+    val left = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val right = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // a pair can collide in multiple buckets → distinct on the pair
+      .distinct()
+  }
 }

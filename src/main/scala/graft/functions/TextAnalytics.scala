@@ -13,12 +13,14 @@ object TextAnalytics {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** BPE-ish sub-word segmentation: words plus split-off punctuation and
-    * digit runs — a regex approximation of a byte-pair tokenizer's
-    * pre-tokenization pass.
+  /** BPE-ish sub-word segmentation: alphanumeric runs plus each
+    * punctuation mark as its own token — a regex approximation of a
+    * byte-pair tokenizer's pre-tokenization pass. `regexp_extract_all`
+    * (rather than split) so empty tokens never appear and the same
+    * pattern is portable to the DuckDB oracle.
     */
   def bpeishTokens(text: Column): Column =
-    split(regexp_replace(text, "([\\p{Punct}])", " $1 "), "\\s+")
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[\\p{Punct}]"), lit(0))
 
   /** Per-document quality features: token count, average token length,
     * stopword hit — the length/punct/stopword-ratio style scoring used to

@@ -59,6 +59,23 @@ object ExtensionQueries {
       None,
     ),
 
+    // SimHash near-dup candidate pairs (quarter-banding + Hamming ≤ 3):
+    // rows-only check; planted-duplicate recall is spec-tested.
+    QueryDef(
+      "dedup_simhash_candidates",
+      (s, dir) => Dedup.simhashCandidates(Tables.documents(s, dir)),
+      None,
+    ),
+
+    // Embedding-cosine near-dup pairs (LSH candidates + exact decimal
+    // cosine ≥ threshold) — xxhash64 hyperplanes: rows-only check.
+    QueryDef(
+      "dedup_embedding_neardup",
+      (s, dir) =>
+        Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.9),
+      None,
+    ),
+
     // Text quality features.
     QueryDef(
       "text_quality_score",
@@ -122,6 +139,35 @@ object ExtensionQueries {
       "embed_lsh_buckets",
       (s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64),
       None,
+    ),
+
+    // ANN top-k through the LSH index — rows-only; recall vs the exact
+    // brute-force baseline is spec-tested.
+    QueryDef(
+      "embed_ann_topk",
+      (s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), queryVecId = 0L, dim = 64),
+      None,
+    ),
+
+    // IVF ANN top-k (coarse-quantize → probe nearest cells) — rows-only;
+    // recall spec-tested.
+    QueryDef(
+      "embed_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L),
+      None,
+    ),
+
+    // BPE-ish sub-word token counts (regex pre-tokenization): words and
+    // split-off punctuation, counted per document.
+    QueryDef(
+      "text_bpeish_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextAnalytics.bpeishTokens(col("text"))).as("n_bpeish")),
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS INT) AS n_bpeish
+             |FROM documents""".stripMargin),
     ),
 
     // Multimodal decode plumbing (stub codec, real Dataset pipeline).

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.time.Instant
+
+/** OAuth2 token lifecycle of the reference connector (SURVEY §2.1 S3 +
+  * §2.8 I5), engine-side: cache the bearer token, treat it as expired
+  * five minutes early, refresh on demand, and retry an unauthorized
+  * fetch once after a short backoff.
+  *
+  * Reference behavior reproduced:
+  *   - password-grant token request (`/root/reference/script.js:68-79`)
+  *   - reuse while `expiresAt > now + 5 min` (`script.js:37-47`)
+  *   - on 401: 1 s pause (dodges the API's 429), one refresh, one retry
+  *     (`script.js:240-254`, `waitASecond` `script.js:221-223`)
+  *
+  * Zero-egress container → `requestToken` is injected; production wires
+  * an HTTP POST, tests a deterministic stub. The provider is a plain
+  * thread-safe object so the DSv2 reader factory can hold one per
+  * executor (tokens are connector state, never rows).
+  */
+final class TokenProvider(
+    requestToken: () => TokenProvider.Token,
+    clock: () => Instant = () => Instant.now(),
+    backoffMillis: Long = 1000L,
+) {
+  import TokenProvider._
+
+  private var cached: Option[Token] = None
+
+  /** The reference's 5-minute early-expiry slack (`script.js:38-43`). */
+  private val slackSeconds = 300L
+
+  def bearer(): String = s"Bearer ${current().accessToken}"
+
+  def current(): Token = synchronized {
+    cached match {
+      case Some(t) if t.expiresAt.isAfter(clock().plusSeconds(slackSeconds)) => t
+      case _ =>
+        val fresh = requestToken()
+        cached = Some(fresh)
+        fresh
+    }
+  }
+
+  /** Run `fetch`, and on [[Unauthorized]] wait, force-refresh, retry
+    * exactly once (`script.js:240-254`).
+    */
+  def withRetry[A](fetch: String => A): A =
+    try fetch(bearer())
+    catch {
+      case _: Unauthorized =>
+        Thread.sleep(backoffMillis)
+        synchronized { cached = None }
+        fetch(bearer())
+    }
+}
+
+object TokenProvider {
+  final case class Token(accessToken: String, expiresAt: Instant)
+  final class Unauthorized(msg: String) extends RuntimeException(msg)
+}

@@ -1,0 +1,246 @@
+package graft.sources
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's TrafSys REST source
+  * (SURVEY §2.1 S1-S3): `spark.read.format("graft.sources.trafsys")`.
+  *
+  * The reference pulls `GET rest/api/traffic` with source-side parameters
+  * (`/root/reference/script.js:141-166`) — `DateFrom`/`DateTo`/`SiteCode`
+  * filter at the server, not the client (S2, `script.js:143-149`). This
+  * connector reproduces that contract Spark-natively:
+  *
+  *   - **Pushdown** (`SupportsPushDownFilters`): Catalyst predicates on
+  *     `PeriodEnding` (range) and `SiteCode` (equality) become the
+  *     connector's DateFrom/DateTo/SiteCode parameters instead of a
+  *     client-side filter, exactly the reference's manual optimization.
+  *   - **Column pruning** (`SupportsPushDownRequiredColumns`): only
+  *     requested fields are materialized per row.
+  *   - **Partitioned fetch**: the date window splits into one input
+  *     partition per day — the unit a real deployment would parallelize
+  *     API pulls by (the reference fetches one day per run,
+  *     `script.js:54-55`); N executors pull N days concurrently.
+  *   - **Boolean coercion** (P1, `script.js:160-163`): the wire's JSON
+  *     boolean `IsInternal` lands as int 0/1, the reference's Oracle
+  *     convention.
+  *   - **Timestamp wire format** (D3, `script.js:191`): `PeriodEnding`
+  *     strings `yyyy-MM-dd'T'HH:mm:ss` parsed at the source boundary.
+  *
+  * Transport: the container has no egress, so the "API" is a JSON-lines
+  * fixture at `option("path", ...)` — one `DataRecord` object per line,
+  * the same payload shape axios returns (`script.js:154`). Swapping
+  * [[TrafsysPartitionReader.fetchDay]] for an HTTP GET (with
+  * [[TokenProvider]] auth) is the only production delta; plan shape,
+  * pushdown, and parallelism are already real.
+  */
+class TrafsysSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TrafsysSource.schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TrafsysTable(properties.asScala.toMap)
+}
+
+object TrafsysSource {
+  /** The API's `DataRecord` shape (`script.js:125-134`) in the engine's
+    * column types (SURVEY §1.2).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("SiteCode", StringType),
+    StructField("Location", StringType),
+    StructField("IsInternal", IntegerType),
+    StructField("PeriodEnding", TimestampType),
+    StructField("Ins", LongType),
+    StructField("Outs", LongType),
+  ))
+
+  val wirePattern: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  def parseWireTs(s: String): Long =
+    LocalDateTime.parse(s, wirePattern).toInstant(ZoneOffset.UTC).toEpochMilli * 1000L
+}
+
+final class TrafsysTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"trafsys(${options.getOrElse("path", "")})"
+  override def schema(): StructType = TrafsysSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new TrafsysScanBuilder(options)
+}
+
+/** Translates Catalyst filters into the source's request parameters —
+  * the DSv2 form of the reference's manual pushdown (S2).
+  */
+final class TrafsysScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  // Request-parameter state accumulated from pushed filters; option
+  // values are the user-supplied defaults (like the reference's CLI
+  // --from/--to, `script.js:53-57`).
+  private var dateFromMicros: Option[Long] =
+    options.get("datefrom").map(d => TrafsysSource.parseWireTs(d + "T00:00:00"))
+  private var dateToMicros: Option[Long] =
+    options.get("dateto").map(d => TrafsysSource.parseWireTs(d + "T00:00:00") + 86400000000L)
+  private var siteCode: Option[String] = options.get("sitecode").filter(_.nonEmpty)
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = TrafsysSource.schema
+
+  private def tsMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case l: Long => l
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("SiteCode", _: String) => true
+      case GreaterThan("PeriodEnding", _) | GreaterThanOrEqual("PeriodEnding", _) => true
+      case LessThan("PeriodEnding", _) | LessThanOrEqual("PeriodEnding", _) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("SiteCode", v: String) => siteCode = Some(v)
+      case GreaterThan("PeriodEnding", v) =>
+        val m = tsMicros(v) + 1
+        dateFromMicros = Some(dateFromMicros.fold(m)(math.max(_, m)))
+      case GreaterThanOrEqual("PeriodEnding", v) =>
+        val m = tsMicros(v)
+        dateFromMicros = Some(dateFromMicros.fold(m)(math.max(_, m)))
+      case LessThan("PeriodEnding", v) =>
+        val m = tsMicros(v)
+        dateToMicros = Some(dateToMicros.fold(m)(math.min(_, m)))
+      case LessThanOrEqual("PeriodEnding", v) =>
+        val m = tsMicros(v) + 1
+        dateToMicros = Some(dateToMicros.fold(m)(math.min(_, m)))
+      case _ =>
+    }
+    pushed = accepted
+    // Accepted filters are enforced exactly by the reader (the "server"
+    // honors its parameters), so only the rejected residue needs
+    // post-scan evaluation.
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = StructType(
+      TrafsysSource.schema.fields.filter(f => required.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new TrafsysScan(
+      options.getOrElse("path", sys.error("trafsys source requires option 'path'")),
+      requiredSchema, dateFromMicros, dateToMicros, siteCode)
+}
+
+final class TrafsysScan(
+    path: String, requiredSchema: StructType,
+    fromMicros: Option[Long], toMicros: Option[Long], siteCode: Option[String],
+) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = fromMicros.map(m => s"DateFrom=${m / 1000000}").getOrElse("")
+    val t = toMicros.map(m => s"DateTo=${m / 1000000}").getOrElse("")
+    val s = siteCode.map(c => s"SiteCode=$c").getOrElse("")
+    s"trafsys $path ${Seq(f, t, s).filter(_.nonEmpty).mkString(" ")}"
+  }
+
+  /** One input partition per day of the requested window — the unit of
+    * fetch parallelism. An unbounded window collapses to a single
+    * partition (fixture replay).
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    (fromMicros, toMicros) match {
+      case (Some(f), Some(t)) if t > f =>
+        val fromDay = LocalDate.ofEpochDay(f / 86400000000L)
+        val nDays = ((t - 1) / 86400000000L - f / 86400000000L + 1).toInt
+        (0 until nDays).map { i =>
+          val d0 = fromDay.plusDays(i).toEpochDay * 86400000000L
+          TrafsysPartition(path, math.max(f, d0), math.min(t, d0 + 86400000000L))
+            : InputPartition
+        }.toArray
+      case _ =>
+        Array(TrafsysPartition(path, fromMicros.getOrElse(Long.MinValue),
+          toMicros.getOrElse(Long.MaxValue)))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TrafsysReaderFactory(requiredSchema, siteCode)
+}
+
+final case class TrafsysPartition(path: String, fromMicros: Long, toMicros: Long)
+    extends InputPartition
+
+final class TrafsysReaderFactory(requiredSchema: StructType, siteCode: Option[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TrafsysPartitionReader(
+      partition.asInstanceOf[TrafsysPartition], requiredSchema, siteCode)
+}
+
+/** Reads one day-window of `DataRecord`s. `fetchDay` is where a real
+  * deployment issues `GET rest/api/traffic?DateFrom=...&DateTo=...`
+  * with the [[TokenProvider]] bearer header (`script.js:141-153`);
+  * fixture mode streams the JSON-lines payload and applies the same
+  * parameters the server would.
+  */
+final class TrafsysPartitionReader(
+    partition: TrafsysPartition, requiredSchema: StructType, siteCode: Option[String],
+) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val source = scala.io.Source.fromFile(partition.path, "UTF-8")
+  private val lines = source.getLines().flatMap(parse)
+  private var current: InternalRow = _
+
+  private def parse(line: String): Option[InternalRow] = {
+    if (line.isEmpty) return None
+    val node = mapper.readTree(line)
+    // Server-honored parameters: the pushed window + site equality are
+    // applied here, mirroring the API's DateFrom/DateTo/SiteCode.
+    val ts = TrafsysSource.parseWireTs(node.get("PeriodEnding").asText())
+    if (ts < partition.fromMicros || ts >= partition.toMicros) return None
+    val site = node.get("SiteCode").asText()
+    if (siteCode.exists(_ != site)) return None
+    val values = requiredSchema.fields.map { f =>
+      val n = node.get(f.name)
+      f.name match {
+        case "SiteCode" => UTF8String.fromString(site)
+        case "Location" => UTF8String.fromString(n.asText())
+        // JSON boolean → 0/1 int, the reference's `+record.IsInternal`
+        case "IsInternal" => if (n.isBoolean) (if (n.asBoolean()) 1 else 0) else n.asInt()
+        case "PeriodEnding" => ts
+        case "Ins" => n.asLong()
+        case "Outs" => n.asLong()
+      }
+    }
+    Some(InternalRow.fromSeq(values.toIndexedSeq))
+  }
+
+  override def next(): Boolean =
+    if (lines.hasNext) { current = lines.next(); true } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}

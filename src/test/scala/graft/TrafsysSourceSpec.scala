@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import graft.sources.TokenProvider
+
+class TrafsysSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A 3-day, 2-site JSON-lines payload in the API's wire shape
+    * (`script.js:125-134`): boolean IsInternal, ISO-second PeriodEnding.
+    */
+  private lazy val fixture: String = {
+    val lines = for {
+      day <- 1 to 3
+      hour <- 0 until 24
+      (site, internal) <- Seq(("HILL", false), ("ANNEX", true))
+    } yield {
+      val ts = f"2024-02-0$day%dT$hour%02d:00:00"
+      s"""{"SiteCode":"$site","Location":"Main","IsInternal":$internal,""" +
+        s""""PeriodEnding":"$ts","Ins":${hour + day},"Outs":$hour}"""
+    }
+    val f = Files.createTempFile("trafsys", ".jsonl")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private def read = spark.read.format("graft.sources.TrafsysSource")
+    .option("path", fixture)
+
+  test("scans the full payload with API types coerced (bool→0/1, ISO ts)") {
+    val df = read.load()
+    assert(df.count() == 3 * 24 * 2)
+    assert(df.schema("IsInternal").dataType.typeName == "integer")
+    assert(df.schema("PeriodEnding").dataType.typeName == "timestamp")
+    val r = df.where($"SiteCode" === "ANNEX" && $"PeriodEnding" === ts("2024-02-01 05:00:00"))
+      .select("IsInternal", "Ins", "Outs").as[(Int, Long, Long)].head()
+    assert(r == ((1, 6L, 5L)))
+  }
+
+  test("date-range and site filters push into the scan as source parameters") {
+    val df = read.load()
+      .where($"PeriodEnding" >= ts("2024-02-02 00:00:00") &&
+        $"PeriodEnding" < ts("2024-02-03 00:00:00") && $"SiteCode" === "HILL")
+    assert(df.count() == 24)
+    val scanDesc = df.queryExecution.executedPlan.toString
+    // the pushed window/site appear in the scan description, and the
+    // one-day window plans exactly one input partition
+    assert(scanDesc.contains("DateFrom") && scanDesc.contains("DateTo"))
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("a multi-day window fans out one partition per day") {
+    val df = read.option("datefrom", "2024-02-01").option("dateto", "2024-02-03").load()
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3 * 24 * 2)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = read.load().select("SiteCode")
+    assert(df.queryExecution.executedPlan.schema.fieldNames.toSeq == Seq("SiteCode"))
+    assert(df.distinct().as[String].collect().toSet == Set("HILL", "ANNEX"))
+  }
+
+  test("TokenProvider caches until 5 minutes before expiry, then refreshes") {
+    var calls = 0
+    var now = Instant.parse("2024-01-01T00:00:00Z")
+    val p = new TokenProvider(
+      requestToken = () => { calls += 1; TokenProvider.Token(s"t$calls", now.plusSeconds(3600)) },
+      clock = () => now)
+    assert(p.bearer() == "Bearer t1" && p.bearer() == "Bearer t1" && calls == 1)
+    now = now.plusSeconds(3600 - 299) // inside the 5-minute slack
+    assert(p.bearer() == "Bearer t2" && calls == 2)
+  }
+
+  test("TokenProvider retries an unauthorized fetch once with a fresh token") {
+    var tokens = 0
+    val p = new TokenProvider(
+      requestToken = () => { tokens += 1; TokenProvider.Token(s"t$tokens",
+        Instant.now().plusSeconds(3600)) },
+      backoffMillis = 1L)
+    var attempts = 0
+    val out = p.withRetry { bearer =>
+      attempts += 1
+      if (attempts == 1) throw new TokenProvider.Unauthorized("401")
+      bearer
+    }
+    assert(out == "Bearer t2" && attempts == 2 && tokens == 2)
+  }
+}
