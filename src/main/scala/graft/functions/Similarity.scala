@@ -124,18 +124,32 @@ object Similarity {
     * write the assigned table partitioned by `cell` and the probe reads
     * `nProbe/nCells` of the data).
     */
+  /** Unit-normalize an embedding (cosine becomes plain dot product).
+    * Caution: the norm sub-expression gets inlined into the lambda by
+    * `CollapseProject`, re-evaluating it per element — only use this on
+    * small relations (centroid sets), never per corpus row.
+    */
+  private def unitNorm(e: Column): Column = {
+    val nrm = sqrt(dotDouble(e, e))
+    transform(e, x => x.cast("double") / nrm)
+  }
+
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    // Centroids are pre-normalized (nCells rows). Corpus rows need no
+    // normalization at all: ||x|| is constant across centroids, so
+    // argmax_c cosine(x, c) = argmax_c dot(x, ĉ) — the fold below is one
+    // bare 64-wide dot product per centroid, nothing else.
     val cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("__cid"), col("embedding").as("__cemb"))
+      .select(col("vec_id").as("__cid"), unitNorm(col("embedding")).as("__cemb"))
       .groupBy().agg(
         collect_list(struct(col("__cid"), col("__cemb"))).as("__cents"))
-    // argmax_{c} cosine(embedding, c): fold over the centroid array keeping
+    // argmax_{c} dot(x, ĉ): fold over the centroid array keeping
     // (best_sim, best_cell) — one pass, no shuffle, codegen'd double math.
     val best = aggregate(
       col("__cents"),
       struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cell")),
       (acc, c) => {
-        val sim = cosineDouble(col("embedding"), c.getField("__cemb"))
+        val sim = dotDouble(col("embedding"), c.getField("__cemb"))
         when(sim > acc.getField("sim"),
           struct(sim.as("sim"), c.getField("__cid").as("cell"))).otherwise(acc)
       },
@@ -183,6 +197,11 @@ object Similarity {
     val right = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     left.join(right, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      // two-stage threshold: the codegen'd double cosine disqualifies the
+      // bulk of candidate pairs (guard band covers its last-ulp error),
+      // the exact decimal cosine is computed only for survivors and is
+      // the authoritative score + cut.
+      .filter(cosineDouble(col("emb_a"), col("emb_b")) >= threshold - 1e-9)
       .select(col("vec_a"), col("vec_b"),
         cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -1,7 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Core data model of the engine.
@@ -70,6 +70,45 @@ object Tables {
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+
+  /** `events` restricted to `[fromIncl, toExcl)` with the window filter
+    * applied to the RAW nanosecond column, before normalization.
+    *
+    * A predicate on the derived µs timestamp sits above the
+    * `timestamp_micros(ts div 1000)` projection, so Catalyst cannot push
+    * it into the parquet scan (`PushedFilters: [IsNotNull(ts)]` only) and
+    * a 100 TB scan would read every row group. Filtering the raw long is
+    * equivalent for the half-open window — for non-negative nanos,
+    * `(n div 1000) >= F  ⇔  n >= F*1000` and `(n div 1000) < T ⇔
+    * n < T*1000` — and arrives at the scan as min/max-prunable
+    * `GreaterThanOrEqual`/`LessThan` pushed filters. This is the engine
+    * form of the reference's source-side `DateFrom`/`DateTo` parameters
+    * (S2, `script.js:143-149`).
+    *
+    * Timestamps are second-precision strings (`yyyy-MM-dd HH:mm:ss`,
+    * optionally with fractional seconds), interpreted as UTC.
+    */
+  def eventsBetween(
+      spark: SparkSession, sfDir: String,
+      fromIncl: Option[String] = None, toExcl: Option[String] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    val bounds: Seq[org.apache.spark.sql.Column] =
+      if (raw.schema("ts").dataType == LongType)
+        fromIncl.map(s => col("ts") >= utcMicros(s) * 1000L).toSeq ++
+          toExcl.map(s => col("ts") < utcMicros(s) * 1000L)
+      else
+        fromIncl.map(s => col("ts") >= lit(s).cast("timestamp")).toSeq ++
+          toExcl.map(s => col("ts") < lit(s).cast("timestamp"))
+    normalizeEventTs(bounds.foldLeft(raw)(_ filter _))
+  }
+
+  /** Epoch micros of a UTC `yyyy-MM-dd HH:mm:ss[.SSSSSS]` string. */
+  def utcMicros(s: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

@@ -29,11 +29,12 @@ final class IngestPipeline(spark: SparkSession, targetPath: String, runLog: RunL
 
     // Source scan with the window pushed down (reference S2: DateFrom/
     // DateTo are source-side parameters, `script.js:143-149`). On parquet
-    // the filter reaches the scan as PushedFilters; on the REST source it
-    // would become API query params.
-    val slice = Tables.events(spark, sfDir)
-      .filter(col("ts") >= to_timestamp(lit(fromDate)) &&
-        col("ts") < to_timestamp(lit(toDate)) + expr("INTERVAL 1 DAY"))
+    // the filter reaches the scan as min/max-prunable PushedFilters (via
+    // eventsBetween on the raw column); on the REST source it would
+    // become API query params.
+    val slice = Tables.eventsBetween(spark, sfDir,
+      fromIncl = Some(s"$fromDate 00:00:00"),
+      toExcl = Some(java.time.LocalDate.parse(toDate).plusDays(1).toString + " 00:00:00"))
 
     val batchRows = slice.count()
 

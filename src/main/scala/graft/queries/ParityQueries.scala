@@ -68,11 +68,14 @@ object ParityQueries {
     ),
 
     // F2/D2 — token-expiry predicate (`script.js:37-47`): timestamp
-    // comparison against a clock minus a 5-minute interval.
+    // comparison against a clock minus a 5-minute interval. The derived
+    // bound re-filters through eventsBetween so it reaches the parquet
+    // scan as a pushed min/max filter (strict `>` at second precision ≡
+    // `>=` bound + 1 µs on the µs-truncated data).
     QueryDef(
       "f2_expiry_filter",
       (s, dir) =>
-        Tables.events(s, dir)
+        Tables.eventsBetween(s, dir, fromIncl = Some("2024-01-24 23:55:00.000001"))
           .filter(col("ts") >
             to_timestamp(lit("2024-01-25 00:00:00")) - expr("INTERVAL 5 MINUTES"))
           .select(col("event_id"), col("ts"), col("user_id")),
@@ -103,9 +106,12 @@ object ParityQueries {
     QueryDef(
       "j1_merge_upsert",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val target = TrafOps.hourlyRollup(ev.filter(col("ts") < lit(targetUpTo).cast("timestamp")))
-        val batch = TrafOps.hourlyRollup(ev.filter(col("ts") >= lit(overlapFrom).cast("timestamp")))
+        // each slice's window is pushed to the raw scan (eventsBetween):
+        // at scale the target build reads only its row groups, ditto batch
+        val target = TrafOps.hourlyRollup(
+          Tables.eventsBetween(s, dir, toExcl = Some(targetUpTo)))
+        val batch = TrafOps.hourlyRollup(
+          Tables.eventsBetween(s, dir, fromIncl = Some(overlapFrom)))
         TrafOps.upsert(target, batch, Tables.eventKeys)
       },
       Some(s"""WITH t AS (${rollupSql("hour", s"WHERE ts < TIMESTAMP '$targetUpTo'")}),
@@ -201,9 +207,9 @@ object ParityQueries {
     QueryDef(
       "i1_high_water_mark",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
         TrafOps.afterHighWaterMark(
-          ev, ev.filter(col("ts") < lit(hwmCutoff).cast("timestamp")), "ts")
+          Tables.events(s, dir),
+          Tables.eventsBetween(s, dir, toExcl = Some(hwmCutoff)), "ts")
           .select(col("event_id"), col("ts"))
       },
       Some(s"""SELECT event_id, ts FROM events WHERE ts >
