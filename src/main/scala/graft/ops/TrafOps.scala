@@ -112,6 +112,41 @@ object TrafOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** As-of join: for each left row, the latest right row of the same key
+    * with `rightTs <= leftTs` (inclusive), composed from built-ins the
+    * scale-correct way — union the two sides, one shuffle+sort per key,
+    * fill the right payload forward with `last(ignoreNulls)`, keep left
+    * rows. No join fan-out: the naive `join + row_number` decomposition
+    * pairs every left row with ALL earlier right rows of its key (
+    * quadratic per key); this form is O(n log n) per key and needs
+    * exactly one exchange, so it survives 100 TB keys.
+    *
+    * Ties: a right row at exactly `leftTs` matches (sorts before the
+    * left row via the side flag). Callers must make right rows unique
+    * per (key, ts) — e.g. [[lastWriteWins]] — or same-ts right rows are
+    * resolved arbitrarily.
+    *
+    * `rightCols` maps right-side source columns to output names.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCols: Seq[(String, String)]): DataFrame = {
+    val rv = struct(rightCols.map { case (src, out) => col(src).as(out) }: _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"), rv.as("__rv")): _*)
+    val l2 = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(r2.schema("__rv").dataType))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(filled.filter(col("__side") === 1).drop("__t", "__side")) {
+      case (d, (_, out)) => d.withColumn(out, col("__rv").getField(out))
+    }.drop("__rv")
+  }
+
   /** I1 — high-water-mark incremental filter: rows of `source` strictly
     * after the max watermark of `state`. The scalar watermark is crossed
     * in via an explicit broadcast of the 1-row aggregate — no

@@ -289,6 +289,113 @@ object RelationalQueries {
              |CAST(length(c_name) AS INT) AS name_len FROM customer""".stripMargin),
     ),
 
+    // As-of join (the canonical operator Spark lacks natively, SURVEY
+    // §2.3 "as-of … not required for parity" — provided anyway): each
+    // purchase event matched to the user's latest click at-or-before it.
+    // Spark side is the union+window composition (TrafOps.asofJoin, one
+    // shuffle, no fan-out); DuckDB side is its native ASOF LEFT JOIN.
+    QueryDef(
+      "join_asof_events",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = graft.ops.TrafOps.lastWriteWins(
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+          Seq("user_id", "ts"), Seq(desc("event_id")))
+        graft.ops.TrafOps.asofJoin(
+          purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("ts" -> "click_ts", "value" -> "click_value"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, ts, value,
+             |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |       FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+             |SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.value AS click_value
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin),
+    ),
+
+    // Pivot: order counts per priority, one column per status. Cells
+    // with no rows surface as 0 on both sides.
+    QueryDef(
+      "pivot_status_counts",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0)).as("f"),
+            coalesce(col("O"), lit(0)).as("o"),
+            coalesce(col("P"), lit(0)).as("p")),
+      Some("""SELECT o_orderpriority,
+             |count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+             |count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+             |count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+             |FROM orders GROUP BY 1""".stripMargin),
+    ),
+
+    // CUBE grouping sets (rollup's big sibling).
+    QueryDef(
+      "cube_status_priority",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+    ),
+
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    QueryDef(
+      "agg_count_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             |count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+             |FROM lineitem GROUP BY 1""".stripMargin),
+    ),
+
+    // HLL-sketch approximate distinct — engine-specific sketch, so
+    // rows-only check; the exact twin above carries correctness.
+    QueryDef(
+      "agg_approx_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None,
+    ),
+
+    // TPC-H Q17-shaped correlated aggregate, decorrelated: parts whose
+    // lineitems fall under 20% of their own average quantity. The
+    // per-part average is a separate agg broadcast back — the classic
+    // rewrite Catalyst itself applies to correlated scalar subqueries.
+    QueryDef(
+      "q17_small_quantity_revenue",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val qlimit = li.groupBy(col("l_partkey").as("pk"))
+          .agg((dsum(col("l_quantity")) / count(lit(1)) * 0.2).as("qlimit"))
+        li.join(broadcast(qlimit), col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("qlimit"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS pk,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 0.2 AS qlimit
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem JOIN a ON l_partkey = pk WHERE l_quantity < qlimit""".stripMargin),
+    ),
+
     // JSON extraction on the events side-channel payload (SURVEY §2.7,
     // engine use of `events.props`).
     QueryDef(

@@ -129,4 +129,29 @@ class TrafOpsSpec extends SparkSpec {
       assert(rows(merged) == rows(oracle))
     }
   }
+
+  test("asofJoin picks the latest right row at-or-before, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // between r1 and r2 → r1
+      (2L, "u1", ts("2024-01-01 12:00:00")), // exactly at r2 → r2 (inclusive)
+      (3L, "u1", ts("2024-01-01 08:00:00")), // before any right row → null
+      (4L, "u2", ts("2024-01-01 10:00:00")), // other key, no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1.0), // r1
+      ("u1", ts("2024-01-01 12:00:00"), 2.0), // r2
+    ).toDF("k", "t", "v")
+    val out = TrafOps.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("t" -> "r_t", "v" -> "r_v"))
+      .select("id", "r_v").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> None))
+  }
+
+  test("asofJoin keeps every left row exactly once") {
+    val left = Seq((1L, "a", ts("2024-01-01 00:00:00")), (2L, "a", ts("2024-01-02 00:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", ts("2024-01-01 00:00:00"), 9.0)).toDF("k", "t", "v")
+    val out = TrafOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v" -> "r_v"))
+    assert(out.count() == 2 && out.select("id").distinct().count() == 2)
+  }
 }
