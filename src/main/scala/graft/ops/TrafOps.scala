@@ -112,6 +112,30 @@ object TrafOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Skew-safe two-phase aggregation: per-row salt spreads one hot key
+    * over `saltBuckets` reducers (phase 1: partial sums per (key, salt)),
+    * then the small salted partials collapse to the final row (phase 2).
+    * Same result as a direct groupBy — the oracle twin is the plain GROUP
+    * BY — but a key holding 30% of a 100 TB table no longer lands on one
+    * task. AQE's skew handling covers joins; this is the aggregation-side
+    * equivalent for when a single group exceeds an executor.
+    *
+    * The salt must be deterministic for the oracle/rerun story, so it
+    * hashes stable row-identity columns (`saltCols`) rather than rand().
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("__partial"),
+        count(lit(1)).as("__n"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).cast("double").as(s"sum_$valueCol"),
+        sum(col("__n")).as("n"))
+  }
+
   /** As-of join: for each left row, the latest right row of the same key
     * with `rightTs <= leftTs` (inclusive), composed from built-ins the
     * scale-correct way — union the two sides, one shuffle+sort per key,

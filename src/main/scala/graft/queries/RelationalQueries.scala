@@ -396,6 +396,56 @@ object RelationalQueries {
              |FROM lineitem JOIN a ON l_partkey = pk WHERE l_quantity < qlimit""".stripMargin),
     ),
 
+    // Salted two-phase aggregation — the skew-mitigation pattern as a
+    // first-class operator. Result is identical to a plain GROUP BY (the
+    // oracle), but no single reducer ever owns a whole hot key.
+    QueryDef(
+      "agg_salted_sum",
+      (s, dir) =>
+        graft.ops.TrafOps.saltedSum(
+          Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"), valueCol = "l_extendedprice",
+          saltCols = Seq("l_orderkey", "l_linenumber")),
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+             |count(*) AS n FROM lineitem GROUP BY 1""".stripMargin),
+    ),
+
+    // Exact interpolated percentiles (sort-based aggregate); both engines
+    // use linear interpolation between adjacent order statistics.
+    QueryDef(
+      "agg_percentiles",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.95)").as("p95_qty")),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+             |quantile_cont(l_quantity, 0.95) AS p95_qty
+             |FROM lineitem GROUP BY 1""".stripMargin),
+    ),
+
+    // The SQL surface: the same engine accepts ANSI SQL directly
+    // (TPC-H Q6-shaped scan-filter-agg over a temp view).
+    QueryDef(
+      "sql_q6_revenue_forecast",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,8)))
+                |       AS DOUBLE) AS revenue
+                |FROM lineitem_v
+                |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin)
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
+    ),
+
     // JSON extraction on the events side-channel payload (SURVEY §2.7,
     // engine use of `events.props`).
     QueryDef(

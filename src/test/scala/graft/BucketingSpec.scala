@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Physical-layout strategy for the 100 TB path: tables bucketed on the
+  * join key co-locate matching rows at write time, so repeated
+  * fact-to-fact joins (orders ⋈ lineitem every night) run with ZERO
+  * shuffle — the exchange that would move 100 TB disappears from the
+  * plan entirely. Verified here by planning a sort-merge join over
+  * bucketed tables and asserting no Exchange operator exists.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key tables sort-merge join with no shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(spark, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the join must be sort-merge — the case where
+      // bucketing pays off
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val expected = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(rows(joined) == rows(expected))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans in:\n$plan")
+      // the join inputs need no exchange: the only shuffle left is the
+      // 5-group final aggregation on o_orderstatus, never the join keys
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join should not shuffle its inputs:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}

@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${sys.props("user.name")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
