@@ -50,28 +50,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits). The
-    * hyperplanes are pseudo-random but deterministic: component i of
-    * plane p is ±1 by the parity of xxhash64(p, i). Bucketing is a
-    * narrow projection; the ANN query then only scans the query's bucket
-    * — the IVF-style scale path where brute force stops being viable.
+  /** Deterministic ±1 hyperplane component: splitmix64-style mix of
+    * (plane, index). Computed driver-side so each plane becomes one
+    * literal sign vector — the per-row work is then a single codegen'd
+    * dot product instead of a per-element hash.
     */
-  def lshBucket(embedding: Column, dim: Int, nPlanes: Int = 12): Column = {
-    val proj = (p: Int) =>
-      aggregate(
-        zip_with(
-          embedding,
-          sequence(lit(0), lit(dim - 1)),
-          (x, i) =>
-            x.cast("double") * when(xxhash64(lit(p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0),
-        ),
-        lit(0.0),
-        (acc, v) => acc + v,
-      )
-    (0 until nPlanes)
-      .map(p => when(proj(p) > 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  private def planeSign(p: Int, i: Int): Float = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0f else -1.0f
   }
+
+  /** Random-hyperplane LSH bucket id (`nPlanes` sign bits). The
+    * hyperplanes are pseudo-random but deterministic (seeded by plane
+    * and component index, [[planeSign]]) and materialized as literal
+    * sign vectors, so bucketing is `nPlanes` native dot products per row
+    * — a narrow, whole-stage-codegen projection. The ANN query then only
+    * scans the query's bucket — the scale path where brute force stops
+    * being viable.
+    */
+  def lshBucket(embedding: Column, dim: Int, nPlanes: Int = 12): Column =
+    (0 until nPlanes)
+      .map { p =>
+        val signs = lit(Array.tabulate(dim)(i => planeSign(p, i)))
+        when(dotDouble(embedding, signs) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
 
   /** Assign every vector its LSH bucket. */
   def lshBuckets(embeddings: DataFrame, dim: Int, nPlanes: Int = 12): DataFrame =
@@ -97,15 +103,15 @@ object Similarity {
       .limit(k)
   }
 
-  /** Fast double dot product (plain `aggregate` fold, whole-stage
-    * codegen'd). Order-dependent in the last ulps, so use it where the
-    * consumer is a ranking/threshold with slack — not in oracle-compared
-    * scores (use [[dotDecimal]] there).
+  /** Fast double dot product — the native codegen'd expression
+    * ([[graft.functions.expressions.DotProductFloat]]): a bare primitive
+    * loop per row, no intermediate array, no boxing. Order-dependent in
+    * the last ulps, so use it where the consumer is a ranking/threshold
+    * with slack — not in oracle-compared scores (use [[dotDecimal]]
+    * there).
     */
   def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VectorExpressions.dotF(a, b)
 
   def cosineDouble(a: Column, b: Column): Column =
     dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))

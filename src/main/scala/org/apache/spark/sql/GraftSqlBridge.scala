@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the classic Column ↔ catalyst Expression conversions,
+  * which Spark 4 scopes `private[sql]`. Lives inside the
+  * `org.apache.spark.sql` package purely for access; contains only
+  * forwarding calls (the standard pattern for libraries shipping
+  * custom catalyst expressions).
+  */
+object GraftSqlBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

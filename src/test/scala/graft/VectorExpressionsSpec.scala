@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.VectorExpressions.dotF
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def floats(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("dotF computes the float-array dot product") {
+    val df = Seq((floats(1, 2, 3), floats(4, 5, 6))).toDF("a", "b")
+    assert(df.select(dotF($"a", $"b")).as[Double].head() == 32.0)
+  }
+
+  test("dotF agrees between whole-stage codegen and interpreted eval") {
+    val rows = (0 until 64).map(i =>
+      (Array.tabulate(16)(j => (i * 17 + j * 31 % 7).toFloat / 8f),
+        Array.tabulate(16)(j => (i * 13 + j * 19 % 5).toFloat / 4f)))
+    val df = rows.toDF("a", "b")
+    val on = df.select(dotF($"a", $"b")).as[Double].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val off = df.select(dotF($"a", $"b")).as[Double].collect()
+      assert(on.toSeq == off.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("dotF handles mixed float/double arrays (IVF centroid case)") {
+    val df = Seq((floats(1, 2), Array(0.5, 0.25))).toDF("a", "b")
+    assert(df.select(dotF($"a", $"b")).as[Double].head() == 1.0)
+  }
+
+  test("dotF null semantics and type check") {
+    val df = Seq((Option.empty[Array[Float]], floats(1))).toDF("a", "b")
+    assert(df.select(dotF($"a", $"b")).as[Option[Double]].head().isEmpty)
+    val bad = Seq((1, 2)).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(dotF($"a", $"b")).collect()
+    }
+  }
+}
