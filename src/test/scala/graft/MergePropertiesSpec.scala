@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.TrafOps
+
+/** ScalaCheck properties for the merge/upsert algebra (SURVEY §5.3):
+  * the laws the reference relies on operationally (idempotent re-runs,
+  * overlap safety, `script.js:54` + `script.js:195-200`) hold for ALL
+  * batches, not just the fixture slices.
+  */
+class MergePropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k1", "k2")
+
+  private val rowGen: Gen[(String, String, Long)] = for {
+    k1 <- Gen.oneOf("a", "b", "c", "d")
+    k2 <- Gen.oneOf("x", "y")
+    v <- Gen.chooseNum(0L, 999L)
+  } yield (k1, k2, v)
+
+  // one deduped relation: unique on (k1, k2), like a rolled-up batch
+  private val relGen: Gen[List[(String, String, Long)]] =
+    Gen.listOfN(12, rowGen).map(_.groupBy(r => (r._1, r._2)).map(_._2.head).toList)
+
+  private def df(rows: List[(String, String, Long)]) = rows.toDF("k1", "k2", "v")
+
+  /** Spark jobs per evaluation are expensive — 8 cases per law. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("merge is idempotent: merge(merge(T,B),B) == merge(T,B)") {
+    check(Prop.forAll(relGen, relGen) { (t, b) =>
+      val once = TrafOps.upsert(df(t), df(b), keys)
+      val twice = TrafOps.upsert(once, df(b), keys)
+      rows(twice) == rows(once)
+    })
+  }
+
+  test("merge keeps every key of both sides exactly once, batch wins on collision") {
+    check(Prop.forAll(relGen, relGen) { (t, b) =>
+      val merged = TrafOps.upsert(df(t), df(b), keys).as[(String, String, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      val expected = t.map(r => (r._1, r._2) -> r._3).toMap ++
+        b.map(r => (r._1, r._2) -> r._3).toMap
+      merged == expected
+    })
+  }
+
+  test("merge commutes with batch splitting on disjoint keys") {
+    check(Prop.forAll(relGen, relGen) { (t, b) =>
+      val (b1, b2) = b.partition(_._1 < "c") // disjoint key split
+      val whole = TrafOps.upsert(df(t), df(b), keys)
+      val split = TrafOps.upsert(TrafOps.upsert(df(t), df(b1), keys), df(b2), keys)
+      rows(split) == rows(whole)
+    })
+  }
+
+  test("high-water mark is monotone: filtering twice equals filtering once") {
+    check(Prop.forAll(relGen, relGen) { (extra, state) =>
+      state.isEmpty || {
+        val src = df(extra ++ state).withColumn("ts", col("v"))
+        val st = df(state).withColumn("ts", col("v"))
+        val once = TrafOps.afterHighWaterMark(src, st, "ts")
+        val twice = TrafOps.afterHighWaterMark(once, st, "ts")
+        rows(twice) == rows(once)
+      }
+    })
+  }
+}
