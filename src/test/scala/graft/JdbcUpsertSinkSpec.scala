@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.JdbcUpsertSink
+
+/** End-to-end JDBC merge sink against in-memory Derby (in Spark's
+  * classpath): the reference's full sink lifecycle — catalog check, DDL
+  * on demand, batched merge, idempotent re-run (`script.js:103-123` +
+  * `script.js:182-215`).
+  */
+class JdbcUpsertSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val table = "ULS_TRAFSYS_DATA"
+  private val keys = Seq("SiteCode", "Location", "PeriodEnding")
+
+  private val schema = graft.model.Tables.trafSchema
+
+  private def mkDf(rows: Seq[(String, String, Int, String, Long, Long)]) =
+    rows.map { case (s, l, i, p, ins, outs) => (s, l, i, ts(p), ins, outs) }
+      .toDF("SiteCode", "Location", "IsInternal", "PeriodEnding", "Ins", "Outs")
+
+  private def readBack() =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+      .select($"SiteCode", $"Location", $"IsInternal", $"PeriodEnding", $"Ins", $"Outs")
+
+  test("ensureTable creates the PK'd table once, then merge inserts/updates by key") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      JdbcUpsertSink.ensureTable(conn, table, schema, keys)
+      JdbcUpsertSink.ensureTable(conn, table, schema, keys) // idempotent
+    } finally conn.close()
+
+    val target = mkDf(Seq(
+      ("HILL", "Main", 0, "2024-02-01 10:00:00", 5L, 3L),
+      ("HILL", "Main", 0, "2024-02-01 11:00:00", 7L, 2L)))
+    JdbcUpsertSink.upsert(target, url, table, keys)
+    assert(readBack().count() == 2)
+
+    // overlapping batch: one update (new Ins/Outs for 11:00), one insert
+    val batch = mkDf(Seq(
+      ("HILL", "Main", 0, "2024-02-01 11:00:00", 9L, 4L),
+      ("ANNEX", "Side", 1, "2024-02-01 11:00:00", 1L, 1L)))
+    JdbcUpsertSink.upsert(batch, url, table, keys)
+
+    val got = readBack().as[(String, String, Int, java.sql.Timestamp, Long, Long)]
+      .collect().map(r => (r._1, r._4.toString) -> (r._5, r._6)).toMap
+    assert(got.size == 3)
+    assert(got(("HILL", "2024-02-01 11:00:00.0")) == ((9L, 4L))) // batch won
+    assert(got(("HILL", "2024-02-01 10:00:00.0")) == ((5L, 3L))) // untouched
+    assert(got(("ANNEX", "2024-02-01 11:00:00.0")) == ((1L, 1L))) // inserted
+
+    // re-running the same batch is a no-op (I3 idempotence)
+    JdbcUpsertSink.upsert(batch, url, table, keys)
+    assert(readBack().count() == 3)
+  }
+
+  test("merge SQL shape: typed casts, key-only ON, non-key SET, bind order") {
+    val sql = JdbcUpsertSink.buildMergeSql(table, schema, keys)
+    assert(sql.contains("MERGE INTO ULS_TRAFSYS_DATA t"))
+    assert(sql.contains("t.PeriodEnding = CAST(? AS TIMESTAMP)"))
+    assert(sql.contains("UPDATE SET IsInternal = CAST(? AS INTEGER), " +
+      "Ins = CAST(? AS BIGINT), Outs = CAST(? AS BIGINT)")) // keys never updated
+    assert(sql.count(_ == '?') == 3 + 3 + 6) // ON keys + SET non-keys + INSERT all
+    // bind order: ON (SiteCode, Location, PeriodEnding), SET (IsInternal,
+    // Ins, Outs), INSERT (all six in schema order)
+    assert(JdbcUpsertSink.bindOrder(schema, keys) ==
+      Seq(0, 1, 3, 2, 4, 5, 0, 1, 2, 3, 4, 5))
+  }
+}
