@@ -46,7 +46,12 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
       textCol: String = "text"): DataFrame = {
+    // join on the shingle's 64-bit hash, not the string: the self-join
+    // shuffles 8-byte keys and compares longs. A cross-shingle hash
+    // collision would need ~2^32 distinct shingles to become likely
+    // (birthday bound) — far beyond any per-corpus shingle count here.
     val sh = shingles(docs, n, textCol)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val left = sh.toDF("doc_a", "sh_a")
     val right = sh.toDF("doc_b", "sh_b")
