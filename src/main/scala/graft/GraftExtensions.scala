@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.DotProductFloat
+
+/** The engine's SparkSessionExtensions: makes the native expressions
+  * available to plain SQL. Two ways in:
+  *
+  *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *   - on a live session: `GraftExtensions.register(spark)`
+  *
+  * After either, `SELECT dot_product_float(a, b)` parses, analyzes
+  * (type-checked by the expression itself), and whole-stage-codegens
+  * like a built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("dot_product_float"),
+      GraftExtensions.dotInfo,
+      GraftExtensions.dotBuilder))
+}
+
+object GraftExtensions {
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductFloat].getName, null, "dot_product_float",
+    "dot_product_float(a, b) - dot product of two float/double arrays", "")
+
+  private val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProductFloat(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"dot_product_float expects 2 arguments, got ${exprs.length}")
+  }
+
+  /** Register the engine functions into a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    GraftSqlBridge.registerFunction(spark, "dot_product_float", dotInfo, dotBuilder)
+}

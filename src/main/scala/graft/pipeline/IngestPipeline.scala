@@ -1,11 +1,75 @@
 package graft.pipeline
 
+import java.sql.DriverManager
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.model.{RunInfo, Tables}
 import graft.ops.TrafOps
+import graft.sources.JdbcUpsertSink
 import graft.state.RunLog
+
+/** Where the merged hourly table lands. The reference's target is an
+  * Oracle table written by a batched PL/SQL merge (`script.js:182-215`);
+  * [[JdbcTarget]] is that form (per-partition batched `MERGE INTO`),
+  * [[ParquetTarget]] the lakehouse form (anti-join merge + atomic
+  * overwrite). The pipeline is sink-agnostic — a reference user points
+  * [[JdbcTarget]] at their existing table and keeps their consumers.
+  */
+sealed trait TargetSink {
+  /** Current target contents (empty relation when absent). */
+  def read(spark: SparkSession): DataFrame
+  /** Merge the batch in: batch wins on the merge key. */
+  def merge(spark: SparkSession, batch: DataFrame): Unit
+}
+
+object TargetSink {
+  /** Hourly-rollup schema of the `events` surrogate pipeline. */
+  val rollupSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("period_ending", TimestampType),
+    StructField("n_events", LongType),
+    StructField("sum_value", DoubleType),
+  ))
+}
+
+final class ParquetTarget(path: String, keys: Seq[String]) extends TargetSink {
+  override def read(spark: SparkSession): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          TargetSink.rollupSchema)
+    }
+
+  override def merge(spark: SparkSession, batch: DataFrame): Unit = {
+    val merged = TrafOps.upsert(read(spark), batch, keys)
+    // Self-overwrite hazard (SURVEY §7.4 risk 1): the merge reads the
+    // path it is about to replace, so materialize before overwriting.
+    merged.localCheckpoint(eager = true)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
+
+/** JDBC target: the table merges server-side row-by-key exactly like
+  * the reference's `dup_val_on_index` block, so no read-modify-write
+  * cycle and no self-overwrite concern.
+  */
+final class JdbcTarget(url: String, table: String, keys: Seq[String]) extends TargetSink {
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  override def merge(spark: SparkSession, batch: DataFrame): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try JdbcUpsertSink.ensureTable(conn, table, batch.schema, keys)
+    finally conn.close()
+    JdbcUpsertSink.upsert(batch, url, table, keys)
+  }
+}
 
 /** The end-to-end nightly run (SURVEY §3.1), re-expressed as a Spark
   * batch pipeline: read state top-1 → compute incremental window → load
@@ -18,7 +82,10 @@ import graft.state.RunLog
   * high-water mark, and the idempotent upsert absorbs the re-fetched
   * boundary day (I3).
   */
-final class IngestPipeline(spark: SparkSession, targetPath: String, runLog: RunLog) {
+final class IngestPipeline(spark: SparkSession, target: TargetSink, runLog: RunLog) {
+
+  def this(spark: SparkSession, targetPath: String, runLog: RunLog) =
+    this(spark, new ParquetTarget(targetPath, Tables.eventKeys), runLog)
 
   /** Run one incremental window over the `events` fixture source.
     * Returns the number of source rows ingested (the reference's
@@ -42,12 +109,7 @@ final class IngestPipeline(spark: SparkSession, targetPath: String, runLog: RunL
     val batch = TrafOps.lastWriteWins(
       hourly, Tables.eventKeys, Seq(desc("period_ending")))
 
-    val merged = TrafOps.upsert(readTarget(), batch, Tables.eventKeys)
-
-    // Self-overwrite hazard (SURVEY §7.4 risk 1): the merge reads the
-    // path it is about to replace, so materialize before overwriting.
-    val materialized = merged.localCheckpoint(eager = true)
-    materialized.write.mode(SaveMode.Overwrite).parquet(targetPath)
+    target.merge(spark, batch)
 
     runLog.append(RunInfo(
       accessToken = "fixture", // connector concern (S3) — not exercised on parquet
@@ -60,18 +122,5 @@ final class IngestPipeline(spark: SparkSession, targetPath: String, runLog: RunL
     batchRows
   }
 
-  def readTarget(): DataFrame =
-    try spark.read.parquet(targetPath)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("period_ending", org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("sum_value", org.apache.spark.sql.types.DoubleType),
-          )))
-    }
+  def readTarget(): DataFrame = target.read(spark)
 }

@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function into an EXISTING session's registry (the
+    * runtime twin of `SparkSessionExtensions.injectFunction`, which only
+    * applies at session build time). Idempotent: re-registration
+    * replaces.
+    */
+  def registerFunction(
+      spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

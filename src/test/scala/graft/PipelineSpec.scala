@@ -60,4 +60,26 @@ class PipelineSpec extends SparkSpec {
     // high-water mark advanced monotonically
     assert(log.latest().map(_.toDate).contains("2024-01-16"))
   }
+
+  test("ingest pipeline against a JDBC merge target (the reference's sink shape)") {
+    val log = new RunLog(spark, tmp("runlog-jdbc") + "/log")
+    val url = "jdbc:derby:memory:graftpipe;create=true"
+    val target = new graft.pipeline.JdbcTarget(url, "HOURLY_TRAFFIC",
+      graft.model.Tables.eventKeys)
+    val pipe = new IngestPipeline(spark, target, log)
+    val sf = "/root/testdata/sf0.001"
+
+    val n1 = pipe.run(sf, LocalDate.parse("2024-01-16"))
+    assert(n1 > 0)
+    val c1 = pipe.readTarget().count()
+    assert(c1 > 0)
+
+    // re-run the same window: server-side MERGE makes it a no-op
+    pipe.run(sf, LocalDate.parse("2024-01-16"))
+    assert(pipe.readTarget().count() == c1)
+
+    val dups = graft.ops.TrafOps.duplicateKeys(
+      pipe.readTarget(), graft.model.Tables.eventKeys)
+    assert(dups.isEmpty)
+  }
 }

@@ -37,6 +37,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.select(dotF($"a", $"b")).as[Double].head() == 1.0)
   }
 
+  test("dot_product_float is callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    graft.GraftExtensions.register(spark) // idempotent
+    Seq((floats(1, 2, 3), floats(4, 5, 6))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val out = spark.sql("SELECT dot_product_float(a, b) AS d FROM vecs")
+      .as[Double].head()
+    assert(out == 32.0)
+  }
+
   test("dotF null semantics and type check") {
     val df = Seq((Option.empty[Array[Float]], floats(1))).toDF("a", "b")
     assert(df.select(dotF($"a", $"b")).as[Option[Double]].head().isEmpty)
