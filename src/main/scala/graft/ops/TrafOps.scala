@@ -112,6 +112,26 @@ object TrafOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Gap-based sessionization: rows of one key belong to the same
+    * session while consecutive gaps stay ≤ `gapSeconds`; a larger gap
+    * opens a new session. Composed as lag-diff → new-session flag →
+    * running sum (the session id) — two window passes over ONE
+    * shuffle+sort per key, the standard scale-friendly form (state is a
+    * sort, not a per-session buffer). The streaming twin is
+    * `session_window`; this batch form is SQL-expressible and thus
+    * oracle-checkable.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+      gapSeconds: Long, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val gapMicros = gapSeconds * 1000000L
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val newSession = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Skew-safe two-phase aggregation: per-row salt spreads one hot key
     * over `saltBuckets` reducers (phase 1: partial sums per (key, salt)),
     * then the small salted partials collapse to the final row (phase 2).

@@ -396,6 +396,38 @@ object RelationalQueries {
              |FROM lineitem JOIN a ON l_partkey = pk WHERE l_quantity < qlimit""".stripMargin),
     ),
 
+    // Gap-based sessionization (30-minute inactivity gap): lag-diff →
+    // flag → running sum, one shuffle+sort per user; per-session
+    // aggregates on top. The batch form of session windows, fully
+    // SQL-expressible for the oracle.
+    QueryDef(
+      "sessionize_events",
+      (s, dir) =>
+        graft.ops.TrafOps.sessionize(
+          Tables.events(s, dir), Seq("user_id"), "ts",
+          gapSeconds = 1800, order = Seq(col("ts").asc, col("event_id").asc))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       min(ts) AS session_start, max(ts) AS session_end
+             |FROM sess GROUP BY 1, 2""".stripMargin),
+    ),
+
     // Salted two-phase aggregation — the skew-mitigation pattern as a
     // first-class operator. Result is identical to a plain GROUP BY (the
     // oracle), but no single reducer ever owns a whole hot key.

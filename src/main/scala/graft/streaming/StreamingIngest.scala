@@ -61,6 +61,27 @@ object StreamingIngest {
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicates("event_id", "ts")
 
+  /** Wire the hourly update stream into a keyed JDBC target: each
+    * micro-batch merges through the batched `MERGE INTO` sink
+    * ([[graft.sources.JdbcUpsertSink]]) — the streaming form of the
+    * reference's idempotent upsert (update output mode + idempotent
+    * sink = exactly-once effect, SURVEY I3). Start with
+    * `.trigger(...)` / `.option("checkpointLocation", ...)` on the
+    * returned writer for production resume (I1).
+    */
+  def toJdbcTarget(hourly: DataFrame, url: String, table: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hourly.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try graft.sources.JdbcUpsertSink.ensureTable(conn, table, batch.schema, keys)
+          finally conn.close()
+          graft.sources.JdbcUpsertSink.upsert(batch, url, table, keys)
+        }
+      }
+
   /** Arbitrary stateful op (SURVEY §2.8 "mapGroupsWithState" surface):
     * running per-key totals across micro-batches — the streaming
     * equivalent of the run-log's cumulative `Records` counter

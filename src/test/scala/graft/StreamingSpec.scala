@@ -82,4 +82,32 @@ class StreamingSpec extends SparkSpec {
       assert(last == ((7L, "in", 2L, 5.0)))
     } finally q.stop()
   }
+
+  test("hourly update stream merges into a JDBC target across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.toJdbcTarget(
+      StreamingIngest.hourlyStream(source.toDF()),
+      url, "HOURLY_STREAM", Seq("user_id", "event_type", "period_ending"))
+      .option("checkpointLocation", checkpoint)
+      .start()
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "HOURLY_STREAM").load()
+    try {
+      source.addData(
+        Event(1L, ts("2024-01-01 10:10:00"), 7L, "in", 2.0),
+        Event(2L, ts("2024-01-01 10:40:00"), 7L, "in", 3.0))
+      q.processAllAvailable()
+      val first = readBack().as[(Long, String, java.sql.Timestamp, Long, Double)].collect()
+      assert(first.toSeq == Seq((7L, "in", ts("2024-01-01 11:00:00"), 2L, 5.0)))
+
+      // late row in the same window: update-mode re-emits the key, the
+      // MERGE overwrites in place — no duplicate row in the target
+      source.addData(Event(3L, ts("2024-01-01 10:50:00"), 7L, "in", 4.0))
+      q.processAllAvailable()
+      val second = readBack().as[(Long, String, java.sql.Timestamp, Long, Double)].collect()
+      assert(second.toSeq == Seq((7L, "in", ts("2024-01-01 11:00:00"), 3L, 9.0)))
+    } finally q.stop()
+  }
 }
