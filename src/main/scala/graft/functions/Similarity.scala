@@ -103,6 +103,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k: scan the query's bucket PLUS the `nPlanes`
+    * buckets at Hamming distance 1 (each sign bit flipped once). A
+    * vector missed by [[annTopK]] because exactly one hyperplane
+    * disagrees is recovered, which is the dominant miss mode — recall
+    * rises steeply for (nPlanes+1)× the scanned fraction, still a tiny
+    * slice of the corpus at scale.
+    */
+  def annTopKMultiProbe(embeddings: DataFrame, queryVecId: Long, dim: Int,
+      k: Int = 10, nPlanes: Int = 12): DataFrame = {
+    val bucketed = lshBuckets(embeddings, dim, nPlanes)
+      .join(embeddings, "vec_id")
+    val q = bucketed.filter(col("vec_id") === queryVecId)
+      .select(col("bucket").as("__qb"), col("embedding").as("__q"))
+    val probed = q.select(
+      explode(array(
+        col("__qb") +: (0 until nPlanes).map(p =>
+          col("__qb").bitwiseXOR(lit(1L << p))): _*)).as("__pb"),
+      col("__q"))
+    bucketed
+      .join(broadcast(probed), col("bucket") === col("__pb"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .distinct() // a vector can match several probes
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Fast double dot product — the native codegen'd expression
     * ([[graft.functions.expressions.DotProductFloat]]): a bare primitive
     * loop per row, no intermediate array, no boxing. Order-dependent in

@@ -157,6 +157,15 @@ object ExtensionQueries {
       None,
     ),
 
+    // Multi-probe ANN (query bucket + all Hamming-1 buckets) — rows-only;
+    // recall-dominance over single-probe spec-tested.
+    QueryDef(
+      "embed_ann_multiprobe",
+      (s, dir) =>
+        Similarity.annTopKMultiProbe(Tables.embeddings(s, dir), queryVecId = 0L, dim = 64),
+      None,
+    ),
+
     // BPE-ish sub-word token counts (regex pre-tokenization): words and
     // split-off punctuation, counted per document.
     QueryDef(

@@ -375,6 +375,18 @@ object RelationalQueries {
       None,
     ),
 
+    // KLL/GK-sketch approximate percentile — engine-specific sketch,
+    // rows-only; the exact interpolated twin below carries correctness.
+    QueryDef(
+      "agg_approx_percentile",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("approx_median_qty")),
+      None,
+    ),
+
     // TPC-H Q17-shaped correlated aggregate, decorrelated: parts whose
     // lineitems fall under 20% of their own average quantity. The
     // per-part average is a separate agg broadcast back — the classic

@@ -62,6 +62,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(0L, 3L))) // opposite vectors
   }
 
+  test("multi-probe ANN recall dominates single-probe on the fixture") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineTopK(embeddings, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Similarity.annTopK(embeddings, 0L, dim = 64, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.annTopKMultiProbe(embeddings, 0L, dim = 64, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((multi & exact).size >= (single & exact).size)
+    assert(multi.nonEmpty)
+  }
+
   test("embeddingNearDups on the fixture finds planted near-dups at sf0.001") {
     val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exactTop = Similarity.cosineTopK(embeddings, 0L, 1).as[(Long, Double)].head()
