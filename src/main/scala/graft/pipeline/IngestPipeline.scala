@@ -55,6 +55,57 @@ final class ParquetTarget(path: String, keys: Seq[String]) extends TargetSink {
   }
 }
 
+/** Date-partitioned parquet target with dynamic partition overwrite —
+  * the 100 TB form of the nightly merge. The full-table [[ParquetTarget]]
+  * rewrites everything it read; here the merge touches only the
+  * partitions the batch window overlaps:
+  *
+  *   1. the batch's distinct partition dates are computed (a tiny
+  *      driver-side list — one entry per day in the window);
+  *   2. the anti-join runs against ONLY those partitions of the target
+  *      (partition pruning at the scan);
+  *   3. the merged slice overwrites ONLY those partitions
+  *      (`partitionOverwriteMode=dynamic`).
+  *
+  * A year-long 100 TB table with a 2-day incremental window reads and
+  * rewrites 2 days of data, not 365 — the rest of the table is never
+  * touched, which [[graft.PartitionedTargetSpec]] asserts via file
+  * mtimes.
+  */
+final class PartitionedParquetTarget(path: String, keys: Seq[String]) extends TargetSink {
+  private val dateCol = "period_date"
+
+  override def read(spark: SparkSession): DataFrame =
+    try spark.read.parquet(path).drop(dateCol)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          TargetSink.rollupSchema)
+    }
+
+  override def merge(spark: SparkSession, batch: DataFrame): Unit = {
+    val withDate = batch.withColumn(dateCol, to_date(col("period_ending")))
+    val dates = withDate.select(dateCol).distinct().collect().map(_.getDate(0))
+    val targetSlice =
+      try spark.read.parquet(path).filter(col(dateCol).isin(dates.toSeq: _*))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          withDate.filter(lit(false))
+      }
+    val merged = TrafOps.upsert(targetSlice, withDate, keys)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      merged.localCheckpoint(eager = true)
+        .write.mode(SaveMode.Overwrite).partitionBy(dateCol).parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}
+
 /** JDBC target: the table merges server-side row-by-key exactly like
   * the reference's `dup_val_on_index` block, so no read-modify-write
   * cycle and no self-overwrite concern.

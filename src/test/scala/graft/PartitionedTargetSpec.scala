@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDate
+
+import scala.jdk.CollectionConverters._
+
+import graft.pipeline.{IngestPipeline, PartitionedParquetTarget}
+import graft.state.RunLog
+
+/** The 100 TB merge contract: an incremental window must read and
+  * rewrite ONLY the partitions it overlaps. Asserted for real — the
+  * untouched day's parquet files keep their modification times across
+  * a merge of a different day.
+  */
+class PartitionedTargetSpec extends SparkSpec {
+
+  private def parquetFiles(dir: Path): Map[String, Long] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  test("merge rewrites only the partitions the batch window touches") {
+    val dir = Files.createTempDirectory("ptarget").toString
+    val log = new RunLog(spark, s"$dir/log")
+    val target = new PartitionedParquetTarget(s"$dir/t", graft.model.Tables.eventKeys)
+    val pipe = new IngestPipeline(spark, target, log)
+    val sf = "/root/testdata/sf0.001"
+
+    // day 1: loads 2024-01-15 (window defaults to yesterday)
+    pipe.run(sf, LocalDate.parse("2024-01-16"))
+    val c1 = pipe.readTarget().count()
+    assert(c1 > 0)
+    val day15 = Paths.get(s"$dir/t/period_date=2024-01-15")
+    assert(Files.isDirectory(day15), "expected a partition dir per day")
+    val before = parquetFiles(day15)
+
+    Thread.sleep(1100) // mtime resolution guard
+
+    // day 2: window [01-15, 01-16] — overlaps 01-15 (boundary re-fetch)
+    // and adds 01-16; both days legitimately rewritten
+    pipe.run(sf, LocalDate.parse("2024-01-17"))
+    val c2 = pipe.readTarget().count()
+    assert(c2 >= c1)
+    assert(Files.isDirectory(Paths.get(s"$dir/t/period_date=2024-01-16")))
+
+    Thread.sleep(1100)
+
+    // day 3: window [01-16, 01-17] — does NOT touch 01-15
+    val files15 = parquetFiles(day15)
+    pipe.run(sf, LocalDate.parse("2024-01-18"))
+    assert(parquetFiles(day15) == files15,
+      "merge of a later window must not rewrite the 01-15 partition")
+
+    // correctness: same result as the full-table target
+    val fullDir = Files.createTempDirectory("ftarget").toString
+    val fullLog = new RunLog(spark, s"$fullDir/log")
+    val fullPipe = new IngestPipeline(spark, s"$fullDir/t", fullLog)
+    fullPipe.run(sf, LocalDate.parse("2024-01-16"))
+    fullPipe.run(sf, LocalDate.parse("2024-01-17"))
+    fullPipe.run(sf, LocalDate.parse("2024-01-18"))
+    assert(rows(pipe.readTarget()) == rows(fullPipe.readTarget()))
+
+    // merge semantics intact: no duplicate keys
+    assert(graft.ops.TrafOps.duplicateKeys(
+      pipe.readTarget(), graft.model.Tables.eventKeys).isEmpty)
+
+    val _ = before // silence unused warning; kept for debugging diffs
+  }
+}
