@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-smell sweep over the whole registry: per query, counts of
+  * exchanges / joins by strategy / cartesian products, so a scale
+  * regression (lost broadcast, accidental cross join, extra shuffle)
+  * shows up as a diff. Run: `sbt "runMain graft.PlanAudit"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "Exchange" -> "xchg",
+      "BroadcastHashJoin" -> "bhj",
+      "SortMergeJoin" -> "smj",
+      "BroadcastNestedLoopJoin" -> "bnlj",
+      "CartesianProduct" -> "cart",
+      "WholeStageCodegen" -> "wsc",
+    )
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val counts = interesting
+          .map { case (op, label) =>
+            val n = plan.sliding(op.length).count(_ == op)
+            if (n > 0) s"$label=$n" else ""
+          }
+          .filter(_.nonEmpty)
+        println(f"$name%-28s ${counts.mkString(" ")}")
+      } catch {
+        case e: Throwable => println(f"$name%-28s ERROR ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}
