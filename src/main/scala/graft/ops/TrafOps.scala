@@ -191,6 +191,36 @@ object TrafOps {
     }.drop("__rv")
   }
 
+  /** Scale-safe interval (range) join: pairs `(l, r)` with equal `keys`
+    * and `rightTs` within `[leftTs, leftTs + windowSeconds]`. A naive
+    * non-equi join compiles to a broadcast-nested-loop / cartesian plan —
+    * quadratic work that cannot survive a 100 TB fact table. This form
+    * recovers an equi join: both sides are bucketed by
+    * `floor(ts / window)`; a right match can only live in the left row's
+    * bucket or the next one, so the left side is exploded into those two
+    * bucket tags, the join runs hash/sort-merge on `(keys, bucket)`, and
+    * the exact interval predicate filters residues after the join. Each
+    * qualifying pair appears exactly once (the right row's bucket is
+    * unique). Cost: 2× left shuffle volume, zero fan-out beyond true
+    * matches per bucket — the standard bucketed range-join decomposition.
+    *
+    * Callers must pre-rename non-key columns so the two sides are
+    * disjoint (self-join friendly).
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, windowSeconds: Long): DataFrame = {
+    val wMicros = windowSeconds * 1000000L
+    val lb = floor(unix_micros(col(leftTs)) / wMicros).cast("long")
+    val exploded = left.withColumn("__bucket", explode(array(lb, lb + 1L)))
+    val rb = right.withColumn("__bucket",
+      floor(unix_micros(col(rightTs)) / wMicros).cast("long"))
+    exploded.join(rb, keys :+ "__bucket")
+      .filter(
+        unix_micros(col(rightTs)) >= unix_micros(col(leftTs)) &&
+          unix_micros(col(rightTs)) <= unix_micros(col(leftTs)) + wMicros)
+      .drop("__bucket")
+  }
+
   /** I1 — high-water-mark incremental filter: rows of `source` strictly
     * after the max watermark of `state`. The scalar watermark is crossed
     * in via an explicit broadcast of the 1-row aggregate — no

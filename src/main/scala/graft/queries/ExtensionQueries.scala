@@ -190,5 +190,59 @@ object ExtensionQueries {
              |CAST(octet_length(encode(text)) % 30 AS BIGINT) AS n_frames
              |FROM documents""".stripMargin),
     ),
+
+    // Generator / lateral-view surface: one row per token with its
+    // position (posexplode — the engine's UDTF shape). The oracle
+    // reconstructs ordinality with a list comprehension because this
+    // DuckDB build lacks WITH ORDINALITY.
+    QueryDef(
+      "explode_pos_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token"))),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ex AS (SELECT doc_id,
+             |  unnest([{'pos': i - 1, 'tok': t[i]} for i in range(1, len(t) + 1)]) AS u
+             |  FROM toks)
+             |SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS token FROM ex""".stripMargin),
+    ),
+
+    // Array-native functions over the embedding column: size, indexing,
+    // min/max, and a higher-order filter (count of positive coords) —
+    // float→double casts are exact, so values hash-match bit-for-bit.
+    QueryDef(
+      "array_funcs_embeddings",
+      (s, dir) =>
+        Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          col("embedding").getItem(0).cast("double").as("first_coord"),
+          array_max(col("embedding")).cast("double").as("max_coord"),
+          array_min(col("embedding")).cast("double").as("min_coord"),
+          size(filter(col("embedding"), x => x > 0f)).as("n_pos")),
+      Some("""SELECT vec_id,
+             |CAST(len(embedding) AS INT) AS dim,
+             |CAST(embedding[1] AS DOUBLE) AS first_coord,
+             |CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_coord,
+             |CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_coord,
+             |CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+             |FROM embeddings""".stripMargin),
+    ),
+
+    // Regex scalar functions over document text: extract-first-number and
+    // replace-all (note DuckDB needs the 'g' flag to match Spark's
+    // replace-all semantics).
+    QueryDef(
+      "regex_extract_docs",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels")),
+      Some("""SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num,
+             |CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS len_novowels
+             |FROM documents""".stripMargin),
+    ),
   )
 }

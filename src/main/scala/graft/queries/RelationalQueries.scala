@@ -501,5 +501,201 @@ object RelationalQueries {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |FROM events""".stripMargin),
     ),
+
+    // Interval (range) join via the bucketed equi-join decomposition
+    // (TrafOps.rangeJoinBucketed): event pairs of the same user within a
+    // 5-minute follow window. The oracle states the naive non-equi form;
+    // the engine plans a hash join on (user, time-bucket) — no
+    // nested-loop, so the operator survives a 100 TB fact table.
+    QueryDef(
+      "join_range_pairs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("event_a"))
+        val b = ev.select(col("user_id"), col("ts").as("ts_b"), col("event_id").as("event_b"))
+        graft.ops.TrafOps.rangeJoinBucketed(a, b, Seq("user_id"), "ts_a", "ts_b", 300)
+          .filter(col("event_a") =!= col("event_b"))
+          .select(col("user_id"), col("event_a"), col("event_b"),
+            (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+      },
+      Some("""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+             |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+             | AND a.event_id <> b.event_id""".stripMargin),
+    ),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) with grouping() markers,
+    // through the SQL surface on both engines.
+    QueryDef(
+      "grouping_sets_status_priority",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_gs_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                |  count(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM orders_gs_v
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
+    ),
+
+    // RANGE frame (value-based, vs window_moving_sum's ROWS frame): 7-day
+    // sliding revenue where missing days genuinely shrink the window.
+    // Both sides order by an explicit day number so the frame bounds are
+    // integer offsets.
+    QueryDef(
+      "window_range_frame",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(dsum(col("o_totalprice")).as("day_total"))
+          .withColumn("dn", datediff(col("d"), to_date(lit("1970-01-01"))))
+        val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+        daily.select(
+          col("d"),
+          col("day_total"),
+          sum(col("day_total").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("week_range_total"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+             |  FROM orders GROUP BY 1),
+             |dn AS (SELECT d, day_total, date_diff('day', DATE '1970-01-01', d) AS dn FROM daily)
+             |SELECT d, day_total,
+             |CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER (
+             |  ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS week_range_total
+             |FROM dn""".stripMargin),
+    ),
+
+    // Boundary analytics: first_value / last_value / nth_value over the
+    // full partition frame, deterministic via the orderkey tie-breaker.
+    QueryDef(
+      "window_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir).select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_orderkey) OVER w AS first_order,
+             |last_value(o_orderkey) OVER w AS last_order,
+             |nth_value(o_orderkey, 2) OVER w AS second_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+    ),
+
+    // UNION ALL (bag semantics — the set-op sibling of setop_except/
+    // intersect) with a literal provenance tag.
+    QueryDef(
+      "union_all_tagged",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_totalprice") > 250000)
+          .select(col("o_orderkey"), lit("hi").as("band"))
+          .unionByName(
+            o.filter(col("o_totalprice") < 50000)
+              .select(col("o_orderkey"), lit("lo").as("band")))
+      },
+      Some("""SELECT o_orderkey, 'hi' AS band FROM orders WHERE o_totalprice > 250000
+             |UNION ALL
+             |SELECT o_orderkey, 'lo' AS band FROM orders WHERE o_totalprice < 50000""".stripMargin),
+    ),
+
+    // TPC-H Q19-shaped disjunctive predicate join: OR-of-conjuncts across
+    // both join sides. Catalyst extracts the common l_partkey = p_partkey
+    // equi-condition (part broadcasts) and evaluates the residual
+    // disjunction post-join — the filter never degrades the join to a
+    // nested loop.
+    QueryDef(
+      "q19_disjunctive_filter",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+              col("p_size").between(1, 15)) ||
+              (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+                col("p_size").between(1, 25)) ||
+              (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+                col("p_size").between(1, 50)))
+          .agg(
+            sum(discPrice).cast(DecimalType(28, 4)).cast("double").as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT
+             |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+             |count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+             |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+             |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 50)""".stripMargin),
+    ),
+
+    // Arg-extremum aggregates (max_by / min_by): which order carries each
+    // status's highest/lowest price. The "by" value is a (price, key)
+    // struct so ties (present at sf0.1) resolve deterministically on both
+    // engines via lexicographic struct comparison.
+    QueryDef(
+      "agg_arg_extremes",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            max_by(col("o_orderkey"),
+              struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("max_price_order"),
+            min_by(col("o_orderkey"),
+              struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("min_price_order"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_totalprice")).as("min_price")),
+      Some("""SELECT o_orderstatus,
+             |  struct_extract(max(struct_pack(p := o_totalprice, k := o_orderkey)), 'k') AS max_price_order,
+             |  struct_extract(min(struct_pack(p := o_totalprice, k := o_orderkey)), 'k') AS min_price_order,
+             |  max(o_totalprice) AS max_price,
+             |  min(o_totalprice) AS min_price
+             |FROM orders GROUP BY 1""".stripMargin),
+    ),
+
+    // Exact sample variance from decimal power sums: Σx and Σx² are exact
+    // decimals (q1's headroom-then-rescale pattern), the final
+    // (nΣx² − (Σx)²)/(n(n−1)) runs in IEEE double with the identical
+    // expression tree on both engines — variance without float-order
+    // drift, the same construction that keeps it safe under 100 TB
+    // partial aggregation.
+    QueryDef(
+      "agg_variance_exact",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sx"),
+            sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8)))
+              .cast(DecimalType(28, 4)).cast("double").as("sxx"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((col("n") * col("sxx") - col("sx") * col("sx")) /
+              (col("n") * (col("n") - lit(1)))).as("var_qty")),
+      Some("""WITH a AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sxx
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n, (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty
+             |FROM a""".stripMargin),
+    ),
   )
 }

@@ -154,4 +154,34 @@ class TrafOpsSpec extends SparkSpec {
     val out = TrafOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v" -> "r_v"))
     assert(out.count() == 2 && out.select("id").distinct().count() == 2)
   }
+
+  test("rangeJoinBucketed matches the naive non-equi join, including window-edge ties") {
+    val rnd = new scala.util.Random(7)
+    val ev = Seq.tabulate(300) { i =>
+      // 60 s steps + jitter lands rows exactly on and around the 300 s
+      // bucket boundaries, exercising the bucket/bucket+1 explode paths
+      (s"u${rnd.nextInt(4)}", ts("2024-01-01 00:00:00").toInstant
+        .plusSeconds(i * 60L + rnd.nextInt(30)), i.toLong)
+    }.map { case (u, t, id) => (u, java.sql.Timestamp.from(t), id) }
+      .toDF("u", "t", "id")
+    val a = ev.select(col("u"), col("t").as("t_a"), col("id").as("id_a"))
+    val b = ev.select(col("u"), col("t").as("t_b"), col("id").as("id_b"))
+    val bucketed = TrafOps.rangeJoinBucketed(a, b, Seq("u"), "t_a", "t_b", 300)
+      .filter(col("id_a") =!= col("id_b"))
+    val naiveSelf = a.as("a").join(b.as("b"),
+      col("a.u") === col("b.u") && col("t_b") >= col("t_a") &&
+        unix_micros(col("t_b")) <= unix_micros(col("t_a")) + 300000000L &&
+        col("id_a") =!= col("id_b"))
+      .select(col("a.u"), col("t_a"), col("id_a"), col("t_b"), col("id_b"))
+    assert(rows(bucketed.select("u", "t_a", "id_a", "t_b", "id_b")) == rows(naiveSelf))
+    assert(bucketed.count() > 0)
+  }
+
+  test("rangeJoinBucketed plans as an equi join — no nested-loop/cartesian") {
+    val a = Seq(("u1", ts("2024-01-01 00:00:00"), 1L)).toDF("u", "t_a", "id_a")
+    val b = Seq(("u1", ts("2024-01-01 00:01:00"), 2L)).toDF("u", "t_b", "id_b")
+    val plan = TrafOps.rangeJoinBucketed(a, b, Seq("u"), "t_a", "t_b", 300)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
