@@ -82,6 +82,26 @@ object StreamingIngest {
         }
       }
 
+  /** Gap-based session windows on the stream — the streaming twin of the
+    * batch [[graft.ops.TrafOps.sessionize]] (same 30-minute-gap
+    * semantics; `session_window` merges windows whose events are within
+    * `gap` of each other). State per key is bounded by the watermark:
+    * closed sessions are finalized and evicted, so state scales with
+    * |open sessions|, not history.
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("sum_value"))
+
   /** Arbitrary stateful op (SURVEY §2.8 "mapGroupsWithState" surface):
     * running per-key totals across micro-batches — the streaming
     * equivalent of the run-log's cumulative `Records` counter

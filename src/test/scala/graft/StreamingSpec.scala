@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, min, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{Event, StreamingIngest}
@@ -80,6 +81,50 @@ class StreamingSpec extends SparkSpec {
         .orderBy($"n_events".desc).limit(1)
         .as[(Long, String, Long, Double)].head()
       assert(last == ((7L, "in", 2L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionStream matches batch sessionize on the same events (30-min gap)") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 7L, "in", 1.0),
+      Event(2L, ts("2024-01-01 10:10:00"), 7L, "in", 2.0), // same session (10 min gap)
+      Event(3L, ts("2024-01-01 11:30:00"), 7L, "in", 3.0), // 80 min gap → new session
+      Event(4L, ts("2024-01-01 11:40:00"), 7L, "in", 4.0),
+      Event(5L, ts("2024-01-01 10:05:00"), 8L, "in", 5.0), // other key, own session
+    )
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.sessionStream(source.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("session_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(events.take(2): _*)
+      q.processAllAvailable()
+      source.addData(events.drop(2): _*) // split across micro-batches
+      q.processAllAvailable()
+      val streamed = spark.table("session_sink")
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+
+      val batch = graft.ops.TrafOps.sessionize(
+        events.toDF(), Seq("user_id"), "ts",
+        gapSeconds = 1800, order = Seq($"ts".asc, $"event_id".asc))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          min($"ts").as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum($"value").as("sum_value"))
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (7L, ts("2024-01-01 10:00:00"), 2L, 3.0),
+        (7L, ts("2024-01-01 11:30:00"), 2L, 7.0),
+        (8L, ts("2024-01-01 10:05:00"), 1L, 5.0)))
     } finally q.stop()
   }
 
