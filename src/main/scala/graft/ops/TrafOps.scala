@@ -221,6 +221,57 @@ object TrafOps {
       .drop("__bucket")
   }
 
+  /** SCD type-2 dimension from a change history: each change row becomes
+    * a validity segment `[valid_from, valid_to)` per key, `valid_to` =
+    * the key's next change (null while current). One window pass over one
+    * shuffle+sort per key — the segment boundaries come from `lead`, so
+    * rebuilding a 100 TB dimension is a single exchange, not a self-join.
+    *
+    * `changes` must hold real changes only (consecutive equal attribute
+    * rows already compressed) and be unique per (key, ts) — see
+    * [[lastWriteWins]] and the compression step in [[scd2Merge]].
+    */
+  def scd2FromHistory(changes: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
+  /** Incremental SCD2 merge: apply a batch of attribute observations to
+    * an existing SCD2 dimension (schema: keys ++ attrs ++ valid_from,
+    * valid_to, is_current). Changed keys close their current segment at
+    * the change's timestamp and open a new one; unchanged observations
+    * are no-ops; new keys insert. Closed history rows are never touched
+    * or shuffled beyond the is_current partition filter — only the open
+    * segment and the batch enter the window, so the nightly cost scales
+    * with |current| + |batch|, not |history|.
+    *
+    * Contract (the reference's incremental loop, SURVEY I1): batches
+    * arrive in timestamp order per key — each batch's timestamps are ≥
+    * the key's current `valid_from`. Under that contract, folding
+    * batches through this merge equals [[scd2FromHistory]] of the full
+    * concatenated history (spec-checked law).
+    */
+  def scd2Merge(dim: DataFrame, batch: DataFrame, keys: Seq[String],
+      attrs: Seq[String], tsCol: String): DataFrame = {
+    val outCols = keys ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
+    val history = dim.filter(col("is_current") === 0)
+    val openAsChanges = dim.filter(col("is_current") === 1)
+      .select((keys ++ attrs).map(col) :+ col("valid_from").as(tsCol): _*)
+    val all = openAsChanges.unionByName(
+      batch.select((keys ++ attrs).map(col) :+ col(tsCol): _*))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val attrStruct = struct(attrs.map(col): _*)
+    val compressed = all
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrStruct))
+      .drop("__prev")
+    history.select(outCols.map(col): _*)
+      .unionByName(scd2FromHistory(compressed, keys, tsCol).select(outCols.map(col): _*))
+  }
+
   /** I1 — high-water-mark incremental filter: rows of `source` strictly
     * after the max watermark of `state`. The scalar watermark is crossed
     * in via an explicit broadcast of the 1-row aggregate — no

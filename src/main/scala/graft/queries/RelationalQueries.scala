@@ -697,5 +697,115 @@ object RelationalQueries {
              |SELECT l_returnflag, n, (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty
              |FROM a""".stripMargin),
     ),
+
+    // SCD type-2 dimension built from the event stream: each user's
+    // event_type changes become validity segments (TrafOps
+    // .scd2FromHistory — lead()-based, one shuffle, no self-join). The
+    // incremental twin (TrafOps.scd2Merge) is law-tested in Scd2Spec:
+    // folding ordered batches equals this full rebuild.
+    QueryDef(
+      "scd2_event_type_history",
+      (s, dir) => {
+        val e = graft.ops.TrafOps.lastWriteWins(
+          Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+          Seq("user_id", "ts"), Seq(desc("event_id"))).drop("event_id")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val changes = e.withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+          .drop("__prev")
+        graft.ops.TrafOps.scd2FromHistory(changes, Seq("user_id"), "ts")
+          .select(col("user_id"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+      },
+      Some("""WITH dd AS (SELECT user_id, ts, event_type,
+             |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |  FROM events),
+             |e AS (SELECT user_id, ts, event_type FROM dd WHERE rn = 1),
+             |ch AS (SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM e),
+             |c2 AS (SELECT user_id, ts, event_type FROM ch
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS INT) AS is_current
+             |FROM c2""".stripMargin),
+    ),
+
+    // Calendar-grain time series (month truncation — the coarse sibling
+    // of the reference's hourly grain).
+    QueryDef(
+      "monthly_revenue_series",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders")),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |count(*) AS n_orders
+             |FROM orders GROUP BY 1""".stripMargin),
+    ),
+
+    // Fixed-width histogram: floor-binning is pure double arithmetic, so
+    // buckets agree bit-for-bit across engines.
+    QueryDef(
+      "histogram_value_buckets",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(floor(col("value") / 5.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+             |count(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin),
+    ),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the null
+    // group — manufactured via nullif — joins to itself instead of
+    // silently dropping, the classic plain-equi-join bug.
+    QueryDef(
+      "join_nullsafe_agg",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long") % 7
+        val agg = Tables.events(s, dir)
+          .groupBy(nullif(k, lit(3)).as("k"))
+          .agg(count(lit(1)).as("n"))
+        val a = agg.select(col("k").as("k_a"), col("n").as("n_a"))
+        val b = agg.select(col("k").as("k_b"), col("n").as("n_b"))
+        a.join(b, col("k_a") <=> col("k_b"))
+          .select(col("k_a").as("k"), col("n_a"), col("n_b"))
+      },
+      Some("""WITH agg AS (SELECT
+             |    nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 3) AS k,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT a.k, a.n AS n_a, b.n AS n_b
+             |FROM agg a JOIN agg b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin),
+    ),
+
+    // Referential/completeness audit via anti join: customers that never
+    // placed a big order (NOT EXISTS — the data-quality form of F1).
+    QueryDef(
+      "customers_without_big_orders",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+             |(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin),
+    ),
+
+    // Deliberate cartesian product on two tiny dims (the one place a
+    // cross join is the right plan — both sides O(10) rows at any sf).
+    QueryDef(
+      "cross_join_region_nation",
+      (s, dir) =>
+        Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+          .select(col("r_name"), col("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
+    ),
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrafOps
+
+/** SCD type-2 specs: segment construction from history, incremental
+  * merge behavior (close/open/no-op/insert), and the law that folding
+  * ordered batches through scd2Merge equals one scd2FromHistory rebuild
+  * of the concatenated history.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDim =
+    Seq.empty[(Long, String, java.sql.Timestamp, java.sql.Timestamp, Int)]
+      .toDF("k", "v", "valid_from", "valid_to", "is_current")
+
+  private def seg(df: org.apache.spark.sql.DataFrame) =
+    rows(df.select("k", "v", "valid_from", "valid_to", "is_current"))
+
+  test("scd2FromHistory: one segment per change, open tail, closed middles") {
+    val changes = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-02 00:00:00")),
+      (2L, "x", ts("2024-01-01 12:00:00")),
+    ).toDF("k", "v", "t")
+    val out = TrafOps.scd2FromHistory(changes, Seq("k"), "t")
+    assert(seg(out) == Set(
+      Seq(1L, "a", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), 0),
+      Seq(1L, "b", ts("2024-01-02 00:00:00"), null, 1),
+      Seq(2L, "x", ts("2024-01-01 12:00:00"), null, 1),
+    ))
+  }
+
+  test("scd2Merge: change closes the open segment, no-change is a no-op, new key inserts") {
+    val dim = TrafOps.scd2FromHistory(
+      Seq((1L, "a", ts("2024-01-01 00:00:00")), (2L, "x", ts("2024-01-01 00:00:00")))
+        .toDF("k", "v", "t"),
+      Seq("k"), "t").drop("t")
+    val batch = Seq(
+      (1L, "b", ts("2024-01-05 00:00:00")), // change → close + open
+      (2L, "x", ts("2024-01-06 00:00:00")), // same attr → no-op
+      (3L, "z", ts("2024-01-07 00:00:00")), // new key → insert
+    ).toDF("k", "v", "t")
+    val out = TrafOps.scd2Merge(dim, batch, Seq("k"), Seq("v"), "t")
+    assert(seg(out) == Set(
+      Seq(1L, "a", ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"), 0),
+      Seq(1L, "b", ts("2024-01-05 00:00:00"), null, 1),
+      Seq(2L, "x", ts("2024-01-01 00:00:00"), null, 1),
+      Seq(3L, "z", ts("2024-01-07 00:00:00"), null, 1),
+    ))
+  }
+
+  test("law: folding ordered batches == one full-history rebuild") {
+    val rnd = new scala.util.Random(11)
+    val base = ts("2024-01-01 00:00:00").toInstant
+    val obs = Seq.tabulate(120) { i =>
+      (rnd.nextInt(5).toLong, s"v${rnd.nextInt(3)}",
+        java.sql.Timestamp.from(base.plusSeconds(i * 60L)))
+    }
+    val folded = obs.grouped(40).foldLeft(emptyDim) { (dim, chunk) =>
+      TrafOps.scd2Merge(dim, chunk.toDF("k", "v", "t"), Seq("k"), Seq("v"), "t")
+    }
+    val w = Window.partitionBy($"k").orderBy($"t")
+    val compressed = obs.toDF("k", "v", "t")
+      .withColumn("__prev", lag($"v", 1).over(w))
+      .filter($"__prev".isNull || $"__prev" =!= $"v")
+      .drop("__prev")
+    val rebuilt = TrafOps.scd2FromHistory(compressed, Seq("k"), "t")
+    assert(seg(folded) == seg(rebuilt))
+  }
+}
