@@ -191,6 +191,36 @@ object TrafOps {
     }.drop("__rv")
   }
 
+  /** Incremental aggregate maintenance: merge a new batch's partial
+    * aggregates into a persisted per-key state table of (count, decimal
+    * sum). Both inputs and the output carry the same commutative-monoid
+    * state (`n`, `sum_<col>`), so folding daily batches through this op
+    * equals one aggregation of the full history (spec-checked law) — the
+    * batch view of streaming state, and the reason a 100 TB backfill can
+    * be replayed in any partition order. One shuffle on the keys; state
+    * stays decimal until read time so re-merging never drifts.
+    */
+  def mergeAggStates(state: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = state.columns.filterNot(keys.contains)
+    require(valueCols.sameElements(batch.columns.filterNot(keys.contains)),
+      "state and batch must share the aggregate-state schema")
+    state.unionByName(batch)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** Per-key aggregate state for [[mergeAggStates]]: counts plus exact
+    * decimal sums of `valueCol` (kept decimal — cast to double only when
+    * surfacing).
+    */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as(s"sum_$valueCol"))
+
   /** Scale-safe interval (range) join: pairs `(l, r)` with equal `keys`
     * and `rightTs` within `[leftTs, leftTs + windowSeconds]`. A naive
     * non-equi join compiles to a broadcast-nested-loop / cartesian plan —

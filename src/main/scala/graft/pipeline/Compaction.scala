@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-files compaction for parquet targets. An incremental merge
+  * (one batch per run, 32 shuffle partitions per write) accretes many
+  * small files; at 100 TB that turns every scan into footer-fetch storms
+  * and starves the parquet row-group pruning. Compaction rewrites a
+  * directory into ~`targetFileBytes` files sized from the ACTUAL on-disk
+  * bytes — no guessed partition counts — and swaps atomically-enough via
+  * a temp dir so a crash mid-compact never loses the original.
+  */
+object Compaction {
+
+  /** Bytes currently under `path` (data files only). */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Number of data files currently under `path`. */
+  def dataFiles(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        n += 1
+    }
+    n
+  }
+
+  /** Rewrite `path` into `ceil(bytes / targetFileBytes)` files and
+    * return the new file count. The rewrite lands in `<path>__compact`
+    * first; only after it is fully written does the original get
+    * replaced. `coalesce` (not `repartition`) keeps the rewrite
+    * shuffle-free — compaction is IO-bound work and should not pay an
+    * exchange.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val bytes = dataBytes(spark, path)
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = path + "__compact"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+    dataFiles(spark, path)
+  }
+}

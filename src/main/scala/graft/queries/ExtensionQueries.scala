@@ -230,6 +230,43 @@ object ExtensionQueries {
              |FROM embeddings""".stripMargin),
     ),
 
+    // Stopword density — the quality-scoring feature fastText-style
+    // filters key on; higher-order filter over the token array.
+    QueryDef(
+      "text_stopword_ratio",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val stops = Seq("the", "a", "of", "and", "to", "in")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          (size(filter(toks, t => t.isin(stops: _*))).cast("double") / size(toks))
+            .as("stopword_ratio"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(list_filter(string_split(text, ' '),
+             |  t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], t))) AS DOUBLE)
+             |  / len(string_split(text, ' ')) AS stopword_ratio
+             |FROM documents""".stripMargin),
+    ),
+
+    // Character-bigram corpus profile (the language-ID signal behind
+    // n-gram models): per-position substrings via a higher-order
+    // transform, exploded and counted.
+    QueryDef(
+      "text_char_bigrams",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(char_length(col("text")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
+            .as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n")),
+      Some("""WITH ex AS (SELECT unnest([substr(text, i, 2) for i in range(1, length(text))]) AS bigram
+             |  FROM documents WHERE length(text) >= 2)
+             |SELECT bigram, count(*) AS n FROM ex GROUP BY 1""".stripMargin),
+    ),
+
     // Regex scalar functions over document text: extract-first-number and
     // replace-all (note DuckDB needs the 'g' flag to match Spark's
     // replace-all semantics).

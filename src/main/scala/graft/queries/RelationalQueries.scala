@@ -807,5 +807,26 @@ object RelationalQueries {
           .select(col("r_name"), col("n_name")),
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
+
+    // Incremental aggregate maintenance (TrafOps.aggState/
+    // mergeAggStates): two time slices aggregated independently, then
+    // state-merged — the oracle is the single-pass GROUP BY the monoid
+    // law guarantees it equals.
+    QueryDef(
+      "agg_incremental_merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        val keys = Seq("user_id", "event_type")
+        val early = graft.ops.TrafOps.aggState(ev.filter(col("ts") < cut), keys, "value")
+        val late = graft.ops.TrafOps.aggState(ev.filter(col("ts") >= cut), keys, "value")
+        graft.ops.TrafOps.mergeAggStates(early, late, keys)
+          .select(col("user_id"), col("event_type"), col("n"),
+            col("sum_value").cast("double").as("sum_value"))
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,30 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.Compaction
+
+/** Compaction: many small files collapse to the byte-budgeted count with
+  * identical data, and the swap leaves no temp debris.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compactParquet collapses small files, preserves data, cleans up") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+    df.repartition(20).write.parquet(dir)
+    assert(Compaction.dataFiles(spark, dir) == 20)
+
+    val bytes = Compaction.dataBytes(spark, dir)
+    // budget ~half the bytes per file → expect exactly 2 files
+    val n = Compaction.compactParquet(spark, dir, targetFileBytes = (bytes + 1) / 2)
+    assert(n == 2)
+    assert(Compaction.dataFiles(spark, dir) == 2)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(rows(back) == rows(df))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "__compact")))
+  }
+}

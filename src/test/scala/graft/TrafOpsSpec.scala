@@ -155,6 +155,17 @@ class TrafOpsSpec extends SparkSpec {
     assert(out.count() == 2 && out.select("id").distinct().count() == 2)
   }
 
+  test("mergeAggStates: folding slices equals one aggregation (monoid law)") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.fill(200)((s"k${rnd.nextInt(6)}", rnd.nextInt(100) / 4.0)).toDF("k", "v")
+    val slices = data.randomSplit(Array(1, 1, 1), seed = 5)
+    val folded = slices.map(s => TrafOps.aggState(s, Seq("k"), "v"))
+      .reduce((a, b) => TrafOps.mergeAggStates(a, b, Seq("k")))
+    val direct = TrafOps.aggState(data, Seq("k"), "v")
+    assert(rows(folded.withColumn("sum_v", col("sum_v").cast("double"))) ==
+      rows(direct.withColumn("sum_v", col("sum_v").cast("double"))))
+  }
+
   test("rangeJoinBucketed matches the naive non-equi join, including window-edge ties") {
     val rnd = new scala.util.Random(7)
     val ev = Seq.tabulate(300) { i =>
