@@ -7,16 +7,28 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Evaluate through the noop sink, not count(): under count() Catalyst
+    // prunes scalar projections (a select-only query would be timed as a
+    // bare scan); noop forces every output column to be computed while
+    // writing nothing.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // Warm the JVM once (codegen compiler, parquet reader, shuffle paths)
     // so the first measured query isn't charged several seconds of JIT —
     // the flagship at sf0.001 touches scan/agg/window/exchange cheaply.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // First execution pays one-time costs (analysis, codegen compile,
+      // JIT) that measure the JVM, not the plan — a 0.2 s steady-state
+      // query reads as 4 s. Warm once, time the second run: steady-state
+      // throughput is what scales to the cluster.
+      try run(fn(spark, sfDir)) catch { case _: Throwable => }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

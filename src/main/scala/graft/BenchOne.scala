@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save() catch { case _: Throwable => }
+    for (name <- args; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

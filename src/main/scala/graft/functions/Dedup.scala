@@ -21,18 +21,31 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle) rows.
-    * Shingling is a narrow transform; DISTINCT folds into the downstream
-    * aggregation's first shuffle.
+  /** Word n-gram shingles per document: (doc_id, shingle) rows, WITH
+    * positional multiplicity. Callers needing set semantics dedupe
+    * downstream ([[jaccardPairs]] dedupes the 8-byte hash with a
+    * partial-agg'd distinct — far cheaper than a per-row
+    * `array_distinct`, whose O(len²) string comparisons dominated the
+    * whole jaccard pipeline); MinHash needs no dedup at all (min over a
+    * multiset equals min over its set).
     */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
     val grams =
       s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
         (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))"
+    // Shingling is compute-dominant (per-token concat + distinct +
+    // explode), so spread documents across cores first: the shuffle
+    // moves only the raw text (cheap next to the shingle fan-out it
+    // parallelizes), and hash-partitioning by doc_id is exactly the
+    // distribution the downstream groupBy(doc_id) aggregations need, so
+    // their exchange is satisfied for free. Without this, a
+    // single-row-group input file serializes the whole shingle stage on
+    // one task no matter how many cores the cluster has.
     docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(grams))).as("shingle"))
+      .select(col("doc_id"), explode(expr(grams)).as("shingle"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| via a self-equi-join on
@@ -52,6 +65,7 @@ object Dedup {
     // (birthday bound) — far beyond any per-corpus shingle count here.
     val sh = shingles(docs, n, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .dropDuplicates("doc_id", "sh")
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val left = sh.toDF("doc_a", "sh_a")
     val right = sh.toDF("doc_b", "sh_b")
@@ -117,7 +131,11 @@ object Dedup {
     val assembled = (0 until 64)
       .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _) // disjoint bits: + is bitwise OR
+    // Same rationale as shingles(): the 64 per-bit aggregates are
+    // compute-heavy, and pre-partitioning by doc_id both parallelizes a
+    // single-split input and feeds the groupBy without a second exchange.
     docs
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextAnalytics.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)

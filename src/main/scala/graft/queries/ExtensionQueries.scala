@@ -257,6 +257,9 @@ object ExtensionQueries {
       (s, dir) =>
         Tables.documents(s, dir)
           .filter(char_length(col("text")) >= 2)
+          // compute-dominant explode: parallelize a single-split input
+          // (shuffles raw text only — see Dedup.shingles rationale)
+          .repartition(col("doc_id"))
           .select(explode(expr(
             "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
             .as("bigram"))
