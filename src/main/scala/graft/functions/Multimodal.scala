@@ -53,4 +53,16 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     decodeStub(payloads).toDF()
   }
+
+  /** Frame sampling over decoded video metadata: every `every`-th frame
+    * index per object — the fan-out step a vision-training pipeline runs
+    * before per-frame decode. Generator-based (`sequence` + `explode`),
+    * so the fan-out happens executor-side with no shuffle; n_frames = 0
+    * rows are filtered first (Spark's `sequence` requires start ≤ stop
+    * for a positive step).
+    */
+  def sampleFrames(meta: DataFrame, every: Int = 5): DataFrame =
+    meta.filter(col("n_frames") > 0)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0L, n_frames - 1, $every)")).as("frame_idx"))
 }

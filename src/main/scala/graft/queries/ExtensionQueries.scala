@@ -230,6 +230,20 @@ object ExtensionQueries {
              |FROM embeddings""".stripMargin),
     ),
 
+    // Frame sampling over the decoded (stubbed) video metadata: the
+    // executor-side fan-out a vision pipeline runs before per-frame
+    // decode — every 5th frame index per object.
+    QueryDef(
+      "multimodal_frame_sample",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.decodeDocuments(s, Tables.documents(s, dir)), every = 5),
+      Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) % 30 AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+             |FROM m WHERE n_frames > 0""".stripMargin),
+    ),
+
     // Stopword density — the quality-scoring feature fastText-style
     // filters key on; higher-order filter over the token array.
     QueryDef(

@@ -61,6 +61,14 @@ object StreamingIngest {
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicates("event_id", "ts")
 
+  /** Bounded-state variant: `dropDuplicatesWithinWatermark` keys state
+    * on event_id alone and evicts entries once the watermark passes, so
+    * dedup state is O(events in the horizon) instead of O(all event ids
+    * ever seen) — the form that survives an unbounded 100 TB/day stream.
+    */
+  def dedupedStreamBounded(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark("event_id")
+
   /** Wire the hourly update stream into a keyed JDBC target: each
     * micro-batch merges through the batched `MERGE INTO` sink
     * ([[graft.sources.JdbcUpsertSink]]) — the streaming form of the

@@ -84,6 +84,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedStreamBounded drops replays within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.dedupedStreamBounded(source.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("ddwb_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      val e = Event(1L, ts("2024-01-01 10:10:00"), 7L, "in", 2.0)
+      source.addData(e, e.copy(event_id = 2L))
+      q.processAllAvailable()
+      source.addData(e.copy(value = 99.0)) // replay of id 1 inside the horizon
+      q.processAllAvailable()
+      assert(spark.table("ddwb_sink").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionStream matches batch sessionize on the same events (30-min gap)") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
