@@ -103,6 +103,35 @@ object TrafOps {
   def latestBy(df: DataFrame, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(1)
 
+  /** Data-quality expectations: evaluate named boolean constraints in
+    * ONE scan (each expectation is a conditional count aggregate — no
+    * per-rule pass, no shuffle beyond the single global agg) and return
+    * one row per expectation with its violation count. The engine form
+    * of the reference's F5 validation generalized to a rule set;
+    * null-safe: a NULL predicate result counts as a violation.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val counts = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val wide = df.agg(counts.head, counts.tail: _*)
+    // unpivot to (expectation, n_violations) so the result shape is
+    // independent of the rule count
+    wide.selectExpr(
+      s"stack(${rules.size}, ${rules.map { case (n, _) => s"'$n', $n" }.mkString(", ")}) " +
+        "as (expectation, n_violations)")
+  }
+
+  /** Top-N rows per group (the windowed form of W1 generalized): rank by
+    * `order` within each key, keep ranks ≤ n. One shuffle+sort per key;
+    * at scale prefer this over per-group sorts — the window's sort is
+    * the only exchange.
+    */
+  def topNPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
   /** PK-uniqueness check — the invariant the reference's composite PK
     * enforces in Oracle (`script.js:119`); Spark has no constraints, so
     * violations are surfaced as rows.

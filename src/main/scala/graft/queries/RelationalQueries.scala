@@ -808,6 +808,47 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // Data-quality expectations in one scan (TrafOps.expectations):
+    // named constraints → violation counts, stack-unpivoted to rows.
+    QueryDef(
+      "dq_expectations",
+      (s, dir) =>
+        graft.ops.TrafOps.expectations(
+          Tables.lineitem(s, dir),
+          Seq(
+            "qty_positive" -> (col("l_quantity") > 0),
+            "price_positive" -> (col("l_extendedprice") > 0),
+            "discount_in_range" -> col("l_discount").between(0, 0.1),
+            "flag_known" -> col("l_returnflag").isin("A", "N", "R"),
+            "qty_under_30" -> (col("l_quantity") < 30),
+          )),
+      Some("""WITH w AS (SELECT
+             |  SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS qty_positive,
+             |  SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS price_positive,
+             |  SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 0 ELSE 1 END) AS discount_in_range,
+             |  SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS flag_known,
+             |  SUM(CASE WHEN COALESCE(l_quantity < 30, FALSE) THEN 0 ELSE 1 END) AS qty_under_30
+             |  FROM lineitem)
+             |SELECT u.expectation, u.n_violations FROM w
+             |UNPIVOT (n_violations FOR expectation IN (qty_positive, price_positive, discount_in_range, flag_known, qty_under_30)) u""".stripMargin),
+    ),
+
+    // Top-N per group (TrafOps.topNPerGroup): each customer's 3 biggest
+    // orders — one window shuffle, deterministic via the orderkey
+    // tie-break.
+    QueryDef(
+      "topn_orders_per_customer",
+      (s, dir) =>
+        graft.ops.TrafOps.topNPerGroup(
+          Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          Seq("o_custkey"), Seq(desc("o_totalprice"), asc("o_orderkey")), n = 3),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin),
+    ),
+
     // Incremental aggregate maintenance (TrafOps.aggState/
     // mergeAggStates): two time slices aggregated independently, then
     // state-merged — the oracle is the single-pass GROUP BY the monoid
