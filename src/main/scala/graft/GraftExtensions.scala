@@ -2,26 +2,29 @@ package graft
 
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Lower, Md5, Multiply, Sqrt, StringTrim, Substring}
 
 import graft.functions.expressions.DotProductFloat
 
-/** The engine's SparkSessionExtensions: makes the native expressions
-  * available to plain SQL. Two ways in:
+/** The engine's SparkSessionExtensions: makes the native/canonical
+  * functions available to plain SQL. Two ways in:
   *
   *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
   *   - on a live session: `GraftExtensions.register(spark)`
   *
-  * After either, `SELECT dot_product_float(a, b)` parses, analyzes
-  * (type-checked by the expression itself), and whole-stage-codegens
-  * like a built-in.
+  * After either, `SELECT dot_product_float(a, b)`, `cosine_float(a, b)`
+  * and `doc_fingerprint(text)` parse, analyze (type-checked by the
+  * expressions themselves), and whole-stage-codegen like built-ins.
+  * cosine/fingerprint are Expression-level compositions — no UDF, no
+  * codegen break — so the SQL surface and the DataFrame operators
+  * (`TextAnalytics.fingerprint`, the similarity ops) share one
+  * definition of the semantics.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("dot_product_float"),
-      GraftExtensions.dotInfo,
-      GraftExtensions.dotBuilder))
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
 
 object GraftExtensions {
@@ -35,7 +38,36 @@ object GraftExtensions {
       s"dot_product_float expects 2 arguments, got ${exprs.length}")
   }
 
+  private val cosInfo = new ExpressionInfo(
+    classOf[DotProductFloat].getName, null, "cosine_float",
+    "cosine_float(a, b) - cosine similarity of two float arrays", "")
+
+  private val cosBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => Divide(DotProductFloat(a, b),
+      Multiply(Sqrt(DotProductFloat(a, a)), Sqrt(DotProductFloat(b, b))))
+    case exprs => throw new IllegalArgumentException(
+      s"cosine_float expects 2 arguments, got ${exprs.length}")
+  }
+
+  private val fpInfo = new ExpressionInfo(
+    classOf[Md5].getName, null, "doc_fingerprint",
+    "doc_fingerprint(text) - 16-hex-char digest of the normalized text", "")
+
+  private val fpBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => Substring(Md5(Lower(StringTrim(t))), Literal(1), Literal(16))
+    case exprs => throw new IllegalArgumentException(
+      s"doc_fingerprint expects 1 argument, got ${exprs.length}")
+  }
+
+  private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product_float", dotInfo, dotBuilder),
+    ("cosine_float", cosInfo, cosBuilder),
+    ("doc_fingerprint", fpInfo, fpBuilder),
+  )
+
   /** Register the engine functions into a live session (idempotent). */
   def register(spark: SparkSession): Unit =
-    GraftSqlBridge.registerFunction(spark, "dot_product_float", dotInfo, dotBuilder)
+    all.foreach { case (name, info, builder) =>
+      GraftSqlBridge.registerFunction(spark, name, info, builder)
+    }
 }

@@ -47,6 +47,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out == 32.0)
   }
 
+  test("cosine_float and doc_fingerprint are callable from SQL and match the operators") {
+    graft.GraftExtensions.register(spark)
+    Seq((floats(1, 0), floats(1, 0), "  Hello World  "))
+      .toDF("a", "b", "txt").createOrReplaceTempView("ext_vecs")
+    val (cos, fp) = spark.sql(
+      "SELECT cosine_float(a, b) AS c, doc_fingerprint(txt) AS f FROM ext_vecs")
+      .as[(Double, String)].head()
+    assert(cos == 1.0)
+    val expected = Seq(("  Hello World  ")).toDF("txt")
+      .select(graft.functions.TextAnalytics.fingerprint($"txt")).as[String].head()
+    assert(fp == expected && fp.length == 16)
+  }
+
   test("dotF null semantics and type check") {
     val df = Seq((Option.empty[Array[Float]], floats(1))).toDF("a", "b")
     assert(df.select(dotF($"a", $"b")).as[Option[Double]].head().isEmpty)
