@@ -110,6 +110,33 @@ object StreamingIngest {
         col("n_events"),
         col("sum_value"))
 
+  /** The 0..n-outputs-per-group stateful shape (`flatMapGroupsWithState`
+    * — what [[runningTotals]]' exactly-one-row contract cannot express):
+    * emit a key's running total only when it crosses a multiple of
+    * `threshold`, stay silent otherwise. State is one KeyTotal per key
+    * regardless of throughput.
+    */
+  def thresholdAlerts(events: Dataset[Event], threshold: Double = 10.0): Dataset[KeyTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[Event], state: GroupState[KeyTotal]) =>
+          val prev = state.getOption.getOrElse(KeyTotal(key._1, key._2, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = KeyTotal(
+            key._1, key._2,
+            prev.n_events + batch.size,
+            prev.sum_value + batch.map(_.value).sum)
+          state.update(next)
+          if (math.floor(next.sum_value / threshold) > math.floor(prev.sum_value / threshold))
+            Iterator.single(next)
+          else Iterator.empty
+      }
+  }
+
   /** Arbitrary stateful op (SURVEY §2.8 "mapGroupsWithState" surface):
     * running per-key totals across micro-batches — the streaming
     * equivalent of the run-log's cumulative `Records` counter

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** File-format breadth beyond the parquet fixtures (SURVEY §2.1 notes
+  * the reference has no file sources at all): CSV and JSON round-trips
+  * with explicit schemas, and parquet schema evolution via mergeSchema —
+  * the long-lived-table concerns a 100 TB warehouse actually hits.
+  */
+class FormatsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("CSV round-trip preserves the orders slice under an explicit schema") {
+    val dir = Files.createTempDirectory("fmt").toString + "/orders_csv"
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.option("header", "true").csv(dir)
+    val back = spark.read
+      .option("header", "true")
+      .schema(orders.schema) // explicit schema: no inference pass over 100 TB
+      .csv(dir)
+    assert(rows(back) == rows(orders))
+  }
+
+  test("JSON lines round-trip preserves values and types under an explicit schema") {
+    val dir = Files.createTempDirectory("fmt").toString + "/events_json"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.json(dir)
+    val back = spark.read.schema(ev.schema).json(dir)
+    assert(rows(back) == rows(ev))
+  }
+
+  test("parquet schema evolution: old files without the new column read as null under mergeSchema") {
+    val dir = Files.createTempDirectory("fmt").toString + "/evolving"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "batch"))
+    val byId = merged.select("id", "score").as[(Long, Option[Double])].collect().toMap
+    assert(byId == Map(1L -> None, 2L -> Some(9.5)))
+  }
+}

@@ -148,6 +148,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thresholdAlerts emits only on threshold crossings (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.thresholdAlerts(source.toDS(), threshold = 10.0)
+      .writeStream
+      .format("memory")
+      .queryName("alerts_sink")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(Event(1L, ts("2024-01-01 10:00:00"), 7L, "in", 4.0)) // 4 → silent
+      q.processAllAvailable()
+      source.addData(Event(2L, ts("2024-01-01 10:05:00"), 7L, "in", 7.0)) // 11 crosses 10 → emit
+      q.processAllAvailable()
+      source.addData(Event(3L, ts("2024-01-01 10:10:00"), 7L, "in", 1.0)) // 12 → silent
+      q.processAllAvailable()
+      val alerts = spark.table("alerts_sink")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(alerts == Seq((7L, "in", 2L, 11.0)))
+    } finally q.stop()
+  }
+
   test("hourly update stream merges into a JDBC target across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val url = "jdbc:derby:memory:graftstream;create=true"
