@@ -72,4 +72,48 @@ class MergePropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  // (user, minute-offset) event streams for the scd2/range-join laws;
+  // globally increasing ts so batches split by index are time-ordered
+  // per key (the scd2Merge contract).
+  private val streamGen: Gen[List[(Long, String, Int)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 3L)
+      v <- Gen.oneOf("p", "q", "r")
+    } yield (k, v)).map(_.zipWithIndex.map { case ((k, v), i) => (k, v, i) })
+
+  private def evDf(rows: List[(Long, String, Int)]) =
+    rows.map { case (k, v, i) =>
+      (k, v, java.sql.Timestamp.from(
+        ts("2024-01-01 00:00:00").toInstant.plusSeconds(i * 60L)))
+    }.toDF("k", "v", "t")
+
+  test("scd2: folding any batch split equals the full-history rebuild") {
+    check(Prop.forAll(streamGen, Gen.chooseNum(1, 29)) { (obs, cut) =>
+      val empty = Seq.empty[(Long, String, java.sql.Timestamp, java.sql.Timestamp, Int)]
+        .toDF("k", "v", "valid_from", "valid_to", "is_current")
+      val folded = List(obs.take(cut), obs.drop(cut)).filter(_.nonEmpty)
+        .foldLeft(empty)((dim, b) => TrafOps.scd2Merge(dim, evDf(b), Seq("k"), Seq("v"), "t"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"t")
+      val compressed = evDf(obs)
+        .withColumn("p", lag($"v", 1).over(w)).filter($"p".isNull || $"p" =!= $"v").drop("p")
+      val rebuilt = TrafOps.scd2FromHistory(compressed, Seq("k"), "t")
+      val cols = Seq("k", "v", "valid_from", "valid_to", "is_current")
+      rows(folded.selectExpr(cols: _*)) == rows(rebuilt.selectExpr(cols: _*))
+    })
+  }
+
+  test("rangeJoinBucketed equals the naive non-equi join on random streams") {
+    check(Prop.forAll(streamGen, Gen.chooseNum(60L, 600L)) { (obs, windowSec) =>
+      val ev = evDf(obs)
+      val a = ev.select($"k", $"t".as("t_a"), $"v".as("v_a"))
+      val b = ev.select($"k", $"t".as("t_b"), $"v".as("v_b"))
+      val bucketed = TrafOps.rangeJoinBucketed(a, b, Seq("k"), "t_a", "t_b", windowSec)
+      val naive = a.as("l").join(b.as("r"),
+        $"l.k" === $"r.k" && $"t_b" >= $"t_a" &&
+          unix_micros($"t_b") <= unix_micros($"t_a") + windowSec * 1000000L)
+        .select($"l.k", $"t_a", $"v_a", $"t_b", $"v_b")
+      rows(bucketed.select("k", "t_a", "v_a", "t_b", "v_b")) == rows(naive)
+    })
+  }
 }

@@ -69,6 +69,20 @@ class PlanQualitySpec extends SparkSpec {
       s"expiry bound not pushed to scan:\n${p.take(2000)}")
   }
 
+  test("hot aggregation paths stay inside whole-stage codegen") {
+    // AQE's initial plan defers codegen insertion to stage
+    // materialization, so inspect the non-adaptive physical plan.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("q1_pricing_summary", "flagship_hourly_ingest", "sql_q6_revenue_forecast")) {
+        // whole-stage codegen renders as "*(n) Op" prefixes in toString
+        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+        assert(p.contains("*(1)"), s"codegen broken in $name:\n${p.take(500)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
     val p = plans("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),
