@@ -58,7 +58,7 @@ object Dedup {
     */
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxDf: Option[Int] = None): DataFrame = {
     // join on the shingle's 64-bit hash, not the string: the self-join
     // shuffles 8-byte keys and compares longs. A cross-shingle hash
     // collision would need ~2^32 distinct shingles to become likely
@@ -66,9 +66,25 @@ object Dedup {
     val sh = shingles(docs, n, textCol)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .dropDuplicates("doc_id", "sh")
+    // Per-document counts use the FULL shingle set (true union size);
+    // only the pair-candidate join is pruned below.
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val left = sh.toDF("doc_a", "sh_a")
-    val right = sh.toDF("doc_b", "sh_b")
+    // Stop-shingle cap — the adversarial-corpus guard: a shingle shared
+    // by k documents fans out k² join rows, so one boilerplate phrase in
+    // 1M documents is a 10¹²-row hot key no AQE split saves. Dropping
+    // shingles with document frequency > maxDf bounds the worst key at
+    // maxDf² while leaving rare (discriminative) shingles intact; the
+    // resulting jaccard is a conservative underestimate for pairs whose
+    // overlap was mostly stop-shingles. Off by default (exact).
+    val joinable = maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("sh"))
+        sh.join(rare, "sh")
+    }
+    val left = joinable.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val right = joinable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val common = left
       .join(right, left("sh_a") === right("sh_b") && left("doc_a") < right("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

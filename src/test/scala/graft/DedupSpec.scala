@@ -35,6 +35,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPairs maxDf drops stop-shingle-only pairs, keeps real near-dups") {
+    // doc 1/2: genuine near-dups (share many rare shingles).
+    // doc 3/4: unrelated except one boilerplate phrase shared by ALL docs.
+    val boiler = "terms of service apply here"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (3L, s"one two three four five six seven $boiler"),
+      (4L, s"red orange yellow green blue indigo $boiler"),
+    ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, n = 3, threshold = 0.01, maxDf = Some(2))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.contains((3L, 4L)), "stop-shingle-only pair should be pruned")
+    // without the cap, the boilerplate alone links 3 and 4
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.01)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((3L, 4L)))
+  }
+
   test("jaccard of an exact duplicate is 1.0") {
     val j = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3)
       .where($"doc_a" === 1L && $"doc_b" === 4L)
