@@ -808,6 +808,31 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // TPC-H Q4-shaped correlated EXISTS with an inequality: orders with
+    // at least one line item shipped >60 days after the order date,
+    // counted per priority. The EXISTS decorrelates to a left-semi join
+    // on orderkey with the date inequality as a residual predicate —
+    // still an equi-join shuffle, never a nested loop.
+    QueryDef(
+      "q4ish_delayed_orders",
+      (s, dir) => {
+        val late = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        Tables.orders(s, dir)
+          .join(late,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_delayed"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_delayed
+             |FROM orders WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Data-quality expectations in one scan (TrafOps.expectations):
     // named constraints → violation counts, stack-unpivoted to rows.
     QueryDef(
