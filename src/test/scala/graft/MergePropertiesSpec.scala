@@ -103,6 +103,24 @@ class MergePropertiesSpec extends SparkSpec {
     })
   }
 
+  test("sessionize: gaps ≤ gap stay in-session, larger gaps bump the id by exactly 1") {
+    check(Prop.forAll(streamGen, Gen.chooseNum(60L, 900L)) { (obs, gapSec) =>
+      val sess = TrafOps.sessionize(evDf(obs), Seq("k"), "t",
+        gapSeconds = gapSec, order = Seq($"t".asc))
+        .select($"k", $"t", $"session_id")
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+      sess.groupBy(_._1).values.forall { kRows =>
+        val sorted = kRows.sortBy(_._2.getTime)
+        sorted.head._3 == 1L && sorted.toSeq.sliding(2).forall {
+          case Seq((_, t1, s1), (_, t2, s2)) =>
+            val gapMs = t2.getTime - t1.getTime
+            if (gapMs <= gapSec * 1000) s2 == s1 else s2 == s1 + 1
+          case _ => true
+        }
+      }
+    })
+  }
+
   test("rangeJoinBucketed equals the naive non-equi join on random streams") {
     check(Prop.forAll(streamGen, Gen.chooseNum(60L, 600L)) { (obs, windowSec) =>
       val ev = evDf(obs)
