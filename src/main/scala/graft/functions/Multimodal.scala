@@ -54,6 +54,22 @@ object Multimodal {
     decodeStub(payloads).toDF()
   }
 
+  /** Resize planning over decoded image metadata: aspect-preserving fit
+    * into a `maxSide`×`maxSide` box — the target-dimension arithmetic an
+    * image pipeline computes before the (stubbed) pixel resample. Pure
+    * projection: no shuffle, codegen'd double arithmetic, rows with
+    * degenerate dimensions filtered.
+    */
+  def resizePlan(meta: DataFrame, maxSide: Int = 224): DataFrame = {
+    val scale = least(lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"))
+    meta.filter(col("width") > 0 && col("height") > 0)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        floor(col("width") * scale).cast("long").as("out_w"),
+        floor(col("height") * scale).cast("long").as("out_h"))
+  }
+
   /** Frame sampling over decoded video metadata: every `every`-th frame
     * index per object — the fan-out step a vision-training pipeline runs
     * before per-frame decode. Generator-based (`sequence` + `explode`),

@@ -244,6 +244,23 @@ object ExtensionQueries {
              |FROM m WHERE n_frames > 0""".stripMargin),
     ),
 
+    // Aspect-preserving resize plan from the decoded (stubbed) image
+    // metadata — target dims for a 224×224 fit, computed engine-side.
+    QueryDef(
+      "multimodal_resize_plan",
+      (s, dir) =>
+        Multimodal.resizePlan(
+          Multimodal.decodeDocuments(s, Tables.documents(s, dir)), maxSide = 224),
+      Some("""WITH m AS (SELECT doc_id,
+             |  octet_length(encode(text)) % 640 AS width,
+             |  (octet_length(encode(text)) * 7) % 480 AS height
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS BIGINT) AS out_w,
+             |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS BIGINT) AS out_h
+             |FROM m WHERE width > 0 AND height > 0""".stripMargin),
+    ),
+
     // Stopword density — the quality-scoring feature fastText-style
     // filters key on; higher-order filter over the token array.
     QueryDef(
