@@ -110,6 +110,30 @@ object StreamingIngest {
         col("n_events"),
         col("sum_value"))
 
+  /** Stream–stream inner join with an event-time range: each purchase
+    * matched to the same user's clicks in the preceding `windowMinutes`.
+    * Both sides carry watermarks and the join condition bounds the time
+    * skew, so Spark can size the join state and evict rows once the
+    * watermark passes — without the range bound, stream–stream join
+    * state grows forever. The batch twin is
+    * [[graft.ops.TrafOps.rangeJoinBucketed]].
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("purchase_value"))
+  }
+
   /** The 0..n-outputs-per-group stateful shape (`flatMapGroupsWithState`
     * — what [[runningTotals]]' exactly-one-row contract cannot express):
     * emit a key's running total only when it crosses a multiple of

@@ -148,6 +148,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs purchases with in-window clicks across streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingIngest.attributionJoin(purchases.toDF(), clicks.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("attr_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      clicks.addData(
+        Event(10L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0), // in window
+        Event(11L, ts("2024-01-01 09:00:00"), 7L, "click", 0.0), // too early
+        Event(12L, ts("2024-01-01 10:05:00"), 8L, "click", 0.0)) // other user
+      purchases.addData(Event(20L, ts("2024-01-01 10:20:00"), 7L, "purchase", 50.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_sink")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("thresholdAlerts emits only on threshold crossings (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
