@@ -110,6 +110,23 @@ object StreamingIngest {
         col("n_events"),
         col("sum_value"))
 
+  /** Wire the hourly update stream into ANY batch TargetSink (parquet
+    * full-table, date-partitioned parquet with dynamic partition
+    * overwrite, or JDBC): each micro-batch runs the sink's idempotent
+    * keyed merge, so update-mode re-emissions overwrite in place —
+    * exactly-once effect on every target the batch pipeline supports.
+    * With the partitioned target, a micro-batch rewrites only the
+    * partition dates it touches (the streaming form of the incremental
+    * window).
+    */
+  def toTargetSink(hourly: DataFrame, target: graft.pipeline.TargetSink)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hourly.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) target.merge(batch.sparkSession, batch)
+      }
+
   /** Stream–stream inner join with an event-time range: each purchase
     * matched to the same user's clicks in the preceding `windowMinutes`.
     * Both sides carry watermarks and the join condition bounds the time

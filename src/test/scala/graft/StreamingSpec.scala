@@ -195,6 +195,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourly update stream merges into a date-partitioned parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ptgt").toString + "/t"
+    val target = new graft.pipeline.PartitionedParquetTarget(
+      dir, Seq("user_id", "event_type", "period_ending"))
+    val source = MemoryStream[Event]
+    val q = StreamingIngest.toTargetSink(
+      StreamingIngest.hourlyStream(source.toDF()), target)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(
+        Event(1L, ts("2024-01-01 10:10:00"), 7L, "in", 2.0),
+        Event(2L, ts("2024-01-02 09:10:00"), 7L, "in", 3.0)) // two partition dates
+      q.processAllAvailable()
+      source.addData(Event(3L, ts("2024-01-01 10:40:00"), 7L, "in", 4.0)) // same window as #1
+      q.processAllAvailable()
+      val back = target.read(spark)
+        .select("period_ending", "n_events", "sum_value")
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(back == Set(
+        (ts("2024-01-01 11:00:00"), 2L, 6.0), // updated in place, no duplicate
+        (ts("2024-01-02 10:00:00"), 1L, 3.0)))
+      // two partition-date directories on disk
+      val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("period_date="))
+      assert(parts.map(_.getName).toSet ==
+        Set("period_date=2024-01-01", "period_date=2024-01-02"))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches the stream against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((7L, "library-west"), (8L, "library-east")).toDF("user_id", "site_name")
+    val source = MemoryStream[Event]
+    val q = source.toDF().join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("site_name"))
+      .writeStream
+      .format("memory")
+      .queryName("enrich_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 7L, "in", 1.0),
+        Event(2L, ts("2024-01-01 10:01:00"), 9L, "in", 1.0)) // no dim row
+      q.processAllAvailable()
+      val out = spark.table("enrich_sink")
+        .as[(Long, Option[String])].collect().toMap
+      assert(out == Map(1L -> Some("library-west"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("hourly update stream merges into a JDBC target across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val url = "jdbc:derby:memory:graftstream;create=true"
