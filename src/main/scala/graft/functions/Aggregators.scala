@@ -1,0 +1,45 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Exact decimal accumulator for [[WeightedMean]]: Σ(value·weight) and
+  * Σweight, both kept as BigDecimal so merge order never changes the
+  * result (the same associativity requirement partial aggregation
+  * imposes at scale — see TrafOps.dsum).
+  */
+final case class WSum(wv: JBigDecimal, w: JBigDecimal)
+
+/** The engine's UDAF surface (`Aggregator[IN, BUF, OUT]`): weighted
+  * mean with an exact decimal buffer. `BigDecimal.valueOf(double)`
+  * yields the shortest decimal representation, so 2-decimal money/
+  * quantity doubles become exact decimals before any arithmetic —
+  * the aggregate is bit-stable under any partitioning, and the final
+  * division runs in double exactly like the SQL oracle's
+  * `CAST(...) / CAST(...)`.
+  */
+object WeightedMean extends Aggregator[(Double, Double), WSum, Double] {
+  override def zero: WSum = WSum(JBigDecimal.ZERO, JBigDecimal.ZERO)
+
+  override def reduce(b: WSum, a: (Double, Double)): WSum = {
+    val v = JBigDecimal.valueOf(a._1)
+    val w = JBigDecimal.valueOf(a._2)
+    WSum(b.wv.add(v.multiply(w)), b.w.add(w))
+  }
+
+  override def merge(x: WSum, y: WSum): WSum =
+    WSum(x.wv.add(y.wv), x.w.add(y.w))
+
+  override def finish(r: WSum): Double =
+    if (r.w.signum == 0) Double.NaN else r.wv.doubleValue() / r.w.doubleValue()
+
+  override def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+
+  /** Register as `weighted_mean(value, weight)` for SQL use. */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("weighted_mean", udaf(WeightedMean))
+}

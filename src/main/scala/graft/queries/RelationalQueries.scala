@@ -808,6 +808,24 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // Custom UDAF (Aggregator[IN,BUF,OUT]) through the SQL surface:
+    // quantity-weighted mean price per return flag, decimal-exact buffer
+    // (graft.functions.WeightedMean).
+    QueryDef(
+      "agg_weighted_mean",
+      (s, dir) => {
+        graft.functions.WeightedMean.register(s)
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_wm_v")
+        s.sql("""SELECT l_returnflag,
+                |  weighted_mean(l_extendedprice, l_quantity) AS wmean_price
+                |FROM lineitem_wm_v GROUP BY 1""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |/ CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wmean_price
+             |FROM lineitem GROUP BY 1""".stripMargin),
+    ),
+
     // TPC-H Q4-shaped correlated EXISTS with an inequality: orders with
     // at least one line item shipped >60 days after the order date,
     // counted per priority. The EXISTS decorrelates to a left-semi join
