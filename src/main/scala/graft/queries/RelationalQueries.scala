@@ -808,6 +808,77 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // Relative-position analytics: percent_rank and cume_dist over the
+    // per-customer price ordering (the remaining ranking family members
+    // beyond rank/dense_rank/ntile).
+    QueryDef(
+      "window_cume_percent",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |percent_rank() OVER w AS pct_rank,
+             |cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+    ),
+
+    // Ordered string aggregation (LISTAGG): deterministic via the sort,
+    // Spark composes it from collect_list + sort_array + array_join.
+    QueryDef(
+      "agg_string_concat",
+      (s, dir) =>
+        Tables.nation(s, dir)
+          .groupBy(col("n_regionkey"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations")),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY 1""".stripMargin),
+    ),
+
+    // Exact Pearson correlation from decimal power sums (the variance
+    // construction extended to two variables): every Σ is an exact
+    // decimal, the closed form runs in IEEE double with the identical
+    // expression tree on both engines. Columns chosen (quantity ≤ 2
+    // decimals, discount ≤ 2) keep all unscaled sums far below 2^53 at
+    // any fixture scale.
+    QueryDef(
+      "agg_corr_exact",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sx"),
+            dsum(col("l_discount")).as("sy"),
+            sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 8)))
+              .cast(DecimalType(28, 4)).cast("double").as("sxx"),
+            sum((col("l_discount") * col("l_discount")).cast(DecimalType(28, 8)))
+              .cast(DecimalType(28, 4)).cast("double").as("syy"),
+            sum((col("l_quantity") * col("l_discount")).cast(DecimalType(28, 8)))
+              .cast(DecimalType(28, 4)).cast("double").as("sxy"))
+          .select(
+            col("l_returnflag"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_disc")),
+      Some("""WITH a AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |  CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sxx,
+             |  CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS syy,
+             |  CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             |  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_disc
+             |FROM a""".stripMargin),
+    ),
+
     // Custom UDAF (Aggregator[IN,BUF,OUT]) through the SQL surface:
     // quantity-weighted mean price per return flag, decimal-exact buffer
     // (graft.functions.WeightedMean).
