@@ -808,6 +808,28 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // Z-order (Morton) clustering key over (user, day) — the layout key
+    // graft.pipeline.Layout uses for 2-D scan pruning — computed on both
+    // engines bit-for-bit (8 bits per dimension here).
+    QueryDef(
+      "layout_zorder_key",
+      (s, dir) => {
+        val dn = datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 256
+        Tables.events(s, dir).select(
+          col("event_id"),
+          graft.pipeline.Layout.zValue(col("user_id") % 256, dn, bits = 8).as("z"))
+      },
+      Some {
+        val terms = (0 until 8).flatMap(i => Seq(
+          s"((((user_id % 256) >> $i) & 1) << ${2 * i})",
+          s"(((dn >> $i) & 1) << ${2 * i + 1})"))
+        s"""WITH d AS (SELECT event_id, user_id,
+           |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 256 AS dn
+           |  FROM events)
+           |SELECT event_id, ${terms.mkString(" | ")} AS z FROM d""".stripMargin
+      },
+    ),
+
     // Relative-position analytics: percent_rank and cume_dist over the
     // per-customer price ordering (the remaining ranking family members
     // beyond rank/dense_rank/ntile).
