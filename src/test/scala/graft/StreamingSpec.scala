@@ -249,6 +249,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart resumes state and offsets (the streaming I1 high-water mark)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("restart-src").toString
+    val ckpt = checkpoint // ONE checkpoint shared by both query incarnations
+    def writeBatch(events: Event*): Unit =
+      events.toSeq.toDF().write.mode("append").parquet(srcDir)
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def startQuery(sink: scala.collection.concurrent.TrieMap[(Long, String), (Long, Double)]) =
+      StreamingIngest.runningTotals(
+        spark.readStream.schema(
+          Seq.empty[Event].toDF().schema).parquet(srcDir).as[Event])
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.KeyTotal], _: Long) =>
+          batch.collect().foreach(t =>
+            sink.put((t.user_id, t.event_type), (t.n_events, t.sum_value)))
+          ()
+        }
+        .start()
+
+    val sink1 = scala.collection.concurrent.TrieMap.empty[(Long, String), (Long, Double)]
+    writeBatch(Event(1L, ts("2024-01-01 10:00:00"), 7L, "in", 2.0))
+    val q1 = startQuery(sink1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(sink1.get((7L, "in")).contains((1L, 2.0)))
+
+    // second incarnation: same checkpoint → resumes offsets AND state;
+    // the first file is not re-read, the running total continues from 1
+    val sink2 = scala.collection.concurrent.TrieMap.empty[(Long, String), (Long, Double)]
+    writeBatch(Event(2L, ts("2024-01-01 11:00:00"), 7L, "in", 3.0))
+    val q2 = startQuery(sink2)
+    try {
+      q2.processAllAvailable()
+      assert(sink2.get((7L, "in")).contains((2L, 5.0)))
+    } finally q2.stop()
+  }
+
   test("hourly update stream merges into a JDBC target across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val url = "jdbc:derby:memory:graftstream;create=true"
