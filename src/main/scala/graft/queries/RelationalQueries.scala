@@ -808,6 +808,25 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // Error-safe scalar functions (Spark 4 runs ANSI mode by default, so
+    // division-by-zero and bad casts THROW unless the try_ forms are
+    // used — the engine surface for dirty-data tolerance).
+    QueryDef(
+      "scalar_try_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          try_divide(col("o_totalprice"), col("o_custkey") % 5).as("per_bucket"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_bad")),
+      Some("""SELECT o_orderkey,
+             |CASE WHEN o_custkey % 5 = 0 THEN NULL
+             |     ELSE o_totalprice / (o_custkey % 5) END AS per_bucket,
+             |TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+             |TRY_CAST(o_orderpriority AS INT) AS prio_bad
+             |FROM orders""".stripMargin),
+    ),
+
     // Z-order (Morton) clustering key over (user, day) — the layout key
     // graft.pipeline.Layout uses for 2-D scan pruning — computed on both
     // engines bit-for-bit (8 bits per dimension here).
