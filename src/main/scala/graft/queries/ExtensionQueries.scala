@@ -96,6 +96,20 @@ object ExtensionQueries {
              |GROUP BY 1""".stripMargin),
     ),
 
+    // Corpus heavy hitters: top-20 tokens by frequency — histogram +
+    // TakeOrderedAndProject (per-partition heaps, no global sort), the
+    // boilerplate-detection view of the token histogram.
+    QueryDef(
+      "text_top_tokens",
+      (s, dir) =>
+        TextAnalytics.tokenHistogram(Tables.documents(s, dir))
+          .orderBy(desc("n"), asc("token"))
+          .limit(20),
+      Some("""SELECT token, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin),
+    ),
+
     // Language-ID heuristic (marker-token overlap).
     QueryDef(
       "text_lang_id",
