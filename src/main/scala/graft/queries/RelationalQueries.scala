@@ -808,6 +808,35 @@ object RelationalQueries {
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation"),
     ),
 
+    // NOT IN with a nullable subquery — the classic three-valued-logic
+    // trap: one NULL in the list makes NOT IN unknowable for every row
+    // (count 0); filtering the NULLs restores the anti-join meaning.
+    // Spark plans the null-aware anti join correctly (nested loop — the
+    // one join shape that can honor the semantics).
+    QueryDef(
+      "not_in_null_semantics",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_ni_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_ni_v")
+        s.sql("""SELECT
+                |  (SELECT count(*) FROM orders_ni_v
+                |   WHERE o_custkey NOT IN (SELECT nullif(c_custkey % 97, 3) FROM customer_ni_v))
+                |    AS n_with_null,
+                |  (SELECT count(*) FROM orders_ni_v
+                |   WHERE o_custkey NOT IN (SELECT nullif(c_custkey % 97, 3) FROM customer_ni_v
+                |                           WHERE nullif(c_custkey % 97, 3) IS NOT NULL))
+                |    AS n_without_null""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT nullif(c_custkey % 97, 3) FROM customer))
+             |    AS n_with_null,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN (SELECT nullif(c_custkey % 97, 3) FROM customer
+             |                           WHERE nullif(c_custkey % 97, 3) IS NOT NULL))
+             |    AS n_without_null""".stripMargin),
+    ),
+
     // Error-safe scalar functions (Spark 4 runs ANSI mode by default, so
     // division-by-zero and bad casts THROW unless the try_ forms are
     // used — the engine surface for dirty-data tolerance).
