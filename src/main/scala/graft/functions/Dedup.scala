@@ -133,6 +133,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup pair list: every
+    * document gets the minimum doc_id of its component as `cluster` —
+    * the step that turns pairwise candidates into dedup groups (keep
+    * one representative per cluster). Min-label propagation: each round
+    * every node takes the min of its own and its neighbors' labels, a
+    * join + groupBy per round, O(component diameter) rounds. Near-dup
+    * components are shallow (dozens of hops at the extreme), so the
+    * loop is a handful of distributed passes; lineage is cut with a
+    * local checkpoint each round so plans stay flat at any scale.
+    */
+  def clusterAssign(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      // carry old + new labels through ONE checkpointed pass: the
+      // convergence count then reads checkpoint blocks instead of
+      // re-joining against the previous labels
+      val step = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(labels("doc_id"), labels("cluster").as("old"),
+          least(labels("cluster"), coalesce(col("nmin"), labels("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = step.filter(col("cluster") =!= col("old")).count()
+      labels = step.select(col("doc_id"), col("cluster"))
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, bitwise weighted
     * majority across tokens. Implemented as 64 sum aggregates (one per
     * bit) in a single groupBy — map-side combinable, whole-stage

@@ -45,6 +45,35 @@ object ExtensionQueries {
               |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05""".stripMargin),
     ),
 
+    // Dedup clustering: connected components over the jaccard near-dup
+    // pairs — every doc labeled with its component's min doc_id (the
+    // keep-one-representative step). Spark side is distributed min-label
+    // propagation; the oracle states the fixpoint as a recursive CTE.
+    QueryDef(
+      "dedup_cluster_assign",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.clusterAssign(
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.05).select("doc_a", "doc_b"),
+          docs.select("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM p0 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05),
+              |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(doc_id, cluster) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.s, w.cluster FROM edges e JOIN walk w ON w.doc_id = e.d)
+              |SELECT doc_id, min(cluster) AS cluster FROM walk GROUP BY 1""".stripMargin),
+    ),
+
     // MinHash+LSH candidate pairs — hashing is xxhash64: rows-only check.
     QueryDef(
       "dedup_minhash_candidates",

@@ -55,6 +55,14 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((3L, 4L)))
   }
 
+  test("clusterAssign labels components with their min id, singletons with themselves") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b") // chain 1-2-3, pair 5-6
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = Dedup.clusterAssign(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("jaccard of an exact duplicate is 1.0") {
     val j = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3)
       .where($"doc_a" === 1L && $"doc_b" === 4L)
