@@ -298,6 +298,16 @@ object TrafOps {
       .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
   }
 
+  /** Point-in-time snapshot of an SCD2 dimension: the one segment per
+    * key whose validity window covers `asOf` — the time-travel read
+    * (`valid_from <= asOf < valid_to`, open tail = current). A filter,
+    * not a window: O(scan) with partition pruning when the dimension is
+    * date-partitioned on valid_from.
+    */
+  def scd2Snapshot(dim: DataFrame, asOf: Column): DataFrame =
+    dim.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
+
   /** Incremental SCD2 merge: apply a batch of attribute observations to
     * an existing SCD2 dimension (schema: keys ++ attrs ++ valid_from,
     * valid_to, is_current). Changed keys close their current segment at

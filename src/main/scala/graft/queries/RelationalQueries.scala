@@ -733,6 +733,39 @@ object RelationalQueries {
              |FROM c2""".stripMargin),
     ),
 
+    // Point-in-time snapshot of the SCD2 dimension (time-travel read):
+    // each user's event_type as of Jan 15 midday.
+    QueryDef(
+      "scd2_snapshot_asof",
+      (s, dir) => {
+        val e = graft.ops.TrafOps.lastWriteWins(
+          Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"), col("event_id")),
+          Seq("user_id", "ts"), Seq(desc("event_id"))).drop("event_id")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val changes = e.withColumn("__prev", lag(col("event_type"), 1).over(w))
+          .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+          .drop("__prev")
+        graft.ops.TrafOps.scd2Snapshot(
+          graft.ops.TrafOps.scd2FromHistory(changes, Seq("user_id"), "ts"),
+          lit("2024-01-15 12:00:00").cast("timestamp"))
+          .select(col("user_id"), col("event_type"), col("valid_from"))
+      },
+      Some("""WITH dd AS (SELECT user_id, ts, event_type,
+             |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |  FROM events),
+             |e AS (SELECT user_id, ts, event_type FROM dd WHERE rn = 1),
+             |ch AS (SELECT user_id, ts, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM e),
+             |c2 AS (SELECT user_id, ts, event_type FROM ch
+             |  WHERE prev IS NULL OR prev <> event_type),
+             |seg AS (SELECT user_id, event_type, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to FROM c2)
+             |SELECT user_id, event_type, valid_from FROM seg
+             |WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+             |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')""".stripMargin),
+    ),
+
     // Calendar-grain time series (month truncation — the coarse sibling
     // of the reference's hourly grain).
     QueryDef(
