@@ -1,0 +1,43 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Lightweight observability: a QueryExecutionListener that records, per
+  * completed query, the summed `number of output rows` metric of its
+  * scan nodes and the wall duration — the numbers an operator watches
+  * to catch a lost pushdown (scan rows exploding) or a runaway stage
+  * without opening the UI. Purely driver-side; no effect on plans.
+  */
+final class Metrics extends QueryExecutionListener {
+
+  final case class QueryStats(scanRows: Long, durationNs: Long, ok: Boolean)
+
+  private val buf = mutable.ArrayBuffer.empty[QueryStats]
+
+  def stats: Seq[QueryStats] = synchronized(buf.toSeq)
+  def clear(): Unit = synchronized(buf.clear())
+
+  private def scanRows(qe: QueryExecution): Long =
+    qe.executedPlan.collectLeaves().flatMap { leaf =>
+      leaf.metrics.get("numOutputRows").map(_.value)
+    }.sum
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    synchronized { buf += QueryStats(scanRows(qe), durationNs, ok = true) }
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+    synchronized { buf += QueryStats(0L, 0L, ok = false) }
+}
+
+object Metrics {
+  /** Attach a fresh listener to the session and return it. */
+  def attach(spark: SparkSession): Metrics = {
+    val m = new Metrics
+    spark.listenerManager.register(m)
+    m
+  }
+}

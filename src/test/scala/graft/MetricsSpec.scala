@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The metrics listener sees completed queries and reports scan rows —
+  * enough to catch a lost pushdown as a row-count explosion.
+  */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listener records scan rows and duration for completed actions") {
+    val m = Metrics.attach(spark)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("metrics").toString + "/t"
+      (1 to 1000).toDF("x").write.parquet(dir)
+      m.clear() // ignore the write query; measure the read below
+      // modulo isn't a pushable filter, so the scan emits all 1000 rows
+      spark.read.parquet(dir).filter($"x" % 2 === 0)
+        .write.format("noop").mode("overwrite").save()
+      // listener callbacks are async; settle briefly
+      var tries = 0
+      while (m.stats.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val s = m.stats
+      assert(s.nonEmpty)
+      assert(s.exists(q => q.ok && q.scanRows == 1000L && q.durationNs > 0))
+    } finally spark.listenerManager.unregister(m)
+  }
+}
