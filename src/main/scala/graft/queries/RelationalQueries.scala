@@ -171,6 +171,36 @@ object RelationalQueries {
              |FROM a FULL OUTER JOIN b ON a.pk = b.pk""".stripMargin),
     ),
 
+    // Right-outer join: every customer kept, big-order keys where they
+    // exist (the remaining outer-join flavor beyond left/full).
+    QueryDef(
+      "join_right_outer",
+      (s, dir) =>
+        Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right_outer")
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey")),
+      Some("""SELECT c_custkey, c_name, o_orderkey
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+             |RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin),
+    ),
+
+    // Boolean aggregates (bool_or / bool_and / count_if).
+    QueryDef(
+      "agg_bool_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            bool_or(col("o_totalprice") > 400000).as("any_huge"),
+            bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+            count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent")),
+      Some("""SELECT o_orderstatus,
+             |bool_or(o_totalprice > 400000) AS any_huge,
+             |bool_and(o_totalprice > 1000) AS all_over_1k,
+             |count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+             |FROM orders GROUP BY 1""".stripMargin),
+    ),
+
     // Set ops: customers active in 1995 but not 1996 (EXCEPT), and
     // in both (INTERSECT) — both with SQL DISTINCT semantics.
     QueryDef(
