@@ -122,6 +122,28 @@ object TrafOps {
         "as (expectation, n_violations)")
   }
 
+  /** One-pass numeric profile: per column — row count, nulls, min, max,
+    * exact decimal sum (surfaced as double) — all computed in a single
+    * scan + single global aggregate, then unpivoted to one row per
+    * column. The dataset-onboarding profile at 100 TB costs exactly one
+    * pass regardless of how many columns are profiled.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        dsum(col(c)).as(s"${c}__sum"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__min, ${c}__max, ${c}__sum").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $stacked) as (column_name, n, n_nulls, vmin, vmax, vsum)")
+  }
+
   /** Top-N rows per group (the windowed form of W1 generalized): rank by
     * `order` within each key, keep ranks ≤ n. One shuffle+sort per key;
     * at scale prefer this over per-group sorts — the window's sort is

@@ -1055,6 +1055,26 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin),
     ),
 
+    // One-pass numeric profiling (TrafOps.profileNumeric): count/nulls/
+    // min/max/exact-sum for four columns in a single scan + aggregate.
+    QueryDef(
+      "dq_profile_numeric",
+      (s, dir) =>
+        graft.ops.TrafOps.profileNumeric(
+          Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS column_name, count(*) AS n,
+             |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             |  min($c) AS vmin, max($c) AS vmax,
+             |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+             |FROM lineitem""".stripMargin
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(one).mkString("\nUNION ALL\n")
+      },
+    ),
+
     // Data-quality expectations in one scan (TrafOps.expectations):
     // named constraints → violation counts, stack-unpivoted to rows.
     QueryDef(
