@@ -824,6 +824,24 @@ object RelationalQueries {
              |FROM events GROUP BY 1""".stripMargin),
     ),
 
+    // Equi-depth histogram via ntile (percentile buckets — the sibling
+    // of histogram_value_buckets' fixed width), deterministic through
+    // the event_id tie-break.
+    QueryDef(
+      "histogram_equidepth",
+      (s, dir) => {
+        val w = Window.orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("value"), ntile(10).over(w).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      },
+      Some("""SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+             |FROM (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+             |      FROM events)
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the null
     // group — manufactured via nullif — joins to itself instead of
     // silently dropping, the classic plain-equi-join bug.
