@@ -824,6 +824,35 @@ object RelationalQueries {
              |FROM events GROUP BY 1""".stripMargin),
     ),
 
+    // Date arithmetic across a join: order→ship delay distribution in
+    // days (datediff / date_diff), counted.
+    QueryDef(
+      "shipping_delay_histogram",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("delay_days"))
+          .groupBy(col("delay_days"))
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days,
+             |count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // JSON object introspection: sorted key list of the props payload.
+    QueryDef(
+      "json_props_keys",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          sort_array(map_keys(expr("from_json(props, 'map<string,string>')")))
+            .as("prop_keys")),
+      Some("""SELECT event_id, list_sort(json_keys(props)) AS prop_keys
+             |FROM events""".stripMargin),
+    ),
+
     // Equi-depth histogram via ntile (percentile buckets — the sibling
     // of histogram_value_buckets' fixed width), deterministic through
     // the event_id tie-break.
