@@ -824,6 +824,26 @@ object RelationalQueries {
              |FROM events GROUP BY 1""".stripMargin),
     ),
 
+    // Calendar decomposition scalars (year/quarter/month/day, month-end).
+    QueryDef(
+      "scalar_date_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          last_day(col("o_orderdate")).as("month_end")),
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INT) AS y,
+             |CAST(quarter(o_orderdate) AS INT) AS q,
+             |CAST(month(o_orderdate) AS INT) AS m,
+             |CAST(day(o_orderdate) AS INT) AS d,
+             |last_day(CAST(o_orderdate AS DATE)) AS month_end
+             |FROM orders""".stripMargin),
+    ),
+
     // Date arithmetic across a join: order→ship delay distribution in
     // days (datediff / date_diff), counted.
     QueryDef(
