@@ -45,6 +45,28 @@ object ExtensionQueries {
               |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05""".stripMargin),
     ),
 
+    // The capped-candidate variant of the jaccard join (maxDf = 50):
+    // stop-shingles above the document-frequency cap are pruned from the
+    // pair join while union sizes stay exact — the oracle mirrors the
+    // conservative-underestimate semantics precisely.
+    QueryDef(
+      "dedup_jaccard_capped",
+      (s, dir) =>
+        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.05,
+          maxDf = Some(50)),
+      Some(s"""WITH $shingleSqlCte,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 50),
+              |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
+              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |       CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+              |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05""".stripMargin),
+    ),
+
     // Dedup clustering: connected components over the jaccard near-dup
     // pairs — every doc labeled with its component's min doc_id (the
     // keep-one-representative step). Spark side is distributed min-label

@@ -121,6 +121,18 @@ class MergePropertiesSpec extends SparkSpec {
     })
   }
 
+  test("expectations: per-rule violation counts equal direct filters, nulls violate") {
+    check(Prop.forAll(Gen.listOfN(25, Gen.option(Gen.chooseNum(-50L, 50L)))) { vs =>
+      val df = vs.map(v => Tuple1(v)).toDF("v")
+      val out = TrafOps.expectations(df, Seq(
+        "positive" -> (col("v") > 0),
+        "small" -> (col("v") < 10)))
+        .as[(String, Long)].collect().toMap
+      out("positive") == vs.count(v => !v.exists(_ > 0)) &&
+        out("small") == vs.count(v => !v.exists(_ < 10))
+    })
+  }
+
   test("rangeJoinBucketed equals the naive non-equi join on random streams") {
     check(Prop.forAll(streamGen, Gen.chooseNum(60L, 600L)) { (obs, windowSec) =>
       val ev = evDf(obs)
