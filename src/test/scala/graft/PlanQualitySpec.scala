@@ -86,6 +86,21 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("SQL join hints are honored (BROADCAST / SHUFFLE_MERGE)") {
+    graft.model.Tables.customer(spark, sfDir).createOrReplaceTempView("pq_customer")
+    graft.model.Tables.orders(spark, sfDir).createOrReplaceTempView("pq_orders")
+    val bcast = spark.sql(
+      """SELECT /*+ BROADCAST(c) */ c.c_custkey FROM pq_customer c
+        |JOIN pq_orders o ON c.c_custkey = o.o_custkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"))
+    val smj = spark.sql(
+      """SELECT /*+ SHUFFLE_MERGE(c) */ c.c_custkey FROM pq_customer c
+        |JOIN pq_orders o ON c.c_custkey = o.o_custkey""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"))
+  }
+
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
     val p = plans("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),
