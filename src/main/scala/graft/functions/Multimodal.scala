@@ -54,6 +54,26 @@ object Multimodal {
     decodeStub(payloads).toDF()
   }
 
+  /** Feature extraction stub: opaque bytes → fixed-width float vector,
+    * through the same per-partition batch plumbing a real embedding
+    * model would use (model loaded once per partition, rows streamed
+    * through). The vector itself is a deterministic fake derived from
+    * the byte length — the Spark-side contract (binary in,
+    * `Array[Float]` out, partitioning preserved, no driver
+    * concentration) is the real deliverable.
+    */
+  def featureExtractStub(payloads: Dataset[(Long, Array[Byte])]): Dataset[(Long, Array[Float])] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      // real pipeline: load the encoder model here, once per partition
+      it.map { case (id, bytes) =>
+        val n = bytes.length.toLong
+        (id, Array((n % 256).toFloat, (n * 31 % 997).toFloat,
+          (n * 7 % 480).toFloat, (n % 30).toFloat))
+      }
+    }
+  }
+
   /** Resize planning over decoded image metadata: aspect-preserving fit
     * into a `maxSide`×`maxSide` box — the target-dimension arithmetic an
     * image pipeline computes before the (stubbed) pixel resample. Pure

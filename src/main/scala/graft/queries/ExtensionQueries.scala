@@ -309,6 +309,26 @@ object ExtensionQueries {
              |FROM m WHERE n_frames > 0""".stripMargin),
     ),
 
+    // Feature-extraction plumbing (stub encoder): bytes → fixed-width
+    // float vector via per-partition batch mapPartitions.
+    QueryDef(
+      "multimodal_feature_extract",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.featureExtractStub(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text").cast("binary"))
+            .as[(Long, Array[Byte])])
+          .toDF("doc_id", "features")
+      },
+      Some("""SELECT doc_id, [
+             |  CAST(octet_length(encode(text)) % 256 AS FLOAT),
+             |  CAST(octet_length(encode(text)) * 31 % 997 AS FLOAT),
+             |  CAST(octet_length(encode(text)) * 7 % 480 AS FLOAT),
+             |  CAST(octet_length(encode(text)) % 30 AS FLOAT)] AS features
+             |FROM documents""".stripMargin),
+    ),
+
     // Aspect-preserving resize plan from the decoded (stubbed) image
     // metadata — target dims for a 224×224 fit, computed engine-side.
     QueryDef(
