@@ -824,6 +824,46 @@ object RelationalQueries {
              |FROM events GROUP BY 1""".stripMargin),
     ),
 
+    // A2's semantic claim, verified as a query: declining the source's
+    // daily rollup (DataSummedByDay=false, script.js:146) loses nothing —
+    // summing the hourly grain reproduces the daily grain exactly.
+    // Hourly partials re-enter decimals before the day-level sum, the
+    // same order-independence discipline as dsum.
+    QueryDef(
+      "a2_rollup_consistency",
+      (s, dir) => {
+        val hourly = graft.ops.TrafOps.hourlyRollup(Tables.events(s, dir))
+        val viaHourly = hourly
+          .groupBy(col("user_id"), col("event_type"),
+            date_trunc("day", col("period_ending")).as("day"))
+          .agg(sum(col("n_events")).as("n_via_hourly"),
+            sum(col("sum_value").cast(DecimalType(18, 2))).cast("double").as("v_via_hourly"))
+        val daily = graft.ops.TrafOps.dailyRollup(Tables.events(s, dir))
+          .select(col("user_id"), col("event_type"), col("period_ending").as("day"),
+            col("n_events").as("n_daily"), col("sum_value").as("v_daily"))
+        viaHourly.join(daily, Seq("user_id", "event_type", "day"))
+          .select(col("user_id"), col("event_type"), col("day"),
+            col("n_via_hourly"), col("n_daily"), col("v_via_hourly"), col("v_daily"),
+            (col("n_via_hourly") === col("n_daily") &&
+              col("v_via_hourly") === col("v_daily")).as("consistent"))
+      },
+      Some("""WITH hourly AS (SELECT user_id, event_type, date_trunc('hour', ts) AS h,
+             |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2, 3),
+             |via_hourly AS (SELECT user_id, event_type,
+             |  CAST(date_trunc('day', h) AS TIMESTAMP) AS day,
+             |  SUM(n) AS n_via_hourly,
+             |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS v_via_hourly
+             |  FROM hourly GROUP BY 1, 2, 3),
+             |daily AS (SELECT user_id, event_type,
+             |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |  count(*) AS n_daily, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_daily
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT user_id, event_type, day, n_via_hourly, n_daily, v_via_hourly, v_daily,
+             |  (n_via_hourly = n_daily AND v_via_hourly = v_daily) AS consistent
+             |FROM via_hourly JOIN daily USING (user_id, event_type, day)""".stripMargin),
+    ),
+
     // Calendar decomposition scalars (year/quarter/month/day, month-end).
     QueryDef(
       "scalar_date_funcs",
