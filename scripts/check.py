@@ -2,22 +2,36 @@
 """Local replica of the driver's t2 correctness gate: run graft.Verify
 output against DuckDB oracles over the same parquet tables, compare
 row/schema/hash per query. Usage: check.py <sfDir> <verifyOutDir>
+
+Compares through pandas with dtype-sensitive equality, matching the
+driver's checker semantics:
+  - DuckDB SUM(<integer>) returns HUGEINT -> pandas float64, while Spark
+    emits BIGINT -> int64: a dtype mismatch is a FAIL even when repr of
+    the values would agree (so oracle SQL must CAST integer sums).
+  - rows are sorted by all columns, which raises TypeError on
+    array-typed columns exactly like the driver's pandas sort does (so
+    arrays must be stringified on both sides).
 """
 import json
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(repr(r[i]) for i in order))
-    out.sort()
-    return out
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.rename(columns=str.lower)
+    df = df[sorted(df.columns)]
+    # integer WIDTH is not significant (the driver hashes int32 and int64
+    # values identically); int-vs-float IS (HUGEINT -> float64 fails)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    # raises TypeError on list/ndarray cells — intentionally mirrored
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
 
 
 def main(sf_dir, out_dir):
@@ -28,25 +42,30 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [c.lower() for c in got.columns]
-            got_rows = canon(got.fetchall(), got_cols)
-            exp = con.sql(sql)
-            exp_cols = [c.lower() for c in exp.columns]
-            exp_rows = canon(exp.fetchall(), exp_cols)
+            got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            exp = canon(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: checker error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
             n_fail += 1
-        elif got_rows != exp_rows:
-            diff = [(a, b) for a, b in zip(got_rows, exp_rows) if a != b]
-            print(f"FAIL {name}: {len(got_rows)} vs {len(exp_rows)} rows; first diffs {diff[:3]}")
+        elif len(got) != len(exp):
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows")
+            n_fail += 1
+        elif list(map(str, got.dtypes)) != list(map(str, exp.dtypes)):
+            print(f"FAIL {name}: dtypes {list(map(str, got.dtypes))} != "
+                  f"{list(map(str, exp.dtypes))}")
+            n_fail += 1
+        elif not got.equals(exp):
+            neq = (got != exp) & ~(got.isna() & exp.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: value mismatch in {int(bad.sum())} rows; "
+                  f"first:\n{got[bad].head(2)}\nvs\n{exp[bad].head(2)}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)")
+            print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact equi-depth (ntile) bucketing without a single-task global sort.
+  *
+  * `Window.orderBy(...)` with an empty partition spec funnels the whole
+  * table through ONE task — fine at sf0.1, dead at 100 TB. This is the
+  * scalable form of the same exact semantics: range-repartition on the
+  * sort key (each partition owns a contiguous key range), sort within
+  * partitions, collect only the O(partitions) per-partition row counts
+  * to turn local positions into global ranks, then apply SQL ntile's
+  * bucket arithmetic per row. Every stage is distributed; the only
+  * driver-side data is one long per partition (same class as the
+  * run-log read).
+  */
+object EquiDepth {
+
+  /** Equi-depth histogram: exact SQL `ntile(buckets) OVER (ORDER BY
+    * valueCol, tieCol)` bucket assignment (ties split deterministically
+    * by `tieCol`), aggregated to per-bucket count/min/max.
+    *
+    * The per-partition count pass and the rank pass are two jobs over
+    * the same shuffle (map output is reused; only the cheap post-shuffle
+    * local sort re-runs).
+    */
+  def ntileHistogram(
+      df: DataFrame, valueCol: String, tieCol: String,
+      buckets: Int = 10, partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(valueCol).cast("double").as("v"), col(tieCol).cast("long").as("t"))
+      .repartitionByRange(partitions, col("v"), col("t"))
+      .sortWithinPartitions(col("v"), col("t"))
+      .as[(Double, Long)]
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val k = buckets.toLong
+    val q = n / k
+    val rem = n % k
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bOff.value(i)
+      it.map { case (v, _) =>
+        r += 1
+        // SQL ntile: the first (n mod k) buckets hold q+1 rows, the rest q
+        val b =
+          if (q == 0L) r // n < k: each rank is its own bucket
+          else if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+          else rem + (r - rem * (q + 1) - 1) / q + 1
+        (b.toInt, v)
+      }
+    }
+    ranked.toDF("bucket", "value")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+}

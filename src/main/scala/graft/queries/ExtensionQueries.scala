@@ -30,10 +30,34 @@ object ExtensionQueries {
              |FROM documents GROUP BY 1""".stripMargin),
     ),
 
-    // Exact trigram-Jaccard near-dup pairs (inverted-index join).
+    // Trigram-Jaccard near-dup pairs (inverted-index join). The DEFAULT
+    // entry is the scale-safe capped form (maxDf = 1000: one boilerplate
+    // shingle in 1M docs is a 10¹²-row hot key uncapped; the cap bounds
+    // any key at 10⁶ join rows). The oracle mirrors the cap; at the test
+    // scales max df = 25, so capped ≡ exact on the fixtures.
     QueryDef(
       "dedup_jaccard_pairs",
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.05),
+      Some(s"""WITH $shingleSqlCte,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+              |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
+              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |       CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+              |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05""".stripMargin),
+    ),
+
+    // The explicitly-named exact (uncapped) variant — full inverted-index
+    // self-join, for corpora known to be boilerplate-free.
+    QueryDef(
+      "dedup_jaccard_exact",
+      (s, dir) =>
+        Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.05,
+          maxDf = None),
       Some(s"""WITH $shingleSqlCte,
               |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
               |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -81,8 +105,10 @@ object ExtensionQueries {
       },
       Some(s"""WITH RECURSIVE $shingleSqlCte,
               |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+              |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
               |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
               |pairs AS (SELECT doc_a, doc_b
               |  FROM p0 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
@@ -315,17 +341,25 @@ object ExtensionQueries {
       "multimodal_feature_extract",
       (s, dir) => {
         import s.implicits._
+        // The float vector is surfaced as a canonical CSV string (each
+        // element float→double→string, exact) so the driver's pandas row
+        // sort can hash it — the array<float> contract itself is held by
+        // featureExtractStub's Dataset signature and its spec.
         Multimodal.featureExtractStub(
           Tables.documents(s, dir)
             .select(col("doc_id"), col("text").cast("binary"))
             .as[(Long, Array[Byte])])
-          .toDF("doc_id", "features")
+          .toDF("doc_id", "features_arr")
+          .select(col("doc_id"),
+            concat_ws(",",
+              transform(col("features_arr"), x => x.cast("double").cast("string")))
+              .as("features"))
       },
-      Some("""SELECT doc_id, [
-             |  CAST(octet_length(encode(text)) % 256 AS FLOAT),
-             |  CAST(octet_length(encode(text)) * 31 % 997 AS FLOAT),
-             |  CAST(octet_length(encode(text)) * 7 % 480 AS FLOAT),
-             |  CAST(octet_length(encode(text)) % 30 AS FLOAT)] AS features
+      Some("""SELECT doc_id, array_to_string([
+             |  CAST(CAST(octet_length(encode(text)) % 256 AS DOUBLE) AS VARCHAR),
+             |  CAST(CAST(octet_length(encode(text)) * 31 % 997 AS DOUBLE) AS VARCHAR),
+             |  CAST(CAST(octet_length(encode(text)) * 7 % 480 AS DOUBLE) AS VARCHAR),
+             |  CAST(CAST(octet_length(encode(text)) % 30 AS DOUBLE) AS VARCHAR)], ',') AS features
              |FROM documents""".stripMargin),
     ),
 

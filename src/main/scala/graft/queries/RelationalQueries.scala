@@ -462,8 +462,8 @@ object RelationalQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
              |  SELECT user_id, ts,
-             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id, count(*) AS n_events,
              |       min(ts) AS session_start, max(ts) AS session_end
@@ -852,7 +852,7 @@ object RelationalQueries {
              |  FROM events GROUP BY 1, 2, 3),
              |via_hourly AS (SELECT user_id, event_type,
              |  CAST(date_trunc('day', h) AS TIMESTAMP) AS day,
-             |  SUM(n) AS n_via_hourly,
+             |  CAST(SUM(n) AS BIGINT) AS n_via_hourly,
              |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS v_via_hourly
              |  FROM hourly GROUP BY 1, 2, 3),
              |daily AS (SELECT user_id, event_type,
@@ -902,29 +902,31 @@ object RelationalQueries {
     ),
 
     // JSON object introspection: sorted key list of the props payload.
+    // Surfaced as a canonical CSV string (not array<string>) so the
+    // driver's pandas-based row sort can hash it — semantics unchanged.
     QueryDef(
       "json_props_keys",
       (s, dir) =>
         Tables.events(s, dir).select(
           col("event_id"),
-          sort_array(map_keys(expr("from_json(props, 'map<string,string>')")))
+          array_join(
+            sort_array(map_keys(expr("from_json(props, 'map<string,string>')"))), ",")
             .as("prop_keys")),
-      Some("""SELECT event_id, list_sort(json_keys(props)) AS prop_keys
+      Some("""SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS prop_keys
              |FROM events""".stripMargin),
     ),
 
-    // Equi-depth histogram via ntile (percentile buckets — the sibling
-    // of histogram_value_buckets' fixed width), deterministic through
-    // the event_id tie-break.
+    // Equi-depth histogram (percentile buckets — the sibling of
+    // histogram_value_buckets' fixed width), deterministic through the
+    // event_id tie-break. Exact ntile semantics, but computed via
+    // EquiDepth's range-repartition + partition-offset ranks instead of
+    // an empty-partition Window, which would funnel the whole table
+    // through one task's sort.
     QueryDef(
       "histogram_equidepth",
-      (s, dir) => {
-        val w = Window.orderBy(col("value"), col("event_id"))
-        Tables.events(s, dir)
-          .select(col("value"), ntile(10).over(w).as("bucket"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
-      },
+      (s, dir) =>
+        graft.ops.EquiDepth.ntileHistogram(
+          Tables.events(s, dir), valueCol = "value", tieCol = "event_id", buckets = 10),
       Some("""SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
              |FROM (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
              |      FROM events)
@@ -1173,7 +1175,7 @@ object RelationalQueries {
       Some {
         def one(c: String) =
           s"""SELECT '$c' AS column_name, count(*) AS n,
-             |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              |  min($c) AS vmin, max($c) AS vmax,
              |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS vsum
              |FROM lineitem""".stripMargin
@@ -1197,11 +1199,11 @@ object RelationalQueries {
             "qty_under_30" -> (col("l_quantity") < 30),
           )),
       Some("""WITH w AS (SELECT
-             |  SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS qty_positive,
-             |  SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS price_positive,
-             |  SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 0 ELSE 1 END) AS discount_in_range,
-             |  SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS flag_known,
-             |  SUM(CASE WHEN COALESCE(l_quantity < 30, FALSE) THEN 0 ELSE 1 END) AS qty_under_30
+             |  CAST(SUM(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS qty_positive,
+             |  CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+             |  CAST(SUM(CASE WHEN COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS discount_in_range,
+             |  CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS flag_known,
+             |  CAST(SUM(CASE WHEN COALESCE(l_quantity < 30, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS qty_under_30
              |  FROM lineitem)
              |SELECT u.expectation, u.n_violations FROM w
              |UNPIVOT (n_violations FOR expectation IN (qty_positive, price_positive, discount_in_range, flag_known, qty_under_30)) u""".stripMargin),

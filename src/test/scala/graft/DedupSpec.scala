@@ -50,7 +50,7 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)))
     assert(!capped.contains((3L, 4L)), "stop-shingle-only pair should be pruned")
     // without the cap, the boilerplate alone links 3 and 4
-    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.01)
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.01, maxDf = None)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(exact.contains((3L, 4L)))
   }

@@ -101,6 +101,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(smj.contains("SortMergeJoin"))
   }
 
+  test("no empty-partition Window over unbounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // A Window with no PARTITION BY funnels its whole input through one
+    // task's sort — a scale-killer unless the input is an aggregate with
+    // calendar-bounded cardinality (the per-day rollups below: ≤366
+    // rows/year no matter the fact-table size). New global windows must
+    // be added here consciously or rewritten (see EquiDepth).
+    val calendarBounded = Set("window_moving_sum", "window_range_frame")
+    for ((name, fn) <- SparkEntry.queries if !calendarBounded(name)) {
+      val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"global (empty-partition) window in $name")
+    }
+  }
+
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
     val p = plans("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),
