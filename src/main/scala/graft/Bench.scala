@@ -28,13 +28,16 @@ object Bench {
       // throughput is what scales to the cluster.
       try run(fn(spark, sfDir)) catch { case _: Throwable => }
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query must be VISIBLE (-1), never a near-zero "speedup".
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

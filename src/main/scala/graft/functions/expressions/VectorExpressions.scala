@@ -37,6 +37,17 @@ case class DotProductFloat(left: Expression, right: Expression)
       s"$prettyName requires two array<float|double> arguments, " +
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
+  // A null ELEMENT nulls the whole result, matching SQL null propagation
+  // and the declarative aggregate(zip_with(...)) twin (ArrayData.getFloat
+  // on a null slot silently returns 0 — it must never be read unchecked).
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   private def get(x: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => x.getFloat(i).toDouble
     case _ => x.getDouble(i)
@@ -50,6 +61,7 @@ case class DotProductFloat(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
@@ -66,10 +78,18 @@ case class DotProductFloat(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // The element null check is emitted only when the schema admits
+      // null elements — arrays declared containsNull=false keep the bare
+      // primitive loop.
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ${genGet(elemType(left).get, a, i)} * ${genGet(elemType(right).get, b, i)};
          |}
          |${ev.value} = $acc;

@@ -37,9 +37,11 @@ object Compaction {
   /** Rewrite `path` into `ceil(bytes / targetFileBytes)` files and
     * return the new file count. The rewrite lands in `<path>__compact`
     * first; only after it is fully written does the original get
-    * replaced. `coalesce` (not `repartition`) keeps the rewrite
-    * shuffle-free — compaction is IO-bound work and should not pay an
-    * exchange.
+    * replaced — and the original is renamed aside (not deleted) before
+    * the swap, so a crash at ANY point leaves a complete copy of the
+    * data under `path`, `<path>__old`, or `<path>__compact`.
+    * `coalesce` (not `repartition`) keeps the rewrite shuffle-free —
+    * compaction is IO-bound work and should not pay an exchange.
     */
   def compactParquet(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Int = {
@@ -50,8 +52,15 @@ object Compaction {
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    val old = new Path(path + "__old")
+    fs.delete(old, true) // leftover from an earlier crashed run
+    if (!fs.rename(p, old))
+      sys.error(s"compaction aborted: could not move $p aside to $old")
+    if (!fs.rename(new Path(tmp), p)) {
+      fs.rename(old, p) // roll back; original was never deleted
+      sys.error(s"compaction aborted: could not move $tmp into place")
+    }
+    fs.delete(old, true)
     dataFiles(spark, path)
   }
 }

@@ -100,12 +100,20 @@ final class TrafsysScanBuilder(options: Map[String, String])
     options.get("datefrom").map(d => TrafsysSource.parseWireTs(d + "T00:00:00"))
   private var dateToMicros: Option[Long] =
     options.get("dateto").map(d => TrafsysSource.parseWireTs(d + "T00:00:00") + 86400000000L)
-  private var siteCode: Option[String] = options.get("sitecode").filter(_.nonEmpty)
+  // All SiteCode equalities seen (option default + pushed predicates):
+  // pushed filters are claimed as fully handled, so enforcement must be
+  // exact — two different equalities is a contradiction that yields an
+  // EMPTY scan, not last-wins.
+  private var siteCodes: Set[String] = options.get("sitecode").filter(_.nonEmpty).toSet
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = TrafsysSource.schema
 
+  // Exact micros: Timestamp.getTime truncates to millis, but getNanos
+  // carries the full fractional second — a sub-millisecond bound must be
+  // enforced at its claimed precision.
   private def tsMicros(v: Any): Long = v match {
-    case t: java.sql.Timestamp => t.getTime * 1000L
+    case t: java.sql.Timestamp =>
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
     case l: Long => l
   }
@@ -118,7 +126,7 @@ final class TrafsysScanBuilder(options: Map[String, String])
       case _ => false
     }
     accepted.foreach {
-      case EqualTo("SiteCode", v: String) => siteCode = Some(v)
+      case EqualTo("SiteCode", v: String) => siteCodes += v
       case GreaterThan("PeriodEnding", v) =>
         val m = tsMicros(v) + 1
         dateFromMicros = Some(dateFromMicros.fold(m)(math.max(_, m)))
@@ -149,12 +157,15 @@ final class TrafsysScanBuilder(options: Map[String, String])
   override def build(): Scan =
     new TrafsysScan(
       options.getOrElse("path", sys.error("trafsys source requires option 'path'")),
-      requiredSchema, dateFromMicros, dateToMicros, siteCode)
+      requiredSchema, dateFromMicros, dateToMicros, siteCodes.headOption,
+      // contradictory SiteCode equalities: correct result is no rows
+      empty = siteCodes.size > 1)
 }
 
 final class TrafsysScan(
     path: String, requiredSchema: StructType,
     fromMicros: Option[Long], toMicros: Option[Long], siteCode: Option[String],
+    empty: Boolean = false,
 ) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -171,7 +182,8 @@ final class TrafsysScan(
     * partition (fixture replay).
     */
   override def planInputPartitions(): Array[InputPartition] =
-    (fromMicros, toMicros) match {
+    if (empty) Array.empty
+    else (fromMicros, toMicros) match {
       case (Some(f), Some(t)) if t > f =>
         val fromDay = LocalDate.ofEpochDay(f / 86400000000L)
         val nDays = ((t - 1) / 86400000000L - f / 86400000000L + 1).toInt

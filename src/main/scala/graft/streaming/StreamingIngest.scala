@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.DecimalType
 
 /** One raw sensor/event reading on the streaming path. */
 final case class Event(
@@ -32,6 +33,13 @@ final case class KeyTotal(user_id: Long, event_type: String, n_events: Long, sum
   */
 object StreamingIngest {
 
+  // Same exact-DECIMAL sum discipline as the batch TrafOps.dsum: a
+  // micro-batch merged into the target must equal a batch recomputation
+  // bit-for-bit, which IEEE double summation (partition-order-dependent)
+  // does not guarantee.
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
   /** Raw event stream → hourly upsert stream (update mode). Emits the
     * same schema as the batch [[graft.ops.TrafOps.hourlyRollup]], keyed
     * by (user_id, event_type, period_ending) — each update row is one
@@ -46,7 +54,7 @@ object StreamingIngest {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        dsum(col("value")).as("sum_value"))
       .select(
         col("user_id"),
         col("event_type"),
@@ -102,7 +110,7 @@ object StreamingIngest {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        dsum(col("value")).as("sum_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),

@@ -51,6 +51,21 @@ class TrafsysSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("contradictory SiteCode equalities yield an empty result, not last-wins") {
+    val df = read.load().where($"SiteCode" === "HILL" && $"SiteCode" === "ANNEX")
+    assert(df.count() == 0)
+  }
+
+  test("sub-millisecond PeriodEnding bounds are enforced at full precision") {
+    // 05:00:00.000500 sits strictly between the 05:00 and 06:00 rows: a
+    // millisecond-truncated bound would re-admit the 05:00 row.
+    val df = read.load()
+      .where($"SiteCode" === "HILL" &&
+        $"PeriodEnding" > ts("2024-02-01 05:00:00.0005") &&
+        $"PeriodEnding" < ts("2024-02-01 07:00:00"))
+    assert(df.select($"Ins").as[Long].collect().toSeq == Seq(7L)) // 06:00 only
+  }
+
   test("a multi-day window fans out one partition per day") {
     val df = read.option("datefrom", "2024-02-01").option("dateto", "2024-02-03").load()
     assert(df.rdd.getNumPartitions == 3)

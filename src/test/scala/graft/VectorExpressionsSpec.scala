@@ -68,4 +68,29 @@ class VectorExpressionsSpec extends SparkSpec {
       bad.select(dotF($"a", $"b")).collect()
     }
   }
+
+  test("dotF nulls the result on a null ELEMENT, like the declarative twin") {
+    val df = Seq(
+      (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](4f, 5f, 6f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](4f, 5f)),
+    ).toDF("a", "b")
+    // codegen path
+    val got = df.select(dotF($"a", $"b")).as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(14.0)))
+    // interpreted path agrees
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(df.select(dotF($"a", $"b")).as[Option[Double]].collect().toSeq == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // matches the higher-order-function twin's null propagation
+    val declarative = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"))
+      .as[Option[Double]].collect().toSeq
+    assert(declarative == got)
+  }
 }
