@@ -135,6 +135,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Portable MinHash signatures: md5 (identical hex output in every
+    * engine) instead of xxhash64, min over the hex strings in plain
+    * lexicographic order — the whole pipeline is reproducible
+    * bit-for-bit by an external SQL oracle. Same plan shape as
+    * [[minhashSignatures]] (one groupBy computing all k mins,
+    * map-side-combinable); the xxhash64 variant stays the production
+    * path (8-byte sort keys vs 32-char strings), this is its
+    * verification twin.
+    */
+  def minhashSignaturesMd5(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("shingle")))).as(s"mh_$i"))
+    shingles(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over the portable md5 signatures — same banded
+    * equi-join as [[minhashCandidates]] (never all-pairs). k=16,
+    * bands=4 (r=4) puts the 50% catch point near Jaccard ≈
+    * (1/4)^(1/4) ≈ 0.71.
+    */
+  def minhashCandidatesMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignaturesMd5(docs, k, n)
+    val bandHashes = (0 until bands).map(b =>
+      md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    val left = banded.toDF("doc_a", "band_idx", "band_hash")
+    val right = banded.toDF("doc_b", "band_idx", "band_hash")
+    left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
   /** Connected components over an undirected near-dup pair list: every
     * document gets the minimum doc_id of its component as `cluster` —
     * the step that turns pairwise candidates into dedup groups (keep

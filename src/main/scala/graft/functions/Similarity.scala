@@ -55,7 +55,7 @@ object Similarity {
     * literal sign vector — the per-row work is then a single codegen'd
     * dot product instead of a per-element hash.
     */
-  private def planeSign(p: Int, i: Int): Float = {
+  private[graft] def planeSign(p: Int, i: Int): Float = {
     var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

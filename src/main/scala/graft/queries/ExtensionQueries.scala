@@ -21,6 +21,38 @@ object ExtensionQueries {
       |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingle
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
 
+  /** The LSH hyperplanes are deterministic literal ±1 sign vectors
+    * ([[Similarity.planeSign]]), and the per-plane dot product is a
+    * sequential double accumulation over ascending indices — so the
+    * oracle can reproduce the bucket ids BIT-FOR-BIT by embedding the
+    * same sign literals in an explicit left-associated addition chain
+    * (float→double casts are exact, ×±1.0 is exact, and the addition
+    * order matches the codegen'd loop).
+    */
+  private def planeDotSql(p: Int, dim: Int): String =
+    (0 until dim).map { i =>
+      val s = if (Similarity.planeSign(p, i) > 0) "1.0" else "-1.0"
+      s"CAST(embedding[${i + 1}] AS DOUBLE) * $s"
+    }.mkString(" + ")
+
+  private def lshBucketSql(dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      s"(CASE WHEN ${planeDotSql(p, dim)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Exact-decimal cosine of every candidate row against a single query
+    * embedding column `qe` — the SQL mirror of [[Similarity.cosine]]
+    * (per-element double products cast to DECIMAL(28,12) before the
+    * sum), already proven hash-stable by `embed_cosine_topk`.
+    */
+  private def cosineAgainstQuerySql(candCte: String): String =
+    s"""pr AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM $candCte),
+       |d AS (SELECT vec_id,
+       |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+       |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+       |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+       |  FROM pr GROUP BY 1)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup by content hash.
     QueryDef(
@@ -122,11 +154,38 @@ object ExtensionQueries {
               |SELECT doc_id, min(cluster) AS cluster FROM walk GROUP BY 1""".stripMargin),
     ),
 
-    // MinHash+LSH candidate pairs — hashing is xxhash64: rows-only check.
+    // MinHash+LSH candidate pairs — hashing is xxhash64: rows-only check
+    // (the md5 twin below carries the end-to-end oracle).
     QueryDef(
       "dedup_minhash_candidates",
       (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir)),
       None,
+    ),
+
+    // Portable MinHash+LSH: md5 signatures (identical hex in any engine,
+    // min = plain lexicographic), md5 band hashes — the full
+    // signature→band→candidate pipeline is oracle-checked end-to-end.
+    QueryDef(
+      "dedup_minhash_md5_candidates",
+      (s, dir) => Dedup.minhashCandidatesMd5(Tables.documents(s, dir)),
+      Some {
+        val k = 16
+        val bands = 4
+        val r = k / bands
+        val sigCols = (0 until k)
+          .map(i => s"min(md5('$i|' || shingle)) AS mh_$i").mkString(", ")
+        val bandRows = (0 until bands).map { b =>
+          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $shingleSqlCte,
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+           |banded AS ($bandRows)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM banded a JOIN banded b
+           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           | AND a.doc_id < b.doc_id""".stripMargin
+      },
     ),
 
     // SimHash signatures — xxhash64-based: rows-only check.
@@ -145,12 +204,30 @@ object ExtensionQueries {
     ),
 
     // Embedding-cosine near-dup pairs (LSH candidates + exact decimal
-    // cosine ≥ threshold) — xxhash64 hyperplanes: rows-only check.
+    // cosine ≥ threshold). The literal-sign bucket mirror makes the
+    // candidate set reproducible, and the decimal cosine is portable, so
+    // the pair list is fully oracle-checked. (The Spark side's
+    // double-cosine prefilter sits 1e-9 below the exact threshold — it
+    // can never exclude a pair the exact cut keeps.)
     QueryDef(
       "dedup_embedding_neardup",
       (s, dir) =>
         Similarity.embeddingNearDups(Tables.embeddings(s, dir), dim = 64, threshold = 0.9),
-      None,
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql(64, 8)} AS bucket
+              |  FROM embeddings),
+              |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+              |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+              |pe AS (SELECT vec_a, vec_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+              |  FROM pairs
+              |  JOIN embeddings ea ON ea.vec_id = vec_a
+              |  JOIN embeddings eb ON eb.vec_id = vec_b),
+              |d AS (SELECT vec_a, vec_b,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+              |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+              |  FROM pe GROUP BY 1, 2)
+              |SELECT vec_a, vec_b, dot / (sqrt(nx) * sqrt(ny)) AS cosine
+              |FROM d WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.9""".stripMargin),
     ),
 
     // Text quality features.
@@ -224,20 +301,29 @@ object ExtensionQueries {
              |WHERE vec_id <> 0 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
-    // LSH bucket assignment (the ANN scale path) — xxhash64 hyperplanes:
-    // rows-only check; recall is spec-tested.
+    // LSH bucket assignment (the ANN scale path). The hyperplanes are
+    // deterministic literal sign vectors, so the oracle reproduces every
+    // bucket id exactly (see lshBucketSql).
     QueryDef(
       "embed_lsh_buckets",
       (s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir), dim = 64),
-      None,
+      Some(s"SELECT vec_id, ${lshBucketSql(64, 12)} AS bucket FROM embeddings"),
     ),
 
-    // ANN top-k through the LSH index — rows-only; recall vs the exact
-    // brute-force baseline is spec-tested.
+    // ANN top-k through the LSH index: bucket mirror + portable decimal
+    // cosine = fully oracle-checked; recall vs the exact brute-force
+    // baseline is additionally spec-tested.
     QueryDef(
       "embed_ann_topk",
       (s, dir) => Similarity.annTopK(Tables.embeddings(s, dir), queryVecId = 0L, dim = 64),
-      None,
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql(64, 12)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0),
+              |cand AS (SELECT b.vec_id, b.embedding, q.qe FROM b JOIN q ON b.bucket = q.qb
+              |  WHERE b.vec_id <> 0),
+              |${cosineAgainstQuerySql("cand")}
+              |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine FROM d
+              |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
     // IVF ANN top-k (coarse-quantize → probe nearest cells) — rows-only;
@@ -248,13 +334,26 @@ object ExtensionQueries {
       None,
     ),
 
-    // Multi-probe ANN (query bucket + all Hamming-1 buckets) — rows-only;
-    // recall-dominance over single-probe spec-tested.
+    // Multi-probe ANN (query bucket + all Hamming-1 buckets): bucket
+    // mirror + XOR probe list + decimal cosine = fully oracle-checked;
+    // recall-dominance over single-probe is additionally spec-tested.
     QueryDef(
       "embed_ann_multiprobe",
       (s, dir) =>
         Similarity.annTopKMultiProbe(Tables.embeddings(s, dir), queryVecId = 0L, dim = 64),
-      None,
+      Some {
+        val probes = (0 until 12).map(p => s"xor(q.qb, CAST(${1L << p} AS BIGINT))")
+          .mkString(", ")
+        s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql(64, 12)} AS bucket
+           |  FROM embeddings),
+           |q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0),
+           |probes AS (SELECT unnest([q.qb, $probes]) AS pb, q.qe FROM q),
+           |cand AS (SELECT DISTINCT b.vec_id, b.embedding, p.qe
+           |  FROM b JOIN probes p ON b.bucket = p.pb WHERE b.vec_id <> 0),
+           |${cosineAgainstQuerySql("cand")}
+           |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine FROM d
+           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+      },
     ),
 
     // BPE-ish sub-word token counts (regex pre-tokenization): words and

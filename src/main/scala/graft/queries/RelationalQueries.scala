@@ -394,27 +394,46 @@ object RelationalQueries {
              |FROM lineitem GROUP BY 1""".stripMargin),
     ),
 
-    // HLL-sketch approximate distinct — engine-specific sketch, so
-    // rows-only check; the exact twin above carries correctness.
+    // HLL-sketch approximate distinct. The sketch value itself is
+    // engine-specific, so the oracle checks a DERIVED INVARIANT instead:
+    // the query emits the exact distinct count plus a boolean asserting
+    // the sketch landed within 3σ of it (default rsd 0.05 → 15%); the
+    // oracle supplies the exact count and TRUE. A drifting sketch flips
+    // the boolean and fails the hash.
     QueryDef(
       "agg_approx_distinct",
       (s, dir) =>
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None,
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("__approx"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+          .select(col("l_returnflag"), col("n_parts"),
+            (abs(col("__approx") - col("n_parts"))
+              <= col("n_parts") * lit(0.15)).as("approx_ok")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |TRUE AS approx_ok
+             |FROM lineitem GROUP BY 1""".stripMargin),
     ),
 
-    // KLL/GK-sketch approximate percentile — engine-specific sketch,
-    // rows-only; the exact interpolated twin below carries correctness.
+    // KLL/GK-sketch approximate percentile — same derived-invariant
+    // oracle pattern: accuracy 1000 bounds the rank error at n/1000, so
+    // the approx median must sit within the exact [p45, p55] band.
     QueryDef(
       "agg_approx_percentile",
       (s, dir) =>
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
-          .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-            .as("approx_median_qty")),
-      None,
+          .agg(
+            count(lit(1)).as("n"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__am"),
+            expr("percentile(l_quantity, 0.45)").as("__lo"),
+            expr("percentile(l_quantity, 0.55)").as("__hi"))
+          .select(col("l_returnflag"), col("n"),
+            (col("__am") >= col("__lo") && col("__am") <= col("__hi"))
+              .as("median_ok")),
+      Some("""SELECT l_returnflag, count(*) AS n, TRUE AS median_ok
+             |FROM lineitem GROUP BY 1""".stripMargin),
     ),
 
     // TPC-H Q17-shaped correlated aggregate, decorrelated: parts whose

@@ -78,6 +78,13 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashCandidatesMd5 (portable twin) recalls exact duplicates") {
+    val cands = Dedup.minhashCandidatesMd5(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L))) // identical signatures always collide
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs get identical signatures; near-dups are close") {
     val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(4L))
