@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import graft.state.RunLog
+
+/** The scheduler-facing entry point (SURVEY §2 O2) — the reference's
+  * commander CLI (`/root/reference/script.js:53-57`, `README.md:7-9`):
+  *
+  * {{{
+  * runMain graft.pipeline.IngestCli \
+  *   -f 2024-01-05 -t 2024-01-06 \
+  *   --source /root/testdata/sf0.001 \
+  *   --target /data/hourly --runlog /data/runlog
+  * }}}
+  *
+  * Defaults mirror the reference exactly: `--to` defaults to yesterday
+  * (the 1-day completeness delay), `--from` defaults to the previous
+  * run's ToDate when a run log exists (deliberate 1-day overlap absorbed
+  * by the idempotent merge), else yesterday.
+  */
+object IngestCli {
+
+  final case class CliArgs(
+      from: Option[String],
+      to: Option[String],
+      source: String,
+      target: String,
+      runlog: String,
+  )
+
+  private[graft] def parseArgs(argv: Array[String]): CliArgs = {
+    var from: Option[String] = None
+    var to: Option[String] = None
+    var source: Option[String] = None
+    var target: Option[String] = None
+    var runlog: Option[String] = None
+    var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= argv.length) sys.error(s"missing value for $flag")
+      i += 2
+      argv(i - 1)
+    }
+    while (i < argv.length) {
+      argv(i) match {
+        case f @ ("-f" | "--from") => from = Some(value(f))
+        case f @ ("-t" | "--to") => to = Some(value(f))
+        case f @ "--source" => source = Some(value(f))
+        case f @ "--target" => target = Some(value(f))
+        case f @ "--runlog" => runlog = Some(value(f))
+        case other => sys.error(s"unknown argument: $other")
+      }
+    }
+    CliArgs(from, to,
+      source.getOrElse(sys.error("--source <dir> is required")),
+      target.getOrElse(sys.error("--target <path> is required")),
+      runlog.getOrElse(sys.error("--runlog <path> is required")))
+  }
+
+  /** Programmatic form of the CLI run (spec-tested; `main` only adds the
+    * session and clock).
+    */
+  def run(spark: SparkSession, argv: Array[String],
+      today: java.time.LocalDate): Long = {
+    val a = parseArgs(argv)
+    val runLog = new RunLog(spark, a.runlog)
+    val (defaultFrom, defaultTo) = runLog.nextWindow(today)
+    new IngestPipeline(spark, a.target, runLog)
+      .runWindow(a.source, a.from.getOrElse(defaultFrom), a.to.getOrElse(defaultTo), today)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val n = run(spark, argv, java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+      println(s"ingested $n records")
+    } finally spark.stop()
+  }
+}

@@ -144,7 +144,15 @@ final class IngestPipeline(spark: SparkSession, target: TargetSink, runLog: RunL
     */
   def run(sfDir: String, today: java.time.LocalDate): Long = {
     val (fromDate, toDate) = runLog.nextWindow(today)
+    runWindow(sfDir, fromDate, toDate, today)
+  }
 
+  /** Run an EXPLICIT [fromDate, toDate] window (the CLI's -f/--from
+    * -t/--to path, reference `script.js:53-57`) — same merge + log-after-
+    * success discipline as the run-log-derived window.
+    */
+  def runWindow(sfDir: String, fromDate: String, toDate: String,
+      today: java.time.LocalDate): Long = {
     // Source scan with the window pushed down (reference S2: DateFrom/
     // DateTo are source-side parameters, `script.js:143-149`). On parquet
     // the filter reaches the scan as min/max-prunable PushedFilters (via

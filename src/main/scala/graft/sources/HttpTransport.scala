@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Production HTTP transport for the TrafSys REST API (`java.net.http` —
+  * JDK built-in, no extra dependency), plugged into the SAME injected
+  * seams the fixture path uses. Mirrors the reference transport:
+  *
+  *   - `POST <base>token`, form-encoded password grant
+  *     (`/root/reference/script.js:68-79`), parsing `access_token` and
+  *     the OWIN-style `".expires"` stamp;
+  *   - `GET <base>api/traffic` with the SiteCode /
+  *     IncludeInternalLocations / DataSummedByDay / DateFrom / DateTo
+  *     query parameters and the bearer header (`script.js:141-153`);
+  *   - HTTP 401 surfaces as [[TokenProvider.Unauthorized]], so
+  *     [[TokenProvider.withRetry]] applies the reference's
+  *     wait–refresh–retry-once discipline (`script.js:240-254`).
+  *
+  * Serializable config (base URL + credentials); the client itself is
+  * transient and rebuilt lazily on each executor.
+  */
+final class HttpTransport(baseUrl: String, username: String, password: String)
+    extends Serializable {
+
+  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  /** T3: application/x-www-form-urlencoded body (the reference's
+    * `qs.stringify`, `script.js:69`).
+    */
+  private def formEncode(params: Seq[(String, String)]): String =
+    params.map { case (k, v) =>
+      URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" +
+        URLEncoder.encode(v, StandardCharsets.UTF_8)
+    }.mkString("&")
+
+  /** D4: the OAuth endpoint's `".expires"` is OWIN RFC-1123
+    * ("Thu, 01 Feb 2024 00:00:00 GMT"); accept ISO-8601 as the lenient
+    * fallback (the reference's `new Date(...)` accepts both).
+    */
+  private[graft] def parseExpires(s: String): Instant =
+    try Instant.from(DateTimeFormatter.RFC_1123_DATE_TIME.parse(s))
+    catch { case _: java.time.format.DateTimeParseException => Instant.parse(s) }
+
+  def requestToken(): TokenProvider.Token = {
+    val req = HttpRequest.newBuilder(URI.create(baseUrl + "token"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(formEncode(Seq(
+        "username" -> username,
+        "password" -> password,
+        "grant_type" -> "password"))))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      sys.error(s"token request failed: HTTP ${resp.statusCode()}")
+    val node = new ObjectMapper().readTree(resp.body())
+    TokenProvider.Token(
+      node.get("access_token").asText(),
+      parseExpires(node.get(".expires").asText()))
+  }
+
+  /** One day-window pull; returns the raw JSON array body. */
+  def getTraffic(fromDate: String, toDate: String, siteCode: Option[String])(
+      bearer: String): String = {
+    val q = formEncode(Seq(
+      "SiteCode" -> siteCode.getOrElse(""),
+      "IncludeInternalLocations" -> "true",
+      "DataSummedByDay" -> "false",
+      "DateFrom" -> fromDate,
+      "DateTo" -> toDate))
+    val req = HttpRequest.newBuilder(URI.create(baseUrl + "api/traffic?" + q))
+      .header("Authorization", bearer)
+      .GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => resp.body()
+      case 401 => throw new TokenProvider.Unauthorized("HTTP 401 from api/traffic")
+      case c => sys.error(s"traffic request failed: HTTP $c")
+    }
+  }
+}
+
+object HttpTransport {
+  // One TokenProvider per (endpoint, user) per JVM: partition readers on
+  // the same executor share the cached bearer instead of re-running the
+  // password grant per day-partition — the distributed form of the
+  // reference's cross-run token reuse (script.js:36-47).
+  private val providers =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), TokenProvider]()
+
+  def tokenProviderFor(baseUrl: String, username: String,
+      transport: HttpTransport): TokenProvider =
+    providers.computeIfAbsent((baseUrl, username),
+      _ => new TokenProvider(() => transport.requestToken()))
+}

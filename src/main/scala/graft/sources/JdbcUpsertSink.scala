@@ -26,26 +26,27 @@ import org.apache.spark.sql.types._
   * with typed parameter casts, which Oracle/PostgreSQL 15+/DB2 accept
   * modulo type-name spelling via [[sqlType]].
   */
-object JdbcUpsertSink {
+/** Target-database dialect for the merge sink: dual-table spelling, type
+  * names, how a bound parameter appears in the statement, and how
+  * timestamps are bound.
+  */
+sealed trait SinkDialect {
+  def dualTable: String
+  def sqlType(t: DataType): String
+  /** The SQL fragment standing for one bound column value. */
+  def param(t: DataType): String
+  /** Dialect-specific ON-clause wrapping. */
+  def onClause(cond: String): String
+  /** Bind TimestampType as its wire string (for `TO_DATE(?, ...)`). */
+  def bindTimestampAsString: Boolean
+}
 
-  /** S4 (catalog scan) + S5 (DDL sink): create `table` if absent, using
-    * JDBC metadata instead of the reference's `user_tables` query
-    * (`script.js:104-108`).
-    */
-  def ensureTable(conn: Connection, table: String, schema: StructType, keys: Seq[String]): Unit = {
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-    val exists = rs.next()
-    rs.close()
-    if (!exists) {
-      val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-      val pk = s", PRIMARY KEY (${keys.mkString(", ")})"
-      val st = conn.createStatement()
-      try st.executeUpdate(s"CREATE TABLE $table ($cols$pk)")
-      finally st.close()
-    }
-  }
-
-  def sqlType(t: DataType): String = t match {
+/** ANSI MERGE as Derby (the in-classpath test database) accepts it:
+  * typed `CAST(? AS ...)` parameters, `SYSIBM.SYSDUMMY1` dual.
+  */
+case object DerbyDialect extends SinkDialect {
+  override val dualTable = "SYSIBM.SYSDUMMY1"
+  override def sqlType(t: DataType): String = t match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"
     case DoubleType => "DOUBLE"
@@ -53,6 +54,55 @@ object JdbcUpsertSink {
     case StringType => "VARCHAR(200)" // reference uses varchar2(100), script.js:112-113
     case other => sys.error(s"unsupported sink type $other")
   }
+  override def param(t: DataType): String = s"CAST(? AS ${sqlType(t)})"
+  override def onClause(cond: String): String = cond
+  override val bindTimestampAsString = false
+}
+
+/** The reference's actual target dialect (`script.js:182-215`): Oracle
+  * `MERGE INTO ... USING DUAL`, `NUMBER`/`VARCHAR2`/`DATE` types, and
+  * timestamps bound as the wire string through
+  * `TO_DATE(?, 'YYYY-MM-DD"T"HH24:MI:SS')` exactly like the PL/SQL
+  * block's `:PeriodEnding` bind (`script.js:191`, bindDefs STRING at
+  * `script.js:205-212`).
+  */
+case object OracleDialect extends SinkDialect {
+  override val dualTable = "DUAL"
+  override def sqlType(t: DataType): String = t match {
+    case LongType | IntegerType | DoubleType => "NUMBER" // script.js:209-211
+    case TimestampType => "DATE" // TO_DATE target, script.js:191
+    case StringType => "VARCHAR2(100)" // script.js:112-113
+    case other => sys.error(s"unsupported sink type $other")
+  }
+  override def param(t: DataType): String = t match {
+    case TimestampType => "TO_DATE(?, 'YYYY-MM-DD\"T\"HH24:MI:SS')"
+    case _ => "?"
+  }
+  override def onClause(cond: String): String = s"($cond)"
+  override val bindTimestampAsString = true
+}
+
+object JdbcUpsertSink {
+
+  /** S4 (catalog scan) + S5 (DDL sink): create `table` if absent, using
+    * JDBC metadata instead of the reference's `user_tables` query
+    * (`script.js:104-108`).
+    */
+  def ensureTable(conn: Connection, table: String, schema: StructType, keys: Seq[String],
+      dialect: SinkDialect = DerbyDialect): Unit = {
+    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+    val exists = rs.next()
+    rs.close()
+    if (!exists) {
+      val cols = schema.fields.map(f => s"${f.name} ${dialect.sqlType(f.dataType)}").mkString(", ")
+      val pk = s", PRIMARY KEY (${keys.mkString(", ")})"
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $table ($cols$pk)")
+      finally st.close()
+    }
+  }
+
+  def sqlType(t: DataType): String = DerbyDialect.sqlType(t)
 
   /** One batched MERGE statement per partition. `keys` is the merge key
     * (the reference's composite PK, `script.js:119`); all other columns
@@ -60,9 +110,9 @@ object JdbcUpsertSink {
     * (`script.js:195-200`).
     */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000, dialect: SinkDialect = DerbyDialect): Unit = {
     val schema = df.schema
-    val mergeSql = buildMergeSql(table, schema, keys)
+    val mergeSql = buildMergeSql(table, schema, keys, dialect)
     val order = bindOrder(schema, keys)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
@@ -73,7 +123,7 @@ object JdbcUpsertSink {
           try {
             var n = 0
             rows.foreach { row =>
-              bind(ps, schema, order, row)
+              bind(ps, schema, order, row, dialect)
               ps.addBatch()
               n += 1
               if (n % batchSize == 0) ps.executeBatch()
@@ -86,25 +136,23 @@ object JdbcUpsertSink {
     }
   }
 
-  /** ANSI MERGE against a one-row dual table (Derby's MERGE source must
-    * be a base table, so `SYSIBM.SYSDUMMY1`; Oracle's spelling is
-    * `DUAL`). The incoming row's values appear as typed parameter casts
+  /** MERGE against a one-row dual table, spelled per [[SinkDialect]].
+    * The incoming row's values appear as the dialect's parameter forms
     * directly in the ON / SET / VALUES clauses; [[bindOrder]] gives the
     * column index for each `?` in statement order: merge keys (ON), then
     * non-key columns (UPDATE SET), then every column (INSERT VALUES).
     */
   private[graft] def buildMergeSql(table: String, schema: StructType, keys: Seq[String],
-      dualTable: String = "SYSIBM.SYSDUMMY1"): String = {
+      dialect: SinkDialect = DerbyDialect): String = {
     val cols = schema.fieldNames.toSeq
-    def cast(c: String): String =
-      s"CAST(? AS ${sqlType(schema(c).dataType)})"
-    val on = keys.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")
+    def p(c: String): String = dialect.param(schema(c).dataType)
+    val on = dialect.onClause(keys.map(k => s"t.$k = ${p(k)}").mkString(" AND "))
     val updatable = cols.filterNot(keys.contains)
-    val set = updatable.map(c => s"$c = ${cast(c)}").mkString(", ")
+    val set = updatable.map(c => s"$c = ${p(c)}").mkString(", ")
     val insertCols = cols.mkString(", ")
-    val insertVals = cols.map(cast).mkString(", ")
+    val insertVals = cols.map(p).mkString(", ")
     s"""MERGE INTO $table t
-       |USING $dualTable s
+       |USING ${dialect.dualTable} s
        |ON $on
        |WHEN MATCHED THEN UPDATE SET $set
        |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
@@ -118,7 +166,8 @@ object JdbcUpsertSink {
     (keys ++ updatable ++ cols).map(idx)
   }
 
-  private def bind(ps: PreparedStatement, schema: StructType, order: Seq[Int], row: Row): Unit =
+  private def bind(ps: PreparedStatement, schema: StructType, order: Seq[Int], row: Row,
+      dialect: SinkDialect): Unit =
     order.zipWithIndex.foreach { case (i, pos) =>
       val j = pos + 1
       if (row.isNullAt(i)) ps.setNull(j, java.sql.Types.NULL)
@@ -126,6 +175,10 @@ object JdbcUpsertSink {
         case LongType => ps.setLong(j, row.getLong(i))
         case IntegerType => ps.setInt(j, row.getInt(i))
         case DoubleType => ps.setDouble(j, row.getDouble(i))
+        case TimestampType if dialect.bindTimestampAsString =>
+          // the reference's wire-string bind through TO_DATE (script.js:191)
+          ps.setString(j, row.getAs[Timestamp](i).toLocalDateTime
+            .format(TrafsysSource.wirePattern))
         case TimestampType => ps.setTimestamp(j, row.getAs[Timestamp](i))
         case StringType => ps.setString(j, row.getString(i))
         case other => sys.error(s"unsupported sink type $other")

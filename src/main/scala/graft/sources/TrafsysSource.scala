@@ -40,12 +40,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - **Timestamp wire format** (D3, `script.js:191`): `PeriodEnding`
   *     strings `yyyy-MM-dd'T'HH:mm:ss` parsed at the source boundary.
   *
-  * Transport: the container has no egress, so the "API" is a JSON-lines
-  * fixture at `option("path", ...)` — one `DataRecord` object per line,
-  * the same payload shape axios returns (`script.js:154`). Swapping
-  * [[TrafsysPartitionReader.fetchDay]] for an HTTP GET (with
-  * [[TokenProvider]] auth) is the only production delta; plan shape,
-  * pushdown, and parallelism are already real.
+  * Transport is selected by option:
+  *   - `option("url", "https://.../rest/")` + `username`/`password` —
+  *     the production path: each day-partition issues
+  *     `GET <url>api/traffic` through [[HttpTransport]] with
+  *     [[TokenProvider]] bearer auth (401 → wait, refresh, retry once);
+  *   - `option("path", ...)` — a JSON-lines fixture, one `DataRecord`
+  *     object per line, the same payload shape axios returns
+  *     (`script.js:154`), for the zero-egress test environment.
+  * Both paths share the same reader, filters, and type coercions — the
+  * transport only changes where the JSON nodes come from.
   */
 class TrafsysSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -154,16 +158,18 @@ final class TrafsysScanBuilder(options: Map[String, String])
     requiredSchema = StructType(
       TrafsysSource.schema.fields.filter(f => required.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    if (!options.contains("path") && !options.contains("url"))
+      sys.error("trafsys source requires option 'path' (fixture) or 'url' (HTTP)")
     new TrafsysScan(
-      options.getOrElse("path", sys.error("trafsys source requires option 'path'")),
-      requiredSchema, dateFromMicros, dateToMicros, siteCodes.headOption,
+      options, requiredSchema, dateFromMicros, dateToMicros, siteCodes.headOption,
       // contradictory SiteCode equalities: correct result is no rows
       empty = siteCodes.size > 1)
+  }
 }
 
 final class TrafsysScan(
-    path: String, requiredSchema: StructType,
+    options: Map[String, String], requiredSchema: StructType,
     fromMicros: Option[Long], toMicros: Option[Long], siteCode: Option[String],
     empty: Boolean = false,
 ) extends Scan with Batch {
@@ -174,12 +180,15 @@ final class TrafsysScan(
     val f = fromMicros.map(m => s"DateFrom=${m / 1000000}").getOrElse("")
     val t = toMicros.map(m => s"DateTo=${m / 1000000}").getOrElse("")
     val s = siteCode.map(c => s"SiteCode=$c").getOrElse("")
-    s"trafsys $path ${Seq(f, t, s).filter(_.nonEmpty).mkString(" ")}"
+    val src = options.get("url").orElse(options.get("path")).getOrElse("")
+    s"trafsys $src ${Seq(f, t, s).filter(_.nonEmpty).mkString(" ")}"
   }
 
   /** One input partition per day of the requested window — the unit of
-    * fetch parallelism. An unbounded window collapses to a single
-    * partition (fixture replay).
+    * fetch parallelism (N executors pull N days concurrently). An
+    * unbounded window collapses to a single partition: full fixture
+    * replay, or — in HTTP mode — the reference's yesterday-only default
+    * window (`script.js:53-57`).
     */
   override def planInputPartitions(): Array[InputPartition] =
     if (empty) Array.empty
@@ -189,11 +198,15 @@ final class TrafsysScan(
         val nDays = ((t - 1) / 86400000000L - f / 86400000000L + 1).toInt
         (0 until nDays).map { i =>
           val d0 = fromDay.plusDays(i).toEpochDay * 86400000000L
-          TrafsysPartition(path, math.max(f, d0), math.min(t, d0 + 86400000000L))
+          TrafsysPartition(options, math.max(f, d0), math.min(t, d0 + 86400000000L))
             : InputPartition
         }.toArray
+      case _ if options.contains("url") =>
+        val y = LocalDate.now(java.time.ZoneOffset.UTC).minusDays(1)
+        val d0 = y.toEpochDay * 86400000000L
+        Array(TrafsysPartition(options, d0, d0 + 86400000000L))
       case _ =>
-        Array(TrafsysPartition(path, fromMicros.getOrElse(Long.MinValue),
+        Array(TrafsysPartition(options, fromMicros.getOrElse(Long.MinValue),
           toMicros.getOrElse(Long.MaxValue)))
     }
 
@@ -201,7 +214,8 @@ final class TrafsysScan(
     new TrafsysReaderFactory(requiredSchema, siteCode)
 }
 
-final case class TrafsysPartition(path: String, fromMicros: Long, toMicros: Long)
+final case class TrafsysPartition(
+    options: Map[String, String], fromMicros: Long, toMicros: Long)
     extends InputPartition
 
 final class TrafsysReaderFactory(requiredSchema: StructType, siteCode: Option[String])
@@ -211,24 +225,48 @@ final class TrafsysReaderFactory(requiredSchema: StructType, siteCode: Option[St
       partition.asInstanceOf[TrafsysPartition], requiredSchema, siteCode)
 }
 
-/** Reads one day-window of `DataRecord`s. `fetchDay` is where a real
-  * deployment issues `GET rest/api/traffic?DateFrom=...&DateTo=...`
-  * with the [[TokenProvider]] bearer header (`script.js:141-153`);
-  * fixture mode streams the JSON-lines payload and applies the same
-  * parameters the server would.
+/** Reads one day-window of `DataRecord`s. HTTP mode issues the real
+  * `GET rest/api/traffic?DateFrom=...&DateTo=...` with the
+  * [[TokenProvider]] bearer header through [[HttpTransport]]
+  * (`script.js:141-153`); fixture mode streams the JSON-lines payload.
+  * Either way the reader applies the same window/site parameters the
+  * server honors, so results are transport-independent.
   */
 final class TrafsysPartitionReader(
     partition: TrafsysPartition, requiredSchema: StructType, siteCode: Option[String],
 ) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(partition.path, "UTF-8")
-  private val lines = source.getLines().flatMap(parse)
+
+  private var closer: () => Unit = () => ()
+
+  private val records: Iterator[JsonNode] = partition.options.get("url") match {
+    case Some(base) =>
+      val transport = new HttpTransport(
+        base,
+        partition.options.getOrElse("username", ""),
+        partition.options.getOrElse("password", ""))
+      val tokens = HttpTransport.tokenProviderFor(
+        base, partition.options.getOrElse("username", ""), transport)
+      // DateFrom/DateTo are inclusive dates, exactly one day per
+      // partition by construction (planInputPartitions)
+      val fromDate = LocalDate.ofEpochDay(partition.fromMicros / 86400000000L).toString
+      val toDate = LocalDate.ofEpochDay((partition.toMicros - 1) / 86400000000L).toString
+      val body = tokens.withRetry(b => transport.getTraffic(fromDate, toDate, siteCode)(b))
+      val arr = mapper.readTree(body)
+      // the reference's bad-response guard (script.js:156-159)
+      if (!arr.isArray) sys.error(s"Bad response from Trafsys: ${body.take(200)}")
+      arr.elements().asScala
+    case None =>
+      val source = scala.io.Source.fromFile(partition.options("path"), "UTF-8")
+      closer = () => source.close()
+      source.getLines().filter(_.nonEmpty).map(mapper.readTree)
+  }
+
+  private val rows = records.flatMap(parse)
   private var current: InternalRow = _
 
-  private def parse(line: String): Option[InternalRow] = {
-    if (line.isEmpty) return None
-    val node = mapper.readTree(line)
+  private def parse(node: JsonNode): Option[InternalRow] = {
     // Server-honored parameters: the pushed window + site equality are
     // applied here, mirroring the API's DateFrom/DateTo/SiteCode.
     val ts = TrafsysSource.parseWireTs(node.get("PeriodEnding").asText())
@@ -251,8 +289,8 @@ final class TrafsysPartitionReader(
   }
 
   override def next(): Boolean =
-    if (lines.hasNext) { current = lines.next(); true } else false
+    if (rows.hasNext) { current = rows.next(); true } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = closer()
 }

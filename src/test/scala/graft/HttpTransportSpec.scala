@@ -1,0 +1,125 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sources.HttpTransport
+
+/** Exercises the REAL `java.net.http` client classes against a local
+  * stub of the TrafSys API: password-grant token endpoint, bearer-auth
+  * traffic endpoint with DateFrom/DateTo/SiteCode parameters, and the
+  * 401 → wait/refresh/retry-once discipline — the production transport
+  * path end-to-end, no network egress required.
+  */
+class HttpTransportSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stub TrafSys API. Tokens are "tok<N>"; `rejectFirstToken` makes the
+    * traffic endpoint 401 "tok1" to force the refresh-retry path.
+    */
+  private def withServer(rejectFirstToken: Boolean)(
+      body: (String, AtomicInteger) => Unit): Unit = {
+    val tokenRequests = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+    def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    server.createContext("/rest/token", (ex: HttpExchange) => {
+      val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestMethod == "POST" && form.contains("grant_type=password")
+        && form.contains("username=u1") && form.contains("password=p1")) {
+        val n = tokenRequests.incrementAndGet()
+        val expires = DateTimeFormatter.RFC_1123_DATE_TIME
+          .withZone(ZoneOffset.UTC).format(Instant.now().plusSeconds(3600))
+        respond(ex, 200, s"""{"access_token":"tok$n",".expires":"$expires"}""")
+      } else respond(ex, 400, """{"error":"invalid_grant"}""")
+    })
+
+    server.createContext("/rest/api/traffic", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (!auth.startsWith("Bearer tok") || (rejectFirstToken && auth == "Bearer tok1")) {
+        respond(ex, 401, """{"error":"unauthorized"}""")
+      } else {
+        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.toMap
+        val (from, to) = (params("DateFrom"), params("DateTo"))
+        val site = params.getOrElse("SiteCode", "")
+        val records = for {
+          day <- 1 to 3
+          hour <- 0 until 24
+          s <- Seq("HILL", "ANNEX") if site.isEmpty || site == s
+          date = f"2024-02-0$day%d"
+          if date >= from && date <= to
+        } yield {
+          val hh = f"$hour%02d"
+          s"""{"SiteCode":"$s","Location":"Main","IsInternal":${s == "ANNEX"},""" +
+            s""""PeriodEnding":"${date}T$hh:00:00","Ins":$hour,"Outs":$day}"""
+        }
+        respond(ex, 200, records.mkString("[", ",", "]"))
+      }
+    })
+
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/rest/", tokenRequests)
+    finally server.stop(0)
+  }
+
+  private def read(url: String) = spark.read.format("graft.sources.TrafsysSource")
+    .option("url", url).option("username", "u1").option("password", "p1")
+
+  test("HTTP mode pulls the date window through the real client, one partition per day") {
+    withServer(rejectFirstToken = false) { (url, tokenRequests) =>
+      val df = read(url)
+        .option("datefrom", "2024-02-01").option("dateto", "2024-02-02").load()
+      assert(df.rdd.getNumPartitions == 2)
+      assert(df.count() == 2 * 24 * 2)
+      // day partitions share one cached bearer (provider cache per JVM)
+      assert(tokenRequests.get() == 1)
+      val r = df.where($"SiteCode" === "ANNEX" &&
+        $"PeriodEnding" === ts("2024-02-01 05:00:00"))
+        .select("IsInternal", "Ins", "Outs").as[(Int, Long, Long)].head()
+      assert(r == ((1, 5L, 1L)))
+    }
+  }
+
+  test("SiteCode pushdown reaches the HTTP request as a source parameter") {
+    withServer(rejectFirstToken = false) { (url, _) =>
+      val df = read(url)
+        .option("datefrom", "2024-02-01").option("dateto", "2024-02-01").load()
+        .where($"SiteCode" === "HILL")
+      assert(df.count() == 24)
+    }
+  }
+
+  test("401 triggers wait-refresh-retry-once (reference script.js:240-254)") {
+    withServer(rejectFirstToken = true) { (url, tokenRequests) =>
+      val df = read(url)
+        .option("datefrom", "2024-02-03").option("dateto", "2024-02-03").load()
+      assert(df.count() == 24 * 2)
+      // tok1 was rejected once, tok2 served the retry
+      assert(tokenRequests.get() == 2)
+    }
+  }
+
+  test("parseExpires handles OWIN RFC-1123 and ISO-8601") {
+    val t = new HttpTransport("http://localhost/", "u", "p")
+    assert(t.parseExpires("Thu, 01 Feb 2024 00:00:00 GMT")
+      == Instant.parse("2024-02-01T00:00:00Z"))
+    assert(t.parseExpires("2024-02-01T00:00:00Z")
+      == Instant.parse("2024-02-01T00:00:00Z"))
+  }
+}

@@ -72,4 +72,28 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(JdbcUpsertSink.bindOrder(schema, keys) ==
       Seq(0, 1, 3, 2, 4, 5, 0, 1, 2, 3, 4, 5))
   }
+
+  test("Oracle dialect emits DUAL, NUMBER/VARCHAR2/DATE, and TO_DATE binds (script.js:185-201)") {
+    val sql = JdbcUpsertSink.buildMergeSql(table, schema, keys, graft.sources.OracleDialect)
+    assert(sql.contains("MERGE INTO ULS_TRAFSYS_DATA t"))
+    assert(sql.contains("USING DUAL s"))
+    // Oracle wraps the ON condition in parentheses
+    assert(sql.contains("ON (t.SiteCode = ? AND t.Location = ? AND " +
+      "t.PeriodEnding = TO_DATE(?, 'YYYY-MM-DD\"T\"HH24:MI:SS'))"))
+    // non-key columns update as plain binds
+    assert(sql.contains("UPDATE SET IsInternal = ?, Ins = ?, Outs = ?"))
+    // the timestamp bind goes through TO_DATE in INSERT too
+    assert(sql.contains("VALUES (?, ?, ?, TO_DATE(?, 'YYYY-MM-DD\"T\"HH24:MI:SS'), ?, ?)"))
+    assert(sql.count(_ == '?') == 3 + 3 + 6)
+    // Oracle DDL types per the reference's create table (script.js:110-118)
+    assert(graft.sources.OracleDialect.sqlType(
+      org.apache.spark.sql.types.LongType) == "NUMBER")
+    assert(graft.sources.OracleDialect.sqlType(
+      org.apache.spark.sql.types.StringType) == "VARCHAR2(100)")
+    assert(graft.sources.OracleDialect.sqlType(
+      org.apache.spark.sql.types.TimestampType) == "DATE")
+    // Derby path is byte-identical to the pre-dialect SQL
+    assert(JdbcUpsertSink.buildMergeSql(table, schema, keys) ==
+      JdbcUpsertSink.buildMergeSql(table, schema, keys, graft.sources.DerbyDialect))
+  }
 }

@@ -61,6 +61,33 @@ class PipelineSpec extends SparkSpec {
     assert(log.latest().map(_.toDate).contains("2024-01-16"))
   }
 
+  test("CLI entry: -f/--from -t/--to override, defaults from the run log (O2)") {
+    val dir = tmp("cli")
+    val sf = "/root/testdata/sf0.001"
+    val base = Array("--source", sf, "--target", s"$dir/target", "--runlog", s"$dir/log")
+
+    // explicit window
+    val n1 = graft.pipeline.IngestCli.run(spark, base ++
+      Array("-f", "2024-01-15", "-t", "2024-01-15"), LocalDate.parse("2024-01-16"))
+    assert(n1 > 0)
+
+    // no flags: from = previous ToDate (overlap), to = yesterday — the
+    // reference's defaults (script.js:53-57)
+    val n2 = graft.pipeline.IngestCli.run(spark, base, LocalDate.parse("2024-01-17"))
+    assert(n2 > 0)
+    val log = new RunLog(spark, s"$dir/log")
+    assert(log.latest().map(r => (r.fromDate, r.toDate))
+      .contains(("2024-01-15", "2024-01-16")))
+
+    // long-option spelling parses identically
+    val parsed = graft.pipeline.IngestCli.parseArgs(base ++
+      Array("--from", "2024-01-10", "--to", "2024-01-12"))
+    assert(parsed.from.contains("2024-01-10") && parsed.to.contains("2024-01-12"))
+    intercept[RuntimeException] {
+      graft.pipeline.IngestCli.parseArgs(Array("--bogus"))
+    }
+  }
+
   test("ingest pipeline against a JDBC merge target (the reference's sink shape)") {
     val log = new RunLog(spark, tmp("runlog-jdbc") + "/log")
     val url = "jdbc:derby:memory:graftpipe;create=true"
