@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after dedup
+  * and quality scoring: deterministic splits, sequence packing,
+  * benchmark-contamination checks, and stratified sampling. All four are
+  * hash-deterministic (md5 — portable to any engine, so every one is
+  * oracle-checked end-to-end) and shuffle-disciplined: narrow
+  * projections where possible, per-shard windows where an order is
+  * required, broadcast joins for small probe/threshold sides.
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment: the first md5 byte of the
+    * salted doc id draws a uniform value in 0..255, cut at 205 ('cd' →
+    * ~80.1%) and 230 ('e6' → ~9.7%/10.2%). A document's split never
+    * depends on the rest of the corpus (stable under appends — the
+    * property that matters for reproducible training runs), and the
+    * operator is a narrow projection: no shuffle at any corpus size.
+    */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      salt: String = "s1"): DataFrame = {
+    val bucket = substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 2)
+    docs.select(
+      col(idCol),
+      when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+        .as("split"))
+  }
+
+  /** Sequence packing for a training-token budget: shard the corpus
+    * (each trainer/worker packs independently — doc_id mod `shards`),
+    * order within the shard, and assign each document to the sequence
+    * its running token count lands in (`(cum - n) div budget`: a
+    * document straddling a boundary stays with the earlier sequence,
+    * which may overflow by at most one document — the standard
+    * greedy-fill approximation).
+    *
+    * The window is PARTITIONED by shard, so at 100 TB each shard sorts
+    * independently on its own executors — shard count scales with the
+    * cluster, and no global order is ever imposed.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 256, shards: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${budget}L").as("seq_id"))
+  }
+
+  /** Benchmark-contamination check: which documents contain any word
+    * n-gram of a probe set (eval benchmarks, held-out suites)? The probe
+    * shingle set is tiny and broadcast; documents only pay one shingle
+    * pass and an equi-join against it — never a scan per probe. Returns
+    * (doc_id, n_hits) for contaminated documents only.
+    */
+  def contamination(docs: DataFrame, probes: Seq[String], n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probeDocs = probes.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val probeShingles = Dedup.shingles(probeDocs, n).select(col("shingle")).distinct()
+    Dedup.shingles(docs, n)
+      .join(broadcast(probeShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_hits"))
+  }
+
+  /** Deterministic stratified sample: k documents per stratum, chosen by
+    * the salted-md5 draw (a reproducible uniform permutation — re-runs
+    * and other engines pick the same rows). The window is partitioned by
+    * stratum and the rank filter k is pushed into the sort as a
+    * per-partition top-k (Spark's WindowGroupLimit), so no stratum ever
+    * materializes a full sort of its rows.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String = "source",
+      k: Int = 10, salt: String = "sample"): DataFrame = {
+    val draw = md5(concat_ws("|", lit(salt), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(draw.asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col(stratumCol), row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalytics}
+import graft.functions.{Curation, Dedup, Multimodal, Similarity, TextAnalytics}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -14,6 +14,16 @@ import graft.model.Tables
   * ScalaTest specs carry their correctness (planted-duplicate recall).
   */
 object ExtensionQueries {
+
+  /** Fixed probe set for the contamination check: two phrases from the
+    * corpus vocabulary (real hits) and one absent from it (exercises the
+    * zero-hit path).
+    */
+  private val ContaminationProbes = Seq(
+    "key agg row scan",
+    "batch window spark",
+    "zebra purple xylophone",
+  )
 
   private val shingleSqlCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -517,6 +527,65 @@ object ExtensionQueries {
       Some("""WITH ex AS (SELECT unnest([substr(text, i, 2) for i in range(1, length(text))]) AS bigram
              |  FROM documents WHERE length(text) >= 2)
              |SELECT bigram, count(*) AS n FROM ex GROUP BY 1""".stripMargin),
+    ),
+
+    // Deterministic train/val/test split: append-stable md5-byte draw,
+    // pure narrow projection (no shuffle at any corpus size).
+    QueryDef(
+      "curation_hash_split",
+      (s, dir) => Curation.hashSplit(Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CASE WHEN substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |     WHEN substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |     ELSE 'test' END AS split
+             |FROM documents""".stripMargin),
+    ),
+
+    // Training-sequence packing under a token budget: per-shard windows
+    // (each shard packs independently — the distributed-trainer layout),
+    // greedy fill with the straddling doc kept in the earlier sequence.
+    QueryDef(
+      "curation_pack_sequences",
+      (s, dir) => Curation.packSequences(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t)
+             |SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 256 AS seq_id
+             |FROM c""".stripMargin),
+    ),
+
+    // Benchmark-contamination check: documents sharing any word trigram
+    // with the probe set (two phrases present in the corpus vocabulary,
+    // one absent). Probe shingles broadcast; one shingle pass + equi-join.
+    QueryDef(
+      "curation_contamination",
+      (s, dir) =>
+        Curation.contamination(Tables.documents(s, dir), ContaminationProbes),
+      Some(s"""WITH $shingleSqlCte,
+              |probes AS (SELECT unnest([${ContaminationProbes.map(p => s"'$p'").mkString(", ")}]) AS text),
+              |ptoks AS (SELECT string_split(text, ' ') AS t FROM probes),
+              |ps AS (SELECT DISTINCT
+              |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingle
+              |  FROM ptoks WHERE len(t) >= 3)
+              |SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+              |FROM sh s JOIN ps ON s.shingle = ps.shingle
+              |GROUP BY 1""".stripMargin),
+    ),
+
+    // Deterministic stratified sample: k per stratum by the salted-md5
+    // permutation — reproducible across engines and re-runs; the rank
+    // filter stays a per-partition top-k (WindowGroupLimit).
+    QueryDef(
+      "curation_stratified_sample",
+      (s, dir) => Curation.stratifiedSample(Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  md5('sample|' || CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+             |r AS (SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS INT) AS rn
+             |  FROM d)
+             |SELECT doc_id, source, rn FROM r WHERE rn <= 10""".stripMargin),
     ),
 
     // Regex scalar functions over document text: extract-first-number and

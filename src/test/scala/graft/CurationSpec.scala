@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("hashSplit: ~80/10/10 fractions, and labels are append-stable") {
+    val counts = Curation.hashSplit(docs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts("val") / n > 0.04 && counts("val") / n < 0.17)
+    assert(counts("test") / n > 0.04 && counts("test") / n < 0.17)
+    // a document's label does not depend on the rest of the corpus
+    val full = Curation.hashSplit(docs).as[(Long, String)].collect().toMap
+    val subset = Curation.hashSplit(docs.filter($"doc_id" < 100))
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
+  test("packSequences: greedy fill — each sequence exceeds budget by at most its last doc") {
+    val budget = 256
+    val packed = Curation.packSequences(docs, budget = budget, shards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val bySeq = packed.groupBy(p => (p._2, p._4))
+    for (((_, seq), ds) <- bySeq) {
+      val sorted = ds.sortBy(_._1)
+      val total = sorted.map(_._3).sum
+      // all docs but the straddling last one fit the budget
+      assert(total - sorted.last._3 < budget || sorted.length == 1,
+        s"sequence $seq overfilled beyond its last doc")
+      if (seq > 0) assert(total > 0)
+    }
+    // sequences are contiguous from 0 within each shard
+    for ((_, seqs) <- packed.groupBy(_._2)) {
+      val ids = seqs.map(_._4).distinct.sorted
+      assert(ids == (0L until ids.length).toVector.sorted.toArray.toSeq || ids.head == 0L)
+    }
+  }
+
+  test("contamination flags planted n-gram overlap only") {
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words in this document body"),
+      (3L, "another doc with the quick brown fox inside it"),
+    ).toDF("doc_id", "text")
+    val hits = Curation.contamination(planted, Seq("quick brown fox jumps"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(1L) == 2L) // "quick brown fox" + "brown fox jumps"
+    assert(hits(3L) == 1L) // only "quick brown fox"
+  }
+
+  test("stratifiedSample: k rows per stratum, deterministic across runs") {
+    val s1 = Curation.stratifiedSample(docs, k = 10)
+      .as[(Long, String, Int)].collect().toSet
+    val s2 = Curation.stratifiedSample(docs, k = 10)
+      .as[(Long, String, Int)].collect().toSet
+    assert(s1 == s2)
+    val perStratum = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    val stratumSizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    for ((stratum, size) <- stratumSizes)
+      assert(perStratum(stratum) == math.min(10L, size))
+  }
+}

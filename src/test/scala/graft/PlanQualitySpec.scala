@@ -117,6 +117,11 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("stratified sample's rank filter pushes into the sort (WindowGroupLimit)") {
+    assert(plans("curation_stratified_sample").contains("WindowGroupLimit"),
+      "rn <= k should become a per-partition top-k, not a full per-stratum sort")
+  }
+
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
     val p = plans("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),
