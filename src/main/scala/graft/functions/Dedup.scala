@@ -145,9 +145,18 @@ object Dedup {
     * verification twin.
     */
   def minhashSignaturesMd5(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(md5(concat_ws("|", lit(i.toString), col("shingle")))).as(s"mh_$i"))
-    shingles(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    // One md5 yields FOUR independent 32-bit hash functions (8-hex-char
+    // slices of the 128-bit digest), so k functions cost k/4 digests per
+    // shingle — the min over the shingle set is taken per slice, and hex
+    // substrings compare identically in every engine.
+    val base = k / 4
+    val hashed = shingles(docs, n).select(
+      col("doc_id") +: (0 until base).map(i =>
+        md5(concat_ws("|", lit(i.toString), col("shingle"))).as(s"__h$i")): _*)
+    val mins = for { i <- 0 until base; j <- 0 until 4 } yield
+      min(substring(col(s"__h$i"), j * 8 + 1, 8)).as(s"mh_${i * 4 + j}")
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over the portable md5 signatures — same banded

@@ -182,8 +182,10 @@ object ExtensionQueries {
         val k = 16
         val bands = 4
         val r = k / bands
-        val sigCols = (0 until k)
-          .map(i => s"min(md5('$i|' || shingle)) AS mh_$i").mkString(", ")
+        // mh_{4i+j} = min over shingles of hex slice j of md5("<i>|"+shingle)
+        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
+          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
+          .mkString(", ")
         val bandRows = (0 until bands).map { b =>
           val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
           s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
