@@ -590,6 +590,59 @@ object ExtensionQueries {
              |SELECT doc_id, source, rn FROM r WHERE rn <= 10""".stripMargin),
     ),
 
+    // int8 embedding quantization (the ANN memory-compression step):
+    // per-vector symmetric scale 127/max|x|, truncation toward zero —
+    // double multiply + trunc are bit-exact in any engine, so the
+    // quantized vector (surfaced as CSV per the driver's array rule)
+    // hash-matches end-to-end. Pure narrow projection: no shuffle.
+    QueryDef(
+      "embed_quantize_int8",
+      (s, dir) => {
+        val mx = greatest(array_max(col("embedding")), -array_min(col("embedding")))
+          .cast("double")
+        val scale = lit(127.0) / mx
+        Tables.embeddings(s, dir)
+          .filter(mx > 0)
+          .select(
+            col("vec_id"),
+            scale.as("scale"),
+            concat_ws(",",
+              transform(col("embedding"),
+                x => (x.cast("double") * scale).cast("int").cast("string")))
+              .as("q_csv"))
+      },
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |  greatest(CAST(list_aggregate(embedding, 'max') AS DOUBLE),
+             |           -CAST(list_aggregate(embedding, 'min') AS DOUBLE)) AS mx
+             |  FROM embeddings)
+             |SELECT vec_id, 127.0 / mx AS scale,
+             |  array_to_string(list_transform(embedding,
+             |    x -> CAST(CAST(trunc(CAST(x AS DOUBLE) * (127.0 / mx)) AS INT) AS VARCHAR)), ',') AS q_csv
+             |FROM m WHERE mx > 0""".stripMargin),
+    ),
+
+    // Corpus-commonness scoring (the unigram boilerplate signal a
+    // quality filter keys on): each document's mean corpus frequency of
+    // its tokens. Corpus stats via one partial-agg shuffle; the mean is
+    // one exact-integer division, so it hash-matches bit-for-bit.
+    QueryDef(
+      "text_mean_token_freq",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+        tok.join(freq, "token")
+          .groupBy(col("doc_id"))
+          .agg((sum(col("f")).cast("double") / count(lit(1))).as("mean_token_freq"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |freq AS (SELECT token, count(*) AS f FROM tok GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(CAST(SUM(f) AS BIGINT) AS DOUBLE) / count(*) AS mean_token_freq
+             |FROM tok JOIN freq USING (token) GROUP BY 1""".stripMargin),
+    ),
+
     // Regex scalar functions over document text: extract-first-number and
     // replace-all (note DuckDB needs the 'g' flag to match Spark's
     // replace-all semantics).

@@ -82,4 +82,21 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.filter($"cosine" < 0.9).isEmpty)
     assert(exactTop._2 <= 1.0)
   }
+
+  test("int8 quantization: |dequantized - x| ≤ one step, and |q| ≤ 127") {
+    val q = graft.queries.Registry.queries("embed_quantize_int8")(
+      spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, String)].collect()
+    val raw = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    assert(q.nonEmpty)
+    for ((id, scale, csv) <- q) {
+      val qs = csv.split(",").map(_.toInt)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      for ((qi, xi) <- qs.zip(raw(id))) {
+        assert(math.abs(qi / scale - xi) <= 1.0 / scale + 1e-12,
+          s"vec $id: $qi/$scale vs $xi")
+      }
+    }
+  }
 }
