@@ -207,6 +207,25 @@ object TrafOps {
         sum(col("__n")).as("n"))
   }
 
+  /** Salted equi-join for skewed keys: the join twin of [[saltedSum]].
+    * Each big-side row draws a salt from its OTHER columns, so one hot
+    * key spreads over `saltBuckets` reducers instead of melting a single
+    * task; the small side replicates once per bucket (a `saltBuckets`-row
+    * generator fan-out — tiny for dimension tables). The result is
+    * row-identical to the plain equi-join on `keys`: the salt only
+    * changes physical placement, never matching. AQE's skew splitting is
+    * the runtime fallback; this is the planned form for keys known hot
+    * (the null-key or default-value pathologies of real fact tables).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(lit((0L until saltBuckets.toLong).toArray)))
+    saltedBig.join(saltedSmall, keys :+ "__salt").drop("__salt")
+  }
+
   /** As-of join: for each left row, the latest right row of the same key
     * with `rightTs <= leftTs` (inclusive), composed from built-ins the
     * scale-correct way — union the two sides, one shuffle+sort per key,

@@ -489,6 +489,26 @@ object RelationalQueries {
              |FROM sess GROUP BY 1, 2""".stripMargin),
     ),
 
+    // Salted equi-join — the join twin of agg_salted_sum: the big side
+    // salts on its non-key columns, the dimension replicates per bucket,
+    // and one hot customer key spreads over 16 reducers. The oracle is
+    // the PLAIN join: salting must never change results.
+    QueryDef(
+      "join_salted_skew",
+      (s, dir) =>
+        graft.ops.TrafOps.saltedJoin(
+          Tables.orders(s, dir),
+          Tables.customer(s, dir)
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          keys = Seq("o_custkey"), saltCols = Seq("o_orderkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Salted two-phase aggregation — the skew-mitigation pattern as a
     // first-class operator. Result is identical to a plain GROUP BY (the
     // oracle), but no single reducer ever owns a whole hot key.

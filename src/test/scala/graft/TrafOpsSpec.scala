@@ -195,4 +195,23 @@ class TrafOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("saltedJoin equals the plain join, including a hot key") {
+    // one hot key (90% of the big side) + normal keys
+    val big = ((1 to 90).map(i => (7L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong % 3, 100L + i))).toDF("k", "payload")
+    val dim = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "attr")
+    val salted = TrafOps.saltedJoin(big, dim, Seq("k"), saltCols = Seq("payload"),
+      saltBuckets = 8)
+    val plain = big.join(dim, "k")
+    assert(rows(salted.select("k", "payload", "attr")) ==
+      rows(plain.select("k", "payload", "attr")))
+    // the hot key's rows really do land in multiple salt buckets
+    val spread = big.withColumn("__salt",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"payload"),
+          org.apache.spark.sql.functions.lit(8)))
+      .filter($"k" === 7L).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
 }
