@@ -241,10 +241,44 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates via quarter-banding + Hamming check. */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash(docs), bits = 64, maxHamming)
+
+  /** Portable SimHash twin: the token hash is the first 15 hex chars of
+    * md5 parsed as a 60-bit integer — identical in any engine (the
+    * external mirror is `('0x' || substr(md5(token),1,15))::BIGINT`) —
+    * with the same bit-majority aggregation as [[simhash]]. The
+    * xxhash64 variant stays the production path (no hex round-trip);
+    * this is its oracle-checked verification twin.
+    */
+  def simhashMd5(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val h = expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i"))
+    val assembled = (0 until 60)
+      .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextAnalytics.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** Quarter-banded Hamming candidates over the md5 signatures. */
+  def simhashCandidatesMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhashMd5(docs), bits = 60, maxHamming)
+
+  /** Band a (doc_id, simhash) table into 4 quarters (any pair within
+    * Hamming ≤ 3 shares at least one exact quarter), equi-join on the
+    * quarter, and keep pairs at/below the Hamming cut.
+    */
+  private def bandedHammingPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val qBits = bits / 4
+    val mask = (1L << qBits) - 1
     val quarters = (0 until 4).map(q =>
-      shiftright(col("simhash"), q * 16).bitwiseAND(0xffffL))
+      shiftright(col("simhash"), q * qBits).bitwiseAND(mask))
     val banded = sig.select(
       col("doc_id"), col("simhash"),
       posexplode(array(quarters: _*)).as(Seq("q_idx", "q_val")))

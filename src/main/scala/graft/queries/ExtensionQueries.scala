@@ -215,6 +215,49 @@ object ExtensionQueries {
       None,
     ),
 
+    // Portable SimHash twin: 60-bit md5-derived token hashes, same
+    // bit-majority — signature AND banded candidates oracle-checked
+    // end-to-end (the xxhash64 pair above stays the production path).
+    QueryDef(
+      "dedup_simhash_md5",
+      (s, dir) => Dedup.simhashMd5(Tables.documents(s, dir)),
+      Some {
+        val assembled = (0 until 60).map(i =>
+          s"CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+            s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok)
+           |SELECT doc_id, $assembled AS simhash
+           |FROM h GROUP BY 1""".stripMargin
+      },
+    ),
+
+    QueryDef(
+      "dedup_simhash_md5_candidates",
+      (s, dir) => Dedup.simhashCandidatesMd5(Tables.documents(s, dir)),
+      Some {
+        val assembled = (0 until 60).map(i =>
+          s"CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+            s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        val bandRows = (0 until 4).map(q =>
+          s"SELECT doc_id, simhash, $q AS q_idx, (simhash >> ${q * 15}) & 32767 AS q_val FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
+           |sig AS (SELECT doc_id, $assembled AS simhash FROM h GROUP BY 1),
+           |banded AS ($bandRows),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |  FROM banded a JOIN banded b
+           |    ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+      },
+    ),
+
     // Embedding-cosine near-dup pairs (LSH candidates + exact decimal
     // cosine ≥ threshold). The literal-sign bucket mirror makes the
     // candidate set reproducible, and the decimal cosine is portable, so
@@ -338,12 +381,48 @@ object ExtensionQueries {
               |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
-    // IVF ANN top-k (coarse-quantize → probe nearest cells) — rows-only;
-    // recall spec-tested.
+    // IVF ANN top-k (coarse-quantize → probe nearest cells). Fully
+    // oracle-checked: DuckDB's list_reduce folds left-to-right, so the
+    // sequential double dot products of centroid normalization,
+    // assignment argmax, and probe ranking all mirror bit-exactly
+    // ((0+t1)+t2+... ≡ (t1+t2)+...), and the final cosine is the
+    // portable decimal fold.
     QueryDef(
       "embed_ivf_topk",
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L),
-      None,
+      Some {
+        // sequential double dot product — same add order as dotDouble's loop
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, embedding AS cemb,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT e.vec_id, c.cid,
+           |    list_reduce(list_transform(list_zip(e.embedding, c.cn), s -> CAST(s[1] AS DOUBLE) * s[2]), (a, b) -> a + b) AS sim
+           |  FROM embeddings e CROSS JOIN cents c),
+           |cell AS (
+           |  SELECT vec_id, cid AS cell FROM (
+           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+           |    FROM assign) WHERE rn = 1),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cid AS cell FROM (
+           |    SELECT c.cid, row_number() OVER (ORDER BY
+           |      ${dd("c.cemb", "q.qe")} / (sqrt(${dd("c.cemb", "c.cemb")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, c.cid) AS rn
+           |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+           |cand AS (
+           |  SELECT e.vec_id, e.embedding, q.qe FROM embeddings e
+           |  JOIN cell ON cell.vec_id = e.vec_id
+           |  JOIN probe ON probe.cell = cell.cell
+           |  CROSS JOIN q
+           |  WHERE e.vec_id <> 0),
+           |${cosineAgainstQuerySql("cand")}
+           |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine FROM d
+           |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+      },
     ),
 
     // Multi-probe ANN (query bucket + all Hamming-1 buckets): bucket

@@ -97,4 +97,14 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 4L)))
   }
+
+  test("simhashMd5 (portable twin): identical docs identical, near-dups closer") {
+    val sig = Dedup.simhashMd5(docs).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+    val cands = Dedup.simhashCandidatesMd5(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L)))
+  }
 }
