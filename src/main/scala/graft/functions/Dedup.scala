@@ -196,7 +196,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    // Near-dup graphs are SPARSE: most documents are singletons whose
+    // label can never change. Propagate only over nodes that have at
+    // least one edge (src side covers both directions), then union the
+    // untouched singletons back at the end — per-round joins, state,
+    // and convergence counts scale with the connected subgraph, not the
+    // corpus.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -212,7 +219,10 @@ object Dedup {
       changed = step.filter(col("cluster") =!= col("old")).count()
       labels = step.select(col("doc_id"), col("cluster"))
     }
-    labels
+    nodes.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, bitwise weighted
