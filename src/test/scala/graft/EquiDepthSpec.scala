@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.EquiDepth
+
+/** The distributed rank machinery (range repartition + partition-offset
+  * ranks + exact ntile arithmetic) must equal Spark's own global-window
+  * ntile on every input shape — ties, skew, n < buckets, uneven
+  * partitions. The single-task window is fine as a TEST reference; the
+  * point of EquiDepth is not needing it in production.
+  */
+class EquiDepthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(df: org.apache.spark.sql.DataFrame, buckets: Int) = {
+    val w = Window.orderBy(col("v"), col("t"))
+    df.select(col("v"), ntile(buckets).over(w).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .as[(Int, Long, Double, Double)].collect().toSet
+  }
+
+  private def fast(df: org.apache.spark.sql.DataFrame, buckets: Int, parts: Int) =
+    EquiDepth.ntileHistogram(df, "v", "t", buckets, parts)
+      .as[(Int, Long, Double, Double)].collect().toSet
+
+  test("matches Window ntile on seeded random data with heavy ties") {
+    val rnd = new scala.util.Random(42)
+    // values drawn from only 7 distinct doubles → massive tie groups
+    val rows = (1 to 1000).map(i => (math.floor(rnd.nextDouble() * 7) / 3.0, i.toLong))
+    val df = rows.toDF("v", "t").repartition(13)
+    assert(fast(df, 10, 8) == reference(df, 10))
+  }
+
+  test("matches when n is not divisible by bucket count") {
+    val rows = (1 to 103).map(i => (i * 0.5, i.toLong))
+    val df = rows.toDF("v", "t").repartition(5)
+    assert(fast(df, 10, 4) == reference(df, 10))
+  }
+
+  test("n < buckets: each rank its own bucket") {
+    val rows = (1 to 4).map(i => ((i * 7 % 3).toDouble, i.toLong))
+    val df = rows.toDF("v", "t")
+    assert(fast(df, 10, 3) == reference(df, 10))
+  }
+
+  test("all-equal values split purely by the tie-break") {
+    val rows = (1 to 60).map(i => (1.25, i.toLong))
+    val df = rows.toDF("v", "t").repartition(7)
+    assert(fast(df, 6, 4) == reference(df, 6))
+  }
+
+  test("empty input yields an empty histogram") {
+    val df = Seq.empty[(Double, Long)].toDF("v", "t")
+    assert(fast(df, 10, 4).isEmpty)
+  }
+}
