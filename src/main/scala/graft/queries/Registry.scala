@@ -18,8 +18,14 @@ final case class QueryDef(
 )
 
 object Registry {
-  def all: Seq[QueryDef] =
-    ParityQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs
+  def all: Seq[QueryDef] = {
+    val defs = ParityQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs
+    // a duplicate name would silently drop an entry from the Map form —
+    // and with it a correctness row the driver would have checked
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate registry query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.impl).toMap
