@@ -27,6 +27,19 @@ class FormatsSpec extends SparkSpec {
     assert(rows(back) == rows(orders))
   }
 
+  test("ORC round-trip preserves values, types, and pushed filters") {
+    val dir = Files.createTempDirectory("fmt").toString + "/lineitem_orc"
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    li.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(rows(back) == rows(li))
+    // ORC scans take predicate pushdown like parquet
+    val plan = spark.read.orc(dir).filter(col("l_quantity") > 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_quantity"))
+  }
+
   test("JSON lines round-trip preserves values and types under an explicit schema") {
     val dir = Files.createTempDirectory("fmt").toString + "/events_json"
     val ev = Tables.events(spark, sfDir)
