@@ -722,6 +722,47 @@ object ExtensionQueries {
              |FROM tok JOIN freq USING (token) GROUP BY 1""".stripMargin),
     ),
 
+    // Repetition quality signals (the Gopher-style filters a pretraining
+    // pipeline cuts on). Duplicate-token ratio is a narrow higher-order
+    // projection; exact integer division keeps it hash-portable.
+    QueryDef(
+      "text_repetition_ratio",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+            .as("dup_token_ratio"))
+      },
+      Some("""SELECT doc_id,
+             |1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) AS dup_token_ratio
+             |FROM documents""".stripMargin),
+    ),
+
+    // Top-bigram fraction: how much of the document is its single most
+    // repeated word bigram — shingles(n=2) + two partial-agg groupBys
+    // (both pre-distributed by the shingle stage's doc_id partitioning),
+    // no window.
+    QueryDef(
+      "text_top_bigram_frac",
+      (s, dir) =>
+        Dedup.shingles(Tables.documents(s, dir), n = 2)
+          .groupBy(col("doc_id"), col("shingle"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg((max(col("n")).cast("double") / sum(col("n")).cast("double"))
+            .as("top_bigram_frac")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id,
+             |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+             |  FROM toks WHERE len(t) >= 2),
+             |cnt AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(max(n) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS top_bigram_frac
+             |FROM cnt GROUP BY 1""".stripMargin),
+    ),
+
     // Regex scalar functions over document text: extract-first-number and
     // replace-all (note DuckDB needs the 'g' flag to match Spark's
     // replace-all semantics).
