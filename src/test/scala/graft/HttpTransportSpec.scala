@@ -115,6 +115,33 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("reference production shape end-to-end: HTTP source → rollup → JDBC merge") {
+    withServer(rejectFirstToken = false) { (url, _) =>
+      // the nightly run exactly as the reference wires it: REST pull
+      // with a pushed date window, hourly grain, keyed MERGE into the
+      // relational target (script.js:228-268) — on the real transport
+      val pulled = read(url)
+        .option("datefrom", "2024-02-01").option("dateto", "2024-02-02").load()
+      val hourly = pulled
+        .groupBy($"SiteCode", $"Location", $"PeriodEnding")
+        .agg(org.apache.spark.sql.functions.sum($"Ins").as("Ins"),
+          org.apache.spark.sql.functions.sum($"Outs").as("Outs"))
+      val jdbcUrl = "jdbc:derby:memory:httpe2e;create=true"
+      val keys = Seq("SiteCode", "Location", "PeriodEnding")
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+      try graft.sources.JdbcUpsertSink.ensureTable(
+        conn, "ULS_TRAFSYS_DATA", hourly.schema, keys)
+      finally conn.close()
+      graft.sources.JdbcUpsertSink.upsert(hourly, jdbcUrl, "ULS_TRAFSYS_DATA", keys)
+      val back = spark.read.format("jdbc")
+        .option("url", jdbcUrl).option("dbtable", "ULS_TRAFSYS_DATA").load()
+      assert(back.count() == 2 * 24 * 2) // 2 days × 24 hours × 2 sites
+      // idempotent re-run (the reference's overlap day, I3)
+      graft.sources.JdbcUpsertSink.upsert(hourly, jdbcUrl, "ULS_TRAFSYS_DATA", keys)
+      assert(back.count() == 2 * 24 * 2)
+    }
+  }
+
   test("parseExpires handles OWIN RFC-1123 and ISO-8601") {
     val t = new HttpTransport("http://localhost/", "u", "p")
     assert(t.parseExpires("Thu, 01 Feb 2024 00:00:00 GMT")
