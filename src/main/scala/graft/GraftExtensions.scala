@@ -59,10 +59,21 @@ object GraftExtensions {
       s"doc_fingerprint expects 1 argument, got ${exprs.length}")
   }
 
+  private val shInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.SimhashAgg].getName, null, "simhash_agg",
+    "simhash_agg(hash) - 64-bit SimHash signature from per-row BIGINT hashes", "")
+
+  private val shBuilder: Seq[Expression] => Expression = {
+    case Seq(h) => graft.functions.expressions.SimhashAgg(h)
+    case exprs => throw new IllegalArgumentException(
+      s"simhash_agg expects 1 argument, got ${exprs.length}")
+  }
+
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product_float", dotInfo, dotBuilder),
     ("cosine_float", cosInfo, cosBuilder),
     ("doc_fingerprint", fpInfo, fpBuilder),
+    ("simhash_agg", shInfo, shBuilder),
   )
 
   /** Register the engine functions into a live session (idempotent). */

@@ -1,0 +1,81 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** SimHash as ONE aggregate: the 64 per-bit ±1 counters live in a
+  * single int[64] buffer updated in a tight loop, instead of 64
+  * separate `sum(when(...))` aggregate columns. Same math as
+  * [[graft.functions.Dedup.simhash]] bit for bit (counter > 0 → bit
+  * set); this is the engine's `TypedImperativeAggregate` surface — the
+  * object-buffer aggregation mechanism (sketches, digests) that
+  * `Aggregator`/codegen expressions don't cover. Partial aggregation
+  * works as usual: update per partition, merge buffers across
+  * partitions, one 8-byte signature out.
+  */
+case class SimhashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT hash argument, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (buf(i) > 0) sig |= 1L << i; i += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimhashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimhashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimhashAgg =
+    copy(child = newChildren.head)
+}

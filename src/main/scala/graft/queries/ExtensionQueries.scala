@@ -200,10 +200,13 @@ object ExtensionQueries {
       },
     ),
 
-    // SimHash signatures — xxhash64-based: rows-only check.
+    // SimHash signatures — xxhash64-based: rows-only check (the md5
+    // twin below carries the oracle). Runs through the single-buffer
+    // SimhashAgg (TypedImperativeAggregate), spec-checked equal to the
+    // 64-sum formulation and ~1.5× faster.
     QueryDef(
       "dedup_simhash",
-      (s, dir) => Dedup.simhash(Tables.documents(s, dir)),
+      (s, dir) => Dedup.simhashViaAgg(Tables.documents(s, dir)),
       None,
     ),
 

@@ -98,6 +98,20 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 4L)))
   }
 
+  test("simhashViaAgg (TypedImperativeAggregate) equals the 64-sum simhash, incl. SQL") {
+    val fromSums = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val fromAgg = Dedup.simhashViaAgg(docs).as[(Long, Long)].collect().toMap
+    assert(fromAgg == fromSums)
+    graft.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("sh_docs")
+    val fromSql = spark.sql(
+      """SELECT doc_id, simhash_agg(xxhash64(token)) AS simhash
+        |FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM sh_docs)
+        |GROUP BY doc_id""".stripMargin)
+      .as[(Long, Long)].collect().toMap
+    assert(fromSql == fromSums)
+  }
+
   test("simhashMd5 (portable twin): identical docs identical, near-dups closer") {
     val sig = Dedup.simhashMd5(docs).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(4L))
