@@ -489,6 +489,87 @@ object RelationalQueries {
              |FROM sess GROUP BY 1, 2""".stripMargin),
     ),
 
+    // TPC-H Q10 shape: revenue lost to returned items, per customer,
+    // top 20 — three broadcast dimension joins off one fact scan, the
+    // decimal revenue discipline, and TakeOrdered with a key tie-break.
+    QueryDef(
+      "q10_returned_items",
+      (s, dir) => {
+        val revenue = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 8))).cast(DecimalType(28, 4)).cast("double")
+        Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(revenue.as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    ),
+
+    // TPC-H Q14 shape: promo revenue share — conditional decimal sums
+    // from one scan, one exact double division at the end.
+    QueryDef(
+      "q14_promo_revenue",
+      (s, dir) => {
+        val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 8))
+        val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 8))
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", disc).otherwise(zero)).as("__p"),
+            sum(disc).as("__t"))
+          .select((lit(100.0) * col("__p").cast("double") / col("__t").cast("double"))
+            .as("promo_pct"))
+      },
+      Some("""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))
+             |        ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+             |     / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS promo_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin),
+    ),
+
+    // TPC-H Q22 shape: rich customers with no orders, summarized per
+    // nation — a broadcast 1-row global threshold (exact decimal mean)
+    // plus a left-anti join against the fact table.
+    QueryDef(
+      "q22ish_idle_rich_customers",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1))).as("__thr"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("__thr"))
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+      },
+      Some("""WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS t
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT n_name, count(*) AS n_cust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |CROSS JOIN thr
+             |WHERE c_acctbal > thr.t
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Salted equi-join — the join twin of agg_salted_sum: the big side
     // salts on its non-key columns, the dimension replicates per bucket,
     // and one hot customer key spreads over 16 reducers. The oracle is

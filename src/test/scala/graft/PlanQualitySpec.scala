@@ -29,6 +29,8 @@ class PlanQualitySpec extends SparkSpec {
     // NOT IN needs a null-aware anti join — nested loop over the tiny
     // broadcast list is the only plan that honors 3-valued logic
     "not_in_null_semantics",
+    // 1-row global-threshold broadcast (same shape as the high-water mark)
+    "q22ish_idle_rich_customers",
   )
 
   test("no CartesianProduct anywhere in the registry") {
