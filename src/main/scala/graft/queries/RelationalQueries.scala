@@ -517,6 +517,43 @@ object RelationalQueries {
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
     ),
 
+    // TPC-H Q7 shape: shipping volume between distinct nation pairs per
+    // year — four equi-joins off one fact scan, the nation dimension
+    // broadcast TWICE under different aliases (supplier side, customer
+    // side), decimal revenue discipline.
+    QueryDef(
+      "q7ish_nation_volume",
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 8))).cast(DecimalType(28, 4)).cast("double")
+            .as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name <> n2.n_name
+             |GROUP BY 1, 2, 3""".stripMargin),
+    ),
+
     // TPC-H Q14 shape: promo revenue share — conditional decimal sums
     // from one scan, one exact double division at the end.
     QueryDef(
