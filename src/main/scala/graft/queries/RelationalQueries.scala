@@ -627,6 +627,61 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin),
     ),
 
+    // Ordered funnel analysis (view → click → purchase): each stage is
+    // the min event time AT OR AFTER the previous stage's time, per
+    // user — three keyed aggregations chained by equi-joins (partial
+    // aggs + broadcasts, no windows), stage counts unioned to rows.
+    QueryDef(
+      "funnel_steps",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_v"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") >= col("t_v"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_c"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") >= col("t_c"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+        v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+          .unionByName(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("stage"), col("n_users")))
+          .unionByName(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("stage"), col("n_users")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_v FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(ts) AS t_c FROM events e JOIN v USING (user_id)
+             |  WHERE event_type = 'click' AND ts >= t_v GROUP BY 1),
+             |p AS (SELECT e.user_id, min(ts) AS t_p FROM events e JOIN c USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts >= t_c GROUP BY 1)
+             |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+             |UNION ALL SELECT '2_click', count(*) FROM c
+             |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin),
+    ),
+
+    // Cohort retention: users bucketed by first-activity day, activity
+    // counted per day offset — two keyed aggregations and one join over
+    // the deduplicated (user, day) activity set.
+    QueryDef(
+      "cohort_retention",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val first = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        days.join(first, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |first AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+             |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+             |  count(DISTINCT d.user_id) AS n_users
+             |FROM days d JOIN first USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+    ),
+
     // Salted two-phase aggregation — the skew-mitigation pattern as a
     // first-class operator. Result is identical to a plain GROUP BY (the
     // oracle), but no single reducer ever owns a whole hot key.
