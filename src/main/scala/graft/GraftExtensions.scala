@@ -21,10 +21,14 @@ import graft.functions.expressions.DotProductFloat
   * definition of the semantics.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plan-time guardrail: fail global windows over unbounded inputs
+    // (see GlobalWindowGuard; spark.graft.allowGlobalWindows opts out)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowGuard)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Guardrail optimizer rule for the silent scale-killer this engine
+  * itself once shipped (round-1 `histogram_equidepth`): a `Window` with
+  * an empty partition spec over a non-aggregated input funnels the
+  * WHOLE table through one task's sort — fine at test scale, dead at
+  * 100 TB, and invisible until the data grows. Injected via
+  * [[graft.GraftExtensions]] (`spark.sql.extensions`), it fails the
+  * query at plan time instead.
+  *
+  * Windows over aggregated inputs stay allowed (a per-day rollup is
+  * calendar-bounded no matter the fact-table size — the
+  * `window_moving_sum` shape), and
+  * `spark.graft.allowGlobalWindows=true` is the explicit escape hatch
+  * for inputs the user knows are small.
+  */
+object GlobalWindowGuard extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.allowGlobalWindows", "false") != "true") {
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty && !hasAggregate(w.child) =>
+          throw new IllegalStateException(
+            "global window (empty PARTITION BY) over a non-aggregated input: " +
+              "this funnels the whole relation through one task. Partition the " +
+              "window, pre-aggregate its input, use graft.ops.EquiDepth for " +
+              "global ranks/ntiles, or set spark.graft.allowGlobalWindows=true " +
+              "if the input is known small.")
+        case _ => ()
+      }
+    }
+    plan
+  }
+
+  private def hasAggregate(p: LogicalPlan): Boolean =
+    p.collectFirst { case _: Aggregate => () }.isDefined
+}

@@ -119,6 +119,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("GlobalWindowGuard rejects raw-input global windows, allows aggregate inputs") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import graft.plans.GlobalWindowGuard
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val raw = ev.select(col("value"),
+      ntile(10).over(W.orderBy(col("value"), col("event_id"))).as("b"))
+      .queryExecution.optimizedPlan
+    intercept[IllegalStateException] { GlobalWindowGuard(raw) }
+    // calendar-bounded shape: global window OVER AN AGGREGATE is fine
+    val agg = ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("d"), sum(col("n")).over(W.orderBy(col("d")).rowsBetween(-6, 0)).as("m"))
+      .queryExecution.optimizedPlan
+    GlobalWindowGuard(agg) // must not throw
+    // explicit escape hatch
+    spark.conf.set("spark.graft.allowGlobalWindows", "true")
+    try GlobalWindowGuard(raw) // must not throw
+    finally spark.conf.unset("spark.graft.allowGlobalWindows")
+  }
+
   test("stratified sample's rank filter pushes into the sort (WindowGroupLimit)") {
     assert(plans("curation_stratified_sample").contains("WindowGroupLimit"),
       "rn <= k should become a per-partition top-k, not a full per-stratum sort")
