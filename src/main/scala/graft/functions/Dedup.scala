@@ -58,7 +58,7 @@ object Dedup {
     */
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
-      textCol: String = "text", maxDf: Option[Int] = Some(1000)): DataFrame = {
+      textCol: String = "text", maxDf: Option[Int] = None): DataFrame = {
     // join on the shingle's 64-bit hash, not the string: the self-join
     // shuffles 8-byte keys and compares longs. A cross-shingle hash
     // collision would need ~2^32 distinct shingles to become likely
@@ -75,9 +75,10 @@ object Dedup {
     // shingles with document frequency > maxDf bounds the worst key at
     // maxDf² while leaving rare (discriminative) shingles intact; the
     // resulting jaccard is a conservative underestimate for pairs whose
-    // overlap was mostly stop-shingles. ON by default (maxDf = 1000,
-    // bounding any hot key at 10⁶ join rows); pass None explicitly for
-    // the exact uncapped variant when the corpus is known benign.
+    // overlap was mostly stop-shingles. The DEFAULT is exact (maxDf =
+    // None) so callers get textbook Jaccard semantics unless they opt
+    // into the cap; production corpora should pass Some(1000) (bounding
+    // any hot key at 10⁶ join rows), as the registry entries do.
     val joinable = maxDf match {
       case None => sh
       case Some(cap) =>

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, Project, Sort, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Guardrail optimizer rule for the silent scale-killer this engine
@@ -22,7 +22,7 @@ object GlobalWindowGuard extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.allowGlobalWindows", "false") != "true") {
       plan.foreach {
-        case w: Window if w.partitionSpec.isEmpty && !hasAggregate(w.child) =>
+        case w: Window if w.partitionSpec.isEmpty && !aggregateShaped(w.child) =>
           throw new IllegalStateException(
             "global window (empty PARTITION BY) over a non-aggregated input: " +
               "this funnels the whole relation through one task. Partition the " +
@@ -35,6 +35,18 @@ object GlobalWindowGuard extends Rule[LogicalPlan] {
     plan
   }
 
-  private def hasAggregate(p: LogicalPlan): Boolean =
-    p.collectFirst { case _: Aggregate => () }.isDefined
+  /** The window's DIRECT input must be aggregate-shaped (an Aggregate
+    * under row-preserving/row-reducing unary nodes), not merely contain
+    * an Aggregate somewhere: `huge_fact JOIN tiny_aggregate` has an
+    * Aggregate in its subtree but unbounded cardinality — the exact
+    * failure class this rule rejects.
+    */
+  private def aggregateShaped(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: LocalRelation => true // literal inputs are bounded by construction
+    case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+        _: GlobalLimit | _: LocalLimit | _: Window) =>
+      aggregateShaped(n.children.head)
+    case _ => false
+  }
 }

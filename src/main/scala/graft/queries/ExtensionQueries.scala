@@ -79,7 +79,8 @@ object ExtensionQueries {
     // scales max df = 25, so capped ≡ exact on the fixtures.
     QueryDef(
       "dedup_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.05),
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.05,
+        maxDf = Some(1000)),
       Some(s"""WITH $shingleSqlCte,
               |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
               |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
@@ -142,7 +143,8 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         Dedup.clusterAssign(
-          Dedup.jaccardPairs(docs, n = 3, threshold = 0.05).select("doc_a", "doc_b"),
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.05, maxDf = Some(1000))
+            .select("doc_a", "doc_b"),
           docs.select("doc_id"))
       },
       Some(s"""WITH RECURSIVE $shingleSqlCte,

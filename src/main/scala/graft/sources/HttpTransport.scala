@@ -83,18 +83,27 @@ final class HttpTransport(baseUrl: String, username: String, password: String)
       case c => sys.error(s"traffic request failed: HTTP $c")
     }
   }
+
+  /** Identifies the credential set without exposing it: part of the
+    * provider-cache key so a password rotation mints a fresh provider
+    * instead of refreshing tokens with the stale captured password.
+    */
+  private[sources] def credentialFingerprint: Int = (username, password).hashCode
 }
 
 object HttpTransport {
-  // One TokenProvider per (endpoint, user) per JVM: partition readers on
-  // the same executor share the cached bearer instead of re-running the
-  // password grant per day-partition — the distributed form of the
-  // reference's cross-run token reuse (script.js:36-47).
+  // One TokenProvider per (endpoint, user, credential-fingerprint) per
+  // JVM: partition readers on the same executor share the cached bearer
+  // instead of re-running the password grant per day-partition — the
+  // distributed form of the reference's cross-run token reuse
+  // (script.js:36-47). The fingerprint in the key means a credential
+  // rotation on a long-lived executor creates a NEW provider rather than
+  // refreshing forever with the first transport's stale password.
   private val providers =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), TokenProvider]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), TokenProvider]()
 
   def tokenProviderFor(baseUrl: String, username: String,
       transport: HttpTransport): TokenProvider =
-    providers.computeIfAbsent((baseUrl, username),
+    providers.computeIfAbsent((baseUrl, username, transport.credentialFingerprint),
       _ => new TokenProvider(() => transport.requestToken()))
 }

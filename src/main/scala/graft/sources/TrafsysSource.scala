@@ -161,10 +161,42 @@ final class TrafsysScanBuilder(options: Map[String, String])
   override def build(): Scan = {
     if (!options.contains("path") && !options.contains("url"))
       sys.error("trafsys source requires option 'path' (fixture) or 'url' (HTTP)")
+    // Resolve the fetch window ONCE here, at plan time: a stage retry or
+    // cached-plan recompute must re-read the same window, so no
+    // LocalDate.now() may survive into planInputPartitions. The 'today'
+    // option pins the clock (same contract as IngestCli --today).
+    var from = dateFromMicros
+    var to = dateToMicros
+    if (options.contains("url")) {
+      val todayStart = options.get("today").map(LocalDate.parse)
+        .getOrElse(LocalDate.now(ZoneOffset.UTC))
+        .toEpochDay * 86400000000L
+      (from, to) match {
+        case (None, None) =>
+          // no time bound pushed or supplied: the reference's
+          // yesterday-only default window (script.js:53-57)
+          from = Some(todayStart - 86400000000L)
+          to = Some(todayStart)
+        case (Some(_), None) =>
+          // half-bounded lower: fill the missing end with yesterday-end,
+          // NOT replace the whole window (claimed-handled pushed filters
+          // must be honored exactly)
+          to = Some(todayStart)
+        case (None, Some(_)) =>
+          sys.error(
+            "trafsys HTTP source: an upper time bound without a lower bound " +
+              "would require unbounded history from the API; set option " +
+              "'datefrom' or add a PeriodEnding >= ... predicate")
+        case _ => ()
+      }
+    }
     new TrafsysScan(
-      options, requiredSchema, dateFromMicros, dateToMicros, siteCodes.headOption,
-      // contradictory SiteCode equalities: correct result is no rows
-      empty = siteCodes.size > 1)
+      options, requiredSchema, from, to, siteCodes.headOption,
+      // contradictory SiteCode equalities or a contradictory (to <= from)
+      // window: the claimed-handled predicates are unsatisfiable, so the
+      // correct result is no rows — in BOTH transports
+      empty = siteCodes.size > 1 ||
+        (from.isDefined && to.isDefined && to.get <= from.get))
   }
 }
 
@@ -185,10 +217,10 @@ final class TrafsysScan(
   }
 
   /** One input partition per day of the requested window — the unit of
-    * fetch parallelism (N executors pull N days concurrently). An
-    * unbounded window collapses to a single partition: full fixture
-    * replay, or — in HTTP mode — the reference's yesterday-only default
-    * window (`script.js:53-57`).
+    * fetch parallelism (N executors pull N days concurrently). The window
+    * was fully resolved at `build()` time (HTTP mode always arrives here
+    * two-bounded or empty); an un/half-bounded fixture window collapses
+    * to a single full-replay partition whose reader enforces the bounds.
     */
   override def planInputPartitions(): Array[InputPartition] =
     if (empty) Array.empty
@@ -201,10 +233,6 @@ final class TrafsysScan(
           TrafsysPartition(options, math.max(f, d0), math.min(t, d0 + 86400000000L))
             : InputPartition
         }.toArray
-      case _ if options.contains("url") =>
-        val y = LocalDate.now(java.time.ZoneOffset.UTC).minusDays(1)
-        val d0 = y.toEpochDay * 86400000000L
-        Array(TrafsysPartition(options, d0, d0 + 86400000000L))
       case _ =>
         Array(TrafsysPartition(options, fromMicros.getOrElse(Long.MinValue),
           toMicros.getOrElse(Long.MaxValue)))

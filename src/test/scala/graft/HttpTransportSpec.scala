@@ -115,6 +115,47 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("no time bound at all: the reference's yesterday-only default window") {
+    withServer(rejectFirstToken = false) { (url, _) =>
+      // 'today' pins the clock (the window resolves ONCE at plan time,
+      // so a stage retry across midnight re-reads the same day)
+      val df = read(url).option("today", "2024-02-03").load()
+      assert(df.rdd.getNumPartitions == 1)
+      assert(df.count() == 24 * 2) // 2024-02-02 only
+    }
+  }
+
+  test("half-bounded lower window keeps its bound and fills DateTo with yesterday-end") {
+    withServer(rejectFirstToken = false) { (url, _) =>
+      // the round-2 silent-wrong-results class: PeriodEnding >= Feb 2 with
+      // no upper bound must return Feb 2 AND Feb 3, not yesterday-only
+      val df = read(url).option("today", "2024-02-04").load()
+        .where($"PeriodEnding" >= ts("2024-02-02 00:00:00"))
+      assert(df.rdd.getNumPartitions == 2)
+      assert(df.count() == 2 * 24 * 2)
+    }
+  }
+
+  test("contradictory pushed window (to <= from) yields an empty scan, not yesterday") {
+    withServer(rejectFirstToken = false) { (url, tokenRequests) =>
+      val df = read(url)
+        .option("datefrom", "2024-02-03").option("dateto", "2024-02-01").load()
+      assert(df.count() == 0)
+      // empty scan: no partitions, so the API was never called
+      assert(tokenRequests.get() == 0)
+    }
+  }
+
+  test("upper-only bound errors instead of silently fetching yesterday") {
+    withServer(rejectFirstToken = false) { (url, _) =>
+      val e = intercept[Exception] {
+        read(url).load().where($"PeriodEnding" < ts("2024-02-02 00:00:00")).count()
+      }
+      assert(e.getMessage.contains("lower bound") ||
+        Option(e.getCause).exists(_.getMessage.contains("lower bound")))
+    }
+  }
+
   test("reference production shape end-to-end: HTTP source → rollup → JDBC merge") {
     withServer(rejectFirstToken = false) { (url, _) =>
       // the nightly run exactly as the reference wires it: REST pull
@@ -140,6 +181,17 @@ class HttpTransportSpec extends SparkSpec {
       graft.sources.JdbcUpsertSink.upsert(hourly, jdbcUrl, "ULS_TRAFSYS_DATA", keys)
       assert(back.count() == 2 * 24 * 2)
     }
+  }
+
+  test("provider cache is shared per credential set and rotates with the password") {
+    val a1 = new HttpTransport("http://cachetest/", "u", "p-old")
+    val a2 = new HttpTransport("http://cachetest/", "u", "p-old")
+    val rotated = new HttpTransport("http://cachetest/", "u", "p-new")
+    val p1 = HttpTransport.tokenProviderFor("http://cachetest/", "u", a1)
+    assert(p1 eq HttpTransport.tokenProviderFor("http://cachetest/", "u", a2))
+    // a rotated password must mint a NEW provider (the old one captured
+    // the stale transport and would re-auth with the dead password forever)
+    assert(!(p1 eq HttpTransport.tokenProviderFor("http://cachetest/", "u", rotated)))
   }
 
   test("parseExpires handles OWIN RFC-1123 and ISO-8601") {

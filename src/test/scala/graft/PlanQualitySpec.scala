@@ -134,6 +134,14 @@ class PlanQualitySpec extends SparkSpec {
       .select(col("d"), sum(col("n")).over(W.orderBy(col("d")).rowsBetween(-6, 0)).as("m"))
       .queryExecution.optimizedPlan
     GlobalWindowGuard(agg) // must not throw
+    // an Aggregate merely SOMEWHERE in the subtree is not enough: a
+    // global window over fact JOIN tiny_aggregate has unbounded input
+    val factJoinAgg = ev.join(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n")), "user_id")
+      .select(col("value"),
+        ntile(10).over(W.orderBy(col("value"), col("event_id"))).as("b"))
+      .queryExecution.optimizedPlan
+    intercept[IllegalStateException] { GlobalWindowGuard(factJoinAgg) }
     // explicit escape hatch
     spark.conf.set("spark.graft.allowGlobalWindows", "true")
     try GlobalWindowGuard(raw) // must not throw
