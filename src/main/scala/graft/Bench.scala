@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registry query at steady state and emits
+  * ONE machine-readable JSON line on stdout — and, because stdout can be
+  * truncated by log capture (round-2 lost the headline total that way),
+  * ALWAYS writes the same JSON to a file as the durable artifact:
+  * `args(0)` if given, else `$SPARK_GRAFT_BENCH_OUT`, else
+  * `BENCH_LOCAL.json` in the working directory.
+  *
+  * `SPARK_GRAFT_BENCH_REPS` (default 1) times each query N times after
+  * its warm-up and reports the per-query MEDIAN — the isolated
+  * median-of-3 mode that separates plan regressions from machine noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,20 +40,31 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // First execution pays one-time costs (analysis, codegen compile,
       // JIT) that measure the JVM, not the plan — a 0.2 s steady-state
-      // query reads as 4 s. Warm once, time the second run: steady-state
+      // query reads as 4 s. Warm once, time the next run(s): steady-state
       // throughput is what scales to the cluster.
       try run(fn(spark, sfDir)) catch { case _: Throwable => }
-      val t0 = System.nanoTime()
-      // A failed query must be VISIBLE (-1), never a near-zero "speedup".
-      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // A failed query must be VISIBLE (-1), never a near-zero "speedup".
+        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // stdout is best-effort (log tails truncate); the file is the record.
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -302,14 +302,30 @@ object Dedup {
   def simhashCandidatesMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     bandedHammingPairs(simhashMd5(docs), bits = 60, maxHamming)
 
-  /** Band a (doc_id, simhash) table into 4 quarters (any pair within
-    * Hamming ≤ 3 shares at least one exact quarter), equi-join on the
-    * quarter, and keep pairs at/below the Hamming cut.
+  /** Candidates at Hamming ≤ `maxHamming` from a precomputed `(doc_id,
+    * simhash)` table, using `bands` equal-width bands. By pigeonhole any
+    * pair within Hamming ≤ bands−1 shares at least one exact band, so
+    * EVERY banding with bands > maxHamming yields the SAME exact
+    * candidate set — which makes two different bandings a genuine
+    * cross-validation of the band/join machinery (the derived-invariant
+    * oracle of `dedup_simhash_candidates` asserts quarter ≡ eighth).
     */
-  private def bandedHammingPairs(sig: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
-    val qBits = bits / 4
+  def hammingCandidates(sig: DataFrame, bits: Int, maxHamming: Int,
+      bands: Int): DataFrame =
+    bandedHammingPairs(sig, bits, maxHamming, bands)
+
+  /** Band a (doc_id, simhash) table into `bands` slices (any pair within
+    * Hamming ≤ bands−1 shares at least one exact slice), equi-join on
+    * the slice, and keep pairs at/below the Hamming cut.
+    */
+  private def bandedHammingPairs(sig: DataFrame, bits: Int, maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(bands > maxHamming,
+      s"$bands bands only guarantee recall through Hamming ${bands - 1} < $maxHamming")
+    val qBits = bits / bands
     val mask = (1L << qBits) - 1
-    val quarters = (0 until 4).map(q =>
+    val quarters = (0 until bands).map(q =>
       shiftright(col("simhash"), q * qBits).bitwiseAND(mask))
     val banded = sig.select(
       col("doc_id"), col("simhash"),

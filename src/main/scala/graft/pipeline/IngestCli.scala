@@ -27,6 +27,7 @@ object IngestCli {
       source: String,
       target: String,
       runlog: String,
+      lenient: Boolean = false,
   )
 
   private[graft] def parseArgs(argv: Array[String]): CliArgs = {
@@ -35,6 +36,7 @@ object IngestCli {
     var source: Option[String] = None
     var target: Option[String] = None
     var runlog: Option[String] = None
+    var lenient = false
     var i = 0
     def value(flag: String): String = {
       if (i + 1 >= argv.length) sys.error(s"missing value for $flag")
@@ -48,13 +50,15 @@ object IngestCli {
         case f @ "--source" => source = Some(value(f))
         case f @ "--target" => target = Some(value(f))
         case f @ "--runlog" => runlog = Some(value(f))
+        case "--lenient" => lenient = true; i += 1
         case other => sys.error(s"unknown argument: $other")
       }
     }
     CliArgs(from, to,
       source.getOrElse(sys.error("--source <dir> is required")),
       target.getOrElse(sys.error("--target <path> is required")),
-      runlog.getOrElse(sys.error("--runlog <path> is required")))
+      runlog.getOrElse(sys.error("--runlog <path> is required")),
+      lenient)
   }
 
   /** Programmatic form of the CLI run (spec-tested; `main` only adds the
@@ -69,6 +73,24 @@ object IngestCli {
       .runWindow(a.source, a.from.getOrElse(defaultFrom), a.to.getOrElse(defaultTo), today)
   }
 
+  /** O3 exit semantics. The reference logs any failure and exits 0
+    * regardless (`/root/reference/script.js:258-266`); the default here
+    * is fail-fast (exception propagates → non-zero exit), which is what
+    * schedulers actually want, and `--lenient` restores the reference's
+    * exact log-and-exit-0 behavior for drop-in compatibility.
+    */
+  private[graft] def exitCode(spark: SparkSession, argv: Array[String],
+      today: java.time.LocalDate): Int =
+    try {
+      val n = run(spark, argv, today)
+      println(s"ingested $n records")
+      0
+    } catch {
+      case scala.util.control.NonFatal(e) if parseArgs(argv).lenient =>
+        System.err.println(s"ingest failed (--lenient, exiting 0): $e")
+        0
+    }
+
   def main(argv: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -76,9 +98,7 @@ object IngestCli {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try {
-      val n = run(spark, argv, java.time.LocalDate.now(java.time.ZoneOffset.UTC))
-      println(s"ingested $n records")
-    } finally spark.stop()
+    try exitCode(spark, argv, java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+    finally spark.stop()
   }
 }

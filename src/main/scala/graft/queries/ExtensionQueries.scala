@@ -166,12 +166,63 @@ object ExtensionQueries {
               |SELECT doc_id, min(cluster) AS cluster FROM walk GROUP BY 1""".stripMargin),
     ),
 
-    // MinHash+LSH candidate pairs — hashing is xxhash64: rows-only check
-    // (the md5 twin below carries the end-to-end oracle).
+    // MinHash+LSH candidate pairs — hashing is xxhash64, so the pair SET
+    // itself is not reproducible in an external engine; instead the query
+    // emits per-document booleans that are THEOREMS about a correct
+    // implementation, which the oracle asserts TRUE row-by-row (the
+    // derived-invariant pattern proven on agg_approx_*):
+    //   - candidates_share_shingle: a band collision means all r minhash
+    //     functions agree, and equal mins over disjoint shingle sets need
+    //     a 64-bit hash collision — every candidate pair must genuinely
+    //     share a shingle;
+    //   - exact_dups_caught: identical text ⇒ identical signature ⇒
+    //     collides in every band, so every exact-dup pair must surface;
+    //   - n_exact_dup_partners is hash-independent data the oracle
+    //     recomputes exactly.
+    // The md5 twin below carries the end-to-end candidate-set oracle.
     QueryDef(
       "dedup_minhash_candidates",
-      (s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir)),
-      None,
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cand = Dedup.minhashCandidates(docs)
+        val th = docs.select(col("doc_id"), md5(col("text")).as("th"))
+        val dupPairs = th.toDF("doc_a", "tha")
+          .join(th.toDF("doc_b", "thb"),
+            col("tha") === col("thb") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        val missed = dupPairs.join(cand, Seq("doc_a", "doc_b"), "left_anti")
+        val missedDocs = missed.select(col("doc_a").as("doc_id"))
+          .unionByName(missed.select(col("doc_b").as("doc_id"))).distinct()
+          .withColumn("missed", lit(true))
+        val sh = Dedup.shingles(docs)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+          .dropDuplicates("doc_id", "sh")
+        val shared = cand.join(sh.toDF("doc_a", "sh"), "doc_a")
+          .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"), "left_semi")
+          .select("doc_a", "doc_b").distinct()
+        val unshared = cand.join(shared, Seq("doc_a", "doc_b"), "left_anti")
+        val unsharedDocs = unshared.select(col("doc_a").as("doc_id"))
+          .unionByName(unshared.select(col("doc_b").as("doc_id"))).distinct()
+          .withColumn("unshared", lit(true))
+        val dupCnt = th.groupBy(col("th")).agg(count(lit(1)).as("ndup"))
+        th.join(dupCnt, "th")
+          .join(docs.select(col("doc_id"),
+            size(split(col("text"), " ")).as("ntok")), "doc_id")
+          .filter(col("ntok") >= 3)
+          .join(missedDocs, Seq("doc_id"), "left")
+          .join(unsharedDocs, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("missed").isNull.as("exact_dups_caught"),
+            col("unshared").isNull.as("candidates_share_shingle"),
+            (col("ndup") - 1).cast("long").as("n_exact_dup_partners"))
+      },
+      Some("""SELECT doc_id,
+             |       TRUE AS exact_dups_caught,
+             |       TRUE AS candidates_share_shingle,
+             |       CAST(count(*) OVER (PARTITION BY md5(text)) - 1 AS BIGINT)
+             |         AS n_exact_dup_partners
+             |FROM documents
+             |WHERE len(string_split(text, ' ')) >= 3""".stripMargin),
     ),
 
     // Portable MinHash+LSH: md5 signatures (identical hex in any engine,
@@ -202,22 +253,88 @@ object ExtensionQueries {
       },
     ),
 
-    // SimHash signatures — xxhash64-based: rows-only check (the md5
-    // twin below carries the oracle). Runs through the single-buffer
-    // SimhashAgg (TypedImperativeAggregate), spec-checked equal to the
-    // 64-sum formulation and ~1.5× faster.
+    // SimHash signatures — xxhash64-based, so the raw 64-bit values are
+    // not externally reproducible; the query instead emits per-document
+    // invariants the oracle asserts TRUE (derived-invariant pattern):
+    //   - agg_forms_agree: the single-buffer SimhashAgg
+    //     (TypedImperativeAggregate, the production path, ~1.5× faster)
+    //     must be bit-identical to the 64-sum formulation — a genuine
+    //     cross-validation of the custom aggregate, per document;
+    //   - exact_dup_sig_consistent: identical text ⇒ identical tokens ⇒
+    //     identical signature within each exact-dup group.
+    // The md5 twin below carries the end-to-end signature oracle.
     QueryDef(
       "dedup_simhash",
-      (s, dir) => Dedup.simhashViaAgg(Tables.documents(s, dir)),
-      None,
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = Dedup.simhashViaAgg(docs)
+          .join(Dedup.simhash(docs).withColumnRenamed("simhash", "simhash_sums"),
+            "doc_id")
+          .join(docs.select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+        val grp = sig.groupBy(col("th")).agg(
+          countDistinct(col("simhash")).as("nsig"), count(lit(1)).as("ndup"))
+        sig.join(grp, "th").select(
+          col("doc_id"),
+          (col("simhash") === col("simhash_sums")).as("agg_forms_agree"),
+          (col("nsig") === 1).as("exact_dup_sig_consistent"),
+          (col("ndup") - 1).cast("long").as("n_exact_dup_partners"))
+      },
+      Some("""SELECT doc_id,
+             |       TRUE AS agg_forms_agree,
+             |       TRUE AS exact_dup_sig_consistent,
+             |       CAST(count(*) OVER (PARTITION BY md5(text)) - 1 AS BIGINT)
+             |         AS n_exact_dup_partners
+             |FROM documents""".stripMargin),
     ),
 
-    // SimHash near-dup candidate pairs (quarter-banding + Hamming ≤ 3):
-    // rows-only check; planted-duplicate recall is spec-tested.
+    // SimHash near-dup candidate pairs (quarter-banding + Hamming ≤ 3).
+    // The pair set is xxhash64-derived, so the oracle checks theorems
+    // instead:
+    //   - bandings_agree: 4-band and 8-band generation BOTH compute
+    //     exactly {pairs : Hamming ≤ 3} (pigeonhole: 3 errors cannot
+    //     touch all 4 — or all 8 — bands), so their outputs must be
+    //     identical pair sets — a real cross-check of the band masks,
+    //     shifts, and join;
+    //   - exact_dups_caught: identical text ⇒ Hamming 0 ⇒ in candidates.
+    // Planted-duplicate recall is additionally spec-tested in DedupSpec.
     QueryDef(
       "dedup_simhash_candidates",
-      (s, dir) => Dedup.simhashCandidates(Tables.documents(s, dir)),
-      None,
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = Dedup.simhashViaAgg(docs)
+        val quarters = Dedup.hammingCandidates(sig, bits = 64, maxHamming = 3, bands = 4)
+          .select("doc_a", "doc_b")
+        val eighths = Dedup.hammingCandidates(sig, bits = 64, maxHamming = 3, bands = 8)
+          .select("doc_a", "doc_b")
+        val diff = quarters.join(eighths, Seq("doc_a", "doc_b"), "left_anti")
+          .unionByName(eighths.join(quarters, Seq("doc_a", "doc_b"), "left_anti"))
+        val diffDocs = diff.select(col("doc_a").as("doc_id"))
+          .unionByName(diff.select(col("doc_b").as("doc_id"))).distinct()
+          .withColumn("differs", lit(true))
+        val th = docs.select(col("doc_id"), md5(col("text")).as("th"))
+        val dupPairs = th.toDF("doc_a", "tha")
+          .join(th.toDF("doc_b", "thb"),
+            col("tha") === col("thb") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        val missed = dupPairs.join(quarters, Seq("doc_a", "doc_b"), "left_anti")
+        val missedDocs = missed.select(col("doc_a").as("doc_id"))
+          .unionByName(missed.select(col("doc_b").as("doc_id"))).distinct()
+          .withColumn("missed", lit(true))
+        val dupCnt = th.groupBy(col("th")).agg(count(lit(1)).as("ndup"))
+        th.join(dupCnt, "th")
+          .join(diffDocs, Seq("doc_id"), "left")
+          .join(missedDocs, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("differs").isNull.as("bandings_agree"),
+            col("missed").isNull.as("exact_dups_caught"),
+            (col("ndup") - 1).cast("long").as("n_exact_dup_partners"))
+      },
+      Some("""SELECT doc_id,
+             |       TRUE AS bandings_agree,
+             |       TRUE AS exact_dups_caught,
+             |       CAST(count(*) OVER (PARTITION BY md5(text)) - 1 AS BIGINT)
+             |         AS n_exact_dup_partners
+             |FROM documents""".stripMargin),
     ),
 
     // Portable SimHash twin: 60-bit md5-derived token hashes, same

@@ -17,8 +17,14 @@ import graft.ops.TrafOps
 final class RunLog(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  /** nedb `timestampData: true` auto-maintains BOTH `createdAt` and
+    * `updatedAt` (`script.js:10`); run documents are never updated, so
+    * `updatedAt` equals the insert stamp — recorded here for schema
+    * fidelity with the reference's log store.
+    */
   def append(run: RunInfo): Unit =
-    Seq(run).toDS().write.mode(SaveMode.Append).parquet(path)
+    Seq(run).toDS().withColumn("updatedAt", $"createdAt")
+      .write.mode(SaveMode.Append).parquet(path)
 
   def all(): DataFrame =
     try spark.read.parquet(path)

@@ -29,6 +29,9 @@ class PipelineSpec extends SparkSpec {
     assert(log.latest().map(_.toDate).contains("2024-01-16"))
     // from = previous ToDate: the deliberate overlap day (I3)
     assert(log.nextWindow(LocalDate.parse("2024-01-18")) == ("2024-01-16", "2024-01-17"))
+    // nedb timestampData fidelity: updatedAt is stamped alongside createdAt
+    import org.apache.spark.sql.functions.col
+    assert(log.all().where(col("updatedAt") === col("createdAt")).count() == 2)
   }
 
   test("ingest pipeline: incremental runs merge idempotently over the overlap") {
@@ -83,9 +86,24 @@ class PipelineSpec extends SparkSpec {
     val parsed = graft.pipeline.IngestCli.parseArgs(base ++
       Array("--from", "2024-01-10", "--to", "2024-01-12"))
     assert(parsed.from.contains("2024-01-10") && parsed.to.contains("2024-01-12"))
+    assert(!parsed.lenient)
+    assert(graft.pipeline.IngestCli.parseArgs(base :+ "--lenient").lenient)
     intercept[RuntimeException] {
       graft.pipeline.IngestCli.parseArgs(Array("--bogus"))
     }
+  }
+
+  test("O3 exit semantics: fail-fast by default, --lenient logs and exits 0") {
+    val dir = tmp("cli-lenient")
+    // /nonexistent source makes the run fail inside the pipeline
+    val bad = Array("--source", s"$dir/nope", "--target", s"$dir/target",
+      "--runlog", s"$dir/log", "-f", "2024-01-15", "-t", "2024-01-15")
+    intercept[Exception] {
+      graft.pipeline.IngestCli.exitCode(spark, bad, LocalDate.parse("2024-01-16"))
+    }
+    // the reference's behavior (script.js:258-266): log the error, exit 0
+    assert(graft.pipeline.IngestCli.exitCode(spark, bad :+ "--lenient",
+      LocalDate.parse("2024-01-16")) == 0)
   }
 
   test("ingest pipeline against a JDBC merge target (the reference's sink shape)") {
