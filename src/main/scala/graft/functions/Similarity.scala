@@ -167,15 +167,25 @@ object Similarity {
     transform(e, x => x.cast("double") / nrm)
   }
 
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
-    // Centroids are pre-normalized (nCells rows). Corpus rows need no
-    // normalization at all: ||x|| is constant across centroids, so
-    // argmax_c cosine(x, c) = argmax_c dot(x, ĉ) — the fold below is one
-    // bare 64-wide dot product per centroid, nothing else.
-    val cents = embeddings.filter(col("vec_id") < nCells)
+  /** Deterministic seed centroids: the vectors with the `nCells` smallest
+    * vec_ids, unit-normalized — `(__cid, __cemb)`, reproducible with zero
+    * extra passes.
+    */
+  def seededCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
+    embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("__cid"), unitNorm(col("embedding")).as("__cemb"))
+
+  /** Assign every vector to its nearest centroid from a `(__cid, __cemb)`
+    * table. Centroids are pre-normalized, so argmax cosine = argmax dot;
+    * corpus rows need no normalization at all. The centroid set is packed
+    * into one broadcast row SORTED by __cid, so the fold's first-wins tie
+    * break is the smallest cell id — deterministic regardless of
+    * collect_list order.
+    */
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids
       .groupBy().agg(
-        collect_list(struct(col("__cid"), col("__cemb"))).as("__cents"))
+        sort_array(collect_list(struct(col("__cid"), col("__cemb")))).as("__cents"))
     // argmax_{c} dot(x, ĉ): fold over the centroid array keeping
     // (best_sim, best_cell) — one pass, no shuffle, codegen'd double math.
     val best = aggregate(
@@ -193,18 +203,55 @@ object Similarity {
       .drop("__cents")
   }
 
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
+    assignToCentroids(embeddings, seededCentroids(embeddings, nCells))
+
+  /** One Lloyd (k-means) refinement pass: assign every vector to its
+    * nearest current centroid, then replace each centroid with the
+    * unit-normalized element-wise MEAN of its members. Two scans plus a
+    * (cell, dim)-keyed aggregation — map-side combinable, no extra
+    * shuffle shape beyond a groupBy on ≤ nCells×dim keys — so refinement
+    * costs O(corpus) work per pass at any scale.
+    *
+    * Exactness: per-dimension sums go through DECIMAL(28,12) (the proven
+    * portable pattern of [[dotDecimal]]) and the mean is one double
+    * division of exact inputs, so refined centroids are bit-reproducible
+    * by an external SQL oracle. Every seed's own vector assigns to
+    * itself (cosine 1 is the maximum), so no cell is ever empty and the
+    * pass is total.
+    */
+  def refineCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val dims = assignToCentroids(embeddings, centroids)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("cell"), col("i"))
+      .agg(
+        sum(col("v").cast("double").cast(DecimalType(28, 12))).as("s"),
+        count(lit(1)).as("n"))
+    dims
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("i"),
+        (col("s").cast("double") / col("n")).as("v")))).as("mv"))
+      .select(col("cell").as("__cid"),
+        unitNorm(transform(col("mv"), m => m.getField("v"))).as("__cemb"))
+  }
+
   /** IVF ANN top-k: probe the `nProbe` cells nearest the query, exact
-    * decimal cosine within the probed cells only.
+    * decimal cosine within the probed cells only. `refine` Lloyd passes
+    * (deterministic, fixed count) tighten the cells around the data —
+    * recall@k rises against the same probe budget (spec-measured in
+    * SimilaritySpec).
     */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long,
-      k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(embeddings, nCells)
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4, refine: Int = 0): DataFrame = {
+    var cents = seededCentroids(embeddings, nCells)
+    for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
+    val assigned = assignToCentroids(embeddings, cents)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("__q"))
-    val probedCells = embeddings.filter(col("vec_id") < nCells)
+    val probedCells = cents
       .crossJoin(broadcast(q))
-      .select(col("vec_id").as("cell"),
-        cosineDouble(col("embedding"), col("__q")).as("__csim"))
+      .select(col("__cid").as("cell"),
+        cosineDouble(col("__cemb"), col("__q")).as("__csim"))
       .orderBy(desc("__csim"), asc("cell")).limit(nProbe)
       .select(col("cell"))
     assigned
@@ -214,6 +261,34 @@ object Similarity {
       .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Batched ANN — the shape a real pipeline runs: a query TABLE
+    * `(qid, embedding)` answered in ONE bucket equi-join (no per-query
+    * loop, no driver iteration). Both sides compute their LSH bucket,
+    * the join co-locates each query with its bucket's corpus slice, and
+    * a per-query window top-k (rank-pushed `WindowGroupLimit`, never a
+    * global sort) emits k rows per query. Scales in queries AND corpus:
+    * the shuffle is keyed on bucket, work is Σ per-bucket products.
+    */
+  def annTopKBatch(embeddings: DataFrame, queries: DataFrame, dim: Int,
+      k: Int = 10, nPlanes: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val qs = queries.select(
+      col("qid"), col("embedding").as("__q"),
+      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id")))
+    corpus.join(qs, "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("__q")).as("cosine"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH buckets generate the

@@ -503,48 +503,97 @@ object ExtensionQueries {
               |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
-    // IVF ANN top-k (coarse-quantize → probe nearest cells). Fully
-    // oracle-checked: DuckDB's list_reduce folds left-to-right, so the
-    // sequential double dot products of centroid normalization,
-    // assignment argmax, and probe ranking all mirror bit-exactly
-    // ((0+t1)+t2+... ≡ (t1+t2)+...), and the final cosine is the
-    // portable decimal fold.
+    // IVF ANN top-k (coarse-quantize → one Lloyd refinement pass → probe
+    // nearest cells). Fully oracle-checked: DuckDB's list_reduce folds
+    // left-to-right, so the sequential double dot products of centroid
+    // normalization, assignment argmax, and probe ranking all mirror
+    // bit-exactly ((0+t1)+t2+... ≡ (t1+t2)+...); the refined centroid
+    // means go through exact DECIMAL(28,12) per-dimension sums and one
+    // double division (both engines IEEE-identical); the final cosine is
+    // the portable decimal fold.
     QueryDef(
       "embed_ivf_topk",
-      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L),
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), queryVecId = 0L,
+        refine = 1),
       Some {
         // sequential double dot product — same add order as dotDouble's loop
         def dd(a: String, b: String) =
           s"list_reduce(list_transform(list_zip($a, $b), " +
             s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
-        s"""WITH cents AS (
-           |  SELECT vec_id AS cid, embedding AS cemb,
+        // nearest-centroid cell per vector, given a (cid, cn) centroid CTE
+        def assignCte(cents: String) =
+          s"""(SELECT vec_id, cid AS cell FROM (
+             |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+             |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+        s"""WITH cents0 AS (
+           |  SELECT vec_id AS cid,
            |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
            |  FROM embeddings WHERE vec_id < 16),
-           |assign AS (
-           |  SELECT e.vec_id, c.cid,
-           |    list_reduce(list_transform(list_zip(e.embedding, c.cn), s -> CAST(s[1] AS DOUBLE) * s[2]), (a, b) -> a + b) AS sim
-           |  FROM embeddings e CROSS JOIN cents c),
-           |cell AS (
-           |  SELECT vec_id, cid AS cell FROM (
-           |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-           |    FROM assign) WHERE rn = 1),
+           |cell0 AS ${assignCte("cents0")},
+           |members AS (
+           |  SELECT c.cell, e.embedding FROM cell0 c JOIN embeddings e USING (vec_id)),
+           |dims AS (
+           |  SELECT cell, i,
+           |    sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS s,
+           |    count(*) AS n
+           |  FROM members, range(1, 65) AS t(i) GROUP BY cell, i),
+           |newm AS (
+           |  SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY i) AS m
+           |  FROM dims GROUP BY cell),
+           |cents1 AS (
+           |  SELECT cell AS cid, list_transform(m, x -> x / sqrt(${dd("m", "m")})) AS cn
+           |  FROM newm),
+           |cell1 AS ${assignCte("cents1")},
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |probe AS (
            |  SELECT cid AS cell FROM (
            |    SELECT c.cid, row_number() OVER (ORDER BY
-           |      ${dd("c.cemb", "q.qe")} / (sqrt(${dd("c.cemb", "c.cemb")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, c.cid) AS rn
-           |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+           |      ${dd("c.cn", "q.qe")} / (sqrt(${dd("c.cn", "c.cn")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, c.cid) AS rn
+           |    FROM cents1 c CROSS JOIN q) WHERE rn <= 4),
            |cand AS (
            |  SELECT e.vec_id, e.embedding, q.qe FROM embeddings e
-           |  JOIN cell ON cell.vec_id = e.vec_id
-           |  JOIN probe ON probe.cell = cell.cell
+           |  JOIN cell1 ON cell1.vec_id = e.vec_id
+           |  JOIN probe ON probe.cell = cell1.cell
            |  CROSS JOIN q
            |  WHERE e.vec_id <> 0),
            |${cosineAgainstQuerySql("cand")}
            |SELECT vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine FROM d
            |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
       },
+    ),
+
+    // Batched ANN — a query TABLE (the 8 lowest vec_ids) answered in ONE
+    // bucket equi-join with a per-query window top-k; the plan the real
+    // pipeline runs (no per-query loop). 6 hyperplanes (64 buckets) so
+    // every query has a populated bucket at the verification scales —
+    // the candidate lists stay non-vacuous. Oracle: same sign-chain
+    // bucket mirror per query row + (qid, vec_id)-keyed decimal cosine.
+    QueryDef(
+      "embed_ann_batch",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.annTopKBatch(emb,
+          emb.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding")),
+          dim = 64, nPlanes = 6)
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql(64, 6)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b
+              |  WHERE vec_id < 8),
+              |cand AS (SELECT q.qid, b.vec_id, b.embedding, q.qe
+              |  FROM b JOIN q ON b.bucket = q.qb WHERE b.vec_id <> q.qid),
+              |pr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM cand),
+              |d AS (SELECT qid, vec_id,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+              |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+              |  FROM pr GROUP BY 1, 2)
+              |SELECT qid, vec_id, cosine FROM (
+              |  SELECT qid, vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+              |  FROM d) WHERE rn <= 10""".stripMargin),
     ),
 
     // Multi-probe ANN (query bucket + all Hamming-1 buckets): bucket

@@ -74,6 +74,42 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("one Lloyd pass: refined IVF recall@10 beats the seeded index (same probes)") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = Seq(20L, 120L, 220L, 320L, 420L)
+    def recall(refine: Int): Int = queries.map { q =>
+      val exact = Similarity.cosineTopK(embeddings, q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val ivf = Similarity.ivfTopK(embeddings, q, k = 10, nCells = 16,
+        nProbe = 2, refine = refine)
+        .select("vec_id").as[Long].collect().toSet
+      (ivf & exact).size
+    }.sum
+    val (seeded, refined) = (recall(0), recall(1))
+    info(s"recall@10 over ${queries.size} queries: seeded=$seeded refined=$refined")
+    assert(refined > seeded,
+      s"one k-means pass should tighten cells: refined=$refined seeded=$seeded")
+  }
+
+  test("batched ANN equals the per-query ANN, one equi-join plan") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val batch = Similarity.annTopKBatch(embeddings,
+      embeddings.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding"),
+      dim = 64, k = 5, nPlanes = 6)
+      .as[(Long, Long, Double)].collect().toSeq.groupBy(_._1)
+    for (q <- 0L until 3L) {
+      val single = Similarity.annTopK(embeddings, q, dim = 64, k = 5, nPlanes = 6)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch.getOrElse(q, Seq.empty).map(t => (t._2, t._3)) == single,
+        s"batch result for query $q must equal the single-query ANN")
+    }
+    // the batch plan is one join — no per-query loop artifacts
+    val plan = Similarity.annTopKBatch(embeddings,
+      embeddings.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding"),
+      dim = 64, k = 5, nPlanes = 6).queryExecution.executedPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size >= 1)
+  }
+
   test("embeddingNearDups on the fixture finds planted near-dups at sf0.001") {
     val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exactTop = Similarity.cosineTopK(embeddings, 0L, 1).as[(Long, Double)].head()
