@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Bench regression guard (SURVEY §6.1).
+
+Compares a fresh `graft.Bench` artifact against the committed per-query
+medians in BENCH_BASELINE.json and fails (exit 1) if any query regressed
+more than THRESHOLD×, with an absolute floor so sub-100 ms queries don't
+flag on scheduler jitter. New queries (absent from the baseline) are
+reported informationally and never fail the guard — refresh the baseline
+with an isolated `SPARK_GRAFT_BENCH_REPS=3` run when adding queries.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
+        sbt -batch "runMain graft.Bench /tmp/bench_new.json"
+    python3 scripts/bench_guard.py /tmp/bench_new.json [baseline.json]
+"""
+import json
+import sys
+
+THRESHOLD = 2.0   # max allowed per-query slowdown vs baseline median
+FLOOR_SEC = 0.3   # ignore regressions that stay under this absolute time
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    new_path = sys.argv[1]
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+    new = json.load(open(new_path))
+    base = json.load(open(base_path))
+    new_q, base_q = new["queries"], base["queries"]
+
+    failed_queries = [q for q, t in new_q.items() if t < 0]
+    regressions = []
+    added = sorted(set(new_q) - set(base_q))
+    for q, t_base in sorted(base_q.items()):
+        t_new = new_q.get(q)
+        if t_new is None:
+            print(f"MISSING  {q} (in baseline, not in new run)")
+            regressions.append((q, t_base, float("nan")))
+            continue
+        if t_new < 0:
+            continue  # already counted in failed_queries
+        if t_new > THRESHOLD * t_base and t_new > FLOOR_SEC:
+            regressions.append((q, t_base, t_new))
+
+    for q, t_base, t_new in regressions:
+        print(f"REGRESSED  {q}: {t_base:.2f}s -> {t_new:.2f}s")
+    for q in failed_queries:
+        print(f"FAILED  {q}")
+    for q in added:
+        print(f"new (unguarded): {q} = {new_q[q]:.2f}s")
+    tot_new, tot_base = new["value"], base["value"]
+    print(f"total: baseline {tot_base:.1f}s -> new {tot_new:.1f}s "
+          f"({tot_new / tot_base:.2f}x), {len(base_q)} guarded, {len(added)} new")
+
+    if failed_queries or regressions:
+        print(f"GUARD FAIL: {len(regressions)} regression(s), "
+              f"{len(failed_queries)} failed query/queries")
+        return 1
+    print("GUARD PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.allTable.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     // plan-time guardrail: fail global windows over unbounded inputs
     // (see GlobalWindowGuard; spark.graft.allowGlobalWindows opts out)
     ext.injectOptimizerRule(_ => graft.plans.GlobalWindowGuard)
@@ -80,9 +83,85 @@ object GraftExtensions {
     ("simhash_agg", shInfo, shBuilder),
   )
 
+  // ---- table-valued functions: the table-level operators of TrafOps
+  // exposed to plain SQL. The builders receive literal arguments, emit
+  // the SAME plan shape as the DataFrame operators (conditional-sum
+  // aggregate + stack unpivot; by-name union + keyed sums), and leave
+  // resolution to the analyzer — so `SELECT * FROM dq_expectations(...)`
+  // composes with views, CTEs, and the optimizer like any relation.
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def parsePlan(sql: String) =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+
+  private val dqInfo = new ExpressionInfo(
+    "graft.ops.TrafOps", null, "dq_expectations",
+    "dq_expectations(table, name1, predicate1[, name2, predicate2, ...]) - " +
+      "one row per named expectation with its violation count, in one scan " +
+      "(NULL predicate results count as violations)", "")
+
+  /** SQL twin of [[graft.ops.TrafOps.expectations]]. */
+  private val dqBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+    if (args.size < 3 || args.size % 2 == 0)
+      throw new IllegalArgumentException(
+        "dq_expectations expects (table, name, predicate [, name, predicate ...])")
+    val table = strArg(args.head, "table")
+    val rules = args.tail.grouped(2).map {
+      case Seq(n, p) => (strArg(n, "rule name"), strArg(p, "rule predicate"))
+    }.toSeq
+    val sums = rules.map { case (n, p) =>
+      s"sum(CASE WHEN coalesce(($p), false) THEN 0L ELSE 1L END) AS `$n`"
+    }
+    val stacked = rules.map { case (n, _) => s"'$n', `$n`" }.mkString(", ")
+    parsePlan(
+      s"SELECT stack(${rules.size}, $stacked) AS (expectation, n_violations) " +
+        s"FROM (SELECT ${sums.mkString(", ")} FROM $table)")
+  }
+
+  private val masInfo = new ExpressionInfo(
+    "graft.ops.TrafOps", null, "merge_agg_states",
+    "merge_agg_states(state_table, batch_table, 'k1,k2', 'n,sum_x') - fold a " +
+      "batch of commutative-monoid aggregate states into the persisted state " +
+      "(one keyed sum over the by-name union)", "")
+
+  /** SQL twin of [[graft.ops.TrafOps.mergeAggStates]]; value columns are
+    * explicit because the plan is built before resolution.
+    */
+  private val masBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
+    if (args.size != 4)
+      throw new IllegalArgumentException(
+        "merge_agg_states expects (state_table, batch_table, keysCsv, valueColsCsv)")
+    val state = strArg(args(0), "state_table")
+    val batch = strArg(args(1), "batch_table")
+    val keys = strArg(args(2), "keys").split(",").map(_.trim).filter(_.nonEmpty)
+    val values = strArg(args(3), "value columns").split(",").map(_.trim).filter(_.nonEmpty)
+    val cols = (keys ++ values).map(c => s"`$c`").mkString(", ")
+    val aggs = values.map(c => s"sum(`$c`) AS `$c`").mkString(", ")
+    val groupBy = keys.map(c => s"`$c`").mkString(", ")
+    parsePlan(
+      s"SELECT $groupBy, $aggs FROM " +
+        s"(SELECT $cols FROM $state UNION ALL SELECT $cols FROM $batch) " +
+        s"GROUP BY $groupBy")
+  }
+
+  private[graft] val allTable: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("dq_expectations", dqInfo, dqBuilder),
+    ("merge_agg_states", masInfo, masBuilder),
+  )
+
   /** Register the engine functions into a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, info, builder) =>
       GraftSqlBridge.registerFunction(spark, name, info, builder)
     }
+    allTable.foreach { case (name, info, builder) =>
+      GraftSqlBridge.registerTableFunction(spark, name, info, builder)
+    }
+  }
 }

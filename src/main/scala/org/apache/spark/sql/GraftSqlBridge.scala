@@ -24,4 +24,14 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+
+  /** Table-valued-function twin of [[registerFunction]] — the runtime
+    * counterpart of `SparkSessionExtensions.injectTableFunction`.
+    */
+  def registerTableFunction(
+      spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity}
+
+/** Empirical scale evidence for the dedup/ANN families (SURVEY §6):
+  * synthesize a 10× corpus whose per-copy structure is IDENTICAL to the
+  * 1× corpus, run the heavy candidate generators at both scales, and
+  * assert (a) near-linear wall-time, (b) exact 10× output cardinality
+  * where the construction guarantees it, (c) no pathological task skew.
+  *
+  * Construction: copy c of the documents salts every token with "_c", so
+  * shingle spaces of different copies are DISJOINT — within-copy jaccard
+  * structure is preserved exactly and no cross-copy pair can ever form,
+  * making `pairs(10×) == 10 × pairs(1×)` a theorem for the exact-count
+  * operators. Embedding copy c sign-flips a copy-specific dim subset —
+  * within-copy cosines are invariant (both sides flip identically),
+  * cross-copy cosines scramble.
+  */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private lazy val base = Files.createTempDirectory("scale10x").toString
+
+  private def synthDocs(copies: Int, out: String): DataFrame = {
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(array((0 until copies).map(lit(_)): _*)).as("copy"))
+      .select(
+        (col("doc_id") + col("copy").cast("long") * 1000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("copy")))).as("text"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** Deterministic ±1 mask per copy (splitmix of (copy, dim)): distinct
+    * copies flip essentially independent dim subsets, so the same vector
+    * in two copies has |cosine| ≈ |N(0, 1/64)|-scale — far below any
+    * near-dup threshold — while within-copy cosines are exactly
+    * invariant (both sides of a pair flip identically).
+    */
+  private def copyMask(c: Int): Array[Float] =
+    Array.tabulate(64) { i =>
+      var z = c.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL +
+        0xD6E8FEB86659FD93L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  private def synthEmb(copies: Int, out: String): DataFrame = {
+    val raw = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // the fixture has no pair above cosine 0.52 at this SF — plant 20
+    // near-dup twins (one damped dimension, cosine ≈ 0.999) so the 1×
+    // corpus is non-vacuous for the near-dup operator
+    val twins = raw.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * lit(0.9f)).otherwise(x)).as("embedding"))
+    val masks = array((0 until copies).map(c => lit(copyMask(c))): _*)
+    raw.unionByName(twins)
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until copies).map(lit(_)): _*)).as("copy"))
+      .select(
+        (col("vec_id") + col("copy").cast("long") * 10000000L).as("vec_id"),
+        zip_with(col("embedding"), element_at(masks, col("copy") + 1),
+          (x, s) => x * s).as("embedding"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("dedup candidate generators scale near-linearly on a 10× corpus") {
+    val docs1 = synthDocs(1, s"$base/docs1")
+    val docs10 = synthDocs(10, s"$base/docs10")
+
+    def jaccard(d: DataFrame) =
+      Dedup.jaccardPairs(d, n = 3, threshold = 0.05, maxDf = Some(1000))
+
+    // warm the JVM so t1 isn't dominated by codegen/JIT
+    jaccard(docs1).count()
+
+    val (p1, t1) = timed(jaccard(docs1).count())
+    val (p10, t10) = timed(jaccard(docs10).count())
+    info(f"jaccard pairs: 1x=$p1 in $t1%.2fs, 10x=$p10 in $t10%.2fs (${t10 / t1}%.1fx)")
+    // disjoint copies with identical within-copy structure: exact theorem
+    assert(p10 == 10 * p1, s"10x corpus must yield exactly 10x pairs: $p10 vs $p1")
+    assert(t10 <= 12 * t1 + 1.0,
+      f"jaccard wall-time must scale near-linearly: $t1%.2fs -> $t10%.2fs")
+
+    // connected components: per-copy graphs are identical, so non-singleton
+    // component count is exactly 10x
+    def components(d: DataFrame) = {
+      val pairs = jaccard(d).select("doc_a", "doc_b")
+      Dedup.clusterAssign(pairs, d.select("doc_id"))
+        .groupBy("cluster").count().filter(col("count") > 1).count()
+    }
+    val (c1, tc1) = timed(components(docs1))
+    val (c10, tc10) = timed(components(docs10))
+    info(f"non-singleton clusters: 1x=$c1 in $tc1%.2fs, 10x=$c10 in $tc10%.2fs")
+    assert(c10 == 10 * c1, s"10x corpus must yield exactly 10x components: $c10 vs $c1")
+    assert(tc10 <= 12 * tc1 + 2.0,
+      f"cluster propagation must scale near-linearly: $tc1%.2fs -> $tc10%.2fs")
+
+    // MinHash banding: candidate sets are hash-realization-dependent per
+    // copy (tokens differ), so assert scaling + growth, not exact 10x
+    Dedup.minhashCandidatesMd5(docs1).count()
+    val (m1, tm1) = timed(Dedup.minhashCandidatesMd5(docs1).count())
+    val (m10, tm10) = timed(Dedup.minhashCandidatesMd5(docs10).count())
+    info(f"minhash md5 candidates: 1x=$m1 in $tm1%.2fs, 10x=$m10 in $tm10%.2fs")
+    assert(m10 >= m1, "a 10x corpus cannot produce fewer banded candidates")
+    assert(tm10 <= 12 * tm1 + 2.0,
+      f"minhash banding must scale near-linearly: $tm1%.2fs -> $tm10%.2fs")
+  }
+
+  test("no pathological shuffle skew in the capped jaccard join at 10×") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val docs10 = spark.read.parquet(s"$base/docs10")
+    var maxTask = 0L
+    var total = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
+        maxTask = math.max(maxTask, recs)
+        total += recs
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE legitimately coalesces this test-scale shuffle into few tasks;
+    // pin the 32-partition layout so the measurement is KEY skew, which
+    // is what breaks a 1000-executor run
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      Dedup.jaccardPairs(docs10, n = 3, threshold = 0.05, maxDf = Some(1000)).count()
+      // listener events are async: poll until the totals stop moving
+      var last = -1L
+      var spins = 0
+      while (total != last && spins < 50) {
+        last = total; spins += 1; Thread.sleep(200L)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    info(s"shuffle records: maxTask=$maxTask total=$total")
+    // with 32 shuffle partitions a healthy spread puts ~3% in the biggest
+    // task; 25% is the generous "no single task swallowed the join" bound
+    assert(total > 0 && maxTask <= total / 4,
+      s"one task read $maxTask of $total shuffle records — skew")
+  }
+
+  test("embedding near-dup LSH scales near-linearly on a 10× corpus") {
+    val emb1 = synthEmb(1, s"$base/emb1")
+    val emb10 = synthEmb(10, s"$base/emb10")
+    Similarity.embeddingNearDups(emb1, dim = 64).count()
+    val (e1, te1) = timed(Similarity.embeddingNearDups(emb1, dim = 64).count())
+    val (e10, te10) = timed(Similarity.embeddingNearDups(emb10, dim = 64).count())
+    info(f"near-dup pairs: 1x=$e1 in $te1%.2fs, 10x=$e10 in $te10%.2fs")
+    // cross-copy cosines are scrambled (masked copies), recall per copy
+    // varies with the flipped hyperplane geometry: assert non-vacuous
+    // recall, growth, bounded total, and near-linear time
+    assert(e1 >= 1, "planted twins must surface in the 1x corpus")
+    assert(e10 >= e1, "a 10x corpus cannot produce fewer near-dup pairs")
+    assert(e10 <= 10 * 20, s"cross-copy pairs leaked through the masks: $e10")
+    assert(te10 <= 12 * te1 + 2.0,
+      f"LSH near-dup must scale near-linearly: $te1%.2fs -> $te10%.2fs")
+  }
+}

@@ -60,6 +60,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(fp == expected && fp.length == 16)
   }
 
+  test("dq_expectations table function matches TrafOps.expectations from SQL") {
+    graft.GraftExtensions.register(spark)
+    Seq((1L, "ok"), (2L, ""), (-3L, "x"), (4L, null))
+      .toDF("id", "txt").createOrReplaceTempView("tvf_docs")
+    val out = spark.sql(
+      "SELECT * FROM dq_expectations('tvf_docs', " +
+        "'id_nonneg', 'id >= 0', 'has_text', 'length(txt) > 0') ORDER BY expectation")
+      .as[(String, Long)].collect().toSeq
+    val expected = graft.ops.TrafOps.expectations(
+      spark.table("tvf_docs"),
+      Seq("id_nonneg" -> ($"id" >= 0), "has_text" -> (org.apache.spark.sql.functions.length($"txt") > 0)))
+      .orderBy("expectation").as[(String, Long)].collect().toSeq
+    assert(out == expected)
+    assert(out == Seq(("has_text", 2L), ("id_nonneg", 1L))) // null txt counts as violation
+  }
+
+  test("merge_agg_states table function matches TrafOps.mergeAggStates from SQL") {
+    graft.GraftExtensions.register(spark)
+    val state = Seq(("a", 2L, BigDecimal("10.00")), ("b", 1L, BigDecimal("5.50")))
+      .toDF("k", "n", "sum_v")
+    val batch = Seq(("a", 3L, BigDecimal("1.25")), ("c", 1L, BigDecimal("7.00")))
+      .toDF("k", "n", "sum_v")
+    state.createOrReplaceTempView("tvf_state")
+    batch.createOrReplaceTempView("tvf_batch")
+    val out = spark.sql(
+      "SELECT * FROM merge_agg_states('tvf_state', 'tvf_batch', 'k', 'n,sum_v') ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    val expected = graft.ops.TrafOps.mergeAggStates(state, batch, Seq("k"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(out == expected)
+    assert(out.map(t => (t._1, t._2)) == Seq(("a", 5L), ("b", 1L), ("c", 1L)))
+  }
+
   test("dotF null semantics and type check") {
     val df = Seq((Option.empty[Array[Float]], floats(1))).toDF("a", "b")
     assert(df.select(dotF($"a", $"b")).as[Option[Double]].head().isEmpty)
