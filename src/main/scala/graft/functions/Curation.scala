@@ -73,6 +73,75 @@ object Curation {
       .agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
+  /** PII redaction: replace emails, IPv4 addresses, and US-style phone
+    * numbers with type tags in one narrow projection (three chained
+    * codegen'd `regexp_replace`s — no UDF, no shuffle, linear scan at
+    * any corpus size). The patterns are deliberately dialect-portable
+    * (valid and identical in Java regex and RE2), so the operator is
+    * oracle-checkable in any engine; `n_pii` counts total redactions so
+    * a privacy audit is the same single pass.
+    *
+    * Application order matters and is part of the contract: emails first
+    * (their local part may contain digits), then IPs (dotted), then
+    * phones (dashed/spaced) — the later patterns cannot match inside an
+    * earlier replacement's `[TAG]`.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "[EMAIL]"),
+          ip, "[IP]"),
+        phone, "[PHONE]").as("redacted"),
+      (regexp_count(col(textCol), lit(email)) +
+        regexp_count(col(textCol), lit(ip)) +
+        regexp_count(col(textCol), lit(phone))).as("n_pii"))
+  }
+
+  /** Deterministic shuffle key for training order: a salted md5 of the
+    * doc id — a reproducible uniform permutation, stable under appends,
+    * identical in any engine.
+    */
+  def shuffleKey(idCol: String = "doc_id", seed: String = "sh1") =
+    md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+
+  /** Globally shuffled training order WITHOUT a global sort bottleneck:
+    * range-partition by the shuffle key (the writer's N output shards
+    * cover N disjoint key ranges) and sort only within partitions.
+    * Reading shards in order replays one global pseudo-random
+    * permutation, and every stage is distributed — the 100 TB
+    * write-shuffled-corpus layout.
+    */
+  def shuffled(docs: DataFrame, partitions: Int = 0, seed: String = "sh1"): DataFrame = {
+    val keyed = docs.withColumn("shuffle_key", shuffleKey(seed = seed))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("shuffle_key"))
+      else keyed.repartitionByRange(col("shuffle_key"))
+    ranged.sortWithinPartitions(col("shuffle_key"))
+  }
+
+  /** Train/val/test leakage audit: near-duplicate pairs (n-gram Jaccard,
+    * [[Dedup.jaccardPairs]]) that CROSS a [[hashSplit]] boundary — the
+    * pairs that leak evaluation data into training. Dedup-then-split is
+    * the correct pipeline order; this operator is the check that proves
+    * it happened. Same scale shape as the jaccard join (inverted-index
+    * equi-join, capped hot shingles) plus two split lookups.
+    */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.05, n: Int = 3,
+      maxDf: Option[Int] = Some(1000), salt: String = "s1"): DataFrame = {
+    val splits = hashSplit(docs, salt = salt)
+    Dedup.jaccardPairs(docs, n, threshold, maxDf = maxDf)
+      .join(splits.toDF("doc_a", "split_a"), "doc_a")
+      .join(splits.toDF("doc_b", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   /** Deterministic stratified sample: k documents per stratum, chosen by
     * the salted-md5 draw (a reproducible uniform permutation — re-runs
     * and other engines pick the same rows). The window is partitioned by

@@ -793,6 +793,74 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // PII redaction over deterministically PII-injected text (the
+    // fixtures are clean, so each document gets a synthetic email, IP,
+    // and phone derived from its id — both engines construct the SAME
+    // string, then redact with dialect-portable regexes). Non-vacuous by
+    // construction: n_pii >= 3 for every row.
+    QueryDef(
+      "curation_redact_pii",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7 tel 412-555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")).as("text"))
+        Curation.redactPii(injected)
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+             |    || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 412-555-'
+             |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             |    + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_pii
+             |FROM inj""".stripMargin),
+    ),
+
+    // Deterministic training-order shuffle: salted-md5 key, range
+    // partition + within-partition sort — one global pseudo-random
+    // permutation with no global sort bottleneck.
+    QueryDef(
+      "curation_shuffle",
+      (s, dir) => Curation.shuffled(Tables.documents(s, dir))
+        .select(col("doc_id"), col("shuffle_key")),
+      Some("""SELECT doc_id, md5('sh1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |FROM documents""".stripMargin),
+    ),
+
+    // Split-leakage audit: near-dup pairs that cross the train/val/test
+    // boundary — the dedup-before-split proof a training pipeline needs.
+    QueryDef(
+      "curation_split_leakage",
+      (s, dir) => Curation.splitLeakage(Tables.documents(s, dir)),
+      Some(s"""WITH $shingleSqlCte,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+              |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
+              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |jac AS (SELECT doc_a, doc_b,
+              |    CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+              |  FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05),
+              |sp AS (SELECT doc_id,
+              |  CASE WHEN substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+              |       WHEN substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              |       ELSE 'test' END AS split FROM documents)
+              |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
+              |FROM jac JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
+              |WHERE sa.split <> sb.split""".stripMargin),
+    ),
+
     // Training-sequence packing under a token budget: per-shard windows
     // (each shard packs independently — the distributed-trainer layout),
     // greedy fill with the straddling doc kept in the earlier sequence.

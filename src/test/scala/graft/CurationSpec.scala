@@ -57,6 +57,46 @@ class CurationSpec extends SparkSpec {
     assert(hits(3L) == 1L) // only "quick brown fox"
   }
 
+  test("redactPii replaces emails, IPs, and phones with tags and counts them") {
+    val d = Seq(
+      (1L, "write to bob.smith+x@dept.example.org today"),
+      (2L, "server 192.168.1.254 and backup 10.0.0.1 are up"),
+      (3L, "call 412-555-0042 or 412 555 0043"),
+      (4L, "nothing sensitive here"),
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(d).as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("write to [EMAIL] today", 1)))
+    assert(out(2L) == (("server [IP] and backup [IP] are up", 2)))
+    assert(out(3L) == (("call [PHONE] or [PHONE]", 2)))
+    assert(out(4L) == (("nothing sensitive here", 0)))
+  }
+
+  test("shuffled: deterministic permutation, range-partitioned (no global sort)") {
+    val a = Curation.shuffled(docs).select("doc_id").as[Long].collect().toSeq
+    val b = Curation.shuffled(docs).select("doc_id").as[Long].collect().toSeq
+    assert(a == b, "shuffle order must be reproducible")
+    assert(a != a.sorted, "shuffle must not be the identity order")
+    assert(a.sorted == docs.select("doc_id").as[Long].collect().toSeq.sorted)
+    // physical form: range partitioning, not a single-partition global sort
+    val plan = Curation.shuffled(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range partitioning:\n$plan")
+  }
+
+  test("splitLeakage: only cross-split near-dup pairs, consistent with hashSplit") {
+    val leaks = Curation.splitLeakage(docs)
+      .as[(Long, Long, String, String, Double)].collect().toSeq
+    assert(leaks.nonEmpty, "the fixture's near-dups straddle splits")
+    assert(leaks.forall(l => l._3 != l._4))
+    val splits = Curation.hashSplit(docs).as[(Long, String)].collect().toMap
+    assert(leaks.forall(l => splits(l._1) == l._3 && splits(l._2) == l._4))
+    // leakage pairs are exactly the cross-split subset of the jaccard pairs
+    val all = graft.functions.Dedup.jaccardPairs(docs, n = 3, threshold = 0.05,
+      maxDf = Some(1000)).as[(Long, Long, Double)].collect().toSeq
+    val expected = all.filter(p => splits(p._1) != splits(p._2)).map(p => (p._1, p._2)).toSet
+    assert(leaks.map(l => (l._1, l._2)).toSet == expected)
+  }
+
   test("stratifiedSample: k rows per stratum, deterministic across runs") {
     val s1 = Curation.stratifiedSample(docs, k = 10)
       .as[(Long, String, Int)].collect().toSet

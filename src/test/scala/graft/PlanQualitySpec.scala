@@ -153,6 +153,11 @@ class PlanQualitySpec extends SparkSpec {
       "rn <= k should become a per-partition top-k, not a full per-stratum sort")
   }
 
+  test("batched ANN's per-query top-k pushes into the sort (WindowGroupLimit)") {
+    assert(plans("embed_ann_batch").contains("WindowGroupLimit"),
+      "rn <= k should become a per-query group limit, not a full per-bucket sort")
+  }
+
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
     val p = plans("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),
