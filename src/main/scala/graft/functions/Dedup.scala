@@ -203,8 +203,17 @@ object Dedup {
     // untouched singletons back at the end — per-round joins, state,
     // and convergence counts scale with the connected subgraph, not the
     // corpus.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
+    //
+    // The FIRST propagation round is fused into initialization: seeding
+    // each node with min(self, direct neighbors) costs the same single
+    // groupBy the identity seed's distinct() would, so one full
+    // join+checkpoint+count round (a cluster-wide barrier at scale)
+    // disappears. The fixpoint is iteration-schedule-independent, so
+    // results are unchanged.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nmin")).as("cluster"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
