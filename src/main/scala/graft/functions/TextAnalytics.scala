@@ -63,6 +63,17 @@ object TextAnalytics {
   def fingerprint(text: Column): Column =
     substring(md5(lower(trim(text))), 1, 16)
 
+  /** Canonical text normalization for dedup/fingerprinting: lowercase,
+    * collapse all whitespace runs to single spaces, trim. A pure narrow
+    * projection (codegen'd regexp + case fold — no UDF, no shuffle),
+    * and dialect-portable so normalized-text digests agree across
+    * engines. Deliberately does NOT strip punctuation or fold unicode
+    * (those change token boundaries and are corpus-policy decisions,
+    * not canonicalization).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Token frequency histogram across the corpus: explode + count.
     * One shuffle on token; partial aggregation collapses each partition
     * to its vocabulary first, so the shuffle is O(|vocab|) per partition,

@@ -781,6 +781,50 @@ object ExtensionQueries {
              |SELECT bigram, count(*) AS n FROM ex GROUP BY 1""".stripMargin),
     ),
 
+    // Canonical text normalization (lowercase, collapse whitespace,
+    // trim) over deterministically noised input — the fixtures are
+    // already clean, so both engines uppercase and pad the text first,
+    // making the normalization observable and the oracle exact.
+    QueryDef(
+      "text_normalize",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalytics.normalize(
+            concat(lit("  "), upper(col("text")), lit("  THE  END  ")))
+            .as("normalized")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(lower('  ' || upper(text) || '  THE  END  '),
+             |    '\s+', ' ', 'g')) AS normalized
+             |FROM documents""".stripMargin),
+    ),
+
+    // Normalization feeding dedup: every document plus a case/whitespace
+    // -noised twin must collapse to ONE exact-dup group keyed by the
+    // normalized digest (keep_id = the original, n_dups counts both) —
+    // the canonicalize-then-dedup pipeline stage end-to-end.
+    QueryDef(
+      "dedup_exact_normalized",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val noisy = docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  ")).as("text"))
+        Dedup.exactGroups(
+          docs.select(col("doc_id"), col("text")).unionByName(noisy)
+            .select(col("doc_id"),
+              TextAnalytics.normalize(col("text")).as("text")))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, '  ' || upper(text) || '  ' FROM documents),
+             |norm AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text FROM all_docs)
+             |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM norm GROUP BY 1""".stripMargin),
+    ),
+
     // Deterministic train/val/test split: append-stable md5-byte draw,
     // pure narrow projection (no shuffle at any corpus size).
     QueryDef(

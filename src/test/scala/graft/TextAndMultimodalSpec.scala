@@ -29,6 +29,19 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(fps.forall(_.matches("[0-9a-f]{16}")))
   }
 
+  test("normalize lowercases, collapses whitespace runs, trims") {
+    val out = Seq(
+      (1L, "  The   QUICK\t\tBrown   fox  "),
+      (2L, "the quick brown fox"),
+      (3L, ""),
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalytics.normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "the quick brown fox")
+    assert(out(1L) == out(2L)) // variants collapse to one canonical form
+    assert(out(3L) == "")
+  }
+
   test("tokenHistogram counts corpus-wide token frequencies") {
     val hist = TextAnalytics.tokenHistogram(docs)
       .as[(String, Long)].collect().toMap
