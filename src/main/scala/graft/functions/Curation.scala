@@ -21,14 +21,18 @@ object Curation {
     * property that matters for reproducible training runs), and the
     * operator is a narrow projection: no shuffle at any corpus size.
     */
-  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
-      salt: String = "s1"): DataFrame = {
-    val bucket = substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 2)
-    docs.select(
-      col(idCol),
-      when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
-        .as("split"))
+  /** The split label as a pure expression of the id — usable directly on
+    * any column (pair lists, logs) without joining the corpus-sized
+    * split table.
+    */
+  def splitExpr(id: org.apache.spark.sql.Column, salt: String = "s1"): org.apache.spark.sql.Column = {
+    val bucket = substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 2)
+    when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
   }
+
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      salt: String = "s1"): DataFrame =
+    docs.select(col(idCol), splitExpr(col(idCol), salt).as("split"))
 
   /** Sequence packing for a training-token budget: shard the corpus
     * (each trainer/worker packs independently — doc_id mod `shards`),
@@ -132,15 +136,19 @@ object Curation {
     * equi-join, capped hot shingles) plus two split lookups.
     */
   def splitLeakage(docs: DataFrame, threshold: Double = 0.05, n: Int = 3,
-      maxDf: Option[Int] = Some(1000), salt: String = "s1"): DataFrame = {
-    val splits = hashSplit(docs, salt = salt)
-    Dedup.jaccardPairs(docs, n, threshold, maxDf = maxDf)
-      .join(splits.toDF("doc_a", "split_a"), "doc_a")
-      .join(splits.toDF("doc_b", "split_b"), "doc_b")
-      .filter(col("split_a") =!= col("split_b"))
-      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+      maxDf: Option[Int] = Some(1000), salt: String = "s1"): DataFrame =
+    // Split labels ride through the inverted index as a per-document
+    // tag ([[splitExpr]] evaluated once per doc, below the shuffle) and
+    // same-split candidates are pruned inside the pair join itself —
+    // cheaper than either joining the corpus-sized split table onto the
+    // pair set (two extra shuffles) or filtering on an inline md5
+    // expression of the ids (Catalyst pushes it into the join condition
+    // and re-evaluates it per shingle-match row).
+    Dedup.jaccardCrossTagPairs(docs, splitExpr(col("doc_id"), salt),
+        n, threshold, maxDf = maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        col("tag_a").as("split_a"), col("tag_b").as("split_b"),
         col("jaccard"))
-  }
 
   /** Deterministic stratified sample: k documents per stratum, chosen by
     * the salted-md5 draw (a reproducible uniform permutation — re-runs

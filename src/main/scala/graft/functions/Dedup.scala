@@ -29,7 +29,18 @@ object Dedup {
     * whole jaccard pipeline); MinHash needs no dedup at all (min over a
     * multiset equals min over its set).
     */
-  def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+  def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
+    shinglesCarrying(docs, n, textCol, Nil)
+
+  /** [[shingles]] plus pass-through of per-document columns (already
+    * present on `docs`). The carried columns are materialized below the
+    * doc_id repartition exchange, so an expensive per-doc expression
+    * (e.g. a hash-derived split label) is evaluated ONCE per document
+    * and travels as plain bytes; the explode merely copies the value
+    * onto each shingle row.
+    */
+  private def shinglesCarrying(docs: DataFrame, n: Int, textCol: String,
+      carry: Seq[String]): DataFrame = {
     val grams =
       s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
         (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))"
@@ -41,11 +52,12 @@ object Dedup {
     // their exchange is satisfied for free. Without this, a
     // single-row-group input file serializes the whole shingle stage on
     // one task no matter how many cores the cluster has.
+    val carried = carry.map(col)
     docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
+      .select(col("doc_id") +: carried :+ split(col(textCol), " ").as("__t"): _*)
       .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), explode(expr(grams)).as("shingle"))
+      .select(col("doc_id") +: carried :+ explode(expr(grams)).as("shingle"): _*)
   }
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| via a self-equi-join on
@@ -58,13 +70,43 @@ object Dedup {
     */
   def jaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
-      textCol: String = "text", maxDf: Option[Int] = None): DataFrame = {
+      textCol: String = "text", maxDf: Option[Int] = None): DataFrame =
+    jaccardPairsImpl(docs, n, threshold, textCol, maxDf, crossTag = None)
+
+  /** [[jaccardPairs]] restricted to pairs whose per-document `tag`
+    * DIFFERS (e.g. train/val/test split labels for leakage audits).
+    * The tag is evaluated once per document, carried through the
+    * inverted index as a plain column, and compared inside the
+    * candidate join — so same-tag pairs (the bulk of a well-randomized
+    * split) are pruned BEFORE the pair aggregation ever sees them, and
+    * the pruning costs one attribute comparison per probe row, not a
+    * re-evaluation of the tag expression. Joining tags onto the pair
+    * set afterwards would instead shuffle the corpus-sized tag table
+    * twice; filtering on an inline tag expression would let Catalyst
+    * push the expression into the join condition and re-evaluate it per
+    * shingle-match row (measured 1.9× slower end-to-end at sf0.1).
+    * Output: (doc_a, doc_b, tag_a, tag_b, jaccard).
+    */
+  def jaccardCrossTagPairs(
+      docs: DataFrame, tag: Column, n: Int = 3, threshold: Double = 0.05,
+      textCol: String = "text", maxDf: Option[Int] = None): DataFrame =
+    jaccardPairsImpl(docs, n, threshold, textCol, maxDf, crossTag = Some(tag))
+
+  private def jaccardPairsImpl(
+      docs: DataFrame, n: Int, threshold: Double,
+      textCol: String, maxDf: Option[Int], crossTag: Option[Column]): DataFrame = {
     // join on the shingle's 64-bit hash, not the string: the self-join
     // shuffles 8-byte keys and compares longs. A cross-shingle hash
     // collision would need ~2^32 distinct shingles to become likely
     // (birthday bound) — far beyond any per-corpus shingle count here.
-    val sh = shingles(docs, n, textCol)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val tagged = crossTag match {
+      case Some(t) => docs.withColumn("__tag", t)
+      case None    => docs
+    }
+    val carry = if (crossTag.isDefined) Seq("__tag") else Nil
+    val carried = carry.map(col)
+    val sh = shinglesCarrying(tagged, n, textCol, carry)
+      .select(col("doc_id") +: carried :+ xxhash64(col("shingle")).as("sh"): _*)
       .dropDuplicates("doc_id", "sh")
     // Per-document counts use the FULL shingle set (true union size);
     // only the pair-candidate join is pruned below.
@@ -86,18 +128,34 @@ object Dedup {
           .filter(col("__df") <= cap).select(col("sh"))
         sh.join(rare, "sh")
     }
-    val left = joinable.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = joinable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val leftCols = col("doc_id").as("doc_a") +:
+      carry.map(c => col(c).as("tag_a")) :+ col("sh").as("sh_a")
+    val rightCols = col("doc_id").as("doc_b") +:
+      carry.map(c => col(c).as("tag_b")) :+ col("sh").as("sh_b")
+    val left = joinable.select(leftCols: _*)
+    val right = joinable.select(rightCols: _*)
+    // Cross-tag pruning lives in the join condition: a comparison of two
+    // already-shuffled attributes, applied before any candidate row
+    // reaches the pair aggregation.
+    val baseCond = left("sh_a") === right("sh_b") && left("doc_a") < right("doc_b")
+    val cond =
+      if (crossTag.isDefined) baseCond && left("tag_a") =!= right("tag_b")
+      else baseCond
+    val pairKey = Seq(col("doc_a"), col("doc_b")) ++
+      (if (crossTag.isDefined) Seq(col("tag_a"), col("tag_b")) else Nil)
     val common = left
-      .join(right, left("sh_a") === right("sh_b") && left("doc_a") < right("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .join(right, cond)
+      .groupBy(pairKey: _*)
       .agg(count(lit(1)).as("common"))
     val jac = col("common").cast("double") /
       (col("na") + col("nb") - col("common"))
+    val outCols = Seq(col("doc_a"), col("doc_b")) ++
+      (if (crossTag.isDefined) Seq(col("tag_a"), col("tag_b")) else Nil) :+
+      jac.as("jaccard")
     common
       .join(counts.toDF("doc_a", "na"), "doc_a")
       .join(counts.toDF("doc_b", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .select(outCols: _*)
       .filter(col("jaccard") >= threshold)
   }
 
