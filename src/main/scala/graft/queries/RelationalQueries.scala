@@ -1457,5 +1457,383 @@ object RelationalQueries {
              |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
+
+    // TPC-H Q2 shape (fixtures carry no partsupp, so lineitem is the
+    // part↔supplier link): per-part minimum offered price, decorrelated
+    // into a broadcast per-part agg joined back on price equality, then
+    // the supplier→nation→region dimension chain. min over doubles is
+    // exact and order-independent, so the equality join is portable.
+    QueryDef(
+      "q2ish_min_price_supplier",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        val pmin = li.groupBy(col("l_partkey").as("pk"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        val euro = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(broadcast(pmin),
+            col("l_partkey") === col("pk") && col("l_extendedprice") === col("min_price"))
+          .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("min_price"))
+          .distinct()
+          .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH pmin AS (SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
+             |  FROM lineitem GROUP BY 1)
+             |SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+             |FROM lineitem
+             |JOIN pmin ON l_partkey = pk AND l_extendedprice = min_price
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE p_size = 15 AND r_name = 'EUROPE'
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+    ),
+
+    // TPC-H Q8 shape: one nation's share of PROMO-part revenue into one
+    // customer region, per order year. Numerator and denominator are
+    // conditional decimal sums from the same joined scan; the share is
+    // one exact double division at the end.
+    QueryDef(
+      "q8ish_market_share",
+      (s, dir) => {
+        val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 8))
+        val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 8))
+        val amer = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val suppNation = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(amer), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_1", disc).otherwise(zero)).as("__n"),
+            sum(disc).as("__d"))
+          .select(col("o_year"),
+            (col("__n").cast("double") / col("__d").cast("double")).as("mkt_share"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+             |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))
+             |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+             |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE) AS mkt_share
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // TPC-H Q9 shape: profit by supplier nation and year. No partsupp
+    // fixture, so supply cost is proxied as 60% of the part's retail
+    // price — the plan shape (two dimension joins into the fact, profit
+    // as a per-row decimal difference summed per group) is what's under
+    // test. Both product chains multiply left-to-right in doubles
+    // (IEEE-identical cross-engine) before the scale-8 decimal cast.
+    QueryDef(
+      "q9ish_profit_by_nation_year",
+      (s, dir) => {
+        val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 8)) -
+          (lit(0.6) * col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 8))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(profit).cast(DecimalType(28, 4)).cast("double").as("sum_profit"))
+      },
+      Some("""SELECT n_name AS nation,
+             |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))
+             |    - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    // corpus total — a per-key agg HAVING-compared against a broadcast
+    // 1-row global aggregate (the scalar-subquery decorrelation). Both
+    // sides stay exact decimal until the final comparison and surface.
+    QueryDef(
+      "q11ish_important_parts",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val perPart = li.groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__v"))
+        // Scale-invariant cut: 1.3× the MEAN per-part revenue, so the
+        // selected fraction is stable as the corpus grows (an absolute
+        // share threshold would empty out at 10× the part count).
+        val total = li.agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__t"),
+          countDistinct(col("l_partkey")).as("__np"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("__v").cast("double") >
+            col("__t").cast("double") / col("__np") * 1.3)
+          .select(col("l_partkey"), col("__v").cast("double").as("part_value"))
+      },
+      Some("""WITH t AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  count(DISTINCT l_partkey) AS np FROM lineitem)
+             |SELECT l_partkey,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+             |FROM lineitem, t
+             |GROUP BY l_partkey, total, np
+             |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > total / np * 1.3""".stripMargin),
+    ),
+
+    // TPC-H Q12 shape: late-shipped lines bucketed into high/low order
+    // priority per ship year — conditional integer sums off one
+    // fact⋈orders join, no decimal surface at all.
+    QueryDef(
+      "q12ish_late_priority_lines",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy(year(col("l_shipdate")).as("ship_year"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+              .as("low_line_count")),
+      Some("""SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // TPC-H Q13 shape: distribution of per-customer order counts, with
+    // a predicate on the joined side — the left outer join keeps
+    // zero-order customers in the c_count=0 bucket, and the second agg
+    // runs over one row per customer (tiny).
+    QueryDef(
+      "q13ish_order_count_distribution",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir).filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist")),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+             |  GROUP BY 1)
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    // revenue — per-supplier decimal agg, a broadcast 1-row max, and an
+    // exact decimal equality selecting the argmax rows.
+    QueryDef(
+      "q15ish_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 8))).cast(DecimalType(28, 4)).as("__rev"))
+        val best = rev.agg(max(col("__rev")).as("__best"))
+        rev.crossJoin(broadcast(best))
+          .filter(col("__rev") === col("__best"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("__rev").cast("double").as("total_revenue"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DECIMAL(28,4)) AS r
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE r = (SELECT max(r) FROM rev)""".stripMargin),
+    ),
+
+    // TPC-H Q16 shape: distinct suppliers per part attribute triple,
+    // excluding a brand and a NOT-IN supplier set (negative-balance
+    // suppliers stand in for the complaint filter; lineitem is the
+    // part↔supplier link). The anti-join removes excluded suppliers
+    // BEFORE the expensive distinct aggregation.
+    QueryDef(
+      "q16ish_supplier_counts",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(
+            broadcast(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+              .select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(
+            broadcast(Tables.part(s, dir)
+              .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(5, 15, 25, 35, 45))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")),
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 15, 25, 35, 45)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3""".stripMargin),
+    ),
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING on the per-order
+    // quantity sum, joined back to orders and customer. The per-order
+    // agg shuffles once on orderkey; orders arrives pre-filtered by the
+    // semi-like inner join on the surviving keys.
+    QueryDef(
+      "q18ish_large_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1, 2, 3, 4, 5
+             |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+    ),
+
+    // TPC-H Q20 shape: suppliers who dominate a part's shipments — the
+    // correlated "more than an eighth of this part's total" predicate,
+    // decorrelated into per-part totals joined to per-(part,supplier)
+    // sums. The comparison scales the left side by 8 instead of
+    // dividing the right so it stays in exact decimal. Result is a
+    // semi-joined supplier list with its nation.
+    QueryDef(
+      "q20ish_dominant_suppliers",
+      (s, dir) => {
+        val red = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("red%"))
+            .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        val perPart = red.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty")).as("part_qty"))
+        val dominant = red.groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("qty")).as("ps_qty"))
+          .join(broadcast(perPart), col("l_partkey") === col("pk"))
+          .filter(col("ps_qty") * 8 > col("part_qty"))
+          .select(col("l_suppkey")).distinct()
+        Tables.supplier(s, dir)
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), col("n_name"))
+      },
+      Some("""WITH red AS (
+             |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_name LIKE 'red%'),
+             |pp AS (SELECT l_partkey AS pk, SUM(qty) AS part_qty FROM red GROUP BY 1),
+             |dom AS (
+             |  SELECT DISTINCT l_suppkey FROM (
+             |    SELECT l_partkey, l_suppkey, SUM(qty) AS ps_qty FROM red GROUP BY 1, 2) ps
+             |  JOIN pp ON ps.l_partkey = pp.pk
+             |  WHERE ps_qty * 8 > part_qty)
+             |SELECT s_name, n_name
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin),
+    ),
+
+    // TPC-H Q21 shape: suppliers who single-handedly kept a finished
+    // multi-supplier order waiting — a semi-join (another supplier
+    // exists on the order) and an anti-join (no OTHER supplier was
+    // late) over the same fact table, counted per supplier as distinct
+    // waiting orders. Three aliases of lineitem, all equi-joined on
+    // orderkey; no cartesian anywhere.
+    QueryDef(
+      "q21ish_waiting_suppliers",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"))
+          .distinct()
+        val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+        late
+          .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(l3,
+            col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3") &&
+              col("d3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_anti")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+          .limit(100)
+      },
+      Some("""WITH late AS (
+             |  SELECT DISTINCT l_orderkey, l_suppkey, o_orderdate
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+             |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1
+             |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+    ),
   )
 }

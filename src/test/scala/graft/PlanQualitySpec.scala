@@ -31,6 +31,8 @@ class PlanQualitySpec extends SparkSpec {
     "not_in_null_semantics",
     // 1-row global-threshold broadcast (same shape as the high-water mark)
     "q22ish_idle_rich_customers",
+    "q11ish_important_parts",
+    "q15ish_top_supplier",
   )
 
   test("no CartesianProduct anywhere in the registry") {
