@@ -165,4 +165,38 @@ object Curation {
       .select(col("doc_id"), col(stratumCol), row_number().over(w).as("rn"))
       .filter(col("rn") <= k)
   }
+
+  /** Domain-mixture sampling: downsample each domain so the surviving
+    * corpus matches the target mixture `weights` (relative proportions
+    * over the `domainCol` values; unlisted domains are dropped), taking
+    * as many documents as the scarcest domain allows. Selection is by
+    * salted-md5 hash threshold — a pure per-row predicate, so unlike a
+    * per-domain rank window (one task per domain, unbounded at corpus
+    * scale) it needs no shuffle at all beyond the tiny per-domain count
+    * aggregate: with rate r a document survives iff its 32-bit hash
+    * fraction < r, which hits the quota to within binomial noise
+    * (±√n, negligible at training-corpus sizes) while staying exactly
+    * reproducible across engines and runs.
+    */
+  def domainMix(docs: DataFrame, weights: Map[String, Double],
+      domainCol: String = "source", idCol: String = "doc_id",
+      salt: String = "mix1"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("__dom", "__w")
+    // cap = min_d n_d / w_d: the largest mixture-consistent total; the
+    // scarcest domain is kept whole (its rate is exactly 1.0).
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(w), col(domainCol) === col("__dom"))
+    val cap = counts.agg(min(col("__n").cast("double") / col("__w")).as("__cap"))
+    val rates = counts.crossJoin(broadcast(cap))
+      .select(col("__dom"),
+        (col("__w") * col("__cap") / col("__n").cast("double")).as("__rate"))
+    val hashFrac = conv(substring(
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    docs.join(broadcast(rates), col(domainCol) === col("__dom"))
+      .filter(hashFrac < col("__rate"))
+      .select(col(idCol), col(domainCol))
+  }
 }

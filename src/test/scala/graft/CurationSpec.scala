@@ -97,6 +97,41 @@ class CurationSpec extends SparkSpec {
     assert(leaks.map(l => (l._1, l._2)).toSet == expected)
   }
 
+  test("domainMix: mixture within binomial noise, scarcest domain kept whole, deterministic") {
+    val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val mixed = Curation.domainMix(docs, weights)
+      .as[(Long, String)].collect().toSeq
+    // only listed domains survive
+    assert(mixed.map(_._2).toSet.subsetOf(weights.keySet))
+    val n = docs.filter($"source".isin(weights.keySet.toSeq: _*))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val cap = weights.map { case (d, w) => n(d) / w }.min
+    val got = mixed.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    for ((d, w) <- weights) {
+      val expected = w * cap
+      // hash-threshold selection: binomial deviation, generous 4σ bound
+      val tol = math.max(4 * math.sqrt(expected), 3.0)
+      assert(math.abs(got.getOrElse(d, 0.0) - expected) <= tol,
+        s"$d: got ${got.getOrElse(d, 0.0)}, expected ~$expected ± $tol")
+    }
+    // the scarcest domain's rate is exactly 1.0: every document survives
+    val scarcest = weights.minBy { case (d, w) => n(d) / w }._1
+    assert(got(scarcest).toLong == n(scarcest))
+    // deterministic across runs
+    val again = Curation.domainMix(docs, weights).as[(Long, String)].collect().toSeq
+    assert(mixed.toSet == again.toSet)
+    // selection is per-row: a document's fate ignores the rest of its domain
+    val subset = Curation.domainMix(docs.filter($"doc_id" % 2 === 0), weights)
+      .as[(Long, String)].collect().toMap
+    val fullMap = mixed.toMap
+    // rates shift with counts, so only check survivors of the FULL run whose
+    // domain rate could not have decreased (scarcest stays rate 1.0)
+    assert(docs.filter($"doc_id" % 2 === 0 && $"source" === scarcest)
+      .select("doc_id").as[Long].collect()
+      .forall(subset.contains), "scarcest domain must survive whole in any subset")
+    assert(fullMap.nonEmpty && subset.nonEmpty)
+  }
+
   test("stratifiedSample: k rows per stratum, deterministic across runs") {
     val s1 = Curation.stratifiedSample(docs, k = 10)
       .as[(Long, String, Int)].collect().toSet

@@ -33,6 +33,10 @@ class PlanQualitySpec extends SparkSpec {
     "q22ish_idle_rich_customers",
     "q11ish_important_parts",
     "q15ish_top_supplier",
+    // 1-row corpus-count broadcast feeding the idf term
+    "text_tfidf_top_terms",
+    // 1-row mixture-cap broadcast onto the tiny per-domain counts
+    "curation_domain_mix",
   )
 
   test("no CartesianProduct anywhere in the registry") {

@@ -57,6 +57,50 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(2L) == "unknown")
   }
 
+  test("tfIdfTopTerms: k terms per doc, scores descend, rare terms beat common at equal tf") {
+    val corpus = Seq(
+      (1L, "apple banana banana common common"),
+      (2L, "apple cherry common common common"),
+      (3L, "common common common date date")).toDF("doc_id", "text")
+    val out = TextAnalytics.tfIdfTopTerms(corpus, k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length == 2))
+    for (rows <- byDoc.values) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._6).sameElements(sorted.map(_._6).sorted(Ordering[Double].reverse)),
+        "scores must descend with rank")
+    }
+    // doc 3: 'date' (tf=2, df=1) must outrank 'common' (tf=3, df=3)
+    val d3 = byDoc(3L).sortBy(_._2).map(_._3)
+    assert(d3.head == "date", s"expected rare 'date' first, got ${d3.toSeq}")
+    // ln damping ranks the same way on this corpus
+    val ln = TextAnalytics.tfIdfTopTerms(corpus, k = 2, damping = "ln")
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    assert(ln.groupBy(_._1)(3L).sortBy(_._2).map(_._3).head == "date")
+  }
+
+  test("ruleFlags: keep is the conjunction, each flag matches a hand check") {
+    val corpus = Seq(
+      // 32 clean lowercase words incl. >=2 stopwords → keep
+      (1L, ("the quick fox jumps over the lazy dog and runs to a tree " +
+        "in the park with a ball of red yarn and a happy cat is near by now ok")),
+      // too short
+      (2L, "the a of to and in is"),
+      // long enough but all symbols → alpha_ratio fails
+      (3L, Seq.fill(40)("@@@").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalytics.ruleFlags(corpus)
+      .select("doc_id", "n_words", "word_count_ok", "mean_word_len_ok",
+        "alpha_ratio_ok", "stopword_ok", "keep")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 >= 30 && out(1L)._7, "doc 1 passes all rules")
+    assert(!out(2L)._3 && !out(2L)._7, "doc 2 fails word count")
+    assert(!out(3L)._5 && !out(3L)._7, "doc 3 fails alpha ratio")
+    for ((_, r) <- out)
+      assert(r._7 == (r._3 && r._4 && r._5 && r._6), "keep = conjunction")
+  }
+
   test("multimodal decode stub: typed metadata from binary payloads") {
     val out = Multimodal.decodeDocuments(spark, docs)
       .as[(Long, Long, Long, Long, Long)].collect()
