@@ -316,4 +316,95 @@ object Similarity {
       // a pair can collide in multiple buckets → distinct on the pair
       .distinct()
   }
+
+  /** Sequential-fold squared L2 distance over double arrays — the same
+    * left-to-right order an external engine's list fold uses, so the
+    * distances (and every ranking built on them) are bit-portable.
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Product-quantization codebooks: the `dim`-dim embedding is split
+    * into `m` subspaces of dim/m dims, and each subspace's `k` centroids
+    * are the sub-vectors of the k smallest vec_ids — the deterministic
+    * seeding of [[seededCentroids]], applied per subspace. Output
+    * `(j, __cid, __cvec)` with `__cvec` already double: m×k tiny rows
+    * that broadcast everywhere downstream.
+    */
+  def pqCodebooks(embeddings: DataFrame, dim: Int = 64, m: Int = 8,
+      k: Int = 16): DataFrame = {
+    val sub = dim / m
+    embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("__cid"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
+      .select(col("j"), col("__cid"),
+        transform(slice(col("embedding"), col("j") * sub + 1, lit(sub)),
+          x => x.cast("double")).as("__cvec"))
+  }
+
+  /** PQ encoding: each vector becomes its m-long code array (argmin-L2
+    * centroid per subspace; ties resolve to the smallest centroid id).
+    * The m×k codebook is packed into ONE broadcast row sorted by
+    * (j, cid), so the per-subspace centroid slice is an O(1)
+    * `slice(__cb, j·k+1, k)` — the whole encode is a codegen'd per-row
+    * fold: no shuffle, no UDF, one corpus scan at any scale.
+    */
+  def pqEncode(embeddings: DataFrame, dim: Int = 64, m: Int = 8,
+      k: Int = 16): DataFrame = {
+    val sub = dim / m
+    val cb = pqCodebooks(embeddings, dim, m, k)
+      .groupBy().agg(sort_array(
+        collect_list(struct(col("j"), col("__cid"), col("__cvec")))).as("__cb"))
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val cents = slice(col("__cb"), j * k + 1, lit(k))
+      val qs = slice(embD, j * sub + 1, lit(sub))
+      aggregate(cents,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("code")),
+        (acc, c) => {
+          val d2 = l2sq(qs, c.getField("__cvec"))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("__cid").as("code"))).otherwise(acc)
+        }).getField("code")
+    })
+    embeddings.crossJoin(broadcast(cb))
+      .select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance: the query stays exact while
+    * corpus vectors are reduced to m small codes, and the score is the
+    * sum over subspaces of L2² between the query sub-vector and the
+    * code's centroid. At scale this is the memory story of ANN — scoring
+    * touches m bytes per vector instead of dim floats (8 vs 256 bytes
+    * here) — and the scan stays a pure projection + TakeOrdered: no
+    * shuffle, no index structure to maintain. Every arithmetic step is
+    * a sequential double fold, so the full ranking is bit-portable to
+    * an external oracle.
+    */
+  def pqTopK(embeddings: DataFrame, queryVecId: Long, topK: Int = 10,
+      dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
+    val sub = dim / m
+    val cb = pqCodebooks(embeddings, dim, m, k)
+      .groupBy().agg(sort_array(
+        collect_list(struct(col("j"), col("__cid"), col("__cvec")))).as("__cb"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(transform(col("embedding"), x => x.cast("double")).as("__q"))
+    // Σ_j L2²(q_j, centroid[code_j]): the sorted codebook row makes the
+    // centroid lookup element_at(j·k + code + 1) — O(1), no join.
+    val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) => {
+      val cvec = element_at(col("__cb"),
+        (j * k + element_at(col("codes"), j + 1) + 1).cast("int"))
+        .getField("__cvec")
+      acc + l2sq(slice(col("__q"), j * sub + 1, lit(sub)), cvec)
+    })
+    pqEncode(embeddings, dim, m, k)
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(cb))
+      .crossJoin(broadcast(q))
+      .withColumn("approx_d2", adist)
+      .orderBy(asc("approx_d2"), asc("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), col("approx_d2"))
+  }
 }

@@ -563,6 +563,42 @@ object ExtensionQueries {
       },
     ),
 
+    // Product-quantization ANN: m=8 subspaces × k=16 centroids (seeded
+    // from the 16 smallest vec_ids per subspace), asymmetric distance
+    // against the exact query. Every step — per-subspace L2² folds,
+    // argmin with smallest-cid ties, the ordered sum over subspaces —
+    // is sequential double arithmetic, so the oracle reproduces the
+    // ranking bit-exactly.
+    QueryDef(
+      "embed_pq_topk",
+      (s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), queryVecId = 0L),
+      Some {
+        def l2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+        s"""WITH sub AS (
+           |  SELECT vec_id, j,
+           |    [CAST(embedding[j*8 + i] AS DOUBLE) FOR i IN range(1, 9)] AS sv
+           |  FROM embeddings, range(0, 8) t(j)),
+           |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+           |d AS (SELECT s.vec_id, s.j, c.cid, ${l2("s.sv", "c.cv")} AS d2
+           |  FROM sub s JOIN cb c ON s.j = c.j),
+           |code AS (SELECT vec_id, j, cid FROM (
+           |    SELECT vec_id, j, cid,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+           |    FROM d) WHERE rn = 1),
+           |q AS (SELECT j, sv AS qv FROM sub WHERE vec_id = 0),
+           |ad AS (SELECT code.vec_id,
+           |    list_reduce(list(${l2("q.qv", "cb.cv")} ORDER BY code.j),
+           |      (a, b) -> a + b) AS approx_d2
+           |  FROM code JOIN cb ON cb.j = code.j AND cb.cid = code.cid
+           |  JOIN q ON q.j = code.j
+           |  GROUP BY code.vec_id)
+           |SELECT vec_id, approx_d2 FROM ad WHERE vec_id <> 0
+           |ORDER BY approx_d2, vec_id LIMIT 10""".stripMargin
+      },
+    ),
+
     // Batched ANN — a query TABLE (the 8 lowest vec_ids) answered in ONE
     // bucket equi-join with a per-query window top-k; the plan the real
     // pipeline runs (no per-query loop). 6 hyperplanes (64 buckets) so

@@ -37,6 +37,8 @@ class PlanQualitySpec extends SparkSpec {
     "text_tfidf_top_terms",
     // 1-row mixture-cap broadcast onto the tiny per-domain counts
     "curation_domain_mix",
+    // 1-row codebook + 1-row query broadcasts of the PQ scorer
+    "embed_pq_topk",
   )
 
   test("no CartesianProduct anywhere in the registry") {

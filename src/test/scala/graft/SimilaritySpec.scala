@@ -119,6 +119,41 @@ class SimilaritySpec extends SparkSpec {
     assert(exactTop._2 <= 1.0)
   }
 
+  test("pqEncode: m codes per vector in [0, k), deterministic, seeds self-code") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = Similarity.pqEncode(embeddings)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(codes.nonEmpty)
+    assert(codes.values.forall(c => c.length == 8 && c.forall(v => v >= 0 && v < 16)))
+    // a seed vector's sub-vector is its own centroid: distance 0 ⇒ its code
+    // in every subspace is its own cid (no other centroid can beat an exact 0
+    // with a smaller id unless identical, in which case smallest id wins)
+    for (cid <- 0L until 16L if codes.contains(cid))
+      assert(codes(cid).forall(c => c <= cid),
+        s"seed $cid coded ${codes(cid).toSeq}: a later centroid beat an exact zero")
+    val again = Similarity.pqEncode(embeddings).as[(Long, Array[Long])].collect().toMap
+    assert(codes.keySet == again.keySet && codes.keySet.forall(k => codes(k).sameElements(again(k))))
+  }
+
+  test("pqTopK: ADC ranking overlaps the exact L2 top-k and excludes the query") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = Similarity.pqTopK(embeddings, queryVecId = 0L, topK = 10)
+      .as[(Long, Double)].collect()
+    assert(pq.length == 10 && pq.forall(_._1 != 0L))
+    assert(pq.map(_._2).toSeq == pq.map(_._2).sorted.toSeq, "ascending distance")
+    assert(pq.forall(_._2 >= 0.0))
+    // exact L2 top-10 (excluding the query) for recall comparison
+    val raw = embeddings.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val q = raw(0L)
+    val exact = raw.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> v.zip(q).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = pq.map(_._1).count(exact.contains)
+    assert(recall >= 4, s"PQ recall@10 only $recall/10 vs exact L2")
+  }
+
   test("int8 quantization: |dequantized - x| ≤ one step, and |q| ≤ 127") {
     val q = graft.queries.Registry.queries("embed_quantize_int8")(
       spark, "/root/testdata/sf0.001")
