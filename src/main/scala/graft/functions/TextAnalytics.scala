@@ -119,6 +119,58 @@ object TextAnalytics {
         col("score"))
   }
 
+  /** Within-document duplicate n-gram fraction (the Gopher repetition
+    * rule family): the share of a document's n-gram INSTANCES that
+    * repeat an earlier occurrence in the same document. Pure per-row
+    * array arithmetic — build the gram array, count instances minus
+    * distincts — so it runs at scan speed with no shuffle. Documents
+    * shorter than n words are excluded (no gram to measure).
+    */
+  def dupNgramFrac(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
+    val grams = expr(
+      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
+        (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))")
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), grams.as("__g"))
+      .select(col("doc_id"),
+        size(col("__g")).cast("bigint").as("n_grams"),
+        ((size(col("__g")) - size(array_distinct(col("__g")))).cast("double") /
+          size(col("__g")).cast("double")).as("dup_frac"))
+  }
+
+  /** Cross-document span-overlap fraction: per document, the share of
+    * its DISTINCT n-gram spans that also occur in at least one other
+    * document — the contamination/boilerplate signal a corpus-level
+    * repetition filter cuts on. Spans travel as 60-bit md5-derived
+    * hashes (8 bytes through the shuffle, portable to any engine);
+    * document frequency is one keyed count and the per-doc fraction one
+    * more keyed agg — both map-side combinable, nothing quadratic.
+    */
+  def spanOverlapFrac(docs: DataFrame, n: Int = 5, textCol: String = "text"): DataFrame = {
+    val grams = expr(
+      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
+        (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))")
+    val sh = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(grams).as("span"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("h"))
+      .dropDuplicates("doc_id", "h")
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_spans").cast("double"))
+          .as("overlap_frac"))
+  }
+
   /** Gopher/C4-style per-document rule flags: word-count bounds, mean
     * word length bounds, alphabetic-word ratio, stopword presence, and
     * the conjunction as `keep`. One narrow projection over the scan —

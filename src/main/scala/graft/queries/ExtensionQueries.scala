@@ -1009,6 +1009,42 @@ object ExtensionQueries {
              |FROM r WHERE rank <= 3""".stripMargin),
     ),
 
+    // Within-doc duplicate n-gram fraction — per-row array arithmetic,
+    // no shuffle; the Gopher repetition rule.
+    QueryDef(
+      "text_dup_ngram_frac",
+      (s, dir) => TextAnalytics.dupNgramFrac(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id,
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS gs
+             |  FROM t)
+             |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+             |  CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) AS dup_frac
+             |FROM g""".stripMargin),
+    ),
+
+    // Cross-doc span overlap: distinct 5-gram spans as 60-bit portable
+    // hashes, document frequency by one keyed count, per-doc shared
+    // fraction by one more — the corpus-level boilerplate signal.
+    QueryDef(
+      "text_span_overlap_frac",
+      (s, dir) => TextAnalytics.spanOverlapFrac(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 5),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    ('0x' || substr(md5(unnest(
+             |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+             |       for i in range(1, len(w) - 3)])), 1, 15))::BIGINT AS h
+             |  FROM t),
+             |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS overlap_frac
+             |FROM sh JOIN df USING (h)
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Gopher/C4-style rule flags: length, mean word length, alphabetic
     // ratio, stopword presence, and the conjunction — one projection at
     // scan speed, every value integer or exact-double.

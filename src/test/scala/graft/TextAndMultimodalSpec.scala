@@ -101,6 +101,35 @@ class TextAndMultimodalSpec extends SparkSpec {
       assert(r._7 == (r._3 && r._4 && r._5 && r._6), "keep = conjunction")
   }
 
+  test("dupNgramFrac: hand-computed repetition fractions, short docs excluded") {
+    val corpus = Seq(
+      (1L, "a b c a b c a b"),   // repeating trigram cycle
+      (2L, "x y z w"),           // 2 grams, all distinct → 0.0
+      (3L, "a b")                // too short for n=3 → excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.dupNgramFrac(corpus)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(3L))
+    assert(out(2L) == ((2L, 0.0)))
+    // doc 1: 8 words → 6 trigram instances, distinct = {abc, bca, cab} = 3 → 3/6
+    assert(out(1L) == ((6L, 0.5)))
+  }
+
+  test("spanOverlapFrac: shared spans counted cross-doc, unique docs at 0") {
+    val shared = "one two three four five"
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta"),
+      (3L, "totally different words here entirely now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.spanOverlapFrac(corpus)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1 and 2 share exactly the one 5-gram "one two three four five"
+    assert(out(1L)._3 == 1L && out(2L)._3 == 1L)
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0.0)
+    assert(out(1L)._4 == 1.0 / out(1L)._2)
+  }
+
   test("multimodal decode stub: typed metadata from binary payloads") {
     val out = Multimodal.decodeDocuments(spark, docs)
       .as[(Long, Long, Long, Long, Long)].collect()
