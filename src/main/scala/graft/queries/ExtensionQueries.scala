@@ -1009,6 +1009,75 @@ object ExtensionQueries {
              |FROM r WHERE rank <= 3""".stripMargin),
     ),
 
+    // Mergeable distinct-count sketch states (Apache DataSketches HLL,
+    // built into Spark): each time slice aggregates to a compact sketch,
+    // sketches union WITHOUT re-reading the slices, and the merged
+    // estimate answers the whole-corpus question — the incremental form
+    // of COUNT(DISTINCT) that scales to rolling 100 TB ingestion where
+    // recomputing exact distincts per update is impossible. Oracle via
+    // the derived-invariant pattern: exact count + "estimate within 5%"
+    // boolean (lgK=12 ⇒ ~1.6% standard error; 5% is >3σ).
+    QueryDef(
+      "agg_hll_incremental",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        def sketch(slice: org.apache.spark.sql.DataFrame) =
+          slice.groupBy(col("event_type")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = sketch(ev.filter(col("ts") < cut))
+          .union(sketch(ev.filter(col("ts") >= cut)))
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+        ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .join(merged, "event_type")
+          .select(col("event_type"), col("n_users"),
+            (abs(col("__est") - col("n_users")) <= col("n_users") * lit(0.05))
+              .as("sketch_ok"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS sketch_ok
+             |FROM events GROUP BY 1""".stripMargin),
+    ),
+
+    // End-to-end curation pipeline in ONE query — rule filter → exact
+    // dedup (keep the smallest id per content hash) → hash split →
+    // per-split document/token counts. The composition proof: every
+    // stage is an operator from this library, and the whole chain stays
+    // oracle-checkable.
+    QueryDef(
+      "pipeline_curate_corpus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept = docs.join(
+          TextAnalytics.ruleFlags(docs).filter(col("keep")).select("doc_id"), "doc_id")
+        val reps = Dedup.exactGroups(kept).select(col("keep_id").as("doc_id"))
+        kept.join(reps, "doc_id")
+          .select(Curation.splitExpr(col("doc_id")).as("split"),
+            size(split(col("text"), " ")).cast("bigint").as("__ntok"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("total_tokens"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+             |flags AS (SELECT doc_id, text, len(w) AS nw,
+             |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             |      / CAST(len(w) AS DOUBLE) AS ml,
+             |    CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+             |      / CAST(len(w) AS DOUBLE) AS ar,
+             |    len(list_intersect(w, ['the','a','of','to','and','in','is'])) AS ns
+             |  FROM t),
+             |kept AS (SELECT doc_id, text, nw FROM flags
+             |  WHERE nw BETWEEN 30 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+             |    AND ar >= 0.8 AND ns >= 2),
+             |reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+             |u AS (SELECT k.doc_id, k.nw FROM kept k JOIN reps USING (doc_id)),
+             |sp AS (SELECT CASE
+             |    WHEN substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+             |    WHEN substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+             |    ELSE 'test' END AS split, nw FROM u)
+             |SELECT split, count(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS total_tokens
+             |FROM sp GROUP BY 1""".stripMargin),
+    ),
+
     // Within-doc duplicate n-gram fraction — per-row array arithmetic,
     // no shuffle; the Gopher repetition rule.
     QueryDef(
