@@ -192,11 +192,26 @@ object Curation {
     val rates = counts.crossJoin(broadcast(cap))
       .select(col("__dom"),
         (col("__w") * col("__cap") / col("__n").cast("double")).as("__rate"))
-    val hashFrac = conv(substring(
-      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
     docs.join(broadcast(rates), col(domainCol) === col("__dom"))
-      .filter(hashFrac < col("__rate"))
+      .filter(hashFrac(col(idCol), salt) < col("__rate"))
       .select(col(idCol), col(domainCol))
   }
+
+  /** Uniform [0,1) draw as a pure function of the id: the first 32 bits
+    * of the salted md5 as a fraction. Engine-portable and append-stable
+    * — the primitive under [[domainMix]] and [[importanceSample]].
+    */
+  def hashFrac(id: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Importance (quality-weighted) sampling: keep each row with
+    * probability `prob` (a column in [0,1], e.g. a quality score),
+    * decided by the salted-hash draw. Deterministic and reproducible —
+    * re-runs and backfills keep exactly the same rows — and a pure
+    * per-row predicate: no shuffle, no state, at any corpus size.
+    */
+  def importanceSample(docs: DataFrame, prob: org.apache.spark.sql.Column,
+      idCol: String = "doc_id", salt: String = "iq1"): DataFrame =
+    docs.filter(hashFrac(col(idCol), salt) < prob)
 }

@@ -1078,6 +1078,39 @@ object ExtensionQueries {
              |FROM sp GROUP BY 1""".stripMargin),
     ),
 
+    // Quality-weighted (importance) sampling: keep probability rises
+    // with document length (more training signal per doc) and falls
+    // with the duplicate-n-gram fraction, decided by the deterministic
+    // hash draw — repetitive or thin documents are downweighted exactly
+    // as a loss-aware curation pass would, and re-runs keep identical
+    // rows. All per-row exact double arithmetic.
+    QueryDef(
+      "curation_importance_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val p = (lit(1.0) - col("dup_frac")) *
+          (lit(1.0) - lit(1.0) / (lit(1.0) + col("n_grams").cast("double") / lit(50.0)))
+        val scored = docs.join(
+          TextAnalytics.dupNgramFrac(docs)
+            .select(col("doc_id"), p.as("keep_prob")),
+          "doc_id")
+        Curation.importanceSample(scored, col("keep_prob"))
+          .select(col("doc_id"), col("keep_prob"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id,
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)] AS gs
+             |  FROM t),
+             |q AS (SELECT doc_id,
+             |    (1.0 - CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE))
+             |    * (1.0 - 1.0 / (1.0 + CAST(len(gs) AS DOUBLE) / 50.0)) AS keep_prob
+             |  FROM g)
+             |SELECT doc_id, keep_prob FROM q
+             |WHERE ('0x' || substr(md5('iq1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      / 4294967296.0 < keep_prob""".stripMargin),
+    ),
+
     // Within-doc duplicate n-gram fraction — per-row array arithmetic,
     // no shuffle; the Gopher repetition rule.
     QueryDef(

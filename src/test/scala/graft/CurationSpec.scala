@@ -132,6 +132,23 @@ class CurationSpec extends SparkSpec {
     assert(fullMap.nonEmpty && subset.nonEmpty)
   }
 
+  test("importanceSample: keep rate tracks the probability, deterministic, p=0/1 exact") {
+    val scored = docs.withColumn("p", lit(0.3))
+    val kept = Curation.importanceSample(scored, col("p")).count().toDouble
+    val n = docs.count().toDouble
+    assert(math.abs(kept / n - 0.3) < 4 * math.sqrt(0.3 * 0.7 / n),
+      s"keep rate ${kept / n} far from 0.3")
+    assert(Curation.importanceSample(docs.withColumn("p", lit(1.0)), col("p")).count() == n)
+    assert(Curation.importanceSample(docs.withColumn("p", lit(0.0)), col("p")).count() == 0)
+    val a = Curation.importanceSample(scored, col("p")).select("doc_id").as[Long].collect().toSet
+    val b = Curation.importanceSample(scored, col("p")).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // monotone: raising p only ADDS rows (same draw, higher threshold)
+    val more = Curation.importanceSample(docs.withColumn("p", lit(0.6)), col("p"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(more))
+  }
+
   test("stratifiedSample: k rows per stratum, deterministic across runs") {
     val s1 = Curation.stratifiedSample(docs, k = 10)
       .as[(Long, String, Int)].collect().toSet
