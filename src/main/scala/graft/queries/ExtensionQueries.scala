@@ -1087,15 +1087,15 @@ object ExtensionQueries {
     QueryDef(
       "curation_importance_sample",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        // No re-join against documents: dupNgramFrac already carries
+        // everything the weight needs. (A doc ⨝ scores join here let
+        // predicate pushdown inline the whole trigram-array expression
+        // ~6× into one filter — measured 4 s instead of 0.7 s at sf0.1.)
         val p = (lit(1.0) - col("dup_frac")) *
           (lit(1.0) - lit(1.0) / (lit(1.0) + col("n_grams").cast("double") / lit(50.0)))
-        val scored = docs.join(
-          TextAnalytics.dupNgramFrac(docs)
-            .select(col("doc_id"), p.as("keep_prob")),
-          "doc_id")
+        val scored = TextAnalytics.dupNgramFrac(Tables.documents(s, dir))
+          .select(col("doc_id"), p.as("keep_prob"))
         Curation.importanceSample(scored, col("keep_prob"))
-          .select(col("doc_id"), col("keep_prob"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
              |  WHERE len(string_split(text, ' ')) >= 3),
