@@ -218,6 +218,22 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** The banded md5 LSH index rows `(doc_id, band_idx, band_hash)` —
+    * the structure a pipeline PERSISTS for incremental dedup: each new
+    * batch is indexed once and equi-joined against it.
+    */
+  def bandedIndexMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = minhashSignaturesMd5(docs, k, n)
+    val bandHashes = (0 until bands).map(b =>
+      md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)))
+    sig.select(
+      col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
   /** LSH banding over the portable md5 signatures — same banded
     * equi-join as [[minhashCandidates]] (never all-pairs). k=16,
     * bands=4 (r=4) puts the 50% catch point near Jaccard ≈
@@ -225,14 +241,7 @@ object Dedup {
     */
   def minhashCandidatesMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
       n: Int = 3): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sig = minhashSignaturesMd5(docs, k, n)
-    val bandHashes = (0 until bands).map(b =>
-      md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    val banded = bandedIndexMd5(docs, k, bands, n)
     val left = banded.toDF("doc_a", "band_idx", "band_hash")
     val right = banded.toDF("doc_b", "band_idx", "band_hash")
     left.join(right, Seq("band_idx", "band_hash"))
@@ -240,6 +249,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
+
+  /** Incremental exact dedup — the daily-ingest shape: the new batch's
+    * survivors are the documents whose content hash does not appear in
+    * the history. One anti-join on the 128-bit digest; the history side
+    * is a digest TABLE a pipeline maintains incrementally (append the
+    * survivors' hashes after each batch), so no batch ever rereads the
+    * corpus text.
+    */
+  def incrementalExact(newDocs: DataFrame, seenHashes: DataFrame,
+      textCol: String = "text"): DataFrame =
+    newDocs
+      .select(col("doc_id"), md5(col(textCol)).as("text_hash"))
+      .join(seenHashes.select(col("text_hash")), Seq("text_hash"), "left_anti")
+
+  /** Incremental near-dup candidates: the NEW batch's banded index
+    * equi-joined against the banded index of the EXISTING corpus —
+    * each batch costs one signature pass over the batch plus one
+    * equi-join against the persisted index, never a corpus self-join.
+    * Output: (new_doc, old_doc) candidate pairs.
+    */
+  def incrementalMinhashCandidatesMd5(newDocs: DataFrame, oldIndex: DataFrame,
+      k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame =
+    bandedIndexMd5(newDocs, k, bands, n).toDF("new_doc", "band_idx", "band_hash")
+      .join(oldIndex.toDF("old_doc", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
+      .select(col("new_doc"), col("old_doc"))
+      .distinct()
 
   /** Connected components over an undirected near-dup pair list: every
     * document gets the minimum doc_id of its component as `cluster` —

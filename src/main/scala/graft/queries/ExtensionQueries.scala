@@ -253,6 +253,55 @@ object ExtensionQueries {
       },
     ),
 
+    // Incremental exact dedup — new batch (odd ids) anti-joined against
+    // the history's digest table (even ids): the daily-ingest shape
+    // where no batch rereads the corpus.
+    QueryDef(
+      "dedup_incremental_exact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(md5(col("text")).as("text_hash")))
+      },
+      Some("""SELECT md5(text) AS text_hash, doc_id FROM documents
+             |WHERE doc_id % 2 = 1 AND md5(text) NOT IN (
+             |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin),
+    ),
+
+    // Incremental near-dup candidates: the new batch's banded md5 index
+    // equi-joined against the history's persisted index — one signature
+    // pass per batch, never a corpus self-join.
+    QueryDef(
+      "dedup_incremental_candidates",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.incrementalMinhashCandidatesMd5(
+          docs.filter(col("doc_id") % 2 === 1),
+          Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0)))
+      },
+      Some {
+        val k = 16
+        val bands = 4
+        val r = k / bands
+        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
+          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
+          .mkString(", ")
+        val bandRows = (0 until bands).map { b =>
+          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $shingleSqlCte,
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+           |banded AS ($bandRows)
+           |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+           |FROM banded a JOIN banded b
+           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin
+      },
+    ),
+
     // SimHash signatures — xxhash64-based, so the raw 64-bit values are
     // not externally reproducible; the query instead emits per-document
     // invariants the oracle asserts TRUE (derived-invariant pattern):

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.md5
+
 import graft.functions.Dedup
 
 /** Planted-duplicate recall specs for the dedup family — these carry
@@ -120,5 +122,29 @@ class DedupSpec extends SparkSpec {
     val cands = Dedup.simhashCandidatesMd5(docs, maxHamming = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 4L)))
+  }
+
+  test("incremental dedup ≡ the batch-vs-history slice of the full computation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    // exact: survivors ∪ history-dups partition the batch, and a batch doc
+    // survives iff its hash is absent from the history
+    val survivors = Dedup.incrementalExact(batch,
+      hist.select(md5($"text").as("text_hash")))
+      .select("doc_id").as[Long].collect().toSet
+    val histHashes = hist.select(md5($"text")).as[String].collect().toSet
+    val batchHashes = batch.select($"doc_id", md5($"text")).as[(Long, String)].collect()
+    assert(batchHashes.forall { case (id, h) => survivors.contains(id) == !histHashes(h) })
+    // candidates: the incremental join equals the (new, old) cross slice of
+    // the full self-join — a theorem of the shared banded index
+    val inc = Dedup.incrementalMinhashCandidatesMd5(batch, Dedup.bandedIndexMd5(hist))
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashCandidatesMd5(docs).as[(Long, Long)].collect().toSet
+    val expected = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(inc == expected)
   }
 }
