@@ -76,11 +76,23 @@ object GraftExtensions {
       s"simhash_agg expects 1 argument, got ${exprs.length}")
   }
 
+  private val ngInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.NgramDistinctCount].getName, null,
+    "ngram_distinct_count",
+    "ngram_distinct_count(text, n) - distinct whitespace word n-grams, one pass", "")
+
+  private val ngBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => graft.functions.expressions.NgramDistinctCount(t, n)
+    case exprs => throw new IllegalArgumentException(
+      s"ngram_distinct_count expects 2 arguments, got ${exprs.length}")
+  }
+
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product_float", dotInfo, dotBuilder),
     ("cosine_float", cosInfo, cosBuilder),
     ("doc_fingerprint", fpInfo, fpBuilder),
     ("simhash_agg", shInfo, shBuilder),
+    ("ngram_distinct_count", ngInfo, ngBuilder),
   )
 
   // ---- table-valued functions: the table-level operators of TrafOps

@@ -121,23 +121,25 @@ object TextAnalytics {
 
   /** Within-document duplicate n-gram fraction (the Gopher repetition
     * rule family): the share of a document's n-gram INSTANCES that
-    * repeat an earlier occurrence in the same document. Pure per-row
-    * array arithmetic — build the gram array, count instances minus
-    * distincts — so it runs at scan speed with no shuffle. Documents
-    * shorter than n words are excluded (no gram to measure).
+    * repeat an earlier occurrence in the same document. Runs at scan
+    * speed with no shuffle: the gram count is token arithmetic and the
+    * distinct count is the native one-pass
+    * [[graft.functions.expressions.NgramDistinctCount]] expression —
+    * no gram array is ever materialized, and the whole projection stays
+    * inside whole-stage codegen (the declarative
+    * `array_distinct(transform(...))` form it replaces pays an
+    * interpreted lambda per gram plus O(g²) string comparisons; its
+    * value is still what the oracle independently recomputes).
+    * Documents shorter than n words are excluded (no gram to measure).
     */
   def dupNgramFrac(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame = {
-    val grams = expr(
-      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
-        (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))")
+    val nTok = size(tokens(col(textCol)))
+    val nGrams = (nTok - n + 1).cast("bigint")
+    val nDistinct = expressions.TextExpressions.ngramDistinct(col(textCol), n)
     docs
-      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
-      .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), grams.as("__g"))
-      .select(col("doc_id"),
-        size(col("__g")).cast("bigint").as("n_grams"),
-        ((size(col("__g")) - size(array_distinct(col("__g")))).cast("double") /
-          size(col("__g")).cast("double")).as("dup_frac"))
+      .filter(nTok >= n)
+      .select(col("doc_id"), nGrams.as("n_grams"),
+        ((nGrams - nDistinct).cast("double") / nGrams.cast("double")).as("dup_frac"))
   }
 
   /** Cross-document span-overlap fraction: per document, the share of

@@ -1,0 +1,134 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression for the hot loop of the repetition operators: the
+  * number of DISTINCT whitespace word n-grams in a text.
+  *
+  * The declarative form (`size(array_distinct(transform(sequence(...),
+  * i -> concat_ws(...))))`) materializes the gram array, drives an
+  * interpreted higher-order lambda per gram (HigherOrderFunction is
+  * CodegenFallback), and then pays array_distinct's O(g²) pairwise
+  * string comparisons. This expression is one pass: tokenize once,
+  * slide the window, count via an open-addressed hash set keyed on the
+  * gram's byte slice — O(g) with zero per-gram string allocation (a
+  * gram of the split text is a contiguous byte range of the original
+  * UTF-8 string, so equality is one memcmp on the original buffer).
+  *
+  * Semantics are exactly the declarative twin's: grams are the
+  * space-joined n-token windows of `split(text, ' ')`, texts with fewer
+  * than n tokens yield 0 (callers filter those out the same way the
+  * declarative operator does). Equality is byte equality — identical to
+  * string equality for the UTF-8 grams both forms build.
+  */
+case class NgramDistinctCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ngram_distinct_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramDistinctCount.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  // Generated code calls the static helper — the loop itself is plain
+  // JVM code, but the call site stays inside whole-stage codegen (no
+  // CodegenFallback row materialization on the surrounding operators).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (text, n) =>
+      s"graft.functions.expressions.NgramDistinctCount.compute($text, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramDistinctCount {
+  /** One-pass distinct n-gram count over the UTF-8 buffer. A gram is
+    * identified by its (start, end) byte range in the original text —
+    * token boundaries are the ' ' (0x20) bytes, exactly `split`'s
+    * single-space semantics (consecutive spaces produce empty tokens in
+    * both forms, so boundary arithmetic stays identical).
+    */
+  def compute(text: UTF8String, n: Int): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // token start offsets: 0 and every position after a space byte.
+    // (UTF-8 multi-byte sequences never contain 0x20, so a raw byte scan
+    // finds exactly the split points `split(text, ' ')` uses.)
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return 0L
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: gram end = next start - 1
+    val nGrams = nTokens - n + 1
+    // open-addressed hash set of gram byte-ranges (FNV-1a over the slice;
+    // equality re-checked by memcmp so collisions never miscount)
+    var cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slotStart = new Array[Int](cap)
+    val slotEnd = new Array[Int](cap)
+    java.util.Arrays.fill(slotStart, -1)
+    var distinct = 0L
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // exclusive end of the n-token window
+      var h = 0x811c9dc5
+      var j = s
+      while (j < e) { h = (h ^ (bytes(j) & 0xff)) * 0x01000193; j += 1 }
+      var slot = h & (cap - 1)
+      var inserted = false
+      while (!inserted) {
+        if (slotStart(slot) < 0) {
+          slotStart(slot) = s; slotEnd(slot) = e
+          distinct += 1
+          inserted = true
+        } else if (sliceEquals(bytes, slotStart(slot), slotEnd(slot), s, e)) {
+          inserted = true // already present
+        } else {
+          slot = (slot + 1) & (cap - 1)
+        }
+      }
+      g += 1
+    }
+    distinct
+  }
+
+  private def sliceEquals(b: Array[Byte], s1: Int, e1: Int, s2: Int, e2: Int): Boolean = {
+    if (e1 - s1 != e2 - s2) return false
+    var i = 0
+    val len = e1 - s1
+    while (i < len) {
+      if (b(s1 + i) != b(s2 + i)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+object TextExpressions {
+  /** Column wrapper: one-pass distinct n-gram count. */
+  def ngramDistinct(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(NgramDistinctCount(
+      GraftSqlBridge.toExpression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+}

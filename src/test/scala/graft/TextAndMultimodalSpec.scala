@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{array_distinct, expr, size, split}
+
 import graft.functions.{Multimodal, TextAnalytics}
 
 class TextAndMultimodalSpec extends SparkSpec {
@@ -99,6 +101,42 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(!out(3L)._5 && !out(3L)._7, "doc 3 fails alpha ratio")
     for ((_, r) <- out)
       assert(r._7 == (r._3 && r._4 && r._5 && r._6), "keep = conjunction")
+  }
+
+  test("NgramDistinctCount ≡ array_distinct(transform(...)) on the whole fixture, and in SQL") {
+    import graft.functions.expressions.TextExpressions
+    val n = 3
+    val grams = expr(
+      s"transform(sequence(0, size(split(text, ' ')) - $n), i -> concat_ws(' ', ${
+        (0 until n).map(j => s"split(text, ' ')[i + $j]").mkString(", ")}))")
+    val both = docs.filter(size(split($"text", " ")) >= n)
+      .select($"doc_id",
+        TextExpressions.ngramDistinct($"text", n).as("native"),
+        size(array_distinct(grams)).cast("long").as("declarative"))
+    assert(both.filter($"native" =!= $"declarative").isEmpty,
+      "native one-pass count must equal the declarative distinct")
+    // repeated / multi-space / short edge cases, cross-validated against
+    // the declarative form (multi-space → empty tokens in both)
+    val edge = Seq((1L, "a b a b a b"), (2L, "x  y  x  y"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val grams2 = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))")
+    val e = edge.select($"doc_id",
+      TextExpressions.ngramDistinct($"text", 2).as("nd"),
+      size(array_distinct(grams2)).cast("long").as("decl"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(e.values.forall(v => v._1 == v._2), s"native != declarative on edges: $e")
+    assert(e(1L)._1 == 2L) // "a b" and "b a"
+    assert(e(2L)._1 == 4L) // "x ", " y", "y ", " x" via empty tokens
+    assert(e(3L)._1 == 1L) // "a a" only
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    edge.createOrReplaceTempView("__ng_edge")
+    val viaSql = spark.sql(
+      "SELECT doc_id, ngram_distinct_count(text, 2) FROM __ng_edge")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == e.view.mapValues(_._1).toMap)
   }
 
   test("dupNgramFrac: hand-computed repetition fractions, short docs excluded") {
