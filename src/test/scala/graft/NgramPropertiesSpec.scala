@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.NgramDistinctCount
+
+/** ScalaCheck properties for the hand-written byte-level
+  * [[NgramDistinctCount.compute]]: for ALL texts (unicode, empty
+  * tokens, consecutive/leading/trailing spaces) it must equal the
+  * specification — distinct space-joined n-token windows of
+  * `split(text, ' ')`. Pure JVM, no Spark jobs, so cases are cheap.
+  */
+class NgramPropertiesSpec extends AnyFunSuite {
+
+  private def reference(text: String, n: Int): Long = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) 0L
+    else toks.sliding(n).map(_.mkString(" ")).toSet.size.toLong
+  }
+
+  private val token: Gen[String] = Gen.oneOf(
+    "a", "b", "ab", "héllo", "日本語", "x1", "", "longertoken", "ß")
+
+  private val joinedText: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(k => Gen.listOfN(k, token)).map(_.mkString(" "))
+
+  // raw strings over an alphabet INCLUDING the space, so consecutive /
+  // leading / trailing separators arise naturally
+  private val rawText: Gen[String] =
+    Gen.chooseNum(0, 40)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf('a', 'b', ' ', 'é', '語')))
+      .map(_.mkString)
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("compute == sliding-window distinct spec, for all joined-token texts") {
+    check(Prop.forAll(joinedText, Gen.chooseNum(1, 4)) { (text, n) =>
+      NgramDistinctCount.compute(UTF8String.fromString(text), n) == reference(text, n)
+    })
+  }
+
+  test("compute == sliding-window distinct spec, for all raw texts with arbitrary spacing") {
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
+      NgramDistinctCount.compute(UTF8String.fromString(text), n) == reference(text, n)
+    })
+  }
+
+  test("adversarial repetition: many equal grams, capacity growth, single token") {
+    for (n <- 1 to 3) {
+      val rep = Array.fill(500)("tok").mkString(" ")
+      assert(NgramDistinctCount.compute(UTF8String.fromString(rep), n) == 1L)
+      val uniq = (0 until 500).map(i => s"t$i").mkString(" ")
+      assert(NgramDistinctCount.compute(UTF8String.fromString(uniq), n) == 500L - n + 1)
+    }
+    assert(NgramDistinctCount.compute(UTF8String.fromString("solo"), 1) == 1L)
+    assert(NgramDistinctCount.compute(UTF8String.fromString(""), 1) == 1L) // [""] has one 1-gram
+  }
+}
