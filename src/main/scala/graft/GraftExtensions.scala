@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Literal, Lower, Md5, Multiply, Sqrt, StringTrim, Substring}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, ConcatWs, Conv, Divide, Expression, ExpressionInfo, LessThan, Literal, Lower, Md5, Multiply, Sqrt, StringTrim, Substring}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 import graft.functions.expressions.DotProductFloat
 
@@ -87,12 +88,51 @@ object GraftExtensions {
       s"ngram_distinct_count expects 2 arguments, got ${exprs.length}")
   }
 
+  // The curation hash primitives as Catalyst compositions (implicit
+  // casts resolved by the analyzer, same as doc_fingerprint). The SQL
+  // and Column-operator forms are asserted equal row-for-row in
+  // VectorExpressionsSpec, so the two definitions cannot drift.
+  private def saltedMd5Prefix(id: Expression, salt: Expression, len: Int): Expression =
+    Substring(
+      Md5(ConcatWs(Seq(Literal("|"), salt, Cast(id, StringType)))),
+      Literal(1), Literal(len))
+
+  private val hashSplitInfo = new ExpressionInfo(
+    "graft.functions.Curation", null, "hash_split",
+    "hash_split(id, salt) - deterministic train/val/test label (~80/10/10)", "")
+
+  private val hashSplitBuilder: Seq[Expression] => Expression = {
+    case Seq(id, salt) =>
+      val bucket = saltedMd5Prefix(id, salt, 2)
+      CaseWhen(Seq(
+        (LessThan(bucket, Literal("cd")), Literal("train")),
+        (LessThan(bucket, Literal("e6")), Literal("val"))),
+        Some(Literal("test")))
+    case exprs => throw new IllegalArgumentException(
+      s"hash_split expects 2 arguments, got ${exprs.length}")
+  }
+
+  private val hashFracInfo = new ExpressionInfo(
+    "graft.functions.Curation", null, "hash_frac",
+    "hash_frac(id, salt) - deterministic uniform [0,1) draw from the salted id", "")
+
+  private val hashFracBuilder: Seq[Expression] => Expression = {
+    case Seq(id, salt) => Divide(
+      Cast(Cast(Conv(saltedMd5Prefix(id, salt, 8), Literal(16), Literal(10)),
+        LongType), DoubleType),
+      Literal(4294967296.0))
+    case exprs => throw new IllegalArgumentException(
+      s"hash_frac expects 2 arguments, got ${exprs.length}")
+  }
+
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product_float", dotInfo, dotBuilder),
     ("cosine_float", cosInfo, cosBuilder),
     ("doc_fingerprint", fpInfo, fpBuilder),
     ("simhash_agg", shInfo, shBuilder),
     ("ngram_distinct_count", ngInfo, ngBuilder),
+    ("hash_split", hashSplitInfo, hashSplitBuilder),
+    ("hash_frac", hashFracInfo, hashFracBuilder),
   )
 
   // ---- table-valued functions: the table-level operators of TrafOps

@@ -60,6 +60,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(fp == expected && fp.length == 16)
   }
 
+  test("hash_split and hash_frac are callable from SQL and match the Curation operators") {
+    graft.GraftExtensions.register(spark)
+    val ids = (0L until 200L).toDF("doc_id")
+    ids.createOrReplaceTempView("ext_ids")
+    val viaSql = spark.sql(
+      "SELECT doc_id, hash_split(doc_id, 's1') AS split, hash_frac(doc_id, 'iq1') AS frac " +
+        "FROM ext_ids")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaOps = ids.select($"doc_id",
+      graft.functions.Curation.splitExpr($"doc_id", "s1").as("split"),
+      graft.functions.Curation.hashFrac($"doc_id", "iq1").as("frac"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaSql == viaOps)
+    assert(viaSql.values.map(_._1).toSet == Set("train", "val", "test"))
+    assert(viaSql.values.forall(v => v._2 >= 0.0 && v._2 < 1.0))
+  }
+
   test("dq_expectations table function matches TrafOps.expectations from SQL") {
     graft.GraftExtensions.register(spark)
     Seq((1L, "ok"), (2L, ""), (-3L, "x"), (4L, null))
