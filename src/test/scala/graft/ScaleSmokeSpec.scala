@@ -124,6 +124,28 @@ class ScaleSmokeSpec extends SparkSpec {
       f"minhash banding must scale near-linearly: $tm1%.2fs -> $tm10%.2fs")
   }
 
+  test("cross-doc span overlap scales near-linearly with per-doc stats preserved exactly") {
+    val docs1 = synthDocs(1, s"$base/docs1s")
+    val docs10 = synthDocs(10, s"$base/docs10s")
+    import spark.implicits._
+    def run(d: DataFrame) =
+      graft.functions.TextAnalytics.spanOverlapFrac(d)
+        .as[(Long, Long, Long, Double)].collect()
+    run(docs1) // JIT/codegen warm-up
+    val (r1, t1) = timed(run(docs1))
+    val (r10, t10) = timed(run(docs10))
+    info(f"span overlap: 1x=${r1.length} docs in $t1%.2fs, 10x=${r10.length} in $t10%.2fs")
+    // token-salted copies have DISJOINT span spaces, so every copy
+    // reproduces the 1× document's (n_spans, n_shared, overlap_frac)
+    // exactly and no cross-copy sharing can inflate n_shared
+    assert(r10.length == 10 * r1.length)
+    val base1 = r1.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(r10.forall { case (id, ns, sh, f) => base1(id % 1000000L) == ((ns, sh, f)) },
+      "per-doc span stats must be exactly copy-invariant")
+    assert(t10 <= 12 * t1 + 2.0,
+      f"span overlap must scale near-linearly: $t1%.2fs -> $t10%.2fs")
+  }
+
   test("no pathological shuffle skew in the capped jaccard join at 10×") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val docs10 = spark.read.parquet(s"$base/docs10")
