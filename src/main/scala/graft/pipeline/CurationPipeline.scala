@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Curation, Dedup, TextAnalytics}
+
+/** The reference's incremental-ingest discipline (resume from persisted
+  * state, process only the new slice, idempotent re-runs — SURVEY §2.8)
+  * applied to the training-data surface: each document batch is rule-
+  * filtered, deduplicated against itself AND against everything already
+  * accepted, and the accepted set's state — a content-digest table and
+  * a banded MinHash index — is appended, never recomputed. No batch
+  * ever rereads or self-joins the historical corpus: history
+  * participates only through its compact state tables
+  * (16-byte digests; (doc, band, hash) index rows), which is what keeps
+  * a daily batch O(batch) at a 100 TB accumulated corpus.
+  */
+object CurationPipeline {
+
+  /** Persisted state locations (parquet directories). */
+  final case class State(digestsPath: String, indexPath: String)
+
+  /** Create empty state tables so the first batch runs the same code
+    * path as every later one.
+    */
+  def init(spark: SparkSession, dir: String): State = {
+    import spark.implicits._
+    val st = State(s"$dir/digests", s"$dir/index")
+    Seq.empty[String].toDF("text_hash")
+      .write.mode(SaveMode.Overwrite).parquet(st.digestsPath)
+    Seq.empty[(Long, Int, String)].toDF("doc_id", "band_idx", "band_hash")
+      .write.mode(SaveMode.Overwrite).parquet(st.indexPath)
+    st
+  }
+
+  /** Run one batch: returns the accepted documents (with split labels)
+    * and appends their digests + index rows to the state.
+    *
+    * Stages, each an operator of this library:
+    *  1. quality rule filter ([[TextAnalytics.ruleFlags]] `keep`);
+    *  2. batch-internal exact dedup ([[Dedup.exactGroups]] keep the
+    *     smallest id per content hash);
+    *  3. history exact dedup ([[Dedup.incrementalExact]] anti-join
+    *     against the digest table);
+    *  4. history near-dup dedup ([[Dedup.incrementalMinhashCandidatesMd5]]
+    *     against the banded index; any candidate match drops the doc —
+    *     the conservative policy a precision pass can refine);
+    *  5. state append + deterministic split labels
+    *     ([[Curation.splitExpr]] — append-stable, so a document's split
+    *     never depends on later batches).
+    *
+    * Idempotence: accepted docs are a pure function of (batch, state);
+    * the caller appends state only after a successful write of the
+    * batch output (the same log-after-success contract as
+    * [[IngestPipeline]]).
+    */
+  def runBatch(spark: SparkSession, batch: DataFrame, state: State,
+      appendState: Boolean = true): DataFrame = {
+    val flagged = batch.join(
+      TextAnalytics.ruleFlags(batch).filter(col("keep")).select("doc_id"), "doc_id")
+    val reps = flagged.join(
+      Dedup.exactGroups(flagged).select(col("keep_id").as("doc_id")), "doc_id")
+    val seen = spark.read.parquet(state.digestsPath)
+    val freshIds = Dedup.incrementalExact(reps, seen)
+    val fresh = reps.join(freshIds.select("doc_id"), "doc_id")
+    val oldIndex = spark.read.parquet(state.indexPath)
+    val nearDupIds = Dedup.incrementalMinhashCandidatesMd5(fresh, oldIndex)
+      .select(col("new_doc").as("doc_id")).distinct()
+    val accepted = fresh.join(nearDupIds, Seq("doc_id"), "left_anti")
+    val out = accepted.select(col("doc_id"), col("text"),
+      Curation.splitExpr(col("doc_id")).as("split"))
+    if (appendState) {
+      accepted.select(md5(col("text")).as("text_hash"))
+        .write.mode(SaveMode.Append).parquet(state.digestsPath)
+      Dedup.bandedIndexMd5(accepted)
+        .write.mode(SaveMode.Append).parquet(state.indexPath)
+    }
+    out
+  }
+}

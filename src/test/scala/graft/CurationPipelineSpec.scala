@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextAnalytics}
+import graft.pipeline.CurationPipeline
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("incremental curation: batch 2 dedups against batch 1 through state only") {
+    val dir = Files.createTempDirectory("curation-state").toString
+    val st = CurationPipeline.init(spark, dir)
+
+    val b1 = docs.filter($"doc_id" < 250)
+    // batch 2 = the rest PLUS exact replays of two batch-1 docs under new
+    // ids (the cross-batch dups the digest table must catch)
+    val replay = docs.filter($"doc_id".isin(3L, 7L))
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    val b2 = docs.filter($"doc_id" >= 250).unionByName(replay)
+
+    val a1 = CurationPipeline.runBatch(spark, b1, st).as[(Long, String, String)].collect()
+    assert(a1.nonEmpty)
+    // batch 1 accepted set: rule-passing, internally exact-deduped
+    val keep1 = TextAnalytics.ruleFlags(b1).filter($"keep").select("doc_id")
+      .as[Long].collect().toSet
+    assert(a1.forall(r => keep1.contains(r._1)))
+
+    val a2 = CurationPipeline.runBatch(spark, b2, st).as[(Long, String, String)].collect()
+    // the replayed batch-1 texts must be dropped by the digest state
+    assert(a2.forall(r => r._1 < 100000L), s"replayed docs survived: ${
+      a2.filter(_._1 >= 100000L).map(_._1).toSeq}")
+    // no accepted batch-2 text equals any accepted batch-1 text
+    val t1 = a1.map(_._2).toSet
+    assert(a2.forall(r => !t1.contains(r._2)))
+    // no accepted batch-2 doc is a banded near-dup candidate of the
+    // accepted batch-1 state
+    val a1df = docs.filter($"doc_id".isin(a1.map(_._1).toSeq: _*))
+    val a2df = docs.filter($"doc_id".isin(a2.map(_._1).toSeq: _*))
+    val cross = Dedup.incrementalMinhashCandidatesMd5(a2df, Dedup.bandedIndexMd5(a1df))
+    assert(cross.isEmpty, "accepted sets must be mutually near-dup free at the band level")
+
+    // idempotent re-run: same batch against the same state (no append) is
+    // a pure function — and with the state already containing batch 2's
+    // digests, a replayed batch 2 is rejected wholesale
+    val rerun = CurationPipeline.runBatch(spark, b2, st, appendState = false)
+      .as[(Long, String, String)].collect()
+    assert(rerun.isEmpty, "a replayed batch must be fully deduplicated by its own state")
+
+    // split labels are the append-stable hash labels
+    val splits = a2.map(r => r._1 -> r._3).toMap
+    val expected = graft.functions.Curation.hashSplit(a2df)
+      .as[(Long, String)].collect().toMap
+    assert(splits == expected)
+  }
+}
