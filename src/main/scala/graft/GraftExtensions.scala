@@ -88,6 +88,17 @@ object GraftExtensions {
       s"ngram_distinct_count expects 2 arguments, got ${exprs.length}")
   }
 
+  private val ndhInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.NgramDistinctHashes].getName, null,
+    "ngram_distinct_hashes",
+    "ngram_distinct_hashes(text, n) - distinct word n-gram xxhash64 values, one pass", "")
+
+  private val ndhBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => graft.functions.expressions.NgramDistinctHashes(t, n)
+    case exprs => throw new IllegalArgumentException(
+      s"ngram_distinct_hashes expects 2 arguments, got ${exprs.length}")
+  }
+
   // The curation hash primitives as Catalyst compositions (implicit
   // casts resolved by the analyzer, same as doc_fingerprint). The SQL
   // and Column-operator forms are asserted equal row-for-row in
@@ -131,6 +142,7 @@ object GraftExtensions {
     ("doc_fingerprint", fpInfo, fpBuilder),
     ("simhash_agg", shInfo, shBuilder),
     ("ngram_distinct_count", ngInfo, ngBuilder),
+    ("ngram_distinct_hashes", ndhInfo, ndhBuilder),
     ("hash_split", hashSplitInfo, hashSplitBuilder),
     ("hash_frac", hashFracInfo, hashFracBuilder),
   )

@@ -70,8 +70,8 @@ object Curation {
     import spark.implicits._
     val probeDocs = probes.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val probeShingles = Dedup.shingles(probeDocs, n).select(col("shingle")).distinct()
-    Dedup.shingles(docs, n)
+    val probeShingles = Dedup.distinctShingles(probeDocs, n).select(col("shingle")).distinct()
+    Dedup.distinctShingles(docs, n)
       .join(broadcast(probeShingles), "shingle")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_hits"))

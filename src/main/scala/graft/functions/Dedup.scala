@@ -32,6 +32,19 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
     shinglesCarrying(docs, n, textCol, Nil)
 
+  /** The DISTINCT shingle set per document, via the native one-pass
+    * [[expressions.NgramDistinctStrings]] — no interpreted lambda, no
+    * multiset explode. Use wherever multiplicity is irrelevant
+    * (min-aggregated MinHash signatures, distinct joins, countDistinct);
+    * occurrence-counting callers stay on [[shingles]]. Same doc_id
+    * repartition rationale as [[shinglesCarrying]].
+    */
+  def distinctShingles(docs: DataFrame, n: Int = 3, textCol: String = "text"): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        expressions.TextExpressions.ngramDistinctStrings(col(textCol), n)).as("shingle"))
+
   /** [[shingles]] plus pass-through of per-document columns (already
     * present on `docs`). The carried columns are materialized below the
     * doc_id repartition exchange, so an expensive per-doc expression
@@ -105,9 +118,18 @@ object Dedup {
     }
     val carry = if (crossTag.isDefined) Seq("__tag") else Nil
     val carried = carry.map(col)
-    val sh = shinglesCarrying(tagged, n, textCol, carry)
-      .select(col("doc_id") +: carried :+ xxhash64(col("shingle")).as("sh"): _*)
-      .dropDuplicates("doc_id", "sh")
+    // The distinct hash set per document comes from the native one-pass
+    // expression (bit-identical to xxhash64 over the declarative shingle
+    // pipeline — see NgramDistinctHashes), so the multiset explode, the
+    // per-occurrence hash, and the (doc_id, sh) distinct aggregate all
+    // collapse into one codegen'd projection. The doc_id repartition
+    // serves the same two purposes as in shinglesCarrying: spread the
+    // compute-dominant hashing across cores regardless of input file
+    // layout, and pre-satisfy every downstream groupBy(doc_id) exchange.
+    val sh = tagged
+      .repartition(col("doc_id"))
+      .select(col("doc_id") +: carried :+ explode(
+        expressions.TextExpressions.ngramDistinctHashes(col(textCol), n)).as("sh"): _*)
     // Per-document counts use the FULL shingle set (true union size);
     // only the pair-candidate join is pruned below.
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -167,7 +189,9 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
     val mins = (0 until k).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    shingles(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // min over the distinct set == min over the multiset, so the k
+    // seeded hashes run once per DISTINCT gram (native one-pass set)
+    distinctShingles(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over MinHash signatures: split the k-row signature into
@@ -210,7 +234,7 @@ object Dedup {
     // shingle — the min over the shingle set is taken per slice, and hex
     // substrings compare identically in every engine.
     val base = k / 4
-    val hashed = shingles(docs, n).select(
+    val hashed = distinctShingles(docs, n).select(
       col("doc_id") +: (0 until base).map(i =>
         md5(concat_ws("|", lit(i.toString), col("shingle"))).as(s"__h$i")): _*)
     val mins = for { i <- 0 until base; j <- 0 until 4 } yield

@@ -151,16 +151,13 @@ object TextAnalytics {
     * more keyed agg — both map-side combinable, nothing quadratic.
     */
   def spanOverlapFrac(docs: DataFrame, n: Int = 5, textCol: String = "text"): DataFrame = {
-    val grams = expr(
-      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
-        (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))")
-    val sh = docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
-      .filter(size(col("__t")) >= n)
-      .select(col("doc_id"), explode(grams).as("span"))
+    // distinct spans come from the native one-pass set (no interpreted
+    // lambda, no multiset explode); the (doc_id, h) dropDuplicates stays
+    // for exact parity with the hash-keyed original — two distinct spans
+    // colliding in the 60-bit hash must still count once per doc
+    val sh = graft.functions.Dedup.distinctShingles(docs, n, textCol)
       .select(col("doc_id"),
-        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("h"))
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
       .dropDuplicates("doc_id", "h")
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     sh.join(df, "h")

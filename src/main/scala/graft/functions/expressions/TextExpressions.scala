@@ -2,9 +2,10 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expression for the hot loop of the repetition operators: the
@@ -113,7 +114,7 @@ object NgramDistinctCount {
     distinct
   }
 
-  private def sliceEquals(b: Array[Byte], s1: Int, e1: Int, s2: Int, e2: Int): Boolean = {
+  private[expressions] def sliceEquals(b: Array[Byte], s1: Int, e1: Int, s2: Int, e2: Int): Boolean = {
     if (e1 - s1 != e2 - s2) return false
     var i = 0
     val len = e1 - s1
@@ -125,10 +126,219 @@ object NgramDistinctCount {
   }
 }
 
+/** The DISTINCT word n-gram set of a text as its `xxhash64` values —
+  * bit-identical to `xxhash64(shingle)` over the declarative shingle
+  * pipeline (`explode(transform(sequence(...), i -> concat_ws(' ', ...)))`
+  * then per-row `xxhash64` then distinct), because an n-token gram of
+  * `split(text, ' ')` rejoined with single spaces IS the contiguous byte
+  * slice of the original UTF-8 text between its token boundaries, and
+  * [[XXH64.hashUTF8String]] with Spark's default seed (42) reads exactly
+  * those bytes.
+  *
+  * This replaces the shingle hot path of the Jaccard inverted index:
+  * one pass, no per-gram string allocation, no interpreted
+  * HigherOrderFunction lambda, no multiset explode, and no downstream
+  * distinct aggregate (the emitted array is already a set, in
+  * first-occurrence order — deterministic for a given text).
+  */
+case class NgramDistinctHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_distinct_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramDistinctHashes.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (text, n) =>
+      s"graft.functions.expressions.NgramDistinctHashes.compute($text, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramDistinctHashes {
+  private val emptyResult = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  /** One-pass distinct gram hashes; same boundary arithmetic as
+    * [[NgramDistinctCount.compute]] (property-tested against the
+    * declarative twin, including consecutive-space empty tokens). The
+    * open-addressed set is keyed on the 64-bit hash ALONE — exactly the
+    * declarative pipeline's semantics, which hashes every gram occurrence
+    * and then `dropDuplicates` on the hash, so a colliding pair of
+    * distinct grams yields one row in both forms.
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return emptyResult
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: gram end = next start - 1
+    val nGrams = nTokens - n + 1
+    var cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slotHash = new Array[Long](cap)
+    val slotUsed = new Array[Boolean](cap)
+    val out = new Array[Long](nGrams)
+    var m = 0
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // exclusive end of the n-token window
+      val h = XXH64.hashUTF8String(UTF8String.fromBytes(bytes, s, e - s), 42L)
+      var slot = h.toInt & (cap - 1)
+      var inserted = false
+      while (!inserted) {
+        if (!slotUsed(slot)) {
+          slotUsed(slot) = true; slotHash(slot) = h
+          out(m) = h; m += 1
+          inserted = true
+        } else if (slotHash(slot) == h) {
+          inserted = true // already present
+        } else {
+          slot = (slot + 1) & (cap - 1)
+        }
+      }
+      g += 1
+    }
+    if (m == nGrams) UnsafeArrayData.fromPrimitiveArray(out)
+    else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
+/** The DISTINCT word n-grams of a text as strings, one pass — the
+  * string-output sibling of [[NgramDistinctHashes]] for consumers that
+  * hash grams with an engine-portable digest (the md5 MinHash twins) or
+  * join on the gram text itself (contamination probes). Distinctness is
+  * byte equality on the gram slice (== string equality for UTF-8), so
+  * this is exactly `array_distinct` of the declarative shingle pipeline,
+  * in first-occurrence order, minus the interpreted lambda, the per-gram
+  * string allocation (each gram wraps the original buffer), and the
+  * multiset explode.
+  *
+  * Safe ONLY where multiplicity is irrelevant (min-aggregations,
+  * distinct joins, countDistinct); occurrence-counting callers keep the
+  * multiset pipeline.
+  */
+case class NgramDistinctStrings(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_distinct_strings"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramDistinctStrings.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (text, n) =>
+      s"graft.functions.expressions.NgramDistinctStrings.compute($text, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramDistinctStrings {
+  private val emptyResult = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    Array.empty[Any])
+
+  /** One-pass distinct gram strings; boundary arithmetic and the
+    * open-addressed slice set are [[NgramDistinctCount.compute]]'s
+    * (FNV slot hash, byte-slice equality re-checked on collision — two
+    * distinct grams NEVER merge, unlike the hash-keyed sibling whose
+    * by-hash semantics mirror the hash-join pipeline).
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return emptyResult
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: gram end = next start - 1
+    val nGrams = nTokens - n + 1
+    var cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slotStart = new Array[Int](cap)
+    val slotEnd = new Array[Int](cap)
+    java.util.Arrays.fill(slotStart, -1)
+    val out = new Array[Any](nGrams)
+    var m = 0
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // exclusive end of the n-token window
+      var h = 0x811c9dc5
+      var j = s
+      while (j < e) { h = (h ^ (bytes(j) & 0xff)) * 0x01000193; j += 1 }
+      var slot = h & (cap - 1)
+      var inserted = false
+      while (!inserted) {
+        if (slotStart(slot) < 0) {
+          slotStart(slot) = s; slotEnd(slot) = e
+          out(m) = UTF8String.fromBytes(bytes, s, e - s); m += 1
+          inserted = true
+        } else if (NgramDistinctCount.sliceEquals(bytes, slotStart(slot), slotEnd(slot), s, e)) {
+          inserted = true // already present
+        } else {
+          slot = (slot + 1) & (cap - 1)
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == nGrams) out else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], m))
+  }
+}
+
 object TextExpressions {
   /** Column wrapper: one-pass distinct n-gram count. */
   def ngramDistinct(text: Column, n: Int): Column =
     GraftSqlBridge.toColumn(NgramDistinctCount(
+      GraftSqlBridge.toExpression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column wrapper: distinct n-gram `xxhash64` values, one pass. */
+  def ngramDistinctHashes(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(NgramDistinctHashes(
+      GraftSqlBridge.toExpression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column wrapper: distinct n-gram strings, one pass. */
+  def ngramDistinctStrings(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(NgramDistinctStrings(
       GraftSqlBridge.toExpression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
 }

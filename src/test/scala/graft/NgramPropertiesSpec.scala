@@ -4,7 +4,9 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.expressions.NgramDistinctCount
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+import graft.functions.expressions.{NgramDistinctCount, NgramDistinctHashes, NgramDistinctStrings}
 
 /** ScalaCheck properties for the hand-written byte-level
   * [[NgramDistinctCount.compute]]: for ALL texts (unicode, empty
@@ -48,6 +50,64 @@ class NgramPropertiesSpec extends AnyFunSuite {
   test("compute == sliding-window distinct spec, for all raw texts with arbitrary spacing") {
     check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
       NgramDistinctCount.compute(UTF8String.fromString(text), n) == reference(text, n)
+    })
+  }
+
+  // spec for the hash-array sibling: xxhash64(seed 42) of each sliding
+  // gram, deduped BY HASH, first-occurrence order — exactly what the
+  // declarative explode→xxhash64→dropDuplicates pipeline yields per doc
+  private def referenceHashes(text: String, n: Int): Seq[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Seq.empty
+    else toks.sliding(n).map(g =>
+      XXH64.hashUTF8String(UTF8String.fromString(g.mkString(" ")), 42L))
+      .toSeq.distinct
+  }
+
+  private def computedHashes(text: String, n: Int): Seq[Long] =
+    NgramDistinctHashes.compute(UTF8String.fromString(text), n).toLongArray.toSeq
+
+  test("hash array == per-gram xxhash64 distinct spec, joined-token texts") {
+    check(Prop.forAll(joinedText, Gen.chooseNum(1, 4)) { (text, n) =>
+      computedHashes(text, n) == referenceHashes(text, n)
+    })
+  }
+
+  test("hash array == per-gram xxhash64 distinct spec, raw texts with arbitrary spacing") {
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
+      computedHashes(text, n) == referenceHashes(text, n)
+    })
+  }
+
+  test("hash array: cardinality always equals the distinct count twin") {
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
+      computedHashes(text, n).size.toLong ==
+        NgramDistinctCount.compute(UTF8String.fromString(text), n)
+    })
+  }
+
+  // spec for the string-array sibling: sliding grams deduped by STRING,
+  // first-occurrence order (array_distinct of the declarative pipeline)
+  private def referenceStrings(text: String, n: Int): Seq[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Seq.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  private def computedStrings(text: String, n: Int): Seq[String] = {
+    val arr = NgramDistinctStrings.compute(UTF8String.fromString(text), n)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  test("string array == sliding-window distinct spec, joined-token texts") {
+    check(Prop.forAll(joinedText, Gen.chooseNum(1, 4)) { (text, n) =>
+      computedStrings(text, n) == referenceStrings(text, n)
+    })
+  }
+
+  test("string array == sliding-window distinct spec, raw texts with arbitrary spacing") {
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
+      computedStrings(text, n) == referenceStrings(text, n)
     })
   }
 
