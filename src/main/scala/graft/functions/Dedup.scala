@@ -187,11 +187,18 @@ object Dedup {
     * i-th hash function — codegen'd, no UDF.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    // min over the distinct set == min over the multiset, so the k
-    // seeded hashes run once per DISTINCT gram (native one-pass set)
-    distinctShingles(docs, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // The whole signature comes from the native one-pass expression
+    // (bit-identical to min(xxhash64(lit(i), shingle)) per column — see
+    // MinhashSignature): no shingle explode, no k-column min aggregate.
+    // The doc_id repartition spreads the compute-dominant hashing and
+    // pre-satisfies downstream groupBys, as in shinglesCarrying.
+    val sig = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expressions.TextExpressions.minhashSignature(col("text"), n, k).as("__sig"))
+      .filter(size(col("__sig")) > 0) // <n tokens ≡ the agg form's no-row
+    sig.select(col("doc_id") +:
+      (0 until k).map(i => col("__sig").getItem(i).as(s"mh_$i")): _*)
   }
 
   /** LSH banding over MinHash signatures: split the k-row signature into

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -323,6 +323,183 @@ object NgramDistinctStrings {
   }
 }
 
+/** Every character bigram of a text, in order, WITH multiplicity —
+  * `transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))`
+  * as one pass. The declarative form is O(len²) per document: each
+  * `substring(text, i, 2)` call re-scans the UTF-8 buffer from the
+  * start to find code point i (UTF-8 is variable-width, so char
+  * indexing is a linear walk), and the HigherOrderFunction lambda is
+  * interpreted per position. This expression records the code point
+  * boundary offsets once and emits each bigram as a zero-copy slice of
+  * the original buffer — O(len), codegen-friendly.
+  *
+  * Boundary semantics match SQL `substring` by code point: a bigram is
+  * two consecutive Unicode code points (surrogate-free UTF-8 walk), and
+  * texts with fewer than two code points yield an empty array.
+  */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_bigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    CharBigrams.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.expressions.CharBigrams.compute($text)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharBigrams {
+  private val emptyResult = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    Array.empty[Any])
+
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return emptyResult
+    // code point start offsets (UTF-8: a continuation byte is 10xxxxxx)
+    var nChars = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xc0) != 0x80) nChars += 1; i += 1 }
+    if (nChars < 2) return emptyResult
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = len
+    val out = new Array[Any](nChars - 1)
+    var g = 0
+    while (g < nChars - 1) {
+      out(g) = UTF8String.fromBytes(bytes, starts(g), starts(g + 2) - starts(g))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The full k-function MinHash signature of a text in one pass —
+  * element i is bit-identical to `min(xxhash64(lit(i), shingle))` over
+  * the document's shingle rows, because `xxhash64(lit(i), s)` folds its
+  * children left-to-right from Spark's default seed
+  * (`seed_i = hashInt(i, 42)`, then `hashUTF8String(s, seed_i)`) and
+  * the min over the distinct gram set equals the min over the multiset.
+  *
+  * Replaces the per-document shingle explode plus a k-column min
+  * aggregate with a single projection: tokenize once, dedupe grams on
+  * their byte slices (exact string equality, so a slot collision never
+  * silently skips a gram's k hashes), and fold each distinct gram into
+  * the k running minima. Texts with fewer than n tokens yield an empty
+  * array (callers filter, mirroring the no-row behavior of the
+  * aggregate form).
+  */
+case class MinhashSignature(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, int), got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    MinhashSignature.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (text, n, k) =>
+      s"graft.functions.expressions.MinhashSignature.compute($text, $n, $k)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object MinhashSignature {
+  private val emptyResult = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  // seed_i = hashInt(i, 42) — exactly XxHash64's fold of a leading
+  // Literal(i: Int) child; depends only on k, cached across rows
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seeds(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i => XXH64.hashInt(i, 42L)))
+
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return emptyResult
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: gram end = next start - 1
+    val nGrams = nTokens - n + 1
+    var cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slotStart = new Array[Int](cap)
+    val slotEnd = new Array[Int](cap)
+    java.util.Arrays.fill(slotStart, -1)
+    val sd = seeds(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // exclusive end of the n-token window
+      var h = 0x811c9dc5
+      var j = s
+      while (j < e) { h = (h ^ (bytes(j) & 0xff)) * 0x01000193; j += 1 }
+      var slot = h & (cap - 1)
+      var fresh = false
+      var probing = true
+      while (probing) {
+        if (slotStart(slot) < 0) {
+          slotStart(slot) = s; slotEnd(slot) = e
+          fresh = true; probing = false
+        } else if (NgramDistinctCount.sliceEquals(bytes, slotStart(slot), slotEnd(slot), s, e)) {
+          probing = false // duplicate gram: its k hashes are already folded
+        } else {
+          slot = (slot + 1) & (cap - 1)
+        }
+      }
+      if (fresh) {
+        val slice = UTF8String.fromBytes(bytes, s, e - s)
+        var f = 0
+        while (f < k) {
+          val hv = XXH64.hashUTF8String(slice, sd(f))
+          if (hv < mins(f)) mins(f) = hv
+          f += 1
+        }
+      }
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
 object TextExpressions {
   /** Column wrapper: one-pass distinct n-gram count. */
   def ngramDistinct(text: Column, n: Int): Column =
@@ -341,4 +518,15 @@ object TextExpressions {
     GraftSqlBridge.toColumn(NgramDistinctStrings(
       GraftSqlBridge.toExpression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column wrapper: all character bigrams (with multiplicity), one pass. */
+  def charBigrams(text: Column): Column =
+    GraftSqlBridge.toColumn(CharBigrams(GraftSqlBridge.toExpression(text)))
+
+  /** Column wrapper: k-function MinHash signature, one pass. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    GraftSqlBridge.toColumn(MinhashSignature(
+      GraftSqlBridge.toExpression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
 }

@@ -856,9 +856,10 @@ object ExtensionQueries {
           // compute-dominant explode: parallelize a single-split input
           // (shuffles raw text only — see Dedup.shingles rationale)
           .repartition(col("doc_id"))
-          .select(explode(expr(
-            "transform(sequence(1, char_length(text) - 1), i -> substring(text, i, 2))"))
-            .as("bigram"))
+          // native one-pass slicing: the declarative substring(text,i,2)
+          // lambda re-walks the UTF-8 buffer per position (O(len²)/doc)
+          .select(explode(graft.functions.expressions.TextExpressions
+            .charBigrams(col("text"))).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n")),
       Some("""WITH ex AS (SELECT unnest([substr(text, i, 2) for i in range(1, length(text))]) AS bigram

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
 
-import graft.functions.expressions.{NgramDistinctCount, NgramDistinctHashes, NgramDistinctStrings}
+import graft.functions.expressions.{CharBigrams, MinhashSignature, NgramDistinctCount, NgramDistinctHashes, NgramDistinctStrings}
 
 /** ScalaCheck properties for the hand-written byte-level
   * [[NgramDistinctCount.compute]]: for ALL texts (unicode, empty
@@ -108,6 +108,50 @@ class NgramPropertiesSpec extends AnyFunSuite {
   test("string array == sliding-window distinct spec, raw texts with arbitrary spacing") {
     check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
       computedStrings(text, n) == referenceStrings(text, n)
+    })
+  }
+
+  // spec for char bigrams: consecutive code-point pairs, in order, WITH
+  // multiplicity — substring(text, i, 2) for i in 1..numCodePoints-1
+  private def referenceBigrams(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < 2) Seq.empty
+    else cps.sliding(2).map(p => new String(p, 0, 2)).toSeq
+  }
+
+  private def computedBigrams(text: String): Seq[String] = {
+    val arr = CharBigrams.compute(UTF8String.fromString(text))
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  test("char bigrams == sliding code-point pair spec (multibyte, spaces, empty)") {
+    check(Prop.forAll(rawText) { text =>
+      computedBigrams(text) == referenceBigrams(text)
+    })
+    assert(computedBigrams("") == Seq.empty)
+    assert(computedBigrams("a") == Seq.empty)
+    assert(computedBigrams("日本語ab") == Seq("日本", "本語", "語a", "ab"))
+  }
+
+  // spec for the one-pass MinHash signature: element i is the min over
+  // all sliding grams of xxhash64(lit(i), gram) — i.e. seed chain
+  // hashInt(i, 42) then hashUTF8String(gram, ·), exactly XxHash64's fold
+  private def referenceSignature(text: String, n: Int, k: Int): Seq[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Seq.empty
+    else {
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      (0 until k).map { i =>
+        val seed = XXH64.hashInt(i, 42L)
+        grams.map(g => XXH64.hashUTF8String(UTF8String.fromString(g), seed)).min
+      }
+    }
+  }
+
+  test("minhash signature == per-function min of seeded xxhash64 over all grams") {
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 3), Gen.oneOf(4, 8, 32)) { (text, n, k) =>
+      MinhashSignature.compute(UTF8String.fromString(text), n, k).toLongArray.toSeq ==
+        referenceSignature(text, n, k)
     })
   }
 
