@@ -88,6 +88,39 @@ object GraftExtensions {
       s"ngram_distinct_count expects 2 arguments, got ${exprs.length}")
   }
 
+  private val ndsInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.NgramDistinctStrings].getName, null,
+    "ngram_distinct_strings",
+    "ngram_distinct_strings(text, n) - distinct word n-grams as strings, one pass", "")
+
+  private val ndsBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n) => graft.functions.expressions.NgramDistinctStrings(t, n)
+    case exprs => throw new IllegalArgumentException(
+      s"ngram_distinct_strings expects 2 arguments, got ${exprs.length}")
+  }
+
+  private val cbInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.CharBigrams].getName, null,
+    "char_bigrams",
+    "char_bigrams(text) - all character bigrams in order, with multiplicity", "")
+
+  private val cbBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => graft.functions.expressions.CharBigrams(t)
+    case exprs => throw new IllegalArgumentException(
+      s"char_bigrams expects 1 argument, got ${exprs.length}")
+  }
+
+  private val mhInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.MinhashSignature].getName, null,
+    "minhash_signature",
+    "minhash_signature(text, n, k) - k-function MinHash signature over word n-grams", "")
+
+  private val mhBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n, k) => graft.functions.expressions.MinhashSignature(t, n, k)
+    case exprs => throw new IllegalArgumentException(
+      s"minhash_signature expects 3 arguments, got ${exprs.length}")
+  }
+
   private val ndhInfo = new ExpressionInfo(
     classOf[graft.functions.expressions.NgramDistinctHashes].getName, null,
     "ngram_distinct_hashes",
@@ -143,6 +176,9 @@ object GraftExtensions {
     ("simhash_agg", shInfo, shBuilder),
     ("ngram_distinct_count", ngInfo, ngBuilder),
     ("ngram_distinct_hashes", ndhInfo, ndhBuilder),
+    ("ngram_distinct_strings", ndsInfo, ndsBuilder),
+    ("char_bigrams", cbInfo, cbBuilder),
+    ("minhash_signature", mhInfo, mhBuilder),
     ("hash_split", hashSplitInfo, hashSplitBuilder),
     ("hash_frac", hashFracInfo, hashFracBuilder),
   )

@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.functions.{array_distinct, expr, size, split}
+import org.apache.spark.sql.functions.{array_distinct, explode, expr, size, split, xxhash64}
 
 import graft.functions.{Multimodal, TextAnalytics}
+import graft.functions.expressions.TextExpressions
 
 class TextAndMultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -137,6 +138,39 @@ class TextAndMultimodalSpec extends SparkSpec {
       "SELECT doc_id, ngram_distinct_count(text, 2) FROM __ng_edge")
       .as[(Long, Long)].collect().toMap
     assert(viaSql == e.view.mapValues(_._1).toMap)
+  }
+
+  test("shingle expression family: SQL forms match the Column operators") {
+    graft.GraftExtensions.register(spark)
+    val edge = Seq((1L, "a b a b a b"), (2L, "x  y  x  y"), (3L, "solo"),
+      (4L, "日本 語 日本 語"))
+      .toDF("doc_id", "text")
+    edge.createOrReplaceTempView("__sh_edge")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  ngram_distinct_hashes(text, 2) AS hs,
+        |  ngram_distinct_strings(text, 2) AS ss,
+        |  char_bigrams(text) AS cb,
+        |  minhash_signature(text, 2, 8) AS mh
+        |FROM __sh_edge""".stripMargin)
+      .as[(Long, Seq[Long], Seq[String], Seq[String], Seq[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val viaCols = edge.select($"doc_id",
+      TextExpressions.ngramDistinctHashes($"text", 2).as("hs"),
+      TextExpressions.ngramDistinctStrings($"text", 2).as("ss"),
+      TextExpressions.charBigrams($"text").as("cb"),
+      TextExpressions.minhashSignature($"text", 2, 8).as("mh"))
+      .as[(Long, Seq[Long], Seq[String], Seq[String], Seq[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(viaSql == viaCols)
+    // spot semantics: distinct bigram strings of doc 1; <n tokens → empty
+    assert(viaSql(1L)._2 == Seq("a b", "b a"))
+    assert(viaSql(3L)._1.isEmpty && viaSql(3L)._4.isEmpty)
+    // hashes are xxhash64 of the corresponding distinct gram strings
+    val viaXx = edge.filter($"doc_id" === 1L)
+      .select(explode(TextExpressions.ngramDistinctStrings($"text", 2)).as("g"))
+      .select(xxhash64($"g")).as[Long].collect().toSeq
+    assert(viaSql(1L)._1 == viaXx)
   }
 
   test("dupNgramFrac: hand-computed repetition fractions, short docs excluded") {
