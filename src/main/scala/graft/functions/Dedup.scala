@@ -236,10 +236,32 @@ object Dedup {
     */
   def minhashSignaturesMd5(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
-    // One md5 yields FOUR independent 32-bit hash functions (8-hex-char
-    // slices of the 128-bit digest), so k functions cost k/4 digests per
-    // shingle — the min over the shingle set is taken per slice, and hex
-    // substrings compare identically in every engine.
+    // The whole signature comes from the native one-pass expression
+    // (bit-identical to the declarative chain — see Md5MinhashSignature;
+    // property-tested in NgramPropertiesSpec and spec-matched to
+    // minhashSignaturesMd5Declarative on real fixtures). The doc_id
+    // repartition spreads the digest-dominant compute and pre-satisfies
+    // downstream groupBys, as in shinglesCarrying.
+    val sig = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expressions.TextExpressions.md5MinhashSignature(col("text"), n, k).as("__sig"))
+      .filter(size(col("__sig")) > 0) // <n tokens ≡ the agg form's no-row
+    sig.select(col("doc_id") +:
+      (0 until k).map(i => col("__sig").getItem(i).as(s"mh_$i")): _*)
+  }
+
+  /** The declarative md5-signature chain [[minhashSignaturesMd5]]
+    * replaced: one md5 yields FOUR independent 32-bit hash functions
+    * (8-hex-char slices of the 128-bit digest), so k functions cost k/4
+    * digests per shingle; the min over the shingle set is taken per
+    * slice, and hex substrings compare identically in every engine.
+    * Kept as the specification twin the native expression is
+    * spec-checked against (`DedupSpec`), and as the exact shape the
+    * external SQL oracles mirror.
+    */
+  def minhashSignaturesMd5Declarative(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
     val base = k / 4
     val hashed = distinctShingles(docs, n).select(
       col("doc_id") +: (0 until base).map(i =>
@@ -403,21 +425,49 @@ object Dedup {
       .agg(sig.as("simhash"))
   }
 
+  /** [[simhash]] as a pure projection through the native one-pass
+    * [[expressions.SimhashText]] scalar — no token explode, no
+    * aggregate, no shuffle at all (bit-identical to both aggregate
+    * forms; property-tested in NgramPropertiesSpec, spec-matched in
+    * DedupSpec, and cross-validated per-document against BOTH aggregate
+    * forms inside the `dedup_simhash` registry query). The production
+    * signature path; the repartition spreads the hash-dominant compute
+    * when the input's file layout under-parallelizes.
+    */
+  def simhashNative(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expressions.TextExpressions.simhashText(col(textCol)).as("simhash"))
+
   /** SimHash near-dup candidates via quarter-banding + Hamming check
-    * (signatures through the faster single-buffer aggregate — benched
-    * ~0.7 s vs ~1.1 s for the 64-sum form at sf0.1).
+    * (signatures through the native one-pass scalar — a projection,
+    * vs ~0.7 s for the single-buffer aggregate and ~1.1 s for the
+    * 64-sum form at sf0.1).
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(simhashViaAgg(docs), bits = 64, maxHamming)
+    bandedHammingPairs(simhashNative(docs), bits = 64, maxHamming)
 
   /** Portable SimHash twin: the token hash is the first 15 hex chars of
     * md5 parsed as a 60-bit integer — identical in any engine (the
     * external mirror is `('0x' || substr(md5(token),1,15))::BIGINT`) —
-    * with the same bit-majority aggregation as [[simhash]]. The
-    * xxhash64 variant stays the production path (no hex round-trip);
-    * this is its oracle-checked verification twin.
+    * computed by the native one-pass [[expressions.SimhashMd5Text]]
+    * scalar (bit-identical to the declarative 60-sum chain
+    * [[simhashMd5Declarative]], which the external oracle mirrors and
+    * the specs compare against). The xxhash64 variant stays the
+    * production path; this is its oracle-checked verification twin.
     */
-  def simhashMd5(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def simhashMd5(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expressions.TextExpressions.simhashMd5Text(col(textCol)).as("simhash"))
+
+  /** The declarative 60-sum md5 SimHash chain [[simhashMd5]] replaced —
+    * kept as the specification twin the native scalar is spec-checked
+    * against, and as the exact shape the external SQL oracle mirrors.
+    */
+  def simhashMd5Declarative(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val h = expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
     val bitSums = (0 until 60).map(i =>
       sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i"))

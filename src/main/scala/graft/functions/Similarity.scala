@@ -317,6 +317,45 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style semantic dedup: coarse cells bound the pairwise
+    * work (only same-cell vectors ever meet — the same inverted-file
+    * idea as [[ivfTopK]]), and within each cell a vector is DROPPED
+    * when some smaller vec_id sits within its cosine ε-ball — keeping
+    * exactly one representative per tight semantic neighborhood.
+    * Output `(vec_id, cell, max_sim, dropped)` where `max_sim` is the
+    * maximum cosine to any LOWER-id same-cell vector (null if the
+    * vector is its cell's smallest id) — emitted so the entire pairwise
+    * computation is externally checkable even on corpora with no
+    * near-dups.
+    *
+    * Scale shape: one centroid-assignment scan (broadcast argmax — no
+    * shuffle), one cell-keyed self-join whose work is Σ per-cell sizes²
+    * (the cell count is the knob bounding that), one groupBy on vec_id.
+    * All cosines are sequential double folds ([[dotDouble]] /
+    * [[cosineDouble]]), the same left-to-right order an external
+    * engine's list fold uses, so scores, maxima, and the drop cut are
+    * bit-portable (the [[pqTopK]] precedent).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.9,
+      nCells: Int = 16): DataFrame = {
+    val assigned = assignToCentroids(embeddings, seededCentroids(embeddings, nCells))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val left = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val right = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val maxSim = left.join(right, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b").as("vec_id"),
+        cosineDouble(col("emb_a"), col("emb_b")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(maxSim, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_sim"),
+        (coalesce(col("max_sim"), lit(Double.MinValue)) >= threshold).as("dropped"))
+  }
+
   /** Sequential-fold squared L2 distance over double arrays — the same
     * left-to-right order an external engine's list fold uses, so the
     * distances (and every ranking built on them) are bit-portable.

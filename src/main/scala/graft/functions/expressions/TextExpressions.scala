@@ -500,6 +500,291 @@ object MinhashSignature {
   }
 }
 
+/** The engine-portable md5 MinHash signature of a text in one pass —
+  * element `i*4+j` is bit-identical to
+  * `min(substring(md5(concat_ws("|", lit(i.toString), shingle)), j*8+1, 8))`
+  * over the document's distinct shingles (the declarative
+  * `minhashSignaturesMd5` chain), because lowercase-hex encoding is
+  * order-preserving: the lexicographic min of the 8-hex-char slices IS
+  * the unsigned-32-bit min of digest bytes `[4j, 4j+4)`, so the mins
+  * are tracked as integers and re-hexed once at the end.
+  *
+  * Replaces the distinct-shingle explode, k/4 md5 projections, and a
+  * k-column string-min aggregate with a single projection: tokenize
+  * once, dedupe grams on their byte slices, fold each distinct gram's
+  * k/4 digests into the k running minima. Texts with fewer than n
+  * tokens yield an empty array (callers filter, mirroring the no-row
+  * behavior of the aggregate form).
+  */
+case class Md5MinhashSignature(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int, int), got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Md5MinhashSignature.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (text, n, k) =>
+      s"graft.functions.expressions.Md5MinhashSignature.compute($text, $n, $k)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Md5MinhashSignature {
+  private val emptyResult = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    Array.empty[Any])
+
+  // one MessageDigest per thread, reset per gram — getInstance per call
+  // would dominate the loop
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // UTF-8 bytes of "i|" — the concat_ws prefix of hash function family i
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(base: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(base, b => Array.tabulate(b)(i =>
+      (i.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 slices per md5)")
+    val base = k / 4
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return emptyResult
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: gram end = next start - 1
+    val nGrams = nTokens - n + 1
+    var cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slotStart = new Array[Int](cap)
+    val slotEnd = new Array[Int](cap)
+    java.util.Arrays.fill(slotStart, -1)
+    val pre = prefixes(base)
+    val md = mdLocal.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, 0x100000000L) // > any u32 slice value
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // exclusive end of the n-token window
+      var h = 0x811c9dc5
+      var j = s
+      while (j < e) { h = (h ^ (bytes(j) & 0xff)) * 0x01000193; j += 1 }
+      var slot = h & (cap - 1)
+      var fresh = false
+      var probing = true
+      while (probing) {
+        if (slotStart(slot) < 0) {
+          slotStart(slot) = s; slotEnd(slot) = e
+          fresh = true; probing = false
+        } else if (NgramDistinctCount.sliceEquals(bytes, slotStart(slot), slotEnd(slot), s, e)) {
+          probing = false // duplicate gram: its digests are already folded
+        } else {
+          slot = (slot + 1) & (cap - 1)
+        }
+      }
+      if (fresh) {
+        var f = 0
+        while (f < base) {
+          md.reset()
+          md.update(pre(f))
+          md.update(bytes, s, e - s)
+          val d = md.digest()
+          var q = 0
+          while (q < 4) {
+            val v = ((d(4 * q) & 0xffL) << 24) | ((d(4 * q + 1) & 0xffL) << 16) |
+              ((d(4 * q + 2) & 0xffL) << 8) | (d(4 * q + 3) & 0xffL)
+            val idx = f * 4 + q
+            if (v < mins(idx)) mins(idx) = v
+            q += 1
+          }
+          f += 1
+        }
+      }
+      g += 1
+    }
+    val out = new Array[Any](k)
+    var m = 0
+    while (m < k) {
+      val v = mins(m)
+      val cs = new Array[Char](8)
+      var d = 0
+      while (d < 8) {
+        cs(d) = hexDigits(((v >>> ((7 - d) * 4)) & 0xf).toInt)
+        d += 1
+      }
+      out(m) = UTF8String.fromString(new String(cs))
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** The 64-bit SimHash of a text in one pass — bit-identical to the
+  * explode-tokens → per-token `xxhash64` → 64 bit-majority sums
+  * pipeline ([[graft.functions.Dedup.simhash]]), because `split(text,
+  * ' ')` tokens are the contiguous byte slices between 0x20 bytes
+  * (consecutive spaces yield empty tokens in both forms, which hash and
+  * vote like any other token occurrence — multiset semantics).
+  *
+  * Turns the signature step from explode + 64-sum aggregate (or the
+  * single-buffer [[SimhashAgg]]) into a plain projection: no shuffle,
+  * no per-token row, one counter array per document. Null text yields
+  * null (the aggregate forms drop the document instead — callers filter
+  * nulls first; the fixture corpora have none).
+  */
+case class SimhashText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashText.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.expressions.SimhashText.compute($text)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashText {
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val counters = new Array[Int](64)
+    var s = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        // token slice [s, i): hash and vote (empty tokens included —
+        // split(text, ' ') emits them and the explode pipeline hashes them)
+        val h = XXH64.hashUTF8String(UTF8String.fromBytes(bytes, s, i - s), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+        s = i + 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+}
+
+/** The engine-portable 60-bit md5 SimHash of a text in one pass —
+  * bit-identical to the explode-tokens →
+  * `conv(substr(md5(token), 1, 15), 16, 10)::BIGINT` → 60 bit-majority
+  * sums pipeline ([[graft.functions.Dedup.simhashMd5]]): the first 15
+  * hex chars of the digest are its first 7 bytes plus the high nibble
+  * of byte 7, assembled here directly from the digest bytes. Same
+  * multiset/empty-token/null semantics as [[SimhashText]].
+  */
+case class SimhashMd5Text(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5_text"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashMd5Text.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.expressions.SimhashMd5Text.compute($text)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashMd5Text {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val counters = new Array[Int](60)
+    val md = mdLocal.get()
+    var s = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, s, i - s)
+        val d = md.digest()
+        // first 15 hex chars == bytes 0..6 plus the high nibble of byte 7
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xfL)
+        var k = 0
+        while (k < 60) {
+          if (((h >>> k) & 1L) == 1L) counters(k) += 1 else counters(k) -= 1
+          k += 1
+        }
+        s = i + 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var k = 0
+    while (k < 60) {
+      if (counters(k) > 0) r |= (1L << k)
+      k += 1
+    }
+    r
+  }
+}
+
 object TextExpressions {
   /** Column wrapper: one-pass distinct n-gram count. */
   def ngramDistinct(text: Column, n: Int): Column =
@@ -529,4 +814,19 @@ object TextExpressions {
       GraftSqlBridge.toExpression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Column wrapper: engine-portable md5 MinHash signature, one pass. */
+  def md5MinhashSignature(text: Column, n: Int, k: Int): Column =
+    GraftSqlBridge.toColumn(Md5MinhashSignature(
+      GraftSqlBridge.toExpression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Column wrapper: 64-bit xxhash64 SimHash of a text, one pass. */
+  def simhashText(text: Column): Column =
+    GraftSqlBridge.toColumn(SimhashText(GraftSqlBridge.toExpression(text)))
+
+  /** Column wrapper: 60-bit md5 SimHash of a text, one pass. */
+  def simhashMd5Text(text: Column): Column =
+    GraftSqlBridge.toColumn(SimhashMd5Text(GraftSqlBridge.toExpression(text)))
 }

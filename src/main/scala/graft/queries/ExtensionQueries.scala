@@ -305,10 +305,12 @@ object ExtensionQueries {
     // SimHash signatures — xxhash64-based, so the raw 64-bit values are
     // not externally reproducible; the query instead emits per-document
     // invariants the oracle asserts TRUE (derived-invariant pattern):
-    //   - agg_forms_agree: the single-buffer SimhashAgg
-    //     (TypedImperativeAggregate, the production path, ~1.5× faster)
-    //     must be bit-identical to the 64-sum formulation — a genuine
-    //     cross-validation of the custom aggregate, per document;
+    //   - agg_forms_agree: the native one-pass SimhashText scalar (the
+    //     production path — a pure projection), the single-buffer
+    //     SimhashAgg (TypedImperativeAggregate), and the 64-sum
+    //     formulation must ALL be bit-identical — a three-way
+    //     cross-validation of the scalar and the custom aggregate, per
+    //     document;
     //   - exact_dup_sig_consistent: identical text ⇒ identical tokens ⇒
     //     identical signature within each exact-dup group.
     // The md5 twin below carries the end-to-end signature oracle.
@@ -316,15 +318,20 @@ object ExtensionQueries {
       "dedup_simhash",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // the native scalar rides the md5(text) projection — one join
+        // carries both the text hash and the third signature form
         val sig = Dedup.simhashViaAgg(docs)
           .join(Dedup.simhash(docs).withColumnRenamed("simhash", "simhash_sums"),
             "doc_id")
-          .join(docs.select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+          .join(docs.select(col("doc_id"), md5(col("text")).as("th"),
+            graft.functions.expressions.TextExpressions.simhashText(col("text"))
+              .as("simhash_native")), "doc_id")
         val grp = sig.groupBy(col("th")).agg(
           countDistinct(col("simhash")).as("nsig"), count(lit(1)).as("ndup"))
         sig.join(grp, "th").select(
           col("doc_id"),
-          (col("simhash") === col("simhash_sums")).as("agg_forms_agree"),
+          (col("simhash") === col("simhash_sums") &&
+            col("simhash") === col("simhash_native")).as("agg_forms_agree"),
           (col("nsig") === 1).as("exact_dup_sig_consistent"),
           (col("ndup") - 1).cast("long").as("n_exact_dup_partners"))
       },

@@ -87,6 +87,20 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("native md5 signature == declarative chain, row for row") {
+    val native = Dedup.minhashSignaturesMd5(docs).orderBy("doc_id").collect().toSeq
+    val decl = Dedup.minhashSignaturesMd5Declarative(docs).orderBy("doc_id").collect().toSeq
+    assert(native == decl)
+  }
+
+  test("native simhash scalars == aggregate/declarative forms, row for row") {
+    val native = Dedup.simhashNative(docs).orderBy("doc_id").collect().toSeq
+    assert(native == Dedup.simhash(docs).orderBy("doc_id").collect().toSeq)
+    assert(native == Dedup.simhashViaAgg(docs).orderBy("doc_id").collect().toSeq)
+    val nativeMd5 = Dedup.simhashMd5(docs).orderBy("doc_id").collect().toSeq
+    assert(nativeMd5 == Dedup.simhashMd5Declarative(docs).orderBy("doc_id").collect().toSeq)
+  }
+
   test("simhash: identical docs get identical signatures; near-dups are close") {
     val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(4L))

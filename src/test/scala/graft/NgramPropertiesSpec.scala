@@ -155,6 +155,96 @@ class NgramPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  // spec for the md5 signature: element i*4+j is the lexicographic min
+  // over all grams of the j-th 8-hex-char slice of md5("i|" + gram) —
+  // exactly the declarative minhashSignaturesMd5Declarative chain
+  private def referenceMd5Signature(text: String, n: Int, k: Int): Seq[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Seq.empty
+    else {
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5Hex(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+      }
+      (0 until k).map { idx =>
+        val i = idx / 4
+        val j = idx % 4
+        grams.map(g => md5Hex(s"$i|$g").substring(j * 8, j * 8 + 8)).min
+      }
+    }
+  }
+
+  private def computedMd5Signature(text: String, n: Int, k: Int): Seq[String] = {
+    val arr = graft.functions.expressions.Md5MinhashSignature.compute(
+      UTF8String.fromString(text), n, k)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  test("md5 minhash signature == per-slice lexicographic min of md5 hex over all grams") {
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 3), Gen.oneOf(4, 8, 16)) { (text, n, k) =>
+      computedMd5Signature(text, n, k) == referenceMd5Signature(text, n, k)
+    })
+  }
+
+  test("md5 minhash signature: unicode grams and single-token texts") {
+    assert(computedMd5Signature("日本語 héllo ß a b", 3, 8) ==
+      referenceMd5Signature("日本語 héllo ß a b", 3, 8))
+    assert(computedMd5Signature("solo", 1, 4) == referenceMd5Signature("solo", 1, 4))
+    assert(computedMd5Signature("a b", 3, 4) == Seq.empty)
+  }
+
+  // spec for the one-pass SimHash scalars: per-token hash (xxhash64
+  // seed 42, or the 60-bit md5 prefix), ±1 bit votes over the token
+  // MULTISET of split(text, ' ') (empty tokens included), majority bits
+  private def referenceSimhash(text: String): Long = {
+    val toks = text.split(" ", -1)
+    val counters = new Array[Int](64)
+    toks.foreach { t =>
+      val h = XXH64.hashUTF8String(UTF8String.fromString(t), 42L)
+      (0 until 64).foreach(i =>
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1)
+    }
+    (0 until 64).map(i => if (counters(i) > 0) 1L << i else 0L).sum
+  }
+
+  private def referenceSimhashMd5(text: String): Long = {
+    val toks = text.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counters = new Array[Int](60)
+    toks.foreach { t =>
+      md.reset()
+      val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (0 until 60).foreach(i =>
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1)
+    }
+    (0 until 60).map(i => if (counters(i) > 0) 1L << i else 0L).sum
+  }
+
+  test("simhash scalar == per-token xxhash64 bit-majority spec") {
+    import graft.functions.expressions.SimhashText
+    check(Prop.forAll(rawText) { text =>
+      SimhashText.compute(UTF8String.fromString(text)) == referenceSimhash(text)
+    })
+    check(Prop.forAll(joinedText) { text =>
+      SimhashText.compute(UTF8String.fromString(text)) == referenceSimhash(text)
+    })
+  }
+
+  test("md5 simhash scalar == 60-bit md5-prefix bit-majority spec") {
+    import graft.functions.expressions.SimhashMd5Text
+    check(Prop.forAll(rawText) { text =>
+      SimhashMd5Text.compute(UTF8String.fromString(text)) == referenceSimhashMd5(text)
+    })
+    check(Prop.forAll(joinedText) { text =>
+      SimhashMd5Text.compute(UTF8String.fromString(text)) == referenceSimhashMd5(text)
+    })
+  }
+
   test("adversarial repetition: many equal grams, capacity growth, single token") {
     for (n <- 1 to 3) {
       val rep = Array.fill(500)("tok").mkString(" ")
