@@ -169,16 +169,68 @@ object GraftExtensions {
       s"hash_frac expects 2 arguments, got ${exprs.length}")
   }
 
+  private val mh5Info = new ExpressionInfo(
+    classOf[graft.functions.expressions.Md5MinhashSignature].getName, null,
+    "md5_minhash_signature",
+    "md5_minhash_signature(text, n, k) - engine-portable md5 MinHash signature " +
+      "(k 8-hex-char slice minima over word n-grams)", "")
+
+  private val mh5Builder: Seq[Expression] => Expression = {
+    case Seq(t, n, k) => graft.functions.expressions.Md5MinhashSignature(t, n, k)
+    case exprs => throw new IllegalArgumentException(
+      s"md5_minhash_signature expects 3 arguments, got ${exprs.length}")
+  }
+
+  private val sh1Info = new ExpressionInfo(
+    classOf[graft.functions.expressions.SimhashText].getName, null, "simhash_text",
+    "simhash_text(text) - 64-bit SimHash of the text's whitespace tokens, one pass", "")
+
+  private val sh1Builder: Seq[Expression] => Expression = {
+    case Seq(t) => graft.functions.expressions.SimhashText(t)
+    case exprs => throw new IllegalArgumentException(
+      s"simhash_text expects 1 argument, got ${exprs.length}")
+  }
+
+  private val bfaInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.BloomFilterAgg].getName, null,
+    "bloom_filter_agg",
+    "bloom_filter_agg(hash, numBits, numHashes) - mergeable Bloom filter over " +
+      "BIGINT hashes as a self-describing binary blob", "")
+
+  private val bfaBuilder: Seq[Expression] => Expression = {
+    case Seq(h, Literal(bits: Int, _), Literal(k: Int, _)) =>
+      graft.functions.expressions.BloomFilterAgg(h, bits, k)
+    case exprs => throw new IllegalArgumentException(
+      "bloom_filter_agg expects (hash, int literal numBits, int literal numHashes), " +
+        s"got ${exprs.length} args")
+  }
+
+  private val bmcInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.BloomMightContain].getName, null,
+    "bloom_might_contain",
+    "bloom_might_contain(bloom, hash) - probe a bloom_filter_agg blob; " +
+      "false is definitive, true may be a false positive", "")
+
+  private val bmcBuilder: Seq[Expression] => Expression = {
+    case Seq(b, h) => graft.functions.expressions.BloomMightContain(b, h)
+    case exprs => throw new IllegalArgumentException(
+      s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
+  }
+
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product_float", dotInfo, dotBuilder),
     ("cosine_float", cosInfo, cosBuilder),
     ("doc_fingerprint", fpInfo, fpBuilder),
     ("simhash_agg", shInfo, shBuilder),
+    ("simhash_text", sh1Info, sh1Builder),
     ("ngram_distinct_count", ngInfo, ngBuilder),
     ("ngram_distinct_hashes", ndhInfo, ndhBuilder),
     ("ngram_distinct_strings", ndsInfo, ndsBuilder),
     ("char_bigrams", cbInfo, cbBuilder),
     ("minhash_signature", mhInfo, mhBuilder),
+    ("md5_minhash_signature", mh5Info, mh5Builder),
+    ("bloom_filter_agg", bfaInfo, bfaBuilder),
+    ("bloom_might_contain", bmcInfo, bmcBuilder),
     ("hash_split", hashSplitInfo, hashSplitBuilder),
     ("hash_frac", hashFracInfo, hashFracBuilder),
   )

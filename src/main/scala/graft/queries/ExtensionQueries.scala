@@ -270,6 +270,45 @@ object ExtensionQueries {
              |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin),
     ),
 
+    // Bloom-filter prefilter for the same incremental shape: the flag
+    // column is xxhash64+bitset-derived (not externally reproducible),
+    // so the oracle asserts its two theorems row-by-row instead:
+    //   - no_false_negative: a true cross-split dup can NEVER probe
+    //     negative against the history filter (double-hashing inserts
+    //     are probed with identical parameters — the header travels
+    //     inside the blob);
+    //   - self_roundtrip: every batch hash probes TRUE against a filter
+    //     built over the batch itself — non-vacuous at EVERY scale
+    //     (cross-split dups only exist at sf0.1+), exercising build,
+    //     merge, serialization, broadcast, and probe for every row.
+    // is_dup_exact is oracle-mirrored exactly (md5 membership join).
+    QueryDef(
+      "dedup_bloom_prefilter",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val hist = docs.filter(col("doc_id") % 2 === 0)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        val flaggedHist = Dedup.bloomPrefilter(batch, hist)
+          .withColumnRenamed("flagged", "flagged_hist")
+        val flaggedSelf = Dedup.bloomPrefilter(batch, batch)
+          .withColumnRenamed("flagged", "self_roundtrip")
+        val isDup = batch.select(col("doc_id"), md5(col("text")).as("__bh"))
+          .join(hist.select(md5(col("text")).as("__bh")).distinct()
+            .withColumn("__in", lit(true)), Seq("__bh"), "left")
+          .select(col("doc_id"), col("__in").isNotNull.as("is_dup_exact"))
+        isDup.join(flaggedHist, "doc_id").join(flaggedSelf, "doc_id")
+          .select(col("doc_id"), col("is_dup_exact"),
+            (col("flagged_hist") || !col("is_dup_exact")).as("no_false_negative"),
+            col("self_roundtrip"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+             |    AS is_dup_exact,
+             |  TRUE AS no_false_negative,
+             |  TRUE AS self_roundtrip
+             |FROM documents WHERE doc_id % 2 = 1""".stripMargin),
+    ),
+
     // Incremental near-dup candidates: the new batch's banded md5 index
     // equi-joined against the history's persisted index — one signature
     // pass per batch, never a corpus self-join.
@@ -461,6 +500,45 @@ object ExtensionQueries {
               |  FROM pe GROUP BY 1, 2)
               |SELECT vec_a, vec_b, dot / (sqrt(nx) * sqrt(ny)) AS cosine
               |FROM d WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.9""".stripMargin),
+    ),
+
+    // SemDeDup-style semantic dedup: IVF cells bound the pairwise work,
+    // and within each cell a vector is dropped when a smaller vec_id
+    // sits inside its cosine ε-ball. max_sim (the max cosine to any
+    // lower-id same-cell vector) is emitted so the full pairwise
+    // computation is oracle-checked even though the fixture corpus has
+    // no semantic near-dups (max in-cell cosine ≈ 0.49 at sf0.01, so
+    // every dropped flag is legitimately false here; planted-twin
+    // recall is spec-tested in SimilaritySpec). All cosines are
+    // sequential double folds — bit-portable, the pq/ivf precedent.
+    QueryDef(
+      "dedup_semantic",
+      (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir)),
+      Some {
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH cents0 AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16),
+           |cell0 AS (SELECT vec_id, cid AS cell FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cents0 c) WHERE rn = 1),
+           |sims AS (
+           |  SELECT b.vec_id,
+           |    max(${dd("ea.embedding", "eb.embedding")} /
+           |      (sqrt(${dd("ea.embedding", "ea.embedding")}) *
+           |       sqrt(${dd("eb.embedding", "eb.embedding")}))) AS max_sim
+           |  FROM cell0 a JOIN cell0 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |  GROUP BY 1)
+           |SELECT c.vec_id, c.cell, s.max_sim,
+           |  COALESCE(s.max_sim >= 0.9, FALSE) AS dropped
+           |FROM cell0 c LEFT JOIN sims s ON s.vec_id = c.vec_id""".stripMargin
+      },
     ),
 
     // Text quality features.
@@ -1064,6 +1142,23 @@ object ExtensionQueries {
              |    ORDER BY score DESC, term) AS rank FROM scored)
              |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
              |FROM r WHERE rank <= 3""".stripMargin),
+    ),
+
+    // Unigram-LM surprisal quantized to integer bits (perplexity-proxy
+    // quality score): binary-digit counts keep every step exact-integer
+    // until one final division — a true ln is NOT bit-portable across
+    // engines (4/200k integer inputs disagree JVM vs libm).
+    QueryDef(
+      "text_surprisal_bits",
+      (s, dir) => TextAnalytics.surprisalBits(Tables.documents(s, dir)),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+             |n AS (SELECT count(*) AS nn FROM tok)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(length(bin(n.nn)) - length(bin(f.tf))) AS DOUBLE) / count(*)
+             |    AS mean_surprisal_bits
+             |FROM tok t JOIN freq f USING (token) CROSS JOIN n
+             |GROUP BY 1""".stripMargin),
     ),
 
     // Mergeable distinct-count sketch states (Apache DataSketches HLL,

@@ -93,6 +93,31 @@ class DedupSpec extends SparkSpec {
     assert(native == decl)
   }
 
+  test("bloomPrefilter: zero false negatives, near-zero false positives at size") {
+    val hist = (1L to 400L).map(i => (i, s"history document number $i unique content"))
+      .toDF("doc_id", "text")
+    // batch: 50 true dups of history + 50 fresh docs
+    val batch = ((1L to 50L).map(i => (1000L + i, s"history document number $i unique content")) ++
+      (1L to 50L).map(i => (2000L + i, s"fresh never seen document $i")))
+      .toDF("doc_id", "text")
+    val flags = Dedup.bloomPrefilter(batch, hist)
+      .as[(Long, Boolean)].collect().toMap
+    // theorem: every true dup is flagged
+    (1L to 50L).foreach(i => assert(flags(1000L + i), s"false negative at $i"))
+    // 2^20 bits over 400 elements: P(false positive) ≈ (400*5/2^20)^5 ≈ 0 —
+    // a single FP among 50 fresh docs would indicate broken bit placement
+    (1L to 50L).foreach(i => assert(!flags(2000L + i), s"false positive at $i"))
+  }
+
+  test("bloom bitset saturates to all-flagged when overloaded") {
+    val hist = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val batch = (301L to 320L).map(i => (i, s"other $i")).toDF("doc_id", "text")
+    // 64 bits, 5 hashes, 300 inserts → essentially every bit set
+    val flags = Dedup.bloomPrefilter(batch, hist, numBits = 64, numHashes = 5)
+      .as[(Long, Boolean)].collect()
+    assert(flags.forall(_._2), "a saturated filter must flag everything (never unflag a dup)")
+  }
+
   test("native simhash scalars == aggregate/declarative forms, row for row") {
     val native = Dedup.simhashNative(docs).orderBy("doc_id").collect().toSeq
     assert(native == Dedup.simhash(docs).orderBy("doc_id").collect().toSeq)

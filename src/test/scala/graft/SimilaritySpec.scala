@@ -54,6 +54,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
   }
 
+  test("semanticDedup keeps the smallest id per ε-ball, drops its twins") {
+    // seeded centroids are vec_ids 0 and 1 → cells {0,4} (exact twins)
+    // and {1,2,3,5}; in cell 1 the only ε-pair at 0.99 is (2,5) with
+    // cos = 0.9/0.9055 ≈ 0.9939
+    val docs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.1f, 0.9f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(docs, threshold = 0.99, nCells = 2)
+      .select("vec_id", "dropped").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> false, 4L -> true, 5L -> true))
+    // raising the bar above every non-identical cosine keeps all but the
+    // exact twin
+    val strict = Similarity.semanticDedup(docs, threshold = 0.9999, nCells = 2)
+      .select("vec_id", "dropped").as[(Long, Boolean)].collect().toMap
+    assert(strict == Map(0L -> false, 1L -> false, 2L -> false,
+      3L -> false, 4L -> true, 5L -> false))
+    // max_sim of a cell's smallest id is null (no lower partner)
+    val ms = Similarity.semanticDedup(docs, threshold = 0.99, nCells = 2)
+      .select("vec_id", "max_sim").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(ms(0L).isEmpty && ms(1L).isEmpty && ms(4L).contains(1.0))
+  }
+
   test("embeddingNearDups surfaces the identical pair and no low-sim pair") {
     val pairs = Similarity.embeddingNearDups(embs, dim = 4, threshold = 0.9, nPlanes = 4)
       .as[(Long, Long, Double)].collect().toSeq

@@ -60,6 +60,16 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(2L) == "unknown")
   }
 
+  test("surprisalBits: hand-computed bit quantization, rare tokens score higher") {
+    // corpus tokens: a a b a c → N=5 (3 bits); tf(a)=3 (2 bits),
+    // tf(b)=tf(c)=1 (1 bit) → surprisal(a)=1, surprisal(b|c)=2
+    val out = TextAnalytics.surprisalBits(
+      Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3L, 4.0 / 3)))   // 1 + 1 + 2
+    assert(out(2L) == ((2L, 3.0 / 2)))   // 1 + 2
+  }
+
   test("tfIdfTopTerms: k terms per doc, scores descend, rare terms beat common at equal tf") {
     val corpus = Seq(
       (1L, "apple banana banana common common"),

@@ -77,6 +77,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaSql.values.forall(v => v._2 >= 0.0 && v._2 < 1.0))
   }
 
+  test("simhash_text, md5_minhash_signature, and the bloom pair from SQL match the operators") {
+    graft.GraftExtensions.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash_text(text) AS sh, md5_minhash_signature(text, 3, 8) AS sig " +
+        "FROM ext_docs")
+      .as[(Long, Long, Seq[String])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaOps = docs.select($"doc_id",
+      graft.functions.expressions.TextExpressions.simhashText($"text").as("sh"),
+      graft.functions.expressions.TextExpressions.md5MinhashSignature($"text", 3, 8).as("sig"))
+      .as[(Long, Long, Seq[String])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaSql == viaOps)
+    // bloom: build over doc 1's hash, probe both — membership theorem in SQL
+    val flags = spark.sql(
+      """WITH bloom AS (SELECT bloom_filter_agg(xxhash64(text), 4096, 5) AS b
+        |  FROM ext_docs WHERE doc_id = 1)
+        |SELECT doc_id, bloom_might_contain(b, xxhash64(text)) AS f
+        |FROM ext_docs CROSS JOIN bloom""".stripMargin)
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(1L))
+    assert(!flags(2L))
+  }
+
   test("dq_expectations table function matches TrafOps.expectations from SQL") {
     graft.GraftExtensions.register(spark)
     Seq((1L, "ok"), (2L, ""), (-3L, "x"), (4L, null))
