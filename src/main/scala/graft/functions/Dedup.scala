@@ -369,8 +369,16 @@ object Dedup {
     * local checkpoint each round so plans stay flat at any scale.
     */
   def clusterAssign(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Both edge directions come from ONE evaluation of the (typically
+    // expensive) pair plan: a union of two selects over `pairs` would
+    // re-run the candidate join per branch inside the checkpoint job —
+    // measured as the bulk of this operator's cost when fed the jaccard
+    // inverted index. The explode fans each pair into its two directed
+    // rows in the same pass.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .localCheckpoint(true)
     // Near-dup graphs are SPARSE: most documents are singletons whose
     // label can never change. Propagate only over nodes that have at
