@@ -204,6 +204,55 @@ object TextAnalytics {
           .as("overlap_frac"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): slide a w-window over the document's n-gram hashes and
+    * keep each window's MINIMUM (rightmost on ties); any two documents
+    * sharing a run of ≥ w+n−1 words are guaranteed to share a
+    * fingerprint, while only ~2/(w+1) of grams are kept — the classic
+    * bounded-density substring-matching index for plagiarism /
+    * contamination detection at corpus scale.
+    *
+    * Selection is ONE integer window-min: the 40-bit md5 gram hash and
+    * the 20-bit bit-inverted gram position pack into a single BIGINT
+    * (`h·2²⁰ + (2²⁰−1−pos)` ≤ 2⁶⁰, comfortably inside a signed long),
+    * so `min` picks the smallest hash and breaks ties toward the larger
+    * position — exact integer arithmetic, portable to any engine's
+    * window min. 40-bit hashes keep cross-doc fingerprint joins safe to
+    * ~10⁶ distinct grams per corpus (birthday bound — widen the slice
+    * for bigger vocabularies); positions cap at 2²⁰−1 grams per doc.
+    *
+    * Plan shape: per-document windows only — partition by doc_id, no
+    * cross-document shuffle beyond the doc_id exchange; heads dedupe
+    * with one per-doc distinct. Documents shorter than w grams winnow
+    * their single partial window (the global min), matching MOSS.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val grams =
+      s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', ${
+        (0 until n).map(j => s"__t[i + $j]").mkString(", ")}))"
+    val g = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"), posexplode(expr(grams)).as(Seq("pos", "gram")))
+    val key = conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") * lit(1048576L) +
+      (lit(1048575L) - col("pos"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val nGrams = Window.partitionBy(col("doc_id"))
+    g.select(col("doc_id"), col("pos"),
+        min(key).over(win).as("__wmin"),
+        count(lit(1)).over(nGrams).as("__g"))
+      .filter(col("pos") <= greatest(lit(0), col("__g") - w))
+      // integer decode: `div`, never `/` (double division drops low bits
+      // beyond 2^53 — the packed keys reach 2^60)
+      .select(col("doc_id"),
+        (lit(1048575L) - (col("__wmin") % 1048576L)).as("fp_pos"),
+        expr("__wmin div 1048576").as("fp_hash"))
+      .distinct()
+  }
+
   /** Gopher/C4-style per-document rule flags: word-count bounds, mean
     * word length bounds, alphabetic-word ratio, stopword presence, and
     * the conjunction as `keep`. One narrow projection over the scan —

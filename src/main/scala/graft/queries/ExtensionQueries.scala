@@ -595,6 +595,34 @@ object ExtensionQueries {
       Some("SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fp FROM documents"),
     ),
 
+    // Winnowing fingerprints (the MOSS substring-matching index): each
+    // w=4 window of trigram hashes keeps its minimum, rightmost on ties
+    // — selection is one integer window-min over (40-bit hash, inverted
+    // pos) packed keys, so the whole chain is exact integer arithmetic
+    // the oracle replays verbatim.
+    QueryDef(
+      "text_winnow_fingerprints",
+      (s, dir) => TextAnalytics.winnowFingerprints(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g0 AS (SELECT doc_id, unnest(
+             |    [{'pos': i - 1, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}
+             |     for i in range(1, len(t) - 1)]) AS u
+             |  FROM toks WHERE len(t) >= 3),
+             |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+             |k AS (SELECT doc_id, pos,
+             |    ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + (1048575 - pos) AS key
+             |  FROM g),
+             |wm AS (SELECT doc_id, pos,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             |    count(*) OVER (PARTITION BY doc_id) AS gcount
+             |  FROM k)
+             |SELECT DISTINCT doc_id,
+             |  1048575 - (wmin % 1048576) AS fp_pos,
+             |  wmin // 1048576 AS fp_hash
+             |FROM wm WHERE pos <= greatest(0, gcount - 4)""".stripMargin),
+    ),
+
     // Exact brute-force cosine top-10 around vec_id 0 (decimal-exact dot
     // products make the scores engine-portable bit-for-bit).
     QueryDef(

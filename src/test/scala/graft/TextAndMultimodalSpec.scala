@@ -60,6 +60,32 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(2L) == "unknown")
   }
 
+  test("winnowFingerprints: shared-run guarantee, density bound, tie-to-rightmost") {
+    // doc 1 and 2 share a 10-word run ≥ w+n-1 = 6 words → must share ≥1
+    // fingerprint at the aligned positions; doc 3 is disjoint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten eleven"),
+      (3L, "completely different words with no overlap at all whatsoever"),
+    ).toDF("doc_id", "text")
+    val fps = TextAnalytics.winnowFingerprints(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "documents sharing a >= w+n-1 word run must share a fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // winnowing density: selected fingerprints are far fewer than grams
+    // (expected ~2/(w+1) of windows), and every doc yields at least one
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    assert(fps.count(_._1 == 1L) <= 10 - 3 + 1)
+    // a doc shorter than w grams still winnows its single partial window
+    val short = TextAnalytics.winnowFingerprints(
+      Seq((9L, "just four tiny words")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+    assert(short.length == 1 && short.head._1 == 9L)
+  }
+
   test("surprisalBits: hand-computed bit quantization, rare tokens score higher") {
     // corpus tokens: a a b a c → N=5 (3 bits); tf(a)=3 (2 bits),
     // tf(b)=tf(c)=1 (1 bit) → surprisal(a)=1, surprisal(b|c)=2
