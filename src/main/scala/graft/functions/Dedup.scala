@@ -276,15 +276,60 @@ object Dedup {
     * batch is indexed once and equi-joined against it.
     */
   def bandedIndexMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    bandedFromSignatures(minhashSignaturesMd5(docs, k, n), k, bands)
+
+  /** Band a precomputed `(doc_id, mh_0..mh_{k-1})` signature table —
+    * shared by the from-scratch index builders and operators that need
+    * the signatures AND the banding without computing signatures twice.
+    */
+  def bandedFromSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = minhashSignaturesMd5(docs, k, n)
     val bandHashes = (0 until bands).map(b =>
       md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)))
     sig.select(
       col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Sketch-estimated Jaccard for the banded candidate pairs, next to
+    * the exact value: `est_jaccard` is the fraction of equal signature
+    * slots (an unbiased estimator of Jaccard — the property that makes
+    * MinHash work), `jaccard` the exact set ratio. At scale the
+    * estimator REPLACES the exact join — scoring a candidate pair costs
+    * k slot comparisons on two already-materialized signature rows
+    * instead of re-intersecting gram sets — and this operator is the
+    * calibration query that shows the two against each other. The
+    * signature table is computed once and feeds both the banding and
+    * the slot comparison.
+    */
+  def minhashEstimatedJaccard(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    val sig = minhashSignaturesMd5(docs, k, n).localCheckpoint(true)
+    val banded = bandedFromSignatures(sig, k, bands)
+    val cands = banded.toDF("doc_a", "band_idx", "band_hash")
+      .join(banded.toDF("doc_b", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val eq = (0 until k).map(i =>
+      when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0)).reduce(_ + _)
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    // exact jaccard: threshold 0 keeps every shared-shingle pair; a
+    // banded collision with NO shared shingle has true jaccard 0
+    val exact = jaccardPairs(docs, n, threshold = 0.0)
+    cands
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (eq.cast("double") / k).as("est_jaccard"))
+      .join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
 
   /** LSH banding over the portable md5 signatures — same banded

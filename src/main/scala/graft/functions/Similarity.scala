@@ -291,6 +291,39 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cosine"))
   }
 
+  /** Recall@k of the batched ANN against the exact ranking, per query —
+    * measurement as a first-class query (the number an index tuner
+    * actually watches). The exact side broadcasts the small query set
+    * against one corpus scan with a per-query WindowGroupLimit top-k —
+    * never a corpus×corpus product — so the calibration itself scales;
+    * the ANN side is [[annTopKBatch]] unchanged. Output
+    * `(qid, n_exact, n_hit, recall)`.
+    */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+      dim: Int = 64, nPlanes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val ann = annTopKBatch(embeddings, queries, dim, k, nPlanes)
+      .select(col("qid"), col("vec_id"))
+    val rn = row_number().over(Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), asc("vec_id")))
+    val exact = embeddings
+      .crossJoin(broadcast(queries.select(col("qid"), col("embedding").as("__q"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(ann, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH buckets generate the
     * candidates (equi-join — only same-bucket vectors ever meet), exact
     * decimal cosine keeps pairs at/above the threshold. The bucket join

@@ -262,14 +262,13 @@ object TextAnalytics {
     */
   def ruleFlags(docs: DataFrame, textCol: String = "text",
       minWords: Int = 30, maxWords: Int = 100000): DataFrame = {
-    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
     val words = tokens(col(textCol))
     val nWords = size(words)
     val sumLen = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
     val meanLen = sumLen.cast("double") / nWords.cast("double")
     val alphaRatio = size(filter(words, w => w.rlike("^[a-z]+$"))).cast("double") /
       nWords.cast("double")
-    val nStop = size(array_intersect(words, array(stop.map(lit): _*)))
+    val nStop = size(array_intersect(words, array(stopWords.map(lit): _*)))
     docs.select(
       col("doc_id"),
       nWords.cast("bigint").as("n_words"),
@@ -283,5 +282,23 @@ object TextAnalytics {
       .withColumn("keep",
         col("word_count_ok") && col("mean_word_len_ok") &&
           col("alpha_ratio_ok") && col("stopword_ok"))
+  }
+
+  private val stopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** [[ruleFlags]]'s `keep` conjunction as one stateless Column — the
+    * form a streaming filter applies directly (no self-join, no state).
+    * Identical semantics to the flagged variant by construction.
+    */
+  def ruleKeep(text: Column, minWords: Int = 30, maxWords: Int = 100000): Column = {
+    val words = tokens(text)
+    val nWords = size(words)
+    val sumLen = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val alphaRatio = size(filter(words, w => w.rlike("^[a-z]+$"))).cast("double") /
+      nWords.cast("double")
+    val nStop = size(array_intersect(words, array(stopWords.map(lit): _*)))
+    nWords >= minWords && nWords <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 && alphaRatio >= 0.8 && nStop >= 2
   }
 }

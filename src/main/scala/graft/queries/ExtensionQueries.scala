@@ -253,6 +253,50 @@ object ExtensionQueries {
       },
     ),
 
+    // Sketch-estimated vs exact Jaccard for the banded candidates — the
+    // calibration query for replacing the exact gram-set intersection
+    // with k slot comparisons at scale. Fully oracle-mirrored: md5
+    // signatures, banding, slot-agreement fraction, and the exact set
+    // ratio are all engine-portable arithmetic.
+    QueryDef(
+      "dedup_minhash_est_jaccard",
+      (s, dir) => Dedup.minhashEstimatedJaccard(Tables.documents(s, dir)),
+      Some {
+        val k = 16
+        val bands = 4
+        val r = k / bands
+        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
+          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
+          .mkString(", ")
+        val bandRows = (0 until bands).map { b =>
+          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+        }.mkString("\nUNION ALL\n")
+        val eqSum = (0 until k).map(i =>
+          s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $shingleSqlCte,
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+           |banded AS ($bandRows),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |est AS (SELECT c.doc_a, c.doc_b,
+           |    CAST($eqSum AS DOUBLE) / $k AS est_jaccard
+           |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+           |  JOIN sig sb ON sb.doc_id = c.doc_b),
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jac AS (SELECT doc_a, doc_b,
+           |    CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) AS jaccard
+           |  FROM p0 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+           |SELECT e.doc_a, e.doc_b, e.est_jaccard, COALESCE(j.jaccard, 0.0) AS jaccard
+           |FROM est e LEFT JOIN jac j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b""".stripMargin
+      },
+    ),
+
     // Incremental exact dedup — new batch (odd ids) anti-joined against
     // the history's digest table (even ids): the daily-ingest shape
     // where no batch rereads the corpus.
@@ -792,6 +836,52 @@ object ExtensionQueries {
               |    row_number() OVER (PARTITION BY qid
               |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
               |  FROM d) WHERE rn <= 10""".stripMargin),
+    ),
+
+    // Recall@10 of the batched ANN vs the exact ranking per query —
+    // the index-tuning measurement as an oracle-checked query (both
+    // chains are engine-portable: decimal cosines, integer counts, one
+    // final division).
+    QueryDef(
+      "embed_ann_recall",
+      (s, dir) => Similarity.annRecall(Tables.embeddings(s, dir)),
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql(64, 6)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b
+              |  WHERE vec_id < 8),
+              |cand AS (SELECT q.qid, b.vec_id, b.embedding, q.qe
+              |  FROM b JOIN q ON b.bucket = q.qb WHERE b.vec_id <> q.qid),
+              |pr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM cand),
+              |d AS (SELECT qid, vec_id,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+              |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+              |  FROM pr GROUP BY 1, 2),
+              |ann AS (SELECT qid, vec_id FROM (
+              |  SELECT qid, vec_id,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+              |  FROM d) WHERE rn <= 10),
+              |eall AS (SELECT q.qid, e.vec_id, e.embedding, q.qe
+              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+              |epr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM eall),
+              |ed AS (SELECT qid, vec_id,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+              |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+              |  FROM epr GROUP BY 1, 2),
+              |exact AS (SELECT qid, vec_id FROM (
+              |  SELECT qid, vec_id,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+              |  FROM ed) WHERE rn <= 10),
+              |hit AS (SELECT e.qid, count(*) AS n_hit
+              |  FROM exact e JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+              |  GROUP BY 1),
+              |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1)
+              |SELECT ne.qid, ne.n_exact, COALESCE(hit.n_hit, 0) AS n_hit,
+              |  CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
+              |FROM ne LEFT JOIN hit ON hit.qid = ne.qid""".stripMargin),
     ),
 
     // Multi-probe ANN (query bucket + all Hamming-1 buckets): bucket

@@ -77,6 +77,26 @@ object StreamingIngest {
   def dedupedStreamBounded(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark("event_id")
 
+  /** The curation pipeline as an always-on stream: a document stream
+    * `(doc_id, ts, text)` is quality-filtered (the same Gopher/C4
+    * [[graft.functions.TextAnalytics.ruleFlags]] conjunction — a
+    * stateless projection, so it costs nothing extra on a stream) and
+    * then content-deduplicated on the md5 digest within the watermark
+    * horizon. Dedup state is keyed on the 32-hex digest and evicted as
+    * the watermark passes — O(documents in the horizon), never O(corpus)
+    * — which is what makes streaming exact-dedup viable on an unbounded
+    * ingest feed; the batch [[graft.functions.Dedup.incrementalExact]]
+    * against a persisted digest table remains the cross-horizon
+    * backstop. Spec-checked equal to the batch filter+dedup composition
+    * on the same documents (first-seen-wins within the horizon).
+    */
+  def curatedDocStream(docs: DataFrame, horizon: String = "1 day"): DataFrame =
+    docs
+      .filter(graft.functions.TextAnalytics.ruleKeep(col("text")))
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Wire the hourly update stream into a keyed JDBC target: each
     * micro-batch merges through the batched `MERGE INTO` sink
     * ([[graft.sources.JdbcUpsertSink]]) — the streaming form of the

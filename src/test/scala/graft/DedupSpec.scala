@@ -87,6 +87,18 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashEstimatedJaccard: exact dup estimates 1.0, estimator tracks exact") {
+    val out = Dedup.minhashEstimatedJaccard(docs)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (est14, jac14) = out((1L, 4L))
+    assert(est14 == 1.0 && jac14 == 1.0) // identical docs: all slots agree
+    // near-dup pair (jaccard ~0.8): estimator within 0.35 of exact at k=16
+    out.get((1L, 2L)).foreach { case (est, jac) =>
+      assert(math.abs(est - jac) <= 0.35, s"est $est vs exact $jac")
+    }
+  }
+
   test("native md5 signature == declarative chain, row for row") {
     val native = Dedup.minhashSignaturesMd5(docs).orderBy("doc_id").collect().toSeq
     val decl = Dedup.minhashSignaturesMd5Declarative(docs).orderBy("doc_id").collect().toSeq

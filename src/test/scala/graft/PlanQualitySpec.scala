@@ -35,10 +35,20 @@ class PlanQualitySpec extends SparkSpec {
     "q15ish_top_supplier",
     // 1-row corpus-count broadcast feeding the idf term
     "text_tfidf_top_terms",
+    // 1-row corpus-token-total broadcast feeding the surprisal term
+    "text_surprisal_bits",
     // 1-row mixture-cap broadcast onto the tiny per-domain counts
     "curation_domain_mix",
     // 1-row codebook + 1-row query broadcasts of the PQ scorer
     "embed_pq_topk",
+    // nQueries-row (constant, 8) query-set broadcast of the exact side
+    // of the recall calibration — the ANN side stays an equi join
+    "embed_ann_recall",
+    // 1-row packed-centroid broadcast of the cell assignment (the
+    // ivfTopK shape); the pairwise stage is a cell-keyed equi join
+    "dedup_semantic",
+    // 1-row bloom-blob broadcasts probed by each batch row
+    "dedup_bloom_prefilter",
   )
 
   test("no CartesianProduct anywhere in the registry") {

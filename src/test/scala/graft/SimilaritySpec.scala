@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
   }
 
+  test("annRecall: bounded in [0,1], exact side counts all partners, twins always hit") {
+    val out = Similarity.annRecall(embs, nQueries = 5, k = 10, dim = 4, nPlanes = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    out.values.foreach { case (nExact, nHit, recall) =>
+      assert(nExact == 4L) // k=10 > 4 available partners
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(recall == nHit.toDouble / nExact)
+    }
+    // vec 4 is identical to vec 0: same bucket, cosine 1 tops the exact
+    // list -> the ANN must find it
+    assert(out(0L)._2 >= 1L)
+  }
+
   test("semanticDedup keeps the smallest id per ε-ball, drops its twins") {
     // seeded centroids are vec_ids 0 and 1 → cells {0,4} (exact twins)
     // and {1,2,3,5}; in cell 1 the only ε-pair at 0.99 is (2,5) with

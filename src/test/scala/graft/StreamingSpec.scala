@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{Event, StreamingIngest}
 
+/** A raw document on the streaming curation path (test fixture). */
+final case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** Structured-Streaming specs: the hourly ingest stream (I2/I4), the
   * dedup stream (I3), and arbitrary state (mapGroupsWithState).
   */
@@ -102,6 +105,40 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("ddwb_sink").count() == 2)
     } finally q.stop()
+  }
+
+  test("curatedDocStream: quality filter + content dedup, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // ≥30 lowercase words incl. stopwords → passes ruleKeep; "bad" fails
+    val good = ("the data pipeline is built of many small parts and " +
+      "each part is tested in full so the whole keeps working as it grows " +
+      "over time with more load and the tests stay green").trim
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val source = MemoryStream[StreamDoc]
+    val q = StreamingIngest.curatedDocStream(source.toDS().toDF())
+      .writeStream.format("memory").queryName("cur_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(
+        StreamDoc(1L, ts("2024-01-01 10:00:00"), good),
+        StreamDoc(2L, ts("2024-01-01 10:01:00"), "too short"),
+        StreamDoc(3L, ts("2024-01-01 10:02:00"), good)) // exact dup of 1
+      q.processAllAvailable()
+      source.addData(StreamDoc(4L, ts("2024-01-01 11:00:00"), good)) // replay in horizon
+      q.processAllAvailable()
+      val ids = spark.table("cur_sink").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L), s"first-seen survivor only, got $ids")
+    } finally q.stop()
+    // the stream's keep expression is the batch ruleFlags conjunction
+    val docs = Seq((1L, good), (2L, "too short")).toDF("doc_id", "text")
+    val viaFlags = graft.functions.TextAnalytics.ruleFlags(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val viaKeep = docs.select($"doc_id",
+      graft.functions.TextAnalytics.ruleKeep($"text").as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaFlags == viaKeep)
   }
 
   test("sessionStream matches batch sessionize on the same events (30-min gap)") {
