@@ -320,9 +320,30 @@ object Dedup {
       (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
     val sigB = sig.select(col("doc_id").as("doc_b") +:
       (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
-    // exact jaccard: threshold 0 keeps every shared-shingle pair; a
-    // banded collision with NO shared shingle has true jaccard 0
-    val exact = jaccardPairs(docs, n, threshold = 0.0)
+    // Exact jaccard computed ONLY for the candidate pairs: each pair's
+    // intersection comes from joining its two documents' shingle sets
+    // through the candidate list — O(candidates × set size) work,
+    // instead of the full inverted-index self-join (O(Σ df²)) whose
+    // output this exactly equals on the candidate set. A banded
+    // collision with NO shared shingle gets no intersection row and
+    // coalesces to jaccard 0.
+    val sh = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        expressions.TextExpressions.ngramDistinctHashes(col("text"), n)).as("sh"))
+      .localCheckpoint(true)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val exact = common
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
     cands
       .join(sigA, "doc_a").join(sigB, "doc_b")
       .select(col("doc_a"), col("doc_b"),

@@ -308,10 +308,15 @@ object Similarity {
       .select(col("qid"), col("vec_id"))
     val rn = row_number().over(Window.partitionBy(col("qid"))
       .orderBy(desc("cosine"), asc("vec_id")))
+    // the exact ranking uses the sequential-fold DOUBLE cosine: only the
+    // ranked IDs feed the recall, and the fold order is bit-portable
+    // (the pq precedent), so the oracle reproduces the same top-k at a
+    // tenth of the decimal fold's cost
     val exact = embeddings
       .crossJoin(broadcast(queries.select(col("qid"), col("embedding").as("__q"))))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .select(col("qid"), col("vec_id"),
+        cosineDouble(col("embedding"), col("__q")).as("cosine"))
       .withColumn("rn", rn)
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"))

@@ -185,14 +185,15 @@ object TextAnalytics {
     * more keyed agg — both map-side combinable, nothing quadratic.
     */
   def spanOverlapFrac(docs: DataFrame, n: Int = 5, textCol: String = "text"): DataFrame = {
-    // distinct spans come from the native one-pass set (no interpreted
-    // lambda, no multiset explode); the (doc_id, h) dropDuplicates stays
-    // for exact parity with the hash-keyed original — two distinct spans
-    // colliding in the 60-bit hash must still count once per doc
-    val sh = graft.functions.Dedup.distinctShingles(docs, n, textCol)
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-      .dropDuplicates("doc_id", "h")
+    // the distinct 60-bit md5-prefix span hashes come from ONE native
+    // pass (dedup keyed on the hash itself, so a 60-bit collision counts
+    // once per doc exactly like the dropDuplicates(doc_id, h) of the
+    // declarative chain the oracle mirrors) — no per-span string
+    // materialization, no md5/conv projection, no dedup aggregate
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        graft.functions.expressions.TextExpressions
+          .ngramDistinctMd5Hashes(col(textCol), n)).as("h"))
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("__df"))
     sh.join(df, "h")
       .groupBy(col("doc_id"))

@@ -500,6 +500,102 @@ object MinhashSignature {
   }
 }
 
+/** The DISTINCT word n-gram set of a text as engine-portable 60-bit
+  * md5-prefix hashes (`conv(substr(md5(gram), 1, 15), 16, 10)`), one
+  * pass — deduped BY HASH, first-occurrence order, exactly the
+  * declarative `distinctShingles → md5 → conv → dropDuplicates(doc, h)`
+  * chain it replaces (two distinct grams colliding in the 60-bit prefix
+  * count once in both forms). The gram-boundary arithmetic is
+  * [[NgramDistinctCount.compute]]'s.
+  */
+case class NgramDistinctMd5Hashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_distinct_md5_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramDistinctMd5Hashes.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (text, n) =>
+      s"graft.functions.expressions.NgramDistinctMd5Hashes.compute($text, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramDistinctMd5Hashes {
+  private val emptyResult = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < n) return emptyResult
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // sentinel: gram end = next start - 1
+    val nGrams = nTokens - n + 1
+    var cap = Integer.highestOneBit(math.max(4, nGrams * 2) - 1) << 1
+    if (cap < 4) cap = 4
+    val slotHash = new Array[Long](cap)
+    val slotUsed = new Array[Boolean](cap)
+    val out = new Array[Long](nGrams)
+    val md = mdLocal.get()
+    var m = 0
+    var g = 0
+    while (g < nGrams) {
+      val s = starts(g)
+      val e = starts(g + n) - 1 // exclusive end of the n-token window
+      md.reset()
+      md.update(bytes, s, e - s)
+      val d = md.digest()
+      // first 15 hex chars == bytes 0..6 plus the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      var slot = (h ^ (h >>> 32)).toInt & (cap - 1)
+      var inserted = false
+      while (!inserted) {
+        if (!slotUsed(slot)) {
+          slotUsed(slot) = true; slotHash(slot) = h
+          out(m) = h; m += 1
+          inserted = true
+        } else if (slotHash(slot) == h) {
+          inserted = true // already present (by-hash semantics)
+        } else {
+          slot = (slot + 1) & (cap - 1)
+        }
+      }
+      g += 1
+    }
+    if (m == nGrams) UnsafeArrayData.fromPrimitiveArray(out)
+    else UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+}
+
 /** The engine-portable md5 MinHash signature of a text in one pass —
   * element `i*4+j` is bit-identical to
   * `min(substring(md5(concat_ws("|", lit(i.toString), shingle)), j*8+1, 8))`
@@ -795,6 +891,12 @@ object TextExpressions {
   /** Column wrapper: distinct n-gram `xxhash64` values, one pass. */
   def ngramDistinctHashes(text: Column, n: Int): Column =
     GraftSqlBridge.toColumn(NgramDistinctHashes(
+      GraftSqlBridge.toExpression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column wrapper: distinct n-gram 60-bit md5-prefix hashes, one pass. */
+  def ngramDistinctMd5Hashes(text: Column, n: Int): Column =
+    GraftSqlBridge.toColumn(NgramDistinctMd5Hashes(
       GraftSqlBridge.toExpression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
 

@@ -50,6 +50,15 @@ object ExtensionQueries {
       s"(CASE WHEN ${planeDotSql(p, dim)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** Sequential double dot product — the SQL mirror of
+    * [[Similarity.dotDouble]]'s left-to-right fold (list_reduce with no
+    * seed starts at the first element; 0.0 + x == x exactly, so the two
+    * folds are bit-identical — the pq/ivf portability precedent).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+
   /** Exact-decimal cosine of every candidate row against a single query
     * embedding column `qe` — the SQL mirror of [[Similarity.cosine]]
     * (per-element double products cast to DECIMAL(28,12) before the
@@ -862,19 +871,14 @@ object ExtensionQueries {
               |    row_number() OVER (PARTITION BY qid
               |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
               |  FROM d) WHERE rn <= 10),
-              |eall AS (SELECT q.qid, e.vec_id, e.embedding, q.qe
-              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
-              |epr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM eall),
-              |ed AS (SELECT qid, vec_id,
-              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
-              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
-              |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
-              |  FROM epr GROUP BY 1, 2),
               |exact AS (SELECT qid, vec_id FROM (
-              |  SELECT qid, vec_id,
-              |    row_number() OVER (PARTITION BY qid
-              |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
-              |  FROM ed) WHERE rn <= 10),
+              |  SELECT q.qid, e.vec_id,
+              |    row_number() OVER (PARTITION BY q.qid ORDER BY
+              |      ${duckDot("e.embedding", "q.qe")} /
+              |        (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+              |         sqrt(${duckDot("q.qe", "q.qe")})) DESC, e.vec_id) AS rn
+              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+              |  WHERE rn <= 10),
               |hit AS (SELECT e.qid, count(*) AS n_hit
               |  FROM exact e JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
               |  GROUP BY 1),

@@ -189,6 +189,36 @@ class NgramPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  // spec for the md5-prefix hash-array sibling: 60-bit integer value of
+  // the first 15 hex chars of md5(gram), deduped BY HASH,
+  // first-occurrence order — the declarative distinct→md5→conv→
+  // dropDuplicates chain
+  private def referenceMd5Hashes(text: String, n: Int): Seq[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) Seq.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.sliding(n).map { g =>
+        md.reset()
+        val hex = md.digest(g.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }.toSeq.distinct
+    }
+  }
+
+  test("md5-prefix hash array == per-gram 60-bit md5 distinct spec") {
+    import graft.functions.expressions.NgramDistinctMd5Hashes
+    check(Prop.forAll(rawText, Gen.chooseNum(1, 4)) { (text, n) =>
+      NgramDistinctMd5Hashes.compute(UTF8String.fromString(text), n)
+        .toLongArray.toSeq == referenceMd5Hashes(text, n)
+    })
+    check(Prop.forAll(joinedText, Gen.chooseNum(1, 4)) { (text, n) =>
+      NgramDistinctMd5Hashes.compute(UTF8String.fromString(text), n)
+        .toLongArray.toSeq == referenceMd5Hashes(text, n)
+    })
+  }
+
   test("md5 minhash signature: unicode grams and single-token texts") {
     assert(computedMd5Signature("日本語 héllo ß a b", 3, 8) ==
       referenceMd5Signature("日本語 héllo ß a b", 3, 8))
