@@ -119,6 +119,31 @@ object TextAnalytics {
         col("score"))
   }
 
+  /** The BPE-trainer inner loop as a corpus query: frequencies of
+    * ADJACENT pre-token pairs (the statistic a byte-pair tokenizer
+    * maximizes to pick its next merge), top-k with deterministic
+    * tie-break. Pairs are built positionally inside the token array
+    * (one `transform(sequence)` projection — no self-join, no window),
+    * then one vocabulary-keyed count; the candidate merge at rank 1 is
+    * what a training iteration would apply. Map-side combinable, the
+    * tf-idf scale shape.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20, textCol: String = "text"): DataFrame = {
+    val toks = bpeishTokens(col(textCol))
+    val pairs = expr(
+      "transform(sequence(1, size(__t) - 1), i -> struct(__t[i - 1] AS a, __t[i] AS b))")
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("left_tok"), col("__p.b").as("right_tok"))
+      .groupBy(col("left_tok"), col("right_tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("left_tok"), asc("right_tok"))
+      .limit(k)
+  }
+
   /** Unigram-LM surprisal per document, quantized to integer bits — the
     * perplexity-proxy quality score of a CCNet-style filter, built from
     * the corpus's own unigram statistics. A token occurring tf times in

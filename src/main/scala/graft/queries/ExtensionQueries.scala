@@ -923,6 +923,22 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // The BPE-trainer inner loop: top-20 adjacent pre-token pairs by
+    // frequency (deterministic tie-break) — the statistic a byte-pair
+    // tokenizer maximizes per merge iteration.
+    QueryDef(
+      "text_bpe_top_pairs",
+      (s, dir) => TextAnalytics.bpePairCounts(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]') AS w
+             |  FROM documents),
+             |p AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS u
+             |  FROM t WHERE len(w) >= 2)
+             |SELECT u.a AS left_tok, u.b AS right_tok, count(*) AS n
+             |FROM p GROUP BY 1, 2
+             |ORDER BY n DESC, left_tok, right_tok LIMIT 20""".stripMargin),
+    ),
+
     // Multimodal decode plumbing (stub codec, real Dataset pipeline).
     QueryDef(
       "multimodal_decode_stub",

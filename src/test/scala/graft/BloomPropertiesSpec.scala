@@ -1,0 +1,45 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.{BloomBitsTestAccess, BloomMightContain}
+
+/** ScalaCheck laws for the Bloom bit machinery, pure JVM (no Spark
+  * jobs): inserted elements ALWAYS probe true (through the serialized
+  * blob — the exact path the broadcast probe takes), merge is a
+  * superset union, and an empty filter probes false for everything.
+  */
+class BloomPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val words = Gen.oneOf(1, 2, 8, 64) // 64..4096 bits
+  private val hashes = Gen.chooseNum(1, 8)
+  private val elems = Gen.listOf(Gen.long)
+
+  test("no false negatives: every inserted hash probes true via the blob") {
+    check(Prop.forAll(elems, words, hashes) { (es, w, k) =>
+      val blob = BloomBitsTestAccess.blobOf(es, w * 64, k)
+      es.forall(h => BloomMightContain.probe(blob, h))
+    })
+  }
+
+  test("merge is union: elements of either side probe true after OR-merge") {
+    check(Prop.forAll(elems, elems, words, hashes) { (as, bs, w, k) =>
+      val blob = BloomBitsTestAccess.mergedBlobOf(as, bs, w * 64, k)
+      (as ++ bs).forall(h => BloomMightContain.probe(blob, h))
+    })
+  }
+
+  test("empty filter contains nothing") {
+    check(Prop.forAll(elems, words, hashes) { (es, w, k) =>
+      val blob = BloomBitsTestAccess.blobOf(Nil, w * 64, k)
+      es.forall(h => !BloomMightContain.probe(blob, h))
+    })
+  }
+}

@@ -1,0 +1,26 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+
+/** Test-only access to the package-private Bloom bit machinery, built
+  * through the REAL aggregate paths (createAggregationBuffer / set /
+  * merge / eval) so the blob layout under test is the production one.
+  */
+object BloomBitsTestAccess {
+  private def agg(numBits: Int, k: Int) = BloomFilterAgg(Literal(0L), numBits, k)
+
+  private def build(es: Seq[Long], numBits: Int, k: Int): Array[Long] = {
+    val buf = agg(numBits, k).createAggregationBuffer()
+    es.foreach(h => BloomBits.set(buf, h, k))
+    buf
+  }
+
+  def blobOf(es: Seq[Long], numBits: Int, k: Int): Array[Byte] =
+    agg(numBits, k).eval(build(es, numBits, k)).asInstanceOf[Array[Byte]]
+
+  def mergedBlobOf(as: Seq[Long], bs: Seq[Long], numBits: Int, k: Int): Array[Byte] = {
+    val a = agg(numBits, k)
+    a.eval(a.merge(build(as, numBits, k), build(bs, numBits, k)))
+      .asInstanceOf[Array[Byte]]
+  }
+}
