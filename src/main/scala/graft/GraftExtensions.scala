@@ -217,6 +217,28 @@ object GraftExtensions {
       s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
   }
 
+  private val cmsInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.CmsAgg].getName, null, "cms_agg",
+    "cms_agg(hash, depth, width) - mergeable Count-Min sketch over BIGINT hashes", "")
+
+  private val cmsBuilder: Seq[Expression] => Expression = {
+    case Seq(h, Literal(d: Int, _), Literal(w: Int, _)) =>
+      graft.functions.expressions.CmsAgg(h, d, w)
+    case exprs => throw new IllegalArgumentException(
+      "cms_agg expects (hash, int literal depth, int literal width), " +
+        s"got ${exprs.length} args")
+  }
+
+  private val cmseInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.CmsEstimate].getName, null, "cms_estimate",
+    "cms_estimate(sketch, hash) - Count-Min frequency estimate (never under-counts)", "")
+
+  private val cmseBuilder: Seq[Expression] => Expression = {
+    case Seq(s, h) => graft.functions.expressions.CmsEstimate(s, h)
+    case exprs => throw new IllegalArgumentException(
+      s"cms_estimate expects 2 arguments, got ${exprs.length}")
+  }
+
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product_float", dotInfo, dotBuilder),
     ("cosine_float", cosInfo, cosBuilder),
@@ -231,6 +253,8 @@ object GraftExtensions {
     ("md5_minhash_signature", mh5Info, mh5Builder),
     ("bloom_filter_agg", bfaInfo, bfaBuilder),
     ("bloom_might_contain", bmcInfo, bmcBuilder),
+    ("cms_agg", cmsInfo, cmsBuilder),
+    ("cms_estimate", cmseInfo, cmseBuilder),
     ("hash_split", hashSplitInfo, hashSplitBuilder),
     ("hash_frac", hashFracInfo, hashFracBuilder),
   )

@@ -119,6 +119,31 @@ object TextAnalytics {
         col("score"))
   }
 
+  /** Heavy-hitter token counts through a Count-Min sketch, compared to
+    * exact: the CMS ([[graft.functions.expressions.CmsAgg]]) aggregates
+    * the whole corpus into one depth×width counter grid (fixed memory,
+    * mergeable — the frequency sketch for corpora where exact
+    * vocabulary counting no longer fits), then the exact top-k tokens
+    * probe it. `est ≥ n` is a theorem of the structure (counters only
+    * over-count); the estimate's tightness is spec-tested. Output
+    * `(token, n, est, est_ge_true)`.
+    */
+  def cmsTokenCounts(docs: DataFrame, k: Int = 20, depth: Int = 4,
+      width: Int = 2048, textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.CmsExpressions
+    val tok = docs.repartition(col("doc_id"))
+      .select(explode(tokens(col(textCol))).as("token"))
+    val sketch = tok.agg(
+      CmsExpressions.cmsAgg(xxhash64(col("token")), depth, width).as("__cms"))
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(k)
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("n"),
+        CmsExpressions.cmsEstimate(col("__cms"), xxhash64(col("token"))).as("est"))
+      .select(col("token"), col("n"), col("est"),
+        (col("est") >= col("n")).as("est_ge_true"))
+  }
+
   /** The BPE-trainer inner loop as a corpus query: frequencies of
     * ADJACENT pre-token pairs (the statistic a byte-pair tokenizer
     * maximizes to pick its next merge), top-k with deterministic

@@ -1,0 +1,161 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min row placement shared by build and probe: row d uses
+  * `xxhash64(value, seed d)` mod width. Deterministic, so a sketch
+  * built anywhere probes identically everywhere.
+  */
+private[expressions] object CmsBits {
+  def bucket(h: Long, d: Int, width: Int): Int = {
+    val hd = XXH64.hashLong(h, d.toLong)
+    val m = (hd % width).toInt
+    if (m < 0) m + width else m
+  }
+}
+
+/** Count-Min Sketch over a BIGINT hash column as ONE mergeable
+  * aggregate: a depth×width counter grid, each update incrementing one
+  * counter per row, merged by elementwise addition — the
+  * fixed-memory frequency sketch for heavy-hitter estimation on
+  * streams/corpora too large for exact counting. The result blob is
+  * self-describing `[depth:int][width:int][counters:long...]` so
+  * [[CmsEstimate]] always probes with the build parameters. Guarantees
+  * (for the probe): estimate ≥ true count ALWAYS (each counter only
+  * ever over-counts), and estimate ≤ true + εN with high probability
+  * at width = ⌈e/ε⌉ — the first is a theorem the registry oracle
+  * asserts per row.
+  */
+case class CmsAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth > 0 && depth <= 16, "depth must be in [1, 16]")
+  require(width > 0, "width must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "cms_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT hash argument, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var d = 0
+      while (d < depth) {
+        buf(d * width + CmsBits.bucket(h, d, width)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bb = java.nio.ByteBuffer.allocate(8 + buf.length * 8)
+    bb.putInt(depth)
+    bb.putInt(width)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsAgg =
+    copy(child = newChildren.head)
+}
+
+/** Probe a [[CmsAgg]] blob with a BIGINT hash: the minimum of the
+  * element's depth counters — the Count-Min estimate. Absolute-indexed
+  * reads touch only `depth` counters per probe.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary sketch, bigint hash), got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CmsEstimate.probe(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sketch, h) =>
+      s"graft.functions.expressions.CmsEstimate.probe($sketch, $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CmsEstimate {
+  def probe(blob: Array[Byte], h: Long): Long = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val depth = bb.getInt(0)
+    val width = bb.getInt(4)
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = bb.getLong(8 + (d * width + CmsBits.bucket(h, d, width)) * 8)
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+}
+
+object CmsExpressions {
+  /** Column wrapper: build a Count-Min sketch over a BIGINT hash column. */
+  def cmsAgg(hash: Column, depth: Int, width: Int): Column =
+    GraftSqlBridge.toColumn(CmsAgg(
+      GraftSqlBridge.toExpression(hash), depth, width).toAggregateExpression())
+
+  /** Column wrapper: Count-Min estimate for a BIGINT hash. */
+  def cmsEstimate(sketch: Column, hash: Column): Column =
+    GraftSqlBridge.toColumn(CmsEstimate(
+      GraftSqlBridge.toExpression(sketch), GraftSqlBridge.toExpression(hash)))
+}

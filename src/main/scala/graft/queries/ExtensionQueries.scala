@@ -628,6 +628,20 @@ object ExtensionQueries {
              |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin),
     ),
 
+    // Count-Min heavy hitters vs exact: the sketch estimate is
+    // xxhash-internal (projected away here); the oracle mirrors the
+    // exact top-20 and asserts the over-count theorem (est >= n, a
+    // property of the structure) per row. Estimate tightness is
+    // spec-tested in TextAndMultimodalSpec.
+    QueryDef(
+      "text_cms_token_counts",
+      (s, dir) => TextAnalytics.cmsTokenCounts(Tables.documents(s, dir))
+        .select(col("token"), col("n"), col("est_ge_true")),
+      Some("""SELECT token, count(*) AS n, TRUE AS est_ge_true FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin),
+    ),
+
     // Language-ID heuristic (marker-token overlap).
     QueryDef(
       "text_lang_id",

@@ -49,6 +49,8 @@ class PlanQualitySpec extends SparkSpec {
     "dedup_semantic",
     // 1-row bloom-blob broadcasts probed by each batch row
     "dedup_bloom_prefilter",
+    // 1-row CMS-blob broadcast probed by the top-k tokens
+    "text_cms_token_counts",
   )
 
   test("no CartesianProduct anywhere in the registry") {

@@ -60,6 +60,27 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(2L) == "unknown")
   }
 
+  test("cmsTokenCounts: estimates never under-count, tight at ample width") {
+    val docs = Seq(
+      (1L, "a a a a b b c d"),
+      (2L, "a b c e f g h i"),
+    ).toDF("doc_id", "text")
+    // ample width: collisions vanish and the estimate is EXACT
+    val wide = TextAnalytics.cmsTokenCounts(docs, k = 10, depth = 4, width = 4096)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(wide.nonEmpty)
+    wide.foreach { case (tok, n, est, ge) =>
+      assert(ge && est == n, s"$tok: est $est vs exact $n at width 4096")
+    }
+    assert(wide.find(_._1 == "a").map(_._2).contains(5L))
+    // saturated width: collisions inflate estimates but NEVER deflate
+    val tiny = TextAnalytics.cmsTokenCounts(docs, k = 10, depth = 2, width = 2)
+      .as[(String, Long, Long, Boolean)].collect()
+    tiny.foreach { case (tok, n, est, ge) =>
+      assert(ge && est >= n, s"$tok under-counted: $est < $n")
+    }
+  }
+
   test("winnowFingerprints: shared-run guarantee, density bound, tie-to-rightmost") {
     // doc 1 and 2 share a 10-word run ≥ w+n-1 = 6 words → must share ≥1
     // fingerprint at the aligned positions; doc 3 is disjoint
