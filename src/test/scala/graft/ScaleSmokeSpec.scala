@@ -146,6 +146,44 @@ class ScaleSmokeSpec extends SparkSpec {
       f"span overlap must scale near-linearly: $t1%.2fs -> $t10%.2fs")
   }
 
+  test("winnowing fingerprints scale near-linearly, per-doc selection copy-stable") {
+    val docs1 = synthDocs(1, s"$base/docs1w")
+    val docs10 = synthDocs(10, s"$base/docs10w")
+    import spark.implicits._
+    def run(d: DataFrame) =
+      graft.functions.TextAnalytics.winnowFingerprints(d)
+        .as[(Long, Long, Long)].collect()
+    run(docs1) // warm-up
+    val (r1, t1) = timed(run(docs1))
+    val (r10, t10) = timed(run(docs10))
+    info(f"winnow fps: 1x=${r1.length} in $t1%.2fs, 10x=${r10.length} in $t10%.2fs")
+    // winnowing is per-document deterministic, and copy 0 of the 10×
+    // corpus IS the 1× corpus — its fingerprint set must be identical
+    assert(r10.filter(_._1 < 1000000L).toSet == r1.toSet,
+      "copy-0 winnow selection must be bit-stable under corpus growth")
+    assert(r10.length >= r1.length)
+    assert(t10 <= 12 * t1 + 2.0,
+      f"winnowing must scale near-linearly: $t1%.2fs -> $t10%.2fs")
+  }
+
+  test("bloom prefilter keeps the no-false-negative theorem at 10×") {
+    val docs10 = synthDocs(10, s"$base/docs10b")
+    import spark.implicits._
+    val hist = docs10.filter(col("doc_id") % 2 === 0)
+    val batch = docs10.filter(col("doc_id") % 2 === 1)
+    val (flags, t) = timed(
+      Dedup.bloomPrefilter(batch, hist).as[(Long, Boolean)].collect().toMap)
+    // exact cross-split dups computed independently
+    val dups = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(hist.select(md5(col("text")).as("h")).distinct(), "h")
+      .select("doc_id").as[Long].collect()
+    info(f"bloom prefilter: ${flags.size} batch docs, ${dups.length} true dups in $t%.2fs")
+    assert(dups.forall(flags(_)), "a true dup must never probe negative")
+    // 2^20 bits over ~2.5k history hashes: false positives ~0 — the
+    // flagged set should stay a sliver of the batch
+    assert(flags.count(_._2) <= dups.length + flags.size / 10)
+  }
+
   test("no pathological shuffle skew in the capped jaccard join at 10×") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val docs10 = spark.read.parquet(s"$base/docs10")
