@@ -424,6 +424,31 @@ object Dedup {
       .select(col("new_doc"), col("old_doc"))
       .distinct()
 
+  /** Per-document content-defined chunking stats
+    * ([[expressions.CdcChunks]] — gear-hash CDC, the sub-document dedup
+    * unit): `(doc_id, n_chunks, chunks, len_ok, bounds_ok)` where
+    * `len_ok` asserts the chunks partition the byte string and
+    * `bounds_ok` the min/max length contract (last chunk exempt from
+    * the minimum). One projection — no shuffle; chunk-level dedup then
+    * joins on the chunk hash exactly like [[exactGroups]] does on the
+    * document hash.
+    */
+  def cdcChunkStats(docs: DataFrame, minLen: Int = 64, avgMaskBits: Int = 8,
+      maxLen: Int = 1024, textCol: String = "text"): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col(textCol).as("__text"),
+        expressions.CdcExpressions.cdcChunks(col(textCol), minLen, avgMaskBits, maxLen)
+          .as("chunks"))
+      .select(col("doc_id"), col("chunks"),
+        size(col("chunks")).as("n_chunks"),
+        (aggregate(col("chunks"), lit(0),
+          (acc, c) => acc + c.getField("len")) === octet_length(col("__text")))
+          .as("len_ok"),
+        (forall(col("chunks"), c => c.getField("len") <= maxLen) &&
+          forall(slice(col("chunks"), lit(1), greatest(size(col("chunks")) - 1, lit(0))),
+            c => c.getField("len") >= minLen)).as("bounds_ok"))
+
   /** Connected components over an undirected near-dup pair list: every
     * document gets the minimum doc_id of its component as `cluster` —
     * the step that turns pairwise candidates into dedup groups (keep

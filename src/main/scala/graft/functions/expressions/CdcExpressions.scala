@@ -1,0 +1,123 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking (the FastCDC/gear-hash family): split a
+  * document's UTF-8 bytes at positions where a rolling gear hash hits a
+  * mask, yielding chunks whose boundaries depend only on LOCAL content
+  * — an insertion or deletion reshapes the chunks around the edit and
+  * nothing else, which is what makes chunk-level dedup robust where
+  * fixed-size blocks are not (the rsync/LBFS/backup-dedup workhorse,
+  * here the sub-document dedup unit for large documents).
+  *
+  * Rolling state: `h = (h << 1) + gear(byte)` with a splitmix64-derived
+  * gear table; a boundary closes the chunk when `(h & mask) == 0` at
+  * length ≥ minLen, and maxLen force-splits pathological runs. Each
+  * chunk is emitted as `(len, md5hex)` over its byte slice — hashes, not
+  * substrings, so multi-byte code points never split into invalid
+  * strings. Theorems the registry oracle asserts: chunk lengths sum to
+  * the document's byte length (chunks PARTITION the text), every chunk
+  * is ≤ maxLen and (except the last) ≥ minLen, and identical texts
+  * chunk identically.
+  */
+case class CdcChunks(child: Expression, minLen: Int, avgMaskBits: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+  require(avgMaskBits >= 1 && avgMaskBits <= 30, "avgMaskBits in [1, 30]")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("len", IntegerType, nullable = false),
+      StructField("hash", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    CdcChunks.compute(a.asInstanceOf[UTF8String], minLen, avgMaskBits, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.expressions.CdcChunks.compute($text, $minLen, $avgMaskBits, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  private val emptyResult = new GenericArrayData(Array.empty[Any])
+
+  // deterministic gear table: splitmix64 of the byte value
+  private val gear: Array[Long] = Array.tabulate(256) { b =>
+    var z = b.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def compute(text: UTF8String, minLen: Int, avgMaskBits: Int, maxLen: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return emptyResult
+    val mask = (1L << avgMaskBits) - 1
+    val md = mdLocal.get()
+    val out = new java.util.ArrayList[Any](len / minLen + 1)
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = (h << 1) + gear(bytes(i) & 0xff)
+      val chunkLen = i - start + 1
+      val boundary =
+        (chunkLen >= minLen && (h & mask) == 0L) || chunkLen >= maxLen || i == len - 1
+      if (boundary) {
+        md.reset()
+        md.update(bytes, start, chunkLen)
+        val d = md.digest()
+        val cs = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          cs(j * 2) = hexDigits((d(j) >> 4) & 0xf)
+          cs(j * 2 + 1) = hexDigits(d(j) & 0xf)
+          j += 1
+        }
+        out.add(InternalRow(chunkLen, UTF8String.fromString(new String(cs))))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+object CdcExpressions {
+  /** Column wrapper: content-defined chunks as `(len, md5hex)` structs.
+    * Defaults: 64-byte min, ~256-byte average (8 mask bits), 1024 max.
+    */
+  def cdcChunks(text: Column, minLen: Int = 64, avgMaskBits: Int = 8,
+      maxLen: Int = 1024): Column =
+    GraftSqlBridge.toColumn(CdcChunks(
+      GraftSqlBridge.toExpression(text), minLen, avgMaskBits, maxLen))
+}

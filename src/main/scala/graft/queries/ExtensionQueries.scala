@@ -262,6 +262,37 @@ object ExtensionQueries {
       },
     ),
 
+    // Content-defined chunking (gear-hash CDC): boundaries are
+    // rolling-hash-internal (not SQL-reproducible), so the oracle
+    // asserts the structural theorems per document — chunks partition
+    // the byte string, respect the min/max contract, and identical
+    // texts chunk identically — plus the oracle-exact dup-partner
+    // count. Edit-locality (shared runs keep shared chunks) is
+    // spec-tested in DedupSpec.
+    QueryDef(
+      "dedup_cdc_chunks",
+      (s, dir) => {
+        val stats = Dedup.cdcChunkStats(Tables.documents(s, dir))
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("th"))
+        val sig = stats.select(col("doc_id"),
+          md5(concat_ws("|",
+            transform(col("chunks"), c => c.getField("hash")))).as("__csig"),
+          col("len_ok"), col("bounds_ok"))
+        val grp = docs.join(sig, "doc_id").groupBy(col("th")).agg(
+          countDistinct(col("__csig")).as("nsig"), count(lit(1)).as("ndup"))
+        docs.join(sig, "doc_id").join(grp, "th").select(
+          col("doc_id"), col("len_ok"), col("bounds_ok"),
+          (col("nsig") === 1).as("dup_consistent"),
+          (col("ndup") - 1).cast("long").as("n_exact_dup_partners"))
+      },
+      Some("""SELECT doc_id, TRUE AS len_ok, TRUE AS bounds_ok,
+             |       TRUE AS dup_consistent,
+             |       CAST(count(*) OVER (PARTITION BY md5(text)) - 1 AS BIGINT)
+             |         AS n_exact_dup_partners
+             |FROM documents""".stripMargin),
+    ),
+
     // Sketch-estimated vs exact Jaccard for the banded candidates — the
     // calibration query for replacing the exact gram-set intersection
     // with k slot comparisons at scale. Fully oracle-mirrored: md5

@@ -105,6 +105,29 @@ class DedupSpec extends SparkSpec {
     assert(native == decl)
   }
 
+  test("cdcChunkStats: chunks partition the text, edits stay local") {
+    import org.apache.spark.sql.functions.{explode, col => c}
+    val rng = new scala.util.Random(7)
+    def blob(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val p = blob(3000); val q = blob(500); val r = blob(3000)
+    val docs = Seq(
+      (1L, p + q + r),
+      (2L, p + blob(500) + r), // same prefix/suffix, different middle
+      (3L, blob(6500)),
+    ).toDF("doc_id", "text")
+    val stats = Dedup.cdcChunkStats(docs)
+    val flags = stats.select("doc_id", "len_ok", "bounds_ok")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(flags.forall(f => f._2 && f._3), s"partition/bounds broken: ${flags.toSeq}")
+    // edit locality: docs 1 and 2 share chunks from the unchanged
+    // prefix/suffix regions; doc 3 shares nothing
+    val hashes = stats.select(c("doc_id"), explode(c("chunks.hash")).as("h"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((hashes(1L) intersect hashes(2L)).nonEmpty,
+      "unchanged regions must keep identical chunks across an edit")
+    assert((hashes(1L) intersect hashes(3L)).isEmpty)
+  }
+
   test("bloomPrefilter: zero false negatives, near-zero false positives at size") {
     val hist = (1L to 400L).map(i => (i, s"history document number $i unique content"))
       .toDF("doc_id", "text")

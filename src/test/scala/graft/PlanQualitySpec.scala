@@ -63,6 +63,16 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $name")
   }
 
+  test("per-document text ops are join-free (winnowing, surprisal-free scans)") {
+    // winnowing is windows within doc_id only: any Join appearing here
+    // means the per-doc shape broke
+    assert(!plans("text_winnow_fingerprints").contains("Join"),
+      "winnowing must stay a per-document window op")
+    // the repetition scans are pure projections + one doc-keyed agg
+    for (name <- Seq("text_dup_ngram_frac", "text_quality_score", "text_rule_flags"))
+      assert(!plans(name).contains("Join"), s"$name must stay join-free")
+  }
+
   test("dimension joins broadcast (q3/q5/q19, semi, anti)") {
     for (name <- Seq("q3_revenue_topk", "q5_region_revenue", "q19_disjunctive_filter",
         "join_semi_customers", "customers_without_big_orders"))
