@@ -217,6 +217,17 @@ object GraftExtensions {
       s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
   }
 
+  private val cdcInfo = new ExpressionInfo(
+    classOf[graft.functions.expressions.CdcChunks].getName, null, "cdc_chunks",
+    "cdc_chunks(text) - content-defined (len, md5hex) chunks, gear-hash boundaries " +
+      "(64-byte min / ~256-byte avg / 1024-byte max)", "")
+
+  private val cdcBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => graft.functions.expressions.CdcChunks(t, 64, 8, 1024)
+    case exprs => throw new IllegalArgumentException(
+      s"cdc_chunks expects 1 argument, got ${exprs.length}")
+  }
+
   private val cmsInfo = new ExpressionInfo(
     classOf[graft.functions.expressions.CmsAgg].getName, null, "cms_agg",
     "cms_agg(hash, depth, width) - mergeable Count-Min sketch over BIGINT hashes", "")
@@ -255,6 +266,7 @@ object GraftExtensions {
     ("bloom_might_contain", bmcInfo, bmcBuilder),
     ("cms_agg", cmsInfo, cmsBuilder),
     ("cms_estimate", cmseInfo, cmseBuilder),
+    ("cdc_chunks", cdcInfo, cdcBuilder),
     ("hash_split", hashSplitInfo, hashSplitBuilder),
     ("hash_frac", hashFracInfo, hashFracBuilder),
   )

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions.CdcChunks
+
+/** ScalaCheck laws for the content-defined chunker, pure JVM: chunks
+  * PARTITION the byte string, respect the length contract, and are
+  * deterministic; a common prefix chunks identically until the first
+  * boundary after the texts diverge (the edit-locality property in its
+  * provable prefix form).
+  */
+class CdcPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val text: Gen[String] =
+    Gen.chooseNum(0, 4000).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', 'é', '語', 'x')).map(_.mkString))
+
+  private def chunks(s: String, minLen: Int = 64, bits: Int = 8, maxLen: Int = 1024)
+      : Seq[(Int, String)] = {
+    val arr = CdcChunks.compute(UTF8String.fromString(s), minLen, bits, maxLen)
+    (0 until arr.numElements()).map { i =>
+      val row = arr.getStruct(i, 2)
+      (row.getInt(0), row.getUTF8String(1).toString)
+    }
+  }
+
+  test("chunks partition the byte string and respect the length contract") {
+    check(Prop.forAll(text) { s =>
+      val cs = chunks(s)
+      val byteLen = s.getBytes("UTF-8").length
+      cs.map(_._1).sum == byteLen &&
+        cs.forall(_._1 <= 1024) &&
+        cs.dropRight(1).forall(_._1 >= 64) &&
+        (byteLen == 0) == cs.isEmpty
+    })
+  }
+
+  test("chunking is deterministic") {
+    check(Prop.forAll(text) { s => chunks(s) == chunks(s) })
+  }
+
+  test("a shared prefix chunks identically up to the divergence point") {
+    check(Prop.forAll(text, text, text) { (p, a, b) =>
+      val ca = chunks(p + a)
+      val cb = chunks(p + b)
+      // every complete chunk that ends strictly inside the shared prefix
+      // must be identical in both chunkings (boundaries are local)
+      val prefixBytes = p.getBytes("UTF-8").length
+      def inPrefix(cs: Seq[(Int, String)]) =
+        cs.scanLeft(0)(_ + _._1).zip(cs).takeWhile { case (end, c) => end + c._1 < prefixBytes }
+          .map(_._2)
+      inPrefix(ca) == inPrefix(cb)
+    })
+  }
+}
