@@ -97,6 +97,41 @@ object StreamingIngest {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming LSH near-dup detection: each arriving document is
+    * banded (MinHash signature → band hashes — a pure PROJECTION via
+    * the native one-pass [[graft.functions.expressions.Md5MinhashSignature]];
+    * the aggregate formulation of signatures would not be
+    * streaming-legal) and equi-joined against the PERSISTED corpus
+    * index (`(old_doc, band_idx, band_hash)` — the structure
+    * [[graft.functions.Dedup.bandedIndexMd5]] maintains batch-side).
+    * A stream–static equi join is stateless per row; only the
+    * multi-band pair dedup keeps watermark-bounded state. Output:
+    * `(new_doc, old_doc, ts)` candidate pairs, each emitted once per
+    * horizon — the always-on form of
+    * [[graft.functions.Dedup.incrementalMinhashCandidatesMd5]].
+    */
+  def nearDupCandidatesStream(docs: DataFrame, oldIndex: DataFrame,
+      horizon: String = "1 day", k: Int = 16, bands: Int = 4,
+      n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = graft.functions.expressions.TextExpressions
+      .md5MinhashSignature(col("text"), n, k)
+    val bandHashes = (0 until bands).map(b =>
+      md5(concat_ws("|", (b * r until (b + 1) * r).map(i =>
+        col("__sig").getItem(i)): _*)))
+    docs
+      .select(col("doc_id").as("new_doc"), col("ts"), sig.as("__sig"))
+      .filter(size(col("__sig")) > 0)
+      .select(col("new_doc"), col("ts"),
+        posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+      .join(oldIndex.toDF("old_doc", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
+      .select(col("new_doc"), col("old_doc"), col("ts"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("new_doc", "old_doc")
+  }
+
   /** Wire the hourly update stream into a keyed JDBC target: each
     * micro-batch merges through the batched `MERGE INTO` sink
     * ([[graft.sources.JdbcUpsertSink]]) — the streaming form of the

@@ -141,6 +141,35 @@ class StreamingSpec extends SparkSpec {
     assert(viaFlags == viaKeep)
   }
 
+  test("nearDupCandidatesStream flags stream docs against the static banded index") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val histText = "the quick brown fox jumps over the lazy dog while the sun rises slowly"
+    val hist = Seq((100L, histText), (101L, "nothing like the others at all here"))
+      .toDF("doc_id", "text")
+    val index = graft.functions.Dedup.bandedIndexMd5(hist).cache()
+    index.count() // materialize the static side once
+    val source = MemoryStream[StreamDoc]
+    val q = StreamingIngest.nearDupCandidatesStream(source.toDS().toDF(), index)
+      .writeStream.format("memory").queryName("nd_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(
+        StreamDoc(1L, ts("2024-01-01 10:00:00"), histText), // exact dup of 100
+        StreamDoc(2L, ts("2024-01-01 10:01:00"), "completely unrelated words without overlap whatsoever"))
+      q.processAllAvailable()
+      // replay inside the horizon: all 4 bands collide again, but the
+      // pair must not re-emit
+      source.addData(StreamDoc(1L, ts("2024-01-01 11:00:00"), histText))
+      q.processAllAvailable()
+      val pairs = spark.table("nd_sink").select("new_doc", "old_doc")
+        .as[(Long, Long)].collect().toSeq
+      assert(pairs == Seq((1L, 100L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("sessionStream matches batch sessionize on the same events (30-min gap)") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
