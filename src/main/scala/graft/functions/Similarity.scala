@@ -329,6 +329,37 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Contrastive training-pair mining: for each anchor, one POSITIVE
+    * (its ANN top-1 through the bucket index) and `nNeg` deterministic
+    * random NEGATIVES (smallest md5 rank of the salted (anchor, vec)
+    * pair — reproducible anywhere, no RNG state), excluding the anchor
+    * and its positive. The shape a contrastive fine-tune consumes.
+    * Scale: positives ride the batched-ANN equi join; negatives are one
+    * corpus scan per anchor-set with a per-anchor `WindowGroupLimit`
+    * top-nNeg — never a materialized corpus×anchors product beyond the
+    * scan itself. Output `(qid, vec_id, role)`.
+    */
+  def contrastivePairs(embeddings: DataFrame, nAnchors: Int = 8, nNeg: Int = 4,
+      dim: Int = 64, nPlanes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val pos = annTopKBatch(embeddings, queries, dim, k = 1, nPlanes)
+      .select(col("qid"), col("vec_id"))
+    val rn = row_number().over(Window.partitionBy(col("qid"))
+      .orderBy(md5(concat_ws("|", col("qid"), col("vec_id"))), col("vec_id")))
+    val negs = embeddings.select(col("vec_id"))
+      .crossJoin(broadcast(queries.select(col("qid"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(pos.withColumnRenamed("vec_id", "__pos"), Seq("qid"), "left")
+      .filter(col("__pos").isNull || col("vec_id") =!= col("__pos"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= nNeg)
+      .select(col("qid"), col("vec_id"))
+    pos.withColumn("role", lit("pos"))
+      .unionByName(negs.withColumn("role", lit("neg")))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH buckets generate the
     * candidates (equi-join — only same-bucket vectors ever meet), exact
     * decimal cosine keeps pairs at/above the threshold. The bucket join

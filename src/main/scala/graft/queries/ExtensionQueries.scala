@@ -933,6 +933,43 @@ object ExtensionQueries {
               |FROM ne LEFT JOIN hit ON hit.qid = ne.qid""".stripMargin),
     ),
 
+    // Contrastive pair mining: ANN top-1 positives + md5-ranked
+    // deterministic negatives per anchor — both chains engine-portable
+    // (bucket mirror + decimal cosine; salted-md5 rank).
+    QueryDef(
+      "embed_contrastive_pairs",
+      (s, dir) => Similarity.contrastivePairs(Tables.embeddings(s, dir)),
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql(64, 6)} AS bucket
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b
+              |  WHERE vec_id < 8),
+              |cand AS (SELECT q.qid, b.vec_id, b.embedding, q.qe
+              |  FROM b JOIN q ON b.bucket = q.qb WHERE b.vec_id <> q.qid),
+              |pr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM cand),
+              |d AS (SELECT qid, vec_id,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+              |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+              |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+              |  FROM pr GROUP BY 1, 2),
+              |pos AS (SELECT qid, vec_id FROM (
+              |  SELECT qid, vec_id,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+              |  FROM d) WHERE rn <= 1),
+              |neg AS (SELECT qid, vec_id FROM (
+              |  SELECT q.qid, e.vec_id,
+              |    row_number() OVER (PARTITION BY q.qid
+              |      ORDER BY md5(q.qid || '|' || e.vec_id), e.vec_id) AS rn
+              |  FROM embeddings e
+              |  CROSS JOIN (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 8) q
+              |  LEFT JOIN pos p ON p.qid = q.qid
+              |  WHERE e.vec_id <> q.qid
+              |    AND (p.vec_id IS NULL OR e.vec_id <> p.vec_id)) WHERE rn <= 4)
+              |SELECT qid, vec_id, 'pos' AS role FROM pos
+              |UNION ALL
+              |SELECT qid, vec_id, 'neg' AS role FROM neg""".stripMargin),
+    ),
+
     // Multi-probe ANN (query bucket + all Hamming-1 buckets): bucket
     // mirror + XOR probe list + decimal cosine = fully oracle-checked;
     // recall-dominance over single-probe is additionally spec-tested.

@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(native == decl)
   }
 
+  test("new operators tolerate empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.cdcChunkStats(empty).count() == 0)
+    assert(Dedup.minhashEstimatedJaccard(empty).count() == 0)
+    assert(graft.functions.TextAnalytics.winnowFingerprints(empty).count() == 0)
+    assert(graft.functions.TextAnalytics.surprisalBits(empty).count() == 0)
+    assert(graft.functions.TextAnalytics.cmsTokenCounts(empty).count() == 0)
+    // empty HISTORY: the bloom blob is all zeros, every probe is false
+    val batch = Seq((1L, "anything")).toDF("doc_id", "text")
+    val flags = Dedup.bloomPrefilter(batch, empty).as[(Long, Boolean)].collect()
+    assert(flags.toSeq == Seq((1L, false)))
+    // single-char / empty-text documents flow through the chunker
+    val tiny = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val st = Dedup.cdcChunkStats(tiny)
+      .select("doc_id", "n_chunks", "len_ok", "bounds_ok")
+      .as[(Long, Int, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(st(1L) == ((0, true, true)))
+    assert(st(2L) == ((1, true, true)))
+  }
+
   test("cdcChunkStats: chunks partition the text, edits stay local") {
     import org.apache.spark.sql.functions.{explode, col => c}
     val rng = new scala.util.Random(7)

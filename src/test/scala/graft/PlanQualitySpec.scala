@@ -51,6 +51,8 @@ class PlanQualitySpec extends SparkSpec {
     "dedup_bloom_prefilter",
     // 1-row CMS-blob broadcast probed by the top-k tokens
     "text_cms_token_counts",
+    // nAnchors-row (constant, 8) anchor broadcast for negative ranking
+    "embed_contrastive_pairs",
   )
 
   test("no CartesianProduct anywhere in the registry") {

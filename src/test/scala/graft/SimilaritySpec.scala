@@ -54,6 +54,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
   }
 
+  test("contrastivePairs: one positive + nNeg distinct negatives per anchor, deterministic") {
+    val out = Similarity.contrastivePairs(embs, nAnchors = 2, nNeg = 2, dim = 4,
+      nPlanes = 2).as[(Long, Long, String)].collect().toSeq
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.keySet == Set(0L, 1L))
+    byAnchor.foreach { case (qid, rows) =>
+      val pos = rows.filter(_._3 == "pos").map(_._2)
+      val neg = rows.filter(_._3 == "neg").map(_._2)
+      assert(pos.size <= 1 && neg.size == 2)
+      assert(!neg.contains(qid) && pos.forall(p => !neg.contains(p)),
+        s"anchor $qid: negatives must exclude the anchor and its positive")
+      assert(neg.distinct.size == neg.size)
+    }
+    // vec 0's bucket contains its twin 4 -> the positive is exact
+    assert(byAnchor(0L).find(_._3 == "pos").map(_._2).contains(4L))
+    val again = Similarity.contrastivePairs(embs, nAnchors = 2, nNeg = 2, dim = 4,
+      nPlanes = 2).as[(Long, Long, String)].collect().toSeq
+    assert(out.toSet == again.toSet, "pair mining must be deterministic")
+  }
+
   test("annRecall: bounded in [0,1], exact side counts all partners, twins always hit") {
     val out = Similarity.annRecall(embs, nQueries = 5, k = 10, dim = 4, nPlanes = 2)
       .as[(Long, Long, Long, Double)].collect()
