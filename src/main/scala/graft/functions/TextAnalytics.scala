@@ -337,6 +337,37 @@ object TextAnalytics {
 
   private val stopWords = Seq("the", "a", "of", "to", "and", "in", "is")
 
+  /** The model-ready per-document feature row — every stateless quality
+    * signal in ONE projection (no joins, no corpus-level statistics):
+    * size/shape features, language id, stopword ratio, within-doc
+    * repetition (native one-pass distinct-gram count), and the
+    * Gopher/C4 keep conjunction. This is what a quality-classifier
+    * training job exports at scan speed over any corpus size; the
+    * corpus-relative signals (tf-idf, surprisal, span overlap) remain
+    * separate keyed queries by necessity.
+    */
+  def featureMatrix(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks)
+    val ratioStops = Seq("the", "a", "of", "and", "to", "in")
+    val nGrams = (nTokens - 2).cast("long")
+    val dupFrac = when(nTokens >= 3,
+      (nGrams - expressions.TextExpressions.ngramDistinct(t, 3)).cast("double") /
+        nGrams.cast("double"))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      nTokens.as("n_tokens"),
+      (length(regexp_replace(t, " ", "")).cast("double") / nTokens).as("avg_token_len"),
+      when(langIdScore(t, enMarkers) >= 2, lit("en"))
+        .otherwise(lit("unknown")).as("lang_pred"),
+      (size(filter(toks, x => x.isin(ratioStops: _*))).cast("double") / nTokens)
+        .as("stopword_ratio"),
+      dupFrac.as("dup_3gram_frac"),
+      ruleKeep(t).as("keep"))
+  }
+
   /** [[ruleFlags]]'s `keep` conjunction as one stateless Column — the
     * form a streaming filter applies directly (no self-join, no state).
     * Identical semantics to the flagged variant by construction.

@@ -1364,6 +1364,39 @@ object ExtensionQueries {
              |FROM r WHERE rank <= 3""".stripMargin),
     ),
 
+    // The model-ready feature matrix: every stateless quality signal in
+    // one join-free projection — what a quality-classifier export runs
+    // at scan speed.
+    QueryDef(
+      "text_feature_matrix",
+      (s, dir) => TextAnalytics.featureMatrix(Tables.documents(s, dir)),
+      Some("""WITH w0 AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
+             |  FROM documents),
+             |f AS (SELECT doc_id, n_chars, text, w, len(w) AS nw,
+             |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             |      / len(w) AS ml,
+             |    CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+             |      / len(w) AS ar,
+             |    len(list_intersect(w, ['the','a','of','to','and','in','is'])) AS ns
+             |  FROM w0),
+             |g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+             |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+             |    END AS gs
+             |  FROM w0)
+             |SELECT f.doc_id, f.n_chars, CAST(f.nw AS INT) AS n_tokens,
+             |  CAST(length(replace(f.text, ' ', '')) AS DOUBLE) / f.nw AS avg_token_len,
+             |  CASE WHEN len(list_intersect(list_distinct(f.w), ['the','a','key','order'])) >= 2
+             |       THEN 'en' ELSE 'unknown' END AS lang_pred,
+             |  CAST(len(list_filter(f.w, t -> list_contains(['the','a','of','and','to','in'], t))) AS DOUBLE)
+             |    / f.nw AS stopword_ratio,
+             |  CASE WHEN g.gs IS NOT NULL THEN
+             |    CAST(len(g.gs) - len(list_distinct(g.gs)) AS DOUBLE) / len(g.gs)
+             |  END AS dup_3gram_frac,
+             |  (f.nw >= 30 AND f.nw <= 100000 AND f.ml >= 3.0 AND f.ml <= 10.0
+             |    AND f.ar >= 0.8 AND f.ns >= 2) AS keep
+             |FROM f JOIN g USING (doc_id)""".stripMargin),
+    ),
+
     // Unigram-LM surprisal quantized to integer bits (perplexity-proxy
     // quality score): binary-digit counts keep every step exact-integer
     // until one final division — a true ln is NOT bit-portable across
