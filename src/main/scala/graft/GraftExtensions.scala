@@ -36,9 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private val dotInfo = new ExpressionInfo(
-    classOf[DotProductFloat].getName, null, "dot_product_float",
-    "dot_product_float(a, b) - dot product of two float/double arrays", "")
+  /** The non-deprecated full ExpressionInfo constructor with empty
+    * optional fields — one definition instead of 15 deprecated calls.
+    */
+  private def info(className: String, name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(className, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private val dotInfo = info(classOf[DotProductFloat].getName, "dot_product_float",
+    "dot_product_float(a, b) - dot product of two float/double arrays")
 
   private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProductFloat(a, b)
@@ -46,9 +51,8 @@ object GraftExtensions {
       s"dot_product_float expects 2 arguments, got ${exprs.length}")
   }
 
-  private val cosInfo = new ExpressionInfo(
-    classOf[DotProductFloat].getName, null, "cosine_float",
-    "cosine_float(a, b) - cosine similarity of two float arrays", "")
+  private val cosInfo = info(classOf[DotProductFloat].getName, "cosine_float",
+    "cosine_float(a, b) - cosine similarity of two float arrays")
 
   private val cosBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => Divide(DotProductFloat(a, b),
@@ -57,9 +61,8 @@ object GraftExtensions {
       s"cosine_float expects 2 arguments, got ${exprs.length}")
   }
 
-  private val fpInfo = new ExpressionInfo(
-    classOf[Md5].getName, null, "doc_fingerprint",
-    "doc_fingerprint(text) - 16-hex-char digest of the normalized text", "")
+  private val fpInfo = info(classOf[Md5].getName, "doc_fingerprint",
+    "doc_fingerprint(text) - 16-hex-char digest of the normalized text")
 
   private val fpBuilder: Seq[Expression] => Expression = {
     case Seq(t) => Substring(Md5(Lower(StringTrim(t))), Literal(1), Literal(16))
@@ -67,9 +70,8 @@ object GraftExtensions {
       s"doc_fingerprint expects 1 argument, got ${exprs.length}")
   }
 
-  private val shInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.SimhashAgg].getName, null, "simhash_agg",
-    "simhash_agg(hash) - 64-bit SimHash signature from per-row BIGINT hashes", "")
+  private val shInfo = info(classOf[graft.functions.expressions.SimhashAgg].getName, "simhash_agg",
+    "simhash_agg(hash) - 64-bit SimHash signature from per-row BIGINT hashes")
 
   private val shBuilder: Seq[Expression] => Expression = {
     case Seq(h) => graft.functions.expressions.SimhashAgg(h)
@@ -77,10 +79,8 @@ object GraftExtensions {
       s"simhash_agg expects 1 argument, got ${exprs.length}")
   }
 
-  private val ngInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.NgramDistinctCount].getName, null,
-    "ngram_distinct_count",
-    "ngram_distinct_count(text, n) - distinct whitespace word n-grams, one pass", "")
+  private val ngInfo = info(classOf[graft.functions.expressions.NgramDistinctCount].getName, "ngram_distinct_count",
+    "ngram_distinct_count(text, n) - distinct whitespace word n-grams, one pass")
 
   private val ngBuilder: Seq[Expression] => Expression = {
     case Seq(t, n) => graft.functions.expressions.NgramDistinctCount(t, n)
@@ -88,10 +88,8 @@ object GraftExtensions {
       s"ngram_distinct_count expects 2 arguments, got ${exprs.length}")
   }
 
-  private val ndsInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.NgramDistinctStrings].getName, null,
-    "ngram_distinct_strings",
-    "ngram_distinct_strings(text, n) - distinct word n-grams as strings, one pass", "")
+  private val ndsInfo = info(classOf[graft.functions.expressions.NgramDistinctStrings].getName, "ngram_distinct_strings",
+    "ngram_distinct_strings(text, n) - distinct word n-grams as strings, one pass")
 
   private val ndsBuilder: Seq[Expression] => Expression = {
     case Seq(t, n) => graft.functions.expressions.NgramDistinctStrings(t, n)
@@ -99,10 +97,8 @@ object GraftExtensions {
       s"ngram_distinct_strings expects 2 arguments, got ${exprs.length}")
   }
 
-  private val cbInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.CharBigrams].getName, null,
-    "char_bigrams",
-    "char_bigrams(text) - all character bigrams in order, with multiplicity", "")
+  private val cbInfo = info(classOf[graft.functions.expressions.CharBigrams].getName, "char_bigrams",
+    "char_bigrams(text) - all character bigrams in order, with multiplicity")
 
   private val cbBuilder: Seq[Expression] => Expression = {
     case Seq(t) => graft.functions.expressions.CharBigrams(t)
@@ -110,10 +106,8 @@ object GraftExtensions {
       s"char_bigrams expects 1 argument, got ${exprs.length}")
   }
 
-  private val mhInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.MinhashSignature].getName, null,
-    "minhash_signature",
-    "minhash_signature(text, n, k) - k-function MinHash signature over word n-grams", "")
+  private val mhInfo = info(classOf[graft.functions.expressions.MinhashSignature].getName, "minhash_signature",
+    "minhash_signature(text, n, k) - k-function MinHash signature over word n-grams")
 
   private val mhBuilder: Seq[Expression] => Expression = {
     case Seq(t, n, k) => graft.functions.expressions.MinhashSignature(t, n, k)
@@ -121,10 +115,8 @@ object GraftExtensions {
       s"minhash_signature expects 3 arguments, got ${exprs.length}")
   }
 
-  private val ndhInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.NgramDistinctHashes].getName, null,
-    "ngram_distinct_hashes",
-    "ngram_distinct_hashes(text, n) - distinct word n-gram xxhash64 values, one pass", "")
+  private val ndhInfo = info(classOf[graft.functions.expressions.NgramDistinctHashes].getName, "ngram_distinct_hashes",
+    "ngram_distinct_hashes(text, n) - distinct word n-gram xxhash64 values, one pass")
 
   private val ndhBuilder: Seq[Expression] => Expression = {
     case Seq(t, n) => graft.functions.expressions.NgramDistinctHashes(t, n)
@@ -141,9 +133,8 @@ object GraftExtensions {
       Md5(ConcatWs(Seq(Literal("|"), salt, Cast(id, StringType)))),
       Literal(1), Literal(len))
 
-  private val hashSplitInfo = new ExpressionInfo(
-    "graft.functions.Curation", null, "hash_split",
-    "hash_split(id, salt) - deterministic train/val/test label (~80/10/10)", "")
+  private val hashSplitInfo = info("graft.functions.Curation", "hash_split",
+    "hash_split(id, salt) - deterministic train/val/test label (~80/10/10)")
 
   private val hashSplitBuilder: Seq[Expression] => Expression = {
     case Seq(id, salt) =>
@@ -156,9 +147,8 @@ object GraftExtensions {
       s"hash_split expects 2 arguments, got ${exprs.length}")
   }
 
-  private val hashFracInfo = new ExpressionInfo(
-    "graft.functions.Curation", null, "hash_frac",
-    "hash_frac(id, salt) - deterministic uniform [0,1) draw from the salted id", "")
+  private val hashFracInfo = info("graft.functions.Curation", "hash_frac",
+    "hash_frac(id, salt) - deterministic uniform [0,1) draw from the salted id")
 
   private val hashFracBuilder: Seq[Expression] => Expression = {
     case Seq(id, salt) => Divide(
@@ -169,11 +159,9 @@ object GraftExtensions {
       s"hash_frac expects 2 arguments, got ${exprs.length}")
   }
 
-  private val mh5Info = new ExpressionInfo(
-    classOf[graft.functions.expressions.Md5MinhashSignature].getName, null,
-    "md5_minhash_signature",
+  private val mh5Info = info(classOf[graft.functions.expressions.Md5MinhashSignature].getName, "md5_minhash_signature",
     "md5_minhash_signature(text, n, k) - engine-portable md5 MinHash signature " +
-      "(k 8-hex-char slice minima over word n-grams)", "")
+      "(k 8-hex-char slice minima over word n-grams)")
 
   private val mh5Builder: Seq[Expression] => Expression = {
     case Seq(t, n, k) => graft.functions.expressions.Md5MinhashSignature(t, n, k)
@@ -181,9 +169,8 @@ object GraftExtensions {
       s"md5_minhash_signature expects 3 arguments, got ${exprs.length}")
   }
 
-  private val sh1Info = new ExpressionInfo(
-    classOf[graft.functions.expressions.SimhashText].getName, null, "simhash_text",
-    "simhash_text(text) - 64-bit SimHash of the text's whitespace tokens, one pass", "")
+  private val sh1Info = info(classOf[graft.functions.expressions.SimhashText].getName, "simhash_text",
+    "simhash_text(text) - 64-bit SimHash of the text's whitespace tokens, one pass")
 
   private val sh1Builder: Seq[Expression] => Expression = {
     case Seq(t) => graft.functions.expressions.SimhashText(t)
@@ -191,11 +178,9 @@ object GraftExtensions {
       s"simhash_text expects 1 argument, got ${exprs.length}")
   }
 
-  private val bfaInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.BloomFilterAgg].getName, null,
-    "bloom_filter_agg",
+  private val bfaInfo = info(classOf[graft.functions.expressions.BloomFilterAgg].getName, "bloom_filter_agg",
     "bloom_filter_agg(hash, numBits, numHashes) - mergeable Bloom filter over " +
-      "BIGINT hashes as a self-describing binary blob", "")
+      "BIGINT hashes as a self-describing binary blob")
 
   private val bfaBuilder: Seq[Expression] => Expression = {
     case Seq(h, Literal(bits: Int, _), Literal(k: Int, _)) =>
@@ -205,11 +190,9 @@ object GraftExtensions {
         s"got ${exprs.length} args")
   }
 
-  private val bmcInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.BloomMightContain].getName, null,
-    "bloom_might_contain",
+  private val bmcInfo = info(classOf[graft.functions.expressions.BloomMightContain].getName, "bloom_might_contain",
     "bloom_might_contain(bloom, hash) - probe a bloom_filter_agg blob; " +
-      "false is definitive, true may be a false positive", "")
+      "false is definitive, true may be a false positive")
 
   private val bmcBuilder: Seq[Expression] => Expression = {
     case Seq(b, h) => graft.functions.expressions.BloomMightContain(b, h)
@@ -217,10 +200,9 @@ object GraftExtensions {
       s"bloom_might_contain expects 2 arguments, got ${exprs.length}")
   }
 
-  private val cdcInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.CdcChunks].getName, null, "cdc_chunks",
+  private val cdcInfo = info(classOf[graft.functions.expressions.CdcChunks].getName, "cdc_chunks",
     "cdc_chunks(text) - content-defined (len, md5hex) chunks, gear-hash boundaries " +
-      "(64-byte min / ~256-byte avg / 1024-byte max)", "")
+      "(64-byte min / ~256-byte avg / 1024-byte max)")
 
   private val cdcBuilder: Seq[Expression] => Expression = {
     case Seq(t) => graft.functions.expressions.CdcChunks(t, 64, 8, 1024)
@@ -228,9 +210,8 @@ object GraftExtensions {
       s"cdc_chunks expects 1 argument, got ${exprs.length}")
   }
 
-  private val cmsInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.CmsAgg].getName, null, "cms_agg",
-    "cms_agg(hash, depth, width) - mergeable Count-Min sketch over BIGINT hashes", "")
+  private val cmsInfo = info(classOf[graft.functions.expressions.CmsAgg].getName, "cms_agg",
+    "cms_agg(hash, depth, width) - mergeable Count-Min sketch over BIGINT hashes")
 
   private val cmsBuilder: Seq[Expression] => Expression = {
     case Seq(h, Literal(d: Int, _), Literal(w: Int, _)) =>
@@ -240,9 +221,8 @@ object GraftExtensions {
         s"got ${exprs.length} args")
   }
 
-  private val cmseInfo = new ExpressionInfo(
-    classOf[graft.functions.expressions.CmsEstimate].getName, null, "cms_estimate",
-    "cms_estimate(sketch, hash) - Count-Min frequency estimate (never under-counts)", "")
+  private val cmseInfo = info(classOf[graft.functions.expressions.CmsEstimate].getName, "cms_estimate",
+    "cms_estimate(sketch, hash) - Count-Min frequency estimate (never under-counts)")
 
   private val cmseBuilder: Seq[Expression] => Expression = {
     case Seq(s, h) => graft.functions.expressions.CmsEstimate(s, h)
@@ -287,11 +267,10 @@ object GraftExtensions {
   private def parsePlan(sql: String) =
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
 
-  private val dqInfo = new ExpressionInfo(
-    "graft.ops.TrafOps", null, "dq_expectations",
+  private val dqInfo = info("graft.ops.TrafOps", "dq_expectations",
     "dq_expectations(table, name1, predicate1[, name2, predicate2, ...]) - " +
       "one row per named expectation with its violation count, in one scan " +
-      "(NULL predicate results count as violations)", "")
+      "(NULL predicate results count as violations)")
 
   /** SQL twin of [[graft.ops.TrafOps.expectations]]. */
   private val dqBuilder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = { args =>
@@ -311,11 +290,10 @@ object GraftExtensions {
         s"FROM (SELECT ${sums.mkString(", ")} FROM $table)")
   }
 
-  private val masInfo = new ExpressionInfo(
-    "graft.ops.TrafOps", null, "merge_agg_states",
+  private val masInfo = info("graft.ops.TrafOps", "merge_agg_states",
     "merge_agg_states(state_table, batch_table, 'k1,k2', 'n,sum_x') - fold a " +
       "batch of commutative-monoid aggregate states into the persisted state " +
-      "(one keyed sum over the by-name union)", "")
+      "(one keyed sum over the by-name union)")
 
   /** SQL twin of [[graft.ops.TrafOps.mergeAggStates]]; value columns are
     * explicit because the plan is built before resolution.

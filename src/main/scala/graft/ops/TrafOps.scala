@@ -278,7 +278,7 @@ object TrafOps {
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col(valueCols.head)).as(valueCols.head),
-        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+        valueCols.tail.toIndexedSeq.map(c => sum(col(c)).as(c)): _*)
   }
 
   /** Per-key aggregate state for [[mergeAggStates]]: counts plus exact
