@@ -1086,6 +1086,34 @@ object ExtensionQueries {
              |FROM m WHERE n_frames > 0""".stripMargin),
     ),
 
+    // Cross-modality dedup composition: decode → frame-sample →
+    // content-hash → exact dedup, the video/frame shape of exactGroups.
+    // The stub frame hash derives from (text digest, frame index); a
+    // real pipeline substitutes the frame bytes' digest and keeps the
+    // identical plan (hash groupBy — only the 16-byte digests shuffle).
+    // Non-vacuous: frames of exact-dup documents collide.
+    QueryDef(
+      "multimodal_frame_dedup",
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          Multimodal.decodeDocuments(s, Tables.documents(s, dir)), every = 5)
+        frames
+          .join(Tables.documents(s, dir)
+            .select(col("doc_id"), md5(col("text")).as("__th")), "doc_id")
+          .select(md5(concat_ws("|", col("__th"), col("frame_idx"))).as("frame_hash"))
+          .groupBy(col("frame_hash"))
+          .agg(count(lit(1)).as("n_dups"))
+      },
+      Some("""WITH m AS (SELECT doc_id, text,
+             |    octet_length(encode(text)) % 30 AS n_frames
+             |  FROM documents),
+             |f AS (SELECT doc_id, text, CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx
+             |  FROM m WHERE n_frames > 0)
+             |SELECT md5(md5(text) || '|' || frame_idx) AS frame_hash,
+             |  count(*) AS n_dups
+             |FROM f GROUP BY 1""".stripMargin),
+    ),
+
     // Feature-extraction plumbing (stub encoder): bytes → fixed-width
     // float vector via per-partition batch mapPartitions.
     QueryDef(
