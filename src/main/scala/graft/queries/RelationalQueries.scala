@@ -1376,6 +1376,23 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin),
     ),
 
+    // Winsorized normalization (TrafOps.winsorize): values clipped to
+    // the exact [p05, p95] quantiles — two passes at any scale (1-row
+    // percentile broadcast + clipping projection).
+    QueryDef(
+      "dq_winsorize",
+      (s, dir) => graft.ops.TrafOps.winsorize(
+        Tables.orders(s, dir), "o_totalprice", "o_orderkey"),
+      Some("""WITH q AS (SELECT
+             |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+             |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |  least(greatest(CAST(o_totalprice AS DOUBLE), q.lo), q.hi)
+             |    AS o_totalprice_w
+             |FROM orders, q""".stripMargin),
+    ),
+
     // One-pass numeric profiling (TrafOps.profileNumeric): count/nulls/
     // min/max/exact-sum for four columns in a single scan + aggregate.
     QueryDef(

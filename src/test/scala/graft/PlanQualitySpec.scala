@@ -53,6 +53,8 @@ class PlanQualitySpec extends SparkSpec {
     "text_cms_token_counts",
     // nAnchors-row (constant, 8) anchor broadcast for negative ranking
     "embed_contrastive_pairs",
+    // 1-row quantile broadcast feeding the clipping projection
+    "dq_winsorize",
   )
 
   test("no CartesianProduct anywhere in the registry") {
