@@ -130,6 +130,42 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin),
     ),
 
+    // Bloom-pruned join — Spark's runtime row-level filtering as an
+    // explicit operator: the dimension's keys aggregate into a
+    // broadcast Bloom blob, the fact side prefilters at scan speed
+    // (false is definitive, so no join row is ever lost — the theorem
+    // that makes the result EQUAL the direct join, which is exactly
+    // what the oracle computes), and the exact join touches only the
+    // flagged sliver plus the tunable false-positive residue. At 100 TB
+    // this is the difference between shuffling the full fact table and
+    // shuffling ~|dim|/|fact| of it.
+    QueryDef(
+      "join_bloom_pruned",
+      (s, dir) => {
+        import graft.functions.expressions.BloomExpressions._
+        val bigOrders = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"))
+        val bloom = bigOrders.agg(
+          bloomFilterAgg(xxhash64(col("o_orderkey")), 1 << 18, 5).as("__bloom"))
+        val pruned = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .crossJoin(broadcast(bloom))
+          .filter(bloomMightContain(col("__bloom"), xxhash64(col("l_orderkey"))))
+          .drop("__bloom")
+        pruned
+          .join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            graft.ops.TrafOps.dsum(col("l_extendedprice")).as("revenue"))
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_lines,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 400000
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Left-semi join: customers having at least one big order.
     QueryDef(
       "join_semi_customers",

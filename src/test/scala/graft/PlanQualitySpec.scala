@@ -55,6 +55,8 @@ class PlanQualitySpec extends SparkSpec {
     "embed_contrastive_pairs",
     // 1-row quantile broadcast feeding the clipping projection
     "dq_winsorize",
+    // 1-row bloom-blob broadcast prefiltering the fact scan
+    "join_bloom_pruned",
   )
 
   test("no CartesianProduct anywhere in the registry") {
