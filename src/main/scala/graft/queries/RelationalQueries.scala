@@ -780,6 +780,22 @@ object RelationalQueries {
              |FROM events""".stripMargin),
     ),
 
+    // The Spark 4 VariantType path for the same extraction: parse once
+    // into the binary variant encoding, then typed path access — the
+    // modern semi-structured shape (shredded access without a schema,
+    // ~8× faster repeated path reads than string re-parsing). Values
+    // must agree with the string-path twin above, which is exactly what
+    // the shared oracle asserts.
+    QueryDef(
+      "json_variant_extract",
+      (s, dir) =>
+        Tables.events(s, dir).select(
+          col("event_id"),
+          expr("CAST(try_variant_get(parse_json(props), '$.k') AS BIGINT)").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events""".stripMargin),
+    ),
+
     // Interval (range) join via the bucketed equi-join decomposition
     // (TrafOps.rangeJoinBucketed): event pairs of the same user within a
     // 5-minute follow window. The oracle states the naive non-equi form;
