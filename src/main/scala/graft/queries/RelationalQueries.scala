@@ -1445,6 +1445,40 @@ object RelationalQueries {
              |FROM orders, q""".stripMargin),
     ),
 
+    // Robust outlier flags via MAD (median absolute deviation): two
+    // exact-percentile passes (median, then median of |x − median|),
+    // each a 1-row broadcast, then a flagging projection — the
+    // outlier detector that survives the heavy tails a mean/stddev
+    // z-score breaks on. 1.4826·MAD ≈ σ under normality; |x − med| >
+    // 3·1.4826·MAD is the standard cut.
+    QueryDef(
+      "dq_mad_outliers",
+      (s, dir) => {
+        val v = col("o_totalprice").cast("double")
+        val med = Tables.orders(s, dir)
+          .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").as("__med"))
+        val mad = Tables.orders(s, dir)
+          .crossJoin(broadcast(med))
+          .agg(first(col("__med")).as("__med"),
+            expr("percentile(abs(CAST(o_totalprice AS DOUBLE) - __med), 0.5)").as("__mad"))
+        Tables.orders(s, dir)
+          .crossJoin(broadcast(mad))
+          .select(col("o_orderkey"),
+            // the literal 4.4478 (= 3·1.4826) appears VERBATIM on both
+            // engines: a 3*1.4826 multiplication could differ from the
+            // parsed constant in the last ulp and flip a boundary row
+            (abs(v - col("__med")) > col("__mad") * lit(4.4478)).as("is_outlier"))
+      },
+      Some("""WITH m AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+             |  FROM orders),
+             |d AS (SELECT m.med,
+             |    quantile_cont(abs(CAST(o_totalprice AS DOUBLE) - m.med), 0.5) AS mad
+             |  FROM orders, m GROUP BY m.med)
+             |SELECT o_orderkey,
+             |  abs(CAST(o_totalprice AS DOUBLE) - d.med) > d.mad * 4.4478 AS is_outlier
+             |FROM orders, d""".stripMargin),
+    ),
+
     // One-pass numeric profiling (TrafOps.profileNumeric): count/nulls/
     // min/max/exact-sum for four columns in a single scan + aggregate.
     QueryDef(

@@ -57,6 +57,8 @@ class PlanQualitySpec extends SparkSpec {
     "dq_winsorize",
     // 1-row bloom-blob broadcast prefiltering the fact scan
     "join_bloom_pruned",
+    // two 1-row robust-statistic broadcasts (median, then MAD)
+    "dq_mad_outliers",
   )
 
   test("no CartesianProduct anywhere in the registry") {
