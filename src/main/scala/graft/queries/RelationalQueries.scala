@@ -1445,6 +1445,31 @@ object RelationalQueries {
              |FROM orders, q""".stripMargin),
     ),
 
+    // Categorical frequency encoding — the feature-pipeline vocabulary
+    // step: each event_type gets a dense integer id by (count desc,
+    // name) and rows map through the broadcast vocabulary. The vocab
+    // table is |distinct types| rows however large the fact table; the
+    // mapping join broadcasts.
+    QueryDef(
+      "encode_event_types",
+      (s, dir) => {
+        val vocab = Tables.events(s, dir)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+          .select(col("event_type"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(desc("__n"), asc("event_type"))).cast("int").as("type_id"))
+        Tables.events(s, dir)
+          .join(broadcast(vocab), "event_type")
+          .select(col("event_id"), col("event_type"), col("type_id"))
+      },
+      Some("""WITH v AS (SELECT event_type,
+             |    CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT)
+             |      AS type_id
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, event_type, type_id
+             |FROM events JOIN v USING (event_type)""".stripMargin),
+    ),
+
     // Robust outlier flags via MAD (median absolute deviation): two
     // exact-percentile passes (median, then median of |x − median|),
     // each a 1-row broadcast, then a flagging projection — the

@@ -141,6 +141,46 @@ class StreamingSpec extends SparkSpec {
     assert(viaFlags == viaKeep)
   }
 
+  test("streaming sketch maintenance: CMS and Bloom across micro-batches == batch") {
+    import graft.functions.expressions.{BloomExpressions, CmsExpressions}
+    import org.apache.spark.sql.functions.xxhash64
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val all = Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 7L, "in", 1.0),
+      Event(2L, ts("2024-01-01 10:05:00"), 7L, "out", 2.0),
+      Event(3L, ts("2024-01-01 10:10:00"), 8L, "in", 3.0),
+      Event(4L, ts("2024-01-01 11:00:00"), 9L, "in", 4.0),
+      Event(5L, ts("2024-01-01 11:05:00"), 9L, "pause", 5.0))
+    val source = MemoryStream[Event]
+    val q = source.toDS().toDF()
+      .groupBy()
+      .agg(
+        CmsExpressions.cmsAgg(xxhash64($"event_type"), 4, 512).as("cms"),
+        BloomExpressions.bloomFilterAgg(xxhash64($"event_type"), 4096, 5).as("bloom"))
+      .writeStream.format("memory").queryName("sketch_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      source.addData(all.take(3): _*)
+      q.processAllAvailable()
+      source.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sketch_sink")
+        .select("cms", "bloom").as[(Array[Byte], Array[Byte])].head()
+      val batch = all.toDF()
+        .agg(
+          CmsExpressions.cmsAgg(xxhash64($"event_type"), 4, 512).as("cms"),
+          BloomExpressions.bloomFilterAgg(xxhash64($"event_type"), 4096, 5).as("bloom"))
+        .as[(Array[Byte], Array[Byte])].head()
+      // the sketches are order-insensitive commutative monoids: the
+      // incrementally-maintained state must equal the batch rebuild
+      assert(streamed._1.toSeq == batch._1.toSeq, "CMS stream/batch divergence")
+      assert(streamed._2.toSeq == batch._2.toSeq, "Bloom stream/batch divergence")
+    } finally q.stop()
+  }
+
   test("nearDupCandidatesStream flags stream docs against the static banded index") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
