@@ -424,6 +424,53 @@ object Dedup {
       .select(col("new_doc"), col("old_doc"))
       .distinct()
 
+  /** Sorted-neighborhood near-dup pairs — the classic entity-resolution
+    * blocking strategy, a genuinely different paradigm from LSH: sort
+    * by a normalized key, compare each document only to its `window`
+    * successors in sort order. Blocking by the key's prefix keeps the
+    * sort partition-local (and the window non-global — near-identical
+    * texts share their prefix, which is exactly the regime the method
+    * targets); candidate generation is `window` `lead()` calls, so the
+    * cost is O(corpus · window) regardless of duplicate structure — the
+    * complement of the inverted index, whose cost tracks shingle
+    * sharing. Exact jaccard is computed only for the candidates
+    * (the [[minhashEstimatedJaccard]] pattern). Output
+    * `(doc_a, doc_b, jaccard)` at/above `threshold`.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 2,
+      prefixLen: Int = 8, n: Int = 3, threshold: Double = 0.3,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val base = docs.select(col("doc_id"), key.as("__k"))
+      .withColumn("__blk", substring(col("__k"), 1, prefixLen))
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__k"), col("doc_id"))
+    val cands = (1 to window).map(o =>
+        base.select(col("doc_id").as("__a"), lead(col("doc_id"), o).over(w).as("__b")))
+      .reduce(_.unionByName(_))
+      .filter(col("__b").isNotNull)
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"))
+      .distinct()
+    val sh = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        expressions.TextExpressions.ngramDistinctHashes(col(textCol), n)).as("sh"))
+      .localCheckpoint(true)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    cands
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Per-document content-defined chunking stats
     * ([[expressions.CdcChunks]] — gear-hash CDC, the sub-document dedup
     * unit): `(doc_id, n_chunks, chunks, len_ok, bounds_ok)` where

@@ -262,6 +262,41 @@ object ExtensionQueries {
       },
     ),
 
+    // Sorted-neighborhood blocking — the entity-resolution complement
+    // of LSH: prefix blocks, sort-order lead() candidates, exact
+    // jaccard on the candidate set only. Fully oracle-mirrored (the
+    // normalized key, blocks, window, and set ratio are all portable).
+    QueryDef(
+      "dedup_sorted_neighborhood",
+      (s, dir) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir)),
+      Some(s"""WITH $shingleSqlCte,
+              |base AS (SELECT doc_id,
+              |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
+              |  FROM documents),
+              |b AS (SELECT doc_id, k, substr(k, 1, 8) AS blk FROM base),
+              |cand0 AS (
+              |  SELECT doc_id AS a, lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS bnext,
+              |         lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS bnext2
+              |  FROM b),
+              |cand AS (
+              |  SELECT DISTINCT least(a, x) AS doc_a, greatest(a, x) AS doc_b FROM (
+              |    SELECT a, bnext AS x FROM cand0 WHERE bnext IS NOT NULL
+              |    UNION ALL
+              |    SELECT a, bnext2 AS x FROM cand0 WHERE bnext2 IS NOT NULL)),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.doc_a
+              |  JOIN sh b2 ON b2.doc_id = c.doc_b AND b2.shingle = a.shingle
+              |  GROUP BY 1, 2)
+              |SELECT m.doc_a, m.doc_b,
+              |  CAST(m.common AS DOUBLE) / (ca.n_sh + cb.n_sh - m.common) AS jaccard
+              |FROM common m
+              |JOIN cnt ca ON ca.doc_id = m.doc_a
+              |JOIN cnt cb ON cb.doc_id = m.doc_b
+              |WHERE CAST(m.common AS DOUBLE) / (ca.n_sh + cb.n_sh - m.common) >= 0.3""".stripMargin),
+    ),
+
     // Content-defined chunking (gear-hash CDC): boundaries are
     // rolling-hash-internal (not SQL-reproducible), so the oracle
     // asserts the structural theorems per document — chunks partition

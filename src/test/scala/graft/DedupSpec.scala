@@ -87,6 +87,15 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("sortedNeighborhoodPairs finds sort-adjacent near-dups, skips other blocks") {
+    val pairs = Dedup.sortedNeighborhoodPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical key: always sort-adjacent
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup sharing the prefix block must pair with one of its twins")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 sits in its own block")
+  }
+
   test("minhashEstimatedJaccard: exact dup estimates 1.0, estimator tracks exact") {
     val out = Dedup.minhashEstimatedJaccard(docs)
       .as[(Long, Long, Double, Double)].collect()
