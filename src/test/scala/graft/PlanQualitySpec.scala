@@ -148,7 +148,10 @@ class PlanQualitySpec extends SparkSpec {
     // calendar-bounded cardinality (the per-day rollups below: ≤366
     // rows/year no matter the fact-table size). New global windows must
     // be added here consciously or rewritten (see EquiDepth).
-    val calendarBounded = Set("window_moving_sum", "window_range_frame")
+    // vocabulary-bounded: the global rank runs over the event-type
+    // aggregate (|distinct types| rows however large the fact table)
+    val calendarBounded = Set("window_moving_sum", "window_range_frame",
+      "encode_event_types")
     for ((name, fn) <- SparkEntry.queries if !calendarBounded(name)) {
       val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
