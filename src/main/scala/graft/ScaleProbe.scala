@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalytics}
+
+/** One-off scale measurement: synthesize an N× copy-structured corpus
+  * from the sf0.01 fixtures (the ScaleSmokeSpec construction —
+  * token-salted document copies have disjoint shingle spaces, so
+  * within-copy duplicate structure is preserved exactly and the exact
+  * pair counts scale by N as a theorem) and time the heavy candidate
+  * generators. Usage:
+  *
+  *   sbt "runMain graft.ScaleProbe <factor> <workDir>"
+  *
+  * Prints one line per operator: name, output cardinality, seconds.
+  * This is the tool that produced the 100× datapoints in SURVEY §6.2.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val work = args.lift(1).getOrElse("/tmp/graft_scaleprobe")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docsPath = s"$work/docs$factor"
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(array((0 until factor).map(lit(_)): _*)).as("copy"))
+      .select(
+        (col("doc_id") + col("copy").cast("long") * 1000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("copy")))).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+    println(s"corpus: ${docs.count()} documents ($factor x sf0.01)")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s n=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // warm the JVM on the smallest op first
+    Dedup.exactGroups(docs).count()
+
+    timed("exact_groups")(Dedup.exactGroups(docs).count())
+    timed("jaccard_pairs_capped")(
+      Dedup.jaccardPairs(docs, n = 3, threshold = 0.05, maxDf = Some(1000)).count())
+    timed("cluster_assign")(
+      Dedup.clusterAssign(
+        Dedup.jaccardPairs(docs, n = 3, threshold = 0.05, maxDf = Some(1000))
+          .select("doc_a", "doc_b"),
+        docs.select("doc_id"))
+        .groupBy("cluster").count().filter(col("count") > 1).count())
+    timed("minhash_md5_candidates")(Dedup.minhashCandidatesMd5(docs).count())
+    timed("simhash_candidates")(Dedup.simhashCandidates(docs).count())
+    timed("winnow_fingerprints")(TextAnalytics.winnowFingerprints(docs).count())
+    timed("span_overlap_frac")(TextAnalytics.spanOverlapFrac(docs).count())
+    timed("cdc_chunk_stats")(Dedup.cdcChunkStats(docs).count())
+    timed("sorted_neighborhood")(Dedup.sortedNeighborhoodPairs(docs).count())
+    timed("feature_matrix")(TextAnalytics.featureMatrix(docs).count())
+    timed("bloom_prefilter")(
+      Dedup.bloomPrefilter(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)).filter(col("flagged")).count())
+
+    spark.stop()
+  }
+}
