@@ -398,16 +398,23 @@ object Dedup {
   def bloomPrefilter(newDocs: DataFrame, history: DataFrame,
       numBits: Int = 1 << 20, numHashes: Int = 5,
       textCol: String = "text"): DataFrame = {
-    val bloom = history
+    // The blob is materialized ONCE and embedded as a literal — a 1-row
+    // broadcast join would instead copy the numBits/8-byte column value
+    // per probed row (measured as the whole cost of a fact-table
+    // prefilter), while a literal is a codegen reference read zero
+    // times per row. Driver-side materialization of a size-bounded
+    // aggregate is the EquiDepth/RunLog precedent: numBits/8 bytes by
+    // construction, regardless of history size.
+    val blob = history
       .select(xxhash64(col(textCol)).as("__h"))
       .agg(expressions.BloomExpressions.bloomFilterAgg(
         col("__h"), numBits, numHashes).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
     newDocs
       .select(col("doc_id"), xxhash64(col(textCol)).as("__h"))
-      .crossJoin(broadcast(bloom))
       .select(col("doc_id"),
         expressions.BloomExpressions.bloomMightContain(
-          col("__bloom"), col("__h")).as("flagged"))
+          lit(blob), col("__h")).as("flagged"))
   }
 
   /** Incremental near-dup candidates: the NEW batch's banded index

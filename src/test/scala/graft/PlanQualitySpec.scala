@@ -47,16 +47,12 @@ class PlanQualitySpec extends SparkSpec {
     // 1-row packed-centroid broadcast of the cell assignment (the
     // ivfTopK shape); the pairwise stage is a cell-keyed equi join
     "dedup_semantic",
-    // 1-row bloom-blob broadcasts probed by each batch row
-    "dedup_bloom_prefilter",
     // 1-row CMS-blob broadcast probed by the top-k tokens
     "text_cms_token_counts",
     // nAnchors-row (constant, 8) anchor broadcast for negative ranking
     "embed_contrastive_pairs",
     // 1-row quantile broadcast feeding the clipping projection
     "dq_winsorize",
-    // 1-row bloom-blob broadcast prefiltering the fact scan
-    "join_bloom_pruned",
     // two 1-row robust-statistic broadcasts (median, then MAD)
     "dq_mad_outliers",
   )
