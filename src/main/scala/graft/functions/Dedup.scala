@@ -448,14 +448,24 @@ object Dedup {
       prefixLen: Int = 8, n: Int = 3, threshold: Double = 0.3,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val key = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    val base = docs.select(col("doc_id"), key.as("__k"))
-      .withColumn("__blk", substring(col("__k"), 1, prefixLen))
-    val w = Window.partitionBy(col("__blk")).orderBy(col("__k"), col("doc_id"))
-    val cands = (1 to window).map(o =>
-        base.select(col("doc_id").as("__a"), lead(col("doc_id"), o).over(w).as("__b")))
-      .reduce(_.unionByName(_))
-      .filter(col("__b").isNotNull)
+    // Two passes with independent sort keys — the classic multi-pass
+    // method: a pair differing in its first words lands in different
+    // forward blocks but adjacent reversed ones (and vice versa), so
+    // each pass covers the other's blind spot. Adversarial corpora
+    // sharing one long prefix collapse a pass's blocks into few
+    // partitions — lengthen prefixLen or add passes with rotated keys
+    // there; the per-pass cost stays O(corpus · window) regardless.
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    def pass(key: org.apache.spark.sql.Column) = {
+      val base = docs.select(col("doc_id"), key.as("__k"))
+        .withColumn("__blk", substring(col("__k"), 1, prefixLen))
+      val w = Window.partitionBy(col("__blk")).orderBy(col("__k"), col("doc_id"))
+      (1 to window).map(o =>
+          base.select(col("doc_id").as("__a"), lead(col("doc_id"), o).over(w).as("__b")))
+        .reduce(_.unionByName(_))
+        .filter(col("__b").isNotNull)
+    }
+    val cands = pass(norm).unionByName(pass(reverse(norm)))
       .select(least(col("__a"), col("__b")).as("doc_a"),
         greatest(col("__a"), col("__b")).as("doc_b"))
       .distinct()

@@ -273,11 +273,16 @@ object ExtensionQueries {
               |base AS (SELECT doc_id,
               |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS k
               |  FROM documents),
-              |b AS (SELECT doc_id, k, substr(k, 1, 8) AS blk FROM base),
+              |b1 AS (SELECT doc_id, k, substr(k, 1, 8) AS blk FROM base),
+              |b2 AS (SELECT doc_id, reverse(k) AS k, substr(reverse(k), 1, 8) AS blk FROM base),
               |cand0 AS (
               |  SELECT doc_id AS a, lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS bnext,
               |         lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS bnext2
-              |  FROM b),
+              |  FROM b1
+              |  UNION ALL
+              |  SELECT doc_id AS a, lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS bnext,
+              |         lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS bnext2
+              |  FROM b2),
               |cand AS (
               |  SELECT DISTINCT least(a, x) AS doc_a, greatest(a, x) AS doc_b FROM (
               |    SELECT a, bnext AS x FROM cand0 WHERE bnext IS NOT NULL
