@@ -1,0 +1,83 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Runtime profile of one registry query: wall time plus the shuffle
+  * counters that decide whether a plan survives a scale-up — total
+  * shuffle read/write bytes, record counts, and the MAX single-task
+  * shuffle read (the skew signal: a healthy plan keeps it a small
+  * fraction of the total; a swallowed join concentrates it). Usage:
+  *
+  *   sbt "runMain graft.Profile <queryName> [sfDir]"
+  *
+  * Prints one JSON line. The same counters ScaleSmokeSpec asserts for
+  * the capped jaccard join, available for ANY query on demand.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(
+      throw new IllegalArgumentException("usage: Profile <queryName> [sfDir]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // pin the partition layout so max-task numbers measure KEY skew,
+      // not AQE's (legitimate) small-scale coalescing
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown query: $name"))
+
+    val readBytes = new LongAdder; val readRecs = new LongAdder
+    val writeBytes = new LongAdder; val writeRecs = new LongAdder
+    val spill = new LongAdder; val tasks = new LongAdder
+    @volatile var maxTaskReadRecs = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          tasks.increment()
+          readBytes.add(m.shuffleReadMetrics.totalBytesRead)
+          readRecs.add(m.shuffleReadMetrics.recordsRead)
+          writeBytes.add(m.shuffleWriteMetrics.bytesWritten)
+          writeRecs.add(m.shuffleWriteMetrics.recordsWritten)
+          spill.add(m.diskBytesSpilled)
+          maxTaskReadRecs = math.max(maxTaskReadRecs, m.shuffleReadMetrics.recordsRead)
+        }
+      }
+    }
+    // warm-up run outside the listener so JIT/codegen don't pollute
+    try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // listener events are async — poll until the totals stop moving
+    // (the ScaleSmokeSpec pattern; the bus has no public drain)
+    var last = -1L
+    var spins = 0
+    while (readRecs.sum() + writeRecs.sum() != last && spins < 50) {
+      last = readRecs.sum() + writeRecs.sum()
+      Thread.sleep(100)
+      spins += 1
+    }
+    val skewFrac =
+      if (readRecs.sum() == 0) 0.0 else maxTaskReadRecs.toDouble / readRecs.sum()
+    println(
+      f"""{"query":"$name","sec":$sec%.3f,"tasks":${tasks.sum()},""" +
+        f""""shuffle_read_mb":${readBytes.sum() / 1e6}%.2f,""" +
+        f""""shuffle_write_mb":${writeBytes.sum() / 1e6}%.2f,""" +
+        f""""shuffle_read_records":${readRecs.sum()},""" +
+        f""""max_task_read_records":$maxTaskReadRecs,""" +
+        f""""max_task_read_frac":$skewFrac%.3f,""" +
+        f""""disk_spill_mb":${spill.sum() / 1e6}%.2f}""")
+    spark.stop()
+  }
+}
