@@ -42,4 +42,25 @@ class BloomPropertiesSpec extends AnyFunSuite {
       es.forall(h => !BloomMightContain.probe(blob, h))
     })
   }
+
+  test("merge homomorphism: build(a ++ b) == merge(build(a), build(b)), bit for bit") {
+    // THE sketch law — partition insensitivity: however the input is
+    // split across tasks, the merged state equals the sequential build
+    check(Prop.forAll(elems, elems, words, hashes) { (as, bs, w, k) =>
+      BloomBitsTestAccess.blobOf(as ++ bs, w * 64, k).toSeq ==
+        BloomBitsTestAccess.mergedBlobOf(as, bs, w * 64, k).toSeq
+    })
+  }
+
+  test("CMS merge homomorphism and never-under-count, via the blob") {
+    import graft.functions.expressions.CmsEstimate
+    check(Prop.forAll(elems, elems, Gen.chooseNum(1, 4), Gen.oneOf(16, 128, 512)) {
+      (as, bs, depth, width) =>
+        val whole = BloomBitsTestAccess.cmsBlobOf(as ++ bs, depth, width)
+        val merged = BloomBitsTestAccess.cmsMergedBlobOf(as, bs, depth, width)
+        val exact = (as ++ bs).groupBy(identity).view.mapValues(_.size.toLong)
+        whole.toSeq == merged.toSeq &&
+          exact.forall { case (h, n) => CmsEstimate.probe(whole, h) >= n }
+    })
+  }
 }

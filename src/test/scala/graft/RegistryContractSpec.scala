@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hygiene of the driver contract (SparkEntry): the correctness gate
+  * silently weakens if an oracle key drifts from its query name (the
+  * driver records a rows-only check for orphaned queries and never
+  * runs an orphaned oracle), so the mapping is asserted here — along
+  * with the registry's naming/uniqueness invariants.
+  */
+class RegistryContractSpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("every query carries an oracle (no silent rows-only downgrades)") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"queries without an oracle (driver falls back to rows-only): $unoracled")
+  }
+
+  test("query names are lowercase snake_case and unique") {
+    val names = graft.queries.Registry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate names: ${names.diff(names.distinct).distinct}")
+    val bad = names.filterNot(_.matches("[a-z][a-z0-9_]*"))
+    assert(bad.isEmpty, s"non-snake-case names: $bad")
+  }
+
+  test("the flagship entry is a registered query's shape (driver smoke contract)") {
+    // entry() must exist and the registry must keep its source query
+    assert(SparkEntry.queries.contains("flagship_hourly_ingest"))
+  }
+}

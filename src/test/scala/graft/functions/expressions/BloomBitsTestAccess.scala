@@ -23,4 +23,27 @@ object BloomBitsTestAccess {
     a.eval(a.merge(build(as, numBits, k), build(bs, numBits, k)))
       .asInstanceOf[Array[Byte]]
   }
+
+  private def cms(depth: Int, width: Int) = CmsAgg(Literal(0L), depth, width)
+
+  private def cmsBuild(es: Seq[Long], depth: Int, width: Int): Array[Long] = {
+    val buf = cms(depth, width).createAggregationBuffer()
+    es.foreach { h =>
+      var d = 0
+      while (d < depth) {
+        buf(d * width + CmsBits.bucket(h, d, width)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  def cmsBlobOf(es: Seq[Long], depth: Int, width: Int): Array[Byte] =
+    cms(depth, width).eval(cmsBuild(es, depth, width)).asInstanceOf[Array[Byte]]
+
+  def cmsMergedBlobOf(as: Seq[Long], bs: Seq[Long], depth: Int, width: Int): Array[Byte] = {
+    val a = cms(depth, width)
+    a.eval(a.merge(cmsBuild(as, depth, width), cmsBuild(bs, depth, width)))
+      .asInstanceOf[Array[Byte]]
+  }
 }
