@@ -490,7 +490,52 @@ object Similarity {
     * a sequential double fold, so the full ranking is bit-portable to
     * an external oracle.
     */
+  /** The m·k·sub-double codebook flattened driver-side (`(j·k+cid)·sub+i`
+    * layout) — size-bounded by construction, the literal-not-broadcast
+    * pattern of the bloom blob: a joined codebook column would copy per
+    * corpus row, a literal is a codegen reference.
+    */
+  private def pqCodebookFlat(embeddings: DataFrame, dim: Int, m: Int,
+      k: Int): Array[Double] = {
+    val sub = dim / m
+    val flat = new Array[Double](m * k * sub)
+    pqCodebooks(embeddings, dim, m, k).collect().foreach { r =>
+      val j = r.getInt(0)
+      val cid = r.getLong(1).toInt
+      val v = r.getSeq[Double](2)
+      var i = 0
+      while (i < sub) { flat((j * k + cid) * sub + i) = v(i); i += 1 }
+    }
+    flat
+  }
+
   def pqTopK(embeddings: DataFrame, queryVecId: Long, topK: Int = 10,
+      dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
+    import graft.functions.expressions.PqExpressions
+    val sub = dim / m
+    val cbFlat = pqCodebookFlat(embeddings, dim, m, k)
+    val qFlat = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // encode + asymmetric distance through the native primitive loops
+    // (bit-identical to the declarative folds — see PqExpressions and
+    // the pqTopKDeclarative equality spec); the scan stays a pure
+    // projection + TakeOrdered.
+    embeddings
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        PqExpressions.pqEncode(col("embedding"), cbFlat, m, k, sub).as("codes"))
+      .withColumn("approx_d2",
+        PqExpressions.pqAdist(col("codes"), cbFlat, qFlat, m, k, sub))
+      .orderBy(asc("approx_d2"), asc("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), col("approx_d2"))
+  }
+
+  /** The declarative higher-order-fold PQ scorer [[pqTopK]] replaced —
+    * kept as the specification twin the native expressions are
+    * spec-checked against, and the exact shape the oracle mirrors.
+    */
+  def pqTopKDeclarative(embeddings: DataFrame, queryVecId: Long, topK: Int = 10,
       dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
     val sub = dim / m
     val cb = pqCodebooks(embeddings, dim, m, k)

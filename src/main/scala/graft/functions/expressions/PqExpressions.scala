@@ -1,0 +1,158 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Product-quantization hot loops as native expressions. The
+  * declarative forms ([[graft.functions.Similarity.pqEncode]]'s
+  * `transform(sequence(...), aggregate(...))` nest) are
+  * CodegenFallback higher-order folds interpreted per corpus row;
+  * these are bare primitive loops producing BIT-IDENTICAL results —
+  * every distance is the same left-to-right sequence of
+  * `(x−y)·(x−y)` double additions, argmin ties resolve to the
+  * smallest centroid id via strict `<`, and the asymmetric distance
+  * accumulates subspaces in ascending order — so the external SQL
+  * oracles (sequential `list_reduce` folds) keep matching without
+  * change.
+  *
+  * The codebook (m·k·sub doubles) and query vector ride in as array
+  * LITERALS — driver-materialized, size-bounded by construction (the
+  * bloom-blob precedent), read as codegen references with zero
+  * per-row copying (a joined array column would copy per row).
+  */
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int, k: Int, sub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float> embedding, array<double> codebook), " +
+          s"got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqEncodeExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m, k, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (emb, cb) =>
+      s"graft.functions.expressions.PqEncodeExpr.compute($emb, $cb, $m, $k, $sub)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncodeExpr {
+  /** codes(j) = argmin over cid of Σ_i (emb[j·sub+i] − cb[(j·k+cid)·sub+i])²,
+    * sequential additions, strict-< argmin (first minimum wins = smallest cid).
+    */
+  def compute(emb: ArrayData, cb: ArrayData, m: Int, k: Int, sub: Int): ArrayData = {
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.MaxValue
+      var bestCid = -1L
+      var cid = 0
+      while (cid < k) {
+        var d2 = 0.0
+        var i = 0
+        val cbBase = (j * k + cid) * sub
+        val qBase = j * sub
+        while (i < sub) {
+          val d = emb.getFloat(qBase + i).toDouble - cb.getDouble(cbBase + i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < best) { best = d2; bestCid = cid.toLong }
+        cid += 1
+      }
+      out(j) = bestCid
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Asymmetric PQ distance: Σ_j L2²(query sub-vector j, centroid of
+  * codes[j]), subspaces accumulated in ascending order — bit-identical
+  * to the declarative fold (see [[PqEncodeExpr]] doc).
+  */
+case class PqAdistExpr(left: Expression, right: Expression, m: Int, k: Int, sub: Int,
+    query: Array[Double]) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adist"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint> codes, array<double> codebook), " +
+          s"got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAdistExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, k, sub, query)
+
+  // the query literal is a codegen reference (same mechanism Literal
+  // arrays use), threaded through a per-expression static slot
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("pqQuery", query, "double[]")
+    defineCodeGen(ctx, ev, (codes, cb) =>
+      s"graft.functions.expressions.PqAdistExpr.compute($codes, $cb, $m, $k, $sub, $qRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdistExpr {
+  def compute(codes: ArrayData, cb: ArrayData, m: Int, k: Int, sub: Int,
+      q: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val cbBase = (j * k + codes.getLong(j).toInt) * sub
+      val qBase = j * sub
+      var d2 = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = q(qBase + i) - cb.getDouble(cbBase + i)
+        d2 += d * d
+        i += 1
+      }
+      acc += d2
+      j += 1
+    }
+    acc
+  }
+}
+
+object PqExpressions {
+  /** Column wrapper: PQ codes from an embedding + flat codebook literal. */
+  def pqEncode(emb: Column, cbFlat: Array[Double], m: Int, k: Int, sub: Int): Column =
+    GraftSqlBridge.toColumn(PqEncodeExpr(
+      GraftSqlBridge.toExpression(emb),
+      Literal.create(cbFlat, ArrayType(DoubleType, containsNull = false)),
+      m, k, sub))
+
+  /** Column wrapper: asymmetric distance from codes + codebook + query literals. */
+  def pqAdist(codes: Column, cbFlat: Array[Double], qFlat: Array[Double],
+      m: Int, k: Int, sub: Int): Column =
+    GraftSqlBridge.toColumn(PqAdistExpr(
+      GraftSqlBridge.toExpression(codes),
+      Literal.create(cbFlat, ArrayType(DoubleType, containsNull = false)),
+      m, k, sub, qFlat))
+}

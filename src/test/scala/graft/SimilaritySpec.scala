@@ -54,6 +54,14 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
   }
 
+  test("native PQ scorer == declarative fold, row for row on real fixtures") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val native = Similarity.pqTopK(emb, queryVecId = 0L).collect().toSeq
+    val decl = Similarity.pqTopKDeclarative(emb, queryVecId = 0L).collect().toSeq
+    assert(native == decl)
+  }
+
   test("contrastivePairs: one positive + nNeg distinct negatives per anchor, deterministic") {
     val out = Similarity.contrastivePairs(embs, nAnchors = 2, nNeg = 2, dim = 4,
       nPlanes = 2).as[(Long, Long, String)].collect().toSeq
