@@ -177,30 +177,29 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid from a `(__cid, __cemb)`
     * table. Centroids are pre-normalized, so argmax cosine = argmax dot;
-    * corpus rows need no normalization at all. The centroid set is packed
-    * into one broadcast row SORTED by __cid, so the fold's first-wins tie
-    * break is the smallest cell id — deterministic regardless of
-    * collect_list order.
+    * corpus rows need no normalization at all. The centroid set is
+    * driver-materialized SORTED by __cid into two array literals (≤
+    * nCells·dim doubles — size-bounded, the bloom-blob/PQ pattern) and
+    * the scan is the native [[graft.functions.expressions.NearestCentroidExpr]]
+    * primitive loop: strict-`>` argmax over ascending cids keeps the
+    * smallest cell id on ties and each dot accumulates float→double
+    * sequentially — bit-identical to the packed-row interpreted fold it
+    * replaces, and what the external oracles mirror.
     */
   def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids
-      .groupBy().agg(
-        sort_array(collect_list(struct(col("__cid"), col("__cemb")))).as("__cents"))
-    // argmax_{c} dot(x, ĉ): fold over the centroid array keeping
-    // (best_sim, best_cell) — one pass, no shuffle, codegen'd double math.
-    val best = aggregate(
-      col("__cents"),
-      struct(lit(Double.MinValue).as("sim"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val sim = dotDouble(col("embedding"), c.getField("__cemb"))
-        when(sim > acc.getField("sim"),
-          struct(sim.as("sim"), c.getField("__cid").as("cell"))).otherwise(acc)
-      },
-    )
-    embeddings
-      .crossJoin(broadcast(cents))
-      .withColumn("cell", best.getField("cell"))
-      .drop("__cents")
+    import graft.functions.expressions.PqExpressions
+    val rows = centroids.orderBy(col("__cid")).collect()
+    require(rows.nonEmpty, "empty centroid set")
+    val cids = rows.map(_.getLong(0))
+    val dim = rows.head.getSeq[Double](1).size
+    val flat = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
+    }
+    embeddings.withColumn("cell",
+      PqExpressions.nearestCentroid(col("embedding"), flat, cids, dim))
   }
 
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =

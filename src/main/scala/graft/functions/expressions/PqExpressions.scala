@@ -140,6 +140,66 @@ object PqAdistExpr {
   }
 }
 
+/** Nearest-centroid assignment as a native primitive loop — the
+  * coarse-quantization hot path of IVF and semantic dedup. Centroids
+  * ride as two literals (cid-major flat embedding doubles + the cid
+  * array, sorted ascending); the scan is argmax-dot with strict `>`
+  * (first maximum wins = smallest cid on ties), each dot the same
+  * sequential float→double accumulation as [[DotProductFloat]] — all
+  * bit-identical to the declarative packed-row fold it replaces
+  * ([[graft.functions.Similarity.assignToCentroids]]'s former
+  * `aggregate(sort_array(collect_list(...)))` form, an interpreted
+  * HigherOrderFunction per corpus row).
+  */
+case class NearestCentroidExpr(first: Expression, second: Expression,
+    third: Expression, dim: Int) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>, array<bigint>), " +
+          s"got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    NearestCentroidExpr.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (emb, flat, cids) =>
+      s"graft.functions.expressions.NearestCentroidExpr.compute($emb, $flat, $cids, $dim)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCentroidExpr {
+  def compute(emb: ArrayData, flat: ArrayData, cids: ArrayData, dim: Int): Long = {
+    val n = cids.numElements()
+    var best = Double.MinValue
+    var bestCid = -1L
+    var c = 0
+    while (c < n) {
+      var acc = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) {
+        acc += emb.getFloat(i).toDouble * flat.getDouble(base + i)
+        i += 1
+      }
+      if (acc > best) { best = acc; bestCid = cids.getLong(c) }
+      c += 1
+    }
+    bestCid
+  }
+}
+
 object PqExpressions {
   /** Column wrapper: PQ codes from an embedding + flat codebook literal. */
   def pqEncode(emb: Column, cbFlat: Array[Double], m: Int, k: Int, sub: Int): Column =
@@ -155,4 +215,13 @@ object PqExpressions {
       GraftSqlBridge.toExpression(codes),
       Literal.create(cbFlat, ArrayType(DoubleType, containsNull = false)),
       m, k, sub, qFlat))
+
+  /** Column wrapper: nearest-centroid cell from literal centroid arrays. */
+  def nearestCentroid(emb: Column, flat: Array[Double], cids: Array[Long],
+      dim: Int): Column =
+    GraftSqlBridge.toColumn(NearestCentroidExpr(
+      GraftSqlBridge.toExpression(emb),
+      Literal.create(flat, ArrayType(DoubleType, containsNull = false)),
+      Literal.create(cids, ArrayType(LongType, containsNull = false)),
+      dim))
 }
