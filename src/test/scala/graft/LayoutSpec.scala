@@ -20,6 +20,43 @@ class LayoutSpec extends SparkSpec {
     assert(z == Seq(5L, 10L, 3L, 25L))
   }
 
+  test("z-ordered parquet reads fewer bytes than 1-D sort under a 2-D predicate") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val base = java.nio.file.Files.createTempDirectory("zprune").toString
+    val n = 64
+    val rows = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong, s"pad_${x}_$y"))
+      .toDF("x", "y", "payload")
+    // z-ordered: range-partition + sort on the interleave → each file
+    // holds a 2-D tile, so min/max stats bound BOTH columns tightly
+    rows.withColumn("z", Layout.zValue($"x", $"y", bits = 8))
+      .repartitionByRange(16, $"z").sortWithinPartitions($"z").drop("z")
+      .write.mode("overwrite").parquet(s"$base/zorder")
+    // 1-D: sorted on x only → every file spans ALL y values
+    rows.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(s"$base/xsort")
+    def bytesRead(dir: String): Long = {
+      var bytes = 0L
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) bytes += e.taskMetrics.inputMetrics.bytesRead
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // predicate selective on Y — the dimension the 1-D layout ignores
+        spark.read.parquet(dir).filter($"y" >= 8 && $"y" < 12).count()
+        var last = -1L
+        var spins = 0
+        while (bytes != last && spins < 50) { last = bytes; Thread.sleep(100); spins += 1 }
+        bytes
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val zB = bytesRead(s"$base/zorder")
+    val xB = bytesRead(s"$base/xsort")
+    info(f"bytes read under y-range predicate: z-order $zB%d vs x-sort $xB%d")
+    assert(zB < xB,
+      s"z-ordered layout must prune on the second dimension: $zB vs $xB")
+  }
+
   test("z-ordered partitions cover less 2-D area than a 1-D sort (the skipping win)") {
     val n = 32
     val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
