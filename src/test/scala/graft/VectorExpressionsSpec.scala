@@ -102,6 +102,41 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(!flags(2L))
   }
 
+  test("the SparkSessionExtensions injection path registers everything on a fresh session") {
+    // the session-build path (spark.sql.extensions=graft.GraftExtensions /
+    // builder.withExtensions) — distinct from live register(): functions,
+    // table functions, AND the optimizer guard must all arrive
+    // a genuinely NEW session over the suite's SparkContext: getOrCreate
+    // returns the existing session (extensions ignored) unless the
+    // default/active sessions are cleared first; restore them after, and
+    // never stop() s2 (that would kill the shared context)
+    import org.apache.spark.sql.SparkSession
+    val orig = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark, "must be a distinct session")
+      val out = s2.sql(
+        "SELECT dot_product_float(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+          "simhash_text('a b c') AS sh, cms_estimate(CAST(NULL AS BINARY), 1L) AS ce")
+        .collect().head
+      assert(out.getDouble(0) == 11.0)
+      assert(out.get(2) == null) // null sketch propagates null
+      // the guard optimizer rule rides the same injection
+      assert(s2.sessionState.optimizer.batches.flatten(_.rules)
+        .exists(_.eq(graft.plans.GlobalWindowGuard)),
+        "GlobalWindowGuard must be injected at session build")
+    } finally {
+      orig.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
+
   test("dq_expectations table function matches TrafOps.expectations from SQL") {
     graft.GraftExtensions.register(spark)
     Seq((1L, "ok"), (2L, ""), (-3L, "x"), (4L, null))
