@@ -553,16 +553,31 @@ object Dedup {
       .select(col("src").as("doc_id"),
         least(col("src"), col("nmin")).as("cluster"))
       .localCheckpoint(true)
+    // one propagation: every node takes min(self, neighbors' labels);
+    // pass-through columns (the pre-round `old` label) ride along so no
+    // extra join is ever needed to compare states
+    def propagate(ls: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(ls.select(col("doc_id"), col("cluster")), edges("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      ls.join(neighborMin, ls("doc_id") === neighborMin("src"), "left")
+        .select(ls.columns.filter(_ != "cluster").map(ls(_)) :+
+          least(ls("cluster"), coalesce(col("nmin"), ls("cluster"))).as("cluster"): _*)
+    }
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
-      // carry old + new labels through ONE checkpointed pass: the
-      // convergence count then reads checkpoint blocks instead of
-      // re-joining against the previous labels
-      val step = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"), labels("cluster").as("old"),
-          least(labels("cluster"), coalesce(col("nmin"), labels("cluster"))).as("cluster"))
+      // TWO propagation steps per convergence barrier: each
+      // checkpoint+count is a cluster-wide barrier at scale, and labels
+      // reach fixpoint in O(diameter) steps — doubling steps-per-barrier
+      // halves the barrier count for multi-round graphs at the cost of
+      // one (cheap) wasted propagate on the already-converged pass. The
+      // fixpoint test stays exact: a double-step that changes nothing
+      // proves single-step convergence too (labels only ever decrease).
+      // Measured at sf0.1 (near-dup graphs converge in 1–2 rounds):
+      // parity with single-step — the win is the barrier count on
+      // deeper graphs, where barriers cost 100–1000× more on a real
+      // cluster than in local mode.
+      val step = propagate(propagate(labels.withColumn("old", col("cluster"))))
         .localCheckpoint(true)
       changed = step.filter(col("cluster") =!= col("old")).count()
       labels = step.select(col("doc_id"), col("cluster"))
