@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrafOps
+
+/** The determinism discipline the whole oracle scheme rests on, proven
+  * as laws: decimal-path aggregates are BIT-stable under repartitioning
+  * (addition of exact decimals is associative+commutative), while the
+  * naive double sum is demonstrably not — which is why every
+  * oracle-compared aggregate in this repo routes through decimal and a
+  * single final division/cast.
+  */
+class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  // values chosen to exercise binary-representation error: 0.1 is
+  // inexact in IEEE double, so summation order shows in the low bits
+  private lazy val values = (1 to 20000).map(i => (i.toLong, (i % 7) * 0.1 + 0.01))
+  private def df(parts: Int) = values.toDF("k", "v").repartition(parts)
+
+  test("decimal sums are bit-identical across partitionings") {
+    val sums = Seq(1, 3, 32).map { p =>
+      df(p).agg(TrafOps.dsum($"v").as("s")).as[Double].head()
+    }
+    assert(sums.distinct.size == 1,
+      s"decimal sum must not depend on partitioning: $sums")
+    // and across keyed aggregation too
+    val keyed = Seq(1, 32).map { p =>
+      df(p).groupBy(($"k" % 5).as("g")).agg(TrafOps.dsum($"v").as("s"))
+        .orderBy("g").as[(Long, Double)].collect().toSeq
+    }
+    assert(keyed.head == keyed.last)
+  }
+
+  test("the naive double sum is order-sensitive on the same data (the counter-law)") {
+    // not a flake: with 20k inexact doubles across different partition
+    // counts, at least one pair of orderings disagrees in the low bits —
+    // if this ever starts passing with equality, the values were too
+    // tame to demonstrate anything and should be re-chosen
+    val sums = Seq(1, 2, 3, 5, 7, 32).map { p =>
+      df(p).agg(sum($"v").as("s")).as[Double].head()
+    }
+    assert(sums.distinct.size > 1,
+      "expected IEEE double summation to vary with partitioning; " +
+        "pick harder values if it stopped varying")
+  }
+
+  test("every native hash/signature expression is partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sig(parts: Int) = docs.repartition(parts).select($"doc_id",
+        graft.functions.expressions.TextExpressions.minhashSignature($"text", 3, 8).as("a"),
+        graft.functions.expressions.TextExpressions.md5MinhashSignature($"text", 3, 8).as("b"),
+        graft.functions.expressions.TextExpressions.simhashText($"text").as("c"))
+      .orderBy("doc_id").collect().toSeq
+    assert(sig(1) == sig(17))
+  }
+}
