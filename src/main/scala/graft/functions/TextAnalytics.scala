@@ -287,8 +287,15 @@ object TextAnalytics {
       .select(col("doc_id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("doc_id"), posexplode(expr(grams)).as(Seq("pos", "gram")))
-    val key = conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") * lit(1048576L) +
-      (lit(1048575L) - col("pos"))
+    // positions beyond 2²⁰−1 would wrap the packed key's low bits and
+    // silently corrupt tie-breaking — fail loudly instead (the guard is
+    // inside the key expression so column pruning can never drop it)
+    val key = when(col("pos") > 1048575L,
+      raise_error(concat(lit("winnowFingerprints: document "), col("doc_id"),
+        lit(" exceeds 2^20 grams — raise the position width"))).cast("long"))
+      .otherwise(
+        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") * lit(1048576L) +
+          (lit(1048575L) - col("pos")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     val nGrams = Window.partitionBy(col("doc_id"))
