@@ -8,18 +8,29 @@ import org.apache.spark.sql.SparkSession
   * `args(0)` if given, else `$SPARK_GRAFT_BENCH_OUT`, else
   * `BENCH_LOCAL.json` in the working directory.
   *
-  * `SPARK_GRAFT_BENCH_REPS` (default 1) times each query N times after
-  * its warm-up and reports the per-query MEDIAN — the isolated
-  * median-of-3 mode that separates plan regressions from machine noise.
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) times each query N times after
+  * its warm-up and reports the per-query MEDIAN — median-of-3 by
+  * default so the artifact itself separates plan regressions from
+  * machine noise (round-3's single-rep run under a concurrent sbt
+  * build inflated 17 unrelated trivial queries 3–10×; the medians were
+  * only provable from a separately committed file). The JSON also
+  * records the 1-minute system load average at start and end: a
+  * contended run is machine-detectable from the artifact alone.
   */
 object Bench {
+  /** 1-minute system load average (-1.0 where the JVM can't see it). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("BENCH_LOCAL.json")
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,13 +65,47 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> median
     }
+    // Streaming datapoint: the curated-doc stream (quality filter +
+    // watermark-bounded exact dedup) driven through a MemoryStream of the
+    // sf documents, timed end-to-end per micro-batch drain. Reported
+    // separately from "queries" (it's a throughput, not a plan time) so
+    // streaming regressions become bench-visible without disturbing the
+    // per-query comparisons against prior rounds.
+    val streamingSec =
+      try {
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.functions.col
+        val docs = graft.model.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val t0 = System.nanoTime()
+        implicit val sq = spark.sqlContext
+        val in = MemoryStream[(Long, String)]
+        in.addData(docs.toSeq)
+        val stream = graft.streaming.StreamingIngest.curatedDocStream(
+          in.toDF().toDF("doc_id", "text")
+            .withColumn("ts", org.apache.spark.sql.functions
+              .to_timestamp(org.apache.spark.sql.functions.lit("2024-01-01 00:00:00"))))
+        val q = stream.writeStream.format("noop")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-bench-stream").toString)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Map("curated_doc_stream_sec" -> sec,
+          "curated_doc_stream_docs" -> docs.length.toDouble)
+      } catch { case _: Throwable => Map("curated_doc_stream_sec" -> -1.0) }
+    val loadEnd = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val streaming = streamingSec.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"streaming":$streaming}"""
     println(json)
     // stdout is best-effort (log tails truncate); the file is the record.
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

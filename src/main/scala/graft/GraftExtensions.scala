@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, ConcatWs, Conv, Divide, Expression, ExpressionInfo, LessThan, Literal, Lower, Md5, Multiply, Sqrt, StringTrim, Substring}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType, StringType}
 
 import graft.functions.expressions.DotProductFloat
 
@@ -182,12 +182,39 @@ object GraftExtensions {
     "bloom_filter_agg(hash, numBits, numHashes) - mergeable Bloom filter over " +
       "BIGINT hashes as a self-describing binary blob")
 
+  /** Fold a size/shape parameter to Int: accepts any constant-foldable
+    * integral expression (bare INT literal, BIGINT literal, `64*1024`,
+    * …) — a builder matching only `Literal(_: Int, _)` would reject
+    * `bloom_filter_agg(h, 64*1024, 3)` with a misleading arity error.
+    */
+  private def foldToInt(e: Expression, fn: String, param: String): Int = {
+    val ok = e.foldable && (e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: $param must be an integer literal (constant-foldable integral " +
+        s"expression), got ${e.sql}")
+    val v = e.eval() match {
+      case n: Byte => n.toLong
+      case n: Short => n.toLong
+      case n: Int => n.toLong
+      case n: Long => n
+      case other => throw new IllegalArgumentException(
+        s"$fn: $param must be a non-null integer literal, got $other")
+    }
+    if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+      s"$fn: $param out of Int range: $v")
+    v.toInt
+  }
+
   private val bfaBuilder: Seq[Expression] => Expression = {
-    case Seq(h, Literal(bits: Int, _), Literal(k: Int, _)) =>
-      graft.functions.expressions.BloomFilterAgg(h, bits, k)
+    case Seq(h, bits, k) =>
+      graft.functions.expressions.BloomFilterAgg(h,
+        foldToInt(bits, "bloom_filter_agg", "numBits"),
+        foldToInt(k, "bloom_filter_agg", "numHashes"))
     case exprs => throw new IllegalArgumentException(
-      "bloom_filter_agg expects (hash, int literal numBits, int literal numHashes), " +
-        s"got ${exprs.length} args")
+      s"bloom_filter_agg expects 3 arguments (hash, numBits, numHashes), got ${exprs.length}")
   }
 
   private val bmcInfo = info(classOf[graft.functions.expressions.BloomMightContain].getName, "bloom_might_contain",
@@ -214,11 +241,12 @@ object GraftExtensions {
     "cms_agg(hash, depth, width) - mergeable Count-Min sketch over BIGINT hashes")
 
   private val cmsBuilder: Seq[Expression] => Expression = {
-    case Seq(h, Literal(d: Int, _), Literal(w: Int, _)) =>
-      graft.functions.expressions.CmsAgg(h, d, w)
+    case Seq(h, d, w) =>
+      graft.functions.expressions.CmsAgg(h,
+        foldToInt(d, "cms_agg", "depth"),
+        foldToInt(w, "cms_agg", "width"))
     case exprs => throw new IllegalArgumentException(
-      "cms_agg expects (hash, int literal depth, int literal width), " +
-        s"got ${exprs.length} args")
+      s"cms_agg expects 3 arguments (hash, depth, width), got ${exprs.length}")
   }
 
   private val cmseInfo = info(classOf[graft.functions.expressions.CmsEstimate].getName, "cms_estimate",

@@ -11,6 +11,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    // A typo'd query-name filter must fail LOUDLY: silently matching
+    // nothing would produce an empty run with a filtered-down
+    // oracle_sql.json that looks like a vacuously clean correctness pass.
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "check SparkEntry.queries for valid names")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -520,21 +520,44 @@ object Dedup {
     * every node takes the min of its own and its neighbors' labels, a
     * join + groupBy per round, O(component diameter) rounds. Near-dup
     * components are shallow (dozens of hops at the extreme), so the
-    * loop is a handful of distributed passes; lineage is cut with a
-    * local checkpoint each round so plans stay flat at any scale.
+    * loop is a handful of distributed passes; lineage is cut each round
+    * so plans stay flat at any scale — executor-local by default,
+    * `reliable = true` for fault-tolerant checkpoints on a cluster (see
+    * the mode comment in the body).
     */
-  def clusterAssign(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+  def clusterAssign(pairs: DataFrame, nodes: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    // Lineage cut per round. Two modes:
+    //  - local (default): `localCheckpoint` stores blocks on executors —
+    //    no external storage needed, fastest, right for local mode and
+    //    short interactive jobs. BUT the blocks die with their executor:
+    //    on a real cluster, losing ONE executor mid-iteration kills the
+    //    whole job unrecoverably (Spark documents this), and this is the
+    //    longest-running iterative operator in the engine.
+    //  - reliable: `checkpoint` writes each round's state to the
+    //    SparkContext checkpoint directory (HDFS/object store on a
+    //    cluster). Executor loss then recomputes from the checkpoint
+    //    files instead of dying — the mode a 1000-executor run must use.
+    //    Caller sets `spark.sparkContext.setCheckpointDir(...)` (and
+    //    optionally `spark.cleaner.referenceTracking.cleanCheckpoints`
+    //    to reap finished rounds).
+    val cut: DataFrame => DataFrame =
+      if (reliable) { df =>
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "clusterAssign(reliable = true) needs a reliable checkpoint " +
+            "location: call spark.sparkContext.setCheckpointDir(<dir>) first")
+        df.checkpoint(true)
+      } else _.localCheckpoint(true)
     // Both edge directions come from ONE evaluation of the (typically
     // expensive) pair plan: a union of two selects over `pairs` would
     // re-run the candidate join per branch inside the checkpoint job —
     // measured as the bulk of this operator's cost when fed the jaccard
     // inverted index. The explode fans each pair into its two directed
     // rows in the same pass.
-    val edges = pairs.select(explode(array(
+    val edges = cut(pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .localCheckpoint(true)
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst")))
     // Near-dup graphs are SPARSE: most documents are singletons whose
     // label can never change. Propagate only over nodes that have at
     // least one edge (src side covers both directions), then union the
@@ -548,11 +571,10 @@ object Dedup {
     // join+checkpoint+count round (a cluster-wide barrier at scale)
     // disappears. The fixpoint is iteration-schedule-independent, so
     // results are unchanged.
-    var labels = edges.groupBy(col("src"))
+    var labels = cut(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("doc_id"),
-        least(col("src"), col("nmin")).as("cluster"))
-      .localCheckpoint(true)
+        least(col("src"), col("nmin")).as("cluster")))
     // one propagation: every node takes min(self, neighbors' labels);
     // pass-through columns (the pre-round `old` label) ride along so no
     // extra join is ever needed to compare states
@@ -577,8 +599,7 @@ object Dedup {
       // parity with single-step — the win is the barrier count on
       // deeper graphs, where barriers cost 100–1000× more on a real
       // cluster than in local mode.
-      val step = propagate(propagate(labels.withColumn("old", col("cluster"))))
-        .localCheckpoint(true)
+      val step = cut(propagate(propagate(labels.withColumn("old", col("cluster")))))
       changed = step.filter(col("cluster") =!= col("old")).count()
       labels = step.select(col("doc_id"), col("cluster"))
     }

@@ -152,9 +152,19 @@ object BloomMightContain {
     * large the filter is.
     */
   def probe(blob: Array[Byte], h: Long): Boolean = {
+    // The header is self-described data, not trusted input: an arbitrary
+    // binary value (truncated blob, wrong column) must fail with a named
+    // error, not a raw IndexOutOfBounds from a probe read.
+    if (blob.length < 8) throw new IllegalArgumentException(
+      s"bloom_might_contain: blob too short for a bloom_filter_agg header " +
+        s"(${blob.length} bytes < 8)")
     val bb = java.nio.ByteBuffer.wrap(blob)
     val numHashes = bb.getInt(0)
     val numWords = bb.getInt(4)
+    if (numHashes <= 0 || numWords <= 0 || blob.length < 8 + numWords.toLong * 8)
+      throw new IllegalArgumentException(
+        s"bloom_might_contain: malformed bloom_filter_agg blob (numHashes=" +
+          s"$numHashes, numWords=$numWords, ${blob.length} bytes)")
     val numBits = numWords.toLong * 64L
     val h2 = BloomBits.mix(h) | 1L
     var i = 0

@@ -43,6 +43,13 @@ case class CmsAgg(
 
   require(depth > 0 && depth <= 16, "depth must be in [1, 16]")
   require(width > 0, "width must be positive")
+  // Buffer indexing and the probe byte offset compute (d*width+bucket)*8
+  // in Int — bound width so the largest offset can't silently overflow
+  // (width ≳ 2^28 at depth 16 would wrap negative before the allocation
+  // limit produces a clean error).
+  require(width.toLong * depth <= (Int.MaxValue - 8L) / 8L,
+    s"depth*width too large: $depth*$width counters exceed the 8-byte-indexed " +
+      "blob limit ((Int.MaxValue-8)/8)")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -134,9 +141,18 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 object CmsEstimate {
   def probe(blob: Array[Byte], h: Long): Long = {
+    // Self-described header, untrusted bytes: malformed input (truncated
+    // blob, wrong column, width 0 → modulo ArithmeticException) must fail
+    // with a named error, not a raw runtime exception mid-job.
+    if (blob.length < 8) throw new IllegalArgumentException(
+      s"cms_estimate: blob too short for a cms_agg header (${blob.length} bytes < 8)")
     val bb = java.nio.ByteBuffer.wrap(blob)
     val depth = bb.getInt(0)
     val width = bb.getInt(4)
+    if (depth <= 0 || width <= 0 || blob.length < 8 + depth.toLong * width * 8)
+      throw new IllegalArgumentException(
+        s"cms_estimate: malformed cms_agg blob (depth=$depth, width=$width, " +
+          s"${blob.length} bytes)")
     var est = Long.MaxValue
     var d = 0
     while (d < depth) {

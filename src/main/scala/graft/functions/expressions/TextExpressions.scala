@@ -620,7 +620,18 @@ case class Md5MinhashSignature(first: Expression, second: Expression, third: Exp
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
-      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType, IntegerType) =>
+        // k is a foldable literal in every call path — validate the
+        // multiple-of-4 contract AT ANALYSIS so SQL misuse
+        // (`md5_minhash_signature(text, 3, 5)`) fails before the job
+        // starts, not per-row on the first compute.
+        if (third.foldable) third.eval() match {
+          case k: Int if k <= 0 || k % 4 != 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: k must be a positive multiple of 4 " +
+                s"(4 hex slices per md5), got $k")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        } else TypeCheckResult.TypeCheckSuccess
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int, int), got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
     }

@@ -65,6 +65,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusterAssign reliable mode: same labels via reliable checkpoints") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // reliable mode without a checkpoint dir must fail loudly, not deep
+    // in a job with an NPE
+    val prior = spark.sparkContext.getCheckpointDir
+    if (prior.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.clusterAssign(pairs, nodes, reliable = true).collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val out = Dedup.clusterAssign(pairs, nodes, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+      // the rounds actually hit the reliable store: checkpoint files exist
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "reliable mode must write checkpoint files to the configured dir")
+    } finally {
+      // SparkContext has no unsetCheckpointDir; leaving the temp dir set
+      // is harmless for the remaining tests (nothing else checkpoints).
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("jaccard of an exact duplicate is 1.0") {
     val j = Dedup.jaccardPairs(docs, n = 3, threshold = 0.3)
       .where($"doc_a" === 1L && $"doc_b" === 4L)
