@@ -262,6 +262,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF retrieval — the query-TABLE form of [[ivfTopK]], the
+    * shape a production reranker runs (no per-query driver loop). One
+    * probe ranking per query (the ≤`nCells` centroid table broadcast
+    * against the query table, per-query `WindowGroupLimit` top-nProbe),
+    * then ONE cell equi-join carries each query into its probed cells'
+    * corpus slices, and a per-query window top-k emits k rows per query.
+    *
+    * Scale shape: the probe side is broadcast (nProbe rows per query —
+    * tiny next to the corpus), so the candidate join adds NO shuffle of
+    * the corpus beyond the cell-partitioned scan; with the assigned
+    * table written partitioned by `cell`, the join prunes to the probed
+    * cells' files. A shuffle join keyed on `cell` would be wrong here:
+    * only `nCells` distinct keys — broadcast keeps the parallelism of
+    * the corpus partitioning instead of collapsing to nCells tasks.
+    */
+  def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cents = seededCentroids(embeddings, nCells)
+    for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
+    val assigned = assignToCentroids(embeddings, cents)
+    val probeRank = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(desc("__csim"), asc("cell")))
+    val probes = queries.select(col("qid"), col("embedding").as("__q"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("__q"), col("__cid").as("cell"),
+        cosineDouble(col("__cemb"), col("__q")).as("__csim"))
+      .withColumn("__rn", probeRank)
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("cell"), col("__q"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id")))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("__q")).as("cosine"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"))
+  }
+
+  /** Batched PQ retrieval — the query-TABLE form of [[pqTopK]]: corpus
+    * encoded ONCE (native [[graft.functions.expressions.PqEncodeExpr]]
+    * scan), then every (corpus, query) pair scored by the native
+    * column-query asymmetric distance inside one broadcast join, with a
+    * per-query `WindowGroupLimit` top-k. PQ scoring is inherently
+    * queries×corpus work, but each pair costs m centroid lookups over
+    * 8-byte codes instead of dim floats — the memory story that makes
+    * the full sweep viable — and the broadcast keeps it one corpus scan
+    * with no shuffle before the per-query limit. Scores are
+    * bit-identical to [[pqTopK]] (same arithmetic order), so the same
+    * oracle shape covers both paths.
+    */
+  def pqTopKBatch(embeddings: DataFrame, queries: DataFrame, topK: Int = 10,
+      dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
+    import graft.functions.expressions.PqExpressions
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val cbFlat = pqCodebookFlat(embeddings, dim, m, k)
+    val codes = embeddings.select(col("vec_id"),
+      PqExpressions.pqEncode(col("embedding"), cbFlat, m, k, sub).as("codes"))
+    val qs = queries.select(col("qid"), col("embedding").as("__q"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(asc("approx_d2"), asc("vec_id")))
+    codes.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        PqExpressions.pqAdistCol(col("codes"), col("__q"), cbFlat, m, k, sub)
+          .as("approx_d2"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("vec_id"), col("approx_d2"))
+  }
+
   /** Batched ANN — the shape a real pipeline runs: a query TABLE
     * `(qid, embedding)` answered in ONE bucket equi-join (no per-query
     * loop, no driver iteration). Both sides compute their LSH bucket,

@@ -140,6 +140,65 @@ object PqAdistExpr {
   }
 }
 
+/** [[PqAdistExpr]] with the query vector as a COLUMN instead of a
+  * driver literal — the batched-retrieval form, where a query TABLE
+  * rides a broadcast join and each (corpus row, query row) pair scores
+  * through this expression. Same arithmetic order as [[PqAdistExpr]]
+  * (float→double per element is exact, subspaces ascend), so scores are
+  * bit-identical between the single-query and batched paths and the
+  * same SQL oracle covers both.
+  */
+case class PqAdistColExpr(first: Expression, second: Expression,
+    third: Expression, m: Int, k: Int, sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adist_col"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint> codes, array<float> query, " +
+          s"array<double> codebook), got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PqAdistColExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], m, k, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (codes, q, cb) =>
+      s"graft.functions.expressions.PqAdistColExpr.compute($codes, $q, $cb, $m, $k, $sub)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object PqAdistColExpr {
+  def compute(codes: ArrayData, q: ArrayData, cb: ArrayData,
+      m: Int, k: Int, sub: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val cbBase = (j * k + codes.getLong(j).toInt) * sub
+      val qBase = j * sub
+      var d2 = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = q.getFloat(qBase + i).toDouble - cb.getDouble(cbBase + i)
+        d2 += d * d
+        i += 1
+      }
+      acc += d2
+      j += 1
+    }
+    acc
+  }
+}
+
 /** Nearest-centroid assignment as a native primitive loop — the
   * coarse-quantization hot path of IVF and semantic dedup. Centroids
   * ride as two literals (cid-major flat embedding doubles + the cid
@@ -215,6 +274,17 @@ object PqExpressions {
       GraftSqlBridge.toExpression(codes),
       Literal.create(cbFlat, ArrayType(DoubleType, containsNull = false)),
       m, k, sub, qFlat))
+
+  /** Column wrapper: asymmetric distance with the query as a COLUMN
+    * (the batched-retrieval form).
+    */
+  def pqAdistCol(codes: Column, query: Column, cbFlat: Array[Double],
+      m: Int, k: Int, sub: Int): Column =
+    GraftSqlBridge.toColumn(PqAdistColExpr(
+      GraftSqlBridge.toExpression(codes),
+      GraftSqlBridge.toExpression(query),
+      Literal.create(cbFlat, ArrayType(DoubleType, containsNull = false)),
+      m, k, sub))
 
   /** Column wrapper: nearest-centroid cell from literal centroid arrays. */
   def nearestCentroid(emb: Column, flat: Array[Double], cids: Array[Long],

@@ -899,6 +899,96 @@ object ExtensionQueries {
       },
     ),
 
+    // Batched IVF retrieval — a query TABLE (the 4 lowest vec_ids)
+    // probed through the seeded cells in ONE broadcast cell join with a
+    // per-query window top-k (the production reranker shape; no
+    // per-query driver loop). Oracle mirrors assignment, per-query probe
+    // ranking, and the (qid, vec_id)-keyed decimal cosine.
+    QueryDef(
+      "embed_ivf_batch",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKBatch(emb,
+          emb.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding")))
+      },
+      Some {
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16),
+           |cells AS (SELECT vec_id, cid AS cell FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+           |probe AS (SELECT qid, cid AS cell FROM (
+           |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+           |      ${dd("c.cn", "q.qe")} / (sqrt(${dd("c.cn", "c.cn")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, c.cid) AS rn
+           |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+           |cand AS (SELECT q.qid, e.vec_id, e.embedding, q.qe
+           |  FROM embeddings e
+           |  JOIN cells ON cells.vec_id = e.vec_id
+           |  JOIN probe ON probe.cell = cells.cell
+           |  JOIN q ON q.qid = probe.qid
+           |  WHERE e.vec_id <> q.qid),
+           |pr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM cand),
+           |d AS (SELECT qid, vec_id,
+           |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+           |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+           |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+           |  FROM pr GROUP BY 1, 2)
+           |SELECT qid, vec_id, cosine FROM (
+           |  SELECT qid, vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+           |  FROM d) WHERE rn <= 10""".stripMargin
+      },
+    ),
+
+    // Batched PQ retrieval — a query TABLE scored by the native
+    // column-query asymmetric distance in one broadcast join + per-query
+    // window top-k; scores bit-identical to the single-query path, so
+    // the oracle is the pq_topk mirror keyed by (qid, vec_id).
+    QueryDef(
+      "embed_pq_batch",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.pqTopKBatch(emb,
+          emb.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding")))
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+        s"""WITH sub AS (
+           |  SELECT vec_id, j,
+           |    [CAST(embedding[j*8 + i] AS DOUBLE) FOR i IN range(1, 9)] AS sv
+           |  FROM embeddings, range(0, 8) t(j)),
+           |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+           |d AS (SELECT s.vec_id, s.j, c.cid, ${l2("s.sv", "c.cv")} AS d2
+           |  FROM sub s JOIN cb c ON s.j = c.j),
+           |code AS (SELECT vec_id, j, cid FROM (
+           |    SELECT vec_id, j, cid,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+           |    FROM d) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, j, sv AS qv FROM sub WHERE vec_id < 4),
+           |ad AS (SELECT q.qid, code.vec_id,
+           |    list_reduce(list(${l2("q.qv", "cb.cv")} ORDER BY code.j),
+           |      (a, b) -> a + b) AS approx_d2
+           |  FROM code JOIN cb ON cb.j = code.j AND cb.cid = code.cid
+           |  JOIN q ON q.j = code.j
+           |  WHERE code.vec_id <> q.qid
+           |  GROUP BY q.qid, code.vec_id)
+           |SELECT qid, vec_id, approx_d2 FROM (
+           |  SELECT qid, vec_id, approx_d2,
+           |    row_number() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rn
+           |  FROM ad) WHERE rn <= 10""".stripMargin
+      },
+    ),
+
     // Batched ANN — a query TABLE (the 8 lowest vec_ids) answered in ONE
     // bucket equi-join with a per-query window top-k; the plan the real
     // pipeline runs (no per-query loop). 6 hyperplanes (64 buckets) so

@@ -41,6 +41,15 @@ class PlanQualitySpec extends SparkSpec {
     "curation_domain_mix",
     // 1-row codebook + 1-row query broadcasts of the PQ scorer
     "embed_pq_topk",
+    // nQueries-row (constant, 4) query-set broadcast of the batched PQ
+    // sweep — PQ scoring is deliberately queries×corpus over m-byte
+    // codes (the ADC memory story); the per-query WindowGroupLimit
+    // bounds the output
+    "embed_pq_batch",
+    // nProbe-per-query probe-list broadcast of the batched IVF join:
+    // broadcast is the POINT (a shuffle join on nCells distinct keys
+    // would collapse parallelism); candidate scan stays cell-pruned
+    "embed_ivf_batch",
     // nQueries-row (constant, 8) query-set broadcast of the exact side
     // of the recall calibration — the ANN side stays an equi join
     "embed_ann_recall",
@@ -193,6 +202,13 @@ class PlanQualitySpec extends SparkSpec {
   test("batched ANN's per-query top-k pushes into the sort (WindowGroupLimit)") {
     assert(plans("embed_ann_batch").contains("WindowGroupLimit"),
       "rn <= k should become a per-query group limit, not a full per-bucket sort")
+  }
+
+  test("batched IVF and PQ per-query top-k push into the sort (WindowGroupLimit)") {
+    assert(plans("embed_ivf_batch").contains("WindowGroupLimit"),
+      "IVF batch rn <= k should become a per-query group limit")
+    assert(plans("embed_pq_batch").contains("WindowGroupLimit"),
+      "PQ batch rn <= k should become a per-query group limit")
   }
 
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {

@@ -54,6 +54,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
   }
 
+  test("ivfTopKBatch: one-query batch equals the single-query ivfTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val single = Similarity.ivfTopK(emb, queryVecId = 0L)
+      .as[(Long, Double)].collect().toSeq
+    val batch = Similarity.ivfTopKBatch(emb,
+        emb.where($"vec_id" === 0L).select($"vec_id".as("qid"), $"embedding"))
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(batch == single)
+  }
+
+  test("pqTopKBatch: one-query batch scores bit-identical to pqTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val single = Similarity.pqTopK(emb, queryVecId = 0L)
+      .as[(Long, Double)].collect().toSeq
+    val batch = Similarity.pqTopKBatch(emb,
+        emb.where($"vec_id" === 0L).select($"vec_id".as("qid"), $"embedding"))
+      .select("vec_id", "approx_d2").as[(Long, Double)].collect().toSeq
+    assert(batch == single)
+  }
+
   test("native PQ scorer == declarative fold, row for row on real fixtures") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
