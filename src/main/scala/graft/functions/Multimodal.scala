@@ -12,17 +12,182 @@ final case class MediaMeta(
     n_frames: Long,
 )
 
+/** Real-decoder output: container format + header-derived metadata. */
+final case class MediaInfo(
+    doc_id: Long,
+    format: String,
+    n_bytes: Long,
+    width: Long,
+    height: Long,
+    n_frames: Long,
+)
+
+/** Pure-JVM image container header parsing — the REAL (non-stub) decode
+  * path: dimensions and frame counts read from actual PNG/GIF/BMP bytes,
+  * no codec library required. Malformed or unrecognized bytes decode to
+  * `("unknown", 0, 0, 0)` rather than throwing: at 100 TB a corrupt blob
+  * is data, not an exception.
+  */
+object ImageHeaders {
+  /** (format, width, height, nFrames). */
+  def decode(b: Array[Byte]): (String, Long, Long, Long) = {
+    if (isPng(b)) decodePng(b)
+    else if (isGif(b)) decodeGif(b)
+    else if (isBmp(b)) decodeBmp(b)
+    else ("unknown", 0L, 0L, 0L)
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
+
+  /** PNG: IHDR must be the first chunk (spec) — width/height are the
+    * two big-endian u32s at bytes 16/20.
+    */
+  private def decodePng(b: Array[Byte]): (String, Long, Long, Long) =
+    if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      ("png", be32(b, 16), be32(b, 20), 1L)
+    else ("unknown", 0L, 0L, 0L)
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** GIF: logical screen size from the descriptor, frame count by the
+    * standard block walk (image descriptors 0x2C counted; extensions
+    * 0x21 and color tables skipped by their declared lengths). A
+    * truncated stream yields the frames counted so far.
+    */
+  private def decodeGif(b: Array[Byte]): (String, Long, Long, Long) = {
+    val w = le16(b, 6).toLong
+    val h = le16(b, 8).toLong
+    var pos = 13
+    // global color table: 3·2^(N+1) bytes when the flag bit is set
+    if ((u8(b, 10) & 0x80) != 0) pos += 3 * (1 << ((u8(b, 10) & 0x07) + 1))
+    var frames = 0L
+    var done = false
+    def skipSubBlocks(): Unit = {
+      while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+      pos += 1 // the 0x00 block terminator
+    }
+    while (!done && pos < b.length) {
+      u8(b, pos) match {
+        case 0x2c => // image descriptor
+          frames += 1
+          val packed = if (pos + 9 < b.length) u8(b, pos + 9) else 0
+          pos += 10
+          if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 0x07) + 1))
+          pos += 1 // LZW minimum code size
+          skipSubBlocks()
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          pos += 2
+          skipSubBlocks()
+        case 0x3b => done = true // trailer
+        case _ => done = true // malformed: stop, keep what we have
+      }
+    }
+    ("gif", w, h, frames)
+  }
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  /** BMP (BITMAPINFOHEADER): width/height at 18/22, height may be
+    * negative for top-down rows — magnitude is the pixel height.
+    */
+  private def decodeBmp(b: Array[Byte]): (String, Long, Long, Long) =
+    ("bmp", le32(b, 18).toLong, math.abs(le32(b, 22)).toLong, 1L)
+}
+
+/** Deterministic, VALID image containers synthesized from an id — the
+  * fixture side of the real-decode round trip: the registry query plants
+  * dimensions with arithmetic on doc_id, builds genuine PNG/GIF/BMP
+  * bytes, decodes them with [[ImageHeaders]], and the DuckDB oracle
+  * recomputes every output column from the same arithmetic — so the
+  * parser is verified against TRUE dimensions, not against itself.
+  */
+object MediaFixtures {
+  /** Header-complete minimal containers (33-byte PNG, 54-byte BMP,
+    * 14+14·nFrames-byte GIF): everything a header decoder reads is
+    * present and spec-shaped; pixel payloads are the minimum legal
+    * filler (this is a parser fixture, not a renderer fixture).
+    */
+  def imageBytes(id: Long): Array[Byte] = {
+    val w = (id % 640 + 1).toInt
+    val h = ((id * 7) % 480 + 1).toInt
+    (id % 3) match {
+      case 0 => pngBytes(w, h)
+      case 1 => gifBytes(w, h, (id % 4 + 1).toInt)
+      case _ => bmpBytes(w, h)
+    }
+  }
+
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33) // 8 magic + 25 IHDR chunk
+    bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0) // CRC not read by header parsers
+    bb.array()
+  }
+
+  def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(14 + 14 * frames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(w.toShort).putShort(h.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // no global color table
+    var f = 0
+    while (f < frames) {
+      bb.put(0x2c.toByte) // image descriptor
+      bb.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.put(0.toByte) // no local color table
+      bb.put(2.toByte) // LZW minimum code size
+      bb.put(1.toByte).put(0.toByte) // one 1-byte data sub-block
+      bb.put(0.toByte) // block terminator
+      f += 1
+    }
+    bb.put(0x3b.toByte) // trailer
+    bb.array()
+  }
+
+  def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54) // file size (header-only fixture)
+    bb.putInt(0).putInt(54) // reserved, pixel-data offset
+    bb.putInt(40) // BITMAPINFOHEADER size
+    bb.putInt(w).putInt(h)
+    bb.putShort(1).putShort(24) // planes, bpp
+    bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.array()
+  }
+}
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata extracted by a per-partition
   * batch decoder.
   *
-  * The decode step itself is a STUB — this container has no image/audio
-  * codecs — but the Spark-side plumbing is real: binary column in,
-  * `mapPartitions` batch-amortized decode (where a real codec would be
-  * initialized once per partition, not per row), typed `Dataset[MediaMeta]`
-  * out. Partitioning survives (narrow transform); at 100 TB the binary
-  * payloads stream through executors without ever concentrating on the
-  * driver.
+  * Two decode paths share the plumbing (binary column in, `mapPartitions`
+  * batch-amortized decode — a real codec initializes once per partition,
+  * not per row — typed Dataset out; narrow transform, so partitioning
+  * survives and payloads never concentrate on the driver):
+  *
+  *   - [[decodeImageMeta]] is REAL: pure-JVM PNG/GIF/BMP container
+  *     header parsing ([[ImageHeaders]]) — true dimensions and frame
+  *     counts from actual bytes.
+  *   - [[decodeStub]] / [[featureExtractStub]] remain declared stubs for
+  *     the codec classes this container lacks (pixel decode, audio,
+  *     embedding models): deterministic fakes behind the same contract.
   */
 object Multimodal {
 
@@ -52,6 +217,35 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
     decodeStub(payloads).toDF()
+  }
+
+  /** REAL decode through the same per-partition batch plumbing as
+    * [[decodeStub]]: actual PNG/GIF/BMP header parsing
+    * ([[ImageHeaders]]) — true dimensions and frame counts from the
+    * container bytes. Unrecognized/corrupt payloads become
+    * `("unknown", 0, 0, 0)` rows, not task failures.
+    */
+  def decodeImageMeta(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaInfo] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (format, w, h, frames) = ImageHeaders.decode(bytes)
+        MediaInfo(id, format, bytes.length.toLong, w, h, frames)
+      }
+    }
+  }
+
+  /** Fixture adapter for the real decoder: synthesize a deterministic
+    * valid image container per document id ([[MediaFixtures]]) and run
+    * it through [[decodeImageMeta]]. The planted dimensions are pure
+    * doc_id arithmetic, so an external oracle can verify the decoded
+    * values are the TRUE ones.
+    */
+  def decodeDocumentsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.imageBytes(id)))
+    decodeImageMeta(payloads).toDF()
   }
 
   /** Feature extraction stub: opaque bytes → fixed-width float vector,

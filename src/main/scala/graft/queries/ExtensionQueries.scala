@@ -1163,6 +1163,24 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // REAL multimodal decode: deterministic valid PNG/GIF/BMP containers
+    // planted from doc_id arithmetic, parsed by the pure-JVM header
+    // decoder (ImageHeaders). The oracle recomputes format, byte length,
+    // true dimensions, and GIF frame count from the same arithmetic —
+    // verifying the parser against planted truth, not against itself.
+    QueryDef(
+      "multimodal_decode_real",
+      (s, dir) => Multimodal.decodeDocumentsReal(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+             |CAST(CASE doc_id % 3 WHEN 0 THEN 33
+             |  WHEN 1 THEN 14 + 14 * (doc_id % 4 + 1) ELSE 54 END AS BIGINT) AS n_bytes,
+             |CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+             |CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+             |CAST(CASE doc_id % 3 WHEN 1 THEN doc_id % 4 + 1 ELSE 1 END AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin),
+    ),
+
     // Generator / lateral-view surface: one row per token with its
     // position (posexplode — the engine's UDTF shape). The oracle
     // reconstructs ordinality with a list comprehension because this

@@ -266,4 +266,50 @@ class TextAndMultimodalSpec extends SparkSpec {
     // "the cat sat on the mat" = 22 utf-8 bytes
     assert(out(1L) == ((22L, 22L % 640, (22L * 7) % 480, 22L % 30)))
   }
+
+  test("ImageHeaders: true dimensions from real PNG/GIF/BMP bytes") {
+    import graft.functions.{ImageHeaders, MediaFixtures}
+    assert(ImageHeaders.decode(MediaFixtures.pngBytes(640, 480)) ==
+      (("png", 640L, 480L, 1L)))
+    assert(ImageHeaders.decode(MediaFixtures.bmpBytes(31, 17)) ==
+      (("bmp", 31L, 17L, 1L)))
+    assert(ImageHeaders.decode(MediaFixtures.gifBytes(100, 50, frames = 3)) ==
+      (("gif", 100L, 50L, 3L)))
+    // dimensions above the u16/i32 byte boundaries exercise endianness
+    assert(ImageHeaders.decode(MediaFixtures.pngBytes(65537, 300))._2 == 65537L)
+    assert(ImageHeaders.decode(MediaFixtures.gifBytes(0x1234, 0x0102, 1)) ==
+      (("gif", 0x1234L, 0x0102L, 1L)))
+  }
+
+  test("ImageHeaders: malformed and unknown bytes decode to unknown, not a throw") {
+    import graft.functions.{ImageHeaders, MediaFixtures}
+    assert(ImageHeaders.decode(Array.emptyByteArray) == (("unknown", 0L, 0L, 0L)))
+    assert(ImageHeaders.decode("just text".getBytes("UTF-8")) ==
+      (("unknown", 0L, 0L, 0L)))
+    // truncated GIF: screen descriptor present, stream cut mid-frame —
+    // frames counted so far, no exception
+    val gif = MediaFixtures.gifBytes(10, 10, frames = 2)
+    val cut = java.util.Arrays.copyOf(gif, 13 + 14 + 3)
+    val (fmt, w, h, _) = ImageHeaders.decode(cut)
+    assert(fmt == "gif" && w == 10L && h == 10L)
+    // PNG magic with a non-IHDR first chunk is rejected as unknown
+    val bad = MediaFixtures.pngBytes(4, 4)
+    bad(12) = 'X'
+    assert(ImageHeaders.decode(bad)._1 == "unknown")
+  }
+
+  test("decodeImageMeta: real decode through the batch plumbing, planted truth") {
+    val out = Multimodal.decodeDocumentsReal(spark, docs)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    for (id <- out.keys) {
+      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "bmp" }
+      val expBytes = (id % 3) match {
+        case 0 => 33L; case 1 => 14L + 14L * (id % 4 + 1); case _ => 54L
+      }
+      val expFrames = if (id % 3 == 1) id % 4 + 1 else 1L
+      assert(out(id) == ((expFmt, expBytes, id % 640 + 1, (id * 7) % 480 + 1, expFrames)),
+        s"doc $id")
+    }
+  }
 }
