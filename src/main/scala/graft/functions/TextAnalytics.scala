@@ -264,13 +264,15 @@ object TextAnalytics {
     * contamination detection at corpus scale.
     *
     * Selection is ONE integer window-min: the 40-bit md5 gram hash and
-    * the 20-bit bit-inverted gram position pack into a single BIGINT
-    * (`h·2²⁰ + (2²⁰−1−pos)` ≤ 2⁶⁰, comfortably inside a signed long),
-    * so `min` picks the smallest hash and breaks ties toward the larger
-    * position — exact integer arithmetic, portable to any engine's
-    * window min. 40-bit hashes keep cross-doc fingerprint joins safe to
-    * ~10⁶ distinct grams per corpus (birthday bound — widen the slice
-    * for bigger vocabularies); positions cap at 2²⁰−1 grams per doc.
+    * the 23-bit bit-inverted gram position pack into a single BIGINT
+    * (`h·2²³ + (2²³−1−pos)` — max exactly 2⁶³−1, the full signed-long
+    * range), so `min` picks the smallest hash and breaks ties toward the
+    * larger position — exact integer arithmetic, portable to any
+    * engine's window min. 40-bit hashes keep cross-doc fingerprint joins
+    * safe to ~10⁶ distinct grams per corpus (birthday bound — widen the
+    * slice for bigger vocabularies); positions cap at 2²³−1 ≈ 8.4M grams
+    * per doc (~40 MB of text — the guard below still fails loudly past
+    * it rather than silently corrupting tie-breaks).
     *
     * Plan shape: per-document windows only — partition by doc_id, no
     * cross-document shuffle beyond the doc_id exchange; heads dedupe
@@ -287,15 +289,15 @@ object TextAnalytics {
       .select(col("doc_id"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("doc_id"), posexplode(expr(grams)).as(Seq("pos", "gram")))
-    // positions beyond 2²⁰−1 would wrap the packed key's low bits and
+    // positions beyond 2²³−1 would wrap the packed key's low bits and
     // silently corrupt tie-breaking — fail loudly instead (the guard is
     // inside the key expression so column pruning can never drop it)
-    val key = when(col("pos") > 1048575L,
+    val key = when(col("pos") > 8388607L,
       raise_error(concat(lit("winnowFingerprints: document "), col("doc_id"),
-        lit(" exceeds 2^20 grams — raise the position width"))).cast("long"))
+        lit(" exceeds 2^23 grams — raise the position width"))).cast("long"))
       .otherwise(
-        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") * lit(1048576L) +
-          (lit(1048575L) - col("pos")))
+        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long") * lit(8388608L) +
+          (lit(8388607L) - col("pos")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     val nGrams = Window.partitionBy(col("doc_id"))
@@ -306,8 +308,8 @@ object TextAnalytics {
       // integer decode: `div`, never `/` (double division drops low bits
       // beyond 2^53 — the packed keys reach 2^60)
       .select(col("doc_id"),
-        (lit(1048575L) - (col("__wmin") % 1048576L)).as("fp_pos"),
-        expr("__wmin div 1048576").as("fp_hash"))
+        (lit(8388607L) - (col("__wmin") % 8388608L)).as("fp_pos"),
+        expr("__wmin div 8388608").as("fp_hash"))
       .distinct()
   }
 

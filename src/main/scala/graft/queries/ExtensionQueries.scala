@@ -748,7 +748,7 @@ object ExtensionQueries {
              |  FROM toks WHERE len(t) >= 3),
              |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
              |k AS (SELECT doc_id, pos,
-             |    ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + (1048575 - pos) AS key
+             |    ('0x' || substr(md5(gram), 1, 10))::BIGINT * 8388608 + (8388607 - pos) AS key
              |  FROM g),
              |wm AS (SELECT doc_id, pos,
              |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -756,8 +756,8 @@ object ExtensionQueries {
              |    count(*) OVER (PARTITION BY doc_id) AS gcount
              |  FROM k)
              |SELECT DISTINCT doc_id,
-             |  1048575 - (wmin % 1048576) AS fp_pos,
-             |  wmin // 1048576 AS fp_hash
+             |  8388607 - (wmin % 8388608) AS fp_pos,
+             |  wmin // 8388608 AS fp_hash
              |FROM wm WHERE pos <= greatest(0, gcount - 4)""".stripMargin),
     ),
 

@@ -267,6 +267,26 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(1L) == ((22L, 22L % 640, (22L * 7) % 480, 22L % 30)))
   }
 
+  test("winnowFingerprints: a >2^20-gram document fingerprints (23-bit positions)") {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    // past the old 20-bit cap that used to raise_error
+    val nWords = (1 << 20) + 10
+    val sb = new StringBuilder(nWords * 7)
+    var i = 0
+    while (i < nWords) { sb.append('w').append(i % 9973).append(' '); i += 1 }
+    val big = Seq((42L, sb.toString.trim)).toDF("doc_id", "text")
+    val fps = TextAnalytics.winnowFingerprints(big).cache()
+    try {
+      // positions beyond 2^20-1 must round-trip the packed key exactly
+      val maxPos = fps.agg(fmax($"fp_pos")).as[Long].head()
+      assert(maxPos > 1048575L, s"expected selected positions past 2^20-1, got $maxPos")
+      assert(maxPos <= nWords.toLong - 3, "decoded position must stay within the doc")
+      assert(fps.agg(fmin($"fp_pos")).as[Long].head() >= 0L)
+      // hashes stay 40-bit: the decode divides cleanly
+      assert(fps.agg(fmax($"fp_hash")).as[Long].head() < (1L << 40))
+    } finally fps.unpersist()
+  }
+
   test("ImageHeaders: true dimensions from real PNG/GIF/BMP bytes") {
     import graft.functions.{ImageHeaders, MediaFixtures}
     assert(ImageHeaders.decode(MediaFixtures.pngBytes(640, 480)) ==
