@@ -220,6 +220,65 @@ class ScaleSmokeSpec extends SparkSpec {
       s"one task read $maxTask of $total shuffle records — skew")
   }
 
+  test("adversarial skew: corpus-wide boilerplate shingle, maxDf cap bounds the join at 10×") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import graft.functions.expressions.TextExpressions
+    // Every document in BOTH corpora ends with the same unsalted
+    // boilerplate phrase: its trigrams have df = |corpus| — the hot key
+    // that at 1M docs is a 10^12-row join no AQE split saves.
+    val boiler = " the terms of service apply to all users"
+    def withBoiler(d: DataFrame) =
+      d.select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+    val adv1 = withBoiler(synthDocs(1, s"$base/docs1adv"))
+    val adv10 = withBoiler(synthDocs(10, s"$base/docs10adv"))
+    val nDocs = adv10.count()
+    // (1) the hazard is real: the uncapped inverted index contains a key
+    // with document frequency == corpus size
+    val maxDfObserved = adv10
+      .select(explode(TextExpressions.ngramDistinctHashes(col("text"), 3)).as("sh"))
+      .groupBy("sh").count().agg(max("count")).head().getLong(0)
+    assert(maxDfObserved == nDocs,
+      s"planted boilerplate should hit df=$nDocs, got $maxDfObserved")
+    // (2) with maxDf chosen BELOW the boilerplate df at every scale
+    // (100 < 500 docs at 1x), the hot key is dropped from the index and
+    // the candidate join stays skew-free: measure actual task-level
+    // shuffle reads
+    var maxTask = 0L
+    var total = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
+        maxTask = math.max(maxTask, recs)
+        total += recs
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val (p10, p1) =
+      try {
+        val r = (Dedup.jaccardPairs(adv10, n = 3, threshold = 0.05, maxDf = Some(100)).count(),
+          Dedup.jaccardPairs(adv1, n = 3, threshold = 0.05, maxDf = Some(100)).count())
+        var last = -1L
+        var spins = 0
+        while (total != last && spins < 50) { last = total; spins += 1; Thread.sleep(200L) }
+        r
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    info(s"adversarial capped join: maxTask=$maxTask total=$total pairs10=$p10")
+    assert(total > 0 && maxTask <= total / 4,
+      s"one task read $maxTask of $total shuffle records — the cap failed to bound the hot key")
+    // (3) semantics under the cap stay copy-exact: boilerplate shingles
+    // are dropped at BOTH scales (cap < both dfs), so only salted
+    // within-copy shingles pair and the 10x theorem holds exactly
+    assert(p10 == 10 * p1, s"capped 10x corpus must yield exactly 10x pairs: $p10 vs $p1")
+    // maxDf guidance (documented at jaccardPairsImpl): pick maxDf well
+    // below the df of known boilerplate (here 100 < 500) and well above
+    // the df of discriminative content; the worst surviving key then
+    // fans out at most maxDf^2 join rows per shingle.
+  }
+
   test("embedding near-dup LSH scales near-linearly on a 10× corpus") {
     val emb1 = synthEmb(1, s"$base/emb1")
     val emb10 = synthEmb(10, s"$base/emb10")
