@@ -12,6 +12,21 @@ import graft.sources.JdbcUpsertSink
   * on demand, batched merge, idempotent re-run (`script.js:103-123` +
   * `script.js:182-215`).
   */
+/** JVM static backing the Derby-registered TO_DATE: parses the
+  * reference's exact wire format and REJECTS any other format string, so
+  * a drifted dialect format fails the matrix instead of silently parsing.
+  * (Scala objects emit static forwarders, which Derby's EXTERNAL NAME
+  * resolution requires.)
+  */
+object DerbyOracleCompat {
+  def toDate(ts: String, fmt: String): java.sql.Timestamp = {
+    require(fmt == "YYYY-MM-DD\"T\"HH24:MI:SS",
+      s"unexpected Oracle format string: $fmt")
+    java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.parse(ts, graft.sources.TrafsysSource.wirePattern))
+  }
+}
+
 class JdbcUpsertSinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -71,6 +86,62 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     // Ins, Outs), INSERT (all six in schema order)
     assert(JdbcUpsertSink.bindOrder(schema, keys) ==
       Seq(0, 1, 3, 2, 4, 5, 0, 1, 2, 3, 4, 5))
+  }
+
+  test("Oracle dialect BEHAVIOR matrix on Derby: insert, update, idempotent re-run via TO_DATE binds") {
+    // Derby executes OracleDialect's statement VERBATIM once the two
+    // Oracle-isms exist: a one-row DUAL table and a TO_DATE function
+    // (registered against a JVM static that enforces the reference's
+    // exact format string) — so the Oracle path's structure (DUAL
+    // using-clause, parenthesized ON, wire-string timestamp binds
+    // through TO_DATE, bare ? binds elsewhere) is behavior-tested
+    // through a real MERGE engine, not string-compared.
+    val url2 = "jdbc:derby:memory:graftora;create=true"
+    val table2 = "ULS_TRAFSYS_ORA"
+    val conn = DriverManager.getConnection(url2)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("CREATE TABLE DUAL (DUMMY VARCHAR(1))")
+        st.executeUpdate("INSERT INTO DUAL VALUES ('X')")
+        st.executeUpdate(
+          "CREATE FUNCTION TO_DATE(TS VARCHAR(40), FMT VARCHAR(60)) " +
+            "RETURNS TIMESTAMP PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA " +
+            "EXTERNAL NAME 'graft.DerbyOracleCompat.toDate'")
+      } finally st.close()
+      // target table itself uses Derby types (Oracle DDL types can't
+      // exist in Derby; the behavior under test is the MERGE)
+      JdbcUpsertSink.ensureTable(conn, table2, schema, keys)
+    } finally conn.close()
+
+    def readOra() =
+      spark.read.format("jdbc").option("url", url2).option("dbtable", table2).load()
+        .select($"SiteCode", $"Location", $"IsInternal", $"PeriodEnding", $"Ins", $"Outs")
+        .as[(String, String, Int, java.sql.Timestamp, Long, Long)]
+        .collect().map(r => (r._1, r._4.toString) -> ((r._5, r._6))).toMap
+
+    val target = mkDf(Seq(
+      ("HILL", "Main", 0, "2024-02-01 10:00:00", 5L, 3L),
+      ("HILL", "Main", 0, "2024-02-01 11:00:00", 7L, 2L)))
+    JdbcUpsertSink.upsert(target, url2, table2, keys, dialect = graft.sources.OracleDialect)
+    assert(readOra().size == 2)
+    // the wire-string bind round-tripped to the true timestamp
+    assert(readOra()(("HILL", "2024-02-01 10:00:00.0")) == ((5L, 3L)))
+
+    // overlapping batch: one matched-update, one not-matched-insert
+    val batch = mkDf(Seq(
+      ("HILL", "Main", 0, "2024-02-01 11:00:00", 9L, 4L),
+      ("ANNEX", "Side", 1, "2024-02-01 11:00:00", 1L, 1L)))
+    JdbcUpsertSink.upsert(batch, url2, table2, keys, dialect = graft.sources.OracleDialect)
+    val got = readOra()
+    assert(got.size == 3)
+    assert(got(("HILL", "2024-02-01 11:00:00.0")) == ((9L, 4L))) // updated
+    assert(got(("HILL", "2024-02-01 10:00:00.0")) == ((5L, 3L))) // untouched
+    assert(got(("ANNEX", "2024-02-01 11:00:00.0")) == ((1L, 1L))) // inserted
+
+    // idempotent re-run (I3): same batch, same end state
+    JdbcUpsertSink.upsert(batch, url2, table2, keys, dialect = graft.sources.OracleDialect)
+    assert(readOra() == got)
   }
 
   test("Oracle dialect emits DUAL, NUMBER/VARCHAR2/DATE, and TO_DATE binds (script.js:185-201)") {
