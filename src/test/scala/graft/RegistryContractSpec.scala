@@ -33,4 +33,22 @@ class RegistryContractSpec extends AnyFunSuite {
     // entry() must exist and the registry must keep its source query
     assert(SparkEntry.queries.contains("flagship_hourly_ingest"))
   }
+
+  test("every benchmarked baseline query still exists (perf guards can't silently drop)") {
+    // A renamed registry query would silently lose its per-query perf
+    // comparison: the bench guard matches by name against the committed
+    // baseline artifact. Parse the baseline's query names (flat JSON,
+    // keys inside the "queries" object) and require each to resolve.
+    val path = java.nio.file.Paths.get("BENCH_BASELINE.json")
+    assume(java.nio.file.Files.exists(path), "no committed baseline artifact")
+    val json = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val queriesObj = json.substring(json.indexOf("\"queries\""))
+    val names = "\"([a-z][a-z0-9_]*)\"\\s*:".r
+      .findAllMatchIn(queriesObj.substring(0, queriesObj.indexOf('}') + 1))
+      .map(_.group(1)).filterNot(_ == "queries").toSet
+    assert(names.nonEmpty, "baseline artifact parsed to zero query names")
+    val gone = names -- SparkEntry.queries.keySet
+    assert(gone.isEmpty,
+      s"baseline queries no longer registered (renamed? perf guard lost): $gone")
+  }
 }
