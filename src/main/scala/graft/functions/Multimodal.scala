@@ -106,6 +106,64 @@ object ImageHeaders {
     ("bmp", le32(b, 18).toLong, math.abs(le32(b, 22)).toLong, 1L)
 }
 
+/** Real-decoder output for audio containers. */
+final case class AudioMeta(
+    doc_id: Long,
+    format: String,
+    n_bytes: Long,
+    channels: Long,
+    sample_rate: Long,
+    bits_per_sample: Long,
+    n_samples: Long,
+)
+
+/** Pure-JVM WAV/RIFF header parsing — the audio sibling of
+  * [[ImageHeaders]]: channel count, sample rate, bit depth, and sample
+  * count read from actual container bytes by the standard chunk walk.
+  * Malformed/unknown bytes decode to `("unknown", 0, …)` rows.
+  */
+object AudioHeaders {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  /** (format, channels, sampleRate, bitsPerSample, nSamples). The chunk
+    * walk reads `fmt ` for the wave format and `data` for the payload
+    * size (frames = dataSize / frameBytes); unknown chunks are skipped
+    * by their declared (word-aligned) lengths, so INFO/LIST metadata
+    * before `data` parses fine. A truncated stream yields what was
+    * parsed up to the cut.
+    */
+  def decode(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
+      return ("unknown", 0L, 0L, 0L, 0L)
+    var channels = 0L
+    var rate = 0L
+    var bits = 0L
+    var dataBytes = -1L
+    var pos = 12
+    while (pos + 8 <= b.length && dataBytes < 0) {
+      val size = le32(b, pos + 4)
+      if (tag(b, pos, "fmt ") && pos + 8 + 16 <= b.length) {
+        channels = le16(b, pos + 10).toLong
+        rate = le32(b, pos + 12)
+        bits = le16(b, pos + 22).toLong
+      } else if (tag(b, pos, "data")) {
+        dataBytes = size
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || bits <= 0 || dataBytes < 0) ("unknown", 0L, 0L, 0L, 0L)
+    else ("wav", channels, rate, bits, dataBytes / (channels * bits / 8))
+  }
+}
+
 /** Deterministic, VALID image containers synthesized from an id — the
   * fixture side of the real-decode round trip: the registry query plants
   * dimensions with arithmetic on doc_id, builds genuine PNG/GIF/BMP
@@ -170,6 +228,34 @@ object MediaFixtures {
     bb.putShort(1).putShort(24) // planes, bpp
     bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
     bb.array()
+  }
+
+  /** Audio fixture: channels/rate/samples planted by doc_id arithmetic
+    * (16-bit PCM), canonical 44-byte header + silent payload.
+    */
+  def audioBytes(id: Long): Array[Byte] = {
+    val channels = (id % 2 + 1).toInt
+    val rate = (8000 * (id % 3 + 1)).toInt
+    val nSamples = (id % 50 + 1).toInt
+    wavBytes(channels, rate, 16, nSamples)
+  }
+
+  def wavBytes(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val frameBytes = channels * bits / 8
+    val dataBytes = nSamples * frameBytes
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(rate)
+    bb.putInt(rate * frameBytes) // byte rate
+    bb.putShort(frameBytes.toShort) // block align
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array() // payload stays zeroed: silence
   }
 }
 
@@ -246,6 +332,30 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.imageBytes(id)))
     decodeImageMeta(payloads).toDF()
+  }
+
+  /** REAL audio decode through the batch plumbing: WAV/RIFF chunk-walk
+    * header parsing ([[AudioHeaders]]) — channels, sample rate, bit
+    * depth, sample count from actual container bytes.
+    */
+  def decodeAudioMeta(payloads: Dataset[(Long, Array[Byte])]): Dataset[AudioMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (format, ch, rate, bits, n) = AudioHeaders.decode(bytes)
+        AudioMeta(id, format, bytes.length.toLong, ch, rate, bits, n)
+      }
+    }
+  }
+
+  /** Fixture adapter for the audio decoder ([[MediaFixtures.audioBytes]]
+    * plants channels/rate/samples by doc_id arithmetic).
+    */
+  def decodeAudioReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.audioBytes(id)))
+    decodeAudioMeta(payloads).toDF()
   }
 
   /** Feature extraction stub: opaque bytes → fixed-width float vector,

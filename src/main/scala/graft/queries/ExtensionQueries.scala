@@ -1181,6 +1181,22 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // REAL audio decode: WAV/RIFF containers planted from doc_id
+    // arithmetic (16-bit PCM), parsed by the chunk-walk header decoder
+    // (AudioHeaders). Same planted-truth pattern as the image query.
+    QueryDef(
+      "multimodal_audio_real",
+      (s, dir) => Multimodal.decodeAudioReal(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |'wav' AS format,
+             |CAST(44 + (doc_id % 50 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT) AS n_bytes,
+             |CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+             |CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
+             |CAST(16 AS BIGINT) AS bits_per_sample,
+             |CAST(doc_id % 50 + 1 AS BIGINT) AS n_samples
+             |FROM documents""".stripMargin),
+    ),
+
     // Generator / lateral-view surface: one row per token with its
     // position (posexplode — the engine's UDTF shape). The oracle
     // reconstructs ordinality with a list comprehension because this

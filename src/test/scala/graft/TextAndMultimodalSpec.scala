@@ -318,6 +318,27 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(ImageHeaders.decode(bad)._1 == "unknown")
   }
 
+  test("AudioHeaders: WAV chunk walk reads true format, skips metadata chunks") {
+    import graft.functions.{AudioHeaders, MediaFixtures}
+    assert(AudioHeaders.decode(MediaFixtures.wavBytes(2, 44100, 16, 100)) ==
+      (("wav", 2L, 44100L, 16L, 100L)))
+    assert(AudioHeaders.decode(MediaFixtures.wavBytes(1, 8000, 16, 1)) ==
+      (("wav", 1L, 8000L, 16L, 1L)))
+    // a LIST metadata chunk between fmt and data must be skipped by its
+    // declared length (odd size exercises word alignment)
+    val base = MediaFixtures.wavBytes(1, 16000, 16, 4)
+    val meta = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'x', 'y', 'z', 'w', 'v', 0)
+    val withMeta = base.slice(0, 36) ++ meta ++ base.slice(36, base.length)
+    // fix the RIFF size field for the inserted chunk
+    val bb = java.nio.ByteBuffer.wrap(withMeta).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withMeta.length - 8)
+    assert(AudioHeaders.decode(withMeta) == (("wav", 1L, 16000L, 16L, 4L)))
+    // malformed input: named unknown, never a throw
+    assert(AudioHeaders.decode("RIFFjunk".getBytes("UTF-8")) ==
+      (("unknown", 0L, 0L, 0L, 0L)))
+    assert(AudioHeaders.decode(Array.emptyByteArray) == (("unknown", 0L, 0L, 0L, 0L)))
+  }
+
   test("decodeImageMeta: real decode through the batch plumbing, planted truth") {
     val out = Multimodal.decodeDocumentsReal(spark, docs)
       .as[(Long, String, Long, Long, Long, Long)].collect()
