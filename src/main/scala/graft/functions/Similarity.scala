@@ -205,6 +205,18 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
     assignToCentroids(embeddings, seededCentroids(embeddings, nCells))
 
+  /** Incremental IVF maintenance: assign only a NEW batch of vectors to
+    * the centroids of the existing index — the O(batch) path that keeps
+    * a 100 TB index current without re-reading the corpus (the
+    * CurationPipeline state-table pattern applied to ANN). Centroids are
+    * whatever the index was built with (seeded or Lloyd-refined),
+    * materialized once into the literal argmax scan; the output unions
+    * directly onto the persisted `(vec_id, cell, embedding)` table, and
+    * a cell-partitioned write keeps probe-time pruning intact.
+    */
+  def ivfAssignIncremental(newBatch: DataFrame, centroids: DataFrame): DataFrame =
+    assignToCentroids(newBatch, centroids)
+
   /** One Lloyd (k-means) refinement pass: assign every vector to its
     * nearest current centroid, then replace each centroid with the
     * unit-normalized element-wise MEAN of its members. Two scans plus a

@@ -948,6 +948,36 @@ object ExtensionQueries {
       },
     ),
 
+    // Incremental IVF maintenance: only the NEW batch (vec_id >= 250)
+    // is assigned, against centroids from the existing index's history —
+    // the O(batch) path that keeps a 100 TB index current without
+    // re-reading the corpus. Oracle mirrors the argmax assignment with
+    // the same batch restriction.
+    QueryDef(
+      "embed_ivf_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val history = emb.filter(col("vec_id") < 250)
+        val batch = emb.filter(col("vec_id") >= 250)
+        Similarity.ivfAssignIncremental(batch, Similarity.seededCentroids(history, 16))
+          .select(col("vec_id"), col("cell"))
+      },
+      Some {
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16)
+           |SELECT vec_id, cell FROM (
+           |  SELECT e.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cents c
+           |  WHERE e.vec_id >= 250) WHERE rn = 1""".stripMargin
+      },
+    ),
+
     // Batched PQ retrieval — a query TABLE scored by the native
     // column-query asymmetric distance in one broadcast join + per-query
     // window top-k; scores bit-identical to the single-query path, so
