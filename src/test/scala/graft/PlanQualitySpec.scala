@@ -204,6 +204,14 @@ class PlanQualitySpec extends SparkSpec {
       "rn <= k should become a per-query group limit, not a full per-bucket sort")
   }
 
+  test("incremental IVF assignment is a join-free scan (literal centroids)") {
+    // the O(batch) maintenance path must stay a pure projection: the
+    // centroid set rides as literals inside the argmax expression, so a
+    // Join/Exchange here means the scale story broke
+    val p = plans("embed_ivf_incremental")
+    assert(!p.contains("Join"), "incremental IVF assignment must not join")
+  }
+
   test("batched IVF and PQ per-query top-k push into the sort (WindowGroupLimit)") {
     assert(plans("embed_ivf_batch").contains("WindowGroupLimit"),
       "IVF batch rn <= k should become a per-query group limit")

@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.head._1 == 4L && ivf.head._2 == 1.0)
   }
 
+  test("ivfAssignIncremental: batch assignment == full assignment restricted to the batch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Similarity.seededCentroids(emb.where($"vec_id" < 30), 8)
+    // assigning everything at once and assigning only the new batch
+    // against the same centroids must agree row-for-row — the law that
+    // makes incremental maintenance SOUND (cells never depend on what
+    // else arrived in the batch)
+    val full = Similarity.assignToCentroids(emb, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val inc = Similarity.ivfAssignIncremental(emb.where($"vec_id" >= 30), cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(inc.nonEmpty)
+    inc.foreach { case (v, c) => assert(full(v) == c, s"vec $v") }
+  }
+
   test("ivfTopKBatch: one-query batch equals the single-query ivfTopK") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
