@@ -609,6 +609,18 @@ object Dedup {
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Materialize the dedup decision from [[clusterAssign]]: every
+    * document labels with its component's min-id representative and
+    * `kept` marks the representatives — `filter(kept)` IS the deduped
+    * corpus, while dropped rows keep their cluster for lineage/audit.
+    * Same cost shape as clusterAssign (the projection is free).
+    */
+  def applyClusters(pairs: DataFrame, nodes: DataFrame,
+      reliable: Boolean = false): DataFrame =
+    clusterAssign(pairs, nodes, reliable)
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("kept"))
+
   /** 64-bit SimHash per document: per-token xxhash64, bitwise weighted
     * majority across tokens. Implemented as 64 sum aggregates (one per
     * bit) in a single groupBy — map-side combinable, whole-stage

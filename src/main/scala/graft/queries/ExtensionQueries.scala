@@ -175,6 +175,40 @@ object ExtensionQueries {
               |SELECT doc_id, min(cluster) AS cluster FROM walk GROUP BY 1""".stripMargin),
     ),
 
+    // The dedup DECISION materialized: cluster representatives (min-id)
+    // marked kept, everything else dropped-with-lineage — filter(kept)
+    // IS the deduped corpus. Same recursive-CTE oracle as
+    // dedup_cluster_assign plus the kept column.
+    QueryDef(
+      "dedup_apply_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.applyClusters(
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.05, maxDf = Some(1000))
+            .select("doc_a", "doc_b"),
+          docs.select("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+              |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
+              |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM p0 JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+              |  WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= 0.05),
+              |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(doc_id, cluster) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.s, w.cluster FROM edges e JOIN walk w ON w.doc_id = e.d)
+              |SELECT doc_id, min(cluster) AS cluster,
+              |  doc_id = min(cluster) AS kept
+              |FROM walk GROUP BY 1""".stripMargin),
+    ),
+
     // MinHash+LSH candidate pairs — hashing is xxhash64, so the pair SET
     // itself is not reproducible in an external engine; instead the query
     // emits per-document booleans that are THEOREMS about a correct
