@@ -421,4 +421,38 @@ class StreamingSpec extends SparkSpec {
       assert(second.toSeq == Seq((7L, "in", ts("2024-01-01 11:00:00"), 3L, 9.0)))
     } finally q.stop()
   }
+
+  test("IVF assignment is streaming-legal: arriving vectors cell-match the batch index") {
+    // assignToCentroids is a literal-centroid narrow projection, so it
+    // runs unchanged on a stream — the live form of incremental IVF
+    // maintenance (new vectors assigned as they arrive, appended to the
+    // cell-partitioned index)
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = graft.functions.Similarity.seededCentroids(emb, 8)
+    val batchCells = graft.functions.Similarity.assignToCentroids(emb, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = graft.functions.Similarity.assignToCentroids(
+        source.toDF().toDF("vec_id", "embedding"), cents)
+      .select("vec_id", "cell")
+      .writeStream.format("memory").queryName("ivf_stream_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      source.addData(first.toSeq)
+      q.processAllAvailable()
+      source.addData(rest.toSeq) // second micro-batch: same centroids
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_stream_sink")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed.size == rows.length)
+      assert(streamed == batchCells,
+        "streaming assignment must agree with the batch index cell-for-cell")
+    } finally q.stop()
+  }
 }
