@@ -288,6 +288,10 @@ object Similarity {
     * cells' files. A shuffle join keyed on `cell` would be wrong here:
     * only `nCells` distinct keys — broadcast keeps the parallelism of
     * the corpus partitioning instead of collapsing to nCells tasks.
+    * The broadcast bounds the query-table size (~0.5 KB × nProbe per
+    * query — low millions of queries per pass); beyond that, run the
+    * query table in chunks: the corpus side is re-scanned per chunk but
+    * never re-shuffled, so chunking is a driver loop, not a plan change.
     */
   def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, refine: Int = 0): DataFrame = {
@@ -326,7 +330,9 @@ object Similarity {
     * the full sweep viable — and the broadcast keeps it one corpus scan
     * with no shuffle before the per-query limit. Scores are
     * bit-identical to [[pqTopK]] (same arithmetic order), so the same
-    * oracle shape covers both paths.
+    * oracle shape covers both paths. Like [[ivfTopKBatch]], the
+    * broadcast bounds the query table (~0.3 KB/query); larger query
+    * sets chunk through a driver loop over the same plan.
     */
   def pqTopKBatch(embeddings: DataFrame, queries: DataFrame, topK: Int = 10,
       dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
