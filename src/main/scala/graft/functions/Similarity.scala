@@ -421,6 +421,41 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Recall@k of the PQ asymmetric-distance ranking against the EXACT
+    * L2 ranking, per query — the [[annRecall]] pattern applied to the
+    * quantized index (PQ approximates L2, so exact L2 is the reference).
+    * Both chains are sequential double folds, hence bit-portable to an
+    * external oracle; the exact side is one broadcast corpus scan with a
+    * per-query `WindowGroupLimit`, never corpus². Output
+    * `(qid, n_exact, n_hit, recall)`.
+    */
+  def pqRecall(embeddings: DataFrame, nQueries: Int = 4, topK: Int = 10,
+      dim: Int = 64, m: Int = 8, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val pq = pqTopKBatch(embeddings, queries, topK, dim, m, k)
+      .select(col("qid"), col("vec_id"))
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val rn = row_number().over(Window.partitionBy(col("qid"))
+      .orderBy(asc("d2"), asc("vec_id")))
+    val exact = embeddings
+      .crossJoin(broadcast(queries
+        .select(col("qid"), transform(col("embedding"), x => x.cast("double")).as("__q"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), l2sq(embD, col("__q")).as("d2"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(pq, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Contrastive training-pair mining: for each anchor, one POSITIVE
     * (its ANN top-1 through the bucket index) and `nNeg` deterministic
     * random NEGATIVES (smallest md5 rank of the salted (anchor, vec)

@@ -1086,6 +1086,61 @@ object ExtensionQueries {
               |  FROM d) WHERE rn <= 10""".stripMargin),
     ),
 
+    // Recall@10 of the PQ asymmetric-distance ranking vs the EXACT L2
+    // ranking per query — the quantization-loss calibration an index
+    // operator reads. Every step on both chains is a sequential double
+    // fold, so the oracle reproduces both rankings bit-exactly.
+    QueryDef(
+      "embed_pq_recall",
+      (s, dir) => Similarity.pqRecall(Tables.embeddings(s, dir)),
+      Some {
+        def l2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+        def l2f(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+            s"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (a, b) -> a + b)"
+        s"""WITH sub AS (
+           |  SELECT vec_id, j,
+           |    [CAST(embedding[j*8 + i] AS DOUBLE) FOR i IN range(1, 9)] AS sv
+           |  FROM embeddings, range(0, 8) t(j)),
+           |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+           |d AS (SELECT s.vec_id, s.j, c.cid, ${l2("s.sv", "c.cv")} AS d2
+           |  FROM sub s JOIN cb c ON s.j = c.j),
+           |code AS (SELECT vec_id, j, cid FROM (
+           |    SELECT vec_id, j, cid,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+           |    FROM d) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, j, sv AS qv FROM sub WHERE vec_id < 4),
+           |ad AS (SELECT q.qid, code.vec_id,
+           |    list_reduce(list(${l2("q.qv", "cb.cv")} ORDER BY code.j),
+           |      (a, b) -> a + b) AS approx_d2
+           |  FROM code JOIN cb ON cb.j = code.j AND cb.cid = code.cid
+           |  JOIN q ON q.j = code.j
+           |  WHERE code.vec_id <> q.qid
+           |  GROUP BY q.qid, code.vec_id),
+           |pq AS (SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rn
+           |  FROM ad) WHERE rn <= 10),
+           |q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+           |exact AS (SELECT qid, vec_id FROM (
+           |  SELECT q0.qid, e.vec_id,
+           |    row_number() OVER (PARTITION BY q0.qid
+           |      ORDER BY ${l2f("e.embedding", "q0.qe")}, e.vec_id) AS rn
+           |  FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> q0.qid)
+           |  WHERE rn <= 10),
+           |hit AS (SELECT e.qid, count(*) AS n_hit
+           |  FROM exact e JOIN pq p ON p.qid = e.qid AND p.vec_id = e.vec_id
+           |  GROUP BY 1),
+           |ne AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY 1)
+           |SELECT ne.qid, ne.n_exact, COALESCE(hit.n_hit, 0) AS n_hit,
+           |  CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
+           |FROM ne LEFT JOIN hit ON hit.qid = ne.qid""".stripMargin
+      },
+    ),
+
     // Recall@10 of the batched ANN vs the exact ranking per query —
     // the index-tuning measurement as an oracle-checked query (both
     // chains are engine-portable: decimal cosines, integer counts, one
