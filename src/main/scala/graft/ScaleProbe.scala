@@ -72,6 +72,39 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0)).filter(col("flagged")).count())
 
+    // Embedding corpus at N×: the ScaleSmokeSpec mask construction —
+    // copy c sign-flips a copy-specific dim subset, so within-copy
+    // cosine structure is exactly preserved and cross-copy cosines
+    // scramble below any near-dup threshold.
+    def copyMask(c: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        var z = c.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL +
+          0xD6E8FEB86659FD93L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if ((z & 1L) == 0L) 1.0f else -1.0f
+      }
+    val embPath = s"$work/emb$factor"
+    val masks = array((0 until factor).map(c => lit(copyMask(c))): _*)
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until factor).map(lit(_)): _*)).as("copy"))
+      .select(
+        (col("vec_id") + col("copy").cast("long") * 10000000L).as("vec_id"),
+        zip_with(col("embedding"), element_at(masks, col("copy") + 1),
+          (x, s) => x * s).as("embedding"))
+      .write.mode("overwrite").parquet(embPath)
+    val emb = spark.read.parquet(embPath)
+    println(s"embeddings: ${emb.count()} vectors ($factor x sf0.01)")
+    val queries4 = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+
+    timed("ivf_assign")(Similarity.ivfAssign(emb, 16).count())
+    timed("ivf_topk_batch")(Similarity.ivfTopKBatch(emb, queries4).count())
+    timed("pq_topk_batch")(Similarity.pqTopKBatch(emb, queries4).count())
+    timed("embedding_neardups")(Similarity.embeddingNearDups(emb, dim = 64).count())
+
     spark.stop()
   }
 }

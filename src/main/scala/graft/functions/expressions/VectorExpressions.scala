@@ -101,9 +101,230 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The ORACLE-EXACT cosine as one native loop: bit-identical to the
+  * declarative decimal chain
+  * `dotDecimal(a,b).cast(double) / (sqrt(dotDecimal(a,a).cast(double)) *
+  * sqrt(dotDecimal(b,b).cast(double)))` — which interprets three
+  * `ArrayAggregate` higher-order folds per row (CodegenFallback,
+  * measured as the dominant cost of every probed-cell/bucket scorer at
+  * 100× scale) — by replicating each Catalyst step exactly:
+  *
+  *   - element product in IEEE double (same multiply);
+  *   - `Cast(double → DECIMAL(28,12))` = `BigDecimal.valueOf(p)`
+  *     (shortest-decimal, what Spark's `Decimal(v: Double)` uses)
+  *     `.setScale(12, HALF_UP)` (what `changePrecision` rounds with);
+  *   - the fold's `(acc + v).cast(37,12)` — additions at equal scale 12
+  *     are exact, so the sum is Σ of the rounded terms, accumulated
+  *     here as the unscaled long (overflow-checked; terms at these
+  *     magnitudes are ~10¹² so 64-dim sums sit ~10¹⁴, far under 2⁶³ —
+  *     `addExact` still guards the general case and falls back to
+  *     BigDecimal);
+  *   - `Cast(decimal → double)` = `BigDecimal(unscaled, 12).doubleValue`
+  *     — equal BigDecimal values give equal doubles, so the final
+  *     divide/sqrt chain sees bit-identical inputs.
+  *
+  * Null/shape semantics match the declarative chain: null element or
+  * length mismatch → null (zip_with pads the shorter side with null,
+  * nulling the whole fold).
+  */
+case class CosineDecimalExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_decimal"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, " +
+          s"got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineDecimalExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = graft.functions.expressions.CosineDecimalExpr.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineDecimalExpr {
+  private val HALF_UP = java.math.RoundingMode.HALF_UP
+
+  /** Scale-12 unscaled long of `Cast(p AS DECIMAL(28,12))` — the
+    * UNSCALED units (value × 10¹²), NOT `longValueExact` (which
+    * converts the decimal VALUE: it silently drops a zero fraction and
+    * throws on any nonzero one — either way wrong here); throws
+    * ArithmeticException when the unscaled value overflows a long.
+    */
+  private[expressions] def termUnscaled(p: Double): Long =
+    java.math.BigDecimal.valueOf(p).setScale(12, HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Arbitrary-precision term with the ANSI capacity check of the
+    * chain's `Cast` (beyond DECIMAL(28,12) the declarative fold FAILS;
+    * silently computing would change semantics).
+    */
+  private[expressions] def termBig(p: Double): java.math.BigDecimal = {
+    val d = java.math.BigDecimal.valueOf(p).setScale(12, HALF_UP)
+    if (d.precision() > 28) throw new ArithmeticException(
+      s"${d.toPlainString} cannot be represented as Decimal(28, 12) " +
+        "(mirrors the declarative chain's ANSI cast)")
+    d
+  }
+
+  private def term(p: Double): Long = termUnscaled(p)
+
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null // zip_with pads → null fold
+    try {
+      var ab = 0L
+      var aa = 0L
+      var bb = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        ab = Math.addExact(ab, term(xi * yi))
+        aa = Math.addExact(aa, term(xi * xi))
+        bb = Math.addExact(bb, term(yi * yi))
+        i += 1
+      }
+      val dot = java.math.BigDecimal.valueOf(ab, 12).doubleValue()
+      val nx = java.math.BigDecimal.valueOf(aa, 12).doubleValue()
+      val ny = java.math.BigDecimal.valueOf(bb, 12).doubleValue()
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    } catch {
+      case _: ArithmeticException => computeBig(x, y) // unscaled overflow
+    }
+  }
+
+  /** BigDecimal-accumulating fallback for magnitudes whose scale-12
+    * unscaled values exceed a long — same chain, arbitrary precision.
+    * Terms beyond DECIMAL(28,12) capacity throw like the chain's ANSI
+    * `Cast` does (the declarative fold FAILS there; silently computing
+    * would be a semantics change, not a speedup).
+    */
+  private def computeBig(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    var ab = java.math.BigDecimal.ZERO
+    var aa = java.math.BigDecimal.ZERO
+    var bb = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      ab = ab.add(termBig(xi * yi))
+      aa = aa.add(termBig(xi * xi))
+      bb = bb.add(termBig(yi * yi))
+      i += 1
+    }
+    ab.doubleValue() / (math.sqrt(aa.doubleValue()) * math.sqrt(bb.doubleValue()))
+  }
+}
+
+/** The decimal-fold dot product alone, as the DOUBLE its (37,12) sum
+  * casts to — one third of [[CosineDecimalExpr]], exposed so cosine
+  * consumers can precompute the two query-independent norms OUTSIDE a
+  * join (a corpus row's ‖a‖² is the same for every query it meets; the
+  * full pairwise expression re-derives it per pair, tripling the
+  * dominant per-term decimal-conversion cost). Same per-term chain and
+  * null/shape semantics as [[CosineDecimalExpr]]; combining
+  * `dot / (sqrt(nx) * sqrt(ny))` from three of these is bit-identical
+  * to the pairwise form because the three doubles are.
+  */
+case class DotDecimalDoubleExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_decimal_double"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, " +
+          s"got ${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotDecimalDoubleExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = graft.functions.expressions.DotDecimalDoubleExpr.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotDecimalDoubleExpr {
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc = Math.addExact(acc,
+          CosineDecimalExpr.termUnscaled(x.getFloat(i).toDouble * y.getFloat(i).toDouble))
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(acc, 12).doubleValue()
+    } catch {
+      case _: ArithmeticException =>
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          acc = acc.add(CosineDecimalExpr.termBig(
+            x.getFloat(i).toDouble * y.getFloat(i).toDouble))
+          i += 1
+        }
+        acc.doubleValue()
+    }
+  }
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd float-array dot product. */
   def dotF(a: Column, b: Column): Column =
     GraftSqlBridge.toColumn(
       DotProductFloat(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+
+  /** Column wrapper: oracle-exact native cosine (decimal-chain replica). */
+  def cosineDecimal(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(
+      CosineDecimalExpr(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
+
+  /** Column wrapper: the decimal-fold dot product as a double. */
+  def dotDecimalDouble(a: Column, b: Column): Column =
+    GraftSqlBridge.toColumn(
+      DotDecimalDoubleExpr(GraftSqlBridge.toExpression(a), GraftSqlBridge.toExpression(b)))
 }

@@ -53,6 +53,8 @@ class PlanQualitySpec extends SparkSpec {
     // nQueries-row (constant, 8) query-set broadcast of the exact side
     // of the recall calibration — the ANN side stays an equi join
     "embed_ann_recall",
+    // same shape for the PQ recall calibration (constant 4-query set)
+    "embed_pq_recall",
     // 1-row packed-centroid broadcast of the cell assignment (the
     // ivfTopK shape); the pairwise stage is a cell-keyed equi join
     "dedup_semantic",

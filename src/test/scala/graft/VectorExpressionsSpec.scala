@@ -37,6 +37,52 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.select(dotF($"a", $"b")).as[Double].head() == 1.0)
   }
 
+  test("native decimal cosine == declarative decimal chain, bit-for-bit on fixtures") {
+    import graft.functions.Similarity
+    // every pair of the first 60 real embeddings: 1770 cosines through
+    // both the native CosineDecimalExpr loop and the three interpreted
+    // ArrayAggregate folds it replaced — must agree to the BIT, since
+    // the oracles mirror the declarative chain
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where($"vec_id" < 60)
+    val l = emb.select($"vec_id".as("va"), $"embedding".as("ea"))
+    val r = emb.select($"vec_id".as("vb"), $"embedding".as("eb"))
+    val pairs = l.join(r, $"va" < $"vb")
+    val native = pairs.select($"va", $"vb",
+        Similarity.cosine($"ea", $"eb").as("c"))
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    val decl = pairs.select($"va", $"vb",
+        Similarity.cosineDeclarative($"ea", $"eb").as("c"))
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(native.length == 1770)
+    native.zip(decl).foreach { case ((a1, b1, c1), (a2, b2, c2)) =>
+      assert(a1 == a2 && b1 == b2)
+      assert(java.lang.Double.doubleToLongBits(c1) ==
+        java.lang.Double.doubleToLongBits(c2), s"pair ($a1,$b1): $c1 != $c2")
+    }
+    // magnitudes past DECIMAL(28,12) term capacity: the declarative
+    // chain's ANSI cast FAILS there, and the native loop must mirror
+    // that (silently computing would change semantics, not speed)
+    val big = Seq((Array(3.4e18f, -2.9e18f, 1.1e18f), Array(2.2e18f, 3.0e18f, -1.7e18f)))
+      .toDF("a", "b")
+    intercept[Exception] {
+      big.select(Similarity.cosineDeclarative($"a", $"b")).as[Double].head()
+    }
+    intercept[Exception] {
+      big.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    }
+    // mid-range magnitudes (past the long fast path, inside decimal
+    // capacity) agree bit-for-bit through the BigDecimal fallback
+    val mid = Seq((Array(3.1e6f, -2.2e6f, 1.7e6f), Array(2.9e6f, 1.3e6f, -2.8e6f)))
+      .toDF("a", "b")
+    val nm = mid.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    val dm = mid.select(Similarity.cosineDeclarative($"a", $"b")).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(nm) == java.lang.Double.doubleToLongBits(dm))
+    // null element and length mismatch null out, like the zip_with chain
+    val weird = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(weird.select(Similarity.cosine($"a", $"b")).as[java.lang.Double].head() == null)
+  }
+
   test("dot_product_float is callable from SQL after registration") {
     graft.GraftExtensions.register(spark)
     graft.GraftExtensions.register(spark) // idempotent
