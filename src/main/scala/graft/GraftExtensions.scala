@@ -61,6 +61,17 @@ object GraftExtensions {
       s"cosine_float expects 2 arguments, got ${exprs.length}")
   }
 
+  private val cosxInfo = info(
+    classOf[graft.functions.expressions.CosineDecimalExpr].getName, "cosine_exact",
+    "cosine_exact(a, b) - engine-portable cosine of two float arrays " +
+      "(decimal-exact accumulation; bit-reproducible by external engines)")
+
+  private val cosxBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => graft.functions.expressions.CosineDecimalExpr(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"cosine_exact expects 2 arguments, got ${exprs.length}")
+  }
+
   private val fpInfo = info(classOf[Md5].getName, "doc_fingerprint",
     "doc_fingerprint(text) - 16-hex-char digest of the normalized text")
 
@@ -261,6 +272,7 @@ object GraftExtensions {
   private[graft] val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product_float", dotInfo, dotBuilder),
     ("cosine_float", cosInfo, cosBuilder),
+    ("cosine_exact", cosxInfo, cosxBuilder),
     ("doc_fingerprint", fpInfo, fpBuilder),
     ("simhash_agg", shInfo, shBuilder),
     ("simhash_text", sh1Info, sh1Builder),

@@ -81,6 +81,12 @@ class VectorExpressionsSpec extends SparkSpec {
     // null element and length mismatch null out, like the zip_with chain
     val weird = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
     assert(weird.select(Similarity.cosine($"a", $"b")).as[java.lang.Double].head() == null)
+    // and from SQL, after registration
+    graft.GraftExtensions.register(spark)
+    Seq((floats(1, 2, 3), floats(1, 2, 3))).toDF("a", "b")
+      .createOrReplaceTempView("cosvecs")
+    assert(spark.sql("SELECT cosine_exact(a, b) AS c FROM cosvecs")
+      .as[Double].head() == 1.0)
   }
 
   test("dot_product_float is callable from SQL after registration") {
