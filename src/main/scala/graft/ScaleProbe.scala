@@ -94,6 +94,10 @@ object ScaleProbe {
         (col("vec_id") + col("copy").cast("long") * 10000000L).as("vec_id"),
         zip_with(col("embedding"), element_at(masks, col("copy") + 1),
           (x, s) => x * s).as("embedding"))
+      // a real embedding table is many files; a single ~25 MB file would
+      // scan as ONE partition and serialize every scorer onto one core,
+      // measuring the layout instead of the operator
+      .repartition(32)
       .write.mode("overwrite").parquet(embPath)
     val emb = spark.read.parquet(embPath)
     println(s"embeddings: ${emb.count()} vectors ($factor x sf0.01)")
