@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, TextAnalytics}
+import graft.functions.{Curation, Dedup, Similarity, TextAnalytics}
 
 /** The reference's incremental-ingest discipline (resume from persisted
   * state, process only the new slice, idempotent re-runs — SURVEY §2.8)
@@ -77,5 +77,49 @@ object CurationPipeline {
         .write.mode(SaveMode.Append).parquet(state.indexPath)
     }
     out
+  }
+
+  /** Persisted ANN-index state: the centroid table (fixed at init — a
+    * moving codebook would silently re-bucket history) and the
+    * cell-partitioned assignment table probe-time readers prune by.
+    */
+  final case class AnnState(centroidsPath: String, cellsPath: String)
+
+  /** Build the IVF index state from a seed corpus: centroids seeded and
+    * optionally Lloyd-refined ONCE, then frozen to parquet; the seed
+    * corpus' assignments written partitioned by `cell`, so a probe reads
+    * `nProbe/nCells` of the files — the layout [[Similarity.ivfTopKBatch]]
+    * assumes at scale.
+    */
+  def initAnn(spark: SparkSession, dir: String, seedEmbeddings: DataFrame,
+      nCells: Int = 16, refine: Int = 1): AnnState = {
+    val st = AnnState(s"$dir/centroids", s"$dir/cells")
+    var cents = Similarity.seededCentroids(seedEmbeddings, nCells)
+    for (_ <- 0 until refine) cents = Similarity.refineCentroids(seedEmbeddings, cents)
+    cents.write.mode(SaveMode.Overwrite).parquet(st.centroidsPath)
+    Similarity.assignToCentroids(seedEmbeddings,
+        spark.read.parquet(st.centroidsPath))
+      .select(col("vec_id"), col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st.cellsPath)
+    st
+  }
+
+  /** O(batch) index maintenance: assign ONLY the new embeddings against
+    * the frozen centroids ([[Similarity.ivfAssignIncremental]] — a
+    * join-free literal-centroid scan) and append to the cell table.
+    * History participates only through the ≤nCells-row centroid table;
+    * no batch ever rereads the accumulated corpus. Idempotence contract
+    * matches [[runBatch]]: the returned assignment is a pure function of
+    * (batch, centroids); callers append state after a successful
+    * downstream write.
+    */
+  def runAnnBatch(spark: SparkSession, newEmbeddings: DataFrame,
+      state: AnnState, appendState: Boolean = true): DataFrame = {
+    val cents = spark.read.parquet(state.centroidsPath)
+    val assigned = Similarity.ivfAssignIncremental(newEmbeddings, cents)
+      .select(col("vec_id"), col("cell"))
+    if (appendState)
+      assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(state.cellsPath)
+    assigned
   }
 }

@@ -58,4 +58,39 @@ class CurationPipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(splits == expected)
   }
+
+  test("incremental ANN index: new batch assigns through frozen centroids, cells partition") {
+    val dir = Files.createTempDirectory("ann-state").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = emb.filter($"vec_id" < 250)
+    val batch = emb.filter($"vec_id" >= 250)
+    val st = CurationPipeline.initAnn(spark, dir, seed, nCells = 8, refine = 1)
+
+    val assigned = CurationPipeline.runAnnBatch(spark, batch, st)
+      .as[(Long, Long)].collect().toMap
+    assert(assigned.keySet == batch.select("vec_id").as[Long].collect().toSet)
+
+    // soundness: incremental assignment equals assigning the batch
+    // against the same frozen centroids directly
+    val direct = graft.functions.Similarity.assignToCentroids(batch,
+        spark.read.parquet(st.centroidsPath))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(assigned == direct)
+
+    // the state table now holds seed + batch, partitioned by cell (the
+    // probe-pruning layout): reading one cell returns exactly its members
+    val all = spark.read.parquet(st.cellsPath)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(all.size == 500)
+    val someCell = assigned.values.head
+    val cellRead = spark.read.parquet(s"${st.cellsPath}/cell=$someCell")
+      .select("vec_id").as[Long].collect().toSet
+    assert(cellRead == all.filter(_._2 == someCell).keySet)
+
+    // re-running the same batch without append is the same pure function
+    val rerun = CurationPipeline.runAnnBatch(spark, batch, st, appendState = false)
+      .as[(Long, Long)].collect().toMap
+    assert(rerun == assigned)
+  }
 }
