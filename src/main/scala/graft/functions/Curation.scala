@@ -231,4 +231,56 @@ object Curation {
       .withColumn("__p", prob + spark_partition_id().cast("double") * lit(0.0))
       .filter(hashFrac(col(idCol), salt) < col("__p"))
       .drop("__p")
+
+  /** C4-style span-level dedup (Raffel et al. 2020 §2.2): every later
+    * occurrence of a three-SENTENCE span gets its sentences REMOVED from
+    * the document — sub-document dedup that rewrites text instead of
+    * dropping whole docs (exact/near dedup's complement: it strips the
+    * boilerplate exact dedup can't see because the surrounding document
+    * differs). "First" is the global (doc_id, position) order, so the
+    * result is deterministic and append-stable.
+    *
+    * Pipeline: sentence split (". " — the C4 heuristic, deterministic
+    * across engines) → per-doc lead() windows build each 3-sentence
+    * span → one span_hash-keyed window finds first occurrences → dup
+    * span starts fan out to their three covered positions → anti-join
+    * drops them → per-doc reassembly. Scale shape: two keyed shuffles
+    * (span_hash, doc_id) of SENTENCE-sized rows, the drop set is
+    * |duplicated spans|·3 positions; nothing is ever corpus².
+    * Output: (doc_id, n_sentences, n_dropped, text_deduped) — docs with
+    * every sentence dropped keep a row with empty text (the C4 outcome
+    * for a fully-boilerplate page).
+    */
+  def dropDupSpans(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sentences = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), "\\. "))
+        .as(Seq("pos", "sentence")))
+    val spans = sentences
+      .select(col("doc_id"), col("pos"), col("sentence"),
+        lead(col("sentence"), 1).over(perDoc).as("__s1"),
+        lead(col("sentence"), 2).over(perDoc).as("__s2"))
+      .filter(col("__s2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(". ", col("sentence"), col("__s1"), col("__s2"))).as("__h"))
+    val occ = row_number().over(
+      Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("pos")))
+    val dupStarts = spans.withColumn("__occ", occ).filter(col("__occ") > 1)
+    val dropPos = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+      .distinct()
+    val kept = sentences.join(dropPos, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("sentence")))),
+          x => x.getField("sentence")), ". ").as("__text"))
+    sentences.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sentences"),
+        (col("n_sentences") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("__text"), lit("")).as("text_deduped"))
+  }
 }

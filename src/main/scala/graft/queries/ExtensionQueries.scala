@@ -1539,6 +1539,55 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // C4-style span dedup over deterministically boilerplate-injected
+    // text: every 5th document gets the same 3-sentence boilerplate
+    // appended; the first occurrence keeps it, every later one has
+    // exactly those three sentences REMOVED from its rewritten text
+    // (cross-boundary spans differ per doc, so nothing else drops).
+    // Oracle replays the sentence split, per-doc lead() spans, global
+    // first-occurrence ranking, fan-out, and string reassembly.
+    QueryDef(
+      "curation_drop_dup_spans",
+      (s, dir) => {
+        val boiler = lit(". This is boilerplate one. This is boilerplate two. This is boilerplate three")
+        val injected = Tables.documents(s, dir).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, concat(col("text"), boiler))
+            .otherwise(col("text")).as("text"))
+        Curation.dropDupSpans(injected)
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 5 = 0 THEN text ||
+             |    '. This is boilerplate one. This is boilerplate two. This is boilerplate three'
+             |  ELSE text END AS text FROM documents),
+             |t AS (SELECT doc_id, string_split(text, '. ') AS ts FROM inj),
+             |s0 AS (SELECT doc_id,
+             |  [{'pos': i, 'sentence': ts[i+1]} FOR i IN range(0, len(ts))] AS us FROM t),
+             |s AS (SELECT doc_id, u.pos AS pos, u.sentence AS sentence FROM (
+             |  SELECT doc_id, unnest(us) AS u FROM s0)),
+             |sp AS (SELECT doc_id, pos, sentence,
+             |    lead(sentence, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS s1,
+             |    lead(sentence, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS s2 FROM s),
+             |spans AS (SELECT doc_id, pos,
+             |    md5(sentence || '. ' || s1 || '. ' || s2) AS h
+             |  FROM sp WHERE s2 IS NOT NULL),
+             |dups AS (SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos,
+             |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS occ
+             |    FROM spans) WHERE occ > 1),
+             |dp AS (SELECT DISTINCT doc_id, pos + d AS pos FROM dups, range(0, 3) r(d)),
+             |kept AS (SELECT s.doc_id, s.pos, s.sentence FROM s
+             |  LEFT JOIN dp ON dp.doc_id = s.doc_id AND dp.pos = s.pos
+             |  WHERE dp.doc_id IS NULL),
+             |reb AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(sentence, '. ' ORDER BY pos) AS txt
+             |  FROM kept GROUP BY 1),
+             |ns AS (SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY 1)
+             |SELECT ns.doc_id, ns.n_sentences,
+             |  ns.n_sentences - COALESCE(reb.n_kept, 0) AS n_dropped,
+             |  COALESCE(reb.txt, '') AS text_deduped
+             |FROM ns LEFT JOIN reb ON reb.doc_id = ns.doc_id""".stripMargin),
+    ),
+
     // PII redaction over deterministically PII-injected text (the
     // fixtures are clean, so each document gets a synthetic email, IP,
     // and phone derived from its id — both engines construct the SAME

@@ -160,4 +160,32 @@ class CurationSpec extends SparkSpec {
     for ((stratum, size) <- stratumSizes)
       assert(perStratum(stratum) == math.min(10L, size))
   }
+
+  test("dropDupSpans: first span occurrence keeps, later ones lose exactly its sentences") {
+    val boiler = "Common one. Common two. Common three"
+    val corpus = Seq(
+      (1L, s"Doc one head. Doc one tail. $boiler"),
+      (2L, s"Doc two opener. $boiler. Doc two closer"),
+      (3L, "Totally unrelated text with no period runs"),
+      (4L, s"Doc four a. Doc four b. $boiler"),
+    ).toDF("doc_id", "text")
+    val out = Curation.dropDupSpans(corpus)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is the global first occurrence of the boilerplate span: intact
+    assert(out(1L) == ((5L, 0L, s"Doc one head. Doc one tail. $boiler")))
+    // docs 2 and 4 lose EXACTLY the three boilerplate sentences — their
+    // own sentences (incl. doc 2's closer AFTER the span) survive
+    assert(out(2L) == ((5L, 3L, "Doc two opener. Doc two closer")))
+    assert(out(4L) == ((5L, 3L, "Doc four a. Doc four b")))
+    // a doc with no duplicated span (and < 3 sentences) is untouched
+    assert(out(3L) == ((1L, 0L, "Totally unrelated text with no period runs")))
+    // an exact-duplicate doc of doc 1 would lose every complete span's
+    // sentences (the C4 fully-boilerplate outcome): all but the last two
+    val dup = corpus.unionByName(Seq(
+      (9L, s"Doc one head. Doc one tail. $boiler")).toDF("doc_id", "text"))
+    val out9 = Curation.dropDupSpans(dup).where($"doc_id" === 9L)
+      .as[(Long, Long, Long, String)].head()
+    assert(out9._3 == 5L && out9._4 == "")
+  }
 }
