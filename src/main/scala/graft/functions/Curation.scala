@@ -232,6 +232,34 @@ object Curation {
       .filter(hashFrac(col(idCol), salt) < col("__p"))
       .drop("__p")
 
+  /** Long-document chunking into overlapping token windows — the
+    * context-window preparation step between curation and packing: each
+    * document becomes ⌈nTokens/stride⌉ chunks of up to `maxTokens`
+    * tokens starting every `stride` tokens (stride < maxTokens ⇒
+    * maxTokens−stride tokens of overlap, the boundary-context pattern
+    * tokenizer pipelines call overflow-with-stride; trailing partial
+    * windows included). Pure generator projection: split once, fan out
+    * positions executor-side, slice per chunk — no shuffle, no UDF, and
+    * the chunk count per doc is data-independent arithmetic an external
+    * oracle replays. Output
+    * `(doc_id, chunk_idx, n_tokens, chunk_text)`.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int = 64, stride: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && maxTokens >= stride,
+      s"need 0 < stride <= maxTokens, got stride=$stride maxTokens=$maxTokens")
+    docs
+      .select(col("doc_id"), split(col(textCol), " ").as("__t"))
+      .select(col("doc_id"), col("__t"),
+        posexplode(sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "__start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(maxTokens), size(col("__t")) - col("__start"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__t"), col("__start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** C4-style span-level dedup (Raffel et al. 2020 §2.2): every later
     * occurrence of a three-SENTENCE span gets its sentences REMOVED from
     * the document — sub-document dedup that rewrites text instead of

@@ -1539,6 +1539,23 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // Long-document chunking into overlapping 64-token windows every 48
+    // tokens (overflow-with-stride) — the context-window prep between
+    // curation and packing. Oracle replays the split, the start
+    // arithmetic, and each slice's rejoin.
+    QueryDef(
+      "curation_chunk_documents",
+      (s, dir) => Curation.chunkDocuments(Tables.documents(s, dir)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |st AS (SELECT doc_id, ts, unnest(range(0, greatest(len(ts), 1), 48)) AS start
+             |  FROM t)
+             |SELECT doc_id,
+             |  CAST(start // 48 AS BIGINT) AS chunk_idx,
+             |  CAST(least(64, len(ts) - start) AS BIGINT) AS n_tokens,
+             |  array_to_string(ts[start+1 : start+64], ' ') AS chunk_text
+             |FROM st""".stripMargin),
+    ),
+
     // C4-style span dedup over deterministically boilerplate-injected
     // text: every 5th document gets the same 3-sentence boilerplate
     // appended; the first occurrence keeps it, every later one has

@@ -161,6 +161,29 @@ class CurationSpec extends SparkSpec {
       assert(perStratum(stratum) == math.min(10L, size))
   }
 
+  test("chunkDocuments: stride windows cover the doc with fixed overlap") {
+    val doc = Seq((1L, (1 to 150).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(doc, maxTokens = 64, stride = 48)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    // starts at 0, 48, 96, 144
+    assert(chunks.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._3).toSeq == Seq(64L, 64L, 54L, 6L))
+    assert(chunks.head._4.startsWith("w1 ") && chunks.last._4 == (145 to 150).map("w" + _).mkString(" "))
+    // fixed overlap: a full chunk's last 64-48=16 tokens are the next
+    // chunk's first 16
+    val t0 = chunks(0)._4.split(" ")
+    val t1 = chunks(1)._4.split(" ")
+    assert(t0.takeRight(16).toSeq == t1.take(16).toSeq)
+    // coverage: the non-overlapping strides reassemble the document
+    val reassembled = chunks.map(_._4.split(" ").take(48)).reduce(_ ++ _).take(150)
+    assert(reassembled.toSeq == (1 to 150).map("w" + _))
+    // a short doc is one whole chunk
+    val short = Curation.chunkDocuments(
+        Seq((2L, "a b c")).toDF("doc_id", "text"), maxTokens = 64, stride = 48)
+      .as[(Long, Long, Long, String)].collect()
+    assert(short.toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
+
   test("dropDupSpans: first span occurrence keeps, later ones lose exactly its sentences") {
     val boiler = "Common one. Common two. Common three"
     val corpus = Seq(
