@@ -162,6 +162,21 @@ class DedupSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(st(1L) == ((0, true, true)))
     assert(st(2L) == ((1, true, true)))
+    // round-4 operators on empty/degenerate input
+    assert(graft.functions.Curation.dropDupSpans(empty).count() == 0)
+    assert(graft.functions.Curation.chunkDocuments(empty).count() == 0)
+    assert(Dedup.applyClusters(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), empty).count() == 0)
+    val tinySpans = graft.functions.Curation.dropDupSpans(tiny)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(tinySpans(1L) == ((1L, 0L, "")))
+    assert(tinySpans(2L) == ((1L, 0L, "x")))
+    val tinyChunks = graft.functions.Curation.chunkDocuments(tiny)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(tinyChunks(1L) == ((0L, 1L, "")))
+    assert(tinyChunks(2L) == ((0L, 1L, "x")))
   }
 
   test("cdcChunkStats: chunks partition the text, edits stay local") {
