@@ -148,7 +148,8 @@ object AudioHeaders {
     var bits = 0L
     var dataBytes = -1L
     var pos = 12
-    while (pos + 8 <= b.length && dataBytes < 0) {
+    var walking = true
+    while (walking && pos + 8 <= b.length && dataBytes < 0) {
       val size = le32(b, pos + 4)
       if (tag(b, pos, "fmt ") && pos + 8 + 16 <= b.length) {
         channels = le16(b, pos + 10).toLong
@@ -157,7 +158,12 @@ object AudioHeaders {
       } else if (tag(b, pos, "data")) {
         dataBytes = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // a declared size beyond the remaining bytes (incl. a 32-bit value
+      // whose Int cast would go negative and walk pos BACKWARDS — an
+      // adversarial chunk must never hang an executor) ends the walk;
+      // what was parsed so far stands
+      if (size > b.length.toLong - pos - 8) walking = false
+      else pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (channels <= 0 || bits <= 0 || dataBytes < 0) ("unknown", 0L, 0L, 0L, 0L)
     else ("wav", channels, rate, bits, dataBytes / (channels * bits / 8))

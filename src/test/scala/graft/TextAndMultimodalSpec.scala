@@ -337,6 +337,12 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(AudioHeaders.decode("RIFFjunk".getBytes("UTF-8")) ==
       (("unknown", 0L, 0L, 0L, 0L)))
     assert(AudioHeaders.decode(Array.emptyByteArray) == (("unknown", 0L, 0L, 0L, 0L)))
+    // adversarial chunk size (0xFFFFFFFF → negative Int) must terminate,
+    // not walk pos backwards forever
+    val evil = MediaFixtures.wavBytes(1, 8000, 16, 2)
+    val eb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    eb.putInt(16, -1) // fmt chunk declares size 0xFFFFFFFF
+    assert(AudioHeaders.decode(evil) == (("unknown", 0L, 0L, 0L, 0L)))
   }
 
   test("decodeImageMeta: real decode through the batch plumbing, planted truth") {
