@@ -34,6 +34,7 @@ object ImageHeaders {
     if (isPng(b)) decodePng(b)
     else if (isGif(b)) decodeGif(b)
     else if (isBmp(b)) decodeBmp(b)
+    else if (isJpeg(b)) decodeJpeg(b)
     else ("unknown", 0L, 0L, 0L)
   }
 
@@ -104,6 +105,47 @@ object ImageHeaders {
     */
   private def decodeBmp(b: Array[Byte]): (String, Long, Long, Long) =
     ("bmp", le32(b, 18).toLong, math.abs(le32(b, 22)).toLong, 1L)
+
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8
+
+  /** JPEG (JFIF/EXIF): the marker walk — skip every segment by its
+    * declared big-endian length (APPn, DQT, DHT, COM, …) until a
+    * start-of-frame marker; height/width are the two big-endian u16s at
+    * frame-header bytes 3/5. All SOFn variants carry the same dimension
+    * layout (baseline SOF0, progressive SOF2, lossless SOF3, arithmetic
+    * SOF9/SOF10, …) — only DHT (C4), JPG (C8), and DAC (CC) reuse the
+    * 0xCn range for non-frame segments. Standalone markers (TEM, RSTn)
+    * have no length field. Scan-start (SOS) without a prior SOF, a
+    * truncated stream, or a declared length walking past the buffer all
+    * yield `unknown` — never a throw, never a hang.
+    */
+  private def decodeJpeg(b: Array[Byte]): (String, Long, Long, Long) = {
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if (u8(b, pos) != 0xff) return ("unknown", 0L, 0L, 0L)
+      val marker = u8(b, pos + 1)
+      if (marker == 0xff) pos += 1 // fill byte padding before a marker
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else if (marker == 0xd9 || marker == 0xda) return ("unknown", 0L, 0L, 0L)
+      else {
+        val len = be16(b, pos + 2)
+        if (len < 2 || pos + 2 + len > b.length) return ("unknown", 0L, 0L, 0L)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return ("unknown", 0L, 0L, 0L)
+          val h = be16(b, pos + 5).toLong
+          val w = be16(b, pos + 7).toLong
+          return ("jpeg", w, h, 1L)
+        }
+        pos += 2 + len
+      }
+    }
+    ("unknown", 0L, 0L, 0L)
+  }
 }
 
 /** Real-decoder output for audio containers. */
@@ -165,8 +207,13 @@ object AudioHeaders {
       if (size > b.length.toLong - pos - 8) walking = false
       else pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || bits <= 0 || dataBytes < 0) ("unknown", 0L, 0L, 0L, 0L)
-    else ("wav", channels, rate, bits, dataBytes / (channels * bits / 8))
+    // frameBytes is 0 when the header declares bits_per_sample 1-7 (a
+    // real 4-bit IMA ADPCM WAV, or adversarial bytes) — that row is
+    // data, not an ArithmeticException on an executor
+    val frameBytes = channels * bits / 8
+    if (channels <= 0 || bits <= 0 || frameBytes <= 0 || dataBytes < 0)
+      ("unknown", 0L, 0L, 0L, 0L)
+    else ("wav", channels, rate, bits, dataBytes / frameBytes)
   }
 }
 
@@ -186,10 +233,11 @@ object MediaFixtures {
   def imageBytes(id: Long): Array[Byte] = {
     val w = (id % 640 + 1).toInt
     val h = ((id * 7) % 480 + 1).toInt
-    (id % 3) match {
+    (id % 4) match {
       case 0 => pngBytes(w, h)
-      case 1 => gifBytes(w, h, (id % 4 + 1).toInt)
-      case _ => bmpBytes(w, h)
+      case 1 => gifBytes(w, h, (id / 4 % 4 + 1).toInt)
+      case 2 => bmpBytes(w, h)
+      case _ => jpegBytes(w, h)
     }
   }
 
@@ -220,6 +268,34 @@ object MediaFixtures {
       f += 1
     }
     bb.put(0x3b.toByte) // trailer
+    bb.array()
+  }
+
+  /** Minimal valid JFIF stream (110 bytes): SOI, APP0/JFIF, a DQT the
+    * marker walk must skip by declared length, SOF0 carrying the true
+    * dimensions, EOI. No entropy-coded scan — a parser fixture.
+    */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(110) // big-endian (JPEG wire order)
+    bb.putShort(0xffd8.toShort) // SOI
+    bb.putShort(0xffe0.toShort).putShort(16) // APP0, len 16
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    bb.put(1.toByte).put(1.toByte) // version 1.1
+    bb.put(0.toByte).putShort(1).putShort(1) // density units/x/y
+    bb.put(0.toByte).put(0.toByte) // no thumbnail
+    bb.putShort(0xffdb.toShort).putShort(67) // DQT, len 2+1+64
+    bb.put(0.toByte) // pq/tq
+    var i = 0
+    while (i < 64) { bb.put(16.toByte); i += 1 }
+    bb.putShort(0xffc0.toShort).putShort(17) // SOF0, len 8+3·3
+    bb.put(8.toByte) // precision
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte) // 3 components (YCbCr)
+    var c = 1
+    while (c <= 3) { // id, sampling 1x1, quant table 0
+      bb.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1
+    }
+    bb.putShort(0xffd9.toShort) // EOI
     bb.array()
   }
 
@@ -364,13 +440,38 @@ object Multimodal {
     decodeAudioMeta(payloads).toDF()
   }
 
-  /** Feature extraction stub: opaque bytes → fixed-width float vector,
-    * through the same per-partition batch plumbing a real embedding
-    * model would use (model loaded once per partition, rows streamed
-    * through). The vector itself is a deterministic fake derived from
-    * the byte length — the Spark-side contract (binary in,
-    * `Array[Float]` out, partitioning preserved, no driver
-    * concentration) is the real deliverable.
+  /** REAL pixel decode through the batch plumbing: uncompressed-BMP /
+    * PNG payloads ([[PixelFixtures.pixelImageBytes]] plants every pixel
+    * by doc_id arithmetic) decoded by [[PixelCodec]] and reduced to
+    * per-channel integer sums INSIDE the partition — pixels never
+    * become engine rows.
+    */
+  def decodePixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.pixelImageBytes(id)))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
+  /** REAL feature extraction: per-channel mean intensities from the
+    * decoded pixels (one exact double division over the integer sums) —
+    * the non-stub replacement for [[featureExtractStub]]'s byte-stat
+    * fake on the formats [[PixelCodec]] decodes.
+    */
+  def featureExtractReal(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodePixelsReal(spark, docs).select(
+      col("doc_id"), col("n_px"),
+      (col("sum_r").cast("double") / col("n_px")).as("mean_r"),
+      (col("sum_g").cast("double") / col("n_px")).as("mean_g"),
+      (col("sum_b").cast("double") / col("n_px")).as("mean_b"))
+
+  /** Feature extraction stub — DEMOTED to the formats [[PixelCodec]]
+    * cannot decode (JPEG/GIF payloads, real embedding models): opaque
+    * bytes → fixed-width float vector through the same per-partition
+    * batch plumbing a real encoder would use (model loaded once per
+    * partition, rows streamed through). The vector itself is a
+    * deterministic fake derived from the byte length; for BMP/PNG the
+    * REAL path is [[featureExtractReal]].
     */
   def featureExtractStub(payloads: Dataset[(Long, Array[Byte])]): Dataset[(Long, Array[Float])] = {
     import payloads.sparkSession.implicits._

@@ -1282,21 +1282,24 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
-    // REAL multimodal decode: deterministic valid PNG/GIF/BMP containers
-    // planted from doc_id arithmetic, parsed by the pure-JVM header
-    // decoder (ImageHeaders). The oracle recomputes format, byte length,
-    // true dimensions, and GIF frame count from the same arithmetic —
+    // REAL multimodal decode: deterministic valid PNG/GIF/BMP/JPEG
+    // containers planted from doc_id arithmetic, parsed by the pure-JVM
+    // header decoder (ImageHeaders — incl. the JFIF marker walk to
+    // SOF0). The oracle recomputes format, byte length, true
+    // dimensions, and GIF frame count from the same arithmetic —
     // verifying the parser against planted truth, not against itself.
     QueryDef(
       "multimodal_decode_real",
       (s, dir) => Multimodal.decodeDocumentsReal(s, Tables.documents(s, dir)),
       Some("""SELECT doc_id,
-             |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
-             |CAST(CASE doc_id % 3 WHEN 0 THEN 33
-             |  WHEN 1 THEN 14 + 14 * (doc_id % 4 + 1) ELSE 54 END AS BIGINT) AS n_bytes,
+             |CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             |  WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+             |CAST(CASE doc_id % 4 WHEN 0 THEN 33
+             |  WHEN 1 THEN 14 + 14 * ((doc_id // 4) % 4 + 1)
+             |  WHEN 2 THEN 54 ELSE 110 END AS BIGINT) AS n_bytes,
              |CAST(doc_id % 640 + 1 AS BIGINT) AS width,
              |CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
-             |CAST(CASE doc_id % 3 WHEN 1 THEN doc_id % 4 + 1 ELSE 1 END AS BIGINT) AS n_frames
+             |CAST(CASE doc_id % 4 WHEN 1 THEN (doc_id // 4) % 4 + 1 ELSE 1 END AS BIGINT) AS n_frames
              |FROM documents""".stripMargin),
     ),
 
@@ -1314,6 +1317,54 @@ object ExtensionQueries {
              |CAST(16 AS BIGINT) AS bits_per_sample,
              |CAST(doc_id % 50 + 1 AS BIGINT) AS n_samples
              |FROM documents""".stripMargin),
+    ),
+
+    // REAL pixel decode: every pixel of a planted BMP (bottom-up AND
+    // top-down rows) or PNG (all five scanline filters, real deflate +
+    // CRC) is doc_id arithmetic; PixelCodec decodes the actual bytes
+    // and reduces to per-channel integer sums inside the partition. The
+    // oracle regenerates the pixel grid and recomputes the sums — the
+    // decoder is verified against planted TRUE pixels, not itself.
+    QueryDef(
+      "multimodal_pixels_real",
+      (s, dir) => Multimodal.decodePixelsReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+             |    FROM documents),
+             |g AS (SELECT d.doc_id, d.w, d.h, x.x, y.y
+             |    FROM d, range(0, 16) AS x(x), range(0, 12) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h),
+             |v AS (SELECT doc_id, w, h,
+             |    (doc_id + 7 * x + 13 * y) % 256 AS r,
+             |    (doc_id + 7 * x + 13 * y + 31) % 256 AS g2,
+             |    (doc_id + 7 * x + 13 * y + 62) % 256 AS b
+             |  FROM g)
+             |SELECT doc_id,
+             |  CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
+    // REAL feature extraction: per-channel mean intensity from the
+    // decoded pixels — one exact double division over the oracle-exact
+    // integer sums, so the doubles reproduce bit-for-bit.
+    QueryDef(
+      "multimodal_feature_real",
+      (s, dir) => Multimodal.featureExtractReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+             |    FROM documents),
+             |g AS (SELECT d.doc_id, x.x, y.y
+             |    FROM d, range(0, 16) AS x(x), range(0, 12) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS DOUBLE) / count(*) AS mean_r,
+             |  CAST(sum((doc_id + 7 * x + 13 * y + 31) % 256) AS DOUBLE) / count(*) AS mean_g,
+             |  CAST(sum((doc_id + 7 * x + 13 * y + 62) % 256) AS DOUBLE) / count(*) AS mean_b
+             |FROM g GROUP BY doc_id""".stripMargin),
     ),
 
     // Generator / lateral-view surface: one row per token with its

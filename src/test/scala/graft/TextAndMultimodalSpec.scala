@@ -350,13 +350,101 @@ class TextAndMultimodalSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     for (id <- out.keys) {
-      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "bmp" }
-      val expBytes = (id % 3) match {
-        case 0 => 33L; case 1 => 14L + 14L * (id % 4 + 1); case _ => 54L
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case _ => "jpeg"
       }
-      val expFrames = if (id % 3 == 1) id % 4 + 1 else 1L
+      val expBytes = (id % 4) match {
+        case 0 => 33L; case 1 => 14L + 14L * (id / 4 % 4 + 1); case 2 => 54L
+        case _ => 110L
+      }
+      val expFrames = if (id % 4 == 1) id / 4 % 4 + 1 else 1L
       assert(out(id) == ((expFmt, expBytes, id % 640 + 1, (id * 7) % 480 + 1, expFrames)),
         s"doc $id")
     }
+  }
+
+  test("ImageHeaders: JPEG marker walk reads SOF dimensions, skips tables") {
+    import graft.functions.{ImageHeaders, MediaFixtures}
+    assert(ImageHeaders.decode(MediaFixtures.jpegBytes(640, 480)) ==
+      (("jpeg", 640L, 480L, 1L)))
+    // u16 boundary exercises big-endian reads
+    assert(ImageHeaders.decode(MediaFixtures.jpegBytes(0x1234, 0x0102)) ==
+      (("jpeg", 0x1234L, 0x0102L, 1L)))
+    // progressive: SOF2 carries the same dimension layout
+    val prog = MediaFixtures.jpegBytes(99, 44)
+    prog(90) = 0xc2.toByte // the SOF marker byte (110-byte fixture layout)
+    assert(ImageHeaders.decode(prog) == (("jpeg", 99L, 44L, 1L)))
+    // DHT (0xC4) shares the SOFn range but is NOT a frame header — a
+    // stream whose only 0xCn segment is DHT must not report dimensions
+    val dht = MediaFixtures.jpegBytes(99, 44)
+    dht(90) = 0xc4.toByte
+    assert(ImageHeaders.decode(dht)._1 == "unknown")
+    // truncated before SOF / bare SOI: unknown, not a throw or a hang
+    val cut = java.util.Arrays.copyOf(MediaFixtures.jpegBytes(10, 10), 40)
+    assert(ImageHeaders.decode(cut)._1 == "unknown")
+    assert(ImageHeaders.decode(Array[Byte](0xff.toByte, 0xd8.toByte))._1 == "unknown")
+    // adversarial declared length past the buffer terminates the walk
+    val evil = MediaFixtures.jpegBytes(10, 10)
+    evil(4) = 0x7f; evil(5) = 0xff.toByte // APP0 claims 32767 bytes
+    assert(ImageHeaders.decode(evil)._1 == "unknown")
+  }
+
+  test("PixelCodec: planted pixels round-trip through real BMP and PNG decode") {
+    import graft.functions.{PixelCodec, PixelFixtures}
+    // ids covering: top-down BMP (0, 4), bottom-up BMP (2, 6), PNG with
+    // enough rows to cycle all five scanline filters (id 11 → h = 12)
+    for (id <- Seq(0L, 2L, 4L, 6L, 3L, 11L, 7L, 25L)) {
+      val Some((fmt, w, h, rgb)) =
+        PixelCodec.decodePixels(PixelFixtures.pixelImageBytes(id))
+      assert(fmt == (if (id % 2 == 0) "bmp" else "png"), s"id $id")
+      assert(w == PixelFixtures.width(id) && h == PixelFixtures.height(id), s"id $id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) == PixelFixtures.pixelValue(id, c, x, y),
+          s"id $id px ($x,$y) ch $c")
+    }
+  }
+
+  test("PixelCodec: malformed payloads decode to None, not a throw") {
+    import graft.functions.{MediaFixtures, PixelCodec, PixelFixtures}
+    assert(PixelCodec.decodePixels(Array.emptyByteArray).isEmpty)
+    assert(PixelCodec.decodePixels("not an image at all, just text".getBytes).isEmpty)
+    // header-only fixtures carry no pixel payload → None, never a throw
+    assert(PixelCodec.decodePixels(MediaFixtures.pngBytes(8, 8)).isEmpty)
+    assert(PixelCodec.decodePixels(MediaFixtures.bmpBytes(8, 8)).isEmpty)
+    // truncated pixel PNG: IDAT cut mid-stream
+    val png = PixelFixtures.pngPixelBytes(5L, 4, 4)
+    assert(PixelCodec.decodePixels(java.util.Arrays.copyOf(png, png.length - 20)).isEmpty)
+    // adversarial IHDR dimensions must not drive a huge allocation
+    val evil = PixelFixtures.pngPixelBytes(5L, 4, 4)
+    val bb = java.nio.ByteBuffer.wrap(evil)
+    bb.putInt(16, 0x40000000).putInt(20, 0x40000000)
+    assert(PixelCodec.decodePixels(evil).isEmpty)
+  }
+
+  test("featureExtractReal: channel means from real decoded pixels") {
+    val out = Multimodal.featureExtractReal(spark, docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    for ((id, nPx, mr, mg, mb) <- out) {
+      val w = graft.functions.PixelFixtures.width(id)
+      val h = graft.functions.PixelFixtures.height(id)
+      assert(nPx == w.toLong * h)
+      def mean(c: Int): Double =
+        (for (y <- 0 until h; x <- 0 until w)
+          yield graft.functions.PixelFixtures.pixelValue(id, c, x, y)).sum.toDouble / nPx
+      assert(mr == mean(0) && mg == mean(1) && mb == mean(2), s"id $id")
+    }
+  }
+
+  test("AudioHeaders: sub-byte bits_per_sample yields unknown, not a divide-by-zero") {
+    import graft.functions.{AudioHeaders, MediaFixtures}
+    // a real 4-bit IMA ADPCM header: channels·bits/8 = 0 — the decoder
+    // is documented to never throw, so this row is unknown, not an
+    // ArithmeticException on an executor
+    assert(AudioHeaders.decode(MediaFixtures.wavBytes(1, 8000, 4, 16)) ==
+      (("unknown", 0L, 0L, 0L, 0L)))
+    // 2ch·4bit = 1 frame byte: parses (frameBytes > 0)
+    assert(AudioHeaders.decode(MediaFixtures.wavBytes(2, 8000, 4, 16)) ==
+      (("wav", 2L, 8000L, 4L, 16L)))
   }
 }
