@@ -217,6 +217,89 @@ object AudioHeaders {
   }
 }
 
+/** Real-decoder output for video containers. */
+final case class VideoMeta(
+    doc_id: Long,
+    format: String,
+    n_bytes: Long,
+    duration_ms: Long,
+    n_tracks: Long,
+    n_frames: Long,
+)
+
+/** Pure-JVM MP4 / ISO-BMFF box walk — the video sibling of
+  * [[AudioHeaders]]: every box is `(u32 size, 4cc type)` (size 1 → a
+  * 64-bit largesize follows; size 0 → to end of buffer), container
+  * boxes nest, and the walk skips unknown boxes by declared length —
+  * the same discipline as the RIFF chunk walk. Reads `moov/mvhd` for
+  * timescale + duration, counts `trak` boxes, and sums `stbl/stsz`
+  * sample counts for the total frame count. Malformed/truncated bytes
+  * decode to `("unknown", 0, 0, 0)` rows, never a throw or a hang.
+  */
+object VideoHeaders {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  // containers whose payload is itself a box sequence
+  private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** (format, durationMs, nTracks, nFrames). */
+  def decode(b: Array[Byte]): (String, Long, Long, Long) = {
+    if (b.length < 16 || !tag(b, 4, "ftyp")) return ("unknown", 0L, 0L, 0L)
+    var timescale = 0L
+    var duration = 0L
+    var tracks = 0L
+    var frames = 0L
+    var sawMvhd = false
+    // recursion depth is bounded by the fixed container nesting
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var pos = start
+      while (pos + 8 <= end) {
+        val size0 = be32(b, pos)
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        var header = 8L
+        val size =
+          if (size0 == 1L && pos + 16 <= end) { header = 16L; be64(b, pos + 8) }
+          else if (size0 == 0L) (end - pos).toLong // box extends to EOF
+          else size0
+        // a declared size below its own header or past the buffer ends
+        // the walk — what was parsed so far stands
+        if (size < header || size > end.toLong - pos) return
+        val payload = pos + header.toInt
+        val payloadEnd = pos + size.toInt
+        if (containers(typ)) {
+          if (typ == "trak") tracks += 1
+          walk(payload, payloadEnd, depth + 1)
+        } else if (typ == "mvhd" && payloadEnd - payload >= 20) {
+          val version = u8(b, payload)
+          if (version == 1 && payloadEnd - payload >= 32) {
+            timescale = be32(b, payload + 20)
+            duration = be64(b, payload + 24)
+            sawMvhd = true
+          } else if (version == 0) {
+            timescale = be32(b, payload + 12)
+            duration = be32(b, payload + 16)
+            sawMvhd = true
+          }
+        } else if (typ == "stsz" && payloadEnd - payload >= 12) {
+          frames += be32(b, payload + 8) // sample_count
+        }
+        pos = payloadEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (!sawMvhd || timescale <= 0) ("unknown", 0L, 0L, 0L)
+    else ("mp4", duration * 1000L / timescale, tracks, frames)
+  }
+}
+
 /** Deterministic, VALID image containers synthesized from an id — the
   * fixture side of the real-decode round trip: the registry query plants
   * dimensions with arithmetic on doc_id, builds genuine PNG/GIF/BMP
@@ -320,6 +403,58 @@ object MediaFixtures {
     val rate = (8000 * (id % 3 + 1)).toInt
     val nSamples = (id % 50 + 1).toInt
     wavBytes(channels, rate, 16, nSamples)
+  }
+
+  /** Video fixture: track count, per-track frame count, duration, and
+    * timescale (1000 or 600 — the division path is exercised) planted
+    * by doc_id arithmetic; duration units are chosen so units·1000 is
+    * divisible by the timescale and the ms round trip is exact.
+    */
+  def videoBytes(id: Long): Array[Byte] = {
+    val nTracks = (id % 3 + 1).toInt
+    val framesPerTrack = (id % 100 + 10).toInt
+    val timescale = if (id % 2 == 0) 1000 else 600
+    val durMs = (id % 90 + 1) * 500L
+    mp4Bytes(nTracks, framesPerTrack, timescale, durMs * timescale / 1000L)
+  }
+
+  /** Minimal valid ISO-BMFF stream (132 + 52·nTracks bytes): ftyp, then
+    * moov(mvhd v0 + nTracks·trak(mdia(minf(stbl(stsz))))) — every box
+    * size declared, stsz with a fixed sample_size so the count field is
+    * authoritative and no entry table follows.
+    */
+  def mp4Bytes(nTracks: Int, framesPerTrack: Int, timescale: Int,
+      durationUnits: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(132 + 52 * nTracks) // BE (wire order)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    bb.putInt(8 + 108 + 52 * nTracks); fourcc("moov")
+    bb.putInt(108); fourcc("mvhd")
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0) // creation/modification time
+    bb.putInt(timescale).putInt(durationUnits.toInt)
+    bb.putInt(0x00010000) // rate 1.0
+    bb.putShort(0x0100.toShort).putShort(0) // volume, reserved
+    bb.putLong(0L) // reserved
+    bb.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    var i = 0
+    while (i < 6) { bb.putInt(0); i += 1 } // pre_defined
+    bb.putInt(nTracks + 1) // next_track_ID
+    var t = 0
+    while (t < nTracks) {
+      bb.putInt(52); fourcc("trak")
+      bb.putInt(44); fourcc("mdia")
+      bb.putInt(36); fourcc("minf")
+      bb.putInt(28); fourcc("stbl")
+      bb.putInt(20); fourcc("stsz")
+      bb.putInt(0) // version/flags
+      bb.putInt(256) // fixed sample_size → no entry table
+      bb.putInt(framesPerTrack) // sample_count
+      t += 1
+    }
+    bb.array()
   }
 
   def wavBytes(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
@@ -438,6 +573,30 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.audioBytes(id)))
     decodeAudioMeta(payloads).toDF()
+  }
+
+  /** REAL video decode through the batch plumbing: MP4/ISO-BMFF box
+    * walk ([[VideoHeaders]]) — duration, track count, and total frame
+    * count from actual container bytes.
+    */
+  def decodeVideoMeta(payloads: Dataset[(Long, Array[Byte])]): Dataset[VideoMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (format, durMs, tracks, frames) = VideoHeaders.decode(bytes)
+        VideoMeta(id, format, bytes.length.toLong, durMs, tracks, frames)
+      }
+    }
+  }
+
+  /** Fixture adapter for the video decoder ([[MediaFixtures.videoBytes]]
+    * plants tracks/frames/duration by doc_id arithmetic).
+    */
+  def decodeVideoReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.videoBytes(id)))
+    decodeVideoMeta(payloads).toDF()
   }
 
   /** REAL pixel decode through the batch plumbing: uncompressed-BMP /

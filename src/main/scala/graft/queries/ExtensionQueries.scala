@@ -1319,6 +1319,37 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // REAL video decode: deterministic valid MP4/ISO-BMFF containers
+    // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
+    // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —
+    // duration through BOTH timescales (1000 and 600: the ms division
+    // is exercised), track count, and the summed stsz frame counts.
+    QueryDef(
+      "multimodal_video_real",
+      (s, dir) => Multimodal.decodeVideoReal(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id, 'mp4' AS format,
+             |CAST(132 + 52 * (doc_id % 3 + 1) AS BIGINT) AS n_bytes,
+             |CAST((doc_id % 90 + 1) * 500 AS BIGINT) AS duration_ms,
+             |CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks,
+             |CAST((doc_id % 3 + 1) * (doc_id % 100 + 10) AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin),
+    ),
+
+    // Frame sampling fed by REAL decoded per-track frame counts (the
+    // stsz sums), not the byte-length stub: every 7th frame index,
+    // fanned out executor-side.
+    QueryDef(
+      "multimodal_video_frames",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.decodeVideoReal(s, Tables.documents(s, dir)), every = 7),
+      Some("""WITH m AS (SELECT doc_id,
+             |    (doc_id % 3 + 1) * (doc_id % 100 + 10) AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx
+             |FROM m WHERE n_frames > 0""".stripMargin),
+    ),
+
     // REAL pixel decode: every pixel of a planted BMP (bottom-up AND
     // top-down rows) or PNG (all five scanline filters, real deflate +
     // CRC) is doc_id arithmetic; PixelCodec decodes the actual bytes

@@ -389,6 +389,45 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(ImageHeaders.decode(evil)._1 == "unknown")
   }
 
+  test("VideoHeaders: MP4 box walk reads mvhd duration, trak count, stsz frames") {
+    import graft.functions.{MediaFixtures, VideoHeaders}
+    assert(VideoHeaders.decode(MediaFixtures.mp4Bytes(2, 30, 1000, 4500L)) ==
+      (("mp4", 4500L, 2L, 60L)))
+    // timescale 600: units→ms division must be exact
+    assert(VideoHeaders.decode(MediaFixtures.mp4Bytes(1, 12, 600, 2700L)) ==
+      (("mp4", 4500L, 1L, 12L)))
+    // mvhd version 1 (64-bit duration, offsets shift by 8)
+    val v1 = MediaFixtures.mp4Bytes(1, 5, 1000, 0L)
+    // widen mvhd payload: rewrite version byte and plant v1-layout fields
+    val bb = java.nio.ByteBuffer.wrap(v1)
+    bb.put(32, 1.toByte) // mvhd version
+    bb.putInt(52, 90000) // v1 timescale at payload+20
+    bb.putLong(56, 180000L) // v1 duration at payload+24
+    assert(VideoHeaders.decode(v1) == (("mp4", 2000L, 1L, 5L)))
+    // malformed: no ftyp, truncation, adversarial sizes — unknown, no throw
+    assert(VideoHeaders.decode(Array.emptyByteArray) == (("unknown", 0L, 0L, 0L)))
+    assert(VideoHeaders.decode("definitely not a movie file".getBytes) ==
+      (("unknown", 0L, 0L, 0L)))
+    val cut = java.util.Arrays.copyOf(MediaFixtures.mp4Bytes(2, 30, 1000, 100L), 40)
+    assert(VideoHeaders.decode(cut) == (("unknown", 0L, 0L, 0L)))
+    val evil = MediaFixtures.mp4Bytes(1, 5, 1000, 100L)
+    java.nio.ByteBuffer.wrap(evil).putInt(16, 7) // moov declares size < header
+    assert(VideoHeaders.decode(evil) == (("unknown", 0L, 0L, 0L)))
+  }
+
+  test("decodeVideoReal: planted truth through the batch plumbing") {
+    val out = Multimodal.decodeVideoReal(spark, docs)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((id, fmt, nBytes, durMs, tracks, frames) <- out) {
+      assert(fmt == "mp4")
+      assert(nBytes == 132L + 52L * (id % 3 + 1))
+      assert(durMs == (id % 90 + 1) * 500L, s"id $id")
+      assert(tracks == id % 3 + 1)
+      assert(frames == (id % 3 + 1) * (id % 100 + 10))
+    }
+  }
+
   test("PixelCodec: planted pixels round-trip through real BMP and PNG decode") {
     import graft.functions.{PixelCodec, PixelFixtures}
     // ids covering: top-down BMP (0, 4), bottom-up BMP (2, 6), PNG with
