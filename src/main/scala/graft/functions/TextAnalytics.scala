@@ -169,6 +169,128 @@ object TextAnalytics {
       .limit(k)
   }
 
+  /** Greedy left-to-right merge application — the standard BPE rule: a
+    * run of overlapping candidates ("aaa" under merge a+a) takes the
+    * 1st, 3rd, … occurrence. Equivalent to the parity rule over runs of
+    * consecutive candidate positions, which is what the SQL oracle
+    * reproduces with window functions.
+    */
+  private[functions] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** k-round BPE merge TRAINING — the full trainer loop, not just one
+    * round of pair stats: iteratively pick the highest-frequency
+    * adjacent symbol pair (tie-break lexicographic) and merge it
+    * greedily left-to-right, recording the merge table a byte-pair
+    * tokenizer ships.
+    *
+    * Scale shape: the corpus is scanned ONCE into a (word, freq)
+    * vocabulary — the iteration then runs over the vocabulary table
+    * (bounded by distinct-word count, not corpus size), exactly how
+    * production BPE trainers work at 100 TB. Each round is one
+    * vocabulary-keyed pair aggregation (map-side combinable; only
+    * distinct pairs shuffle) + a 1-row collect + a narrow re-segment
+    * map; the re-segmented vocabulary is re-cached and the parent
+    * released.
+    */
+  def trainBpeMerges(docs: DataFrame, k: Int = 6, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(bpeishTokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        expr("filter(split(word, ''), x -> x != '')").as("syms"))
+      .as[(String, Long, Seq[String])]
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val top = vocab.toDF("word", "freq", "syms")
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] AS a, syms[i] AS b))"))
+          .as("__p"))
+        .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = top.head
+        merges += ((r, a, b, n))
+        val prev = vocab
+        vocab = prev.map { case (w, f, s) => (w, f, applyMerge(s, a, b)) }.cache()
+        vocab.count() // materialize before releasing the parent
+        prev.unpersist()
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("round", "left_tok", "right_tok", "n")
+      .select(col("round").cast("int").as("round"),
+        col("left_tok"), col("right_tok"), col("n"))
+  }
+
+  /** The DuckDB twin of [[trainBpeMerges]]: k unrolled rounds, each
+    * recomputing pair stats, the argmax merge, and the greedy
+    * application via the parity rule (runs of consecutive candidate
+    * positions keep odd ranks — exactly greedy left-to-right, since
+    * consecutive candidates only arise when left == right).
+    */
+  def bpeMergesOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS word
+             |        FROM documents)
+             |  GROUP BY word),
+             |s0 AS (SELECT word, freq,
+             |    list_transform(range(1, CAST(length(word) AS INT) + 1),
+             |                   i -> substr(word, CAST(i AS INT), 1)) AS syms
+             |  FROM w)""".stripMargin
+    for (r <- 1 to k) {
+      val p = r - 1
+      sb ++= s""",
+                |p$r AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS n
+                |  FROM (SELECT freq,
+                |        unnest([{'a': syms[i], 'b': syms[i + 1]} for i in range(1, len(syms))]) AS u
+                |      FROM s$p WHERE len(syms) >= 2)
+                |  GROUP BY u.a, u.b),
+                |m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+                |c$r AS (SELECT word, i,
+                |    row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rk
+                |  FROM (SELECT e.word, e.i,
+                |        e.i - row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS grp
+                |      FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM s$p) e, m$r
+                |      WHERE e.syms[e.i] = m$r.a AND e.syms[e.i + 1] = m$r.b)),
+                |k$r AS (SELECT word, i FROM c$r WHERE rk % 2 = 1),
+                |s$r AS (SELECT word, any_value(freq) AS freq, list(sym ORDER BY j) AS syms
+                |  FROM (SELECT x.word, x.freq, x.j,
+                |        CASE WHEN kk.i IS NOT NULL THEN x.syms[x.j] || x.syms[x.j + 1]
+                |             ELSE x.syms[x.j] END AS sym
+                |      FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS j
+                |            FROM s$p) x
+                |      LEFT JOIN k$r kk ON kk.word = x.word AND kk.i = x.j
+                |      LEFT JOIN k$r kp ON kp.word = x.word AND kp.i = x.j - 1
+                |      WHERE kp.i IS NULL)
+                |  GROUP BY word)""".stripMargin
+    }
+    sb ++= (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS left_tok, b AS right_tok, n FROM m$r")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.result()
+  }
+
   /** Unigram-LM surprisal per document, quantized to integer bits — the
     * perplexity-proxy quality score of a CCNet-style filter, built from
     * the corpus's own unigram statistics. A token occurring tf times in

@@ -1270,6 +1270,17 @@ object ExtensionQueries {
              |ORDER BY n DESC, left_tok, right_tok LIMIT 20""".stripMargin),
     ),
 
+    // The FULL BPE trainer, not just one round of pair stats: 6 merge
+    // rounds over the corpus vocabulary (pick top pair, merge greedily
+    // left-to-right, recount). The oracle unrolls the same 6 rounds in
+    // SQL, reproducing greedy application via the parity rule over
+    // consecutive candidate runs.
+    QueryDef(
+      "text_bpe_merges",
+      (s, dir) => TextAnalytics.trainBpeMerges(Tables.documents(s, dir), k = 6),
+      Some(TextAnalytics.bpeMergesOracleSql(6)),
+    ),
+
     // Multimodal decode plumbing (stub codec, real Dataset pipeline).
     QueryDef(
       "multimodal_decode_stub",

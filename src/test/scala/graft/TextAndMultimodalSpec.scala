@@ -389,6 +389,36 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(ImageHeaders.decode(evil)._1 == "unknown")
   }
 
+  test("trainBpeMerges: hand-computed merge table, greedy overlap, lexicographic ties") {
+    val corpus = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "low lower"),
+    ).toDF("doc_id", "text")
+    val merges = TextAnalytics.trainBpeMerges(corpus, k = 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    // round 1: (l,o) and (o,w) tie at 6 — lexicographic tie-break picks (l,o)
+    assert(merges(0) == ((1, "l", "o", 6L)))
+    assert(merges(1) == ((2, "lo", "w", 6L)))
+    assert(merges(2) == ((3, "low", "e", 3L)))
+    assert(merges(3) == ((4, "lowe", "r", 2L)))
+    // (lowe,s) and (s,t) tie at 1 — "lowe" < "s"
+    assert(merges(4) == ((5, "lowe", "s", 1L)))
+    assert(merges(5) == ((6, "lowes", "t", 1L)))
+    // greedy left-to-right on overlapping candidates: "aaaa" under a+a
+    // merges positions 1 and 3 (parity), yielding [aa, aa] — so round 2
+    // finds (aa, aa), not (aa, a)
+    val runs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalytics.trainBpeMerges(runs, k = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(m2(0) == ((1, "a", "a", 6L))) // 3 overlapping pairs × freq 2
+    assert(m2(1) == ((2, "aa", "aa", 2L)))
+    // fewer merges than k available: trainer stops, no padding rows
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m3 = TextAnalytics.trainBpeMerges(tiny, k = 4)
+      .as[(Int, String, String, Long)].collect()
+    assert(m3.toSeq == Seq((1, "a", "b", 1L)))
+  }
+
   test("VideoHeaders: MP4 box walk reads mvhd duration, trak count, stsz frames") {
     import graft.functions.{MediaFixtures, VideoHeaders}
     assert(VideoHeaders.decode(MediaFixtures.mp4Bytes(2, 30, 1000, 4500L)) ==
