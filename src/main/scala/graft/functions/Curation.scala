@@ -270,11 +270,18 @@ object Curation {
     *
     * Pipeline: sentence split (". " — the C4 heuristic, deterministic
     * across engines) → per-doc lead() windows build each 3-sentence
-    * span → one span_hash-keyed window finds first occurrences → dup
-    * span starts fan out to their three covered positions → anti-join
-    * drops them → per-doc reassembly. Scale shape: two keyed shuffles
-    * (span_hash, doc_id) of SENTENCE-sized rows, the drop set is
-    * |duplicated spans|·3 positions; nothing is ever corpus².
+    * span → first occurrence per span_hash as a map-side-combinable
+    * `min(struct(doc_id, pos))` AGGREGATE (not a span_hash-partitioned
+    * window: a boilerplate span repeated millions of times would
+    * serialize that window's partition onto one task) → non-first
+    * starts via an anti-join keyed on the near-unique
+    * `(span_hash, doc_id, pos)` (a hot hash spreads across its
+    * positions; the hot aggregation key collapses per mapper before the
+    * shuffle) → dup span starts fan out to their three covered
+    * positions → anti-join drops them → per-doc reassembly. Scale
+    * shape: keyed shuffles of SENTENCE-sized rows only, bounded
+    * per-task even when one span covers the corpus; nothing is ever
+    * corpus².
     * Output: (doc_id, n_sentences, n_dropped, text_deduped) — docs with
     * every sentence dropped keep a row with empty text (the C4 outcome
     * for a fully-boilerplate page).
@@ -292,9 +299,12 @@ object Curation {
       .filter(col("__s2").isNotNull)
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(". ", col("sentence"), col("__s1"), col("__s2"))).as("__h"))
-    val occ = row_number().over(
-      Window.partitionBy(col("__h")).orderBy(col("doc_id"), col("pos")))
-    val dupStarts = spans.withColumn("__occ", occ).filter(col("__occ") > 1)
+    val firsts = spans
+      .groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .select(col("__h"), col("__first.doc_id").as("doc_id"),
+        col("__first.pos").as("pos"))
+    val dupStarts = spans.join(firsts, Seq("__h", "doc_id", "pos"), "left_anti")
     val dropPos = dupStarts
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + 2)).as("pos"))

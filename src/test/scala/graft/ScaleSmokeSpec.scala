@@ -279,6 +279,61 @@ class ScaleSmokeSpec extends SparkSpec {
     // fans out at most maxDf^2 join rows per shingle.
   }
 
+  test("adversarial skew: corpus-wide boilerplate SPAN, dropDupSpans stays task-bounded at 10×") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import graft.functions.Curation
+    // Every document (10× corpus: 5 000 docs) ends with the SAME
+    // unsalted 3-sentence span — its span_hash has df = |corpus|. The
+    // first-occurrence computation must survive that as a combinable
+    // aggregate; a span_hash-partitioned window would put all 5 000
+    // occurrences in one window partition (the r4 serialization
+    // hazard).
+    val boiler = ". all rights reserved. unauthorized copying prohibited. contact the site owner"
+    def withBoiler(d: DataFrame) =
+      d.select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+    val adv10 = withBoiler(synthDocs(10, s"$base/docs10span"))
+    val nDocs = adv10.count()
+    var maxTask = 0L
+    var total = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
+        maxTask = math.max(maxTask, recs)
+        total += recs
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val out =
+      try {
+        val r = Curation.dropDupSpans(adv10).cache()
+        r.count()
+        var last = -1L
+        var spins = 0
+        while (total != last && spins < 50) { last = total; spins += 1; Thread.sleep(200L) }
+        r
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    try {
+      info(s"dropDupSpans shuffle records: maxTask=$maxTask total=$total")
+      // the per-doc windows (doc_id keyed) and the (hash, doc, pos)
+      // shuffles all spread the hot span across tasks; 25% is the
+      // generous "no single task swallowed the hot hash" bound
+      assert(total > 0 && maxTask <= total / 4,
+        s"one task read $maxTask of $total shuffle records — hot span serialized")
+      // semantics: exactly ONE document (the global first occurrence)
+      // keeps the boilerplate span; every other doc dropped ≥ 3
+      // sentences
+      val keptBoiler = out.filter(col("text_deduped")
+        .contains("unauthorized copying prohibited")).count()
+      assert(keptBoiler == 1L,
+        s"exactly the first occurrence keeps the planted span, got $keptBoiler")
+      assert(out.filter(col("n_dropped") >= 3).count() == nDocs - 1)
+    } finally out.unpersist()
+  }
+
   test("embedding near-dup LSH scales near-linearly on a 10× corpus") {
     val emb1 = synthEmb(1, s"$base/emb1")
     val emb10 = synthEmb(10, s"$base/emb10")
