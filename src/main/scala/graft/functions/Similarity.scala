@@ -220,8 +220,11 @@ object Similarity {
     * sequentially — bit-identical to the packed-row interpreted fold it
     * replaces, and what the external oracles mirror.
     */
-  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    import graft.functions.expressions.PqExpressions
+  /** Driver-materialize a `(__cid, __cemb)` table into the flat literal
+    * arrays the native centroid scans take (≤ nCells·dim doubles —
+    * size-bounded, the bloom-blob/PQ pattern).
+    */
+  private def centroidLiterals(centroids: DataFrame): (Array[Double], Array[Long], Int) = {
     val rows = centroids.orderBy(col("__cid")).collect()
     require(rows.nonEmpty, "empty centroid set")
     val cids = rows.map(_.getLong(0))
@@ -232,8 +235,32 @@ object Similarity {
       var i = 0
       while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
     }
+    (flat, cids, dim)
+  }
+
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.functions.expressions.PqExpressions
+    val (flat, cids, dim) = centroidLiterals(centroids)
     embeddings.withColumn("cell",
       PqExpressions.nearestCentroid(col("embedding"), flat, cids, dim))
+  }
+
+  /** SPILLED assignment: each vector indexed under its `spill` nearest
+    * cells (one narrow projection + executor-side explode — still no
+    * shuffle). The index grows `spill`×; at a FIXED probe budget a
+    * neighbor is found if ANY of its cells is probed, which is the
+    * recall lever that does not widen the query-time scan fraction.
+    */
+  def assignToCentroidsSpill(embeddings: DataFrame, centroids: DataFrame,
+      spill: Int): DataFrame = {
+    import graft.functions.expressions.PqExpressions
+    require(spill >= 1, s"spill must be >= 1, got $spill")
+    val (flat, cids, dim) = centroidLiterals(centroids)
+    embeddings
+      .withColumn("__cells",
+        PqExpressions.nearestCentroids(col("embedding"), flat, cids, dim, spill))
+      .withColumn("cell", explode(col("__cells")))
+      .drop("__cells")
   }
 
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame =
@@ -282,15 +309,20 @@ object Similarity {
 
   /** IVF ANN top-k: probe the `nProbe` cells nearest the query, exact
     * decimal cosine within the probed cells only. `refine` Lloyd passes
-    * (deterministic, fixed count) tighten the cells around the data —
-    * recall@k rises against the same probe budget (spec-measured in
-    * SimilaritySpec).
+    * (deterministic, fixed count) tighten the cells around the data;
+    * `spill` > 1 indexes each vector under its `spill` nearest cells
+    * ([[assignToCentroidsSpill]]) — both raise recall@k against the
+    * same probe budget (spec-measured in SimilaritySpec, incl. the
+    * recall-vs-budget table).
     */
   def ivfTopK(embeddings: DataFrame, queryVecId: Long,
-      k: Int = 10, nCells: Int = 16, nProbe: Int = 4, refine: Int = 0): DataFrame = {
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4, refine: Int = 0,
+      spill: Int = 1): DataFrame = {
     var cents = seededCentroids(embeddings, nCells)
     for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
-    val assigned = assignToCentroids(embeddings, cents)
+    val assigned =
+      if (spill <= 1) assignToCentroids(embeddings, cents)
+      else assignToCentroidsSpill(embeddings, cents, spill)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("__q"),
         dotDecD(col("embedding"), col("embedding")).as("__ny"))
@@ -300,8 +332,11 @@ object Similarity {
         cosineDouble(col("__cemb"), col("__q")).as("__csim"))
       .orderBy(desc("__csim"), asc("cell")).limit(nProbe)
       .select(col("cell"))
-    assigned
-      .join(broadcast(probedCells), "cell")
+    val candidates = assigned.join(broadcast(probedCells), "cell")
+    // spilled vectors can sit in several probed cells: dedup the
+    // candidate slice (rows are identical modulo `cell`) before scoring
+    val unique = if (spill <= 1) candidates else candidates.dropDuplicates("vec_id")
+    unique
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), cosineParts(dotDecD(col("embedding"), col("__q")),

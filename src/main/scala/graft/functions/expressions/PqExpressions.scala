@@ -259,6 +259,76 @@ object NearestCentroidExpr {
   }
 }
 
+/** Top-`kSpill` nearest centroids as `array<bigint>` (dot descending,
+  * first-wins on ties — the [[NearestCentroidExpr]] argmax generalized
+  * to a bounded insertion top-k). The spilled-assignment primitive: an
+  * IVF index that assigns each vector to its `kSpill` nearest cells
+  * trades `kSpill`× storage for recall at a FIXED probe budget (a
+  * neighbor is found if ANY of its cells is probed).
+  */
+case class NearestCentroidsKExpr(first: Expression, second: Expression,
+    third: Expression, dim: Int, kSpill: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids_k"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>, array<bigint>), " +
+          s"got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    NearestCentroidsKExpr.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], dim, kSpill)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (emb, flat, cids) =>
+      s"graft.functions.expressions.NearestCentroidsKExpr.compute($emb, $flat, $cids, $dim, $kSpill)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestCentroidsKExpr {
+  def compute(emb: ArrayData, flat: ArrayData, cids: ArrayData,
+      dim: Int, kSpill: Int): ArrayData = {
+    val n = cids.numElements()
+    val kk = math.min(kSpill, n)
+    val topDot = new Array[Double](kk)
+    val topCid = new Array[Long](kk)
+    var filled = 0
+    var c = 0
+    while (c < n) {
+      var acc = 0.0
+      var i = 0
+      val base = c * dim
+      while (i < dim) {
+        acc += emb.getFloat(i).toDouble * flat.getDouble(base + i)
+        i += 1
+      }
+      // strict-> insertion keeps the earlier (smaller) cid on ties,
+      // matching NearestCentroidExpr's first-wins argmax
+      if (filled < kk || acc > topDot(filled - 1)) {
+        var pos = if (filled < kk) filled else kk - 1
+        while (pos > 0 && acc > topDot(pos - 1)) {
+          topDot(pos) = topDot(pos - 1); topCid(pos) = topCid(pos - 1); pos -= 1
+        }
+        topDot(pos) = acc; topCid(pos) = cids.getLong(c)
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCid, filled))
+  }
+}
+
 object PqExpressions {
   /** Column wrapper: PQ codes from an embedding + flat codebook literal. */
   def pqEncode(emb: Column, cbFlat: Array[Double], m: Int, k: Int, sub: Int): Column =
@@ -294,4 +364,13 @@ object PqExpressions {
       Literal.create(flat, ArrayType(DoubleType, containsNull = false)),
       Literal.create(cids, ArrayType(LongType, containsNull = false)),
       dim))
+
+  /** Column wrapper: top-k nearest centroid cells (spilled assignment). */
+  def nearestCentroids(emb: Column, flat: Array[Double], cids: Array[Long],
+      dim: Int, kSpill: Int): Column =
+    GraftSqlBridge.toColumn(NearestCentroidsKExpr(
+      GraftSqlBridge.toExpression(emb),
+      Literal.create(flat, ArrayType(DoubleType, containsNull = false)),
+      Literal.create(cids, ArrayType(LongType, containsNull = false)),
+      dim, kSpill))
 }
