@@ -78,24 +78,37 @@ object Bench {
         import org.apache.spark.sql.functions.col
         val docs = graft.model.Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-        val t0 = System.nanoTime()
-        implicit val sq = spark.sqlContext
-        val in = MemoryStream[(Long, String)]
-        in.addData(docs.toSeq)
-        val stream = graft.streaming.StreamingIngest.curatedDocStream(
-          in.toDF().toDF("doc_id", "text")
-            .withColumn("ts", org.apache.spark.sql.functions
-              .to_timestamp(org.apache.spark.sql.functions.lit("2024-01-01 00:00:00"))))
-        val q = stream.writeStream.format("noop")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-bench-stream").toString)
-          .start()
-        q.processAllAvailable()
-        q.stop()
-        val sec = (System.nanoTime() - t0) / 1e9
-        Map("curated_doc_stream_sec" -> sec,
-          "curated_doc_stream_docs" -> docs.length.toDouble)
-      } catch { case _: Throwable => Map("curated_doc_stream_sec" -> -1.0) }
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+        try {
+          val t0 = System.nanoTime()
+          implicit val sq = spark.sqlContext
+          val in = MemoryStream[(Long, String)]
+          in.addData(docs.toSeq)
+          val stream = graft.streaming.StreamingIngest.curatedDocStream(
+            in.toDF().toDF("doc_id", "text")
+              .withColumn("ts", org.apache.spark.sql.functions
+                .to_timestamp(org.apache.spark.sql.functions.lit("2024-01-01 00:00:00"))))
+          val q = stream.writeStream.format("noop")
+            .option("checkpointLocation", ckpt.toString)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Map("curated_doc_stream_sec" -> sec,
+            "curated_doc_stream_docs" -> docs.length.toDouble)
+        } finally { // the per-run checkpoint is scratch, not state
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        // NonFatal only: an OOM/linkage error must crash the bench run
+        // loudly, not report as a silent -1 datapoint
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] streaming failed: ${e.getClass.getName}: ${e.getMessage}")
+        Map("curated_doc_stream_sec" -> -1.0)
+      }
     val loadEnd = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -271,9 +271,11 @@ object Similarity {
     * a 100 TB index current without re-reading the corpus (the
     * CurationPipeline state-table pattern applied to ANN). Centroids are
     * whatever the index was built with (seeded or Lloyd-refined),
-    * materialized once into the literal argmax scan; the output unions
-    * directly onto the persisted `(vec_id, cell, embedding)` table, and
-    * a cell-partitioned write keeps probe-time pruning intact.
+    * materialized once into the literal argmax scan; run through
+    * [[withCosineNorm]], the output unions directly onto the persisted
+    * probe-ready `(vec_id, embedding, __nx, cell)` table
+    * (`CurationPipeline.AnnState`), and a cell-partitioned write keeps
+    * probe-time pruning intact.
     */
   def ivfAssignIncremental(newBatch: DataFrame, centroids: DataFrame): DataFrame =
     assignToCentroids(newBatch, centroids)
@@ -366,14 +368,32 @@ object Similarity {
     */
   def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, refine: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var cents = seededCentroids(embeddings, nCells)
     for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
-    // corpus-side norms ride the assignment scan ONCE per row — every
-    // probing query reuses them (the pairwise cosine would re-derive
-    // ‖a‖² per candidate, tripling the decimal-term work)
-    val assigned = assignToCentroids(embeddings, cents)
-      .withColumn("__nx", dotDecD(col("embedding"), col("embedding")))
+    ivfProbeAssigned(withCosineNorm(assignToCentroids(embeddings, cents)),
+      cents, queries, k, nProbe)
+  }
+
+  /** The corpus-side norm column the batched probes amortize: computed
+    * ONCE per row on the assignment scan — every probing query reuses
+    * it (the pairwise cosine would re-derive ‖a‖² per candidate,
+    * tripling the decimal-term work). Persisting this column with the
+    * assignment state is the probe-ready 100 TB layout.
+    */
+  def withCosineNorm(assigned: DataFrame): DataFrame =
+    assigned.withColumn("__nx", dotDecD(col("embedding"), col("embedding")))
+
+  /** Batched IVF probe over an ALREADY-PREPARED assignment table
+    * `(vec_id, embedding, __nx, cell)` + its frozen `(__cid, __cemb)`
+    * centroids — the state-table path: probe-time readers run straight
+    * off a persisted cell-partitioned table (no corpus re-join, no
+    * re-assignment). [[ivfTopKBatch]] is this probe over a freshly
+    * built index; `graft.pipeline.CurationPipeline.probeAnn` is this
+    * probe over [[graft.pipeline.CurationPipeline.AnnState]].
+    */
+  def ivfProbeAssigned(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probeRank = row_number().over(
       Window.partitionBy(col("qid")).orderBy(desc("__csim"), asc("cell")))
     val probes = queries.select(col("qid"), col("embedding").as("__q"),

@@ -428,7 +428,7 @@ object TextAnalytics {
         count(lit(1)).over(nGrams).as("__g"))
       .filter(col("pos") <= greatest(lit(0), col("__g") - w))
       // integer decode: `div`, never `/` (double division drops low bits
-      // beyond 2^53 — the packed keys reach 2^60)
+      // beyond 2^53 — the 23-bit-position packed keys reach 2^63−1)
       .select(col("doc_id"),
         (lit(8388607L) - (col("__wmin") % 8388608L)).as("fp_pos"),
         expr("__wmin div 8388608").as("fp_hash"))

@@ -130,6 +130,13 @@ case class DotProductFloat(left: Expression, right: Expression)
 case class CosineDecimalExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Captured at plan time, the Cast.evalMode pattern: the declarative
+  // chain this expression specifies THROWS on term overflow under ANSI
+  // and NULLs under non-ANSI — the native loop must mirror whichever
+  // mode the session planned with, or the bit-identical claim breaks
+  // exactly at the failure magnitudes.
+  private val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_decimal"
 
@@ -145,13 +152,13 @@ case class CosineDecimalExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineDecimalExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineDecimalExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ansi)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val res = ctx.freshName("res")
       s"""
-         |Object $res = graft.functions.expressions.CosineDecimalExpr.compute($a, $b);
+         |Object $res = graft.functions.expressions.CosineDecimalExpr.compute($a, $b, $ansi);
          |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $res).doubleValue(); }
        """.stripMargin
     })
@@ -188,7 +195,13 @@ object CosineDecimalExpr {
 
   private def term(p: Double): Long = termUnscaled(p)
 
-  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = compute(x, y, ansi = true)
+
+  /** `ansi = false` mirrors the non-ANSI declarative chain: a term past
+    * DECIMAL(28,12) capacity yields NULL (the `Cast` nulls there)
+    * instead of the ANSI throw.
+    */
+  def compute(x: ArrayData, y: ArrayData, ansi: Boolean): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null // zip_with pads → null fold
     try {
@@ -210,7 +223,9 @@ object CosineDecimalExpr {
       val ny = java.math.BigDecimal.valueOf(bb, 12).doubleValue()
       dot / (math.sqrt(nx) * math.sqrt(ny))
     } catch {
-      case _: ArithmeticException => computeBig(x, y) // unscaled overflow
+      case _: ArithmeticException => // unscaled overflow: widen
+        try computeBig(x, y)
+        catch { case e: ArithmeticException => if (ansi) throw e else null }
     }
   }
 
@@ -252,6 +267,9 @@ object CosineDecimalExpr {
 case class DotDecimalDoubleExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // plan-time ANSI capture — see the CosineDecimalExpr note
+  private val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_decimal_double"
 
@@ -267,13 +285,13 @@ case class DotDecimalDoubleExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotDecimalDoubleExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotDecimalDoubleExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ansi)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val res = ctx.freshName("res")
       s"""
-         |Object $res = graft.functions.expressions.DotDecimalDoubleExpr.compute($a, $b);
+         |Object $res = graft.functions.expressions.DotDecimalDoubleExpr.compute($a, $b, $ansi);
          |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $res).doubleValue(); }
        """.stripMargin
     })
@@ -284,7 +302,9 @@ case class DotDecimalDoubleExpr(left: Expression, right: Expression)
 }
 
 object DotDecimalDoubleExpr {
-  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = compute(x, y, ansi = true)
+
+  def compute(x: ArrayData, y: ArrayData, ansi: Boolean): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null
     try {
@@ -299,15 +319,17 @@ object DotDecimalDoubleExpr {
       java.math.BigDecimal.valueOf(acc, 12).doubleValue()
     } catch {
       case _: ArithmeticException =>
-        var acc = java.math.BigDecimal.ZERO
-        var i = 0
-        while (i < n) {
-          if (x.isNullAt(i) || y.isNullAt(i)) return null
-          acc = acc.add(CosineDecimalExpr.termBig(
-            x.getFloat(i).toDouble * y.getFloat(i).toDouble))
-          i += 1
-        }
-        acc.doubleValue()
+        try {
+          var acc = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < n) {
+            if (x.isNullAt(i) || y.isNullAt(i)) return null
+            acc = acc.add(CosineDecimalExpr.termBig(
+              x.getFloat(i).toDouble * y.getFloat(i).toDouble))
+            i += 1
+          }
+          acc.doubleValue()
+        } catch { case e: ArithmeticException => if (ansi) throw e else null }
     }
   }
 }

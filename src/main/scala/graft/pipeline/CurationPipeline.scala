@@ -82,14 +82,18 @@ object CurationPipeline {
   /** Persisted ANN-index state: the centroid table (fixed at init — a
     * moving codebook would silently re-bucket history) and the
     * cell-partitioned assignment table probe-time readers prune by.
+    * The cells table is PROBE-READY: it carries
+    * `(vec_id, embedding, __nx, cell)` — embedding plus the amortized
+    * cosine norm — so [[probeAnn]] runs straight off the state with no
+    * corpus re-join.
     */
   final case class AnnState(centroidsPath: String, cellsPath: String)
 
   /** Build the IVF index state from a seed corpus: centroids seeded and
     * optionally Lloyd-refined ONCE, then frozen to parquet; the seed
-    * corpus' assignments written partitioned by `cell`, so a probe reads
-    * `nProbe/nCells` of the files — the layout [[Similarity.ivfTopKBatch]]
-    * assumes at scale.
+    * corpus' assignments (with embedding + precomputed norm) written
+    * partitioned by `cell`, so a probe reads `nProbe/nCells` of the
+    * files — the layout [[Similarity.ivfTopKBatch]] assumes at scale.
     */
   def initAnn(spark: SparkSession, dir: String, seedEmbeddings: DataFrame,
       nCells: Int = 16, refine: Int = 1): AnnState = {
@@ -97,16 +101,17 @@ object CurationPipeline {
     var cents = Similarity.seededCentroids(seedEmbeddings, nCells)
     for (_ <- 0 until refine) cents = Similarity.refineCentroids(seedEmbeddings, cents)
     cents.write.mode(SaveMode.Overwrite).parquet(st.centroidsPath)
-    Similarity.assignToCentroids(seedEmbeddings,
-        spark.read.parquet(st.centroidsPath))
-      .select(col("vec_id"), col("cell"))
+    Similarity.withCosineNorm(Similarity.assignToCentroids(seedEmbeddings,
+        spark.read.parquet(st.centroidsPath)))
+      .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st.cellsPath)
     st
   }
 
   /** O(batch) index maintenance: assign ONLY the new embeddings against
     * the frozen centroids ([[Similarity.ivfAssignIncremental]] — a
-    * join-free literal-centroid scan) and append to the cell table.
+    * join-free literal-centroid scan) and append to the cell table in
+    * the same probe-ready `(vec_id, embedding, __nx, cell)` layout.
     * History participates only through the ≤nCells-row centroid table;
     * no batch ever rereads the accumulated corpus. Idempotence contract
     * matches [[runBatch]]: the returned assignment is a pure function of
@@ -116,10 +121,26 @@ object CurationPipeline {
   def runAnnBatch(spark: SparkSession, newEmbeddings: DataFrame,
       state: AnnState, appendState: Boolean = true): DataFrame = {
     val cents = spark.read.parquet(state.centroidsPath)
-    val assigned = Similarity.ivfAssignIncremental(newEmbeddings, cents)
-      .select(col("vec_id"), col("cell"))
+    val assigned = Similarity.withCosineNorm(
+        Similarity.ivfAssignIncremental(newEmbeddings, cents))
+      .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
     if (appendState)
       assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(state.cellsPath)
     assigned
   }
+
+  /** Probe the persisted index: batched top-k
+    * ([[Similarity.ivfProbeAssigned]]) straight off the state tables —
+    * the frozen centroids rank the probes, the cell-partitioned cells
+    * table prunes the scan, and the persisted norms skip the ‖a‖²
+    * re-derivation. This is the read path the state layout exists for:
+    * at 100 TB a probe touches `nProbe/nCells` of the files and nothing
+    * else.
+    */
+  def probeAnn(spark: SparkSession, state: AnnState, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame =
+    Similarity.ivfProbeAssigned(
+      spark.read.parquet(state.cellsPath),
+      spark.read.parquet(state.centroidsPath),
+      queries, k, nProbe)
 }

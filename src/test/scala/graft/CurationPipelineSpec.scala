@@ -68,7 +68,7 @@ class CurationPipelineSpec extends SparkSpec {
     val st = CurationPipeline.initAnn(spark, dir, seed, nCells = 8, refine = 1)
 
     val assigned = CurationPipeline.runAnnBatch(spark, batch, st)
-      .as[(Long, Long)].collect().toMap
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
     assert(assigned.keySet == batch.select("vec_id").as[Long].collect().toSet)
 
     // soundness: incremental assignment equals assigning the batch
@@ -90,7 +90,24 @@ class CurationPipelineSpec extends SparkSpec {
 
     // re-running the same batch without append is the same pure function
     val rerun = CurationPipeline.runAnnBatch(spark, batch, st, appendState = false)
-      .as[(Long, Long)].collect().toMap
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
     assert(rerun == assigned)
+
+    // the state table is PROBE-READY: it carries embedding + the
+    // precomputed norm, so probing runs straight off the persisted
+    // layout — and returns exactly what a fresh probe over the same
+    // frozen centroids + corpus computes (bit-identical cosines)
+    val queries = emb.filter($"vec_id".isin(0L, 100L, 300L))
+      .select($"vec_id".as("qid"), $"embedding")
+    val fromState = CurationPipeline.probeAnn(spark, st, queries, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val cents = spark.read.parquet(st.centroidsPath)
+    val directProbe = graft.functions.Similarity.ivfProbeAssigned(
+        graft.functions.Similarity.withCosineNorm(
+          graft.functions.Similarity.assignToCentroids(emb, cents)),
+        cents, queries, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromState == directProbe)
+    assert(fromState.map(_._1) == Set(0L, 100L, 300L))
   }
 }

@@ -89,6 +89,32 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[Double].head() == 1.0)
   }
 
+  test("native cosine mirrors the declarative chain in BOTH ANSI modes at overflow") {
+    import graft.functions.Similarity
+    // terms beyond DECIMAL(28,12): ANSI on (the session default) throws
+    // on both sides — covered above; ANSI OFF must yield NULL on both
+    // sides (the non-ANSI Cast nulls, and the native loop mirrors the
+    // plan-time mode), or the bit-identical claim breaks exactly at the
+    // failure magnitudes
+    val big = Seq((Array(3.4e18f, -2.9e18f, 1.1e18f), Array(2.2e18f, 3.0e18f, -1.7e18f)))
+      .toDF("a", "b")
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val declarative = big.select(Similarity.cosineDeclarative($"a", $"b").as("c"))
+        .as[java.lang.Double].head()
+      val native = big.select(Similarity.cosine($"a", $"b").as("c"))
+        .as[java.lang.Double].head()
+      assert(declarative == null, s"non-ANSI declarative chain must null, got $declarative")
+      assert(native == null, s"non-ANSI native cosine must null, got $native")
+      // in-range values are unaffected by the mode switch
+      val mid = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      val n = mid.select(Similarity.cosine($"a", $"b")).as[Double].head()
+      val d = mid.select(Similarity.cosineDeclarative($"a", $"b")).as[Double].head()
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(d))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("dot_product_float is callable from SQL after registration") {
     graft.GraftExtensions.register(spark)
     graft.GraftExtensions.register(spark) // idempotent
