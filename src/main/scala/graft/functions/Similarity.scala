@@ -209,6 +209,28 @@ object Similarity {
     embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("__cid"), unitNorm(col("embedding")).as("__cemb"))
 
+  /** Deterministic seeds SPREAD across the corpus: every vec_id hashed
+    * into one of `nCells` buckets, the HASH-minimal id per bucket wins
+    * (min by hash, NOT by id — an id-min would bias every seed toward
+    * the oldest era of an append-only corpus, which is exactly the
+    * failure a re-index must escape) — one map-side-combinable
+    * aggregation + a broadcast join on the ≤nCells picked ids, no
+    * global sort. After drift, these seeds land in the new mass in
+    * proportion to its share of the corpus, where smallest-id seeds
+    * would all predate it and Lloyd passes could never migrate
+    * centroids into a mass none of them captured.
+    */
+  def spreadCentroids(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val h = xxhash64(col("vec_id"))
+    val picks = embeddings
+      .select(col("vec_id"), h.as("__h"), pmod(h, lit(nCells.toLong)).as("__b"))
+      .groupBy(col("__b"))
+      .agg(min(struct(col("__h"), col("vec_id"))).as("__m"))
+      .select(col("__b"), col("__m.vec_id").as("vec_id"))
+    embeddings.join(broadcast(picks), "vec_id")
+      .select(col("__b").as("__cid"), unitNorm(col("embedding")).as("__cemb"))
+  }
+
   /** Assign every vector to its nearest centroid from a `(__cid, __cemb)`
     * table. Centroids are pre-normalized, so argmax cosine = argmax dot;
     * corpus rows need no normalization at all. The centroid set is

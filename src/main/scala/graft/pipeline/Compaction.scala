@@ -34,13 +34,32 @@ object Compaction {
     n
   }
 
+  /** Crash-safe directory replace: `dest` is renamed aside (never
+    * deleted) before `src` moves into place, so a crash at ANY point
+    * leaves a complete copy of the data under `dest`, `<dest>__old`, or
+    * `src`.
+    */
+  def replaceDir(spark: SparkSession, dest: String, src: String): Unit = {
+    val p = new Path(dest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dest + "__old")
+    fs.delete(old, true) // leftover from an earlier crashed run
+    if (!fs.rename(p, old))
+      sys.error(s"swap aborted: could not move $p aside to $old")
+    if (!fs.rename(new Path(src), p)) {
+      fs.rename(old, p) // roll back; original was never deleted
+      sys.error(s"swap aborted: could not move $src into place")
+    }
+    fs.delete(old, true)
+    // the session's file-status cache still lists the pre-swap files;
+    // readers would otherwise hit FAILED_READ_FILE on the next scan
+    spark.catalog.refreshByPath(dest)
+  }
+
   /** Rewrite `path` into `ceil(bytes / targetFileBytes)` files and
     * return the new file count. The rewrite lands in `<path>__compact`
-    * first; only after it is fully written does the original get
-    * replaced — and the original is renamed aside (not deleted) before
-    * the swap, so a crash at ANY point leaves a complete copy of the
-    * data under `path`, `<path>__old`, or `<path>__compact`.
-    * `coalesce` (not `repartition`) keeps the rewrite shuffle-free —
+    * first; only after it is fully written does [[replaceDir]] swap it
+    * in. `coalesce` (not `repartition`) keeps the rewrite shuffle-free —
     * compaction is IO-bound work and should not pay an exchange.
     */
   def compactParquet(spark: SparkSession, path: String,
@@ -50,17 +69,24 @@ object Compaction {
     val tmp = path + "__compact"
     spark.read.parquet(path).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(path + "__old")
-    fs.delete(old, true) // leftover from an earlier crashed run
-    if (!fs.rename(p, old))
-      sys.error(s"compaction aborted: could not move $p aside to $old")
-    if (!fs.rename(new Path(tmp), p)) {
-      fs.rename(old, p) // roll back; original was never deleted
-      sys.error(s"compaction aborted: could not move $tmp into place")
-    }
-    fs.delete(old, true)
+    replaceDir(spark, path, tmp)
+    dataFiles(spark, path)
+  }
+
+  /** Compaction for a `partitionBy(partitionCol)` layout (the ANN cells
+    * table): one hash repartition on the partition column sends each
+    * partition value to exactly one task, so the rewrite lands as ~one
+    * file per partition value while PRESERVING the pruning layout.
+    * (Plain [[compactParquet]] would flatten the partitioning and break
+    * probe-time file pruning.) Same crash-safe swap.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      partitionCol: String): Int = {
+    val tmp = path + "__compact"
+    spark.read.parquet(path)
+      .repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    replaceDir(spark, path, tmp)
     dataFiles(spark, path)
   }
 }

@@ -56,7 +56,18 @@ object CurationPipeline {
     * [[IngestPipeline]]).
     */
   def runBatch(spark: SparkSession, batch: DataFrame, state: State,
-      appendState: Boolean = true): DataFrame = {
+      appendState: Boolean = true, compactOver: Int = 64): DataFrame = {
+    // append-only state accretes one file set per batch FOREVER; past
+    // `compactOver` files a table's scans turn into footer-fetch storms,
+    // so fold it back to ~target-sized files BEFORE this batch reads the
+    // state (compacting after the append would delete files the lazily
+    // returned output still references). Amortized: the rewrite runs
+    // every ~compactOver batches, not every batch; the crash-safe swap
+    // keeps re-runs resumable.
+    if (appendState)
+      for (p <- Seq(state.digestsPath, state.indexPath))
+        if (Compaction.dataFiles(spark, p) > compactOver)
+          Compaction.compactParquet(spark, p)
     val flagged = batch.join(
       TextAnalytics.ruleFlags(batch).filter(col("keep")).select("doc_id"), "doc_id")
     val reps = flagged.join(
@@ -96,9 +107,11 @@ object CurationPipeline {
     * files — the layout [[Similarity.ivfTopKBatch]] assumes at scale.
     */
   def initAnn(spark: SparkSession, dir: String, seedEmbeddings: DataFrame,
-      nCells: Int = 16, refine: Int = 1): AnnState = {
+      nCells: Int = 16, refine: Int = 1, spreadSeeds: Boolean = false): AnnState = {
     val st = AnnState(s"$dir/centroids", s"$dir/cells")
-    var cents = Similarity.seededCentroids(seedEmbeddings, nCells)
+    var cents =
+      if (spreadSeeds) Similarity.spreadCentroids(seedEmbeddings, nCells)
+      else Similarity.seededCentroids(seedEmbeddings, nCells)
     for (_ <- 0 until refine) cents = Similarity.refineCentroids(seedEmbeddings, cents)
     cents.write.mode(SaveMode.Overwrite).parquet(st.centroidsPath)
     Similarity.withCosineNorm(Similarity.assignToCentroids(seedEmbeddings,
@@ -119,7 +132,14 @@ object CurationPipeline {
     * downstream write.
     */
   def runAnnBatch(spark: SparkSession, newEmbeddings: DataFrame,
-      state: AnnState, appendState: Boolean = true): DataFrame = {
+      state: AnnState, appendState: Boolean = true,
+      compactOver: Int = 256): DataFrame = {
+    // each append adds ~one file per touched cell; compact with the
+    // PARTITION-PRESERVING rewrite (a flat compact would break the
+    // cell=… probe pruning the layout exists for) BEFORE the batch —
+    // the same lazy-reader discipline as runBatch
+    if (appendState && Compaction.dataFiles(spark, state.cellsPath) > compactOver)
+      Compaction.compactPartitioned(spark, state.cellsPath, "cell")
     val cents = spark.read.parquet(state.centroidsPath)
     val assigned = Similarity.withCosineNorm(
         Similarity.ivfAssignIncremental(newEmbeddings, cents))
@@ -127,6 +147,54 @@ object CurationPipeline {
     if (appendState)
       assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(state.cellsPath)
     assigned
+  }
+
+  /** Cell-population skew of the persisted index: `max(cell size) /
+    * mean(cell size)`. Probe latency is bounded by the largest probed
+    * cell, so this is THE health number of an IVF index whose centroids
+    * are frozen while the data distribution drifts.
+    */
+  def annCellSkew(spark: SparkSession, state: AnnState): Double = {
+    val r = spark.read.parquet(state.cellsPath)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), avg(col("n")).as("av")).head()
+    r.getLong(0).toDouble / r.getDouble(1)
+  }
+
+  /** Full re-index from the accumulated state: recompute centroids over
+    * EVERYTHING assigned so far (seeded + `refine` Lloyd passes — the
+    * init path over the grown corpus), reassign, and swap the state
+    * dirs crash-safely ([[Compaction.replaceDir]]). O(corpus) by
+    * design — this is the amortized escape hatch [[maintainAnn]] fires
+    * only at the skew trigger, not a per-batch cost.
+    */
+  def reindexAnn(spark: SparkSession, dir: String, state: AnnState,
+      nCells: Int = 16, refine: Int = 1): AnnState = {
+    val corpus = spark.read.parquet(state.cellsPath)
+      .select(col("vec_id"), col("embedding"))
+    // hash-SPREAD seeds: smallest-id seeding would plant every seed in
+    // the pre-drift era — the exact failure a re-index exists to fix
+    val rebuilt = initAnn(spark, s"$dir/__reindex", corpus, nCells, refine,
+      spreadSeeds = true)
+    Compaction.replaceDir(spark, state.centroidsPath, rebuilt.centroidsPath)
+    Compaction.replaceDir(spark, state.cellsPath, rebuilt.cellsPath)
+    val scratch = new org.apache.hadoop.fs.Path(s"$dir/__reindex")
+    scratch.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(scratch, true)
+    state
+  }
+
+  /** The documented re-index trigger: measure [[annCellSkew]]; past
+    * `skewThreshold` (default 4× — the largest cell costs 4× the mean
+    * probe), rebuild via [[reindexAnn]]. Returns (skew-before,
+    * re-indexed?). Run it on the maintenance cadence (daily / every N
+    * batches), not per batch: the measurement is one cell-count
+    * aggregation over the state table.
+    */
+  def maintainAnn(spark: SparkSession, dir: String, state: AnnState,
+      skewThreshold: Double = 4.0, nCells: Int = 16, refine: Int = 1): (Double, Boolean) = {
+    val skew = annCellSkew(spark, state)
+    if (skew > skewThreshold) { reindexAnn(spark, dir, state, nCells, refine); (skew, true) }
+    else (skew, false)
   }
 
   /** Probe the persisted index: batched top-k

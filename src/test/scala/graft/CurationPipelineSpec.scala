@@ -59,6 +59,80 @@ class CurationPipelineSpec extends SparkSpec {
     assert(splits == expected)
   }
 
+  test("state compaction: N batches leave a bounded file count, accepted sets unchanged") {
+    import graft.pipeline.Compaction
+    val dirC = Files.createTempDirectory("curation-compact").toString
+    val dirU = Files.createTempDirectory("curation-uncompacted").toString
+    val stC = CurationPipeline.init(spark, dirC)
+    val stU = CurationPipeline.init(spark, dirU)
+    val batches = (0 until 6).map(i =>
+      docs.filter($"doc_id" % 6 === i))
+    // compacted pipeline: threshold low enough that several of the 6
+    // appends trip the rewrite; uncompacted twin never compacts
+    val accC = batches.map(b =>
+      CurationPipeline.runBatch(spark, b, stC, compactOver = 4)
+        .select("doc_id").as[Long].collect().toSet)
+    val accU = batches.map(b =>
+      CurationPipeline.runBatch(spark, b, stU, compactOver = Int.MaxValue)
+        .select("doc_id").as[Long].collect().toSet)
+    // compaction must be invisible to semantics: identical accepted sets
+    assert(accC == accU)
+    val filesC = Compaction.dataFiles(spark, stC.digestsPath)
+    val filesU = Compaction.dataFiles(spark, stU.digestsPath)
+    info(s"digest files after 6 batches: compacted=$filesC uncompacted=$filesU")
+    // bounded: the last append can add at most ~shuffle-partition files
+    // on top of one compacted set; the uncompacted twin keeps growing
+    assert(filesC < filesU, "compaction must reduce the file count")
+    assert(filesC <= 4 + 33, s"file count must stay bounded, got $filesC")
+    // state CONTENT survives the rewrites: same digest multiset
+    val dC = spark.read.parquet(stC.digestsPath).as[String].collect().sorted.toSeq
+    val dU = spark.read.parquet(stU.digestsPath).as[String].collect().sorted.toSeq
+    assert(dC == dU)
+  }
+
+  test("ANN maintenance: drift trips the skew trigger, re-index restores balance") {
+    val dir = Files.createTempDirectory("ann-maintain").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // seed a SMALL slice; then append the rest of the corpus SHIFTED
+    // toward one region (a strong +dim0 offset with residual structure
+    // intact), so the frozen seed centroids funnel appends into few
+    // cells — the drift an append-only IVF index actually suffers —
+    // while a rebuilt k-means can still separate by the residuals
+    val seed = emb.filter($"vec_id" < 64)
+    val st = CurationPipeline.initAnn(spark, dir, seed, nCells = 8, refine = 1)
+    val drifted = emb.filter($"vec_id" >= 64 && $"vec_id" < 400)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          when(i === 0, abs(x) + lit(2.0f)).otherwise(x)).as("embedding"))
+    CurationPipeline.runAnnBatch(spark, drifted, st)
+    val skewBefore = CurationPipeline.annCellSkew(spark, st)
+    info(f"cell skew after drifted append: $skewBefore%.2f")
+    assert(skewBefore > 2.0, s"the planted drift must skew the cells, got $skewBefore")
+    val (reported, fired) = CurationPipeline.maintainAnn(spark, dir, st,
+      skewThreshold = 2.0, nCells = 8, refine = 1)
+    assert(fired && reported == skewBefore)
+    val skewAfter = CurationPipeline.annCellSkew(spark, st)
+    info(f"cell skew after re-index: $skewAfter%.2f")
+    assert(skewAfter <= skewBefore / 2,
+      s"re-index must substantially restore balance: $skewBefore -> $skewAfter")
+    // the rebuilt state is exactly a fresh spread-seeded index over the
+    // accumulated corpus: same cell populations and probe-ready columns
+    val corpus = seed.unionByName(drifted)
+    val fresh = CurationPipeline.initAnn(spark,
+      Files.createTempDirectory("ann-fresh").toString, corpus, nCells = 8, refine = 1,
+      spreadSeeds = true)
+    val a = spark.read.parquet(st.cellsPath)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val b = spark.read.parquet(fresh.cellsPath)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(a == b, "re-index must equal a fresh build over the accumulated corpus")
+    // below the threshold nothing fires
+    val (skew2, fired2) = CurationPipeline.maintainAnn(spark, dir, st,
+      skewThreshold = skewAfter + 1.0, nCells = 8, refine = 1)
+    assert(!fired2 && skew2 == skewAfter)
+  }
+
   test("incremental ANN index: new batch assigns through frozen centroids, cells partition") {
     val dir = Files.createTempDirectory("ann-state").toString
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
