@@ -210,6 +210,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LSH near-dup stream: directory source + parquet sink survive checkpoint restart") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("lsh-restart-src").toString
+    val outDir = Files.createTempDirectory("lsh-restart-out").toString
+    val ckpt = checkpoint
+    val histText = "the quick brown fox jumps over the lazy dog while the sun rises slowly"
+    val hist = Seq((100L, histText), (101L, "nothing like the others at all here"))
+      .toDF("doc_id", "text")
+    val index = graft.functions.Dedup.bandedIndexMd5(hist).cache()
+    index.count()
+    val schema = Seq.empty[StreamDoc].toDF().schema
+    def writeDocs(rows: StreamDoc*): Unit =
+      rows.toSeq.toDF().write.mode("append").parquet(srcDir)
+    def startQuery() = StreamingIngest.nearDupCandidatesStream(
+        spark.readStream.schema(schema).parquet(srcDir), index)
+      .select(col("new_doc"), col("old_doc"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    writeDocs(
+      StreamDoc(1L, ts("2024-01-01 10:00:00"), histText), // exact dup of 100
+      StreamDoc(2L, ts("2024-01-01 10:01:00"),
+        "completely unrelated words without overlap whatsoever"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // second incarnation, same checkpoint: the batch-1 file is not
+    // re-joined, and the recovered pair-dedup state suppresses a replay
+    // of the same collision inside the horizon while a new doc's
+    // collision still emits
+    writeDocs(
+      StreamDoc(1L, ts("2024-01-01 11:00:00"), histText), // replay: all bands collide again
+      StreamDoc(3L, ts("2024-01-01 11:01:00"), histText)) // fresh doc, same bands
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val pairs = spark.read.parquet(outDir).select("new_doc", "old_doc")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs == Seq((1L, 100L), (3L, 100L)), s"got $pairs")
+  }
+
   test("sessionStream matches batch sessionize on the same events (30-min gap)") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
@@ -392,6 +432,52 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(sink2.get((7L, "in")).contains((2L, 5.0)))
     } finally q2.stop()
+  }
+
+  test("curated doc stream: directory source + parquet sink survive checkpoint restart") {
+    // the deployable shape, not MemoryStream: a directory the ingest
+    // lands files into, a fault-tolerant parquet sink, and TWO query
+    // incarnations sharing one checkpoint — offsets (batch-1 files are
+    // not re-read) AND dedup state (a cross-incarnation replay inside
+    // the watermark horizon is dropped) both recover
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("cur-restart-src").toString
+    val outDir = Files.createTempDirectory("cur-restart-out").toString
+    val ckpt = checkpoint
+    def goodText(tag: String) =
+      s"the value of $tag stream " + Seq.fill(30)("steady").mkString(" ")
+    val schema = Seq.empty[StreamDoc].toDF().schema
+    def writeDocs(rows: StreamDoc*): Unit =
+      rows.toSeq.toDF().write.mode("append").parquet(srcDir)
+    def startQuery() = StreamingIngest.curatedDocStream(
+        spark.readStream.schema(schema).parquet(srcDir))
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def accepted(): Set[Long] =
+      spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+
+    // incarnation 1: a keeper, its exact dup (dropped), a rule failure
+    writeDocs(
+      StreamDoc(1L, ts("2024-01-01 10:00:00"), goodText("alpha")),
+      StreamDoc(2L, ts("2024-01-01 10:05:00"), goodText("alpha")),
+      StreamDoc(3L, ts("2024-01-01 10:06:00"), "too short and junky 123"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(accepted() == Set(1L))
+
+    // incarnation 2, same checkpoint: a replay of the batch-1 text
+    // arrives inside the 1-day horizon — only recovered state can drop
+    // it — plus a fresh keeper; and doc 1 must not re-emit
+    writeDocs(
+      StreamDoc(4L, ts("2024-01-01 11:00:00"), goodText("alpha")),
+      StreamDoc(5L, ts("2024-01-01 11:01:00"), goodText("beta")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(accepted() == Set(1L, 5L),
+      "restart must resume offsets and dedup state, not reprocess or re-admit")
   }
 
   test("hourly update stream merges into a JDBC target across micro-batches") {
