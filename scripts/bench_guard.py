@@ -8,16 +8,49 @@ flag on scheduler jitter. New queries (absent from the baseline) are
 reported informationally and never fail the guard — refresh the baseline
 with an isolated `SPARK_GRAFT_BENCH_REPS=3` run when adding queries.
 
+Environment noise is ADJUDICATED, not hand-waved: every flagged query is
+automatically re-measured ISOLATED (median of 3 via `graft.BenchOne`, a
+fresh JVM with nothing else running in it) before the guard fails. A
+query whose isolated median is back under threshold is reported as
+RECOVERED (noise — a loaded machine or JVM-heap artifact, see
+memory: full-registry runs inflate small queries); only CONFIRMED
+regressions fail the guard. Set BENCH_GUARD_NO_RERUN=1 to skip the
+re-measure pass (pure comparison mode).
+
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
         sbt -batch "runMain graft.Bench /tmp/bench_new.json"
     python3 scripts/bench_guard.py /tmp/bench_new.json [baseline.json]
 """
 import json
+import os
+import re
+import statistics
+import subprocess
 import sys
 
 THRESHOLD = 2.0   # max allowed per-query slowdown vs baseline median
 FLOOR_SEC = 0.3   # ignore regressions that stay under this absolute time
+
+
+def isolated_medians(queries):
+    """Re-measure `queries` in one fresh, idle JVM (graft.BenchOne: warm
+    once, 3 timed runs each) and return {query: median_sec}. Any query
+    missing from the output (e.g. it threw) is absent from the result.
+    """
+    cmd = ["sbt", "-batch", "runMain graft.BenchOne " + " ".join(queries)]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600).stdout
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(f"isolated re-measure failed to run: {e}")
+        return {}
+    times = {}
+    for line in out.splitlines():
+        m = re.match(r"(\S+) run\d+ ([0-9.]+) s", line.strip())
+        if m:
+            times.setdefault(m.group(1), []).append(float(m.group(2)))
+    return {q: statistics.median(ts) for q, ts in times.items() if ts}
 
 
 def main() -> int:
@@ -31,21 +64,48 @@ def main() -> int:
     new_q, base_q = new["queries"], base["queries"]
 
     failed_queries = [q for q, t in new_q.items() if t < 0]
-    regressions = []
+    missing = []
+    flagged = []
     added = sorted(set(new_q) - set(base_q))
     for q, t_base in sorted(base_q.items()):
         t_new = new_q.get(q)
         if t_new is None:
             print(f"MISSING  {q} (in baseline, not in new run)")
-            regressions.append((q, t_base, float("nan")))
+            missing.append(q)
             continue
         if t_new < 0:
             continue  # already counted in failed_queries
         if t_new > THRESHOLD * t_base and t_new > FLOOR_SEC:
-            regressions.append((q, t_base, t_new))
+            flagged.append((q, t_base, t_new))
 
-    for q, t_base, t_new in regressions:
-        print(f"REGRESSED  {q}: {t_base:.2f}s -> {t_new:.2f}s")
+    # Adjudicate flagged queries with an isolated re-measure: the
+    # full-registry run shares one long-lived JVM (GC pressure, heap
+    # growth, compilation cache) and the machine may be loaded — both
+    # inflate sub-second queries without any plan change.
+    confirmed = []
+    if flagged and not os.environ.get("BENCH_GUARD_NO_RERUN"):
+        names = [q for q, _, _ in flagged]
+        print(f"flagged {len(names)} query/queries, re-measuring isolated: "
+              + " ".join(names))
+        iso = isolated_medians(names)
+        for q, t_base, t_new in flagged:
+            t_iso = iso.get(q)
+            if t_iso is None:
+                print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
+                      "(isolated re-measure produced no result)")
+                confirmed.append((q, t_base, t_new))
+            elif t_iso > THRESHOLD * t_base and t_iso > FLOOR_SEC:
+                print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
+                      f"(isolated median {t_iso:.2f}s still over)")
+                confirmed.append((q, t_base, t_iso))
+            else:
+                print(f"RECOVERED  {q}: {t_base:.2f}s -> {t_new:.2f}s in the "
+                      f"full run, isolated median {t_iso:.2f}s — noise")
+    else:
+        confirmed = flagged
+        for q, t_base, t_new in flagged:
+            print(f"REGRESSED  {q}: {t_base:.2f}s -> {t_new:.2f}s")
+
     for q in failed_queries:
         print(f"FAILED  {q}")
     for q in added:
@@ -54,9 +114,9 @@ def main() -> int:
     print(f"total: baseline {tot_base:.1f}s -> new {tot_new:.1f}s "
           f"({tot_new / tot_base:.2f}x), {len(base_q)} guarded, {len(added)} new")
 
-    if failed_queries or regressions:
-        print(f"GUARD FAIL: {len(regressions)} regression(s), "
-              f"{len(failed_queries)} failed query/queries")
+    if failed_queries or confirmed or missing:
+        print(f"GUARD FAIL: {len(confirmed)} confirmed regression(s), "
+              f"{len(missing)} missing, {len(failed_queries)} failed query/queries")
         return 1
     print("GUARD PASS")
     return 0

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-registry benchmark at sf1 — 10× sf0.1, synthesized with the
+  * copy-structure discipline of [[ScaleProbe]] / `ScaleSmokeSpec` so
+  * relational integrity and dedup semantics survive the scale-up:
+  *
+  *   - `region`/`nation` stay fixed (TPC-H dimension tables do not
+  *     scale with SF);
+  *   - every fact/dim key is offset per copy consistently
+  *     (`c_custkey`, `o_custkey`, `l_orderkey`, … — each copy is a
+  *     closed referential world, so joins produce exactly 10× rows);
+  *   - `documents` copies are token-salted (disjoint shingle spaces:
+  *     within-copy duplicate structure preserved, no cross-copy pair
+  *     blow-up in the dedup family);
+  *   - `embeddings` copies are sign-mask-flipped per copy (within-copy
+  *     cosines invariant, cross-copy scrambled);
+  *   - `events` keeps its raw nanosecond longs (the `Tables.events`
+  *     normalization path is unchanged).
+  *
+  * Emits ONE JSON line (and writes it to `args(0)`, default
+  * `BENCH_SF1.json`): per-query seconds, single rep after one JVM
+  * warm-up (`SPARK_GRAFT_SF1_REPS` overrides), load-stamped like
+  * [[Bench]]. Usage:
+  *
+  *   sbt "runMain graft.ScaleBench BENCH_SF1.json [workDir]"
+  */
+object ScaleBench {
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("BENCH_SF1.json")
+    val work = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = 10
+    val src = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "1").toInt.max(1)
+    val loadStart = loadAvg()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val done = new java.io.File(s"$work/_BUILT")
+    if (!done.exists()) buildTables(spark, src, work, factor)
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // one JVM warm-up (codegen, parquet reader, shuffle paths)
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, work)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[sf1] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val t = if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
+      name -> t
+    }
+    val loadEnd = loadAvg()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total_sf1","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failed,"sf":"sf1(10x sf0.1 copy-structured)",""" +
+      s""""factor":$factor,"reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+
+  /** Materialize the 10× tables under `work/<name>.parquet`. */
+  def buildTables(spark: SparkSession, src: String, work: String, factor: Int): Unit = {
+    val copies = explode(array((0 until factor).map(lit(_)): _*)).as("copy")
+    def cp(name: String): Unit =
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$work/$name.parquet")
+    def off(c: String, stride: Long) = (col(c) + col("copy") * lit(stride)).as(c)
+
+    cp("region"); cp("nation") // fixed dimensions at every SF
+
+    spark.read.parquet(s"$src/customer.parquet").withColumn("copy", copies)
+      .select(off("c_custkey", 1000000L), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/customer.parquet")
+
+    spark.read.parquet(s"$src/supplier.parquet").withColumn("copy", copies)
+      .select(off("s_suppkey", 1000000L), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/supplier.parquet")
+
+    spark.read.parquet(s"$src/part.parquet").withColumn("copy", copies)
+      .select(off("p_partkey", 1000000L), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/part.parquet")
+
+    spark.read.parquet(s"$src/orders.parquet").withColumn("copy", copies)
+      .select(off("o_orderkey", 10000000L), off("o_custkey", 1000000L),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/orders.parquet")
+
+    spark.read.parquet(s"$src/lineitem.parquet").withColumn("copy", copies)
+      .select(off("l_orderkey", 10000000L), off("l_partkey", 1000000L),
+        off("l_suppkey", 1000000L), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/lineitem.parquet")
+
+    // events: raw ns longs preserved; event ids offset, user/ts kept
+    // (10x events per user is the realistic densification)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$src/events.parquet").withColumn("copy", copies)
+      .select(off("event_id", 10000000L), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/events.parquet")
+
+    spark.read.parquet(s"$src/documents.parquet").withColumn("copy", copies)
+      .select(off("doc_id", 1000000L),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("copy")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/documents.parquet")
+
+    def copyMask(c: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        var z = c.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL +
+          0xD6E8FEB86659FD93L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if ((z & 1L) == 0L) 1.0f else -1.0f
+      }
+    val masks = array((0 until factor).map(c => lit(copyMask(c))): _*)
+    spark.read.parquet(s"$src/embeddings.parquet").withColumn("copy", copies)
+      .select(off("vec_id", 10000000L),
+        zip_with(col("embedding"), element_at(masks, col("copy") + 1),
+          (x, s) => x * s).as("embedding"),
+        col("label"))
+      .repartition(32) // a one-file table would scan as one partition
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/embeddings.parquet")
+  }
+}
