@@ -175,14 +175,29 @@ object AudioHeaders {
     i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
       b(i + 2) == s(2) && b(i + 3) == s(3)
 
-  /** (format, channels, sampleRate, bitsPerSample, nSamples). The chunk
-    * walk reads `fmt ` for the wave format and `data` for the payload
-    * size (frames = dataSize / frameBytes); unknown chunks are skipped
-    * by their declared (word-aligned) lengths, so INFO/LIST metadata
-    * before `data` parses fine. A truncated stream yields what was
-    * parsed up to the cut.
+  /** (format, channels, sampleRate, bitsPerSample, nSamples).
+    *
+    * WAV: the chunk walk reads `fmt ` for the wave format and `data`
+    * for the payload size (frames = dataSize / frameBytes); unknown
+    * chunks are skipped by their declared (word-aligned) lengths, so
+    * INFO/LIST metadata before `data` parses fine. A truncated stream
+    * yields what was parsed up to the cut.
+    *
+    * MP3 ([[decodeMp3]]): ID3v2 tag skipped by its syncsafe length,
+    * then the MPEG-1 Layer III frame walk — each header's bitrate/
+    * sample-rate indices give the frame length, frames × 1152 gives
+    * the sample count. `bits_per_sample` reports 0 (lossy codecs have
+    * no PCM bit depth).
+    *
+    * FLAC ([[decodeFlac]]): metadata-block walk to STREAMINFO and its
+    * packed sample-rate/channels/bits/total-samples bit fields.
     */
   def decode(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return decodeFlac(b)
+    if (b.length >= 3 && ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)))
+      return decodeMp3(b)
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE"))
       return ("unknown", 0L, 0L, 0L, 0L)
     var channels = 0L
@@ -214,6 +229,95 @@ object AudioHeaders {
     if (channels <= 0 || bits <= 0 || frameBytes <= 0 || dataBytes < 0)
       ("unknown", 0L, 0L, 0L, 0L)
     else ("wav", channels, rate, bits, dataBytes / frameBytes)
+  }
+
+  // MPEG-1 Layer III tables (kbps by bitrate index; Hz by rate index)
+  private val mp3Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3Rates = Array(44100, 48000, 32000)
+
+  /** MP3: skip a leading ID3v2 tag by its syncsafe 28-bit length, then
+    * walk MPEG-1 Layer III frames — sync (11 set bits), version 1,
+    * layer III, a valid bitrate/sample-rate index pair; frame length is
+    * `144·bitrate/rate + padding` and every frame carries 1152 samples.
+    * Channel count from the first frame's mode bits (mono → 1). Free-
+    * format/reserved indices, a bad first frame, or a length that
+    * walks past the buffer end the walk; what was counted stands.
+    * `bits_per_sample` is 0 — a lossy stream has no PCM bit depth.
+    */
+  private def decodeMp3(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
+        ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
+      pos = 10 + size
+      if (pos < 0 || pos > b.length) return ("unknown", 0L, 0L, 0L, 0L)
+    }
+    var channels = 0L
+    var rate = 0L
+    var frames = 0L
+    var walking = true
+    while (walking && pos + 4 <= b.length) {
+      val h0 = u8(b, pos); val h1 = u8(b, pos + 1)
+      val h2 = u8(b, pos + 2); val h3 = u8(b, pos + 3)
+      // sync + MPEG-1 (version bits 11) + Layer III (layer bits 01)
+      if (h0 != 0xff || (h1 & 0xfe) != 0xfa) walking = false
+      else {
+        val brIdx = (h2 >> 4) & 0x0f
+        val srIdx = (h2 >> 2) & 0x03
+        val padding = (h2 >> 1) & 0x01
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) walking = false
+        else {
+          val sr = mp3Rates(srIdx)
+          val frameLen = 144 * mp3Bitrates(brIdx) * 1000 / sr + padding
+          if (frames == 0L) {
+            rate = sr.toLong
+            channels = if (((h3 >> 6) & 0x03) == 3) 1L else 2L
+          }
+          if (frameLen <= 4 || pos + frameLen > b.length) {
+            // count a final truncated-but-started frame only if its
+            // header was fully valid and it is the stream tail
+            walking = false
+          } else {
+            frames += 1
+            pos += frameLen
+          }
+        }
+      }
+    }
+    if (frames == 0L) ("unknown", 0L, 0L, 0L, 0L)
+    else ("mp3", channels, rate, 0L, frames * 1152L)
+  }
+
+  /** FLAC: `fLaC` magic, then the metadata-block walk (1-byte
+    * last+type, 24-bit big-endian length) to STREAMINFO (type 0) and
+    * its packed fields — 20-bit sample rate, 3-bit channels−1, 5-bit
+    * bits−1, 36-bit total samples.
+    */
+  private def decodeFlac(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+    var pos = 4
+    while (pos + 4 <= b.length) {
+      val header = u8(b, pos)
+      val last = (header & 0x80) != 0
+      val typ = header & 0x7f
+      val len = (u8(b, pos + 1) << 16) | (u8(b, pos + 2) << 8) | u8(b, pos + 3)
+      val body = pos + 4
+      if (len > b.length - body) return ("unknown", 0L, 0L, 0L, 0L)
+      if (typ == 0 && len >= 34) {
+        val sr = (u8(b, body + 10).toLong << 12) | (u8(b, body + 11) << 4) |
+          (u8(b, body + 12) >> 4)
+        val channels = ((u8(b, body + 12) >> 1) & 0x07) + 1L
+        val bits = (((u8(b, body + 12) & 0x01) << 4) | (u8(b, body + 13) >> 4)) + 1L
+        val total = ((u8(b, body + 13) & 0x0f).toLong << 32) |
+          (u8(b, body + 14).toLong << 24) | (u8(b, body + 15) << 16) |
+          (u8(b, body + 16) << 8) | u8(b, body + 17)
+        if (sr <= 0) return ("unknown", 0L, 0L, 0L, 0L)
+        return ("flac", channels, sr, bits, total)
+      }
+      if (last) return ("unknown", 0L, 0L, 0L, 0L) // no STREAMINFO found
+      pos = body + len
+    }
+    ("unknown", 0L, 0L, 0L, 0L)
   }
 }
 
@@ -405,6 +509,65 @@ object MediaFixtures {
     wavBytes(channels, rate, 16, nSamples)
   }
 
+  /** Multi-format audio fixture: WAV / MP3 / FLAC by `id % 3`, every
+    * planted value pure doc_id arithmetic (the oracle recomputes
+    * format, byte count, and all decoded fields).
+    */
+  def audioBytesMulti(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => wavBytes((id % 2 + 1).toInt, (8000 * (id / 3 % 3 + 1)).toInt, 16,
+      (id % 50 + 1).toInt)
+    case 1 => mp3Bytes((id % 20 + 1).toInt, mono = id % 2 == 1)
+    case _ => flacBytes((id % 2 + 1).toInt, (8000 * (id / 3 % 3 + 1)).toInt, 16,
+      (id % 50 + 1).toInt)
+  }
+
+  /** Valid MPEG-1 Layer III stream: a 24-byte ID3v2 tag (10-byte header
+    * + 14-byte payload, syncsafe length) the walk must skip, then
+    * `nFrames` frames at 128 kbps / 44100 Hz, no padding → each frame
+    * exactly 417 bytes (144·128000/44100), zeroed payloads.
+    */
+  def mp3Bytes(nFrames: Int, mono: Boolean): Array[Byte] = {
+    val frameLen = 144 * 128000 / 44100 // 417, padding 0
+    val bb = java.nio.ByteBuffer.allocate(24 + nFrames * frameLen)
+    bb.put("ID3".getBytes("US-ASCII"))
+    bb.put(3.toByte).put(0.toByte).put(0.toByte) // v2.3, no flags
+    bb.put(0.toByte).put(0.toByte).put(0.toByte).put(14.toByte) // syncsafe size
+    bb.position(bb.position() + 14) // zeroed tag payload
+    var f = 0
+    while (f < nFrames) {
+      val start = bb.position()
+      bb.put(0xff.toByte).put(0xfb.toByte) // sync + MPEG-1 Layer III
+      bb.put(0x90.toByte) // bitrate idx 9 (128), rate idx 0 (44100), no pad
+      bb.put((if (mono) 0xc0 else 0x00).toByte) // mode bits
+      bb.position(start + frameLen) // zeroed frame payload
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Valid FLAC stream header: `fLaC` + one last-flagged STREAMINFO
+    * block (34 bytes) carrying the packed rate/channels/bits/total
+    * fields — 42 bytes total.
+    */
+  def flacBytes(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(42)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put(0x80.toByte) // last block + type 0 (STREAMINFO)
+    bb.put(0.toByte).put(0.toByte).put(34.toByte) // length 34
+    bb.putShort(16).putShort(16) // min/max block size
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+    // 20-bit rate | 3-bit channels-1 | 5-bit bits-1 | 36-bit total
+    bb.put(((rate >> 12) & 0xff).toByte)
+    bb.put(((rate >> 4) & 0xff).toByte)
+    bb.put((((rate & 0x0f) << 4) | ((channels - 1) << 1) |
+      ((bits - 1) >> 4)).toByte)
+    bb.put((((bits - 1) & 0x0f) << 4).toByte) // high 4 total bits: 0 (fits 32)
+    bb.putInt(nSamples) // low 32 bits of total samples
+    // 16-byte MD5 of the unencoded audio stays zeroed (parser fixture)
+    bb.array()
+  }
+
   /** Video fixture: track count, per-track frame count, duration, and
     * timescale (1000 or 600 — the division path is exercised) planted
     * by doc_id arithmetic; duration units are chosen so units·1000 is
@@ -572,6 +735,18 @@ object Multimodal {
     import spark.implicits._
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.audioBytes(id)))
+    decodeAudioMeta(payloads).toDF()
+  }
+
+  /** Fixture adapter for the MULTI-FORMAT audio decoder
+    * ([[MediaFixtures.audioBytesMulti]]: WAV / MP3 / FLAC by id
+    * arithmetic) — the three container families through one decode
+    * path.
+    */
+  def decodeAudioMultiReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.audioBytesMulti(id)))
     decodeAudioMeta(payloads).toDF()
   }
 

@@ -1330,6 +1330,33 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // REAL multi-format audio decode: WAV chunk walk, MP3 ID3-skip +
+    // MPEG-1 Layer III frame walk (24-byte ID3v2 tag, 417-byte
+    // 128kbps/44100 frames, 1152 samples each), FLAC STREAMINFO bit
+    // fields — all three through one decode path, every output column
+    // recomputed by the oracle from id arithmetic.
+    QueryDef(
+      "multimodal_audio_formats",
+      (s, dir) => Multimodal.decodeAudioMultiReal(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' ELSE 'flac' END AS format,
+             |CAST(CASE doc_id % 3
+             |  WHEN 0 THEN 44 + (doc_id % 50 + 1) * (doc_id % 2 + 1) * 2
+             |  WHEN 1 THEN 24 + (doc_id % 20 + 1) * 417
+             |  ELSE 42 END AS BIGINT) AS n_bytes,
+             |CAST(CASE doc_id % 3
+             |  WHEN 1 THEN CASE doc_id % 2 WHEN 1 THEN 1 ELSE 2 END
+             |  ELSE doc_id % 2 + 1 END AS BIGINT) AS channels,
+             |CAST(CASE doc_id % 3
+             |  WHEN 1 THEN 44100
+             |  ELSE 8000 * ((doc_id // 3) % 3 + 1) END AS BIGINT) AS sample_rate,
+             |CAST(CASE doc_id % 3 WHEN 1 THEN 0 ELSE 16 END AS BIGINT) AS bits_per_sample,
+             |CAST(CASE doc_id % 3
+             |  WHEN 1 THEN (doc_id % 20 + 1) * 1152
+             |  ELSE doc_id % 50 + 1 END AS BIGINT) AS n_samples
+             |FROM documents""".stripMargin),
+    ),
+
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers
     // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
     // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —

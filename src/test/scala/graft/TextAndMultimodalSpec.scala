@@ -505,6 +505,66 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AudioHeaders: MP3 frame walk skips ID3, counts frames, reads mode bits") {
+    import graft.functions.{AudioHeaders, MediaFixtures}
+    assert(AudioHeaders.decode(MediaFixtures.mp3Bytes(5, mono = true)) ==
+      (("mp3", 1L, 44100L, 0L, 5L * 1152L)))
+    assert(AudioHeaders.decode(MediaFixtures.mp3Bytes(1, mono = false)) ==
+      (("mp3", 2L, 44100L, 0L, 1152L)))
+    // truncated mid-frame: completed frames stand
+    val m = MediaFixtures.mp3Bytes(3, mono = false)
+    val cut = java.util.Arrays.copyOf(m, m.length - 100)
+    assert(AudioHeaders.decode(cut) == (("mp3", 2L, 44100L, 0L, 2L * 1152L)))
+    // bare ID3 tag with no frames, reserved bitrate index: unknown
+    val tagOnly = java.util.Arrays.copyOf(MediaFixtures.mp3Bytes(1, mono = true), 24)
+    assert(AudioHeaders.decode(tagOnly) == (("unknown", 0L, 0L, 0L, 0L)))
+    val badBr = MediaFixtures.mp3Bytes(1, mono = true)
+    badBr(26) = 0xf0.toByte // bitrate index 15 (reserved)
+    assert(AudioHeaders.decode(badBr) == (("unknown", 0L, 0L, 0L, 0L)))
+    // adversarial syncsafe ID3 length past the buffer: unknown, no hang
+    val evil = MediaFixtures.mp3Bytes(1, mono = true)
+    evil(6) = 0x7f; evil(7) = 0x7f.toByte; evil(8) = 0x7f; evil(9) = 0x7f
+    assert(AudioHeaders.decode(evil) == (("unknown", 0L, 0L, 0L, 0L)))
+  }
+
+  test("AudioHeaders: FLAC STREAMINFO bit fields decode to planted truth") {
+    import graft.functions.{AudioHeaders, MediaFixtures}
+    assert(AudioHeaders.decode(MediaFixtures.flacBytes(2, 44100, 16, 12345)) ==
+      (("flac", 2L, 44100L, 16L, 12345L)))
+    assert(AudioHeaders.decode(MediaFixtures.flacBytes(1, 8000, 24, 1)) ==
+      (("flac", 1L, 8000L, 24L, 1L)))
+    // 20-bit rate boundary and 8-channel/32-bit extremes round-trip
+    assert(AudioHeaders.decode(MediaFixtures.flacBytes(8, 655350, 32, 7)) ==
+      (("flac", 8L, 655350L, 32L, 7L)))
+    // truncated STREAMINFO / bare magic: unknown, never a throw
+    assert(AudioHeaders.decode("fLaC".getBytes("US-ASCII")) ==
+      (("unknown", 0L, 0L, 0L, 0L)))
+    val cut = java.util.Arrays.copyOf(MediaFixtures.flacBytes(2, 44100, 16, 9), 20)
+    assert(AudioHeaders.decode(cut) == (("unknown", 0L, 0L, 0L, 0L)))
+  }
+
+  test("decodeAudioMultiReal: WAV/MP3/FLAC planted truth through one path") {
+    val out = Multimodal.decodeAudioMultiReal(spark, docs)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((id, fmt, nBytes, ch, rate, bits, n) <- out) {
+      (id % 3) match {
+        case 0 =>
+          assert(fmt == "wav" && ch == id % 2 + 1 && rate == 8000 * (id / 3 % 3 + 1) &&
+            bits == 16 && n == id % 50 + 1, s"id $id")
+          assert(nBytes == 44 + (id % 50 + 1) * (id % 2 + 1) * 2)
+        case 1 =>
+          assert(fmt == "mp3" && ch == (if (id % 2 == 1) 1 else 2) &&
+            rate == 44100 && bits == 0 && n == (id % 20 + 1) * 1152, s"id $id")
+          assert(nBytes == 24 + (id % 20 + 1) * 417)
+        case _ =>
+          assert(fmt == "flac" && ch == id % 2 + 1 && rate == 8000 * (id / 3 % 3 + 1) &&
+            bits == 16 && n == id % 50 + 1, s"id $id")
+          assert(nBytes == 42)
+      }
+    }
+  }
+
   test("AudioHeaders: sub-byte bits_per_sample yields unknown, not a divide-by-zero") {
     import graft.functions.{AudioHeaders, MediaFixtures}
     // a real 4-bit IMA ADPCM header: channels·bits/8 = 0 — the decoder
