@@ -1562,6 +1562,24 @@ object ExtensionQueries {
              |FROM m WHERE width > 0 AND height > 0""".stripMargin),
     ),
 
+    // Aspect-preserving resize plan from the REAL decoded headers
+    // (PNG/GIF/BMP/JPEG true dimensions), not the byte-length stub —
+    // the target-dim arithmetic verified over planted-truth widths.
+    QueryDef(
+      "multimodal_resize_real",
+      (s, dir) =>
+        Multimodal.resizePlan(
+          Multimodal.decodeDocumentsReal(s, Tables.documents(s, dir)), maxSide = 224),
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+             |  CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS BIGINT) AS out_w,
+             |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS BIGINT) AS out_h
+             |FROM m WHERE width > 0 AND height > 0""".stripMargin),
+    ),
+
     // Stopword density — the quality-scoring feature fastText-style
     // filters key on; higher-order filter over the token array.
     QueryDef(
