@@ -105,9 +105,20 @@ object ScaleProbe {
       .select(col("vec_id").as("qid"), col("embedding"))
 
     timed("ivf_assign")(Similarity.ivfAssign(emb, 16).count())
+    timed("ivf_assign_spill2")(
+      Similarity.assignToCentroidsSpill(emb,
+        Similarity.seededCentroids(emb, 16), spill = 2).count())
     timed("ivf_topk_batch")(Similarity.ivfTopKBatch(emb, queries4).count())
     timed("pq_topk_batch")(Similarity.pqTopKBatch(emb, queries4).count())
     timed("embedding_neardups")(Similarity.embeddingNearDups(emb, dim = 64).count())
+
+    // Round-5 operators: the real pixel decode (decode + reduce inside
+    // the partition — pixels never become rows) and the k-round BPE
+    // trainer (vocabulary-bounded iteration) at the same N×.
+    timed("pixel_channel_stats")(
+      graft.functions.Multimodal.decodePixelsReal(spark, docs).count())
+    timed("bpe_merges_k6")(
+      TextAnalytics.trainBpeMerges(docs, k = 6).count())
 
     spark.stop()
   }
