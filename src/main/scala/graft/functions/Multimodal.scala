@@ -122,6 +122,59 @@ object ImageHeaders {
     * truncated stream, or a declared length walking past the buffer all
     * yield `unknown` — never a throw, never a hang.
     */
+  /** EXIF orientation (1–8) from a JPEG's APP1 segment — the same
+    * marker walk as [[decodeJpeg]] to APP1/`Exif\0\0`, then the TIFF
+    * IFD0 entry walk (both endiannesses, the 0x0112 SHORT tag). 0 when
+    * absent, malformed, or not a JPEG — never a throw. Orientations
+    * 5–8 are the 90°-rotated family: display dimensions swap.
+    */
+  def exifOrientation(b: Array[Byte]): Long = {
+    if (!isJpeg(b)) return 0L
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if (u8(b, pos) != 0xff) return 0L
+      val marker = u8(b, pos + 1)
+      if (marker == 0xff) pos += 1
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else if (marker == 0xd9 || marker == 0xda) return 0L
+      else {
+        val len = be16(b, pos + 2)
+        if (len < 2 || pos + 2 + len > b.length) return 0L
+        if (marker == 0xe1 && len >= 16 &&
+            b(pos + 4) == 'E' && b(pos + 5) == 'x' && b(pos + 6) == 'i' &&
+            b(pos + 7) == 'f' && b(pos + 8) == 0 && b(pos + 9) == 0)
+          return tiffOrientation(b, pos + 10, pos + 2 + len)
+        pos += 2 + len
+      }
+    }
+    0L
+  }
+
+  private def tiffOrientation(b: Array[Byte], tiff: Int, end: Int): Long = {
+    if (tiff + 8 > end) return 0L
+    val little = b(tiff) == 'I' && b(tiff + 1) == 'I'
+    val big = b(tiff) == 'M' && b(tiff + 1) == 'M'
+    if (!little && !big) return 0L
+    def u16(i: Int): Int = if (little) le16(b, i) else be16(b, i)
+    def u32(i: Int): Long = if (little) le32(b, i).toLong & 0xffffffffL else be32(b, i)
+    if (u16(tiff + 2) != 42) return 0L
+    val off = u32(tiff + 4)
+    if (off < 8 || tiff + off + 2 > end) return 0L
+    val ifd = tiff + off.toInt
+    val n = u16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > end) return 0L
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) { // SHORT orientation
+        val v = u16(e + 8).toLong
+        return if (v >= 1L && v <= 8L) v else 0L
+      }
+      i += 1
+    }
+    0L
+  }
+
   private def decodeJpeg(b: Array[Byte]): (String, Long, Long, Long) = {
     var pos = 2
     while (pos + 4 <= b.length) {
@@ -486,6 +539,37 @@ object MediaFixtures {
     bb.array()
   }
 
+  /** JFIF+EXIF stream (59 bytes): SOI, APP1 carrying a minimal TIFF
+    * (little-endian, IFD0 with the single 0x0112 SHORT orientation
+    * entry), SOF0 with the true dimensions, EOI — the marker walk must
+    * skip APP1 to reach SOF, and the EXIF walk must find IFD0.
+    */
+  def jpegBytesExif(w: Int, h: Int, orientation: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(59)
+    bb.putShort(0xffd8.toShort) // SOI
+    bb.putShort(0xffe1.toShort).putShort(34) // APP1, len 2+6+26
+    bb.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    // TIFF header (II, 42, IFD0 at offset 8) — little-endian fields
+    bb.put('I'.toByte).put('I'.toByte)
+    bb.put(42.toByte).put(0.toByte)
+    bb.put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.put(1.toByte).put(0.toByte) // 1 IFD entry
+    bb.put(0x12.toByte).put(0x01.toByte) // tag 0x0112
+    bb.put(3.toByte).put(0.toByte) // type SHORT
+    bb.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // count 1
+    bb.put((orientation & 0xff).toByte).put(0.toByte) // value
+    bb.put(0.toByte).put(0.toByte) // value padding
+    bb.putInt(0) // next-IFD offset
+    bb.putShort(0xffc0.toShort).putShort(17) // SOF0
+    bb.put(8.toByte)
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte)
+    var c = 1
+    while (c <= 3) { bb.put(c.toByte).put(0x11.toByte).put(0.toByte); c += 1 }
+    bb.putShort(0xffd9.toShort) // EOI
+    bb.array()
+  }
+
   def bmpBytes(w: Int, h: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(54)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -736,6 +820,30 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.audioBytes(id)))
     decodeAudioMeta(payloads).toDF()
+  }
+
+  /** Orientation-aware decode: EXIF-bearing JPEG fixtures
+    * ([[MediaFixtures.jpegBytesExif]], orientation planted `id % 8 +
+    * 1`) through ONE per-partition pass that reads both the SOF
+    * dimensions and the APP1/TIFF orientation; display dimensions swap
+    * for the 90°-rotated family (5–8) — what a resize stage must apply
+    * before computing target boxes.
+    */
+  def decodeExifOriented(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 640 + 1).toInt
+          val h = ((id * 7) % 480 + 1).toInt
+          val bytes = MediaFixtures.jpegBytesExif(w, h, (id % 8 + 1).toInt)
+          val (_, dw, dh, _) = ImageHeaders.decode(bytes)
+          val o = ImageHeaders.exifOrientation(bytes)
+          val swap = o >= 5L
+          (id, o, dw, dh, if (swap) dh else dw, if (swap) dw else dh)
+        }
+      }
+      .toDF("doc_id", "orientation", "width", "height", "disp_w", "disp_h")
   }
 
   /** Fixture adapter for the MULTI-FORMAT audio decoder

@@ -1562,6 +1562,25 @@ object ExtensionQueries {
              |FROM m WHERE width > 0 AND height > 0""".stripMargin),
     ),
 
+    // EXIF orientation through the APP1/TIFF IFD walk: planted JPEGs
+    // carry orientation id%8+1; the decoder reads SOF dims AND the
+    // 0x0112 tag in one pass, swapping display dims for the
+    // 90-degree-rotated family (5-8) — the correction a resize stage
+    // applies before target boxes.
+    QueryDef(
+      "multimodal_exif_orientation",
+      (s, dir) => Multimodal.decodeExifOriented(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+             |CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+             |CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+             |CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN (doc_id * 7) % 480 + 1
+             |  ELSE doc_id % 640 + 1 END AS BIGINT) AS disp_w,
+             |CAST(CASE WHEN doc_id % 8 + 1 >= 5 THEN doc_id % 640 + 1
+             |  ELSE (doc_id * 7) % 480 + 1 END AS BIGINT) AS disp_h
+             |FROM documents""".stripMargin),
+    ),
+
     // Aspect-preserving resize plan from the REAL decoded headers
     // (PNG/GIF/BMP/JPEG true dimensions), not the byte-length stub —
     // the target-dim arithmetic verified over planted-truth widths.

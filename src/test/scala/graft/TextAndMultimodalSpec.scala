@@ -505,6 +505,37 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageHeaders: EXIF orientation via the APP1/TIFF IFD walk") {
+    import graft.functions.{ImageHeaders, MediaFixtures}
+    for (o <- 1 to 8) {
+      val b = MediaFixtures.jpegBytesExif(100, 50, o)
+      assert(ImageHeaders.exifOrientation(b) == o.toLong, s"orientation $o")
+      // the dimension walk must skip APP1 and still reach SOF
+      assert(ImageHeaders.decode(b) == (("jpeg", 100L, 50L, 1L)))
+    }
+    // big-endian TIFF: flip the byte-order mark and re-plant BE fields
+    // (TIFF block starts at byte 12: SOI 2 + APP1 header 4 + Exif\0\0 6)
+    val be = MediaFixtures.jpegBytesExif(10, 10, 1)
+    be(12) = 'M'; be(13) = 'M'
+    be(14) = 0; be(15) = 42 // 42 BE
+    be(16) = 0; be(17) = 0; be(18) = 0; be(19) = 8 // IFD0 offset BE
+    be(20) = 0; be(21) = 1 // 1 entry BE
+    be(22) = 0x01; be(23) = 0x12 // tag BE
+    be(24) = 0; be(25) = 3 // SHORT BE
+    be(26) = 0; be(27) = 0; be(28) = 0; be(29) = 1 // count BE
+    be(30) = 0; be(31) = 6 // value 6 BE
+    assert(ImageHeaders.exifOrientation(be) == 6L)
+    // absent EXIF (plain fixture), non-JPEG, malformed TIFF: 0, no throw
+    assert(ImageHeaders.exifOrientation(MediaFixtures.jpegBytes(5, 5)) == 0L)
+    assert(ImageHeaders.exifOrientation(MediaFixtures.pngBytes(5, 5)) == 0L)
+    val bad = MediaFixtures.jpegBytesExif(5, 5, 3)
+    bad(12) = 'X' // broken byte-order mark
+    assert(ImageHeaders.exifOrientation(bad) == 0L)
+    // out-of-range orientation value reads as 0 (unknown), not garbage
+    val oor = MediaFixtures.jpegBytesExif(5, 5, 9)
+    assert(ImageHeaders.exifOrientation(oor) == 0L)
+  }
+
   test("AudioHeaders: MP3 frame walk skips ID3, counts frames, reads mode bits") {
     import graft.functions.{AudioHeaders, MediaFixtures}
     assert(AudioHeaders.decode(MediaFixtures.mp3Bytes(5, mono = true)) ==
