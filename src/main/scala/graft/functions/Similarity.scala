@@ -389,11 +389,15 @@ object Similarity {
     * never re-shuffled, so chunking is a driver loop, not a plan change.
     */
   def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
-      nCells: Int = 16, nProbe: Int = 4, refine: Int = 0): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 0,
+      spill: Int = 1): DataFrame = {
     var cents = seededCentroids(embeddings, nCells)
     for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
-    ivfProbeAssigned(withCosineNorm(assignToCentroids(embeddings, cents)),
-      cents, queries, k, nProbe)
+    val assigned =
+      if (spill <= 1) assignToCentroids(embeddings, cents)
+      else assignToCentroidsSpill(embeddings, cents, spill)
+    ivfProbeAssigned(withCosineNorm(assigned), cents, queries, k, nProbe,
+      dedupCandidates = spill > 1)
   }
 
   /** The corpus-side norm column the batched probes amortize: computed
@@ -414,7 +418,7 @@ object Similarity {
     * probe over [[graft.pipeline.CurationPipeline.AnnState]].
     */
   def ivfProbeAssigned(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 4, dedupCandidates: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probeRank = row_number().over(
       Window.partitionBy(col("qid")).orderBy(desc("__csim"), asc("cell")))
@@ -428,8 +432,14 @@ object Similarity {
       .select(col("qid"), col("cell"), col("__q"), col("__ny"))
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id")))
-    assigned
-      .join(broadcast(probes), Seq("cell"))
+    val candidates = assigned.join(broadcast(probes), Seq("cell"))
+    // a SPILLED index can surface the same (query, vector) pair through
+    // several probed cells: dedup before ranking, or the window would
+    // count the duplicate toward k
+    val unique =
+      if (dedupCandidates) candidates.dropDuplicates("qid", "vec_id")
+      else candidates
+    unique
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosineParts(dotDecD(col("embedding"), col("__q")),

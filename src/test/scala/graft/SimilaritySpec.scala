@@ -237,6 +237,25 @@ class SimilaritySpec extends SparkSpec {
         s"recall must be monotone in nProbe at refine=$r")
   }
 
+  test("batched IVF with spill equals the single-query spill path") {
+    val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = embeddings.filter($"vec_id".isin(0L, 5L, 9L))
+      .select($"vec_id".as("qid"), $"embedding")
+    val batch = Similarity.ivfTopKBatch(embeddings, queries, k = 5, nCells = 8,
+      nProbe = 3, refine = 1, spill = 2)
+      .as[(Long, Long, Double)].collect().toSeq.groupBy(_._1)
+    for (q <- Seq(0L, 5L, 9L)) {
+      val single = Similarity.ivfTopK(embeddings, q, k = 5, nCells = 8,
+        nProbe = 3, refine = 1, spill = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch.getOrElse(q, Seq.empty).map(t => (t._2, t._3)) == single,
+        s"batch spill result for query $q must equal the single-query path")
+    }
+    // no (qid, vec) pair may appear twice despite multi-cell membership
+    val all = batch.values.flatten.map(t => (t._1, t._2)).toSeq
+    assert(all.distinct.size == all.size, "spilled duplicates leaked into top-k")
+  }
+
   test("batched ANN equals the per-query ANN, one equi-join plan") {
     val embeddings = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val batch = Similarity.annTopKBatch(embeddings,
