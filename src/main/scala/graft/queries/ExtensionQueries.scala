@@ -982,6 +982,57 @@ object ExtensionQueries {
       },
     ),
 
+    // SPILLED batched IVF: each vector indexed under its 2 nearest
+    // cells (native bounded top-k assignment — the recall lever that
+    // keeps the probe budget fixed), candidates deduped per (query,
+    // vector) before ranking. Oracle = the batch oracle with the
+    // assignment window widened to rn <= 2 and a DISTINCT candidate
+    // set — the spill semantics stated in SQL.
+    QueryDef(
+      "embed_ivf_spill",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKBatch(emb,
+          emb.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding")),
+          spill = 2)
+      },
+      Some {
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16),
+           |cells AS (SELECT vec_id, cid AS cell FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cents c) WHERE rn <= 2),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+           |probe AS (SELECT qid, cid AS cell FROM (
+           |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+           |      ${dd("c.cn", "q.qe")} / (sqrt(${dd("c.cn", "c.cn")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, c.cid) AS rn
+           |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+           |cand AS (SELECT DISTINCT q.qid, e.vec_id, e.embedding, q.qe
+           |  FROM embeddings e
+           |  JOIN cells ON cells.vec_id = e.vec_id
+           |  JOIN probe ON probe.cell = cells.cell
+           |  JOIN q ON q.qid = probe.qid
+           |  WHERE e.vec_id <> q.qid),
+           |pr AS (SELECT qid, vec_id, unnest(embedding) AS x, unnest(qe) AS y FROM cand),
+           |d AS (SELECT qid, vec_id,
+           |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+           |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+           |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+           |  FROM pr GROUP BY 1, 2)
+           |SELECT qid, vec_id, cosine FROM (
+           |  SELECT qid, vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+           |  FROM d) WHERE rn <= 10""".stripMargin
+      },
+    ),
+
     // Incremental IVF maintenance: only the NEW batch (vec_id >= 250)
     // is assigned, against centroids from the existing index's history —
     // the O(batch) path that keeps a 100 TB index current without
