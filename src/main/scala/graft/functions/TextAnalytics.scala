@@ -204,6 +204,19 @@ object TextAnalytics {
   def trainBpeMerges(docs: DataFrame, k: Int = 6, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val merges = trainBpeMergeList(docs, k, textCol)
+    merges.toDF("round", "left_tok", "right_tok", "n")
+      .select(col("round").cast("int").as("round"),
+        col("left_tok"), col("right_tok"), col("n"))
+  }
+
+  /** The trainer core: the ordered merge list as driver data (k rows —
+    * a tokenizer's merge table is small by construction).
+    */
+  private def trainBpeMergeList(docs: DataFrame, k: Int,
+      textCol: String): Seq[(Int, String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     var vocab = docs
       .select(explode(bpeishTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -237,9 +250,34 @@ object TextAnalytics {
       }
     }
     vocab.unpersist()
-    merges.toSeq.toDF("round", "left_tok", "right_tok", "n")
-      .select(col("round").cast("int").as("round"),
-        col("left_tok"), col("right_tok"), col("n"))
+    merges.toSeq
+  }
+
+  /** APPLY the trained tokenizer — the other half of
+    * [[trainBpeMerges]]: segment every document with the broadcast
+    * merge table and report per-document token counts before/after
+    * (the compression a k-merge vocabulary buys). Segmentation runs
+    * over the DISTINCT word set (vocabulary-bounded, like training)
+    * and joins back to the word stream — per-word work never repeats
+    * per occurrence, the shape that holds at corpus scale.
+    */
+  def bpeEncodeStats(docs: DataFrame, k: Int = 6, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = trainBpeMergeList(docs, k, textCol).map(m => (m._2, m._3))
+    val words = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(bpeishTokens(col(textCol))).as("word"))
+    val segLen = words.select(col("word")).distinct()
+      .select(col("word"), expr("filter(split(word, ''), x -> x != '')").as("syms"))
+      .as[(String, Seq[String])]
+      .map { case (w, syms) =>
+        (w, merges.foldLeft(syms) { case (s, (a, b)) => applyMerge(s, a, b) }.length.toLong)
+      }
+      .toDF("word", "n_sub")
+    words.join(segLen, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
   /** The DuckDB twin of [[trainBpeMerges]]: k unrolled rounds, each
@@ -248,33 +286,52 @@ object TextAnalytics {
     * positions keep odd ranks — exactly greedy left-to-right, since
     * consecutive candidates only arise when left == right).
     */
-  def bpeMergesOracleSql(k: Int): String = {
+  def bpeMergesOracleSql(k: Int): String =
+    bpeChainSql(k) + (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS round, a AS left_tok, b AS right_tok, n FROM m$r")
+      .mkString("\n", "\nUNION ALL\n", "")
+
+  /** The DuckDB twin of [[bpeEncodeStats]]: the same unrolled k-round
+    * chain, then every document's words joined to the round-k
+    * segmentation for the before/after token counts.
+    */
+  def bpeEncodeOracleSql(k: Int): String =
+    bpeChainSql(k) + s""",
+       |wd AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+       |FROM wd JOIN s$k s USING (word) GROUP BY doc_id""".stripMargin
+
+  /** The shared k-round CTE chain (w, s0, then p/m/c/k/s per round). */
+  private def bpeChainSql(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    sb ++= """WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
              |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS word
              |        FROM documents)
              |  GROUP BY word),
-             |s0 AS (SELECT word, freq,
+             |s0 AS MATERIALIZED (SELECT word, freq,
              |    list_transform(range(1, CAST(length(word) AS INT) + 1),
              |                   i -> substr(word, CAST(i AS INT), 1)) AS syms
              |  FROM w)""".stripMargin
     for (r <- 1 to k) {
       val p = r - 1
       sb ++= s""",
-                |p$r AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS n
+                |p$r AS MATERIALIZED (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS n
                 |  FROM (SELECT freq,
                 |        unnest([{'a': syms[i], 'b': syms[i + 1]} for i in range(1, len(syms))]) AS u
                 |      FROM s$p WHERE len(syms) >= 2)
                 |  GROUP BY u.a, u.b),
-                |m$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-                |c$r AS (SELECT word, i,
+                |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+                |c$r AS MATERIALIZED (SELECT word, i,
                 |    row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rk
                 |  FROM (SELECT e.word, e.i,
                 |        e.i - row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS grp
                 |      FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM s$p) e, m$r
                 |      WHERE e.syms[e.i] = m$r.a AND e.syms[e.i + 1] = m$r.b)),
-                |k$r AS (SELECT word, i FROM c$r WHERE rk % 2 = 1),
-                |s$r AS (SELECT word, any_value(freq) AS freq, list(sym ORDER BY j) AS syms
+                |k$r AS MATERIALIZED (SELECT word, i FROM c$r WHERE rk % 2 = 1),
+                |s$r AS MATERIALIZED (SELECT word, any_value(freq) AS freq, list(sym ORDER BY j) AS syms
                 |  FROM (SELECT x.word, x.freq, x.j,
                 |        CASE WHEN kk.i IS NOT NULL THEN x.syms[x.j] || x.syms[x.j + 1]
                 |             ELSE x.syms[x.j] END AS sym
@@ -285,9 +342,6 @@ object TextAnalytics {
                 |      WHERE kp.i IS NULL)
                 |  GROUP BY word)""".stripMargin
     }
-    sb ++= (1 to k).map(r =>
-      s"SELECT CAST($r AS INT) AS round, a AS left_tok, b AS right_tok, n FROM m$r")
-      .mkString("\n", "\nUNION ALL\n", "")
     sb.result()
   }
 

@@ -1332,6 +1332,17 @@ object ExtensionQueries {
       Some(TextAnalytics.bpeMergesOracleSql(6)),
     ),
 
+    // APPLY the trained tokenizer: segment every document with the
+    // 6-merge table (distinct-word segmentation joined back to the
+    // word stream) and report the before/after token counts — the
+    // compression the learned vocabulary buys, per document, both
+    // sides recomputing the identical train+apply chain.
+    QueryDef(
+      "text_bpe_encode",
+      (s, dir) => TextAnalytics.bpeEncodeStats(Tables.documents(s, dir), k = 6),
+      Some(TextAnalytics.bpeEncodeOracleSql(6)),
+    ),
+
     // Multimodal decode plumbing (stub codec, real Dataset pipeline).
     QueryDef(
       "multimodal_decode_stub",

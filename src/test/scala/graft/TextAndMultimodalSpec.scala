@@ -505,6 +505,26 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeStats: applying the trained merges compresses hand-checkably") {
+    val corpus = Seq((1L, "low lower lowest low"), (2L, "low lower")).toDF("doc_id", "text")
+    // the 6 trained merges (see the trainer test) collapse every word
+    // of this corpus to a single token: lo, low, lowe, lower, lowes,
+    // lowest
+    val rows = TextAnalytics.bpeEncodeStats(corpus, k = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((4L, 4L)))
+    assert(rows(2L) == ((2L, 2L)))
+    // only 3 merges (l+o, lo+w, low+e): low→1, lower→2, lowest→3
+    val k3 = TextAnalytics.bpeEncodeStats(corpus, k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(k3(1L) == ((4L, 1L + 2L + 3L + 1L)))
+    assert(k3(2L) == ((2L, 1L + 2L)))
+    // zero merges: every word stays fully character-segmented
+    val raw = TextAnalytics.bpeEncodeStats(corpus, k = 0)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(raw(2L) == 8L) // l,o,w + l,o,w,e,r
+  }
+
   test("ImageHeaders: EXIF orientation via the APP1/TIFF IFD walk") {
     import graft.functions.{ImageHeaders, MediaFixtures}
     for (o <- 1 to 8) {
