@@ -45,6 +45,8 @@ object PixelCodec {
     try {
       if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmpPixels(b)
       else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P') decodePngPixels(b)
+      else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+        decodeGifPixels(b)
       else None
     } catch { // truncated buffers / corrupt deflate streams are data
       case _: IndexOutOfBoundsException | _: java.util.zip.DataFormatException |
@@ -161,6 +163,172 @@ object PixelCodec {
     Some(("png", w, h, out))
   }
 
+  /** First-frame GIF pixel decode: screen descriptor + color tables by
+    * the standard block walk, then a FULL LZW decode of the first image
+    * descriptor's sub-block stream — variable code width (up to the
+    * spec's 12 bits), clear/EOI codes, the KwKwK case, and the 4-pass
+    * interlace reorder. Local color table overrides global; frames
+    * offset inside the logical screen are composed onto a
+    * zero-initialized canvas. Corrupt streams (bad codes, missing
+    * table, truncation) decode to `None`, never a throw.
+    */
+  private def decodeGifPixels(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (!(b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val screenW = u8(b, 6) | (u8(b, 7) << 8)
+    val screenH = u8(b, 8) | (u8(b, 9) << 8)
+    if (screenW <= 0 || screenH <= 0 || screenW.toLong * screenH > (1L << 26)) return None
+    var pos = 13
+    val gctFlag = (u8(b, 10) & 0x80) != 0
+    val gctSize = 1 << ((u8(b, 10) & 0x07) + 1)
+    val gct = pos
+    if (gctFlag) pos += 3 * gctSize
+    // walk to the first image descriptor
+    while (pos < b.length && u8(b, pos) != 0x2c) {
+      u8(b, pos) match {
+        case 0x21 =>
+          pos += 2
+          while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          pos += 1
+        case _ => return None // trailer or junk before any frame
+      }
+    }
+    if (pos + 10 > b.length) return None
+    val left = u8(b, pos + 1) | (u8(b, pos + 2) << 8)
+    val top = u8(b, pos + 3) | (u8(b, pos + 4) << 8)
+    val w = u8(b, pos + 5) | (u8(b, pos + 6) << 8)
+    val h = u8(b, pos + 7) | (u8(b, pos + 8) << 8)
+    val packed = u8(b, pos + 9)
+    pos += 10
+    if (w <= 0 || h <= 0 || left + w > screenW || top + h > screenH) return None
+    val interlaced = (packed & 0x40) != 0
+    val lctFlag = (packed & 0x80) != 0
+    val lctSize = 1 << ((packed & 0x07) + 1)
+    val table = if (lctFlag) pos else gct
+    val tableSize = if (lctFlag) lctSize else gctSize
+    if (!lctFlag && !gctFlag) return None
+    if (lctFlag) pos += 3 * lctSize
+    if (pos >= b.length) return None
+    val minCode = u8(b, pos)
+    pos += 1
+    if (minCode < 2 || minCode > 11) return None
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (pos < b.length && u8(b, pos) != 0) {
+      val n = u8(b, pos)
+      if (pos + 1 + n > b.length) return None
+      data.write(b, pos + 1, n)
+      pos += 1 + n
+    }
+    val indices = lzwDecode(data.toByteArray, minCode, w * h).getOrElse(return None)
+    // compose onto the logical screen, un-interlacing row order
+    val out = new Array[Byte](screenW * screenH * 3)
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else {
+        val order = new Array[Int](h)
+        var i = 0
+        for (pass <- 0 until 4) {
+          val (start, step) = pass match {
+            case 0 => (0, 8); case 1 => (4, 8); case 2 => (2, 4); case _ => (1, 2)
+          }
+          var y = start
+          while (y < h) { order(i) = y; i += 1; y += step }
+        }
+        order
+      }
+    var srcRow = 0
+    while (srcRow < h) {
+      val y = rowOrder(srcRow)
+      var x = 0
+      while (x < w) {
+        val idx = indices(srcRow * w + x) & 0xff
+        if (idx >= tableSize) return None
+        val t = table + idx * 3
+        val d = ((top + y) * screenW + (left + x)) * 3
+        out(d) = b(t); out(d + 1) = b(t + 1); out(d + 2) = b(t + 2)
+        x += 1
+      }
+      srcRow += 1
+    }
+    Some(("gif", screenW, screenH, out))
+  }
+
+  /** General GIF-flavor LZW: LSB-first variable-width codes, clear/EOI,
+    * table growth to 12 bits, the KwKwK (code == next-free) case.
+    * Returns exactly `nPixels` color indices or `None`.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val out = new Array[Byte](nPixels)
+    var produced = 0
+    var next = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    val stack = new Array[Byte](maxDict + 1)
+    def entryLen(code: Int): Int = {
+      var c = code; var n = 0
+      while (c >= clear) { c = prefix(c); n += 1 }
+      n + 1
+    }
+    while (produced < nPixels) {
+      if (bitPos + width > totalBits) return None // truncated stream
+      var code = 0
+      var i = 0
+      while (i < width) {
+        val bit = bitPos + i
+        if ((data(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (produced == nPixels) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        out(produced) = code.toByte; produced += 1
+        prev = code
+      } else {
+        var sLen = 0
+        var emit = code
+        if (code < next && code != clear && code != eoi) {
+          sLen = entryLen(code)
+        } else if (code == next && next < maxDict) {
+          // KwKwK: entry(prev) + first(entry(prev))
+          sLen = entryLen(prev) + 1
+          emit = -1
+        } else return None
+        if (produced + sLen > nPixels) return None
+        if (emit >= 0) {
+          var c = emit; var j = sLen - 1
+          while (c >= clear) { stack(j) = suffix(c); c = prefix(c); j -= 1 }
+          stack(0) = c.toByte
+        } else {
+          var c = prev; var j = sLen - 2
+          while (c >= clear) { stack(j) = suffix(c); c = prefix(c); j -= 1 }
+          stack(0) = c.toByte
+          stack(sLen - 1) = stack(0)
+        }
+        System.arraycopy(stack, 0, out, produced, sLen)
+        produced += sLen
+        if (next < maxDict) {
+          prefix(next) = prev
+          suffix(next) = stack(0)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
@@ -207,15 +375,20 @@ object PixelFixtures {
   def width(id: Long): Int = (id % 16 + 1).toInt
   def height(id: Long): Int = (id % 12 + 1).toInt
 
-  /** BMP for even ids (top-down when id % 4 == 0, bottom-up otherwise —
-    * both row orders exercised under oracle verification), PNG for odd
-    * ids with the scanline filter cycling `y % 5` through all five spec
-    * filters (None/Sub/Up/Average/Paeth).
+  /** BMP / PNG / GIF by `id % 3`: BMP alternates top-down and bottom-up
+    * row order; PNG cycles the scanline filter `y % 5` through all five
+    * spec filters (None/Sub/Up/Average/Paeth); GIF carries a 256-color
+    * global table + real LZW data whose table entries are chosen so the
+    * decoded channel values equal [[pixelValue]] exactly — one planted
+    * formula across all three containers.
     */
   def pixelImageBytes(id: Long): Array[Byte] = {
     val w = width(id); val h = height(id)
-    if (id % 2 == 0) bmpPixelBytes(id, w, h, topDown = id % 4 == 0)
-    else pngPixelBytes(id, w, h)
+    (id % 3) match {
+      case 0 => bmpPixelBytes(id, w, h, topDown = (id / 3) % 2 == 0)
+      case 1 => pngPixelBytes(id, w, h)
+      case _ => gifPixelBytes(id, w, h, interlaced = (id / 3) % 2 == 0)
+    }
   }
 
   def bmpPixelBytes(id: Long, w: Int, h: Int, topDown: Boolean): Array[Byte] = {
@@ -316,6 +489,66 @@ object PixelFixtures {
     chunk("IHDR", ihdr.array())
     chunk("IDAT", java.util.Arrays.copyOf(buf, compLen))
     chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Spec-complete single-frame GIF89a with real LZW image data: global
+    * 256-color table entry i = `((id+i)%256, (id+i+31)%256,
+    * (id+i+62)%256)` and pixel index `(7x+13y)%256`, so the decoded
+    * channel value at (x,y) is exactly [[pixelValue]](id, c, x, y). The
+    * LZW stream emits a clear code before every literal (a legal,
+    * compression-free encoding every conformant decoder accepts) packed
+    * LSB-first at 9 bits into ≤255-byte sub-blocks. `interlaced` writes
+    * rows in the 4-pass order with the flag set.
+    */
+  def gifPixelBytes(id: Long, w: Int, h: Int, interlaced: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | 0x07) // GCT present, 2^(7+1) = 256 entries
+    out.write(0); out.write(0) // background, aspect
+    var i = 0
+    while (i < 256) { // entry i: (id+i, id+i+31, id+i+62) mod 256
+      out.write((((id + i) % 256L + 256L) % 256L).toInt)
+      out.write((((id + i + 31L) % 256L + 256L) % 256L).toInt)
+      out.write((((id + i + 62L) % 256L + 256L) % 256L).toInt)
+      i += 1
+    }
+    out.write(0x2c) // image descriptor: full frame
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00) // no LCT
+    out.write(8) // LZW minimum code size
+    // row emission order (pass order when interlaced)
+    val rows: Seq[Int] =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+    // 9-bit codes LSB-first: CLEAR before every literal, EOI at the end
+    val codes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (y <- rows; x <- 0 until w) {
+      codes += 256 // clear
+      codes += ((7 * x + 13 * y) % 256)
+    }
+    codes += 257 // end of information
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    for (c <- codes) {
+      acc |= c.toLong << nBits
+      nBits += 9
+      while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) { // ≤255-byte sub-blocks
+      val n = math.min(255, data.length - off)
+      out.write(n)
+      out.write(data, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
     out.toByteArray
   }
 

@@ -1451,11 +1451,13 @@ object ExtensionQueries {
     ),
 
     // REAL pixel decode: every pixel of a planted BMP (bottom-up AND
-    // top-down rows) or PNG (all five scanline filters, real deflate +
-    // CRC) is doc_id arithmetic; PixelCodec decodes the actual bytes
-    // and reduces to per-channel integer sums inside the partition. The
-    // oracle regenerates the pixel grid and recomputes the sums — the
-    // decoder is verified against planted TRUE pixels, not itself.
+    // top-down rows), PNG (all five scanline filters, real deflate +
+    // CRC), or GIF (real LZW stream + 256-color table, interlaced and
+    // sequential) is doc_id arithmetic; PixelCodec decodes the actual
+    // bytes and reduces to per-channel integer sums inside the
+    // partition. The oracle regenerates the pixel grid and recomputes
+    // the sums — the decoder is verified against planted TRUE pixels,
+    // not itself.
     QueryDef(
       "multimodal_pixels_real",
       (s, dir) => Multimodal.decodePixelsReal(s, Tables.documents(s, dir)),
@@ -1470,7 +1472,7 @@ object ExtensionQueries {
              |    (doc_id + 7 * x + 13 * y + 62) % 256 AS b
              |  FROM g)
              |SELECT doc_id,
-             |  CASE doc_id % 2 WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
+             |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
              |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
              |  CAST(count(*) AS BIGINT) AS n_px,
              |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,

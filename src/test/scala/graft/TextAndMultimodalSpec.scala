@@ -458,18 +458,63 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
-  test("PixelCodec: planted pixels round-trip through real BMP and PNG decode") {
+  test("PixelCodec: planted pixels round-trip through real BMP, PNG, and GIF decode") {
     import graft.functions.{PixelCodec, PixelFixtures}
-    // ids covering: top-down BMP (0, 4), bottom-up BMP (2, 6), PNG with
-    // enough rows to cycle all five scanline filters (id 11 → h = 12)
-    for (id <- Seq(0L, 2L, 4L, 6L, 3L, 11L, 7L, 25L)) {
+    // ids covering: top-down BMP (0, 6), bottom-up BMP (3, 9), PNG with
+    // enough rows to cycle all five scanline filters (7 → h = 8, 31 →
+    // h = 8), interlaced GIF (2: h = 3; 8: h = 9), sequential GIF
+    // (5, 11: h = 12 — all four interlace passes in the 11 twin)
+    for (id <- Seq(0L, 6L, 3L, 9L, 7L, 31L, 2L, 8L, 5L, 11L)) {
       val Some((fmt, w, h, rgb)) =
         PixelCodec.decodePixels(PixelFixtures.pixelImageBytes(id))
-      assert(fmt == (if (id % 2 == 0) "bmp" else "png"), s"id $id")
+      val expFmt = (id % 3) match { case 0 => "bmp"; case 1 => "png"; case _ => "gif" }
+      assert(fmt == expFmt, s"id $id")
       assert(w == PixelFixtures.width(id) && h == PixelFixtures.height(id), s"id $id")
       for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
         assert((rgb((y * w + x) * 3 + c) & 0xff) == PixelFixtures.pixelValue(id, c, x, y),
           s"id $id px ($x,$y) ch $c")
+    }
+    // interlaced at full height: every one of the four passes populated
+    val big = PixelFixtures.gifPixelBytes(14L, 10, 12, interlaced = true)
+    val Some((_, w, h, rgb)) = PixelCodec.decodePixels(big)
+    assert(w == 10 && h == 12)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((rgb((y * w + x) * 3 + c) & 0xff) == PixelFixtures.pixelValue(14L, c, x, y),
+        s"interlaced px ($x,$y) ch $c")
+  }
+
+  test("PixelCodec: general LZW — KwKwK case and growing code widths decode") {
+    import graft.functions.PixelCodec
+    // hand-built stream: CLEAR, A=7, then code 258 (the next-free slot
+    // at that moment) — the KwKwK case every real GIF hits: decodes to
+    // A, A, A. Codes are 9-bit LSB-first.
+    def pack(codes: Seq[Int]): Array[Byte] = {
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var n = 0
+      for (c <- codes) {
+        acc |= c.toLong << n; n += 9
+        while (n >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; n -= 8 }
+      }
+      if (n > 0) bits.write((acc & 0xff).toInt)
+      bits.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII")); le16(3); le16(1)
+    out.write(0x80 | 0x07); out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(255 - i); out.write(i ^ 0x55) }
+    out.write(0x2c); le16(0); le16(0); le16(3); le16(1); out.write(0)
+    out.write(8)
+    val data = pack(Seq(256, 7, 258, 257)) // CLEAR, A, KwKwK, EOI
+    out.write(data.length); out.write(data, 0, data.length); out.write(0)
+    out.write(0x3b)
+    val Some((fmt, w, h, rgb)) = PixelCodec.decodePixels(out.toByteArray)
+    assert(fmt == "gif" && w == 3 && h == 1)
+    // all three pixels are color 7 = (7, 248, 7^0x55)
+    for (x <- 0 until 3) {
+      assert((rgb(x * 3) & 0xff) == 7)
+      assert((rgb(x * 3 + 1) & 0xff) == 248)
+      assert((rgb(x * 3 + 2) & 0xff) == (7 ^ 0x55))
     }
   }
 
