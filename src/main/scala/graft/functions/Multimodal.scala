@@ -35,6 +35,9 @@ object ImageHeaders {
     else if (isGif(b)) decodeGif(b)
     else if (isBmp(b)) decodeBmp(b)
     else if (isJpeg(b)) decodeJpeg(b)
+    else if (isWebp(b)) decodeWebp(b)
+    else if (isTiff(b)) decodeTiff(b)
+    else if (isAvif(b)) decodeAvif(b)
     else ("unknown", 0L, 0L, 0L)
   }
 
@@ -175,6 +178,144 @@ object ImageHeaders {
     0L
   }
 
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** WebP: RIFF container, dimensions from the first chunk's own
+    * bitstream header — all three container flavors:
+    * `VP8 ` (lossy: 3-byte frame tag, the 9D 01 2A sync code, 14-bit
+    * dims), `VP8L` (lossless: 0x2F signature, 14-bit-packed w−1/h−1),
+    * `VP8X` (extended: 24-bit little-endian w−1/h−1; the animation
+    * flag switches the frame count to a count of ANMF chunks in the
+    * remaining chunk walk). A malformed sync/signature is `unknown` —
+    * never a throw.
+    */
+  private def decodeWebp(b: Array[Byte]): (String, Long, Long, Long) = {
+    val p = 20 // first chunk payload (12 RIFF/WEBP + 4 fourcc + 4 size)
+    if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+      // lossy: frame tag (3B), sync 9D 01 2A, then 14-bit w/h
+      if (p + 10 > b.length || u8(b, p + 3) != 0x9d || u8(b, p + 4) != 0x01 ||
+        u8(b, p + 5) != 0x2a) return ("unknown", 0L, 0L, 0L)
+      val w = le16(b, p + 6) & 0x3fff
+      val h = le16(b, p + 8) & 0x3fff
+      ("webp", w.toLong, h.toLong, 1L)
+    } else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L') {
+      if (p + 5 > b.length || u8(b, p) != 0x2f) return ("unknown", 0L, 0L, 0L)
+      val bits = le32(b, p + 1)
+      val w = (bits & 0x3fff) + 1
+      val h = ((bits >> 14) & 0x3fff) + 1
+      ("webp", w.toLong, h.toLong, 1L)
+    } else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+      if (p + 10 > b.length) return ("unknown", 0L, 0L, 0L)
+      val flags = u8(b, p)
+      val w = le24(b, p + 4) + 1L
+      val h = le24(b, p + 7) + 1L
+      var frames = 1L
+      if ((flags & 0x02) != 0) { // animated: count ANMF chunks
+        frames = 0L
+        var pos = 12 + 8 + le32(b, 16) + (le32(b, 16) & 1)
+        while (pos + 8 <= b.length) {
+          val size = le32(b, pos + 4)
+          if (b(pos) == 'A' && b(pos + 1) == 'N' && b(pos + 2) == 'M' &&
+            b(pos + 3) == 'F') frames += 1
+          if (size < 0 || size > b.length - pos - 8) pos = b.length
+          else pos += 8 + size + (size & 1)
+        }
+      }
+      ("webp", w, h, frames)
+    } else ("unknown", 0L, 0L, 0L)
+  }
+
+  private def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 42))
+
+  /** Standalone TIFF: the same IFD0 entry walk the EXIF path uses
+    * ([[tiffOrientation]]'s discipline) reading ImageWidth (0x0100) and
+    * ImageLength (0x0101) in either byte order, SHORT or LONG typed —
+    * inline values only (count 1 fits in the offset field). Frame count
+    * is the IFD chain length (multi-page TIFFs link IFDs).
+    */
+  private def decodeTiff(b: Array[Byte]): (String, Long, Long, Long) = {
+    val little = b(0) == 'I'
+    def u16(i: Int): Int = if (little) le16(b, i) else be16(b, i)
+    def u32(i: Int): Long = if (little) le32(b, i).toLong & 0xffffffffL else be32(b, i)
+    var w = 0L
+    var h = 0L
+    var pages = 0L
+    var off = u32(4)
+    var hops = 0
+    while (off >= 8 && off + 2 <= b.length && hops < 64) { // bounded IFD chain
+      val ifd = off.toInt
+      val n = u16(ifd)
+      if (ifd + 2 + n * 12 + 4 > b.length) return ("unknown", 0L, 0L, 0L)
+      pages += 1
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        val tagId = u16(e)
+        val typ = u16(e + 2)
+        if (pages == 1 && (tagId == 0x0100 || tagId == 0x0101)) {
+          val v =
+            if (typ == 3) (if (little) le16(b, e + 8) else be16(b, e + 8)).toLong
+            else if (typ == 4) u32(e + 8)
+            else -1L
+          if (v < 0) return ("unknown", 0L, 0L, 0L)
+          if (tagId == 0x0100) w = v else h = v
+        }
+        i += 1
+      }
+      off = u32(ifd + 2 + n * 12)
+      hops += 1
+    }
+    if (w > 0 && h > 0) ("tiff", w, h, pages) else ("unknown", 0L, 0L, 0L)
+  }
+
+  private def isAvif(b: Array[Byte]): Boolean =
+    b.length >= 24 && be32(b, 0) >= 16 && b(4) == 'f' && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p' &&
+      ((b(8) == 'a' && b(9) == 'v' && b(10) == 'i') ||
+        (b(8) == 'h' && b(9) == 'e' && b(10) == 'i') ||
+        (b(8) == 'm' && b(9) == 'i' && b(10) == 'f'))
+
+  /** AVIF/HEIC: the ISO-BMFF box walk ([[VideoHeaders]]' discipline)
+    * down `meta`(FullBox)/`iprp`/`ipco` to the `ispe` image-spatial-
+    * extents property — two big-endian u32 dims after its version/flags
+    * word. Format from the ftyp major brand family.
+    */
+  private def decodeAvif(b: Array[Byte]): (String, Long, Long, Long) = {
+    val fmt = if (b(8) == 'a') "avif" else "heic"
+    var w = 0L
+    var h = 0L
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var pos = start
+      while (pos + 8 <= end && w == 0L) {
+        val size = be32(b, pos)
+        val boxEnd =
+          if (size == 0) end
+          else if (size >= 8 && size <= end - pos) pos + size.toInt
+          else return // size==1 (largesize) unneeded for meta boxes; malformed stops
+        val t = new String(b, pos + 4, 4, "US-ASCII")
+        t match {
+          case "meta" => walk(pos + 12, boxEnd, depth + 1) // FullBox: +4 version/flags
+          case "iprp" | "ipco" => walk(pos + 8, boxEnd, depth + 1)
+          case "ispe" =>
+            if (pos + 20 <= end) { w = be32(b, pos + 12); h = be32(b, pos + 16) }
+          case _ =>
+        }
+        pos = boxEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (w > 0 && h > 0) (fmt, w, h, 1L) else ("unknown", 0L, 0L, 0L)
+  }
+
   private def decodeJpeg(b: Array[Byte]): (String, Long, Long, Long) = {
     var pos = 2
     while (pos + 4 <= b.length) {
@@ -248,6 +389,7 @@ object AudioHeaders {
   def decode(b: Array[Byte]): (String, Long, Long, Long, Long) = {
     if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
       return decodeFlac(b)
+    if (b.length >= 27 && tag(b, 0, "OggS")) return decodeOgg(b)
     if (b.length >= 3 && ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
         (u8(b, 0) == 0xff && (u8(b, 1) & 0xe0) == 0xe0)))
       return decodeMp3(b)
@@ -282,6 +424,53 @@ object AudioHeaders {
     if (channels <= 0 || bits <= 0 || frameBytes <= 0 || dataBytes < 0)
       ("unknown", 0L, 0L, 0L, 0L)
     else ("wav", channels, rate, bits, dataBytes / frameBytes)
+  }
+
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  /** OGG: the first page's payload starts after the 27-byte page header
+    * plus the segment table; a Vorbis identification header (packet
+    * type 0x01 + "vorbis") carries channels (u8) and sample rate
+    * (le32); an Opus stream ("OpusHead") carries channels at offset 9
+    * with a fixed 48 kHz decode rate. The total PCM length is the
+    * granule position of the LAST page — found by scanning for the
+    * final "OggS" capture pattern (its le64 granulepos at +6 counts
+    * PCM samples for both codecs). Lossy: bits_per_sample reports 0.
+    */
+  private def decodeOgg(b: Array[Byte]): (String, Long, Long, Long, Long) = {
+    val nSegs = u8(b, 26)
+    val payload = 27 + nSegs
+    if (payload + 16 > b.length) return ("unknown", 0L, 0L, 0L, 0L)
+    var fmt = "unknown"
+    var channels = 0L
+    var rate = 0L
+    if (u8(b, payload) == 0x01 && tag(b, payload + 1, "vorb") &&
+      b(payload + 5) == 'i' && b(payload + 6) == 's' && payload + 16 <= b.length) {
+      fmt = "ogg"
+      channels = u8(b, payload + 11).toLong
+      rate = le32(b, payload + 12)
+    } else if (tag(b, payload, "Opus") && tag(b, payload + 4, "Head") &&
+      payload + 10 <= b.length) {
+      fmt = "opus"
+      channels = u8(b, payload + 9).toLong
+      rate = 48000L
+    } else return ("unknown", 0L, 0L, 0L, 0L)
+    // last page's granule position = total PCM samples
+    var last = -1
+    var i = b.length - 27
+    while (i >= 0 && last < 0) {
+      if (tag(b, i, "OggS")) last = i
+      i -= 1
+    }
+    val nSamples =
+      if (last >= 0 && last + 14 <= b.length) math.max(0L, le64(b, last + 6)) else 0L
+    if (channels <= 0 || rate <= 0) ("unknown", 0L, 0L, 0L, 0L)
+    else (fmt, channels, rate, 0L, nSamples)
   }
 
   // MPEG-1 Layer III tables (kbps by bitrate index; Hz by rate index)
@@ -583,6 +772,148 @@ object MediaFixtures {
     bb.array()
   }
 
+  /** Extended-format image fixture: WebP (all three container flavors
+    * by rotation), TIFF (both byte orders, IFD chains for multi-page),
+    * and AVIF — dims planted by the SAME doc_id arithmetic across all
+    * six variants so one oracle covers the family.
+    */
+  def imageBytesExt(id: Long): Array[Byte] = {
+    val w = (id % 200 + 16).toInt
+    val h = (id % 150 + 16).toInt
+    (id % 6) match {
+      case 0 => webpVp8Bytes(w, h)
+      case 1 => webpVp8lBytes(w, h)
+      case 2 => webpVp8xBytes(w, h, (id % 5 + 2).toInt)
+      case 3 => tiffBytes(w, h, little = true, pages = (id % 3 + 1).toInt)
+      case 4 => tiffBytes(w, h, little = false, pages = (id % 3 + 1).toInt)
+      case _ => avifBytes(w, h)
+    }
+  }
+
+  private def riffWebp(fourcc: String, payload: Array[Byte],
+      trailing: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val padded = payload.length + (payload.length & 1)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + padded + trailing.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + padded + trailing.length)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    if ((payload.length & 1) == 1) bb.put(0.toByte)
+    bb.put(trailing)
+    bb.array()
+  }
+
+  /** Lossy WebP: key-frame tag + the 9D 01 2A sync code + 14-bit dims. */
+  def webpVp8Bytes(w: Int, h: Int): Array[Byte] = {
+    val p = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p.put(0.toByte).put(0.toByte).put(0.toByte) // frame tag
+    p.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+    p.putShort((w & 0x3fff).toShort).putShort((h & 0x3fff).toShort)
+    riffWebp("VP8 ", p.array())
+  }
+
+  /** Lossless WebP: 0x2F signature + 14-bit-packed (w−1, h−1). */
+  def webpVp8lBytes(w: Int, h: Int): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14)
+    val p = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p.put(0x2f.toByte).putInt(bits).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    riffWebp("VP8L", p.array())
+  }
+
+  /** Extended WebP, animated: VP8X header (24-bit w−1/h−1, animation
+    * flag) followed by `frames` ANMF chunks.
+    */
+  def webpVp8xBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val p = java.nio.ByteBuffer.allocate(10)
+    p.put(0x02.toByte) // animation flag
+    p.put(0.toByte).put(0.toByte).put(0.toByte)
+    def le24(v: Int): Unit = {
+      p.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte).put(((v >> 16) & 0xff).toByte)
+    }
+    le24(w - 1); le24(h - 1)
+    val anmf = new java.io.ByteArrayOutputStream()
+    for (_ <- 0 until frames) {
+      anmf.write("ANMF".getBytes("US-ASCII"))
+      anmf.write(Array[Byte](16, 0, 0, 0)) // le32 size
+      anmf.write(new Array[Byte](16))
+    }
+    riffWebp("VP8X", p.array(), anmf.toByteArray)
+  }
+
+  /** TIFF in either byte order: IFD0 carries ImageWidth as SHORT and
+    * ImageLength as LONG (both inline-typed reads exercised); further
+    * pages are empty IFDs chained by the next-IFD offset.
+    */
+  def tiffBytes(w: Int, h: Int, little: Boolean, pages: Int): Array[Byte] = {
+    val order =
+      if (little) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+    val extra = math.max(0, pages - 1)
+    val bb = java.nio.ByteBuffer.allocate(8 + (2 + 2 * 12 + 4) + extra * 6).order(order)
+    if (little) bb.put('I'.toByte).put('I'.toByte) else bb.put('M'.toByte).put('M'.toByte)
+    bb.putShort(42).putInt(8)
+    bb.putShort(2) // 2 entries
+    // ImageWidth: SHORT, count 1, value left-justified in the field
+    bb.putShort(0x0100).putShort(3).putInt(1).putShort(w.toShort).putShort(0)
+    // ImageLength: LONG, count 1
+    bb.putShort(0x0101).putShort(4).putInt(1).putInt(h)
+    var next = 8 + 2 + 2 * 12 + 4
+    bb.putInt(if (extra > 0) next else 0)
+    for (i <- 0 until extra) { // empty chained IFDs (multi-page count)
+      bb.putShort(0)
+      next += 6
+      bb.putInt(if (i < extra - 1) next else 0)
+    }
+    bb.array()
+  }
+
+  /** Minimal AVIF: ftyp(avif) + meta/iprp/ipco/ispe with the planted
+    * extents.
+    */
+  def avifBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64)
+    bb.putInt(16).put("ftypavif".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(48).put("meta".getBytes("US-ASCII")).putInt(0) // FullBox ver/flags
+    bb.putInt(36).put("iprp".getBytes("US-ASCII"))
+    bb.putInt(28).put("ipco".getBytes("US-ASCII"))
+    bb.putInt(20).put("ispe".getBytes("US-ASCII")).putInt(0).putInt(w).putInt(h)
+    bb.array()
+  }
+
+  /** OGG fixture: a BOS page carrying the codec identification header
+    * (Vorbis or Opus by rotation) and an EOS page whose granule
+    * position is the planted total PCM sample count.
+    */
+  def oggBytes(id: Long): Array[Byte] = {
+    val channels = (id / 2 % 2 + 1).toInt // varies within each codec branch
+    val nSamples = id % 50000 + 1000
+    if (id % 2 == 0) {
+      val idHdr = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      idHdr.put(0x01.toByte).put("vorbis".getBytes("US-ASCII"))
+      idHdr.putInt(0).put(channels.toByte).putInt((8000 * (id % 3 + 1)).toInt)
+      idHdr.putInt(0).putInt(0).putInt(0).put(0.toByte).put(0x01.toByte)
+      oggPages(idHdr.array(), nSamples)
+    } else {
+      val idHdr = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      idHdr.put("OpusHead".getBytes("US-ASCII")).put(1.toByte).put(channels.toByte)
+      idHdr.putShort(0).putInt(48000).putShort(0).put(0.toByte)
+      oggPages(idHdr.array(), nSamples)
+    }
+  }
+
+  private def oggPages(idHeader: Array[Byte], granule: Long): Array[Byte] = {
+    def page(headerType: Int, gran: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(headerType.toByte)
+      bb.putLong(gran).putInt(1).putInt(seq).putInt(0) // serial, seq, crc (unchecked)
+      bb.put(1.toByte).put(payload.length.toByte)
+      bb.put(payload)
+      bb.array()
+    }
+    page(0x02, 0L, 0, idHeader) ++ page(0x04, granule, 1, Array[Byte](0))
+  }
+
   /** Audio fixture: channels/rate/samples planted by doc_id arithmetic
     * (16-bit PCM), canonical 44-byte header + silent payload.
     */
@@ -798,6 +1129,29 @@ object Multimodal {
     decodeImageMeta(payloads).toDF()
   }
 
+  /** Fixture adapter for the extended image-format family: WebP (three
+    * container flavors), TIFF (both byte orders, chained multi-page
+    * IFDs), AVIF — one planted-dimension oracle across all six
+    * variants ([[MediaFixtures.imageBytesExt]]).
+    */
+  def decodeImageFormatsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.imageBytesExt(id)))
+    decodeImageMeta(payloads).toDF()
+  }
+
+  /** Fixture adapter for the OGG family: Vorbis and Opus identification
+    * headers + EOS-page granule positions, planted by doc_id arithmetic
+    * ([[MediaFixtures.oggBytes]]).
+    */
+  def decodeAudioOggReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.oggBytes(id)))
+    decodeAudioMeta(payloads).toDF()
+  }
+
   /** REAL audio decode through the batch plumbing: WAV/RIFF chunk-walk
     * header parsing ([[AudioHeaders]]) — channels, sample rate, bit
     * depth, sample count from actual container bytes.
@@ -895,6 +1249,36 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** REAL JPEG pixel decode through the same batch plumbing: baseline
+    * sequential streams ([[JpegFixtures.jpegPixelBytes]] plants every
+    * 8×8 block's constant grey by doc_id arithmetic — the DC-only shape
+    * a lossy codec can be held EXACTLY to) decoded by [[JpegCodec]]'s
+    * full Huffman + IDCT path and reduced to luma sums in-partition.
+    * Even ids carry DRI/RSTn restart markers, so the restart path runs
+    * under oracle check too.
+    */
+  def decodeJpegPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, JpegFixtures.jpegPixelBytes(id)))
+    PixelCodec.channelStats(payloads).toDF().select(
+      col("doc_id"), col("format"), col("width"), col("height"), col("n_px"),
+      col("sum_r").as("sum_y"), col("sumsq_r").as("sumsq_y"))
+  }
+
+  /** REAL resample through the batch plumbing: decoded planted pixels
+    * box-downsampled 2× with exact floor-average arithmetic
+    * ([[PixelCodec.resizeStats]]) — the actual resample the resize
+    * PLAN queries only planned, verified against an oracle that
+    * recomputes every output pixel from the fixture formula.
+    */
+  def resizePixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.pixelImageBytes(id)))
+    PixelCodec.resizeStats(payloads, factor = 2).toDF()
+  }
+
   /** REAL feature extraction: per-channel mean intensities from the
     * decoded pixels (one exact double division over the integer sums) —
     * the non-stub replacement for [[featureExtractStub]]'s byte-stat
@@ -907,13 +1291,14 @@ object Multimodal {
       (col("sum_g").cast("double") / col("n_px")).as("mean_g"),
       (col("sum_b").cast("double") / col("n_px")).as("mean_b"))
 
-  /** Feature extraction stub — DEMOTED to the formats [[PixelCodec]]
-    * cannot decode (JPEG/GIF payloads, real embedding models): opaque
-    * bytes → fixed-width float vector through the same per-partition
-    * batch plumbing a real encoder would use (model loaded once per
-    * partition, rows streamed through). The vector itself is a
-    * deterministic fake derived from the byte length; for BMP/PNG the
-    * REAL path is [[featureExtractReal]].
+  /** Feature extraction stub — DEMOTED to the payloads [[PixelCodec]]
+    * cannot decode (WebP/AVIF bitstreams, real embedding models):
+    * opaque bytes → fixed-width float vector through the same
+    * per-partition batch plumbing a real encoder would use (model
+    * loaded once per partition, rows streamed through). The vector
+    * itself is a deterministic fake derived from the byte length; for
+    * BMP/PNG/GIF/JPEG the REAL path is [[featureExtractReal]] /
+    * [[decodeJpegPixelsReal]] over true decoded pixels.
     */
   def featureExtractStub(payloads: Dataset[(Long, Array[Byte])]): Dataset[(Long, Array[Float])] = {
     import payloads.sparkSession.implicits._

@@ -47,6 +47,8 @@ object PixelCodec {
       else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P') decodePngPixels(b)
       else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
         decodeGifPixels(b)
+      else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
+        decodeJpegPixels(b)
       else None
     } catch { // truncated buffers / corrupt deflate streams are data
       case _: IndexOutOfBoundsException | _: java.util.zip.DataFormatException |
@@ -329,10 +331,81 @@ object PixelCodec {
     Some(out)
   }
 
+  /** Baseline JPEG via [[JpegCodec]]; grayscale scans replicate the
+    * luma channel into RGB so the stats surface is uniform across
+    * containers (sum_r == sum_g == sum_b == the luma sums).
+    */
+  private def decodeJpegPixels(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    JpegCodec.decode(b).map {
+      case (w, h, 3, rgb) => ("jpeg", w, h, rgb)
+      case (w, h, _, grey) =>
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < grey.length) {
+          rgb(3 * i) = grey(i); rgb(3 * i + 1) = grey(i); rgb(3 * i + 2) = grey(i)
+          i += 1
+        }
+        ("jpeg", w, h, rgb)
+    }
+
   private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL resample: decode, box-downsample by an integer factor
+    * (each output channel value is the floor-averaged `f×f` block —
+    * exact integer arithmetic an oracle can recompute), and reduce to
+    * per-channel sums in the same partition pass. Images smaller than
+    * one full block produce no row (nothing to resample), mirroring
+    * the resize-plan's degenerate-dimension filter.
+    */
+  def resizeStats(payloads: Dataset[(Long, Array[Byte])], factor: Int): Dataset[PixelStats] = {
+    require(factor >= 2, "a 1x resample is the identity — use channelStats")
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodePixels(bytes).flatMap { case (fmt, w, h, rgb) =>
+          val ow = w / factor
+          val oh = h / factor
+          if (ow <= 0 || oh <= 0) None
+          else {
+            var sr = 0L; var s2r = 0L; var sg = 0L; var s2g = 0L; var sb = 0L; var s2b = 0L
+            var oy = 0
+            while (oy < oh) {
+              var ox = 0
+              while (ox < ow) {
+                var c = 0
+                while (c < 3) {
+                  var acc = 0
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      acc += rgb(((oy * factor + dy) * w + ox * factor + dx) * 3 + c) & 0xff
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  val v = acc / (factor * factor)
+                  c match {
+                    case 0 => sr += v; s2r += v.toLong * v
+                    case 1 => sg += v; s2g += v.toLong * v
+                    case _ => sb += v; s2b += v.toLong * v
+                  }
+                  c += 1
+                }
+                ox += 1
+              }
+              oy += 1
+            }
+            Some(PixelStats(id, fmt, ow.toLong, oh.toLong, ow.toLong * oh,
+              sr, s2r, sg, s2g, sb, s2b))
+          }
+        }
+      }
+    }
   }
 
   /** Decode + reduce INSIDE the partition: pixels never become rows, so

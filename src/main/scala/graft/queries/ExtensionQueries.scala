@@ -1419,6 +1419,50 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // Extended image-format breadth: WebP (all three container
+    // flavors: lossy VP8 sync-code dims, lossless VP8L packed dims,
+    // extended VP8X 24-bit dims + ANMF animation frame count), TIFF
+    // (IFD entry walk in BOTH byte orders, chained IFDs = page count),
+    // and AVIF (ISO-BMFF meta/iprp/ipco/ispe walk) — one planted
+    // dimension formula across all six variants, byte lengths exact.
+    QueryDef(
+      "multimodal_image_formats",
+      (s, dir) => Multimodal.decodeImageFormatsReal(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 6 <= 2 THEN 'webp'
+             |     WHEN doc_id % 6 <= 4 THEN 'tiff' ELSE 'avif' END AS format,
+             |CAST(CASE doc_id % 6
+             |  WHEN 2 THEN 30 + 24 * (doc_id % 5 + 2)
+             |  WHEN 3 THEN 38 + 6 * (doc_id % 3)
+             |  WHEN 4 THEN 38 + 6 * (doc_id % 3)
+             |  WHEN 5 THEN 64
+             |  ELSE 30 END AS BIGINT) AS n_bytes,
+             |CAST(doc_id % 200 + 16 AS BIGINT) AS width,
+             |CAST(doc_id % 150 + 16 AS BIGINT) AS height,
+             |CAST(CASE WHEN doc_id % 6 = 2 THEN doc_id % 5 + 2
+             |     WHEN doc_id % 6 IN (3, 4) THEN doc_id % 3 + 1
+             |     ELSE 1 END AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin),
+    ),
+
+    // OGG container decode: Vorbis and Opus identification headers
+    // (channels, rate — Opus decodes at a fixed 48 kHz) and the total
+    // PCM sample count from the EOS page's granule position; lossy
+    // streams report bits_per_sample 0, like MP3.
+    QueryDef(
+      "multimodal_audio_ogg",
+      (s, dir) => Multimodal.decodeAudioOggReal(s, Tables.documents(s, dir)),
+      Some("""SELECT doc_id,
+             |CASE doc_id % 2 WHEN 0 THEN 'ogg' ELSE 'opus' END AS format,
+             |CAST(CASE doc_id % 2 WHEN 0 THEN 87 ELSE 76 END AS BIGINT) AS n_bytes,
+             |CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS channels,
+             |CAST(CASE doc_id % 2 WHEN 0 THEN 8000 * (doc_id % 3 + 1)
+             |     ELSE 48000 END AS BIGINT) AS sample_rate,
+             |CAST(0 AS BIGINT) AS bits_per_sample,
+             |CAST(doc_id % 50000 + 1000 AS BIGINT) AS n_samples
+             |FROM documents""".stripMargin),
+    ),
+
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers
     // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
     // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —
@@ -1479,6 +1523,70 @@ object ExtensionQueries {
              |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
              |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
+    // REAL JPEG pixel decode: baseline sequential streams whose 8x8
+    // blocks are DC-only constants planted by doc_id arithmetic (the
+    // one JPEG shape a decoder can be held EXACTLY to: block value
+    // 128 + DC/8 with DC a multiple of 8 survives the double IDCT to
+    // the integer). The decoder runs its full marker walk, canonical
+    // Huffman, dequant, IDCT, and (even ids) DRI/RSTn restarts; the
+    // oracle recomputes the per-block sums from the same arithmetic.
+    QueryDef(
+      "multimodal_jpeg_pixels_real",
+      (s, dir) => Multimodal.decodeJpegPixelsReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+             |    FROM documents),
+             |b AS (SELECT d.doc_id, d.wb, d.hb, bx.bx, by.by
+             |    FROM d, range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |    WHERE bx.bx < d.wb AND by.by < d.hb),
+             |v AS (SELECT doc_id, wb, hb,
+             |    (doc_id + 17 * bx + 29 * by) % 256 AS grey FROM b)
+             |SELECT doc_id, 'jpeg' AS format,
+             |  CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+             |  CAST(count(*) * 64 AS BIGINT) AS n_px,
+             |  CAST(sum(64 * grey) AS BIGINT) AS sum_y,
+             |  CAST(sum(64 * grey * grey) AS BIGINT) AS sumsq_y
+             |FROM v GROUP BY doc_id, wb, hb""".stripMargin),
+    ),
+
+    // REAL 2x box resample over decoded pixels: every output value is
+    // the floor-average of its 2x2 source block — exact integer
+    // arithmetic the oracle recomputes pixel-by-pixel from the planted
+    // formula. This is the actual resample the resize-plan queries
+    // only planned; sub-block images produce no row on both sides.
+    QueryDef(
+      "multimodal_resize_pixels",
+      (s, dir) => Multimodal.resizePixelsReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+             |    FROM documents),
+             |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh
+             |    FROM d WHERE w >= 2 AND h >= 2),
+             |g AS (SELECT o.doc_id, o.ow, o.oh, x.x AS ox, y.y AS oy
+             |    FROM o, range(0, 8) AS x(x), range(0, 6) AS y(y)
+             |    WHERE x.x < o.ow AND y.y < o.oh),
+             |v AS (SELECT doc_id, ow, oh,
+             |    ((doc_id + 7 * (2 * ox) + 13 * (2 * oy)) % 256
+             |     + (doc_id + 7 * (2 * ox + 1) + 13 * (2 * oy)) % 256
+             |     + (doc_id + 7 * (2 * ox) + 13 * (2 * oy + 1)) % 256
+             |     + (doc_id + 7 * (2 * ox + 1) + 13 * (2 * oy + 1)) % 256) // 4 AS r,
+             |    ((doc_id + 7 * (2 * ox) + 13 * (2 * oy) + 31) % 256
+             |     + (doc_id + 7 * (2 * ox + 1) + 13 * (2 * oy) + 31) % 256
+             |     + (doc_id + 7 * (2 * ox) + 13 * (2 * oy + 1) + 31) % 256
+             |     + (doc_id + 7 * (2 * ox + 1) + 13 * (2 * oy + 1) + 31) % 256) // 4 AS g2,
+             |    ((doc_id + 7 * (2 * ox) + 13 * (2 * oy) + 62) % 256
+             |     + (doc_id + 7 * (2 * ox + 1) + 13 * (2 * oy) + 62) % 256
+             |     + (doc_id + 7 * (2 * ox) + 13 * (2 * oy + 1) + 62) % 256
+             |     + (doc_id + 7 * (2 * ox + 1) + 13 * (2 * oy + 1) + 62) % 256) // 4 AS b
+             |  FROM g)
+             |SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
+             |  CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, ow, oh""".stripMargin),
     ),
 
     // REAL feature extraction: per-channel mean intensity from the

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AudioHeaders, ImageHeaders, MediaFixtures}
+
+/** WebP / TIFF / AVIF image headers and OGG (Vorbis + Opus) audio
+  * headers: planted-truth round trips through the same real-decode
+  * dispatch as PNG/GIF/BMP/JPEG and WAV/MP3/FLAC, plus the malformed-
+  * input discipline (a corrupt blob is data, never a throw).
+  */
+class FormatBreadthSpec extends AnyFunSuite {
+
+  test("WebP: all three container flavors decode planted dims") {
+    val (f1, w1, h1, n1) = ImageHeaders.decode(MediaFixtures.webpVp8Bytes(320, 240))
+    assert((f1, w1, h1, n1) == (("webp", 320L, 240L, 1L)))
+    val (f2, w2, h2, n2) = ImageHeaders.decode(MediaFixtures.webpVp8lBytes(16383, 1))
+    assert((f2, w2, h2, n2) == (("webp", 16383L, 1L, 1L))) // 14-bit extreme
+    val (f3, w3, h3, n3) = ImageHeaders.decode(MediaFixtures.webpVp8xBytes(4000, 3000, 5))
+    assert((f3, w3, h3, n3) == (("webp", 4000L, 3000L, 5L)))
+    // non-animated VP8X (flag clear) reports a single frame
+    val still = MediaFixtures.webpVp8xBytes(64, 64, 3)
+    still(20) = 0x00 // clear the animation flag
+    val (_, _, _, n4) = ImageHeaders.decode(still)
+    assert(n4 == 1L)
+  }
+
+  test("WebP: a broken VP8 sync code is unknown, not a throw") {
+    val b = MediaFixtures.webpVp8Bytes(100, 100)
+    b(23) = 0x00 // corrupt the 9D 01 2A sync
+    assert(ImageHeaders.decode(b)._1 == "unknown")
+  }
+
+  test("TIFF: both byte orders, mixed SHORT/LONG dims, chained page count") {
+    for (little <- Seq(true, false); pages <- 1 to 3) {
+      val (f, w, h, n) =
+        ImageHeaders.decode(MediaFixtures.tiffBytes(800, 600, little, pages))
+      assert((f, w, h, n) == (("tiff", 800L, 600L, pages.toLong)),
+        s"little=$little pages=$pages")
+    }
+  }
+
+  test("TIFF: truncated IFD and cyclic-ish chains are unknown/bounded") {
+    val good = MediaFixtures.tiffBytes(800, 600, little = true, pages = 1)
+    for (n <- 0 until good.length by 3) {
+      val cut = java.util.Arrays.copyOf(good, n)
+      ImageHeaders.decode(cut) // must not throw
+    }
+    // a next-IFD offset pointing back at IFD0 must terminate (hop bound)
+    val cyc = MediaFixtures.tiffBytes(800, 600, little = true, pages = 1)
+    cyc(cyc.length - 4) = 8 // little-endian next-IFD = 8 = IFD0
+    ImageHeaders.decode(cyc) // bounded, no hang
+  }
+
+  test("AVIF: ispe extents through the meta/iprp/ipco walk") {
+    val (f, w, h, n) = ImageHeaders.decode(MediaFixtures.avifBytes(1920, 1080))
+    assert((f, w, h, n) == (("avif", 1920L, 1080L, 1L)))
+  }
+
+  test("OGG: Vorbis and Opus id headers + EOS granule sample counts") {
+    for (id <- 0L until 12L) {
+      val (f, ch, rate, bits, n) = AudioHeaders.decode(MediaFixtures.oggBytes(id))
+      val expFmt = if (id % 2 == 0) "ogg" else "opus"
+      val expRate = if (id % 2 == 0) 8000 * (id % 3 + 1) else 48000L
+      assert(f == expFmt, s"id $id")
+      assert(ch == id / 2 % 2 + 1, s"id $id")
+      assert(rate == expRate, s"id $id")
+      assert(bits == 0L, s"id $id")
+      assert(n == id % 50000 + 1000, s"id $id")
+    }
+  }
+
+  test("OGG: truncated pages and non-audio payloads are unknown") {
+    val good = MediaFixtures.oggBytes(2L)
+    for (n <- 0 until good.length by 5)
+      AudioHeaders.decode(java.util.Arrays.copyOf(good, n)) // no throw
+    val junk = "OggS".getBytes("US-ASCII") ++ new Array[Byte](60)
+    assert(AudioHeaders.decode(junk)._1 == "unknown")
+  }
+}

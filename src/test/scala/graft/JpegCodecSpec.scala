@@ -1,0 +1,147 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{JpegCodec, JpegFixtures}
+
+/** The JPEG decoder is held to truth two independent ways: EXACT
+  * recovery of planted DC-only fixtures (the registry oracle's shape),
+  * and tolerance-bounded agreement with the JDK's own ImageIO decoder
+  * (an independent libjpeg-derived implementation) on real
+  * ImageIO-encoded images exercising the full AC / chroma path.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  test("planted DC-only fixtures decode EXACTLY, restarts included") {
+    for (id <- 0L until 60L) {
+      val bytes = JpegFixtures.jpegPixelBytes(id)
+      val Some((w, h, nComp, px)) = JpegCodec.decode(bytes)
+      assert(w == JpegFixtures.width(id) && h == JpegFixtures.height(id), s"id $id")
+      assert(nComp == 1)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = JpegFixtures.blockValue(id, x / 8, y / 8)
+        assert((px(y * w + x) & 0xff) == expected,
+          s"id $id pixel ($x,$y): got ${px(y * w + x) & 0xff}, planted $expected")
+      }
+    }
+  }
+
+  test("ImageIO independently decodes the fixture streams to the planted values") {
+    // validates the fixture ENCODER against a decoder we did not write:
+    // if our streams were malformed or our planted values wrong, the
+    // JDK's decoder would disagree
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 17L, 40L)) {
+      val img = ImageIO.read(new ByteArrayInputStream(JpegFixtures.jpegPixelBytes(id)))
+      assert(img != null, s"ImageIO rejected fixture $id")
+      assert(img.getWidth == JpegFixtures.width(id) && img.getHeight == JpegFixtures.height(id))
+      val raster = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val expected = JpegFixtures.blockValue(id, x / 8, y / 8)
+        val got = raster.getSample(x, y, 0)
+        assert(math.abs(got - expected) <= 1,
+          s"id $id ($x,$y): ImageIO $got vs planted $expected")
+      }
+    }
+  }
+
+  test("full AC path: grayscale ImageIO round-trip within IDCT tolerance") {
+    // deterministic pseudo-noise exercises every AC category; both
+    // decoders see identical coefficients, so they can differ only by
+    // IDCT rounding (ours double-precision, ImageIO's integer islow)
+    val w = 37; val h = 23 // partial edge MCUs included
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(42)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", baos))
+    val bytes = baos.toByteArray
+
+    val Some((dw, dh, nComp, px)) = JpegCodec.decode(bytes)
+    assert(dw == w && dh == h && nComp == 1)
+    val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((px(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+      sumDiff += d
+    }
+    assert(maxDiff <= 2, s"max IDCT disagreement $maxDiff")
+    assert(sumDiff.toDouble / (w * h) < 1.0, s"mean disagreement ${sumDiff.toDouble / (w * h)}")
+  }
+
+  test("full color path: subsampled RGB ImageIO round-trip within upsampling tolerance") {
+    // a smooth gradient keeps chroma slowly-varying, so box (ours) vs
+    // triangle (ImageIO) upsampling stay close; the writer's default
+    // 4:2:0 subsampling makes this exercise multi-block MCUs
+    val w = 40; val h = 28
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1)
+      val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", baos))
+    val bytes = baos.toByteArray
+
+    val Some((dw, dh, nComp, px)) = JpegCodec.decode(bytes)
+    assert(dw == w && dh == h && nComp == 3)
+    val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val d0 = math.abs((px((y * w + x) * 3) & 0xff) - ((rgb >> 16) & 0xff))
+      val d1 = math.abs((px((y * w + x) * 3 + 1) & 0xff) - ((rgb >> 8) & 0xff))
+      val d2 = math.abs((px((y * w + x) * 3 + 2) & 0xff) - (rgb & 0xff))
+      maxDiff = math.max(maxDiff, math.max(d0, math.max(d1, d2)))
+      sumDiff += d0 + d1 + d2
+    }
+    assert(maxDiff <= 16, s"max upsampling disagreement $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) < 2.0,
+      s"mean disagreement ${sumDiff.toDouble / (w * h * 3)}")
+  }
+
+  test("malformed and unsupported streams are data, not failures") {
+    val good = JpegFixtures.jpegPixelBytes(3L)
+    // truncations at every prefix length: never throw, never garbage.
+    // (a prefix missing only the 2-byte EOI trailer still carries every
+    // entropy bit and legitimately decodes — cut before that)
+    for (n <- 0 until good.length - 2 by 7)
+      assert(JpegCodec.decode(java.util.Arrays.copyOf(good, n)).isEmpty, s"prefix $n")
+    // flip SOF0 to SOF2 (progressive): declared out of scope
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+    // adversarial dimensions: 65535x65535 would be a 12 GB alloc
+    val big = good.clone()
+    big(sofAt + 5) = 0xff.toByte; big(sofAt + 6) = 0xff.toByte
+    big(sofAt + 7) = 0xff.toByte; big(sofAt + 8) = 0xff.toByte
+    assert(JpegCodec.decode(big).isEmpty)
+    // not a JPEG at all
+    assert(JpegCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(JpegCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("a corrupted entropy segment decodes to None, not a crash") {
+    val good = JpegFixtures.jpegPixelBytes(4L)
+    // zero out the tail of the entropy data (before EOI): Huffman
+    // decode hits an invalid state or the stream truncates
+    val bad = good.clone()
+    var i = bad.length - 3
+    var n = 0
+    while (n < 6 && i > 2) { bad(i) = 0x55; i -= 1; n += 1 }
+    // either decodes (if the damage stayed in padding) or returns None;
+    // it must not throw
+    JpegCodec.decode(bad)
+  }
+}

@@ -25,6 +25,10 @@ class PlanQualitySpec extends SparkSpec {
     "cross_join_region_nation",
     "embed_cosine_topk",
     "embed_ivf_topk",
+    // ≤4-row query batch × 16-row centroid table: the spilled probe
+    // ranking crosses two broadcast-tiny sides (same shape as
+    // embed_ivf_topk; the corpus side stays an equi join on cell)
+    "embed_ivf_spill",
     "i1_high_water_mark",
     // NOT IN needs a null-aware anti join — nested loop over the tiny
     // broadcast list is the only plan that honors 3-valued logic
