@@ -595,8 +595,16 @@ object VideoHeaders {
   // containers whose payload is itself a box sequence
   private val containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
-  /** (format, durationMs, nTracks, nFrames). */
+  /** (format, durationMs, nTracks, nFrames). Routes by container magic:
+    * ISO-BMFF `ftyp` → the MP4 box walk, `RIFF…AVI ` → the AVI chunk
+    * walk ([[decodeAvi]]), the EBML signature → the Matroska/WebM
+    * element walk ([[decodeMkv]]).
+    */
   def decode(b: Array[Byte]): (String, Long, Long, Long) = {
+    if (b.length >= 12 && tag(b, 0, "RIFF") && b(8) == 'A' && b(9) == 'V' &&
+      b(10) == 'I' && b(11) == ' ') return decodeAvi(b)
+    if (b.length >= 8 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
+      u8(b, 2) == 0xdf && u8(b, 3) == 0xa3) return decodeMkv(b)
     if (b.length < 16 || !tag(b, 4, "ftyp")) return ("unknown", 0L, 0L, 0L)
     var timescale = 0L
     var duration = 0L
@@ -643,6 +651,110 @@ object VideoHeaders {
     walk(0, b.length, 0)
     if (!sawMvhd || timescale <= 0) ("unknown", 0L, 0L, 0L)
     else ("mp4", duration * 1000L / timescale, tracks, frames)
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** AVI: the RIFF chunk walk down `LIST hdrl` to the `avih` main
+    * header — µs/frame (offset 0), total frames (16), stream count
+    * (24). Duration = frames × µs/frame. Word-aligned chunk sizes; a
+    * declared size past the buffer ends the walk.
+    */
+  private def decodeAvi(b: Array[Byte]): (String, Long, Long, Long) = {
+    var usPerFrame = 0L
+    var totalFrames = 0L
+    var streams = 0L
+    var sawAvih = false
+    def walkChunks(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 4) return
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = le32(b, pos + 4)
+        if (size > end.toLong - pos - 8) return
+        if (tag(b, pos, "LIST") && pos + 12 <= end)
+          walkChunks(pos + 12, pos + 8 + size.toInt, depth + 1)
+        else if (tag(b, pos, "avih") && size >= 40) {
+          usPerFrame = le32(b, pos + 8)
+          totalFrames = le32(b, pos + 24)
+          streams = le32(b, pos + 32)
+          sawAvih = true
+        }
+        pos += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    walkChunks(12, b.length, 0)
+    if (!sawAvih) ("unknown", 0L, 0L, 0L)
+    else ("avi", totalFrames * usPerFrame / 1000L, streams, totalFrames)
+  }
+
+  // EBML ids: Segment, Info, Tracks, Cluster, BlockGroup are the
+  // containers this walk descends into
+  private val mkvContainers =
+    Set(0x18538067L, 0x1549a966L, 0x1654ae6bL, 0x1f43b675L, 0xa0L)
+
+  /** Matroska/WebM: the EBML variable-length-integer element walk —
+    * ids keep their length-marker bit (0x1A45DFA3 header, 0xAE
+    * TrackEntry, …), sizes strip it. Reads TimestampScale (default
+    * 1 ms ticks), the float Duration, TrackEntry count, and the frame
+    * count as SimpleBlock/Block elements inside Clusters — the way a
+    * frame count is obtained from a Matroska file without decoding.
+    * An all-ones (unknown) size extends to the parent's end, per spec.
+    */
+  private def decodeMkv(b: Array[Byte]): (String, Long, Long, Long) = {
+    def vintLen(first: Int): Int = Integer.numberOfLeadingZeros(first) - 23
+    var scale = 1000000L
+    var durTicks = -1.0
+    var tracks = 0L
+    var frames = 0L
+    var sawInfo = false
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var pos = start
+      while (pos + 2 <= end) {
+        val idLen = vintLen(u8(b, pos))
+        if (idLen < 1 || idLen > 4 || pos + idLen > end) return
+        var id = 0L
+        var i = 0
+        while (i < idLen) { id = (id << 8) | u8(b, pos + i); i += 1 }
+        val szAt = pos + idLen
+        if (szAt >= end) return
+        val szLen = vintLen(u8(b, szAt))
+        if (szLen < 1 || szLen > 8 || szAt + szLen > end) return
+        var sz = (u8(b, szAt) & (0xff >>> szLen)).toLong
+        var allOnes = sz == (0xffL >>> szLen)
+        i = 1
+        while (i < szLen) {
+          val v = u8(b, szAt + i)
+          allOnes &&= v == 0xff
+          sz = (sz << 8) | v
+          i += 1
+        }
+        val payload = szAt + szLen
+        val pEnd =
+          if (allOnes || sz > end.toLong - payload) end else payload + sz.toInt
+        if (mkvContainers(id)) {
+          if (id == 0x1549a966L) sawInfo = true
+          walk(payload, pEnd, depth + 1)
+        } else if (id == 0xaeL) tracks += 1
+        else if (id == 0x2ad7b1L) {
+          var v = 0L
+          var p = payload
+          while (p < pEnd) { v = (v << 8) | u8(b, p); p += 1 }
+          if (v > 0) scale = v
+        } else if (id == 0x4489L) {
+          if (pEnd - payload == 4)
+            durTicks = java.lang.Float.intBitsToFloat(be32(b, payload).toInt).toDouble
+          else if (pEnd - payload == 8)
+            durTicks = java.lang.Double.longBitsToDouble(be64(b, payload))
+        } else if (id == 0xa3L || id == 0xa1L) frames += 1
+        pos = pEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (!sawInfo || durTicks < 0) ("unknown", 0L, 0L, 0L)
+    else ("mkv", math.round(durTicks * scale / 1e6), tracks, frames)
   }
 }
 
@@ -988,6 +1100,72 @@ object MediaFixtures {
     * by doc_id arithmetic; duration units are chosen so units·1000 is
     * divisible by the timescale and the ms round trip is exact.
     */
+  /** Multi-container video fixture: MP4 / AVI / Matroska by rotation,
+    * one planted (tracks, frames, duration) arithmetic across all
+    * three so a single oracle covers the family. AVI duration derives
+    * from frames × µs/frame; MKV duration is a float32 tick count at
+    * the default 1 ms timestamp scale (integers ≤ 2^24 are exact).
+    */
+  def videoBytesMulti(id: Long): Array[Byte] = {
+    val tracks = (id % 4 + 1).toInt
+    val frames = tracks * (id % 60 + 5).toInt
+    val durMs = (id % 80 + 1) * 250L
+    (id % 3) match {
+      case 0 =>
+        val timescale = if (id % 2 == 0) 1000 else 600
+        mp4Bytes(tracks, (id % 60 + 5).toInt, timescale, durMs * timescale / 1000L)
+      case 1 => aviBytes((id % 30 + 10) * 1000L, frames, tracks)
+      case _ => mkvBytes(durMs, tracks, frames)
+    }
+  }
+
+  /** Minimal AVI (88 bytes): RIFF/AVI + LIST hdrl + the 56-byte avih
+    * main header carrying µs/frame, total frames, and stream count.
+    */
+  def aviBytes(usPerFrame: Long, totalFrames: Int, streams: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(88).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(80).put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(68).put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(usPerFrame.toInt) // dwMicroSecPerFrame
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(totalFrames) // dwTotalFrames
+    bb.putInt(0)
+    bb.putInt(streams) // dwStreams
+    bb.putInt(0).putInt(320).putInt(240) // buffer, width, height
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.array()
+  }
+
+  /** Minimal Matroska (47 + 4·tracks + 5·frames bytes): EBML header,
+    * Segment(Info(TimestampScale 1e6 ns + float32 Duration),
+    * Tracks(n·TrackEntry), Cluster(n·SimpleBlock)) — sizes as 2-byte
+    * vints where payloads can grow.
+    */
+  def mkvBytes(durMs: Long, tracks: Int, frames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def id(v: Long, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    def size2(v: Int): Unit = { out.write(0x40 | (v >> 8)); out.write(v & 0xff) }
+    id(0x1a45dfa3L, 4); out.write(0x84); id(0L, 4) // EBML header, 4-byte body
+    val infoBody = 7 + 7 // TimestampScale(3+1+3) + Duration(2+1+4)
+    val tracksBody = 4 * tracks
+    val clusterBody = 5 * frames
+    val segBody = (6 + infoBody) + (6 + tracksBody) + (6 + clusterBody)
+    id(0x18538067L, 4); size2(segBody) // Segment
+    id(0x1549a966L, 4); size2(infoBody) // Info
+    id(0x2ad7b1L, 3); out.write(0x83); id(1000000L, 3) // TimestampScale
+    id(0x4489L, 2); out.write(0x84) // Duration, float32
+    id(java.lang.Float.floatToIntBits(durMs.toFloat).toLong & 0xffffffffL, 4)
+    id(0x1654ae6bL, 4); size2(tracksBody) // Tracks
+    for (_ <- 0 until tracks) { out.write(0xae); out.write(0x82); id(0L, 2) }
+    id(0x1f43b675L, 4); size2(clusterBody) // Cluster
+    for (_ <- 0 until frames) { out.write(0xa3); out.write(0x83); id(0L, 3) }
+    out.toByteArray
+  }
+
   def videoBytes(id: Long): Array[Byte] = {
     val nTracks = (id % 3 + 1).toInt
     val framesPerTrack = (id % 100 + 10).toInt
@@ -1233,6 +1411,17 @@ object Multimodal {
     import spark.implicits._
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.videoBytes(id)))
+    decodeVideoMeta(payloads).toDF()
+  }
+
+  /** Fixture adapter for the multi-container video family: MP4, AVI,
+    * and Matroska planted with one (tracks, frames, duration)
+    * arithmetic ([[MediaFixtures.videoBytesMulti]]).
+    */
+  def decodeVideoFormatsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.videoBytesMulti(id)))
     decodeVideoMeta(payloads).toDF()
   }
 

@@ -1479,6 +1479,31 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // Video container breadth: MP4 (box walk), AVI (RIFF LIST/avih
+    // chunk walk: us-per-frame x total frames = duration), and
+    // Matroska (EBML vint element walk: TimestampScale + float
+    // Duration, TrackEntry count, SimpleBlocks-in-Clusters frame
+    // count) — one planted arithmetic across all three containers,
+    // byte lengths exact per format.
+    QueryDef(
+      "multimodal_video_formats",
+      (s, dir) => Multimodal.decodeVideoFormatsReal(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 4 + 1 AS t,
+             |    (doc_id % 4 + 1) * (doc_id % 60 + 5) AS f FROM documents)
+             |SELECT doc_id,
+             |CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi' ELSE 'mkv' END AS format,
+             |CAST(CASE doc_id % 3
+             |  WHEN 0 THEN 132 + 52 * t
+             |  WHEN 1 THEN 88
+             |  ELSE 47 + 4 * t + 5 * f END AS BIGINT) AS n_bytes,
+             |CAST(CASE doc_id % 3
+             |  WHEN 1 THEN f * (doc_id % 30 + 10)
+             |  ELSE (doc_id % 80 + 1) * 250 END AS BIGINT) AS duration_ms,
+             |CAST(t AS BIGINT) AS n_tracks,
+             |CAST(f AS BIGINT) AS n_frames
+             |FROM p""".stripMargin),
+    ),
+
     // Frame sampling fed by REAL decoded per-track frame counts (the
     // stsz sums), not the byte-length stub: every 7th frame index,
     // fanned out executor-side.

@@ -70,6 +70,39 @@ class FormatBreadthSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI: avih totals through the RIFF LIST walk") {
+    import graft.functions.VideoHeaders
+    val (f, dur, tr, fr) = VideoHeaders.decode(MediaFixtures.aviBytes(40000L, 250, 2))
+    assert((f, dur, tr, fr) == (("avi", 10000L, 2L, 250L))) // 250 * 40ms
+    for (n <- 0 until 88 by 5)
+      VideoHeaders.decode(java.util.Arrays.copyOf(MediaFixtures.aviBytes(40000L, 250, 2), n))
+  }
+
+  test("MKV: EBML walk — duration, tracks, SimpleBlock frame count") {
+    import graft.functions.VideoHeaders
+    for (tracks <- 1 to 3; frames <- Seq(0, 1, 7, 200)) {
+      val (f, dur, tr, fr) =
+        VideoHeaders.decode(MediaFixtures.mkvBytes(12345L, tracks, frames))
+      assert((f, dur, tr, fr) == (("mkv", 12345L, tracks.toLong, frames.toLong)),
+        s"tracks=$tracks frames=$frames")
+    }
+    val good = MediaFixtures.mkvBytes(500L, 2, 4)
+    for (n <- 0 until good.length by 3)
+      VideoHeaders.decode(java.util.Arrays.copyOf(good, n)) // never throws
+  }
+
+  test("video multi-fixture routes all three containers") {
+    import graft.functions.VideoHeaders
+    for (id <- 0L until 9L) {
+      val (f, dur, tr, fr) = VideoHeaders.decode(MediaFixtures.videoBytesMulti(id))
+      val t = id % 4 + 1
+      val fx = t * (id % 60 + 5)
+      val expFmt = Seq("mp4", "avi", "mkv")((id % 3).toInt)
+      val expDur = if (id % 3 == 1) fx * (id % 30 + 10) else (id % 80 + 1) * 250
+      assert((f, dur, tr, fr) == ((expFmt, expDur, t, fx)), s"id $id")
+    }
+  }
+
   test("OGG: truncated pages and non-audio payloads are unknown") {
     val good = MediaFixtures.oggBytes(2L)
     for (n <- 0 until good.length by 5)
