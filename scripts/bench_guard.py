@@ -47,7 +47,9 @@ def isolated_medians(queries):
         return {}
     times = {}
     for line in out.splitlines():
-        m = re.match(r"(\S+) run\d+ ([0-9.]+) s", line.strip())
+        # sbt prefixes forked-process stdout with "[info] " — search, and
+        # exclude the prefix itself from the query-name group
+        m = re.search(r"(?:^|\s)([a-z][a-z0-9_]*) run\d+ ([0-9.]+) s", line.strip())
         if m:
             times.setdefault(m.group(1), []).append(float(m.group(2)))
     return {q: statistics.median(ts) for q, ts in times.items() if ts}

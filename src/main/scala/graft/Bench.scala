@@ -36,6 +36,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The status stores retain per-execution plan graphs / job / stage
+      // state even with the UI off (defaults: 1000 executions, 1000
+      // jobs). A full-registry run is ~190 queries × 4 executions in ONE
+      // JVM — near-unbounded retention turns the tail of the run into a
+      // GC benchmark (measured: 12.4 s in-run vs 0.57 s isolated on the
+      // same query). Cap them to a handful: the bench reads none of it.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Evaluate through the noop sink, not count(): under count() Catalyst

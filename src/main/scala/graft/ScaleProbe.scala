@@ -120,6 +120,20 @@ object ScaleProbe {
     timed("bpe_merges_k6")(
       TextAnalytics.trainBpeMerges(docs, k = 6).count())
 
+    // Second-continuation operators: the baseline JPEG entropy decode
+    // (full Huffman + IDCT per document), the 2× box resample over
+    // decoded pixels, and the format-header walks — all decode+reduce
+    // inside the partition, so N× documents is N× embarrassingly
+    // parallel work with constant shuffle.
+    timed("jpeg_pixel_stats")(
+      graft.functions.Multimodal.decodeJpegPixelsReal(spark, docs).count())
+    timed("resize_pixels_2x")(
+      graft.functions.Multimodal.resizePixelsReal(spark, docs).count())
+    timed("image_format_headers")(
+      graft.functions.Multimodal.decodeImageFormatsReal(spark, docs).count())
+    timed("video_format_headers")(
+      graft.functions.Multimodal.decodeVideoFormatsReal(spark, docs).count())
+
     spark.stop()
   }
 }

@@ -379,6 +379,43 @@ object TextAnalytics {
         (col("__sb").cast("double") / col("n_tokens")).as("mean_surprisal_bits"))
   }
 
+  /** Bigram-LM CONDITIONAL surprisal per document — the context-aware
+    * step past [[surprisalBits]]'s unigram model: token i occurring
+    * after context w with bigram count bf out of the context's cf
+    * continuations carries −log2(bf/cf) bits, quantized to
+    * `bitlen(cf) − bitlen(bf)` (the same exact-integer-bits trick — a
+    * true `ln` is not bit-portable across engines). A document of
+    * predictable continuations ("the the the", boilerplate) scores low;
+    * scrambled text scores high even when every unigram is common —
+    * the signal unigram perplexity cannot see. The first token has no
+    * context and is excluded; single-token documents produce no row.
+    *
+    * Plan shape: bigrams form executor-side (transform over the token
+    * array — no shuffle), aggregate to distinct-bigram counts, context
+    * totals derive from the BIGRAM counts (never re-scanning the
+    * corpus), then one bigram-keyed join back and one doc-keyed agg —
+    * the tf-idf/vocabulary-join shape; nothing is ever corpus².
+    */
+  def bigramSurprisalBits(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(__t) - 2), " +
+        "i -> struct(element_at(__t, i + 1) AS prev, element_at(__t, i + 2) AS cur))"))
+      .as("__bg"))
+      .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+    val bf = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bf"))
+    val cf = bf.groupBy(col("prev")).agg(sum(col("bf")).as("cf"))
+    def bitlen(c: Column): Column = length(conv(c, 10, 2))
+    bg.join(bf, Seq("prev", "cur")).join(cf, Seq("prev"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((bitlen(col("cf")) - bitlen(col("bf"))).cast("long")).as("__sb"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sb").cast("double") / col("n_bigrams")).as("mean_bigram_surprisal_bits"))
+  }
+
   /** Within-document duplicate n-gram fraction (the Gopher repetition
     * rule family): the share of a document's n-gram INSTANCES that
     * repeat an earlier occurrence in the same document. Runs at scan

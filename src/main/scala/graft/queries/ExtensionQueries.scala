@@ -2145,6 +2145,29 @@ object ExtensionQueries {
              |GROUP BY 1""".stripMargin),
     ),
 
+    // Bigram-LM conditional surprisal: the context-aware perplexity
+    // proxy (predictable continuations score low even when every
+    // unigram is common) with the same exact-integer bit quantization
+    // — bitlen(context count) − bitlen(bigram count) — so the oracle
+    // reproduces every quantized bit. Context totals derive from the
+    // bigram counts on both sides.
+    QueryDef(
+      "text_bigram_surprisal",
+      (s, dir) => TextAnalytics.bigramSurprisalBits(Tables.documents(s, dir)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id,
+             |    unnest([{'prev': t[i], 'cur': t[i+1]} for i in range(1, len(t))]) AS u
+             |  FROM toks WHERE len(t) >= 2),
+             |g AS (SELECT doc_id, u.prev AS prev, u.cur AS cur FROM bg),
+             |bf AS (SELECT prev, cur, count(*) AS bf FROM g GROUP BY 1, 2),
+             |cf AS (SELECT prev, CAST(sum(bf) AS BIGINT) AS cf FROM bf GROUP BY 1)
+             |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(length(bin(cf.cf)) - length(bin(bf.bf))) AS DOUBLE) / count(*)
+             |    AS mean_bigram_surprisal_bits
+             |FROM g JOIN bf USING (prev, cur) JOIN cf USING (prev)
+             |GROUP BY 1""".stripMargin),
+    ),
+
     // Mergeable distinct-count sketch states (Apache DataSketches HLL,
     // built into Spark): each time slice aggregates to a compact sketch,
     // sketches union WITHOUT re-reading the slices, and the merged

@@ -117,6 +117,19 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 3.0 / 2)))   // 1 + 2
   }
 
+  test("bigramSurprisalBits: hand-computed conditional bits, short docs excluded") {
+    // corpus bigrams: (a,b)x3 [doc1 twice, doc3 once], (b,a)x1, (b,c)x1
+    // cf(a)=3, cf(b)=2 → bits(a,b)=bitlen(3)-bitlen(3)=0,
+    // bits(b,a)=bits(b,c)=bitlen(2)-bitlen(1)=1
+    val corpus = Seq(
+      (1L, "a b a b c"), (2L, "x"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalytics.bigramSurprisalBits(corpus)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(2L), "single-token doc has no bigram")
+    assert(out(1L) == ((4L, 0.5))) // (0 + 1 + 0 + 1) / 4
+    assert(out(3L) == ((1L, 0.0)))
+  }
+
   test("tfIdfTopTerms: k terms per doc, scores descend, rare terms beat common at equal tf") {
     val corpus = Seq(
       (1L, "apple banana banana common common"),
