@@ -563,6 +563,99 @@ object AudioHeaders {
   }
 }
 
+/** Per-channel integer sample statistics from REAL decoded PCM — the
+  * audio twin of [[PixelStats]]: exact integer sums/extrema an external
+  * oracle recomputes from planted truth.
+  */
+final case class PcmStats(
+    doc_id: Long,
+    channel: Long,
+    n_samples: Long,
+    sum_amp: Long,
+    min_amp: Long,
+    max_amp: Long,
+    sumsq_amp: Long,
+)
+
+/** 16-bit PCM WAV SAMPLE decode — the audio sibling of [[PixelCodec]]:
+  * the RIFF chunk walk locates `fmt `/`data`, the interleaved LE
+  * samples are decoded, de-interleaved per channel, and reduced to
+  * integer stats INSIDE the partition pass — samples never become
+  * engine rows, exactly the pixel path's 100 TB shape. Non-PCM,
+  * non-16-bit, or malformed containers produce no rows: a corrupt
+  * blob is data, not an exception on an executor.
+  */
+object PcmSamples {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  /** One [[PcmStats]] row per channel for a 16-bit PCM WAV; empty for
+    * anything else. A declared data size past the buffer clamps to the
+    * bytes actually present (truncation yields the decodable prefix).
+    */
+  def decode(id: Long, b: Array[Byte]): Seq[PcmStats] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return Nil
+    var codec = 0
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataBytes = -1L
+    var pos = 12
+    var walking = true
+    while (walking && pos + 8 <= b.length && dataBytes < 0) {
+      val size = le32(b, pos + 4)
+      if (tag(b, pos, "fmt ") && pos + 8 + 16 <= b.length) {
+        codec = le16(b, pos + 8)
+        channels = le16(b, pos + 10)
+        bits = le16(b, pos + 22)
+      } else if (tag(b, pos, "data")) {
+        dataOff = pos + 8
+        dataBytes = size
+      }
+      if (size > b.length.toLong - pos - 8) walking = false
+      else pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (codec != 1 || bits != 16 || channels <= 0 || channels > 64 ||
+        dataOff < 0 || dataBytes < 0) return Nil
+    val avail = math.min(dataBytes, (b.length - dataOff).toLong)
+    val nFrames = (avail / (2L * channels)).toInt
+    if (nFrames <= 0) return Nil
+    val sum = new Array[Long](channels)
+    val sumsq = new Array[Long](channels)
+    val mn = Array.fill(channels)(Long.MaxValue)
+    val mx = Array.fill(channels)(Long.MinValue)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = le16(b, dataOff + 2 * (f * channels + c)).toShort.toLong
+        sum(c) += v
+        sumsq(c) += v * v
+        if (v < mn(c)) mn(c) = v
+        if (v > mx(c)) mx(c) = v
+        c += 1
+      }
+      f += 1
+    }
+    (0 until channels).map(c =>
+      PcmStats(id, c.toLong, nFrames.toLong, sum(c), mn(c), mx(c), sumsq(c)))
+  }
+
+  /** Batch plumbing: payloads in, per-channel stats out — a narrow
+    * `mapPartitions` transform like [[PixelCodec.channelStats]].
+    */
+  def pcmStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[PcmStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
+  }
+}
+
 /** Real-decoder output for video containers. */
 final case class VideoMeta(
     doc_id: Long,
@@ -755,6 +848,90 @@ object VideoHeaders {
     walk(0, b.length, 0)
     if (!sawInfo || durTicks < 0) ("unknown", 0L, 0L, 0L)
     else ("mkv", math.round(durTicks * scale / 1e6), tracks, frames)
+  }
+}
+
+/** Per-frame pixel statistics from REAL decoded video frames. */
+final case class FramePixelStats(
+    doc_id: Long,
+    frame_idx: Long,
+    width: Long,
+    height: Long,
+    n_comp: Long,
+    n_px: Long,
+    sum_s: Long,
+    sumsq_s: Long,
+)
+
+/** MJPEG-in-AVI FRAME decode — video pixels for real: the RIFF walk
+  * finds `LIST movi`, each `##dc`/`##db` chunk's payload is a complete
+  * JPEG decoded by [[JpegCodec]]'s full baseline path, and every
+  * frame's samples reduce to exact integer stats inside the partition
+  * pass (frames never become engine rows). `frame_idx` counts video
+  * chunks in stream order; a frame that fails to decode drops its row
+  * without shifting later indices; malformed containers produce no
+  * rows, never a task failure.
+  */
+object MjpegFrames {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  def decode(id: Long, b: Array[Byte]): Seq[FramePixelStats] = {
+    val out = Seq.newBuilder[FramePixelStats]
+    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return Nil
+    var idx = 0L
+    var pos = 12
+    var walking = true
+    while (walking && pos + 8 <= b.length) {
+      val size = le32(b, pos + 4)
+      if (size > b.length.toLong - pos - 8) walking = false // truncated: stop
+      else {
+        if (tag(b, pos, "LIST") && size >= 4 && tag(b, pos + 8, "movi")) {
+          val end = pos + 8 + size.toInt
+          var p = pos + 12
+          while (p + 8 <= end) {
+            val csize = le32(b, p + 4)
+            if (csize > end.toLong - p - 8) p = end // truncated inside movi
+            else {
+              if (b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b')) {
+                val payload =
+                  java.util.Arrays.copyOfRange(b, p + 8, p + 8 + csize.toInt)
+                JpegCodec.decode(payload).foreach { case (w, h, nComp, px) =>
+                  var sum = 0L
+                  var sumsq = 0L
+                  var i = 0
+                  while (i < px.length) {
+                    val v = px(i) & 0xff
+                    sum += v
+                    sumsq += v.toLong * v
+                    i += 1
+                  }
+                  out += FramePixelStats(id, idx, w.toLong, h.toLong,
+                    nComp.toLong, w.toLong * h, sum, sumsq)
+                }
+                idx += 1
+              }
+              p += 8 + csize.toInt + (csize.toInt & 1)
+            }
+          }
+        }
+        pos += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    out.result()
+  }
+
+  /** Batch plumbing: one narrow `mapPartitions` pass, like
+    * [[PcmSamples.pcmStats]].
+    */
+  def frameStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[FramePixelStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
   }
 }
 
@@ -1137,6 +1314,48 @@ object MediaFixtures {
     bb.array()
   }
 
+  /** MJPEG AVI: RIFF/AVI with a `LIST hdrl`/`avih` header and a `LIST
+    * movi` whose `00dc` chunks each hold a COMPLETE baseline JPEG
+    * ([[JpegFixtures.grayDcOnly]]) — frame `f`'s 8×8 block (bx, by)
+    * plants grey `(id + 11·f + 17·bx + 29·by) mod 256`, so every
+    * decoded sample of every frame is doc_id arithmetic.
+    */
+  def aviMjpegBytes(id: Long): Array[Byte] = {
+    val nFrames = (id % 5 + 1).toInt
+    val w = 8 * (id % 3 + 1).toInt
+    val h = 8 * (id % 2 + 1).toInt
+    val frames = (0 until nFrames).map { f =>
+      JpegFixtures.grayDcOnly(w, h,
+        (bx, by) => (((id + 11L * f + 17L * bx + 29L * by) % 256L + 256L) % 256L).toInt,
+        withRestarts = false)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    val moviBody = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+    val hdrlList = 8 + 68 // LIST hdrl with the 56-byte avih
+    val riffBody = 4 + hdrlList + 8 + moviBody
+    fourcc("RIFF"); le32(riffBody); fourcc("AVI ")
+    fourcc("LIST"); le32(68); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(40000) // µs/frame (25 fps)
+    le32(0); le32(0); le32(0)
+    le32(nFrames) // dwTotalFrames
+    le32(0)
+    le32(1) // dwStreams
+    le32(0); le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviBody); fourcc("movi")
+    frames.foreach { fr =>
+      fourcc("00dc"); le32(fr.length); out.write(fr, 0, fr.length)
+      if ((fr.length & 1) == 1) out.write(0) // word alignment
+    }
+    out.toByteArray
+  }
+
   /** Minimal Matroska (47 + 4·tracks + 5·frames bytes): EBML header,
     * Segment(Info(TimestampScale 1e6 ns + float32 Duration),
     * Tracks(n·TrackEntry), Cluster(n·SimpleBlock)) — sizes as 2-byte
@@ -1229,6 +1448,28 @@ object MediaFixtures {
     bb.putShort(bits.toShort)
     bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     bb.array() // payload stays zeroed: silence
+  }
+
+  /** 16-bit PCM WAV with PLANTED interleaved samples: slot `idx` (frame
+    * × channels + channel) carries `((id·31 + idx·7) mod 65536) −
+    * 32768` — every decoded amplitude is doc_id arithmetic an external
+    * oracle recomputes. Channels/rate/frames planted like
+    * [[audioBytes]].
+    */
+  def wavPcmBytes(id: Long): Array[Byte] = {
+    val channels = (id % 2 + 1).toInt
+    val rate = (8000 * (id % 3 + 1)).toInt
+    val nFrames = (id % 40 + 1).toInt
+    val out = wavBytes(channels, rate, 16, nFrames)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var idx = 0
+    val total = nFrames * channels
+    while (idx < total) {
+      bb.putShort((((id * 31 + idx * 7) % 65536) - 32768).toShort)
+      idx += 1
+    }
+    out
   }
 }
 
@@ -1388,6 +1629,32 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.audioBytesMulti(id)))
     decodeAudioMeta(payloads).toDF()
+  }
+
+  /** REAL PCM sample decode through the batch plumbing: planted 16-bit
+    * interleaved samples ([[MediaFixtures.wavPcmBytes]]) decoded and
+    * reduced to per-channel integer stats by [[PcmSamples]] — the
+    * audio analogue of [[decodePixelsReal]]: the decoder is verified
+    * against TRUE amplitudes, not against itself.
+    */
+  def decodeAudioPcmReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.wavPcmBytes(id)))
+    PcmSamples.pcmStats(payloads).toDF()
+  }
+
+  /** REAL video FRAME pixel decode through the batch plumbing: MJPEG
+    * AVI fixtures ([[MediaFixtures.aviMjpegBytes]]) walked by
+    * [[MjpegFrames]] — every frame's JPEG payload runs the full
+    * baseline decode and reduces to per-frame sample stats. The video
+    * modality's pixel layer, held to planted truth like the image one.
+    */
+  def decodeVideoFramePixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.aviMjpegBytes(id)))
+    MjpegFrames.frameStats(payloads).toDF()
   }
 
   /** REAL video decode through the batch plumbing: MP4/ISO-BMFF box

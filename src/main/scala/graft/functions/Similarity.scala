@@ -484,6 +484,67 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("approx_d2"))
   }
 
+  /** Combined IVF-PQ retrieval with exact re-rank — the index layout a
+    * production vector store runs at corpus scale (FAISS's IVFPQ +
+    * refine, re-derived Spark-first): IVF cells prune the SCAN (only
+    * the `nProbe` probed cells' slices are touched), PQ codes make the
+    * candidate SCORING cheap (m byte-codes per vector, not dim floats),
+    * and only the PQ-shortlisted `rerank` rows per query pay exact
+    * decimal cosine.
+    *
+    * Plan shape at 100 TB: the codes table `(vec_id, cell, codes)` is
+    * the RAM-resident index (m + 12 bytes/vector); probes broadcast
+    * (nProbe rows/query) so the candidate join never shuffles the
+    * corpus; the PQ shortlist (`rerank` rows/query) broadcasts back
+    * against the full embedding table keyed on `vec_id` — the only
+    * touch of raw vectors after index build, a broadcast-pruned
+    * point-lookup join, not a scan. Every stage's ranking is a
+    * per-query `WindowGroupLimit`; nothing global sorts.
+    */
+  def ivfPqTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4, dim: Int = 64, m: Int = 8,
+      pqK: Int = 16, rerank: Int = 30): DataFrame = {
+    import graft.functions.expressions.PqExpressions
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val cents = seededCentroids(embeddings, nCells)
+    val assigned = assignToCentroids(embeddings, cents)
+    val cbFlat = pqCodebookFlat(embeddings, dim, m, pqK)
+    val codes = assigned.select(col("vec_id"), col("cell"),
+      PqExpressions.pqEncode(col("embedding"), cbFlat, m, pqK, sub).as("codes"))
+    val probeRank = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(desc("__csim"), asc("cell")))
+    val probes = queries.select(col("qid"), col("embedding").as("__q"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("__q"), col("__cid").as("cell"),
+        cosineDouble(col("__cemb"), col("__q")).as("__csim"))
+      .withColumn("__rn", probeRank)
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("cell"), col("__q"))
+    val rnPq = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(asc("approx_d2"), asc("vec_id")))
+    val shortlist = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        PqExpressions.pqAdistCol(col("codes"), col("__q"), cbFlat, m, pqK, sub)
+          .as("approx_d2"))
+      .withColumn("__rn", rnPq)
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vec_id"))
+    val qexact = queries.select(col("qid"), col("embedding").as("__q"),
+      dotDecD(col("embedding"), col("embedding")).as("__ny"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vec_id")))
+    embeddings.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qexact), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineParts(dotDecD(col("embedding"), col("__q")),
+          dotDecD(col("embedding"), col("embedding")), col("__ny")).as("cosine"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"))
+  }
+
   /** Batched ANN — the shape a real pipeline runs: a query TABLE
     * `(qid, embedding)` answered in ONE bucket equi-join (no per-query
     * loop, no driver iteration). Both sides compute their LSH bucket,

@@ -1104,6 +1104,84 @@ object ExtensionQueries {
       },
     ),
 
+    // Combined IVF-PQ with exact re-rank — the production vector-store
+    // layout: IVF cells prune the scan, PQ codes score the candidates
+    // (m byte-codes, not dim floats), and only the PQ-shortlisted 30
+    // rows per query pay exact decimal cosine. The oracle composes the
+    // three stages in SQL: cell assignment (rn=1), per-query probe
+    // ranking (rn<=4), PQ codes + asymmetric distance restricted to
+    // probed cells, shortlist window (rn<=30), then the decimal-exact
+    // cosine re-rank window (rn<=10).
+    QueryDef(
+      "embed_ivfpq_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfPqTopKBatch(emb,
+          emb.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding")))
+      },
+      Some {
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        def l2(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+        s"""WITH sub AS (
+           |  SELECT vec_id, j,
+           |    [CAST(embedding[j*8 + i] AS DOUBLE) FOR i IN range(1, 9)] AS sv
+           |  FROM embeddings, range(0, 8) t(j)),
+           |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+           |d0 AS (SELECT s.vec_id, s.j, c.cid, ${l2("s.sv", "c.cv")} AS d2
+           |  FROM sub s JOIN cb c ON s.j = c.j),
+           |code AS (SELECT vec_id, j, cid FROM (
+           |    SELECT vec_id, j, cid,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+           |    FROM d0) WHERE rn = 1),
+           |cents AS (
+           |  SELECT vec_id AS ccid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16),
+           |cells AS (SELECT vec_id, ccid AS cell FROM (
+           |    SELECT e.vec_id, c.ccid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.ccid) AS rn
+           |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+           |probe AS (SELECT qid, ccid AS cell FROM (
+           |    SELECT q.qid, c.ccid, row_number() OVER (PARTITION BY q.qid ORDER BY
+           |      ${dd("c.cn", "q.qe")} / (sqrt(${dd("c.cn", "c.cn")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, c.ccid) AS rn
+           |    FROM cents c CROSS JOIN q) WHERE rn <= 4),
+           |cand AS (SELECT p.qid, cells.vec_id
+           |  FROM probe p JOIN cells ON cells.cell = p.cell
+           |  WHERE cells.vec_id <> p.qid),
+           |qsub AS (SELECT vec_id AS qid, j, sv AS qv FROM sub WHERE vec_id < 4),
+           |ad AS (SELECT cand.qid, cand.vec_id,
+           |    list_reduce(list(${l2("qsub.qv", "cb.cv")} ORDER BY code.j),
+           |      (a, b) -> a + b) AS approx_d2
+           |  FROM cand
+           |  JOIN code ON code.vec_id = cand.vec_id
+           |  JOIN cb ON cb.j = code.j AND cb.cid = code.cid
+           |  JOIN qsub ON qsub.qid = cand.qid AND qsub.j = code.j
+           |  GROUP BY cand.qid, cand.vec_id),
+           |short AS (SELECT qid, vec_id FROM (
+           |    SELECT qid, vec_id,
+           |      row_number() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rn
+           |    FROM ad) WHERE rn <= 30),
+           |pr AS (SELECT s.qid, s.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+           |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+           |  JOIN q ON q.qid = s.qid),
+           |dx AS (SELECT qid, vec_id,
+           |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+           |  CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS nx,
+           |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
+           |  FROM pr GROUP BY 1, 2)
+           |SELECT qid, vec_id, cosine FROM (
+           |  SELECT qid, vec_id, dot / (sqrt(nx) * sqrt(ny)) AS cosine,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id) AS rn
+           |  FROM dx) WHERE rn <= 10""".stripMargin
+      },
+    ),
+
     // Batched ANN — a query TABLE (the 8 lowest vec_ids) answered in ONE
     // bucket equi-join with a per-query window top-k; the plan the real
     // pipeline runs (no per-query loop). 6 hyperplanes (64 buckets) so
@@ -1463,6 +1541,32 @@ object ExtensionQueries {
              |FROM documents""".stripMargin),
     ),
 
+    // REAL PCM sample decode: 16-bit interleaved WAV samples planted by
+    // doc_id arithmetic, de-interleaved per channel and reduced to
+    // exact integer stats inside the partition pass (samples never
+    // become engine rows — the pixel path's 100 TB shape, applied to
+    // audio). The oracle regenerates every amplitude from the slot
+    // formula and recomputes sum/min/max/sum-of-squares per channel.
+    QueryDef(
+      "multimodal_audio_pcm",
+      (s, dir) => Multimodal.decodeAudioPcmReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS nch, doc_id % 40 + 1 AS nf
+             |    FROM documents),
+             |g AS (SELECT d.doc_id, d.nch, c.c AS ch, i.i AS i
+             |    FROM d, range(0, 2) AS c(c), range(0, 40) AS i(i)
+             |    WHERE c.c < d.nch AND i.i < d.nf),
+             |v AS (SELECT doc_id, ch,
+             |    ((doc_id * 31 + (i * nch + ch) * 7) % 65536) - 32768 AS s
+             |  FROM g)
+             |SELECT doc_id, CAST(ch AS BIGINT) AS channel,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(s) AS BIGINT) AS sum_amp,
+             |  CAST(min(s) AS BIGINT) AS min_amp,
+             |  CAST(max(s) AS BIGINT) AS max_amp,
+             |  CAST(sum(s * s) AS BIGINT) AS sumsq_amp
+             |FROM v GROUP BY doc_id, ch""".stripMargin),
+    ),
+
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers
     // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
     // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —
@@ -1502,6 +1606,35 @@ object ExtensionQueries {
              |CAST(t AS BIGINT) AS n_tracks,
              |CAST(f AS BIGINT) AS n_frames
              |FROM p""".stripMargin),
+    ),
+
+    // REAL video FRAME pixels: MJPEG-in-AVI — the RIFF walk finds LIST
+    // movi, each 00dc chunk's payload is a complete DC-only baseline
+    // JPEG (frame f's block (bx,by) plants grey (id + 11f + 17bx +
+    // 29by) mod 256), decoded by the full JpegCodec path and reduced
+    // to per-frame exact sample stats in-partition. The oracle
+    // regenerates every frame's block grid from the same arithmetic —
+    // the video pixel layer is verified against planted truth.
+    QueryDef(
+      "multimodal_mjpeg_frames",
+      (s, dir) => Multimodal.decodeVideoFramePixelsReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS nf,
+             |      doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+             |    FROM documents),
+             |f AS (SELECT d.doc_id, d.wb, d.hb, ff.f
+             |    FROM d, range(0, 5) AS ff(f) WHERE ff.f < d.nf),
+             |b AS (SELECT f.doc_id, f.f, f.wb, f.hb, bx.bx, by.by
+             |    FROM f, range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |    WHERE bx.bx < f.wb AND by.by < f.hb),
+             |v AS (SELECT doc_id, f, wb, hb,
+             |    (doc_id + 11 * f + 17 * bx + 29 * by) % 256 AS grey FROM b)
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+             |  CAST(1 AS BIGINT) AS n_comp,
+             |  CAST(count(*) * 64 AS BIGINT) AS n_px,
+             |  CAST(sum(64 * grey) AS BIGINT) AS sum_s,
+             |  CAST(sum(64 * grey * grey) AS BIGINT) AS sumsq_s
+             |FROM v GROUP BY doc_id, f, wb, hb""".stripMargin),
     ),
 
     // Frame sampling fed by REAL decoded per-track frame counts (the

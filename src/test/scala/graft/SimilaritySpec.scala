@@ -92,6 +92,46 @@ class SimilaritySpec extends SparkSpec {
     assert(batch == single)
   }
 
+  test("ivfPqTopKBatch: full probe + full shortlist degenerates to the exact ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qs = emb.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    // probing every cell and shortlisting the whole corpus leaves only
+    // the exact re-rank — the combined index must reproduce brute force
+    // bit-for-bit (the law that pins every stage's plumbing)
+    def ranked(rows: Seq[(Long, Double)]) = rows.sortBy(t => (-t._2, t._1))
+    val got = Similarity.ivfPqTopKBatch(emb, qs, k = 5, nCells = 4, nProbe = 4,
+        rerank = 1000)
+      .as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).map { case (q, rows) => q -> ranked(rows.map(t => (t._2, t._3))) }
+    (0L to 1L).foreach { q =>
+      val exact = Similarity.cosineTopK(emb, q, 5).as[(Long, Double)].collect().toSeq
+      assert(got(q) == ranked(exact), s"query $q")
+    }
+  }
+
+  test("ivfPqTopKBatch: k rows per query and re-ranked scores are the exact cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qs = emb.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    val out = Similarity.ivfPqTopKBatch(emb, qs, k = 10).cache()
+    try {
+      val counts = out.groupBy("qid").count().as[(Long, Long)].collect().toMap
+      assert(counts.keySet == Set(0L, 1L, 2L) && counts.values.forall(_ == 10L))
+      // whatever the PQ shortlist admitted, the emitted score must be the
+      // exact decimal cosine — spot-check every returned pair against a
+      // direct computation
+      val pairs = out.as[(Long, Long, Double)].collect().toSeq
+      val exactAll = (0L to 2L).map { q =>
+        q -> Similarity.cosineTopK(emb, q, 499).as[(Long, Double)]
+          .collect().toMap
+      }.toMap
+      pairs.foreach { case (q, v, c) =>
+        assert(exactAll(q)(v) == c, s"pair ($q,$v)")
+      }
+    } finally out.unpersist()
+  }
+
   test("native PQ scorer == declarative fold, row for row on real fixtures") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -358,6 +358,109 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(AudioHeaders.decode(evil) == (("unknown", 0L, 0L, 0L, 0L)))
   }
 
+  test("PcmSamples: de-interleaves hand-planted 16-bit samples per channel") {
+    import graft.functions.{MediaFixtures, PcmSamples}
+    // 2 channels × 3 frames, values chosen by hand: ch0 = 100, -5, 7;
+    // ch1 = -32768, 32767, 0
+    val wav = MediaFixtures.wavBytes(2, 8000, 16, 3)
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    Seq(100, -32768, -5, 32767, 7, 0).foreach(v => bb.putShort(v.toShort))
+    val rows = PcmSamples.decode(9L, wav).map(r => r.channel -> r).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    val c0 = rows(0L)
+    assert(c0.n_samples == 3L && c0.sum_amp == 102L && c0.min_amp == -5L &&
+      c0.max_amp == 100L && c0.sumsq_amp == 100L * 100 + 25 + 49)
+    val c1 = rows(1L)
+    assert(c1.n_samples == 3L && c1.sum_amp == -1L && c1.min_amp == -32768L &&
+      c1.max_amp == 32767L &&
+      c1.sumsq_amp == 32768L * 32768 + 32767L * 32767)
+  }
+
+  test("PcmSamples: fixture decode reproduces the planted slot formula") {
+    import graft.functions.{MediaFixtures, PcmSamples}
+    for (id <- Seq(0L, 1L, 5L, 38L, 123L)) {
+      val channels = (id % 2 + 1).toInt
+      val nFrames = (id % 40 + 1).toInt
+      def planted(idx: Int): Long = ((id * 31 + idx * 7) % 65536) - 32768
+      val rows = PcmSamples.decode(id, MediaFixtures.wavPcmBytes(id))
+        .map(r => r.channel -> r).toMap
+      assert(rows.keySet == (0 until channels).map(_.toLong).toSet, s"id $id")
+      for (c <- 0 until channels) {
+        val vs = (0 until nFrames).map(f => planted(f * channels + c))
+        val r = rows(c.toLong)
+        assert(r.n_samples == nFrames.toLong && r.sum_amp == vs.sum &&
+          r.min_amp == vs.min && r.max_amp == vs.max &&
+          r.sumsq_amp == vs.map(v => v * v).sum, s"id $id ch $c")
+      }
+    }
+  }
+
+  test("PcmSamples: non-PCM, sub-byte, malformed, and truncated inputs") {
+    import graft.functions.{MediaFixtures, PcmSamples}
+    assert(PcmSamples.decode(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(PcmSamples.decode(1L, "RIFFjunkWAVEmore".getBytes("UTF-8")).isEmpty)
+    // 4-bit ADPCM-shaped header: bits != 16 → no rows, never a throw
+    assert(PcmSamples.decode(1L, MediaFixtures.wavBytes(1, 8000, 4, 16)).isEmpty)
+    // lossy container → no rows
+    assert(PcmSamples.decode(1L, MediaFixtures.mp3Bytes(2, mono = true)).isEmpty)
+    // a data chunk truncated mid-frame clamps to whole decodable frames
+    val full = MediaFixtures.wavPcmBytes(3L) // 2 channels, 4 frames
+    val cut = java.util.Arrays.copyOf(full, full.length - 5)
+    val rows = PcmSamples.decode(3L, cut)
+    assert(rows.nonEmpty && rows.forall(_.n_samples == 2L))
+  }
+
+  test("MjpegFrames: decodes every movi frame to the planted block sums") {
+    import graft.functions.{MediaFixtures, MjpegFrames}
+    for (id <- Seq(0L, 4L, 7L, 11L)) {
+      val nFrames = (id % 5 + 1).toInt
+      val wb = (id % 3 + 1).toInt
+      val hb = (id % 2 + 1).toInt
+      val rows = MjpegFrames.decode(id, MediaFixtures.aviMjpegBytes(id))
+      assert(rows.map(_.frame_idx) == (0 until nFrames).map(_.toLong), s"id $id")
+      rows.foreach { r =>
+        val greys = for (bx <- 0 until wb; by <- 0 until hb)
+          yield ((id + 11L * r.frame_idx + 17L * bx + 29L * by) % 256L + 256L) % 256L
+        assert(r.width == 8L * wb && r.height == 8L * hb && r.n_comp == 1L &&
+          r.n_px == 64L * wb * hb &&
+          r.sum_s == greys.map(_ * 64L).sum &&
+          r.sumsq_s == greys.map(g => g * g * 64L).sum, s"id $id frame ${r.frame_idx}")
+      }
+    }
+  }
+
+  test("MjpegFrames: corrupt frames drop their row without shifting indices") {
+    import graft.functions.{JpegFixtures, MjpegFrames}
+    val good = JpegFixtures.grayDcOnly(8, 8, (_, _) => 50, withRestarts = false)
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def chunk(cc: String, body: Array[Byte]): Unit = {
+      fourcc(cc); le32(body.length); out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    fourcc("RIFF"); le32(0); fourcc("AVI ") // size fixed below
+    val moviBody = 4 + 3 * (8 + good.length + (good.length & 1))
+    fourcc("LIST"); le32(moviBody); fourcc("movi")
+    chunk("00dc", good)
+    chunk("00dc", "not a jpeg at all".getBytes("UTF-8") ++
+      new Array[Byte](good.length - 17)) // same length, garbage content
+    chunk("00dc", good)
+    val bytes = out.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bytes.length - 8)
+    val rows = MjpegFrames.decode(1L, bytes)
+    assert(rows.map(_.frame_idx) == Seq(0L, 2L)) // frame 1 dropped, idx kept
+    assert(rows.forall(r => r.sum_s == 50L * 64 && r.n_px == 64L))
+    // malformed containers: no rows, never a throw
+    assert(MjpegFrames.decode(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(MjpegFrames.decode(1L, "RIFF....AVI junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("decodeImageMeta: real decode through the batch plumbing, planted truth") {
     val out = Multimodal.decodeDocumentsReal(spark, docs)
       .as[(Long, String, Long, Long, Long, Long)].collect()
