@@ -656,6 +656,129 @@ object PcmSamples {
   }
 }
 
+/** IMA/DVI ADPCM (WAV codec 0x11) SAMPLE decode — a real LOSSY-codec
+  * state machine, pure JVM: each 4-bit nibble updates a predictor
+  * through the published step-size/index tables, so decoding is
+  * sequential per stream (the reason the engine decodes inside one
+  * partition pass and never fans samples out as rows). Mono only —
+  * stereo IMA interleaves 4-byte nibble groups per channel and the
+  * planted-truth oracle stays single-stream; a stereo header is data
+  * (no rows), not an exception. The oracle replays the SAME state
+  * machine in SQL via a recursive CTE over the step/index tables.
+  */
+object AdpcmSamples {
+  /** The published IMA step-size table (89 entries). */
+  val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** The published index-adjust table (per 4-bit code). */
+  val IndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  /** One mono [[PcmStats]] row for an IMA ADPCM WAV; empty for anything
+    * else. Each block's 4-byte header (predictor, step index) IS the
+    * first sample; every nibble (low half first) advances the
+    * predictor. The `fact` chunk bounds total samples (odd nibble
+    * counts pad the last byte's high half); without one, block
+    * capacity bounds. Truncated data decodes its whole-byte prefix.
+    */
+  def decode(id: Long, b: Array[Byte]): Seq[PcmStats] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return Nil
+    var codec = 0
+    var channels = 0
+    var bits = 0
+    var blockAlign = 0
+    var factSamples = Long.MaxValue
+    var dataOff = -1
+    var dataBytes = -1L
+    var pos = 12
+    var walking = true
+    while (walking && pos + 8 <= b.length && dataBytes < 0) {
+      val size = le32(b, pos + 4)
+      if (tag(b, pos, "fmt ") && pos + 8 + 16 <= b.length) {
+        codec = le16(b, pos + 8)
+        channels = le16(b, pos + 10)
+        blockAlign = le16(b, pos + 20)
+        bits = le16(b, pos + 22)
+      } else if (tag(b, pos, "fact") && size >= 4 && pos + 12 <= b.length) {
+        factSamples = le32(b, pos + 8)
+      } else if (tag(b, pos, "data")) {
+        dataOff = pos + 8
+        dataBytes = size
+      }
+      if (size > b.length.toLong - pos - 8) walking = false
+      else pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (codec != 0x11 || bits != 4 || channels != 1 || blockAlign < 5 ||
+        dataOff < 0 || dataBytes < 0) return Nil
+    val avail = math.min(dataBytes, (b.length - dataOff).toLong).toInt
+    var n = 0L
+    var sum = 0L
+    var sumsq = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    def emit(v: Long): Unit = {
+      n += 1; sum += v; sumsq += v * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    var off = 0
+    var remaining = factSamples
+    while (off + 4 <= avail && remaining > 0) {
+      var pred = le16(b, dataOff + off).toShort.toInt
+      var sidx = math.max(0, math.min(88, u8(b, dataOff + off + 2)))
+      emit(pred.toLong)
+      remaining -= 1
+      val nibBytes = math.min(blockAlign - 4, avail - off - 4)
+      var i = 0
+      while (i < nibBytes && remaining > 0) {
+        val byte = u8(b, dataOff + off + 4 + i)
+        var half = 0
+        while (half < 2 && remaining > 0) {
+          val nib = if (half == 0) byte & 0x0f else byte >> 4
+          val step = StepTable(sidx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          pred = math.max(-32768, math.min(32767, pred))
+          sidx = math.max(0, math.min(88, sidx + IndexTable(nib)))
+          emit(pred.toLong)
+          remaining -= 1
+          half += 1
+        }
+        i += 1
+      }
+      off += blockAlign
+    }
+    if (n == 0) Nil else Seq(PcmStats(id, 0L, n, sum, mn, mx, sumsq))
+  }
+
+  /** Batch plumbing: payloads in, mono stats out — same narrow
+    * `mapPartitions` shape as [[PcmSamples.pcmStats]].
+    */
+  def adpcmStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[PcmStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
+  }
+}
+
 /** Real-decoder output for video containers. */
 final case class VideoMeta(
     doc_id: Long,
@@ -1471,6 +1594,44 @@ object MediaFixtures {
     }
     out
   }
+
+  /** Mono IMA ADPCM WAV (codec 0x11) with PLANTED coded nibbles: the
+    * block header carries predictor `((id·31) mod 65536) − 32768` and
+    * step index `id mod 89`, and nibble `j` of `nnib = id mod 32 + 1`
+    * is `(id·7 + j·5) mod 16` — the DECODED waveform is whatever the
+    * IMA state machine produces from that, which the oracle replays
+    * exactly (recursive CTE over the same tables). A `fact` chunk
+    * declares `1 + nnib` samples so an odd nibble count's pad half-byte
+    * is not decoded.
+    */
+  def wavImaAdpcmBytes(id: Long): Array[Byte] = {
+    val nnib = (id % 32 + 1).toInt
+    val nibBytes = (nnib + 1) / 2
+    val blockAlign = 4 + nibBytes
+    // RIFF(12) + fmt(8+20) + fact(8+4) + data header(8) = 60 bytes
+    val total = 60 + blockAlign + (blockAlign & 1)
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    bb.putShort(0x11).putShort(1).putInt(8000)
+      .putInt(8000 * blockAlign / math.max(1, nnib + 1))
+      .putShort(blockAlign.toShort).putShort(4)
+    bb.putShort(2).putShort((nnib + 1).toShort) // cbSize, samplesPerBlock
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nnib + 1)
+    bb.put("data".getBytes("US-ASCII")).putInt(blockAlign)
+    bb.putShort((((id * 31) % 65536) - 32768).toShort)
+    bb.put((id % 89).toByte).put(0.toByte)
+    var i = 0
+    while (i < nibBytes) {
+      val lo = ((id * 7 + (2L * i) * 5) % 16).toInt
+      val hi = if (2 * i + 1 < nnib) ((id * 7 + (2L * i + 1) * 5) % 16).toInt else 0
+      bb.put((lo | (hi << 4)).toByte)
+      i += 1
+    }
+    bb.array()
+  }
 }
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque
@@ -1642,6 +1803,20 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.wavPcmBytes(id)))
     PcmSamples.pcmStats(payloads).toDF()
+  }
+
+  /** REAL lossy-codec decode through the batch plumbing: IMA ADPCM WAVs
+    * with planted CODED nibbles ([[MediaFixtures.wavImaAdpcmBytes]])
+    * run the published step-table state machine ([[AdpcmSamples]]); the
+    * oracle replays the identical machine in SQL (recursive CTE), so
+    * every decoded amplitude — not just the container walk — is
+    * externally verified.
+    */
+  def decodeAudioAdpcmReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.wavImaAdpcmBytes(id)))
+    AdpcmSamples.adpcmStats(payloads).toDF()
   }
 
   /** REAL video FRAME pixel decode through the batch plumbing: MJPEG

@@ -1567,6 +1567,53 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id, ch""".stripMargin),
     ),
 
+    // REAL lossy-codec decode: IMA ADPCM (WAV codec 0x11) — the planted
+    // truth is the CODED nibble stream, and the oracle replays the
+    // published step-table state machine itself as a recursive CTE
+    // (one recursion step per sample, all docs advancing in lockstep),
+    // so the sequential predictor/step-index evolution — the part a
+    // header walk can't see — is what's externally verified.
+    QueryDef(
+      "multimodal_audio_adpcm",
+      (s, dir) => Multimodal.decodeAudioAdpcmReal(s, Tables.documents(s, dir)),
+      Some {
+        val stepVals = graft.functions.AdpcmSamples.StepTable.zipWithIndex
+          .map { case (v, i) => s"($i,$v)" }.mkString(",")
+        val idxVals = graft.functions.AdpcmSamples.IndexTable.zipWithIndex
+          .map { case (v, i) => s"($i,$v)" }.mkString(",")
+        val nib = "(dec.doc_id * 7 + dec.j * 5) % 16"
+        s"""WITH RECURSIVE
+           |d AS (SELECT doc_id, doc_id % 32 + 1 AS nnib,
+           |        ((doc_id * 31) % 65536) - 32768 AS p0, doc_id % 89 AS i0
+           |      FROM documents),
+           |stp(si, sv) AS (VALUES $stepVals),
+           |itb(n, di) AS (VALUES $idxVals),
+           |dec(doc_id, j, nnib, pred, sidx) AS (
+           |  SELECT doc_id, 0, nnib, p0, i0 FROM d
+           |  UNION ALL
+           |  SELECT r.doc_id, r.j + 1, r.nnib,
+           |    greatest(-32768, least(32767,
+           |      r.pred + CASE WHEN r.nib >= 8 THEN -r.diff ELSE r.diff END)),
+           |    greatest(0, least(88, r.sidx + i.di))
+           |  FROM (
+           |    SELECT dec.doc_id, dec.j, dec.nnib, dec.pred, dec.sidx,
+           |      $nib AS nib,
+           |      (s.sv // 8) + (($nib) % 2) * (s.sv // 4)
+           |        + ((($nib) // 2) % 2) * (s.sv // 2)
+           |        + ((($nib) // 4) % 2) * s.sv AS diff
+           |    FROM dec JOIN stp s ON s.si = dec.sidx
+           |    WHERE dec.j < dec.nnib) r
+           |  JOIN itb i ON i.n = r.nib)
+           |SELECT doc_id, CAST(0 AS BIGINT) AS channel,
+           |  CAST(count(*) AS BIGINT) AS n_samples,
+           |  CAST(sum(pred) AS BIGINT) AS sum_amp,
+           |  CAST(min(pred) AS BIGINT) AS min_amp,
+           |  CAST(max(pred) AS BIGINT) AS max_amp,
+           |  CAST(sum(pred * pred) AS BIGINT) AS sumsq_amp
+           |FROM dec GROUP BY doc_id""".stripMargin
+      },
+    ),
+
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers
     // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
     // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —

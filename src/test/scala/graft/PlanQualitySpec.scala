@@ -54,6 +54,12 @@ class PlanQualitySpec extends SparkSpec {
     // broadcast is the POINT (a shuffle join on nCells distinct keys
     // would collapse parallelism); candidate scan stays cell-pruned
     "embed_ivf_batch",
+    // nQueries-row (constant, 4) query batch crossing the 16-row
+    // centroid/codebook broadcasts in the probe-ranking and ADC
+    // stages (the embed_ivf_batch/embed_pq_batch shape); the corpus
+    // candidate scan stays a cell equi join and the exact re-rank
+    // touches only the ≤30-row-per-query shortlist
+    "embed_ivfpq_rerank",
     // nQueries-row (constant, 8) query-set broadcast of the exact side
     // of the recall calibration — the ANN side stays an equi join
     "embed_ann_recall",

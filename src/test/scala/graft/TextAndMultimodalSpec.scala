@@ -411,6 +411,105 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.n_samples == 2L))
   }
 
+  // Independent replay of the IMA machine for spec-side truth (the
+  // registry oracle replays it a third way, as a recursive CTE).
+  private def imaReplay(p0: Int, i0: Int, nibs: Seq[Int]): Seq[Int] = {
+    import graft.functions.AdpcmSamples.{IndexTable, StepTable}
+    var pred = p0
+    var idx = i0
+    p0 +: nibs.map { n =>
+      val step = StepTable(idx)
+      val diff = (step >> 3) + (if ((n & 1) != 0) step >> 2 else 0) +
+        (if ((n & 2) != 0) step >> 1 else 0) + (if ((n & 4) != 0) step else 0)
+      pred = math.max(-32768, math.min(32767,
+        if ((n & 8) != 0) pred - diff else pred + diff))
+      idx = math.max(0, math.min(88, idx + IndexTable(n)))
+      pred
+    }
+  }
+
+  test("AdpcmSamples: hand-computed nibble decode and saturation clamp") {
+    import graft.functions.AdpcmSamples
+    // predictor 0, index 0 (step 7): nibble 2 adds step>>1 = 3; nibble 9
+    // subtracts step>>2 = 1 — samples [0, 3, 2], worked by hand
+    assert(imaReplay(0, 0, Seq(2, 9)) == Seq(0, 3, 2))
+    // index 88 (step 32767), predictor 32000, nibble 7: diff = 4095 +
+    // 8191 + 16383 + 32767 — clamps at 32767
+    assert(imaReplay(32000, 88, Seq(7)) == Seq(32000, 32767))
+    // and the decoder agrees on a hand-built mono stream of those nibbles
+    val bb = java.nio.ByteBuffer.allocate(60 + 5)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(60 + 5 - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    bb.putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+    bb.putShort(5).putShort(4).putShort(2).putShort(3)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(3)
+    bb.put("data".getBytes("US-ASCII")).putInt(5)
+    bb.putShort(0).put(0.toByte).put(0.toByte)
+    bb.put((2 | (9 << 4)).toByte)
+    val rows = AdpcmSamples.decode(5L, bb.array())
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.n_samples == 3L && r.sum_amp == 5L && r.min_amp == 0L &&
+      r.max_amp == 3L && r.sumsq_amp == 13L)
+  }
+
+  test("AdpcmSamples: fixture decode equals the independent machine replay") {
+    import graft.functions.{AdpcmSamples, MediaFixtures}
+    for (id <- Seq(0L, 1L, 7L, 31L, 88L, 460L)) {
+      val nnib = (id % 32 + 1).toInt
+      val samples = imaReplay((((id * 31) % 65536) - 32768).toInt, (id % 89).toInt,
+        (0 until nnib).map(j => ((id * 7 + j * 5) % 16).toInt))
+      val rows = AdpcmSamples.decode(id, MediaFixtures.wavImaAdpcmBytes(id))
+      assert(rows.size == 1, s"id $id")
+      val r = rows.head
+      assert(r.n_samples == samples.size.toLong &&
+        r.sum_amp == samples.map(_.toLong).sum &&
+        r.min_amp == samples.min.toLong && r.max_amp == samples.max.toLong &&
+        r.sumsq_amp == samples.map(v => v.toLong * v).sum, s"id $id")
+    }
+  }
+
+  test("AdpcmSamples: stereo, PCM, malformed, truncated, multi-block") {
+    import graft.functions.{AdpcmSamples, MediaFixtures}
+    // PCM codec / stereo ADPCM / garbage: data, not rows
+    assert(AdpcmSamples.decode(1L, MediaFixtures.wavPcmBytes(1L)).isEmpty)
+    assert(AdpcmSamples.decode(1L, Array[Byte](1, 2, 3)).isEmpty)
+    val stereo = MediaFixtures.wavImaAdpcmBytes(9L)
+    val sb = java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putShort(22, 2.toShort) // channels := 2
+    assert(AdpcmSamples.decode(9L, stereo).isEmpty)
+    // truncation mid-block: the whole-byte prefix still decodes
+    val full = MediaFixtures.wavImaAdpcmBytes(20L) // 21 nibbles
+    val cut = java.util.Arrays.copyOf(full, full.length - 4)
+    val rows = AdpcmSamples.decode(20L, cut)
+    assert(rows.size == 1 && rows.head.n_samples < 22L && rows.head.n_samples > 1L)
+    // two blocks: each header restarts the predictor; fact bounds total
+    val bb = java.nio.ByteBuffer.allocate(60 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(60 + 12 - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    bb.putShort(0x11).putShort(1).putInt(8000).putInt(4000)
+    bb.putShort(6).putShort(4).putShort(2).putShort(5)
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(12)
+    bb.putShort(100).put(0.toByte).put(0.toByte)
+    bb.put((2 | (9 << 4)).toByte).put((0 | (0 << 4)).toByte)
+    bb.putShort(-200).put(3.toByte).put(0.toByte)
+    bb.put((1 | (8 << 4)).toByte).put((4 | (4 << 4)).toByte)
+    val two = AdpcmSamples.decode(2L, bb.array())
+    val b1 = imaReplay(100, 0, Seq(2, 9, 0, 0))
+    // fact=8: block 1 yields 5 samples, so block 2 stops after nibble 8
+    val b2 = imaReplay(-200, 3, Seq(1, 8))
+    val all = (b1 ++ b2).map(_.toLong)
+    assert(two.size == 1 && two.head.n_samples == 8L &&
+      two.head.sum_amp == all.sum && two.head.min_amp == all.min &&
+      two.head.max_amp == all.max &&
+      two.head.sumsq_amp == all.map(v => v * v).sum)
+  }
+
   test("MjpegFrames: decodes every movi frame to the planted block sums") {
     import graft.functions.{MediaFixtures, MjpegFrames}
     for (id <- Seq(0L, 4L, 7L, 11L)) {
