@@ -741,7 +741,7 @@ object Dedup {
     * Hamming ≤ bands−1 shares at least one exact slice), equi-join on
     * the slice, and keep pairs at/below the Hamming cut.
     */
-  private def bandedHammingPairs(sig: DataFrame, bits: Int, maxHamming: Int,
+  private[graft] def bandedHammingPairs(sig: DataFrame, bits: Int, maxHamming: Int,
       bands: Int = 4): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(bands > maxHamming,

@@ -654,6 +654,95 @@ object PcmSamples {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
   }
+
+  /** The raw MONO sample stream of a 16-bit PCM WAV (`None` for
+    * multi-channel / non-PCM / malformed) — the input surface for
+    * sample-sequence operators like [[AudioFingerprint]] that need the
+    * waveform itself, not its reduction.
+    */
+  def decodeMonoSamples(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var codec = 0
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataBytes = -1L
+    var pos = 12
+    var walking = true
+    while (walking && pos + 8 <= b.length && dataBytes < 0) {
+      val size = le32(b, pos + 4)
+      if (tag(b, pos, "fmt ") && pos + 8 + 16 <= b.length) {
+        codec = le16(b, pos + 8)
+        channels = le16(b, pos + 10)
+        bits = le16(b, pos + 22)
+      } else if (tag(b, pos, "data")) {
+        dataOff = pos + 8
+        dataBytes = size
+      }
+      if (size > b.length.toLong - pos - 8) walking = false
+      else pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (codec != 1 || bits != 16 || channels != 1 ||
+        dataOff < 0 || dataBytes < 0) return None
+    val n = (math.min(dataBytes, (b.length - dataOff).toLong) / 2L).toInt
+    if (n <= 0) return None
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = le16(b, dataOff + 2 * i).toShort.toInt
+      i += 1
+    }
+    Some(out)
+  }
+}
+
+/** Perceptual 64-bit audio fingerprint — the waveform sibling of
+  * [[ImageDhash]]: partition the sample stream into 65 floor-boundary
+  * chunks (closed-form chunk index `k = ((i+1)·65−1)/n`, the same
+  * identity the pixel grid uses), floor-average each chunk's ENERGY
+  * (sum of squared amplitudes), and set bit `k` when chunk `k` is
+  * quieter than chunk `k+1`. Energy-order comparisons make the print
+  * invariant to overall gain ORDER-preserving edits and robust to a
+  * few perturbed samples — a near-dup key, not an exact-byte key.
+  * Integer arithmetic throughout: an external oracle replays every bit.
+  */
+object AudioFingerprint {
+  /** 64-bit energy-difference fingerprint; `None` below 65 samples
+    * (too short to fill the chunk grid — data, not a failure).
+    */
+  def fingerprint64(samples: Array[Int]): Option[Long] = {
+    val n = samples.length
+    if (n < 65) return None
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val k = ((i + 1) * 65 - 1) / n
+      val v = samples(i).toLong
+      sums(k) += v * v
+      counts(k) += 1
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) / counts(k) < sums(k + 1) / counts(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    Some(hash)
+  }
+
+  /** Decode + fingerprint INSIDE the partition: a 100 TB audio table
+    * moves only (doc_id, one long) through the engine.
+    */
+  def fingerprints(payloads: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        PcmSamples.decodeMonoSamples(bytes).flatMap(fingerprint64).map(id -> _)
+      }
+    }
+  }
 }
 
 /** IMA/DVI ADPCM (WAV codec 0x11) SAMPLE decode — a real LOSSY-codec
@@ -1595,6 +1684,32 @@ object MediaFixtures {
     out
   }
 
+  /** Near-dup audio family — the waveform twin of
+    * [[PixelFixtures.nearDupImageBytes]]: groups of 4 variants of one
+    * base waveform (`base = id/4`, `variant = id%4`), mono 16-bit PCM,
+    * `n = 130 + (base%7)·13` samples. Sample `i` is the nonlinear mix
+    * `((base+1)(i+3)((i%17)+5) + δ) mod 8191 − 4096` with δ =
+    * `variant·500` at `i = 5` only — the single perturbed sample moves
+    * one energy chunk, flipping at most the two comparisons touching
+    * it (intra-group Hamming ≤ 2), while the multiplicative mix keeps
+    * cross-group fingerprints ~32 bits apart.
+    */
+  def nearDupWavBytes(id: Long): Array[Byte] = {
+    val base = id / 4
+    val n = (130 + base % 7 * 13).toInt
+    val out = wavBytes(1, 8000, 16, n)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var i = 0
+    while (i < n) {
+      val delta = if (i == 5) (id % 4) * 500 else 0L
+      bb.putShort(((((base + 1) * (i + 3) * (i % 17 + 5) + delta) % 8191L
+        + 8191L) % 8191L - 4096L).toShort)
+      i += 1
+    }
+    out
+  }
+
   /** Mono IMA ADPCM WAV (codec 0x11) with PLANTED coded nibbles: the
     * block header carries predictor `((id·31) mod 65536) − 32768` and
     * step index `id mod 89`, and nibble `j` of `nnib = id mod 32 + 1`
@@ -1817,6 +1932,58 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.wavImaAdpcmBytes(id)))
     AdpcmSamples.adpcmStats(payloads).toDF()
+  }
+
+  /** Perceptual audio fingerprints over REAL decoded PCM: 64-bit
+    * energy-difference hash ([[AudioFingerprint]]) through the same
+    * decode-inside-the-partition plumbing — the oracle regenerates the
+    * planted waveforms and replays the chunk-energy pipeline in SQL.
+    */
+  def audioFingerprintReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.nearDupWavBytes(id)))
+    AudioFingerprint.fingerprints(payloads).toDF("doc_id", "afp")
+  }
+
+  /** Perceptual audio NEAR-dup pairs: banded fingerprint join with
+    * exact-popcount verification — identical machinery (and identical
+    * pigeonhole recall guarantee) to [[imageNearDupReal]].
+    */
+  def audioNearDupReal(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = audioFingerprintReal(spark, docs)
+      .withColumnRenamed("afp", "simhash")
+    Dedup.bandedHammingPairs(hashes, bits = 64, maxHamming)
+  }
+
+  /** Perceptual image fingerprints over REAL decoded pixels: 64-bit
+    * dHash ([[ImageDhash]]) through the same decode-inside-the-partition
+    * plumbing — grayscale, 9×8 floor-averaged grid, row-adjacent
+    * comparisons packed into one BIGINT. The oracle regenerates the
+    * planted pixel grids and replays the identical integer pipeline in
+    * SQL, so every bit of every hash is externally verified.
+    */
+  def imageDhashReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.nearDupImageBytes(id)))
+    ImageDhash.dhashes(payloads).toDF("doc_id", "dhash")
+  }
+
+  /** Perceptual image NEAR-dup pairs: dHashes banded 4×16 bits and
+    * equi-joined (the SimHash pigeonhole — ≤ 3 flipped bits cannot
+    * touch all four bands, so recall through Hamming 3 is guaranteed
+    * without a corpus² scan), verified by exact popcount on the
+    * survivors. The oracle states the END-TO-END semantics — all pairs
+    * within Hamming 3 of the replayed hashes — which the banded plan
+    * must reproduce exactly for the hash comparison to pass.
+    */
+  def imageNearDupReal(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val hashes = imageDhashReal(spark, docs)
+      .withColumnRenamed("dhash", "simhash")
+    Dedup.bandedHammingPairs(hashes, bits = 64, maxHamming)
   }
 
   /** REAL video FRAME pixel decode through the batch plumbing: MJPEG

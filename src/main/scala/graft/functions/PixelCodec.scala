@@ -434,6 +434,75 @@ object PixelCodec {
   }
 }
 
+/** Perceptual 64-bit difference hash (dHash) over REAL decoded pixels:
+  * grayscale the image (integer mean of the three channels), reduce to
+  * a 9×8 grid of floor-averaged cells, and set bit `gy·8 + gx` when
+  * cell `(gx, gy)` is darker than its right neighbor. Every step is
+  * integer arithmetic an external oracle can replay exactly — grid
+  * cell membership uses the closed-form inverse `gx = ((x+1)·9−1)/w`
+  * of the floor boundaries `x0(g) = g·w/9`, so engine and oracle agree
+  * on the partition without enumerating boundaries.
+  *
+  * The hash is translation-of-brightness invariant (comparisons see
+  * only relative cell order) — the property that makes it a perceptual
+  * NEAR-dup key rather than an exact-byte key: re-encoded, slightly
+  * edited, or single-pixel-perturbed variants land within a few bits.
+  * Pairing is the same pigeonhole banding as SimHash (4×16-bit bands
+  * guarantee recall through Hamming 3): candidates come from a band
+  * equi join, never a corpus² scan.
+  */
+object ImageDhash {
+  /** 64-bit dHash; `None` when the image cannot fill a 9×8 grid
+    * (degenerate geometry is data, not a task failure).
+    */
+  def dhash64(w: Int, h: Int, rgb: Array[Byte]): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val sums = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val gy = ((y + 1) * 8 - 1) / h
+      var x = 0
+      while (x < w) {
+        val gx = ((x + 1) * 9 - 1) / w
+        val p = (y * w + x) * 3
+        val grey = ((rgb(p) & 0xff) + (rgb(p + 1) & 0xff) + (rgb(p + 2) & 0xff)) / 3
+        sums(gy * 9 + gx) += grey
+        counts(gy * 9 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = sums(gy * 9 + gx) / counts(gy * 9 + gx)
+        val b = sums(gy * 9 + gx + 1) / counts(gy * 9 + gx + 1)
+        if (a < b) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(hash)
+  }
+
+  /** Decode + hash INSIDE the partition ([[PixelCodec.channelStats]]
+    * discipline): a 100 TB image table moves only (doc_id, one long).
+    */
+  def dhashes(payloads: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        PixelCodec.decodePixels(bytes).flatMap { case (_, w, h, rgb) =>
+          dhash64(w, h, rgb).map(id -> _)
+        }
+      }
+    }
+  }
+}
+
 /** Pixel-bearing fixture containers: the planted value of channel `c`
   * at pixel `(x, y)` of document `id` is
   * `(id + 7·x + 13·y + 31·c) mod 256` — pure arithmetic an external
@@ -464,7 +533,15 @@ object PixelFixtures {
     }
   }
 
-  def bmpPixelBytes(id: Long, w: Int, h: Int, topDown: Boolean): Array[Byte] = {
+  def bmpPixelBytes(id: Long, w: Int, h: Int, topDown: Boolean): Array[Byte] =
+    bmpPixelBytesF(w, h, topDown)((c, x, y) => pixelValue(id, c, x, y))
+
+  /** 24 bpp BMP encoder over an arbitrary planted-pixel function
+    * `pv(c, x, y)` — the shared container writer behind both the
+    * gradient fixtures and the near-dup variant families.
+    */
+  def bmpPixelBytesF(w: Int, h: Int, topDown: Boolean)(
+      pv: (Int, Int, Int) => Int): Array[Byte] = {
     val stride = (w * 3 + 3) & ~3
     val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -480,9 +557,9 @@ object PixelFixtures {
       val y = if (topDown) fileRow else h - 1 - fileRow
       var x = 0
       while (x < w) { // BGR byte order per the BMP spec
-        bb.put(pixelValue(id, 2, x, y).toByte)
-        bb.put(pixelValue(id, 1, x, y).toByte)
-        bb.put(pixelValue(id, 0, x, y).toByte)
+        bb.put(pv(2, x, y).toByte)
+        bb.put(pv(1, x, y).toByte)
+        bb.put(pv(0, x, y).toByte)
         x += 1
       }
       var pad = w * 3
@@ -491,6 +568,34 @@ object PixelFixtures {
     }
     bb.array()
   }
+
+  /** Near-dup image family: documents come in GROUPS of 4 variants of
+    * one base image (`base = id/4`, `variant = id%4`). Base content is
+    * the NONLINEAR mix `(base+1)(x+3)(y+5)(c+7) mod 251` — a linear
+    * gradient would leave most groups with near-identical dHashes
+    * (monotone rows compare the same way everywhere), collapsing the
+    * corpus into one giant near-dup cluster AND one hot band bucket;
+    * the multiplicative mix mod a prime scatters cell-average order
+    * per group, so cross-group Hamming is ~32 and candidates stay
+    * intra-group. The variant differs from its siblings by ONE
+    * perturbed pixel at (2, 2), magnitude `variant·60` — moving one
+    * grid cell's average flips at most the two comparisons touching
+    * that cell, so intra-group Hamming ≤ 2, comfortably inside the
+    * banding guarantee. Geometry (w 9–16, h 8–12) always fills the
+    * 9×8 grid.
+    */
+  def nearDupPixel(id: Long, c: Int, x: Int, y: Int): Int = {
+    val base = id / 4
+    val delta = if (x == 2 && y == 2) (id % 4) * 60 else 0
+    ((((base + 1) * (x + 3) * (y + 5) * (c + 7) + delta) % 251L + 251L) % 251L).toInt
+  }
+
+  def nearDupWidth(id: Long): Int = (9 + (id / 4) % 8).toInt
+  def nearDupHeight(id: Long): Int = (8 + (id / 4) % 5).toInt
+
+  def nearDupImageBytes(id: Long): Array[Byte] =
+    bmpPixelBytesF(nearDupWidth(id), nearDupHeight(id),
+      topDown = (id / 4) % 2 == 0)((c, x, y) => nearDupPixel(id, c, x, y))
 
   /** Spec-complete PNG: real CRC32s, one deflated IDAT, and each
     * scanline FILTERED with type `y % 5` (the encoder applies the

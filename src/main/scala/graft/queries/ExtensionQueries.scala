@@ -72,6 +72,77 @@ object ExtensionQueries {
        |  CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS ny
        |  FROM pr GROUP BY 1)""".stripMargin
 
+  /** Full external replay of the perceptual dHash pipeline over the
+    * near-dup fixture family ([[graft.functions.PixelFixtures]]
+    * `nearDupImageBytes`): regenerate every planted pixel from doc_id
+    * arithmetic, grayscale (integer channel mean), grid each pixel by
+    * the closed-form cell index `gx = ((x+1)·9−1)/w`, floor-average
+    * the cells, compare row-adjacent cells, and pack bit `gy·8+gx`
+    * into a signed BIGINT via an exact power-of-two table (HUGEINT
+    * accumulation, two's-complement wrap at 2^63). Ends in CTE `hs`
+    * (doc_id, dhash).
+    */
+  private val dhashOracleCte: String = {
+    val powers = (0 until 64).map(i => s"($i,${BigInt(1) << i})").mkString(",")
+    def chan(c: Int) =
+      s"((base + 1)*(x + 3)*(y + 5)*${c + 7}" +
+        " + CASE WHEN x = 2 AND y = 2 THEN variant*60 ELSE 0 END) % 251"
+    s"""WITH p AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+       |    9 + (doc_id // 4) % 8 AS w, 8 + (doc_id // 4) % 5 AS h FROM documents),
+       |g AS (SELECT p.doc_id, p.base, p.variant, p.w, p.h, x.x, y.y
+       |  FROM p, range(0, 16) AS x(x), range(0, 12) AS y(y)
+       |  WHERE x.x < p.w AND y.y < p.h),
+       |v AS (SELECT doc_id, w, h, x, y,
+       |    ((${chan(0)}) + (${chan(1)}) + (${chan(2)})) // 3 AS grey FROM g),
+       |cell AS (SELECT doc_id, ((x+1)*9 - 1) // w AS gx, ((y+1)*8 - 1) // h AS gy,
+       |    sum(grey) // count(*) AS avg FROM v GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS i
+       |  FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND a.gy = b.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8 AND a.avg < b.avg),
+       |$packBitsTailSql""".stripMargin
+  }
+
+  /** Shared tail of the perceptual-hash oracles: given CTEs `p`
+    * (doc-id universe) and `bits` (doc_id, set-bit index), pack the
+    * bits into a signed BIGINT `dhash` via an exact power-of-two
+    * VALUES table — HUGEINT accumulation, two's-complement wrap at
+    * 2^63 (matching JVM `Long` packing bit-for-bit, sign included).
+    * Ends in CTE `hs` (doc_id, dhash); bit-less docs pack to 0.
+    */
+  private val packBitsTailSql: String = {
+    val powers = (0 until 64).map(i => s"($i,${BigInt(1) << i})").mkString(",")
+    s"""pw(i, pv) AS (VALUES $powers),
+       |hs AS (SELECT doc_id,
+       |    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+       |         ELSE u END AS BIGINT) AS dhash
+       |  FROM (SELECT p.doc_id, coalesce(sum(pw.pv), 0) AS u
+       |    FROM p LEFT JOIN bits ON bits.doc_id = p.doc_id
+       |    LEFT JOIN pw ON pw.i = bits.i
+       |    GROUP BY p.doc_id))""".stripMargin
+  }
+
+  /** External replay of the audio energy-difference fingerprint over
+    * the near-dup WAV family ([[graft.functions.MediaFixtures]]
+    * `nearDupWavBytes`): regenerate every planted sample, chunk by the
+    * closed-form index `k = ((i+1)·65−1)/n`, floor-average chunk
+    * energies, compare adjacent chunks, and pack through the shared
+    * signed-BIGINT tail. Ends in CTE `hs` (doc_id, dhash).
+    */
+  private val afpOracleCte: String =
+    s"""WITH p AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+       |    130 + (doc_id // 4) % 7 * 13 AS n FROM documents),
+       |s AS (SELECT p.doc_id, p.n, i.i,
+       |    ((base + 1)*(i + 3)*(i % 17 + 5)
+       |      + CASE WHEN i = 5 THEN variant*500 ELSE 0 END) % 8191 - 4096 AS v
+       |  FROM p, range(0, 208) AS i(i) WHERE i.i < p.n),
+       |cell AS (SELECT doc_id, ((i+1)*65 - 1) // n AS k,
+       |    sum(v*v) // count(*) AS e FROM s GROUP BY 1, 2),
+       |bits AS (SELECT a.doc_id, a.k AS i FROM cell a JOIN cell b
+       |  ON a.doc_id = b.doc_id AND b.k = a.k + 1
+       |  WHERE a.k < 64 AND a.e < b.e),
+       |$packBitsTailSql""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup by content hash.
     QueryDef(
@@ -1612,6 +1683,57 @@ object ExtensionQueries {
            |  CAST(sum(pred * pred) AS BIGINT) AS sumsq_amp
            |FROM dec GROUP BY doc_id""".stripMargin
       },
+    ),
+
+    // Perceptual image fingerprint over REAL decoded pixels: 64-bit
+    // dHash (grayscale → 9×8 floor-averaged grid → row-adjacent
+    // comparisons). The oracle regenerates every planted pixel, grids
+    // it with the same closed-form cell index, replays every
+    // comparison, and packs the identical signed BIGINT — the full
+    // perceptual pipeline is externally bit-verified.
+    QueryDef(
+      "multimodal_image_dhash",
+      (s, dir) => Multimodal.imageDhashReal(s, Tables.documents(s, dir)),
+      Some(s"$dhashOracleCte\nSELECT doc_id, dhash FROM hs"),
+    ),
+
+    // Perceptual image NEAR-dup: banded dHash pairs (4×16-bit
+    // pigeonhole — Hamming ≤ 3 cannot flip a bit in all four bands)
+    // verified by exact popcount. The oracle states the end-to-end
+    // contract — ALL pairs within Hamming 3 of the replayed hashes —
+    // so the banded equi-join plan is held to exhaustive-recall
+    // semantics without ever running a corpus² scan itself.
+    QueryDef(
+      "multimodal_image_neardup",
+      (s, dir) => Multimodal.imageNearDupReal(s, Tables.documents(s, dir)),
+      Some(s"""$dhashOracleCte
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+              |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
+    ),
+
+    // Perceptual audio fingerprint over REAL decoded PCM: 64-bit
+    // energy-difference hash (65 floor-boundary chunks, adjacent
+    // energy-average comparisons) — every planted sample regenerated,
+    // every comparison replayed, the identical signed BIGINT packed.
+    QueryDef(
+      "multimodal_audio_fingerprint",
+      (s, dir) => Multimodal.audioFingerprintReal(s, Tables.documents(s, dir)),
+      Some(s"$afpOracleCte\nSELECT doc_id, dhash AS afp FROM hs"),
+    ),
+
+    // Perceptual audio NEAR-dup: banded fingerprint pairs verified by
+    // exact popcount, held to the oracle's exhaustive all-pairs
+    // contract — the audio twin of multimodal_image_neardup.
+    QueryDef(
+      "multimodal_audio_neardup",
+      (s, dir) => Multimodal.audioNearDupReal(s, Tables.documents(s, dir)),
+      Some(s"""$afpOracleCte
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+              |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
     ),
 
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers

@@ -510,6 +510,130 @@ class TextAndMultimodalSpec extends SparkSpec {
       two.head.sumsq_amp == all.map(v => v * v).sum)
   }
 
+  // Independent dHash replay straight from the planted-pixel formula
+  // (never touching the decoder or the packed-loop implementation).
+  private def dhashReplay(id: Long): Long = {
+    import graft.functions.PixelFixtures._
+    val w = nearDupWidth(id); val h = nearDupHeight(id)
+    val avg = Array.tabulate(8, 9) { (gy, gx) =>
+      val px = for {
+        y <- 0 until h if ((y + 1) * 8 - 1) / h == gy
+        x <- 0 until w if ((x + 1) * 9 - 1) / w == gx
+      } yield (0 until 3).map(c => nearDupPixel(id, c, x, y)).sum / 3
+      px.map(_.toLong).sum / px.size
+    }
+    (for (gy <- 0 until 8; gx <- 0 until 8 if avg(gy)(gx) < avg(gy)(gx + 1))
+      yield 1L << (gy * 8 + gx)).foldLeft(0L)(_ | _)
+  }
+
+  test("ImageDhash: hand-computed hash on a synthetic 9x8 ramp") {
+    import graft.functions.ImageDhash
+    // 9x8 image, each pixel's three channels equal x*10: cell averages
+    // strictly increase left-to-right, so ALL 64 comparison bits set
+    val rgb = Array.tabulate(9 * 8 * 3)(i => ((i / 3 % 9) * 10).toByte)
+    assert(ImageDhash.dhash64(9, 8, rgb).contains(-1L))
+    // reversed ramp: no bit set
+    val rev = Array.tabulate(9 * 8 * 3)(i => ((8 - i / 3 % 9) * 10).toByte)
+    assert(ImageDhash.dhash64(9, 8, rev).contains(0L))
+    // constant image: equal neighbors are not "less than" — no bit set
+    assert(ImageDhash.dhash64(9, 8, Array.fill(9 * 8 * 3)(7.toByte)).contains(0L))
+    // sub-grid geometry is data, not a hash
+    assert(ImageDhash.dhash64(8, 8, Array.fill(8 * 8 * 3)(0.toByte)).isEmpty)
+    assert(ImageDhash.dhash64(9, 7, Array.fill(9 * 7 * 3)(0.toByte)).isEmpty)
+  }
+
+  test("ImageDhash: decoded fixture hashes equal the formula replay") {
+    import graft.functions.{ImageDhash, PixelCodec, PixelFixtures}
+    for (id <- Seq(0L, 1L, 3L, 4L, 17L, 100L, 461L)) {
+      val Some((fmt, w, h, rgb)) =
+        PixelCodec.decodePixels(PixelFixtures.nearDupImageBytes(id))
+      assert(fmt == "bmp" && w == PixelFixtures.nearDupWidth(id) &&
+        h == PixelFixtures.nearDupHeight(id))
+      assert(ImageDhash.dhash64(w, h, rgb).contains(dhashReplay(id)), s"id $id")
+    }
+  }
+
+  test("ImageDhash: banded near-dup equals brute force; variants pair up") {
+    import graft.functions.Multimodal
+    val docs = spark.range(0, 120).toDF("doc_id")
+    val pairs = Multimodal.imageNearDupReal(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the replayed hashes — banding must lose nothing
+    val hashes = (0L until 120L).map(id => id -> dhashReplay(id))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs == brute)
+    // every intra-group pair (single perturbed pixel apart) is found
+    for (base <- 0L until 30L; i <- 0 until 4; j <- i + 1 until 4) {
+      val (a, b) = (base * 4 + i, base * 4 + j)
+      val d = java.lang.Long.bitCount(dhashReplay(a) ^ dhashReplay(b))
+      assert(d <= 2, s"intra-group pair ($a,$b) drifted to hamming $d")
+      assert(pairs.exists(p => p._1 == a && p._2 == b), s"missing pair ($a,$b)")
+    }
+  }
+
+  // Independent audio-fingerprint replay from the planted formula.
+  private def afpReplay(id: Long): Long = {
+    val base = id / 4
+    val n = (130 + base % 7 * 13).toInt
+    val s = Array.tabulate(n) { i =>
+      val delta = if (i == 5) (id % 4) * 500 else 0L
+      ((base + 1) * (i + 3) * (i % 17 + 5) + delta) % 8191L - 4096L
+    }
+    val e = Array.tabulate(65) { k =>
+      val chunk = (0 until n).filter(i => ((i + 1) * 65 - 1) / n == k)
+      chunk.map(i => s(i) * s(i)).sum / chunk.size
+    }
+    (0 until 64).filter(k => e(k) < e(k + 1)).map(1L << _).foldLeft(0L)(_ | _)
+  }
+
+  test("AudioFingerprint: hand-computed chunks, short-stream None") {
+    import graft.functions.AudioFingerprint
+    // 65 samples, one per chunk, energies strictly increasing → all set
+    assert(AudioFingerprint.fingerprint64(Array.tabulate(65)(i => i + 1)).contains(-1L))
+    // strictly decreasing energies → no bit set
+    assert(AudioFingerprint.fingerprint64(Array.tabulate(65)(i => 65 - i)).contains(0L))
+    // 130 samples: chunk k = {2k, 2k+1}; only chunk 0 (avg energy 1)
+    // sits below its neighbor — every other chunk is constant 9
+    val s = Array.tabulate(130)(i => if (i < 2) 1 else 3)
+    assert(AudioFingerprint.fingerprint64(s).contains(1L))
+    assert(AudioFingerprint.fingerprint64(Array.fill(64)(1)).isEmpty)
+  }
+
+  test("AudioFingerprint: decoded fixture prints equal the formula replay") {
+    import graft.functions.{AudioFingerprint, MediaFixtures, PcmSamples}
+    for (id <- Seq(0L, 1L, 3L, 4L, 29L, 137L, 461L)) {
+      val samples = PcmSamples.decodeMonoSamples(MediaFixtures.nearDupWavBytes(id))
+      assert(samples.isDefined && samples.get.length == (130 + id / 4 % 7 * 13).toInt)
+      assert(AudioFingerprint.fingerprint64(samples.get).contains(afpReplay(id)),
+        s"id $id")
+    }
+    // stereo and ADPCM containers are data for this decoder, not rows
+    assert(PcmSamples.decodeMonoSamples(MediaFixtures.wavPcmBytes(1L)).isEmpty)
+    assert(PcmSamples.decodeMonoSamples(MediaFixtures.wavImaAdpcmBytes(1L)).isEmpty)
+  }
+
+  test("AudioFingerprint: banded near-dup equals brute force; variants pair up") {
+    import graft.functions.Multimodal
+    val docs = spark.range(0, 120).toDF("doc_id")
+    val pairs = Multimodal.audioNearDupReal(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashes = (0L until 120L).map(id => id -> afpReplay(id))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs == brute)
+    for (base <- 0L until 30L; i <- 0 until 4; j <- i + 1 until 4) {
+      val (a, b) = (base * 4 + i, base * 4 + j)
+      val d = java.lang.Long.bitCount(afpReplay(a) ^ afpReplay(b))
+      assert(d <= 2, s"intra-group pair ($a,$b) drifted to hamming $d")
+      assert(pairs.exists(p => p._1 == a && p._2 == b), s"missing pair ($a,$b)")
+    }
+  }
+
   test("MjpegFrames: decodes every movi frame to the planted block sums") {
     import graft.functions.{MediaFixtures, MjpegFrames}
     for (id <- Seq(0L, 4L, 7L, 11L)) {
