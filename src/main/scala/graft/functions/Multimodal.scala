@@ -1568,6 +1568,53 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Near-dup video family — groups of 4 variants of one base MJPEG
+    * AVI (`base = id/4`, `variant = id%4`, geometry and frame count
+    * from `base`): every frame's DC-only block grid is the nonlinear
+    * mix `(base+1)(f+2)(bx+3)(by+5) mod 251`, except frame 1 where
+    * `variant·50` is added — so siblings share ALL frames but one,
+    * and distinct groups share none. The decoded per-frame stats are
+    * the near-dup join keys; overlap structure is planted, then
+    * recovered from REAL pixel decode.
+    */
+  def nearDupAviBytes(id: Long): Array[Byte] = {
+    val base = id / 4
+    val nFrames = (6 + base % 3).toInt
+    val w = 8 * (base % 3 + 1).toInt
+    val h = 8 * (base % 2 + 1).toInt
+    val frames = (0 until nFrames).map { f =>
+      JpegFixtures.grayDcOnly(w, h,
+        (bx, by) => (((base + 1) * (f + 2) * (bx + 3) * (by + 5)
+          + (if (f == 1) (id % 4) * 50 else 0)) % 251L).toInt,
+        withRestarts = false)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    val moviBody = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+    val hdrlList = 8 + 68
+    val riffBody = 4 + hdrlList + 8 + moviBody
+    fourcc("RIFF"); le32(riffBody); fourcc("AVI ")
+    fourcc("LIST"); le32(68); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(40000)
+    le32(0); le32(0); le32(0)
+    le32(nFrames)
+    le32(0)
+    le32(1)
+    le32(0); le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviBody); fourcc("movi")
+    frames.foreach { fr =>
+      fourcc("00dc"); le32(fr.length); out.write(fr, 0, fr.length)
+      if ((fr.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
   /** Minimal Matroska (47 + 4·tracks + 5·frames bytes): EBML header,
     * Segment(Info(TimestampScale 1e6 ns + float32 Duration),
     * Tracks(n·TrackEntry), Cluster(n·SimpleBlock)) — sizes as 2-byte
@@ -1932,6 +1979,54 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.wavImaAdpcmBytes(id)))
     AdpcmSamples.adpcmStats(payloads).toDF()
+  }
+
+  /** Video NEAR-dup from REAL decoded frames: two videos are near-dups
+    * when their distinct frame-fingerprint sets have Jaccard ≥ ½
+    * (`3·shared ≥ nA + nB`, i.e. shared ≥ union/2), a fingerprint being the decoded frame's
+    * exact pixel statistics `(width, height, sum, sumsq)`. The pairing
+    * is an inverted-index equi join on the fingerprint — never
+    * corpus² — with a `maxDf` cap dropping fingerprints present in
+    * more than `maxDf` videos (the frame-level boilerplate problem: a
+    * black frame shared by millions of videos would otherwise
+    * serialize one join key into a df² hot task — the jaccard maxDf
+    * discipline applied to frames). Denominators count each video's
+    * distinct frames BEFORE the cap, so capping can only drop pairs,
+    * never inflate overlap.
+    */
+  def videoNearDupPairs(frames: DataFrame, maxDf: Int = 64): DataFrame = {
+    val fpNames = Seq("width", "height", "sum_s", "sumsq_s")
+    val keys = frames
+      .select((col("doc_id") +: fpNames.map(col)): _*).distinct()
+    val sizes = keys.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hot = keys.groupBy(fpNames.map(col): _*)
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).drop("df")
+    // a using-columns join moves the join keys to the FRONT of the
+    // output schema — re-pin the order before the positional rename
+    val capped = keys.join(hot, fpNames, "left_anti")
+      .select((col("doc_id") +: fpNames.map(col)): _*)
+    val lhs = capped.toDF(("doc_a" +: fpNames): _*)
+    val rhs = capped.toDF(("doc_b" +: fpNames): _*)
+    lhs.join(rhs, fpNames)
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .filter(col("n_shared") * 3 >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** [[videoNearDupPairs]] over the planted near-dup AVI family: the
+    * full chain — RIFF walk, per-frame baseline JPEG decode, stats
+    * reduction, inverted-index pairing — is externally verified by an
+    * oracle that regenerates every frame's planted block grid.
+    */
+  def videoNearDupReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.nearDupAviBytes(id)))
+    videoNearDupPairs(MjpegFrames.frameStats(payloads).toDF())
   }
 
   /** Perceptual audio fingerprints over REAL decoded PCM: 64-bit

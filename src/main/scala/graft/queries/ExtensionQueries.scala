@@ -83,7 +83,6 @@ object ExtensionQueries {
     * (doc_id, dhash).
     */
   private val dhashOracleCte: String = {
-    val powers = (0 until 64).map(i => s"($i,${BigInt(1) << i})").mkString(",")
     def chan(c: Int) =
       s"((base + 1)*(x + 3)*(y + 5)*${c + 7}" +
         " + CASE WHEN x = 2 AND y = 2 THEN variant*60 ELSE 0 END) % 251"
@@ -110,7 +109,9 @@ object ExtensionQueries {
     * 2^63 (matching JVM `Long` packing bit-for-bit, sign included).
     * Ends in CTE `hs` (doc_id, dhash); bit-less docs pack to 0.
     */
-  private val packBitsTailSql: String = {
+  // a def, not a val: dhashOracleCte above initializes first and a
+  // forward val reference would interpolate null into its SQL
+  private def packBitsTailSql: String = {
     val powers = (0 until 64).map(i => s"($i,${BigInt(1) << i})").mkString(",")
     s"""pw(i, pv) AS (VALUES $powers),
        |hs AS (SELECT doc_id,
@@ -1734,6 +1735,49 @@ object ExtensionQueries {
               |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
               |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin),
+    ),
+
+    // Video NEAR-dup from REAL decoded frames: groups of 4 AVIs share
+    // every MJPEG frame but one; the engine recovers the planted
+    // overlap from actual pixel decode via an inverted-index join on
+    // exact frame stats (maxDf-capped against boilerplate frames) and
+    // keeps frame-set-Jaccard-≥-½ pairs. The oracle regenerates each
+    // frame's DC-block grid and replays the same distinct/cap/
+    // majority pipeline in SQL — including the cap, so the capped
+    // semantics are copy-exact, not approximately mirrored.
+    QueryDef(
+      "multimodal_video_neardup",
+      (s, dir) => Multimodal.videoNearDupReal(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+             |    6 + (doc_id // 4) % 3 AS nf, (doc_id // 4) % 3 + 1 AS wb,
+             |    (doc_id // 4) % 2 + 1 AS hb FROM documents),
+             |fb AS (SELECT p.doc_id, p.base, p.variant, p.wb, p.hb, f.f, bx.bx, by.by
+             |  FROM p, range(0, 8) AS f(f), range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |  WHERE f.f < p.nf AND bx.bx < p.wb AND by.by < p.hb),
+             |fv AS (SELECT doc_id, f, wb * 8 AS w, hb * 8 AS h,
+             |    ((base + 1)*(f + 2)*(bx + 3)*(by + 5)
+             |      + CASE WHEN f = 1 THEN variant*50 ELSE 0 END) % 251 AS grey
+             |  FROM fb),
+             |fs AS (SELECT doc_id, f, w, h, sum(64*grey) AS s, sum(64*grey*grey) AS sq
+             |  FROM fv GROUP BY 1, 2, 3, 4),
+             |keys AS (SELECT DISTINCT doc_id, w, h, s, sq FROM fs),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM keys GROUP BY 1),
+             |hot AS (SELECT w, h, s, sq FROM keys GROUP BY 1, 2, 3, 4
+             |  HAVING count(*) > 64),
+             |capped AS (SELECT k.* FROM keys k LEFT JOIN hot
+             |  ON k.w = hot.w AND k.h = hot.h AND k.s = hot.s AND k.sq = hot.sq
+             |  WHERE hot.w IS NULL),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    count(*) AS n_shared
+             |  FROM capped a JOIN capped b ON a.w = b.w AND a.h = b.h
+             |    AND a.s = b.s AND a.sq = b.sq AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+             |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+             |FROM pairs
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
     ),
 
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers

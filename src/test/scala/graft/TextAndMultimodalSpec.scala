@@ -634,6 +634,54 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDupPairs: hand-built overlap, Jaccard gate, maxDf cap") {
+    import graft.functions.{FramePixelStats, Multimodal}
+    import spark.implicits._
+    def f(doc: Long, idx: Long, s: Long) =
+      FramePixelStats(doc, idx, 8, 8, 1, 64, s, s * s)
+    // docs 0/1 share 3 of 4 frames (Jaccard 3/5 ≥ ½); doc 2 shares only
+    // 1 with doc 0 (1/7 < ½); a "black frame" (s=0) sits in ALL docs
+    // and is df-capped out at maxDf=2 — without the cap it would lift
+    // doc 2's overlap and hot-spot the join
+    val frames = Seq(
+      f(0, 0, 0), f(0, 1, 10), f(0, 2, 20), f(0, 3, 30),
+      f(1, 0, 0), f(1, 1, 10), f(1, 2, 20), f(1, 3, 31),
+      f(2, 0, 0), f(2, 1, 10), f(2, 2, 99), f(2, 3, 98),
+    ).toDS().toDF()
+    val got = Multimodal.videoNearDupPairs(frames, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // shared(0,1) = {10, 20} after the capped black frame; n = 4 each:
+    // 3·2 < 8 — the cap keeps the pair OUT (capping only drops pairs)
+    assert(got == Set.empty[(Long, Long, Long, Long, Long)])
+    val uncapped = Multimodal.videoNearDupPairs(frames, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(uncapped == Set((0L, 1L, 3L, 4L, 4L)))
+    // duplicate frames within one video collapse to one fingerprint
+    val dup = Seq(f(5, 0, 7), f(5, 1, 7), f(5, 2, 8),
+      f(6, 0, 7), f(6, 1, 8)).toDS().toDF()
+    val got2 = Multimodal.videoNearDupPairs(dup, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got2 == Set((5L, 6L, 2L, 2L, 2L)))
+  }
+
+  test("videoNearDupReal: planted groups recovered from real frame decode") {
+    import graft.functions.Multimodal
+    val docs = spark.range(0, 48).toDF("doc_id")
+    val pairs = Multimodal.videoNearDupReal(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every intra-group pair shares all frames but frame 1
+    for (base <- 0L until 12L; i <- 0 until 4; j <- i + 1 until 4) {
+      val (a, b) = (base * 4 + i, base * 4 + j)
+      val nf = 6 + base % 3
+      assert(pairs.contains((a, b, nf - 1)), s"missing intra-group pair ($a,$b)")
+    }
+    // and nothing else surfaced (cross-group content never collides)
+    assert(pairs.size == 12 * 6)
+  }
+
   test("MjpegFrames: decodes every movi frame to the planted block sums") {
     import graft.functions.{MediaFixtures, MjpegFrames}
     for (id <- Seq(0L, 4L, 7L, 11L)) {
