@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One decoded media object's typed metadata. */
@@ -1588,6 +1589,15 @@ object MediaFixtures {
           + (if (f == 1) (id % 4) * 50 else 0)) % 251L).toInt,
         withRestarts = false)
     }
+    mjpegAviContainer(frames, w, h)
+  }
+
+  /** Pack pre-encoded JPEG frames as an MJPEG AVI (RIFF, `LIST hdrl`
+    * with a 56-byte `avih`, `LIST movi` of word-aligned `00dc`
+    * chunks) — the container shape [[graft.functions.MjpegFrames]]
+    * walks. */
+  private def mjpegAviContainer(
+      frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def le32(v: Int): Unit = {
@@ -1602,7 +1612,7 @@ object MediaFixtures {
     fourcc("avih"); le32(56)
     le32(40000)
     le32(0); le32(0); le32(0)
-    le32(nFrames)
+    le32(frames.size)
     le32(0)
     le32(1)
     le32(0); le32(w); le32(h)
@@ -1613,6 +1623,29 @@ object MediaFixtures {
       if ((fr.length & 1) == 1) out.write(0)
     }
     out.toByteArray
+  }
+
+  /** Scene-structured MJPEG AVI: `2 + id%3` scenes of `2 + id%2`
+    * frames each over a `(id%2+1)`-block-wide single-row grid. Every
+    * block's grey is the LINEAR plant `20 + scene·40 + bx·2 + f%2`
+    * (no modular wrap, so mean deltas are exact by construction):
+    * consecutive frames inside a scene differ by a mean of exactly 1
+    * (the `f%2` jitter — below any sane cut threshold), while scene
+    * boundaries jump the mean by 40±1. Scene structure is planted,
+    * then recovered from REAL pixel decode by [[Multimodal.sceneCuts]].
+    */
+  def sceneAviBytes(id: Long): Array[Byte] = {
+    val wb = (id % 2 + 1).toInt
+    val nScenes = (2 + id % 3).toInt
+    val fps = (2 + id % 2).toInt
+    val w = 8 * wb
+    val frames = (0 until nScenes * fps).map { f =>
+      val scene = f / fps
+      JpegFixtures.grayDcOnly(w, 8,
+        (bx, _) => 20 + scene * 40 + bx * 2 + f % 2,
+        withRestarts = false)
+    }
+    mjpegAviContainer(frames, w, 8)
   }
 
   /** Minimal Matroska (47 + 4·tracks + 5·frames bytes): EBML header,
@@ -2027,6 +2060,47 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.nearDupAviBytes(id)))
     videoNearDupPairs(MjpegFrames.frameStats(payloads).toDF())
+  }
+
+  /** Scene segmentation over REAL decoded frames — the keyframe
+    * selector a video training pipeline runs before sampling: a frame
+    * starts a new scene when its mean luma departs from the previous
+    * frame's by more than `thrNum/thrDen`, compared EXACTLY by
+    * cross-multiplication (`|sum·n'−sum'·n|·den > num·n·n'` — no
+    * float means, so the cut decision is bit-portable to the oracle).
+    * One `lag` + running-sum window per video (`partitionBy doc_id`):
+    * the shuffle is keyed by video and each partition holds whole
+    * videos — frames-per-video-bounded state, never corpus-wide.
+    * `scene_id` is the running cut count − 1, so `(doc_id, scene_id,
+    * min frame_idx)` is the keyframe set. Frame 0 always opens scene 0.
+    */
+  def sceneCuts(frames: DataFrame, thrNum: Long = 4, thrDen: Long = 1)
+      : DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val prevSum = lag(col("sum_s"), 1).over(w)
+    val prevN = lag(col("n_px"), 1).over(w)
+    frames
+      .select(col("doc_id"), col("frame_idx"), col("n_px"), col("sum_s"))
+      .withColumn("is_cut",
+        when(prevSum.isNull, lit(1L)).otherwise(
+          when(abs(col("sum_s") * prevN - prevSum * col("n_px")) * thrDen
+            > lit(thrNum) * col("n_px") * prevN, 1L).otherwise(0L)))
+      .withColumn("scene_id", sum(col("is_cut")).over(w) - 1)
+      .select(col("doc_id"), col("frame_idx"), col("is_cut"),
+        col("scene_id"))
+  }
+
+  /** [[sceneCuts]] over the planted scene-structured AVI family: the
+    * within-scene jitter (mean delta exactly 1) stays under the
+    * threshold and the scene jumps (mean delta 40±1) cross it, so the
+    * recovered segmentation must equal the planted one frame-for-frame
+    * — verified through the real RIFF + JPEG decode chain.
+    */
+  def sceneCutsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.sceneAviBytes(id)))
+    sceneCuts(MjpegFrames.frameStats(payloads).toDF())
   }
 
   /** Perceptual audio fingerprints over REAL decoded PCM: 64-bit

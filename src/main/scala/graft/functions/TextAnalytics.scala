@@ -590,6 +590,42 @@ object TextAnalytics {
       ruleKeep(t).as("keep"))
   }
 
+  /** Linear quality-classifier INFERENCE at scan speed — the fasttext
+    * -style filter pass a curation pipeline runs over every document:
+    * a fixed, integer-quantized weight vector (the form a trained
+    * model ships in after quantization) dotted with stateless integer
+    * features in ONE projection — no joins, no corpus statistics, no
+    * shuffle, so scoring 100 TB is exactly one scan. Every term is an
+    * integer multiply, making score and label bit-portable to any
+    * engine (a float sigmoid is monotone in the logit, so thresholding
+    * the integer logit IS the classification). Features: token count,
+    * summed token length, distinct-stopword presence, and the
+    * duplicated-3-gram count (via the native one-pass distinct-gram
+    * expression).
+    */
+  def qualityClassifier(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nw = size(toks).cast("long")
+    val sl = aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
+      .cast("long")
+    val ns = size(array_intersect(toks, array(stopWords.map(lit): _*)))
+      .cast("long")
+    val nd = when(nw >= 3,
+      nw - 2 - expressions.TextExpressions.ngramDistinct(t, 3).cast("long"))
+      .otherwise(0L)
+    val score = lit(3L) * nw + lit(40L) * ns + lit(2L) * sl -
+      lit(25L) * nd - lit(500L)
+    docs.select(
+      col("doc_id"),
+      nw.as("n_tokens"),
+      sl.as("sum_token_len"),
+      ns.as("n_stopwords"),
+      nd.as("n_dup_3grams"),
+      score.as("score"),
+      when(score > 0, lit("keep")).otherwise(lit("drop")).as("label"))
+  }
+
   /** [[ruleFlags]]'s `keep` conjunction as one stateless Column — the
     * form a streaming filter applies directly (no self-join, no state).
     * Identical semantics to the flagged variant by construction.

@@ -1780,6 +1780,37 @@ object ExtensionQueries {
              |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
     ),
 
+    // Scene segmentation from REAL decoded frames: the planted AVI
+    // family's within-scene jitter (mean delta exactly 1) stays under
+    // the cut threshold and its scene jumps (mean delta 40±1) cross
+    // it. The exact cross-multiplied cut rule is bit-portable, so the
+    // oracle regenerates every frame's linear block plant and replays
+    // lag + threshold + running-count in SQL — the recovered
+    // segmentation must match the planted one frame-for-frame.
+    QueryDef(
+      "multimodal_scene_cuts",
+      (s, dir) => Multimodal.sceneCutsReal(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 2 + 1 AS wb,
+             |    2 + doc_id % 3 AS ns, 2 + doc_id % 2 AS fps FROM documents),
+             |g AS (SELECT p.doc_id, p.wb, p.fps, f.f, bx.bx
+             |  FROM p, range(0, 12) AS f(f), range(0, 2) AS bx(bx)
+             |  WHERE f.f < p.ns * p.fps AND bx.bx < p.wb),
+             |fs AS (SELECT doc_id, f, 64 * wb AS n_px,
+             |    sum(64 * (20 + (f // fps) * 40 + bx * 2 + f % 2)) AS sum_s
+             |  FROM g GROUP BY 1, 2, 3),
+             |c AS (SELECT doc_id, f, n_px, sum_s,
+             |    lag(sum_s) OVER w AS ps, lag(n_px) OVER w AS pn
+             |  FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+             |cut AS (SELECT doc_id, f,
+             |    CASE WHEN ps IS NULL THEN 1
+             |         WHEN abs(sum_s * pn - ps * n_px) > 4 * n_px * pn THEN 1
+             |         ELSE 0 END AS is_cut FROM c)
+             |SELECT doc_id, f AS frame_idx, CAST(is_cut AS BIGINT) AS is_cut,
+             |  CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f) - 1
+             |    AS BIGINT) AS scene_id
+             |FROM cut""".stripMargin),
+    ),
+
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers
     // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
     // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —
@@ -2471,6 +2502,33 @@ object ExtensionQueries {
              |  END AS dup_3gram_frac,
              |  (f.nw >= 30 AND f.nw <= 100000 AND f.ml >= 3.0 AND f.ml <= 10.0
              |    AND f.ar >= 0.8 AND f.ns >= 2) AS keep
+             |FROM f JOIN g USING (doc_id)""".stripMargin),
+    ),
+
+    // Quality-classifier inference: a fixed integer-quantized linear
+    // model scored in one scan-speed projection (the fasttext-style
+    // curation filter). Integer logit + threshold label are exact, so
+    // the oracle recomputes every feature, the dot product, and the
+    // decision — classification verified end-to-end, not just shape.
+    QueryDef(
+      "text_quality_classifier",
+      (s, dir) => TextAnalytics.qualityClassifier(Tables.documents(s, dir)),
+      Some("""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |f AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+             |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sl,
+             |    CAST(len(list_intersect(w,
+             |      ['the','a','of','to','and','in','is'])) AS BIGINT) AS ns
+             |  FROM w0),
+             |g AS (SELECT doc_id, CAST(CASE WHEN len(w) >= 3 THEN
+             |      (len(w) - 2) - len(list_distinct(
+             |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |         for i in range(1, len(w) - 1)]))
+             |    ELSE 0 END AS BIGINT) AS nd FROM w0)
+             |SELECT doc_id, nw AS n_tokens, sl AS sum_token_len,
+             |  ns AS n_stopwords, nd AS n_dup_3grams,
+             |  3*nw + 40*ns + 2*sl - 25*nd - 500 AS score,
+             |  CASE WHEN 3*nw + 40*ns + 2*sl - 25*nd - 500 > 0
+             |       THEN 'keep' ELSE 'drop' END AS label
              |FROM f JOIN g USING (doc_id)""".stripMargin),
     ),
 

@@ -682,6 +682,66 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(pairs.size == 12 * 6)
   }
 
+  test("qualityClassifier: hand-computed integer logits and labels") {
+    import graft.functions.TextAnalytics
+    import spark.implicits._
+    val docs = Seq(
+      // nw=6 sl=17 ns=1 nd=0 -> 18+40+34-500 = -408 -> drop
+      (1L, "the cat sat on the mat"),
+      // 100 distinct 4-char tokens: nw=100 sl=400 ns=0 nd=0
+      //   -> 300+800-500 = 600 -> keep
+      (2L, (0 until 100).map(i => f"w$i%03d").mkString(" ")),
+      // repetition penalized: 10x a 9-token sentence, nw=90 sl=350
+      //   ns=1 nd=88-9=79 -> 270+40+700-1975-500 = -1465 -> drop
+      (3L, Array.fill(10)("the quick brown fox jumps over the lazy dog")
+        .mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.qualityClassifier(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getString(6)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, -408L, "drop"), (2L, 600L, "keep"),
+      (3L, -1465L, "drop")))
+  }
+
+  test("sceneCuts: hand-built frames, exact threshold edge, scene ids") {
+    import graft.functions.{FramePixelStats, Multimodal}
+    import spark.implicits._
+    // 4 px/frame, thr 4: mean deltas 0, 4 (NOT a cut: strict >), 5
+    // (cut), 1 — expect scenes [0,0,0,1,1]
+    def f(idx: Long, sum: Long) = FramePixelStats(9, idx, 2, 2, 1, 4, sum, 0)
+    val frames = Seq(f(0, 100), f(1, 100), f(2, 116), f(3, 136), f(4, 132))
+      .toDS().toDF()
+    val got = Multimodal.sceneCuts(frames)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 1L, 0L), (1L, 0L, 0L), (2L, 0L, 0L),
+      (3L, 1L, 1L), (4L, 0L, 1L)))
+    // mixed resolutions: the cross-multiplied compare normalizes by
+    // each frame's own n_px (mean 25 -> mean 30: a cut at thr 4)
+    val mixed = Seq(FramePixelStats(3, 0, 2, 2, 1, 4, 100, 0),
+      FramePixelStats(3, 1, 4, 4, 1, 16, 480, 0)).toDS().toDF()
+    val got2 = Multimodal.sceneCuts(mixed)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got2.toSeq == Seq((0L, 1L), (1L, 1L)))
+  }
+
+  test("sceneCutsReal: planted scene structure recovered from real decode") {
+    import graft.functions.Multimodal
+    val docs = spark.range(0, 24).toDF("doc_id")
+    val rows = Multimodal.sceneCutsReal(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    for ((id, frameIdx, isCut, sceneId) <- rows) {
+      val fps = 2 + id % 2
+      assert(sceneId == frameIdx / fps, s"doc $id frame $frameIdx")
+      assert(isCut == (if (frameIdx % fps == 0) 1L else 0L))
+    }
+    // every doc contributes all its ns*fps frames
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.length)
+    for (id <- 0L until 24L)
+      assert(perDoc(id) == ((2 + id % 3) * (2 + id % 2)).toInt)
+  }
+
   test("MjpegFrames: decodes every movi frame to the planted block sums") {
     import graft.functions.{MediaFixtures, MjpegFrames}
     for (id <- Seq(0L, 4L, 7L, 11L)) {
