@@ -134,6 +134,30 @@ object ScaleProbe {
     timed("video_format_headers")(
       graft.functions.Multimodal.decodeVideoFormatsReal(spark, docs).count())
 
+    // Third-continuation operators. The perceptual/near-dup probes are
+    // the ones with join shapes worth watching at N×: banded dHash
+    // pairing (4 equi-joined 16-bit bands), the frame-fingerprint
+    // inverted index (maxDf-capped), and the per-video scene window.
+    // N× doc_ids give disjoint planted families per copy, so pair
+    // cardinalities scale linearly by the same copy argument as the
+    // text corpus.
+    timed("image_dhash_neardup")(
+      graft.functions.Multimodal.imageNearDupReal(spark, docs).count())
+    timed("audio_fp_neardup")(
+      graft.functions.Multimodal.audioNearDupReal(spark, docs).count())
+    timed("video_neardup_pairs")(
+      graft.functions.Multimodal.videoNearDupReal(spark, docs).count())
+    timed("scene_cuts")(
+      graft.functions.Multimodal.sceneCutsReal(spark, docs).count())
+    timed("mjpeg_frame_stats")(
+      graft.functions.MjpegFrames.frameStats {
+        import spark.implicits._
+        docs.select(col("doc_id")).as[Long]
+          .map(id => (id, graft.functions.MediaFixtures.nearDupAviBytes(id)))
+      }.toDF().count())
+    timed("quality_classifier")(
+      TextAnalytics.qualityClassifier(docs).count())
+
     spark.stop()
   }
 }
