@@ -7,12 +7,16 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save() catch { case _: Throwable => }
-    for (name <- args; i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (name <- args) {
+      if (explain) SparkEntry.queries(name)(spark, dir).explain("formatted")
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
