@@ -2029,8 +2029,17 @@ object Multimodal {
     */
   def videoNearDupPairs(frames: DataFrame, maxDf: Int = 64): DataFrame = {
     val fpNames = Seq("width", "height", "sum_s", "sumsq_s")
+    // The distinct fingerprint table feeds FOUR consumers (sizes, the
+    // hot-key cap, and both self-join sides). Without materialization
+    // each consumer re-executes the full `frames` lineage — for real
+    // media that lineage is the container walk + per-frame JPEG decode,
+    // so the corpus would be decoded 6×. Persist the key table instead:
+    // it is 5 longs per DISTINCT frame (thousands of times smaller than
+    // the media bytes), spillable, and dropped by the ContextCleaner
+    // when the returned plan is garbage-collected.
     val keys = frames
       .select((col("doc_id") +: fpNames.map(col)): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = keys.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val hot = keys.groupBy(fpNames.map(col): _*)
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf).drop("df")
