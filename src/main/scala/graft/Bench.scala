@@ -128,12 +128,17 @@ object Bench {
     val streaming = streamingSec.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // A run with failed queries must not look green to automation: record
+    // the nonzero rc INSIDE the artifact and exit with it (a "total" that
+    // silently excludes failed queries otherwise reads as a speedup).
+    val rc = if (results.exists(_._2 < 0)) 1 else 0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"streaming":$streaming}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"rc":$rc,"sf":"$sfDir","reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"streaming":$streaming}"""
     println(json)
     // stdout is best-effort (log tails truncate); the file is the record.
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    if (rc != 0) sys.exit(rc)
   }
 }

@@ -27,13 +27,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be a LOUD RED ROW in the correctness artifact,
+    // never a silently shrunk denominator (round 5: two analysis failures
+    // produced no output dirs, the driver's checker iterated what existed,
+    // and the artifact read "199/199 pass"). Three alarms per failure:
+    // an error-marker result the comparer is guaranteed to FAIL on
+    // (single `__verify_error` column ≠ any oracle schema), a stderr
+    // line, and a nonzero exit at the end.
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failures += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          try {
+            import spark.implicits._
+            Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+              .toDF("__verify_error")
+              .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case m: Throwable =>
+            System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+          }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,5 +70,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} FAILED: ${failures.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1148,6 +1148,93 @@ object MjpegFrames {
   }
 }
 
+/** MJPEG-in-Matroska FRAME decode — the second frame-pixel container:
+  * the EBML vint walk descends Segment → Cluster, each SimpleBlock's
+  * payload (after the track vint + int16 relative timestamp + flags
+  * byte of the block header) is a complete JPEG decoded by
+  * [[JpegCodec]]'s full baseline path, and frames reduce to the same
+  * exact integer stats as [[MjpegFrames]] inside the partition pass.
+  * `frame_idx` counts SimpleBlocks in stream order; a block whose frame
+  * fails to decode drops its row without shifting later indices;
+  * malformed containers produce no rows, never a task failure.
+  */
+object MkvMjpegFrames {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def vintLen(first: Int): Int = Integer.numberOfLeadingZeros(first) - 23
+
+  def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
+      u8(b, 2) == 0xdf && u8(b, 3) == 0xa3
+
+  def decode(id: Long, b: Array[Byte]): Seq[FramePixelStats] = {
+    if (!isEbml(b)) return Nil
+    val out = Seq.newBuilder[FramePixelStats]
+    var idx = 0L
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var pos = start
+      while (pos + 2 <= end) {
+        val idLen = vintLen(u8(b, pos))
+        if (idLen < 1 || idLen > 4 || pos + idLen > end) return
+        var eid = 0L
+        var i = 0
+        while (i < idLen) { eid = (eid << 8) | u8(b, pos + i); i += 1 }
+        val szAt = pos + idLen
+        if (szAt >= end) return
+        val szLen = vintLen(u8(b, szAt))
+        if (szLen < 1 || szLen > 8 || szAt + szLen > end) return
+        var sz = (u8(b, szAt) & (0xff >>> szLen)).toLong
+        var allOnes = sz == (0xffL >>> szLen)
+        i = 1
+        while (i < szLen) {
+          val v = u8(b, szAt + i); allOnes &&= v == 0xff; sz = (sz << 8) | v; i += 1
+        }
+        val payload = szAt + szLen
+        val pEnd =
+          if (allOnes || sz > end.toLong - payload) end else payload + sz.toInt
+        if (eid == 0x18538067L || eid == 0x1f43b675L) walk(payload, pEnd, depth + 1)
+        else if (eid == 0xa3L) { // SimpleBlock
+          val tLen = if (payload < pEnd) vintLen(u8(b, payload)) else -1
+          val fStart = payload + tLen + 3 // track vint + ts16 + flags
+          if (tLen >= 1 && fStart < pEnd) {
+            val jpeg = java.util.Arrays.copyOfRange(b, fStart, pEnd)
+            JpegCodec.decode(jpeg).foreach { case (w, h, nComp, px) =>
+              var sum = 0L
+              var sumsq = 0L
+              var i2 = 0
+              while (i2 < px.length) {
+                val v = px(i2) & 0xff; sum += v; sumsq += v.toLong * v; i2 += 1
+              }
+              out += FramePixelStats(id, idx, w.toLong, h.toLong,
+                nComp.toLong, w.toLong * h, sum, sumsq)
+            }
+          }
+          idx += 1
+        }
+        pos = pEnd
+      }
+    }
+    walk(0, b.length, 0)
+    out.result()
+  }
+}
+
+/** Container-dispatching frame decode: one `mapPartitions` pass whose
+  * per-row decoder routes on the magic — RIFF/AVI → [[MjpegFrames]],
+  * EBML/Matroska → [[MkvMjpegFrames]] — so a mixed-container corpus
+  * needs one scan, not one scan per format.
+  */
+object VideoFrames {
+  def decode(id: Long, b: Array[Byte]): Seq[FramePixelStats] =
+    if (MkvMjpegFrames.isEbml(b)) MkvMjpegFrames.decode(id, b)
+    else MjpegFrames.decode(id, b)
+
+  def frameStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[FramePixelStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
+  }
+}
+
 /** Deterministic, VALID image containers synthesized from an id — the
   * fixture side of the real-decode round trip: the registry query plants
   * dimensions with arithmetic on doc_id, builds genuine PNG/GIF/BMP
@@ -1635,6 +1722,21 @@ object MediaFixtures {
     * then recovered from REAL pixel decode by [[Multimodal.sceneCuts]].
     */
   def sceneAviBytes(id: Long): Array[Byte] = {
+    val (frames, w) = sceneFrames(id)
+    mjpegAviContainer(frames, w, 8)
+  }
+
+  /** The SAME planted scene frames packed as Matroska SimpleBlocks —
+    * the MJPEG-in-MKV twin of [[sceneAviBytes]], so scene recovery is
+    * container-independent (and the shared DuckDB oracle needs no
+    * per-container branch: frame content is identical by construction).
+    */
+  def sceneMkvBytes(id: Long): Array[Byte] = {
+    val (frames, _) = sceneFrames(id)
+    mjpegMkvContainer(frames, durMs = frames.size * 40L)
+  }
+
+  private def sceneFrames(id: Long): (Seq[Array[Byte]], Int) = {
     val wb = (id % 2 + 1).toInt
     val nScenes = (2 + id % 3).toInt
     val fps = (2 + id % 2).toInt
@@ -1645,7 +1747,49 @@ object MediaFixtures {
         (bx, _) => 20 + scene * 40 + bx * 2 + f % 2,
         withRestarts = false)
     }
-    mjpegAviContainer(frames, w, 8)
+    (frames, w)
+  }
+
+  /** Pack pre-encoded JPEG frames as MJPEG-in-Matroska: EBML header,
+    * Segment(Info(TimestampScale + float32 Duration), Tracks(1
+    * TrackEntry), Cluster(SimpleBlock per frame)) — the container shape
+    * [[graft.functions.MkvMjpegFrames]] walks. Container sizes are
+    * 4-byte vints (payloads up to 2^28−1) so frame payloads of any
+    * realistic fixture size fit; each SimpleBlock carries the standard
+    * track-1 vint, int16 relative timestamp, and keyframe flags before
+    * its JPEG bytes.
+    */
+  private def mjpegMkvContainer(frames: Seq[Array[Byte]], durMs: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def id(v: Long, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { out.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    def size4(v: Int): Unit = {
+      out.write(0x10 | (v >>> 24)); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    id(0x1a45dfa3L, 4); out.write(0x84); id(0L, 4) // EBML header, 4-byte body
+    val infoBody = 7 + 7 // TimestampScale(3+1+3) + Duration(2+1+4)
+    val tracksBody = 4 // one TrackEntry (0xae, 1-byte size, 2-byte body)
+    val clusterBody = frames.map(fr => 1 + 4 + 4 + fr.length).sum
+    val segBody = (4 + 4 + infoBody) + (4 + 4 + tracksBody) + (4 + 4 + clusterBody)
+    id(0x18538067L, 4); size4(segBody) // Segment
+    id(0x1549a966L, 4); size4(infoBody) // Info
+    id(0x2ad7b1L, 3); out.write(0x83); id(1000000L, 3) // TimestampScale
+    id(0x4489L, 2); out.write(0x84) // Duration, float32
+    id(java.lang.Float.floatToIntBits(durMs.toFloat).toLong & 0xffffffffL, 4)
+    id(0x1654ae6bL, 4); size4(tracksBody) // Tracks
+    out.write(0xae); out.write(0x82); id(0L, 2) // TrackEntry
+    id(0x1f43b675L, 4); size4(clusterBody) // Cluster
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      out.write(0xa3); size4(4 + fr.length) // SimpleBlock
+      out.write(0x81) // track 1 (vint)
+      out.write((f >> 8) & 0xff); out.write(f & 0xff) // int16 relative ts
+      out.write(0x80) // flags: keyframe
+      out.write(fr, 0, fr.length)
+    }
+    out.toByteArray
   }
 
   /** Minimal Matroska (47 + 4·tracks + 5·frames bytes): EBML header,
@@ -2099,17 +2243,23 @@ object Multimodal {
         col("scene_id"))
   }
 
-  /** [[sceneCuts]] over the planted scene-structured AVI family: the
-    * within-scene jitter (mean delta exactly 1) stays under the
-    * threshold and the scene jumps (mean delta 40±1) cross it, so the
-    * recovered segmentation must equal the planted one frame-for-frame
-    * — verified through the real RIFF + JPEG decode chain.
+  /** [[sceneCuts]] over the planted scene-structured video family —
+    * even doc_ids as MJPEG-in-AVI, odd as MJPEG-in-Matroska, with
+    * IDENTICAL planted frame content, decoded by the
+    * container-dispatching [[VideoFrames]] walk: the within-scene
+    * jitter (mean delta exactly 1) stays under the threshold and the
+    * scene jumps (mean delta 40±1) cross it, so the recovered
+    * segmentation must equal the planted one frame-for-frame through
+    * BOTH real container walks (RIFF chunk walk and EBML SimpleBlock
+    * walk) + the full JPEG decode chain.
     */
   def sceneCutsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val payloads = docs.select(col("doc_id")).as[Long]
-      .map(id => (id, MediaFixtures.sceneAviBytes(id)))
-    sceneCuts(MjpegFrames.frameStats(payloads).toDF())
+      .map(id => (id,
+        if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
+        else MediaFixtures.sceneMkvBytes(id)))
+    sceneCuts(VideoFrames.frameStats(payloads).toDF())
   }
 
   /** Perceptual audio fingerprints over REAL decoded PCM: 64-bit

@@ -50,8 +50,20 @@ object Tables {
   /** Surrogate key columns of the `events` fixture in the same role. */
   val eventKeys: Seq[String] = Seq("user_id", "event_type", "period_ending")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Parquet writers disagree on whether a timestamp column is annotated
+    // `isAdjustedToUTC` (Spark's own writer) or not (DuckDB, Arrow, Hive
+    // default). Spark 4 infers the unannotated form as TIMESTAMP_NTZ, a
+    // type several chrono functions (`unix_micros`, `unix_timestamp`)
+    // reject at analysis time. The fixtures are UTC by contract and every
+    // entry session pins spark.sql.session.timeZone=UTC, so reading both
+    // conventions as the session TimestampType is value-identical — and
+    // keeping the column TIMESTAMP at the SCAN (rather than casting after
+    // the fact) keeps timestamp predicates min/max-prunable pushed
+    // filters instead of stranding them above a cast projection.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** The `events` fixture carries a nanosecond-precision parquet
     * timestamp, which Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL).
@@ -65,11 +77,17 @@ object Tables {
     normalizeEventTs(table(spark, sfDir, "events"))
   }
 
-  /** ns-long → µs timestamp, applied to batch and streaming scans alike. */
+  /** ns-long → µs timestamp, applied to batch and streaming scans alike;
+    * also relabels a TIMESTAMP_NTZ `ts` (a scan that bypassed [[table]]'s
+    * conf, or a user-supplied frame) to the session TimestampType — a
+    * value-identical cast under the UTC session contract.
+    */
   def normalizeEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   /** `events` restricted to `[fromIncl, toExcl)` with the window filter
     * applied to the RAW nanosecond column, before normalization.
@@ -97,9 +115,13 @@ object Tables {
       if (raw.schema("ts").dataType == LongType)
         fromIncl.map(s => col("ts") >= utcMicros(s) * 1000L).toSeq ++
           toExcl.map(s => col("ts") < utcMicros(s) * 1000L)
-      else
-        fromIncl.map(s => col("ts") >= lit(s).cast("timestamp")).toSeq ++
-          toExcl.map(s => col("ts") < lit(s).cast("timestamp"))
+      else {
+        // Cast the literal to the column's OWN type (TIMESTAMP or NTZ) so
+        // the comparison needs no column-side cast and stays pushable.
+        val t = raw.schema("ts").dataType
+        fromIncl.map(s => col("ts") >= lit(s).cast(t)).toSeq ++
+          toExcl.map(s => col("ts") < lit(s).cast(t))
+      }
     normalizeEventTs(bounds.foldLeft(raw)(_ filter _))
   }
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
 
 /** The operator library: every data operation the reference performs
   * (SURVEY §2), as pure `DataFrame => DataFrame` combinators. All of them
@@ -23,6 +23,15 @@ object TrafOps {
     */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Epoch-microseconds of a timestamp column, tolerant of BOTH parquet
+    * timestamp conventions. `unix_micros` rejects TIMESTAMP_NTZ at
+    * analysis time; the interposed cast accepts it (NTZ → TIMESTAMP via
+    * the session zone — identity under the engine's pinned-UTC sessions)
+    * and is a no-op Catalyst elides when the column is already TIMESTAMP,
+    * so plans over conventional fixtures are unchanged.
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Exact decimal mean of a double column (same rationale as [[dsum]]). */
   def davg(c: Column, scale: Int = 2): Column =
@@ -195,9 +204,9 @@ object TrafOps {
       gapSeconds: Long, order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val gapMicros = gapSeconds * 1000000L
-    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val prev = lag(epochMicros(col(tsCol)), 1).over(w)
     val newSession = when(
-      prev.isNull || unix_micros(col(tsCol)) - prev > gapMicros, 1L).otherwise(0L)
+      prev.isNull || epochMicros(col(tsCol)) - prev > gapMicros, 1L).otherwise(0L)
     df.withColumn("session_id",
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
@@ -329,14 +338,14 @@ object TrafOps {
   def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, windowSeconds: Long): DataFrame = {
     val wMicros = windowSeconds * 1000000L
-    val lb = floor(unix_micros(col(leftTs)) / wMicros).cast("long")
+    val lb = floor(epochMicros(col(leftTs)) / wMicros).cast("long")
     val exploded = left.withColumn("__bucket", explode(array(lb, lb + 1L)))
     val rb = right.withColumn("__bucket",
-      floor(unix_micros(col(rightTs)) / wMicros).cast("long"))
+      floor(epochMicros(col(rightTs)) / wMicros).cast("long"))
     exploded.join(rb, keys :+ "__bucket")
       .filter(
-        unix_micros(col(rightTs)) >= unix_micros(col(leftTs)) &&
-          unix_micros(col(rightTs)) <= unix_micros(col(leftTs)) + wMicros)
+        epochMicros(col(rightTs)) >= epochMicros(col(leftTs)) &&
+          epochMicros(col(rightTs)) <= epochMicros(col(leftTs)) + wMicros)
       .drop("__bucket")
   }
 

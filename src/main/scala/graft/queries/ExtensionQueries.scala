@@ -1780,13 +1780,16 @@ object ExtensionQueries {
              |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
     ),
 
-    // Scene segmentation from REAL decoded frames: the planted AVI
-    // family's within-scene jitter (mean delta exactly 1) stays under
-    // the cut threshold and its scene jumps (mean delta 40±1) cross
-    // it. The exact cross-multiplied cut rule is bit-portable, so the
-    // oracle regenerates every frame's linear block plant and replays
-    // lag + threshold + running-count in SQL — the recovered
-    // segmentation must match the planted one frame-for-frame.
+    // Scene segmentation from REAL decoded frames across BOTH frame
+    // containers (even doc_ids MJPEG-in-AVI via the RIFF walk, odd
+    // MJPEG-in-Matroska via the EBML SimpleBlock walk — identical
+    // planted frame content, so one oracle covers both): the
+    // within-scene jitter (mean delta exactly 1) stays under the cut
+    // threshold and scene jumps (mean delta 40±1) cross it. The exact
+    // cross-multiplied cut rule is bit-portable, so the oracle
+    // regenerates every frame's linear block plant and replays lag +
+    // threshold + running-count in SQL — the recovered segmentation
+    // must match the planted one frame-for-frame.
     QueryDef(
       "multimodal_scene_cuts",
       (s, dir) => Multimodal.sceneCutsReal(s, Tables.documents(s, dir)),

@@ -813,7 +813,8 @@ object RelationalQueries {
         graft.ops.TrafOps.rangeJoinBucketed(a, b, Seq("user_id"), "ts_a", "ts_b", 300)
           .filter(col("event_a") =!= col("event_b"))
           .select(col("user_id"), col("event_a"), col("event_b"),
-            (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+            (graft.ops.TrafOps.epochMicros(col("ts_b")) -
+              graft.ops.TrafOps.epochMicros(col("ts_a"))).as("gap_us"))
       },
       Some("""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
              |       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

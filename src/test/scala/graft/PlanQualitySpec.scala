@@ -12,10 +12,32 @@ class PlanQualitySpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private lazy val plans: Map[String, String] =
+  // One unanalyzable query must fail as ONE named row (and the per-query
+  // units in RegistryAnalysisSpec), not abort every registry-wide rule in
+  // this suite (round 5: two analysis failures presented as 14 opaque
+  // plan-quality failures). Registry-wide rules iterate what planned;
+  // the dedicated test below reports what didn't, by name.
+  private lazy val planned: Map[String, Either[String, String]] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+      name -> (try Right(fn(spark, sfDir).queryExecution.executedPlan.toString)
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+        })
     }
+
+  private lazy val plans: Map[String, String] =
+    planned.collect { case (n, Right(p)) => (n, p) }
+
+  /** Named accessor for single-query assertions: an unanalyzable query
+    * fails with its own analysis error, not a key-lookup error.
+    */
+  private def plan(name: String): String =
+    planned(name).fold(m => fail(s"$name failed analysis: $m"), identity)
+
+  test("every registry query plans against the live fixtures") {
+    val bad = planned.collect { case (n, Left(m)) => s"$n: $m" }.toSeq.sorted
+    assert(bad.isEmpty, s"${bad.size} unanalyzable queries:\n${bad.mkString("\n")}")
+  }
 
   // Nested-loop is acceptable only when one side is O(1) rows by
   // construction: the deliberate tiny-dim cross join, the 1-row query
@@ -91,40 +113,40 @@ class PlanQualitySpec extends SparkSpec {
   test("per-document text ops are join-free (winnowing, surprisal-free scans)") {
     // winnowing is windows within doc_id only: any Join appearing here
     // means the per-doc shape broke
-    assert(!plans("text_winnow_fingerprints").contains("Join"),
+    assert(!plan("text_winnow_fingerprints").contains("Join"),
       "winnowing must stay a per-document window op")
     // the repetition scans are pure projections + one doc-keyed agg
     for (name <- Seq("text_dup_ngram_frac", "text_quality_score", "text_rule_flags"))
-      assert(!plans(name).contains("Join"), s"$name must stay join-free")
+      assert(!plan(name).contains("Join"), s"$name must stay join-free")
   }
 
   test("dimension joins broadcast (q3/q5/q19, semi, anti)") {
     for (name <- Seq("q3_revenue_topk", "q5_region_revenue", "q19_disjunctive_filter",
         "join_semi_customers", "customers_without_big_orders"))
-      assert(plans(name).contains("BroadcastHashJoin"), s"no broadcast in $name")
+      assert(plan(name).contains("BroadcastHashJoin"), s"no broadcast in $name")
   }
 
   test("the bucketed range join is an equi join, not a nested loop") {
-    val p = plans("join_range_pairs")
+    val p = plan("join_range_pairs")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), "range join lost its equi-join decomposition")
   }
 
   test("ORDER BY + LIMIT fuses to TakeOrderedAndProject (W1 physical form)") {
     for (name <- Seq("topk_orders", "w1_latest_run"))
-      assert(plans(name).contains("TakeOrderedAndProject"), s"no top-k fusion in $name")
+      assert(plan(name).contains("TakeOrderedAndProject"), s"no top-k fusion in $name")
   }
 
   test("single-exchange aggregations stay single-exchange (partial agg before shuffle)") {
     for (name <- Seq("q1_pricing_summary", "flagship_hourly_ingest", "a2_daily_rollup",
         "monthly_revenue_series", "histogram_value_buckets", "agg_variance_exact")) {
-      val n = "Exchange".r.findAllIn(plans(name)).size
+      val n = "Exchange".r.findAllIn(plan(name)).size
       assert(n == 1, s"$name has $n exchanges, expected 1")
     }
   }
 
   test("event time-window filters reach the parquet scan as pushed filters") {
-    val p = plans("f2_expiry_filter")
+    val p = plan("f2_expiry_filter")
     assert(p.contains("GreaterThanOrEqual(ts,") && p.contains("PushedFilters: ["),
       s"expiry bound not pushed to scan:\n${p.take(2000)}")
   }
@@ -170,9 +192,13 @@ class PlanQualitySpec extends SparkSpec {
     val calendarBounded = Set("window_moving_sum", "window_range_frame",
       "encode_event_types")
     for ((name, fn) <- SparkEntry.queries if !calendarBounded(name)) {
-      val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+      // unanalyzable queries are reported by name elsewhere; this rule
+      // checks the window shape of the queries that do plan
+      val opt = try Some(fn(spark, sfDir).queryExecution.optimizedPlan)
+        catch { case _: Throwable => None }
+      val bad = opt.toSeq.flatMap(_.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
-      }
+      })
       assert(bad.isEmpty, s"global (empty-partition) window in $name")
     }
   }
@@ -207,12 +233,12 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("stratified sample's rank filter pushes into the sort (WindowGroupLimit)") {
-    assert(plans("curation_stratified_sample").contains("WindowGroupLimit"),
+    assert(plan("curation_stratified_sample").contains("WindowGroupLimit"),
       "rn <= k should become a per-partition top-k, not a full per-stratum sort")
   }
 
   test("batched ANN's per-query top-k pushes into the sort (WindowGroupLimit)") {
-    assert(plans("embed_ann_batch").contains("WindowGroupLimit"),
+    assert(plan("embed_ann_batch").contains("WindowGroupLimit"),
       "rn <= k should become a per-query group limit, not a full per-bucket sort")
   }
 
@@ -220,19 +246,19 @@ class PlanQualitySpec extends SparkSpec {
     // the O(batch) maintenance path must stay a pure projection: the
     // centroid set rides as literals inside the argmax expression, so a
     // Join/Exchange here means the scale story broke
-    val p = plans("embed_ivf_incremental")
+    val p = plan("embed_ivf_incremental")
     assert(!p.contains("Join"), "incremental IVF assignment must not join")
   }
 
   test("batched IVF and PQ per-query top-k push into the sort (WindowGroupLimit)") {
-    assert(plans("embed_ivf_batch").contains("WindowGroupLimit"),
+    assert(plan("embed_ivf_batch").contains("WindowGroupLimit"),
       "IVF batch rn <= k should become a per-query group limit")
-    assert(plans("embed_pq_batch").contains("WindowGroupLimit"),
+    assert(plan("embed_pq_batch").contains("WindowGroupLimit"),
       "PQ batch rn <= k should become a per-query group limit")
   }
 
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
-    val p = plans("q1_pricing_summary")
+    val p = plan("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),
       "q1 scan should include l_quantity and prune l_suppkey")
   }

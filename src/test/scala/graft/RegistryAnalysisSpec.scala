@@ -1,0 +1,22 @@
+package graft
+
+/** One named unit per registry entry asserting the query ANALYZES against
+  * the live driver fixtures (no execution — resolution only, so the whole
+  * sweep costs seconds). This is the early-warning layer for
+  * fixture-schema drift: when the driver regenerates parquet with a new
+  * writer convention (round 5: `isAdjustedToUTC=false` timestamps read as
+  * TIMESTAMP_NTZ and two queries stopped resolving), the break surfaces
+  * here as `analysis: <query>` rows naming exactly the affected queries,
+  * instead of cascading through registry-wide plan rules.
+  */
+class RegistryAnalysisSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    test(s"analysis: $name") {
+      // touching .analyzed forces resolution; exceptions carry the
+      // analyzer's message (unresolved column, type mismatch, …)
+      fn(spark, sfDir).queryExecution.assertAnalyzed()
+    }
+}

@@ -736,10 +736,28 @@ class TextAndMultimodalSpec extends SparkSpec {
       assert(sceneId == frameIdx / fps, s"doc $id frame $frameIdx")
       assert(isCut == (if (frameIdx % fps == 0) 1L else 0L))
     }
-    // every doc contributes all its ns*fps frames
+    // every doc contributes all its ns*fps frames — through BOTH
+    // containers (even ids AVI, odd ids Matroska)
     val perDoc = rows.groupBy(_._1).view.mapValues(_.length)
     for (id <- 0L until 24L)
       assert(perDoc(id) == ((2 + id % 3) * (2 + id % 2)).toInt)
+  }
+
+  test("MJPEG-in-MKV frame walk matches the AVI walk frame-for-frame") {
+    import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, VideoFrames}
+    for (id <- 0L until 12L) {
+      val avi = MjpegFrames.decode(id, MediaFixtures.sceneAviBytes(id))
+      val mkv = MkvMjpegFrames.decode(id, MediaFixtures.sceneMkvBytes(id))
+      assert(avi.nonEmpty, s"doc $id: AVI walk found no frames")
+      assert(avi == mkv, s"doc $id: container walks disagree")
+    }
+    // the dispatcher routes on the magic, not the doc id
+    assert(VideoFrames.decode(5, MediaFixtures.sceneMkvBytes(5)).nonEmpty)
+    assert(VideoFrames.decode(4, MediaFixtures.sceneAviBytes(4)).nonEmpty)
+    // malformed input: no rows, never an exception
+    assert(MkvMjpegFrames.decode(3, Array[Byte](1, 2, 3)) == Nil)
+    val truncated = MediaFixtures.sceneMkvBytes(3).take(40)
+    assert(MkvMjpegFrames.decode(3, truncated) == Nil)
   }
 
   test("MjpegFrames: decodes every movi frame to the planted block sums") {

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.model.Tables
+import graft.ops.TrafOps
+
+/** Fixture-convention matrix: the SAME rows written under BOTH parquet
+  * timestamp conventions — `isAdjustedToUTC=true` (Spark's writer
+  * default) and `isAdjustedToUTC=false` (DuckDB/Arrow/Hive, which
+  * Spark 4 infers as TIMESTAMP_NTZ) — driven through every
+  * timestamp-consuming operator. Round 5 regressed when the driver's
+  * fixture regeneration switched conventions and `unix_micros` call
+  * sites stopped resolving; this spec pins both conventions green so a
+  * writer change on either side can never break the engine again.
+  */
+class TimestampConventionSpec extends SparkSpec {
+
+  private lazy val dir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-tsconv")
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: two sessions (gap > 300 s between 10:00:00 and 10:30:00)
+      (1L, "view", 101L, "2024-03-01 10:00:00", 1.0),
+      (1L, "view", 102L, "2024-03-01 10:02:00", 2.0),
+      (1L, "click", 103L, "2024-03-01 10:30:00", 3.0),
+      // user 2: one session spanning an hour boundary
+      (2L, "view", 201L, "2024-03-01 10:59:00", 4.0),
+      (2L, "buy", 202L, "2024-03-01 11:01:00", 5.0),
+      // user 3: single event
+      (3L, "view", 301L, "2024-03-02 09:15:30", 6.0),
+    ).toDF("user_id", "event_type", "event_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    rows.coalesce(1).write.parquet(s"$d/adjusted/events.parquet")
+    rows.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$d/ntz/events.parquet")
+    d
+  }
+
+  /** Relabel NTZ output columns to TIMESTAMP for cross-convention
+    * comparison (identity under the UTC test session).
+    */
+  private def normOut(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampNTZType) d.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d
+    }
+
+  /** Every timestamp-consuming operator shape, over an arbitrary events
+    * frame.
+    */
+  private def operatorResults(ev: DataFrame): Seq[(String, DataFrame)] = {
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"), col("event_id").as("event_a"))
+    val b = ev.select(col("user_id"), col("ts").as("ts_b"), col("event_id").as("event_b"))
+    val state = ev.filter(col("ts") < to_timestamp(lit("2024-03-01 10:30:00")))
+    Seq(
+      "sessionize" -> TrafOps.sessionize(
+        ev, Seq("user_id"), "ts", 300, Seq(col("ts"), col("event_id"))),
+      "range_join" -> TrafOps.rangeJoinBucketed(
+        a, b, Seq("user_id"), "ts_a", "ts_b", 300),
+      "asof_join" -> TrafOps.asofJoin(
+        a.withColumnRenamed("ts_a", "ts"), b.withColumnRenamed("ts_b", "rts"),
+        Seq("user_id"), "ts", "rts", Seq("event_b" -> "last_event")),
+      "hourly_rollup" -> TrafOps.hourlyRollup(ev),
+      "daily_rollup" -> TrafOps.dailyRollup(ev),
+      "high_water_mark" -> TrafOps.afterHighWaterMark(ev, state, "ts"),
+      "last_write_wins" -> TrafOps.lastWriteWins(
+        ev, Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc)),
+    )
+  }
+
+  test("both writer conventions read as session TIMESTAMP through Tables") {
+    for (conv <- Seq("adjusted", "ntz")) {
+      val ev = Tables.events(spark, s"$dir/$conv")
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$conv fixture should read as TIMESTAMP at the scan")
+      assert(ev.count() == 6)
+    }
+  }
+
+  test("timestamp operators agree row-for-row across writer conventions") {
+    val adjusted = Tables.events(spark, s"$dir/adjusted")
+    val ntz = Tables.events(spark, s"$dir/ntz")
+    for (((name, ra), (_, rn)) <- operatorResults(adjusted).zip(operatorResults(ntz))) {
+      assert(rows(ra) == rows(rn), s"$name differs between parquet conventions")
+      assert(rows(ra).nonEmpty, s"$name produced no rows — vacuous comparison")
+    }
+  }
+
+  test("operators are NTZ-tolerant on a raw TIMESTAMP_NTZ frame") {
+    // A user frame that never went through Tables (inference left ON):
+    // the operator layer itself must accept NTZ, not just the read path.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val raw =
+      try spark.read.parquet(s"$dir/ntz/events.parquet")
+      finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    assert(raw.schema("ts").dataType == TimestampNTZType, "precondition: raw NTZ frame")
+    val adjusted = Tables.events(spark, s"$dir/adjusted")
+    for (((name, ra), (_, rn)) <- operatorResults(adjusted).zip(operatorResults(raw))) {
+      assert(rows(ra) == rows(normOut(rn)), s"$name differs on a raw NTZ frame")
+    }
+    // normalizeEventTs relabels the frame for callers that want TIMESTAMP
+    assert(Tables.normalizeEventTs(raw).schema("ts").dataType == TimestampType)
+  }
+
+  test("eventsBetween pushes its window bounds on both conventions") {
+    for (conv <- Seq("adjusted", "ntz")) {
+      val w = Tables.eventsBetween(spark, s"$dir/$conv",
+        Some("2024-03-01 10:00:00"), Some("2024-03-01 11:00:00"))
+      assert(w.count() == 4, s"$conv window filter wrong")
+      val scan = w.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters: [") && scan.contains("GreaterThanOrEqual(ts,"),
+        s"$conv window bound not pushed to the scan:\n${scan.take(1500)}")
+    }
+  }
+}
