@@ -261,10 +261,32 @@ object TextAnalytics {
     * and joins back to the word stream — per-word work never repeats
     * per occurrence, the shape that holds at corpus scale.
     */
-  def bpeEncodeStats(docs: DataFrame, k: Int = 6, textCol: String = "text"): DataFrame = {
+  def bpeEncodeStats(docs: DataFrame, k: Int = 6, textCol: String = "text"): DataFrame =
+    bpeEncodeWithMerges(docs,
+      trainBpeMergeList(docs, k, textCol).map(m => (m._2, m._3)), textCol)
+
+  /** The trained merge table as a driver-side value (ordered (left,
+    * right) pairs) — the persistable tokenizer artifact
+    * [[bpeEncodeWithMerges]] consumes.
+    */
+  def trainedBpeMerges(docs: DataFrame, k: Int = 6,
+      textCol: String = "text"): Seq[(String, String)] =
+    trainBpeMergeList(docs, k, textCol).map(m => (m._2, m._3))
+
+  /** Encode with a PERSISTED merge table — the incremental half of the
+    * BPE family (the minhash-band-index / IVF-cells pattern applied to
+    * tokenization): the tokenizer is trained ONCE on the history corpus
+    * and each daily batch is segmented with the frozen k-row merge
+    * table. Batch cost is O(batch + batch-vocabulary) — segmentation
+    * runs over the batch's DISTINCT words and joins back by word; no
+    * retraining, no history scan, so the op stays O(batch) against a
+    * 100 TB corpus. The merge table rides in the closure (k rows — a
+    * tokenizer's merge list, never corpus-sized).
+    */
+  def bpeEncodeWithMerges(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = trainBpeMergeList(docs, k, textCol).map(m => (m._2, m._3))
     val words = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(bpeishTokens(col(textCol))).as("word"))
@@ -304,12 +326,67 @@ object TextAnalytics {
        |  CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
        |FROM wd JOIN s$k s USING (word) GROUP BY doc_id""".stripMargin
 
-  /** The shared k-round CTE chain (w, s0, then p/m/c/k/s per round). */
-  private def bpeChainSql(k: Int): String = {
+  /** The DuckDB twin of [[bpeEncodeWithMerges]] over a history/batch
+    * split: the k-round chain TRAINS on `documents WHERE trainPred`
+    * only (producing the frozen m1..mk merge tables), then a parallel
+    * bs0..bsk chain segments the BATCH slice's distinct words by
+    * applying each frozen merge in order (same greedy parity rule), and
+    * the batch's word stream joins the round-k segmentation for the
+    * per-doc counts. Batch words absent from the training vocabulary
+    * segment correctly — the application chain runs on the batch's own
+    * word set, exactly like the engine's fold over distinct words.
+    */
+  def bpeIncrementalEncodeOracleSql(k: Int, trainPred: String,
+      encodePred: String): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    sb ++= bpeChainSql(k, trainPred)
+    // batch-side segmentation chain: word → chars, then k frozen merges
+    sb ++= s""",
+              |bs0 AS MATERIALIZED (SELECT word,
+              |    list_transform(range(1, CAST(length(word) AS INT) + 1),
+              |                   i -> substr(word, CAST(i AS INT), 1)) AS syms
+              |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS word
+              |        FROM documents WHERE $encodePred)
+              |  GROUP BY word)""".stripMargin
+    for (r <- 1 to k) {
+      val p = r - 1
+      sb ++= s""",
+                |bc$r AS MATERIALIZED (SELECT word, i,
+                |    row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rk
+                |  FROM (SELECT e.word, e.i,
+                |        e.i - row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS grp
+                |      FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM bs$p) e, m$r
+                |      WHERE e.syms[e.i] = m$r.a AND e.syms[e.i + 1] = m$r.b)),
+                |bk$r AS MATERIALIZED (SELECT word, i FROM bc$r WHERE rk % 2 = 1),
+                |bs$r AS MATERIALIZED (SELECT word, list(sym ORDER BY j) AS syms
+                |  FROM (SELECT x.word, x.j,
+                |        CASE WHEN kk.i IS NOT NULL THEN x.syms[x.j] || x.syms[x.j + 1]
+                |             ELSE x.syms[x.j] END AS sym
+                |      FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS j
+                |            FROM bs$p) x
+                |      LEFT JOIN bk$r kk ON kk.word = x.word AND kk.i = x.j
+                |      LEFT JOIN bk$r kp ON kp.word = x.word AND kp.i = x.j - 1
+                |      WHERE kp.i IS NULL)
+                |  GROUP BY word)""".stripMargin
+    }
+    sb ++= s""",
+              |bwd AS (SELECT doc_id,
+              |    unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS word
+              |  FROM documents WHERE $encodePred)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+              |FROM bwd JOIN bs$k s USING (word) GROUP BY doc_id""".stripMargin
+    sb.result()
+  }
+
+  /** The shared k-round CTE chain (w, s0, then p/m/c/k/s per round);
+    * `trainPred` restricts the training corpus (default: all documents).
+    */
+  private def bpeChainSql(k: Int, trainPred: String = "TRUE"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
              |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[[:punct:]]')) AS word
-             |        FROM documents)
+             |        FROM documents WHERE $trainPred)
              |  GROUP BY word),
              |s0 AS MATERIALIZED (SELECT word, freq,
              |    list_transform(range(1, CAST(length(word) AS INT) + 1),

@@ -1493,6 +1493,28 @@ object ExtensionQueries {
       Some(TextAnalytics.bpeEncodeOracleSql(6)),
     ),
 
+    // INCREMENTAL tokenizer application — the missing incremental
+    // variant of the BPE family (exact dedup, minhash, and IVF all have
+    // one): the merge table is trained ONCE on the history slice
+    // (doc_id < 250) and the new batch (doc_id >= 250) is segmented
+    // with the FROZEN table — no retraining, no history scan, so a
+    // daily batch stays O(batch + batch-vocabulary) against a 100 TB
+    // corpus. Batch words outside the training vocabulary segment fine
+    // (the fold runs on the batch's own distinct words). The oracle
+    // trains the identical k-round chain on the history slice, then
+    // replays the frozen merges over the batch's word set.
+    QueryDef(
+      "text_bpe_encode_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = TextAnalytics.trainedBpeMerges(
+          docs.filter(col("doc_id") < 250), k = 6)
+        TextAnalytics.bpeEncodeWithMerges(docs.filter(col("doc_id") >= 250), merges)
+      },
+      Some(TextAnalytics.bpeIncrementalEncodeOracleSql(
+        6, "doc_id < 250", "doc_id >= 250")),
+    ),
+
     // Multimodal decode plumbing (stub codec, real Dataset pipeline).
     QueryDef(
       "multimodal_decode_stub",

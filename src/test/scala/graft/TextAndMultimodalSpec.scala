@@ -1035,6 +1035,28 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(raw(2L) == 8L) // l,o,w + l,o,w,e,r
   }
 
+  test("bpeEncodeWithMerges: frozen tokenizer on a new batch, OOV segments as chars") {
+    val history = Seq((1L, "low lower lowest low"), (2L, "low lower")).toDF("doc_id", "text")
+    val merges = TextAnalytics.trainedBpeMerges(history, k = 3) // l+o, lo+w, low+e
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    // frozen-table encode over the training corpus ≡ retraining encode
+    val frozen = TextAnalytics.bpeEncodeWithMerges(history, merges)
+      .as[(Long, Long, Long)].collect().toSet
+    val retrain = TextAnalytics.bpeEncodeStats(history, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(frozen == retrain, "frozen table must reproduce the retrain encode")
+    // a NEW batch: in-vocab prefixes compress, out-of-vocab words fall
+    // back to character segmentation (low=1, lowest=3, zebra=5 chars)
+    val batch = Seq((9L, "low lowest zebra")).toDF("doc_id", "text")
+    val got = TextAnalytics.bpeEncodeWithMerges(batch, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(9L) == ((3L, 1L + 3L + 5L)))
+    // empty merge table: pure character counts
+    val none = TextAnalytics.bpeEncodeWithMerges(batch, Nil)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(none(9L) == (3L + 6L + 5L))
+  }
+
   test("ImageHeaders: EXIF orientation via the APP1/TIFF IFD walk") {
     import graft.functions.{ImageHeaders, MediaFixtures}
     for (o <- 1 to 8) {
