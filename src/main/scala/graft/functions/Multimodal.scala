@@ -2262,6 +2262,35 @@ object Multimodal {
     sceneCuts(VideoFrames.frameStats(payloads).toDF())
   }
 
+  /** Keyframe extraction — the frame-sampling product a video training
+    * pipeline consumes from scene segmentation: one row per (video,
+    * scene) with the scene's opening frame (`keyframe_idx` — the frame
+    * the cut detector fired on) and its length. Collapses
+    * [[sceneCuts]]'s per-frame output with a (doc_id, scene_id) agg;
+    * the window's doc_id hash partitioning already satisfies the
+    * grouping's clustered distribution, so the agg adds NO exchange —
+    * keyframing a 100 TB corpus costs exactly the one video-keyed
+    * shuffle the cut detector needs anyway.
+    */
+  def keyframes(frames: DataFrame, thrNum: Long = 4, thrDen: Long = 1): DataFrame =
+    sceneCuts(frames, thrNum, thrDen)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("keyframe_idx"),
+        count(lit(1)).as("n_frames"))
+
+  /** [[keyframes]] over the dual-container planted scene family: the
+    * recovered keyframe set must be exactly frame `s·fps` of each
+    * planted scene `s`, through both real container walks.
+    */
+  def keyframesReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id,
+        if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
+        else MediaFixtures.sceneMkvBytes(id)))
+    keyframes(VideoFrames.frameStats(payloads).toDF())
+  }
+
   /** Perceptual audio fingerprints over REAL decoded PCM: 64-bit
     * energy-difference hash ([[AudioFingerprint]]) through the same
     * decode-inside-the-partition plumbing — the oracle regenerates the

@@ -1836,6 +1836,39 @@ object ExtensionQueries {
              |FROM cut""".stripMargin),
     ),
 
+    // Keyframe extraction — the consumable product of scene
+    // segmentation (one row per scene: opening frame + length), over
+    // the same dual-container family. The agg rides the cut detector's
+    // doc-keyed shuffle (no extra exchange); the oracle extends the
+    // scene chain with the same (doc, scene) rollup, so the planted
+    // truth is keyframe_idx = scene·fps and n_frames = fps exactly.
+    QueryDef(
+      "multimodal_keyframes",
+      (s, dir) => Multimodal.keyframesReal(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 2 + 1 AS wb,
+             |    2 + doc_id % 3 AS ns, 2 + doc_id % 2 AS fps FROM documents),
+             |g AS (SELECT p.doc_id, p.wb, p.fps, f.f, bx.bx
+             |  FROM p, range(0, 12) AS f(f), range(0, 2) AS bx(bx)
+             |  WHERE f.f < p.ns * p.fps AND bx.bx < p.wb),
+             |fs AS (SELECT doc_id, f, 64 * wb AS n_px,
+             |    sum(64 * (20 + (f // fps) * 40 + bx * 2 + f % 2)) AS sum_s
+             |  FROM g GROUP BY 1, 2, 3),
+             |c AS (SELECT doc_id, f, n_px, sum_s,
+             |    lag(sum_s) OVER w AS ps, lag(n_px) OVER w AS pn
+             |  FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+             |cut AS (SELECT doc_id, f,
+             |    CASE WHEN ps IS NULL THEN 1
+             |         WHEN abs(sum_s * pn - ps * n_px) > 4 * n_px * pn THEN 1
+             |         ELSE 0 END AS is_cut FROM c),
+             |sc AS (SELECT doc_id, f,
+             |    sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f) - 1 AS scene_id
+             |  FROM cut)
+             |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+             |  CAST(min(f) AS BIGINT) AS keyframe_idx,
+             |  CAST(count(*) AS BIGINT) AS n_frames
+             |FROM sc GROUP BY 1, 2""".stripMargin),
+    ),
+
     // REAL video decode: deterministic valid MP4/ISO-BMFF containers
     // (ftyp + moov(mvhd + n·trak(…stbl/stsz))) planted from doc_id
     // arithmetic, parsed by the pure-JVM box walk (VideoHeaders) —

@@ -257,6 +257,14 @@ class PlanQualitySpec extends SparkSpec {
       "PQ batch rn <= k should become a per-query group limit")
   }
 
+  test("keyframe rollup rides the cut detector's shuffle (one exchange total)") {
+    // groupBy (doc_id, scene_id) must be satisfied by the window's
+    // doc_id hash partitioning — a second Exchange here means the
+    // keyframe agg stopped riding the scene-cut shuffle
+    val n = "Exchange".r.findAllIn(plan("multimodal_keyframes")).size
+    assert(n == 1, s"multimodal_keyframes has $n exchanges, expected 1")
+  }
+
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("l_quantity") && !p.contains("l_suppkey"),

@@ -743,6 +743,21 @@ class TextAndMultimodalSpec extends SparkSpec {
       assert(perDoc(id) == ((2 + id % 3) * (2 + id % 2)).toInt)
   }
 
+  test("keyframesReal: one row per planted scene, keyframe at scene*fps, length fps") {
+    import graft.functions.Multimodal
+    val docs = spark.range(0, 24).toDF("doc_id")
+    val rows = Multimodal.keyframesReal(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((id, sceneId, kf, nf) <- rows) {
+      val fps = 2 + id % 2
+      assert(kf == sceneId * fps, s"doc $id scene $sceneId keyframe $kf")
+      assert(nf == fps, s"doc $id scene $sceneId length $nf")
+    }
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.length)
+    for (id <- 0L until 24L)
+      assert(perDoc(id) == (2 + id % 3).toInt, s"doc $id scene count")
+  }
+
   test("MJPEG-in-MKV frame walk matches the AVI walk frame-for-frame") {
     import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, VideoFrames}
     for (id <- 0L until 12L) {
