@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, VideoFrames}
+
+/** ScalaCheck robustness properties for the video container walkers —
+  * the parsers that face raw crawl bytes at 100 TB, where a malformed
+  * container must NEVER fail a task (the engine's drop-the-row
+  * contract) and must never fabricate frames. For ALL planted videos
+  * and ALL corruptions (truncation at any byte, any single-byte
+  * mutation, random garbage): no exception escapes, frame counts never
+  * exceed the planted count, and every emitted stat row keeps the
+  * decoder's invariants (dimensions/pixel-count consistency, stats
+  * within the 8-bit sample range). Pure JVM — no Spark jobs, so cases
+  * are cheap.
+  */
+class ContainerWalkPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val docId: Gen[Long] = Gen.chooseNum(0L, 200L)
+
+  private def planted(id: Long): (Array[Byte], Int) = {
+    val bytes =
+      if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
+      else MediaFixtures.sceneMkvBytes(id)
+    val frames = ((2 + id % 3) * (2 + id % 2)).toInt
+    (bytes, frames)
+  }
+
+  test("truncation at any byte: no throw, never more frames than planted") {
+    check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
+      val (bytes, frames) = planted(id)
+      val cut = (bytes.length * fr).toInt.min(bytes.length)
+      val out = VideoFrames.decode(id, java.util.Arrays.copyOf(bytes, cut))
+      out.lengthCompare(frames) <= 0 &&
+        out.forall(s => s.n_px == s.width * s.height && s.frame_idx < frames)
+    })
+  }
+
+  test("single-byte mutation: no throw, bounded frames, sane stats") {
+    check(Prop.forAll(docId, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 255)) {
+      (id, posSeed, newByte) =>
+        val (bytes, frames) = planted(id)
+        val mutated = bytes.clone()
+        mutated(posSeed % bytes.length) = newByte.toByte
+        val out = VideoFrames.decode(id, mutated)
+        // a flipped byte may corrupt sizes, drop frames, or change pixels
+        // — but may never add frames beyond the container's block count
+        // or break per-row arithmetic invariants
+        out.lengthCompare(frames) <= 0 && out.forall { s =>
+          s.n_px == s.width * s.height && s.n_px > 0 &&
+            s.sum_s >= 0 && s.sum_s <= 255L * s.n_px * s.n_comp.max(1) &&
+            s.sumsq_s >= 0
+        }
+    })
+  }
+
+  test("random garbage bytes: no throw, no rows from non-containers") {
+    val garbage: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    check(Prop.forAll(garbage) { b =>
+      // without a valid RIFF/AVI or EBML prelude there is nothing to
+      // walk; both walkers must return Nil (the magic checks reject, or
+      // the walk finds no movi/Cluster payloads)
+      MjpegFrames.decode(0, b).isEmpty && MkvMjpegFrames.decode(0, b).isEmpty
+    })
+  }
+
+  test("intact containers always decode the full planted frame set") {
+    check(Prop.forAll(docId) { id =>
+      val (bytes, frames) = planted(id)
+      val out = VideoFrames.decode(id, bytes)
+      out.length == frames && out.map(_.frame_idx).toSet == (0L until frames).toSet
+    })
+  }
+}
