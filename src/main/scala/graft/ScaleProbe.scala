@@ -158,6 +158,19 @@ object ScaleProbe {
     timed("quality_classifier")(
       TextAnalytics.qualityClassifier(docs).count())
 
+    // Round-6 operators: the keyframe rollup (rides the scene window's
+    // doc-keyed shuffle — zero extra exchange) and the frozen-table
+    // incremental BPE encode (tokenizer trained on the copy-0 history
+    // slice, every other copy encoded as the batch with the persisted
+    // merge table — the O(batch) daily shape).
+    timed("keyframes")(
+      graft.functions.Multimodal.keyframesReal(spark, docs).count())
+    timed("bpe_encode_incremental")(
+      TextAnalytics.bpeEncodeWithMerges(
+        docs.filter(col("doc_id") >= 1000000L),
+        TextAnalytics.trainedBpeMerges(
+          docs.filter(col("doc_id") < 1000000L), k = 6)).count())
+
     spark.stop()
   }
 }
