@@ -98,6 +98,42 @@ object CurationPipeline {
     * cosine norm — so [[probeAnn]] runs straight off the state with no
     * corpus re-join.
     */
+  /** Persisted tokenizer state: the frozen k-row BPE merge table —
+    * by far the smallest state table of the pipeline (a tokenizer is
+    * k rows whatever the corpus size), and the one whose recompute is
+    * the most expensive relative to its size (k driver-coordinated
+    * training rounds over the corpus vocabulary).
+    */
+  final case class TokenizerState(mergesPath: String)
+
+  /** Train the k-round merge table ONCE on the history corpus and
+    * freeze it to parquet (rewrite, never append — a merge table is
+    * replaced wholesale when retrained, like the IVF centroids).
+    */
+  def trainTokenizer(spark: SparkSession, dir: String, corpus: DataFrame,
+      k: Int = 6): TokenizerState = {
+    val st = TokenizerState(s"$dir/bpe_merges")
+    TextAnalytics.trainBpeMerges(corpus, k)
+      .write.mode(SaveMode.Overwrite).parquet(st.mergesPath)
+    st
+  }
+
+  /** O(batch + batch-vocabulary) batch encode against the frozen
+    * table: the k merge rows are read ordered by training round (order
+    * is the tokenizer — applying merges out of order is a different
+    * segmenter) and folded over the batch's distinct words
+    * ([[TextAnalytics.bpeEncodeWithMerges]]). The k-row collect is
+    * size-bounded by construction; history text is never touched.
+    */
+  def encodeBatch(spark: SparkSession, batch: DataFrame,
+      state: TokenizerState): DataFrame = {
+    val merges = spark.read.parquet(state.mergesPath)
+      .orderBy("round")
+      .select("left_tok", "right_tok")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalytics.bpeEncodeWithMerges(batch, merges)
+  }
+
   final case class AnnState(centroidsPath: String, cellsPath: String)
 
   /** Build the IVF index state from a seed corpus: centroids seeded and

@@ -90,6 +90,31 @@ class CurationPipelineSpec extends SparkSpec {
     assert(dC == dU)
   }
 
+  test("tokenizer state: frozen merge table encodes batches without retraining") {
+    val dir = Files.createTempDirectory("curation-tok").toString
+    val history = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val st = CurationPipeline.trainTokenizer(spark, dir, history, k = 6)
+    // the persisted table IS the in-memory trained table, in round order
+    val persisted = spark.read.parquet(st.mergesPath).orderBy("round")
+      .select("left_tok", "right_tok")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(persisted == TextAnalytics.trainedBpeMerges(history, k = 6))
+    // state-path encode ≡ direct frozen-table encode, and deterministic
+    // across re-runs (the idempotence contract of every state table)
+    val viaState = CurationPipeline.encodeBatch(spark, batch, st)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = TextAnalytics.bpeEncodeWithMerges(batch, persisted)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaState == direct && viaState.nonEmpty)
+    assert(CurationPipeline.encodeBatch(spark, batch, st)
+      .as[(Long, Long, Long)].collect().toSet == viaState)
+    // retraining on a grown corpus REPLACES the table (rewrite, never
+    // append): still exactly k rows, not 2k
+    CurationPipeline.trainTokenizer(spark, dir, docs, k = 6)
+    assert(spark.read.parquet(st.mergesPath).count() == 6L)
+  }
+
   test("ANN maintenance: drift trips the skew trigger, re-index restores balance") {
     val dir = Files.createTempDirectory("ann-maintain").toString
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
