@@ -128,10 +128,13 @@ object Bench {
     val streaming = streamingSec.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // A run with failed queries must not look green to automation: record
-    // the nonzero rc INSIDE the artifact and exit with it (a "total" that
-    // silently excludes failed queries otherwise reads as a speedup).
-    val rc = if (results.exists(_._2 < 0)) 1 else 0
+    // A run with failed queries OR a failed streaming datapoint must not
+    // look green to automation: record the nonzero rc INSIDE the
+    // artifact and exit with it (a "total" that silently excludes failed
+    // queries otherwise reads as a speedup).
+    val rc =
+      if (results.exists(_._2 < 0) ||
+        streamingSec.get("curated_doc_stream_sec").exists(_ < 0)) 1 else 0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"rc":$rc,"sf":"$sfDir","reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"streaming":$streaming}"""
     println(json)

@@ -1009,13 +1009,48 @@ object VideoHeaders {
     * An all-ones (unknown) size extends to the parent's end, per spec.
     */
   private def decodeMkv(b: Array[Byte]): (String, Long, Long, Long) = {
-    def vintLen(first: Int): Int = Integer.numberOfLeadingZeros(first) - 23
     var scale = 1000000L
     var durTicks = -1.0
     var tracks = 0L
     var frames = 0L
     var sawInfo = false
-    def walk(start: Int, end: Int, depth: Int): Unit = {
+    EbmlWalk.walk(b,
+      id => { if (id == 0x1549a966L) sawInfo = true; mkvContainers(id) },
+      (id, payload, pEnd) =>
+        if (id == 0xaeL) tracks += 1
+        else if (id == 0x2ad7b1L) {
+          var v = 0L
+          var p = payload
+          while (p < pEnd) { v = (v << 8) | u8(b, p); p += 1 }
+          if (v > 0) scale = v
+        } else if (id == 0x4489L) {
+          if (pEnd - payload == 4)
+            durTicks = java.lang.Float.intBitsToFloat(be32(b, payload).toInt).toDouble
+          else if (pEnd - payload == 8)
+            durTicks = java.lang.Double.longBitsToDouble(be64(b, payload))
+        } else if (id == 0xa3L || id == 0xa1L) frames += 1)
+    if (!sawInfo || durTicks < 0) ("unknown", 0L, 0L, 0L)
+    else ("mkv", math.round(durTicks * scale / 1e6), tracks, frames)
+  }
+}
+
+/** The ONE EBML element walk both Matroska consumers share
+  * ([[VideoHeaders]]' metadata decode and [[MkvMjpegFrames]]' frame
+  * extraction): parses the id vint (1–4 bytes, length-marker kept) and
+  * size vint (1–8 bytes, marker stripped; all-ones = unknown size
+  * extends to the parent's end, oversized/truncated sizes clamp),
+  * descends into elements the `containers` predicate accepts (bounded
+  * depth), and hands every other element to `onElement(id,
+  * payloadStart, payloadEnd)`. The predicate may carry caller state
+  * (e.g. the saw-Info flag) — it is invoked exactly once per element.
+  */
+private[functions] object EbmlWalk {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  def vintLen(first: Int): Int = Integer.numberOfLeadingZeros(first) - 23
+
+  def walk(b: Array[Byte], containers: Long => Boolean,
+      onElement: (Long, Int, Int) => Unit): Unit = {
+    def go(start: Int, end: Int, depth: Int): Unit = {
       if (depth > 8) return
       var pos = start
       while (pos + 2 <= end) {
@@ -1040,27 +1075,12 @@ object VideoHeaders {
         val payload = szAt + szLen
         val pEnd =
           if (allOnes || sz > end.toLong - payload) end else payload + sz.toInt
-        if (mkvContainers(id)) {
-          if (id == 0x1549a966L) sawInfo = true
-          walk(payload, pEnd, depth + 1)
-        } else if (id == 0xaeL) tracks += 1
-        else if (id == 0x2ad7b1L) {
-          var v = 0L
-          var p = payload
-          while (p < pEnd) { v = (v << 8) | u8(b, p); p += 1 }
-          if (v > 0) scale = v
-        } else if (id == 0x4489L) {
-          if (pEnd - payload == 4)
-            durTicks = java.lang.Float.intBitsToFloat(be32(b, payload).toInt).toDouble
-          else if (pEnd - payload == 8)
-            durTicks = java.lang.Double.longBitsToDouble(be64(b, payload))
-        } else if (id == 0xa3L || id == 0xa1L) frames += 1
+        if (containers(id)) go(payload, pEnd, depth + 1)
+        else onElement(id, payload, pEnd)
         pos = pEnd
       }
     }
-    walk(0, b.length, 0)
-    if (!sawInfo || durTicks < 0) ("unknown", 0L, 0L, 0L)
-    else ("mkv", math.round(durTicks * scale / 1e6), tracks, frames)
+    go(0, b.length, 0)
   }
 }
 
@@ -1160,7 +1180,6 @@ object MjpegFrames {
   */
 object MkvMjpegFrames {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def vintLen(first: Int): Int = Integer.numberOfLeadingZeros(first) - 23
 
   def isEbml(b: Array[Byte]): Boolean =
     b.length >= 4 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
@@ -1170,33 +1189,16 @@ object MkvMjpegFrames {
     if (!isEbml(b)) return Nil
     val out = Seq.newBuilder[FramePixelStats]
     var idx = 0L
-    def walk(start: Int, end: Int, depth: Int): Unit = {
-      if (depth > 8) return
-      var pos = start
-      while (pos + 2 <= end) {
-        val idLen = vintLen(u8(b, pos))
-        if (idLen < 1 || idLen > 4 || pos + idLen > end) return
-        var eid = 0L
-        var i = 0
-        while (i < idLen) { eid = (eid << 8) | u8(b, pos + i); i += 1 }
-        val szAt = pos + idLen
-        if (szAt >= end) return
-        val szLen = vintLen(u8(b, szAt))
-        if (szLen < 1 || szLen > 8 || szAt + szLen > end) return
-        var sz = (u8(b, szAt) & (0xff >>> szLen)).toLong
-        var allOnes = sz == (0xffL >>> szLen)
-        i = 1
-        while (i < szLen) {
-          val v = u8(b, szAt + i); allOnes &&= v == 0xff; sz = (sz << 8) | v; i += 1
-        }
-        val payload = szAt + szLen
-        val pEnd =
-          if (allOnes || sz > end.toLong - payload) end else payload + sz.toInt
-        if (eid == 0x18538067L || eid == 0x1f43b675L) walk(payload, pEnd, depth + 1)
-        else if (eid == 0xa3L) { // SimpleBlock
-          val tLen = if (payload < pEnd) vintLen(u8(b, payload)) else -1
+    // descend Segment → Cluster only; everything else is a leaf here
+    EbmlWalk.walk(b, eid => eid == 0x18538067L || eid == 0x1f43b675L,
+      (eid, payload, pEnd) =>
+        if (eid == 0xa3L) { // SimpleBlock
+          // an EBML vint is 1–8 bytes; a 0x00 lead byte (vintLen 9) is
+          // invalid and must skip the block, not decode from a bogus
+          // offset
+          val tLen = if (payload < pEnd) EbmlWalk.vintLen(u8(b, payload)) else -1
           val fStart = payload + tLen + 3 // track vint + ts16 + flags
-          if (tLen >= 1 && fStart < pEnd) {
+          if (tLen >= 1 && tLen <= 8 && fStart < pEnd) {
             val jpeg = java.util.Arrays.copyOfRange(b, fStart, pEnd)
             JpegCodec.decode(jpeg).foreach { case (w, h, nComp, px) =>
               var sum = 0L
@@ -1210,11 +1212,7 @@ object MkvMjpegFrames {
             }
           }
           idx += 1
-        }
-        pos = pEnd
-      }
-    }
-    walk(0, b.length, 0)
+        })
     out.result()
   }
 }
@@ -2253,14 +2251,21 @@ object Multimodal {
     * BOTH real container walks (RIFF chunk walk and EBML SimpleBlock
     * walk) + the full JPEG decode chain.
     */
-  def sceneCutsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** The planted scene family's container-dispatch rule, held in ONE
+    * place: even doc_ids pack as MJPEG-in-AVI, odd as MJPEG-in-Matroska
+    * (identical frame content, so oracles need no per-container branch).
+    */
+  private def scenePayloads(spark: SparkSession,
+      docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .map(id => (id,
         if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
         else MediaFixtures.sceneMkvBytes(id)))
-    sceneCuts(VideoFrames.frameStats(payloads).toDF())
   }
+
+  def sceneCutsReal(spark: SparkSession, docs: DataFrame): DataFrame =
+    sceneCuts(VideoFrames.frameStats(scenePayloads(spark, docs)).toDF())
 
   /** Keyframe extraction — the frame-sampling product a video training
     * pipeline consumes from scene segmentation: one row per (video,
@@ -2282,14 +2287,8 @@ object Multimodal {
     * recovered keyframe set must be exactly frame `s·fps` of each
     * planted scene `s`, through both real container walks.
     */
-  def keyframesReal(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
-      .map(id => (id,
-        if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
-        else MediaFixtures.sceneMkvBytes(id)))
-    keyframes(VideoFrames.frameStats(payloads).toDF())
-  }
+  def keyframesReal(spark: SparkSession, docs: DataFrame): DataFrame =
+    keyframes(VideoFrames.frameStats(scenePayloads(spark, docs)).toDF())
 
   /** Perceptual audio fingerprints over REAL decoded PCM: 64-bit
     * energy-difference hash ([[AudioFingerprint]]) through the same

@@ -262,8 +262,7 @@ object TextAnalytics {
     * per occurrence, the shape that holds at corpus scale.
     */
   def bpeEncodeStats(docs: DataFrame, k: Int = 6, textCol: String = "text"): DataFrame =
-    bpeEncodeWithMerges(docs,
-      trainBpeMergeList(docs, k, textCol).map(m => (m._2, m._3)), textCol)
+    bpeEncodeWithMerges(docs, trainedBpeMerges(docs, k, textCol), textCol)
 
   /** The trained merge table as a driver-side value (ordered (left,
     * right) pairs) — the persistable tokenizer artifact

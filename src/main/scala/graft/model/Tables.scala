@@ -61,8 +61,20 @@ object Tables {
     // keeping the column TIMESTAMP at the SCAN (rather than casting after
     // the fact) keeps timestamp predicates min/max-prunable pushed
     // filters instead of stranding them above a cast projection.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    //
+    // Scoped to THIS read: parquet has no per-read inferTimestampNTZ
+    // option (verified against 4.1.2's ParquetOptions), so the session
+    // conf is toggled around the eager schema inference and restored —
+    // a user's own NTZ parquet read through the same session keeps
+    // stock Spark semantics.
+    val conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "false")
+    try spark.read.parquet(s"$sfDir/$name.parquet")
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
   }
 
   /** The `events` fixture carries a nanosecond-precision parquet
@@ -72,9 +84,21 @@ object Tables {
     * applies when casting ns→µs, so oracles agree. (Double division
     * would be wrong: epoch nanos ≈ 1.7e18 exceeds 2^53.)
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(table(spark, sfDir, "events"))
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(withNanosAsLong(spark)(table(spark, sfDir, "events")))
+
+  /** Scope the legacy nanos-as-long conf to one fixture read (the same
+    * no-session-leak discipline as [[table]]'s NTZ toggle).
+    */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val conf = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
   }
 
   /** ns-long → µs timestamp, applied to batch and streaming scans alike;
@@ -109,8 +133,7 @@ object Tables {
   def eventsBetween(
       spark: SparkSession, sfDir: String,
       fromIncl: Option[String] = None, toExcl: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
+    val raw = withNanosAsLong(spark)(table(spark, sfDir, "events"))
     val bounds: Seq[org.apache.spark.sql.Column] =
       if (raw.schema("ts").dataType == LongType)
         fromIncl.map(s => col("ts") >= utcMicros(s) * 1000L).toSeq ++

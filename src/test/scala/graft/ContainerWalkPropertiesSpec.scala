@@ -44,17 +44,21 @@ class ContainerWalkPropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("single-byte mutation: no throw, bounded frames, sane stats") {
+  test("single-byte mutation: no throw, bounded output, sane stats") {
     check(Prop.forAll(docId, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 255)) {
       (id, posSeed, newByte) =>
         val (bytes, frames) = planted(id)
         val mutated = bytes.clone()
         mutated(posSeed % bytes.length) = newByte.toByte
         val out = VideoFrames.decode(id, mutated)
-        // a flipped byte may corrupt sizes, drop frames, or change pixels
-        // — but may never add frames beyond the container's block count
-        // or break per-row arithmetic invariants
-        out.lengthCompare(frames) <= 0 && out.forall { s =>
+        // a flipped byte may corrupt sizes, drop frames, change pixels —
+        // or resynchronize the walk mid-payload and re-emit an embedded
+        // frame, so an exact planted-count bound is NOT a theorem here
+        // (unlike truncation). The invariants that are: no exception
+        // escapes, output stays within a loose DoS bound (planted max is
+        // 12 frames), and every emitted row keeps the decoder's
+        // arithmetic invariants.
+        out.lengthCompare(4 * frames) <= 0 && out.forall { s =>
           s.n_px == s.width * s.height && s.n_px > 0 &&
             s.sum_s >= 0 && s.sum_s <= 255L * s.n_px * s.n_comp.max(1) &&
             s.sumsq_s >= 0
