@@ -2241,16 +2241,6 @@ object Multimodal {
         col("scene_id"))
   }
 
-  /** [[sceneCuts]] over the planted scene-structured video family —
-    * even doc_ids as MJPEG-in-AVI, odd as MJPEG-in-Matroska, with
-    * IDENTICAL planted frame content, decoded by the
-    * container-dispatching [[VideoFrames]] walk: the within-scene
-    * jitter (mean delta exactly 1) stays under the threshold and the
-    * scene jumps (mean delta 40±1) cross it, so the recovered
-    * segmentation must equal the planted one frame-for-frame through
-    * BOTH real container walks (RIFF chunk walk and EBML SimpleBlock
-    * walk) + the full JPEG decode chain.
-    */
   /** The planted scene family's container-dispatch rule, held in ONE
     * place: even doc_ids pack as MJPEG-in-AVI, odd as MJPEG-in-Matroska
     * (identical frame content, so oracles need no per-container branch).
@@ -2264,6 +2254,16 @@ object Multimodal {
         else MediaFixtures.sceneMkvBytes(id)))
   }
 
+  /** [[sceneCuts]] over the planted scene-structured video family —
+    * even doc_ids as MJPEG-in-AVI, odd as MJPEG-in-Matroska, with
+    * IDENTICAL planted frame content, decoded by the
+    * container-dispatching [[VideoFrames]] walk: the within-scene
+    * jitter (mean delta exactly 1) stays under the threshold and the
+    * scene jumps (mean delta 40±1) cross it, so the recovered
+    * segmentation must equal the planted one frame-for-frame through
+    * BOTH real container walks (RIFF chunk walk and EBML SimpleBlock
+    * walk) + the full JPEG decode chain.
+    */
   def sceneCutsReal(spark: SparkSession, docs: DataFrame): DataFrame =
     sceneCuts(VideoFrames.frameStats(scenePayloads(spark, docs)).toDF())
 

@@ -50,6 +50,18 @@ object Tables {
   /** Surrogate key columns of the `events` fixture in the same role. */
   val eventKeys: Seq[String] = Seq("user_id", "event_type", "period_ending")
 
+  /** Serializes the set→read→restore conf windows of [[table]] and
+    * [[withNanosAsLong]]: both are non-atomic read-modify-restore on shared
+    * session state, so two interleaved calls (bench/spec sweeps construct
+    * queries concurrently) could restore each other's temporary value and
+    * leave the conf stuck session-wide. The scans inside the window are
+    * eager schema inference only — microseconds — so one lock for both
+    * confs is cheap, and the nesting in [[events]] (table() evaluated
+    * inside withNanosAsLong's by-name body) is safe: monitor locks are
+    * reentrant on the same thread.
+    */
+  private val confLock = new Object
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Parquet writers disagree on whether a timestamp column is annotated
     // `isAdjustedToUTC` (Spark's own writer) or not (DuckDB, Arrow, Hive
@@ -68,12 +80,14 @@ object Tables {
     // a user's own NTZ parquet read through the same session keeps
     // stock Spark semantics.
     val conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "false")
-    try spark.read.parquet(s"$sfDir/$name.parquet")
-    finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
+    confLock.synchronized {
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "false")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
     }
   }
 
@@ -92,12 +106,14 @@ object Tables {
     */
   private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
     val conf = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(conf, v)
-      case None => spark.conf.unset(conf)
+    confLock.synchronized {
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "true")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
     }
   }
 

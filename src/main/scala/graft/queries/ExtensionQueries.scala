@@ -15,12 +15,31 @@ import graft.model.Tables
   */
 object ExtensionQueries {
 
-  /** Per-fixture-dir memo of the incremental query's trained merge
-    * table (the persisted-tokenizer stand-in; thread-safe — bench and
-    * spec sweeps construct queries concurrently).
+  /** Per-fixture memo of the incremental query's trained merge table
+    * (the persisted-tokenizer stand-in; thread-safe — bench and spec
+    * sweeps construct queries concurrently). Keyed by
+    * [[fixtureCacheKey]] — dir PLUS the fixture file's mtime and size —
+    * so a driver-regenerated fixture under the same path invalidates
+    * the memo in a long-lived JVM instead of silently encoding with a
+    * stale vocabulary.
     */
   private[queries] val bpeIncrementalMergesCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  /** Cache key binding a memo to the current on-disk fixture content:
+    * path + last-modified + total length (recursive for a parquet
+    * directory). Collision requires a same-size regeneration within the
+    * same mtime granule — not a realistic driver behavior.
+    */
+  private[queries] def fixtureCacheKey(dir: String, name: String): String = {
+    def stat(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val parts = Option(f.listFiles()).getOrElse(Array.empty).map(stat)
+        (parts.map(_._1).foldLeft(f.lastModified())(math.max), parts.map(_._2).sum)
+      } else (f.lastModified(), f.length())
+    val (mtime, size) = stat(new java.io.File(dir, s"$name.parquet"))
+    s"$dir/$name@$mtime:$size"
+  }
 
   /** Fixed probe set for the contamination check: two phrases from the
     * corpus vocabulary (real hits) and one absent from it (exercises the
@@ -1521,8 +1540,10 @@ object ExtensionQueries {
         // the O(batch) ENCODE, not a retrain the operator exists to
         // avoid; the first construction per JVM pays the one training.
         val merges = ExtensionQueries.bpeIncrementalMergesCache
-          .getOrElseUpdate(dir, TextAnalytics.trainedBpeMerges(
-            docs.filter(col("doc_id") < 250), k = 6))
+          .getOrElseUpdate(
+            ExtensionQueries.fixtureCacheKey(dir, "documents"),
+            TextAnalytics.trainedBpeMerges(
+              docs.filter(col("doc_id") < 250), k = 6))
         TextAnalytics.bpeEncodeWithMerges(docs.filter(col("doc_id") >= 250), merges)
       },
       Some(TextAnalytics.bpeIncrementalEncodeOracleSql(

@@ -81,6 +81,33 @@ class ScaleSmokeSpec extends SparkSpec {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Task-level shuffle-read counters shared by the skew tests.
+    * `onTaskEnd` fires on listener-bus threads concurrent with the test
+    * thread (and potentially with each other), so the counters are
+    * atomics — plain vars could lose increments under racing task-end
+    * events or serve the post-quiesce read a stale value, flaking the
+    * skew assertion.
+    */
+  private final class ShuffleReadCounters
+      extends org.apache.spark.scheduler.SparkListener {
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
+      maxTask.getAndAccumulate(recs, (a: Long, b: Long) => math.max(a, b))
+      total.addAndGet(recs)
+    }
+    /** Listener events are async: poll until the total stops moving. */
+    def quiesce(): Unit = {
+      var last = -1L
+      var spins = 0
+      while (total.get() != last && spins < 50) {
+        last = total.get(); spins += 1; Thread.sleep(200L)
+      }
+    }
+  }
+
   test("dedup candidate generators scale near-linearly on a 10× corpus") {
     val docs1 = synthDocs(1, s"$base/docs1")
     val docs10 = synthDocs(10, s"$base/docs10")
@@ -185,17 +212,8 @@ class ScaleSmokeSpec extends SparkSpec {
   }
 
   test("no pathological shuffle skew in the capped jaccard join at 10×") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val docs10 = spark.read.parquet(s"$base/docs10")
-    var maxTask = 0L
-    var total = 0L
-    val listener = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
-        maxTask = math.max(maxTask, recs)
-        total += recs
-      }
-    }
+    val listener = new ShuffleReadCounters
     spark.sparkContext.addSparkListener(listener)
     // AQE legitimately coalesces this test-scale shuffle into few tasks;
     // pin the 32-partition layout so the measurement is KEY skew, which
@@ -203,16 +221,12 @@ class ScaleSmokeSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
       Dedup.jaccardPairs(docs10, n = 3, threshold = 0.05, maxDf = Some(1000)).count()
-      // listener events are async: poll until the totals stop moving
-      var last = -1L
-      var spins = 0
-      while (total != last && spins < 50) {
-        last = total; spins += 1; Thread.sleep(200L)
-      }
+      listener.quiesce()
     } finally {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       spark.sparkContext.removeSparkListener(listener)
     }
+    val (maxTask, total) = (listener.maxTask.get(), listener.total.get())
     info(s"shuffle records: maxTask=$maxTask total=$total")
     // with 32 shuffle partitions a healthy spread puts ~3% in the biggest
     // task; 25% is the generous "no single task swallowed the join" bound
@@ -221,7 +235,6 @@ class ScaleSmokeSpec extends SparkSpec {
   }
 
   test("adversarial skew: corpus-wide boilerplate shingle, maxDf cap bounds the join at 10×") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import graft.functions.expressions.TextExpressions
     // Every document in BOTH corpora ends with the same unsalted
     // boilerplate phrase: its trigrams have df = |corpus| — the hot key
@@ -243,29 +256,20 @@ class ScaleSmokeSpec extends SparkSpec {
     // (100 < 500 docs at 1x), the hot key is dropped from the index and
     // the candidate join stays skew-free: measure actual task-level
     // shuffle reads
-    var maxTask = 0L
-    var total = 0L
-    val listener = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
-        maxTask = math.max(maxTask, recs)
-        total += recs
-      }
-    }
+    val listener = new ShuffleReadCounters
     spark.sparkContext.addSparkListener(listener)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val (p10, p1) =
       try {
         val r = (Dedup.jaccardPairs(adv10, n = 3, threshold = 0.05, maxDf = Some(100)).count(),
           Dedup.jaccardPairs(adv1, n = 3, threshold = 0.05, maxDf = Some(100)).count())
-        var last = -1L
-        var spins = 0
-        while (total != last && spins < 50) { last = total; spins += 1; Thread.sleep(200L) }
+        listener.quiesce()
         r
       } finally {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.sparkContext.removeSparkListener(listener)
       }
+    val (maxTask, total) = (listener.maxTask.get(), listener.total.get())
     info(s"adversarial capped join: maxTask=$maxTask total=$total pairs10=$p10")
     assert(total > 0 && maxTask <= total / 4,
       s"one task read $maxTask of $total shuffle records — the cap failed to bound the hot key")
@@ -280,7 +284,6 @@ class ScaleSmokeSpec extends SparkSpec {
   }
 
   test("adversarial skew: corpus-wide boilerplate SPAN, dropDupSpans stays task-bounded at 10×") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import graft.functions.Curation
     // Every document (10× corpus: 5 000 docs) ends with the SAME
     // unsalted 3-sentence span — its span_hash has df = |corpus|. The
@@ -293,29 +296,20 @@ class ScaleSmokeSpec extends SparkSpec {
       d.select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
     val adv10 = withBoiler(synthDocs(10, s"$base/docs10span"))
     val nDocs = adv10.count()
-    var maxTask = 0L
-    var total = 0L
-    val listener = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
-        maxTask = math.max(maxTask, recs)
-        total += recs
-      }
-    }
+    val listener = new ShuffleReadCounters
     spark.sparkContext.addSparkListener(listener)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val out =
       try {
         val r = Curation.dropDupSpans(adv10).cache()
         r.count()
-        var last = -1L
-        var spins = 0
-        while (total != last && spins < 50) { last = total; spins += 1; Thread.sleep(200L) }
+        listener.quiesce()
         r
       } finally {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.sparkContext.removeSparkListener(listener)
       }
+    val (maxTask, total) = (listener.maxTask.get(), listener.total.get())
     try {
       info(s"dropDupSpans shuffle records: maxTask=$maxTask total=$total")
       // the per-doc windows (doc_id keyed) and the (hash, doc, pos)
@@ -421,35 +415,25 @@ class ScaleSmokeSpec extends SparkSpec {
   }
 
   test("IVF-PQ rerank output stays k-bounded per query at 10× with skew-free shuffles") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val emb1 = synthEmb(1, s"$base/emb1pq")
     val emb10 = synthEmb(10, s"$base/emb10pq")
     def run(d: DataFrame) = Similarity.ivfPqTopKBatch(d,
       d.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("embedding")))
     run(emb1).count() // warm-up
     val (n1, t1) = timed(run(emb1).count())
-    var maxTask = 0L
-    var total = 0L
-    val listener = new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
-        maxTask = math.max(maxTask, recs)
-        total += recs
-      }
-    }
+    val listener = new ShuffleReadCounters
     spark.sparkContext.addSparkListener(listener)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val (n10, t10) =
       try {
         val r = timed(run(emb10).count())
-        var last = -1L
-        var spins = 0
-        while (total != last && spins < 50) { last = total; spins += 1; Thread.sleep(200L) }
+        listener.quiesce()
         r
       } finally {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.sparkContext.removeSparkListener(listener)
       }
+    val (maxTask, total) = (listener.maxTask.get(), listener.total.get())
     info(f"ivf-pq rerank: 1x=$n1 rows in $t1%.2fs, 10x=$n10 in $t10%.2fs; " +
       s"shuffle maxTask=$maxTask total=$total")
     // top-k is k-bounded BY CONSTRUCTION: 4 queries × k=10 at any corpus
