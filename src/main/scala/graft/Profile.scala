@@ -5,21 +5,25 @@ import java.util.concurrent.atomic.LongAdder
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Runtime profile of one registry query: wall time plus the shuffle
-  * counters that decide whether a plan survives a scale-up — total
-  * shuffle read/write bytes, record counts, and the MAX single-task
-  * shuffle read (the skew signal: a healthy plan keeps it a small
-  * fraction of the total; a swallowed join concentrates it). Usage:
+/** Runtime profile of one or more registry queries: wall time plus the
+  * shuffle counters that decide whether a plan survives a scale-up —
+  * total shuffle read/write bytes, record counts, and the MAX
+  * single-task shuffle read (the skew signal: a healthy plan keeps it a
+  * small fraction of the total; a swallowed join concentrates it).
+  * Usage:
   *
-  *   sbt "runMain graft.Profile <queryName> [sfDir]"
+  *   sbt "runMain graft.Profile <queryName>[,<queryName>...] [sfDir]"
   *
-  * Prints one JSON line. The same counters ScaleSmokeSpec asserts for
-  * the capped jaccard join, available for ANY query on demand.
+  * Prints one JSON line per query (all queries share one JVM/session so
+  * a sweep doesn't pay per-query startup). The same counters
+  * ScaleSmokeSpec asserts for the capped jaccard join, available for
+  * ANY query on demand.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(
-      throw new IllegalArgumentException("usage: Profile <queryName> [sfDir]"))
+    val names = args.headOption.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "usage: Profile <queryName>[,<queryName>...] [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -31,9 +35,17 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown query: $name"))
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query: $name"))
+      profileOne(spark, name, fn, sfDir)
+    }
+    spark.stop()
+  }
 
+  private def profileOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Unit = {
     val readBytes = new LongAdder; val readRecs = new LongAdder
     val writeBytes = new LongAdder; val writeRecs = new LongAdder
     val spill = new LongAdder; val tasks = new LongAdder
@@ -68,6 +80,7 @@ object Profile {
       Thread.sleep(100)
       spins += 1
     }
+    spark.sparkContext.removeSparkListener(listener)
     val skewFrac =
       if (readRecs.sum() == 0) 0.0 else maxTaskReadRecs.toDouble / readRecs.sum()
     println(
@@ -78,6 +91,5 @@ object Profile {
         f""""max_task_read_records":$maxTaskReadRecs,""" +
         f""""max_task_read_frac":$skewFrac%.3f,""" +
         f""""disk_spill_mb":${spill.sum() / 1e6}%.2f}""")
-    spark.stop()
   }
 }

@@ -85,7 +85,21 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** Materialize the 10× tables under `work/<name>.parquet`. */
+  /** Materialize the 10× tables under `work/<name>.parquet`.
+    *
+    * Every scaled table is REPARTITIONED before the write. The source
+    * fixtures are single part-files with a single row group, and the
+    * 10× explode preserves that layout — one unsplittable file whose
+    * whole scan lands on ONE task. That is a degenerate layout no real
+    * table has (a 100 TB table arrives as thousands of files / row
+    * groups, and scan stages parallelize by construction); leaving it
+    * serialized the scan stage of every scan-bound query at sf1 and
+    * manufactured a fake super-linear wall-time tail (r6 verdict item
+    * 1: `curation_redact_pii` 12.7×, `scalar_try_funcs` 10.25 s — all
+    * zero-shuffle, zero-skew, 1–5 task profiles). 32 files ≈ one split
+    * per local core, 2–3 MB each for the largest table — comfortably
+    * above the small-file overhead floor at this scale.
+    */
   def buildTables(spark: SparkSession, src: String, work: String, factor: Int): Unit = {
     val copies = explode(array((0 until factor).map(lit(_)): _*)).as("copy")
     def cp(name: String): Unit =
@@ -98,22 +112,26 @@ object ScaleBench {
     spark.read.parquet(s"$src/customer.parquet").withColumn("copy", copies)
       .select(off("c_custkey", 1000000L), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
+      .repartition(8) // ~3 MB scaled: split, but not into dust
       .write.mode(SaveMode.Overwrite).parquet(s"$work/customer.parquet")
 
     spark.read.parquet(s"$src/supplier.parquet").withColumn("copy", copies)
       .select(off("s_suppkey", 1000000L), col("s_name"), col("s_nationkey"),
         col("s_acctbal"))
+      .repartition(8)
       .write.mode(SaveMode.Overwrite).parquet(s"$work/supplier.parquet")
 
     spark.read.parquet(s"$src/part.parquet").withColumn("copy", copies)
       .select(off("p_partkey", 1000000L), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice"))
+      .repartition(8)
       .write.mode(SaveMode.Overwrite).parquet(s"$work/part.parquet")
 
     spark.read.parquet(s"$src/orders.parquet").withColumn("copy", copies)
       .select(off("o_orderkey", 10000000L), off("o_custkey", 1000000L),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$work/orders.parquet")
 
     spark.read.parquet(s"$src/lineitem.parquet").withColumn("copy", copies)
@@ -121,6 +139,7 @@ object ScaleBench {
         off("l_suppkey", 1000000L), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$work/lineitem.parquet")
 
     // events: raw ns longs preserved; event ids offset, user/ts kept
@@ -129,6 +148,7 @@ object ScaleBench {
     spark.read.parquet(s"$src/events.parquet").withColumn("copy", copies)
       .select(off("event_id", 10000000L), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$work/events.parquet")
 
     spark.read.parquet(s"$src/documents.parquet").withColumn("copy", copies)
@@ -137,6 +157,7 @@ object ScaleBench {
           t => concat(t, lit("_"), col("copy")))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$work/documents.parquet")
 
     def copyMask(c: Int): Array[Float] =

@@ -305,8 +305,13 @@ object Dedup {
     * the slot comparison.
     */
   def minhashEstimatedJaccard(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      n: Int = 3): DataFrame = {
-    val sig = minhashSignaturesMd5(docs, k, n).localCheckpoint(true)
+      n: Int = 3, reliable: Boolean = false): DataFrame = {
+    // The signature and shingle tables are each read by several plan
+    // branches — cut once so the expensive computation runs once. Mode
+    // tradeoffs at [[lineageCut]]: the default executor-local blocks die
+    // with an executor on a real cluster; reliable = true survives it.
+    val cut = lineageCut("minhashEstimatedJaccard", reliable)
+    val sig = cut(minhashSignaturesMd5(docs, k, n))
     val banded = bandedFromSignatures(sig, k, bands)
     val cands = banded.toDF("doc_a", "band_idx", "band_hash")
       .join(banded.toDF("doc_b", "band_idx", "band_hash"),
@@ -327,11 +332,10 @@ object Dedup {
     // output this exactly equals on the candidate set. A banded
     // collision with NO shared shingle gets no intersection row and
     // coalesces to jaccard 0.
-    val sh = docs
+    val sh = cut(docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(
-        expressions.TextExpressions.ngramDistinctHashes(col("text"), n)).as("sh"))
-      .localCheckpoint(true)
+        expressions.TextExpressions.ngramDistinctHashes(col("text"), n)).as("sh")))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cands
       .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -446,7 +450,7 @@ object Dedup {
     */
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 2,
       prefixLen: Int = 8, n: Int = 3, threshold: Double = 0.3,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Two passes with independent sort keys — the classic multi-pass
     // method: a pair differing in its first words lands in different
@@ -469,11 +473,12 @@ object Dedup {
       .select(least(col("__a"), col("__b")).as("doc_a"),
         greatest(col("__a"), col("__b")).as("doc_b"))
       .distinct()
-    val sh = docs
+    // The shingle table feeds both sides of the candidate join — cut it
+    // once (mode tradeoffs at [[lineageCut]]).
+    val sh = lineageCut("sortedNeighborhoodPairs", reliable)(docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(
-        expressions.TextExpressions.ngramDistinctHashes(col(textCol), n)).as("sh"))
-      .localCheckpoint(true)
+        expressions.TextExpressions.ngramDistinctHashes(col(textCol), n)).as("sh")))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     cands
       .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -525,29 +530,36 @@ object Dedup {
     * `reliable = true` for fault-tolerant checkpoints on a cluster (see
     * the mode comment in the body).
     */
+  /** Lineage/plan cut shared by every operator that materializes an
+    * intermediate frame (iterative state, a signature table read by
+    * several branches). Two modes:
+    *  - local (default): `localCheckpoint` stores blocks on executors —
+    *    no external storage needed, fastest, right for local mode and
+    *    short interactive jobs. BUT the blocks die with their executor:
+    *    on a real cluster, losing ONE executor mid-job kills the whole
+    *    job unrecoverably (Spark documents this).
+    *  - reliable: `checkpoint` writes the frame to the SparkContext
+    *    checkpoint directory (HDFS/object store on a cluster). Executor
+    *    loss then recomputes from the checkpoint files instead of
+    *    dying — the mode a 1000-executor run must use. Caller sets
+    *    `spark.sparkContext.setCheckpointDir(...)` (and optionally
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints` to reap
+    *    finished rounds).
+    */
+  private def lineageCut(op: String, reliable: Boolean): DataFrame => DataFrame =
+    if (reliable) { df =>
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$op(reliable = true) needs a reliable checkpoint location: " +
+          "call spark.sparkContext.setCheckpointDir(<dir>) first")
+      df.checkpoint(true)
+    } else _.localCheckpoint(true)
+
   def clusterAssign(pairs: DataFrame, nodes: DataFrame,
       reliable: Boolean = false): DataFrame = {
-    // Lineage cut per round. Two modes:
-    //  - local (default): `localCheckpoint` stores blocks on executors —
-    //    no external storage needed, fastest, right for local mode and
-    //    short interactive jobs. BUT the blocks die with their executor:
-    //    on a real cluster, losing ONE executor mid-iteration kills the
-    //    whole job unrecoverably (Spark documents this), and this is the
-    //    longest-running iterative operator in the engine.
-    //  - reliable: `checkpoint` writes each round's state to the
-    //    SparkContext checkpoint directory (HDFS/object store on a
-    //    cluster). Executor loss then recomputes from the checkpoint
-    //    files instead of dying — the mode a 1000-executor run must use.
-    //    Caller sets `spark.sparkContext.setCheckpointDir(...)` (and
-    //    optionally `spark.cleaner.referenceTracking.cleanCheckpoints`
-    //    to reap finished rounds).
-    val cut: DataFrame => DataFrame =
-      if (reliable) { df =>
-        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-          "clusterAssign(reliable = true) needs a reliable checkpoint " +
-            "location: call spark.sparkContext.setCheckpointDir(<dir>) first")
-        df.checkpoint(true)
-      } else _.localCheckpoint(true)
+    // Lineage cut per round — mode tradeoffs at [[lineageCut]]; this is
+    // the longest-running iterative operator in the engine, the first
+    // place the reliable mode matters on a real cluster.
+    val cut = lineageCut("clusterAssign", reliable)
     // Both edge directions come from ONE evaluation of the (typically
     // expensive) pair plan: a union of two selects over `pairs` would
     // re-run the candidate join per branch inside the checkpoint job —
@@ -684,8 +696,9 @@ object Dedup {
     * vs ~0.7 s for the single-buffer aggregate and ~1.1 s for the
     * 64-sum form at sf0.1).
     */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(simhashNative(docs), bits = 64, maxHamming)
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      maxDf: Option[Int] = None): DataFrame =
+    bandedHammingPairs(simhashNative(docs), bits = 64, maxHamming, maxDf = maxDf)
 
   /** Portable SimHash twin: the token hash is the first 15 hex chars of
     * md5 parsed as a 60-bit integer — identical in any engine (the
@@ -722,8 +735,9 @@ object Dedup {
   }
 
   /** Quarter-banded Hamming candidates over the md5 signatures. */
-  def simhashCandidatesMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(simhashMd5(docs), bits = 60, maxHamming)
+  def simhashCandidatesMd5(docs: DataFrame, maxHamming: Int = 3,
+      maxDf: Option[Int] = None): DataFrame =
+    bandedHammingPairs(simhashMd5(docs), bits = 60, maxHamming, maxDf = maxDf)
 
   /** Candidates at Hamming ≤ `maxHamming` from a precomputed `(doc_id,
     * simhash)` table, using `bands` equal-width bands. By pigeonhole any
@@ -732,17 +746,34 @@ object Dedup {
     * candidate set — which makes two different bandings a genuine
     * cross-validation of the band/join machinery (the derived-invariant
     * oracle of `dedup_simhash_candidates` asserts quarter ≡ eighth).
+    * NOTE: the equivalence theorem holds for the EXACT (uncapped) form;
+    * under `maxDf` the surviving band set is banding-dependent.
     */
   def hammingCandidates(sig: DataFrame, bits: Int, maxHamming: Int,
-      bands: Int): DataFrame =
-    bandedHammingPairs(sig, bits, maxHamming, bands)
+      bands: Int, maxDf: Option[Int] = None): DataFrame =
+    bandedHammingPairs(sig, bits, maxHamming, bands, maxDf)
 
   /** Band a (doc_id, simhash) table into `bands` slices (any pair within
     * Hamming ≤ bands−1 shares at least one exact slice), equi-join on
     * the slice, and keep pairs at/below the Hamming cut.
+    *
+    * Hot-band cap — the same adversarial-corpus guard as
+    * [[jaccardPairs]]' stop-shingle maxDf and the video near-dup
+    * fingerprint cap: a mega-cluster of near-identical documents puts
+    * one band value on every member, and `banded ⋈ banded` on that
+    * value fans out k² rows in ONE task (1M-doc cluster → 10¹²-row hot
+    * key no AQE split saves). `maxDf = Some(cap)` drops band values
+    * whose document frequency exceeds the cap BEFORE the self-join,
+    * bounding the worst key at cap² join rows. True duplicates inside a
+    * dropped mega-cluster are the sacrifice (they are better found by
+    * [[exactGroups]] — a mega-cluster of Hamming-≤3 docs is
+    * near-exact-duplicate structure); pairs sharing any sub-cap band
+    * survive untouched. Default None keeps the exact pigeonhole
+    * semantics; production corpora should pass a cap, as the capped
+    * registry twin does.
     */
   private[graft] def bandedHammingPairs(sig: DataFrame, bits: Int, maxHamming: Int,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxDf: Option[Int] = None): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(bands > maxHamming,
       s"$bands bands only guarantee recall through Hamming ${bands - 1} < $maxHamming")
@@ -753,8 +784,20 @@ object Dedup {
     val banded = sig.select(
       col("doc_id"), col("simhash"),
       posexplode(array(quarters: _*)).as(Seq("q_idx", "q_val")))
-    val left = banded.toDF("doc_a", "sim_a", "q_idx", "q_val")
-    val right = banded.toDF("doc_b", "sim_b", "q_idx", "q_val")
+    val joinable = maxDf match {
+      case None => banded
+      case Some(cap) =>
+        val rare = banded.groupBy(col("q_idx"), col("q_val"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select(col("q_idx"), col("q_val"))
+        // a using-columns join moves the keys to the front — restore the
+        // (doc_id, simhash, q_idx, q_val) order the positional toDF
+        // renames below depend on
+        banded.join(rare, Seq("q_idx", "q_val"))
+          .select(col("doc_id"), col("simhash"), col("q_idx"), col("q_val"))
+    }
+    val left = joinable.toDF("doc_a", "sim_a", "q_idx", "q_val")
+    val right = joinable.toDF("doc_b", "sim_b", "q_idx", "q_val")
     left.join(right, Seq("q_idx", "q_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

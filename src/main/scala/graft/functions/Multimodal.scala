@@ -1217,14 +1217,121 @@ object MkvMjpegFrames {
   }
 }
 
+/** MJPEG-in-MP4 frame decode — the ISO-BMFF sibling of [[MjpegFrames]]
+  * (RIFF) and [[MkvMjpegFrames]] (EBML), closing the third container of
+  * the family. Samples are located the way a real MP4 reader locates
+  * them: the `stbl/stsz` entry table gives per-sample byte sizes and the
+  * single-chunk `stbl/stco` offset anchors the run inside `mdat`;
+  * samples are sliced sequentially from that offset and each is decoded
+  * as a baseline JPEG. (MJPEG-in-MP4 is rare in the wild — MP4 video is
+  * normally a predictive codec this engine deliberately does not
+  * implement — but the ADDRESSING is the production mechanism: stsz +
+  * stco is how every MP4 finds its samples.) Malformed input follows
+  * the crawl contract of the other walks: out-of-bounds slices and
+  * undecodable samples drop rows; nothing throws.
+  */
+object Mp4MjpegFrames {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  def isIsoBmff(b: Array[Byte]): Boolean = b.length >= 16 && tag(b, 4, "ftyp")
+
+  private val containers = Set("moov", "trak", "mdia", "minf")
+
+  def decode(id: Long, b: Array[Byte]): Seq[FramePixelStats] = {
+    if (!isIsoBmff(b)) return Nil
+    val out = Seq.newBuilder[FramePixelStats]
+    var frameIdx = 0L
+    // one stbl = one track's sample table: collect its stsz sizes and
+    // stco anchor, then slice the sample run
+    def walkStbl(start: Int, end: Int): Unit = {
+      var sizes: Array[Int] = null
+      var chunkOff = -1L
+      var pos = start
+      while (pos + 8 <= end) {
+        val size0 = be32(b, pos)
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        var header = 8L
+        val size =
+          if (size0 == 1L && pos + 16 <= end) { header = 16L; be64(b, pos + 8) }
+          else if (size0 == 0L) (end - pos).toLong
+          else size0
+        if (size < header || size > end.toLong - pos) return
+        val payload = pos + header.toInt
+        val payloadEnd = pos + size.toInt
+        if (typ == "stsz" && payloadEnd - payload >= 12) {
+          val fixed = be32(b, payload + 4)
+          val n = be32(b, payload + 8)
+          if (fixed > 0 && n <= Int.MaxValue)
+            sizes = Array.fill(n.toInt)(fixed.toInt)
+          else if (fixed == 0 && payload + 12 + 4 * n <= payloadEnd)
+            sizes = Array.tabulate(n.toInt)(i => be32(b, payload + 12 + 4 * i).toInt)
+        } else if (typ == "stco" && payloadEnd - payload >= 12) {
+          // single-chunk layout: the first chunk offset anchors the run
+          if (be32(b, payload + 4) >= 1) chunkOff = be32(b, payload + 8)
+        }
+        pos = payloadEnd
+      }
+      if (sizes != null && chunkOff >= 0) {
+        var off = chunkOff
+        sizes.foreach { sz =>
+          if (sz > 0 && off >= 0 && off + sz <= b.length) {
+            val jpeg = java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+            JpegCodec.decode(jpeg).foreach { case (w, h, nComp, px) =>
+              var sum = 0L
+              var sumsq = 0L
+              var i2 = 0
+              while (i2 < px.length) {
+                val v = px(i2) & 0xff; sum += v; sumsq += v.toLong * v; i2 += 1
+              }
+              out += FramePixelStats(id, frameIdx, w.toLong, h.toLong,
+                nComp.toLong, w.toLong * h, sum, sumsq)
+            }
+          }
+          frameIdx += 1
+          off += sz
+        }
+      }
+    }
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var pos = start
+      while (pos + 8 <= end) {
+        val size0 = be32(b, pos)
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        var header = 8L
+        val size =
+          if (size0 == 1L && pos + 16 <= end) { header = 16L; be64(b, pos + 8) }
+          else if (size0 == 0L) (end - pos).toLong
+          else size0
+        if (size < header || size > end.toLong - pos) return
+        val payload = pos + header.toInt
+        val payloadEnd = pos + size.toInt
+        if (typ == "stbl") walkStbl(payload, payloadEnd)
+        else if (containers(typ)) walk(payload, payloadEnd, depth + 1)
+        pos = payloadEnd
+      }
+    }
+    walk(0, b.length, 0)
+    out.result()
+  }
+}
+
 /** Container-dispatching frame decode: one `mapPartitions` pass whose
   * per-row decoder routes on the magic — RIFF/AVI → [[MjpegFrames]],
-  * EBML/Matroska → [[MkvMjpegFrames]] — so a mixed-container corpus
-  * needs one scan, not one scan per format.
+  * EBML/Matroska → [[MkvMjpegFrames]], ISO-BMFF → [[Mp4MjpegFrames]] —
+  * so a mixed-container corpus needs one scan, not one scan per format.
   */
 object VideoFrames {
   def decode(id: Long, b: Array[Byte]): Seq[FramePixelStats] =
     if (MkvMjpegFrames.isEbml(b)) MkvMjpegFrames.decode(id, b)
+    else if (Mp4MjpegFrames.isIsoBmff(b)) Mp4MjpegFrames.decode(id, b)
     else MjpegFrames.decode(id, b)
 
   def frameStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[FramePixelStats] = {
@@ -1734,6 +1841,55 @@ object MediaFixtures {
     mjpegMkvContainer(frames, durMs = frames.size * 40L)
   }
 
+  /** The SAME planted scene frames packed as MJPEG-in-MP4 — the third
+    * container of the scene family, with REAL ISO-BMFF sample
+    * addressing: a per-sample `stsz` entry table plus a single-chunk
+    * `stco` anchoring the sample run inside `mdat`, the mechanism every
+    * real MP4 reader uses to locate samples
+    * ([[graft.functions.Mp4MjpegFrames]] walks it back).
+    */
+  def sceneMp4Bytes(id: Long): Array[Byte] = {
+    val (frames, _) = sceneFrames(id)
+    mjpegMp4Container(frames, durUnits = frames.size * 40L) // timescale 1000
+  }
+
+  /** Pack pre-encoded JPEG frames as MJPEG-in-MP4: `ftyp`,
+    * `moov(mvhd, trak(mdia(minf(stbl(stsz + stco)))))`, `mdat` holding
+    * the concatenated samples. `stsz` uses sample_size = 0 with a
+    * per-sample entry table (frames differ in length); `stco`'s one
+    * chunk offset is the absolute file offset of the first sample.
+    */
+  private def mjpegMp4Container(frames: Seq[Array[Byte]], durUnits: Long): Array[Byte] = {
+    val n = frames.size
+    val mdatBody = frames.map(_.length).sum
+    val stszBox = 20 + 4 * n
+    val stblBox = 8 + stszBox + 20 // stsz + stco
+    val trakBox = 24 + stblBox // trak/mdia/minf headers + stbl
+    val moovBox = 8 + 108 + trakBox
+    val sampleStart = 16 + moovBox + 8 // ftyp + moov + mdat header
+    val bb = java.nio.ByteBuffer.allocate(sampleStart + mdatBody) // BE (wire order)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
+    bb.putInt(moovBox); fourcc("moov")
+    putMvhd(bb, timescale = 1000, durationUnits = durUnits, nextTrackId = 2)
+    bb.putInt(trakBox); fourcc("trak")
+    bb.putInt(trakBox - 8); fourcc("mdia")
+    bb.putInt(trakBox - 16); fourcc("minf")
+    bb.putInt(stblBox); fourcc("stbl")
+    bb.putInt(stszBox); fourcc("stsz")
+    bb.putInt(0) // version/flags
+    bb.putInt(0) // sample_size 0 → per-sample entry table
+    bb.putInt(n)
+    frames.foreach(fr => bb.putInt(fr.length))
+    bb.putInt(20); fourcc("stco")
+    bb.putInt(0) // version/flags
+    bb.putInt(1) // entry_count
+    bb.putInt(sampleStart)
+    bb.putInt(8 + mdatBody); fourcc("mdat")
+    frames.foreach(fr => bb.put(fr))
+    bb.array()
+  }
+
   private def sceneFrames(id: Long): (Seq[Array[Byte]], Int) = {
     val wb = (id % 2 + 1).toInt
     val nScenes = (2 + id % 3).toInt
@@ -1838,19 +1994,7 @@ object MediaFixtures {
     def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
     bb.putInt(16); fourcc("ftyp"); fourcc("isom"); bb.putInt(0)
     bb.putInt(8 + 108 + 52 * nTracks); fourcc("moov")
-    bb.putInt(108); fourcc("mvhd")
-    bb.putInt(0) // version 0 + flags
-    bb.putInt(0).putInt(0) // creation/modification time
-    bb.putInt(timescale).putInt(durationUnits.toInt)
-    bb.putInt(0x00010000) // rate 1.0
-    bb.putShort(0x0100.toShort).putShort(0) // volume, reserved
-    bb.putLong(0L) // reserved
-    bb.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
-    bb.putInt(0).putInt(0x00010000).putInt(0)
-    bb.putInt(0).putInt(0).putInt(0x40000000)
-    var i = 0
-    while (i < 6) { bb.putInt(0); i += 1 } // pre_defined
-    bb.putInt(nTracks + 1) // next_track_ID
+    putMvhd(bb, timescale, durationUnits, nextTrackId = nTracks + 1)
     var t = 0
     while (t < nTracks) {
       bb.putInt(52); fourcc("trak")
@@ -1864,6 +2008,26 @@ object MediaFixtures {
       t += 1
     }
     bb.array()
+  }
+
+  /** The 108-byte version-0 `mvhd` box, shared by every ISO-BMFF
+    * fixture builder.
+    */
+  private def putMvhd(bb: java.nio.ByteBuffer, timescale: Int,
+      durationUnits: Long, nextTrackId: Int): Unit = {
+    bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0).putInt(0) // creation/modification time
+    bb.putInt(timescale).putInt(durationUnits.toInt)
+    bb.putInt(0x00010000) // rate 1.0
+    bb.putShort(0x0100.toShort).putShort(0) // volume, reserved
+    bb.putLong(0L) // reserved
+    bb.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    var i = 0
+    while (i < 6) { bb.putInt(0); i += 1 } // pre_defined
+    bb.putInt(nextTrackId)
   }
 
   def wavBytes(channels: Int, rate: Int, bits: Int, nSamples: Int): Array[Byte] = {
@@ -2242,27 +2406,31 @@ object Multimodal {
   }
 
   /** The planted scene family's container-dispatch rule, held in ONE
-    * place: even doc_ids pack as MJPEG-in-AVI, odd as MJPEG-in-Matroska
-    * (identical frame content, so oracles need no per-container branch).
+    * place: doc_id mod 3 rotates MJPEG-in-AVI / MJPEG-in-Matroska /
+    * MJPEG-in-MP4 (identical frame content, so oracles need no
+    * per-container branch).
     */
   private def scenePayloads(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
-      .map(id => (id,
-        if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
-        else MediaFixtures.sceneMkvBytes(id)))
+      .map(id => (id, (id % 3) match {
+        case 0 => MediaFixtures.sceneAviBytes(id)
+        case 1 => MediaFixtures.sceneMkvBytes(id)
+        case _ => MediaFixtures.sceneMp4Bytes(id)
+      }))
   }
 
   /** [[sceneCuts]] over the planted scene-structured video family —
-    * even doc_ids as MJPEG-in-AVI, odd as MJPEG-in-Matroska, with
-    * IDENTICAL planted frame content, decoded by the
+    * doc_id mod 3 rotating MJPEG-in-AVI / MJPEG-in-Matroska /
+    * MJPEG-in-MP4 with IDENTICAL planted frame content, decoded by the
     * container-dispatching [[VideoFrames]] walk: the within-scene
     * jitter (mean delta exactly 1) stays under the threshold and the
     * scene jumps (mean delta 40±1) cross it, so the recovered
     * segmentation must equal the planted one frame-for-frame through
-    * BOTH real container walks (RIFF chunk walk and EBML SimpleBlock
-    * walk) + the full JPEG decode chain.
+    * ALL THREE real container walks (RIFF chunk walk, EBML SimpleBlock
+    * walk, ISO-BMFF stsz/stco sample walk) + the full JPEG decode
+    * chain.
     */
   def sceneCutsReal(spark: SparkSession, docs: DataFrame): DataFrame =
     sceneCuts(VideoFrames.frameStats(scenePayloads(spark, docs)).toDF())
@@ -2283,9 +2451,9 @@ object Multimodal {
       .agg(min(col("frame_idx")).as("keyframe_idx"),
         count(lit(1)).as("n_frames"))
 
-  /** [[keyframes]] over the dual-container planted scene family: the
+  /** [[keyframes]] over the tri-container planted scene family: the
     * recovered keyframe set must be exactly frame `s·fps` of each
-    * planted scene `s`, through both real container walks.
+    * planted scene `s`, through all three real container walks.
     */
   def keyframesReal(spark: SparkSession, docs: DataFrame): DataFrame =
     keyframes(VideoFrames.frameStats(scenePayloads(spark, docs)).toDF())

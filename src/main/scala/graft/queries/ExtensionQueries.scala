@@ -731,6 +731,45 @@ object ExtensionQueries {
       },
     ),
 
+    // Hot-band-capped twin of the banded SimHash pairing — the
+    // production form for adversarial corpora: a mega-cluster of
+    // near-identical documents puts one band value on every member and
+    // the uncapped self-join fans out cluster² rows in one task (the
+    // jaccard stop-shingle hazard, band-shaped). maxDf = 64 drops band
+    // values with document frequency > 64 before the join, bounding the
+    // worst key at 64² rows; the oracle replays the identical df filter
+    // in SQL so the cap semantics (not just the happy path) are
+    // hash-checked end-to-end. On this fixture no band value is hot, so
+    // capped ≡ uncapped here; the adversarial mega-cluster behavior is
+    // spec-proved in DedupSpec/ScaleSmokeSpec.
+    QueryDef(
+      "dedup_simhash_md5_candidates_capped",
+      (s, dir) => Dedup.simhashCandidatesMd5(Tables.documents(s, dir),
+        maxDf = Some(64)),
+      Some {
+        val assembled = (0 until 60).map(i =>
+          s"CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+            s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        val bandRows = (0 until 4).map(q =>
+          s"SELECT doc_id, simhash, $q AS q_idx, (simhash >> ${q * 15}) & 32767 AS q_val FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |  FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
+           |sig AS (SELECT doc_id, $assembled AS simhash FROM h GROUP BY 1),
+           |banded AS ($bandRows),
+           |rare AS (SELECT q_idx, q_val FROM banded
+           |  GROUP BY 1, 2 HAVING count(*) <= 64),
+           |joinable AS (SELECT b.* FROM banded b JOIN rare USING (q_idx, q_val)),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           |  FROM joinable a JOIN joinable b
+           |    ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+      },
+    ),
+
     // Embedding-cosine near-dup pairs (LSH candidates + exact decimal
     // cosine ≥ threshold). The literal-sign bucket mirror makes the
     // candidate set reproducible, and the decimal cosine is portable, so
@@ -1837,10 +1876,11 @@ object ExtensionQueries {
              |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
     ),
 
-    // Scene segmentation from REAL decoded frames across BOTH frame
-    // containers (even doc_ids MJPEG-in-AVI via the RIFF walk, odd
-    // MJPEG-in-Matroska via the EBML SimpleBlock walk — identical
-    // planted frame content, so one oracle covers both): the
+    // Scene segmentation from REAL decoded frames across ALL THREE
+    // frame containers (doc_id mod 3: MJPEG-in-AVI via the RIFF walk,
+    // MJPEG-in-Matroska via the EBML SimpleBlock walk, MJPEG-in-MP4
+    // via the ISO-BMFF stsz/stco sample walk — identical planted frame
+    // content, so one oracle covers all three): the
     // within-scene jitter (mean delta exactly 1) stays under the cut
     // threshold and scene jumps (mean delta 40±1) cross it. The exact
     // cross-multiplied cut rule is bit-portable, so the oracle
@@ -1873,7 +1913,7 @@ object ExtensionQueries {
 
     // Keyframe extraction — the consumable product of scene
     // segmentation (one row per scene: opening frame + length), over
-    // the same dual-container family. The agg rides the cut detector's
+    // the same tri-container family. The agg rides the cut detector's
     // doc-keyed shuffle (no extra exchange); the oracle extends the
     // scene chain with the same (doc, scene) rollup, so the planted
     // truth is keyframe_idx = scene·fps and n_frames = fps exactly.

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, VideoFrames}
+import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, Mp4MjpegFrames, VideoFrames}
 
 /** ScalaCheck robustness properties for the video container walkers —
   * the parsers that face raw crawl bytes at 100 TB, where a malformed
@@ -27,9 +27,11 @@ class ContainerWalkPropertiesSpec extends AnyFunSuite {
   private val docId: Gen[Long] = Gen.chooseNum(0L, 200L)
 
   private def planted(id: Long): (Array[Byte], Int) = {
-    val bytes =
-      if (id % 2 == 0) MediaFixtures.sceneAviBytes(id)
-      else MediaFixtures.sceneMkvBytes(id)
+    val bytes = (id % 3) match {
+      case 0 => MediaFixtures.sceneAviBytes(id)
+      case 1 => MediaFixtures.sceneMkvBytes(id)
+      case _ => MediaFixtures.sceneMp4Bytes(id)
+    }
     val frames = ((2 + id % 3) * (2 + id % 2)).toInt
     (bytes, frames)
   }
@@ -71,10 +73,11 @@ class ContainerWalkPropertiesSpec extends AnyFunSuite {
       Gen.chooseNum(0, 64).flatMap(n =>
         Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
     check(Prop.forAll(garbage) { b =>
-      // without a valid RIFF/AVI or EBML prelude there is nothing to
-      // walk; both walkers must return Nil (the magic checks reject, or
-      // the walk finds no movi/Cluster payloads)
-      MjpegFrames.decode(0, b).isEmpty && MkvMjpegFrames.decode(0, b).isEmpty
+      // without a valid RIFF/AVI, EBML, or ftyp prelude there is
+      // nothing to walk; all three walkers must return Nil (the magic
+      // checks reject, or the walk finds no movi/Cluster/stbl payloads)
+      MjpegFrames.decode(0, b).isEmpty && MkvMjpegFrames.decode(0, b).isEmpty &&
+        Mp4MjpegFrames.decode(0, b).isEmpty
     })
   }
 

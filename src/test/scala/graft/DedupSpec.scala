@@ -57,6 +57,36 @@ class DedupSpec extends SparkSpec {
     assert(exact.contains((3L, 4L)))
   }
 
+  test("simhashCandidates maxDf: hot mega-cluster bands dropped, small families kept") {
+    // 12 identical documents — one mega-cluster: every member carries
+    // the SAME four band values, so the uncapped self-join fans its 66
+    // pairs out of df=12 hot bands (cluster² at scale — the hazard).
+    // With the cap below the cluster size, all four hot bands are
+    // dropped and the mega-cluster vanishes from the candidate set
+    // (near-exact-dup structure that exactGroups handles better), while
+    // the small exact-dup family (band df = 2 ≤ cap) keeps its pair.
+    val mega = "mega cluster boilerplate text repeated verbatim in every member document"
+    val corpus = (
+      Seq((1L, near1), (2L, near1), (3L, other)) ++
+        (100L until 112L).map(id => (id, mega))
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashCandidates(corpus)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 66,
+      "the hazard must be real: 12 identical docs pair quadratically uncapped")
+    val capped = Dedup.simhashCandidates(corpus, maxDf = Some(8))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "sub-cap family must survive the cap")
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "df=12 > cap=8 bands must drop every mega-cluster pair")
+    // the md5 twin (the capped registry query's path) behaves identically
+    val cappedMd5 = Dedup.simhashCandidatesMd5(corpus, maxDf = Some(8))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cappedMd5.contains((1L, 2L)))
+    assert(!cappedMd5.exists(p => p._1 >= 100L && p._2 >= 100L))
+  }
+
   test("clusterAssign labels components with their min id, singletons with themselves") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b") // chain 1-2-3, pair 5-6
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
@@ -134,6 +164,31 @@ class DedupSpec extends SparkSpec {
     // near-dup pair (jaccard ~0.8): estimator within 0.35 of exact at k=16
     out.get((1L, 2L)).foreach { case (est, jac) =>
       assert(math.abs(est - jac) <= 0.35, s"est $est vs exact $jac")
+    }
+  }
+
+  test("sortedNeighborhoodPairs + minhashEstimatedJaccard reliable mode ≡ default, hits the store") {
+    // The operators that grew lineage cuts AFTER clusterAssign's
+    // reliable flag now take the same option: on a real cluster the
+    // default executor-local checkpoint blocks die with an executor —
+    // unrecoverably — so the long-running pair generators must be able
+    // to route their cuts through the reliable store too.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-pairs").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(key(Dedup.sortedNeighborhoodPairs(docs, reliable = true)) ==
+        key(Dedup.sortedNeighborhoodPairs(docs)))
+      val est = Dedup.minhashEstimatedJaccard(docs, reliable = true)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(est == Dedup.minhashEstimatedJaccard(docs)
+        .as[(Long, Long, Double, Double)].collect().toSet)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "reliable mode must write checkpoint files to the configured dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
 

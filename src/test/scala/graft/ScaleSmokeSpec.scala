@@ -283,6 +283,53 @@ class ScaleSmokeSpec extends SparkSpec {
     // fans out at most maxDf^2 join rows per shingle.
   }
 
+  test("adversarial skew: simhash mega-cluster band, maxDf cap bounds the join at 10×") {
+    // Each copy of the 10× corpus gets a 300-document block of
+    // IDENTICAL (copy-salted) text on top of the salted base docs: ten
+    // simhash mega-clusters of 300. Every block member carries the same
+    // four band values, so the uncapped banded self-join fans out
+    // 10 × (300²/2) ≈ 450k pairs through df=300 hot keys — the r6
+    // verdict's uncapped-fan-out hazard, planted. With maxDf = 64 < 300
+    // the hot bands drop from the index and the join stays task-bounded.
+    import spark.implicits._
+    val megaPerCopy = 300
+    val megaBlocks = (0 until 10).flatMap { c =>
+      (0 until megaPerCopy).map { i =>
+        (20000000L + c * 1000000L + i,
+          s"mega_$c block_$c boilerplate_$c text_$c repeated_$c verbatim_$c in_$c every_$c member_$c")
+      }
+    }
+    val adv10 = spark.read.parquet(s"$base/docs10").select("doc_id", "text")
+      .unionByName(megaBlocks.toDF("doc_id", "text"))
+    // (1) the hazard is real: uncapped, ONE copy's block alone pairs
+    // quadratically (restrict to one block to keep the proof cheap)
+    val oneBlock = megaBlocks.take(megaPerCopy).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashCandidates(oneBlock).count()
+    assert(uncapped == megaPerCopy.toLong * (megaPerCopy - 1) / 2,
+      s"one identical-text block must pair quadratically uncapped: $uncapped")
+    // (2) capped at 64 < 300, the full 10× adversarial corpus joins
+    // without the mega-pairs and without concentrating any task
+    val listener = new ShuffleReadCounters
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val nPairs =
+      try {
+        val r = Dedup.simhashCandidates(adv10, maxDf = Some(64))
+          .filter(col("doc_a") >= 20000000L && col("doc_b") >= 20000000L)
+          .count()
+        listener.quiesce()
+        r
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    val (maxTask, total) = (listener.maxTask.get(), listener.total.get())
+    info(s"capped simhash join: maxTask=$maxTask total=$total megaPairs=$nPairs")
+    assert(nPairs == 0L, "df=300 > cap=64 bands must drop every mega-cluster pair")
+    assert(total > 0 && maxTask <= total / 4,
+      s"one task read $maxTask of $total shuffle records — the cap failed to bound the hot band")
+  }
+
   test("adversarial skew: corpus-wide boilerplate SPAN, dropDupSpans stays task-bounded at 10×") {
     import graft.functions.Curation
     // Every document (10× corpus: 5 000 docs) ends with the SAME

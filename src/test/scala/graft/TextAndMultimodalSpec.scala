@@ -758,21 +758,30 @@ class TextAndMultimodalSpec extends SparkSpec {
       assert(perDoc(id) == (2 + id % 3).toInt, s"doc $id scene count")
   }
 
-  test("MJPEG-in-MKV frame walk matches the AVI walk frame-for-frame") {
-    import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, VideoFrames}
+  test("MKV and MP4 frame walks match the AVI walk frame-for-frame") {
+    import graft.functions.{MediaFixtures, MjpegFrames, MkvMjpegFrames, Mp4MjpegFrames, VideoFrames}
     for (id <- 0L until 12L) {
       val avi = MjpegFrames.decode(id, MediaFixtures.sceneAviBytes(id))
       val mkv = MkvMjpegFrames.decode(id, MediaFixtures.sceneMkvBytes(id))
+      val mp4 = Mp4MjpegFrames.decode(id, MediaFixtures.sceneMp4Bytes(id))
       assert(avi.nonEmpty, s"doc $id: AVI walk found no frames")
-      assert(avi == mkv, s"doc $id: container walks disagree")
+      assert(avi == mkv, s"doc $id: MKV walk disagrees with AVI")
+      assert(avi == mp4, s"doc $id: MP4 stsz/stco walk disagrees with AVI")
     }
     // the dispatcher routes on the magic, not the doc id
     assert(VideoFrames.decode(5, MediaFixtures.sceneMkvBytes(5)).nonEmpty)
     assert(VideoFrames.decode(4, MediaFixtures.sceneAviBytes(4)).nonEmpty)
+    assert(VideoFrames.decode(3, MediaFixtures.sceneMp4Bytes(3)).nonEmpty)
     // malformed input: no rows, never an exception
     assert(MkvMjpegFrames.decode(3, Array[Byte](1, 2, 3)) == Nil)
     val truncated = MediaFixtures.sceneMkvBytes(3).take(40)
     assert(MkvMjpegFrames.decode(3, truncated) == Nil)
+    assert(Mp4MjpegFrames.decode(3, Array[Byte](1, 2, 3)) == Nil)
+    // truncating inside mdat strands the stco anchor past the buffer:
+    // the out-of-bounds samples drop, no exception
+    val mp4Full = MediaFixtures.sceneMp4Bytes(2)
+    assert(Mp4MjpegFrames.decode(2, mp4Full.take(mp4Full.length - 10)).size <
+      Mp4MjpegFrames.decode(2, mp4Full).size)
   }
 
   test("MjpegFrames: decodes every movi frame to the planted block sums") {
