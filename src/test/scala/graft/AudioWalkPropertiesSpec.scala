@@ -1,0 +1,164 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AdpcmSamples, AudioFingerprint, AudioHeaders, MediaFixtures, PcmSamples, PcmStats}
+
+/** ScalaCheck robustness properties for the AUDIO container walks —
+  * the same adversarial contract [[ContainerWalkPropertiesSpec]] locks
+  * for the video walks: a 100 TB crawl's malformed audio bytes must
+  * NEVER fail a task (drop-the-row), never hang a walk, and never
+  * fabricate impossible rows. For ALL planted streams (PCM WAV, IMA
+  * ADPCM WAV, MP3, FLAC, OGG/Opus) and ALL corruptions (truncation at
+  * any byte, any single-byte mutation, random garbage): no exception
+  * escapes, sample counts never exceed the planted count under
+  * truncation, and every emitted stats row keeps the decoder's
+  * arithmetic invariants (16-bit amplitude range, sum/min/max/sumsq
+  * consistency). Pure JVM — no Spark jobs, so cases are cheap.
+  */
+class AudioWalkPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val docId: Gen[Long] = Gen.chooseNum(0L, 200L)
+
+  private val knownFormats = Set("wav", "mp3", "flac", "ogg", "opus", "unknown")
+
+  /** The arithmetic invariants every emitted [[PcmStats]] row must keep
+    * whatever the input bytes: amplitudes are decoded/clamped 16-bit
+    * values, so min/max bound the range, the sum is bracketed by
+    * n·min ≤ sum ≤ n·max, and the sum of squares by n·32768².
+    */
+  private def saneStats(s: PcmStats): Boolean =
+    s.n_samples >= 1 &&
+      s.min_amp >= -32768 && s.max_amp <= 32767 && s.min_amp <= s.max_amp &&
+      s.n_samples * s.min_amp <= s.sum_amp && s.sum_amp <= s.n_samples * s.max_amp &&
+      s.sumsq_amp >= 0 && s.sumsq_amp <= s.n_samples * 32768L * 32768L
+
+  // one planted stream per family, all doc_id arithmetic
+  private def pcm(id: Long): (Array[Byte], Int, Int) = {
+    val channels = (id % 2 + 1).toInt
+    val frames = (id % 40 + 1).toInt
+    (MediaFixtures.wavPcmBytes(id), channels, frames)
+  }
+
+  private def adpcm(id: Long): (Array[Byte], Int) =
+    (MediaFixtures.wavImaAdpcmBytes(id), (1 + id % 32 + 1).toInt) // 1 + nnib
+
+  test("PCM truncation at any byte: no throw, never more samples than planted") {
+    check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
+      val (bytes, channels, frames) = pcm(id)
+      val cut = (bytes.length * fr).toInt.min(bytes.length)
+      val out = PcmSamples.decode(id, java.util.Arrays.copyOf(bytes, cut))
+      out.lengthCompare(channels) <= 0 &&
+        out.forall(s => s.n_samples <= frames && s.channel < channels && saneStats(s))
+    })
+  }
+
+  test("ADPCM truncation at any byte: no throw, never more samples than planted") {
+    check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
+      val (bytes, samples) = adpcm(id)
+      val cut = (bytes.length * fr).toInt.min(bytes.length)
+      val out = AdpcmSamples.decode(id, java.util.Arrays.copyOf(bytes, cut))
+      out.lengthCompare(1) <= 0 &&
+        out.forall(s => s.n_samples <= samples && saneStats(s))
+    })
+  }
+
+  test("header truncation at any byte: no throw, fields never exceed planted") {
+    check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
+      val bytes = MediaFixtures.audioBytesMulti(id)
+      val cut = (bytes.length * fr).toInt.min(bytes.length)
+      val (fmt, ch, rate, bits, n) =
+        AudioHeaders.decode(java.util.Arrays.copyOf(bytes, cut))
+      // a truncated stream yields at most the planted values — the
+      // walk can only lose chunks/frames, never invent them
+      val full = AudioHeaders.decode(bytes)
+      knownFormats(fmt) && ch >= 0 && rate >= 0 && bits >= 0 &&
+        n >= 0 && n <= full._5 && ch <= full._2.max(2)
+    })
+  }
+
+  test("single-byte mutation: no throw, bounded output, sane stats") {
+    check(Prop.forAll(docId, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 255)) {
+      (id, posSeed, newByte) =>
+        val (bytes, _, _) = pcm(id)
+        val mutated = bytes.clone()
+        mutated(posSeed % bytes.length) = newByte.toByte
+        val out = PcmSamples.decode(id, mutated)
+        // a flipped byte may corrupt the channel count, chunk sizes, or
+        // amplitudes — the theorems are: no exception escapes, the
+        // decoder's own channel cap (64) bounds the fan-out, a row's
+        // sample count is bounded by the bytes present, and every row
+        // keeps the arithmetic invariants
+        val (ab, _) = adpcm(id)
+        val amut = ab.clone()
+        amut(posSeed % ab.length) = newByte.toByte
+        val aout = AdpcmSamples.decode(id, amut)
+        val hdr = AudioHeaders.decode(mutated)
+        out.lengthCompare(64) <= 0 &&
+          out.forall(s => s.n_samples <= mutated.length / 2 && saneStats(s)) &&
+          aout.lengthCompare(1) <= 0 &&
+          // every ADPCM byte decodes at most 2 nibbles + 1 header sample
+          // per ≥5-byte block: 2·bytes is a hard DoS bound
+          aout.forall(s => s.n_samples <= 2L * amut.length && saneStats(s)) &&
+          knownFormats(hdr._1) && hdr._2 >= 0 && hdr._3 >= 0 && hdr._5 >= 0
+    })
+  }
+
+  test("mono-sample walk + fingerprint under mutation: no throw, bounded") {
+    check(Prop.forAll(docId, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 255)) {
+      (id, posSeed, newByte) =>
+        val bytes = MediaFixtures.nearDupWavBytes(id)
+        val mutated = bytes.clone()
+        mutated(posSeed % bytes.length) = newByte.toByte
+        val samples = PcmSamples.decodeMonoSamples(mutated)
+        samples.forall(_.length <= mutated.length / 2) &&
+          samples.flatMap(AudioFingerprint.fingerprint64).forall(_ => true)
+    })
+  }
+
+  test("random garbage bytes: no throw, no rows from non-streams") {
+    val garbage: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    check(Prop.forAll(garbage) { b =>
+      // without the RIFF....WAVE prelude there is nothing to walk for
+      // the sample decoders (the magic checks reject); the header
+      // dispatch may classify a lucky MP3 sync pattern but must still
+      // return a sane tuple and never throw
+      val hdr = AudioHeaders.decode(b)
+      PcmSamples.decode(0, b).isEmpty && AdpcmSamples.decode(0, b).isEmpty &&
+        PcmSamples.decodeMonoSamples(b).isEmpty &&
+        knownFormats(hdr._1) && hdr._2 >= 0 && hdr._3 >= 0 &&
+        hdr._4 >= 0 && hdr._5 >= 0
+    })
+  }
+
+  test("intact streams always decode the full planted sample set") {
+    check(Prop.forAll(docId) { id =>
+      val (pb, channels, frames) = pcm(id)
+      val pout = PcmSamples.decode(id, pb)
+      val (ab, asamples) = adpcm(id)
+      val aout = AdpcmSamples.decode(id, ab)
+      val hdr = AudioHeaders.decode(MediaFixtures.audioBytesMulti(id))
+      val wantFmt = (id % 3) match {
+        case 0 => "wav"
+        case 1 => "mp3"
+        case _ => "flac"
+      }
+      val ogg = AudioHeaders.decode(MediaFixtures.oggBytes(id))
+      val wantOgg = if (id % 2 == 0) "ogg" else "opus"
+      pout.length == channels && pout.forall(_.n_samples == frames) &&
+        pout.map(_.channel).toSet == (0L until channels).toSet &&
+        aout.length == 1 && aout.head.n_samples == asamples &&
+        hdr._1 == wantFmt &&
+        ogg._1 == wantOgg && ogg._2 == id / 2 % 2 + 1 && ogg._5 == id % 50000 + 1000
+    })
+  }
+}
