@@ -18,19 +18,30 @@ import graft.functions.{Curation, Dedup, Similarity, TextAnalytics}
   */
 object CurationPipeline {
 
-  /** Persisted state locations (parquet directories). */
-  final case class State(digestsPath: String, indexPath: String)
+  /** Persisted state locations (parquet directories). The tombstone
+    * table is what makes the append-only state RETRACTABLE: at 100 TB
+    * you cannot rebuild the digest/index tables to forget one document
+    * (a takedown, a re-crawl correction), so deletion is logical first —
+    * a `doc_id` tombstone anti-joined against every state read — and
+    * physical later, amortized into [[purgeTombstoned]]. Tombstones are
+    * takedown-sized (a sliver of the corpus), so the anti-join
+    * broadcasts; no state scan grows.
+    */
+  final case class State(digestsPath: String, indexPath: String,
+      tombstonesPath: String)
 
   /** Create empty state tables so the first batch runs the same code
     * path as every later one.
     */
   def init(spark: SparkSession, dir: String): State = {
     import spark.implicits._
-    val st = State(s"$dir/digests", s"$dir/index")
-    Seq.empty[String].toDF("text_hash")
+    val st = State(s"$dir/digests", s"$dir/index", s"$dir/tombstones")
+    Seq.empty[(Long, String)].toDF("doc_id", "text_hash")
       .write.mode(SaveMode.Overwrite).parquet(st.digestsPath)
     Seq.empty[(Long, Int, String)].toDF("doc_id", "band_idx", "band_hash")
       .write.mode(SaveMode.Overwrite).parquet(st.indexPath)
+    Seq.empty[Long].toDF("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(st.tombstonesPath)
     st
   }
 
@@ -72,22 +83,73 @@ object CurationPipeline {
       TextAnalytics.ruleFlags(batch).filter(col("keep")).select("doc_id"), "doc_id")
     val reps = flagged.join(
       Dedup.exactGroups(flagged).select(col("keep_id").as("doc_id")), "doc_id")
+    // tombstoned history rows are logically gone: masking them here is
+    // what lets a retracted document's near-dups re-enter the corpus
+    val tomb = spark.read.parquet(state.tombstonesPath)
     val seen = spark.read.parquet(state.digestsPath)
+      .join(tomb, Seq("doc_id"), "left_anti")
     val freshIds = Dedup.incrementalExact(reps, seen)
     val fresh = reps.join(freshIds.select("doc_id"), "doc_id")
     val oldIndex = spark.read.parquet(state.indexPath)
+      .join(tomb, Seq("doc_id"), "left_anti")
     val nearDupIds = Dedup.incrementalMinhashCandidatesMd5(fresh, oldIndex)
       .select(col("new_doc").as("doc_id")).distinct()
     val accepted = fresh.join(nearDupIds, Seq("doc_id"), "left_anti")
     val out = accepted.select(col("doc_id"), col("text"),
       Curation.splitExpr(col("doc_id")).as("split"))
     if (appendState) {
-      accepted.select(md5(col("text")).as("text_hash"))
+      accepted.select(col("doc_id"), md5(col("text")).as("text_hash"))
         .write.mode(SaveMode.Append).parquet(state.digestsPath)
       Dedup.bandedIndexMd5(accepted)
         .write.mode(SaveMode.Append).parquet(state.indexPath)
     }
     out
+  }
+
+  /** Logically delete documents from the accumulated state: append
+    * their ids to the tombstone table. Every state read anti-joins the
+    * tombstones, so the retracted documents stop suppressing their
+    * exact- and near-duplicates IMMEDIATELY — without touching the
+    * (100 TB-corpus-sized) digest or index tables. Physical deletion is
+    * deferred to [[purgeTombstoned]].
+    *
+    * Idempotent at the byte level, not just semantically: already-
+    * tombstoned ids are dropped before the append, so replaying a
+    * retraction (the crash-recovery case) appends nothing. Returns the
+    * number of newly tombstoned ids.
+    */
+  def retract(spark: SparkSession, state: State, docIds: DataFrame): Long = {
+    val fresh = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .join(spark.read.parquet(state.tombstonesPath), Seq("doc_id"), "left_anti")
+    // the count and the append are two evaluations of a takedown-sized
+    // frame — cheap, and it keeps the no-op replay from writing an
+    // empty file set
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
+    n
+  }
+
+  /** Physically drop tombstoned rows: rewrite digests and index minus
+    * the tombstones, then clear the tombstone table. O(state) — run it
+    * on the maintenance cadence ([[maintainAnn]]'s class), not per
+    * retraction. Crash-safe by ORDER: the state tables are rewritten
+    * and swapped first ([[Compaction.replaceDir]]), the tombstones
+    * cleared last — a crash at any point leaves every tombstone still
+    * masking rows that are either gone (anti-join no-op) or still
+    * present (still masked). Replaying the purge converges.
+    */
+  def purgeTombstoned(spark: SparkSession, state: State): Unit = {
+    import spark.implicits._
+    val tomb = spark.read.parquet(state.tombstonesPath)
+    for (p <- Seq(state.digestsPath, state.indexPath)) {
+      val tmp = p + "__purge"
+      spark.read.parquet(p).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      Compaction.replaceDir(spark, p, tmp)
+    }
+    val tmp = state.tombstonesPath + "__purge"
+    Seq.empty[Long].toDF("doc_id").write.mode(SaveMode.Overwrite).parquet(tmp)
+    Compaction.replaceDir(spark, state.tombstonesPath, tmp)
   }
 
   /** Persisted ANN-index state: the centroid table (fixed at init — a
@@ -134,7 +196,13 @@ object CurationPipeline {
     TextAnalytics.bpeEncodeWithMerges(batch, merges)
   }
 
-  final case class AnnState(centroidsPath: String, cellsPath: String)
+  /** Tombstones follow the same retraction contract as [[State]]:
+    * logical deletion now (every cells-table read anti-joins them),
+    * physical deletion amortized — here into [[reindexAnn]], which
+    * rebuilds from the LIVE rows only and then clears the table.
+    */
+  final case class AnnState(centroidsPath: String, cellsPath: String,
+      tombstonesPath: String)
 
   /** Build the IVF index state from a seed corpus: centroids seeded and
     * optionally Lloyd-refined ONCE, then frozen to parquet; the seed
@@ -144,7 +212,10 @@ object CurationPipeline {
     */
   def initAnn(spark: SparkSession, dir: String, seedEmbeddings: DataFrame,
       nCells: Int = 16, refine: Int = 1, spreadSeeds: Boolean = false): AnnState = {
-    val st = AnnState(s"$dir/centroids", s"$dir/cells")
+    import spark.implicits._
+    val st = AnnState(s"$dir/centroids", s"$dir/cells", s"$dir/vec_tombstones")
+    Seq.empty[Long].toDF("vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(st.tombstonesPath)
     var cents =
       if (spreadSeeds) Similarity.spreadCentroids(seedEmbeddings, nCells)
       else Similarity.seededCentroids(seedEmbeddings, nCells)
@@ -191,10 +262,32 @@ object CurationPipeline {
     * are frozen while the data distribution drifts.
     */
   def annCellSkew(spark: SparkSession, state: AnnState): Double = {
-    val r = spark.read.parquet(state.cellsPath)
+    val r = liveCells(spark, state)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), avg(col("n")).as("av")).head()
     r.getLong(0).toDouble / r.getDouble(1)
+  }
+
+  /** The cells table minus its tombstones — the LIVE index every read
+    * path (skew measurement, probe, re-index) sees. The anti-join side
+    * is takedown-sized, so it broadcasts; the `cell=…` partition filter
+    * still pushes below the join into the scan.
+    */
+  private def liveCells(spark: SparkSession, state: AnnState): DataFrame =
+    spark.read.parquet(state.cellsPath)
+      .join(spark.read.parquet(state.tombstonesPath), Seq("vec_id"), "left_anti")
+
+  /** Logically delete vectors from the persisted ANN index — the
+    * [[retract]] twin for [[AnnState]]: append-only tombstones, read
+    * paths mask, [[reindexAnn]] physically forgets. Byte-idempotent
+    * replay, returns newly tombstoned count.
+    */
+  def retractAnn(spark: SparkSession, state: AnnState, vecIds: DataFrame): Long = {
+    val fresh = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .join(spark.read.parquet(state.tombstonesPath), Seq("vec_id"), "left_anti")
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
+    n
   }
 
   /** Full re-index from the accumulated state: recompute centroids over
@@ -206,14 +299,19 @@ object CurationPipeline {
     */
   def reindexAnn(spark: SparkSession, dir: String, state: AnnState,
       nCells: Int = 16, refine: Int = 1): AnnState = {
-    val corpus = spark.read.parquet(state.cellsPath)
-      .select(col("vec_id"), col("embedding"))
+    // LIVE rows only: the re-index is also the amortized physical
+    // deletion for retracted vectors
+    val corpus = liveCells(spark, state).select(col("vec_id"), col("embedding"))
     // hash-SPREAD seeds: smallest-id seeding would plant every seed in
     // the pre-drift era — the exact failure a re-index exists to fix
     val rebuilt = initAnn(spark, s"$dir/__reindex", corpus, nCells, refine,
       spreadSeeds = true)
     Compaction.replaceDir(spark, state.centroidsPath, rebuilt.centroidsPath)
     Compaction.replaceDir(spark, state.cellsPath, rebuilt.cellsPath)
+    // tombstones clear LAST (rebuilt's table is empty): a crash before
+    // this swap leaves tombstones masking rows the rebuild already
+    // dropped — an anti-join no-op, never a resurrection
+    Compaction.replaceDir(spark, state.tombstonesPath, rebuilt.tombstonesPath)
     val scratch = new org.apache.hadoop.fs.Path(s"$dir/__reindex")
     scratch.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(scratch, true)
     state
@@ -244,7 +342,7 @@ object CurationPipeline {
   def probeAnn(spark: SparkSession, state: AnnState, queries: DataFrame,
       k: Int = 10, nProbe: Int = 4): DataFrame =
     Similarity.ivfProbeAssigned(
-      spark.read.parquet(state.cellsPath),
+      liveCells(spark, state),
       spark.read.parquet(state.centroidsPath),
       queries, k, nProbe)
 }

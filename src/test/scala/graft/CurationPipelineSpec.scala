@@ -85,9 +85,58 @@ class CurationPipelineSpec extends SparkSpec {
     assert(filesC < filesU, "compaction must reduce the file count")
     assert(filesC <= 4 + 33, s"file count must stay bounded, got $filesC")
     // state CONTENT survives the rewrites: same digest multiset
-    val dC = spark.read.parquet(stC.digestsPath).as[String].collect().sorted.toSeq
-    val dU = spark.read.parquet(stU.digestsPath).as[String].collect().sorted.toSeq
+    val dC = spark.read.parquet(stC.digestsPath)
+      .as[(Long, String)].collect().sorted.toSeq
+    val dU = spark.read.parquet(stU.digestsPath)
+      .as[(Long, String)].collect().sorted.toSeq
     assert(dC == dU)
+  }
+
+  test("retraction: a tombstone re-admits the doc's dups, replay is a no-op, purge forgets") {
+    import graft.pipeline.Compaction
+    val dir = Files.createTempDirectory("curation-retract").toString
+    val st = CurationPipeline.init(spark, dir)
+    val b1 = docs.filter($"doc_id" < 250)
+    val a1 = CurationPipeline.runBatch(spark, b1, st)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1.nonEmpty)
+    // an EXACT replay of an accepted doc under a new id: a maximal
+    // near-dup, so acceptance requires BOTH the digest row (exact
+    // stage) and the band-index rows (near-dup stage) to be masked
+    val victim = a1.min
+    val replay = docs.filter($"doc_id" === victim)
+      .select(($"doc_id" + 200000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    assert(CurationPipeline.runBatch(spark, replay, st, appendState = false).isEmpty,
+      "pre-retraction, the replay must be suppressed by the state")
+
+    assert(CurationPipeline.retract(spark, st, Seq(victim).toDF("doc_id")) == 1L)
+    val readmitted = CurationPipeline.runBatch(spark, replay, st, appendState = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(readmitted == Set(victim + 200000L),
+      "post-retraction, the replayed near-dup must be re-admitted")
+    // other documents' suppression is untouched
+    val other = a1.max
+    val otherReplay = docs.filter($"doc_id" === other)
+      .select(($"doc_id" + 300000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    assert(CurationPipeline.runBatch(spark, otherReplay, st, appendState = false).isEmpty)
+
+    // replaying the retraction is a BYTE no-op: nothing appended
+    val filesBefore = Compaction.dataFiles(spark, st.tombstonesPath)
+    assert(CurationPipeline.retract(spark, st, Seq(victim).toDF("doc_id")) == 0L)
+    assert(Compaction.dataFiles(spark, st.tombstonesPath) == filesBefore)
+
+    // purge: the victim's rows physically leave both state tables, the
+    // tombstones clear, and semantics are unchanged
+    CurationPipeline.purgeTombstoned(spark, st)
+    assert(spark.read.parquet(st.digestsPath).filter($"doc_id" === victim).isEmpty)
+    assert(spark.read.parquet(st.indexPath).filter($"doc_id" === victim).isEmpty)
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty)
+    assert(CurationPipeline.runBatch(spark, replay, st, appendState = false)
+      .select("doc_id").as[Long].collect().toSet == readmitted)
+    assert(CurationPipeline.runBatch(spark, otherReplay, st, appendState = false).isEmpty)
+    // a replayed purge (crash recovery) converges
+    CurationPipeline.purgeTombstoned(spark, st)
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty)
   }
 
   test("tokenizer state: frozen merge table encodes batches without retraining") {
@@ -208,5 +257,37 @@ class CurationPipelineSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(fromState == directProbe)
     assert(fromState.map(_._1) == Set(0L, 100L, 300L))
+  }
+
+  test("ANN retraction: tombstoned vectors leave the probe, re-index physically forgets") {
+    val dir = Files.createTempDirectory("ann-retract").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val st = CurationPipeline.initAnn(spark, dir, emb, nCells = 8, refine = 1)
+    // vector 42's embedding probed under a NON-corpus qid (the probe
+    // excludes self-matches by id) finds vector 42 first (cosine 1)
+    val q = emb.filter($"vec_id" === 42L).select(lit(9999L).as("qid"), $"embedding")
+    val before = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(before.map(_._2).contains(42L))
+    assert(CurationPipeline.retractAnn(spark, st, Seq(42L).toDF("vec_id")) == 1L)
+    // the tombstoned vector leaves every read path; k stays filled from
+    // the survivors
+    val after = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(after.length == 5 && !after.map(_._2).contains(42L))
+    // replay is a byte no-op
+    assert(CurationPipeline.retractAnn(spark, st, Seq(42L).toDF("vec_id")) == 0L)
+    // skew is measured over LIVE rows only (it still computes — the
+    // masked read path — and the re-index below rebuilds from it)
+    assert(CurationPipeline.annCellSkew(spark, st) > 0.0)
+    // re-index = the amortized physical deletion: the cells table
+    // no longer contains the vector and the tombstones are cleared
+    CurationPipeline.reindexAnn(spark, dir, st, nCells = 8, refine = 1)
+    assert(spark.read.parquet(st.cellsPath).filter($"vec_id" === 42L).isEmpty)
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty)
+    val rebuilt = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(rebuilt.nonEmpty && !rebuilt.map(_._2).contains(42L))
   }
 }
