@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   * bucket arithmetic per row. Every stage is distributed; the only
   * driver-side data is one long per partition (same class as the
   * run-log read).
+  *
+  * WHY THE `.rdd` DROP IS LOAD-BEARING (the one operator in the
+  * library whose plan Catalyst can't see through): exact global ranks
+  * need TWO passes over the SAME partition layout — a count pass that
+  * collects per-partition sizes, then a rank pass that adds the
+  * resulting offsets back per partition by index. Reusing one RDD
+  * instance across both jobs gives Spark's cross-job stage-skipping a
+  * single shuffle whose map output is registered once and served to
+  * both (the count job executes the range exchange; the rank job skips
+  * straight to reduce — visible as a skipped stage). A pure-DataFrame
+  * twin (`spark_partition_id()` + `groupBy(pid).count()` for offsets,
+  * then `row_number() over (partition by pid)`) is NOT equivalent: the
+  * two actions plan two independent exchanges, and `RangePartitioner`
+  * re-SAMPLES its bounds per execution (AQE may additionally coalesce
+  * differently), so the offsets collected by the first job can describe
+  * a partitioning the second job doesn't have — silently wrong ranks,
+  * not just a second shuffle. Losing whole-stage codegen for the final
+  * map is the price of that determinism; the stages that dominate at
+  * scale (the range exchange and the local sorts) are the same physical
+  * operators the DataFrame plan would run, and the driver-side state
+  * stays O(partitions) longs. Profiled scan/exchange-bound at sf1
+  * (SURVEY §6.3a: zero skew, no spill, max-task share ≈ 1/partitions).
   */
 object EquiDepth {
 
