@@ -526,6 +526,32 @@ object ExtensionQueries {
              |  SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)""".stripMargin),
     ),
 
+    // Retraction read path (the CurationPipeline.retract contract as a
+    // pure query): the digest state is masked by a tombstone anti-join
+    // BEFORE the incremental anti-join, so a retracted document stops
+    // suppressing its duplicates immediately — without rewriting the
+    // corpus-sized state. History = the whole corpus's digest table;
+    // tombstones = doc_id % 10 = 0; batch = exact replays of the
+    // doc_id % 5 = 0 slice under shifted ids. Non-vacuous both ways at
+    // every SF: replays of tombstoned docs re-admit (unless another
+    // live holder shares the text), replays of live docs stay dropped.
+    QueryDef(
+      "dedup_retract_readmit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tomb = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+        val seen = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+          .join(tomb, Seq("doc_id"), "left_anti")
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Dedup.incrementalExact(batch, seen)
+      },
+      Some("""SELECT md5(text) AS text_hash, doc_id + 1000000 AS doc_id
+             |FROM documents
+             |WHERE doc_id % 5 = 0 AND md5(text) NOT IN (
+             |  SELECT md5(text) FROM documents WHERE doc_id % 10 <> 0)""".stripMargin),
+    ),
+
     // Bloom-filter prefilter for the same incremental shape: the flag
     // column is xxhash64+bitset-derived (not externally reproducible),
     // so the oracle asserts its two theorems row-by-row instead:
