@@ -623,6 +623,47 @@ object ExtensionQueries {
       },
     ),
 
+    // The retraction mask on the NEAR-DUP path: the persisted band
+    // index anti-joined by tombstones before the batch's candidate
+    // equi-join ([[graft.pipeline.CurationPipeline.runBatch]]'s exact
+    // read shape). A retracted document's index rows stop generating
+    // candidates immediately; the state table itself is untouched.
+    // History = even ids, tombstones = doc_id % 6 = 0 (every third
+    // even doc), batch = odd ids — at sf0.01 the even near-dup
+    // partners of odd docs include % 6 = 0 holders, so the result
+    // differs from dedup_incremental_candidates non-vacuously.
+    QueryDef(
+      "dedup_retract_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tomb = docs.filter(col("doc_id") % 6 === 0).select("doc_id")
+        val index = Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0))
+          .join(tomb, Seq("doc_id"), "left_anti")
+        Dedup.incrementalMinhashCandidatesMd5(
+          docs.filter(col("doc_id") % 2 === 1), index)
+      },
+      Some {
+        val k = 16
+        val bands = 4
+        val r = k / bands
+        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
+          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
+          .mkString(", ")
+        val bandRows = (0 until bands).map { b =>
+          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
+          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $shingleSqlCte,
+           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+           |banded AS ($bandRows)
+           |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+           |FROM banded a JOIN banded b
+           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           |  AND b.doc_id % 6 <> 0""".stripMargin
+      },
+    ),
+
     // SimHash signatures — xxhash64-based, so the raw 64-bit values are
     // not externally reproducible; the query instead emits per-document
     // invariants the oracle asserts TRUE (derived-invariant pattern):
