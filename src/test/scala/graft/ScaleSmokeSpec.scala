@@ -512,4 +512,73 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(te10 <= 12 * te1 + 2.0,
       f"LSH near-dup must scale near-linearly: $te1%.2fs -> $te10%.2fs")
   }
+
+  /** Copy-salted docs that still pass [[TextAnalytics.ruleFlags]] (the
+    * pipeline's quality gate): every body token gets an ALPHA copy
+    * letter (keeping `alpha_ratio` at 1.0 where the plain `_c` salt
+    * would zero it), plus a fixed 4-stopword tail for the `n_stop`
+    * rule. Body shingle spaces stay disjoint across copies; only the
+    * tail's two trigrams are shared — far below any band-collision
+    * threshold under the md5 minhash.
+    */
+  private def synthKeepableDocs(copies: Int, out: String): DataFrame = {
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        explode(array((0 until copies).map(lit(_)): _*)).as("copy"))
+      .select(
+        (col("doc_id") + col("copy").cast("long") * 1000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", transform(split(lower(col("text")), " "),
+            t => concat(t, chr(col("copy") + lit(97))))),
+          lit(" the of and is")).as("text"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  test("retraction is O(tombstones) on a 10× corpus: broadcast masks, state untouched") {
+    import graft.pipeline.{Compaction, CurationPipeline}
+    val docs10 = synthKeepableDocs(10, s"$base/docs10r")
+    val dir = Files.createTempDirectory("retract-scale").toString
+    val st = CurationPipeline.init(spark, dir)
+    val accepted = CurationPipeline.runBatch(spark, docs10, st)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    info(s"state over 10x corpus: ${accepted.length} accepted docs")
+    assert(accepted.length > 2000,
+      s"the salted corpus must substantially pass the quality gate, got ${accepted.length}")
+
+    // retract a takedown-sized slice: the write is bounded by the id
+    // frame, not the corpus — the state tables' files are NOT rewritten
+    val digestFiles = Compaction.dataFiles(spark, st.digestsPath)
+    val indexFiles = Compaction.dataFiles(spark, st.indexPath)
+    val victims = accepted.take(500)
+    val ids = spark.createDataset(victims.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id")
+    val (_, tr) = timed(CurationPipeline.retract(spark, st, ids))
+    info(f"retract(500) on 10x state: $tr%.2fs")
+    assert(Compaction.dataFiles(spark, st.digestsPath) == digestFiles,
+      "retract must not touch the digest table")
+    assert(Compaction.dataFiles(spark, st.indexPath) == indexFiles,
+      "retract must not touch the index table")
+
+    // the mask read shape is a BROADCAST anti-join: the corpus-sized
+    // state never shuffles for the takedown-sized tombstone side
+    val masked = spark.read.parquet(st.digestsPath)
+      .join(spark.read.parquet(st.tombstonesPath), Seq("doc_id"), "left_anti")
+    val plan = masked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone mask must be a broadcast anti-join, got:\n$plan")
+
+    // semantics at 10x: an exact replay of a retracted doc re-admits;
+    // a replay of a live doc stays suppressed
+    val retractedReplay = docs10.filter(col("doc_id") === victims.head)
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+    val liveReplay = docs10.filter(col("doc_id") === accepted.last)
+      .select((col("doc_id") + 60000000L).as("doc_id"), col("text"))
+    val out = CurationPipeline.runBatch(spark,
+        retractedReplay.unionByName(liveReplay), st, appendState = false)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(out == Set(victims.head + 50000000L),
+      s"only the retracted doc's replay may re-admit, got $out")
+  }
 }
