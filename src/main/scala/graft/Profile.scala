@@ -25,6 +25,11 @@ object Profile {
       .getOrElse(throw new IllegalArgumentException(
         "usage: Profile <queryName>[,<queryName>...] [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // validate EVERY name before running ANY: a typo in the last name
+    // of a long sweep must not discard the minutes already spent
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.sorted.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

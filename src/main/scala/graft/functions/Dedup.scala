@@ -518,18 +518,6 @@ object Dedup {
           forall(slice(col("chunks"), lit(1), greatest(size(col("chunks")) - 1, lit(0))),
             c => c.getField("len") >= minLen)).as("bounds_ok"))
 
-  /** Connected components over an undirected near-dup pair list: every
-    * document gets the minimum doc_id of its component as `cluster` —
-    * the step that turns pairwise candidates into dedup groups (keep
-    * one representative per cluster). Min-label propagation: each round
-    * every node takes the min of its own and its neighbors' labels, a
-    * join + groupBy per round, O(component diameter) rounds. Near-dup
-    * components are shallow (dozens of hops at the extreme), so the
-    * loop is a handful of distributed passes; lineage is cut each round
-    * so plans stay flat at any scale — executor-local by default,
-    * `reliable = true` for fault-tolerant checkpoints on a cluster (see
-    * the mode comment in the body).
-    */
   /** Lineage/plan cut shared by every operator that materializes an
     * intermediate frame (iterative state, a signature table read by
     * several branches). Two modes:
@@ -554,6 +542,18 @@ object Dedup {
       df.checkpoint(true)
     } else _.localCheckpoint(true)
 
+  /** Connected components over an undirected near-dup pair list: every
+    * document gets the minimum doc_id of its component as `cluster` —
+    * the step that turns pairwise candidates into dedup groups (keep
+    * one representative per cluster). Min-label propagation: each round
+    * every node takes the min of its own and its neighbors' labels, a
+    * join + groupBy per round, O(component diameter) rounds. Near-dup
+    * components are shallow (dozens of hops at the extreme), so the
+    * loop is a handful of distributed passes; lineage is cut each round
+    * so plans stay flat at any scale — executor-local by default,
+    * `reliable = true` for fault-tolerant checkpoints on a cluster (see
+    * the mode comment in [[lineageCut]]).
+    */
   def clusterAssign(pairs: DataFrame, nodes: DataFrame,
       reliable: Boolean = false): DataFrame = {
     // Lineage cut per round — mode tradeoffs at [[lineageCut]]; this is

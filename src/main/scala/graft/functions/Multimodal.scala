@@ -1268,7 +1268,12 @@ object Mp4MjpegFrames {
         if (typ == "stsz" && payloadEnd - payload >= 12) {
           val fixed = be32(b, payload + 4)
           val n = be32(b, payload + 8)
-          if (fixed > 0 && n <= Int.MaxValue)
+          // a declared fixed-size run longer than the buffer could hold
+          // is adversarial: allocating from the 32-bit count unchecked
+          // would OOM the task (an Error, not a droppable row) — bound
+          // the run by what the buffer can physically contain
+          // (division, not n*fixed, so the product can't overflow)
+          if (fixed > 0 && n > 0 && n <= b.length / fixed)
             sizes = Array.fill(n.toInt)(fixed.toInt)
           else if (fixed == 0 && payload + 12 + 4 * n <= payloadEnd)
             sizes = Array.tabulate(n.toInt)(i => be32(b, payload + 12 + 4 * i).toInt)

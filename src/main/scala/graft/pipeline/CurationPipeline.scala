@@ -84,8 +84,17 @@ object CurationPipeline {
     val reps = flagged.join(
       Dedup.exactGroups(flagged).select(col("keep_id").as("doc_id")), "doc_id")
     // tombstoned history rows are logically gone: masking them here is
-    // what lets a retracted document's near-dups re-enter the corpus
-    val tomb = spark.read.parquet(state.tombstonesPath)
+    // what lets a retracted document's near-dups re-enter the corpus.
+    // The tombstones are pinned into the plan as a LOCAL relation (they
+    // are takedown-sized by contract — the same bound the broadcast
+    // anti-join relies on): the returned frame stays lazy, and the
+    // re-accept rewrite of the tombstone directory below must not
+    // invalidate the caller's not-yet-collected plan
+    val tomb = spark.createDataset(
+        spark.read.parquet(state.tombstonesPath)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("doc_id")
     val seen = spark.read.parquet(state.digestsPath)
       .join(tomb, Seq("doc_id"), "left_anti")
     val freshIds = Dedup.incrementalExact(reps, seen)
@@ -102,6 +111,10 @@ object CurationPipeline {
         .write.mode(SaveMode.Append).parquet(state.digestsPath)
       Dedup.bandedIndexMd5(accepted)
         .write.mode(SaveMode.Append).parquet(state.indexPath)
+      // a corrected re-crawl re-ingested under a retracted id: its
+      // fresh rows were just appended, so the tombstone must clear or
+      // the doc would stay invisible to dedup forever
+      untombstone(spark, state.tombstonesPath, accepted, "doc_id")
     }
     out
   }
@@ -118,39 +131,83 @@ object CurationPipeline {
     * retraction (the crash-recovery case) appends nothing. Returns the
     * number of newly tombstoned ids.
     */
-  def retract(spark: SparkSession, state: State, docIds: DataFrame): Long = {
-    val fresh = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .join(spark.read.parquet(state.tombstonesPath), Seq("doc_id"), "left_anti")
-    // the count and the append are two evaluations of a takedown-sized
-    // frame — cheap, and it keeps the no-op replay from writing an
-    // empty file set
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
-    n
+  /** Serializes every tombstone mutation (retract / purge / re-accept
+    * clearing / re-index) within the driver JVM — the same in-process
+    * discipline as `Tables`' conf lock. Cross-PROCESS coordination is
+    * the caller's contract, exactly as it already is for the state
+    * appends themselves (one driver owns a state dir).
+    */
+  private val stateLock = new Object
+
+  def retract(spark: SparkSession, state: State, docIds: DataFrame): Long =
+    stateLock.synchronized {
+      // persisted so the count and the append see ONE evaluation — a
+      // nondeterministic id frame (limit/sample) must not return n while
+      // writing a different id set (the byte-idempotence contract)
+      val fresh = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+        .join(spark.read.parquet(state.tombstonesPath), Seq("doc_id"), "left_anti")
+        .persist()
+      try {
+        val n = fresh.count()
+        if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
+        n
+      } finally { fresh.unpersist(); () }
+    }
+
+  /** Drop ids from a tombstone table (rewrite-minus, crash-safe swap) —
+    * the RE-ACCEPT path: a document re-ingested under a previously
+    * retracted id appends fresh state rows, which the tombstone would
+    * otherwise mask forever (and [[purgeTombstoned]] would then delete).
+    * No-op (zero writes) when none of the ids are tombstoned — the
+    * overwhelmingly common case, priced at one semi-join over a
+    * takedown-sized table.
+    */
+  private def untombstone(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String): Unit = stateLock.synchronized {
+    val tomb = spark.read.parquet(path)
+    val keyed = ids.select(col(idCol)).distinct()
+    if (!tomb.join(keyed, Seq(idCol), "left_semi").isEmpty) {
+      val tmp = path + "__untomb"
+      tomb.join(keyed, Seq(idCol), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      Compaction.replaceDir(spark, path, tmp)
+    }
   }
 
   /** Physically drop tombstoned rows: rewrite digests and index minus
-    * the tombstones, then clear the tombstone table. O(state) — run it
-    * on the maintenance cadence ([[maintainAnn]]'s class), not per
-    * retraction. Crash-safe by ORDER: the state tables are rewritten
-    * and swapped first ([[Compaction.replaceDir]]), the tombstones
-    * cleared last — a crash at any point leaves every tombstone still
-    * masking rows that are either gone (anti-join no-op) or still
-    * present (still masked). Replaying the purge converges.
+    * a tombstone SNAPSHOT, then remove exactly the snapshot's ids from
+    * the live tombstone table. O(state) — run it on the maintenance
+    * cadence ([[maintainAnn]]'s class), not per retraction.
+    *
+    * Crash-safe by ORDER: the state tables are rewritten and swapped
+    * first ([[Compaction.replaceDir]]), the tombstones trimmed last — a
+    * crash at any point leaves every tombstone still masking rows that
+    * are either gone (anti-join no-op) or still present (still masked);
+    * replaying the purge converges. The final trim is an anti-join
+    * against the snapshot, NOT a clear: a tombstone appended by another
+    * process after the snapshot was taken masked rows this purge never
+    * rewrote, and wiping it would silently resurrect that document.
     */
-  def purgeTombstoned(spark: SparkSession, state: State): Unit = {
-    import spark.implicits._
-    val tomb = spark.read.parquet(state.tombstonesPath)
-    for (p <- Seq(state.digestsPath, state.indexPath)) {
-      val tmp = p + "__purge"
-      spark.read.parquet(p).join(tomb, Seq("doc_id"), "left_anti")
+  def purgeTombstoned(spark: SparkSession, state: State): Unit =
+    stateLock.synchronized {
+      val snap = state.tombstonesPath + "__snapshot"
+      spark.read.parquet(state.tombstonesPath)
+        .write.mode(SaveMode.Overwrite).parquet(snap)
+      val tomb = spark.read.parquet(snap)
+      for (p <- Seq(state.digestsPath, state.indexPath)) {
+        val tmp = p + "__purge"
+        spark.read.parquet(p).join(tomb, Seq("doc_id"), "left_anti")
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        Compaction.replaceDir(spark, p, tmp)
+      }
+      val tmp = state.tombstonesPath + "__purge"
+      spark.read.parquet(state.tombstonesPath)
+        .join(tomb, Seq("doc_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      Compaction.replaceDir(spark, p, tmp)
+      Compaction.replaceDir(spark, state.tombstonesPath, tmp)
+      val sp = new org.apache.hadoop.fs.Path(snap)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    val tmp = state.tombstonesPath + "__purge"
-    Seq.empty[Long].toDF("doc_id").write.mode(SaveMode.Overwrite).parquet(tmp)
-    Compaction.replaceDir(spark, state.tombstonesPath, tmp)
-  }
 
   /** Persisted ANN-index state: the centroid table (fixed at init — a
     * moving codebook would silently re-bucket history) and the
@@ -251,8 +308,12 @@ object CurationPipeline {
     val assigned = Similarity.withCosineNorm(
         Similarity.ivfAssignIncremental(newEmbeddings, cents))
       .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
-    if (appendState)
+    if (appendState) {
       assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(state.cellsPath)
+      // re-appended vectors under retracted ids become live again
+      // (the [[runBatch]] re-accept contract)
+      untombstone(spark, state.tombstonesPath, assigned, "vec_id")
+    }
     assigned
   }
 
@@ -282,13 +343,17 @@ object CurationPipeline {
     * paths mask, [[reindexAnn]] physically forgets. Byte-idempotent
     * replay, returns newly tombstoned count.
     */
-  def retractAnn(spark: SparkSession, state: AnnState, vecIds: DataFrame): Long = {
-    val fresh = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .join(spark.read.parquet(state.tombstonesPath), Seq("vec_id"), "left_anti")
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
-    n
-  }
+  def retractAnn(spark: SparkSession, state: AnnState, vecIds: DataFrame): Long =
+    stateLock.synchronized {
+      val fresh = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+        .join(spark.read.parquet(state.tombstonesPath), Seq("vec_id"), "left_anti")
+        .persist()
+      try {
+        val n = fresh.count()
+        if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
+        n
+      } finally { fresh.unpersist(); () }
+    }
 
   /** Full re-index from the accumulated state: recompute centroids over
     * EVERYTHING assigned so far (seeded + `refine` Lloyd passes — the
@@ -298,22 +363,37 @@ object CurationPipeline {
     * only at the skew trigger, not a per-batch cost.
     */
   def reindexAnn(spark: SparkSession, dir: String, state: AnnState,
-      nCells: Int = 16, refine: Int = 1): AnnState = {
-    // LIVE rows only: the re-index is also the amortized physical
+      nCells: Int = 16, refine: Int = 1): AnnState = stateLock.synchronized {
+    // SNAPSHOT the tombstones, rebuild from the rows the snapshot
+    // leaves live — the re-index is also the amortized physical
     // deletion for retracted vectors
-    val corpus = liveCells(spark, state).select(col("vec_id"), col("embedding"))
+    val snap = state.tombstonesPath + "__snapshot"
+    spark.read.parquet(state.tombstonesPath)
+      .write.mode(SaveMode.Overwrite).parquet(snap)
+    val tomb = spark.read.parquet(snap)
+    val corpus = spark.read.parquet(state.cellsPath)
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
     // hash-SPREAD seeds: smallest-id seeding would plant every seed in
     // the pre-drift era — the exact failure a re-index exists to fix
     val rebuilt = initAnn(spark, s"$dir/__reindex", corpus, nCells, refine,
       spreadSeeds = true)
     Compaction.replaceDir(spark, state.centroidsPath, rebuilt.centroidsPath)
     Compaction.replaceDir(spark, state.cellsPath, rebuilt.cellsPath)
-    // tombstones clear LAST (rebuilt's table is empty): a crash before
-    // this swap leaves tombstones masking rows the rebuild already
-    // dropped — an anti-join no-op, never a resurrection
-    Compaction.replaceDir(spark, state.tombstonesPath, rebuilt.tombstonesPath)
-    val scratch = new org.apache.hadoop.fs.Path(s"$dir/__reindex")
-    scratch.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(scratch, true)
+    // tombstones trim LAST, and only by the SNAPSHOT's ids (the
+    // purgeTombstoned discipline): a crash before this swap leaves
+    // tombstones masking rows the rebuild already dropped — an
+    // anti-join no-op, never a resurrection — and a tombstone appended
+    // by another process after the snapshot stays in force
+    val tmp = state.tombstonesPath + "__purge"
+    spark.read.parquet(state.tombstonesPath)
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    Compaction.replaceDir(spark, state.tombstonesPath, tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/__reindex"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(snap), true)
     state
   }
 

@@ -57,6 +57,61 @@ object ExtensionQueries {
       |  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS shingle
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
 
+  /** Shared md5-minhash signature + banding CTE fragment (`sig AS …,
+    * banded AS (…)`) over the [[shingleSqlCte]] `sh` CTE — ONE copy
+    * feeding every banded-minhash oracle twin. The four twins'
+    * signature arithmetic must stay bit-identical for their hash
+    * checks to mean anything; a k/bands tweak applied to a private
+    * copy would silently desynchronize the others.
+    */
+  private def minhashBandedCte(k: Int = 16, bands: Int = 4): String = {
+    val r = k / bands
+    // mh_{4i+j} = min over shingles of hex slice j of md5("<i>|"+shingle)
+    val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
+      s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
+      .mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
+       |banded AS ($bandRows)""".stripMargin
+  }
+
+  /** Shared banded-SimHash pair SQL — the one builder behind
+    * `dedup_simhash_md5_candidates` and its hot-band-capped twin:
+    * identical signature/banding text, differing ONLY in the df filter
+    * the cap adds before the self-join.
+    */
+  private def simhashMd5PairsSql(maxDf: Option[Int]): String = {
+    val assembled = (0 until 60).map(i =>
+      s"CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandRows = (0 until 4).map(q =>
+      s"SELECT doc_id, simhash, $q AS q_idx, (simhash >> ${q * 15}) & 32767 AS q_val FROM sig")
+      .mkString("\nUNION ALL\n")
+    val (capCtes, src) = maxDf match {
+      case Some(cap) => (
+        s""",
+           |rare AS (SELECT q_idx, q_val FROM banded
+           |  GROUP BY 1, 2 HAVING count(*) <= $cap),
+           |joinable AS (SELECT b.* FROM banded b JOIN rare USING (q_idx, q_val))""".stripMargin,
+        "joinable")
+      case None => ("", "banded")
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
+       |sig AS (SELECT doc_id, $assembled AS simhash FROM h GROUP BY 1),
+       |banded AS ($bandRows)$capCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM $src a JOIN $src b
+       |    ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
+
   /** The LSH hyperplanes are deterministic literal ±1 sign vectors
     * ([[Similarity.planeSign]]), and the per-plane dot product is a
     * sequential double accumulation over ascending indices — so the
@@ -372,26 +427,12 @@ object ExtensionQueries {
     QueryDef(
       "dedup_minhash_md5_candidates",
       (s, dir) => Dedup.minhashCandidatesMd5(Tables.documents(s, dir)),
-      Some {
-        val k = 16
-        val bands = 4
-        val r = k / bands
-        // mh_{4i+j} = min over shingles of hex slice j of md5("<i>|"+shingle)
-        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
-          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
-          .mkString(", ")
-        val bandRows = (0 until bands).map { b =>
-          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-        }.mkString("\nUNION ALL\n")
-        s"""WITH $shingleSqlCte,
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
-           |banded AS ($bandRows)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM banded a JOIN banded b
-           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           | AND a.doc_id < b.doc_id""".stripMargin
-      },
+      Some(s"""WITH $shingleSqlCte,
+              |${minhashBandedCte()}
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM banded a JOIN banded b
+              |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              | AND a.doc_id < b.doc_id""".stripMargin),
     ),
 
     // Sorted-neighborhood blocking — the entity-resolution complement
@@ -475,20 +516,10 @@ object ExtensionQueries {
       (s, dir) => Dedup.minhashEstimatedJaccard(Tables.documents(s, dir)),
       Some {
         val k = 16
-        val bands = 4
-        val r = k / bands
-        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
-          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
-          .mkString(", ")
-        val bandRows = (0 until bands).map { b =>
-          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-        }.mkString("\nUNION ALL\n")
         val eqSum = (0 until k).map(i =>
           s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
         s"""WITH $shingleSqlCte,
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
-           |banded AS ($bandRows),
+           |${minhashBandedCte(k)},
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM banded a JOIN banded b
            |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -602,25 +633,12 @@ object ExtensionQueries {
           docs.filter(col("doc_id") % 2 === 1),
           Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0)))
       },
-      Some {
-        val k = 16
-        val bands = 4
-        val r = k / bands
-        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
-          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
-          .mkString(", ")
-        val bandRows = (0 until bands).map { b =>
-          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-        }.mkString("\nUNION ALL\n")
-        s"""WITH $shingleSqlCte,
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
-           |banded AS ($bandRows)
-           |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
-           |FROM banded a JOIN banded b
-           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin
-      },
+      Some(s"""WITH $shingleSqlCte,
+              |${minhashBandedCte()}
+              |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+              |FROM banded a JOIN banded b
+              |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin),
     ),
 
     // The retraction mask on the NEAR-DUP path: the persisted band
@@ -642,26 +660,13 @@ object ExtensionQueries {
         Dedup.incrementalMinhashCandidatesMd5(
           docs.filter(col("doc_id") % 2 === 1), index)
       },
-      Some {
-        val k = 16
-        val bands = 4
-        val r = k / bands
-        val sigCols = (for { i <- 0 until k / 4; j <- 0 until 4 } yield
-          s"min(substr(md5('$i|' || shingle), ${j * 8 + 1}, 8)) AS mh_${i * 4 + j}")
-          .mkString(", ")
-        val bandRows = (0 until bands).map { b =>
-          val cat = (b * r until (b + 1) * r).map(i => s"mh_$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-        }.mkString("\nUNION ALL\n")
-        s"""WITH $shingleSqlCte,
-           |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY 1),
-           |banded AS ($bandRows)
-           |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
-           |FROM banded a JOIN banded b
-           |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-           |  AND b.doc_id % 6 <> 0""".stripMargin
-      },
+      Some(s"""WITH $shingleSqlCte,
+              |${minhashBandedCte()}
+              |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+              |FROM banded a JOIN banded b
+              |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              |  AND b.doc_id % 6 <> 0""".stripMargin),
     ),
 
     // SimHash signatures — xxhash64-based, so the raw 64-bit values are
@@ -777,25 +782,7 @@ object ExtensionQueries {
     QueryDef(
       "dedup_simhash_md5_candidates",
       (s, dir) => Dedup.simhashCandidatesMd5(Tables.documents(s, dir)),
-      Some {
-        val assembled = (0 until 60).map(i =>
-          s"CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
-            s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-          .mkString(" + ")
-        val bandRows = (0 until 4).map(q =>
-          s"SELECT doc_id, simhash, $q AS q_idx, (simhash >> ${q * 15}) & 32767 AS q_val FROM sig")
-          .mkString("\nUNION ALL\n")
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-           |  FROM documents),
-           |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
-           |sig AS (SELECT doc_id, $assembled AS simhash FROM h GROUP BY 1),
-           |banded AS ($bandRows),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-           |  FROM banded a JOIN banded b
-           |    ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
-      },
+      Some(simhashMd5PairsSql(maxDf = None)),
     ),
 
     // Hot-band-capped twin of the banded SimHash pairing — the
@@ -813,28 +800,7 @@ object ExtensionQueries {
       "dedup_simhash_md5_candidates_capped",
       (s, dir) => Dedup.simhashCandidatesMd5(Tables.documents(s, dir),
         maxDf = Some(64)),
-      Some {
-        val assembled = (0 until 60).map(i =>
-          s"CASE WHEN SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
-            s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-          .mkString(" + ")
-        val bandRows = (0 until 4).map(q =>
-          s"SELECT doc_id, simhash, $q AS q_idx, (simhash >> ${q * 15}) & 32767 AS q_val FROM sig")
-          .mkString("\nUNION ALL\n")
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-           |  FROM documents),
-           |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
-           |sig AS (SELECT doc_id, $assembled AS simhash FROM h GROUP BY 1),
-           |banded AS ($bandRows),
-           |rare AS (SELECT q_idx, q_val FROM banded
-           |  GROUP BY 1, 2 HAVING count(*) <= 64),
-           |joinable AS (SELECT b.* FROM banded b JOIN rare USING (q_idx, q_val)),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-           |  FROM joinable a JOIN joinable b
-           |    ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
-      },
+      Some(simhashMd5PairsSql(maxDf = Some(64))),
     ),
 
     // Embedding-cosine near-dup pairs (LSH candidates + exact decimal

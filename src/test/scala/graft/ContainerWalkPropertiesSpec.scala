@@ -81,6 +81,27 @@ class ContainerWalkPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("stsz fixed-size DoS: a huge declared sample count never allocates or throws") {
+    // adversarial ISO-BMFF: a fixed-size stsz whose 32-bit sample count
+    // would, allocated unchecked, be a multi-GB array (an OOM Error no
+    // NonFatal handler catches). The walk must bound the run by what
+    // the buffer can physically contain and drop the track.
+    val bytes = MediaFixtures.sceneMp4Bytes(2).clone()
+    val t = bytes.indices.find(i =>
+      i + 4 <= bytes.length && bytes(i) == 's' && bytes(i + 1) == 't' &&
+        bytes(i + 2) == 's' && bytes(i + 3) == 'z').get
+    def putBe32(off: Int, v: Long): Unit = {
+      bytes(off) = ((v >> 24) & 0xff).toByte
+      bytes(off + 1) = ((v >> 16) & 0xff).toByte
+      bytes(off + 2) = ((v >> 8) & 0xff).toByte
+      bytes(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(t + 8, 16L)          // fixed sample size
+    putBe32(t + 12, 0x7FFFFFFFL) // 2^31-1 samples "declared"
+    val out = Mp4MjpegFrames.decode(2, bytes)
+    assert(out.lengthCompare(16) <= 0) // at most the other tracks' frames
+  }
+
   test("intact containers always decode the full planted frame set") {
     check(Prop.forAll(docId) { id =>
       val (bytes, frames) = planted(id)

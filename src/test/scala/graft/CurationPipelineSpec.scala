@@ -139,6 +139,39 @@ class CurationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(st.tombstonesPath).isEmpty)
   }
 
+  test("re-accept: ingesting a corrected doc under a retracted id clears its tombstone") {
+    val dir = Files.createTempDirectory("curation-reaccept").toString
+    val st = CurationPipeline.init(spark, dir)
+    val b1 = docs.filter($"doc_id" < 250)
+    val a1 = CurationPipeline.runBatch(spark, b1, st)
+      .select("doc_id").as[Long].collect().toSet
+    val victim = a1.min
+    assert(CurationPipeline.retract(spark, st, Seq(victim).toDF("doc_id")) == 1L)
+
+    // the re-crawl correction: SAME id, new text (appended tail keeps
+    // the quality rules green and changes the hash)
+    val corrected = docs.filter($"doc_id" === victim)
+      .select($"doc_id", concat($"text", lit(" corrected crawl tail the of and is"))
+        .as("text"), $"lang", $"source", $"n_chars")
+    val a2 = CurationPipeline.runBatch(spark, corrected, st)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a2 == Set(victim), "the corrected doc must be accepted")
+    // the tombstone is gone — the fresh state rows are NOT masked
+    assert(spark.read.parquet(st.tombstonesPath)
+      .filter($"doc_id" === victim).isEmpty,
+      "re-accepting an id must clear its tombstone")
+    // and the corrected doc's state rows are LIVE: an exact replay of
+    // the corrected text under a new id is suppressed
+    val replay = corrected
+      .select(($"doc_id" + 400000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    assert(CurationPipeline.runBatch(spark, replay, st, appendState = false).isEmpty)
+    // purge must not delete the corrected doc's rows (nothing is
+    // tombstoned anymore)
+    CurationPipeline.purgeTombstoned(spark, st)
+    assert(!spark.read.parquet(st.digestsPath).filter($"doc_id" === victim).isEmpty)
+    assert(CurationPipeline.runBatch(spark, replay, st, appendState = false).isEmpty)
+  }
+
   test("tokenizer state: frozen merge table encodes batches without retraining") {
     val dir = Files.createTempDirectory("curation-tok").toString
     val history = docs.filter($"doc_id" < 250)
@@ -289,5 +322,23 @@ class CurationPipelineSpec extends SparkSpec {
     val rebuilt = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
       .as[(Long, Long, Double)].collect()
     assert(rebuilt.nonEmpty && !rebuilt.map(_._2).contains(42L))
+  }
+
+  test("ANN re-accept: appending a vector under a retracted id clears its tombstone") {
+    val dir = Files.createTempDirectory("ann-reaccept").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val st = CurationPipeline.initAnn(spark, dir,
+      emb.filter($"vec_id" =!= 42L), nCells = 8, refine = 1)
+    // retract an id that is not in the index yet, then append it — the
+    // corrected-upload shape
+    assert(CurationPipeline.retractAnn(spark, st, Seq(42L).toDF("vec_id")) == 1L)
+    CurationPipeline.runAnnBatch(spark, emb.filter($"vec_id" === 42L), st)
+    assert(spark.read.parquet(st.tombstonesPath).filter($"vec_id" === 42L).isEmpty,
+      "re-appending an id must clear its tombstone")
+    val q = emb.filter($"vec_id" === 42L).select(lit(9999L).as("qid"), $"embedding")
+    val hits = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(_._2).contains(42L), "the re-accepted vector must be probeable")
   }
 }
