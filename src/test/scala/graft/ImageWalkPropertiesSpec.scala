@@ -1,0 +1,123 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ImageHeaders, JpegCodec, JpegFixtures, MediaFixtures, PixelCodec, PixelFixtures}
+
+/** ScalaCheck robustness properties for the IMAGE walks — completing
+  * the fuzz contract family ([[ContainerWalkPropertiesSpec]] video,
+  * [[AudioWalkPropertiesSpec]] audio): for ALL planted images
+  * (PNG/GIF/BMP/JPEG headers; WebP-VP8/VP8L/VP8X, TIFF-LE/BE, AVIF
+  * extended headers; full BMP/PNG/GIF/JPEG pixel decodes) and ALL
+  * corruptions (truncation at any byte, any single-byte mutation,
+  * random garbage): no exception escapes, no decode allocates beyond
+  * its declared-dimension bound (the decompression-bomb guards), and
+  * every `Some` result keeps the pixel-buffer arithmetic invariants.
+  * Pure JVM — no Spark jobs.
+  */
+class ImageWalkPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val docId: Gen[Long] = Gen.chooseNum(0L, 200L)
+
+  private val knownFormats = Set("png", "gif", "bmp", "jpeg", "webp",
+    "tiff", "avif", "heic", "unknown")
+
+  /** The invariant every emitted pixel result must keep whatever the
+    * input bytes: positive dims under the allocation bound, and a
+    * top-down row-major RGB buffer of exactly w·h·3 bytes.
+    */
+  private def sanePixels(r: (String, Int, Int, Array[Byte])): Boolean =
+    r._2 > 0 && r._3 > 0 && r._2.toLong * r._3 <= (1L << 26) &&
+      r._4.length == r._2 * r._3 * 3
+
+  private def planted(id: Long): Array[Byte] =
+    if (id % 2 == 0) MediaFixtures.imageBytes(id / 2)
+    else MediaFixtures.imageBytesExt(id / 2)
+
+  test("header truncation at any byte: no throw, sane fields") {
+    check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
+      val bytes = planted(id)
+      val cut = (bytes.length * fr).toInt.min(bytes.length)
+      val (fmt, w, h, frames) =
+        ImageHeaders.decode(java.util.Arrays.copyOf(bytes, cut))
+      val full = ImageHeaders.decode(bytes)
+      // a truncated stream can only lose information: dimensions are
+      // read from fixed header positions, so they are the planted
+      // values or zero; frame counts never exceed the full walk's
+      knownFormats(fmt) && w >= 0 && h >= 0 && frames >= 0 &&
+        frames <= full._4 && (w == 0 || w == full._2) &&
+        (h == 0 || fmt == "gif" || h == full._3)
+    })
+  }
+
+  test("pixel-decode truncation at any byte: no throw, complete buffers only") {
+    check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
+      val bytes = PixelFixtures.pixelImageBytes(id)
+      val cut = (bytes.length * fr).toInt.min(bytes.length)
+      PixelCodec.decodePixels(java.util.Arrays.copyOf(bytes, cut))
+        .forall(r => sanePixels(r) &&
+          r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id))
+    })
+  }
+
+  test("single-byte mutation: no throw, bounded allocation, sane buffers") {
+    check(Prop.forAll(docId, Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(0, 255)) {
+      (id, posSeed, newByte) =>
+        val bytes = PixelFixtures.pixelImageBytes(id)
+        val mutated = bytes.clone()
+        mutated(posSeed % bytes.length) = newByte.toByte
+        val jb = JpegFixtures.jpegPixelBytes(id)
+        val jmut = jb.clone()
+        jmut(posSeed % jb.length) = newByte.toByte
+        val hdr = ImageHeaders.decode(mutated)
+        // a flipped byte may corrupt dims, palettes, filters, or
+        // entropy bits — the theorems: nothing throws, any Some keeps
+        // the buffer arithmetic, decoded JPEG planes stay within the
+        // 8-bit range by construction
+        PixelCodec.decodePixels(mutated).forall(sanePixels) &&
+          JpegCodec.decode(jmut).forall { case (w, h, nc, px) =>
+            w > 0 && h > 0 && (nc == 1 || nc == 3) &&
+              w.toLong * h <= (1L << 26) && px.length == w * h * nc
+          } &&
+          knownFormats(hdr._1) && hdr._2 >= 0 && hdr._3 >= 0 && hdr._4 >= 0
+    })
+  }
+
+  test("random garbage bytes: no throw, no pixels from non-images") {
+    val garbage: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 64).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    check(Prop.forAll(garbage) { b =>
+      // the magic checks reject non-images before any walk; the header
+      // dispatch classifies at most a lucky JPEG SOI and must still
+      // return a sane tuple
+      val hdr = ImageHeaders.decode(b)
+      PixelCodec.decodePixels(b).isEmpty && JpegCodec.decode(b).isEmpty &&
+        knownFormats(hdr._1) && hdr._2 >= 0 && hdr._3 >= 0 && hdr._4 >= 0
+    })
+  }
+
+  test("intact images always decode the planted geometry and values") {
+    check(Prop.forAll(docId) { id =>
+      val hdr = ImageHeaders.decode(planted(id))
+      val px = PixelCodec.decodePixels(PixelFixtures.pixelImageBytes(id))
+      val jpg = JpegCodec.decode(JpegFixtures.jpegPixelBytes(id))
+      hdr._1 != "unknown" && hdr._2 > 0 && hdr._3 > 0 &&
+        px.exists(r => sanePixels(r) &&
+          r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id) &&
+          // spot-check the planted formula at the first pixel of each channel
+          (0 until 3).forall(c =>
+            (r._4(c) & 0xff) == PixelFixtures.pixelValue(id, c, 0, 0))) &&
+        jpg.exists { case (w, h, nc, _) =>
+          w == JpegFixtures.width(id) && h == JpegFixtures.height(id) && nc == 1
+        }
+    })
+  }
+}
