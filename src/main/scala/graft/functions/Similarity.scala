@@ -267,6 +267,32 @@ object Similarity {
       PqExpressions.nearestCentroid(col("embedding"), flat, cids, dim))
   }
 
+  /** Cluster-balanced down-sampling — the topic-balance step of a
+    * training-data mix: assign every vector to its IVF cell (the
+    * [[seededCentroids]]/[[assignToCentroids]] literal-centroid scan —
+    * no shuffle for the assignment) and keep at most `cap` members per
+    * cell, chosen by a DETERMINISTIC content-free hash order
+    * (md5 of the id) so the sample is reproducible, append-stable, and
+    * free of the id-ordering bias a `LIMIT` would bake in. Over-dense
+    * topics are trimmed to the cap; sparse topics keep everything —
+    * the corpus-shape equalizer semantic-dedup pipelines run after
+    * near-dup removal. At scale the per-cell rank is a partition-local
+    * window (Spark plans the `rn <= cap` filter as `WindowGroupLimit`,
+    * a running top-k per key, never a global sort), so the cost is one
+    * keyed exchange on `cell`.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, nCells: Int = 16,
+      cap: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")))
+    assignToCentroids(embeddings, seededCentroids(embeddings, nCells))
+      .select(col("vec_id"), col("cell"))
+      .withColumn("__rn", rn)
+      .filter(col("__rn") <= cap)
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** SPILLED assignment: each vector indexed under its `spill` nearest
     * cells (one narrow projection + executor-side explode — still no
     * shuffle). The index grows `spill`×; at a FIXED probe budget a

@@ -2901,6 +2901,38 @@ object ExtensionQueries {
              |FROM f""".stripMargin),
     ),
 
+    // Cluster-balanced down-sampling — the TOPIC-balance step of a
+    // training-data mix (the corpus-shape equalizer semantic-dedup
+    // pipelines run after near-dup removal): IVF-cell assignment via
+    // the literal seeded centroids, then at most `cap` members per cell
+    // in a deterministic content-free hash order. The oracle replays
+    // the exact assignment argmax (sequential double dot products,
+    // ties to the smallest centroid id — the embed_ivf_topk mirror) and
+    // the md5 permutation, so the kept set hash-matches end-to-end.
+    QueryDef(
+      "curation_cluster_balance",
+      (s, dir) => Similarity.clusterBalancedSample(
+        Tables.embeddings(s, dir), nCells = 16, cap = 16),
+      Some {
+        def dd(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |  FROM embeddings WHERE vec_id < 16),
+           |cell AS (SELECT vec_id, cid AS cell FROM (
+           |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           |ranked AS (SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY cell
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |  FROM cell)
+           |SELECT vec_id, cell FROM ranked WHERE rn <= 16""".stripMargin
+      },
+    ),
+
     // Deterministic stratified sample: k per stratum by the salted-md5
     // permutation — reproducible across engines and re-runs; the rank
     // filter stays a per-partition top-k (WindowGroupLimit).

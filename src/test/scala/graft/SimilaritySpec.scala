@@ -375,4 +375,37 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("clusterBalancedSample: dense cells trim to cap, sparse cells keep all, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cap = 16
+    val kept = Similarity.clusterBalancedSample(emb, nCells = 16, cap = cap)
+      .as[(Long, Long)].collect()
+    val byCell = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell.values.forall(_ <= cap), s"a cell exceeded the cap: $byCell")
+    // the kept set is a subset of the full assignment, and within every
+    // cell it is exactly the first `cap` ids of the deterministic md5
+    // permutation — so sparse cells (fewer than cap members) keep ALL
+    val assigned = Similarity.assignToCentroids(emb,
+        Similarity.seededCentroids(emb, 16))
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect()
+    val cellOf = assigned.toMap
+    assert(kept.forall { case (v, c) => cellOf(v) == c })
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for ((c, members) <- assigned.groupBy(_._2)) {
+      val expect = members.map(_._1).sortBy(v => (md5hex(v.toString), v)).take(cap).toSet
+      val got = kept.filter(_._2 == c).map(_._1).toSet
+      assert(got == expect, s"cell $c kept the wrong members")
+      if (members.length <= cap)
+        assert(got == members.map(_._1).toSet, s"sparse cell $c must keep all")
+    }
+    // reproducible across evaluations (the content-free hash order)
+    val again = Similarity.clusterBalancedSample(emb, nCells = 16, cap = cap)
+      .as[(Long, Long)].collect()
+    assert(again.sorted.sameElements(kept.sorted))
+  }
 }
