@@ -197,6 +197,33 @@ object Curation {
       .select(col(idCol), col(domainCol))
   }
 
+  /** Token-budget mixing plan — the "epochs per source" arithmetic of
+    * a training run: for a token budget `B` and mixture weights `w_s`,
+    * each source must contribute `B·w_s` tokens; with `t_s` tokens
+    * available, the epoch factor is `B·w_s / t_s` — above 1.0 the
+    * source REPEATS (up-sampling), below 1.0 it is sub-sampled (the
+    * [[domainMix]] regime). One row per source: doc count, token count
+    * (the whitespace-token convention of the text family), weight,
+    * token target, epochs. One aggregation over the corpus + a
+    * broadcast weight join — the planning query run before a mixture
+    * job, O(sources) output at any corpus size.
+    */
+  def tokenBudgetPlan(docs: DataFrame, weights: Map[String, Double],
+      budgetTokens: Long, domainCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF("__dom", "weight")
+    docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .join(broadcast(w), col(domainCol) === col("__dom"))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"), col("weight"),
+        (lit(budgetTokens).cast("double") * col("weight")).as("target_tokens"),
+        (lit(budgetTokens).cast("double") * col("weight") /
+          col("n_tokens").cast("double")).as("epochs"))
+  }
+
   /** Uniform [0,1) draw as a pure function of the id: the first 32 bits
     * of the salted md5 as a fraction. Engine-portable and append-stable
     * — the primitive under [[domainMix]] and [[importanceSample]].

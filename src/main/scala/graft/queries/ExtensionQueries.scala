@@ -2901,6 +2901,25 @@ object ExtensionQueries {
              |FROM f""".stripMargin),
     ),
 
+    // Token-budget mixing plan: the "epochs per source" arithmetic run
+    // before a mixture job — B·w_s tokens required per source, epochs =
+    // required / available (>1 ⇒ the source repeats). One aggregation +
+    // broadcast weight join, O(sources) rows at any corpus size; all
+    // double arithmetic is engine-portable.
+    QueryDef(
+      "curation_token_budget",
+      (s, dir) => Curation.tokenBudgetPlan(Tables.documents(s, dir),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budgetTokens = 1000000L),
+      Some("""WITH w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) t(dom, wt)),
+             |c AS (SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1)
+             |SELECT source, n_docs, n_tokens, CAST(wt AS DOUBLE) AS weight,
+             |  CAST(1000000 AS DOUBLE) * CAST(wt AS DOUBLE) AS target_tokens,
+             |  CAST(1000000 AS DOUBLE) * CAST(wt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+             |FROM c JOIN w ON source = dom""".stripMargin),
+    ),
+
     // Cluster-balanced down-sampling — the TOPIC-balance step of a
     // training-data mix (the corpus-shape equalizer semantic-dedup
     // pipelines run after near-dup removal): IVF-cell assignment via
