@@ -214,14 +214,22 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF("__dom", "weight")
-    docs.groupBy(col(domainCol))
+    val counts = docs.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
-      .join(broadcast(w), col(domainCol) === col("__dom"))
-      .select(col(domainCol), col("n_docs"), col("n_tokens"), col("weight"),
+    // LEFT join FROM the weights: a weighted source with zero corpus
+    // rows must surface as an explicit (n_tokens = 0, epochs = NULL)
+    // row — an inner join would silently drop it and the "complete"
+    // plan would cover only part of the budget
+    w.join(counts, col("__dom") === col(domainCol), "left")
+      .select(col("__dom").as(domainCol),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("weight"),
         (lit(budgetTokens).cast("double") * col("weight")).as("target_tokens"),
-        (lit(budgetTokens).cast("double") * col("weight") /
-          col("n_tokens").cast("double")).as("epochs"))
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          lit(budgetTokens).cast("double") * col("weight") /
+            col("n_tokens").cast("double")).as("epochs"))
   }
 
   /** Uniform [0,1) draw as a pure function of the id: the first 32 bits

@@ -105,10 +105,17 @@ object ImageHeaders {
     b.length >= 26 && b(0) == 'B' && b(1) == 'M'
 
   /** BMP (BITMAPINFOHEADER): width/height at 18/22, height may be
-    * negative for top-down rows — magnitude is the pixel height.
+    * negative for top-down rows — magnitude is the pixel height. A
+    * non-positive width (or zero-magnitude height) is spec-invalid
+    * adversarial bytes: data, decoded as unknown, never a negative
+    * dimension leaking into downstream arithmetic. (`abs` on the LONG
+    * so an Int.MinValue height can't stay negative.)
     */
-  private def decodeBmp(b: Array[Byte]): (String, Long, Long, Long) =
-    ("bmp", le32(b, 18).toLong, math.abs(le32(b, 22)).toLong, 1L)
+  private def decodeBmp(b: Array[Byte]): (String, Long, Long, Long) = {
+    val w = le32(b, 18).toLong
+    val h = math.abs(le32(b, 22).toLong)
+    if (w <= 0 || h <= 0) ("unknown", 0L, 0L, 0L) else ("bmp", w, h, 1L)
+  }
 
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 

@@ -2914,10 +2914,15 @@ object ExtensionQueries {
              |c AS (SELECT source, count(*) AS n_docs,
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
              |  FROM documents GROUP BY 1)
-             |SELECT source, n_docs, n_tokens, CAST(wt AS DOUBLE) AS weight,
+             |SELECT dom AS source,
+             |  coalesce(n_docs, 0) AS n_docs,
+             |  coalesce(n_tokens, 0) AS n_tokens,
+             |  CAST(wt AS DOUBLE) AS weight,
              |  CAST(1000000 AS DOUBLE) * CAST(wt AS DOUBLE) AS target_tokens,
-             |  CAST(1000000 AS DOUBLE) * CAST(wt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
-             |FROM c JOIN w ON source = dom""".stripMargin),
+             |  CASE WHEN coalesce(n_tokens, 0) > 0
+             |    THEN CAST(1000000 AS DOUBLE) * CAST(wt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             |  END AS epochs
+             |FROM w LEFT JOIN c ON source = dom""".stripMargin),
     ),
 
     // Cluster-balanced down-sampling — the TOPIC-balance step of a
@@ -2933,16 +2938,13 @@ object ExtensionQueries {
       (s, dir) => Similarity.clusterBalancedSample(
         Tables.embeddings(s, dir), nCells = 16, cap = 16),
       Some {
-        def dd(a: String, b: String) =
-          s"list_reduce(list_transform(list_zip($a, $b), " +
-            s"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (a, b) -> a + b)"
         s"""WITH cents AS (
            |  SELECT vec_id AS cid,
-           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${dd("embedding", "embedding")})) AS cn
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS cn
            |  FROM embeddings WHERE vec_id < 16),
            |cell AS (SELECT vec_id, cid AS cell FROM (
            |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${dd("e.embedding", "c.cn")} DESC, c.cid) AS rn
+           |      ORDER BY ${duckDot("e.embedding", "c.cn")} DESC, c.cid) AS rn
            |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
            |ranked AS (SELECT vec_id, cell,
            |    row_number() OVER (PARTITION BY cell

@@ -211,4 +211,21 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].head()
     assert(out9._3 == 5L && out9._4 == "")
   }
+
+  test("tokenBudgetPlan: epochs math, and a weighted source with no rows surfaces") {
+    val plan = Curation.tokenBudgetPlan(docs,
+      Map("src0" -> 0.5, "missing_source" -> 0.5), budgetTokens = 1000L)
+      .as[(String, Long, Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan.keySet == Set("src0", "missing_source"))
+    val src0 = plan("src0")
+    val expectTokens = docs.filter($"source" === "src0")
+      .agg(sum(size(split($"text", " ")))).as[Long].head()
+    assert(src0._2 > 0 && src0._3 == expectTokens)
+    assert(src0._5 == 500.0 && src0._6.contains(500.0 / expectTokens))
+    // the missing source is an explicit row, not a silent drop: the
+    // plan visibly cannot cover its half of the budget
+    val miss = plan("missing_source")
+    assert(miss._2 == 0L && miss._3 == 0L && miss._5 == 500.0 && miss._6.isEmpty)
+  }
 }

@@ -53,7 +53,7 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
       // values or zero; frame counts never exceed the full walk's
       knownFormats(fmt) && w >= 0 && h >= 0 && frames >= 0 &&
         frames <= full._4 && (w == 0 || w == full._2) &&
-        (h == 0 || fmt == "gif" || h == full._3)
+        (h == 0 || h == full._3)
     })
   }
 
@@ -61,9 +61,18 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
     check(Prop.forAll(docId, Gen.chooseNum(0.0, 1.0)) { (id, fr) =>
       val bytes = PixelFixtures.pixelImageBytes(id)
       val cut = (bytes.length * fr).toInt.min(bytes.length)
+      // the JPEG path (entropy-coded Huffman stream — the classic
+      // EOF-mid-decode hazard) truncated at the same fraction
+      val jb = JpegFixtures.jpegPixelBytes(id)
+      val jcut = (jb.length * fr).toInt.min(jb.length)
       PixelCodec.decodePixels(java.util.Arrays.copyOf(bytes, cut))
         .forall(r => sanePixels(r) &&
-          r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id))
+          r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
+        JpegCodec.decode(java.util.Arrays.copyOf(jb, jcut)).forall {
+          case (w, h, nc, px) =>
+            w == JpegFixtures.width(id) && h == JpegFixtures.height(id) &&
+              nc == 1 && px.length == w * h
+        }
     })
   }
 
