@@ -210,6 +210,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidatesStream composes with retraction: a tombstone-masked index stops flagging") {
+    // the streaming form of the CurationPipeline.retract read contract:
+    // the static side the stream joins is the PERSISTED index anti-
+    // joined by the tombstones, so a takedown takes effect on the very
+    // next micro-batch — no stream restart, no index rebuild
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val histText = "the quick brown fox jumps over the lazy dog while the sun rises slowly"
+    val hist = Seq((100L, histText), (101L, "nothing like the others at all here"))
+      .toDF("doc_id", "text")
+    val tomb = Seq(100L).toDF("doc_id")
+    val masked = graft.functions.Dedup.bandedIndexMd5(hist)
+      .join(tomb, Seq("doc_id"), "left_anti").cache()
+    masked.count()
+    val source = MemoryStream[StreamDoc]
+    val q = StreamingIngest.nearDupCandidatesStream(source.toDS().toDF(), masked)
+      .writeStream.format("memory").queryName("nd_retract_sink")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try {
+      // doc 1 is an exact dup of the RETRACTED 100 (must pass) and doc
+      // 2 of the live 101 (must still flag) — the mask is per-document,
+      // not a blanket off-switch
+      source.addData(
+        StreamDoc(1L, ts("2024-01-01 10:00:00"), histText),
+        StreamDoc(2L, ts("2024-01-01 10:01:00"),
+          "nothing like the others at all here"))
+      q.processAllAvailable()
+      val pairs = spark.table("nd_retract_sink").select("new_doc", "old_doc")
+        .as[(Long, Long)].collect().toSeq
+      assert(pairs == Seq((2L, 101L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("LSH near-dup stream: directory source + parquet sink survive checkpoint restart") {
     import org.apache.spark.sql.functions.col
     val srcDir = Files.createTempDirectory("lsh-restart-src").toString
