@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated quantiles without a single-task global merge.
+  *
+  * Spark's exact `percentile` is a `TypedImperativeAggregate` whose
+  * final merge funnels every partial (value → count) buffer into ONE
+  * reduce task — memory O(distinct values) on a single task. Bounded
+  * domains (e.g. `l_quantity`, ≤50 distinct) are fine; a near-unique
+  * DOUBLE column at 100 TB puts ~all rows in that one buffer. This is
+  * the scale-safe form of the SAME exact semantics (bit-identical to
+  * `percentile` / DuckDB `quantile_cont`, including the interpolation
+  * formula): range-repartition on the value (each partition owns a
+  * contiguous value range), sort within partitions, collect only the
+  * O(partitions) per-partition counts, then extract the ≤2·|ps| order
+  * statistics the requested quantiles touch and interpolate on the
+  * driver. Every stage is distributed; driver state is O(partitions +
+  * quantiles) — the `EquiDepth` pattern specialized to point lookups.
+  *
+  * The handle wraps ONE materialized RDD so follow-up work reuses the
+  * registered shuffle map output (jobs skip straight to reduce — the
+  * same cross-job stage-skipping `EquiDepth` documents, and the same
+  * reason a pure-DataFrame twin would be WRONG, not just slower:
+  * `RangePartitioner` re-samples bounds per execution, so two planned
+  * exchanges need not agree with the counts collected from the first).
+  * `derive` chains a second exact quantile over a transformed column
+  * (the MAD shape: median of |x − median|) with NO new scan of the
+  * source — the derived sort reads this handle's shuffle output.
+  *
+  * Interpolation matches Spark `Percentile.getPercentile` exactly:
+  * position = p·(n−1); result = (⌈pos⌉ − pos)·v₍⌊pos⌋₎ +
+  * (pos − ⌊pos⌋)·v₍⌈pos⌉₎ (asserted against `expr("percentile")` by
+  * `ExactQuantileSpec` on randomized data, and by the unchanged
+  * `dq_mad_outliers`/`dq_winsorize` oracle hashes).
+  */
+final class QuantileHandle private[ops] (rdd: RDD[Double]) {
+
+  /** Per-partition row counts — ONE count job; the shuffle map output
+    * it materializes is reused by every later job on this handle.
+    */
+  private lazy val offsets: Array[Long] = {
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      })))
+      .collect().sortBy(_._1).map(_._2)
+    counts.scanLeft(0L)(_ + _)
+  }
+
+  def count: Long = offsets.last
+
+  /** Exact interpolated quantiles at the given fractions (each in
+    * [0, 1]). Extracts only the order statistics the fractions touch:
+    * a partition not owning a needed rank emits nothing and stops
+    * iterating at its last needed rank.
+    */
+  def quantiles(ps: Seq[Double]): Array[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"fractions must be in [0,1]: $ps")
+    val n = count
+    require(n > 0, "exact quantile of an empty input")
+    val positions = ps.map(p => p * (n - 1))
+    val ranks = positions
+      .flatMap(pos => Seq(math.floor(pos).toLong, math.ceil(pos).toLong))
+      .distinct.sorted.toArray
+    val sc = rdd.sparkContext
+    val bRanks = sc.broadcast(ranks)
+    val bOff = sc.broadcast(offsets)
+    val found: Map[Long, Double] = rdd.mapPartitionsWithIndex { (i, it) =>
+      val lo = bOff.value(i)
+      val hi = bOff.value(i + 1)
+      val want = bRanks.value.filter(r => r >= lo && r < hi)
+      if (want.isEmpty) Iterator.empty
+      else {
+        val out = Array.newBuilder[(Long, Double)]
+        var idx = lo - 1
+        var w = 0
+        while (w < want.length && it.hasNext) {
+          val v = it.next(); idx += 1
+          if (idx == want(w)) { out += ((want(w), v)); w += 1 }
+        }
+        out.result().iterator
+      }
+    }.collect().toMap
+    positions.map { pos =>
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      // both shortcuts mirror Percentile.getPercentile exactly: a
+      // whole-number position, or equal bracketing values (interpolating
+      // equal values could drift a last-ulp from the value itself)
+      if (lo == hi || found(lo) == found(hi)) found(lo)
+      else (hi - pos) * found(lo) + (pos - lo) * found(hi)
+    }.toArray
+  }
+
+  def quantile(p: Double): Double = quantiles(Seq(p))(0)
+
+  /** Chain an exact quantile over a transformed value — e.g. the MAD's
+    * |x − median| — WITHOUT re-scanning the source: the re-sort's map
+    * stage reads this handle's shuffle output (stage-skipped past the
+    * scan). `sortBy` fixes its range bounds once at call time, so the
+    * derived handle's count and extract jobs see one consistent layout.
+    */
+  def derive(f: Double => Double): QuantileHandle =
+    new QuantileHandle(
+      rdd.map(f).sortBy(identity, ascending = true,
+        numPartitions = rdd.getNumPartitions))
+}
+
+object ExactQuantile {
+
+  /** Range-partition + locally sort `expr` (cast to double, nulls
+    * dropped — `percentile` semantics) and return a reusable handle.
+    * `partitions` bounds per-task memory at any scale: each task holds
+    * n/partitions rows, never O(distinct) of the whole column.
+    */
+  def sortedBy(df: DataFrame, expr: Column, partitions: Int = 32): QuantileHandle = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(expr.cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions(col("v"))
+      .as[Double]
+    new QuantileHandle(sorted.rdd)
+  }
+
+  /** One-shot helper: exact quantiles of a column expression. */
+  def quantiles(df: DataFrame, expr: Column, ps: Seq[Double],
+      partitions: Int = 32): Array[Double] =
+    sortedBy(df, expr, partitions).quantiles(ps)
+}

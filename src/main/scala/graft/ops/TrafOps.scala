@@ -133,21 +133,20 @@ object TrafOps {
 
   /** Winsorize: clip a numeric column to its exact [lo, hi] quantiles —
     * the outlier-robust normalization a quality-score pipeline applies
-    * before thresholding. Two passes total at any scale: one global
-    * percentile aggregate (1-row broadcast), one clipping projection.
-    * Values go through DOUBLE so the quantile interpolation is the
-    * portable linear form.
+    * before thresholding. Two passes total at any scale: one
+    * range-partitioned exact quantile (ExactQuantile — NOT global
+    * `percentile`, whose final merge holds O(distinct values) on one
+    * task; the clipped column is typically near-unique, which makes
+    * that buffer ~all rows at 100 TB), one clipping projection with
+    * the two bounds as driver literals. Values go through DOUBLE so
+    * the quantile interpolation is the portable linear form.
     */
   def winsorize(df: DataFrame, valueCol: String, keyCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val v = col(valueCol).cast("double")
-    val q = df.agg(
-      expr(s"percentile(CAST($valueCol AS DOUBLE), array($lo, $hi))").as("__q"))
-    df.select(col(keyCol), v.as("__v"))
-      .crossJoin(broadcast(q))
-      .select(col(keyCol),
-        least(greatest(col("__v"), col("__q").getItem(0)), col("__q").getItem(1))
-          .as(s"${valueCol}_w"))
+    val q = ExactQuantile.quantiles(df, col(valueCol), Seq(lo, hi))
+    df.select(col(keyCol),
+      least(greatest(v, lit(q(0))), lit(q(1))).as(s"${valueCol}_w"))
   }
 
   /** One-pass numeric profile: per column — row count, nulls, min, max,

@@ -1474,29 +1474,29 @@ object RelationalQueries {
              |FROM events JOIN v USING (event_type)""".stripMargin),
     ),
 
-    // Robust outlier flags via MAD (median absolute deviation): two
-    // exact-percentile passes (median, then median of |x − median|),
-    // each a 1-row broadcast, then a flagging projection — the
+    // Robust outlier flags via MAD (median absolute deviation): the
     // outlier detector that survives the heavy tails a mean/stddev
     // z-score breaks on. 1.4826·MAD ≈ σ under normality; |x − med| >
-    // 3·1.4826·MAD is the standard cut.
+    // 3·1.4826·MAD is the standard cut. `o_totalprice` is near-unique,
+    // so global `percentile`'s single-task O(distinct) buffer merge is
+    // a 100×-scale killer here — both medians go through the
+    // range-partitioned exact quantile instead (ExactQuantile: per-task
+    // memory n/partitions, driver state O(partitions)), and the MAD
+    // median derives from the median pass's shuffle output, so orders
+    // is scanned exactly twice: once for both statistics, once to flag.
     QueryDef(
       "dq_mad_outliers",
       (s, dir) => {
         val v = col("o_totalprice").cast("double")
-        val med = Tables.orders(s, dir)
-          .agg(expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)").as("__med"))
-        val mad = Tables.orders(s, dir)
-          .crossJoin(broadcast(med))
-          .agg(first(col("__med")).as("__med"),
-            expr("percentile(abs(CAST(o_totalprice AS DOUBLE) - __med), 0.5)").as("__mad"))
+        val h = graft.ops.ExactQuantile.sortedBy(Tables.orders(s, dir), v)
+        val med = h.quantile(0.5)
+        val mad = h.derive(x => math.abs(x - med)).quantile(0.5)
         Tables.orders(s, dir)
-          .crossJoin(broadcast(mad))
           .select(col("o_orderkey"),
             // the literal 4.4478 (= 3·1.4826) appears VERBATIM on both
             // engines: a 3*1.4826 multiplication could differ from the
             // parsed constant in the last ulp and flip a boundary row
-            (abs(v - col("__med")) > col("__mad") * lit(4.4478)).as("is_outlier"))
+            (abs(v - lit(med)) > lit(mad) * lit(4.4478)).as("is_outlier"))
       },
       Some("""WITH m AS (SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
              |  FROM orders),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ExactQuantile
+
+/** ExactQuantile must be BIT-IDENTICAL to Spark's global `percentile`
+  * (which is itself hash-matched to DuckDB `quantile_cont` by the
+  * registry oracles): same interpolation formula, same null handling,
+  * same tie behavior. The single-task `percentile` is fine as a TEST
+  * reference; the point of ExactQuantile is not needing its O(distinct)
+  * single-buffer merge in production.
+  */
+class ExactQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+
+  private def reference(df: org.apache.spark.sql.DataFrame, c: String): Array[Double] =
+    df.agg(expr(s"percentile(CAST($c AS DOUBLE), array(${ps.mkString(",")}))"))
+      .as[Seq[Double]].head().toArray
+
+  private def assertBitIdentical(df: org.apache.spark.sql.DataFrame, c: String,
+      parts: Int): Unit = {
+    val exact = ExactQuantile.quantiles(df, col(c), ps, parts)
+    val ref = reference(df, c)
+    for (i <- ps.indices)
+      assert(java.lang.Double.doubleToRawLongBits(exact(i)) ==
+        java.lang.Double.doubleToRawLongBits(ref(i)),
+        s"p=${ps(i)}: exact=${exact(i)} ref=${ref(i)}")
+  }
+
+  test("near-unique doubles: bit-identical to percentile across partition counts") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(997)(rnd.nextDouble() * 1e6 - 5e5).toDF("v").repartition(13)
+    for (parts <- Seq(1, 3, 8)) assertBitIdentical(df, "v", parts)
+  }
+
+  test("heavy ties: bit-identical to percentile") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(1000)(math.floor(rnd.nextDouble() * 7) / 3.0).toDF("v")
+      .repartition(9)
+    assertBitIdentical(df, "v", 5)
+  }
+
+  test("nulls are dropped like percentile drops them") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(500)(if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None)
+      .toDF("v").repartition(7)
+    assertBitIdentical(df, "v", 4)
+  }
+
+  test("single row, and n smaller than partition count") {
+    assertBitIdentical(Seq(42.5).toDF("v"), "v", 8)
+    assertBitIdentical(Seq(3.0, 1.0, 2.0).toDF("v"), "v", 8)
+  }
+
+  test("derive chains the MAD shape without rescanning: matches two-pass percentile") {
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(800)(rnd.nextGaussian() * 100 + 40).toDF("v").repartition(11)
+    val h = ExactQuantile.sortedBy(df, col("v"), 6)
+    val med = h.quantile(0.5)
+    val mad = h.derive(x => math.abs(x - med)).quantile(0.5)
+    val refMed = reference(df, "v")(3)
+    assert(java.lang.Double.doubleToRawLongBits(med) ==
+      java.lang.Double.doubleToRawLongBits(refMed))
+    val refMad = df.agg(expr(s"percentile(abs(CAST(v AS DOUBLE) - $refMed), 0.5)"))
+      .as[Double].head()
+    assert(java.lang.Double.doubleToRawLongBits(mad) ==
+      java.lang.Double.doubleToRawLongBits(refMad))
+  }
+
+  test("empty input fails loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      ExactQuantile.quantiles(Seq.empty[Double].toDF("v"), col("v"), Seq(0.5))
+    }
+  }
+}

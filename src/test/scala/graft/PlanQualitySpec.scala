@@ -17,22 +17,26 @@ class PlanQualitySpec extends SparkSpec {
   // this suite (round 5: two analysis failures presented as 14 opaque
   // plan-quality failures). Registry-wide rules iterate what planned;
   // the dedicated test below reports what didn't, by name.
-  private lazy val planned: Map[String, Either[String, String]] =
+  private lazy val planned: Map[String, Either[String, org.apache.spark.sql.execution.QueryExecution]] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> (try Right(fn(spark, sfDir).queryExecution.executedPlan.toString)
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
-        })
+      name -> (try {
+        val qe = fn(spark, sfDir).queryExecution
+        qe.executedPlan // force analysis + planning so failures surface here
+        Right(qe)
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+      })
     }
 
   private lazy val plans: Map[String, String] =
-    planned.collect { case (n, Right(p)) => (n, p) }
+    planned.collect { case (n, Right(qe)) => (n, qe.executedPlan.toString) }
 
   /** Named accessor for single-query assertions: an unanalyzable query
     * fails with its own analysis error, not a key-lookup error.
     */
   private def plan(name: String): String =
-    planned(name).fold(m => fail(s"$name failed analysis: $m"), identity)
+    planned(name).fold(m => fail(s"$name failed analysis: $m"),
+      _.executedPlan.toString)
 
   test("every registry query plans against the live fixtures") {
     val bad = planned.collect { case (n, Left(m)) => s"$n: $m" }.toSeq.sorted
@@ -94,11 +98,35 @@ class PlanQualitySpec extends SparkSpec {
     "text_cms_token_counts",
     // nAnchors-row (constant, 8) anchor broadcast for negative ranking
     "embed_contrastive_pairs",
-    // 1-row quantile broadcast feeding the clipping projection
-    "dq_winsorize",
-    // two 1-row robust-statistic broadcasts (median, then MAD)
-    "dq_mad_outliers",
   )
+
+  // Exact `percentile` is a TypedImperativeAggregate whose FINAL merge
+  // funnels every partial (value → count) buffer into ONE reduce task —
+  // memory O(distinct values of the column) on a single task. That is
+  // acceptable ONLY where the value domain is bounded by construction;
+  // anything near-unique must go through graft.ops.ExactQuantile
+  // (range-partitioned order-statistic selection, per-task memory
+  // n/partitions) — dq_mad_outliers and dq_winsorize do since round 8.
+  private val boundedDomainPercentile = Set(
+    // l_quantity holds ≤50 distinct values at every SF (TPC-H spec):
+    // the merged buffer is ≤50 entries regardless of row count
+    "agg_percentiles",
+    "agg_approx_percentile",
+  )
+
+  test("no global exact-percentile aggregate outside the bounded-domain allowlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    for ((name, e) <- planned; qe <- e.toOption if !boundedDomainPercentile(name)) {
+      val bad = qe.optimizedPlan.collect {
+        case a: Aggregate if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(_.exists(_.isInstanceOf[Percentile])) => a
+      }
+      assert(bad.isEmpty,
+        s"$name holds a global exact Percentile (single-task O(distinct) merge): " +
+          "route it through graft.ops.ExactQuantile or justify a domain bound here")
+    }
+  }
 
   test("no CartesianProduct anywhere in the registry") {
     for ((name, p) <- plans)

@@ -92,11 +92,14 @@ class ScaleSmokeSpec extends SparkSpec {
       extends org.apache.spark.scheduler.SparkListener {
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
     val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val recs = e.taskMetrics.shuffleReadMetrics.recordsRead
       maxTask.getAndAccumulate(recs, (a: Long, b: Long) => math.max(a, b))
       total.addAndGet(recs)
+      spilled.addAndGet(
+        e.taskMetrics.memoryBytesSpilled + e.taskMetrics.diskBytesSpilled)
     }
     /** Listener events are async: poll until the total stops moving. */
     def quiesce(): Unit = {
@@ -580,5 +583,54 @@ class ScaleSmokeSpec extends SparkSpec {
       .collect().toSet
     assert(out == Set(victims.head + 50000000L),
       s"only the retracted doc's replay may re-admit, got $out")
+  }
+
+  test("ExactQuantile on a 10× near-unique column: balanced exchange, zero spill") {
+    import spark.implicits._
+    // 10× o_totalprice with per-copy jitter → 10× DISTINCT doubles: the
+    // shape that makes global `percentile`'s single merged buffer hold
+    // ~every row, and the one ExactQuantile must keep balanced
+    val out = s"$base/prices10"
+    spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_totalprice").cast("double").as("v"),
+        explode(array((0 until 10).map(lit(_)): _*)).as("copy"))
+      .select((col("v") + col("copy") * lit(1e-7)).as("v"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(out)
+    val prices10 = spark.read.parquet(out)
+    val listener = new ShuffleReadCounters
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val (med, mad) =
+      try {
+        val r = timed {
+          val h = graft.ops.ExactQuantile.sortedBy(prices10, col("v"), 32)
+          val m = h.quantile(0.5)
+          (m, h.derive(x => math.abs(x - m)).quantile(0.5))
+        }
+        listener.quiesce()
+        info(f"10× median+MAD via ExactQuantile: ${r._2}%.2fs")
+        r._1
+      } finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    // exactness: the single-task percentile is fine as a TEST oracle
+    val ref = prices10
+      .agg(percentile(col("v"), lit(0.5)),
+        percentile(abs(col("v") - lit(med)), lit(0.5)))
+      .as[(Double, Double)].head()
+    assert(java.lang.Double.doubleToRawLongBits(med) ==
+      java.lang.Double.doubleToRawLongBits(ref._1), s"median $med != ${ref._1}")
+    assert(java.lang.Double.doubleToRawLongBits(mad) ==
+      java.lang.Double.doubleToRawLongBits(ref._2), s"MAD $mad != ${ref._2}")
+    // the scale contract: the range exchange spreads rows (no task owns
+    // more than a quarter of the shuffle) and nothing spills
+    val (maxTask, total, spill) =
+      (listener.maxTask.get(), listener.total.get(), listener.spilled.get())
+    info(s"shuffle records: maxTask=$maxTask total=$total spilledBytes=$spill")
+    assert(total > 0 && maxTask <= total / 4,
+      s"one task read $maxTask of $total shuffle records — skew")
+    assert(spill == 0L, s"ExactQuantile spilled $spill bytes at 10×")
   }
 }
