@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,208 +16,385 @@ import graft.functions.{Curation, Dedup, Similarity, TextAnalytics}
   * participates only through its compact state tables
   * (16-byte digests; (doc, band, hash) index rows), which is what keeps
   * a daily batch O(batch) at a 100 TB accumulated corpus.
+  *
+  * CONCURRENCY (round 8): every state mutation is a [[StateCommit]]
+  * commit — optimistic, versioned, safe across writer PROCESSES. Two
+  * drivers (an ingest and a takedown job) may interleave freely: the
+  * claim CAS serializes commits, conflict losers recompute against the
+  * winner's state, and a crash at any point converges via the redo log.
+  * The commit version doubles as the mutation EPOCH below.
+  *
+  * RETRACTION is epoch-keyed: state rows carry the `epoch` (= commit
+  * version) that appended them; a tombstone `(doc_id, epoch)` masks
+  * exactly the rows of that id appended AT OR BEFORE it. Re-ingesting a
+  * corrected document under a retracted id therefore needs NO tombstone
+  * clearing — the fresh rows carry a later epoch and are live, while
+  * the RETRACTED version's rows stay masked until [[purgeTombstoned]]
+  * physically removes them. (The previous design cleared the tombstone
+  * on re-accept, silently resurrecting the old version's digest/index
+  * rows: duplicates of taken-down text stayed suppressed with no live
+  * holder — a compliance bug, not just staleness.)
   */
 object CurationPipeline {
 
-  /** Persisted state locations (parquet directories). The tombstone
-    * table is what makes the append-only state RETRACTABLE: at 100 TB
-    * you cannot rebuild the digest/index tables to forget one document
-    * (a takedown, a re-crawl correction), so deletion is logical first —
-    * a `doc_id` tombstone anti-joined against every state read — and
-    * physical later, amortized into [[purgeTombstoned]]. Tombstones are
-    * takedown-sized (a sliver of the corpus), so the anti-join
-    * broadcasts; no state scan grows.
+  /** Persisted state locations (parquet directories under one root).
+    * The tombstone table is what makes the append-only state
+    * RETRACTABLE: at 100 TB you cannot rebuild the digest/index tables
+    * to forget one document (a takedown, a re-crawl correction), so
+    * deletion is logical first — an epoch-conditioned `doc_id`
+    * anti-join against every state read — and physical later, amortized
+    * into [[purgeTombstoned]]. Tombstones are takedown-sized (a sliver
+    * of the corpus), so the anti-join broadcasts; no state scan grows.
     */
-  final case class State(digestsPath: String, indexPath: String,
-      tombstonesPath: String)
+  final case class State(dir: String) {
+    def digestsPath: String = s"$dir/digests"
+    def indexPath: String = s"$dir/index"
+    def tombstonesPath: String = s"$dir/tombstones"
+  }
 
   /** Create empty state tables so the first batch runs the same code
-    * path as every later one.
+    * path as every later one, plus the commit log.
     */
   def init(spark: SparkSession, dir: String): State = {
     import spark.implicits._
-    val st = State(s"$dir/digests", s"$dir/index", s"$dir/tombstones")
-    Seq.empty[(Long, String)].toDF("doc_id", "text_hash")
+    val st = State(dir)
+    Seq.empty[(Long, String, Long)].toDF("doc_id", "text_hash", "epoch")
       .write.mode(SaveMode.Overwrite).parquet(st.digestsPath)
-    Seq.empty[(Long, Int, String)].toDF("doc_id", "band_idx", "band_hash")
+    Seq.empty[(Long, Int, String, Long)]
+      .toDF("doc_id", "band_idx", "band_hash", "epoch")
       .write.mode(SaveMode.Overwrite).parquet(st.indexPath)
-    Seq.empty[Long].toDF("doc_id")
+    Seq.empty[(Long, Long)].toDF("doc_id", "epoch")
       .write.mode(SaveMode.Overwrite).parquet(st.tombstonesPath)
+    StateCommit.initDir(spark, dir)
     st
   }
 
+  /** Upgrade a pre-versioning state dir in place (ADVICE r7: a state
+    * dir written by the round-7 layout would otherwise fail with a
+    * missing-column/missing-path error deep inside a join): stamps
+    * `epoch = 0` onto existing rows, creates a missing tombstone table,
+    * and initializes the commit log. Old tombstones keep masking old
+    * rows (0 ≤ 0). A digest table that predates doc_id keying cannot be
+    * backfilled from hashes alone — that one needs a state rebuild, and
+    * says so.
+    */
+  def migrate(spark: SparkSession, dir: String): State = {
+    val st = State(dir)
+    if (StateCommit.isVersioned(spark, dir)) return st
+    require(spark.read.parquet(st.digestsPath).columns.contains("doc_id"),
+      s"digest table at ${st.digestsPath} predates doc_id keying; it cannot " +
+        "be backfilled from hashes alone — rebuild the state by re-running " +
+        "batches against a fresh init()")
+    migrateTables(spark, dir, Seq("digests", "index"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(st.tombstonesPath))) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "epoch")
+        .write.mode(SaveMode.Overwrite).parquet(st.tombstonesPath)
+    } else migrateTables(spark, dir, Seq("tombstones"))
+    StateCommit.initDir(spark, dir)
+    st
+  }
+
+  /** [[migrate]] for an ANN state dir: same epoch backfill over
+    * cells/vec_tombstones (centroids are epoch-free — a frozen codebook
+    * is replaced wholesale, never masked row-wise).
+    */
+  def migrateAnn(spark: SparkSession, dir: String): AnnState = {
+    val st = AnnState(dir)
+    if (StateCommit.isVersioned(spark, dir)) return st
+    migrateAnnCells(spark, st)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(st.tombstonesPath))) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("vec_id", "epoch")
+        .write.mode(SaveMode.Overwrite).parquet(st.tombstonesPath)
+    } else migrateTables(spark, dir, Seq("vec_tombstones"))
+    StateCommit.initDir(spark, dir)
+    st
+  }
+
+  private def migrateTables(spark: SparkSession, dir: String,
+      tables: Seq[String]): Unit =
+    for (t <- tables) {
+      val path = s"$dir/$t"
+      val df = spark.read.parquet(path)
+      if (!df.columns.contains("epoch")) {
+        val tmp = s"${path}__migrate"
+        df.withColumn("epoch", lit(0L))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        Compaction.replaceDir(spark, path, tmp)
+      }
+    }
+
+  private def migrateAnnCells(spark: SparkSession, st: AnnState): Unit = {
+    val df = spark.read.parquet(st.cellsPath)
+    if (!df.columns.contains("epoch")) {
+      val tmp = st.cellsPath + "__migrate"
+      df.withColumn("epoch", lit(0L))
+        .select(col("vec_id"), col("embedding"), col("__nx"), col("epoch"),
+          col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+      Compaction.replaceDir(spark, st.cellsPath, tmp)
+    }
+  }
+
+  /** Read a state table with a bounded retry on a missing path: a
+    * maintenance swap ([[purgeTombstoned]] / [[reindexAnn]] /
+    * compaction) has a brief window where the directory is renamed
+    * aside, and an in-process reader racing it should wait it out, not
+    * fail (ADVICE r7). Cross-process readers need the same tolerance —
+    * documented contract of the maintenance operations.
+    */
+  private def readState(spark: SparkSession, path: String): DataFrame = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 8) {
+      try return spark.read.parquet(path)
+      catch {
+        case e: Throwable if isMissingPath(e) =>
+          last = e
+          Thread.sleep(100L)
+          try spark.catalog.refreshByPath(path) catch { case _: Throwable => () }
+      }
+      i += 1
+    }
+    throw last
+  }
+
+  private def isMissingPath(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getMessage != null && (a.getMessage.contains("PATH_NOT_FOUND") ||
+        a.getMessage.contains("Path does not exist"))
+    case _ => false
+  }
+
+  /** The tombstone table as a driver-pinned local relation of
+    * `(id, max epoch)` — takedown-sized by contract (the same bound the
+    * broadcast anti-join relies on). Pinning serves two masters: the
+    * caller's lazily returned plans never dangle on a swapped tombstone
+    * directory, and the mask join's small side is a literal, not a scan.
+    */
+  private def tombstoneRelation(spark: SparkSession, path: String,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    readState(spark, path)
+      .select(col(idCol).cast("long"), col("epoch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).max) }
+      .toSeq.toDF("__t_id", "__t_epoch")
+  }
+
+  /** The retraction mask: drop state rows whose id is tombstoned AT OR
+    * AFTER the row's append epoch. Rows appended by a LATER commit than
+    * the tombstone (the corrected re-ingest) stay live — the round-8
+    * re-accept semantics. Broadcast anti-join: the tombstone side is
+    * takedown-sized.
+    */
+  private def maskTombstoned(state: DataFrame, tomb: DataFrame,
+      idCol: String): DataFrame =
+    state.join(broadcast(tomb),
+      state(idCol) === tomb("__t_id") && state("epoch") <= tomb("__t_epoch"),
+      "left_anti")
+
   /** Run one batch: returns the accepted documents (with split labels)
-    * and appends their digests + index rows to the state.
+    * and appends their digests + index rows to the state in ONE commit.
     *
     * Stages, each an operator of this library:
     *  1. quality rule filter ([[TextAnalytics.ruleFlags]] `keep`);
     *  2. batch-internal exact dedup ([[Dedup.exactGroups]] keep the
     *     smallest id per content hash);
     *  3. history exact dedup ([[Dedup.incrementalExact]] anti-join
-    *     against the digest table);
+    *     against the epoch-masked digest table);
     *  4. history near-dup dedup ([[Dedup.incrementalMinhashCandidatesMd5]]
-    *     against the banded index; any candidate match drops the doc —
-    *     the conservative policy a precision pass can refine);
+    *     against the epoch-masked banded index; any candidate match
+    *     drops the doc — the conservative policy a precision pass can
+    *     refine);
     *  5. state append + deterministic split labels
     *     ([[Curation.splitExpr]] — append-stable, so a document's split
     *     never depends on later batches).
     *
     * Idempotence: accepted docs are a pure function of (batch, state);
-    * the caller appends state only after a successful write of the
-    * batch output (the same log-after-success contract as
-    * [[IngestPipeline]]).
+    * on a commit conflict the whole computation re-runs against the
+    * winner's state (optimistic discipline), so the appended rows and
+    * the returned frame always agree with ONE state version.
     */
   def runBatch(spark: SparkSession, batch: DataFrame, state: State,
       appendState: Boolean = true, compactOver: Int = 64): DataFrame = {
-    // append-only state accretes one file set per batch FOREVER; past
-    // `compactOver` files a table's scans turn into footer-fetch storms,
-    // so fold it back to ~target-sized files BEFORE this batch reads the
-    // state (compacting after the append would delete files the lazily
-    // returned output still references). Amortized: the rewrite runs
-    // every ~compactOver batches, not every batch; the crash-safe swap
-    // keeps re-runs resumable.
-    if (appendState)
-      for (p <- Seq(state.digestsPath, state.indexPath))
-        if (Compaction.dataFiles(spark, p) > compactOver)
-          Compaction.compactParquet(spark, p)
+    StateCommit.requireVersioned(spark, state.dir)
+    // surface any committed-but-unapplied mutation before reading
+    StateCommit.recover(spark, state.dir)
+    if (appendState) {
+      // append-only state accretes one file set per batch FOREVER; past
+      // `compactOver` files a table's scans turn into footer-fetch
+      // storms, so fold it back to ~target-sized files BEFORE this batch
+      // reads the state (compacting after the append would delete files
+      // the lazily returned output still references). Amortized: the
+      // rewrite runs every ~compactOver batches, not every batch; the
+      // commit redo keeps re-runs resumable.
+      for (t <- Seq("digests", "index"))
+        if (Compaction.dataFiles(spark, s"${state.dir}/$t") > compactOver)
+          compactState(spark, state.dir, t)
+    }
+    if (!appendState) return computeAccepted(spark, batch, state)._2
+    var out: DataFrame = null
+    StateCommit.commit(spark, state.dir) { (txn, epoch) =>
+      val (accepted, o) = computeAccepted(spark, batch, state)
+      out = o
+      accepted
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          lit(epoch).as("epoch"))
+        .write.parquet(StateCommit.stagePath(state.dir, txn, "digests"))
+      Dedup.bandedIndexMd5(accepted).withColumn("epoch", lit(epoch))
+        .write.parquet(StateCommit.stagePath(state.dir, txn, "index"))
+      Some(Seq(StateCommit.Op("publish", "digests"),
+        StateCommit.Op("publish", "index")))
+    }
+    out
+  }
+
+  /** The pure function of (batch, state): (accepted docs, labeled
+    * output). All state reads are epoch-masked.
+    */
+  private def computeAccepted(spark: SparkSession, batch: DataFrame,
+      state: State): (DataFrame, DataFrame) = {
     val flagged = batch.join(
       TextAnalytics.ruleFlags(batch).filter(col("keep")).select("doc_id"), "doc_id")
     val reps = flagged.join(
       Dedup.exactGroups(flagged).select(col("keep_id").as("doc_id")), "doc_id")
-    // tombstoned history rows are logically gone: masking them here is
-    // what lets a retracted document's near-dups re-enter the corpus.
-    // The tombstones are pinned into the plan as a LOCAL relation (they
-    // are takedown-sized by contract — the same bound the broadcast
-    // anti-join relies on): the returned frame stays lazy, and the
-    // re-accept rewrite of the tombstone directory below must not
-    // invalidate the caller's not-yet-collected plan
-    val tomb = spark.createDataset(
-        spark.read.parquet(state.tombstonesPath)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq)(
-        org.apache.spark.sql.Encoders.scalaLong)
-      .toDF("doc_id")
-    val seen = spark.read.parquet(state.digestsPath)
-      .join(tomb, Seq("doc_id"), "left_anti")
+    val tomb = tombstoneRelation(spark, state.tombstonesPath, "doc_id")
+    val seen = maskTombstoned(readState(spark, state.digestsPath), tomb, "doc_id")
+      .select("doc_id", "text_hash")
     val freshIds = Dedup.incrementalExact(reps, seen)
     val fresh = reps.join(freshIds.select("doc_id"), "doc_id")
-    val oldIndex = spark.read.parquet(state.indexPath)
-      .join(tomb, Seq("doc_id"), "left_anti")
+    val oldIndex = maskTombstoned(readState(spark, state.indexPath), tomb, "doc_id")
+      .select("doc_id", "band_idx", "band_hash")
     val nearDupIds = Dedup.incrementalMinhashCandidatesMd5(fresh, oldIndex)
       .select(col("new_doc").as("doc_id")).distinct()
     val accepted = fresh.join(nearDupIds, Seq("doc_id"), "left_anti")
     val out = accepted.select(col("doc_id"), col("text"),
       Curation.splitExpr(col("doc_id")).as("split"))
-    if (appendState) {
-      accepted.select(col("doc_id"), md5(col("text")).as("text_hash"))
-        .write.mode(SaveMode.Append).parquet(state.digestsPath)
-      Dedup.bandedIndexMd5(accepted)
-        .write.mode(SaveMode.Append).parquet(state.indexPath)
-      // a corrected re-crawl re-ingested under a retracted id: its
-      // fresh rows were just appended, so the tombstone must clear or
-      // the doc would stay invisible to dedup forever
-      untombstone(spark, state.tombstonesPath, accepted, "doc_id")
-    }
-    out
+    (accepted, out)
   }
 
   /** Logically delete documents from the accumulated state: append
-    * their ids to the tombstone table. Every state read anti-joins the
-    * tombstones, so the retracted documents stop suppressing their
-    * exact- and near-duplicates IMMEDIATELY — without touching the
+    * `(doc_id, epoch)` tombstones. Every state read applies the epoch
+    * mask, so the retracted documents stop suppressing their exact- and
+    * near-duplicates IMMEDIATELY — without touching the
     * (100 TB-corpus-sized) digest or index tables. Physical deletion is
     * deferred to [[purgeTombstoned]].
     *
-    * Idempotent at the byte level, not just semantically: already-
-    * tombstoned ids are dropped before the append, so replaying a
-    * retraction (the crash-recovery case) appends nothing. Returns the
-    * number of newly tombstoned ids.
+    * The id frame is collected to the driver FIRST (takedown-sized by
+    * the same contract as the mask broadcast), so the counted set and
+    * the written set are guaranteed identical even for a
+    * nondeterministic input frame (limit/sample) — persist() was only
+    * best-effort (ADVICE r7). Replaying a retraction before any other
+    * commit touches the dir appends nothing (byte-idempotent crash
+    * recovery); a retraction REISSUED after the id was re-ingested
+    * retracts the re-ingested version too — that is the correct reading
+    * of a fresh takedown command. Returns the newly tombstoned count.
     */
-  /** Serializes every tombstone mutation (retract / purge / re-accept
-    * clearing / re-index) within the driver JVM — the same in-process
-    * discipline as `Tables`' conf lock. Cross-PROCESS coordination is
-    * the caller's contract, exactly as it already is for the state
-    * appends themselves (one driver owns a state dir).
-    */
-  private val stateLock = new Object
-
-  def retract(spark: SparkSession, state: State, docIds: DataFrame): Long =
-    stateLock.synchronized {
-      // persisted so the count and the append see ONE evaluation — a
-      // nondeterministic id frame (limit/sample) must not return n while
-      // writing a different id set (the byte-idempotence contract)
-      val fresh = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
-        .join(spark.read.parquet(state.tombstonesPath), Seq("doc_id"), "left_anti")
-        .persist()
-      try {
-        val n = fresh.count()
-        if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
-        n
-      } finally { fresh.unpersist(); () }
-    }
-
-  /** Drop ids from a tombstone table (rewrite-minus, crash-safe swap) —
-    * the RE-ACCEPT path: a document re-ingested under a previously
-    * retracted id appends fresh state rows, which the tombstone would
-    * otherwise mask forever (and [[purgeTombstoned]] would then delete).
-    * No-op (zero writes) when none of the ids are tombstoned — the
-    * overwhelmingly common case, priced at one semi-join over a
-    * takedown-sized table.
-    */
-  private def untombstone(spark: SparkSession, path: String,
-      ids: DataFrame, idCol: String): Unit = stateLock.synchronized {
-    val tomb = spark.read.parquet(path)
-    val keyed = ids.select(col(idCol)).distinct()
-    if (!tomb.join(keyed, Seq(idCol), "left_semi").isEmpty) {
-      val tmp = path + "__untomb"
-      tomb.join(keyed, Seq(idCol), "left_anti")
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      Compaction.replaceDir(spark, path, tmp)
-    }
+  def retract(spark: SparkSession, state: State, docIds: DataFrame): Long = {
+    StateCommit.requireVersioned(spark, state.dir)
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    retractIds(spark, state.dir, "tombstones", "doc_id", ids)
   }
 
-  /** Physically drop tombstoned rows: rewrite digests and index minus
-    * a tombstone SNAPSHOT, then remove exactly the snapshot's ids from
-    * the live tombstone table. O(state) — run it on the maintenance
-    * cadence ([[maintainAnn]]'s class), not per retraction.
-    *
-    * Crash-safe by ORDER: the state tables are rewritten and swapped
-    * first ([[Compaction.replaceDir]]), the tombstones trimmed last — a
-    * crash at any point leaves every tombstone still masking rows that
-    * are either gone (anti-join no-op) or still present (still masked);
-    * replaying the purge converges. The final trim is an anti-join
-    * against the snapshot, NOT a clear: a tombstone appended by another
-    * process after the snapshot was taken masked rows this purge never
-    * rewrote, and wiping it would silently resurrect that document.
-    */
-  def purgeTombstoned(spark: SparkSession, state: State): Unit =
-    stateLock.synchronized {
-      val snap = state.tombstonesPath + "__snapshot"
-      spark.read.parquet(state.tombstonesPath)
-        .write.mode(SaveMode.Overwrite).parquet(snap)
-      val tomb = spark.read.parquet(snap)
-      for (p <- Seq(state.digestsPath, state.indexPath)) {
-        val tmp = p + "__purge"
-        spark.read.parquet(p).join(tomb, Seq("doc_id"), "left_anti")
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        Compaction.replaceDir(spark, p, tmp)
+  private def retractIds(spark: SparkSession, dir: String, table: String,
+      idCol: String, ids: Seq[Long]): Long = {
+    import spark.implicits._
+    var appended = 0L
+    StateCommit.commit(spark, dir) { (txn, epoch) =>
+      val existing = readState(spark, s"$dir/$table")
+        .select(col(idCol), col("epoch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).max) }
+      // an id whose tombstone already covers every currently-visible
+      // epoch (>= the version this attempt read) is a replay — skip it
+      val fresh = ids.filterNot(id => existing.get(id).exists(_ >= epoch - 1))
+      appended = fresh.size.toLong
+      if (fresh.isEmpty) None
+      else {
+        fresh.map(id => (id, epoch)).toDF(idCol, "epoch")
+          .coalesce(1)
+          .write.parquet(StateCommit.stagePath(dir, txn, table))
+        Some(Seq(StateCommit.Op("publish", table)))
       }
-      val tmp = state.tombstonesPath + "__purge"
-      spark.read.parquet(state.tombstonesPath)
-        .join(tomb, Seq("doc_id"), "left_anti")
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      Compaction.replaceDir(spark, state.tombstonesPath, tmp)
-      val sp = new org.apache.hadoop.fs.Path(snap)
-      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     }
+    appended
+  }
 
-  /** Persisted ANN-index state: the centroid table (fixed at init — a
-    * moving codebook would silently re-bucket history) and the
-    * cell-partitioned assignment table probe-time readers prune by.
-    * The cells table is PROBE-READY: it carries
-    * `(vec_id, embedding, __nx, cell)` — embedding plus the amortized
-    * cosine norm — so [[probeAnn]] runs straight off the state with no
-    * corpus re-join.
+  /** Physically drop tombstone-masked rows: rewrite digests and index
+    * minus the masked rows and trim exactly the tombstone rows this
+    * commit saw — all THREE swaps in ONE commit, so a crash at any
+    * point replays to the complete purge (the redo-log guarantee
+    * replaces the old rely-on-ordering argument). O(state) — run it on
+    * the maintenance cadence ([[maintainAnn]]'s class), not per
+    * retraction.
+    *
+    * After a re-accept, the retracted version's rows are masked while
+    * the corrected version's rows are live — the purge removes the
+    * former and keeps the latter (the round-8 fix: the old design's
+    * cleared tombstone left the stale rows permanently live).
     */
+  def purgeTombstoned(spark: SparkSession, state: State): Unit = {
+    StateCommit.requireVersioned(spark, state.dir)
+    purgeTables(spark, state.dir, "tombstones", "doc_id",
+      Seq("digests", "index"))
+  }
+
+  private def purgeTables(spark: SparkSession, dir: String,
+      tombTable: String, idCol: String, tables: Seq[String]): Unit = {
+    import spark.implicits._
+    StateCommit.commit(spark, dir) { (txn, epoch) =>
+      val snap = readState(spark, s"$dir/$tombTable")
+        .select(col(idCol), col("epoch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (snap.isEmpty) None
+      else {
+        val tomb = snap.groupBy(_._1)
+          .map { case (id, rows) => (id, rows.map(_._2).max) }
+          .toSeq.toDF("__t_id", "__t_epoch")
+        for (t <- tables)
+          maskTombstoned(readState(spark, s"$dir/$t"), tomb, idCol)
+            .write.parquet(StateCommit.stagePath(dir, txn, t))
+        // trim EXACTLY the snapshot's tombstone rows: within a winning
+        // attempt no commit can interleave (the claim CAS would have
+        // sent us back to prepare), but the pairwise trim stays correct
+        // even against a writer that bypassed the protocol
+        val snapDf = snap.toDF("__s_id", "__s_epoch")
+        readState(spark, s"$dir/$tombTable")
+          .join(broadcast(snapDf),
+            col(idCol) === col("__s_id") && col("epoch") === col("__s_epoch"),
+            "left_anti")
+          .select(col(idCol), col("epoch"))
+          .write.parquet(StateCommit.stagePath(dir, txn, tombTable))
+        Some((tables :+ tombTable).map(t => StateCommit.Op("swap", t)))
+      }
+    }
+    ()
+  }
+
+  /** Fold a state table back to ~target-sized files — as a commit, so a
+    * concurrent writer's append can NEVER be clobbered by the rewrite
+    * swap (the claim CAS orders them; a conflicting appender recomputes
+    * after the compaction lands).
+    */
+  private def compactState(spark: SparkSession, dir: String, table: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    StateCommit.commit(spark, dir) { (txn, _) =>
+      val path = s"$dir/$table"
+      val bytes = Compaction.dataBytes(spark, path)
+      val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      spark.read.parquet(path).coalesce(n)
+        .write.parquet(StateCommit.stagePath(dir, txn, table))
+      Some(Seq(StateCommit.Op("swap", table)))
+    }
+    ()
+  }
+
   /** Persisted tokenizer state: the frozen k-row BPE merge table —
     * by far the smallest state table of the pipeline (a tokenizer is
     * k rows whatever the corpus size), and the one whose recompute is
@@ -253,13 +431,17 @@ object CurationPipeline {
     TextAnalytics.bpeEncodeWithMerges(batch, merges)
   }
 
-  /** Tombstones follow the same retraction contract as [[State]]:
-    * logical deletion now (every cells-table read anti-joins them),
-    * physical deletion amortized — here into [[reindexAnn]], which
-    * rebuilds from the LIVE rows only and then clears the table.
+  /** Persisted ANN-index state under one root: the centroid table
+    * (fixed at init — a moving codebook would silently re-bucket
+    * history), the cell-partitioned assignment table probe-time readers
+    * prune by, and the vector tombstones ([[State]]'s retraction
+    * contract, epoch-keyed the same way).
     */
-  final case class AnnState(centroidsPath: String, cellsPath: String,
-      tombstonesPath: String)
+  final case class AnnState(dir: String) {
+    def centroidsPath: String = s"$dir/centroids"
+    def cellsPath: String = s"$dir/cells"
+    def tombstonesPath: String = s"$dir/vec_tombstones"
+  }
 
   /** Build the IVF index state from a seed corpus: centroids seeded and
     * optionally Lloyd-refined ONCE, then frozen to parquet; the seed
@@ -270,19 +452,33 @@ object CurationPipeline {
   def initAnn(spark: SparkSession, dir: String, seedEmbeddings: DataFrame,
       nCells: Int = 16, refine: Int = 1, spreadSeeds: Boolean = false): AnnState = {
     import spark.implicits._
-    val st = AnnState(s"$dir/centroids", s"$dir/cells", s"$dir/vec_tombstones")
-    Seq.empty[Long].toDF("vec_id")
+    val st = AnnState(dir)
+    Seq.empty[(Long, Long)].toDF("vec_id", "epoch")
       .write.mode(SaveMode.Overwrite).parquet(st.tombstonesPath)
-    var cents =
-      if (spreadSeeds) Similarity.spreadCentroids(seedEmbeddings, nCells)
-      else Similarity.seededCentroids(seedEmbeddings, nCells)
-    for (_ <- 0 until refine) cents = Similarity.refineCentroids(seedEmbeddings, cents)
-    cents.write.mode(SaveMode.Overwrite).parquet(st.centroidsPath)
-    Similarity.withCosineNorm(Similarity.assignToCentroids(seedEmbeddings,
-        spark.read.parquet(st.centroidsPath)))
-      .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(st.cellsPath)
+    buildAnnTables(spark, seedEmbeddings, st.centroidsPath, st.cellsPath,
+      nCells, refine, spreadSeeds, epoch = 0L)
+    StateCommit.initDir(spark, dir)
     st
+  }
+
+  /** The init/re-index shared builder: seed (or hash-spread) + refine
+    * centroids, assign the corpus, write both tables to the given
+    * OUTPUT paths (final dirs at init, staging dirs inside a re-index
+    * commit). Cell rows are stamped with the appending epoch.
+    */
+  private def buildAnnTables(spark: SparkSession, corpus: DataFrame,
+      centroidsOut: String, cellsOut: String, nCells: Int, refine: Int,
+      spreadSeeds: Boolean, epoch: Long): Unit = {
+    var cents =
+      if (spreadSeeds) Similarity.spreadCentroids(corpus, nCells)
+      else Similarity.seededCentroids(corpus, nCells)
+    for (_ <- 0 until refine) cents = Similarity.refineCentroids(corpus, cents)
+    cents.write.mode(SaveMode.Overwrite).parquet(centroidsOut)
+    Similarity.withCosineNorm(Similarity.assignToCentroids(corpus,
+        spark.read.parquet(centroidsOut)))
+      .select(col("vec_id"), col("embedding"), col("__nx"),
+        lit(epoch).as("epoch"), col("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(cellsOut)
   }
 
   /** O(batch) index maintenance: assign ONLY the new embeddings against
@@ -290,31 +486,49 @@ object CurationPipeline {
     * join-free literal-centroid scan) and append to the cell table in
     * the same probe-ready `(vec_id, embedding, __nx, cell)` layout.
     * History participates only through the ≤nCells-row centroid table;
-    * no batch ever rereads the accumulated corpus. Idempotence contract
-    * matches [[runBatch]]: the returned assignment is a pure function of
-    * (batch, centroids); callers append state after a successful
-    * downstream write.
+    * no batch ever rereads the accumulated corpus. A vector re-appended
+    * under a retracted id is live by epoch ordering — no tombstone
+    * clearing ([[runBatch]]'s re-accept contract).
     */
   def runAnnBatch(spark: SparkSession, newEmbeddings: DataFrame,
       state: AnnState, appendState: Boolean = true,
       compactOver: Int = 256): DataFrame = {
-    // each append adds ~one file per touched cell; compact with the
-    // PARTITION-PRESERVING rewrite (a flat compact would break the
-    // cell=… probe pruning the layout exists for) BEFORE the batch —
-    // the same lazy-reader discipline as runBatch
-    if (appendState && Compaction.dataFiles(spark, state.cellsPath) > compactOver)
-      Compaction.compactPartitioned(spark, state.cellsPath, "cell")
-    val cents = spark.read.parquet(state.centroidsPath)
+    if (appendState) {
+      StateCommit.requireVersioned(spark, state.dir)
+      StateCommit.recover(spark, state.dir)
+      // each append adds ~one file per touched cell; compact with the
+      // PARTITION-PRESERVING rewrite (a flat compact would break the
+      // cell=… probe pruning the layout exists for) BEFORE the batch —
+      // the same lazy-reader discipline as runBatch
+      if (Compaction.dataFiles(spark, state.cellsPath) > compactOver)
+        compactAnnCells(spark, state.dir)
+    }
+    val cents = readState(spark, state.centroidsPath)
     val assigned = Similarity.withCosineNorm(
         Similarity.ivfAssignIncremental(newEmbeddings, cents))
       .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
     if (appendState) {
-      assigned.write.mode(SaveMode.Append).partitionBy("cell").parquet(state.cellsPath)
-      // re-appended vectors under retracted ids become live again
-      // (the [[runBatch]] re-accept contract)
-      untombstone(spark, state.tombstonesPath, assigned, "vec_id")
+      StateCommit.commit(spark, state.dir) { (txn, epoch) =>
+        assigned
+          .select(col("vec_id"), col("embedding"), col("__nx"),
+            lit(epoch).as("epoch"), col("cell"))
+          .write.partitionBy("cell")
+          .parquet(StateCommit.stagePath(state.dir, txn, "cells"))
+        Some(Seq(StateCommit.Op("publish", "cells")))
+      }
     }
     assigned
+  }
+
+  private def compactAnnCells(spark: SparkSession, dir: String): Unit = {
+    StateCommit.commit(spark, dir) { (txn, _) =>
+      spark.read.parquet(s"$dir/cells")
+        .repartition(col("cell"))
+        .write.partitionBy("cell")
+        .parquet(StateCommit.stagePath(dir, txn, "cells"))
+      Some(Seq(StateCommit.Op("swap", "cells")))
+    }
+    ()
   }
 
   /** Cell-population skew of the persisted index: `max(cell size) /
@@ -329,71 +543,68 @@ object CurationPipeline {
     r.getLong(0).toDouble / r.getDouble(1)
   }
 
-  /** The cells table minus its tombstones — the LIVE index every read
-    * path (skew measurement, probe, re-index) sees. The anti-join side
-    * is takedown-sized, so it broadcasts; the `cell=…` partition filter
-    * still pushes below the join into the scan.
+  /** The cells table minus its tombstone-masked rows — the LIVE index
+    * every read path (skew measurement, probe, re-index) sees. The
+    * anti-join side is takedown-sized, so it broadcasts; the `cell=…`
+    * partition filter still pushes below the join into the scan.
     */
   private def liveCells(spark: SparkSession, state: AnnState): DataFrame =
-    spark.read.parquet(state.cellsPath)
-      .join(spark.read.parquet(state.tombstonesPath), Seq("vec_id"), "left_anti")
+    maskTombstoned(readState(spark, state.cellsPath),
+      tombstoneRelation(spark, state.tombstonesPath, "vec_id"), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
 
   /** Logically delete vectors from the persisted ANN index — the
-    * [[retract]] twin for [[AnnState]]: append-only tombstones, read
-    * paths mask, [[reindexAnn]] physically forgets. Byte-idempotent
-    * replay, returns newly tombstoned count.
+    * [[retract]] twin for [[AnnState]]: append-only epoch tombstones,
+    * read paths mask, [[reindexAnn]] physically forgets. Driver-collected
+    * ids (the counted set IS the written set), returns newly tombstoned
+    * count.
     */
-  def retractAnn(spark: SparkSession, state: AnnState, vecIds: DataFrame): Long =
-    stateLock.synchronized {
-      val fresh = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
-        .join(spark.read.parquet(state.tombstonesPath), Seq("vec_id"), "left_anti")
-        .persist()
-      try {
-        val n = fresh.count()
-        if (n > 0) fresh.write.mode(SaveMode.Append).parquet(state.tombstonesPath)
-        n
-      } finally { fresh.unpersist(); () }
-    }
+  def retractAnn(spark: SparkSession, state: AnnState, vecIds: DataFrame): Long = {
+    StateCommit.requireVersioned(spark, state.dir)
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    retractIds(spark, state.dir, "vec_tombstones", "vec_id", ids)
+  }
 
   /** Full re-index from the accumulated state: recompute centroids over
-    * EVERYTHING assigned so far (seeded + `refine` Lloyd passes — the
-    * init path over the grown corpus), reassign, and swap the state
-    * dirs crash-safely ([[Compaction.replaceDir]]). O(corpus) by
-    * design — this is the amortized escape hatch [[maintainAnn]] fires
-    * only at the skew trigger, not a per-batch cost.
+    * the LIVE rows (seeded + `refine` Lloyd passes — the init path over
+    * the grown corpus), reassign, and swap centroids + cells +
+    * tombstone-trim as ONE commit (the redo log replays a crash to the
+    * complete re-index). O(corpus) by design — this is the amortized
+    * escape hatch [[maintainAnn]] fires only at the skew trigger, not a
+    * per-batch cost. Doubles as the amortized physical deletion for
+    * retracted vectors.
     */
   def reindexAnn(spark: SparkSession, dir: String, state: AnnState,
-      nCells: Int = 16, refine: Int = 1): AnnState = stateLock.synchronized {
-    // SNAPSHOT the tombstones, rebuild from the rows the snapshot
-    // leaves live — the re-index is also the amortized physical
-    // deletion for retracted vectors
-    val snap = state.tombstonesPath + "__snapshot"
-    spark.read.parquet(state.tombstonesPath)
-      .write.mode(SaveMode.Overwrite).parquet(snap)
-    val tomb = spark.read.parquet(snap)
-    val corpus = spark.read.parquet(state.cellsPath)
-      .join(tomb, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("embedding"))
-    // hash-SPREAD seeds: smallest-id seeding would plant every seed in
-    // the pre-drift era — the exact failure a re-index exists to fix
-    val rebuilt = initAnn(spark, s"$dir/__reindex", corpus, nCells, refine,
-      spreadSeeds = true)
-    Compaction.replaceDir(spark, state.centroidsPath, rebuilt.centroidsPath)
-    Compaction.replaceDir(spark, state.cellsPath, rebuilt.cellsPath)
-    // tombstones trim LAST, and only by the SNAPSHOT's ids (the
-    // purgeTombstoned discipline): a crash before this swap leaves
-    // tombstones masking rows the rebuild already dropped — an
-    // anti-join no-op, never a resurrection — and a tombstone appended
-    // by another process after the snapshot stays in force
-    val tmp = state.tombstonesPath + "__purge"
-    spark.read.parquet(state.tombstonesPath)
-      .join(tomb, Seq("vec_id"), "left_anti")
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    Compaction.replaceDir(spark, state.tombstonesPath, tmp)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/__reindex"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(snap), true)
+      nCells: Int = 16, refine: Int = 1): AnnState = {
+    StateCommit.requireVersioned(spark, state.dir)
+    StateCommit.commit(spark, state.dir) { (txn, epoch) =>
+      import spark.implicits._
+      val snap = readState(spark, state.tombstonesPath)
+        .select(col("vec_id"), col("epoch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val tomb = snap.groupBy(_._1)
+        .map { case (id, rows) => (id, rows.map(_._2).max) }
+        .toSeq.toDF("__t_id", "__t_epoch")
+      // hash-SPREAD seeds: smallest-id seeding would plant every seed in
+      // the pre-drift era — the exact failure a re-index exists to fix
+      val corpus = maskTombstoned(readState(spark, state.cellsPath), tomb, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      buildAnnTables(spark, corpus,
+        StateCommit.stagePath(state.dir, txn, "centroids"),
+        StateCommit.stagePath(state.dir, txn, "cells"),
+        nCells, refine, spreadSeeds = true, epoch = epoch)
+      val snapDf = snap.toDF("__s_id", "__s_epoch")
+      readState(spark, state.tombstonesPath)
+        .join(broadcast(snapDf),
+          col("vec_id") === col("__s_id") && col("epoch") === col("__s_epoch"),
+          "left_anti")
+        .select(col("vec_id"), col("epoch"))
+        .write.parquet(StateCommit.stagePath(state.dir, txn, "vec_tombstones"))
+      Some(Seq(StateCommit.Op("swap", "centroids"),
+        StateCommit.Op("swap", "cells"),
+        StateCommit.Op("swap", "vec_tombstones")))
+    }
     state
   }
 
@@ -423,6 +634,6 @@ object CurationPipeline {
       k: Int = 10, nProbe: Int = 4): DataFrame =
     Similarity.ivfProbeAssigned(
       liveCells(spark, state),
-      spark.read.parquet(state.centroidsPath),
+      readState(spark, state.centroidsPath),
       queries, k, nProbe)
 }

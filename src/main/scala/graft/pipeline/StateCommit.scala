@@ -1,0 +1,318 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Optimistic versioned commit protocol for a curation state directory
+  * (SURVEY §2.8's persisted-state discipline, made safe for CONCURRENT
+  * writer processes — a production corpus has ingest and takedown
+  * drivers running at once, and a lost tombstone is a compliance bug).
+  *
+  * Layout under a state dir:
+  * {{{
+  *   _commits/<%020d>   committed redo records, version 1..N (append-only)
+  *   _staged/<txn>/<table>/...   parquet staged by in-flight commits
+  *   _version           advisory copy of the latest version (atomic-rename
+  *                      overwrite; the _commits listing is the truth)
+  *   <table>/...        plain parquet, readable by any vanilla reader
+  * }}}
+  *
+  * Writer protocol (optimistic, retry on conflict):
+  *  1. [[recover]]: re-apply the latest committed record (idempotent) so
+  *     this writer starts from fully-applied state;
+  *  2. read `v` = latest version; `prepare(txn, v+1)` recomputes the
+  *     mutation against the CURRENT state and stages every write under
+  *     `_staged/<txn>` — invisible to readers;
+  *  3. atomically claim version v+1: the redo record is fully written to
+  *     a temp file FIRST, then hard-linked to `_commits/<v+1>` — link
+  *     creation is the compare-and-swap (EEXIST ⇒ another writer won ⇒
+  *     discard staging, re-run `prepare` against the new state);
+  *  4. apply the record: publish staged appends (per-file rename into
+  *     the table dir) / swap staged rewrites ([[replaceDirReplayable]]);
+  *  5. bump the advisory `_version` file (write temp + atomic rename).
+  *
+  * Crash story — every window converges:
+  *  - before the claim: staged files are never referenced — invisible;
+  *    [[vacuumStaged]] garbage-collects them on the maintenance cadence;
+  *  - after the claim: the commit IS durable (the record was complete
+  *    before the link existed); any later writer's [[recover]] — or a
+  *    direct [[recover]] call — re-applies it. Apply ops are idempotent
+  *    (a moved file's source is gone ⇒ skip; a swapped dir's staging is
+  *    gone ⇒ skip), so racing appliers and mid-apply crashes are safe.
+  *
+  * At most ONE record can ever be unapplied (the latest): a writer only
+  * claims after recovering, so the claim of v+1 proves v is applied.
+  *
+  * Readers need NO protocol: tables stay plain parquet dirs whose files
+  * appear only at publish time (appends) — `_`-prefixed staging is
+  * ignored by Spark readers — and mutation VISIBILITY is the apply, not
+  * the claim. Rewrite swaps keep [[Compaction.replaceDir]]'s brief
+  * dest-missing window; in-process readers retry through
+  * [[CurationPipeline]]'s state-read helper, cross-process readers must
+  * tolerate retry-on-missing during maintenance windows (documented
+  * contract).
+  *
+  * The atomic primitives are java.nio on the local filesystem (the test
+  * and single-box deployment surface; exclusive `createLink` is the
+  * claim CAS). On HDFS/object stores with a Hadoop FS that supports
+  * atomic create-no-overwrite, port `tryClaim` to
+  * `FileSystem.create(path, false)` — the protocol itself is unchanged.
+  */
+object StateCommit {
+
+  /** A staged mutation of one table within a commit: `publish` moves the
+    * staged files INTO the table dir (append), `swap` replaces the table
+    * dir with the staged dir (rewrite). `table` is the dir name under
+    * the state root; the staged source is always `_staged/<txn>/<table>`.
+    */
+  final case class Op(kind: String, table: String) {
+    require(kind == "publish" || kind == "swap", s"unknown op kind $kind")
+  }
+
+  final case class Record(txn: String, ops: Seq[Op])
+
+  private def commitsDir(dir: String) = s"$dir/_commits"
+  private def versionName(v: Long) = f"$v%020d"
+
+  def stagePath(dir: String, txn: String, table: String): String =
+    s"$dir/_staged/$txn/$table"
+
+  /** Initialize the protocol dirs for a fresh state dir. */
+  def initDir(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(commitsDir(dir)))
+    writeVersionFile(dir, 0L)
+  }
+
+  def isVersioned(spark: SparkSession, dir: String): Boolean = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(commitsDir(dir)))
+  }
+
+  /** Fail fast on a pre-protocol state dir (the round-7 layout or
+    * older) with actionable guidance instead of a missing-column or
+    * missing-path error deep inside a join.
+    */
+  def requireVersioned(spark: SparkSession, dir: String): Unit =
+    if (!isVersioned(spark, dir))
+      sys.error(
+        s"state dir $dir has no _commits log — it was written by a " +
+          "pre-versioning layout. Run CurationPipeline.migrate(spark, dir) " +
+          "to upgrade in place (adds epoch columns and the commit log).")
+
+  /** Latest committed version: the max numeric entry of `_commits`. */
+  def version(spark: SparkSession, dir: String): Long = {
+    val p = new Path(commitsDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .foldLeft(0L)((m, n) => math.max(m, n.toLong))
+  }
+
+  private def readRecord(dir: String, v: Long): Record = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(commitsDir(dir), versionName(v))),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    Record(lines.head, lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(kind, table) = l.split("\t")
+      Op(kind, table)
+    })
+  }
+
+  /** Re-apply the latest committed record. Idempotent; call before any
+    * read that must observe every COMMITTED mutation, and rely on the
+    * commit loop calling it before every claim.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val v = version(spark, dir)
+    if (v > 0) applyRecord(spark, dir, readRecord(dir, v))
+    // drop any cross-session-stale file listings: ANOTHER session or
+    // process may have published files since this session last listed
+    // these tables, and the per-session file-status cache would serve
+    // the stale (or vanished) list into the next scan
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (e <- fs.listStatus(root)
+        if e.isDirectory && !e.getPath.getName.startsWith("_"))
+      try spark.catalog.refreshByPath(e.getPath.toString)
+      catch { case _: Throwable => () }
+  }
+
+  /** The optimistic commit loop. `prepare(txn, epoch)` must stage every
+    * write under [[stagePath]] and return the ops — or `None` to abort
+    * (nothing claimed, version unchanged). `epoch` is the version this
+    * attempt will commit as; on conflict the closure re-runs with a
+    * fresh txn and epoch AGAINST THE RE-RECOVERED STATE, so reads inside
+    * `prepare` are always against the latest applied snapshot. Returns
+    * the committed version, or -1 on abort.
+    */
+  def commit(spark: SparkSession, dir: String, maxAttempts: Int = 50)(
+      prepare: (String, Long) => Option[Seq[Op]]): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      recover(spark, dir)
+      val v = version(spark, dir)
+      val txn = java.util.UUID.randomUUID().toString
+      prepare(txn, v + 1) match {
+        case None =>
+          discardStaged(spark, dir, txn)
+          return -1L
+        case Some(ops) =>
+          val rec = Record(txn, ops)
+          if (tryClaim(dir, v + 1, rec)) {
+            applyRecord(spark, dir, rec)
+            writeVersionFile(dir, v + 1)
+            return v + 1
+          }
+          // lost the race: throw away this attempt's staging and
+          // recompute against the winner's state
+          discardStaged(spark, dir, txn)
+      }
+    }
+    sys.error(s"commit on $dir did not win a claim in $maxAttempts attempts")
+  }
+
+  /** Atomic CAS on the version chain: the record is durable in a temp
+    * file BEFORE the exclusive hard link publishes it as `_commits/<v>`,
+    * so a claim either fully exists or doesn't. EEXIST ⇒ lost the race.
+    */
+  private[pipeline] def tryClaim(dir: String, v: Long, rec: Record): Boolean = {
+    val cd = Paths.get(commitsDir(dir))
+    Files.createDirectories(cd)
+    val tmp = cd.resolve(s".tmp-${rec.txn}")
+    val body = (rec.txn +: rec.ops.map(o => s"${o.kind}\t${o.table}"))
+      .mkString("\n")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(cd.resolve(versionName(v)), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def writeVersionFile(dir: String, v: Long): Unit = {
+    val tmp = Paths.get(dir, s"_version.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_version"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Apply a record's ops. Idempotent and safe under racing appliers
+    * (a stalled writer and a recovering one): per-file renames lose
+    * benignly when the destination already exists; a consumed staging
+    * dir means the op already applied.
+    */
+  private def applyRecord(spark: SparkSession, dir: String, rec: Record): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (op <- rec.ops) {
+      val src = new Path(stagePath(dir, rec.txn, op.table))
+      val dest = new Path(s"$dir/${op.table}")
+      val fs = src.getFileSystem(conf)
+      op.kind match {
+        case "publish" =>
+          if (fs.exists(src)) {
+            val qSrc = fs.makeQualified(src)
+            moveDataFiles(fs, qSrc, qSrc, fs.makeQualified(dest))
+            fs.delete(src, true)
+          }
+        case "swap" =>
+          replaceDirReplayable(spark, dest.toString, src.toString)
+      }
+      spark.catalog.refreshByPath(dest.toString)
+    }
+    // remove the txn's staging root once every op is applied
+    val root = new Path(s"$dir/_staged/${rec.txn}")
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true)
+  }
+
+  /** Move every data file under `cur` into `dest`, preserving paths
+    * relative to `base` (partition subdirs survive). `base`/`cur`/`dest`
+    * must be fs-QUALIFIED (listStatus returns qualified paths; an
+    * unqualified prefix would fail to strip and silently resolve the
+    * target back onto the source). Spark part-file names carry a
+    * per-write UUID, so names never collide across commits; a rename
+    * that fails with the destination present is a racing applier having
+    * already moved it.
+    */
+  private def moveDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path, cur: Path, dest: Path): Unit = {
+    val entries =
+      try fs.listStatus(cur)
+      catch { case _: java.io.FileNotFoundException => return } // racing applier finished
+    for (e <- entries) {
+      val name = e.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (e.isDirectory) {
+          moveDataFiles(fs, base, e.getPath, dest)
+        } else {
+          val rel = e.getPath.toString.stripPrefix(base.toString).stripPrefix("/")
+          require(rel != e.getPath.toString,
+            s"publish failed: ${e.getPath} is not under $base")
+          val target = new Path(dest, rel)
+          fs.mkdirs(target.getParent)
+          if (!fs.rename(e.getPath, target) && !fs.exists(target))
+            sys.error(s"publish failed: could not move ${e.getPath} to $target")
+        }
+      }
+    }
+  }
+
+  /** [[Compaction.replaceDir]] made safe to REPLAY: a missing staging
+    * dir means the swap already happened (wait out a racing applier's
+    * brief dest-missing window); a missing dest with staging present is
+    * the mid-crash state — complete it.
+    */
+  private def replaceDirReplayable(spark: SparkSession, dest: String,
+      src: String): Unit = {
+    val p = new Path(dest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dest + "__old")
+    if (fs.exists(new Path(src))) {
+      fs.delete(old, true)
+      if (fs.exists(p) && !fs.rename(p, old))
+        sys.error(s"swap aborted: could not move $p aside")
+      if (!fs.rename(new Path(src), p) && !fs.exists(p))
+        sys.error(s"swap aborted: could not move $src into place")
+      fs.delete(old, true)
+    } else {
+      // already applied (possibly by a racing applier mid-swap): wait
+      // for the destination to surface
+      var spins = 0
+      while (!fs.exists(p) && spins < 100) { Thread.sleep(50L); spins += 1 }
+      if (!fs.exists(p)) sys.error(s"swap lost: neither $src nor $dest exists")
+      fs.delete(old, true)
+    }
+  }
+
+  private def discardStaged(spark: SparkSession, dir: String, txn: String): Unit = {
+    val p = new Path(s"$dir/_staged/$txn")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** Garbage-collect staging dirs orphaned by writers that crashed
+    * BEFORE claiming (never referenced by any record). Only staging
+    * older than `olderThanMs` is touched so in-flight commits are never
+    * raced. Run on the maintenance cadence (with purge / re-index).
+    */
+  def vacuumStaged(spark: SparkSession, dir: String,
+      olderThanMs: Long = 3600L * 1000): Int = {
+    val root = new Path(s"$dir/_staged")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var n = 0
+    for (e <- fs.listStatus(root) if e.getModificationTime < cutoff) {
+      fs.delete(e.getPath, true); n += 1
+    }
+    n
+  }
+}

@@ -84,10 +84,11 @@ class CurationPipelineSpec extends SparkSpec {
     // on top of one compacted set; the uncompacted twin keeps growing
     assert(filesC < filesU, "compaction must reduce the file count")
     assert(filesC <= 4 + 33, s"file count must stay bounded, got $filesC")
-    // state CONTENT survives the rewrites: same digest multiset
-    val dC = spark.read.parquet(stC.digestsPath)
+    // state CONTENT survives the rewrites: same digest multiset (epochs
+    // excluded — the compacting twin's extra commits shift its versions)
+    val dC = spark.read.parquet(stC.digestsPath).select("doc_id", "text_hash")
       .as[(Long, String)].collect().sorted.toSeq
-    val dU = spark.read.parquet(stU.digestsPath)
+    val dU = spark.read.parquet(stU.digestsPath).select("doc_id", "text_hash")
       .as[(Long, String)].collect().sorted.toSeq
     assert(dC == dU)
   }
@@ -139,7 +140,7 @@ class CurationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(st.tombstonesPath).isEmpty)
   }
 
-  test("re-accept: ingesting a corrected doc under a retracted id clears its tombstone") {
+  test("re-accept: a corrected doc under a retracted id is live; the RETRACTED version stays dead") {
     val dir = Files.createTempDirectory("curation-reaccept").toString
     val st = CurationPipeline.init(spark, dir)
     val b1 = docs.filter($"doc_id" < 250)
@@ -148,28 +149,46 @@ class CurationPipelineSpec extends SparkSpec {
     val victim = a1.min
     assert(CurationPipeline.retract(spark, st, Seq(victim).toDF("doc_id")) == 1L)
 
-    // the re-crawl correction: SAME id, new text (appended tail keeps
-    // the quality rules green and changes the hash)
+    // the re-crawl correction: SAME id, new text. Word-REVERSED original:
+    // identical quality stats (count/length/alpha/stopwords) so the rule
+    // gate stays green, but disjoint shingles — the corrected version
+    // must NOT near-dup the original, or its own live index rows would
+    // re-suppress the original's replay and hide the regression below
     val corrected = docs.filter($"doc_id" === victim)
-      .select($"doc_id", concat($"text", lit(" corrected crawl tail the of and is"))
-        .as("text"), $"lang", $"source", $"n_chars")
+      .select($"doc_id",
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        $"lang", $"source", $"n_chars")
     val a2 = CurationPipeline.runBatch(spark, corrected, st)
       .select("doc_id").as[Long].collect().toSet
     assert(a2 == Set(victim), "the corrected doc must be accepted")
-    // the tombstone is gone — the fresh state rows are NOT masked
-    assert(spark.read.parquet(st.tombstonesPath)
-      .filter($"doc_id" === victim).isEmpty,
-      "re-accepting an id must clear its tombstone")
-    // and the corrected doc's state rows are LIVE: an exact replay of
-    // the corrected text under a new id is suppressed
+    // the corrected doc's state rows are LIVE (their epoch postdates the
+    // tombstone — no clearing involved): an exact replay of the
+    // corrected text under a new id is suppressed
     val replay = corrected
       .select(($"doc_id" + 400000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
     assert(CurationPipeline.runBatch(spark, replay, st, appendState = false).isEmpty)
-    // purge must not delete the corrected doc's rows (nothing is
-    // tombstoned anymore)
+    // THE r7-ADVICE REGRESSION: the RETRACTED version's rows must stay
+    // masked after the re-accept — a replay of the ORIGINAL text under a
+    // fresh id must be re-admitted (no live document holds that text;
+    // the old design cleared the tombstone and resurrected the stale
+    // digest/index rows, suppressing it forever)
+    val originalReplay = docs.filter($"doc_id" === victim)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
+    assert(CurationPipeline.runBatch(spark, originalReplay, st, appendState = false)
+      .select("doc_id").as[Long].collect().toSet == Set(victim + 500000L),
+      "the retracted version's state rows must not suppress after re-accept")
+    // purge physically drops ONLY the retracted version's rows: the
+    // corrected rows survive, semantics unchanged on both replays
     CurationPipeline.purgeTombstoned(spark, st)
-    assert(!spark.read.parquet(st.digestsPath).filter($"doc_id" === victim).isEmpty)
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty)
+    val remaining = spark.read.parquet(st.digestsPath)
+      .filter($"doc_id" === victim).select("text_hash")
+      .as[String].collect().toSeq
+    assert(remaining.length == 1,
+      s"purge must keep exactly the corrected row, got ${remaining.length}")
     assert(CurationPipeline.runBatch(spark, replay, st, appendState = false).isEmpty)
+    assert(CurationPipeline.runBatch(spark, originalReplay, st, appendState = false)
+      .select("doc_id").as[Long].collect().toSet == Set(victim + 500000L))
   }
 
   test("tokenizer state: frozen merge table encodes batches without retraining") {
@@ -324,21 +343,30 @@ class CurationPipelineSpec extends SparkSpec {
     assert(rebuilt.nonEmpty && !rebuilt.map(_._2).contains(42L))
   }
 
-  test("ANN re-accept: appending a vector under a retracted id clears its tombstone") {
+  test("ANN re-accept: a vector appended under a retracted id is live by epoch ordering") {
     val dir = Files.createTempDirectory("ann-reaccept").toString
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select("vec_id", "embedding")
     val st = CurationPipeline.initAnn(spark, dir,
       emb.filter($"vec_id" =!= 42L), nCells = 8, refine = 1)
     // retract an id that is not in the index yet, then append it — the
-    // corrected-upload shape
+    // corrected-upload shape. The tombstone is NOT cleared (clearing
+    // would resurrect any pre-retraction rows); the fresh append's
+    // later epoch makes it live
     assert(CurationPipeline.retractAnn(spark, st, Seq(42L).toDF("vec_id")) == 1L)
     CurationPipeline.runAnnBatch(spark, emb.filter($"vec_id" === 42L), st)
-    assert(spark.read.parquet(st.tombstonesPath).filter($"vec_id" === 42L).isEmpty,
-      "re-appending an id must clear its tombstone")
     val q = emb.filter($"vec_id" === 42L).select(lit(9999L).as("qid"), $"embedding")
     val hits = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
       .as[(Long, Long, Double)].collect()
     assert(hits.map(_._2).contains(42L), "the re-accepted vector must be probeable")
+    // re-index (the amortized physical deletion) keeps the live vector
+    // and clears the consumed tombstone
+    CurationPipeline.reindexAnn(spark, dir, st, nCells = 8, refine = 1)
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty)
+    assert(!spark.read.parquet(st.cellsPath).filter($"vec_id" === 42L).isEmpty,
+      "re-index must keep the re-accepted vector")
+    val after = CurationPipeline.probeAnn(spark, st, q, k = 5, nProbe = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(after.map(_._2).contains(42L))
   }
 }

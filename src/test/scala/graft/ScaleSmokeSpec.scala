@@ -563,10 +563,15 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(Compaction.dataFiles(spark, st.indexPath) == indexFiles,
       "retract must not touch the index table")
 
-    // the mask read shape is a BROADCAST anti-join: the corpus-sized
-    // state never shuffles for the takedown-sized tombstone side
-    val masked = spark.read.parquet(st.digestsPath)
-      .join(spark.read.parquet(st.tombstonesPath), Seq("doc_id"), "left_anti")
+    // the mask read shape is a BROADCAST anti-join (epoch-conditioned
+    // since r8): the corpus-sized state never shuffles for the
+    // takedown-sized tombstone side
+    val digests = spark.read.parquet(st.digestsPath)
+    val tombs = spark.read.parquet(st.tombstonesPath)
+      .select(col("doc_id").as("__t_id"), col("epoch").as("__t_epoch"))
+    val masked = digests.join(tombs,
+      digests("doc_id") === col("__t_id") && digests("epoch") <= col("__t_epoch"),
+      "left_anti")
     val plan = masked.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"tombstone mask must be a broadcast anti-join, got:\n$plan")

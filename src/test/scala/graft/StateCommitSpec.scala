@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The cross-process commit protocol's contract (VERDICT r7 #3): two
+  * writer processes — modeled as two SparkSessions driving the same
+  * state dir through nothing but the file-based protocol (no shared JVM
+  * lock exists to lean on) — may interleave appends and retractions
+  * with no lost update, and a crash at ANY point of a commit converges
+  * on recovery.
+  */
+class StateCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("two writer sessions interleave batches and retractions: nothing lost") {
+    val dir = Files.createTempDirectory("statecommit-2writers").toString
+    val st = CurationPipeline.init(spark, dir)
+    val sA = spark.newSession()
+    val sB = spark.newSession()
+    val batchA = docs.filter(col("doc_id") < 120)
+    val batchB = docs.filter(col("doc_id") >= 120 && col("doc_id") < 250)
+
+    // phase 1: concurrent ingest from both sessions
+    @volatile var accA: Set[Long] = null
+    @volatile var accB: Set[Long] = null
+    val t1 = new Thread(() => {
+      accA = CurationPipeline.runBatch(sA, batchA, st)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+    })
+    val t2 = new Thread(() => {
+      accB = CurationPipeline.runBatch(sB, batchB, st)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+    })
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(accA != null && accB != null, "both writers must complete")
+    assert(accA.nonEmpty && accB.nonEmpty)
+    // no lost append: the digest table holds EXACTLY the union of what
+    // the two commits reported accepting (each computed against the
+    // state version it committed on)
+    spark.catalog.refreshByPath(st.digestsPath)
+    val digestIds = spark.read.parquet(st.digestsPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(digestIds == (accA ++ accB),
+      s"digests must hold both writers' appends: missing " +
+        s"${(accA ++ accB) -- digestIds}, extra ${digestIds -- (accA ++ accB)}")
+
+    // phase 2: concurrent retractions of DISJOINT slices from each session
+    val ra = accA.toSeq.sorted.take(5)
+    val rb = accB.toSeq.sorted.take(5)
+    @volatile var nA = -1L
+    @volatile var nB = -1L
+    val t3 = new Thread(() => {
+      nA = CurationPipeline.retract(sA, st, ra.toDF("doc_id"))
+    })
+    val t4 = new Thread(() => {
+      nB = CurationPipeline.retract(sB, st, rb.toDF("doc_id"))
+    })
+    t3.start(); t4.start(); t3.join(60000); t4.join(60000)
+    assert(nA == 5L && nB == 5L, s"both retractions must count fully: $nA, $nB")
+    spark.catalog.refreshByPath(st.tombstonesPath)
+    val tombIds = spark.read.parquet(st.tombstonesPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tombIds == (ra ++ rb).toSet,
+      s"no retraction may be lost: missing ${(ra ++ rb).toSet -- tombIds}")
+    // the serialized history: init(0) + 2 batch commits + 2 retract commits
+    assert(StateCommit.version(spark, dir) == 4L)
+  }
+
+  test("conflict loser re-prepares against the winner's state and commits next") {
+    val dir = Files.createTempDirectory("statecommit-conflict").toString
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    StateCommit.initDir(spark, dir)
+    val staged = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    @volatile var attempts = 0
+    @volatile var committedAt = -1L
+    val slow = new Thread(() => {
+      committedAt = StateCommit.commit(spark, dir) { (_, epoch) =>
+        attempts += 1
+        if (attempts == 1) { staged.countDown(); proceed.await() }
+        Some(Seq.empty)
+      }
+    })
+    slow.start()
+    staged.await()
+    // the fast writer wins version 1 while the slow one is mid-prepare
+    assert(StateCommit.commit(spark, dir)((_, _) => Some(Seq.empty)) == 1L)
+    proceed.countDown()
+    slow.join(30000)
+    assert(attempts == 2, s"loser must re-run prepare, ran $attempts")
+    assert(committedAt == 2L, s"loser must land on the next version, got $committedAt")
+    assert(StateCommit.version(spark, dir) == 2L)
+  }
+
+  test("crash after the claim, before the apply: recovery completes the commit") {
+    val dir = Files.createTempDirectory("statecommit-crash").toString
+    val st = CurationPipeline.init(spark, dir)
+    val acc = CurationPipeline.runBatch(spark, docs.filter(col("doc_id") < 150), st)
+      .select("doc_id").as[Long].collect().toSet
+    val victim = acc.min
+
+    // a writer stages a retraction, wins the claim for v=2, then "dies"
+    // before applying — the staged file is invisible, but the commit is
+    // durable (the record was complete before the claim link existed)
+    val txn = "crashed-txn-fixture"
+    Seq((victim, 2L)).toDF("doc_id", "epoch").coalesce(1)
+      .write.parquet(StateCommit.stagePath(dir, txn, "tombstones"))
+    val rec = StateCommit.Record(txn, Seq(StateCommit.Op("publish", "tombstones")))
+    assert(StateCommit.tryClaim(dir, 2L, rec))
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty,
+      "staged-but-unapplied data must be invisible to readers")
+
+    // the next writer recovers the orphan commit before its own work
+    val other = (acc - victim).min
+    assert(CurationPipeline.retract(spark, st, Seq(other).toDF("doc_id")) == 1L)
+    val tombIds = spark.read.parquet(st.tombstonesPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tombIds == Set(victim, other),
+      "recovery must complete the crashed commit AND run the new one")
+    assert(StateCommit.version(spark, dir) == 3L)
+    // and the recovered retraction is semantically in force: an exact
+    // replay of the victim under a fresh id is re-admitted
+    val replay = docs.filter(col("doc_id") === victim)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    assert(CurationPipeline.runBatch(spark, replay, st, appendState = false)
+      .select("doc_id").as[Long].collect().toSet == Set(victim + 700000L))
+  }
+
+  test("crash mid-apply of a multi-swap commit: direct recover() converges") {
+    val dir = Files.createTempDirectory("statecommit-swapcrash").toString
+    val st = CurationPipeline.init(spark, dir)
+    CurationPipeline.runBatch(spark, docs.filter(col("doc_id") < 100), st)
+    val before = spark.read.parquet(st.digestsPath)
+      .select("doc_id", "text_hash").collect().toSet
+
+    // stage a compaction-shaped rewrite of digests, claim, don't apply
+    val txn = "crashed-swap-fixture"
+    spark.read.parquet(st.digestsPath).coalesce(1)
+      .write.parquet(StateCommit.stagePath(dir, txn, "digests"))
+    assert(StateCommit.tryClaim(dir, 2L,
+      StateCommit.Record(txn, Seq(StateCommit.Op("swap", "digests")))))
+
+    StateCommit.recover(spark, dir)
+    spark.catalog.refreshByPath(st.digestsPath)
+    assert(spark.read.parquet(st.digestsPath)
+      .select("doc_id", "text_hash").collect().toSet == before,
+      "the swap must land with identical content")
+    assert(graft.pipeline.Compaction.dataFiles(spark, st.digestsPath) == 1,
+      "the rewrite (1 coalesced file) must have replaced the original")
+    // recovery is idempotent
+    StateCommit.recover(spark, dir)
+    assert(spark.read.parquet(st.digestsPath)
+      .select("doc_id", "text_hash").collect().toSet == before)
+  }
+
+  test("pre-versioning state dirs fail fast with migration guidance; migrate upgrades in place") {
+    val dir = Files.createTempDirectory("statecommit-migrate").toString
+    // fabricate the round-7 layout: doc_id-keyed tables, no epoch, no log
+    Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text_hash")
+      .write.parquet(s"$dir/digests")
+    Seq((1L, 0, "h0"), (2L, 1, "h1")).toDF("doc_id", "band_idx", "band_hash")
+      .write.parquet(s"$dir/index")
+    Seq(1L).toDF("doc_id").write.parquet(s"$dir/tombstones")
+    val st = CurationPipeline.State(dir)
+    val e = intercept[RuntimeException] {
+      CurationPipeline.retract(spark, st, Seq(2L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("migrate"), s"unhelpful error: ${e.getMessage}")
+
+    val migrated = CurationPipeline.migrate(spark, dir)
+    assert(StateCommit.version(spark, dir) == 0L)
+    // epoch 0 everywhere: the old tombstone keeps masking the old rows
+    assert(spark.read.parquet(migrated.digestsPath).columns.contains("epoch"))
+    assert(spark.read.parquet(migrated.tombstonesPath)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet == Set((1L, 0L)))
+    // migrated state is writable: a retraction commits normally
+    assert(CurationPipeline.retract(spark, migrated, Seq(2L).toDF("doc_id")) == 1L)
+    assert(StateCommit.version(spark, dir) == 1L)
+    // migrate is idempotent on an already-versioned dir
+    CurationPipeline.migrate(spark, dir)
+    assert(StateCommit.version(spark, dir) == 1L)
+  }
+
+  test("vacuumStaged sweeps orphaned staging, never a referenced record's") {
+    val dir = Files.createTempDirectory("statecommit-vacuum").toString
+    StateCommit.initDir(spark, dir)
+    Seq((1L, 1L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "orphan-txn", "t"))
+    assert(StateCommit.vacuumStaged(spark, dir, olderThanMs = 0L) == 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staged/orphan-txn")))
+  }
+}
