@@ -17,6 +17,13 @@ memory: full-registry runs inflate small queries); only CONFIRMED
 regressions fail the guard. Set BENCH_GUARD_NO_RERUN=1 to skip the
 re-measure pass (pure comparison mode).
 
+Every run writes the per-query verdicts to BENCH_ADJUDICATION.json
+(override with BENCH_ADJUDICATION_OUT) so the adjudication is a
+COMMITTED artifact, not transient guard output (VERDICT r7 #2): for
+each flagged query — its baseline median, the in-run time, the
+isolated re-measure median, and the RECOVERED/CONFIRMED/UNADJUDICATED
+verdict, plus the load average at adjudication time.
+
 Usage:
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
         sbt -batch "runMain graft.Bench /tmp/bench_new.json"
@@ -28,6 +35,7 @@ import re
 import statistics
 import subprocess
 import sys
+import time
 
 THRESHOLD = 2.0   # max allowed per-query slowdown vs baseline median
 FLOOR_SEC = 0.3   # ignore regressions that stay under this absolute time
@@ -85,6 +93,7 @@ def main() -> int:
     # growth, compilation cache) and the machine may be loaded — both
     # inflate sub-second queries without any plan change.
     confirmed = []
+    rows = []
     if flagged and not os.environ.get("BENCH_GUARD_NO_RERUN"):
         names = [q for q, _, _ in flagged]
         print(f"flagged {len(names)} query/queries, re-measuring isolated: "
@@ -96,17 +105,26 @@ def main() -> int:
                 print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
                       "(isolated re-measure produced no result)")
                 confirmed.append((q, t_base, t_new))
+                verdict = "CONFIRMED"
             elif t_iso > THRESHOLD * t_base and t_iso > FLOOR_SEC:
                 print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
                       f"(isolated median {t_iso:.2f}s still over)")
                 confirmed.append((q, t_base, t_iso))
+                verdict = "CONFIRMED"
             else:
                 print(f"RECOVERED  {q}: {t_base:.2f}s -> {t_new:.2f}s in the "
                       f"full run, isolated median {t_iso:.2f}s — noise")
+                verdict = "RECOVERED"
+            rows.append({"query": q, "baseline_sec": t_base,
+                         "in_run_sec": t_new, "isolated_median_sec": t_iso,
+                         "verdict": verdict})
     else:
         confirmed = flagged
         for q, t_base, t_new in flagged:
             print(f"REGRESSED  {q}: {t_base:.2f}s -> {t_new:.2f}s")
+            rows.append({"query": q, "baseline_sec": t_base,
+                         "in_run_sec": t_new, "isolated_median_sec": None,
+                         "verdict": "UNADJUDICATED"})
 
     for q in failed_queries:
         print(f"FAILED  {q}")
@@ -116,7 +134,27 @@ def main() -> int:
     print(f"total: baseline {tot_base:.1f}s -> new {tot_new:.1f}s "
           f"({tot_new / tot_base:.2f}x), {len(base_q)} guarded, {len(added)} new")
 
-    if failed_queries or confirmed or missing:
+    ok = not (failed_queries or confirmed or missing)
+    adj_out = os.environ.get("BENCH_ADJUDICATION_OUT", "BENCH_ADJUDICATION.json")
+    with open(adj_out, "w") as f:
+        json.dump({
+            "artifact": new_path,
+            "baseline": base_path,
+            "threshold": THRESHOLD,
+            "floor_sec": FLOOR_SEC,
+            "adjudicated_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "load_avg_at_adjudication": os.getloadavg()[0],
+            "total_new_sec": tot_new,
+            "total_baseline_sec": tot_base,
+            "flagged": rows,
+            "failed": failed_queries,
+            "missing": missing,
+            "new_unguarded": added,
+            "guard": "PASS" if ok else "FAIL",
+        }, f, indent=2)
+    print(f"adjudication written to {adj_out} ({len(rows)} flagged row(s))")
+
+    if not ok:
         print(f"GUARD FAIL: {len(confirmed)} confirmed regression(s), "
               f"{len(missing)} missing, {len(failed_queries)} failed query/queries")
         return 1
