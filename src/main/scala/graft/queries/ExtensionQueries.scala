@@ -669,6 +669,59 @@ object ExtensionQueries {
               |  AND b.doc_id % 6 <> 0""".stripMargin),
     ),
 
+    // The STREAMING form of the retraction mask, as an oracle-checked
+    // registry row (not just a spec): the odd-id docs ARRIVE as a
+    // bounded file-source stream in single-file micro-batches, each
+    // batch banded and equi-joined against the PERSISTED index of the
+    // even-id history masked by its tombstones
+    // ([[graft.streaming.StreamingIngest.nearDupCandidatesStream]] —
+    // the always-on run of CurationPipeline's read contract: a takedown
+    // takes effect on the next micro-batch, no restart, no rebuild).
+    // The pair set is independent of the batching (each doc arrives
+    // once; the stream–static join is stateless per row), so the
+    // DuckDB oracle replays the mask as plain SQL — identical to the
+    // batch twin above.
+    QueryDef(
+      "dedup_retract_stream",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tomb = docs.filter(col("doc_id") % 6 === 0).select("doc_id")
+        val masked = Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0))
+          .join(tomb, Seq("doc_id"), "left_anti")
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("retract-stream-src").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("retract-stream-ckpt").toString
+        // 4 files → 4 micro-batches under maxFilesPerTrigger=1: the
+        // arrival order genuinely exercises multi-batch execution
+        val staged = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            lit("2024-01-01 00:00:00").cast("timestamp").as("ts"), col("text"))
+        staged.repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(srcDir)
+        val stream = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val sink = "retract_stream_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingIngest
+          .nearDupCandidatesStream(stream, masked)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink).select(col("new_doc"), col("old_doc"))
+      },
+      Some(s"""WITH $shingleSqlCte,
+              |${minhashBandedCte()}
+              |SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+              |FROM banded a JOIN banded b
+              |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+              |  AND b.doc_id % 6 <> 0""".stripMargin),
+    ),
+
     // SimHash signatures — xxhash64-based, so the raw 64-bit values are
     // not externally reproducible; the query instead emits per-document
     // invariants the oracle asserts TRUE (derived-invariant pattern):
