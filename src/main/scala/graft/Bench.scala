@@ -76,6 +76,21 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> median
     }
+    // text_bpe_encode_incremental's warm-up pays the one-time tokenizer
+    // training, so its per-rep median above is MEMO-WARM (the operator's
+    // steady state: encode against a frozen table). The memo-COLD cost —
+    // train + encode, what the first batch of a fresh deployment pays —
+    // is a real number too; record it under its own key so sf-to-sf
+    // ratios compare like with like instead of wearing a footnote.
+    val bpeCold = {
+      graft.queries.ExtensionQueries.clearBpeIncrementalMemo()
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(SparkEntry.queries("text_bpe_encode_incremental")(spark, sfDir)); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val resultsAll = results :+ ("text_bpe_encode_incremental_cold" -> bpeCold)
     // Streaming datapoint: the curated-doc stream (quality filter +
     // watermark-bounded exact dedup) driven through a MemoryStream of the
     // sf documents, timed end-to-end per micro-batch drain. Reported
@@ -121,19 +136,21 @@ object Bench {
         Map("curated_doc_stream_sec" -> -1.0)
       }
     val loadEnd = loadAvg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = resultsAll.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = resultsAll.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val streaming = streamingSec.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the memo-cold datapoint stays out of `total`: it re-times work the
+    // registry loop already counted, and totals must compare across rounds
     val total = results.map(_._2).filter(_ >= 0).sum
     // A run with failed queries OR a failed streaming datapoint must not
     // look green to automation: record the nonzero rc INSIDE the
     // artifact and exit with it (a "total" that silently excludes failed
     // queries otherwise reads as a speedup).
     val rc =
-      if (results.exists(_._2 < 0) ||
+      if (resultsAll.exists(_._2 < 0) ||
         streamingSec.get("curated_doc_stream_sec").exists(_ < 0)) 1 else 0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"rc":$rc,"sf":"$sfDir","reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"streaming":$streaming}"""

@@ -70,10 +70,25 @@ object ScaleBench {
       val t = if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
       name -> t
     }
+    // Memo-cold/warm split for the incremental BPE encode, matching
+    // [[Bench]]: under reps ≥ 2 the median above is memo-WARM (rep 1
+    // pays the one-time training, later reps encode against the frozen
+    // table); the explicit cold key is train + encode. The committed
+    // sf0.1/sf1 ratio then compares warm-to-warm and cold-to-cold
+    // instead of warm-to-cold with a footnote (VERDICT r7 #8).
+    val bpeCold = {
+      graft.queries.ExtensionQueries.clearBpeIncrementalMemo()
+      val t0 = System.nanoTime()
+      val ok =
+        try { run(SparkEntry.queries("text_bpe_encode_incremental")(spark, work)); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val resultsAll = results :+ ("text_bpe_encode_incremental_cold" -> bpeCold)
     val loadEnd = loadAvg()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = resultsAll.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = resultsAll.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total_sf1","value":$total,"unit":"sec",""" +

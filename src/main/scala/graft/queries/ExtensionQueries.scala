@@ -26,6 +26,12 @@ object ExtensionQueries {
   private[queries] val bpeIncrementalMergesCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
+  /** Drop the merge-table memo — the bench hook that makes the
+    * memo-COLD cost (train + encode) a separately keyed measurement
+    * instead of a footnote on the warm ratio (VERDICT r7 #8).
+    */
+  def clearBpeIncrementalMemo(): Unit = bpeIncrementalMergesCache.clear()
+
   /** Cache key binding a memo to the current on-disk fixture content:
     * path + last-modified + total length (recursive for a parquet
     * directory). Collision requires a same-size regeneration within the
