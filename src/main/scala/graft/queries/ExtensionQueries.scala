@@ -1681,6 +1681,104 @@ object ExtensionQueries {
         6, "doc_id < 250", "doc_id >= 250")),
     ),
 
+    // BPE at a PRODUCTION merge count (k = 256; the k = 6 twins above
+    // keep the exact unrolled oracle). An unrolled 256-round SQL CTE is
+    // not a scalable oracle, so this row carries derived invariants —
+    // each a theorem of correct greedy BPE training, each violated by
+    // real trainer bugs:
+    //   - constructible: every merge's left/right token is a single
+    //     character or the product of an EARLIER round (a merge table
+    //     referencing tokens that never existed is corrupt);
+    //   - n_monotone: the argmax pair count never increases across
+    //     rounds (merging the max-count pair can only create pairs
+    //     bounded by its count — a count that rises means the recount
+    //     or the delta maintenance is wrong);
+    //   - prefix_matches_k6: greedy training is deterministic, so
+    //     rounds 1..6 must equal the independently trained k = 6 table
+    //     — which text_bpe_merges pins EXACTLY against DuckDB's
+    //     unrolled trainer. Transitively the 256-table's prefix is
+    //     oracle-validated; the invariants extend the chain to 256.
+    QueryDef(
+      "text_bpe_merges_k256",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val m256 = TextAnalytics.trainBpeMerges(docs, k = 256)
+          .as[(Int, String, String, Long)].collect().sortBy(_._1)
+        val m6 = TextAnalytics.trainBpeMerges(docs, k = 6)
+          .as[(Int, String, String, Long)].collect().sortBy(_._1)
+        val known = scala.collection.mutable.HashSet.empty[String]
+        var constructible = true
+        var monotone = true
+        for (((_, a, b, n), i) <- m256.zipWithIndex) {
+          constructible &&= (a.length == 1 || known(a)) &&
+            (b.length == 1 || known(b))
+          known += a + b
+          monotone &&= i == 0 || n <= m256(i - 1)._4
+        }
+        val prefix = m256.take(6).map(m => (m._2, m._3, m._4)).toSeq ==
+          m6.map(m => (m._2, m._3, m._4)).toSeq
+        val rounds = m256.map(_._1).toSeq == (1 to m256.length)
+        // training may legally stop before k — but ONLY with the
+        // vocabulary fully merged (every distinct word one symbol);
+        // stopping early with pairs left is a trainer bug
+        val exhaustedOk = m256.length == 256 || {
+          val pairs = m256.map(m => (m._2, m._3)).toSeq
+          docs.select(explode(TextAnalytics.bpeishTokens(col("text"))).as("word"))
+            .distinct().as[String]
+            .map { w =>
+              pairs.foldLeft(w.map(_.toString): Seq[String]) {
+                case (s0, (a, b)) => TextAnalytics.applyMergePublic(s0, a, b)
+              }.length.toLong
+            }.toDF("n").agg(max(col("n"))).as[Long].head() == 1L
+        }
+        Seq((256, rounds, constructible, monotone, prefix, exhaustedOk))
+          .toDF("k_requested", "rounds_contiguous", "constructible",
+            "n_monotone", "prefix_matches_k6", "early_stop_means_exhausted")
+      },
+      Some("""SELECT 256 AS k_requested, TRUE AS rounds_contiguous,
+             |  TRUE AS constructible, TRUE AS n_monotone,
+             |  TRUE AS prefix_matches_k6, TRUE AS early_stop_means_exhausted""".stripMargin),
+    ),
+
+    // ENCODE with the 256-merge tokenizer: per-document counts where
+    // the k = 6 segmentation is EXACT against the unrolled oracle and
+    // the k = 256 side rides two invariants — more merges can only
+    // shorten or preserve every word's segmentation (the k6 table IS
+    // the 256-table's prefix), and sub-tokens must concatenate back to
+    // the word byte-for-byte (a tokenizer that alters text is corrupt).
+    // Same vocabulary-bounded shape as text_bpe_encode: segmentation
+    // folds over DISTINCT words and joins back to the word stream.
+    QueryDef(
+      "text_bpe_encode_k256",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val m256 = TextAnalytics.trainedBpeMerges(docs, k = 256)
+        val m6 = m256.take(6)
+        val words = docs.repartition(col("doc_id"))
+          .select(col("doc_id"),
+            explode(TextAnalytics.bpeishTokens(col("text"))).as("word"))
+        val seg = words.select(col("word")).distinct().as[String]
+          .map { w =>
+            val syms: Seq[String] = w.map(_.toString)
+            val s6 = m6.foldLeft(syms) { case (s0, (a, b)) =>
+              TextAnalytics.applyMergePublic(s0, a, b) }
+            val s256 = m256.foldLeft(syms) { case (s0, (a, b)) =>
+              TextAnalytics.applyMergePublic(s0, a, b) }
+            (w, s6.length.toLong, s256.length.toLong, s256.mkString == w)
+          }
+          .toDF("word", "__n6", "__n256", "__rt")
+        words.join(seg, "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("__n6")).as("n_bpe_tokens"),
+            expr("bool_and(__n256 <= __n6)").as("k256_not_longer"),
+            expr("bool_and(__rt)").as("roundtrip_ok"))
+      },
+      Some(TextAnalytics.bpeEncodeInvariantOracleSql(6)),
+    ),
+
     // Multimodal decode plumbing (stub codec, real Dataset pipeline).
     QueryDef(
       "multimodal_decode_stub",

@@ -418,6 +418,25 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(tm10 <= 6 * tm1 + 2.0,
       f"vocabulary-bounded training must scale sub-linearly: $tm1%.2fs -> $tm10%.2fs")
 
+    // production merge count: the driver-side trainer must hold the
+    // same theorems at k = 256 — identical merge tables across exact
+    // replication, 10× counts, and sub-linear wall (one corpus scan +
+    // vocabulary-bounded in-memory rounds; r7 verdict item 4)
+    def merges256(d: DataFrame) = TextAnalytics.trainBpeMerges(d, k = 256)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    val (k1, tk1) = timed(merges256(docs1))
+    val (k10, tk10) = timed(merges256(docs10))
+    info(f"bpe merges k=256: ${k1.length} rounds, 1x in $tk1%.2fs, 10x in $tk10%.2fs")
+    // this synthetic corpus exhausts its vocabulary before 256 rounds
+    // (every distinct word fully merged — the registry query proves the
+    // early stop is legal); the depth bound just guards against a
+    // trainer that quits after a handful of rounds
+    assert(k1.length > 50, s"k=256 training must run deep, got ${k1.length} rounds")
+    assert(k10.map(m => (m._1, m._2, m._3)).toSeq == k1.map(m => (m._1, m._2, m._3)).toSeq)
+    assert(k10.map(_._4).toSeq == k1.map(_._4 * 10).toSeq)
+    assert(tk10 <= 6 * tk1 + 2.0,
+      f"k=256 training must stay vocabulary-bounded: $tk1%.2fs -> $tk10%.2fs")
+
     def encode(d: DataFrame) = TextAnalytics.bpeEncodeStats(d, k = 6)
       .as[(Long, Long, Long)].collect()
     val (e1, te1) = timed(encode(docs1))
