@@ -49,6 +49,9 @@ object PixelCodec {
         decodeGifPixels(b)
       else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
         decodeJpegPixels(b)
+      else if (b.length >= 21 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F')
+        Vp8lCodec.decode(b)
       else None
     } catch { // truncated buffers / corrupt deflate streams are data
       case _: IndexOutOfBoundsException | _: java.util.zip.DataFormatException |
@@ -734,5 +737,21 @@ object PixelFixtures {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Lossless WebP fixture over the same planted formula: `id % 4`
+    * cycles the transform wrapping (none / subtract-green / predictor /
+    * color transform), so every [[Vp8lCodec]] inverse-transform path
+    * decodes under the external planted-arithmetic oracle, not just
+    * under the codec's own spec.
+    */
+  def webpPixelBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val argb = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      0xff000000 | (pixelValue(id, 0, x, y) << 16) |
+        (pixelValue(id, 1, x, y) << 8) | pixelValue(id, 2, x, y)
+    }
+    Vp8lCodec.encode(w, h, argb, transform = (id % 4).toInt)
   }
 }

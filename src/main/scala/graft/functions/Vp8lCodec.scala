@@ -1,0 +1,814 @@
+package graft.functions
+
+/** Pure-JVM WebP-lossless (VP8L) pixel codec, implemented from the
+  * public bitstream specification (RFC 9649 / the WebP Lossless
+  * Bitstream Specification). WebP is a major crawl format; stopping at
+  * headers left its pixels undecodable (r7 verdict item 5). No codec
+  * library exists in this runtime, so the decode path is built from
+  * the spec like the JPEG/PNG/GIF/audio codecs before it:
+  *
+  *  - LSB-first bit reader over the VP8L chunk payload;
+  *  - canonical prefix codes: the "simple" 1–2 symbol form and the
+  *    full form (3-bit code-length-code lengths in the spec's order,
+  *    repeat symbols 16/17/18, optional max-symbol early stop);
+  *  - the entropy image: optional meta-prefix image selecting one of
+  *    several 5-code groups per block, green/length/cache alphabet
+  *    (256 + 24 + cache size), LZ77 backward references through the
+  *    120-entry 2D distance-code neighborhood, and the (0x1e35a7bd ·
+  *    ARGB) ≫ (32 − bits) color cache;
+  *  - all four transforms, inverted in reverse read order:
+  *    subtract-green, per-block predictor (14 modes incl. Select and
+  *    the clamped add/subtract pair), per-block color transform
+  *    (signed 3.5 fixed-point channel mixing), and color indexing
+  *    (delta-coded palette, sub-byte index bundling for ≤16 colors).
+  *
+  * Output is top-down row-major RGB — [[PixelCodec.decodePixels]]'s
+  * contract; alpha participates in decoding (cache keys, predictors)
+  * and is dropped at the end. Malformed or truncated payloads return
+  * None (corrupt blobs are DATA, not task failures), and all
+  * allocations are bounded by the declared 14-bit geometry before any
+  * buffer is sized.
+  *
+  * The companion [[Vp8lCodec.encode]] is the planted-pixel FIXTURE
+  * side (like the BMP/PNG/GIF/JPEG writers): literal-only entropy
+  * images whose per-channel codes are complete canonical codes over
+  * the used values padded to a power of two, with optional
+  * subtract-green / predictor / color-transform / palette wrapping so
+  * every inverse-transform path runs under the planted-arithmetic
+  * oracle, not just under fuzz.
+  */
+object Vp8lCodec {
+
+  // ---------------------------------------------------------------- bits
+
+  private final class BitReader(val b: Array[Byte], val limitBits: Long) {
+    var pos: Long = 0L
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= limitBits) throw new IndexOutOfBoundsException("eob")
+        val byteI = (pos >> 3).toInt
+        val bit = ((b(byteI) >> (pos & 7L).toInt) & 1)
+        v |= bit << i
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def read1(): Int = read(1)
+  }
+
+  private[functions] final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nAcc = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        acc |= ((v >> i) & 1) << nAcc
+        nAcc += 1
+        if (nAcc == 8) { buf.write(acc); acc = 0; nAcc = 0 }
+        i += 1
+      }
+    }
+    /** A canonical prefix code is consumed MSB-first by the reader's
+      * tree walk, so it is emitted bit-reversed relative to [[write]].
+      */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { write((code >> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nAcc > 0) { buf.write(acc); acc = 0; nAcc = 0 }
+      buf.toByteArray
+    }
+  }
+
+  // ------------------------------------------------------------- huffman
+
+  /** Prefix-code tree as parallel arrays; `sym >= 0` marks a leaf.
+    * `zeroBit = true` is the degenerate single-symbol code (0 bits per
+    * read).
+    */
+  private final class Huff(val left: Array[Int], val right: Array[Int],
+      val sym: Array[Int], val single: Int) {
+    def read(br: BitReader): Int = {
+      if (single >= 0) return single
+      var n = 0
+      while (sym(n) < 0) {
+        n = if (br.read1() == 0) left(n) else right(n)
+        if (n < 0) throw new IndexOutOfBoundsException("bad code")
+      }
+      sym(n)
+    }
+  }
+
+  /** Canonical construction (DEFLATE convention: codes assigned in
+    * (length, symbol) order; the MSB of the code is the first bit
+    * read). Returns null on an invalid code — over-subscribed OR
+    * incomplete (Kraft sum ≠ 1), matching the reference decoder's
+    * strictness; the simple-code path builds its 1-symbol table
+    * directly and never lands here.
+    */
+  private def buildHuffman(lens: Array[Int]): Huff = {
+    val used = lens.indices.filter(lens(_) > 0)
+    if (used.isEmpty) return null
+    val maxLen = used.map(lens(_)).max
+    if (maxLen > 15) return null
+    if (used.map(s => 1L << (maxLen - lens(s))).sum != (1L << maxLen))
+      return null // incomplete or over-subscribed
+    // canonical next_code
+    val blCount = new Array[Int](maxLen + 1)
+    used.foreach(s => blCount(lens(s)) += 1)
+    val nextCode = new Array[Int](maxLen + 2)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) {
+      code = (code + blCount(l - 1)) << 1
+      nextCode(l) = code
+      l += 1
+    }
+    val cap = 2 * lens.count(_ > 0) + 16
+    val left = Array.fill(cap * 2)(-1)
+    val right = Array.fill(cap * 2)(-1)
+    val sym = Array.fill(cap * 2)(-1)
+    var nodes = 1
+    for (s <- used) {
+      val len = lens(s)
+      val c = nextCode(len)
+      nextCode(len) += 1
+      if ((c >> len) != 0) return null // over-subscribed
+      var n = 0
+      var i = len - 1
+      while (i >= 0) {
+        if (sym(n) >= 0) return null // prefix violation
+        val bit = (c >> i) & 1
+        val next = if (bit == 0) left(n) else right(n)
+        val child =
+          if (next >= 0) next
+          else {
+            val nn = nodes
+            nodes += 1
+            if (nn >= sym.length) return null
+            if (bit == 0) left(n) = nn else right(n) = nn
+            nn
+          }
+        n = child
+        i -= 1
+      }
+      if (left(n) >= 0 || right(n) >= 0) return null
+      sym(n) = s
+    }
+    new Huff(left, right, sym, -1)
+  }
+
+  private[functions] val kCodeLengthOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  private def readHuffmanCode(alphabetSize: Int, br: BitReader): Huff = {
+    if (br.read1() == 1) { // simple code: 1 or 2 symbols
+      val numSymbols = br.read1() + 1
+      val first8 = br.read1()
+      val s0 = br.read(if (first8 == 1) 8 else 1)
+      if (numSymbols == 1) {
+        if (s0 >= alphabetSize) throw new IndexOutOfBoundsException("sym")
+        new Huff(Array.empty, Array.empty, Array.empty, s0)
+      } else {
+        val s1 = br.read(8)
+        if (s0 >= alphabetSize || s1 >= alphabetSize)
+          throw new IndexOutOfBoundsException("sym")
+        val lens = new Array[Int](alphabetSize)
+        lens(s0) = 1
+        lens(s1) = 1
+        val h = buildHuffman(lens)
+        if (h == null) throw new IndexOutOfBoundsException("simple code")
+        h
+      }
+    } else {
+      val numCodes = br.read(4) + 4
+      if (numCodes > kCodeLengthOrder.length)
+        throw new IndexOutOfBoundsException("clc count")
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCodes) {
+        clLens(kCodeLengthOrder(i)) = br.read(3)
+        i += 1
+      }
+      val clTree = buildHuffman(clLens)
+      if (clTree == null) throw new IndexOutOfBoundsException("clc")
+      var maxSymbol = alphabetSize
+      if (br.read1() == 1) {
+        val nBits = 2 + 2 * br.read(3)
+        maxSymbol = 2 + br.read(nBits)
+      }
+      val lens = new Array[Int](alphabetSize)
+      var sym = 0
+      var prev = 8
+      var stop = false
+      while (sym < alphabetSize && !stop) {
+        if (maxSymbol <= 0) stop = true
+        else {
+          maxSymbol -= 1
+          val cl = clTree.read(br)
+          if (cl < 16) {
+            lens(sym) = cl
+            sym += 1
+            if (cl != 0) prev = cl
+          } else {
+            val (repeatVal, n) = cl match {
+              case 16 => (prev, 3 + br.read(2))
+              case 17 => (0, 3 + br.read(3))
+              case 18 => (0, 11 + br.read(7))
+              case _  => throw new IndexOutOfBoundsException("cl")
+            }
+            var r = 0
+            while (r < n && sym < alphabetSize) {
+              lens(sym) = repeatVal
+              sym += 1
+              r += 1
+            }
+          }
+        }
+      }
+      val h = buildHuffman(lens)
+      if (h == null) throw new IndexOutOfBoundsException("lengths")
+      h
+    }
+  }
+
+  // ------------------------------------------------------------ distance
+
+  /** The 120-code 2D distance neighborhood: (dx, dy) with dy 0..7 and
+    * dx −7..8 (dx ≥ 1 when dy = 0), ordered by squared distance, then
+    * larger dy, then larger dx — asserted below against the spec
+    * table's published prefix.
+    */
+  private[functions] val kDistanceMap: Array[(Int, Int)] = {
+    val all = for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if dy > 0 || dx > 0
+    } yield (dx, dy)
+    val sorted = all.sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }
+      .take(120).toArray
+    val prefix = Array((0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+      (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3))
+    require(sorted.take(16).sameElements(prefix),
+      "distance map disagrees with the spec table prefix")
+    sorted
+  }
+
+  private def planeCodeToDistance(code: Int, xsize: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = kDistanceMap(code - 1)
+      math.max(1, dy * xsize + dx)
+    }
+
+  private def prefixValue(code: Int, br: BitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.read(extra) + 1
+    }
+
+  // ----------------------------------------------------------- transforms
+
+  private sealed trait Transform
+  private case object SubtractGreen extends Transform
+  private final case class Predictor(bits: Int, img: Array[Int], pw: Int)
+      extends Transform
+  private final case class ColorTx(bits: Int, img: Array[Int], pw: Int)
+      extends Transform
+  private final case class Palette(colors: Array[Int], origW: Int)
+      extends Transform
+
+  private def subSize(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+
+  // --------------------------------------------------------------- decode
+
+  /** Decode a whole WebP container (RIFF → VP8L chunk). */
+  def decode(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (b.length < 21 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+      return None
+    // walk chunks for VP8L (usually the first)
+    var p = 12
+    while (p + 8 <= b.length) {
+      val tag = new String(b, p, 4, "US-ASCII")
+      val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+        ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > b.length) return None
+      if (tag == "VP8L") return decodeVp8l(b, p + 8, size)
+      p += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  private def decodeVp8l(b: Array[Byte], off: Int,
+      size: Int): Option[(String, Int, Int, Array[Byte])] =
+    try {
+      val br = new BitReader(b, (off.toLong + size) * 8)
+      br.pos = off.toLong * 8
+      if (br.read(8) != 0x2f) return None
+      val w = br.read(14) + 1
+      val h = br.read(14) + 1
+      br.read1() // alpha hint
+      if (br.read(3) != 0) return None // version must be 0
+      val argb = decodeImageStream(br, w, h, level0 = true)
+      if (argb == null) return None
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        rgb(i * 3) = ((argb(i) >> 16) & 0xff).toByte
+        rgb(i * 3 + 1) = ((argb(i) >> 8) & 0xff).toByte
+        rgb(i * 3 + 2) = (argb(i) & 0xff).toByte
+        i += 1
+      }
+      Some(("webp", w, h, rgb))
+    } catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: ArithmeticException => None
+    }
+
+  /** One entropy-coded image stream (the main image at level 0 — with
+    * transforms and the optional meta-prefix image — or a transform's
+    * sub-image). Returns ARGB pixels, or null for malformed input.
+    */
+  private def decodeImageStream(br: BitReader, wOrig: Int, hOrig: Int,
+      level0: Boolean): Array[Int] = {
+    var w = wOrig
+    val h = hOrig
+    var transforms = List.empty[Transform]
+    if (level0) {
+      var seen = Set.empty[Int]
+      while (br.read1() == 1) {
+        val t = br.read(2)
+        if (seen(t)) return null // each transform at most once
+        seen += t
+        t match {
+          case 2 => transforms ::= SubtractGreen
+          case 0 =>
+            val bits = br.read(3) + 2
+            val pw = subSize(w, bits)
+            val img = decodeImageStream(br, pw, subSize(h, bits), level0 = false)
+            if (img == null) return null
+            transforms ::= Predictor(bits, img, pw)
+          case 1 =>
+            val bits = br.read(3) + 2
+            val pw = subSize(w, bits)
+            val img = decodeImageStream(br, pw, subSize(h, bits), level0 = false)
+            if (img == null) return null
+            transforms ::= ColorTx(bits, img, pw)
+          case 3 =>
+            val n = br.read(8) + 1
+            val pal = decodeImageStream(br, n, 1, level0 = false)
+            if (pal == null) return null
+            var i = 1
+            while (i < n) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
+            transforms ::= Palette(pal, w)
+            val xb = paletteBundleBits(n)
+            w = subSize(w, xb)
+        }
+      }
+      // combining sub-byte palette bundling with a spatial transform is
+      // not a shape real encoders emit; bound the implementation there
+      if (transforms.exists(_.isInstanceOf[Palette]) &&
+        transforms.exists(t => t.isInstanceOf[Predictor] || t.isInstanceOf[ColorTx]))
+        return null
+    }
+    val cacheBits = if (br.read1() == 1) br.read(4) else 0
+    if (cacheBits > 11) return null
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+
+    var metaBits = 0
+    var metaImg: Array[Int] = null
+    var metaW = 0
+    if (level0 && br.read1() == 1) {
+      metaBits = br.read(3) + 2
+      metaW = subSize(w, metaBits)
+      metaImg = decodeImageStream(br, metaW, subSize(h, metaBits), level0 = false)
+      if (metaImg == null) return null
+    }
+    val numGroups =
+      if (metaImg == null) 1
+      else metaImg.map(p => (p >> 8) & 0xffff).max + 1
+    if (numGroups > 1024) return null
+
+    val greens = new Array[Huff](numGroups)
+    val reds = new Array[Huff](numGroups)
+    val blues = new Array[Huff](numGroups)
+    val alphas = new Array[Huff](numGroups)
+    val dists = new Array[Huff](numGroups)
+    var g = 0
+    while (g < numGroups) {
+      greens(g) = readHuffmanCode(256 + 24 + cacheSize, br)
+      reds(g) = readHuffmanCode(256, br)
+      blues(g) = readHuffmanCode(256, br)
+      alphas(g) = readHuffmanCode(256, br)
+      dists(g) = readHuffmanCode(40, br)
+      g += 1
+    }
+
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return null
+    val out = new Array[Int](w * h)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    def cacheInsert(px: Int): Unit =
+      if (cache != null)
+        cache((0x1e35a7bd * px) >>> (32 - cacheBits)) = px
+    var i = 0
+    while (i < w * h) {
+      val x = i % w
+      val y = i / w
+      val gi =
+        if (metaImg == null) 0
+        else (metaImg((y >> metaBits) * metaW + (x >> metaBits)) >> 8) & 0xffff
+      val s = greens(gi).read(br)
+      if (s < 256) {
+        val r = reds(gi).read(br)
+        val bl = blues(gi).read(br)
+        val a = alphas(gi).read(br)
+        val px = (a << 24) | (r << 16) | (s << 8) | bl
+        out(i) = px
+        cacheInsert(px)
+        i += 1
+      } else if (s < 256 + 24) {
+        val len = prefixValue(s - 256, br)
+        val distCode = prefixValue(dists(gi).read(br), br)
+        val dist = planeCodeToDistance(distCode, w)
+        if (dist > i || i + len > w * h) return null
+        var k = 0
+        while (k < len) {
+          out(i) = out(i - dist)
+          cacheInsert(out(i))
+          i += 1
+          k += 1
+        }
+      } else {
+        if (cache == null || s - 256 - 24 >= cacheSize) return null
+        out(i) = cache(s - 256 - 24)
+        i += 1
+      }
+    }
+
+    // inverse transforms in reverse read order (transforms holds them
+    // most-recently-read first, so walking the list IS reverse order)
+    var img = out
+    var curW = w
+    for (t <- transforms) t match {
+      case SubtractGreen =>
+        var j = 0
+        while (j < img.length) {
+          val px = img(j)
+          val green = (px >> 8) & 0xff
+          val r = ((px >> 16) + green) & 0xff
+          val bl = (px + green) & 0xff
+          img(j) = (px & 0xff00ff00) | (r << 16) | bl
+          j += 1
+        }
+      case Predictor(bits, pimg, pw) =>
+        img = inversePredictor(img, curW, h, bits, pimg, pw)
+        if (img == null) return null
+      case ColorTx(bits, cimg, pw) =>
+        var j = 0
+        while (j < img.length) {
+          val x = j % curW
+          val y = j / curW
+          val m = cimg((y >> bits) * pw + (x >> bits))
+          val g2r = (m & 0xff).toByte
+          val g2b = ((m >> 8) & 0xff).toByte
+          val r2b = ((m >> 16) & 0xff).toByte
+          val px = img(j)
+          val green = ((px >> 8) & 0xff).toByte
+          val newR = (((px >> 16) & 0xff) + ((g2r * green) >> 5)) & 0xff
+          val newB = ((px & 0xff) + ((g2b * green) >> 5) +
+            ((r2b * newR.toByte) >> 5)) & 0xff
+          img(j) = (px & 0xff00ff00) | (newR << 16) | newB
+          j += 1
+        }
+      case Palette(colors, origW) =>
+        val xb = paletteBundleBits(colors.length)
+        val full = new Array[Int](origW * h)
+        val perPack = 1 << xb
+        val bpp = 8 >> xb
+        val mask = (1 << bpp) - 1
+        var j = 0
+        while (j < full.length) {
+          val x = j % origW
+          val y = j / origW
+          val packed = img(y * curW + (x >> xb))
+          val idx = (((packed >> 8) & 0xff) >> (bpp * (x & (perPack - 1)))) & mask
+          full(j) = if (idx < colors.length) colors(idx) else 0
+          j += 1
+        }
+        img = full
+        curW = origW
+    }
+    img
+  }
+
+  private[functions] def paletteBundleBits(n: Int): Int =
+    if (n <= 2) 3 else if (n <= 4) 2 else if (n <= 16) 1 else 0
+
+  private def addPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampedAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
+    def ch(sh: Int): Int =
+      clip255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff))
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def clampedAddSubtractHalf(l: Int, t: Int, tl: Int): Int = {
+    val ave = avg2(l, t)
+    def ch(sh: Int): Int = {
+      val a = (ave >>> sh) & 0xff
+      val b = (tl >>> sh) & 0xff
+      clip255(a + (a - b) / 2)
+    }
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def select(top: Int, left: Int, topLeft: Int): Int = {
+    def sub3(sh: Int): Int = {
+      val a = (top >>> sh) & 0xff
+      val b = (left >>> sh) & 0xff
+      val c = (topLeft >>> sh) & 0xff
+      math.abs(b - c) - math.abs(a - c)
+    }
+    val paMinusPb = sub3(24) + sub3(16) + sub3(8) + sub3(0)
+    if (paMinusPb <= 0) top else left
+  }
+
+  private def inversePredictor(res: Array[Int], w: Int, h: Int, bits: Int,
+      pimg: Array[Int], pw: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w
+      val y = i / w
+      val pred =
+        if (x == 0 && y == 0) 0xff000000
+        else if (y == 0) out(i - 1)
+        else if (x == 0) out(i - w)
+        else {
+          val mode = (pimg((y >> bits) * pw + (x >> bits)) >> 8) & 0xff
+          val l = out(i - 1)
+          val t = out(i - w)
+          val tl = out(i - w - 1)
+          val tr = out(i - w + 1) // x = w−1 wraps to this row's first pixel
+          mode match {
+            case 0  => 0xff000000
+            case 1  => l
+            case 2  => t
+            case 3  => tr
+            case 4  => tl
+            case 5  => avg2(avg2(l, tr), t)
+            case 6  => avg2(l, tl)
+            case 7  => avg2(l, t)
+            case 8  => avg2(tl, t)
+            case 9  => avg2(t, tr)
+            case 10 => avg2(avg2(l, tl), avg2(t, tr))
+            case 11 => select(t, l, tl)
+            case 12 => clampedAddSubtractFull(l, t, tl)
+            case 13 => clampedAddSubtractHalf(l, t, tl)
+            case _  => return null
+          }
+        }
+      out(i) = addPixels(res(i), pred)
+      i += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- encode
+
+  /** Complete canonical code over the used symbols padded to a power of
+    * two (every code the same length) — trivially valid, and decodable
+    * by any conformant reader. Returns (lengths, code-of-symbol).
+    */
+  private def paddedUniformCode(used0: Seq[Int],
+      alphabetSize: Int): (Array[Int], Array[Int]) = {
+    val usedSet = scala.collection.mutable.TreeSet.empty[Int] ++ used0
+    var target = 2 // a 1-symbol length-coded table is an incomplete code
+    while (target < usedSet.size) target <<= 1
+    var cand = 0
+    while (usedSet.size < target) {
+      if (!usedSet.contains(cand)) usedSet += cand
+      cand += 1
+    }
+    val used = usedSet.toArray
+    val len = 31 - Integer.numberOfLeadingZeros(target)
+    val lens = new Array[Int](alphabetSize)
+    used.foreach(lens(_) = len)
+    val codes = new Array[Int](alphabetSize)
+    var c = 0
+    for (s <- used) { codes(s) = c; c += 1 }
+    (lens, codes)
+  }
+
+  private def writeLengthCodedHuffman(bw: BitWriter, lens: Array[Int]): Unit = {
+    val usedLens = lens.filter(_ > 0).distinct
+    require(usedLens.length == 1, "fixture codes are uniform-length")
+    val L = usedLens.head
+    bw.write(0, 1) // not simple
+    val idx0 = kCodeLengthOrder.indexOf(0)
+    val idxL = kCodeLengthOrder.indexOf(L)
+    val numCodes = math.max(4, math.max(idx0, idxL) + 1)
+    bw.write(numCodes - 4, 4)
+    var i = 0
+    while (i < numCodes) {
+      val s = kCodeLengthOrder(i)
+      bw.write(if (s == 0 || s == L) 1 else 0, 3)
+      i += 1
+    }
+    bw.write(0, 1) // no max-symbol shortcut
+    // CLC: symbols {0, L}, both length 1 → canonical: 0 → '0', L → '1'
+    for (l <- lens) bw.write(if (l == 0) 0 else 1, 1)
+  }
+
+  private def writeSimpleSingle(bw: BitWriter, symbol: Int): Unit = {
+    bw.write(1, 1) // simple
+    bw.write(0, 1) // one symbol
+    if (symbol < 2) { bw.write(0, 1); bw.write(symbol, 1) }
+    else { bw.write(1, 1); bw.write(symbol, 8) }
+  }
+
+  /** Write one literal-only entropy image (no cache, no meta, no LZ77):
+    * uniform-length canonical codes for green/red/blue over their used
+    * values, single-symbol codes for alpha and distance.
+    */
+  private def writeEntropyImage(bw: BitWriter, argb: Array[Int]): Unit = {
+    bw.write(0, 1) // no color cache
+    // NOTE: callers writing the level-0 stream emit the meta bit; the
+    // sub-image writer must NOT (readers only read it at level 0)
+    val greens = argb.map(p => (p >> 8) & 0xff).toSeq
+    val redsV = argb.map(p => (p >> 16) & 0xff).toSeq
+    val bluesV = argb.map(p => p & 0xff).toSeq
+    val alphasV = argb.map(p => (p >>> 24) & 0xff).distinct.toSeq
+    val (gl, gc) = paddedUniformCode(greens.distinct, 256 + 24)
+    val (rl, rc) = paddedUniformCode(redsV.distinct, 256)
+    val (bl, bc) = paddedUniformCode(bluesV.distinct, 256)
+    writeLengthCodedHuffman(bw, gl)
+    writeLengthCodedHuffman(bw, rl)
+    writeLengthCodedHuffman(bw, bl)
+    val (al, ac) =
+      if (alphasV.length == 1) (null, null)
+      else paddedUniformCode(alphasV, 256)
+    if (al == null) writeSimpleSingle(bw, alphasV.head) // 0-bit single code
+    else writeLengthCodedHuffman(bw, al)
+    writeSimpleSingle(bw, 0) // distance: unused single code
+    for (p <- argb) {
+      val g = (p >> 8) & 0xff
+      bw.writeCode(gc(g), gl(g))
+      val r = (p >> 16) & 0xff
+      bw.writeCode(rc(r), rl(r))
+      val b = p & 0xff
+      bw.writeCode(bc(b), bl(b))
+      if (al != null) {
+        val a = (p >>> 24) & 0xff
+        bw.writeCode(ac(a), al(a))
+      }
+    }
+  }
+
+  /** Encode planted ARGB pixels as a lossless WebP. `transform` picks
+    * the wrapped shape: 0 none, 1 subtract-green, 2 predictor (constant
+    * mode 1 = Left), 3 color transform (constant multipliers), 4
+    * palette (color indexing; requires few distinct colors).
+    */
+  def encode(w: Int, h: Int, argbIn: Array[Int], transform: Int = 0): Array[Byte] = {
+    require(argbIn.length == w * h)
+    val bw = new BitWriter
+    bw.write(0x2f, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1) // alpha hint
+    bw.write(0, 3) // version
+    transform match {
+      case 0 =>
+        bw.write(0, 1) // no transforms
+        bw.write(0, 1) // no meta
+        writeEntropyImage(bw, argbIn)
+      case 1 =>
+        bw.write(1, 1); bw.write(2, 2) // subtract-green
+        bw.write(0, 1) // end transforms
+        bw.write(0, 1) // no meta
+        val res = argbIn.map { p =>
+          val g = (p >> 8) & 0xff
+          val r = (((p >> 16) & 0xff) - g) & 0xff
+          val b = ((p & 0xff) - g) & 0xff
+          (p & 0xff00ff00) | (r << 16) | b
+        }
+        writeEntropyImage(bw, res)
+      case 2 =>
+        // predictor transform, constant mode 1 (Left) in one block
+        bw.write(1, 1); bw.write(0, 2)
+        val bits = 8 // block size 256 ≥ any fixture image: one block
+        bw.write(bits - 2, 3)
+        writeEntropyImage(bw, Array(0xff000000 | (1 << 8))) // mode-1 pixel
+        bw.write(0, 1) // end transforms
+        bw.write(0, 1) // no meta
+        val res = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          val x = i % w
+          val y = i / w
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) argbIn(i - 1)
+            else if (x == 0) argbIn(i - w)
+            else argbIn(i - 1) // mode 1: Left
+          res(i) = subPixels(argbIn(i), pred)
+          i += 1
+        }
+        writeEntropyImage(bw, res)
+      case 3 =>
+        // color transform, constant multipliers in one block
+        bw.write(1, 1); bw.write(1, 2)
+        val bits = 8
+        bw.write(bits - 2, 3)
+        val g2r = 17; val g2b = -11 & 0xff; val r2b = 5
+        writeEntropyImage(bw,
+          Array(0xff000000 | (r2b << 16) | (g2b << 8) | g2r))
+        bw.write(0, 1) // end transforms
+        bw.write(0, 1) // no meta
+        val res = argbIn.map { p =>
+          val green = ((p >> 8) & 0xff).toByte
+          val r = (p >> 16) & 0xff
+          val newR = (r - ((g2r.toByte * green) >> 5)) & 0xff
+          val b = (p & 0xff)
+          // r2b rides the ORIGINAL red: the inverse reconstructs red
+          // first and then feeds the reconstructed (= original) value
+          val newB = (b - ((g2b.toByte * green) >> 5) -
+            ((r2b.toByte * r.toByte) >> 5)) & 0xff
+          (p & 0xff00ff00) | (newR << 16) | newB
+        }
+        writeEntropyImage(bw, res)
+      case 4 =>
+        // color indexing: delta-coded palette + (bundled) index image
+        val colors = argbIn.distinct.sorted
+        require(colors.length <= 256, "palette fixture needs ≤256 colors")
+        val index = argbIn.map(p => colors.indexOf(p))
+        bw.write(1, 1); bw.write(3, 2)
+        bw.write(colors.length - 1, 8)
+        val deltas = colors.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c else subPixels(c, colors(i - 1))
+        }
+        writeEntropyImage(bw, deltas)
+        bw.write(0, 1) // end transforms
+        bw.write(0, 1) // no meta
+        val xb = paletteBundleBits(colors.length)
+        val bpp = 8 >> xb
+        val packedW = subSize(w, xb)
+        val packed = new Array[Int](packedW * h)
+        var j = 0
+        while (j < w * h) {
+          val x = j % w
+          val y = j / w
+          val slot = y * packedW + (x >> xb)
+          packed(slot) |= (index(j) << (bpp * (x & ((1 << xb) - 1)))) << 8
+          j += 1
+        }
+        writeEntropyImage(bw, packed.map(p => 0xff000000 | p))
+    }
+    val payload = bw.toBytes
+    riff(payload)
+  }
+
+  private def subPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) - (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) - (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  /** Spec-side access to the container wrap for hand-made streams. */
+  private[functions] def wrapRiff(vp8l: Array[Byte]): Array[Byte] = riff(vp8l)
+
+  private def riff(vp8l: Array[Byte]): Array[Byte] = {
+    val padded = vp8l.length + (vp8l.length & 1)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+    bb.putInt(4 + 8 + padded)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8L".getBytes("US-ASCII"))
+    bb.putInt(vp8l.length)
+    bb.put(vp8l)
+    bb.array()
+  }
+}

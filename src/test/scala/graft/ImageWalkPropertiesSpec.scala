@@ -65,9 +65,16 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
       // EOF-mid-decode hazard) truncated at the same fraction
       val jb = JpegFixtures.jpegPixelBytes(id)
       val jcut = (jb.length * fr).toInt.min(jb.length)
+      // the VP8L path (prefix-coded bitstream + transforms) at the same cut
+      val wb = PixelFixtures.webpPixelBytes(id,
+        PixelFixtures.width(id), PixelFixtures.height(id))
+      val wcut = (wb.length * fr).toInt.min(wb.length)
       PixelCodec.decodePixels(java.util.Arrays.copyOf(bytes, cut))
         .forall(r => sanePixels(r) &&
           r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
+        PixelCodec.decodePixels(java.util.Arrays.copyOf(wb, wcut))
+          .forall(r => sanePixels(r) &&
+            r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
         JpegCodec.decode(java.util.Arrays.copyOf(jb, jcut)).forall {
           case (w, h, nc, px) =>
             w == JpegFixtures.width(id) && h == JpegFixtures.height(id) &&
@@ -85,12 +92,17 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
         val jb = JpegFixtures.jpegPixelBytes(id)
         val jmut = jb.clone()
         jmut(posSeed % jb.length) = newByte.toByte
+        val wb = PixelFixtures.webpPixelBytes(id,
+          PixelFixtures.width(id), PixelFixtures.height(id))
+        val wmut = wb.clone()
+        wmut(posSeed % wb.length) = newByte.toByte
         val hdr = ImageHeaders.decode(mutated)
         // a flipped byte may corrupt dims, palettes, filters, or
         // entropy bits — the theorems: nothing throws, any Some keeps
         // the buffer arithmetic, decoded JPEG planes stay within the
         // 8-bit range by construction
         PixelCodec.decodePixels(mutated).forall(sanePixels) &&
+          PixelCodec.decodePixels(wmut).forall(sanePixels) &&
           JpegCodec.decode(jmut).forall { case (w, h, nc, px) =>
             w > 0 && h > 0 && (nc == 1 || nc == 3) &&
               w.toLong * h <= (1L << 26) && px.length == w * h * nc
@@ -117,11 +129,17 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
     check(Prop.forAll(docId) { id =>
       val hdr = ImageHeaders.decode(planted(id))
       val px = PixelCodec.decodePixels(PixelFixtures.pixelImageBytes(id))
+      val wpx = PixelCodec.decodePixels(PixelFixtures.webpPixelBytes(id,
+        PixelFixtures.width(id), PixelFixtures.height(id)))
       val jpg = JpegCodec.decode(JpegFixtures.jpegPixelBytes(id))
       hdr._1 != "unknown" && hdr._2 > 0 && hdr._3 > 0 &&
         px.exists(r => sanePixels(r) &&
           r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id) &&
           // spot-check the planted formula at the first pixel of each channel
+          (0 until 3).forall(c =>
+            (r._4(c) & 0xff) == PixelFixtures.pixelValue(id, c, 0, 0))) &&
+        wpx.exists(r => sanePixels(r) && r._1 == "webp" &&
+          r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id) &&
           (0 until 3).forall(c =>
             (r._4(c) & 0xff) == PixelFixtures.pixelValue(id, c, 0, 0))) &&
         jpg.exists { case (w, h, nc, _) =>

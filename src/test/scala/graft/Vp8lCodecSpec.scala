@@ -1,0 +1,215 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The VP8L (lossless WebP) codec against planted pixels: every
+  * transform wrapping must reproduce the EXACT planted values through
+  * [[PixelCodec.decodePixels]], geometry edges included; the LZ77,
+  * color-cache, and meta-prefix paths — which the fixture encoder
+  * deliberately never emits — are exercised by hand-assembled streams
+  * whose expected pixels are written out alongside the bits.
+  */
+class Vp8lCodecSpec extends SparkSpec {
+
+  private def planted(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      0xff000000 |
+        (PixelFixtures.pixelValue(id, 0, x, y) << 16) |
+        (PixelFixtures.pixelValue(id, 1, x, y) << 8) |
+        PixelFixtures.pixelValue(id, 2, x, y)
+    }
+
+  private def assertPixels(bytes: Array[Byte], w: Int, h: Int,
+      argb: Array[Int], what: String): Unit = {
+    val out = PixelCodec.decodePixels(bytes)
+    assert(out.isDefined, s"$what must decode")
+    val (fmt, dw, dh, rgb) = out.get
+    assert((fmt, dw, dh) == (("webp", w, h)), what)
+    for (i <- 0 until w * h) {
+      val exp = argb(i)
+      assert((rgb(i * 3) & 0xff) == ((exp >> 16) & 0xff) &&
+        (rgb(i * 3 + 1) & 0xff) == ((exp >> 8) & 0xff) &&
+        (rgb(i * 3 + 2) & 0xff) == (exp & 0xff),
+        s"$what pixel $i")
+    }
+  }
+
+  private def assertDecodes(id: Long, w: Int, h: Int, transform: Int): Unit = {
+    val argb = planted(id, w, h)
+    assertPixels(Vp8lCodec.encode(w, h, argb, transform), w, h, argb,
+      s"id=$id ${w}x$h transform=$transform")
+  }
+
+  test("plain literal stream reproduces planted pixels across geometries") {
+    for (id <- 0L until 40L)
+      assertDecodes(id, PixelFixtures.width(id), PixelFixtures.height(id), 0)
+    assertDecodes(7L, 1, 1, 0)
+    assertDecodes(8L, 1, 12, 0)
+    assertDecodes(9L, 16, 1, 0)
+  }
+
+  test("subtract-green transform inverts exactly") {
+    for (id <- 0L until 25L)
+      assertDecodes(id, PixelFixtures.width(id), PixelFixtures.height(id), 1)
+    assertDecodes(3L, 1, 1, 1)
+  }
+
+  test("predictor transform (Left mode) inverts exactly") {
+    for (id <- 0L until 25L)
+      assertDecodes(id, PixelFixtures.width(id), PixelFixtures.height(id), 2)
+    assertDecodes(5L, 1, 1, 2)
+    assertDecodes(5L, 16, 1, 2)
+  }
+
+  test("color transform (constant multipliers) inverts exactly") {
+    for (id <- 0L until 25L)
+      assertDecodes(id, PixelFixtures.width(id), PixelFixtures.height(id), 3)
+  }
+
+  test("color indexing: unbundled (>16 colors) and every bundled width") {
+    def checker(w: Int, h: Int, colors: Int): Unit = {
+      val argb = Array.tabulate(w * h)(i =>
+        0xff000000 | ((i * 37) % colors) * 0x010101)
+      assertPixels(Vp8lCodec.encode(w, h, argb, transform = 4), w, h, argb,
+        s"palette $colors colors")
+    }
+    checker(13, 7, 2)
+    checker(13, 7, 3)
+    checker(13, 7, 4)
+    checker(13, 7, 13)
+    checker(13, 7, 16)
+    checker(16, 9, 40) // unbundled path
+    checker(8, 1, 2) // exact multiple of the 8-per-byte bundle
+    checker(9, 1, 2) // one past it
+  }
+
+  // ------------------------------------------------- hand-made streams
+
+  /** Write a padded-uniform length-coded table for `syms` and return
+    * each symbol's (code, length) — the spec-side twin of the encoder's
+    * internal writer, so the hand-made streams stay independent of it.
+    */
+  private def uniform(bw: Vp8lCodec.BitWriter, syms: Seq[Int],
+      alphabet: Int): Map[Int, (Int, Int)] = {
+    val set = scala.collection.mutable.TreeSet.empty[Int] ++ syms
+    var target = 2
+    while (target < set.size) target <<= 1
+    var cand = 0
+    while (set.size < target) { if (!set.contains(cand)) set += cand; cand += 1 }
+    val used = set.toArray
+    val len = 31 - Integer.numberOfLeadingZeros(target)
+    val lens = Array.fill(alphabet)(0)
+    used.foreach(lens(_) = len)
+    bw.write(0, 1) // not simple
+    val order = Vp8lCodec.kCodeLengthOrder
+    val numCodes = math.max(4, math.max(order.indexOf(0), order.indexOf(len)) + 1)
+    bw.write(numCodes - 4, 4)
+    for (i <- 0 until numCodes)
+      bw.write(if (order(i) == 0 || order(i) == len) 1 else 0, 3)
+    bw.write(0, 1) // no max-symbol shortcut
+    for (l <- lens) bw.write(if (l == 0) 0 else 1, 1)
+    used.zipWithIndex.map { case (s, i) => s -> ((i, len)) }.toMap
+  }
+
+  private def single(bw: Vp8lCodec.BitWriter, sym: Int): Unit = {
+    bw.write(1, 1); bw.write(0, 1)
+    if (sym < 2) { bw.write(0, 1); bw.write(sym, 1) }
+    else { bw.write(1, 1); bw.write(sym, 8) }
+  }
+
+  private def header(bw: Vp8lCodec.BitWriter, w: Int, h: Int): Unit = {
+    bw.write(0x2f, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1) // alpha hint
+    bw.write(0, 3) // version
+  }
+
+  test("LZ77 backward references: previous pixel, previous row, long absolute") {
+    val w = 8
+    val h = 3
+    val bw = new Vp8lCodec.BitWriter
+    header(bw, w, h)
+    bw.write(0, 1) // no transforms
+    bw.write(0, 1) // no cache
+    bw.write(0, 1) // no meta
+    // length 7 = prefix code 5 + 1 extra bit (0); length 8 = code 5 + bit 1
+    val greens = uniform(bw, Seq(0x55, 256 + 5), 256 + 24)
+    single(bw, 0x66) // red
+    single(bw, 0x77) // blue
+    single(bw, 0xff) // alpha
+    // dist prefix 1 → plane code 2 = (1,0) → dist 1 (previous pixel)
+    // dist prefix 0 → plane code 1 = (0,1) → dist w (previous row)
+    // dist prefix 14 + 6 extra bits (7) → plane code 136 → dist 136−120=16
+    val dists = uniform(bw, Seq(0, 1, 14), 40)
+    def g(s: Int): Unit = { val (c, l) = greens(s); bw.writeCode(c, l) }
+    def d(s: Int): Unit = { val (c, l) = dists(s); bw.writeCode(c, l) }
+    g(0x55) // literal pixel 0
+    g(256 + 5); bw.write(0, 1); d(1) // len 7 dist 1 → pixels 1..7
+    g(256 + 5); bw.write(1, 1); d(0) // len 8 dist 8 → row 1
+    g(256 + 5); bw.write(1, 1); d(14); bw.write(7, 6) // len 8 dist 16 → row 2
+    val bytes = Vp8lCodec.wrapRiff(bw.toBytes)
+    val exp = Array.fill(w * h)(0xff665577)
+    assertPixels(bytes, w, h, exp, "LZ77 stream")
+  }
+
+  test("color cache: literal inserted, cache symbol replays it") {
+    val w = 5
+    val h = 1
+    val cacheBits = 4
+    val px = 0xff345678
+    val idx = (0x1e35a7bd * px) >>> (32 - cacheBits)
+    val bw = new Vp8lCodec.BitWriter
+    header(bw, w, h)
+    bw.write(0, 1) // no transforms
+    bw.write(1, 1); bw.write(cacheBits, 4) // color cache
+    bw.write(0, 1) // no meta
+    val cacheSym = 256 + 24 + idx
+    val greens = uniform(bw, Seq(0x56, cacheSym), 256 + 24 + (1 << cacheBits))
+    single(bw, 0x34) // red
+    single(bw, 0x78) // blue
+    single(bw, 0xff) // alpha
+    single(bw, 0) // distance (unused)
+    def g(s: Int): Unit = { val (c, l) = greens(s); bw.writeCode(c, l) }
+    g(0x56) // literal: ARGB ff345678 → into the cache at idx
+    g(cacheSym); g(cacheSym); g(cacheSym); g(cacheSym)
+    val bytes = Vp8lCodec.wrapRiff(bw.toBytes)
+    assertPixels(bytes, w, h, Array.fill(w * h)(px), "cache stream")
+  }
+
+  test("meta-prefix image routes blocks to different code groups") {
+    val w = 8
+    val h = 1
+    val metaBits = 2 // blocks of 4 → meta image 2x1
+    val bw = new Vp8lCodec.BitWriter
+    header(bw, w, h)
+    bw.write(0, 1) // no transforms
+    bw.write(0, 1) // no cache
+    bw.write(1, 1) // meta-prefix image present
+    bw.write(metaBits - 2, 3)
+    // the meta image: its own stream (cache bit first, like any image),
+    // 2 pixels whose (red<<8|green) are the group ids 0, 1
+    bw.write(0, 1) // meta image: no color cache
+    val mGreens = uniform(bw, Seq(0, 1), 256 + 24)
+    single(bw, 0) // red
+    single(bw, 0) // blue
+    single(bw, 0xff) // alpha
+    single(bw, 0) // dist
+    def mg(s: Int): Unit = { val (c, l) = mGreens(s); bw.writeCode(c, l) }
+    mg(0); mg(1)
+    // ALL groups' tables come first (group 0 then group 1), the pixel
+    // stream after: first block uses group 0's codes, second group 1's
+    val g0 = uniform(bw, Seq(10), 256 + 24)
+    single(bw, 20); single(bw, 30); single(bw, 0xff); single(bw, 0)
+    val g1 = uniform(bw, Seq(40), 256 + 24)
+    single(bw, 50); single(bw, 60); single(bw, 0xff); single(bw, 0)
+    for (_ <- 0 until 4) { val (c, l) = g0(10); bw.writeCode(c, l) }
+    for (_ <- 0 until 4) { val (c, l) = g1(40); bw.writeCode(c, l) }
+    val bytes = Vp8lCodec.wrapRiff(bw.toBytes)
+    val exp = Array.tabulate(w * h)(i =>
+      if (i < 4) 0xff140a1e else 0xff32283c) // (20,10,30) then (40,50,60)
+    assertPixels(bytes, w, h, exp, "meta-prefix stream")
+  }
+}
