@@ -13,6 +13,7 @@ driver's checker semantics:
     arrays must be stringified on both sides).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -34,42 +35,62 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; ScaleBench work dirs are
+        # Spark-written directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        def record(ok, rows, err=None):
+            results[name] = {"rows_match": ok, "schema_match": ok,
+                             "hash_match": ok, "spark_rows": rows, "err": err}
         try:
             got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
             exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: checker error: {type(e).__name__}: {e}")
+            record(False, -1, f"{type(e).__name__}: {e}")
             n_fail += 1
             continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols {list(got.columns)} != {list(exp.columns)}")
+            record(False, len(got), "cols")
             n_fail += 1
         elif len(got) != len(exp):
             print(f"FAIL {name}: {len(got)} vs {len(exp)} rows")
+            record(False, len(got), "rows")
             n_fail += 1
         elif list(map(str, got.dtypes)) != list(map(str, exp.dtypes)):
             print(f"FAIL {name}: dtypes {list(map(str, got.dtypes))} != "
                   f"{list(map(str, exp.dtypes))}")
+            record(False, len(got), "dtypes")
             n_fail += 1
         elif not got.equals(exp):
             neq = (got != exp) & ~(got.isna() & exp.isna())
             bad = neq.any(axis=1)
             print(f"FAIL {name}: value mismatch in {int(bad.sum())} rows; "
                   f"first:\n{got[bad].head(2)}\nvs\n{exp[bad].head(2)}")
+            record(False, len(got), "values")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            record(True, len(got))
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=2)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
