@@ -317,6 +317,11 @@ object Vp8lCodec {
       val h = br.read(14) + 1
       br.read1() // alpha hint
       if (br.read(3) != 0) return None // version must be 0
+      // bound on the DECLARED geometry, before any transform narrows
+      // the entropy image: the palette inverse re-expands to the full
+      // width, so the inner (post-bundling) check alone would let a
+      // ~100-byte 16384×16384 2-color stream allocate ~1.8 GB
+      if (w.toLong * h > (1L << 26)) return None
       val argb = decodeImageStream(br, w, h, level0 = true)
       if (argb == null) return None
       val rgb = new Array[Byte](w * h * 3)

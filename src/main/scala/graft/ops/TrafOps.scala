@@ -144,9 +144,20 @@ object TrafOps {
   def winsorize(df: DataFrame, valueCol: String, keyCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val v = col(valueCol).cast("double")
-    val q = ExactQuantile.quantiles(df, col(valueCol), Seq(lo, hi))
+    // NOTE: the quantile pass runs EAGERLY at construction time (the
+    // EquiDepth/ExactQuantile family's trade). Empty or all-null input
+    // degrades to null bounds — the same output the old global
+    // `percentile` produced — instead of failing the pass.
+    val h = ExactQuantile.sortedBy(df, col(valueCol))
+    val (bLo, bHi) =
+      if (h.count == 0L)
+        (lit(null).cast("double"), lit(null).cast("double"))
+      else {
+        val q = h.quantiles(Seq(lo, hi))
+        (lit(q(0)), lit(q(1)))
+      }
     df.select(col(keyCol),
-      least(greatest(v, lit(q(0))), lit(q(1))).as(s"${valueCol}_w"))
+      least(greatest(v, bLo), bHi).as(s"${valueCol}_w"))
   }
 
   /** One-pass numeric profile: per column — row count, nulls, min, max,

@@ -170,20 +170,30 @@ object CurationPipeline {
     case _ => false
   }
 
+  /** The tombstone table collected to the driver — takedown-sized by
+    * contract (the same bound the broadcast anti-join relies on). The
+    * single reader of the raw (id, epoch) rows behind every mask,
+    * retraction dedup, and purge snapshot.
+    */
+  private def collectTombstones(spark: SparkSession, path: String,
+      idCol: String): Seq[(Long, Long)] =
+    readState(spark, path)
+      .select(col(idCol).cast("long"), col("epoch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  private def maxEpochById(rows: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rows.groupBy(_._1).map { case (id, rs) => (id, rs.map(_._2).max) }.toSeq
+
   /** The tombstone table as a driver-pinned local relation of
-    * `(id, max epoch)` — takedown-sized by contract (the same bound the
-    * broadcast anti-join relies on). Pinning serves two masters: the
-    * caller's lazily returned plans never dangle on a swapped tombstone
-    * directory, and the mask join's small side is a literal, not a scan.
+    * `(id, max epoch)`. Pinning serves two masters: the caller's lazily
+    * returned plans never dangle on a swapped tombstone directory, and
+    * the mask join's small side is a literal, not a scan.
     */
   private def tombstoneRelation(spark: SparkSession, path: String,
       idCol: String): DataFrame = {
     import spark.implicits._
-    readState(spark, path)
-      .select(col(idCol).cast("long"), col("epoch").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).max) }
-      .toSeq.toDF("__t_id", "__t_epoch")
+    maxEpochById(collectTombstones(spark, path, idCol))
+      .toDF("__t_id", "__t_epoch")
   }
 
   /** The retraction mask: drop state rows whose id is tombstoned AT OR
@@ -307,10 +317,8 @@ object CurationPipeline {
     import spark.implicits._
     var appended = 0L
     StateCommit.commit(spark, dir) { (txn, epoch) =>
-      val existing = readState(spark, s"$dir/$table")
-        .select(col(idCol), col("epoch"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .groupBy(_._1).map { case (id, rows) => (id, rows.map(_._2).max) }
+      val existing =
+        maxEpochById(collectTombstones(spark, s"$dir/$table", idCol)).toMap
       // an id whose tombstone already covers every currently-visible
       // epoch (>= the version this attempt read) is a replay — skip it
       val fresh = ids.filterNot(id => existing.get(id).exists(_ >= epoch - 1))
@@ -349,14 +357,10 @@ object CurationPipeline {
       tombTable: String, idCol: String, tables: Seq[String]): Unit = {
     import spark.implicits._
     StateCommit.commit(spark, dir) { (txn, epoch) =>
-      val snap = readState(spark, s"$dir/$tombTable")
-        .select(col(idCol), col("epoch"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val snap = collectTombstones(spark, s"$dir/$tombTable", idCol)
       if (snap.isEmpty) None
       else {
-        val tomb = snap.groupBy(_._1)
-          .map { case (id, rows) => (id, rows.map(_._2).max) }
-          .toSeq.toDF("__t_id", "__t_epoch")
+        val tomb = maxEpochById(snap).toDF("__t_id", "__t_epoch")
         for (t <- tables)
           maskTombstoned(readState(spark, s"$dir/$t"), tomb, idCol)
             .write.parquet(StateCommit.stagePath(dir, txn, t))
@@ -503,19 +507,26 @@ object CurationPipeline {
       if (Compaction.dataFiles(spark, state.cellsPath) > compactOver)
         compactAnnCells(spark, state.dir)
     }
-    val cents = readState(spark, state.centroidsPath)
-    val assigned = Similarity.withCosineNorm(
-        Similarity.ivfAssignIncremental(newEmbeddings, cents))
-      .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
-    if (appendState) {
-      StateCommit.commit(spark, state.dir) { (txn, epoch) =>
-        assigned
-          .select(col("vec_id"), col("embedding"), col("__nx"),
-            lit(epoch).as("epoch"), col("cell"))
-          .write.partitionBy("cell")
-          .parquet(StateCommit.stagePath(state.dir, txn, "cells"))
-        Some(Seq(StateCommit.Op("publish", "cells")))
-      }
+    def assign(): DataFrame =
+      Similarity.withCosineNorm(
+          Similarity.ivfAssignIncremental(newEmbeddings,
+            readState(spark, state.centroidsPath)))
+        .select(col("vec_id"), col("embedding"), col("__nx"), col("cell"))
+    if (!appendState) return assign()
+    // the assignment is a function of the CURRENT centroids, so it is
+    // computed inside prepare: a conflict retry (e.g. a concurrent
+    // reindexAnn swapped the codebook between our read and our claim)
+    // re-assigns against the winner's centroids instead of committing
+    // stale-codebook cells
+    var assigned: DataFrame = null
+    StateCommit.commit(spark, state.dir) { (txn, epoch) =>
+      assigned = assign()
+      assigned
+        .select(col("vec_id"), col("embedding"), col("__nx"),
+          lit(epoch).as("epoch"), col("cell"))
+        .write.partitionBy("cell")
+        .parquet(StateCommit.stagePath(state.dir, txn, "cells"))
+      Some(Seq(StateCommit.Op("publish", "cells")))
     }
     assigned
   }
@@ -580,12 +591,8 @@ object CurationPipeline {
     StateCommit.requireVersioned(spark, state.dir)
     StateCommit.commit(spark, state.dir) { (txn, epoch) =>
       import spark.implicits._
-      val snap = readState(spark, state.tombstonesPath)
-        .select(col("vec_id"), col("epoch"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      val tomb = snap.groupBy(_._1)
-        .map { case (id, rows) => (id, rows.map(_._2).max) }
-        .toSeq.toDF("__t_id", "__t_epoch")
+      val snap = collectTombstones(spark, state.tombstonesPath, "vec_id")
+      val tomb = maxEpochById(snap).toDF("__t_id", "__t_epoch")
       // hash-SPREAD seeds: smallest-id seeding would plant every seed in
       // the pre-drift era — the exact failure a re-index exists to fix
       val corpus = maskTombstoned(readState(spark, state.cellsPath), tomb, "vec_id")

@@ -130,7 +130,7 @@ object StateCommit {
     */
   def recover(spark: SparkSession, dir: String): Unit = {
     val v = version(spark, dir)
-    if (v > 0) applyRecord(spark, dir, readRecord(dir, v))
+    if (v > 0) applyExclusive(spark, dir, v, readRecord(dir, v))
     // drop any cross-session-stale file listings: ANOTHER session or
     // process may have published files since this session last listed
     // these tables, and the per-session file-status cache would serve
@@ -166,8 +166,9 @@ object StateCommit {
         case Some(ops) =>
           val rec = Record(txn, ops)
           if (tryClaim(dir, v + 1, rec)) {
-            applyRecord(spark, dir, rec)
+            applyExclusive(spark, dir, v + 1, rec)
             writeVersionFile(dir, v + 1)
+            pruneLog(dir, v + 1)
             return v + 1
           }
           // lost the race: throw away this attempt's staging and
@@ -204,10 +205,73 @@ object StateCommit {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Apply a record's ops. Idempotent and safe under racing appliers
-    * (a stalled writer and a recovering one): per-file renames lose
-    * benignly when the destination already exists; a consumed staging
-    * dir means the op already applied.
+  /** Serialize the APPLY of one committed record behind an exclusive
+    * lease: a `<v>.apply` marker claimed with atomic create-new, a
+    * `<v>.done` marker published when every op landed. Multi-step swap
+    * ops are not safe under RACING appliers (two processes replaying
+    * the same record can move the freshly-swapped table aside and
+    * strand it), so racing is excluded instead of tolerated: exactly
+    * one process applies, everyone else waits for `.done`. A crashed
+    * applier's lease goes stale (mtime beyond `staleMs`) and is broken
+    * by the next waiter, which replays the ops — each op is idempotent
+    * for SEQUENTIAL re-runs (a consumed staging dir means the op
+    * already applied), which is all that remains once racing is gone.
+    */
+  private def applyExclusive(spark: SparkSession, dir: String, v: Long,
+      rec: Record, staleMs: Long = 60000L, waitMs: Long = 300000L): Unit = {
+    val cd = Paths.get(commitsDir(dir))
+    val lease = cd.resolve(versionName(v) + ".apply")
+    val done = cd.resolve(versionName(v) + ".done")
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      if (Files.exists(done)) return
+      val claimed =
+        try { Files.createFile(lease); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        try {
+          if (!Files.exists(done)) applyRecord(spark, dir, rec)
+          try Files.createFile(done)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        } finally Files.deleteIfExists(lease)
+        return
+      }
+      // someone else holds the lease: wait for done, break stale leases
+      try {
+        val age = System.currentTimeMillis() -
+          Files.getLastModifiedTime(lease).toMillis
+        if (age > staleMs) Files.deleteIfExists(lease)
+      } catch { case _: java.io.IOException => () } // lease released meanwhile
+      if (System.currentTimeMillis() > deadline)
+        sys.error(s"apply of $dir version $v not released within ${waitMs}ms")
+      Thread.sleep(100L)
+    }
+  }
+
+  /** Bound the log: keep the most recent 64 records (+ their markers).
+    * Only the LATEST record is ever replayed, so older entries are pure
+    * history; without pruning an always-on deployment's every recover()
+    * pays an O(all-commits-ever) listing and the log dir itself becomes
+    * a small-file hazard.
+    */
+  private def pruneLog(dir: String, latest: Long, keep: Long = 64L): Unit =
+    if (latest % keep == 0L) {
+      val cd = Paths.get(commitsDir(dir))
+      val cutoff = latest - keep
+      val it = Files.list(cd)
+      try {
+        it.forEach { p =>
+          val name = p.getFileName.toString
+          val num = name.takeWhile(_.isDigit)
+          if (num.nonEmpty && num.length >= 20 && num.toLong <= cutoff)
+            Files.deleteIfExists(p)
+        }
+      } finally it.close()
+    }
+
+  /** Apply a record's ops — called ONLY under the [[applyExclusive]]
+    * lease, so at most one process runs this per record at a time;
+    * idempotence is needed for sequential crash-replay only.
     */
   private def applyRecord(spark: SparkSession, dir: String, rec: Record): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -265,10 +329,10 @@ object StateCommit {
     }
   }
 
-  /** [[Compaction.replaceDir]] made safe to REPLAY: a missing staging
-    * dir means the swap already happened (wait out a racing applier's
-    * brief dest-missing window); a missing dest with staging present is
-    * the mid-crash state — complete it.
+  /** [[Compaction.replaceDir]] made safe to SEQUENTIAL replay (the
+    * [[applyExclusive]] lease excludes racing appliers): a missing
+    * staging dir means the swap already happened; a missing dest with
+    * staging present is the mid-crash state — complete it.
     */
   private def replaceDirReplayable(spark: SparkSession, dest: String,
       src: String): Unit = {
@@ -283,10 +347,6 @@ object StateCommit {
         sys.error(s"swap aborted: could not move $src into place")
       fs.delete(old, true)
     } else {
-      // already applied (possibly by a racing applier mid-swap): wait
-      // for the destination to surface
-      var spins = 0
-      while (!fs.exists(p) && spins < 100) { Thread.sleep(50L); spins += 1 }
       if (!fs.exists(p)) sys.error(s"swap lost: neither $src nor $dest exists")
       fs.delete(old, true)
     }

@@ -717,7 +717,22 @@ object ExtensionQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(sink).select(col("new_doc"), col("old_doc"))
+        // pin the (pair-set-sized) result locally, then release every
+        // per-run resource: repeated executions (bench reps, plan
+        // sweeps) must not accrete sink tables in driver memory or
+        // temp/checkpoint litter on disk
+        import s.implicits._
+        val pairs = s.table(sink).select(col("new_doc"), col("old_doc"))
+          .as[(Long, Long)].collect().toSeq
+        s.catalog.dropTempView(sink)
+        for (d <- Seq(srcDir, ckpt)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        pairs.toDF("new_doc", "old_doc")
       },
       Some(s"""WITH $shingleSqlCte,
               |${minhashBandedCte()}
@@ -1689,10 +1704,13 @@ object ExtensionQueries {
     //   - constructible: every merge's left/right token is a single
     //     character or the product of an EARLIER round (a merge table
     //     referencing tokens that never existed is corrupt);
-    //   - n_monotone: the argmax pair count never increases across
-    //     rounds (merging the max-count pair can only create pairs
-    //     bounded by its count — a count that rises means the recount
-    //     or the delta maintenance is wrong);
+    //   - counts_positive: every recorded merge merged at least one
+    //     occurrence. (The folk theorem "argmax counts never increase"
+    //     is NOT sound under token-string aliasing — (a,bc) and (ab,c)
+    //     both producing "abc" lets a later round's pair count absorb a
+    //     pre-existing one and exceed the previous argmax — so it is
+    //     deliberately not asserted: a correctness oracle must never
+    //     flag a bug-free trainer on a legal corpus);
     //   - prefix_matches_k6: greedy training is deterministic, so
     //     rounds 1..6 must equal the independently trained k = 6 table
     //     — which text_bpe_merges pins EXACTLY against DuckDB's
@@ -1709,12 +1727,12 @@ object ExtensionQueries {
           .as[(Int, String, String, Long)].collect().sortBy(_._1)
         val known = scala.collection.mutable.HashSet.empty[String]
         var constructible = true
-        var monotone = true
-        for (((_, a, b, n), i) <- m256.zipWithIndex) {
+        var positive = true
+        for ((_, a, b, n) <- m256) {
           constructible &&= (a.length == 1 || known(a)) &&
             (b.length == 1 || known(b))
           known += a + b
-          monotone &&= i == 0 || n <= m256(i - 1)._4
+          positive &&= n >= 1L
         }
         val prefix = m256.take(6).map(m => (m._2, m._3, m._4)).toSeq ==
           m6.map(m => (m._2, m._3, m._4)).toSeq
@@ -1732,12 +1750,12 @@ object ExtensionQueries {
               }.length.toLong
             }.toDF("n").agg(max(col("n"))).as[Long].head() == 1L
         }
-        Seq((256, rounds, constructible, monotone, prefix, exhaustedOk))
+        Seq((256, rounds, constructible, positive, prefix, exhaustedOk))
           .toDF("k_requested", "rounds_contiguous", "constructible",
-            "n_monotone", "prefix_matches_k6", "early_stop_means_exhausted")
+            "counts_positive", "prefix_matches_k6", "early_stop_means_exhausted")
       },
       Some("""SELECT 256 AS k_requested, TRUE AS rounds_contiguous,
-             |  TRUE AS constructible, TRUE AS n_monotone,
+             |  TRUE AS constructible, TRUE AS counts_positive,
              |  TRUE AS prefix_matches_k6, TRUE AS early_stop_means_exhausted""".stripMargin),
     ),
 
