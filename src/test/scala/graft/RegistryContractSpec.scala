@@ -47,7 +47,13 @@ class RegistryContractSpec extends AnyFunSuite {
       .findAllMatchIn(queriesObj.substring(0, queriesObj.indexOf('}') + 1))
       .map(_.group(1)).filterNot(_ == "queries").toSet
     assert(names.nonEmpty, "baseline artifact parsed to zero query names")
-    val gone = names -- SparkEntry.queries.keySet
+    // derived bench keys (Bench re-times a registry query under a
+    // different warm-state, e.g. the memo-cold incremental BPE encode)
+    // resolve through their base query
+    val gone = names.filter { n =>
+      val base = n.stripSuffix("_cold")
+      !SparkEntry.queries.contains(n) && !SparkEntry.queries.contains(base)
+    }
     assert(gone.isEmpty,
       s"baseline queries no longer registered (renamed? perf guard lost): $gone")
   }
