@@ -751,6 +751,34 @@ object RelationalQueries {
              |FROM lineitem GROUP BY 1""".stripMargin),
     ),
 
+    // The SCALE-SAFE exact global quantile as a first-class operator
+    // row (graft.ops.ExactQuantile — range repartition + local sort +
+    // O(partitions) counts + point order-statistic extraction): exact
+    // interpolated quantiles of a NEAR-UNIQUE double column
+    // (o_totalprice), the shape whose global `percentile` merge would
+    // hold O(distinct)≈all rows in one task at 100 TB. Bit-identical to
+    // quantile_cont by construction (same interpolation formula, same
+    // equal-bracket shortcut); the five bounds land as one driver-built
+    // row, not a single-task aggregate.
+    QueryDef(
+      "agg_exact_quantiles_scalable",
+      (s, dir) => {
+        import s.implicits._
+        val q = graft.ops.ExactQuantile.quantiles(
+          Tables.orders(s, dir), col("o_totalprice"),
+          Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        Seq((q(0), q(1), q(2), q(3), q(4)))
+          .toDF("p01", "p25", "median", "p75", "p99")
+      },
+      Some("""SELECT
+             |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.01) AS p01,
+             |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+             |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median,
+             |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75,
+             |  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99
+             |FROM orders""".stripMargin),
+    ),
+
     // The SQL surface: the same engine accepts ANSI SQL directly
     // (TPC-H Q6-shaped scan-filter-agg over a temp view).
     QueryDef(
