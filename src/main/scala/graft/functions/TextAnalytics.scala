@@ -175,12 +175,10 @@ object TextAnalytics {
     * consecutive candidate positions, which is what the SQL oracle
     * reproduces with window functions.
     */
-  /** Public alias of [[applyMerge]] for query-side segmentation folds
-    * (the k-256 encode invariant query). */
-  def applyMergePublic(syms: Seq[String], a: String, b: String): Seq[String] =
-    applyMerge(syms, a, b)
-
-  private[functions] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+  /** Greedy left-to-right application of one merge — the shared
+    * primitive of the trainer, the encoders, and the query-side
+    * segmentation folds. */
+  def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {

@@ -294,14 +294,17 @@ object Vp8lCodec {
     if (b.length < 21 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
       return None
-    // walk chunks for VP8L (usually the first)
-    var p = 12
+    // walk chunks for VP8L (usually the first); LONG arithmetic — a
+    // declared size near Int.MaxValue must fail the bounds check, not
+    // wrap the cursor negative
+    var p = 12L
     while (p + 8 <= b.length) {
-      val tag = new String(b, p, 4, "US-ASCII")
-      val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
-        ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
-      if (size < 0 || p + 8 + size > b.length) return None
-      if (tag == "VP8L") return decodeVp8l(b, p + 8, size)
+      val pi = p.toInt
+      val tag = new String(b, pi, 4, "US-ASCII")
+      val size = ((b(pi + 4) & 0xff) | ((b(pi + 5) & 0xff) << 8) |
+        ((b(pi + 6) & 0xff) << 16) | ((b(pi + 7) & 0xff) << 24)) & 0xffffffffL
+      if (p + 8 + size > b.length) return None
+      if (tag == "VP8L") return decodeVp8l(b, pi + 8, size.toInt)
       p += 8 + size + (size & 1)
     }
     None
@@ -400,7 +403,12 @@ object Vp8lCodec {
     val numGroups =
       if (metaImg == null) 1
       else metaImg.map(p => (p >> 8) & 0xffff).max + 1
-    if (numGroups > 1024) return null
+    // the meta pixel carries a 16-bit group id: the format's own bound
+    // (libwebp encoders emit thousands of groups on large photographic
+    // images — a tighter cap would misclassify valid files as corrupt);
+    // a hostile stream cannot cheapen this into a bomb, every declared
+    // group's five tables must still be present in the stream
+    if (numGroups > 65536) return null
 
     val greens = new Array[Huff](numGroups)
     val reds = new Array[Huff](numGroups)

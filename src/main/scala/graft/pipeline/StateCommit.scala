@@ -222,26 +222,71 @@ object StateCommit {
     val cd = Paths.get(commitsDir(dir))
     val lease = cd.resolve(versionName(v) + ".apply")
     val done = cd.resolve(versionName(v) + ".done")
+    val myId = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
+    def leaseOwner(): String =
+      try new String(Files.readAllBytes(lease), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
     while (true) {
       if (Files.exists(done)) return
       val claimed =
-        try { Files.createFile(lease); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (claimed) {
         try {
-          if (!Files.exists(done)) applyRecord(spark, dir, rec)
+          Files.createFile(lease)
+          Files.write(lease, myId.getBytes(StandardCharsets.UTF_8))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        // Heartbeat while applying: a LIVE holder refreshes the lease
+        // mtime so waiters never judge it stale (apply ops are pure
+        // metadata renames — the data was staged before the claim — so
+        // exceeding staleMs without a heartbeat means a dead process,
+        // not a slow one). If the heartbeat finds the lease usurped
+        // anyway (pathological stall beyond staleMs inside ONE rename),
+        // it flags the holder to ABORT between ops: the usurper replays
+        // from the idempotent mid-state exactly like crash recovery.
+        val usurped = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val beat = new Thread(() => {
+          try {
+            while (!Thread.currentThread().isInterrupted) {
+              if (leaseOwner() != myId) { usurped.set(true); return }
+              Files.setLastModifiedTime(lease,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+              Thread.sleep(staleMs / 6)
+            }
+          } catch {
+            case _: InterruptedException => ()
+            case _: java.io.IOException => usurped.set(true)
+          }
+        })
+        beat.setDaemon(true)
+        beat.start()
+        try {
+          if (!Files.exists(done)) applyRecord(spark, dir, rec, usurped)
           try Files.createFile(done)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        } finally Files.deleteIfExists(lease)
+        } finally {
+          beat.interrupt()
+          // delete only a lease this process still owns — never a
+          // usurper's fresh claim
+          if (leaseOwner() == myId) Files.deleteIfExists(lease)
+        }
         return
       }
-      // someone else holds the lease: wait for done, break stale leases
+      // someone else holds the lease: wait for done; break STALE leases
+      // by atomic rename (exactly one breaker wins; a racing waiter's
+      // rename fails on the missing source instead of deleting a fresh
+      // claim the way delete-after-check could)
       try {
         val age = System.currentTimeMillis() -
           Files.getLastModifiedTime(lease).toMillis
-        if (age > staleMs) Files.deleteIfExists(lease)
-      } catch { case _: java.io.IOException => () } // lease released meanwhile
+        if (age > staleMs) {
+          val broken = cd.resolve(
+            versionName(v) + s".apply-broken-${java.util.UUID.randomUUID()}")
+          Files.move(lease, broken)
+          Files.deleteIfExists(broken)
+        }
+      } catch { case _: java.io.IOException => () } // released/broken meanwhile
       if (System.currentTimeMillis() > deadline)
         sys.error(s"apply of $dir version $v not released within ${waitMs}ms")
       Thread.sleep(100L)
@@ -271,11 +316,17 @@ object StateCommit {
 
   /** Apply a record's ops — called ONLY under the [[applyExclusive]]
     * lease, so at most one process runs this per record at a time;
-    * idempotence is needed for sequential crash-replay only.
+    * idempotence is needed for sequential crash-replay only. A holder
+    * whose lease was usurped (heartbeat flag) aborts BETWEEN ops — the
+    * usurper replays from the idempotent mid-state.
     */
-  private def applyRecord(spark: SparkSession, dir: String, rec: Record): Unit = {
+  private def applyRecord(spark: SparkSession, dir: String, rec: Record,
+      usurped: java.util.concurrent.atomic.AtomicBoolean =
+        new java.util.concurrent.atomic.AtomicBoolean(false)): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     for (op <- rec.ops) {
+      if (usurped.get)
+        sys.error(s"apply lease for ${rec.txn} usurped; aborting mid-record")
       val src = new Path(stagePath(dir, rec.txn, op.table))
       val dest = new Path(s"$dir/${op.table}")
       val fs = src.getFileSystem(conf)

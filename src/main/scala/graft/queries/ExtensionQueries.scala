@@ -709,29 +709,35 @@ object ExtensionQueries {
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val sink = "retract_stream_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = graft.streaming.StreamingIngest
-          .nearDupCandidatesStream(stream, masked)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
         // pin the (pair-set-sized) result locally, then release every
-        // per-run resource: repeated executions (bench reps, plan
-        // sweeps) must not accrete sink tables in driver memory or
-        // temp/checkpoint litter on disk
+        // per-run resource — in a finally, so a failed rep cannot
+        // accrete sink tables in driver memory or temp/checkpoint
+        // litter on disk either
         import s.implicits._
-        val pairs = s.table(sink).select(col("new_doc"), col("old_doc"))
-          .as[(Long, Long)].collect().toSeq
-        s.catalog.dropTempView(sink)
-        for (d <- Seq(srcDir, ckpt)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        val pairs =
+          try {
+            val q = graft.streaming.StreamingIngest
+              .nearDupCandidatesStream(stream, masked)
+              .writeStream.format("memory").queryName(sink)
+              .outputMode("append")
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            s.table(sink).select(col("new_doc"), col("old_doc"))
+              .as[(Long, Long)].collect().toSeq
+          } finally {
+            try s.catalog.dropTempView(sink) catch { case _: Throwable => () }
+            for (d <- Seq(srcDir, ckpt)) {
+              import scala.jdk.CollectionConverters._
+              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+              try walk.sorted(
+                  java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator().asScala
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+              finally walk.close()
+            }
+          }
         pairs.toDF("new_doc", "old_doc")
       },
       Some(s"""WITH $shingleSqlCte,
@@ -1746,7 +1752,7 @@ object ExtensionQueries {
             .distinct().as[String]
             .map { w =>
               pairs.foldLeft(w.map(_.toString): Seq[String]) {
-                case (s0, (a, b)) => TextAnalytics.applyMergePublic(s0, a, b)
+                case (s0, (a, b)) => TextAnalytics.applyMerge(s0, a, b)
               }.length.toLong
             }.toDF("n").agg(max(col("n"))).as[Long].head() == 1L
         }
@@ -1781,9 +1787,9 @@ object ExtensionQueries {
           .map { w =>
             val syms: Seq[String] = w.map(_.toString)
             val s6 = m6.foldLeft(syms) { case (s0, (a, b)) =>
-              TextAnalytics.applyMergePublic(s0, a, b) }
+              TextAnalytics.applyMerge(s0, a, b) }
             val s256 = m256.foldLeft(syms) { case (s0, (a, b)) =>
-              TextAnalytics.applyMergePublic(s0, a, b) }
+              TextAnalytics.applyMerge(s0, a, b) }
             (w, s6.length.toLong, s256.length.toLong, s256.mkString == w)
           }
           .toDF("word", "__n6", "__n256", "__rt")
