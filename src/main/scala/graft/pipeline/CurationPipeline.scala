@@ -248,20 +248,85 @@ object CurationPipeline {
           compactState(spark, state.dir, t)
     }
     if (!appendState) return computeAccepted(spark, batch, state)._2
+    runBatchCommit(spark, batch, state, once = None)
+  }
+
+  /** EXACTLY-ONCE batch ingest for a streaming caller: the `(sinkId,
+    * batchId)` pair is recorded in the `stream_commits` table inside
+    * the SAME atomic commit as the digest/index appends, so a replayed
+    * micro-batch (Structured Streaming re-runs the last batch when a
+    * crash lands between the sink's work and the checkpoint commit)
+    * aborts before claiming — no duplicate state rows, byte-level.
+    * A fresh batch returns its accepted docs; a recognized replay
+    * returns an empty frame (the docs are already in the state).
+    */
+  def runBatchOnce(spark: SparkSession, batch: DataFrame, state: State,
+      sinkId: String, batchId: Long, compactOver: Int = 64): DataFrame = {
+    StateCommit.requireVersioned(spark, state.dir)
+    StateCommit.recover(spark, state.dir)
+    for (t <- Seq("digests", "index"))
+      if (Compaction.dataFiles(spark, s"${state.dir}/$t") > compactOver)
+        compactState(spark, state.dir, t)
+    runBatchCommit(spark, batch, state, once = Some((sinkId, batchId)))
+  }
+
+  /** Wire a streaming document source into the stateful ingest: each
+    * micro-batch runs the full quality → exact-dedup → near-dup chain
+    * against the accumulated state through [[runBatchOnce]] — the
+    * streaming twin of the daily [[runBatch]], with the reference's
+    * idempotent-overlap discipline (SURVEY I3) extended to the STATE
+    * tables themselves. Start with `.option("checkpointLocation", …)`;
+    * exactly-once effect = checkpointed offsets × batch-id-deduped
+    * state commits.
+    */
+  def streamIngest(spark: SparkSession, docs: DataFrame, state: State,
+      sinkId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runBatchOnce(spark, batch, state, sinkId, batchId)
+        ()
+      }
+
+  private def runBatchCommit(spark: SparkSession, batch: DataFrame,
+      state: State, once: Option[(String, Long)]): DataFrame = {
+    import spark.implicits._
     var out: DataFrame = null
-    StateCommit.commit(spark, state.dir) { (txn, epoch) =>
-      val (accepted, o) = computeAccepted(spark, batch, state)
-      out = o
-      accepted
-        .select(col("doc_id"), md5(col("text")).as("text_hash"),
-          lit(epoch).as("epoch"))
-        .write.parquet(StateCommit.stagePath(state.dir, txn, "digests"))
-      Dedup.bandedIndexMd5(accepted).withColumn("epoch", lit(epoch))
-        .write.parquet(StateCommit.stagePath(state.dir, txn, "index"))
-      Some(Seq(StateCommit.Op("publish", "digests"),
-        StateCommit.Op("publish", "index")))
+    val committed = StateCommit.commit(spark, state.dir) { (txn, epoch) =>
+      val replayed = once.exists { case (sinkId, batchId) =>
+        val p = new Path(s"${state.dir}/stream_commits")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && !readState(spark, p.toString)
+          .filter(col("sink_id") === sinkId && col("batch_id") === batchId)
+          .isEmpty
+      }
+      if (replayed) None
+      else {
+        val (accepted, o) = computeAccepted(spark, batch, state)
+        out = o
+        accepted
+          .select(col("doc_id"), md5(col("text")).as("text_hash"),
+            lit(epoch).as("epoch"))
+          .write.parquet(StateCommit.stagePath(state.dir, txn, "digests"))
+        Dedup.bandedIndexMd5(accepted).withColumn("epoch", lit(epoch))
+          .write.parquet(StateCommit.stagePath(state.dir, txn, "index"))
+        val ops = Seq(StateCommit.Op("publish", "digests"),
+          StateCommit.Op("publish", "index"))
+        once match {
+          case Some((sinkId, batchId)) =>
+            Seq((sinkId, batchId, epoch))
+              .toDF("sink_id", "batch_id", "epoch").coalesce(1)
+              .write.parquet(
+                StateCommit.stagePath(state.dir, txn, "stream_commits"))
+            Some(ops :+ StateCommit.Op("publish", "stream_commits"))
+          case None => Some(ops)
+        }
+      }
     }
-    out
+    if (committed < 0) {
+      // recognized replay: the state already holds this batch
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "split")
+    } else out
   }
 
   /** The pure function of (batch, state): (accepted docs, labeled

@@ -192,6 +192,67 @@ class StateCommitSpec extends SparkSpec {
     assert(StateCommit.version(spark, dir) == 1L)
   }
 
+  test("exactly-once batch ingest: a replayed (sink, batch) id appends nothing") {
+    val dir = Files.createTempDirectory("statecommit-once").toString
+    val st = CurationPipeline.init(spark, dir)
+    val b1 = docs.filter(col("doc_id") < 150)
+    val a1 = CurationPipeline.runBatchOnce(spark, b1, st, "sinkA", 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1.nonEmpty)
+    val v1 = StateCommit.version(spark, dir)
+    val files1 = (Compaction.dataFiles(spark, st.digestsPath),
+      Compaction.dataFiles(spark, st.indexPath))
+    // the Structured-Streaming replay window: the state commit landed
+    // but the checkpoint didn't — the sink re-runs the SAME batch id
+    assert(CurationPipeline.runBatchOnce(spark, b1, st, "sinkA", 0L).isEmpty,
+      "a recognized replay must return empty")
+    assert(StateCommit.version(spark, dir) == v1, "a replay must not commit")
+    assert((Compaction.dataFiles(spark, st.digestsPath),
+      Compaction.dataFiles(spark, st.indexPath)) == files1,
+      "a replay must not append state")
+    // a DIFFERENT sink replaying the same batch number is NOT a replay
+    val viaB = CurationPipeline.runBatchOnce(spark,
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250), st, "sinkB", 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaB.nonEmpty)
+    // and the next batch id of sinkA dedups against everything so far
+    val replay = docs.filter(col("doc_id") === a1.min)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    assert(CurationPipeline.runBatchOnce(spark, replay, st, "sinkA", 1L).isEmpty,
+      "an exact dup of accepted state must stay suppressed")
+  }
+
+  test("streamIngest drives micro-batches through exactly-once state commits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("statecommit-stream").toString
+    val st = CurationPipeline.init(spark, dir)
+    val ckpt = Files.createTempDirectory("statecommit-stream-ckpt").toString
+    val rows = docs.filter(col("doc_id") < 120)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = CurationPipeline.streamIngest(spark,
+        in.toDF().toDF("doc_id", "text"), st, "stream-spec")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData(rows)
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(st.digestsPath).count()
+      assert(n1 > 0, "the stream must populate the state")
+      // the same docs under NEW ids in a later micro-batch: exact dups
+      // of accepted state stay suppressed through the incremental chain
+      in.addData(rows.map { case (id, t) => (id + 800000L, t) })
+      q.processAllAvailable()
+      assert(spark.read.parquet(st.digestsPath).count() == n1,
+        "replayed content must not re-enter the state")
+      val sc = spark.read.parquet(s"$dir/stream_commits")
+        .select("batch_id").as[Long].collect().toSet
+      assert(sc == Set(0L, 1L), s"both micro-batches must be recorded, got $sc")
+    } finally q.stop()
+  }
+
   test("vacuumStaged sweeps orphaned staging, never a referenced record's") {
     val dir = Files.createTempDirectory("statecommit-vacuum").toString
     StateCommit.initDir(spark, dir)
