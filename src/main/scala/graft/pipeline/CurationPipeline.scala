@@ -680,6 +680,24 @@ object CurationPipeline {
     state
   }
 
+  /** The maintenance cadence as ONE entry point (run daily / every N
+    * batches — each piece is amortized, none belongs in a batch):
+    * physically purge tombstone-masked rows, fold small state files,
+    * garbage-collect staging orphaned by crashed writers. Returns the
+    * number of staging dirs swept. Safe to run concurrently with
+    * writers — every mutation inside goes through the commit protocol.
+    */
+  def maintain(spark: SparkSession, state: State,
+      compactOver: Int = 64, stagedTtlMs: Long = 3600L * 1000): Int = {
+    StateCommit.requireVersioned(spark, state.dir)
+    StateCommit.recover(spark, state.dir)
+    purgeTombstoned(spark, state)
+    for (t <- Seq("digests", "index"))
+      if (Compaction.dataFiles(spark, s"${state.dir}/$t") > compactOver)
+        compactState(spark, state.dir, t)
+    StateCommit.vacuumStaged(spark, state.dir, stagedTtlMs)
+  }
+
   /** The documented re-index trigger: measure [[annCellSkew]]; past
     * `skewThreshold` (default 4× — the largest cell costs 4× the mean
     * probe), rebuild via [[reindexAnn]]. Returns (skew-before,

@@ -253,6 +253,32 @@ class StateCommitSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintain() runs the amortized cadence: purge + compaction + staging GC") {
+    val dir = Files.createTempDirectory("statecommit-maintain").toString
+    val st = CurationPipeline.init(spark, dir)
+    val acc = CurationPipeline.runBatch(spark, docs.filter(col("doc_id") < 200), st)
+      .select("doc_id").as[Long].collect().toSet
+    val victim = acc.min
+    CurationPipeline.retract(spark, st, Seq(victim).toDF("doc_id"))
+    // an orphaned staging dir from a "crashed" writer
+    Seq((1L, 1L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "dead-writer", "t"))
+    val swept = CurationPipeline.maintain(spark, st,
+      compactOver = 1, stagedTtlMs = 0L)
+    assert(swept >= 1, "the orphaned staging must be swept")
+    assert(spark.read.parquet(st.digestsPath)
+      .filter(col("doc_id") === victim).isEmpty, "purge must have run")
+    assert(spark.read.parquet(st.tombstonesPath).isEmpty)
+    assert(Compaction.dataFiles(spark, st.digestsPath) <= 2,
+      "compaction must fold the state files")
+    // semantics unchanged: an exact replay of the retracted doc re-admits
+    val replay = docs.filter(col("doc_id") === victim)
+      .select((col("doc_id") + 950000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    assert(CurationPipeline.runBatch(spark, replay, st, appendState = false)
+      .select("doc_id").as[Long].collect().toSet == Set(victim + 950000L))
+  }
+
   test("vacuumStaged sweeps orphaned staging, never a referenced record's") {
     val dir = Files.createTempDirectory("statecommit-vacuum").toString
     StateCommit.initDir(spark, dir)
