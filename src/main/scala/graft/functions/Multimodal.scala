@@ -2598,6 +2598,20 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** REAL baseline-TIFF pixel decode through the same batch plumbing:
+    * [[PixelFixtures.tiffPixelBytes]] plants the gradient formula into
+    * both byte orders, none/PackBits compression, and multi-strip
+    * layouts; [[TiffCodec]] decodes them inside the partition and the
+    * oracle recomputes the channel sums from the arithmetic.
+    */
+  def decodeTiffPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.tiffPixelBytes(id,
+        PixelFixtures.width(id), PixelFixtures.height(id))))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
   /** REAL JPEG pixel decode through the same batch plumbing: baseline
     * sequential streams ([[JpegFixtures.jpegPixelBytes]] plants every
     * 8×8 block's constant grey by doc_id arithmetic — the DC-only shape

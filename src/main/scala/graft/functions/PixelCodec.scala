@@ -52,6 +52,10 @@ object PixelCodec {
       else if (b.length >= 21 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F')
         Vp8lCodec.decode(b)
+      else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)))
+        TiffCodec.decode(b)
       else None
     } catch { // truncated buffers / corrupt deflate streams are data
       case _: IndexOutOfBoundsException | _: java.util.zip.DataFormatException |
@@ -754,4 +758,16 @@ object PixelFixtures {
     }
     Vp8lCodec.encode(w, h, argb, transform = (id % 4).toInt)
   }
+
+  /** Baseline-TIFF fixture over the same planted formula: `id` cycles
+    * byte order (id/2 even → little), compression (odd ids → PackBits),
+    * and rows-per-strip (1..3 — multi-strip layouts throughout), so
+    * the IFD walk, both endians, strip reassembly, and the RLE path
+    * all decode under the external planted-arithmetic oracle.
+    */
+  def tiffPixelBytes(id: Long, w: Int, h: Int): Array[Byte] =
+    TiffCodec.encode(w, h,
+      little = (id / 2) % 2 == 0,
+      packBits = id % 2 == 1,
+      rowsPerStrip = ((id / 4) % 3 + 1).toInt)((c, x, y) => pixelValue(id, c, x, y))
 }

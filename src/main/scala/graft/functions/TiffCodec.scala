@@ -1,0 +1,294 @@
+package graft.functions
+
+/** Pure-JVM baseline TIFF pixel decode (TIFF 6.0 spec): both byte
+  * orders, IFD tag walk with inline-or-offset values, 8-bit grayscale
+  * (BlackIsZero) and 8-bit chunky RGB, multi-strip layouts, and the
+  * two compressions a baseline reader owes (none + PackBits RLE).
+  * Rounds out the format family `ImageHeaders` already classifies —
+  * TIFF stopped at dimensions; pixels now decode like BMP/PNG/GIF/
+  * JPEG/WebP before it.
+  *
+  * Output is top-down row-major RGB ([[PixelCodec.decodePixels]]'s
+  * contract; gray replicates into all three channels). Unsupported
+  * shapes (planar, tiled, LZW, 16-bit, palette) and malformed or
+  * truncated payloads return None — corrupt blobs are data, not task
+  * failures — and every allocation is bounded by the declared
+  * geometry under the repo-wide 2^26-pixel guard.
+  *
+  * The companion [[TiffCodec.encode]] is the planted-pixel fixture
+  * writer (both endians, none/PackBits, configurable rows-per-strip),
+  * so the decoder is verified against the external planted-arithmetic
+  * oracle, not against itself.
+  */
+object TiffCodec {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  def decode(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    try decodeImpl(b)
+    catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: ArithmeticException => None
+    }
+
+  private def decodeImpl(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
+    if (b.length < 8) return None
+    val little = b(0) == 'I' && b(1) == 'I'
+    val big = b(0) == 'M' && b(1) == 'M'
+    if (!little && !big) return None
+    def u16(i: Int): Int =
+      if (little) u8(b, i) | (u8(b, i + 1) << 8)
+      else (u8(b, i) << 8) | u8(b, i + 1)
+    def u32(i: Int): Long =
+      if (little)
+        (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+          (u8(b, i + 3) << 24)).toLong & 0xffffffffL
+      else
+        ((u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
+          u8(b, i + 3)).toLong & 0xffffffffL
+    if (u16(2) != 42) return None
+    val ifdOff = u32(4)
+    if (ifdOff < 8 || ifdOff + 2 > b.length) return None
+    val ifd = ifdOff.toInt
+    val n = u16(ifd)
+    if (ifd + 2 + n * 12 > b.length) return None
+
+    // tag → (type, count, value-or-offset position)
+    var width = 0L
+    var height = 0L
+    var bits: Seq[Long] = Seq(8L) // BitsPerSample default 1 — require 8 below
+    var compression = 1L
+    var photometric = -1L
+    var spp = 1L
+    var rowsPerStrip = 0xffffffffL
+    var planar = 1L
+    var stripOffsets: Seq[Long] = Nil
+    var stripCounts: Seq[Long] = Nil
+
+    def values(typ: Int, count: Long, at: Int): Seq[Long] = {
+      val elem = typ match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case 1 => 1 // BYTE
+        case _ => return Nil
+      }
+      val total = elem * count
+      val base = if (total <= 4) at else {
+        val off = u32(at)
+        if (off + total > b.length) return Nil
+        off.toInt
+      }
+      (0L until count).map { k =>
+        val p = base + (k * elem).toInt
+        elem match {
+          case 1 => u8(b, p).toLong
+          case 2 => u16(p).toLong
+          case 4 => u32(p)
+        }
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val count = u32(e + 4)
+      if (count > (1L << 20)) return None
+      val vs = values(typ, count, e + 8)
+      tag match {
+        case 256 => width = vs.headOption.getOrElse(0L)
+        case 257 => height = vs.headOption.getOrElse(0L)
+        case 258 => bits = vs
+        case 259 => compression = vs.headOption.getOrElse(1L)
+        case 262 => photometric = vs.headOption.getOrElse(-1L)
+        case 273 => stripOffsets = vs
+        case 277 => spp = vs.headOption.getOrElse(1L)
+        case 278 => rowsPerStrip = vs.headOption.getOrElse(0xffffffffL)
+        case 279 => stripCounts = vs
+        case 284 => planar = vs.headOption.getOrElse(1L)
+        case _   => ()
+      }
+      i += 1
+    }
+
+    if (width <= 0 || height <= 0 || width * height > (1L << 26)) return None
+    if (planar != 1L) return None
+    val gray = photometric == 1L && spp == 1L
+    val rgb = photometric == 2L && spp == 3L
+    if (!gray && !rgb) return None
+    if (bits.exists(_ != 8L) || bits.length != spp.toInt) return None
+    if (compression != 1L && compression != 32773L) return None
+    if (stripOffsets.isEmpty || stripOffsets.length != stripCounts.length)
+      return None
+
+    val w = width.toInt
+    val h = height.toInt
+    val rps = math.min(rowsPerStrip, height).toInt
+    if (rps <= 0) return None
+    val nStrips = (h + rps - 1) / rps
+    if (nStrips != stripOffsets.length) return None
+
+    val out = new Array[Byte](w * h * 3)
+    var strip = 0
+    while (strip < nStrips) {
+      val rows = math.min(rps, h - strip * rps)
+      val expect = rows * w * spp.toInt
+      val off = stripOffsets(strip)
+      val cnt = stripCounts(strip)
+      if (off + cnt > b.length || off < 0 || cnt < 0) return None
+      val raw =
+        if (compression == 1L) {
+          if (cnt != expect) return None
+          java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
+        } else {
+          val un = unpackBits(b, off.toInt, cnt.toInt, expect)
+          if (un == null) return None
+          un
+        }
+      var r = 0
+      while (r < rows) {
+        val y = strip * rps + r
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          if (gray) {
+            val v = raw(r * w + x)
+            out(o) = v; out(o + 1) = v; out(o + 2) = v
+          } else {
+            val p = (r * w + x) * 3
+            out(o) = raw(p); out(o + 1) = raw(p + 1); out(o + 2) = raw(p + 2)
+          }
+          x += 1
+        }
+        r += 1
+      }
+      strip += 1
+    }
+    Some(("tiff", w, h, out))
+  }
+
+  /** PackBits (TIFF 6.0 §9): n in 0..127 copies n+1 literals, n in
+    * −1..−127 repeats the next byte 1−n times, −128 is a no-op. Output
+    * must land EXACTLY on `expect` bytes — over- or under-run is
+    * corruption, not padding.
+    */
+  private def unpackBits(b: Array[Byte], off: Int, len: Int,
+      expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var p = off
+    val end = off + len
+    var o = 0
+    while (p < end && o < expect) {
+      val n = b(p)
+      p += 1
+      if (n >= 0) {
+        val c = n + 1
+        if (p + c > end || o + c > expect) return null
+        System.arraycopy(b, p, out, o, c)
+        p += c
+        o += c
+      } else if (n != -128) {
+        val c = 1 - n
+        if (p >= end || o + c > expect) return null
+        java.util.Arrays.fill(out, o, o + c, b(p))
+        p += 1
+        o += c
+      }
+    }
+    if (o == expect) out else null
+  }
+
+  // --------------------------------------------------------------- encode
+
+  /** Planted-pixel fixture writer: 8-bit chunky RGB, either byte order,
+    * none or PackBits compression, `rowsPerStrip` splitting the image
+    * into multiple strips. `pv(c, x, y)` plants each channel value.
+    */
+  def encode(w: Int, h: Int, little: Boolean, packBits: Boolean,
+      rowsPerStrip: Int)(pv: (Int, Int, Int) => Int): Array[Byte] = {
+    val rps = math.max(1, math.min(rowsPerStrip, h))
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = new Array[Byte](rows * w * 3)
+      var r = 0
+      while (r < rows) {
+        var x = 0
+        while (x < w) {
+          val p = (r * w + x) * 3
+          raw(p) = pv(0, x, s * rps + r).toByte
+          raw(p + 1) = pv(1, x, s * rps + r).toByte
+          raw(p + 2) = pv(2, x, s * rps + r).toByte
+          x += 1
+        }
+        r += 1
+      }
+      if (packBits) packBitsEncode(raw) else raw
+    }
+
+    val nTags = 10
+    val ifdSize = 2 + nTags * 12 + 4
+    val bitsOff = 8 + ifdSize
+    val offsetsOff = bitsOff + 6
+    val countsOff = offsetsOff + 4 * nStrips
+    var dataOff = countsOff + 4 * nStrips
+    val stripOffs = strips.map { s => val o = dataOff; dataOff += s.length; o }
+    val bb = java.nio.ByteBuffer.allocate(dataOff)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42)
+    bb.putInt(8)
+    bb.putShort(nTags.toShort)
+    def tag(t: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(t.toShort)
+      bb.putShort(typ.toShort)
+      bb.putInt(count)
+      // inline values are packed into the low bytes of the 4-byte slot:
+      // a SHORT sits in the first TWO bytes in the file's byte order
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value)
+    }
+    tag(256, 4, 1, w) // ImageWidth LONG
+    tag(257, 4, 1, h) // ImageLength LONG
+    tag(258, 3, 3, bitsOff) // BitsPerSample -> offset (3 SHORTs)
+    tag(259, 3, 1, if (packBits) 32773 else 1) // Compression
+    tag(262, 3, 1, 2) // Photometric RGB
+    tag(273, 4, nStrips, if (nStrips == 1) stripOffs.head else offsetsOff)
+    tag(277, 3, 1, 3) // SamplesPerPixel
+    tag(278, 4, 1, rps) // RowsPerStrip
+    tag(279, 4, nStrips, if (nStrips == 1) strips.head.length else countsOff)
+    tag(284, 3, 1, 1) // PlanarConfiguration chunky
+    bb.putInt(0) // next IFD
+    bb.putShort(8); bb.putShort(8); bb.putShort(8) // BitsPerSample values
+    for (o <- stripOffs) bb.putInt(o)
+    for (s <- strips) bb.putInt(s.length)
+    for (s <- strips) bb.put(s)
+    bb.array()
+  }
+
+  private def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      // find a run of equal bytes
+      var run = 1
+      while (i + run < raw.length && raw(i + run) == raw(i) && run < 128) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // −(run−1)
+        out.write(raw(i))
+        i += run
+      } else {
+        // literal stretch up to the next ≥2 run (or 128 bytes)
+        var lit = 1
+        while (i + lit < raw.length && lit < 128 &&
+          !(i + lit + 1 < raw.length && raw(i + lit + 1) == raw(i + lit))) lit += 1
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+}

@@ -65,14 +65,21 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
       // EOF-mid-decode hazard) truncated at the same fraction
       val jb = JpegFixtures.jpegPixelBytes(id)
       val jcut = (jb.length * fr).toInt.min(jb.length)
-      // the VP8L path (prefix-coded bitstream + transforms) at the same cut
+      // the VP8L path (prefix-coded bitstream + transforms) and the
+      // TIFF path (IFD walk + strips + RLE) at the same cut
       val wb = PixelFixtures.webpPixelBytes(id,
         PixelFixtures.width(id), PixelFixtures.height(id))
       val wcut = (wb.length * fr).toInt.min(wb.length)
+      val tb = PixelFixtures.tiffPixelBytes(id,
+        PixelFixtures.width(id), PixelFixtures.height(id))
+      val tcut = (tb.length * fr).toInt.min(tb.length)
       PixelCodec.decodePixels(java.util.Arrays.copyOf(bytes, cut))
         .forall(r => sanePixels(r) &&
           r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
         PixelCodec.decodePixels(java.util.Arrays.copyOf(wb, wcut))
+          .forall(r => sanePixels(r) &&
+            r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
+        PixelCodec.decodePixels(java.util.Arrays.copyOf(tb, tcut))
           .forall(r => sanePixels(r) &&
             r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
         JpegCodec.decode(java.util.Arrays.copyOf(jb, jcut)).forall {
@@ -96,6 +103,10 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
           PixelFixtures.width(id), PixelFixtures.height(id))
         val wmut = wb.clone()
         wmut(posSeed % wb.length) = newByte.toByte
+        val tb = PixelFixtures.tiffPixelBytes(id,
+          PixelFixtures.width(id), PixelFixtures.height(id))
+        val tmut = tb.clone()
+        tmut(posSeed % tb.length) = newByte.toByte
         val hdr = ImageHeaders.decode(mutated)
         // a flipped byte may corrupt dims, palettes, filters, or
         // entropy bits — the theorems: nothing throws, any Some keeps
@@ -103,6 +114,7 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
         // 8-bit range by construction
         PixelCodec.decodePixels(mutated).forall(sanePixels) &&
           PixelCodec.decodePixels(wmut).forall(sanePixels) &&
+          PixelCodec.decodePixels(tmut).forall(sanePixels) &&
           JpegCodec.decode(jmut).forall { case (w, h, nc, px) =>
             w > 0 && h > 0 && (nc == 1 || nc == 3) &&
               w.toLong * h <= (1L << 26) && px.length == w * h * nc
@@ -142,6 +154,13 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
           r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id) &&
           (0 until 3).forall(c =>
             (r._4(c) & 0xff) == PixelFixtures.pixelValue(id, c, 0, 0))) &&
+        PixelCodec.decodePixels(PixelFixtures.tiffPixelBytes(id,
+          PixelFixtures.width(id), PixelFixtures.height(id)))
+          .exists(r => sanePixels(r) && r._1 == "tiff" &&
+            r._2 == PixelFixtures.width(id) &&
+            r._3 == PixelFixtures.height(id) &&
+            (0 until 3).forall(c =>
+              (r._4(c) & 0xff) == PixelFixtures.pixelValue(id, c, 0, 0))) &&
         jpg.exists { case (w, h, nc, _) =>
           w == JpegFixtures.width(id) && h == JpegFixtures.height(id) && nc == 1
         }

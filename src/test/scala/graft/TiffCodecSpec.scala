@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Baseline TIFF against planted pixels: both byte orders, both
+  * compressions, strip splits, the grayscale path, and the PackBits
+  * exact-length contract.
+  */
+class TiffCodecSpec extends SparkSpec {
+
+  private def assertPlanted(id: Long): Unit = {
+    val w = PixelFixtures.width(id)
+    val h = PixelFixtures.height(id)
+    val out = PixelCodec.decodePixels(PixelFixtures.tiffPixelBytes(id, w, h))
+    assert(out.isDefined, s"id=$id must decode")
+    val (fmt, dw, dh, rgb) = out.get
+    assert((fmt, dw, dh) == (("tiff", w, h)))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((rgb((y * w + x) * 3 + c) & 0xff) ==
+        PixelFixtures.pixelValue(id, c, x, y), s"id=$id ($x,$y,$c)")
+  }
+
+  test("planted fixtures decode exactly across endian/compression/strip cycles") {
+    for (id <- 0L until 48L) assertPlanted(id)
+    assertPlanted(1000L)
+  }
+
+  test("grayscale (BlackIsZero) replicates into RGB") {
+    // hand-build a gray image: reuse the encoder then rewrite?  Simpler:
+    // build the IFD by hand via the encoder's RGB layout is not gray —
+    // construct a minimal gray file directly
+    val w = 5
+    val h = 3
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 + 9 * 12 + 4 + w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("II".getBytes("US-ASCII")).putShort(42).putInt(8)
+    bb.putShort(9)
+    def tag(t: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(t.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value)
+    }
+    val dataOff = 8 + 2 + 9 * 12 + 4
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 1, 8)
+    tag(259, 3, 1, 1)
+    tag(262, 3, 1, 1) // BlackIsZero
+    tag(273, 4, 1, dataOff)
+    tag(277, 3, 1, 1)
+    tag(278, 4, 1, h)
+    tag(279, 4, 1, w * h)
+    bb.putInt(0)
+    for (i <- 0 until w * h) bb.put(((i * 17) % 256).toByte)
+    val out = TiffCodec.decode(bb.array())
+    assert(out.isDefined)
+    val (_, dw, dh, rgb) = out.get
+    assert((dw, dh) == ((w, h)))
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert((rgb(i * 3 + c) & 0xff) == (i * 17) % 256, s"px $i ch $c")
+  }
+
+  test("PackBits must land exactly: truncated or overlong streams are None") {
+    val good = PixelFixtures.tiffPixelBytes(1L, 8, 4) // odd id → PackBits
+    assert(PixelCodec.decodePixels(good).isDefined)
+    // chop the tail: strip byte counts now point past the buffer or the
+    // RLE under-runs — either way, None, never a partial buffer
+    for (cut <- Seq(good.length - 1, good.length - 5, good.length / 2))
+      assert(PixelCodec.decodePixels(java.util.Arrays.copyOf(good, cut))
+        .forall(r => r._2 == 8 && r._3 == 4),
+        s"cut=$cut must be None or complete")
+  }
+
+  test("unsupported shapes return None, not throw") {
+    // planar configuration 2
+    val base = PixelFixtures.tiffPixelBytes(0L, 4, 4)
+    // find the planar tag (284) and flip its value to 2: tag entries
+    // start at offset 10, 12 bytes each, little-endian for id 0
+    val mutated = base.clone()
+    var e = 10
+    while (e + 12 <= 10 + 10 * 12) {
+      val t = (mutated(e) & 0xff) | ((mutated(e + 1) & 0xff) << 8)
+      if (t == 284) mutated(e + 8) = 2
+      e += 12
+    }
+    assert(TiffCodec.decode(mutated).isEmpty, "planar=2 must be unsupported")
+    assert(TiffCodec.decode(Array[Byte]('I', 'I', 42, 0)).isEmpty)
+    assert(TiffCodec.decode(Array.fill[Byte](64)(0x4d)).isEmpty)
+  }
+}
