@@ -162,6 +162,14 @@ object CurationPipeline {
     throw last
   }
 
+  /** File count for the compaction trigger, tolerant of a concurrent
+    * maintenance swap's brief dir-missing window: the trigger is
+    * opportunistic, so "skip this round" is the right degradation.
+    */
+  private def dataFilesOrZero(spark: SparkSession, path: String): Int =
+    try Compaction.dataFiles(spark, path)
+    catch { case _: java.io.FileNotFoundException => 0 }
+
   private def isMissingPath(e: Throwable): Boolean = e match {
     case _: java.io.FileNotFoundException => true
     case a: org.apache.spark.sql.AnalysisException =>
@@ -244,7 +252,7 @@ object CurationPipeline {
       // rewrite runs every ~compactOver batches, not every batch; the
       // commit redo keeps re-runs resumable.
       for (t <- Seq("digests", "index"))
-        if (Compaction.dataFiles(spark, s"${state.dir}/$t") > compactOver)
+        if (dataFilesOrZero(spark, s"${state.dir}/$t") > compactOver)
           compactState(spark, state.dir, t)
     }
     if (!appendState) return computeAccepted(spark, batch, state)._2
@@ -265,7 +273,7 @@ object CurationPipeline {
     StateCommit.requireVersioned(spark, state.dir)
     StateCommit.recover(spark, state.dir)
     for (t <- Seq("digests", "index"))
-      if (Compaction.dataFiles(spark, s"${state.dir}/$t") > compactOver)
+      if (dataFilesOrZero(spark, s"${state.dir}/$t") > compactOver)
         compactState(spark, state.dir, t)
     runBatchCommit(spark, batch, state, once = Some((sinkId, batchId)))
   }
@@ -569,7 +577,7 @@ object CurationPipeline {
       // PARTITION-PRESERVING rewrite (a flat compact would break the
       // cell=… probe pruning the layout exists for) BEFORE the batch —
       // the same lazy-reader discipline as runBatch
-      if (Compaction.dataFiles(spark, state.cellsPath) > compactOver)
+      if (dataFilesOrZero(spark, state.cellsPath) > compactOver)
         compactAnnCells(spark, state.dir)
     }
     def assign(): DataFrame =
@@ -693,7 +701,7 @@ object CurationPipeline {
     StateCommit.recover(spark, state.dir)
     purgeTombstoned(spark, state)
     for (t <- Seq("digests", "index"))
-      if (Compaction.dataFiles(spark, s"${state.dir}/$t") > compactOver)
+      if (dataFilesOrZero(spark, s"${state.dir}/$t") > compactOver)
         compactState(spark, state.dir, t)
     StateCommit.vacuumStaged(spark, state.dir, stagedTtlMs)
   }

@@ -159,7 +159,20 @@ object StateCommit {
       recover(spark, dir)
       val v = version(spark, dir)
       val txn = java.util.UUID.randomUUID().toString
-      prepare(txn, v + 1) match {
+      // A concurrent maintenance SWAP can delete files out from under a
+      // plan prepare() pinned before the swap committed (Spark resolves
+      // file lists at read time, tasks fail at execution time). That is
+      // a lost optimistic race like any other: discard the attempt and
+      // recompute against the recovered state — not an error.
+      val prepared =
+        try prepare(txn, v + 1)
+        catch {
+          case e: Throwable if isStaleRead(e) =>
+            discardStaged(spark, dir, txn)
+            null
+        }
+      if (prepared == null) ()
+      else prepared match {
         case None =>
           discardStaged(spark, dir, txn)
           return -1L
@@ -177,6 +190,29 @@ object StateCommit {
       }
     }
     sys.error(s"commit on $dir did not win a claim in $maxAttempts attempts")
+  }
+
+  /** A read that raced a maintenance swap: the plan's pinned file list
+    * no longer exists, or the directory was mid-rename. Walk the cause
+    * chain — Spark wraps the task failure several layers deep.
+    */
+  private def isStaleRead(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 12) {
+      cur match {
+        case _: java.io.FileNotFoundException => return true
+        case t if t.getMessage != null &&
+          (t.getMessage.contains("FAILED_READ_FILE") ||
+            t.getMessage.contains("FILE_NOT_EXIST") ||
+            t.getMessage.contains("PATH_NOT_FOUND") ||
+            t.getMessage.contains("Path does not exist")) => return true
+        case _ => ()
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Atomic CAS on the version chain: the record is durable in a temp

@@ -279,6 +279,67 @@ class StateCommitSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(victim + 950000L))
   }
 
+  test("randomized concurrent-op soak: protocol invariants hold under a mixed workload") {
+    val dir = Files.createTempDirectory("statecommit-soak").toString
+    val st = CurationPipeline.init(spark, dir)
+    val nThreads = 3
+    val opsPerThread = 6
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        val sess = spark.newSession()
+        val rnd = new scala.util.Random(1000 + t)
+        try {
+          for (i <- 0 until opsPerThread) {
+            val slice = t * opsPerThread + i
+            rnd.nextInt(5) match {
+              case 0 | 1 =>
+                CurationPipeline.runBatch(sess,
+                  docs.filter(col("doc_id") % (nThreads * opsPerThread) === slice),
+                  st)
+              case 2 =>
+                val ids = Seq.fill(3)(rnd.nextInt(500).toLong)
+                CurationPipeline.retract(sess, st, ids.toDF("doc_id"))
+              case 3 =>
+                CurationPipeline.purgeTombstoned(sess, st)
+              case 4 =>
+                CurationPipeline.runBatchOnce(sess,
+                  docs.filter(col("doc_id") % (nThreads * opsPerThread) === slice),
+                  st, s"soak-$t", i.toLong)
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"ops failed: ${errors.peek()}")
+    // the dir recovers clean and the version chain is live
+    StateCommit.recover(spark, dir)
+    val v = StateCommit.version(spark, dir)
+    assert(v > 0)
+    spark.catalog.refreshByPath(st.digestsPath)
+    val digests = spark.read.parquet(st.digestsPath)
+      .select("doc_id", "text_hash", "epoch")
+      .as[(Long, String, Long)].collect()
+    // every state row was stamped by a committed version
+    assert(digests.forall(_._3 <= v), "no row may carry a future epoch")
+    // commit serialization means every accepting batch deduped against
+    // its predecessors: the LIVE digest set holds one row per text
+    val tombs = spark.read.parquet(st.tombstonesPath)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => (id, rs.map(_._2).max) }
+    val live = digests.filterNot { case (id, _, e) =>
+      tombs.get(id).exists(_ >= e)
+    }
+    val dupHashes = live.groupBy(_._2).filter(_._2.length > 1)
+    assert(dupHashes.isEmpty,
+      s"live digests must be unique per text: ${dupHashes.keys.take(3)}")
+    // and the state still serves reads end-to-end
+    assert(CurationPipeline.runBatch(spark,
+      docs.filter(col("doc_id") < 10), st, appendState = false) != null)
+  }
+
   test("vacuumStaged sweeps orphaned staging, never a referenced record's") {
     val dir = Files.createTempDirectory("statecommit-vacuum").toString
     StateCommit.initDir(spark, dir)
