@@ -760,14 +760,24 @@ object PixelFixtures {
   }
 
   /** Baseline-TIFF fixture over the same planted formula: `id` cycles
-    * byte order (id/2 even → little), compression (odd ids → PackBits),
-    * and rows-per-strip (1..3 — multi-strip layouts throughout), so
-    * the IFD walk, both endians, strip reassembly, and the RLE path
+    * byte order (id/2 even → little), compression (id mod 3: none /
+    * PackBits / LZW — the LZW third with the horizontal-differencing
+    * predictor on alternate ids), and rows-per-strip (1..3 —
+    * multi-strip layouts throughout), so the IFD walk, both endians,
+    * strip reassembly, the RLE path, and the variable-width LZW path
     * all decode under the external planted-arithmetic oracle.
     */
-  def tiffPixelBytes(id: Long, w: Int, h: Int): Array[Byte] =
+  def tiffPixelBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val comp = (id % 3) match {
+      case 0 => 1
+      case 1 => 32773
+      case _ => 5
+    }
     TiffCodec.encode(w, h,
       little = (id / 2) % 2 == 0,
-      packBits = id % 2 == 1,
-      rowsPerStrip = ((id / 4) % 3 + 1).toInt)((c, x, y) => pixelValue(id, c, x, y))
+      compression = comp,
+      rowsPerStrip = ((id / 4) % 3 + 1).toInt,
+      predictor = if (comp == 5 && (id / 3) % 2 == 1) 2 else 1)(
+      (c, x, y) => pixelValue(id, c, x, y))
+  }
 }

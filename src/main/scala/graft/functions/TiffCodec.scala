@@ -3,10 +3,13 @@ package graft.functions
 /** Pure-JVM baseline TIFF pixel decode (TIFF 6.0 spec): both byte
   * orders, IFD tag walk with inline-or-offset values, 8-bit grayscale
   * (BlackIsZero) and 8-bit chunky RGB, multi-strip layouts, and the
-  * two compressions a baseline reader owes (none + PackBits RLE).
-  * Rounds out the format family `ImageHeaders` already classifies —
-  * TIFF stopped at dimensions; pixels now decode like BMP/PNG/GIF/
-  * JPEG/WebP before it.
+  * three compressions a baseline reader owes — none, PackBits RLE,
+  * and TIFF-flavor LZW (MSB-first variable-width codes with the
+  * early-change width bump, §13) with the horizontal-differencing
+  * predictor (tag 317 = 2) LZW files routinely pair with. Rounds out
+  * the format family `ImageHeaders` already classifies — TIFF stopped
+  * at dimensions; pixels now decode like BMP/PNG/GIF/JPEG/WebP
+  * before it.
   *
   * Output is top-down row-major RGB ([[PixelCodec.decodePixels]]'s
   * contract; gray replicates into all three channels). Unsupported
@@ -62,6 +65,7 @@ object TiffCodec {
     var spp = 1L
     var rowsPerStrip = 0xffffffffL
     var planar = 1L
+    var predictor = 1L
     var stripOffsets: Seq[Long] = Nil
     var stripCounts: Seq[Long] = Nil
 
@@ -107,6 +111,7 @@ object TiffCodec {
         case 278 => rowsPerStrip = vs.headOption.getOrElse(0xffffffffL)
         case 279 => stripCounts = vs
         case 284 => planar = vs.headOption.getOrElse(1L)
+        case 317 => predictor = vs.headOption.getOrElse(1L)
         case _   => ()
       }
       i += 1
@@ -118,7 +123,10 @@ object TiffCodec {
     val rgb = photometric == 2L && spp == 3L
     if (!gray && !rgb) return None
     if (bits.exists(_ != 8L) || bits.length != spp.toInt) return None
-    if (compression != 1L && compression != 32773L) return None
+    if (compression != 1L && compression != 32773L && compression != 5L)
+      return None
+    if (predictor != 1L && predictor != 2L) return None
+    if (predictor == 2L && compression != 5L) return None // LZW-only pairing
     if (stripOffsets.isEmpty || stripOffsets.length != stripCounts.length)
       return None
 
@@ -141,6 +149,29 @@ object TiffCodec {
         if (compression == 1L) {
           if (cnt != expect) return None
           java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
+        } else if (compression == 5L) {
+          val un = lzwDecode(b, off.toInt, cnt.toInt, expect)
+          if (un == null) return None
+          if (predictor == 2L) {
+            // horizontal differencing: each sample is a delta from the
+            // same channel one pixel left, per row
+            val sppI = spp.toInt
+            var r0 = 0
+            while (r0 < rows) {
+              var x0 = 1
+              while (x0 < w) {
+                var c0 = 0
+                while (c0 < sppI) {
+                  val p = (r0 * w + x0) * sppI + c0
+                  un(p) = (un(p) + un(p - sppI)).toByte
+                  c0 += 1
+                }
+                x0 += 1
+              }
+              r0 += 1
+            }
+          }
+          un
         } else {
           val un = unpackBits(b, off.toInt, cnt.toInt, expect)
           if (un == null) return None
@@ -199,14 +230,142 @@ object TiffCodec {
     if (o == expect) out else null
   }
 
+  /** TIFF-flavor LZW (§13): MSB-first variable-width codes, Clear=256,
+    * EOI=257, table entries from 258 — with the TIFF "early change":
+    * the code width bumps when the table reaches 2^width − 1, one
+    * entry EARLIER than generic LZW. Output must land exactly on
+    * `expect` bytes; anything else is corruption → null.
+    */
+  private def lzwDecode(b: Array[Byte], off: Int, len: Int,
+      expect: Int): Array[Byte] = {
+    val endBit = len.toLong * 8
+    var bitPos = 0L
+    def read(n: Int): Int = {
+      if (bitPos + n > endBit) return -1
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = (b(off + (bitPos >> 3).toInt) >> (7 - (bitPos & 7L).toInt)) & 1
+        v = (v << 1) | bit
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var old = -1
+    val out = new Array[Byte](expect)
+    var o = 0
+    var done = false
+    while (!done) {
+      val code = read(width)
+      if (code < 0) return null // truncated before EOI
+      if (code == 256) {
+        // Clear: drop the learned entries and restart narrow
+        var k = 258
+        while (k < next) { table(k) = null; k += 1 }
+        next = 258
+        width = 9
+        old = -1
+      } else if (code == 257) done = true
+      else {
+        val entry: Array[Byte] =
+          if (code < next && table(code) != null) table(code)
+          else if (code == next && old >= 0) table(old) :+ table(old)(0)
+          else return null
+        if (o + entry.length > expect) return null
+        System.arraycopy(entry, 0, out, o, entry.length)
+        o += entry.length
+        if (old >= 0 && next < 4096) {
+          table(next) = table(old) :+ entry(0)
+          next += 1
+        }
+        old = code
+        if (next == (1 << width) - 1 && width < 12) width += 1 // early change
+      }
+    }
+    if (o == expect) out else null
+  }
+
+  /** The matching LZW writer for fixtures: a real longest-match
+    * encoder whose width schedule SIMULATES the reader's table (the
+    * reader learns one entry per code read, trailing the writer's
+    * dictionary by one — `simNext` tracks the reader so every code is
+    * written in exactly the width it will be read in), with a Clear
+    * emitted when the dictionary reaches the 12-bit ceiling.
+    */
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nAcc = 0
+    def widthAt(n: Int): Int =
+      if (n >= 2047) 12 else if (n >= 1023) 11 else if (n >= 511) 10 else 9
+    var simNext = 258
+    var firstAfterClear = true
+    def put(code: Int): Unit = {
+      val w = widthAt(simNext)
+      var i = w - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) { out.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+    }
+    def putData(code: Int): Unit = {
+      put(code)
+      if (firstAfterClear) firstAfterClear = false else simNext += 1
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var dictNext = 258
+    put(256) // initial Clear
+    var cur = -1
+    var p = 0
+    while (p < raw.length) {
+      val ch = raw(p) & 0xff
+      if (cur < 0) cur = ch
+      else dict.get((cur, ch)) match {
+        case Some(c) => cur = c
+        case None =>
+          putData(cur)
+          dict((cur, ch)) = dictNext
+          dictNext += 1
+          cur = ch
+          if (dictNext == 4094) {
+            // table ceiling: flush the pending prefix, Clear, restart
+            putData(cur)
+            put(256)
+            dict.clear()
+            dictNext = 258
+            simNext = 258
+            firstAfterClear = true
+            cur = -1
+          }
+      }
+      p += 1
+    }
+    if (cur >= 0) putData(cur)
+    put(257) // EOI
+    if (nAcc > 0) { out.write(acc << (8 - nAcc)); acc = 0; nAcc = 0 }
+    out.toByteArray
+  }
+
   // --------------------------------------------------------------- encode
 
   /** Planted-pixel fixture writer: 8-bit chunky RGB, either byte order,
-    * none or PackBits compression, `rowsPerStrip` splitting the image
-    * into multiple strips. `pv(c, x, y)` plants each channel value.
+    * compression 1 (none) / 5 (LZW) / 32773 (PackBits), optional
+    * horizontal-differencing predictor (LZW only), `rowsPerStrip`
+    * splitting the image into multiple strips. `pv(c, x, y)` plants
+    * each channel value.
     */
-  def encode(w: Int, h: Int, little: Boolean, packBits: Boolean,
-      rowsPerStrip: Int)(pv: (Int, Int, Int) => Int): Array[Byte] = {
+  def encode(w: Int, h: Int, little: Boolean, compression: Int,
+      rowsPerStrip: Int, predictor: Int = 1)(
+      pv: (Int, Int, Int) => Int): Array[Byte] = {
+    require(predictor == 1 || (predictor == 2 && compression == 5))
     val rps = math.max(1, math.min(rowsPerStrip, h))
     val nStrips = (h + rps - 1) / rps
     val strips = (0 until nStrips).map { s =>
@@ -224,10 +383,31 @@ object TiffCodec {
         }
         r += 1
       }
-      if (packBits) packBitsEncode(raw) else raw
+      if (predictor == 2) {
+        // forward horizontal differencing, right-to-left per row
+        var r2 = 0
+        while (r2 < rows) {
+          var x2 = w - 1
+          while (x2 >= 1) {
+            var c2 = 0
+            while (c2 < 3) {
+              val p = (r2 * w + x2) * 3 + c2
+              raw(p) = (raw(p) - raw(p - 3)).toByte
+              c2 += 1
+            }
+            x2 -= 1
+          }
+          r2 += 1
+        }
+      }
+      compression match {
+        case 1     => raw
+        case 5     => lzwEncode(raw)
+        case 32773 => packBitsEncode(raw)
+      }
     }
 
-    val nTags = 10
+    val nTags = if (predictor == 2) 11 else 10
     val ifdSize = 2 + nTags * 12 + 4
     val bitsOff = 8 + ifdSize
     val offsetsOff = bitsOff + 6
@@ -253,13 +433,14 @@ object TiffCodec {
     tag(256, 4, 1, w) // ImageWidth LONG
     tag(257, 4, 1, h) // ImageLength LONG
     tag(258, 3, 3, bitsOff) // BitsPerSample -> offset (3 SHORTs)
-    tag(259, 3, 1, if (packBits) 32773 else 1) // Compression
+    tag(259, 3, 1, compression)
     tag(262, 3, 1, 2) // Photometric RGB
     tag(273, 4, nStrips, if (nStrips == 1) stripOffs.head else offsetsOff)
     tag(277, 3, 1, 3) // SamplesPerPixel
     tag(278, 4, 1, rps) // RowsPerStrip
     tag(279, 4, nStrips, if (nStrips == 1) strips.head.length else countsOff)
     tag(284, 3, 1, 1) // PlanarConfiguration chunky
+    if (predictor == 2) tag(317, 3, 1, 2)
     bb.putInt(0) // next IFD
     bb.putShort(8); bb.putShort(8); bb.putShort(8) // BitsPerSample values
     for (o <- stripOffs) bb.putInt(o)

@@ -71,6 +71,28 @@ class TiffCodecSpec extends SparkSpec {
         s"cut=$cut must be None or complete")
   }
 
+  test("LZW width growth through 10/11/12 bits and the table-ceiling Clear") {
+    // near-incompressible planted bytes force ~one dictionary entry per
+    // emitted code: 32x64x3 = 6144 samples drive the width past 2047
+    // and across the 4094-entry Clear
+    def mix(c: Int, x: Int, y: Int): Int = {
+      var z = c * 0x9E3779B9 + x * 0x85EBCA6B + y * 0xC2B2AE35 + 0x27D4EB2F
+      z ^= z >>> 15; z *= 0x2545F491; z ^= z >>> 13
+      z & 0xff
+    }
+    for (pred <- Seq(1, 2)) {
+      val bytes = TiffCodec.encode(32, 64, little = true, compression = 5,
+        rowsPerStrip = 64, predictor = pred)(mix)
+      val out = TiffCodec.decode(bytes)
+      assert(out.isDefined, s"pred=$pred must decode")
+      val (_, w, h, rgb) = out.get
+      assert((w, h) == ((32, 64)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) == mix(c, x, y),
+          s"pred=$pred ($x,$y,$c)")
+    }
+  }
+
   test("unsupported shapes return None, not throw") {
     // planar configuration 2
     val base = PixelFixtures.tiffPixelBytes(0L, 4, 4)
