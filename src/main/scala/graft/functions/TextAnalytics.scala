@@ -204,14 +204,22 @@ object TextAnalytics {
     * architecture production BPE trainers use: driver memory is
     * O(distinct words), never corpus; wall time is O(vocab chars +
     * k·(pairs + touched positions)), so k = 256 or 4096 no longer
-    * prices k Spark jobs with k cache/uncache barriers. For corpora
-    * whose distinct-word count itself strains the driver, `maxVocab`
-    * caps the trained vocabulary to the top-N words by (freq desc,
-    * word asc) — the standard trainer practice — at the cost of exact
-    * low-frequency tail semantics (default: uncapped, exact).
+    * prices k Spark jobs with k cache/uncache barriers. Because a web
+    * corpus's distinct-"word" count can itself strain the driver
+    * (10⁸⁺ at 100 TB), the top-`maxVocab`-by-(freq desc, word asc)
+    * selection runs ON THE EXECUTORS — a sort + limit that Spark
+    * executes as a distributed top-K — so the driver collect is
+    * bounded by `maxVocab` BEFORE it happens, never after. The cap
+    * defaults to 1M words (the scale of production tokenizer
+    * vocabularies); pass a larger cap explicitly to opt into the
+    * exact low-frequency tail. Capping is the standard trainer
+    * practice and only perturbs merges whose pair counts depend on
+    * the dropped tail.
     */
+  val DefaultBpeMaxVocab: Int = 1 << 20
+
   def trainBpeMerges(docs: DataFrame, k: Int = 6, textCol: String = "text",
-      maxVocab: Int = Int.MaxValue): DataFrame = {
+      maxVocab: Int = DefaultBpeMaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val merges = trainBpeMergeList(docs, k, textCol, maxVocab)
@@ -224,16 +232,20 @@ object TextAnalytics {
     * a tokenizer's merge table is small by construction).
     */
   private def trainBpeMergeList(docs: DataFrame, k: Int, textCol: String,
-      maxVocab: Int = Int.MaxValue): Seq[(Int, String, String, Long)] = {
+      maxVocab: Int = DefaultBpeMaxVocab): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocabAll = docs
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    // The cap bounds the COLLECT, not just the trained vocabulary: the
+    // orderBy+limit runs distributed (TakeOrderedAndProject / sort +
+    // GlobalLimit), so at most maxVocab (word, freq) rows ever reach
+    // the driver even when the corpus has 10⁸ distinct words.
+    val vocab = docs
       .select(explode(bpeishTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
       .as[(String, Long)].collect()
-    val vocab =
-      if (vocabAll.length <= maxVocab) vocabAll
-      else vocabAll.sortBy { case (w, f) => (-f, w) }.take(maxVocab)
     trainInMemory(vocab, k)
   }
 

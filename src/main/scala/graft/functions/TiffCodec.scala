@@ -13,7 +13,7 @@ package graft.functions
   *
   * Output is top-down row-major RGB ([[PixelCodec.decodePixels]]'s
   * contract; gray replicates into all three channels). Unsupported
-  * shapes (planar, tiled, LZW, 16-bit, palette) and malformed or
+  * shapes (planar, tiled, 16-bit, palette) and malformed or
   * truncated payloads return None — corrupt blobs are data, not task
   * failures — and every allocation is bounded by the declared
   * geometry under the repo-wide 2^26-pixel guard.

@@ -662,11 +662,18 @@ object Vp8lCodec {
   /** Write one literal-only entropy image (no cache, no meta, no LZ77):
     * uniform-length canonical codes for green/red/blue over their used
     * values, single-symbol codes for alpha and distance.
+    *
+    * Bit order matches the decoder (and libwebp / RFC 9649):
+    * color-cache-info FIRST, then — at level 0 only — the meta-prefix
+    * bit; sub-images (transform data, entropy image) have no meta bit.
+    * The writer owns BOTH bits so no caller can emit them swapped
+    * (the r8 ADVICE latent bug: both zero bits round-tripped, but the
+    * labels were reversed and a future non-zero use would desync).
     */
-  private def writeEntropyImage(bw: BitWriter, argb: Array[Int]): Unit = {
+  private def writeEntropyImage(bw: BitWriter, argb: Array[Int],
+      level0: Boolean = false): Unit = {
     bw.write(0, 1) // no color cache
-    // NOTE: callers writing the level-0 stream emit the meta bit; the
-    // sub-image writer must NOT (readers only read it at level 0)
+    if (level0) bw.write(0, 1) // no meta-prefix image (level 0 only)
     val greens = argb.map(p => (p >> 8) & 0xff).toSeq
     val redsV = argb.map(p => (p >> 16) & 0xff).toSeq
     val bluesV = argb.map(p => p & 0xff).toSeq
@@ -713,19 +720,17 @@ object Vp8lCodec {
     transform match {
       case 0 =>
         bw.write(0, 1) // no transforms
-        bw.write(0, 1) // no meta
-        writeEntropyImage(bw, argbIn)
+        writeEntropyImage(bw, argbIn, level0 = true)
       case 1 =>
         bw.write(1, 1); bw.write(2, 2) // subtract-green
         bw.write(0, 1) // end transforms
-        bw.write(0, 1) // no meta
         val res = argbIn.map { p =>
           val g = (p >> 8) & 0xff
           val r = (((p >> 16) & 0xff) - g) & 0xff
           val b = ((p & 0xff) - g) & 0xff
           (p & 0xff00ff00) | (r << 16) | b
         }
-        writeEntropyImage(bw, res)
+        writeEntropyImage(bw, res, level0 = true)
       case 2 =>
         // predictor transform, constant mode 1 (Left) in one block
         bw.write(1, 1); bw.write(0, 2)
@@ -733,7 +738,6 @@ object Vp8lCodec {
         bw.write(bits - 2, 3)
         writeEntropyImage(bw, Array(0xff000000 | (1 << 8))) // mode-1 pixel
         bw.write(0, 1) // end transforms
-        bw.write(0, 1) // no meta
         val res = new Array[Int](w * h)
         var i = 0
         while (i < w * h) {
@@ -747,7 +751,7 @@ object Vp8lCodec {
           res(i) = subPixels(argbIn(i), pred)
           i += 1
         }
-        writeEntropyImage(bw, res)
+        writeEntropyImage(bw, res, level0 = true)
       case 3 =>
         // color transform, constant multipliers in one block
         bw.write(1, 1); bw.write(1, 2)
@@ -757,7 +761,6 @@ object Vp8lCodec {
         writeEntropyImage(bw,
           Array(0xff000000 | (r2b << 16) | (g2b << 8) | g2r))
         bw.write(0, 1) // end transforms
-        bw.write(0, 1) // no meta
         val res = argbIn.map { p =>
           val green = ((p >> 8) & 0xff).toByte
           val r = (p >> 16) & 0xff
@@ -769,7 +772,7 @@ object Vp8lCodec {
             ((r2b.toByte * r.toByte) >> 5)) & 0xff
           (p & 0xff00ff00) | (newR << 16) | newB
         }
-        writeEntropyImage(bw, res)
+        writeEntropyImage(bw, res, level0 = true)
       case 4 =>
         // color indexing: delta-coded palette + (bundled) index image
         val colors = argbIn.distinct.sorted
@@ -782,7 +785,6 @@ object Vp8lCodec {
         }
         writeEntropyImage(bw, deltas)
         bw.write(0, 1) // end transforms
-        bw.write(0, 1) // no meta
         val xb = paletteBundleBits(colors.length)
         val bpp = 8 >> xb
         val packedW = subSize(w, xb)
@@ -795,7 +797,8 @@ object Vp8lCodec {
           packed(slot) |= (index(j) << (bpp * (x & ((1 << xb) - 1)))) << 8
           j += 1
         }
-        writeEntropyImage(bw, packed.map(p => 0xff000000 | p))
+        writeEntropyImage(bw, packed.map(p => 0xff000000 | p),
+          level0 = true)
     }
     val payload = bw.toBytes
     riff(payload)

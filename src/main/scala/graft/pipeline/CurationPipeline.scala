@@ -590,18 +590,32 @@ object CurationPipeline {
     // computed inside prepare: a conflict retry (e.g. a concurrent
     // reindexAnn swapped the codebook between our read and our claim)
     // re-assigns against the winner's centroids instead of committing
-    // stale-codebook cells
-    var assigned: DataFrame = null
+    // stale-codebook cells. The RETURNED frame is PINNED inside the
+    // winning prepare (collected from the staged bytes — batch-sized,
+    // like the tombstone local relation): returning the lazy plan
+    // instead would let a reindexAnn swap the codebook between our
+    // commit and the caller's collection, re-assigning the returned
+    // rows against the NEW centroids while the committed cells hold
+    // the old assignment (r8 ADVICE).
+    val shape = assign().schema
+    var pinned: Array[org.apache.spark.sql.Row] = null
     StateCommit.commit(spark, state.dir) { (txn, epoch) =>
-      assigned = assign()
-      assigned
+      val staged = StateCommit.stagePath(state.dir, txn, "cells")
+      assign()
         .select(col("vec_id"), col("embedding"), col("__nx"),
           lit(epoch).as("epoch"), col("cell"))
         .write.partitionBy("cell")
-        .parquet(StateCommit.stagePath(state.dir, txn, "cells"))
+        .parquet(staged)
+      // read back what was WRITTEN (cast restores the pre-write types
+      // the partition-column read would otherwise re-infer), so the
+      // pinned rows are exactly the committed bytes
+      pinned = spark.read.parquet(staged)
+        .select(shape.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        .collect()
       Some(Seq(StateCommit.Op("publish", "cells")))
     }
-    assigned
+    spark.createDataFrame(
+      java.util.Arrays.asList(pinned: _*), shape)
   }
 
   private def compactAnnCells(spark: SparkSession, dir: String): Unit = {

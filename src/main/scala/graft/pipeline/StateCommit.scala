@@ -178,7 +178,21 @@ object StateCommit {
           return -1L
         case Some(ops) =>
           val rec = Record(txn, ops)
-          if (tryClaim(dir, v + 1, rec)) {
+          // Pre-claim staging verification: a standalone vacuumStaged
+          // (or one racing this attempt's 11th-hour claim) may have
+          // swept this txn's staging while prepare() computed — it was
+          // unclaimed, so nothing protected it. Claiming now would
+          // commit a record whose apply finds no staging and lands
+          // zero rows. Treat it like any lost optimistic race: discard
+          // and re-prepare (the re-stage gets a fresh mtime, outside
+          // any sane vacuum cutoff).
+          val fsv = new Path(dir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val swept = ops.exists(op =>
+            !fsv.exists(new Path(stagePath(dir, txn, op.table))))
+          if (swept) {
+            discardStaged(spark, dir, txn)
+          } else if (tryClaim(dir, v + 1, rec)) {
             applyExclusive(spark, dir, v + 1, rec)
             writeVersionFile(dir, v + 1)
             pruneLog(dir, v + 1)
@@ -298,7 +312,16 @@ object StateCommit {
         beat.setDaemon(true)
         beat.start()
         try {
-          if (!Files.exists(done)) applyRecord(spark, dir, rec, usurped)
+          // Strict on a FIRST apply (no broken-lease `.replay` marker):
+          // missing staging then means the files were never moved —
+          // vacuumed or tampered — and silently skipping would report
+          // a committed version that landed zero rows. Only a replay
+          // after a crashed/usurped applier (marker present) may treat
+          // consumed staging as already-applied mid-state.
+          val tolerateConsumed =
+            Files.exists(cd.resolve(versionName(v) + ".replay"))
+          if (!Files.exists(done))
+            applyRecord(spark, dir, rec, usurped, tolerateConsumed)
           try Files.createFile(done)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
         } finally {
@@ -321,6 +344,10 @@ object StateCommit {
             versionName(v) + s".apply-broken-${java.util.UUID.randomUUID()}")
           Files.move(lease, broken)
           Files.deleteIfExists(broken)
+          // record that this version's apply crashed mid-flight: the
+          // replay (by us or anyone) must tolerate consumed staging
+          try Files.createFile(cd.resolve(versionName(v) + ".replay"))
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
         }
       } catch { case _: java.io.IOException => () } // released/broken meanwhile
       if (System.currentTimeMillis() > deadline)
@@ -358,7 +385,8 @@ object StateCommit {
     */
   private def applyRecord(spark: SparkSession, dir: String, rec: Record,
       usurped: java.util.concurrent.atomic.AtomicBoolean =
-        new java.util.concurrent.atomic.AtomicBoolean(false)): Unit = {
+        new java.util.concurrent.atomic.AtomicBoolean(false),
+      tolerateConsumed: Boolean = true): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     for (op <- rec.ops) {
       if (usurped.get)
@@ -372,9 +400,15 @@ object StateCommit {
             val qSrc = fs.makeQualified(src)
             moveDataFiles(fs, qSrc, qSrc, fs.makeQualified(dest))
             fs.delete(src, true)
+          } else if (!tolerateConsumed) {
+            sys.error(s"apply of ${rec.txn}: staging $src is MISSING on a " +
+              "first apply — the staged data was lost (vacuumed?) before " +
+              "it could be published. Refusing to record a lost update " +
+              "as success.")
           }
         case "swap" =>
-          replaceDirReplayable(spark, dest.toString, src.toString)
+          replaceDirReplayable(spark, dest.toString, src.toString,
+            tolerateConsumed)
       }
       spark.catalog.refreshByPath(dest.toString)
     }
@@ -422,7 +456,7 @@ object StateCommit {
     * staging present is the mid-crash state — complete it.
     */
   private def replaceDirReplayable(spark: SparkSession, dest: String,
-      src: String): Unit = {
+      src: String, tolerateConsumed: Boolean = true): Unit = {
     val p = new Path(dest)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(dest + "__old")
@@ -434,6 +468,14 @@ object StateCommit {
         sys.error(s"swap aborted: could not move $src into place")
       fs.delete(old, true)
     } else {
+      // src consumed: on a crash REPLAY this is the already-swapped
+      // mid-state; on a first apply it means the staged replacement was
+      // lost before it could land — fail loudly, don't serve the stale
+      // table as if the swap succeeded
+      if (!tolerateConsumed)
+        sys.error(s"swap of $dest: staging $src is MISSING on a first " +
+          "apply — the staged replacement was lost (vacuumed?). " +
+          "Refusing to record a lost update as success.")
       if (!fs.exists(p)) sys.error(s"swap lost: neither $src nor $dest exists")
       fs.delete(old, true)
     }
@@ -445,10 +487,43 @@ object StateCommit {
     fs.delete(p, true)
   }
 
+  /** Txns referenced by ANY record still in the `_commits` log (the
+    * record file's first line is the txn id). A referenced txn's
+    * staging belongs to a claimed commit: if it still exists, the
+    * commit is unapplied or mid-apply — never garbage.
+    */
+  private def referencedTxns(dir: String): Set[String] = {
+    val cd = Paths.get(commitsDir(dir))
+    if (!Files.isDirectory(cd)) return Set.empty
+    val out = Set.newBuilder[String]
+    val it = Files.list(cd)
+    try {
+      it.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.nonEmpty && name.forall(_.isDigit)) {
+          try {
+            val first = new String(Files.readAllBytes(p),
+              StandardCharsets.UTF_8).split("\n", 2).head.trim
+            if (first.nonEmpty) out += first
+          } catch { case _: java.io.IOException => () } // pruned mid-list
+        }
+      }
+    } finally it.close()
+    out.result()
+  }
+
   /** Garbage-collect staging dirs orphaned by writers that crashed
     * BEFORE claiming (never referenced by any record). Only staging
     * older than `olderThanMs` is touched so in-flight commits are never
-    * raced. Run on the maintenance cadence (with purge / re-index).
+    * raced, and staging whose txn appears in the `_commits` log is
+    * NEVER touched regardless of age — deleting it would turn a
+    * claimed-but-unapplied commit into a silent no-op at replay (the
+    * r8 data-loss hole). The reference set is re-read immediately
+    * before each delete so a claim landing between the listing and the
+    * delete still protects its staging; the residual sub-millisecond
+    * window is additionally closed by [[commit]]'s pre-claim staging
+    * verification. Run on the maintenance cadence (with purge /
+    * re-index).
     */
   def vacuumStaged(spark: SparkSession, dir: String,
       olderThanMs: Long = 3600L * 1000): Int = {
@@ -456,9 +531,17 @@ object StateCommit {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced = referencedTxns(dir)
+    val candidates = fs.listStatus(root)
+      .filter(e => e.getModificationTime < cutoff &&
+        !referenced.contains(e.getPath.getName))
     var n = 0
-    for (e <- fs.listStatus(root) if e.getModificationTime < cutoff) {
-      fs.delete(e.getPath, true); n += 1
+    for (e <- candidates) {
+      // re-check right before the irreversible step: a commit may have
+      // claimed this txn since the candidate listing
+      if (!referencedTxns(dir).contains(e.getPath.getName)) {
+        fs.delete(e.getPath, true); n += 1
+      }
     }
     n
   }

@@ -450,6 +450,66 @@ class ScaleSmokeSpec extends SparkSpec {
       f"encode must scale near-linearly: $te1%.2fs -> $te10%.2fs")
   }
 
+  /** r8 verdict item 2: the maxVocab cap must bound the DRIVER COLLECT,
+    * not just trim after it. Construction: n distinct single-occurrence
+    * words ("w0".."wN", one alnum token each) plus one high-frequency
+    * shared word, at 1× and 10× distinct-word scale. With cap C, the
+    * trainer must see exactly the top-C words by (freq desc, word asc)
+    * — proven by equality with a train over an explicitly-materialized
+    * top-C corpus — and the driver heap delta must not scale with the
+    * 10× vocabulary.
+    */
+  test("BPE maxVocab bounds the driver collect under 10× distinct-word vocabulary") {
+    import graft.functions.TextAnalytics
+    import spark.implicits._
+    def wordCorpus(nWords: Int, out: String): DataFrame = {
+      // zero-padded ids so lexicographic word order == numeric order:
+      // the top-cap word set is then IDENTICAL at 1× and 10× vocab
+      spark.range(nWords).select(col("id").as("doc_id"),
+        concat(lit("w"), lpad(col("id").cast("string"), 6, "0"),
+          lit(" shared shared")).as("text"))
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+    val docs1 = wordCorpus(20000, s"$base/vocab1x")
+    val docs10 = wordCorpus(200000, s"$base/vocab10x")
+    val cap = 1000
+    def train(d: DataFrame, mv: Int) = TextAnalytics
+      .trainBpeMerges(d, k = 8, maxVocab = mv)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // reference: materialize the top-cap vocabulary with the SAME
+    // (freq desc, word asc) selection the trainer documents, expand it
+    // back into a corpus (freq rows per word), and train that exactly
+    val topK = docs10
+      .select(explode(TextAnalytics.bpeishTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(cap)
+    val expanded = topK
+      .select(col("word"), explode(sequence(lit(1L), col("freq"))).as("i"))
+      .select(monotonically_increasing_id().as("doc_id"),
+        col("word").as("text"))
+    val expect = train(expanded, Int.MaxValue)
+    def usedHeap(): Long = {
+      System.gc(); Thread.sleep(50); System.gc()
+      Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    }
+    val h0 = usedHeap()
+    val (got1, tc1) = timed(train(docs1, cap))
+    val (got10, tc10) = timed(train(docs10, cap))
+    val h1 = usedHeap()
+    info(f"bpe capped train: 1x-vocab $tc1%.2fs, 10x-vocab $tc10%.2fs, " +
+      f"driver heap delta ${(h1 - h0) / 1048576}%d MiB (cap=$cap)")
+    assert(got10 == expect,
+      "capped training on the 10× corpus must equal training on exactly the top-cap vocabulary")
+    // the two corpora share their top-cap vocabulary by construction
+    // (shared + the 999 lexicographically-smallest wN, all freq 1 —
+    // except 'shared' freq differs, but merges WITHIN each word are
+    // freq-scale invariant per the replica theorem above), so capped
+    // merge STRUCTURE must agree across vocab scales
+    assert(got1.map(m => (m._1, m._2, m._3)) == got10.map(m => (m._1, m._2, m._3)),
+      "cap must make training invariant to the uncollected vocabulary tail")
+  }
+
   test("video near-dup pairing stays within-group and scales exactly 10×") {
     import graft.functions.Multimodal
     import spark.implicits._

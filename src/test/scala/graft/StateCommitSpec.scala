@@ -343,11 +343,83 @@ class StateCommitSpec extends SparkSpec {
   test("vacuumStaged sweeps orphaned staging, never a referenced record's") {
     val dir = Files.createTempDirectory("statecommit-vacuum").toString
     StateCommit.initDir(spark, dir)
-    Seq((1L, 1L)).toDF("a", "b")
-      .write.parquet(StateCommit.stagePath(dir, "orphan-txn", "t"))
-    assert(StateCommit.vacuumStaged(spark, dir, olderThanMs = 0L) == 1)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // orphan: staged, never claimed — swept
+    Seq((1L, 1L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "orphan-txn", "t"))
+    // claimed-but-unapplied: staged AND referenced by a commit record —
+    // vacuum must never touch it, even at ttl 0 (r8 ADVICE: sweeping it
+    // silently turns the commit into a zero-row no-op at replay)
+    Seq((7L, 7L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "claimed-txn", "t"))
+    assert(StateCommit.tryClaim(dir, 1L, StateCommit.Record("claimed-txn",
+      Seq(StateCommit.Op("publish", "t")))))
+    assert(StateCommit.vacuumStaged(spark, dir, olderThanMs = 0L) == 1,
+      "exactly the orphan must be swept")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staged/orphan-txn")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_staged/claimed-txn")),
+      "a referenced record's staging must survive vacuum")
+    // and the protected commit still lands its rows on recovery
+    StateCommit.recover(spark, dir)
+    assert(spark.read.parquet(s"$dir/t").count() == 1L,
+      "the claimed commit must apply its staged rows after the vacuum")
+  }
+
+  test("first apply of a commit whose staging was lost fails LOUDLY, not as a no-op") {
+    // simulate the pre-fix hazard: claim a publish, then sweep its
+    // staging out from under it (as the old vacuumStaged could). The
+    // apply must refuse — reporting success with zero rows landed is
+    // the data-loss mode this round closes.
+    val dir = Files.createTempDirectory("statecommit-loudloss").toString
+    StateCommit.initDir(spark, dir)
+    Seq((9L, 9L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "doomed-txn", "t"))
+    assert(StateCommit.tryClaim(dir, 1L, StateCommit.Record("doomed-txn",
+      Seq(StateCommit.Op("publish", "t")))))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staged/doomed-txn"), true)
+    val e = intercept[RuntimeException](StateCommit.recover(spark, dir))
+    assert(e.getMessage.contains("MISSING"), s"got: ${e.getMessage}")
+    // same loudness for a lost swap replacement
+    val dir2 = Files.createTempDirectory("statecommit-loudswap").toString
+    StateCommit.initDir(spark, dir2)
+    Seq((1L, 1L)).toDF("a", "b").write.parquet(s"$dir2/t") // existing dest
+    Seq((2L, 2L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir2, "doomed-swap", "t"))
+    assert(StateCommit.tryClaim(dir2, 1L, StateCommit.Record("doomed-swap",
+      Seq(StateCommit.Op("swap", "t")))))
+    val fs2 = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(s"$dir2/_staged/doomed-swap"), true)
+    val e2 = intercept[RuntimeException](StateCommit.recover(spark, dir2))
+    assert(e2.getMessage.contains("MISSING"), s"got: ${e2.getMessage}")
+    // the pre-fix behavior would have served the STALE dest as committed
+    assert(spark.read.parquet(s"$dir2/t").select("a").as[Long].collect()
+      .toSeq == Seq(1L), "the stale table is still there — just not lied about")
+  }
+
+  test("commit() re-prepares when a standalone vacuum sweeps its staging pre-claim") {
+    // a prepare() that outlives the vacuum TTL loses its staging while
+    // still unclaimed; the commit loop must detect the sweep BEFORE
+    // claiming and re-run prepare — not commit a record with no data
+    val dir = Files.createTempDirectory("statecommit-preclaim").toString
+    StateCommit.initDir(spark, dir)
+    var attempts = 0
+    val v = StateCommit.commit(spark, dir) { (txn, _) =>
+      attempts += 1
+      Seq((attempts.toLong, 1L)).toDF("a", "b")
+        .write.parquet(StateCommit.stagePath(dir, txn, "t"))
+      // the slow-prepare vacuum race, deterministically: sweep right
+      // after the first attempt stages (unclaimed → unprotected)
+      if (attempts == 1)
+        assert(StateCommit.vacuumStaged(spark, dir, olderThanMs = 0L) == 1)
+      Some(Seq(StateCommit.Op("publish", "t")))
+    }
+    assert(v == 1L, "the retry must commit as the next version")
+    assert(attempts == 2, s"swept attempt must re-prepare, ran $attempts")
+    assert(spark.read.parquet(s"$dir/t").select("a").as[Long].collect()
+      .toSeq == Seq(2L), "exactly the re-prepared rows must land")
   }
 }

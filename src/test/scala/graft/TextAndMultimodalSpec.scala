@@ -908,6 +908,30 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(m3.toSeq == Seq((1, "a", "b", 1L)))
   }
 
+  test("trainBpeMerges: maxVocab caps the vocabulary BEFORE it reaches the trainer") {
+    // vocab: ab×4, ba×3. cap=1 keeps only "ab" (freq desc), so the
+    // (b,a)=3 merge a full-vocab k=2 train would emit must disappear —
+    // observable proof the tail never reached the trainer.
+    val corpus = Seq((1L, "ab ab ab ab ba ba ba")).toDF("doc_id", "text")
+    val full = TextAnalytics.trainBpeMerges(corpus, k = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(full.toSeq == Seq((1, "a", "b", 4L), (2, "b", "a", 3L)))
+    val capped = TextAnalytics.trainBpeMerges(corpus, k = 2, maxVocab = 1)
+      .as[(Int, String, String, Long)].collect()
+    assert(capped.toSeq == Seq((1, "a", "b", 4L)),
+      "cap=1 must train on {ab} only — no (b,a) merge can exist")
+    // equal-frequency boundary: cap tie-breaks by word asc — ab wins over ba
+    val tied = Seq((1L, "ba ba ab ab")).toDF("doc_id", "text")
+    val cappedTie = TextAnalytics.trainBpeMerges(tied, k = 1, maxVocab = 1)
+      .as[(Int, String, String, Long)].collect()
+    assert(cappedTie.toSeq == Seq((1, "a", "b", 2L)),
+      "(freq desc, word asc) boundary must keep 'ab', not 'ba'")
+    // cap >= vocab is exact: identical to uncapped
+    val roomy = TextAnalytics.trainBpeMerges(corpus, k = 2, maxVocab = 100)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(roomy.toSeq == full.toSeq)
+  }
+
   test("VideoHeaders: MP4 box walk reads mvhd duration, trak count, stsz frames") {
     import graft.functions.{MediaFixtures, VideoHeaders}
     assert(VideoHeaders.decode(MediaFixtures.mp4Bytes(2, 30, 1000, 4500L)) ==
