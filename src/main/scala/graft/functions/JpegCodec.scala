@@ -1,28 +1,38 @@
 package graft.functions
 
-/** Pure-JVM BASELINE SEQUENTIAL JPEG (ITU T.81) pixel decoder: marker
+/** Pure-JVM JPEG (ITU T.81) pixel decoder — baseline/extended
+  * sequential (SOF0/SOF1) AND progressive (SOF2, Huffman): marker
   * walk, DQT (8/16-bit precision), DHT canonical Huffman (the spec's
-  * mincode/maxcode/valptr decode of F.2.2.3), SOF0/SOF1, DRI/RSTn
-  * restart handling, the byte-stuffed entropy bit reader, run-length AC
+  * mincode/maxcode/valptr decode of F.2.2.3), DRI/RSTn restart
+  * handling, the byte-stuffed entropy bit reader, run-length AC
   * decode with ZRL/EOB, dequantization, inverse zigzag, a separable
   * double-precision IDCT, and box chroma upsampling + YCbCr→RGB for
   * three-component scans. Grayscale (single-component, non-interleaved)
-  * scans decode to one channel.
+  * scans decode to one channel. The progressive path (T.81 Annex G —
+  * the dominant large-web-JPEG variant, r8 verdict item 3) accumulates
+  * a full-frame coefficient buffer across spectral-selection and
+  * successive-approximation scans (DC first/refine, AC first with EOB
+  * runs, the G.1.2.3 AC refinement) and renders at EOI.
   *
-  * Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit
-  * streams are out of scope and return `None` — as does every
-  * malformed, truncated, or adversarial buffer: a corrupt blob is data,
-  * not an executor task failure.
+  * Arithmetic-coded, hierarchical, and 12-bit streams are out of scope
+  * and return `None` — as does every malformed, truncated, or
+  * adversarial buffer: a corrupt blob is data, not an executor task
+  * failure.
   *
   * Correctness is established two independent ways:
-  *  - the registry query `multimodal_jpeg_pixels_real` decodes
-  *    [[JpegFixtures]] streams whose every pixel is planted doc_id
-  *    arithmetic (DC-only blocks are block-constant `128 + DC/8`, and
-  *    with DC a multiple of 8 the two-pass double IDCT reproduces the
-  *    integer exactly — error < 1e-12 « the 0.5 rounding margin), with
-  *    a DuckDB oracle recomputing the sums from the same arithmetic;
+  *  - the registry queries `multimodal_jpeg_pixels_real` (sequential)
+  *    and `multimodal_jpeg_progressive` decode [[JpegFixtures]]
+  *    streams whose every pixel is planted doc_id arithmetic (DC-only
+  *    blocks are block-constant `128 + DC/8`, and with DC a multiple
+  *    of 8 the two-pass double IDCT reproduces the integer exactly —
+  *    error < 1e-12 « the 0.5 rounding margin; the progressive
+  *    fixtures split that DC across a successive-approximation
+  *    first+refine scan pair and carry all-zero AC bands as EOB runs),
+  *    with a DuckDB oracle recomputing the sums from the same
+  *    arithmetic;
   *  - specs cross-validate the full AC/color path against the JDK's
-  *    independent ImageIO decoder on round-tripped images.
+  *    independent ImageIO decoder on round-tripped images, in both
+  *    sequential and progressive encoder modes.
   *
   * No reference citation possible: the reference
   * (/root/reference/script.js) has no multimodal surface — this is a
@@ -233,8 +243,10 @@ object JpegCodec {
             // T.81 A.2.2: a single-component scan is non-interleaved and
             // its sampling factors do not subsample anything
             if (nComp == 1) { compHs(0) = 1; compVs(0) = 1 }
-          case x if x >= 0xc2 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
-            return None // progressive / arithmetic / lossless / hierarchical
+          case 0xc2 => // progressive DCT, Huffman — dedicated multi-scan walk
+            return decodeProgressiveImpl(b)
+          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+            return None // arithmetic / lossless / hierarchical
           case 0xdd =>
             if (segEnd - seg < 2) return None
             dri = be16(b, seg)
@@ -359,7 +371,19 @@ object JpegCodec {
       mcu += 1
     }
 
-    // ---- upsample + color convert ----
+    composeImage(w, h, nComp, planes, planeW, compHs, compVs, hMax, vMax)
+  }
+  // scalastyle:on method.length cyclomatic.complexity
+
+  /** Shared output stage: crop the MCU-padded per-component planes to
+    * the declared geometry, box-upsample chroma, YCbCr→RGB for 3
+    * components (grayscale passes through) — used by the sequential
+    * and progressive paths alike.
+    */
+  private def composeImage(w: Int, h: Int, nComp: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int], compHs: Array[Int],
+      compVs: Array[Int], hMax: Int,
+      vMax: Int): Option[(Int, Int, Int, Array[Byte])] = {
     if (nComp == 1) {
       val out = new Array[Byte](w * h)
       val plane = planes(0); val pw = planeW(0)
@@ -394,6 +418,453 @@ object JpegCodec {
       }
       Some((w, h, 3, out))
     }
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  /** Progressive DCT decode (T.81 Annex G, Huffman): the full-frame
+    * coefficient buffer accumulates across scans — DC first/refine
+    * (interleaved or single-component), AC first with EOB runs, AC
+    * refinement with correction bits (the G.1.2.3 algorithm) — with
+    * DHT/DRI redefinitions between scans and RSTn restarts inside
+    * them; at EOI every block is dequantized (tables latched at the
+    * first scan, as the spec requires them stable within a frame) and
+    * pushed through the shared IDCT + upsample + color stage.
+    *
+    * Coefficients are stored zigzag-ordered in Short arrays (2 bytes
+    * per coefficient — half the alloc of Int under the same 2^26-pixel
+    * guard); any scan value outside Short range is impossible in a
+    * conforming 8-bit stream and rejects the blob as corrupt.
+    */
+  // scalastyle:off method.length cyclomatic.complexity
+  private def decodeProgressiveImpl(
+      b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    val quant = Array.ofDim[Int](4, 64) // zigzag, as transmitted
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var w = 0; var h = 0; var nComp = 0
+    var compId: Array[Int] = null
+    var compHs: Array[Int] = null
+    var compVs: Array[Int] = null
+    var compQ: Array[Int] = null
+    var dri = 0
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    var coefs: Array[Array[Short]] = null // per comp: padded grid × 64, zigzag
+    var padW: Array[Int] = null // padded blocks per line (mcusX · hi)
+    var padH: Array[Int] = null // padded block rows (mcusY · vi)
+    var blocksW: Array[Int] = null // true ceil(compW/8)
+    var blocksH: Array[Int] = null // true ceil(compH/8)
+    var quantLatched: Array[Array[Int]] = null // frozen at first SOS
+    var sawScan = false
+    var pos = 2
+
+    while (true) {
+      if (pos + 1 >= b.length || u8(b, pos) != 0xff) return None
+      var m = u8(b, pos + 1); pos += 2
+      while (m == 0xff) { // fill bytes
+        if (pos >= b.length) return None
+        m = u8(b, pos); pos += 1
+      }
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        () // standalone marker between segments: nothing to do
+      } else if (m == 0xd9) { // EOI: render what the scans built
+        if (!sawScan) return None
+        val planeW = new Array[Int](nComp)
+        val planes = new Array[Array[Byte]](nComp)
+        val coefD = new Array[Int](64)
+        val px = new Array[Int](64)
+        var ci = 0
+        while (ci < nComp) {
+          planeW(ci) = padW(ci) * 8
+          planes(ci) = new Array[Byte](planeW(ci) * padH(ci) * 8)
+          val q = quantLatched(ci)
+          val cf = coefs(ci)
+          val pw = planeW(ci)
+          var brow = 0
+          while (brow < padH(ci)) {
+            var bcol = 0
+            while (bcol < padW(ci)) {
+              val off = (brow * padW(ci) + bcol) * 64
+              var k = 0
+              while (k < 64) {
+                coefD(Zigzag(k)) = cf(off + k) * q(k)
+                k += 1
+              }
+              idct8x8(coefD, px)
+              val plane = planes(ci)
+              val ox = bcol * 8; val oy = brow * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((oy + yy) * pw + ox + xx) = px(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              bcol += 1
+            }
+            brow += 1
+          }
+          ci += 1
+        }
+        return composeImage(w, h, nComp, planes, planeW, compHs, compVs,
+          hMax, vMax)
+      } else {
+        if (pos + 1 >= b.length) return None
+        val len = be16(b, pos)
+        if (len < 2 || pos + len > b.length) return None
+        val seg = pos + 2
+        val segEnd = pos + len
+        m match {
+          case 0xdb => // DQT (legal between scans; tables latch at first SOS)
+            var p = seg
+            while (p < segEnd) {
+              val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+              if (tq > 3) return None
+              p += 1
+              var i = 0
+              if (pq == 0) {
+                if (p + 64 > segEnd) return None
+                while (i < 64) { quant(tq)(i) = u8(b, p + i); i += 1 }
+                p += 64
+              } else if (pq == 1) {
+                if (p + 128 > segEnd) return None
+                while (i < 64) { quant(tq)(i) = be16(b, p + 2 * i); i += 1 }
+                p += 128
+              } else return None
+            }
+          case 0xc4 => // DHT — redefinable between scans
+            var p = seg
+            while (p < segEnd) {
+              if (p + 17 > segEnd) return None
+              val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => u8(b, p + 1 + i))
+              val total = counts.sum
+              if (total > 256 || p + 17 + total > segEnd) return None
+              val vals = Array.tabulate(total)(i => u8(b, p + 17 + i))
+              val tab = new HuffTable(counts, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + total
+            }
+          case 0xc2 => // frame header (exactly one)
+            if (nComp != 0) return None
+            if (segEnd - seg < 6) return None
+            if (u8(b, seg) != 8) return None // 12-bit unsupported
+            h = be16(b, seg + 1); w = be16(b, seg + 3)
+            nComp = u8(b, seg + 5)
+            if (w <= 0 || h <= 0 || (nComp != 1 && nComp != 3)) return None
+            if (w.toLong * h > (1L << 26)) return None // alloc bound
+            if (segEnd - seg < 6 + 3 * nComp) return None
+            compId = new Array[Int](nComp)
+            compHs = new Array[Int](nComp)
+            compVs = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            var i = 0
+            while (i < nComp) {
+              val p = seg + 6 + 3 * i
+              compId(i) = u8(b, p)
+              compHs(i) = u8(b, p + 1) >> 4
+              compVs(i) = u8(b, p + 1) & 15
+              compQ(i) = u8(b, p + 2)
+              if (compHs(i) < 1 || compHs(i) > 4 || compVs(i) < 1 ||
+                compVs(i) > 4 || compQ(i) > 3) return None
+              i += 1
+            }
+            if (nComp == 1) { compHs(0) = 1; compVs(0) = 1 }
+            i = 0
+            while (i < nComp) {
+              if (compHs(i) > hMax) hMax = compHs(i)
+              if (compVs(i) > vMax) vMax = compVs(i)
+              i += 1
+            }
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            coefs = new Array[Array[Short]](nComp)
+            padW = new Array[Int](nComp)
+            padH = new Array[Int](nComp)
+            blocksW = new Array[Int](nComp)
+            blocksH = new Array[Int](nComp)
+            i = 0
+            while (i < nComp) {
+              padW(i) = mcusX * compHs(i)
+              padH(i) = mcusY * compVs(i)
+              coefs(i) = new Array[Short](padW(i) * padH(i) * 64)
+              val cw = (w * compHs(i) + hMax - 1) / hMax
+              val ch = (h * compVs(i) + vMax - 1) / vMax
+              blocksW(i) = (cw + 7) / 8
+              blocksH(i) = (ch + 7) / 8
+              i += 1
+            }
+          case x if (x >= 0xc0 && x <= 0xcf) && x != 0xc4 && x != 0xc8 =>
+            return None // a second frame / non-progressive SOF mid-stream
+          case 0xdd =>
+            if (segEnd - seg < 2) return None
+            dri = be16(b, seg)
+          case 0xda => // one scan of the progression
+            if (nComp == 0) return None
+            if (segEnd - seg < 4) return None
+            val ns = u8(b, seg)
+            if (ns < 1 || ns > nComp || segEnd - seg < 1 + 2 * ns + 3)
+              return None
+            val sci = new Array[Int](ns) // scan component → frame index
+            val sdc = new Array[Int](ns)
+            val sac = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cs = u8(b, seg + 1 + 2 * i)
+              val j = compId.indexOf(cs)
+              if (j < 0) return None
+              sci(i) = j
+              sdc(i) = u8(b, seg + 2 + 2 * i) >> 4
+              sac(i) = u8(b, seg + 2 + 2 * i) & 15
+              i += 1
+            }
+            val ss = u8(b, seg + 1 + 2 * ns)
+            val se = u8(b, seg + 2 + 2 * ns)
+            val ah = u8(b, seg + 3 + 2 * ns) >> 4
+            val al = u8(b, seg + 3 + 2 * ns) & 15
+            // T.81 G.1: DC scans are the 0..0 band; AC scans are a
+            // single component; 8-bit point transforms are 0..13 and a
+            // refinement steps exactly one bit
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+            if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) return None
+            if (quantLatched == null)
+              quantLatched = Array.tabulate(nComp)(c => quant(compQ(c)).clone())
+            i = 0
+            while (i < ns) {
+              if (ss == 0 && ah == 0 && dcTabs(sdc(i)) == null) return None
+              if (ss > 0 && acTabs(sac(i)) == null) return None
+              i += 1
+            }
+            val reader = new BitReader(b, segEnd)
+            if (!decodeProgressiveScan(reader, b, ns, sci, sdc, sac, ss, se,
+              ah, al, dri, dcTabs, acTabs, coefs, padW, blocksW, blocksH,
+              compHs, compVs, mcusX, mcusY)) return None
+            sawScan = true
+            pos = reader.pos
+            // loop continues at the next marker (the reader stops on it)
+          case _ => // APPn / COM / anything else: skip by declared length
+        }
+        if (m != 0xda) pos = segEnd
+      }
+    }
+    None // unreachable
+  }
+
+  /** Decode one scan's entropy data into the coefficient buffers.
+    * Returns false on any malformed content. The traversal is MCU
+    * order for an interleaved DC scan, block-raster over the single
+    * component's TRUE block grid otherwise (T.81 A.2.2) — writes land
+    * in the MCU-padded grid via the padded row stride.
+    */
+  private def decodeProgressiveScan(reader: BitReader, b: Array[Byte],
+      ns: Int, sci: Array[Int], sdc: Array[Int], sac: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int, dri: Int,
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      coefs: Array[Array[Short]], padW: Array[Int],
+      blocksW: Array[Int], blocksH: Array[Int],
+      compHs: Array[Int], compVs: Array[Int],
+      mcusX: Int, mcusY: Int): Boolean = {
+    val pred = new Array[Int](ns)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def dcFirst(cf: Array[Short], off: Int, si: Int): Boolean = {
+      val t = dcTabs(sdc(si)).decode(reader)
+      if (t < 0 || t > 11) return false
+      if (t > 0) {
+        val bits = reader.receive(t)
+        if (bits == Int.MinValue) return false
+        pred(si) += extend(bits, t)
+      }
+      val v = pred(si) << al
+      if (v < Short.MinValue || v > Short.MaxValue) return false
+      cf(off) = v.toShort
+      true
+    }
+
+    def dcRefine(cf: Array[Short], off: Int): Boolean = {
+      val bt = reader.bit()
+      if (bt < 0) return false
+      if (bt == 1) cf(off) = (cf(off) | p1).toShort
+      true
+    }
+
+    def acFirst(cf: Array[Short], off: Int, acT: HuffTable): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = acT.decode(reader)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: this block plus eobrun more
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val bits = reader.receive(r)
+              if (bits == Int.MinValue) return false
+              eobrun += bits
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val bits = reader.receive(s)
+          if (bits == Int.MinValue) return false
+          val v = extend(bits, s) << al
+          if (v < Short.MinValue || v > Short.MaxValue) return false
+          cf(off + k) = v.toShort
+          k += 1
+        }
+      }
+      true
+    }
+
+    // G.1.2.3: refinement appends one correction bit to every already-
+    // nonzero coefficient it passes; a (run, 1) symbol places a new
+    // ±1<<Al after skipping `run` ZERO-history coefficients; EOBn
+    // covers this block's remainder (correction bits still read) and
+    // eobrun−1 further whole blocks.
+    def acRefine(cf: Array[Short], off: Int, acT: HuffTable): Boolean = {
+      var k = ss
+      var failed = false
+      if (eobrun == 0) {
+        var endOfBand = false
+        while (k <= se && !endOfBand && !failed) {
+          val rs = acT.decode(reader)
+          if (rs < 0) failed = true
+          else {
+            var r = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s != 0) {
+              if (s != 1) failed = true
+              else {
+                val bt = reader.bit()
+                if (bt < 0) failed = true
+                else newVal = if (bt == 1) p1 else m1
+              }
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) {
+                val bits = reader.receive(r)
+                if (bits == Int.MinValue) failed = true else eobrun += bits
+              }
+              endOfBand = true
+            } // (s == 0, r == 15): ZRL — skip 16 zero-history coefficients
+            if (!failed && !endOfBand) {
+              var placed = false
+              while (k <= se && !placed && !failed) {
+                val cur = cf(off + k)
+                if (cur != 0) {
+                  val bt = reader.bit()
+                  if (bt < 0) failed = true
+                  else {
+                    if (bt == 1 && (cur & p1) == 0) {
+                      val nv = if (cur >= 0) cur + p1 else cur + m1
+                      if (nv < Short.MinValue || nv > Short.MaxValue)
+                        failed = true
+                      else cf(off + k) = nv.toShort
+                    }
+                    k += 1
+                  }
+                } else if (r == 0) {
+                  if (newVal != 0) cf(off + k) = newVal.toShort
+                  k += 1
+                  placed = true
+                } else { r -= 1; k += 1 }
+              }
+              // a new coefficient that never found its zero slot within
+              // the band is a malformed stream, not a tolerable state
+              if (!failed && !placed && newVal != 0) failed = true
+            }
+          }
+        }
+      }
+      if (!failed && eobrun > 0) {
+        while (k <= se && !failed) {
+          val cur = cf(off + k)
+          if (cur != 0) {
+            val bt = reader.bit()
+            if (bt < 0) failed = true
+            else if (bt == 1 && (cur & p1) == 0) {
+              val nv = if (cur >= 0) cur + p1 else cur + m1
+              if (nv < Short.MinValue || nv > Short.MaxValue) failed = true
+              else cf(off + k) = nv.toShort
+            }
+          }
+          k += 1
+        }
+        if (!failed) eobrun -= 1
+      }
+      !failed
+    }
+
+    def decodeBlock(si: Int, brow: Int, bcol: Int): Boolean = {
+      val c = sci(si)
+      val off = (brow * padW(c) + bcol) * 64
+      val cf = coefs(c)
+      if (ss == 0) {
+        if (ah == 0) dcFirst(cf, off, si) else dcRefine(cf, off)
+      } else {
+        if (ah == 0) acFirst(cf, off, acTabs(sac(si)))
+        else acRefine(cf, off, acTabs(sac(si)))
+      }
+    }
+
+    def restart(unit: Int): Boolean = {
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        val m = reader.readMarker()
+        if (m < 0xd0 || m > 0xd7) return false
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (ss == 0 && ns > 1) { // interleaved DC scan: MCU order
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (!restart(mcu)) return false
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var si = 0
+        while (si < ns) {
+          val c = sci(si)
+          val hi = compHs(c); val vi = compVs(c)
+          var by = 0
+          while (by < vi) {
+            var bx = 0
+            while (bx < hi) {
+              if (!decodeBlock(si, my * vi + by, mx * hi + bx)) return false
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else { // non-interleaved: raster over the true block grid
+      val c = sci(0)
+      val total = blocksW(c) * blocksH(c)
+      var unit = 0
+      while (unit < total) {
+        if (!restart(unit)) return false
+        if (!decodeBlock(0, unit / blocksW(c), unit % blocksW(c))) return false
+        unit += 1
+      }
+    }
+    true
   }
   // scalastyle:on method.length cyclomatic.complexity
 
@@ -585,6 +1056,130 @@ object JpegFixtures {
       by += 1
     }
     writer.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE twin of [[jpegPixelBytes]]: the same planted DC-only
+    * blocks, but transmitted as a real four-scan T.81 Annex G
+    * progression — DC first at Al=1 (point-transformed diffs), DC
+    * refinement carrying each block's low bit, then the two all-zero
+    * AC bands as EOB runs (first at Al=1, refinement at Ah=1) through
+    * a custom EOBn Huffman table. Reconstruction is EXACT:
+    * `((dc >> 1) << 1) | (dc & 1) == dc` in two's complement, so the
+    * decoded pixels equal the planted `blockValue` arithmetic and the
+    * DuckDB oracle holds bit-for-bit. Even ids carry DRI/RSTn in every
+    * scan (restarts reset both the DC predictor and the EOB run).
+    */
+  def jpegProgressiveBytes(id: Long): Array[Byte] =
+    grayProgressiveDcOnly(width(id), height(id),
+      (bx, by) => blockValue(id, bx, by), withRestarts = id % 2 == 0)
+
+  // EOBn-only AC table for the all-zero progressive bands: codes for
+  // EOB runs of 1/2/4/8-block magnitude (r = 0..3). Deliberately
+  // INCOMPLETE (Kraft sum 7/8): libjpeg-family decoders reject any
+  // table that uses the all-ones code of its longest length ("Bogus
+  // Huffman table"), and the T.81 Annex K tables leave it unused too.
+  private val ProgAcCounts =
+    Array(0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals = Array(0x00, 0x10, 0x20, 0x30)
+  private val ProgAcCodes = canonical(ProgAcCounts, ProgAcVals)
+
+  def grayProgressiveDcOnly(w: Int, h: Int, grey: (Int, Int) => Int,
+      withRestarts: Boolean): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "fixture geometry is whole blocks")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00) ++ (0 until 64).map(i => if (i == 0) 8 else 1))
+    seg(0xc4, Array(0x00) ++ DcCounts ++ DcVals) // DHT DC 0
+    seg(0xc4, Array(0x11) ++ ProgAcCounts ++ ProgAcVals) // DHT AC 1 (EOBn)
+    val bw = w / 8; val bh = h / 8
+    if (withRestarts) seg(0xdd, Array(bw >> 8, bw & 0xff)) // DRI = block row
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    var rst = 0
+
+    // per-interval traversal shared by all four scans: `interval` emits
+    // one restart interval's entropy data (one block row when restarts
+    // are on, the whole image otherwise) into a fresh byte-aligned
+    // writer, with RSTn markers between intervals
+    def scan(sosTail: Array[Int])(interval: (BitWriter, Int) => Unit): Unit = {
+      seg(0xda, Array(1, 1) ++ sosTail)
+      val rows = if (withRestarts) bh else 1
+      var r = 0
+      while (r < rows) {
+        if (r > 0) { marker(0xd0 + rst % 8); rst += 1 }
+        val writer = new BitWriter(out)
+        interval(writer, r)
+        writer.flush()
+        r += 1
+      }
+    }
+    def eobn(writer: BitWriter, nBlocks: Int): Unit = {
+      var left = nBlocks
+      while (left > 0) {
+        val r = math.min(3, 31 - Integer.numberOfLeadingZeros(left))
+        val n = math.min(left, (1 << (r + 1)) - 1)
+        val (code, len) = ProgAcCodes(r << 4)
+        writer.put(code, len)
+        if (r > 0) writer.put(n - (1 << r), r)
+        left -= n
+      }
+    }
+    val rowsPerInterval = if (withRestarts) 1 else bh
+
+    // scan 1: DC first, Al=1 — diffs of the point-transformed DC
+    scan(Array(0x00, 0, 0, 0x01)) { (writer, r0) =>
+      var pred = 0
+      var by = r0 * rowsPerInterval
+      val end = by + rowsPerInterval
+      while (by < end) {
+        var bx = 0
+        while (bx < bw) {
+          val sdc = (grey(bx, by) - 128) >> 1
+          val diff = sdc - pred
+          pred = sdc
+          val ssss =
+            if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          val (code, len) = DcCodes(ssss)
+          writer.put(code, len)
+          if (ssss > 0) {
+            val bits = if (diff >= 0) diff else diff + (1 << ssss) - 1
+            writer.put(bits, ssss)
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // scan 2: DC refinement, Ah=1 Al=0 — one raw low bit per block
+    scan(Array(0x00, 0, 0, 0x10)) { (writer, r0) =>
+      var by = r0 * rowsPerInterval
+      val end = by + rowsPerInterval
+      while (by < end) {
+        var bx = 0
+        while (bx < bw) {
+          writer.put((grey(bx, by) - 128) & 1, 1)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // scans 3+4: the all-zero AC band as EOB runs — first at Al=1,
+    // then the refinement pass at Ah=1 Al=0 (no correction bits exist:
+    // every history coefficient is zero)
+    scan(Array(0x01, 1, 63, 0x01)) { (writer, _) =>
+      eobn(writer, rowsPerInterval * bw)
+    }
+    scan(Array(0x01, 1, 63, 0x10)) { (writer, _) =>
+      eobn(writer, rowsPerInterval * bw)
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }

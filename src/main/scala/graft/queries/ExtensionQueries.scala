@@ -2354,6 +2354,31 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id, wb, hb""".stripMargin),
     ),
 
+    // REAL PROGRESSIVE JPEG pixel decode: the same planted DC-only
+    // arithmetic as multimodal_jpeg_pixels_real, but transmitted as a
+    // genuine four-scan SOF2 progression (DC first at Al=1 + DC
+    // refinement + all-zero AC bands as EOB runs; DRI/RSTn on even
+    // ids). The successive-approximation reconstruction is exact
+    // (((dc>>1)<<1) | (dc&1) == dc), so the multi-scan decoder is held
+    // to the identical oracle the sequential path satisfies.
+    QueryDef(
+      "multimodal_jpeg_progressive",
+      (s, dir) => Multimodal.decodeJpegProgressiveReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+             |    FROM documents),
+             |b AS (SELECT d.doc_id, d.wb, d.hb, bx.bx, by.by
+             |    FROM d, range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |    WHERE bx.bx < d.wb AND by.by < d.hb),
+             |v AS (SELECT doc_id, wb, hb,
+             |    (doc_id + 17 * bx + 29 * by) % 256 AS grey FROM b)
+             |SELECT doc_id, 'jpeg' AS format,
+             |  CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+             |  CAST(count(*) * 64 AS BIGINT) AS n_px,
+             |  CAST(sum(64 * grey) AS BIGINT) AS sum_y,
+             |  CAST(sum(64 * grey * grey) AS BIGINT) AS sumsq_y
+             |FROM v GROUP BY doc_id, wb, hb""".stripMargin),
+    ),
+
     // REAL 2x box resample over decoded pixels: every output value is
     // the floor-average of its 2x2 source block — exact integer
     // arithmetic the oracle recomputes pixel-by-pixel from the planted

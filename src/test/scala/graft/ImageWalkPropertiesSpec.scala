@@ -65,6 +65,10 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
       // EOF-mid-decode hazard) truncated at the same fraction
       val jb = JpegFixtures.jpegPixelBytes(id)
       val jcut = (jb.length * fr).toInt.min(jb.length)
+      // the PROGRESSIVE path (multi-scan coefficient accumulation —
+      // renders only at EOI, so ANY truncation must be None)
+      val pb = JpegFixtures.jpegProgressiveBytes(id)
+      val pcut = (pb.length * fr).toInt.min(pb.length)
       // the VP8L path (prefix-coded bitstream + transforms) and the
       // TIFF path (IFD walk + strips + RLE) at the same cut
       val wb = PixelFixtures.webpPixelBytes(id,
@@ -86,6 +90,11 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
           case (w, h, nc, px) =>
             w == JpegFixtures.width(id) && h == JpegFixtures.height(id) &&
               nc == 1 && px.length == w * h
+        } &&
+        JpegCodec.decode(java.util.Arrays.copyOf(pb, pcut)).forall {
+          case (w, h, nc, px) =>
+            w == JpegFixtures.width(id) && h == JpegFixtures.height(id) &&
+              nc == 1 && px.length == w * h
         }
     })
   }
@@ -99,6 +108,9 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
         val jb = JpegFixtures.jpegPixelBytes(id)
         val jmut = jb.clone()
         jmut(posSeed % jb.length) = newByte.toByte
+        val pb = JpegFixtures.jpegProgressiveBytes(id)
+        val pmut = pb.clone()
+        pmut(posSeed % pb.length) = newByte.toByte
         val wb = PixelFixtures.webpPixelBytes(id,
           PixelFixtures.width(id), PixelFixtures.height(id))
         val wmut = wb.clone()
@@ -116,6 +128,10 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
           PixelCodec.decodePixels(wmut).forall(sanePixels) &&
           PixelCodec.decodePixels(tmut).forall(sanePixels) &&
           JpegCodec.decode(jmut).forall { case (w, h, nc, px) =>
+            w > 0 && h > 0 && (nc == 1 || nc == 3) &&
+              w.toLong * h <= (1L << 26) && px.length == w * h * nc
+          } &&
+          JpegCodec.decode(pmut).forall { case (w, h, nc, px) =>
             w > 0 && h > 0 && (nc == 1 || nc == 3) &&
               w.toLong * h <= (1L << 26) && px.length == w * h * nc
           } &&

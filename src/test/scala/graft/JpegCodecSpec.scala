@@ -109,6 +109,143 @@ class JpegCodecSpec extends AnyFunSuite {
       s"mean disagreement ${sumDiff.toDouble / (w * h * 3)}")
   }
 
+  // ---- progressive (SOF2) ----
+
+  private def writeProgressive(img: BufferedImage): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    val bytes = baos.toByteArray
+    // the test is void unless the JDK really emitted a progressive frame
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not emit SOF2")
+    bytes
+  }
+
+  test("progressive planted fixtures decode EXACTLY, restarts included") {
+    // four real scans per stream: DC first at Al=1, DC refinement, and
+    // the all-zero AC band as EOB runs at two approximation levels —
+    // reconstruction ((dc >> 1) << 1) | (dc & 1) == dc is exact, so the
+    // lossy-format decode is held to planted integers like the baseline
+    for (id <- 0L until 60L) {
+      val bytes = JpegFixtures.jpegProgressiveBytes(id)
+      val Some((w, h, nComp, px)) = JpegCodec.decode(bytes)
+      assert(w == JpegFixtures.width(id) && h == JpegFixtures.height(id), s"id $id")
+      assert(nComp == 1)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = JpegFixtures.blockValue(id, x / 8, y / 8)
+        assert((px(y * w + x) & 0xff) == expected,
+          s"id $id pixel ($x,$y): got ${px(y * w + x) & 0xff}, planted $expected")
+      }
+    }
+  }
+
+  test("ImageIO independently decodes the progressive fixture streams") {
+    // the fixture ENCODER validated against a decoder we did not write
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 17L, 40L)) {
+      val img = ImageIO.read(
+        new ByteArrayInputStream(JpegFixtures.jpegProgressiveBytes(id)))
+      assert(img != null, s"ImageIO rejected progressive fixture $id")
+      assert(img.getWidth == JpegFixtures.width(id) &&
+        img.getHeight == JpegFixtures.height(id))
+      val raster = img.getRaster
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val expected = JpegFixtures.blockValue(id, x / 8, y / 8)
+        val got = raster.getSample(x, y, 0)
+        assert(math.abs(got - expected) <= 1,
+          s"id $id ($x,$y): ImageIO $got vs planted $expected")
+      }
+    }
+  }
+
+  test("progressive grayscale: full multi-scan script round-trip vs ImageIO") {
+    // the JDK's progressive scan script exercises spectral selection
+    // AND successive approximation (AC first + AC refinement with
+    // correction bits) on every AC category; identical coefficients on
+    // both sides leave only IDCT rounding
+    val w = 37; val h = 23
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(4242)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bytes = writeProgressive(img)
+    val Some((dw, dh, nComp, px)) = JpegCodec.decode(bytes)
+    assert(dw == w && dh == h && nComp == 1)
+    val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((px(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+      sumDiff += d
+    }
+    assert(maxDiff <= 2, s"max IDCT disagreement $maxDiff")
+    assert(sumDiff.toDouble / (w * h) < 1.0,
+      s"mean disagreement ${sumDiff.toDouble / (w * h)}")
+  }
+
+  test("progressive color: subsampled interleaved-DC script vs ImageIO") {
+    // 4:2:0 progressive: the DC scan is interleaved (MCU order, all
+    // three components), the AC scans per-component — both traversals
+    // under one stream
+    val w = 40; val h = 28
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1)
+      val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = writeProgressive(img)
+    val Some((dw, dh, nComp, px)) = JpegCodec.decode(bytes)
+    assert(dw == w && dh == h && nComp == 3)
+    val ref = ImageIO.read(new ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val d0 = math.abs((px((y * w + x) * 3) & 0xff) - ((rgb >> 16) & 0xff))
+      val d1 = math.abs((px((y * w + x) * 3 + 1) & 0xff) - ((rgb >> 8) & 0xff))
+      val d2 = math.abs((px((y * w + x) * 3 + 2) & 0xff) - (rgb & 0xff))
+      maxDiff = math.max(maxDiff, math.max(d0, math.max(d1, d2)))
+      sumDiff += d0 + d1 + d2
+    }
+    assert(maxDiff <= 16, s"max upsampling disagreement $maxDiff")
+    assert(sumDiff.toDouble / (w * h * 3) < 2.0,
+      s"mean disagreement ${sumDiff.toDouble / (w * h * 3)}")
+  }
+
+  test("progressive malformed/truncated streams are data, not failures") {
+    val good = JpegFixtures.jpegProgressiveBytes(4L)
+    // every truncation point: progressive renders at EOI, so any prefix
+    // that loses the trailer (or any scan bit) must be None, not garbage
+    for (n <- 0 until good.length - 2 by 5)
+      assert(JpegCodec.decode(java.util.Arrays.copyOf(good, n)).isEmpty,
+        s"prefix $n")
+    // corrupted entropy bits: None or a decode — never a throw
+    val bad = good.clone()
+    var i = bad.length - 4
+    var n = 0
+    while (n < 5 && i > 2) { bad(i) = 0x55; i -= 1; n += 1 }
+    JpegCodec.decode(bad)
+    // an invalid progression (DC scan claiming the full band — what a
+    // baseline stream flipped to SOF2 becomes) is rejected
+    val base = JpegFixtures.jpegPixelBytes(3L)
+    val flipped = base.clone()
+    val sofAt = flipped.indices.find(i =>
+      (flipped(i) & 0xff) == 0xff && (flipped(i + 1) & 0xff) == 0xc0).get
+    flipped(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(flipped).isEmpty,
+      "Ss=0/Se=63 is not a legal progressive scan")
+  }
+
   test("malformed and unsupported streams are data, not failures") {
     val good = JpegFixtures.jpegPixelBytes(3L)
     // truncations at every prefix length: never throw, never garbage.
@@ -116,7 +253,8 @@ class JpegCodecSpec extends AnyFunSuite {
     // entropy bit and legitimately decodes — cut before that)
     for (n <- 0 until good.length - 2 by 7)
       assert(JpegCodec.decode(java.util.Arrays.copyOf(good, n)).isEmpty, s"prefix $n")
-    // flip SOF0 to SOF2 (progressive): declared out of scope
+    // flip SOF0 to SOF2: the baseline scan header (Ss=0, Se=63) is an
+    // illegal progressive scan, so the progressive path rejects it
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
