@@ -740,6 +740,20 @@ object AudioFingerprint {
     Some(hash)
   }
 
+  /** Mono samples from whatever container the blob is: 16-bit PCM WAV
+    * or FLAC (full frame decode — [[FlacCodec]]); None otherwise. The
+    * fingerprint is a function of the WAVEFORM, so a lossless FLAC of
+    * the same audio fingerprints identically to its WAV — which is
+    * exactly what dedup needs from a mixed-format crawl.
+    */
+  private[functions] def monoSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C')
+      FlacCodec.decodeSamples(bytes).collect {
+        case a if a.channels == 1 => a.samples(0)
+      }
+    else PcmSamples.decodeMonoSamples(bytes)
+
   /** Decode + fingerprint INSIDE the partition: a 100 TB audio table
     * moves only (doc_id, one long) through the engine.
     */
@@ -747,9 +761,39 @@ object AudioFingerprint {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        PcmSamples.decodeMonoSamples(bytes).flatMap(fingerprint64).map(id -> _)
+        monoSamples(bytes).flatMap(fingerprint64).map(id -> _)
       }
     }
+  }
+}
+
+/** Per-channel [[PcmStats]] from REAL FLAC frame decode
+  * ([[FlacCodec]]): the lossless-codec twin of [[PcmSamples]] — the
+  * decoded samples equal the encoded waveform exactly, so the oracle
+  * recomputes the stats from the planted formula with no tolerance.
+  */
+object FlacSamples {
+  def decode(id: Long, b: Array[Byte]): Seq[PcmStats] =
+    FlacCodec.decodeSamples(b).toSeq.flatMap { a =>
+      a.samples.indices.map { c =>
+        val s = a.samples(c)
+        var sum = 0L; var sq = 0L
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          sum += v; sq += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        PcmStats(id, c.toLong, s.length.toLong, sum, mn, mx, sq)
+      }
+    }
+
+  def flacStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[PcmStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, b) => decode(id, b) })
   }
 }
 
@@ -2092,6 +2136,13 @@ object MediaFixtures {
     * it (intra-group Hamming ≤ 2), while the multiplicative mix keeps
     * cross-group fingerprints ~32 bits apart.
     */
+  private def nearDupSample(id: Long, i: Int): Int = {
+    val base = id / 4
+    val delta = if (i == 5) (id % 4) * 500 else 0L
+    ((((base + 1) * (i + 3) * (i % 17 + 5) + delta) % 8191L
+      + 8191L) % 8191L - 4096L).toInt
+  }
+
   def nearDupWavBytes(id: Long): Array[Byte] = {
     val base = id / 4
     val n = (130 + base % 7 * 13).toInt
@@ -2100,12 +2151,64 @@ object MediaFixtures {
     bb.position(44)
     var i = 0
     while (i < n) {
-      val delta = if (i == 5) (id % 4) * 500 else 0L
-      bb.putShort(((((base + 1) * (i + 3) * (i % 17 + 5) + delta) % 8191L
-        + 8191L) % 8191L - 4096L).toShort)
+      bb.putShort(nearDupSample(id, i).toShort)
       i += 1
     }
     out
+  }
+
+  /** Mixed-container near-dup audio: the SAME planted waveform as
+    * [[nearDupWavBytes]], but odd bases ship it as a real FLAC stream
+    * (FIXED order-2 subframes, Rice residuals) instead of PCM WAV.
+    * Lossless coding means the fingerprint pipeline must produce
+    * IDENTICAL hashes either way — so the existing fingerprint and
+    * near-dup oracles hold unchanged while the decode path now runs
+    * compressed crawl audio, and near-dup groups that straddle the two
+    * containers still pair up (the actual mixed-corpus dedup claim).
+    */
+  def nearDupAudioBytes(id: Long): Array[Byte] = {
+    val base = id / 4
+    val n = (130 + base % 7 * 13).toInt
+    if (base % 2 == 0) nearDupWavBytes(id)
+    else {
+      val wave = Array(Array.tabulate(n)(i => nearDupSample(id, i)))
+      FlacCodec.encode(wave, 8000, 16, blockSize = 32, chanAsgn = 0,
+        FlacCodec.Fixed(2), ricePo = 1)
+    }
+  }
+
+  /** Planted FLAC stream for the sample-decode oracle: waveform
+    * `s(c,t) = ((id + 5c + 3t) mod 256) − 128`, `40 + id mod 41`
+    * samples, channel mode rotating mono / independent stereo /
+    * left-side / right-side / mid-side by `id mod 5`, subframe plan
+    * rotating verbatim / fixed 0–4 / LPC by `id div 5`, Rice vs
+    * raw-escape residuals alternating — every decode path lands under
+    * the same DuckDB-replayable formula because FLAC is lossless.
+    */
+  def flacStreamBytes(id: Long): Array[Byte] = {
+    val mode = (id % 5).toInt
+    val channels = if (mode == 0) 1 else 2
+    val chanAsgn = mode match {
+      case 0 => 0 // mono
+      case 1 => 1 // independent stereo
+      case 2 => 8 // left/side
+      case 3 => 9 // right/side
+      case _ => 10 // mid/side
+    }
+    val n = (40 + id % 41).toInt
+    val wave = Array.tabulate(channels, n)((c, t) =>
+      (((id + 5 * c + 3 * t) % 256) - 128).toInt)
+    val plan = ((id / 5) % 7).toInt match {
+      case 0 => FlacCodec.Verbatim
+      case 1 => FlacCodec.Fixed(0)
+      case 2 => FlacCodec.Fixed(1)
+      case 3 => FlacCodec.Fixed(2)
+      case 4 => FlacCodec.Fixed(3)
+      case 5 => FlacCodec.Fixed(4)
+      case _ => FlacCodec.Lpc(Array(3, -2), 1, 5)
+    }
+    FlacCodec.encode(wave, 8000, 16, blockSize = 32, chanAsgn, plan,
+      ricePo = (id % 3).toInt, escape = id % 7 == 0)
   }
 
   /** Mono IMA ADPCM WAV (codec 0x11) with PLANTED coded nibbles: the
@@ -2477,9 +2580,27 @@ object Multimodal {
     */
   def audioFingerprintReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // mixed containers: even bases PCM WAV, odd bases REAL FLAC frames
+    // of the same planted waveform — lossless decode means identical
+    // fingerprints, so the oracle is container-blind while the decode
+    // path exercises both (r8 verdict item 4)
     val payloads = docs.select(col("doc_id")).as[Long]
-      .map(id => (id, MediaFixtures.nearDupWavBytes(id)))
+      .map(id => (id, MediaFixtures.nearDupAudioBytes(id)))
     AudioFingerprint.fingerprints(payloads).toDF("doc_id", "afp")
+  }
+
+  /** REAL FLAC sample decode through the batch plumbing: planted
+    * multi-frame streams ([[MediaFixtures.flacStreamBytes]] — subframe
+    * plans, stereo decorrelation modes, and residual forms all rotate
+    * by doc_id) decoded by [[FlacCodec]]'s full frame walk and reduced
+    * to per-channel integer stats in-partition. Lossless: the DuckDB
+    * oracle recomputes every sum from the waveform formula exactly.
+    */
+  def decodeAudioFlacReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.flacStreamBytes(id)))
+    FlacSamples.flacStats(payloads).toDF()
   }
 
   /** Perceptual audio NEAR-dup pairs: banded fingerprint join with

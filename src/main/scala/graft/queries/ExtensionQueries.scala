@@ -1996,6 +1996,34 @@ object ExtensionQueries {
       },
     ),
 
+    // REAL FLAC sample decode (r8 verdict item 4): planted multi-frame
+    // streams whose subframe plan (verbatim / fixed 0-4 / LPC), stereo
+    // decorrelation mode (mono / independent / left-side / right-side /
+    // mid-side), and residual form (Rice orders 0-2 / raw escape) all
+    // rotate by doc_id — decoded by FlacCodec's full frame walk
+    // (CRC-verified) and reduced to per-channel stats in-partition.
+    // FLAC is lossless, so the oracle recomputes the planted waveform
+    // s(c,t) = ((doc_id + 5c + 3t) mod 256) - 128 with no tolerance.
+    QueryDef(
+      "multimodal_audio_flac",
+      (s, dir) => Multimodal.decodeAudioFlacReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 5 AS mode,
+             |    40 + doc_id % 41 AS n FROM documents),
+             |c AS (SELECT d.doc_id, d.n, ch.ch
+             |    FROM d, range(0, 2) AS ch(ch)
+             |    WHERE ch.ch < CASE WHEN d.mode = 0 THEN 1 ELSE 2 END),
+             |s AS (SELECT doc_id, ch, n, t.t,
+             |    (doc_id + 5 * ch + 3 * t.t) % 256 - 128 AS v
+             |    FROM c, range(0, 81) AS t(t) WHERE t.t < n)
+             |SELECT doc_id, CAST(ch AS BIGINT) AS channel,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(v) AS BIGINT) AS sum_amp,
+             |  CAST(min(v) AS BIGINT) AS min_amp,
+             |  CAST(max(v) AS BIGINT) AS max_amp,
+             |  CAST(sum(v * v) AS BIGINT) AS sumsq_amp
+             |FROM s GROUP BY doc_id, ch""".stripMargin),
+    ),
+
     // Perceptual image fingerprint over REAL decoded pixels: 64-bit
     // dHash (grayscale → 9×8 floor-averaged grid → row-adjacent
     // comparisons). The oracle regenerates every planted pixel, grids

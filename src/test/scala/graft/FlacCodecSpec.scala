@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FLAC decoder held to planted truth: the fixture encoder writes
+  * spec-derived streams of a doc_id-arithmetic waveform, and LOSSLESS
+  * coding means the decode must reproduce every sample exactly —
+  * across all subframe types (CONSTANT/VERBATIM/FIXED 0-4/LPC), both
+  * residual forms (Rice and raw-escape), partition orders, all four
+  * channel assignments, 8/16-bit depths, and multi-frame streams with
+  * short tails. CRC verification makes corruption a None, and the
+  * truncation/mutation properties make hostile bytes data, not
+  * executor failures. (No second FLAC decoder exists in this runtime —
+  * the JDK has none — so the planted-arithmetic oracle + fuzz is the
+  * VP8L/TIFF-style correctness contract.)
+  */
+class FlacCodecSpec extends AnyFunSuite {
+  import FlacCodec._
+
+  private def wave(id: Long, channels: Int, n: Int): Array[Array[Int]] =
+    Array.tabulate(channels, n)((c, t) =>
+      (((id + 5 * c + 3 * t) % 256) - 128).toInt)
+
+  private def assertExact(bytes: Array[Byte], want: Array[Array[Int]],
+      rate: Int, bits: Int, label: String): Unit = {
+    val got = decodeSamples(bytes)
+    assert(got.isDefined, s"$label: decode failed")
+    val a = got.get
+    assert(a.channels == want.length && a.sampleRate == rate && a.bits == bits,
+      s"$label: header ${a.channels}/${a.sampleRate}/${a.bits}")
+    for (c <- want.indices) {
+      assert(a.samples(c).length == want(c).length, s"$label ch$c length")
+      for (t <- want(c).indices)
+        assert(a.samples(c)(t) == want(c)(t),
+          s"$label ch$c sample $t: got ${a.samples(c)(t)}, want ${want(c)(t)}")
+    }
+  }
+
+  test("every subframe type round-trips the planted waveform exactly") {
+    val plans: Seq[(String, SubframePlan)] = Seq(
+      "verbatim" -> Verbatim,
+      "fixed0" -> Fixed(0), "fixed1" -> Fixed(1), "fixed2" -> Fixed(2),
+      "fixed3" -> Fixed(3), "fixed4" -> Fixed(4),
+      "lpc1" -> Lpc(Array(1), 0, 5), // == fixed1 through the LPC path
+      "lpc2" -> Lpc(Array(3, -2), 1, 5),
+      "lpc4" -> Lpc(Array(7, -5, 3, -1), 2, 6))
+    for ((label, plan) <- plans; id <- Seq(1L, 9L, 23L)) {
+      val s = wave(id, 1, 70) // 3 frames of 32 with a short 6-sample tail
+      val bytes = encode(s, 8000, 16, 32, chanAsgn = 0, plan)
+      assertExact(bytes, s, 8000, 16, s"$label id=$id")
+    }
+  }
+
+  test("CONSTANT subframes and 8-bit depth round-trip exactly") {
+    val const = Array(Array.fill(40)(-37))
+    assertExact(encode(const, 44100, 16, 20, 0, Constant),
+      const, 44100, 16, "constant")
+    val s8 = Array.tabulate(1, 50)((_, t) => (t % 200) - 100)
+    assertExact(encode(s8, 8000, 8, 25, 0, Fixed(2)), s8, 8000, 8, "8-bit")
+  }
+
+  test("all four channel assignments reconstruct both channels exactly") {
+    for (asgn <- Seq(1, 8, 9, 10); id <- Seq(2L, 11L)) {
+      val s = wave(id, 2, 64)
+      val bytes = encode(s, 16000, 16, 32, asgn, Fixed(1))
+      assertExact(bytes, s, 16000, 16, s"asgn=$asgn id=$id")
+    }
+  }
+
+  test("Rice partitions and the raw-escape residual form both decode") {
+    val s = wave(7L, 1, 64)
+    assertExact(encode(s, 8000, 16, 64, 0, Fixed(2), ricePo = 2),
+      s, 8000, 16, "rice po=2")
+    assertExact(encode(s, 8000, 16, 64, 0, Fixed(2), ricePo = 1, escape = true),
+      s, 8000, 16, "escape po=1")
+    assertExact(encode(s, 8000, 16, 64, 0, Lpc(Array(2, -1), 1, 4),
+      ricePo = 3), s, 8000, 16, "lpc rice po=3")
+  }
+
+  test("corrupted CRCs and truncations are None, never a throw") {
+    val s = wave(5L, 2, 48)
+    val good = encode(s, 8000, 16, 32, 10, Fixed(2))
+    assert(decodeSamples(good).isDefined)
+    // flip one bit anywhere in the audio frames: CRC-8/16 must catch it
+    // (or the mutation lands in zero padding and still decodes — both
+    // sides of that are legal, throwing is not)
+    val headerEnd = 4 + 4 + 34
+    for (i <- headerEnd until good.length) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x10).toByte
+      decodeSamples(bad) match {
+        case None => ()
+        case Some(a) =>
+          // a surviving decode must carry the right geometry at least
+          assert(a.channels == 2 && a.samples(0).length == 48,
+            s"mutation at $i produced insane geometry")
+      }
+    }
+    for (n <- 0 until good.length by 3)
+      assert(decodeSamples(java.util.Arrays.copyOf(good, n)).isEmpty,
+        s"prefix $n must not decode (total samples can't be reached)")
+    // not FLAC at all
+    assert(decodeSamples(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(decodeSamples(Array.emptyByteArray).isEmpty)
+  }
+
+  test("CRC-8/CRC-16 match the published check values") {
+    // CRC-8 poly 0x07 over "123456789" = 0xF4; CRC-16/BUYPASS
+    // (poly 0x8005, init 0, no reflection) over the same = 0xFEE8 —
+    // the standard check strings for these parameterizations
+    val check = "123456789".getBytes("US-ASCII")
+    assert(FlacCodec.crc8(check, 0, check.length) == 0xf4)
+    assert(FlacCodec.crc16(check, 0, check.length) == 0xfee8)
+  }
+
+  test("adversarial declared totals are bounded before allocation") {
+    // STREAMINFO claiming 2^35 samples must be rejected by the guard,
+    // not allocated
+    val s = wave(1L, 1, 16)
+    val good = encode(s, 8000, 16, 16, 0, Verbatim)
+    val bad = good.clone()
+    // total-samples field: byte 4+4+13 holds the high nibble (bits 35-32)
+    bad(4 + 4 + 13) = (bad(4 + 4 + 13) | 0x08).toByte
+    assert(decodeSamples(bad).isEmpty)
+  }
+}
