@@ -2733,6 +2733,19 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** TILED 16-bit TIFF through the same plumbing
+    * ([[PixelFixtures.tiffTiledBytes]] — tiles that split and clip,
+    * chunky AND planar, LZW+predictor at 16-bit sample width): the
+    * scanned-document shapes the strip decoder used to bail on (r8
+    * verdict item 6), held to the identical planted-channel oracle.
+    */
+  def decodeTiffTiledReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.tiffTiledBytes(id)))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
   /** REAL JPEG pixel decode through the same batch plumbing: baseline
     * sequential streams ([[JpegFixtures.jpegPixelBytes]] plants every
     * 8×8 block's constant grey by doc_id arithmetic — the DC-only shape

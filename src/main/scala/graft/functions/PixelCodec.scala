@@ -780,4 +780,32 @@ object PixelFixtures {
       predictor = if (comp == 5 && (id / 3) % 2 == 1) 2 else 1)(
       (c, x, y) => pixelValue(id, c, x, y))
   }
+
+  /** TILED 16-bit TIFF fixture (r8 verdict item 6): 16×16 tiles over a
+    * 17..32 × 9..20 image (so tiles split AND clip), RGB, chunky or
+    * PLANAR by rotation, compression none/PackBits/LZW with the
+    * horizontal-differencing predictor on odd LZW ids, both byte
+    * orders. Samples are planted `pixelValue · 257` (= v<<8 | v), so
+    * the decoder's keep-the-high-byte 16→8 presentation lands exactly
+    * on the 8-bit planted formula the DuckDB oracle replays.
+    */
+  def tiffTiledBytes(id: Long): Array[Byte] = {
+    val w = (id % 16 + 17).toInt
+    val h = (id % 12 + 9).toInt
+    val comp = (id % 3) match {
+      case 0 => 1
+      case 1 => 32773
+      case _ => 5
+    }
+    TiffCodec.encodeFull(w, h,
+      little = (id / 2) % 2 == 0,
+      compression = comp,
+      predictor = if (comp == 5 && id % 2 == 1) 2 else 1,
+      bps = 16,
+      gray = false,
+      planar = (id / 4) % 2 == 1,
+      tile = Some((16, 16)),
+      rowsPerStrip = 0)(
+      (c, x, y) => pixelValue(id, c, x, y) * 257)
+  }
 }

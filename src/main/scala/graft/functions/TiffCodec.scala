@@ -68,6 +68,10 @@ object TiffCodec {
     var predictor = 1L
     var stripOffsets: Seq[Long] = Nil
     var stripCounts: Seq[Long] = Nil
+    var tileW = 0L
+    var tileL = 0L
+    var tileOffsets: Seq[Long] = Nil
+    var tileCounts: Seq[Long] = Nil
 
     def values(typ: Int, count: Long, at: Int): Seq[Long] = {
       val elem = typ match {
@@ -112,38 +116,83 @@ object TiffCodec {
         case 279 => stripCounts = vs
         case 284 => planar = vs.headOption.getOrElse(1L)
         case 317 => predictor = vs.headOption.getOrElse(1L)
+        case 322 => tileW = vs.headOption.getOrElse(0L)
+        case 323 => tileL = vs.headOption.getOrElse(0L)
+        case 324 => tileOffsets = vs
+        case 325 => tileCounts = vs
         case _   => ()
       }
       i += 1
     }
 
     if (width <= 0 || height <= 0 || width * height > (1L << 26)) return None
-    if (planar != 1L) return None
+    if (planar != 1L && planar != 2L) return None
     val gray = photometric == 1L && spp == 1L
     val rgb = photometric == 2L && spp == 3L
     if (!gray && !rgb) return None
-    if (bits.exists(_ != 8L) || bits.length != spp.toInt) return None
+    val bps = bits.headOption.getOrElse(0L)
+    if ((bps != 8L && bps != 16L) || bits.exists(_ != bps) ||
+      bits.length != spp.toInt) return None
     if (compression != 1L && compression != 32773L && compression != 5L)
       return None
     if (predictor != 1L && predictor != 2L) return None
     if (predictor == 2L && compression != 5L) return None // LZW-only pairing
-    if (stripOffsets.isEmpty || stripOffsets.length != stripCounts.length)
-      return None
+
+    val tiled = tileOffsets.nonEmpty
+    if (tiled && (tileW <= 0L || tileL <= 0L ||
+      tileW * tileL > (1L << 24))) return None
+    if (tiled && tileOffsets.length != tileCounts.length) return None
+    if (!tiled && (stripOffsets.isEmpty ||
+      stripOffsets.length != stripCounts.length)) return None
 
     val w = width.toInt
     val h = height.toInt
-    val rps = math.min(rowsPerStrip, height).toInt
-    if (rps <= 0) return None
-    val nStrips = (h + rps - 1) / rps
-    if (nStrips != stripOffsets.length) return None
+    val sppI = spp.toInt
+    val bytesPer = (bps / 8).toInt
+    // planar: each segment carries ONE channel's samples; chunky: all
+    val segChans = if (planar == 2L) 1 else sppI
+    val planes = if (planar == 2L) sppI else 1
+
+    // segment geometry: (segW, segRows) + placement origin per index
+    val (segsPerPlane, segW) =
+      if (tiled) {
+        val across = ((w + tileW - 1) / tileW).toInt
+        val down = ((h + tileL - 1) / tileL).toInt
+        (across * down, tileW.toInt)
+      } else {
+        val rps = math.min(rowsPerStrip, height).toInt
+        if (rps <= 0) return None
+        ((h + rps - 1) / rps, w)
+      }
+    val offsets = if (tiled) tileOffsets else stripOffsets
+    val counts = if (tiled) tileCounts else stripCounts
+    if (offsets.length != segsPerPlane * planes) return None
+    val rpsI = if (tiled) 0 else math.min(rowsPerStrip, height).toInt
+    val tilesAcross = if (tiled) ((w + tileW - 1) / tileW).toInt else 0
+
+    // one 16-bit sample from a decompressed segment, file byte order
+    def sample(raw: Array[Byte], idx: Int): Int =
+      if (bytesPer == 1) u8(raw, idx)
+      else if (little) u8(raw, 2 * idx) | (u8(raw, 2 * idx + 1) << 8)
+      else (u8(raw, 2 * idx) << 8) | u8(raw, 2 * idx + 1)
 
     val out = new Array[Byte](w * h * 3)
-    var strip = 0
-    while (strip < nStrips) {
-      val rows = math.min(rps, h - strip * rps)
-      val expect = rows * w * spp.toInt
-      val off = stripOffsets(strip)
-      val cnt = stripCounts(strip)
+    var seg = 0
+    while (seg < offsets.length) {
+      val plane = seg / segsPerPlane
+      val si = seg % segsPerPlane
+      // this segment's sample grid and placement
+      val (rows, sw, ox, oy) =
+        if (tiled) {
+          val tx = si % tilesAcross
+          val ty = si / tilesAcross
+          (tileL.toInt, tileW.toInt, tx * tileW.toInt, ty * tileL.toInt)
+        } else {
+          (math.min(rpsI, h - si * rpsI), w, 0, si * rpsI)
+        }
+      val expect = rows * sw * segChans * bytesPer
+      val off = offsets(seg)
+      val cnt = counts(seg)
       if (off + cnt > b.length || off < 0 || cnt < 0) return None
       val raw =
         if (compression == 1L) {
@@ -152,25 +201,8 @@ object TiffCodec {
         } else if (compression == 5L) {
           val un = lzwDecode(b, off.toInt, cnt.toInt, expect)
           if (un == null) return None
-          if (predictor == 2L) {
-            // horizontal differencing: each sample is a delta from the
-            // same channel one pixel left, per row
-            val sppI = spp.toInt
-            var r0 = 0
-            while (r0 < rows) {
-              var x0 = 1
-              while (x0 < w) {
-                var c0 = 0
-                while (c0 < sppI) {
-                  val p = (r0 * w + x0) * sppI + c0
-                  un(p) = (un(p) + un(p - sppI)).toByte
-                  c0 += 1
-                }
-                x0 += 1
-              }
-              r0 += 1
-            }
-          }
+          if (predictor == 2L)
+            undoHorizontalDiff(un, rows, sw, segChans, bytesPer, little)
           un
         } else {
           val un = unpackBits(b, off.toInt, cnt.toInt, expect)
@@ -179,24 +211,80 @@ object TiffCodec {
         }
       var r = 0
       while (r < rows) {
-        val y = strip * rps + r
-        var x = 0
-        while (x < w) {
-          val o = (y * w + x) * 3
-          if (gray) {
-            val v = raw(r * w + x)
-            out(o) = v; out(o + 1) = v; out(o + 2) = v
-          } else {
-            val p = (r * w + x) * 3
-            out(o) = raw(p); out(o + 1) = raw(p + 1); out(o + 2) = raw(p + 2)
+        val y = oy + r
+        if (y < h) {
+          var x = 0
+          while (x < sw) {
+            val px = ox + x
+            if (px < w) {
+              val o = (y * w + px) * 3
+              if (segChans == 1) { // planar plane, or chunky gray
+                val base = r * sw + x
+                val v = toByte8(sample(raw, base), bytesPer)
+                if (gray) { out(o) = v; out(o + 1) = v; out(o + 2) = v }
+                else out(o + plane) = v
+              } else { // chunky rgb
+                val base = (r * sw + x) * sppI
+                out(o) = toByte8(sample(raw, base), bytesPer)
+                out(o + 1) = toByte8(sample(raw, base + 1), bytesPer)
+                out(o + 2) = toByte8(sample(raw, base + 2), bytesPer)
+              }
+            }
+            x += 1
           }
-          x += 1
         }
         r += 1
       }
-      strip += 1
+      seg += 1
     }
     Some(("tiff", w, h, out))
+  }
+
+  /** 16→8 keeps the most-significant byte (the standard presentation
+    * downscale); 8-bit passes through.
+    */
+  private def toByte8(v: Int, bytesPer: Int): Byte =
+    if (bytesPer == 1) v.toByte else (v >> 8).toByte
+
+  /** Undo horizontal differencing (tag 317 = 2) in place: each sample
+    * is a delta from the same channel one pixel left, per segment row,
+    * at the file's sample width and byte order (16-bit differencing is
+    * mod 2^16 on the VALUES, not the bytes).
+    */
+  private def undoHorizontalDiff(raw: Array[Byte], rows: Int, sw: Int,
+      chans: Int, bytesPer: Int, little: Boolean): Unit = {
+    var r = 0
+    while (r < rows) {
+      var x = 1
+      while (x < sw) {
+        var c = 0
+        while (c < chans) {
+          val idx = (r * sw + x) * chans + c
+          val prev = idx - chans
+          if (bytesPer == 1) {
+            raw(idx) = (raw(idx) + raw(prev)).toByte
+          } else {
+            val cur =
+              if (little) u8(raw, 2 * idx) | (u8(raw, 2 * idx + 1) << 8)
+              else (u8(raw, 2 * idx) << 8) | u8(raw, 2 * idx + 1)
+            val pv =
+              if (little) u8(raw, 2 * prev) | (u8(raw, 2 * prev + 1) << 8)
+              else (u8(raw, 2 * prev) << 8) | u8(raw, 2 * prev + 1)
+            val v = (cur + pv) & 0xffff
+            if (little) {
+              raw(2 * idx) = (v & 0xff).toByte
+              raw(2 * idx + 1) = (v >> 8).toByte
+            } else {
+              raw(2 * idx) = (v >> 8).toByte
+              raw(2 * idx + 1) = (v & 0xff).toByte
+            }
+          }
+          c += 1
+        }
+        x += 1
+      }
+      r += 1
+    }
   }
 
   /** PackBits (TIFF 6.0 §9): n in 0..127 copies n+1 literals, n in
@@ -472,4 +560,155 @@ object TiffCodec {
     }
     out.toByteArray
   }
+
+  /** The full-matrix fixture writer (r8 verdict item 6): gray or RGB,
+    * 8- or 16-bit samples, chunky or planar, STRIPS or TILES (tags
+    * 322–325; tile dims multiples of 16 per TIFF 6.0 §15), either byte
+    * order, compression none/LZW/PackBits, horizontal-differencing
+    * predictor with LZW — the same matrix the decoder walks.
+    * `pv(c, x, y)` plants each channel sample at the file's bit depth;
+    * tile padding samples are planted as 0. The decoder's 16→8
+    * presentation keeps the high byte, so a planted 16-bit value `v`
+    * must decode to `v >> 8`.
+    */
+  // scalastyle:off method.length cyclomatic.complexity
+  def encodeFull(w: Int, h: Int, little: Boolean, compression: Int,
+      predictor: Int, bps: Int, gray: Boolean, planar: Boolean,
+      tile: Option[(Int, Int)], rowsPerStrip: Int)(
+      pv: (Int, Int, Int) => Int): Array[Byte] = {
+    require(bps == 8 || bps == 16)
+    require(predictor == 1 || (predictor == 2 && compression == 5))
+    require(tile.forall { case (tw, th) => tw % 16 == 0 && th % 16 == 0 })
+    val sppI = if (gray) 1 else 3
+    val segChans = if (planar) 1 else sppI
+    val planes = if (planar) sppI else 1
+    val bytesPer = bps / 8
+
+    def putSample(raw: Array[Byte], idx: Int, v: Int): Unit =
+      if (bytesPer == 1) raw(idx) = v.toByte
+      else if (little) {
+        raw(2 * idx) = (v & 0xff).toByte; raw(2 * idx + 1) = ((v >> 8) & 0xff).toByte
+      } else {
+        raw(2 * idx) = ((v >> 8) & 0xff).toByte; raw(2 * idx + 1) = (v & 0xff).toByte
+      }
+    def getSample(raw: Array[Byte], idx: Int): Int =
+      if (bytesPer == 1) raw(idx) & 0xff
+      else if (little) (raw(2 * idx) & 0xff) | ((raw(2 * idx + 1) & 0xff) << 8)
+      else ((raw(2 * idx) & 0xff) << 8) | (raw(2 * idx + 1) & 0xff)
+
+    // raw (pre-compression) segment for (plane, segment-index)
+    def segmentRaw(plane: Int, rows: Int, sw: Int, ox: Int, oy: Int): Array[Byte] = {
+      val raw = new Array[Byte](rows * sw * segChans * bytesPer)
+      var r = 0
+      while (r < rows) {
+        var x = 0
+        while (x < sw) {
+          val y = oy + r; val px = ox + x
+          var c = 0
+          while (c < segChans) {
+            val chan = if (planar) plane else c
+            val v = if (y < h && px < w) pv(chan, px, y) else 0
+            putSample(raw, (r * sw + x) * segChans + c, v)
+            c += 1
+          }
+          x += 1
+        }
+        r += 1
+      }
+      if (predictor == 2) { // forward differencing, right-to-left per row
+        var r2 = 0
+        while (r2 < rows) {
+          var x2 = sw - 1
+          while (x2 >= 1) {
+            var c2 = 0
+            while (c2 < segChans) {
+              val idx = (r2 * sw + x2) * segChans + c2
+              putSample(raw, idx,
+                (getSample(raw, idx) - getSample(raw, idx - segChans)) & 0xffff)
+              c2 += 1
+            }
+            x2 -= 1
+          }
+          r2 += 1
+        }
+      }
+      compression match {
+        case 1     => raw
+        case 5     => lzwEncode(raw)
+        case 32773 => packBitsEncode(raw)
+      }
+    }
+
+    val segs: Seq[Array[Byte]] = tile match {
+      case Some((tw, th)) =>
+        val across = (w + tw - 1) / tw
+        val down = (h + th - 1) / th
+        for (p0 <- 0 until planes; t <- 0 until across * down) yield
+          segmentRaw(p0, th, tw, (t % across) * tw, (t / across) * th)
+      case None =>
+        val rps = math.max(1, math.min(rowsPerStrip, h))
+        val nStrips = (h + rps - 1) / rps
+        for (p0 <- 0 until planes; si <- 0 until nStrips) yield
+          segmentRaw(p0, math.min(rps, h - si * rps), w, 0, si * rps)
+    }
+    val nSegs = segs.length
+
+    // IFD assembly
+    // 5 common tags (256/257/258/259/262) + per-layout tags
+    val baseTags = 5 + (if (tile.isDefined) 6 else 5) +
+      (if (predictor == 2) 1 else 0)
+    val ifdSize = 2 + baseTags * 12 + 4
+    val bitsOff = 8 + ifdSize
+    val bitsExtra = if (sppI == 3) 6 else 0
+    val offsetsOff = bitsOff + bitsExtra
+    val countsOff = offsetsOff + 4 * nSegs
+    var dataOff = countsOff + 4 * nSegs
+    val segOffs = segs.map { g => val o = dataOff; dataOff += g.length; o }
+    val bb = java.nio.ByteBuffer.allocate(dataOff)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42)
+    bb.putInt(8)
+    bb.putShort(baseTags.toShort)
+    def tagE(t: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(t.toShort)
+      bb.putShort(typ.toShort)
+      bb.putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value)
+    }
+    tagE(256, 4, 1, w)
+    tagE(257, 4, 1, h)
+    if (sppI == 1) tagE(258, 3, 1, bps)
+    else tagE(258, 3, 3, bitsOff)
+    tagE(259, 3, 1, compression)
+    tagE(262, 3, 1, if (gray) 1 else 2)
+    // IFD tags must be ascending: 277 slots differently per layout
+    tile match {
+      case Some((tw, th)) =>
+        tagE(277, 3, 1, sppI)
+        tagE(284, 3, 1, if (planar) 2 else 1)
+        if (predictor == 2) tagE(317, 3, 1, 2)
+        tagE(322, 4, 1, tw)
+        tagE(323, 4, 1, th)
+        tagE(324, 4, nSegs, if (nSegs == 1) segOffs.head else offsetsOff)
+        tagE(325, 4, nSegs, if (nSegs == 1) segs.head.length else countsOff)
+      case None =>
+        val rps = math.max(1, math.min(rowsPerStrip, h))
+        tagE(273, 4, nSegs, if (nSegs == 1) segOffs.head else offsetsOff)
+        tagE(277, 3, 1, sppI)
+        tagE(278, 4, 1, rps)
+        tagE(279, 4, nSegs, if (nSegs == 1) segs.head.length else countsOff)
+        tagE(284, 3, 1, if (planar) 2 else 1)
+        if (predictor == 2) tagE(317, 3, 1, 2)
+    }
+    bb.putInt(0) // next IFD
+    if (sppI == 3) { bb.putShort(bps.toShort); bb.putShort(bps.toShort); bb.putShort(bps.toShort) }
+    for (o <- segOffs) bb.putInt(o)
+    for (g <- segs) bb.putInt(g.length)
+    for (g <- segs) bb.put(g)
+    bb.array()
+  }
+  // scalastyle:on method.length cyclomatic.complexity
 }

@@ -2357,6 +2357,33 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
     ),
 
+    // TILED 16-bit TIFF (r8 verdict item 6): 16x16 tiles that split AND
+    // clip a 17..32 x 9..20 image, chunky and planar layouts, LZW with
+    // the predictor at 16-bit sample width. Samples are planted
+    // pixelValue*257, so the high-byte 16->8 presentation lands exactly
+    // on the same 8-bit formula — one oracle covers the whole matrix.
+    QueryDef(
+      "multimodal_tiff_tiled",
+      (s, dir) => Multimodal.decodeTiffTiledReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 17 AS w, doc_id % 12 + 9 AS h
+             |    FROM documents),
+             |g AS (SELECT d.doc_id, d.w, d.h, x.x, y.y
+             |    FROM d, range(0, 33) AS x(x), range(0, 21) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h),
+             |v AS (SELECT doc_id, w, h,
+             |    (doc_id + 7 * x + 13 * y) % 256 AS r,
+             |    (doc_id + 7 * x + 13 * y + 31) % 256 AS g2,
+             |    (doc_id + 7 * x + 13 * y + 62) % 256 AS b
+             |  FROM g)
+             |SELECT doc_id, 'tiff' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
     // REAL JPEG pixel decode: baseline sequential streams whose 8x8
     // blocks are DC-only constants planted by doc_id arithmetic (the
     // one JPEG shape a decoder can be held EXACTLY to: block value

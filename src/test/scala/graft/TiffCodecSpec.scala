@@ -93,11 +93,11 @@ class TiffCodecSpec extends SparkSpec {
     }
   }
 
-  test("unsupported shapes return None, not throw") {
-    // planar configuration 2
+  test("inconsistent and malformed shapes return None, not throw") {
+    // flipping a CHUNKY file's planar tag to 2 makes the declared
+    // segment count wrong (planar needs spp x strips) — the decoder
+    // must reject the inconsistency, not misread the strips
     val base = PixelFixtures.tiffPixelBytes(0L, 4, 4)
-    // find the planar tag (284) and flip its value to 2: tag entries
-    // start at offset 10, 12 bytes each, little-endian for id 0
     val mutated = base.clone()
     var e = 10
     while (e + 12 <= 10 + 10 * 12) {
@@ -105,8 +105,81 @@ class TiffCodecSpec extends SparkSpec {
       if (t == 284) mutated(e + 8) = 2
       e += 12
     }
-    assert(TiffCodec.decode(mutated).isEmpty, "planar=2 must be unsupported")
+    assert(TiffCodec.decode(mutated).isEmpty,
+      "planar flag without planar segments must be rejected")
     assert(TiffCodec.decode(Array[Byte]('I', 'I', 42, 0)).isEmpty)
     assert(TiffCodec.decode(Array.fill[Byte](64)(0x4d)).isEmpty)
+  }
+
+  test("full matrix: tiles, 16-bit, planar, every compression — exact round-trip") {
+    // w/h chosen so 16x16 tiles both SPLIT the image and CLIP at the
+    // right/bottom edges; 16-bit samples plant v*257 so the high-byte
+    // presentation must land exactly on the 8-bit formula
+    val w = 20; val h = 13
+    def v8(c: Int, x: Int, y: Int) = ((7 + 7 * x + 13 * y + 31 * c) % 256)
+    var combos = 0
+    for {
+      comp <- Seq(1, 5, 32773)
+      pred <- Seq(1, 2)
+      if pred == 1 || comp == 5
+      bps <- Seq(8, 16)
+      gray <- Seq(true, false)
+      planar <- Seq(false, true)
+      tile <- Seq(None, Some((16, 16)))
+      little = combos % 2 == 0 // alternate byte orders across the matrix
+    } {
+      combos += 1
+      val bytes = TiffCodec.encodeFull(w, h, little, comp, pred, bps, gray,
+        planar, tile, rowsPerStrip = 5)((c, x, y) =>
+        if (bps == 8) v8(c, x, y) else v8(c, x, y) * 257)
+      val label = s"comp=$comp pred=$pred bps=$bps gray=$gray " +
+        s"planar=$planar tile=$tile little=$little"
+      val out = TiffCodec.decode(bytes)
+      assert(out.isDefined, s"$label must decode")
+      val (fmt, dw, dh, rgb) = out.get
+      assert((fmt, dw, dh) == (("tiff", w, h)), label)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val want = if (gray) v8(0, x, y) else v8(c, x, y)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) == want,
+          s"$label ($x,$y,$c)")
+      }
+    }
+    assert(combos == 64, s"matrix size $combos")
+  }
+
+  test("tiled fixture family decodes the planted values exactly") {
+    for (id <- 0L until 24L) {
+      val bytes = PixelFixtures.tiffTiledBytes(id)
+      val w = (id % 16 + 17).toInt
+      val h = (id % 12 + 9).toInt
+      val out = TiffCodec.decode(bytes)
+      assert(out.isDefined, s"id=$id")
+      val (_, dw, dh, rgb) = out.get
+      assert((dw, dh) == ((w, h)), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) ==
+          PixelFixtures.pixelValue(id, c, x, y), s"id=$id ($x,$y,$c)")
+    }
+  }
+
+  test("tiled truncation and declared-geometry bombs are data") {
+    val good = PixelFixtures.tiffTiledBytes(5L)
+    for (n <- 0 until good.length by 7)
+      TiffCodec.decode(java.util.Arrays.copyOf(good, n)) match {
+        case None => ()
+        case Some((_, dw, dh, px)) =>
+          assert(dw > 0 && dh > 0 && px.length == dw * dh * 3)
+      }
+    // adversarial tile dims: 2^20 x 2^20 tiles must be rejected by the
+    // bound, not allocated (mutate TileWidth tag 322's value)
+    val bomb = good.clone()
+    var e = 10
+    val n = (bomb(8) & 0xff) | ((bomb(9) & 0xff) << 8)
+    while (e + 12 <= 10 + n * 12) {
+      val t = (bomb(e) & 0xff) | ((bomb(e + 1) & 0xff) << 8)
+      if (t == 322 || t == 323) { bomb(e + 10) = 0x7f; bomb(e + 11) = 0x7f }
+      e += 12
+    }
+    assert(TiffCodec.decode(bomb).isEmpty, "tile-dim bomb must be rejected")
   }
 }
