@@ -634,11 +634,39 @@ object CurationPipeline {
     * cell, so this is THE health number of an IVF index whose centroids
     * are frozen while the data distribution drifts.
     */
-  def annCellSkew(spark: SparkSession, state: AnnState): Double = {
-    val r = liveCells(spark, state)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("mx"), avg(col("n")).as("av")).head()
-    r.getLong(0).toDouble / r.getDouble(1)
+  def annCellSkew(spark: SparkSession, state: AnnState): Double =
+    retryStaleRead(spark, Seq(state.cellsPath, state.tombstonesPath)) {
+      val r = liveCells(spark, state)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), avg(col("n")).as("av")).head()
+      r.getLong(0).toDouble / r.getDouble(1)
+    }
+
+  /** Eagerly-evaluated READ paths that run OUTSIDE the commit loop
+    * (skew measurement and friends) can still lose the race against a
+    * concurrent maintenance swap: the plan pins a file list, the swap
+    * deletes it, the tasks fail with FAILED_READ_FILE. Inside commit()
+    * that's handled as a lost optimistic race; out here the same
+    * losing read is simply re-run against the swapped state — the
+    * widened r9 soak (maintainAnn racing appends) caught exactly this
+    * escape on the skew measurement.
+    */
+  private def retryStaleRead[T](spark: SparkSession, paths: Seq[String])(
+      f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 8) {
+      try return f
+      catch {
+        case e: Throwable if StateCommit.isStaleRead(e) || isMissingPath(e) =>
+          last = e
+          Thread.sleep(100L)
+          for (p <- paths)
+            try spark.catalog.refreshByPath(p) catch { case _: Throwable => () }
+      }
+      i += 1
+    }
+    throw last
   }
 
   /** The cells table minus its tombstone-masked rows — the LIVE index

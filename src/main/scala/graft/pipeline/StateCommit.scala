@@ -210,7 +210,7 @@ object StateCommit {
     * no longer exists, or the directory was mid-rename. Walk the cause
     * chain — Spark wraps the task failure several layers deep.
     */
-  private def isStaleRead(e: Throwable): Boolean = {
+  private[pipeline] def isStaleRead(e: Throwable): Boolean = {
     var cur = e
     var depth = 0
     while (cur != null && depth < 12) {

@@ -340,6 +340,128 @@ class StateCommitSpec extends SparkSpec {
       docs.filter(col("doc_id") < 10), st, appendState = false) != null)
   }
 
+  test("widened soak: maintainAnn re-index and streamIngest replay join the mix") {
+    // r8 verdict item 7: the round-8 soak (runBatch/retract/purge/
+    // runBatchOnce) caught a real maintenance-swap race; this round the
+    // two surfaces it did NOT cover — the O(corpus) ANN re-index swap
+    // (maintainAnn → reindexAnn, a 3-table swap commit racing appends)
+    // and a LIVE streaming query whose micro-batches are just another
+    // writer on the same state dir — run inside the same randomized
+    // 3-session interleaving.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("statecommit-soak2").toString
+    val st = CurationPipeline.init(spark, dir)
+    val annDir = Files.createTempDirectory("statecommit-soak2-ann").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ann = CurationPipeline.initAnn(spark, annDir,
+      emb.filter(col("vec_id") < 64), nCells = 4, refine = 1)
+    val streamRows = docs.filter(col("doc_id") < 200)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("statecommit-soak2-ckpt").toString
+    val q = CurationPipeline.streamIngest(spark,
+        in.toDF().toDF("doc_id", "text"), st, "soak2-stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val nThreads = 3
+    val opsPerThread = 6
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val streamChunk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        val sess = spark.newSession()
+        val rnd = new scala.util.Random(2000 + t)
+        try {
+          for (i <- 0 until opsPerThread) {
+            val slice = t * opsPerThread + i
+            rnd.nextInt(7) match {
+              case 0 =>
+                CurationPipeline.runBatch(sess,
+                  docs.filter(col("doc_id") % (nThreads * opsPerThread) === slice),
+                  st)
+              case 1 =>
+                val ids = Seq.fill(3)(rnd.nextInt(500).toLong)
+                CurationPipeline.retract(sess, st, ids.toDF("doc_id"))
+              case 2 =>
+                CurationPipeline.maintain(sess, st)
+              case 3 =>
+                // feed the live stream a fresh chunk and drain it: the
+                // micro-batch's runBatchOnce is a racing writer on dir
+                val c = streamChunk.getAndIncrement()
+                val chunk = streamRows.map { case (id, tx) =>
+                  (id + 10000L * (c + 1), tx + s" chunk$c")
+                }
+                q.synchronized { in.addData(chunk); q.processAllAvailable() }
+              case 4 =>
+                // disjoint per-slice ids so live cells stay unique
+                CurationPipeline.runAnnBatch(sess,
+                  emb.filter(col("vec_id") >= 64 &&
+                    col("vec_id") % (nThreads * opsPerThread) === slice), ann)
+              case 5 =>
+                val ids = Seq.fill(2)(rnd.nextInt(400).toLong)
+                CurationPipeline.retractAnn(sess, ann, ids.toDF("vec_id"))
+              case 6 =>
+                // threshold 0 forces the full re-index swap mid-traffic
+                CurationPipeline.maintainAnn(sess, annDir, ann,
+                  skewThreshold = if (rnd.nextBoolean()) 0.0 else 1e9,
+                  nCells = 4, refine = 1)
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    try {
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      assert(errors.isEmpty, s"ops failed: ${errors.peek()}")
+    } finally q.stop()
+
+    // ---- end-state invariants, both state dirs ----
+    StateCommit.recover(spark, dir)
+    StateCommit.recover(spark, annDir)
+    val v = StateCommit.version(spark, dir)
+    val va = StateCommit.version(spark, annDir)
+    assert(v > 0 && va > 0)
+    spark.catalog.refreshByPath(st.digestsPath)
+    val digests = spark.read.parquet(st.digestsPath)
+      .select("doc_id", "text_hash", "epoch")
+      .as[(Long, String, Long)].collect()
+    assert(digests.forall(_._3 <= v), "no digest may carry a future epoch")
+    val tombs = spark.read.parquet(st.tombstonesPath)
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => (id, rs.map(_._2).max) }
+    val live = digests.filterNot { case (id, _, e) =>
+      tombs.get(id).exists(_ >= e)
+    }
+    val dupHashes = live.groupBy(_._2).filter(_._2.length > 1)
+    assert(dupHashes.isEmpty,
+      s"live digests must stay unique per text: ${dupHashes.keys.take(3)}")
+    // ANN: every surviving cell row belongs to a committed epoch, the
+    // live index holds at most one row per vec_id, and reads serve
+    spark.catalog.refreshByPath(ann.cellsPath)
+    val cells = spark.read.parquet(ann.cellsPath)
+      .select("vec_id", "epoch").as[(Long, Long)].collect()
+    assert(cells.forall(_._2 <= va), "no cell row may carry a future epoch")
+    val vtombs = spark.read.parquet(ann.tombstonesPath)
+      .select("vec_id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => (id, rs.map(_._2).max) }
+    val liveCells = cells.filterNot { case (id, e) =>
+      vtombs.get(id).exists(_ >= e)
+    }
+    val dupVecs = liveCells.groupBy(_._1).filter(_._2.length > 1)
+    assert(dupVecs.isEmpty,
+      s"live ANN index must hold one row per vec_id: ${dupVecs.keys.take(3)}")
+    // serving reads still work end-to-end on both states
+    assert(CurationPipeline.runBatch(spark,
+      docs.filter(col("doc_id") < 10), st, appendState = false) != null)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    assert(CurationPipeline.probeAnn(spark, ann, probes).count() > 0L,
+      "the post-soak index must serve probes")
+  }
+
   test("vacuumStaged sweeps orphaned staging, never a referenced record's") {
     val dir = Files.createTempDirectory("statecommit-vacuum").toString
     StateCommit.initDir(spark, dir)
