@@ -40,6 +40,20 @@ import time
 THRESHOLD = 2.0   # max allowed per-query slowdown vs baseline median
 FLOOR_SEC = 0.3   # ignore regressions that stay under this absolute time
 
+# Rows that pay REAL per-execution environment setup the 2x ratio should
+# not amplify (VERDICT r8 #8): dedup_retract_stream starts an actual
+# Structured Streaming job per rep — checkpoint-dir creation, file-source
+# write + listing, memory-sink init — ~1-2 s of filesystem work that is
+# machine-bound, not plan-bound. The guard allows that much ADDITIVE
+# slack on top of the ratio so setup jitter alone can never trip it,
+# while a genuine 2x plan regression (which scales the multiplicative
+# part) still does.
+SETUP_SLACK_SEC = {"dedup_retract_stream": 2.0}
+
+
+def allowed_sec(q, t_base):
+    return THRESHOLD * t_base + SETUP_SLACK_SEC.get(q, 0.0)
+
 
 def isolated_medians(queries):
     """Re-measure `queries` in one fresh, idle JVM (graft.BenchOne: warm
@@ -85,7 +99,7 @@ def main() -> int:
             continue
         if t_new < 0:
             continue  # already counted in failed_queries
-        if t_new > THRESHOLD * t_base and t_new > FLOOR_SEC:
+        if t_new > allowed_sec(q, t_base) and t_new > FLOOR_SEC:
             flagged.append((q, t_base, t_new))
 
     # Adjudicate flagged queries with an isolated re-measure: the
@@ -106,7 +120,7 @@ def main() -> int:
                       "(isolated re-measure produced no result)")
                 confirmed.append((q, t_base, t_new))
                 verdict = "CONFIRMED"
-            elif t_iso > THRESHOLD * t_base and t_iso > FLOOR_SEC:
+            elif t_iso > allowed_sec(q, t_base) and t_iso > FLOOR_SEC:
                 print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
                       f"(isolated median {t_iso:.2f}s still over)")
                 confirmed.append((q, t_base, t_iso))
@@ -142,6 +156,7 @@ def main() -> int:
             "baseline": base_path,
             "threshold": THRESHOLD,
             "floor_sec": FLOOR_SEC,
+            "setup_slack_sec": SETUP_SLACK_SEC,
             "adjudicated_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
             "load_avg_at_adjudication": os.getloadavg()[0],
             "total_new_sec": tot_new,

@@ -687,6 +687,13 @@ object ExtensionQueries {
     // once; the stream–static join is stateless per row), so the
     // DuckDB oracle replays the mask as plain SQL — identical to the
     // batch twin above.
+    //
+    // BENCH TIMING NOTE: each execution starts a REAL streaming job —
+    // checkpoint-dir creation, file-source write + listing, memory-sink
+    // init — so ~1-2 s of the measured time is per-run environment
+    // setup, not plan time. bench_guard.py grants this row an additive
+    // setup slack (SETUP_SLACK_SEC) so filesystem jitter alone cannot
+    // trip the 2x guard; a genuine plan regression still does.
     QueryDef(
       "dedup_retract_stream",
       (s, dir) => {
