@@ -196,9 +196,11 @@ object FlacCodec {
     }
     if (!sawInfo || rate <= 0 || channels < 1 || channels > 8 ||
       bits < 4 || bits > 32) return None
-    // alloc guard (audio twin of the 2^26 pixel guard); a zero total is
-    // legal in the spec (unknown length) but unbounded — reject here
-    if (total <= 0L || total > (1L << 26)) return None
+    // alloc guard (audio twin of the 2^26 pixel guard) on the TOTAL
+    // buffer — samples × channels, so an 8-channel header cannot 8×
+    // the bound (r9 review); a zero total is legal in the spec
+    // (unknown length) but unbounded — reject here
+    if (total <= 0L || total * channels > (1L << 26)) return None
     val out = Array.ofDim[Int](channels, total.toInt)
     var decoded = 0
 
@@ -650,7 +652,12 @@ object FlacCodec {
         while (i < count) {
           val v = res(idx + i)
           var w = 2
-          while (w < 32 && (v < -(1L << (w - 1)) || v >= (1L << (w - 1)))) w += 1
+          while (w < 31 && (v < -(1L << (w - 1)) || v >= (1L << (w - 1)))) w += 1
+          // the width field is 5 bits: 32 would wrap to 0 and silently
+          // encode every residual as zero (r9 review) — a fixture whose
+          // residuals need more than 31 bits is an encoder-side bug
+          require(v >= -(1L << (w - 1)) && v < (1L << (w - 1)),
+            s"escape residual $v does not fit the 5-bit width field")
           if (w > need) need = w
           i += 1
         }

@@ -1004,8 +1004,12 @@ object JpegFixtures {
     * and RSTn markers between rows.
     */
   def jpegPixelBytes(id: Long): Array[Byte] =
+    // restarts on ODD ids: height(id) gives odd ids TWO block rows, so
+    // DRI = one row actually emits an RSTn between them — the even-id
+    // toggle wrote a DRI segment but never a marker (height 8 = one
+    // row), leaving the restart path untested (r9 review)
     grayDcOnly(width(id), height(id), (bx, by) => blockValue(id, bx, by),
-      withRestarts = id % 2 == 0)
+      withRestarts = id % 2 == 1)
 
   def grayDcOnly(w: Int, h: Int, grey: (Int, Int) => Int,
       withRestarts: Boolean): Array[Byte] = {
@@ -1068,12 +1072,14 @@ object JpegFixtures {
     * a custom EOBn Huffman table. Reconstruction is EXACT:
     * `((dc >> 1) << 1) | (dc & 1) == dc` in two's complement, so the
     * decoded pixels equal the planted `blockValue` arithmetic and the
-    * DuckDB oracle holds bit-for-bit. Even ids carry DRI/RSTn in every
+    * DuckDB oracle holds bit-for-bit. Odd ids carry DRI/RSTn in every
     * scan (restarts reset both the DC predictor and the EOB run).
     */
   def jpegProgressiveBytes(id: Long): Array[Byte] =
+    // odd ids: two block rows — the RSTn markers are really emitted
+    // (see jpegPixelBytes)
     grayProgressiveDcOnly(width(id), height(id),
-      (bx, by) => blockValue(id, bx, by), withRestarts = id % 2 == 0)
+      (bx, by) => blockValue(id, bx, by), withRestarts = id % 2 == 1)
 
   // EOBn-only AC table for the all-zero progressive bands: codes for
   // EOB runs of 1/2/4/8-block magnitude (r = 0..3). Deliberately

@@ -74,7 +74,46 @@ object StateCommit {
 
   final case class Record(txn: String, ops: Seq[Op])
 
+  /** A FIRST apply found its staging missing: the staged data was lost
+    * (vacuumed / tampered) before it could land. Distinguished from
+    * transient apply failures because its handling is OPPOSITE: the
+    * lease is released and the error repeats loudly on every replay
+    * (an alarm, not a crash), whereas transient failures leave the
+    * lease to go stale so the next applier replays the idempotent
+    * mid-state tolerantly.
+    */
+  private final class StrictApplyLoss(msg: String)
+    extends RuntimeException(msg)
+
   private def commitsDir(dir: String) = s"$dir/_commits"
+
+  /** Serialize [[vacuumStaged]]'s sweep against the commit loop's
+    * [verify-staging → claim] critical section: a JVM-wide monitor per
+    * state dir (sessions share one JVM in local mode) plus an exclusive
+    * cross-process file lock. This is what actually CLOSES the
+    * vacuum-vs-claim TOCTOU — a claim can no longer land between the
+    * sweep's reference recheck and its delete, because the two
+    * critical sections cannot interleave at all. Both sections are a
+    * handful of filesystem metadata ops, so the lock hold time is
+    * microseconds.
+    */
+  private val vacuumLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withVacuumLock[T](dir: String)(f: => T): T = {
+    val mon = vacuumLocks.computeIfAbsent(dir, _ => new Object)
+    mon.synchronized {
+      val lockPath = Paths.get(dir, "_staged", ".vacuum-lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
   private def versionName(v: Long) = f"$v%020d"
 
   def stagePath(dir: String, txn: String, table: String): String =
@@ -188,18 +227,23 @@ object StateCommit {
           // any sane vacuum cutoff).
           val fsv = new Path(dir).getFileSystem(
             spark.sparkContext.hadoopConfiguration)
-          val swept = ops.exists(op =>
-            !fsv.exists(new Path(stagePath(dir, txn, op.table))))
-          if (swept) {
-            discardStaged(spark, dir, txn)
-          } else if (tryClaim(dir, v + 1, rec)) {
+          // [verify staging → claim] runs under the vacuum lock, so a
+          // sweep can never interleave between the check and the claim
+          // (the r9 review's residual TOCTOU): once the claim exists,
+          // the txn is referenced and the sweep's recheck protects it
+          val claimed = withVacuumLock(dir) {
+            val swept = ops.exists(op =>
+              !fsv.exists(new Path(stagePath(dir, txn, op.table))))
+            !swept && tryClaim(dir, v + 1, rec)
+          }
+          if (claimed) {
             applyExclusive(spark, dir, v + 1, rec)
             writeVersionFile(dir, v + 1)
             pruneLog(dir, v + 1)
             return v + 1
           }
-          // lost the race: throw away this attempt's staging and
-          // recompute against the winner's state
+          // swept pre-claim or lost the race: either way, throw away
+          // this attempt's staging and recompute against current state
           discardStaged(spark, dir, txn)
       }
     }
@@ -311,24 +355,42 @@ object StateCommit {
         })
         beat.setDaemon(true)
         beat.start()
+        // Strict on a FIRST apply (no broken-lease `.replay` marker):
+        // missing staging then means the files were never moved —
+        // vacuumed or tampered — and silently skipping would report
+        // a committed version that landed zero rows. Only a replay
+        // after a crashed/usurped applier (marker present) may treat
+        // consumed staging as already-applied mid-state.
+        val tolerateConsumed =
+          Files.exists(cd.resolve(versionName(v) + ".replay"))
+        var cleanRelease = true
         try {
-          // Strict on a FIRST apply (no broken-lease `.replay` marker):
-          // missing staging then means the files were never moved —
-          // vacuumed or tampered — and silently skipping would report
-          // a committed version that landed zero rows. Only a replay
-          // after a crashed/usurped applier (marker present) may treat
-          // consumed staging as already-applied mid-state.
-          val tolerateConsumed =
-            Files.exists(cd.resolve(versionName(v) + ".replay"))
           if (!Files.exists(done))
             applyRecord(spark, dir, rec, usurped, tolerateConsumed)
           try Files.createFile(done)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        } catch {
+          case e: StrictApplyLoss =>
+            throw e // loud and repeatable: release the lease below
+          case e: Throwable =>
+            // ANY other mid-apply failure may have consumed part of the
+            // record's staging (op1 landed, op2 threw a transient
+            // IOException). Releasing the lease here would leave no
+            // crash evidence, so the next applier's FIRST apply would
+            // strict-fail forever on the consumed mid-state — a
+            // transient hiccup bricking the dir (r9 review). Treat a
+            // thrown apply exactly like a hard crash at the same
+            // point: LEAVE the lease; it goes stale, the next waiter
+            // breaks it, writes `.replay`, and replays the idempotent
+            // mid-state tolerantly.
+            cleanRelease = false
+            throw e
         } finally {
           beat.interrupt()
           // delete only a lease this process still owns — never a
-          // usurper's fresh claim
-          if (leaseOwner() == myId) Files.deleteIfExists(lease)
+          // usurper's fresh claim — and never after a non-strict
+          // failure (see above: the stale-break path needs it)
+          if (cleanRelease && leaseOwner() == myId) Files.deleteIfExists(lease)
         }
         return
       }
@@ -401,10 +463,11 @@ object StateCommit {
             moveDataFiles(fs, qSrc, qSrc, fs.makeQualified(dest))
             fs.delete(src, true)
           } else if (!tolerateConsumed) {
-            sys.error(s"apply of ${rec.txn}: staging $src is MISSING on a " +
-              "first apply — the staged data was lost (vacuumed?) before " +
-              "it could be published. Refusing to record a lost update " +
-              "as success.")
+            throw new StrictApplyLoss(
+              s"apply of ${rec.txn}: staging $src is MISSING on a " +
+                "first apply — the staged data was lost (vacuumed?) before " +
+                "it could be published. Refusing to record a lost update " +
+                "as success.")
           }
         case "swap" =>
           replaceDirReplayable(spark, dest.toString, src.toString,
@@ -473,9 +536,10 @@ object StateCommit {
       // lost before it could land — fail loudly, don't serve the stale
       // table as if the swap succeeded
       if (!tolerateConsumed)
-        sys.error(s"swap of $dest: staging $src is MISSING on a first " +
-          "apply — the staged replacement was lost (vacuumed?). " +
-          "Refusing to record a lost update as success.")
+        throw new StrictApplyLoss(
+          s"swap of $dest: staging $src is MISSING on a first " +
+            "apply — the staged replacement was lost (vacuumed?). " +
+            "Refusing to record a lost update as success.")
       if (!fs.exists(p)) sys.error(s"swap lost: neither $src nor $dest exists")
       fs.delete(old, true)
     }
@@ -531,18 +595,44 @@ object StateCommit {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
+    withVacuumLock(dir) {
     val referenced = referencedTxns(dir)
-    val candidates = fs.listStatus(root)
-      .filter(e => e.getModificationTime < cutoff &&
-        !referenced.contains(e.getPath.getName))
     var n = 0
-    for (e <- candidates) {
-      // re-check right before the irreversible step: a commit may have
-      // claimed this txn since the candidate listing
-      if (!referencedTxns(dir).contains(e.getPath.getName)) {
-        fs.delete(e.getPath, true); n += 1
+    // Sweep is RENAME-then-recheck, never check-then-delete: renaming
+    // the staging aside FIRST makes the committer's pre-claim staging
+    // verification fail (it re-prepares — a lost optimistic race, no
+    // claim), and a claim that still slipped in between our listing and
+    // the rename is caught by the recheck, which RESTORES the dir. The
+    // delete only ever destroys staging that was aside AND unreferenced
+    // at recheck time — the r9 review'sremaining TOCTOU (claim landing
+    // between a recheck and a direct delete) has no window left: after
+    // the rename there is nothing a new claim can reference that we
+    // then delete.
+    for (e <- fs.listStatus(root)) {
+      val name = e.getPath.getName
+      if (name == ".vacuum-lock") {
+        () // the serialization lock file itself — never swept
+      } else if (name.startsWith(".vacuum-")) {
+        // crashed vacuum leftovers: restore if their txn got claimed,
+        // sweep otherwise (they are already aside — no new window)
+        val txn = name.stripPrefix(".vacuum-")
+        if (referencedTxns(dir).contains(txn)) {
+          fs.rename(e.getPath, new Path(root, txn))
+        } else if (e.getModificationTime < cutoff) {
+          fs.delete(e.getPath, true); n += 1
+        }
+      } else if (e.getModificationTime < cutoff && !referenced.contains(name)) {
+        val aside = new Path(root, s".vacuum-$name")
+        if (fs.rename(e.getPath, aside)) {
+          if (referencedTxns(dir).contains(name)) {
+            fs.rename(aside, e.getPath) // claimed meanwhile: restore
+          } else {
+            fs.delete(aside, true); n += 1
+          }
+        }
       }
     }
     n
+    }
   }
 }

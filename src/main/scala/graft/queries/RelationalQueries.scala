@@ -1966,6 +1966,11 @@ object RelationalQueries {
         val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
         val l3 = li.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
           col("l_shipdate").as("d3"))
+        // group by s_name AFTER the supplier join (the official Q21
+        // grouping): keying the count on l_suppkey instead only agreed
+        // with the oracle while names were unique per key — the 10×
+        // scaled corpus duplicates names across offset keys and the
+        // full-registry sf1 gate (r9) caught the divergence
         late
           .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
             "left_semi")
@@ -1973,12 +1978,12 @@ object RelationalQueries {
             col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3") &&
               col("d3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
             "left_anti")
-          .groupBy(col("l_suppkey"))
-          .agg(count(lit(1)).as("numwait"))
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_name"), col("numwait"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
           .orderBy(desc("numwait"), asc("s_name"))
           .limit(100)
+          .select(col("s_name"), col("numwait"))
       },
       Some("""WITH late AS (
              |  SELECT DISTINCT l_orderkey, l_suppkey, o_orderdate
