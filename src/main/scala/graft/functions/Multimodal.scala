@@ -2746,6 +2746,31 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** Deflate-in-TIFF through the same plumbing
+    * ([[PixelFixtures.tiffDeflateBytes]] — both Deflate tags, strips
+    * and tiles, 8/16-bit, predictor): the zlib path scanned documents
+    * actually ship, held to the planted-channel oracle.
+    */
+  def decodeTiffDeflateReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.tiffDeflateBytes(id)))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
+  /** Palette TIFF through the same plumbing
+    * ([[PixelFixtures.tiffPaletteBytes]] — photometric 3 with a
+    * planted 16-bit ColorMap): the indexed-color scans GIF-era
+    * documents carry, with index AND map both doc_id arithmetic so the
+    * oracle replays the lookup exactly.
+    */
+  def decodeTiffPaletteReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.tiffPaletteBytes(id)))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
   /** REAL JPEG pixel decode through the same batch plumbing: baseline
     * sequential streams ([[JpegFixtures.jpegPixelBytes]] plants every
     * 8×8 block's constant grey by doc_id arithmetic — the DC-only shape

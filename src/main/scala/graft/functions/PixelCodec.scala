@@ -808,4 +808,53 @@ object PixelFixtures {
       rowsPerStrip = 0)(
       (c, x, y) => pixelValue(id, c, x, y) * 257)
   }
+
+  /** Deflate-compressed TIFF fixture (zlib inside TIFF — the modern
+    * scanned-document default): RGB, strips or 16x16 tiles by
+    * rotation, 8- or 16-bit samples, predictor on odd ids, both byte
+    * orders; always compression 8 / 32946 alternating so BOTH Deflate
+    * tags decode. Planted to the same pixelValue formula (x257 at
+    * 16-bit), so the existing channel-stats oracle shape holds.
+    */
+  def tiffDeflateBytes(id: Long): Array[Byte] = {
+    val w = (id % 16 + 5).toInt
+    val h = (id % 12 + 4).toInt
+    val sixteen = (id / 3) % 2 == 1
+    TiffCodec.encodeFull(w, h,
+      little = (id / 2) % 2 == 0,
+      compression = if (id % 2 == 0) 8 else 32946,
+      predictor = if (id % 2 == 1) 2 else 1,
+      bps = if (sixteen) 16 else 8,
+      gray = false,
+      planar = false,
+      tile = if ((id / 4) % 2 == 1) Some((16, 16)) else None,
+      rowsPerStrip = 3)(
+      (c, x, y) =>
+        if (sixteen) pixelValue(id, c, x, y) * 257 else pixelValue(id, c, x, y))
+  }
+
+  /** Palette TIFF fixture: planted 8-bit index plane
+    * `idx(x,y) = (id + 5x + 11y) mod 256` through a planted ColorMap
+    * `map(c, i) = ((i·7 + c·31) mod 256) · 257` — the decoder's
+    * high-byte presentation lands on `(idx·7 + c·31) mod 256`, pure
+    * doc_id arithmetic for the oracle. Compression rotates
+    * none/LZW/Deflate/PackBits (predictor with the LZ pair).
+    */
+  def tiffPaletteBytes(id: Long): Array[Byte] = {
+    val w = (id % 16 + 4).toInt
+    val h = (id % 12 + 3).toInt
+    val comp = (id % 4) match {
+      case 0 => 1
+      case 1 => 5
+      case 2 => 8
+      case _ => 32773
+    }
+    TiffCodec.encodePalette(w, h,
+      little = (id / 2) % 2 == 0,
+      compression = comp,
+      rowsPerStrip = 2,
+      predictor = if ((comp == 5 || comp == 8) && id % 2 == 1) 2 else 1)(
+      (x, y) => (((id + 5 * x + 11 * y) % 256L + 256L) % 256L).toInt)(
+      (c, i) => ((i * 7 + c * 31) % 256) * 257)
+  }
 }

@@ -1,25 +1,27 @@
 package graft.functions
 
-/** Pure-JVM baseline TIFF pixel decode (TIFF 6.0 spec): both byte
-  * orders, IFD tag walk with inline-or-offset values, 8-bit grayscale
-  * (BlackIsZero) and 8-bit chunky RGB, multi-strip layouts, and the
-  * three compressions a baseline reader owes — none, PackBits RLE,
-  * and TIFF-flavor LZW (MSB-first variable-width codes with the
-  * early-change width bump, §13) with the horizontal-differencing
-  * predictor (tag 317 = 2) LZW files routinely pair with. Rounds out
-  * the format family `ImageHeaders` already classifies — TIFF stopped
-  * at dimensions; pixels now decode like BMP/PNG/GIF/JPEG/WebP
-  * before it.
+/** Pure-JVM TIFF pixel decode (TIFF 6.0 spec): both byte orders, IFD
+  * tag walk with inline-or-offset values, grayscale (BlackIsZero),
+  * chunky and PLANAR RGB, PALETTE color (photometric 3, 16-bit
+  * ColorMap), 8- and 16-bit samples, STRIP and TILED layouts (tags
+  * 322–325, padded edge tiles clipped), and the compressions a
+  * scanned-document corpus actually carries — none, PackBits RLE,
+  * TIFF-flavor LZW (MSB-first variable-width codes with the
+  * early-change width bump, §13), and zlib Deflate (tags 8 and the
+  * legacy 32946) — with the horizontal-differencing predictor
+  * (tag 317 = 2) the LZ-family codecs pair with, applied to 16-bit
+  * VALUES mod 2^16.
   *
   * Output is top-down row-major RGB ([[PixelCodec.decodePixels]]'s
-  * contract; gray replicates into all three channels). Unsupported
-  * shapes (planar, tiled, 16-bit, palette) and malformed or
-  * truncated payloads return None — corrupt blobs are data, not task
-  * failures — and every allocation is bounded by the declared
-  * geometry under the repo-wide 2^26-pixel guard.
+  * contract; gray replicates into all three channels; 16-bit keeps the
+  * high byte; palette indices present their ColorMap entry's high
+  * byte). Remaining unsupported shapes (sub-byte depths, CCITT/JPEG-
+  * in-TIFF) and malformed or truncated payloads return None — corrupt
+  * blobs are data, not task failures — and every allocation is bounded
+  * by the declared geometry under the repo-wide 2^26-pixel guard.
   *
-  * The companion [[TiffCodec.encode]] is the planted-pixel fixture
-  * writer (both endians, none/PackBits, configurable rows-per-strip),
+  * The companions [[TiffCodec.encode]] / [[TiffCodec.encodeFull]] /
+  * [[TiffCodec.encodePalette]] are the planted-pixel fixture writers,
   * so the decoder is verified against the external planted-arithmetic
   * oracle, not against itself.
   */
@@ -68,6 +70,7 @@ object TiffCodec {
     var predictor = 1L
     var stripOffsets: Seq[Long] = Nil
     var stripCounts: Seq[Long] = Nil
+    var colorMap: Seq[Long] = Nil
     var tileW = 0L
     var tileL = 0L
     var tileOffsets: Seq[Long] = Nil
@@ -116,6 +119,7 @@ object TiffCodec {
         case 279 => stripCounts = vs
         case 284 => planar = vs.headOption.getOrElse(1L)
         case 317 => predictor = vs.headOption.getOrElse(1L)
+        case 320 => colorMap = vs
         case 322 => tileW = vs.headOption.getOrElse(0L)
         case 323 => tileL = vs.headOption.getOrElse(0L)
         case 324 => tileOffsets = vs
@@ -129,14 +133,21 @@ object TiffCodec {
     if (planar != 1L && planar != 2L) return None
     val gray = photometric == 1L && spp == 1L
     val rgb = photometric == 2L && spp == 3L
-    if (!gray && !rgb) return None
+    val pal = photometric == 3L && spp == 1L
+    if (!gray && !rgb && !pal) return None
     val bps = bits.headOption.getOrElse(0L)
     if ((bps != 8L && bps != 16L) || bits.exists(_ != bps) ||
       bits.length != spp.toInt) return None
-    if (compression != 1L && compression != 32773L && compression != 5L)
-      return None
+    // palette (TIFF 6.0 §5): 8-bit indices into a 3·256-entry 16-bit
+    // ColorMap (R block, G block, B block); high byte presents
+    if (pal && (bps != 8L || colorMap.length != 768)) return None
+    val deflate = compression == 8L || compression == 32946L
+    if (compression != 1L && compression != 32773L && compression != 5L &&
+      !deflate) return None
     if (predictor != 1L && predictor != 2L) return None
-    if (predictor == 2L && compression != 5L) return None // LZW-only pairing
+    // predictor pairs with the LZ-family codecs (LZW + both Deflate
+    // tags) — never with none/PackBits
+    if (predictor == 2L && compression != 5L && !deflate) return None
 
     val tiled = tileOffsets.nonEmpty
     if (tiled && (tileW <= 0L || tileL <= 0L ||
@@ -198,8 +209,10 @@ object TiffCodec {
         if (compression == 1L) {
           if (cnt != expect) return None
           java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
-        } else if (compression == 5L) {
-          val un = lzwDecode(b, off.toInt, cnt.toInt, expect)
+        } else if (compression == 5L || deflate) {
+          val un =
+            if (deflate) inflate(b, off.toInt, cnt.toInt, expect)
+            else lzwDecode(b, off.toInt, cnt.toInt, expect)
           if (un == null) return None
           if (predictor == 2L)
             undoHorizontalDiff(un, rows, sw, segChans, bytesPer, little)
@@ -218,11 +231,18 @@ object TiffCodec {
             val px = ox + x
             if (px < w) {
               val o = (y * w + px) * 3
-              if (segChans == 1) { // planar plane, or chunky gray
+              if (segChans == 1) { // planar plane, chunky gray, palette
                 val base = r * sw + x
-                val v = toByte8(sample(raw, base), bytesPer)
-                if (gray) { out(o) = v; out(o + 1) = v; out(o + 2) = v }
-                else out(o + plane) = v
+                if (pal) {
+                  val idx = sample(raw, base) & 0xff
+                  out(o) = (colorMap(idx) >> 8).toByte
+                  out(o + 1) = (colorMap(256 + idx) >> 8).toByte
+                  out(o + 2) = (colorMap(512 + idx) >> 8).toByte
+                } else {
+                  val v = toByte8(sample(raw, base), bytesPer)
+                  if (gray) { out(o) = v; out(o + 1) = v; out(o + 2) = v }
+                  else out(o + plane) = v
+                }
               } else { // chunky rgb
                 val base = (r * sw + x) * sppI
                 out(o) = toByte8(sample(raw, base), bytesPer)
@@ -285,6 +305,46 @@ object TiffCodec {
       }
       r += 1
     }
+  }
+
+  /** zlib inflate with the repo-wide exact-length contract: the stream
+    * must decompress to EXACTLY `expect` bytes — short (truncated),
+    * long (trailing data), or malformed streams are corruption → null.
+    */
+  private def inflate(b: Array[Byte], off: Int, len: Int,
+      expect: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new Array[Byte](expect)
+      var o = 0
+      while (o < expect) {
+        val n = inf.inflate(out, o, expect - o)
+        if (n == 0) {
+          if (inf.finished() || inf.needsInput()) return null // short
+          if (inf.needsDictionary()) return null
+        }
+        o += n
+      }
+      // exact landing: no further output may be pending
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe) > 0) return null
+      out
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      buf.toByteArray
+    } finally d.end()
   }
 
   /** PackBits (TIFF 6.0 §9): n in 0..127 copies n+1 literals, n in
@@ -489,9 +549,10 @@ object TiffCodec {
         }
       }
       compression match {
-        case 1     => raw
-        case 5     => lzwEncode(raw)
-        case 32773 => packBitsEncode(raw)
+        case 1             => raw
+        case 5             => lzwEncode(raw)
+        case 8 | 32946     => deflateBytes(raw)
+        case 32773         => packBitsEncode(raw)
       }
     }
 
@@ -577,7 +638,8 @@ object TiffCodec {
       tile: Option[(Int, Int)], rowsPerStrip: Int)(
       pv: (Int, Int, Int) => Int): Array[Byte] = {
     require(bps == 8 || bps == 16)
-    require(predictor == 1 || (predictor == 2 && compression == 5))
+    require(predictor == 1 || (predictor == 2 &&
+      (compression == 5 || compression == 8 || compression == 32946)))
     require(tile.forall { case (tw, th) => tw % 16 == 0 && th % 16 == 0 })
     val sppI = if (gray) 1 else 3
     val segChans = if (planar) 1 else sppI
@@ -633,9 +695,10 @@ object TiffCodec {
         }
       }
       compression match {
-        case 1     => raw
-        case 5     => lzwEncode(raw)
-        case 32773 => packBitsEncode(raw)
+        case 1             => raw
+        case 5             => lzwEncode(raw)
+        case 8 | 32946     => deflateBytes(raw)
+        case 32773         => packBitsEncode(raw)
       }
     }
 
@@ -711,4 +774,89 @@ object TiffCodec {
     bb.array()
   }
   // scalastyle:on method.length cyclomatic.complexity
+
+  /** Palette fixture writer: 8-bit indices + a full 3·256-entry 16-bit
+    * ColorMap, strips, either byte order, compression none / LZW /
+    * Deflate / PackBits (predictor with the LZ codecs). `idxAt(x, y)`
+    * plants the index plane; `mapAt(chan, idx)` the 16-bit ColorMap
+    * entries — the decoder presents `mapAt(c, idxAt(x, y)) >> 8`.
+    */
+  def encodePalette(w: Int, h: Int, little: Boolean, compression: Int,
+      rowsPerStrip: Int, predictor: Int = 1)(idxAt: (Int, Int) => Int)(
+      mapAt: (Int, Int) => Int): Array[Byte] = {
+    require(predictor == 1 ||
+      (predictor == 2 && (compression == 5 || compression == 8)))
+    val rps = math.max(1, math.min(rowsPerStrip, h))
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s0 =>
+      val rows = math.min(rps, h - s0 * rps)
+      val raw = new Array[Byte](rows * w)
+      var r = 0
+      while (r < rows) {
+        var x = 0
+        while (x < w) {
+          raw(r * w + x) = idxAt(x, s0 * rps + r).toByte
+          x += 1
+        }
+        r += 1
+      }
+      if (predictor == 2) {
+        var r2 = 0
+        while (r2 < rows) {
+          var x2 = w - 1
+          while (x2 >= 1) {
+            raw(r2 * w + x2) = (raw(r2 * w + x2) - raw(r2 * w + x2 - 1)).toByte
+            x2 -= 1
+          }
+          r2 += 1
+        }
+      }
+      compression match {
+        case 1         => raw
+        case 5         => lzwEncode(raw)
+        case 8 | 32946 => deflateBytes(raw)
+        case 32773     => packBitsEncode(raw)
+      }
+    }
+    val nTags = 11 + (if (predictor == 2) 1 else 0)
+    val ifdSize = 2 + nTags * 12 + 4
+    val mapOff = 8 + ifdSize
+    val offsetsOff = mapOff + 768 * 2
+    val countsOff = offsetsOff + 4 * nStrips
+    var dataOff = countsOff + 4 * nStrips
+    val stripOffs = strips.map { g => val o = dataOff; dataOff += g.length; o }
+    val bb = java.nio.ByteBuffer.allocate(dataOff)
+      .order(if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42)
+    bb.putInt(8)
+    bb.putShort(nTags.toShort)
+    def tagP(t: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(t.toShort)
+      bb.putShort(typ.toShort)
+      bb.putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value)
+    }
+    tagP(256, 4, 1, w)
+    tagP(257, 4, 1, h)
+    tagP(258, 3, 1, 8)
+    tagP(259, 3, 1, compression)
+    tagP(262, 3, 1, 3) // Photometric: palette
+    tagP(273, 4, nStrips, if (nStrips == 1) stripOffs.head else offsetsOff)
+    tagP(277, 3, 1, 1)
+    tagP(278, 4, 1, rps)
+    tagP(279, 4, nStrips, if (nStrips == 1) strips.head.length else countsOff)
+    tagP(284, 3, 1, 1)
+    if (predictor == 2) tagP(317, 3, 1, 2)
+    tagP(320, 3, 768, mapOff) // ColorMap: 3 x 256 SHORTs
+    bb.putInt(0) // next IFD
+    for (c <- 0 until 3; idx <- 0 until 256)
+      bb.putShort((mapAt(c, idx) & 0xffff).toShort)
+    for (o <- stripOffs) bb.putInt(o)
+    for (g <- strips) bb.putInt(g.length)
+    for (g <- strips) bb.put(g)
+    bb.array()
+  }
 }

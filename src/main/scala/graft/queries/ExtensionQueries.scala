@@ -2391,6 +2391,61 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
     ),
 
+    // Deflate-in-TIFF (the modern scanned-document default): both
+    // Deflate tags (8 / legacy 32946), strips AND 16x16 tiles, 8- and
+    // 16-bit samples (planted v resp. v*257 - the high-byte 16->8
+    // presentation lands on one formula), predictor on odd ids.
+    QueryDef(
+      "multimodal_tiff_deflate",
+      (s, dir) => Multimodal.decodeTiffDeflateReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 5 AS w, doc_id % 12 + 4 AS h
+             |    FROM documents),
+             |g AS (SELECT d.doc_id, d.w, d.h, x.x, y.y
+             |    FROM d, range(0, 21) AS x(x), range(0, 16) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h),
+             |v AS (SELECT doc_id, w, h,
+             |    (doc_id + 7 * x + 13 * y) % 256 AS r,
+             |    (doc_id + 7 * x + 13 * y + 31) % 256 AS g2,
+             |    (doc_id + 7 * x + 13 * y + 62) % 256 AS b
+             |  FROM g)
+             |SELECT doc_id, 'tiff' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
+    // Palette TIFF (photometric 3): planted index plane through a
+    // planted 16-bit ColorMap — decoded channel c of pixel (x,y) is
+    // ((idx*7 + c*31) mod 256 with idx = (doc_id + 5x + 11y) mod 256,
+    // pure arithmetic the oracle replays; compression rotates
+    // none/LZW/Deflate/PackBits with the predictor on the LZ pair.
+    QueryDef(
+      "multimodal_tiff_palette",
+      (s, dir) => Multimodal.decodeTiffPaletteReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 3 AS h
+             |    FROM documents),
+             |g AS (SELECT d.doc_id, d.w, d.h, x.x, y.y
+             |    FROM d, range(0, 20) AS x(x), range(0, 15) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h),
+             |i AS (SELECT doc_id, w, h,
+             |    (doc_id + 5 * x + 11 * y) % 256 AS idx FROM g),
+             |v AS (SELECT doc_id, w, h,
+             |    (idx * 7) % 256 AS r,
+             |    (idx * 7 + 31) % 256 AS g2,
+             |    (idx * 7 + 62) % 256 AS b
+             |  FROM i)
+             |SELECT doc_id, 'tiff' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
     // REAL JPEG pixel decode: baseline sequential streams whose 8x8
     // blocks are DC-only constants planted by doc_id arithmetic (the
     // one JPEG shape a decoder can be held EXACTLY to: block value

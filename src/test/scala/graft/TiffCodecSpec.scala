@@ -162,6 +162,61 @@ class TiffCodecSpec extends SparkSpec {
     }
   }
 
+  test("deflate family decodes the planted values exactly, both tags") {
+    for (id <- 0L until 24L) {
+      val bytes = PixelFixtures.tiffDeflateBytes(id)
+      val w = (id % 16 + 5).toInt
+      val h = (id % 12 + 4).toInt
+      val out = TiffCodec.decode(bytes)
+      assert(out.isDefined, s"id=$id")
+      val (_, dw, dh, rgb) = out.get
+      assert((dw, dh) == ((w, h)), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) ==
+          PixelFixtures.pixelValue(id, c, x, y), s"id=$id ($x,$y,$c)")
+    }
+    // exact-length inflate contract: truncated and bit-flipped zlib
+    // streams are data, never a throw or garbage buffer
+    val good = PixelFixtures.tiffDeflateBytes(2L)
+    for (n <- 0 until good.length by 5)
+      TiffCodec.decode(java.util.Arrays.copyOf(good, n)) match {
+        case None => ()
+        case Some((_, dw, dh, px)) =>
+          assert(dw > 0 && dh > 0 && px.length == dw * dh * 3)
+      }
+    val bad = good.clone()
+    bad(good.length - 3) = (bad(good.length - 3) ^ 0x40).toByte
+    TiffCodec.decode(bad) // None or a decode; must not throw
+  }
+
+  test("palette family: planted index through planted ColorMap, exactly") {
+    for (id <- 0L until 24L) {
+      val bytes = PixelFixtures.tiffPaletteBytes(id)
+      val w = (id % 16 + 4).toInt
+      val h = (id % 12 + 3).toInt
+      val out = TiffCodec.decode(bytes)
+      assert(out.isDefined, s"id=$id")
+      val (_, dw, dh, rgb) = out.get
+      assert((dw, dh) == ((w, h)), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val idx = (((id + 5 * x + 11 * y) % 256L + 256L) % 256L).toInt
+        val want = (idx * 7 + c * 31) % 256
+        assert((rgb((y * w + x) * 3 + c) & 0xff) == want, s"id=$id ($x,$y,$c)")
+      }
+    }
+    // a palette file with a SHORT ColorMap (wrong count) is rejected
+    val good = PixelFixtures.tiffPaletteBytes(0L)
+    val mutated = good.clone()
+    var e = 10
+    val n = (mutated(8) & 0xff) | ((mutated(9) & 0xff) << 8)
+    while (e + 12 <= 10 + n * 12) {
+      val t = (mutated(e) & 0xff) | ((mutated(e + 1) & 0xff) << 8)
+      if (t == 320) { mutated(e + 4) = 0x10; mutated(e + 5) = 0 } // count 16
+      e += 12
+    }
+    assert(TiffCodec.decode(mutated).isEmpty, "short ColorMap must reject")
+  }
+
   test("tiled truncation and declared-geometry bombs are data") {
     val good = PixelFixtures.tiffTiledBytes(5L)
     for (n <- 0 until good.length by 7)
