@@ -2746,6 +2746,19 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** Full-surface PNG decode through the same plumbing
+    * ([[PixelFixtures.pngFullBytes]] — gray/truecolor/palette/alpha
+    * color types, 8/16-bit, Adam7 interlace rotation): every decoded
+    * channel is doc_id arithmetic in every mode, one oracle for the
+    * whole matrix.
+    */
+  def decodePngFullReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.pngFullBytes(id)))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
   /** Deflate-in-TIFF through the same plumbing
     * ([[PixelFixtures.tiffDeflateBytes]] — both Deflate tags, strips
     * and tiles, 8/16-bit, predictor): the zlib path scanned documents

@@ -95,16 +95,27 @@ object PixelCodec {
     Some(("bmp", w, h, out))
   }
 
-  /** 8-bit-depth truecolor (color type 2) non-interlaced PNG: IDAT
-    * chunks gathered by the chunk walk, inflated with the JDK
-    * `Inflater`, and each scanline un-filtered per its leading filter
-    * byte (None/Sub/Up/Average/Paeth — the full spec set).
+  /** PNG pixel decode across the spec's real surface: color types 0
+    * (gray), 2 (truecolor), 3 (palette, PLTE), 4 (gray+alpha) and 6
+    * (RGBA) at depths 8 and 16 (palette: 8), interlace 0 and Adam7 —
+    * IDAT chunks gathered by the chunk walk, inflated with the exact-
+    * length contract, each pass's scanlines un-filtered per their
+    * leading filter byte (None/Sub/Up/Average/Paeth over the PASS's
+    * own geometry — the filter distance is bytes-per-pixel and the
+    * `up` row is the previous row of the same pass), then placed on
+    * the Adam7 grid. Presentation: 16-bit keeps the high byte, gray
+    * replicates, palette indices look up PLTE, alpha is dropped
+    * ([[decodePixels]]'s RGB contract).
     */
   private def decodePngPixels(b: Array[Byte]): Option[(String, Int, Int, Array[Byte])] = {
     if (b.length < 8 + 25) return None
     var w = 0
     var h = 0
-    var ok = false
+    var depth = 0
+    var colorType = -1
+    var interlace = 0
+    var plte: Array[Byte] = null
+    var sawIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
     var pos = 8
     var done = false
@@ -117,14 +128,22 @@ object PixelCodec {
         if (l < 13) return None
         w = be32(b, pos + 8).toInt
         h = be32(b, pos + 12).toInt
-        val depth = u8(b, pos + 16)
-        val colorType = u8(b, pos + 17)
-        val interlace = u8(b, pos + 20)
+        depth = u8(b, pos + 16)
+        colorType = u8(b, pos + 17)
+        interlace = u8(b, pos + 20)
+        sawIhdr = true
         // dimension bound: an adversarial IHDR must not drive a huge
         // allocation (the buffer itself caps real content anyway)
-        ok = depth == 8 && colorType == 2 && interlace == 0 && w > 0 && h > 0 &&
-          w.toLong * h <= (1L << 26)
-        if (!ok) return None
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        val depthOk = colorType match {
+          case 0 | 2 | 4 | 6 => depth == 8 || depth == 16
+          case 3 => depth == 8
+          case _ => false
+        }
+        if (!depthOk || (interlace != 0 && interlace != 1)) return None
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        if (l % 3 != 0 || l > 768) return None
+        plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + l)
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         idat.write(b, pos + 8, l)
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
@@ -132,42 +151,112 @@ object PixelCodec {
       }
       pos += 12 + l
     }
-    if (!ok || idat.size() == 0) return None
-    val stride = 1 + 3 * w // filter byte + RGB row
-    val raw = new Array[Byte](stride * h)
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
-    var filled = 0
-    while (filled < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, filled, raw.length - filled)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
-      filled += n
+    if (!sawIhdr || idat.size() == 0) return None
+    if (colorType == 3 && (plte == null || plte.isEmpty)) return None
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case _ => 4
     }
-    inf.end()
-    if (filled < raw.length) return None
-    val out = new Array[Byte](w * h * 3)
-    val bpp = 3
-    var y = 0
-    while (y < h) {
-      val filter = u8(raw, y * stride)
-      var i = 0
-      while (i < 3 * w) {
-        val cur = u8(raw, y * stride + 1 + i)
-        val left = if (i >= bpp) u8(out, (y * w) * 3 + i - bpp) else 0
-        val up = if (y > 0) u8(out, ((y - 1) * w) * 3 + i) else 0
-        val upLeft = if (y > 0 && i >= bpp) u8(out, ((y - 1) * w) * 3 + i - bpp) else 0
-        val v = filter match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 => cur + paeth(left, up, upLeft)
-          case _ => return None // invalid filter type: corrupt stream
+    val bytesPerSample = depth / 8
+    val bpp = channels * bytesPerSample
+
+    // Adam7 pass grid (single full pass when non-interlaced)
+    val (xo, yo, xs, ys) =
+      if (interlace == 0) (Array(0), Array(0), Array(1), Array(1))
+      else (Array(0, 4, 0, 2, 0, 1, 0), Array(0, 0, 4, 0, 2, 0, 1),
+        Array(8, 8, 4, 4, 2, 2, 1), Array(8, 8, 8, 4, 4, 2, 2))
+    val nPasses = xo.length
+    def passW(p: Int): Int = math.max(0, (w - xo(p) + xs(p) - 1) / xs(p))
+    def passH(p: Int): Int = math.max(0, (h - yo(p) + ys(p) - 1) / ys(p))
+    var rawLen = 0L
+    for (p <- 0 until nPasses if passW(p) > 0 && passH(p) > 0)
+      rawLen += passH(p).toLong * (1 + passW(p).toLong * bpp)
+    if (rawLen <= 0 || rawLen > (1L << 28)) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var filled = 0
+      while (filled < raw.length) {
+        val n = inf.inflate(raw, filled, raw.length - filled)
+        if (n == 0) {
+          if (inf.finished() || inf.needsInput() || inf.needsDictionary())
+            return None // truncated
         }
-        out(y * w * 3 + i) = (v & 0xff).toByte
-        i += 1
+        filled += n
       }
-      y += 1
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+
+    val out = new Array[Byte](w * h * 3)
+    var rawPos = 0
+    var p = 0
+    while (p < nPasses) {
+      val pw = passW(p); val ph = passH(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * bpp
+        val recon = new Array[Byte](rowBytes * ph)
+        var y = 0
+        while (y < ph) {
+          val filter = u8(raw, rawPos)
+          rawPos += 1
+          var i = 0
+          while (i < rowBytes) {
+            val cur = u8(raw, rawPos + i)
+            val left = if (i >= bpp) u8(recon, y * rowBytes + i - bpp) else 0
+            val up = if (y > 0) u8(recon, (y - 1) * rowBytes + i) else 0
+            val upLeft =
+              if (y > 0 && i >= bpp) u8(recon, (y - 1) * rowBytes + i - bpp)
+              else 0
+            val v = filter match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + (left + up) / 2
+              case 4 => cur + paeth(left, up, upLeft)
+              case _ => return None // invalid filter type: corrupt stream
+            }
+            recon(y * rowBytes + i) = (v & 0xff).toByte
+            i += 1
+          }
+          rawPos += rowBytes
+          y += 1
+        }
+        // place the pass's pixels on the image grid
+        y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            val ix = xo(p) + x * xs(p)
+            val iy = yo(p) + y * ys(p)
+            val sp = y * rowBytes + x * bpp
+            // sample c's presented byte (16-bit: the high byte)
+            def sb(c: Int): Int = u8(recon, sp + c * bytesPerSample)
+            val d = (iy * w + ix) * 3
+            colorType match {
+              case 0 | 4 => // gray (+dropped alpha)
+                val g = sb(0)
+                out(d) = g.toByte; out(d + 1) = g.toByte; out(d + 2) = g.toByte
+              case 2 | 6 => // truecolor (+dropped alpha)
+                out(d) = sb(0).toByte
+                out(d + 1) = sb(1).toByte
+                out(d + 2) = sb(2).toByte
+              case _ => // palette
+                val idx = sb(0)
+                if (3 * idx + 2 >= plte.length) return None
+                out(d) = plte(3 * idx)
+                out(d + 1) = plte(3 * idx + 1)
+                out(d + 2) = plte(3 * idx + 2)
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+      p += 1
     }
     Some(("png", w, h, out))
   }
@@ -675,6 +764,144 @@ object PixelFixtures {
     chunk("IDAT", java.util.Arrays.copyOf(buf, compLen))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** General PNG fixture writer over the decoder's full surface:
+    * color types 0/2/3/4/6, depths 8/16 (palette 8), interlace 0 or
+    * Adam7. `pv(c, x, y)` plants channel c's FULL-WIDTH sample (the
+    * 16-bit fixtures plant v·257 so the high-byte presentation lands
+    * on v); `palette(i)` plants PLTE entry i for color type 3 (pv then
+    * plants the index in channel 0). Scanline filters rotate
+    * `passRow % 5` WITHIN each pass — Adam7 filtering is pass-local,
+    * exactly what the decoder must invert.
+    */
+  // scalastyle:off method.length cyclomatic.complexity
+  def pngBytesFull(w: Int, h: Int, depth: Int, colorType: Int,
+      interlace: Int)(pv: (Int, Int, Int) => Int)(
+      palette: Int => (Int, Int, Int)): Array[Byte] = {
+    require(depth == 8 || depth == 16)
+    require(colorType != 3 || depth == 8)
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case _ => 4
+    }
+    val bytesPerSample = depth / 8
+    val bpp = channels * bytesPerSample
+    val (xo, yo, xs, ys) =
+      if (interlace == 0) (Array(0), Array(0), Array(1), Array(1))
+      else (Array(0, 4, 0, 2, 0, 1, 0), Array(0, 0, 4, 0, 2, 0, 1),
+        Array(8, 8, 4, 4, 2, 2, 1), Array(8, 8, 8, 4, 4, 2, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for (p <- xo.indices) {
+      val pw = math.max(0, (w - xo(p) + xs(p) - 1) / xs(p))
+      val ph = math.max(0, (h - yo(p) + ys(p) - 1) / ys(p))
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * bpp
+        val recon = new Array[Byte](rowBytes * ph)
+        for (y <- 0 until ph; x <- 0 until pw; c <- 0 until channels) {
+          val v = pv(c, xo(p) + x * xs(p), yo(p) + y * ys(p))
+          val at = y * rowBytes + x * bpp + c * bytesPerSample
+          if (bytesPerSample == 1) recon(at) = v.toByte
+          else { recon(at) = ((v >> 8) & 0xff).toByte; recon(at + 1) = (v & 0xff).toByte }
+        }
+        for (y <- 0 until ph) {
+          val filter = y % 5
+          rawOut.write(filter)
+          val row = new Array[Byte](rowBytes)
+          for (i <- 0 until rowBytes) {
+            val cur = recon(y * rowBytes + i) & 0xff
+            val left = if (i >= bpp) recon(y * rowBytes + i - bpp) & 0xff else 0
+            val up = if (y > 0) recon((y - 1) * rowBytes + i) & 0xff else 0
+            val upLeft =
+              if (y > 0 && i >= bpp) recon((y - 1) * rowBytes + i - bpp) & 0xff
+              else 0
+            val f = filter match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - (left + up) / 2
+              case _ => cur - paethRef(left, up, upLeft)
+            }
+            row(i) = (f & 0xff).toByte
+          }
+          rawOut.write(row)
+        }
+      }
+    }
+    val raw = rawOut.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val compLen = {
+      var n = 0
+      while (!deflater.finished()) n += deflater.deflate(buf, n, buf.length - n)
+      n
+    }
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+    chunk("IHDR", ihdr.array())
+    if (colorType == 3) {
+      val pl = new Array[Byte](768)
+      for (i <- 0 until 256) {
+        val (r, g, b) = palette(i)
+        pl(3 * i) = r.toByte; pl(3 * i + 1) = g.toByte; pl(3 * i + 2) = b.toByte
+      }
+      chunk("PLTE", pl)
+    }
+    chunk("IDAT", java.util.Arrays.copyOf(buf, compLen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+  // scalastyle:on method.length cyclomatic.complexity
+
+  /** The full-surface PNG fixture family: mode = id mod 6 rotates
+    * gray-8 / gray-16 / truecolor-16 / palette / RGBA-8 /
+    * gray+alpha-16, with Adam7 on `(id / 2) mod 2 == 1`. Planted so
+    * the DECODED RGB is pure doc_id arithmetic in every mode: gray
+    * modes present `pixelValue(id, 0, x, y)` on all channels (16-bit
+    * plants v·257), color modes `pixelValue(id, c, x, y)`, palette
+    * plants the TIFF-palette formula (index `(id+5x+11y) mod 256`
+    * through map `(i·7 + 31c) mod 256`), and alpha channels carry a
+    * planted-but-dropped value.
+    */
+  def pngFullBytes(id: Long): Array[Byte] = {
+    val w = (id % 14 + 3).toInt
+    val h = (id % 10 + 3).toInt
+    val interlace = ((id / 2) % 2).toInt
+    val idx = (x: Int, y: Int) => (((id + 5 * x + 11 * y) % 256L + 256L) % 256L).toInt
+    (id % 6).toInt match {
+      case 0 => pngBytesFull(w, h, 8, 0, interlace)(
+        (_, x, y) => pixelValue(id, 0, x, y))(null)
+      case 1 => pngBytesFull(w, h, 16, 0, interlace)(
+        (_, x, y) => pixelValue(id, 0, x, y) * 257)(null)
+      case 2 => pngBytesFull(w, h, 16, 2, interlace)(
+        (c, x, y) => pixelValue(id, c, x, y) * 257)(null)
+      case 3 => pngBytesFull(w, h, 8, 3, interlace)(
+        (_, x, y) => idx(x, y))(
+        i => ((i * 7) % 256, (i * 7 + 31) % 256, (i * 7 + 62) % 256))
+      case 4 => pngBytesFull(w, h, 8, 6, interlace)(
+        (c, x, y) => if (c == 3) (x * 29 + y) % 256 else pixelValue(id, c, x, y))(null)
+      case _ => pngBytesFull(w, h, 16, 4, interlace)(
+        (c, x, y) =>
+          if (c == 1) ((x * 29 + y) % 256) * 257
+          else pixelValue(id, 0, x, y) * 257)(null)
+    }
   }
 
   /** Spec-complete single-frame GIF89a with real LZW image data: global

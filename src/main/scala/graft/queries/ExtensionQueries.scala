@@ -2391,6 +2391,39 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
     ),
 
+    // Full-surface PNG: color types 0/2/3/4/6 x depths 8/16 x Adam7
+    // rotation (mode = doc_id mod 6, interlace on (doc_id/2) mod 2).
+    // Gray modes present pixelValue(id,0,x,y) on all channels, color
+    // modes pixelValue per channel, palette routes the planted index
+    // through the planted PLTE, alpha is planted-but-dropped — one
+    // oracle covers the matrix.
+    QueryDef(
+      "multimodal_png_full",
+      (s, dir) => Multimodal.decodePngFullReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 10 + 3 AS h,
+             |    doc_id % 6 AS mode FROM documents),
+             |g AS (SELECT d.doc_id, d.w, d.h, d.mode, x.x, y.y
+             |    FROM d, range(0, 17) AS x(x), range(0, 13) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h),
+             |v AS (SELECT doc_id, w, h,
+             |    CASE WHEN mode = 3 THEN (((doc_id + 5 * x + 11 * y) % 256) * 7) % 256
+             |         ELSE (doc_id + 7 * x + 13 * y) % 256 END AS r,
+             |    CASE WHEN mode = 3 THEN (((doc_id + 5 * x + 11 * y) % 256) * 7 + 31) % 256
+             |         WHEN mode IN (2, 4) THEN (doc_id + 7 * x + 13 * y + 31) % 256
+             |         ELSE (doc_id + 7 * x + 13 * y) % 256 END AS g2,
+             |    CASE WHEN mode = 3 THEN (((doc_id + 5 * x + 11 * y) % 256) * 7 + 62) % 256
+             |         WHEN mode IN (2, 4) THEN (doc_id + 7 * x + 13 * y + 62) % 256
+             |         ELSE (doc_id + 7 * x + 13 * y) % 256 END AS b
+             |  FROM g)
+             |SELECT doc_id, 'png' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
     // Deflate-in-TIFF (the modern scanned-document default): both
     // Deflate tags (8 / legacy 32946), strips AND 16x16 tiles, 8- and
     // 16-bit samples (planted v resp. v*257 - the high-byte 16->8

@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generalized PNG decoder held to truth two independent ways per
+  * mode (gray-8/16, truecolor-16, palette, RGBA, gray+alpha-16, each
+  * with and without Adam7): exact recovery of the planted arithmetic,
+  * and the JDK's own ImageIO decoder agreeing on the same streams —
+  * if our encoder were malformed or our Adam7 grid wrong, ImageIO
+  * would disagree.
+  */
+class PngFullSpec extends AnyFunSuite {
+
+  private def expected(id: Long, mode: Int, c: Int, x: Int, y: Int): Int =
+    mode match {
+      case 3 =>
+        val idx = (((id + 5 * x + 11 * y) % 256L + 256L) % 256L).toInt
+        (idx * 7 + c * 31) % 256
+      case 2 | 4 => PixelFixtures.pixelValue(id, c, x, y)
+      case _ => PixelFixtures.pixelValue(id, 0, x, y)
+    }
+
+  test("every mode x interlace decodes the planted values exactly") {
+    // ids 0..47 cover each (mode, interlace) cell at several geometries
+    for (id <- 0L until 48L) {
+      val mode = (id % 6).toInt
+      val w = (id % 14 + 3).toInt
+      val h = (id % 10 + 3).toInt
+      val out = PixelCodec.decodePixels(PixelFixtures.pngFullBytes(id))
+      assert(out.isDefined, s"id=$id mode=$mode")
+      val (fmt, dw, dh, rgb) = out.get
+      assert((fmt, dw, dh) == (("png", w, h)), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) == expected(id, mode, c, x, y),
+          s"id=$id mode=$mode ($x,$y,$c)")
+    }
+  }
+
+  test("ImageIO independently decodes every mode to the planted values") {
+    for (id <- 0L until 12L) { // one of each (mode, interlace)
+      val mode = (id % 6).toInt
+      val bytes = PixelFixtures.pngFullBytes(id)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected id=$id mode=$mode")
+      val w = (id % 14 + 3).toInt
+      val h = (id % 10 + 3).toInt
+      assert(img.getWidth == w && img.getHeight == h, s"id=$id")
+      // raster samples, not getRGB: getRGB pushes grayscale through a
+      // linear->sRGB colorspace conversion (gray 7 reads back as 46)
+      val raster = img.getRaster
+      val sixteen = mode == 1 || mode == 2 || mode == 5
+      val scale = if (sixteen) 257 else 1
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode == 3) { // palette: IndexColorModel maps directly
+          val rgb = img.getRGB(x, y)
+          for (c <- 0 until 3)
+            assert(((rgb >> (16 - 8 * c)) & 0xff) == expected(id, mode, c, x, y),
+              s"id=$id palette ($x,$y,$c)")
+        } else {
+          val bands = mode match {
+            case 2 => 3 // truecolor
+            case 4 => 3 // RGBA: compare the color bands
+            case _ => 1 // gray / gray+alpha: band 0
+          }
+          for (c <- 0 until bands) {
+            val got = raster.getSample(x, y, c)
+            assert(got == expected(id, mode, c, x, y) * scale,
+              s"id=$id mode=$mode ($x,$y,$c): ImageIO sample $got")
+          }
+        }
+      }
+    }
+  }
+
+  test("truncation, mutation, and garbage stay data") {
+    val good = PixelFixtures.pngFullBytes(7L) // Adam7 gray-16
+    for (n <- 0 until good.length by 3)
+      PixelCodec.decodePixels(java.util.Arrays.copyOf(good, n)) match {
+        case None => ()
+        case Some((_, dw, dh, px)) =>
+          assert(dw > 0 && dh > 0 && px.length == dw * dh * 3)
+      }
+    for (i <- 8 until good.length by 7) {
+      val bad = good.clone()
+      bad(i) = (bad(i) ^ 0x20).toByte
+      PixelCodec.decodePixels(bad).foreach { case (_, dw, dh, px) =>
+        assert(dw > 0 && dh > 0 && px.length.toLong == dw.toLong * dh * 3)
+      }
+    }
+    // a palette stream whose PLTE is missing must reject, not throw
+    val pal = PixelFixtures.pngFullBytes(3L)
+    val noPlte = {
+      // excise the PLTE chunk (length 768 + 12 framing) by copying
+      // around it
+      val out = new java.io.ByteArrayOutputStream()
+      var pos = 0
+      out.write(pal, 0, 8); pos = 8
+      while (pos + 12 <= pal.length) {
+        val len = ((pal(pos) & 0xff) << 24) | ((pal(pos + 1) & 0xff) << 16) |
+          ((pal(pos + 2) & 0xff) << 8) | (pal(pos + 3) & 0xff)
+        val typ = new String(pal, pos + 4, 4, "US-ASCII")
+        if (typ != "PLTE") out.write(pal, pos, 12 + len)
+        pos += 12 + len
+      }
+      out.toByteArray
+    }
+    assert(PixelCodec.decodePixels(noPlte).isEmpty,
+      "palette stream without PLTE must be rejected")
+  }
+}
