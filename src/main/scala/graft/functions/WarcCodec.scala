@@ -1,0 +1,309 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) crawl-container ingest — the format a 100 TB web
+  * corpus actually arrives in (Common Crawl ships WARC; a training-data
+  * engine that cannot open the container leaves the pipeline's FIRST
+  * step to someone else). Pure-JVM parsing from the public spec:
+  *
+  *  - record framing: `WARC/1.0|1.1` version line, CRLF header block,
+  *    `Content-Length`-framed payload, CRLF CRLF trailer; unknown
+  *    headers skipped, records walked until the buffer ends;
+  *  - gzip transport: the Common Crawl convention is one gzip MEMBER
+  *    per record; `GZIPInputStream` concatenates members, and the
+  *    Content-Length framing recovers the record boundaries — with a
+  *    decompressed-size guard so a crafted bomb is data, not an OOM;
+  *  - `response` records carry an HTTP message: the status line +
+  *    header block is split off (the blank line), exposing the body
+  *    and the HTTP `Content-Type`;
+  *  - [[htmlToText]]: the extraction step that turns a crawl response
+  *    into trainable text — drops `<script>`/`<style>`/comments,
+  *    strips tags, decodes the core entities (named + numeric), and
+  *    collapses whitespace. Deterministic and SQL-replayable for the
+  *    planted fixtures, so the whole container→text chain sits under
+  *    the DuckDB oracle.
+  *
+  * Scale shape: parsing runs INSIDE `mapPartitions` — a blob enters,
+  * (doc, record) rows leave; no shuffle, no driver involvement, the
+  * same decode-in-the-partition discipline as every codec here. At
+  * 100 TB the WARC files are the splittable unit (one task per file /
+  * range), exactly how crawl processing fleets consume them.
+  *
+  * Malformed framing, truncated payloads, or hostile lengths end the
+  * walk at the last whole record — corrupt tails are data.
+  *
+  * No reference citation possible: /root/reference/script.js has no
+  * crawl surface — builder-brief training-data-pipeline scope.
+  */
+object WarcCodec {
+
+  final case class WarcRecord(
+      recordType: String,
+      targetUri: String,
+      contentType: String,
+      httpStatus: Int, // -1 for non-HTTP records
+      httpContentType: String, // "" for non-HTTP records
+      payload: Array[Byte]) // HTTP body for responses, raw otherwise
+
+  /** Decompressed-size bound for gzip transport (a 64 MiB member chain
+    * from a small blob is a bomb, not a crawl file slice).
+    */
+  val MaxInflatedBytes: Int = 1 << 26
+
+  def parseRecords(b: Array[Byte]): Seq[WarcRecord] =
+    try {
+      val plain =
+        if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+          gunzipAll(b)
+        else b
+      if (plain == null) Nil else walk(plain)
+    } catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+        _: java.io.IOException => Nil
+    }
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size() > MaxInflatedBytes) return null // bomb guard
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && b(i) != '\n') i += 1
+    i // index of \n (or length)
+  }
+
+  private def lineAt(b: Array[Byte], from: Int, to: Int): String = {
+    var end = to
+    if (end > from && b(end - 1) == '\r') end -= 1
+    new String(b, from, end - from, "ISO-8859-1")
+  }
+
+  private def walk(b: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var sane = true
+    while (sane && pos < b.length) {
+      // skip inter-record CRLFs
+      while (pos < b.length && (b(pos) == '\r' || b(pos) == '\n')) pos += 1
+      if (pos >= b.length) sane = false
+      else {
+        val vEnd = lineEnd(b, pos)
+        val version = lineAt(b, pos, vEnd)
+        if (!version.startsWith("WARC/")) sane = false
+        else {
+          pos = vEnd + 1
+          var recType = ""
+          var uri = ""
+          var cType = ""
+          var contentLength = -1L
+          var headersDone = false
+          while (!headersDone && pos < b.length) {
+            val e = lineEnd(b, pos)
+            val line = lineAt(b, pos, e)
+            pos = e + 1
+            if (line.isEmpty) headersDone = true
+            else {
+              val colon = line.indexOf(':')
+              if (colon > 0) {
+                val k = line.substring(0, colon).trim.toLowerCase
+                val v = line.substring(colon + 1).trim
+                k match {
+                  case "warc-type" => recType = v
+                  case "warc-target-uri" => uri = v
+                  case "content-type" => cType = v
+                  case "content-length" =>
+                    contentLength = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+            }
+          }
+          if (!headersDone || contentLength < 0 ||
+            contentLength > b.length.toLong - pos) sane = false
+          else {
+            val payload = java.util.Arrays.copyOfRange(
+              b, pos, pos + contentLength.toInt)
+            pos += contentLength.toInt
+            out += toRecord(recType, uri, cType, payload)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def toRecord(recType: String, uri: String, cType: String,
+      payload: Array[Byte]): WarcRecord = {
+    if (recType == "response" &&
+      cType.toLowerCase.startsWith("application/http")) {
+      // split the HTTP message at the blank line
+      var i = 0
+      var split = -1
+      while (split < 0 && i + 3 < payload.length) {
+        if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+        i += 1
+      }
+      if (split < 0)
+        WarcRecord(recType, uri, cType, -1, "", payload)
+      else {
+        val head = new String(payload, 0, split, "ISO-8859-1")
+        val lines = head.split("\r\n")
+        val status =
+          lines.headOption.map(_.split(" ")).filter(_.length >= 2)
+            .flatMap(a => a(1).toIntOption).getOrElse(-1)
+        val httpCt = lines.drop(1)
+          .find(_.toLowerCase.startsWith("content-type:"))
+          .map(_.substring("content-type:".length).trim).getOrElse("")
+        WarcRecord(recType, uri, cType, status, httpCt,
+          java.util.Arrays.copyOfRange(payload, split + 4, payload.length))
+      }
+    } else WarcRecord(recType, uri, cType, -1, "", payload)
+  }
+
+  // ------------------------------------------------------ html → text
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** Crawl-response text extraction: drop comments and
+    * `<script>`/`<style>` subtrees, strip remaining tags, decode the
+    * core named + numeric entities, collapse whitespace runs to one
+    * space, trim. Deterministic — the fixture oracle replays it.
+    */
+  def htmlToText(html: String): String = {
+    val noComments = "(?s)<!--.*?-->".r.replaceAllIn(html, " ")
+    val noScript =
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
+        .replaceAllIn(noComments, " ")
+    val noTags = "(?s)<[^>]*>".r.replaceAllIn(noScript, " ")
+    val decoded = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(noTags, m => {
+      val body = m.group(1)
+      val rep =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+          catch { case _: RuntimeException => m.matched }
+        else if (body.startsWith("#"))
+          try new String(Character.toChars(body.drop(1).toInt))
+          catch { case _: RuntimeException => m.matched }
+        else NamedEntities.getOrElse(body, m.matched)
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
+    decoded.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** Explode WARC blobs into one row per record, inside the partition:
+    * (doc_id, rec_idx, rec_type, uri, content_type, http_status,
+    * http_content_type, n_payload_bytes).
+    */
+  def records(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseRecords(bytes).zipWithIndex.map { case (r, i) =>
+          (id, i.toLong, r.recordType, r.targetUri, r.contentType,
+            r.httpStatus.toLong, r.httpContentType, r.payload.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "rec_idx", "rec_type", "uri", "content_type",
+      "http_status", "http_content_type", "n_payload_bytes")
+  }
+
+  /** The container→text chain: HTML response bodies through
+    * [[htmlToText]], one row per extracted document —
+    * (doc_id, rec_idx, uri, text, n_chars).
+    */
+  def extractText(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        parseRecords(bytes).zipWithIndex.collect {
+          case (r, i) if r.recordType == "response" && r.httpStatus == 200 &&
+            r.httpContentType.toLowerCase.startsWith("text/html") =>
+            val text = htmlToText(new String(r.payload, "UTF-8"))
+            (id, i.toLong, r.targetUri, text, text.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "rec_idx", "uri", "text", "n_chars")
+  }
+}
+
+/** Planted WARC fixtures: `id mod 4 + 1` records per blob — record i
+  * rotates response / request / metadata (`i mod 3`), responses wrap a
+  * planted HTML page whose extraction is exactly
+  * `"t doc <id> rec <i> body & more"`; odd ids ship the whole file as
+  * per-record gzip MEMBERS (the Common Crawl transport convention).
+  * Every field the Spark surface emits is doc_id arithmetic the DuckDB
+  * oracle replays.
+  */
+object WarcFixtures {
+
+  def nRecords(id: Long): Int = (id % 4 + 1).toInt
+
+  def html(id: Long, i: Int): String =
+    s"<html><head><title>t</title><script>var x = '<p>junk</p>';" +
+      s"</script><style>p { color: red; }</style></head>" +
+      s"<body><!-- hidden --><p>doc $id rec $i body</p> &amp; more</body></html>"
+
+  def extractedText(id: Long, i: Int): String =
+    s"t doc $id rec $i body & more"
+
+  def uri(id: Long, i: Int): String = s"http://example.com/$id/$i"
+
+  private def record(id: Long, i: Int): Array[Byte] = {
+    val (recType, cType, payload) = (i % 3) match {
+      case 0 =>
+        val body = html(id, i).getBytes("UTF-8")
+        val head = ("HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=UTF-8\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+        ("response", "application/http; msgtype=response", head ++ body)
+      case 1 =>
+        ("request", "application/http; msgtype=request",
+          ("GET /" + id + "/" + i + " HTTP/1.1\r\nHost: example.com\r\n\r\n")
+            .getBytes("ISO-8859-1"))
+      case _ =>
+        ("metadata", "application/warc-fields",
+          s"fetchTimeMs: ${id * 7 + i}\r\n".getBytes("ISO-8859-1"))
+    }
+    val header = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $recType\r\n" +
+      s"WARC-Target-URI: ${uri(id, i)}\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$id-$i>\r\n" +
+      s"Content-Type: $cType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+    header ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  /** One planted WARC blob; odd ids use per-record gzip members. */
+  def warcBytes(id: Long): Array[Byte] = {
+    val recs = (0 until nRecords(id)).map(i => record(id, i))
+    if (id % 2 == 1) recs.map(gzipMember).reduce(_ ++ _)
+    else recs.reduce(_ ++ _)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, Multimodal, Similarity, TextAnalytics}
+import graft.functions.{Curation, Dedup, Multimodal, Similarity, TextAnalytics, WarcCodec, WarcFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -2389,6 +2389,71 @@ object ExtensionQueries {
              |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
              |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
+    // WARC crawl-container ingest (ISO 28500): planted files of 1-4
+    // records rotating response/request/metadata; odd ids ship
+    // per-record gzip MEMBERS (the Common Crawl transport). Every
+    // emitted field — types, URIs, HTTP status, payload byte counts
+    // (header arithmetic + body length) — is doc_id arithmetic the
+    // oracle replays, so the record walk, gzip member chain, and HTTP
+    // split are all under the hash check.
+    QueryDef(
+      "warc_records",
+      (s, dir) => {
+        import s.implicits._
+        WarcCodec.records(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, WarcFixtures.warcBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+             |r AS (SELECT d.doc_id, i.i FROM d, range(0, 4) AS i(i) WHERE i.i < d.n),
+             |v AS (SELECT doc_id, i,
+             |    CASE i % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+             |         ELSE 'metadata' END AS rec_type,
+             |    'http://example.com/' || doc_id || '/' || i AS uri,
+             |    CASE i % 3 WHEN 0 THEN 'application/http; msgtype=response'
+             |         WHEN 1 THEN 'application/http; msgtype=request'
+             |         ELSE 'application/warc-fields' END AS content_type,
+             |    CASE i % 3 WHEN 0 THEN 200 ELSE -1 END AS http_status,
+             |    CASE i % 3 WHEN 0 THEN 'text/html; charset=UTF-8' ELSE '' END
+             |      AS http_content_type,
+             |    CASE i % 3
+             |      -- responses report the HTTP BODY (post-split) length
+             |      WHEN 0 THEN length('<html><head><title>t</title><script>var x = ''<p>junk</p>'';</script><style>p { color: red; }</style></head><body><!-- hidden --><p>doc ' || doc_id || ' rec ' || i || ' body</p> &amp; more</body></html>')
+             |      WHEN 1 THEN 38 + length(CAST(doc_id AS VARCHAR))
+             |        + length(CAST(i AS VARCHAR))
+             |      ELSE 15 + length(CAST(doc_id * 7 + i AS VARCHAR)) END AS n_bytes
+             |  FROM r)
+             |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx, rec_type, uri, content_type,
+             |  CAST(http_status AS BIGINT) AS http_status, http_content_type,
+             |  CAST(n_bytes AS BIGINT) AS n_payload_bytes
+             |FROM v""".stripMargin),
+    ),
+
+    // The container -> trainable-text chain: HTML response bodies
+    // through htmlToText (comments/script/style dropped, tags
+    // stripped, entities decoded, whitespace collapsed). The planted
+    // page extracts to EXACTLY 't doc <id> rec <i> body & more', so
+    // the whole WARC -> HTTP -> HTML -> text pipeline is string-exact
+    // under the oracle.
+    QueryDef(
+      "warc_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        WarcCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, WarcFixtures.warcBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+             |r AS (SELECT d.doc_id, i.i FROM d, range(0, 4) AS i(i)
+             |    WHERE i.i < d.n AND i.i % 3 = 0),
+             |v AS (SELECT doc_id, i,
+             |    'http://example.com/' || doc_id || '/' || i AS uri,
+             |    't doc ' || doc_id || ' rec ' || i || ' body & more' AS text
+             |  FROM r)
+             |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx, uri, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin),
     ),
 
     // Full-surface PNG: color types 0/2/3/4/6 x depths 8/16 x Adam7

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WARC walk held to the planted fixtures (plain and per-record
+  * gzip members), the HTTP split, htmlToText's exact semantics, and
+  * the hostile-input contract (truncation, mutation, gzip bombs =
+  * data).
+  */
+class WarcCodecSpec extends AnyFunSuite {
+
+  test("planted records parse exactly — types, URIs, HTTP split, both transports") {
+    for (id <- 0L until 16L) {
+      val recs = WarcCodec.parseRecords(WarcFixtures.warcBytes(id))
+      assert(recs.length == WarcFixtures.nRecords(id), s"id=$id")
+      for ((r, i) <- recs.zipWithIndex) {
+        assert(r.targetUri == WarcFixtures.uri(id, i), s"id=$id rec=$i")
+        (i % 3) match {
+          case 0 =>
+            assert(r.recordType == "response" && r.httpStatus == 200)
+            assert(r.httpContentType == "text/html; charset=UTF-8")
+            assert(new String(r.payload, "UTF-8") == WarcFixtures.html(id, i))
+          case 1 =>
+            assert(r.recordType == "request" && r.httpStatus == -1)
+          case _ =>
+            assert(r.recordType == "metadata")
+            assert(new String(r.payload, "ISO-8859-1") ==
+              s"fetchTimeMs: ${id * 7 + i}\r\n")
+        }
+      }
+    }
+  }
+
+  test("htmlToText: scripts, styles, comments, entities, whitespace") {
+    import WarcCodec.htmlToText
+    assert(htmlToText(WarcFixtures.html(3L, 0)) ==
+      WarcFixtures.extractedText(3L, 0))
+    // numeric + hex entities, nested angle brackets inside script
+    assert(htmlToText("<p>a&#65;b</p>") == "aAb")
+    assert(htmlToText("<p>a&#x42;c</p>") == "aBc")
+    assert(htmlToText("<b>x</b>&nbsp;&quot;y&quot;") == "x \"y\"")
+    assert(htmlToText("<script>if (a < b) { x(); }</script>done") == "done")
+    assert(htmlToText("<style>a > b { }</style>ok") == "ok")
+    assert(htmlToText("<!-- <p>gone</p> -->kept") == "kept")
+    // unknown entity passes through; whitespace collapses
+    assert(htmlToText("a &unknown;  \n\t b") == "a &unknown; b")
+    assert(htmlToText("") == "")
+  }
+
+  test("truncation and mutation end the walk cleanly — corrupt tails are data") {
+    val plain = WarcFixtures.warcBytes(4L) // 1 record, plain
+    val full = WarcCodec.parseRecords(plain).length
+    for (n <- 0 until plain.length by 7) {
+      val got = WarcCodec.parseRecords(java.util.Arrays.copyOf(plain, n))
+      assert(got.length <= full, s"prefix $n")
+    }
+    val gz = WarcFixtures.warcBytes(5L) // gzip members
+    for (n <- 0 until gz.length by 7)
+      WarcCodec.parseRecords(java.util.Arrays.copyOf(gz, n)) // no throw
+    for (i <- 0 until gz.length by 11) {
+      val bad = gz.clone()
+      bad(i) = (bad(i) ^ 0x11).toByte
+      WarcCodec.parseRecords(bad) // no throw; partial or Nil
+    }
+    // a Content-Length pointing past the buffer ends the walk at the
+    // previous record
+    val r2 = WarcFixtures.warcBytes(2L) // 3 records, plain
+    val idx = new String(r2, "ISO-8859-1").indexOf("Content-Length: ")
+    val evil = r2.clone()
+    evil(idx + 16) = '9'
+    assert(WarcCodec.parseRecords(evil).length < 3)
+    assert(WarcCodec.parseRecords(Array.emptyByteArray).isEmpty)
+    assert(WarcCodec.parseRecords("not a warc".getBytes).isEmpty)
+  }
+
+  test("gzip bomb guard: decompressed size is bounded before parsing") {
+    // ~67 MB of zeros compresses to ~65 KB; the guard must stop at
+    // MaxInflatedBytes, not materialize the bomb
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    val chunk = new Array[Byte](1 << 16)
+    for (_ <- 0 until 1100) g.write(chunk)
+    g.close()
+    assert(out.size() < (1 << 20), "the bomb itself must be small")
+    assert(WarcCodec.parseRecords(out.toByteArray).isEmpty)
+  }
+}
