@@ -2456,6 +2456,40 @@ object ExtensionQueries {
              |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin),
     ),
 
+    // The ingest chain COMPOSED: WARC -> HTTP -> HTML -> text ->
+    // quality features, one lazy plan (container parse and feature
+    // projection fuse into the same partition pass — the shape a crawl
+    // curation front-end runs at 100 TB). Oracle replays the planted
+    // extraction and the token arithmetic.
+    QueryDef(
+      "warc_text_quality",
+      (s, dir) => {
+        import s.implicits._
+        val txt = WarcCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, WarcFixtures.warcBytes(id))))
+        txt.select(col("doc_id"), col("rec_idx"),
+          col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(split(col("text"), " "))).as("avg_token_len"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+             |r AS (SELECT d.doc_id, i.i FROM d, range(0, 4) AS i(i)
+             |    WHERE i.i < d.n AND i.i % 3 = 0),
+             |v AS (SELECT doc_id, i,
+             |    't doc ' || doc_id || ' rec ' || i || ' body & more' AS text
+             |  FROM r),
+             |q AS (SELECT doc_id, i, length(text) AS n_chars,
+             |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+             |    length(replace(text, ' ', '')) AS n_nonspace FROM v)
+             |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx,
+             |  CAST(n_chars AS BIGINT) AS n_chars,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_nonspace AS DOUBLE) / n_tokens AS avg_token_len
+             |FROM q""".stripMargin),
+    ),
+
     // Full-surface PNG: color types 0/2/3/4/6 x depths 8/16 x Adam7
     // rotation (mode = doc_id mod 6, interlace on (doc_id/2) mod 2).
     // Gray modes present pixelValue(id,0,x,y) on all channels, color
