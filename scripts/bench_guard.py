@@ -58,11 +58,10 @@ SETUP_SLACK_SEC = {"dedup_retract_stream": 2.0}
 # records everything in the adjudication artifact — the rebase is
 # visible, never silent.
 SEMANTICS_CHANGED = {
-    "multimodal_audio_neardup":
-        "r9: the near-dup fixture corpus ships half its docs as REAL "
-        "FLAC streams (fixed-order subframes + Rice residuals); the row "
-        "now measures FLAC frame decode + fingerprint + banded join — "
-        "strictly more work than the all-WAV baseline it is compared to",
+    # (empty after the r9 closing baseline refresh: the refreshed
+    # medians now guard multimodal_audio_neardup's mixed WAV/FLAC
+    # semantics normally. r9's rebase is recorded in the committed
+    # BENCH_ADJUDICATION history.)
 }
 
 
