@@ -122,6 +122,11 @@ def main() -> int:
     # inflate sub-second queries without any plan change.
     confirmed = []
     rows = []
+    # intentional-semantics-change rebases apply in BOTH modes: a
+    # rebased row must never fail the guard just because the rerun
+    # pass was skipped (r9 review)
+    rebased = [f for f in flagged if f[0] in SEMANTICS_CHANGED]
+    flagged = [f for f in flagged if f[0] not in SEMANTICS_CHANGED]
     if flagged and not os.environ.get("BENCH_GUARD_NO_RERUN"):
         names = [q for q, _, _ in flagged]
         print(f"flagged {len(names)} query/queries, re-measuring isolated: "
@@ -129,16 +134,6 @@ def main() -> int:
         iso = isolated_medians(names)
         for q, t_base, t_new in flagged:
             t_iso = iso.get(q)
-            if q in SEMANTICS_CHANGED:
-                print(f"REBASED    {q}: {t_base:.2f}s -> {t_new:.2f}s "
-                      f"(isolated {t_iso if t_iso is not None else float('nan'):.2f}s) — "
-                      f"intentional semantics change: {SEMANTICS_CHANGED[q]}")
-                rows.append({"query": q, "baseline_sec": t_base,
-                             "in_run_sec": t_new,
-                             "isolated_median_sec": t_iso,
-                             "verdict": "REBASED",
-                             "reason": SEMANTICS_CHANGED[q]})
-                continue
             if t_iso is None:
                 print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
                       "(isolated re-measure produced no result)")
@@ -163,6 +158,19 @@ def main() -> int:
             rows.append({"query": q, "baseline_sec": t_base,
                          "in_run_sec": t_new, "isolated_median_sec": None,
                          "verdict": "UNADJUDICATED"})
+    # rebased rows: still isolated-re-measured for the record (when the
+    # rerun pass is enabled), never failing
+    if rebased:
+        iso_r = {} if os.environ.get("BENCH_GUARD_NO_RERUN") \
+            else isolated_medians([q for q, _, _ in rebased])
+        for q, t_base, t_new in rebased:
+            t_iso = iso_r.get(q)
+            print(f"REBASED    {q}: {t_base:.2f}s -> {t_new:.2f}s — "
+                  f"intentional semantics change: {SEMANTICS_CHANGED[q]}")
+            rows.append({"query": q, "baseline_sec": t_base,
+                         "in_run_sec": t_new, "isolated_median_sec": t_iso,
+                         "verdict": "REBASED",
+                         "reason": SEMANTICS_CHANGED[q]})
 
     for q in failed_queries:
         print(f"FAILED  {q}")

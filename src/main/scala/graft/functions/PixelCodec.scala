@@ -174,7 +174,11 @@ object PixelCodec {
     var rawLen = 0L
     for (p <- 0 until nPasses if passW(p) > 0 && passH(p) > 0)
       rawLen += passH(p).toLong * (1 + passW(p).toLong * bpp)
-    if (rawLen <= 0 || rawLen > (1L << 28)) return None
+    // rawLen is exact from the admitted geometry (≤ 2^26 px × bpp ≤ 8
+    // + one filter byte per pass row), so the only guard needed here
+    // is the Int range the buffer indexing requires — a fixed 2^28 cap
+    // would wrongly reject valid RGBA-16 images the pixel guard admits
+    if (rawLen <= 0 || rawLen > Int.MaxValue - 8) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -188,6 +192,10 @@ object PixelCodec {
         }
         filled += n
       }
+      // exact-length contract (as TiffCodec.inflate): an IDAT stream
+      // with trailing decompressed rows is corruption, not padding
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe) > 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
 
@@ -738,15 +746,7 @@ object PixelFixtures {
       }
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val compLen = {
-      var n = 0
-      while (!deflater.finished()) n += deflater.deflate(buf, n, buf.length - n)
-      n
-    }
-    deflater.end()
+    val idatBytes = deflateAll(raw)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -761,9 +761,25 @@ object PixelFixtures {
       .putInt(w).putInt(h)
       .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
     chunk("IHDR", ihdr.array())
-    chunk("IDAT", java.util.Arrays.copyOf(buf, compLen))
+    chunk("IDAT", idatBytes)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  /** One streaming deflate for both PNG fixture writers: the previous
+    * fixed `raw.length + 64` output buffer spins forever if deflate
+    * ever expands past it (near-incompressible input) — the streaming
+    * form cannot (r9 review).
+    */
+  private def deflateAll(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      buf.toByteArray
+    } finally d.end()
   }
 
   /** General PNG fixture writer over the decoder's full surface:
@@ -832,15 +848,7 @@ object PixelFixtures {
       }
     }
     val raw = rawOut.toByteArray
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 128)
-    val compLen = {
-      var n = 0
-      while (!deflater.finished()) n += deflater.deflate(buf, n, buf.length - n)
-      n
-    }
-    deflater.end()
+    val idatBytes = deflateAll(raw)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -864,7 +872,7 @@ object PixelFixtures {
       }
       chunk("PLTE", pl)
     }
-    chunk("IDAT", java.util.Arrays.copyOf(buf, compLen))
+    chunk("IDAT", idatBytes)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }

@@ -70,11 +70,20 @@ object WarcCodec {
     try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) {
-        out.write(buf, 0, n)
-        if (out.size() > MaxInflatedBytes) return null // bomb guard
-        n = in.read(buf)
+      try {
+        var n = in.read(buf)
+        while (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size() > MaxInflatedBytes) return null // bomb guard
+          n = in.read(buf)
+        }
+      } catch {
+        // a range-sliced crawl file's final member is routinely cut
+        // mid-stream: keep what the COMPLETE leading members inflated
+        // (the record walk then ends at the last whole record — the
+        // same contract the plain-bytes path keeps), instead of
+        // discarding every valid record in the blob (r9 review #2)
+        case _: java.io.IOException => ()
       }
       out.toByteArray
     } finally in.close()
@@ -181,18 +190,25 @@ object WarcCodec {
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ")
 
+  // compiled once: htmlToText runs per crawl record in the partition
+  // hot path — per-call Pattern.compile would tax a billion-document
+  // corpus four compilations per page (r9 review #5)
+  private val CommentRe = "(?s)<!--.*?-->".r
+  private val ScriptStyleRe = "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
+  private val TagRe = "(?s)<[^>]*>".r
+  private val EntityRe = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
   /** Crawl-response text extraction: drop comments and
     * `<script>`/`<style>` subtrees, strip remaining tags, decode the
-    * core named + numeric entities, collapse whitespace runs to one
-    * space, trim. Deterministic — the fixture oracle replays it.
+    * core named + numeric entities (incl. uppercase-X hex character
+    * references), collapse whitespace runs to one space, trim.
+    * Deterministic — the fixture oracle replays it.
     */
   def htmlToText(html: String): String = {
-    val noComments = "(?s)<!--.*?-->".r.replaceAllIn(html, " ")
-    val noScript =
-      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>".r
-        .replaceAllIn(noComments, " ")
-    val noTags = "(?s)<[^>]*>".r.replaceAllIn(noScript, " ")
-    val decoded = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(noTags, m => {
+    val noComments = CommentRe.replaceAllIn(html, " ")
+    val noScript = ScriptStyleRe.replaceAllIn(noComments, " ")
+    val noTags = TagRe.replaceAllIn(noScript, " ")
+    val decoded = EntityRe.replaceAllIn(noTags, m => {
       val body = m.group(1)
       val rep =
         if (body.startsWith("#x") || body.startsWith("#X"))

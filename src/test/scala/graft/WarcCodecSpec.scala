@@ -45,6 +45,22 @@ class WarcCodecSpec extends AnyFunSuite {
     // unknown entity passes through; whitespace collapses
     assert(htmlToText("a &unknown;  \n\t b") == "a &unknown; b")
     assert(htmlToText("") == "")
+    // uppercase-X hex references are valid HTML too (r9 review)
+    assert(htmlToText("<p>a&#X42;c</p>") == "aBc")
+  }
+
+  test("a truncated final gzip member keeps the complete leading records") {
+    // the Common Crawl transport range-sliced mid-final-member: the
+    // leading whole members' records must survive, not vanish
+    val full = WarcFixtures.warcBytes(7L) // 4 records, gzip members
+    assert(WarcCodec.parseRecords(full).length == 4)
+    val cut = java.util.Arrays.copyOf(full, full.length - 9)
+    val got = WarcCodec.parseRecords(cut)
+    assert(got.length >= 3,
+      s"leading whole members must parse, got ${got.length}")
+    assert(got.zipWithIndex.forall { case (r, i) =>
+      r.targetUri == WarcFixtures.uri(7L, i)
+    })
   }
 
   test("truncation and mutation end the walk cleanly — corrupt tails are data") {
