@@ -2759,6 +2759,19 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** Sub-byte PNG through the same plumbing
+    * ([[PixelFixtures.pngSubByteBytes]] — 1/2/4-bit gray and palette,
+    * the icon and scanned-B/W shapes): bit-packed scanlines with the
+    * byte-rounded filter distance, scaled gray presentation, 16-entry
+    * PLTE lookup — all planted arithmetic.
+    */
+  def decodePngSubByteReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.pngSubByteBytes(id)))
+    PixelCodec.channelStats(payloads).toDF()
+  }
+
   /** Deflate-in-TIFF through the same plumbing
     * ([[PixelFixtures.tiffDeflateBytes]] — both Deflate tags, strips
     * and tiles, 8/16-bit, predictor): the zlib path scanned documents

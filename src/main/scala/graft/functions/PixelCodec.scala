@@ -136,8 +136,10 @@ object PixelCodec {
         // allocation (the buffer itself caps real content anyway)
         if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
         val depthOk = colorType match {
-          case 0 | 2 | 4 | 6 => depth == 8 || depth == 16
-          case 3 => depth == 8
+          case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 ||
+            depth == 16
+          case 2 | 4 | 6 => depth == 8 || depth == 16
+          case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
           case _ => false
         }
         if (!depthOk || (interlace != 0 && interlace != 1)) return None
@@ -160,8 +162,12 @@ object PixelCodec {
       case 4 => 2
       case _ => 4
     }
-    val bytesPerSample = depth / 8
-    val bpp = channels * bytesPerSample
+    // sub-byte depths (1/2/4 — gray and palette only, so channels == 1)
+    // pack several pixels per byte; the FILTER distance rounds up to
+    // one byte per the spec
+    val subByte = depth < 8
+    val bytesPerSample = math.max(1, depth / 8)
+    val bpp = if (subByte) 1 else channels * bytesPerSample
 
     // Adam7 pass grid (single full pass when non-interlaced)
     val (xo, yo, xs, ys) =
@@ -172,8 +178,12 @@ object PixelCodec {
     def passW(p: Int): Int = math.max(0, (w - xo(p) + xs(p) - 1) / xs(p))
     def passH(p: Int): Int = math.max(0, (h - yo(p) + ys(p) - 1) / ys(p))
     var rawLen = 0L
-    for (p <- 0 until nPasses if passW(p) > 0 && passH(p) > 0)
-      rawLen += passH(p).toLong * (1 + passW(p).toLong * bpp)
+    for (p <- 0 until nPasses if passW(p) > 0 && passH(p) > 0) {
+      val rb =
+        if (subByte) (passW(p).toLong * depth + 7) / 8
+        else passW(p).toLong * bpp
+      rawLen += passH(p).toLong * (1 + rb)
+    }
     // rawLen is exact from the admitted geometry (≤ 2^26 px × bpp ≤ 8
     // + one filter byte per pass row), so the only guard needed here
     // is the Int range the buffer indexing requires — a fixed 2^28 cap
@@ -205,7 +215,8 @@ object PixelCodec {
     while (p < nPasses) {
       val pw = passW(p); val ph = passH(p)
       if (pw > 0 && ph > 0) {
-        val rowBytes = pw * bpp
+        val rowBytes =
+          if (subByte) (pw * depth + 7) / 8 else pw * bpp
         val recon = new Array[Byte](rowBytes * ph)
         var y = 0
         while (y < ph) {
@@ -241,8 +252,18 @@ object PixelCodec {
             val ix = xo(p) + x * xs(p)
             val iy = yo(p) + y * ys(p)
             val sp = y * rowBytes + x * bpp
-            // sample c's presented byte (16-bit: the high byte)
-            def sb(c: Int): Int = u8(recon, sp + c * bytesPerSample)
+            // sample c's presented byte (16-bit: the high byte);
+            // sub-byte: MSB-first packed bits, gray scaled to 8-bit
+            // (255/(2^d−1) = ·255/·85/·17), palette index used raw
+            def sb(c: Int): Int =
+              if (!subByte) u8(recon, sp + c * bytesPerSample)
+              else {
+                val bitOff = x * depth
+                val raw0 = (u8(recon, y * rowBytes + (bitOff >> 3)) >>
+                  (8 - depth - (bitOff & 7))) & ((1 << depth) - 1)
+                if (colorType == 0) raw0 * 255 / ((1 << depth) - 1)
+                else raw0
+              }
             val d = (iy * w + ix) * 3
             colorType match {
               case 0 | 4 => // gray (+dropped alpha)
@@ -795,8 +816,10 @@ object PixelFixtures {
   def pngBytesFull(w: Int, h: Int, depth: Int, colorType: Int,
       interlace: Int)(pv: (Int, Int, Int) => Int)(
       palette: Int => (Int, Int, Int)): Array[Byte] = {
-    require(depth == 8 || depth == 16)
-    require(colorType != 3 || depth == 8)
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8 ||
+      depth == 16)
+    require(depth >= 8 || colorType == 0 || colorType == 3,
+      "sub-byte depths are gray/palette only")
     val channels = colorType match {
       case 0 => 1
       case 2 => 3
@@ -804,8 +827,9 @@ object PixelFixtures {
       case 4 => 2
       case _ => 4
     }
-    val bytesPerSample = depth / 8
-    val bpp = channels * bytesPerSample
+    val subByte = depth < 8
+    val bytesPerSample = math.max(1, depth / 8)
+    val bpp = if (subByte) 1 else channels * bytesPerSample
     val (xo, yo, xs, ys) =
       if (interlace == 0) (Array(0), Array(0), Array(1), Array(1))
       else (Array(0, 4, 0, 2, 0, 1, 0), Array(0, 0, 4, 0, 2, 0, 1),
@@ -815,13 +839,24 @@ object PixelFixtures {
       val pw = math.max(0, (w - xo(p) + xs(p) - 1) / xs(p))
       val ph = math.max(0, (h - yo(p) + ys(p) - 1) / ys(p))
       if (pw > 0 && ph > 0) {
-        val rowBytes = pw * bpp
+        val rowBytes =
+          if (subByte) (pw * depth + 7) / 8 else pw * bpp
         val recon = new Array[Byte](rowBytes * ph)
         for (y <- 0 until ph; x <- 0 until pw; c <- 0 until channels) {
           val v = pv(c, xo(p) + x * xs(p), yo(p) + y * ys(p))
-          val at = y * rowBytes + x * bpp + c * bytesPerSample
-          if (bytesPerSample == 1) recon(at) = v.toByte
-          else { recon(at) = ((v >> 8) & 0xff).toByte; recon(at + 1) = (v & 0xff).toByte }
+          if (subByte) { // MSB-first packed sample (planted raw value)
+            val bitOff = x * depth
+            val at = y * rowBytes + (bitOff >> 3)
+            recon(at) = (recon(at) |
+              ((v & ((1 << depth) - 1)) << (8 - depth - (bitOff & 7)))).toByte
+          } else {
+            val at = y * rowBytes + x * bpp + c * bytesPerSample
+            if (bytesPerSample == 1) recon(at) = v.toByte
+            else {
+              recon(at) = ((v >> 8) & 0xff).toByte
+              recon(at + 1) = (v & 0xff).toByte
+            }
+          }
         }
         for (y <- 0 until ph) {
           val filter = y % 5
@@ -865,8 +900,10 @@ object PixelFixtures {
       .put(0.toByte).put(0.toByte).put(interlace.toByte)
     chunk("IHDR", ihdr.array())
     if (colorType == 3) {
-      val pl = new Array[Byte](768)
-      for (i <- 0 until 256) {
+      // the spec caps PLTE at 2^depth entries for sub-byte palettes
+      val entries = math.min(256, 1 << depth)
+      val pl = new Array[Byte](3 * entries)
+      for (i <- 0 until entries) {
         val (r, g, b) = palette(i)
         pl(3 * i) = r.toByte; pl(3 * i + 1) = g.toByte; pl(3 * i + 2) = b.toByte
       }
@@ -909,6 +946,27 @@ object PixelFixtures {
         (c, x, y) =>
           if (c == 1) ((x * 29 + y) % 256) * 257
           else pixelValue(id, 0, x, y) * 257)(null)
+    }
+  }
+
+  /** Sub-byte PNG fixture family (icons and B/W scans): mode = id mod 3
+    * rotates 1-bit gray / 4-bit gray / 4-bit palette, Adam7 on
+    * `(id / 3) mod 2 == 1`. Planted raw samples are `pixelValue mod
+    * 2^depth`; gray presents scaled (·255 / ·17), palette routes the
+    * 4-bit index through a 16-entry planted PLTE.
+    */
+  def pngSubByteBytes(id: Long): Array[Byte] = {
+    val w = (id % 14 + 3).toInt
+    val h = (id % 10 + 3).toInt
+    val interlace = ((id / 3) % 2).toInt
+    (id % 3).toInt match {
+      case 0 => pngBytesFull(w, h, 1, 0, interlace)(
+        (_, x, y) => pixelValue(id, 0, x, y) % 2)(null)
+      case 1 => pngBytesFull(w, h, 4, 0, interlace)(
+        (_, x, y) => pixelValue(id, 0, x, y) % 16)(null)
+      case _ => pngBytesFull(w, h, 4, 3, interlace)(
+        (_, x, y) => (((id + 5 * x + 11 * y) % 16L + 16L) % 16L).toInt)(
+        i => ((i * 7) % 256, (i * 7 + 31) % 256, (i * 7 + 62) % 256))
     }
   }
 

@@ -2523,6 +2523,39 @@ object ExtensionQueries {
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
     ),
 
+    // Sub-byte PNG (1-bit gray / 4-bit gray / 4-bit palette — icons
+    // and scanned B/W docs): bit-packed scanlines, byte-rounded filter
+    // distance, scaled gray presentation (x255 / x17), 16-entry PLTE.
+    QueryDef(
+      "multimodal_png_subbyte",
+      (s, dir) => Multimodal.decodePngSubByteReal(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 14 + 3 AS w, doc_id % 10 + 3 AS h,
+             |    doc_id % 3 AS mode FROM documents),
+             |g AS (SELECT d.doc_id, d.w, d.h, d.mode, x.x, y.y
+             |    FROM d, range(0, 17) AS x(x), range(0, 13) AS y(y)
+             |    WHERE x.x < d.w AND y.y < d.h),
+             |v AS (SELECT doc_id, w, h,
+             |    CASE mode WHEN 0 THEN ((doc_id + 7 * x + 13 * y) % 256 % 2) * 255
+             |         WHEN 1 THEN ((doc_id + 7 * x + 13 * y) % 256 % 16) * 17
+             |         ELSE (((doc_id + 5 * x + 11 * y) % 16) * 7) % 256 END AS r,
+             |    CASE mode WHEN 2
+             |         THEN (((doc_id + 5 * x + 11 * y) % 16) * 7 + 31) % 256
+             |         WHEN 0 THEN ((doc_id + 7 * x + 13 * y) % 256 % 2) * 255
+             |         ELSE ((doc_id + 7 * x + 13 * y) % 256 % 16) * 17 END AS g2,
+             |    CASE mode WHEN 2
+             |         THEN (((doc_id + 5 * x + 11 * y) % 16) * 7 + 62) % 256
+             |         WHEN 0 THEN ((doc_id + 7 * x + 13 * y) % 256 % 2) * 255
+             |         ELSE ((doc_id + 7 * x + 13 * y) % 256 % 16) * 17 END AS b
+             |  FROM g)
+             |SELECT doc_id, 'png' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
     // Deflate-in-TIFF (the modern scanned-document default): both
     // Deflate tags (8 / legacy 32946), strips AND 16x16 tiles, 8- and
     // 16-bit samples (planted v resp. v*257 - the high-byte 16->8

@@ -75,6 +75,56 @@ class PngFullSpec extends AnyFunSuite {
     }
   }
 
+  private def subByteExpected(id: Long, mode: Int, c: Int, x: Int, y: Int): Int =
+    mode match {
+      case 0 => (PixelFixtures.pixelValue(id, 0, x, y) % 2) * 255
+      case 1 => (PixelFixtures.pixelValue(id, 0, x, y) % 16) * 17
+      case _ =>
+        val idx = (((id + 5 * x + 11 * y) % 16L + 16L) % 16L).toInt
+        (idx * 7 + c * 31) % 256
+    }
+
+  test("sub-byte modes (1/4-bit gray, 4-bit palette) decode exactly") {
+    for (id <- 0L until 36L) {
+      val mode = (id % 3).toInt
+      val w = (id % 14 + 3).toInt
+      val h = (id % 10 + 3).toInt
+      val out = PixelCodec.decodePixels(PixelFixtures.pngSubByteBytes(id))
+      assert(out.isDefined, s"id=$id mode=$mode")
+      val (_, dw, dh, rgb) = out.get
+      assert((dw, dh) == ((w, h)), s"id=$id")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) ==
+          subByteExpected(id, mode, c, x, y),
+          s"id=$id mode=$mode ($x,$y,$c)")
+    }
+  }
+
+  test("ImageIO agrees on the sub-byte modes") {
+    for (id <- 0L until 6L) {
+      val mode = (id % 3).toInt
+      val bytes = PixelFixtures.pngSubByteBytes(id)
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected id=$id mode=$mode")
+      val w = (id % 14 + 3).toInt
+      val h = (id % 10 + 3).toInt
+      for (y <- 0 until h; x <- 0 until w) {
+        if (mode == 2) { // palette: IndexColorModel maps directly
+          val rgb = img.getRGB(x, y)
+          for (c <- 0 until 3)
+            assert(((rgb >> (16 - 8 * c)) & 0xff) ==
+              subByteExpected(id, mode, c, x, y), s"id=$id pal ($x,$y,$c)")
+        } else { // gray: raster sample is the RAW 1/4-bit value
+          val raw = img.getRaster.getSample(x, y, 0)
+          val want =
+            if (mode == 0) PixelFixtures.pixelValue(id, 0, x, y) % 2
+            else PixelFixtures.pixelValue(id, 0, x, y) % 16
+          assert(raw == want, s"id=$id gray ($x,$y): ImageIO raw $raw")
+        }
+      }
+    }
+  }
+
   test("truncation, mutation, and garbage stay data") {
     val good = PixelFixtures.pngFullBytes(7L) // Adam7 gray-16
     for (n <- 0 until good.length by 3)
