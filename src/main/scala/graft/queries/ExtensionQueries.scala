@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, Multimodal, Similarity, TextAnalytics, WarcCodec, WarcFixtures}
+import graft.functions.{Curation, Dedup, Multimodal, PdfCodec, PdfFixtures, Similarity, TextAnalytics, WarcCodec, WarcFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -3618,6 +3618,78 @@ object ExtensionQueries {
       Some("""SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num,
              |CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS len_novowels
              |FROM documents""".stripMargin),
+    ),
+
+    // PDF text extraction — the dominant non-HTML crawl text carrier:
+    // xref-independent object scan, FlateDecode (raw on ids % 3 = 0),
+    // catalog/page-tree page ORDER, and a deterministic content-stream
+    // text walk (Tj / kerned TJ / escaped literals / hex strings; Td
+    // dy<0 = newline). The oracle replays the planted per-line string
+    // arithmetic. Zero-shuffle mapPartitions — scales as pure map work.
+    QueryDef(
+      "pdf_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        PdfCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, PdfFixtures.pdfBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
+             |p AS (SELECT d.doc_id, pp.p FROM d, range(0, 3) AS pp(p)
+             |    WHERE pp.p < d.np),
+             |l AS (SELECT p.doc_id, p.p, ll.l
+             |    FROM p, range(0, 4) AS ll(l)
+             |    WHERE ll.l < (p.doc_id + p.p) % 4 + 1),
+             |t AS (SELECT doc_id, p, l,
+             |    'doc ' || doc_id || ' page ' || p || ' line ' || l ||
+             |    CASE WHEN l % 4 = 2 THEN ' (esc)' ELSE '' END AS line FROM l),
+             |pg AS (SELECT doc_id, p,
+             |    string_agg(line, chr(10) ORDER BY l) AS text,
+             |    count(*) AS n_lines FROM t GROUP BY doc_id, p)
+             |SELECT doc_id, CAST(p AS BIGINT) AS page, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(n_lines AS BIGINT) AS n_lines
+             |FROM pg""".stripMargin),
+    ),
+
+    // The PDF chain COMPOSED with token features (one fused partition
+    // pass, the curation front-end shape): planted text has no
+    // whitespace runs, so tokens = spaces + newlines + 1 — arithmetic
+    // the oracle replays exactly.
+    QueryDef(
+      "pdf_text_quality",
+      (s, dir) => {
+        import s.implicits._
+        val txt = PdfCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, PdfFixtures.pdfBytes(id))))
+        txt.select(col("doc_id"), col("page"), col("n_chars"),
+          size(split(col("text"), "[ \n]")).cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), "[ \n]", "")).cast("double") /
+            size(split(col("text"), "[ \n]"))).as("avg_token_len"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
+             |p AS (SELECT d.doc_id, pp.p FROM d, range(0, 3) AS pp(p)
+             |    WHERE pp.p < d.np),
+             |l AS (SELECT p.doc_id, p.p, ll.l
+             |    FROM p, range(0, 4) AS ll(l)
+             |    WHERE ll.l < (p.doc_id + p.p) % 4 + 1),
+             |t AS (SELECT doc_id, p, l,
+             |    'doc ' || doc_id || ' page ' || p || ' line ' || l ||
+             |    CASE WHEN l % 4 = 2 THEN ' (esc)' ELSE '' END AS line FROM l),
+             |pg AS (SELECT doc_id, p,
+             |    string_agg(line, chr(10) ORDER BY l) AS text FROM t
+             |    GROUP BY doc_id, p),
+             |q AS (SELECT doc_id, p, length(text) AS n_chars,
+             |    length(text) - length(replace(replace(text, ' ', ''),
+             |      chr(10), '')) + 1 AS n_tokens,
+             |    length(replace(replace(text, ' ', ''), chr(10), ''))
+             |      AS n_nonspace FROM pg)
+             |SELECT doc_id, CAST(p AS BIGINT) AS page,
+             |  CAST(n_chars AS BIGINT) AS n_chars,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_nonspace AS DOUBLE) / n_tokens AS avg_token_len
+             |FROM q""".stripMargin),
     ),
   )
 }

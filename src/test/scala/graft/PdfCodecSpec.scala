@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PDF walk held to the planted fixtures (raw and FlateDecode
+  * streams, page-tree order), the documented text-extraction semantics
+  * (operator surface, escapes, hex strings, TJ word-space kerns), the
+  * structure-fallback paths, and the hostile-input contract.
+  */
+class PdfCodecSpec extends AnyFunSuite {
+
+  private def pdfOf(body: String): Array[Byte] =
+    ("%PDF-1.4\n" + body).getBytes("ISO-8859-1")
+
+  private def onePageDoc(content: String): Array[Byte] = pdfOf(
+    "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+
+  test("planted fixtures round-trip: pages in order, text exact, both filters") {
+    for (id <- 0L until 24L) {
+      val pages = PdfCodec.extractPages(PdfFixtures.pdfBytes(id))
+      assert(pages.length == PdfFixtures.nPages(id), s"id=$id")
+      for ((p, text) <- pages)
+        assert(text == PdfFixtures.pageText(id, p), s"id=$id page=$p")
+    }
+  }
+
+  test("string escapes: standard set, octal, nesting, continuation") {
+    val (s1, _) = PdfCodec.parseLiteralString(
+      """(a\nb\tc\(d\)e\\f)""".getBytes("ISO-8859-1"), 0)
+    assert(s1 == "a\nb\tc(d)e\\f")
+    val (s2, _) = PdfCodec.parseLiteralString(
+      "(oct \\101\\66\\7 end)".getBytes("ISO-8859-1"), 0)
+    assert(s2 == "oct A6\u0007 end")
+    val (s3, _) = PdfCodec.parseLiteralString(
+      "(nested (deep (deeper)) out)".getBytes("ISO-8859-1"), 0)
+    assert(s3 == "nested (deep (deeper)) out")
+    val (s4, _) = PdfCodec.parseLiteralString(
+      "(cont\\\r\ninues)".getBytes("ISO-8859-1"), 0)
+    assert(s4 == "continues")
+    // unknown escape drops the backslash per spec
+    val (s5, _) = PdfCodec.parseLiteralString(
+      "(a\\zb)".getBytes("ISO-8859-1"), 0)
+    assert(s5 == "azb")
+  }
+
+  test("hex strings: case-insensitive, whitespace, odd-digit padding") {
+    val (h1, _) = PdfCodec.parseHexString("<48656C6c6F>".getBytes("ISO-8859-1"), 0)
+    assert(h1 == "Hello")
+    val (h2, _) = PdfCodec.parseHexString("<48 65 6C>".getBytes("ISO-8859-1"), 0)
+    assert(h2 == "Hel")
+    val (h3, _) = PdfCodec.parseHexString("<447>".getBytes("ISO-8859-1"), 0)
+    assert(h3 == "Dp") // odd count pads low nibble with 0: 0x44 0x70
+  }
+
+  test("TJ kern threshold: word-space inserts, tight kerns do not") {
+    val doc = onePageDoc("BT [(wo) -100 (rd) -250 (next)] TJ ET")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "word next")))
+  }
+
+  test("quote operators and T* emit newlines") {
+    val doc = onePageDoc("BT (l1) Tj (l2) ' (l3) \" T* (l5) Tj ET")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "l1\nl2\nl3\nl5")))
+  }
+
+  test("indirect /Length falls back to the endstream scan") {
+    val content = "BT (via scan) Tj ET"
+    val doc = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length 5 0 R >>\nstream\n$content\nendstream\nendobj\n" +
+        s"5 0 obj ${content.length} endobj\n")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "via scan")))
+  }
+
+  test("page /Contents array concatenates streams in order") {
+    val doc = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n" +
+        "4 0 obj << /Length 11 >>\nstream\nBT (ab) Tj \nendstream\nendobj\n" +
+        "5 0 obj << /Length 10 >>\nstream\n(cd) Tj ET\nendstream\nendobj\n")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "abcd")))
+  }
+
+  test("nested page tree preserves depth-first kid order") {
+    val doc = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [6 0 R 3 0 R] /Count 2 >> endobj\n" +
+        "6 0 obj << /Type /Pages /Kids [7 0 R] /Count 1 >> endobj\n" +
+        "7 0 obj << /Type /Page /Parent 6 0 R /Contents 8 0 R >> endobj\n" +
+        "8 0 obj << /Length 16 >>\nstream\nBT (first) Tj ET\nendstream\nendobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        "4 0 obj << /Length 17 >>\nstream\nBT (second) Tj ET\nendstream\nendobj\n")
+    assert(PdfCodec.extractPages(doc).map(_._2) == Seq("first", "second"))
+  }
+
+  test("no catalog: BT-bearing streams in document order") {
+    val doc = pdfOf(
+      "9 0 obj << /Length 16 >>\nstream\nBT (alpha) Tj ET\nendstream\nendobj\n" +
+        "10 0 obj << /Length 8 >>\nstream\nnot text\nendstream\nendobj\n" +
+        "11 0 obj << /Length 15 >>\nstream\nBT (beta) Tj ET\nendstream\nendobj\n")
+    assert(PdfCodec.extractPages(doc).map(_._2) == Seq("alpha", "beta"))
+  }
+
+  test("incremental update: later object with the same number wins") {
+    val doc = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        "4 0 obj << /Length 14 >>\nstream\nBT (old) Tj ET\nendstream\nendobj\n" +
+        "4 0 obj << /Length 14 >>\nstream\nBT (new) Tj ET\nendstream\nendobj\n")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "new")))
+  }
+
+  test("inline images are skipped, comments ignored") {
+    val doc = onePageDoc(
+      "BT (before) Tj % comment (not text) Tj\n" +
+        "BI /W 2 /H 2 ID \u00ff(A EI (after) Tj ET")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "beforeafter")))
+  }
+
+  test("truncated flate stream keeps the inflated prefix; garbage yields no text") {
+    val full = PdfFixtures.pdfBytes(7L) // id 7 % 3 != 0 -> FlateDecode
+    // chop mid-file: must not throw, and never emits MORE than planted
+    for (cut <- Seq(full.length / 4, full.length / 2, full.length - 3)) {
+      val pages = PdfCodec.extractPages(java.util.Arrays.copyOf(full, cut))
+      pages.foreach { case (p, text) =>
+        // line-atomic emission: anything extracted is a planted prefix
+        assert(PdfFixtures.pageText(7L, p).startsWith(text),
+          s"cut=$cut page=$p got=$text")
+      }
+    }
+    assert(PdfCodec.extractPages("%PDX-bad".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("fuzz: mutated and random fixture bytes never throw") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 300) {
+      val base = PdfFixtures.pdfBytes(rnd.nextInt(32).toLong)
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      PdfCodec.extractPages(b) // must not throw
+      val junk = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      PdfCodec.extractPages(junk)
+      val _ = trial
+    }
+  }
+}
