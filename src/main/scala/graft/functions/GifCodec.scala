@@ -1,0 +1,353 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Animated-GIF frame walk — crawl GIFs are predominantly animations
+  * (memes, ad creatives), and a frame-level dedup/fingerprint pipeline
+  * needs the COMPOSED per-frame screens, not the raw deltas most frames
+  * actually encode. Single-frame GIF pixel decode lives in
+  * [[PixelCodec]] (`multimodal_image_formats`); this walk adds the
+  * animation surface: Graphic Control Extensions (delay, disposal,
+  * transparency), per-frame local color tables, sub-rectangle frames,
+  * and the three disposal methods composed onto the logical screen
+  * (GIF89a spec §23):
+  *
+  *   - disposal 0/1: leave the frame in place
+  *   - disposal 2:   restore the frame's rect to the background color
+  *   - disposal 3:   restore the canvas as it was before the frame
+  *
+  * Transparent pixels (GCE flag + index) leave the underlying canvas
+  * showing — the delta-frame convention.
+  *
+  * Scale: [[frameStats]] is mapPartitions over (doc_id, bytes) — zero
+  * shuffle, scales as pure map work like the other codec walks; frame
+  * count, canvas area, and LZW output are all bounded per blob, so a
+  * hostile GIF costs bounded memory.
+  */
+object GifCodec {
+
+  private val MaxCanvas = 1L << 26
+  private val MaxFrames = 1024
+
+  final case class GifFrame(
+      idx: Int,
+      delayCs: Int,
+      width: Int,
+      height: Int,
+      rgb: Array[Byte], // composed logical screen, w*h*3
+  )
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  /** All frames, composed. Nil on anything that is not a plausible GIF. */
+  def decodeFrames(b: Array[Byte]): Seq[GifFrame] = try {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      !(b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return Nil
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxCanvas) return Nil
+    val packed = u8(b, 10)
+    val bgIndex = u8(b, 11)
+    val gctFlag = (packed & 0x80) != 0
+    val gctSize = 1 << ((packed & 0x07) + 1)
+    var pos = 13
+    val gct = pos
+    if (gctFlag) pos += 3 * gctSize
+
+    val canvas = new Array[Byte](w * h * 3)
+    // background fill: GCT background color when present, else black
+    if (gctFlag && bgIndex < gctSize) fillRect(canvas, w, 0, 0, w, h, b, gct + bgIndex * 3)
+    val frames = scala.collection.mutable.ArrayBuffer[GifFrame]()
+    // pending GCE state, consumed by the next image descriptor
+    var delayCs = 0
+    var disposal = 0
+    var transIdx = -1
+
+    while (pos < b.length && u8(b, pos) != 0x3b && frames.length < MaxFrames) {
+      u8(b, pos) match {
+        case 0x21 => // extension
+          if (pos + 1 >= b.length) return frames.toSeq
+          val label = u8(b, pos + 1)
+          pos += 2
+          if (label == 0xf9 && pos < b.length && u8(b, pos) >= 4 &&
+            pos + 4 < b.length) {
+            val p = u8(b, pos + 1)
+            disposal = (p >> 2) & 0x07
+            delayCs = le16(b, pos + 2)
+            transIdx = if ((p & 0x01) != 0) u8(b, pos + 4) else -1
+          }
+          // skip the extension's sub-blocks (incl. the GCE's own)
+          while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          pos += 1
+
+        case 0x2c => // image descriptor
+          if (pos + 10 > b.length) return frames.toSeq
+          val left = le16(b, pos + 1)
+          val top = le16(b, pos + 3)
+          val fw = le16(b, pos + 5)
+          val fh = le16(b, pos + 7)
+          val fPacked = u8(b, pos + 9)
+          pos += 10
+          if (fw <= 0 || fh <= 0 || left + fw > w || top + fh > h)
+            return frames.toSeq
+          val interlaced = (fPacked & 0x40) != 0
+          val lctFlag = (fPacked & 0x80) != 0
+          val lctSize = 1 << ((fPacked & 0x07) + 1)
+          val table = if (lctFlag) pos else gct
+          val tableSize = if (lctFlag) lctSize else gctSize
+          if (!lctFlag && !gctFlag) return frames.toSeq
+          if (lctFlag) pos += 3 * lctSize
+          if (pos >= b.length) return frames.toSeq
+          val minCode = u8(b, pos)
+          pos += 1
+          if (minCode < 2 || minCode > 11) return frames.toSeq
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            if (pos + 1 + n > b.length) return frames.toSeq
+            data.write(b, pos + 1, n)
+            pos += 1 + n
+          }
+          pos += 1 // block terminator
+          val indices = lzw(data.toByteArray, minCode, fw * fh)
+            .getOrElse(return frames.toSeq)
+          // disposal 3 needs the pre-frame canvas
+          val before =
+            if (disposal == 3) canvas.clone() else null
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.tabulate(fh)(identity)
+            else {
+              val order = new Array[Int](fh)
+              var i = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < fh) { order(i) = y; i += 1; y += step }
+              }
+              order
+            }
+          var srcRow = 0
+          while (srcRow < fh) {
+            val y = rowOrder(srcRow)
+            var x = 0
+            while (x < fw) {
+              val idx = indices(srcRow * fw + x) & 0xff
+              if (idx != transIdx) {
+                if (idx >= tableSize) return frames.toSeq
+                val t = table + idx * 3
+                val d = ((top + y) * w + (left + x)) * 3
+                canvas(d) = b(t); canvas(d + 1) = b(t + 1); canvas(d + 2) = b(t + 2)
+              }
+              x += 1
+            }
+            srcRow += 1
+          }
+          frames += GifFrame(frames.length, delayCs, w, h, canvas.clone())
+          // apply disposal for the NEXT frame
+          disposal match {
+            case 2 =>
+              if (gctFlag && bgIndex < gctSize)
+                fillRect(canvas, w, left, top, fw, fh, b, gct + bgIndex * 3)
+              else fillRect(canvas, w, left, top, fw, fh, Array[Byte](0, 0, 0), 0)
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ =>
+          }
+          delayCs = 0; disposal = 0; transIdx = -1
+
+        case _ => return frames.toSeq // junk
+      }
+    }
+    frames.toSeq
+  } catch { case _: RuntimeException => Nil }
+
+  private def fillRect(canvas: Array[Byte], w: Int, left: Int, top: Int,
+      fw: Int, fh: Int, src: Array[Byte], srcOff: Int): Unit = {
+    var y = 0
+    while (y < fh) {
+      var x = 0
+      while (x < fw) {
+        val d = ((top + y) * w + (left + x)) * 3
+        canvas(d) = src(srcOff); canvas(d + 1) = src(srcOff + 1)
+        canvas(d + 2) = src(srcOff + 2)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** GIF-flavor LZW (LSB-first variable-width, clear/EOI, KwKwK). */
+  private def lzw(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val stack = new Array[Byte](maxDict + 1)
+    val out = new Array[Byte](nPixels)
+    var produced = 0
+    var next = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length.toLong * 8
+    while (produced < nPixels) {
+      if (bitPos + width > totalBits) return None
+      var code = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        if ((data(bp >> 3) & (1 << (bp & 7))) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (produced == nPixels) Some(out) else None
+      } else {
+        if (code > next || (code == next && prev < 0)) return None
+        var sp = 0
+        var cur = code
+        if (code == next) { // KwKwK
+          stack(sp) = firstByte(prefix, suffix, prev, clear); sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        stack(sp) = cur.toByte; sp += 1
+        while (sp > 0 && produced < nPixels) {
+          sp -= 1
+          out(produced) = stack(sp)
+          produced += 1
+        }
+        if (sp > 0) return None // frame overrun
+        if (prev >= 0 && next < maxDict) {
+          prefix(next) = prev
+          suffix(next) = firstByteOf(prefix, suffix, code, clear, next)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  private def firstByte(prefix: Array[Int], suffix: Array[Byte], code: Int,
+      clear: Int): Byte = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c.toByte
+  }
+
+  private def firstByteOf(prefix: Array[Int], suffix: Array[Byte], code: Int,
+      clear: Int, next: Int): Byte =
+    if (code == next) firstByte(prefix, suffix, prefix(next), clear)
+    else firstByte(prefix, suffix, code, clear)
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per composed frame: (doc_id, frame_idx, delay_cs, width,
+    * height, per-channel sum + sum-of-squares). Zero-shuffle partition
+    * walk.
+    */
+  def frameStats(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodeFrames(bytes).map { f =>
+          var sr = 0L; var ssr = 0L; var sg = 0L; var ssg = 0L
+          var sb = 0L; var ssb = 0L
+          var i = 0
+          while (i < f.rgb.length) {
+            val r = f.rgb(i) & 0xff; val g = f.rgb(i + 1) & 0xff
+            val bl = f.rgb(i + 2) & 0xff
+            sr += r; ssr += r.toLong * r
+            sg += g; ssg += g.toLong * g
+            sb += bl; ssb += bl.toLong * bl
+            i += 3
+          }
+          (id, f.idx.toLong, f.delayCs.toLong, f.width.toLong,
+            f.height.toLong, sr, ssr, sg, ssg, sb, ssb)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "delay_cs", "width", "height",
+      "sum_r", "sumsq_r", "sum_g", "sumsq_g", "sum_b", "sumsq_b")
+  }
+}
+
+/** Planted animated-GIF fixtures: logical screen `id%14+3 × id%10+3`,
+  * `id%3+1` full-screen frames, 256-entry GCT with
+  * `palette(i) = ((i·7)%256, (i·7+31)%256, (i·7+62)%256)`, frame f's
+  * index at (x,y) = `(id + 5x + 11y + 17f) mod 256`, GCE delay
+  * `(id+f) mod 100`, disposal 1 (leave), interlace when `(id+f)` is
+  * odd — pure arithmetic the DuckDB oracle replays per composed frame
+  * (full-screen frames make composition == frame).
+  */
+object GifAnimFixtures {
+
+  def nFrames(id: Long): Int = (id % 3 + 1).toInt
+  def width(id: Long): Int = (id % 14 + 3).toInt
+  def height(id: Long): Int = (id % 10 + 3).toInt
+
+  def gifBytes(id: Long): Array[Byte] = {
+    val w = width(id)
+    val h = height(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | 0x07) // GCT, 256 entries
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) {
+      out.write((i * 7) % 256)
+      out.write((i * 7 + 31) % 256)
+      out.write((i * 7 + 62) % 256)
+    }
+    for (f <- 0 until nFrames(id)) {
+      // GCE: disposal 1, planted delay, no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04) // disposal 1 << 2
+      le16(((id + f) % 100).toInt)
+      out.write(0); out.write(0)
+      val interlaced = (id + f) % 2 == 1
+      out.write(0x2c)
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(if (interlaced) 0x40 else 0x00)
+      out.write(8) // LZW min code size
+      val rows: Seq[Int] =
+        if (!interlaced) 0 until h
+        else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) =>
+          s until h by st
+        }
+      // 9-bit codes LSB-first, CLEAR before each literal
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L
+      var nBits = 0
+      def emit(c: Int): Unit = {
+        acc |= c.toLong << nBits
+        nBits += 9
+        while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+      }
+      for (y <- rows; x <- 0 until w) {
+        emit(256)
+        emit(((id + 5 * x + 11 * y + 17 * f) % 256).toInt)
+      }
+      emit(257)
+      if (nBits > 0) bits.write((acc & 0xff).toInt)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n)
+        out.write(data, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, Multimodal, PdfCodec, PdfFixtures, Similarity, TextAnalytics, WarcCodec, WarcFixtures}
+import graft.functions.{Curation, Dedup, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, Similarity, TextAnalytics, WarcCodec, WarcFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -3690,6 +3690,45 @@ object ExtensionQueries {
              |  CAST(n_tokens AS BIGINT) AS n_tokens,
              |  CAST(n_nonspace AS DOUBLE) / n_tokens AS avg_token_len
              |FROM q""".stripMargin),
+    ),
+
+    // Animated-GIF frame walk: GCE delay/disposal/transparency parsed,
+    // frames LZW-decoded (interlace on odd id+f) and COMPOSED onto the
+    // logical screen — per-frame channel stats over the composition,
+    // the input a frame-dedup pipeline hashes. Full-screen planted
+    // frames make composition == frame, so the oracle replays the
+    // palette arithmetic directly.
+    QueryDef(
+      "multimodal_gif_frames",
+      (s, dir) => {
+        import s.implicits._
+        GifCodec.frameStats(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, GifAnimFixtures.gifBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 14 + 3 AS w,
+             |    doc_id % 10 + 3 AS h, doc_id % 3 + 1 AS nf FROM documents),
+             |fr AS (SELECT d.doc_id, d.w, d.h, ff.f FROM d,
+             |    range(0, 3) AS ff(f) WHERE ff.f < d.nf),
+             |g AS (SELECT fr.doc_id, fr.w, fr.h, fr.f, x.x, y.y
+             |    FROM fr, range(0, 17) AS x(x), range(0, 13) AS y(y)
+             |    WHERE x.x < fr.w AND y.y < fr.h),
+             |i AS (SELECT doc_id, w, h, f,
+             |    (doc_id + 5 * x + 11 * y + 17 * f) % 256 AS idx FROM g),
+             |v AS (SELECT doc_id, w, h, f,
+             |    (idx * 7) % 256 AS r,
+             |    (idx * 7 + 31) % 256 AS g2,
+             |    (idx * 7 + 62) % 256 AS b FROM i)
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST((doc_id + f) % 100 AS BIGINT) AS delay_cs,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(sum(r) AS BIGINT) AS sum_r,
+             |  CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+             |  CAST(sum(g2) AS BIGINT) AS sum_g,
+             |  CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
+             |  CAST(sum(b) AS BIGINT) AS sum_b,
+             |  CAST(sum(b * b) AS BIGINT) AS sumsq_b
+             |FROM v GROUP BY doc_id, f, w, h""".stripMargin),
     ),
   )
 }

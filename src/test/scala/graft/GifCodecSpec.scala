@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The animated-GIF walk held to the planted fixtures, the JDK ImageIO
+  * decoder (independent raster cross-check), the three disposal
+  * methods, transparency, sub-rectangle frames, and hostile input.
+  */
+class GifCodecSpec extends AnyFunSuite {
+
+  /** Handcrafted GIF: 4-entry GCT (palette i = (i*50, i*50+10, i*50+20)),
+    * background index 0, frames as (left, top, fw, fh, disposal,
+    * transIdx, indices row-major). LZW = 3-bit clear+literal stream.
+    */
+  private def miniGif(w: Int, h: Int,
+      frames: Seq[(Int, Int, Int, Int, Int, Int, Seq[Int])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | 0x01) // GCT, 4 entries
+    out.write(0); out.write(0) // background idx 0
+    for (i <- 0 until 4) {
+      out.write(i * 50); out.write(i * 50 + 10); out.write(i * 50 + 20)
+    }
+    for ((left, top, fw, fh, disposal, transIdx, idx) <- frames) {
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((disposal << 2) | (if (transIdx >= 0) 1 else 0))
+      le16(7) // delay
+      out.write(math.max(0, transIdx)); out.write(0)
+      out.write(0x2c)
+      le16(left); le16(top); le16(fw); le16(fh)
+      out.write(0x00)
+      out.write(2) // min code size 2: clear=4, eoi=5, width=3
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nBits = 0
+      def emit(c: Int): Unit = {
+        acc |= c.toLong << nBits; nBits += 3
+        while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+      }
+      for (v <- idx) { emit(4); emit(v) }
+      emit(5)
+      if (nBits > 0) bits.write((acc & 0xff).toInt)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  private def pal(i: Int): (Int, Int, Int) = (i * 50, i * 50 + 10, i * 50 + 20)
+
+  private def px(f: GifCodec.GifFrame, x: Int, y: Int): (Int, Int, Int) = {
+    val d = (y * f.width + x) * 3
+    ((f.rgb(d) & 0xff), (f.rgb(d + 1) & 0xff), (f.rgb(d + 2) & 0xff))
+  }
+
+  test("planted fixtures: frame count, delays, composed pixels exact") {
+    for (id <- 0L until 24L) {
+      val frames = GifCodec.decodeFrames(GifAnimFixtures.gifBytes(id))
+      assert(frames.length == GifAnimFixtures.nFrames(id), s"id=$id")
+      val w = GifAnimFixtures.width(id)
+      val h = GifAnimFixtures.height(id)
+      for (f <- frames) {
+        assert(f.delayCs == ((id + f.idx) % 100).toInt, s"id=$id f=${f.idx}")
+        assert(f.width == w && f.height == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val idx = ((id + 5 * x + 11 * y + 17 * f.idx) % 256).toInt
+          assert(px(f, x, y) ==
+            (((idx * 7) % 256), ((idx * 7 + 31) % 256), ((idx * 7 + 62) % 256)),
+            s"id=$id f=${f.idx} ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("ImageIO cross-check: full-screen frame rasters match composition") {
+    // h >= 5 so every interlace pass is non-empty: the JDK reader
+    // consumes a source row for an out-of-range pass-2 destination on
+    // tiny interlaced images (h <= 4), where the GIF89a appendix-E
+    // row groups say to skip the pass entirely (as this codec and
+    // every mainstream decoder do)
+    for (id <- Seq(2L, 5L, 9L, 12L, 19L, 23L)) {
+      val bytes = GifAnimFixtures.gifBytes(id)
+      val frames = GifCodec.decodeFrames(bytes)
+      val rd = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = rd.getNumImages(true)
+      assert(n == frames.length, s"id=$id")
+      for (i <- 0 until n) {
+        val img = rd.read(i)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          assert(px(frames(i), x, y) ==
+            (((rgb >> 16) & 0xff), ((rgb >> 8) & 0xff), (rgb & 0xff)),
+            s"id=$id f=$i ($x,$y)")
+        }
+      }
+      rd.dispose()
+    }
+  }
+
+  test("disposal 2 restores the frame rect to the background color") {
+    val doc = miniGif(3, 1, Seq(
+      (0, 0, 3, 1, 2, -1, Seq(1, 1, 1)), // full row of color 1, then restore
+      (0, 0, 1, 1, 0, -1, Seq(2)))) // paint one pixel
+    val Seq(f0, f1) = GifCodec.decodeFrames(doc)
+    assert(px(f0, 0, 0) == pal(1) && px(f0, 2, 0) == pal(1))
+    assert(px(f1, 0, 0) == pal(2))
+    assert(px(f1, 1, 0) == pal(0) && px(f1, 2, 0) == pal(0)) // background
+  }
+
+  test("disposal 3 restores the previous canvas") {
+    val doc = miniGif(2, 1, Seq(
+      (0, 0, 2, 1, 0, -1, Seq(1, 1)),
+      (0, 0, 1, 1, 3, -1, Seq(2)), // overwrite left px, then undo
+      (1, 0, 1, 1, 0, -1, Seq(3))))
+    val Seq(f0, f1, f2) = GifCodec.decodeFrames(doc)
+    assert(px(f1, 0, 0) == pal(2) && px(f1, 1, 0) == pal(1))
+    assert(px(f2, 0, 0) == pal(1)) // frame-1 write undone
+    assert(px(f2, 1, 0) == pal(3))
+  }
+
+  test("transparent pixels leave the underlying canvas showing") {
+    val doc = miniGif(2, 1, Seq(
+      (0, 0, 2, 1, 0, -1, Seq(1, 2)),
+      (0, 0, 2, 1, 0, 3, Seq(3, 3)))) // all-transparent delta
+    val Seq(f0, f1) = GifCodec.decodeFrames(doc)
+    assert(px(f1, 0, 0) == pal(1) && px(f1, 1, 0) == pal(2))
+    assert(java.util.Arrays.equals(f0.rgb, f1.rgb))
+  }
+
+  test("sub-rectangle frames compose at their offset; background fills the rest") {
+    val doc = miniGif(3, 2, Seq((1, 1, 2, 1, 0, -1, Seq(2, 3))))
+    val Seq(f0) = GifCodec.decodeFrames(doc)
+    assert(px(f0, 1, 1) == pal(2) && px(f0, 2, 1) == pal(3))
+    assert(px(f0, 0, 0) == pal(0) && px(f0, 2, 0) == pal(0)) // bg
+  }
+
+  test("truncation keeps completed leading frames, never throws") {
+    val full = GifAnimFixtures.gifBytes(14L) // 3 frames
+    val nFull = GifCodec.decodeFrames(full).length
+    assert(nFull == 3)
+    for (cut <- Seq(full.length / 3, full.length / 2, full.length - 4)) {
+      val frames = GifCodec.decodeFrames(java.util.Arrays.copyOf(full, cut))
+      assert(frames.length <= nFull)
+      // any complete frame must still be pixel-exact
+      for (f <- frames; y <- 0 until f.height; x <- 0 until f.width) {
+        val idx = ((14L + 5 * x + 11 * y + 17 * f.idx) % 256).toInt
+        assert(px(f, x, y) ==
+          (((idx * 7) % 256), ((idx * 7 + 31) % 256), ((idx * 7 + 62) % 256)))
+      }
+    }
+  }
+
+  test("fuzz: mutated fixtures and junk never throw") {
+    val rnd = new scala.util.Random(777)
+    for (_ <- 0 until 300) {
+      val b = GifAnimFixtures.gifBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      GifCodec.decodeFrames(b)
+      val junk = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(junk)
+      GifCodec.decodeFrames(junk)
+    }
+  }
+}
