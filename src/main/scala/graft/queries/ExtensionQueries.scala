@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, Similarity, TextAnalytics, WarcCodec, WarcFixtures}
+import graft.functions.{Curation, Dedup, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, Similarity, TarCodec, TarFixtures, TextAnalytics, WarcCodec, WarcFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -3729,6 +3729,61 @@ object ExtensionQueries {
              |  CAST(sum(b) AS BIGINT) AS sum_b,
              |  CAST(sum(b * b) AS BIGINT) AS sumsq_b
              |FROM v GROUP BY doc_id, f, w, h""".stripMargin),
+    ),
+
+    // ZIP container walk: EOCD backward scan (non-empty comments on
+    // ids % 3 != 0) -> central directory -> local headers, stored and
+    // raw-deflate members, CRC-verified. The oracle replays the planted
+    // member names/payloads. Zero-shuffle partition walk.
+    QueryDef(
+      "zip_entries",
+      (s, dir) => {
+        import s.implicits._
+        ZipCodec.entries(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, ZipFixtures.zipBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+             |e AS (SELECT d.doc_id, i.i FROM d, range(0, 4) AS i(i)
+             |    WHERE i.i < d.n),
+             |v AS (SELECT doc_id, i,
+             |    'zip doc ' || doc_id || ' entry ' || i || ' payload' AS text
+             |  FROM e)
+             |SELECT doc_id, CAST(i AS BIGINT) AS entry_idx,
+             |  'f' || i || '.txt' AS name,
+             |  CASE WHEN (doc_id + i) % 2 = 0 THEN 'stored'
+             |       ELSE 'deflate' END AS method,
+             |  CAST(length(text) AS BIGINT) AS n_bytes,
+             |  TRUE AS crc_ok, text
+             |FROM v""".stripMargin),
+    ),
+
+    // TAR walk (plain on even ids, gzip transport on odd): USTAR
+    // headers checksum-verified, the leading directory entry surfaced
+    // with size 0, member payloads extracted. Oracle replays the
+    // planted names/payloads including the directory row.
+    QueryDef(
+      "tar_entries",
+      (s, dir) => {
+        import s.implicits._
+        TarCodec.entries(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, TarFixtures.tarBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+             |dirs AS (SELECT doc_id, CAST(0 AS BIGINT) AS entry_idx,
+             |    'd/' AS name, '5' AS type, CAST(0 AS BIGINT) AS n_bytes,
+             |    TRUE AS checksum_ok, CAST(NULL AS VARCHAR) AS text FROM d),
+             |e AS (SELECT d.doc_id, i.i FROM d, range(0, 4) AS i(i)
+             |    WHERE i.i < d.n),
+             |v AS (SELECT doc_id, i,
+             |    'tar doc ' || doc_id || ' entry ' || i || ' payload' AS t
+             |  FROM e),
+             |files AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS entry_idx,
+             |    'd/f' || i || '.txt' AS name, '0' AS type,
+             |    CAST(length(t) AS BIGINT) AS n_bytes,
+             |    TRUE AS checksum_ok, t AS text FROM v)
+             |SELECT * FROM dirs UNION ALL SELECT * FROM files""".stripMargin),
     ),
   )
 }

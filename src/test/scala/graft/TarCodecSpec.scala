@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The TAR walk held to the planted fixtures (plain + gzip transport),
+  * checksum verification, GNU long names, the USTAR prefix field, PAX
+  * skip, base-256 sizes, and hostile input.
+  */
+class TarCodecSpec extends AnyFunSuite {
+
+  test("planted fixtures: directory + members, both transports, payloads exact") {
+    for (id <- 0L until 24L) {
+      val es = TarCodec.parseEntries(TarFixtures.tarBytes(id))
+      assert(es.length == TarFixtures.nEntries(id) + 1, s"id=$id")
+      assert(es.head.name == "d/" && es.head.typeflag == '5' &&
+        es.head.size == 0 && es.head.checksumOk)
+      for (e <- es.tail) {
+        val i = e.idx - 1
+        assert(e.name == TarFixtures.name(i) && e.typeflag == '0')
+        assert(e.checksumOk, s"id=$id i=$i")
+        assert(new String(e.data.get, "UTF-8") == TarFixtures.content(id, i))
+      }
+    }
+  }
+
+  private def blankHeader(name: String, size: Long, tf: Char): Array[Byte] = {
+    // independent minimal header writer (duplicates fixture on purpose:
+    // the spec must not validate the codec against its own fixture only)
+    val h = new Array[Byte](512)
+    System.arraycopy(name.getBytes("UTF-8"), 0, h, 0,
+      math.min(name.length, 100))
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val pad = "0" * (len - 1 - s.length) + s
+      System.arraycopy(pad.getBytes("US-ASCII"), 0, h, off, len - 1)
+    }
+    oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+    oct(size, 124, 12); oct(0, 136, 12)
+    h(156) = tf.toByte
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += h(i) & 0xff
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("US-ASCII"),
+      0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private def pad512(n: Int): Array[Byte] = new Array[Byte]((512 - n % 512) % 512)
+
+  test("GNU long name applies to the following member") {
+    val longName = "deep/" * 30 + "leaf.txt" // 158 chars > 100
+    val body = "long-name payload".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(blankHeader("././@LongLink", longName.length.toLong, 'L'))
+    out.write(longName.getBytes("UTF-8")); out.write(pad512(longName.length))
+    out.write(blankHeader(longName.take(100), body.length.toLong, '0'))
+    out.write(body); out.write(pad512(body.length))
+    out.write(new Array[Byte](1024))
+    val es = TarCodec.parseEntries(out.toByteArray)
+    assert(es.length == 1)
+    assert(es.head.name == longName)
+    assert(new String(es.head.data.get, "UTF-8") == "long-name payload")
+  }
+
+  test("USTAR prefix field joins with the name") {
+    val h = blankHeader("file.txt", 2, '0')
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    System.arraycopy("some/long/prefix".getBytes("UTF-8"), 0, h, 345, 16)
+    // re-checksum after the edits
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += h(i) & 0xff
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("US-ASCII"),
+      0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(h); out.write("hi".getBytes); out.write(pad512(2))
+    out.write(new Array[Byte](1024))
+    val es = TarCodec.parseEntries(out.toByteArray)
+    assert(es.head.name == "some/long/prefix/file.txt")
+    assert(es.head.checksumOk)
+  }
+
+  test("PAX extended headers are skipped structurally") {
+    val pax = "27 path=ignored-by-walk\n".getBytes("UTF-8")
+    val body = "real".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(blankHeader("pax-header", pax.length.toLong, 'x'))
+    out.write(pax); out.write(pad512(pax.length))
+    out.write(blankHeader("real.txt", body.length.toLong, '0'))
+    out.write(body); out.write(pad512(body.length))
+    out.write(new Array[Byte](1024))
+    val es = TarCodec.parseEntries(out.toByteArray)
+    assert(es.map(_.name) == Seq("real.txt"))
+  }
+
+  test("base-256 size field decodes") {
+    val body = "abcde".getBytes("UTF-8")
+    val h = blankHeader("b256.txt", 0, '0')
+    java.util.Arrays.fill(h, 124, 136, 0.toByte)
+    h(124) = 0x80.toByte // base-256 marker, value 5 in the last byte
+    h(135) = 5
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += h(i) & 0xff
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("US-ASCII"),
+      0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(h); out.write(body); out.write(pad512(body.length))
+    out.write(new Array[Byte](1024))
+    val es = TarCodec.parseEntries(out.toByteArray)
+    assert(es.head.size == 5)
+    assert(new String(es.head.data.get, "UTF-8") == "abcde")
+  }
+
+  test("checksum mismatch is flagged, not fatal") {
+    val full = TarFixtures.tarBytes(2L).clone() // plain transport
+    full(148) = '7' // corrupt the stored checksum of the dir header
+    val es = TarCodec.parseEntries(full)
+    assert(es.nonEmpty && !es.head.checksumOk)
+    assert(es.tail.forall(_.checksumOk)) // later members unaffected
+  }
+
+  test("truncation drops the cut member, keeps leading ones, never throws") {
+    val full = TarFixtures.tarBytes(7L) // gzip transport, 4 members
+    val plainLen = TarCodec.parseEntries(full).length
+    assert(plainLen == 5)
+    for (cut <- Seq(full.length / 4, full.length / 2, full.length - 3)) {
+      val es = TarCodec.parseEntries(java.util.Arrays.copyOf(full, cut))
+      assert(es.length <= plainLen)
+      for (e <- es if e.typeflag == '0')
+        assert(new String(e.data.get, "UTF-8") ==
+          TarFixtures.content(7L, e.idx - 1))
+    }
+  }
+
+  test("fuzz: mutated archives and junk never throw") {
+    val rnd = new scala.util.Random(90210)
+    for (_ <- 0 until 300) {
+      val b = TarFixtures.tarBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      TarCodec.parseEntries(b)
+      val junk = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(junk)
+      TarCodec.parseEntries(junk)
+    }
+  }
+}

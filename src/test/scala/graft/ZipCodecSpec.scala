@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ZIP walk held to the planted fixtures, the java.util.zip writer
+  * (independent cross-check), the truncated-archive local-scan
+  * fallback, CRC verification, and hostile input.
+  */
+class ZipCodecSpec extends AnyFunSuite {
+
+  test("planted fixtures: names, methods, payloads, CRC all exact") {
+    for (id <- 0L until 24L) {
+      val es = ZipCodec.parseEntries(ZipFixtures.zipBytes(id))
+      assert(es.length == ZipFixtures.nEntries(id), s"id=$id")
+      for (e <- es) {
+        assert(e.name == ZipFixtures.name(e.idx))
+        assert(e.method == (if (ZipFixtures.stored(id, e.idx)) 0 else 8))
+        assert(e.crcOk, s"id=$id i=${e.idx}")
+        assert(new String(e.data.get, "UTF-8") ==
+          ZipFixtures.content(id, e.idx))
+      }
+    }
+  }
+
+  test("cross-check: archives written by java.util.zip parse identically") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val members = Seq("a.txt" -> "alpha body", "dir/b.json" -> """{"k":42}""",
+      "c.bin" -> ("x" * 5000)) // long enough that deflate actually shrinks
+    for ((n, body) <- members) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val es = ZipCodec.parseEntries(bos.toByteArray)
+    assert(es.map(_.name) == members.map(_._1))
+    assert(es.forall(_.crcOk))
+    assert(es.map(e => new String(e.data.get, "UTF-8")) == members.map(_._2))
+  }
+
+  test("truncated archive (central directory lost) falls back to local scan") {
+    val id = 6L // 3 members, id%3=0 -> no EOCD comment
+    val full = ZipFixtures.zipBytes(id)
+    // find the central directory start and chop there
+    var cd = full.length - 22
+    while (!(full(cd) == 'P' && full(cd + 1) == 'K' && full(cd + 2) == 5)) cd -= 1
+    val cdStart = {
+      var i = 0
+      while (!(full(i) == 'P' && full(i + 1) == 'K' && full(i + 2) == 1)) i += 1
+      i
+    }
+    val es = ZipCodec.parseEntries(java.util.Arrays.copyOf(full, cdStart))
+    assert(es.length == ZipFixtures.nEntries(id))
+    assert(es.forall(_.crcOk))
+    for (e <- es)
+      assert(new String(e.data.get, "UTF-8") == ZipFixtures.content(id, e.idx))
+  }
+
+  test("CRC mismatch is flagged, not dropped") {
+    val full = ZipFixtures.zipBytes(2L) // 3 members, first stored
+    // flip a payload byte of the first (stored) member: local header is
+    // 30 + name(6) bytes in, payload follows
+    val b = full.clone()
+    val payloadOff = 30 + ZipFixtures.name(0).length
+    b(payloadOff) = (b(payloadOff) ^ 0x01).toByte
+    val es = ZipCodec.parseEntries(b)
+    assert(es.nonEmpty && !es.head.crcOk)
+    assert(es.tail.forall(_.crcOk))
+  }
+
+  test("unsupported method is surfaced with no payload") {
+    val full = ZipFixtures.zipBytes(1L).clone()
+    // method field: central dir entry +10; find first PK\1\2
+    var cd = 0
+    while (!(full(cd) == 'P' && full(cd + 1) == 'K' && full(cd + 2) == 1)) cd += 1
+    full(cd + 10) = 12 // bzip2
+    val es = ZipCodec.parseEntries(full)
+    assert(es.head.data.isEmpty && !es.head.crcOk)
+  }
+
+  test("fuzz: mutated archives and junk never throw") {
+    val rnd = new scala.util.Random(31337)
+    for (_ <- 0 until 300) {
+      val b = ZipFixtures.zipBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      ZipCodec.parseEntries(b)
+      val junk = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(junk)
+      ZipCodec.parseEntries(junk)
+      // and random truncations of a valid archive
+      val full = ZipFixtures.zipBytes(rnd.nextInt(32).toLong)
+      ZipCodec.parseEntries(
+        java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
+    }
+  }
+}
