@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** DOCX text extraction — the office-document carrier of the corpus
+  * world (OOXML, ECMA-376): a ZIP container whose `word/document.xml`
+  * holds the text. Composes the [[ZipCodec]] walk with a streaming XML
+  * text pull — the whole chain stays one zero-shuffle partition pass,
+  * like WARC→HTML→text ([[WarcCodec]]) and PDF→pages ([[PdfCodec]]).
+  *
+  * Extraction semantics (deterministic, oracle-replayable):
+  *   - text = the character content of `<w:t>` runs, in document order,
+  *     XML entities (`&amp; &lt; &gt; &quot; &apos;`, numeric dec/hex)
+  *     decoded;
+  *   - every closed paragraph (`</w:p>`) emits one row; runs inside a
+  *     paragraph concatenate (the run split is formatting, not text);
+  *   - `<w:tab/>` inside a run contributes a tab, `<w:br/>` a newline
+  *     (the in-paragraph whitespace elements);
+  *   - other markup (properties, proofing, tables wrapping paragraphs)
+  *     contributes nothing.
+  *
+  * The XML pull is a byte-level scanner, not a DOM: no allocation
+  * proportional to nesting, bounded by the (already [[ZipCodec]]-
+  * bounded) member size — crawled DOCX are routinely damaged, and a
+  * scanner degrades to the recoverable prefix the way the other codec
+  * walks do.
+  */
+object DocxCodec {
+
+  /** Paragraph texts of one DOCX blob; Nil when it is not a DOCX-shaped
+    * archive (no `word/document.xml`).
+    */
+  def extractParagraphs(b: Array[Byte]): Seq[String] = try {
+    ZipCodec.parseEntries(b)
+      .find(e => e.name == "word/document.xml" && e.data.isDefined)
+      .map(e => paragraphs(new String(e.data.get,
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .getOrElse(Nil)
+  } catch { case _: RuntimeException => Nil }
+
+  /** Streaming `<w:t>`-run pull with paragraph segmentation. */
+  def paragraphs(xml: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inPara = false
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) i = n
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          i = gt + 1
+          if (tagNameIs(tag, "w:p")) {
+            if (tag.endsWith("/")) out += "" // <w:p/>: an empty paragraph
+            else { inPara = true; cur.setLength(0) }
+          } else if (tag == "/w:p") {
+            if (inPara) out += cur.toString
+            inPara = false
+          } else if ((tag == "w:tab" || tag == "w:tab/") && inPara) {
+            // a bare w:tab is run content; attributed ones are the
+            // w:pPr/w:tabs PROPERTY entries and contribute nothing
+            cur.append('\t')
+          } else if (tagNameIs(tag, "w:br") && inPara) {
+            cur.append('\n')
+          } else if (tagNameIs(tag, "w:t") && !tag.endsWith("/")) {
+            val close = xml.indexOf("</w:t>", gt + 1)
+            if (close < 0) i = n
+            else {
+              if (inPara) cur.append(decodeEntities(xml.substring(gt + 1, close)))
+              i = close + 6
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def tagNameIs(tag: String, name: String): Boolean = {
+    if (!tag.startsWith(name)) return false
+    if (tag.length == name.length) return true
+    val c = tag.charAt(name.length)
+    c == ' ' || c == '/' || c == '\t' || c == '\n' || c == '\r'
+  }
+
+  /** The five predefined XML entities plus numeric (dec and hex)
+    * character references; unknown references pass through verbatim.
+    */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0 || semi - i > 12) { sb.append(c); i += 1 }
+        else {
+          val body = s.substring(i + 1, semi)
+          val rep: String = body match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case _ if body.startsWith("#x") || body.startsWith("#X") =>
+              try new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+              catch { case _: RuntimeException => null }
+            case _ if body.startsWith("#") =>
+              try new String(Character.toChars(body.drop(1).toInt))
+              catch { case _: RuntimeException => null }
+            case _ => null
+          }
+          if (rep == null) { sb.append(c); i += 1 }
+          else { sb.append(rep); i = semi + 1 }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per paragraph: (doc_id, para_idx, text, n_chars).
+    * Zero-shuffle partition walk over the zip→xml→text chain.
+    */
+  def extractText(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        extractParagraphs(bytes).zipWithIndex.map { case (t, p) =>
+          (id, p.toLong, t, t.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "para_idx", "text", "n_chars")
+  }
+}
+
+/** Planted DOCX fixtures: a real ZIP ([Content_Types].xml +
+  * word/document.xml) whose document part carries `id mod 3 + 1`
+  * paragraphs; paragraph p splits its text across `p mod 2 + 1` runs
+  * and extracts exactly `"docx doc <id> para <p> body & more"` (the
+  * ampersand shipped as `&amp;` — entity decode on the hot path).
+  * Stored vs deflated members rotate with the [[ZipFixtures]]
+  * convention via the shared writer.
+  */
+object DocxFixtures {
+
+  def nParas(id: Long): Int = (id % 3 + 1).toInt
+
+  def paraText(id: Long, p: Int): String = s"docx doc $id para $p body & more"
+
+  private def documentXml(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sb.append("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""")
+    for (p <- 0 until nParas(id)) {
+      sb.append("""<w:p><w:pPr><w:jc w:val="left"/></w:pPr>""")
+      val text = s"docx doc $id para $p body &amp; more"
+      if (p % 2 == 0) {
+        sb.append(s"""<w:r><w:rPr><w:b/></w:rPr><w:t xml:space="preserve">$text</w:t></w:r>""")
+      } else {
+        // split across two runs at the word "para"
+        val cut = text.indexOf("para")
+        sb.append(s"""<w:r><w:t xml:space="preserve">${text.substring(0, cut)}</w:t></w:r>""")
+        sb.append(s"""<w:r><w:t xml:space="preserve">${text.substring(cut)}</w:t></w:r>""")
+      }
+      sb.append("</w:p>")
+    }
+    sb.append("""<w:sectPr/></w:body></w:document>""")
+    sb.toString
+  }
+
+  /** A real two-member ZIP via java.util.zip (independent of
+    * [[ZipFixtures]]' hand-rolled writer).
+    */
+  def docxBytes(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("[Content_Types].xml"))
+    zos.write(("""<?xml version="1.0"?><Types """ +
+      """xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      .getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zos.write(documentXml(id).getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+}

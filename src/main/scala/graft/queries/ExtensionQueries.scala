@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, Similarity, TarCodec, TarFixtures, TextAnalytics, WarcCodec, WarcFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{Curation, Dedup, DocxCodec, DocxFixtures, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, Similarity, TarCodec, TarFixtures, TextAnalytics, WarcCodec, WarcFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -3784,6 +3784,30 @@ object ExtensionQueries {
              |    CAST(length(t) AS BIGINT) AS n_bytes,
              |    TRUE AS checksum_ok, t AS text FROM v)
              |SELECT * FROM dirs UNION ALL SELECT * FROM files""".stripMargin),
+    ),
+
+    // DOCX text extraction: the zip walk composed with a streaming
+    // OOXML <w:t> pull — run concatenation, entity decode, paragraph
+    // segmentation — one fused partition pass. The oracle replays the
+    // planted per-paragraph strings (runs split on odd paragraphs, the
+    // ampersand shipped as &amp;).
+    QueryDef(
+      "docx_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        DocxCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, DocxFixtures.docxBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
+             |p AS (SELECT d.doc_id, pp.p FROM d, range(0, 3) AS pp(p)
+             |    WHERE pp.p < d.np),
+             |v AS (SELECT doc_id, p,
+             |    'docx doc ' || doc_id || ' para ' || p || ' body & more'
+             |      AS text FROM p)
+             |SELECT doc_id, CAST(p AS BIGINT) AS para_idx, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM v""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DOCX chain held to the planted fixtures and the documented
+  * extraction semantics: run concatenation, tabs/breaks, entity
+  * decode, empty paragraphs, property-tab exclusion, hostile input.
+  */
+class DocxCodecSpec extends AnyFunSuite {
+
+  test("planted fixtures: paragraph count and text exact") {
+    for (id <- 0L until 24L) {
+      val paras = DocxCodec.extractParagraphs(DocxFixtures.docxBytes(id))
+      assert(paras.length == DocxFixtures.nParas(id), s"id=$id")
+      for ((t, p) <- paras.zipWithIndex)
+        assert(t == DocxFixtures.paraText(id, p), s"id=$id p=$p")
+    }
+  }
+
+  test("runs concatenate; tabs and breaks are run content") {
+    val xml = """<w:document><w:body>
+      |<w:p><w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t></w:r>
+      |<w:r><w:br/><w:t>c</w:t></w:r></w:p>
+      |</w:body></w:document>""".stripMargin
+    assert(DocxCodec.paragraphs(xml) == Seq("a\tb\nc"))
+  }
+
+  test("property-list w:tab entries (attributed) contribute nothing") {
+    val xml = """<w:p><w:pPr><w:tabs><w:tab w:val="left" w:pos="708"/>
+      |</w:tabs></w:pPr><w:r><w:t>x</w:t></w:r></w:p>""".stripMargin
+    assert(DocxCodec.paragraphs(xml) == Seq("x"))
+  }
+
+  test("empty and self-closing paragraphs emit empty rows") {
+    val xml = "<w:p/><w:p><w:r><w:t>y</w:t></w:r></w:p><w:p></w:p>"
+    assert(DocxCodec.paragraphs(xml) == Seq("", "y", ""))
+  }
+
+  test("entities: named, decimal, hex, unknown passthrough") {
+    assert(DocxCodec.decodeEntities("a&amp;b&lt;c&gt;d&quot;e&apos;f") ==
+      "a&b<c>d\"e'f")
+    assert(DocxCodec.decodeEntities("x&#65;y&#x42;z") == "xAyBz")
+    assert(DocxCodec.decodeEntities("n&bogus;m&#xZZ;k") == "n&bogus;m&#xZZ;k")
+    // supplementary plane
+    assert(DocxCodec.decodeEntities("&#x1F600;") ==
+      new String(Character.toChars(0x1F600)))
+  }
+
+  test("text outside any paragraph is not emitted") {
+    val xml = "<w:r><w:t>stray</w:t></w:r><w:p><w:r><w:t>kept</w:t></w:r></w:p>"
+    assert(DocxCodec.paragraphs(xml) == Seq("kept"))
+  }
+
+  test("non-docx zips and junk yield no rows, never throw") {
+    assert(DocxCodec.extractParagraphs(ZipFixtures.zipBytes(5L)).isEmpty)
+    assert(DocxCodec.extractParagraphs("not a zip".getBytes("UTF-8")).isEmpty)
+    val rnd = new scala.util.Random(5150)
+    for (_ <- 0 until 200) {
+      val b = DocxFixtures.docxBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      DocxCodec.extractParagraphs(b)
+      val full = DocxFixtures.docxBytes(rnd.nextInt(32).toLong)
+      DocxCodec.extractParagraphs(
+        java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
+    }
+  }
+}
