@@ -31,9 +31,12 @@ object DocxCodec {
     * archive (no `word/document.xml`).
     */
   def extractParagraphs(b: Array[Byte]): Seq[String] = try {
-    ZipCodec.parseEntries(b)
-      .find(e => e.name == "word/document.xml" && e.data.isDefined)
-      .map(e => paragraphs(new String(e.data.get,
+    // name-filtered extraction: a crawled DOCX is dominated by
+    // word/media/* images — inflating them for zero output would be
+    // the bulk of the chain's CPU at corpus scale
+    ZipCodec.entryByName(b, "word/document.xml")
+      .flatMap(_.data)
+      .map(d => paragraphs(new String(d,
         java.nio.charset.StandardCharsets.UTF_8)))
       .getOrElse(Nil)
   } catch { case _: RuntimeException => Nil }

@@ -28,6 +28,10 @@ object GifCodec {
 
   private val MaxCanvas = 1L << 26
   private val MaxFrames = 1024
+  // decodeFrames retains one canvas clone per frame; the per-frame caps
+  // alone let a tiny hostile GIF (big screen x many frames) run the
+  // retained product to hundreds of GiB — bound the RETAINED total too
+  private val MaxRetained = 1L << 28 // 256 MiB across all returned frames
 
   final case class GifFrame(
       idx: Int,
@@ -40,13 +44,33 @@ object GifCodec {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
 
-  /** All frames, composed. Nil on anything that is not a plausible GIF. */
-  def decodeFrames(b: Array[Byte]): Seq[GifFrame] = try {
+  /** All frames, composed — each with its own canvas copy, the total
+    * retention bounded by `MaxRetained` (frames past the budget are
+    * dropped). Nil on anything that is not a plausible GIF.
+    */
+  def decodeFrames(b: Array[Byte]): Seq[GifFrame] = {
+    val out = scala.collection.mutable.ArrayBuffer[GifFrame]()
+    var retained = 0L
+    walkFrames(b) { f =>
+      if (retained + f.rgb.length <= MaxRetained) {
+        retained += f.rgb.length
+        out += f.copy(rgb = f.rgb.clone())
+      }
+    }
+    out.toSeq
+  }
+
+  /** Visitor over composed frames. The `rgb` array handed to `onFrame`
+    * is the LIVE canvas — read it during the callback, do not retain it
+    * (that is what keeps [[frameStats]] at one canvas allocation per
+    * blob regardless of frame count).
+    */
+  private def walkFrames(b: Array[Byte])(onFrame: GifFrame => Unit): Unit = try {
     if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
-      !(b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return Nil
+      !(b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return
     val w = le16(b, 6)
     val h = le16(b, 8)
-    if (w <= 0 || h <= 0 || w.toLong * h > MaxCanvas) return Nil
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxCanvas) return
     val packed = u8(b, 10)
     val bgIndex = u8(b, 11)
     val gctFlag = (packed & 0x80) != 0
@@ -58,16 +82,16 @@ object GifCodec {
     val canvas = new Array[Byte](w * h * 3)
     // background fill: GCT background color when present, else black
     if (gctFlag && bgIndex < gctSize) fillRect(canvas, w, 0, 0, w, h, b, gct + bgIndex * 3)
-    val frames = scala.collection.mutable.ArrayBuffer[GifFrame]()
+    var frameCount = 0
     // pending GCE state, consumed by the next image descriptor
     var delayCs = 0
     var disposal = 0
     var transIdx = -1
 
-    while (pos < b.length && u8(b, pos) != 0x3b && frames.length < MaxFrames) {
+    while (pos < b.length && u8(b, pos) != 0x3b && frameCount < MaxFrames) {
       u8(b, pos) match {
         case 0x21 => // extension
-          if (pos + 1 >= b.length) return frames.toSeq
+          if (pos + 1 >= b.length) return
           val label = u8(b, pos + 1)
           pos += 2
           if (label == 0xf9 && pos < b.length && u8(b, pos) >= 4 &&
@@ -82,7 +106,7 @@ object GifCodec {
           pos += 1
 
         case 0x2c => // image descriptor
-          if (pos + 10 > b.length) return frames.toSeq
+          if (pos + 10 > b.length) return
           val left = le16(b, pos + 1)
           val top = le16(b, pos + 3)
           val fw = le16(b, pos + 5)
@@ -90,28 +114,28 @@ object GifCodec {
           val fPacked = u8(b, pos + 9)
           pos += 10
           if (fw <= 0 || fh <= 0 || left + fw > w || top + fh > h)
-            return frames.toSeq
+            return
           val interlaced = (fPacked & 0x40) != 0
           val lctFlag = (fPacked & 0x80) != 0
           val lctSize = 1 << ((fPacked & 0x07) + 1)
           val table = if (lctFlag) pos else gct
           val tableSize = if (lctFlag) lctSize else gctSize
-          if (!lctFlag && !gctFlag) return frames.toSeq
+          if (!lctFlag && !gctFlag) return
           if (lctFlag) pos += 3 * lctSize
-          if (pos >= b.length) return frames.toSeq
+          if (pos >= b.length) return
           val minCode = u8(b, pos)
           pos += 1
-          if (minCode < 2 || minCode > 11) return frames.toSeq
+          if (minCode < 2 || minCode > 11) return
           val data = new java.io.ByteArrayOutputStream()
           while (pos < b.length && u8(b, pos) != 0) {
             val n = u8(b, pos)
-            if (pos + 1 + n > b.length) return frames.toSeq
+            if (pos + 1 + n > b.length) return
             data.write(b, pos + 1, n)
             pos += 1 + n
           }
           pos += 1 // block terminator
-          val indices = lzw(data.toByteArray, minCode, fw * fh)
-            .getOrElse(return frames.toSeq)
+          val indices = PixelCodec.lzwDecode(data.toByteArray, minCode, fw * fh)
+            .getOrElse(return)
           // disposal 3 needs the pre-frame canvas
           val before =
             if (disposal == 3) canvas.clone() else null
@@ -133,7 +157,7 @@ object GifCodec {
             while (x < fw) {
               val idx = indices(srcRow * fw + x) & 0xff
               if (idx != transIdx) {
-                if (idx >= tableSize) return frames.toSeq
+                if (idx >= tableSize) return
                 val t = table + idx * 3
                 val d = ((top + y) * w + (left + x)) * 3
                 canvas(d) = b(t); canvas(d + 1) = b(t + 1); canvas(d + 2) = b(t + 2)
@@ -142,7 +166,8 @@ object GifCodec {
             }
             srcRow += 1
           }
-          frames += GifFrame(frames.length, delayCs, w, h, canvas.clone())
+          onFrame(GifFrame(frameCount, delayCs, w, h, canvas))
+          frameCount += 1
           // apply disposal for the NEXT frame
           disposal match {
             case 2 =>
@@ -154,11 +179,10 @@ object GifCodec {
           }
           delayCs = 0; disposal = 0; transIdx = -1
 
-        case _ => return frames.toSeq // junk
+        case _ => return // junk
       }
     }
-    frames.toSeq
-  } catch { case _: RuntimeException => Nil }
+  } catch { case _: RuntimeException => () }
 
   private def fillRect(canvas: Array[Byte], w: Int, left: Int, top: Int,
       fw: Int, fh: Int, src: Array[Byte], srcOff: Int): Unit = {
@@ -175,78 +199,6 @@ object GifCodec {
     }
   }
 
-  /** GIF-flavor LZW (LSB-first variable-width, clear/EOI, KwKwK). */
-  private def lzw(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
-    val clear = 1 << minCode
-    val eoi = clear + 1
-    val maxDict = 4096
-    val prefix = new Array[Int](maxDict)
-    val suffix = new Array[Byte](maxDict)
-    val stack = new Array[Byte](maxDict + 1)
-    val out = new Array[Byte](nPixels)
-    var produced = 0
-    var next = eoi + 1
-    var width = minCode + 1
-    var prev = -1
-    var bitPos = 0
-    val totalBits = data.length.toLong * 8
-    while (produced < nPixels) {
-      if (bitPos + width > totalBits) return None
-      var code = 0
-      var i = 0
-      while (i < width) {
-        val bp = bitPos + i
-        if ((data(bp >> 3) & (1 << (bp & 7))) != 0) code |= 1 << i
-        i += 1
-      }
-      bitPos += width
-      if (code == clear) {
-        next = eoi + 1; width = minCode + 1; prev = -1
-      } else if (code == eoi) {
-        return if (produced == nPixels) Some(out) else None
-      } else {
-        if (code > next || (code == next && prev < 0)) return None
-        var sp = 0
-        var cur = code
-        if (code == next) { // KwKwK
-          stack(sp) = firstByte(prefix, suffix, prev, clear); sp += 1
-          cur = prev
-        }
-        while (cur >= clear + 2) {
-          stack(sp) = suffix(cur); sp += 1
-          cur = prefix(cur)
-        }
-        stack(sp) = cur.toByte; sp += 1
-        while (sp > 0 && produced < nPixels) {
-          sp -= 1
-          out(produced) = stack(sp)
-          produced += 1
-        }
-        if (sp > 0) return None // frame overrun
-        if (prev >= 0 && next < maxDict) {
-          prefix(next) = prev
-          suffix(next) = firstByteOf(prefix, suffix, code, clear, next)
-          next += 1
-          if (next == (1 << width) && width < 12) width += 1
-        }
-        prev = code
-      }
-    }
-    Some(out)
-  }
-
-  private def firstByte(prefix: Array[Int], suffix: Array[Byte], code: Int,
-      clear: Int): Byte = {
-    var c = code
-    while (c >= clear + 2) c = prefix(c)
-    c.toByte
-  }
-
-  private def firstByteOf(prefix: Array[Int], suffix: Array[Byte], code: Int,
-      clear: Int, next: Int): Byte =
-    if (code == next) firstByte(prefix, suffix, prefix(next), clear)
-    else firstByte(prefix, suffix, code, clear)
-
   // ----------------------------------------------------- Spark surface
 
   /** One row per composed frame: (doc_id, frame_idx, delay_cs, width,
@@ -257,7 +209,11 @@ object GifCodec {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        decodeFrames(bytes).map { f =>
+        // fold stats inside the visitor: one live canvas per blob, no
+        // per-frame clones retained whatever the frame count
+        val rows = scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]()
+        walkFrames(bytes) { f =>
           var sr = 0L; var ssr = 0L; var sg = 0L; var ssg = 0L
           var sb = 0L; var ssb = 0L
           var i = 0
@@ -269,9 +225,10 @@ object GifCodec {
             sb += bl; ssb += bl.toLong * bl
             i += 3
           }
-          (id, f.idx.toLong, f.delayCs.toLong, f.width.toLong,
-            f.height.toLong, sr, ssr, sg, ssg, sb, ssb)
+          rows += ((id, f.idx.toLong, f.delayCs.toLong, f.width.toLong,
+            f.height.toLong, sr, ssr, sg, ssg, sb, ssb))
         }
+        rows
       }
     }.toDF("doc_id", "frame_idx", "delay_cs", "width", "height",
       "sum_r", "sumsq_r", "sum_g", "sumsq_g", "sum_b", "sumsq_b")

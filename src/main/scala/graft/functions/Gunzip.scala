@@ -1,0 +1,35 @@
+package graft.functions
+
+/** Shared bounded multi-member gunzip for the gzip TRANSPORTS
+  * ([[WarcCodec]] per-record members, [[TarCodec]] `.tar.gz`): one
+  * implementation of the bomb guard and the truncation contract so the
+  * two walks cannot drift.
+  *
+  * Returns None when the decompressed size exceeds `cap` (a bomb is
+  * rejected outright — a capped PREFIX would end mid-member and walk as
+  * garbage); on a mid-stream cut it keeps what the COMPLETE leading
+  * members inflated (a range-sliced crawl file's final member is
+  * routinely cut — the container walk then ends at the last whole
+  * record, the same contract the plain-bytes path keeps).
+  */
+private[functions] object Gunzip {
+  def all(b: Array[Byte], cap: Long): Option[Array[Byte]] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      try {
+        var n = in.read(buf)
+        while (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size() > cap) return None // bomb guard
+          n = in.read(buf)
+        }
+      } catch {
+        case _: java.io.IOException => () // truncation: keep the prefix
+      }
+      Some(out.toByteArray)
+    } finally in.close()
+  }
+}

@@ -42,13 +42,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * Scale: [[extractText]] is mapPartitions over (doc_id, bytes) — pure
   * per-partition map work, zero shuffle, no driver involvement; at
   * 100 TB it scales with input splits exactly like the WARC walk
-  * ([[WarcCodec.extractText]]). Allocations are bounded per document
-  * (`MaxInflated` per stream, `MaxObjects` frames), so a hostile blob
-  * costs bounded memory, never an executor OOM.
+  * ([[WarcCodec.extractText]]). Allocations are bounded per document:
+  * `MaxInflated` per stream, `MaxObjects` frames, AND `MaxTotalInflated`
+  * across all retained streams (the per-stream cap alone would let a
+  * many-stream deflate bomb multiply), so a hostile blob costs bounded
+  * memory, never an executor OOM.
   */
 object PdfCodec {
 
   private val MaxInflated = 1 << 26 // 64 MiB decoded per stream
+  private val MaxTotalInflated = 1L << 28 // 256 MiB retained per document
   private val MaxObjects = 1 << 16
 
   final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
@@ -65,8 +68,18 @@ object PdfCodec {
     val m = ObjStart.matcher(s)
     val out = scala.collection.mutable.LinkedHashMap[Int, PdfObj]()
     var n = 0
+    // binary stream payloads can contain bytes that look like `N 0 obj`;
+    // frames starting inside a previous object's stream data are phantoms
+    // (and, under later-duplicate-wins, would shadow real objects) — skip
+    // any match that begins before the last consumed stream's end
+    var resume = 0
+    // running total of retained decoded stream bytes: the per-stream cap
+    // alone lets a many-stream deflate bomb OOM the executor
+    var totalInflated = 0L
     while (m.find() && n < MaxObjects) {
-      val num = try m.group(1).toInt catch { case _: NumberFormatException => -1 }
+      val num =
+        if (m.start() < resume) -1
+        else try m.group(1).toInt catch { case _: NumberFormatException => -1 }
       val bodyStart = m.end()
       val endObj = s.indexOf("endobj", bodyStart)
       val bodyEnd = if (endObj < 0) s.length else endObj
@@ -96,10 +109,13 @@ object PdfCodec {
           }
           val raw = java.util.Arrays.copyOfRange(b, dataStart, math.max(dataStart, dataEnd))
           val data =
-            if (dict.contains("/FlateDecode")) inflate(raw)
+            if (totalInflated >= MaxTotalInflated) None
+            else if (dict.contains("/FlateDecode")) inflate(raw)
             else if (dict.contains("/Filter")) None // unknown filter: skip
             else Some(raw)
+          totalInflated += data.map(_.length.toLong).getOrElse(0L)
           out(num) = PdfObj(num, dict, data)
+          resume = math.max(resume, dataEnd)
         } else {
           out(num) = PdfObj(num, s.substring(bodyStart, bodyEnd), None)
         }
@@ -110,7 +126,13 @@ object PdfCodec {
   }
 
   private def directLength(dict: String): Option[Int] = {
-    val i = dict.indexOf("/Length")
+    // `/Length1` (embedded-font key) string-contains `/Length`: accept a
+    // match only when the key is followed by a delimiter
+    var i = dict.indexOf("/Length")
+    while (i >= 0 && i + 7 < dict.length && {
+        val c = dict(i + 7)
+        !(c.isWhitespace || c == '/' || c == '>' || c == '(' || c == '[')
+      }) i = dict.indexOf("/Length", i + 7)
     if (i < 0) return None
     var j = i + 7
     while (j < dict.length && dict(j).isWhitespace) j += 1

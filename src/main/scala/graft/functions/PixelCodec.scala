@@ -384,7 +384,7 @@ object PixelCodec {
     * table growth to 12 bits, the KwKwK (code == next-free) case.
     * Returns exactly `nPixels` color indices or `None`.
     */
-  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
+  private[functions] def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
     val clear = 1 << minCode
     val eoi = clear + 1
     val maxDict = 4096

@@ -64,30 +64,8 @@ object WarcCodec {
         _: java.io.IOException => Nil
     }
 
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      try {
-        var n = in.read(buf)
-        while (n > 0) {
-          out.write(buf, 0, n)
-          if (out.size() > MaxInflatedBytes) return null // bomb guard
-          n = in.read(buf)
-        }
-      } catch {
-        // a range-sliced crawl file's final member is routinely cut
-        // mid-stream: keep what the COMPLETE leading members inflated
-        // (the record walk then ends at the last whole record — the
-        // same contract the plain-bytes path keeps), instead of
-        // discarding every valid record in the blob (r9 review #2)
-        case _: java.io.IOException => ()
-      }
-      out.toByteArray
-    } finally in.close()
-  }
+  private def gunzipAll(b: Array[Byte]): Array[Byte] =
+    Gunzip.all(b, MaxInflatedBytes).orNull
 
   private def lineEnd(b: Array[Byte], from: Int): Int = {
     var i = from

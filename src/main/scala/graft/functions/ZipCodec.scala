@@ -20,12 +20,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * members are a data-quality signal.
   *
   * Scale: [[entries]] is a zero-shuffle mapPartitions walk like the
-  * WARC/PDF paths; per-member allocation is bounded (`MaxMember`), so
-  * a zip bomb costs bounded memory per task.
+  * WARC/PDF paths; allocation is bounded per member (`MaxMember`) AND
+  * per archive (`MaxTotal` across members — entry counts and aliased
+  * local headers multiply otherwise), so a zip bomb costs bounded
+  * memory per task.
   */
 object ZipCodec {
 
   private val MaxMember = 1 << 26 // 64 MiB decompressed per member
+  // per-member caps alone still let a crafted archive (many entries, or
+  // central-directory entries all aliasing one local header) multiply a
+  // small deflate blob into terabytes of retained arrays — bound the
+  // TOTAL retained decompressed bytes per archive too
+  private val MaxTotal = 1L << 28 // 256 MiB per archive
   private val MaxEntries = 1 << 16
 
   final case class ZipEntry(
@@ -45,8 +52,19 @@ object ZipCodec {
     * forward local-header scan otherwise.
     */
   def parseEntries(b: Array[Byte]): Seq[ZipEntry] = try {
-    findEocd(b).map(viaCentralDirectory(b, _)).getOrElse(viaLocalScan(b))
+    findEocd(b).map(viaCentralDirectory(b, _, None))
+      .getOrElse(viaLocalScan(b, None))
   } catch { case _: RuntimeException => Nil }
+
+  /** Extract ONLY the named member — the container-chain fast path
+    * (e.g. [[DocxCodec]] wants `word/document.xml` and must not pay to
+    * inflate the media parts that dominate a typical archive).
+    */
+  def entryByName(b: Array[Byte], name: String): Option[ZipEntry] = try {
+    findEocd(b).map(viaCentralDirectory(b, _, Some(name)))
+      .getOrElse(viaLocalScan(b, Some(name)))
+      .find(e => e.name == name && e.data.isDefined)
+  } catch { case _: RuntimeException => None }
 
   /** Backward scan for PK\x05\x06 over the trailing comment span. */
   private def findEocd(b: Array[Byte]): Option[Int] = {
@@ -61,12 +79,14 @@ object ZipCodec {
     None
   }
 
-  private def viaCentralDirectory(b: Array[Byte], eocd: Int): Seq[ZipEntry] = {
+  private def viaCentralDirectory(b: Array[Byte], eocd: Int,
+      only: Option[String]): Seq[ZipEntry] = {
     val n = math.min(u16(b, eocd + 10), MaxEntries)
     var cd = u32(b, eocd + 16).toInt
     val out = scala.collection.mutable.ArrayBuffer[ZipEntry]()
+    var budget = MaxTotal
     var i = 0
-    while (i < n && cd + 46 <= b.length &&
+    while (i < n && cd >= 0 && cd + 46 <= b.length &&
       b(cd) == 'P' && b(cd + 1) == 'K' && b(cd + 2) == 1 && b(cd + 3) == 2) {
       val method = u16(b, cd + 10)
       val crc = u32(b, cd + 16)
@@ -79,7 +99,11 @@ object ZipCodec {
       if (cd + 46 + nameLen > b.length) return out.toSeq
       val name = new String(b, cd + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
-      out += extract(b, i, name, method, lho, csize, usize, crc)
+      if (only.forall(_ == name)) {
+        val e = extract(b, i, name, method, lho, csize, usize, crc, budget)
+        budget -= e.data.map(_.length.toLong).getOrElse(0L)
+        out += e
+      }
       cd += 46 + nameLen + extraLen + commentLen
       i += 1
     }
@@ -91,10 +115,12 @@ object ZipCodec {
     * with bit 3 set — are skipped: without the central directory their
     * extent is not delimited).
     */
-  private def viaLocalScan(b: Array[Byte]): Seq[ZipEntry] = {
+  private def viaLocalScan(b: Array[Byte], only: Option[String]): Seq[ZipEntry] = {
     val out = scala.collection.mutable.ArrayBuffer[ZipEntry]()
     var pos = 0
-    while (pos + 30 <= b.length && out.length < MaxEntries &&
+    var budget = MaxTotal
+    var idx = 0
+    while (pos + 30 <= b.length && idx < MaxEntries &&
       b(pos) == 'P' && b(pos + 1) == 'K' && b(pos + 2) == 3 && b(pos + 3) == 4) {
       val flags = u16(b, pos + 6)
       val method = u16(b, pos + 8)
@@ -107,8 +133,13 @@ object ZipCodec {
       if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
       val name = new String(b, pos + 30, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
-      out += extract(b, out.length, name, method, pos, csize, usize, crc)
+      if (only.forall(_ == name)) {
+        val e = extract(b, idx, name, method, pos, csize, usize, crc, budget)
+        budget -= e.data.map(_.length.toLong).getOrElse(0L)
+        out += e
+      }
       pos += 30 + nameLen + extraLen + csize.toInt
+      idx += 1
     }
     out.toSeq
   }
@@ -117,16 +148,18 @@ object ZipCodec {
     * there can differ from the central directory's).
     */
   private def extract(b: Array[Byte], idx: Int, name: String, method: Int,
-      lho: Int, csize: Long, usize: Long, crc: Long): ZipEntry = {
-    if (lho + 30 > b.length || b(lho) != 'P' || b(lho + 1) != 'K' ||
+      lho: Int, csize: Long, usize: Long, crc: Long,
+      budget: Long): ZipEntry = {
+    val cap = math.min(MaxMember.toLong, budget)
+    if (lho < 0 || lho + 30 > b.length || b(lho) != 'P' || b(lho + 1) != 'K' ||
       b(lho + 2) != 3 || b(lho + 3) != 4)
       return ZipEntry(idx, name, method, None, crcOk = false)
     val dataOff = lho + 30 + u16(b, lho + 26) + u16(b, lho + 28)
-    if (csize < 0 || usize > MaxMember || dataOff + csize > b.length)
+    if (csize < 0 || usize > cap || dataOff + csize > b.length)
       return ZipEntry(idx, name, method, None, crcOk = false)
     val comp = java.util.Arrays.copyOfRange(b, dataOff, dataOff + csize.toInt)
     val data: Option[Array[Byte]] = method match {
-      case 0 => Some(comp)
+      case 0 => if (comp.length <= cap) Some(comp) else None
       case 8 =>
         val inf = new java.util.zip.Inflater(true) // raw deflate
         try {
@@ -140,7 +173,7 @@ object ZipCodec {
             if (k == 0 && (inf.needsInput() || inf.needsDictionary())) ok = false
             else {
               out.write(buf, 0, k)
-              if (out.size() > MaxMember) ok = false
+              if (out.size() > cap) ok = false
             }
           }
           if (ok) Some(out.toByteArray) else None

@@ -137,6 +137,35 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.extractPages("%PDX-bad".getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("/Length1 before /Length does not misparse the stream extent") {
+    val content = "BT (font dict) Tj ET"
+    val doc = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length1 9999 /Length ${content.length} >>\n" +
+        s"stream\n$content\nendstream\nendobj\n")
+    assert(PdfCodec.extractPages(doc) == Seq((0, "font dict")))
+  }
+
+  test("obj-looking bytes inside a stream payload do not shadow real objects") {
+    // a stream payload containing the ASCII frame `1 0 obj ... endobj`
+    // must not overwrite the real catalog under later-duplicate-wins;
+    // content objects are laid out in REVERSE page order so the
+    // BT-fallback (which a shadowed catalog would degrade to) yields
+    // the wrong sequence and the catalog path the right one
+    val payload = "1 0 obj << /Garbage true >> endobj"
+    val doc = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        "5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n" +
+        s"7 0 obj << /Length ${payload.length} >>\nstream\n$payload\nendstream\nendobj\n" +
+        "6 0 obj << /Length 17 >>\nstream\nBT (second) Tj ET\nendstream\nendobj\n" +
+        "4 0 obj << /Length 16 >>\nstream\nBT (first) Tj ET\nendstream\nendobj\n")
+    assert(PdfCodec.extractPages(doc).map(_._2) == Seq("first", "second"))
+  }
+
   test("fuzz: mutated and random fixture bytes never throw") {
     val rnd = new scala.util.Random(4242)
     for (trial <- 0 until 300) {

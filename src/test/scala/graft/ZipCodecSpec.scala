@@ -79,6 +79,25 @@ class ZipCodecSpec extends AnyFunSuite {
     assert(es.head.data.isEmpty && !es.head.crcOk)
   }
 
+  test("entryByName extracts only the named member on both walk paths") {
+    val full = ZipFixtures.zipBytes(7L) // 4 members
+    val e = ZipCodec.entryByName(full, "f2.txt")
+    assert(e.isDefined && e.get.crcOk)
+    assert(new String(e.get.data.get, "UTF-8") == ZipFixtures.content(7L, 2))
+    assert(ZipCodec.entryByName(full, "absent.txt").isEmpty)
+    // truncated archive: the local-scan path honors the filter too
+    val id = 6L
+    val cdStart = {
+      val b = ZipFixtures.zipBytes(id)
+      var i = 0
+      while (!(b(i) == 'P' && b(i + 1) == 'K' && b(i + 2) == 1)) i += 1
+      java.util.Arrays.copyOf(b, i)
+    }
+    val t = ZipCodec.entryByName(cdStart, "f1.txt")
+    assert(t.isDefined &&
+      new String(t.get.data.get, "UTF-8") == ZipFixtures.content(id, 1))
+  }
+
   test("fuzz: mutated archives and junk never throw") {
     val rnd = new scala.util.Random(31337)
     for (_ <- 0 until 300) {
