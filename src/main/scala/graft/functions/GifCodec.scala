@@ -52,10 +52,11 @@ object GifCodec {
     val out = scala.collection.mutable.ArrayBuffer[GifFrame]()
     var retained = 0L
     walkFrames(b) { f =>
-      if (retained + f.rgb.length <= MaxRetained) {
-        retained += f.rgb.length
-        out += f.copy(rgb = f.rgb.clone())
-      }
+      retained += f.rgb.length
+      if (retained <= MaxRetained) out += f.copy(rgb = f.rgb.clone())
+      // abort the walk once over budget: decoding + compositing frames
+      // that would only be dropped is wasted CPU per hostile blob
+      retained <= MaxRetained
     }
     out.toSeq
   }
@@ -63,9 +64,9 @@ object GifCodec {
   /** Visitor over composed frames. The `rgb` array handed to `onFrame`
     * is the LIVE canvas — read it during the callback, do not retain it
     * (that is what keeps [[frameStats]] at one canvas allocation per
-    * blob regardless of frame count).
+    * blob regardless of frame count). Return false to abort the walk.
     */
-  private def walkFrames(b: Array[Byte])(onFrame: GifFrame => Unit): Unit = try {
+  private def walkFrames(b: Array[Byte])(onFrame: GifFrame => Boolean): Unit = try {
     if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
       !(b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return
     val w = le16(b, 6)
@@ -166,7 +167,7 @@ object GifCodec {
             }
             srcRow += 1
           }
-          onFrame(GifFrame(frameCount, delayCs, w, h, canvas))
+          if (!onFrame(GifFrame(frameCount, delayCs, w, h, canvas))) return
           frameCount += 1
           // apply disposal for the NEXT frame
           disposal match {
@@ -227,6 +228,7 @@ object GifCodec {
           }
           rows += ((id, f.idx.toLong, f.delayCs.toLong, f.width.toLong,
             f.height.toLong, sr, ssr, sg, ssg, sb, ssb))
+          true
         }
         rows
       }

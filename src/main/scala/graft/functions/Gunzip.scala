@@ -5,15 +5,32 @@ package graft.functions
   * implementation of the bomb guard and the truncation contract so the
   * two walks cannot drift.
   *
-  * Returns None when the decompressed size exceeds `cap` (a bomb is
-  * rejected outright — a capped PREFIX would end mid-member and walk as
-  * garbage); on a mid-stream cut it keeps what the COMPLETE leading
-  * members inflated (a range-sliced crawl file's final member is
-  * routinely cut — the container walk then ends at the last whole
-  * record, the same contract the plain-bytes path keeps).
+  * [[all]] returns None when the decompressed size exceeds `cap` — the
+  * WARC contract: its record walk needs the record FRAMING intact, so a
+  * capped prefix ending mid-member would walk as garbage and a bomb is
+  * rejected outright. [[allPrefix]] keeps the capped prefix — the TAR
+  * contract: its walk stops cleanly at a cut member, so a legitimate
+  * archive larger than the cap still yields its complete leading
+  * members instead of nothing.
+  *
+  * Both keep what the COMPLETE leading members inflated on a mid-stream
+  * cut (a range-sliced crawl file's final member is routinely cut — the
+  * container walk then ends at the last whole record, the same contract
+  * the plain-bytes path keeps).
   */
 private[functions] object Gunzip {
   def all(b: Array[Byte], cap: Long): Option[Array[Byte]] = {
+    val out = drain(b, cap)
+    if (out.size() > cap) None else Some(out.toByteArray)
+  }
+
+  def allPrefix(b: Array[Byte], cap: Long): Array[Byte] = {
+    val out = drain(b, cap)
+    if (out.size() > cap) java.util.Arrays.copyOf(out.toByteArray, cap.toInt)
+    else out.toByteArray
+  }
+
+  private def drain(b: Array[Byte], cap: Long): java.io.ByteArrayOutputStream = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(b))
     try {
@@ -21,15 +38,14 @@ private[functions] object Gunzip {
       val buf = new Array[Byte](8192)
       try {
         var n = in.read(buf)
-        while (n > 0) {
+        while (n > 0 && out.size() <= cap) {
           out.write(buf, 0, n)
-          if (out.size() > cap) return None // bomb guard
           n = in.read(buf)
         }
       } catch {
         case _: java.io.IOException => () // truncation: keep the prefix
       }
-      Some(out.toByteArray)
+      out
     } finally in.close()
   }
 }

@@ -93,19 +93,24 @@ object PdfCodec {
           if (dataStart < b.length && b(dataStart) == '\r') dataStart += 1
           if (dataStart < b.length && b(dataStart) == '\n') dataStart += 1
           val declared = directLength(dict)
-          val dataEnd = declared match {
-            case Some(len) if len >= 0 && dataStart + len <= b.length =>
-              dataStart + len
-            case _ =>
-              val e = s.indexOf("endstream", dataStart)
-              if (e < 0) b.length
-              else {
-                // back over the EOL that precedes `endstream`
-                var t = e
-                if (t > dataStart && b(t - 1) == '\n') t -= 1
-                if (t > dataStart && b(t - 1) == '\r') t -= 1
-                t
-              }
+          // trust the declared /Length only when `endstream` actually
+          // follows it (crawled PDFs ship broken lengths routinely; an
+          // overshooting length would swallow — and an undershooting one
+          // expose — real object frames to the phantom guard below)
+          val viaDeclared = declared.collect {
+            case len if len >= 0 && dataStart + len <= b.length &&
+              endstreamAt(s, dataStart + len) => dataStart + len
+          }
+          val dataEnd = viaDeclared.getOrElse {
+            val e = s.indexOf("endstream", dataStart)
+            if (e < 0) b.length
+            else {
+              // back over the EOL that precedes `endstream`
+              var t = e
+              if (t > dataStart && b(t - 1) == '\n') t -= 1
+              if (t > dataStart && b(t - 1) == '\r') t -= 1
+              t
+            }
           }
           val raw = java.util.Arrays.copyOfRange(b, dataStart, math.max(dataStart, dataEnd))
           val data =
@@ -123,6 +128,14 @@ object PdfCodec {
       n += 1
     }
     out.toMap
+  }
+
+  /** `endstream` at `from`, allowing the spec's optional preceding EOL. */
+  private def endstreamAt(s: String, from: Int): Boolean = {
+    var i = from
+    if (i < s.length && s.charAt(i) == '\r') i += 1
+    if (i < s.length && s.charAt(i) == '\n') i += 1
+    s.regionMatches(i, "endstream", 0, 9)
   }
 
   private def directLength(dict: String): Option[Int] = {

@@ -395,8 +395,10 @@ object PixelCodec {
     var next = eoi + 1
     var width = minCode + 1
     var prev = -1
-    var bitPos = 0
-    val totalBits = data.length * 8
+    // Long: Int bit offsets wrap negative past 256 MiB of LZW data —
+    // totalBits would reject every code and bit indexing would corrupt
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
     val stack = new Array[Byte](maxDict + 1)
     def entryLen(code: Int): Int = {
       var c = code; var n = 0
@@ -409,7 +411,7 @@ object PixelCodec {
       var i = 0
       while (i < width) {
         val bit = bitPos + i
-        if ((data(bit >> 3) >> (bit & 7) & 1) != 0) code |= 1 << i
+        if ((data((bit >> 3).toInt) >> (bit & 7).toInt & 1) != 0) code |= 1 << i
         i += 1
       }
       bitPos += width

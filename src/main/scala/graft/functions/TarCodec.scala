@@ -36,12 +36,14 @@ object TarCodec {
   )
 
   /** All members; gunzips first (shared bounded [[Gunzip]] transport
-    * helper) when the blob is gzip transport.
+    * helper) when the blob is gzip transport. The prefix-keeping
+    * variant: tar's walk stops cleanly at a cut member, so an archive
+    * unpacking past the cap still yields its complete leading members.
     */
   def parseEntries(b: Array[Byte]): Seq[TarEntry] = try {
     val raw =
       if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
-        Gunzip.all(b, MaxArchive).getOrElse(return Nil)
+        Gunzip.allPrefix(b, MaxArchive)
       else b
     walk(raw)
   } catch {
