@@ -42,7 +42,19 @@ object DocxCodec {
   } catch { case _: RuntimeException => Nil }
 
   /** Streaming `<w:t>`-run pull with paragraph segmentation. */
-  def paragraphs(xml: String): Seq[String] = {
+  def paragraphs(xml: String): Seq[String] = paragraphsNs(xml, "w")
+
+  /** The namespace-parametric scanner: WordprocessingML uses `w:`,
+    * DrawingML (PPTX slides, [[PptxCodec]]) uses `a:` — identical
+    * paragraph/run/text structure.
+    */
+  private[functions] def paragraphsNs(xml: String, ns: String): Seq[String] = {
+    val pTag = ns + ":p"
+    val tTag = ns + ":t"
+    val tabTag = ns + ":tab"
+    val brTag = ns + ":br"
+    val closeP = "/" + pTag
+    val closeT = s"</$tTag>"
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inPara = false
@@ -57,24 +69,24 @@ object DocxCodec {
         else {
           val tag = xml.substring(lt + 1, gt)
           i = gt + 1
-          if (tagNameIs(tag, "w:p")) {
+          if (tagNameIs(tag, pTag)) {
             if (tag.endsWith("/")) out += "" // <w:p/>: an empty paragraph
             else { inPara = true; cur.setLength(0) }
-          } else if (tag == "/w:p") {
+          } else if (tag == closeP) {
             if (inPara) out += cur.toString
             inPara = false
-          } else if ((tag == "w:tab" || tag == "w:tab/") && inPara) {
+          } else if ((tag == tabTag || tag == tabTag + "/") && inPara) {
             // a bare w:tab is run content; attributed ones are the
             // w:pPr/w:tabs PROPERTY entries and contribute nothing
             cur.append('\t')
-          } else if (tagNameIs(tag, "w:br") && inPara) {
+          } else if (tagNameIs(tag, brTag) && inPara) {
             cur.append('\n')
-          } else if (tagNameIs(tag, "w:t") && !tag.endsWith("/")) {
-            val close = xml.indexOf("</w:t>", gt + 1)
+          } else if (tagNameIs(tag, tTag) && !tag.endsWith("/")) {
+            val close = xml.indexOf(closeT, gt + 1)
             if (close < 0) i = n
             else {
               if (inPara) cur.append(decodeEntities(xml.substring(gt + 1, close)))
-              i = close + 6
+              i = close + closeT.length
             }
           }
         }

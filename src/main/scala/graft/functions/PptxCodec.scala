@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** PPTX text extraction — slide decks are a dense source of titled,
+  * structured text in enterprise crawl strata. OOXML again: a ZIP whose
+  * `ppt/slides/slideN.xml` parts carry DrawingML text; the same
+  * [[DocxCodec]] run/paragraph scanner applies with the `a:` namespace,
+  * and [[ZipCodec.entriesWhere]] inflates ONLY the slide parts (decks
+  * are dominated by images under `ppt/media`).
+  *
+  * Slide ORDER is the numeric suffix of the part name — `slide10.xml`
+  * follows `slide9.xml`, not `slide1.xml` (lexicographic order would
+  * interleave), matching the presentation.xml rel order for the
+  * default-named parts every real-world writer emits.
+  *
+  * One row per slide; a slide's paragraphs join with newlines. Zero-
+  * shuffle mapPartitions like every other codec walk.
+  */
+object PptxCodec {
+
+  private val SlideRe = """ppt/slides/slide(\d+)\.xml""".r
+
+  /** (slideNumber, paragraphs) per slide, numerically ordered. */
+  def extractSlides(b: Array[Byte]): Seq[(Int, Seq[String])] = try {
+    ZipCodec.entriesWhere(b, n => SlideRe.pattern.matcher(n).matches())
+      .flatMap { e =>
+        e.name match {
+          case SlideRe(num) => e.data.map { d =>
+            (num.toInt, DocxCodec.paragraphsNs(
+              new String(d, java.nio.charset.StandardCharsets.UTF_8), "a"))
+          }
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+  } catch { case _: RuntimeException => Nil }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per slide: (doc_id, slide_idx, text, n_chars, n_paras) —
+    * `slide_idx` is the 0-based position in numeric slide order.
+    */
+  def extractText(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        extractSlides(bytes).zipWithIndex.map { case ((_, paras), s) =>
+          val text = paras.mkString("\n")
+          (id, s.toLong, text, text.length.toLong, paras.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "slide_idx", "text", "n_chars", "n_paras")
+  }
+}
+
+/** Planted PPTX fixtures: a real ZIP with `id mod 3 + 1` slide parts
+  * (plus ignored `[Content_Types].xml` and a `ppt/media` decoy); slide
+  * s carries `(id + s) mod 2 + 1` paragraphs, paragraph p extracting
+  * exactly `"pptx doc <id> slide <s> para <p> body & more"` — runs
+  * split on odd paragraphs, ampersand as `&amp;`.
+  */
+object PptxFixtures {
+
+  def nSlides(id: Long): Int = (id % 3 + 1).toInt
+  def nParas(id: Long, s: Int): Int = ((id + s) % 2 + 1).toInt
+
+  def paraText(id: Long, s: Int, p: Int): String =
+    s"pptx doc $id slide $s para $p body & more"
+
+  private def slideXml(id: Long, s: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sb.append("""<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" """)
+    sb.append("""xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">""")
+    sb.append("""<p:cSld><p:spTree><p:sp><p:txBody><a:bodyPr/>""")
+    for (p <- 0 until nParas(id, s)) {
+      sb.append("<a:p><a:pPr/>")
+      val text = s"pptx doc $id slide $s para $p body &amp; more"
+      if (p % 2 == 0) sb.append(s"<a:r><a:rPr/><a:t>$text</a:t></a:r>")
+      else {
+        val cut = text.indexOf("para")
+        sb.append(s"<a:r><a:t>${text.substring(0, cut)}</a:t></a:r>")
+        sb.append(s"<a:r><a:t>${text.substring(cut)}</a:t></a:r>")
+      }
+      sb.append("</a:p>")
+    }
+    sb.append("""</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""")
+    sb.toString
+  }
+
+  def pptxBytes(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def member(name: String, body: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body)
+      zos.closeEntry()
+    }
+    member("[Content_Types].xml",
+      ("""<?xml version="1.0"?><Types """ +
+        """xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+        .getBytes("UTF-8"))
+    member("ppt/media/image1.bin", Array.fill(64)((id % 251).toByte))
+    for (s <- 0 until nSlides(id))
+      member(s"ppt/slides/slide${s + 1}.xml", slideXml(id, s).getBytes("UTF-8"))
+    zos.close()
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** RTF text extraction — the legacy office carrier still abundant in
+  * enterprise and governmental crawl strata (next to PDF/[[DocxCodec]]
+  * in the document front door).
+  *
+  * Extraction semantics (deterministic, oracle-replayable; RTF 1.9):
+  *   - `{`/`}` push/pop group state; destination groups contribute no
+  *     text: the `\*` optional-destination marker and the known
+  *     ignorable destinations (`fonttbl colortbl stylesheet info pict
+  *     themedata generator`) skip their whole group;
+  *   - `\par` and `\line` emit paragraph breaks; `\tab` a tab;
+  *     `\~`/`\_` the plain space/hyphen they stand for; the escaped
+  *     literals `\\ \{ \}` themselves;
+  *   - `\'hh` decodes a cp1252 byte (presented as Latin-1 — exact for
+  *     the printable range);
+  *   - `\uN` decodes a signed 16-bit Unicode scalar, then skips the
+  *     group's current `\ucN` fallback-character count (default 1);
+  *   - other control words are formatting and contribute nothing;
+  *   - one row per `\par`-terminated paragraph, empty tail dropped.
+  *
+  * Scale: the same zero-shuffle `mapPartitions` shape as every other
+  * codec walk ([[PdfCodec]], [[WarcCodec]]); allocation is bounded by
+  * the input slice (RTF only ever EXPANDS escapes into shorter text).
+  */
+object RtfCodec {
+
+  private val IgnorableDest = Set("fonttbl", "colortbl", "stylesheet",
+    "info", "pict", "themedata", "generator", "filetbl", "listtable",
+    "revtbl")
+
+  /** Paragraph texts; Nil when the blob is not RTF. */
+  def extractParagraphs(b: Array[Byte]): Seq[String] = try {
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("{\\rtf")) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    val n = s.length
+    // group-inherited \uc value: stack parallel to brace depth
+    var ucStack = List(1)
+    var skipDepth = 0 // >0: inside an ignored destination group
+    def flushPar(): Unit = { out += cur.toString; cur.setLength(0) }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '{' =>
+          ucStack = ucStack.head :: ucStack
+          if (skipDepth > 0) skipDepth += 1
+          i += 1
+          // `{\*\dest ...}`: optional destination — skip the group
+          if (skipDepth == 0 && i + 1 < n && s.charAt(i) == '\\' &&
+            s.charAt(i + 1) == '*') skipDepth = 1
+        case '}' =>
+          ucStack = if (ucStack.tail.nonEmpty) ucStack.tail else ucStack
+          if (skipDepth > 0) skipDepth -= 1
+          i += 1
+        case '\\' if i + 1 < n =>
+          val d = s.charAt(i + 1)
+          if (d == '\'') { // \'hh cp1252 byte
+            if (i + 3 < n) {
+              val hex = Character.digit(s.charAt(i + 2), 16) * 16 +
+                Character.digit(s.charAt(i + 3), 16)
+              if (skipDepth == 0 && hex >= 0) cur.append(hex.toChar)
+              i += 4
+            } else i = n
+          } else if (d == '\\' || d == '{' || d == '}') {
+            if (skipDepth == 0) cur.append(d)
+            i += 2
+          } else if (d == '~') { if (skipDepth == 0) cur.append(' '); i += 2 }
+          else if (d == '_') { if (skipDepth == 0) cur.append('-'); i += 2 }
+          else if (d.isLetter) {
+            // control word: letters, optional signed number, optional
+            // single space delimiter (consumed)
+            var j = i + 2
+            while (j < n && s.charAt(j).isLetter) j += 1
+            val word = s.substring(i + 1, j)
+            var numStart = j
+            if (j < n && (s.charAt(j) == '-' || s.charAt(j).isDigit)) {
+              j += 1
+              while (j < n && s.charAt(j).isDigit) j += 1
+            }
+            val num =
+              if (j > numStart)
+                try Some(s.substring(numStart, j).toInt)
+                catch { case _: NumberFormatException => None }
+              else None
+            val hadSpace = j < n && s.charAt(j) == ' '
+            if (hadSpace) j += 1
+            word match {
+              case "par" | "line" if skipDepth == 0 => flushPar()
+              case "tab" if skipDepth == 0 => cur.append('\t')
+              case "uc" => ucStack = num.getOrElse(1) :: ucStack.tail
+              case "u" if skipDepth == 0 =>
+                val cp = num.getOrElse(63)
+                cur.append((if (cp < 0) cp + 65536 else cp).toChar)
+                // skip the fallback chars (count = group's \uc); a group
+                // boundary ends the fallback run without being consumed
+                var skip = ucStack.head
+                var stop = false
+                while (skip > 0 && j < n && !stop) {
+                  val fc = s.charAt(j)
+                  if (fc == '{' || fc == '}') stop = true
+                  else if (fc == '\\' && j + 3 < n && s.charAt(j + 1) == '\'') {
+                    j += 4; skip -= 1 // a hex-escaped fallback is ONE char
+                  } else { j += 1; skip -= 1 }
+                }
+              case dest if IgnorableDest.contains(dest) && skipDepth == 0 =>
+                skipDepth = 1 // ignore the rest of this group
+              case _ => // formatting word: no text effect
+            }
+            i = j
+          } else if (d == '\r' || d == '\n') {
+            i += 2 // escaped EOL = \par in old writers; treat as break
+            if (skipDepth == 0) flushPar()
+          } else i += 2 // unknown escape: drop
+        case '\r' | '\n' =>
+          i += 1 // raw EOLs are ignorable whitespace in RTF
+        case ch =>
+          if (skipDepth == 0) cur.append(ch)
+          i += 1
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  } catch { case _: RuntimeException => Nil }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per paragraph: (doc_id, para_idx, text, n_chars). */
+  def extractText(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        extractParagraphs(bytes).zipWithIndex.map { case (t, p) =>
+          (id, p.toLong, t, t.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "para_idx", "text", "n_chars")
+  }
+}
+
+/** Planted RTF fixtures: a real header (font/color tables, an info
+  * group, a `\*\generator` destination — all ignored by extraction);
+  * `id mod 3 + 1` paragraphs, paragraph p extracting exactly
+  * `"rtf doc <id> para <p> body & more"` with the encoding rotating by
+  * `p mod 3`: the ampersand as `\'26`, the word "body" as `\uN`
+  * escapes with `\uc1` fallbacks, "more" as `\'hh` hex runs.
+  */
+object RtfFixtures {
+
+  def nParas(id: Long): Int = (id % 3 + 1).toInt
+
+  def paraText(id: Long, p: Int): String = s"rtf doc $id para $p body & more"
+
+  private def encodePara(id: Long, p: Int): String = {
+    val pre = s"rtf doc $id para $p "
+    (p % 3) match {
+      case 0 => pre + "body \\'26 more"
+      case 1 => pre + "\\uc1\\u98 ?\\u111 ?\\u100 ?\\u121 ? & more"
+      case _ => pre + "body & \\'6d\\'6f\\'72\\'65"
+    }
+  }
+
+  def rtfBytes(id: Long): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("{\\rtf1\\ansi\\deff0")
+    sb.append("{\\fonttbl{\\f0\\froman Times New Roman;}}")
+    sb.append("{\\colortbl;\\red255\\green0\\blue0;}")
+    sb.append("{\\info{\\title planted fixture}{\\author nobody}}")
+    sb.append("{\\*\\generator graft 1.0;}")
+    for (p <- 0 until nParas(id)) {
+      sb.append("\\pard\\f0\\fs24 ")
+      sb.append(encodePara(id, p))
+      sb.append("\\par\r\n")
+    }
+    sb.append("}")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+}

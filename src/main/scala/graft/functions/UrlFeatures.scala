@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** URL parsing, canonicalization, and registered-domain extraction —
+  * the primitives under crawl-curation's domain mixing, URL-level
+  * dedup, and host-level filtering (a 100 TB crawl is grouped by
+  * registered domain before any content policy runs).
+  *
+  * Parsing is a lenient split, not `java.net.URL` (crawled URLs
+  * routinely violate RFC 3986 and a throwing parser would discard
+  * them): `scheme://host[:port][/path][?query][#fragment]`.
+  *
+  * Normalization (deterministic, oracle-replayable):
+  *   - scheme and host lowercase;
+  *   - default ports dropped (http 80 / https 443), others kept;
+  *   - empty path presents as `/`;
+  *   - query parameters sorted by key (then value) and re-joined —
+  *     the canonical form URL-dedup hashes;
+  *   - fragments dropped (never sent to the server).
+  *
+  * Registered domain: longest-match against an embedded slice of the
+  * public-suffix list (the high-traffic suffixes; the full PSL is a
+  * data file this engine would load as a broadcast table in
+  * production) plus one label.
+  */
+object UrlFeatures {
+
+  final case class ParsedUrl(
+      scheme: String,
+      host: String,
+      port: Int, // -1: none given
+      path: String,
+      query: String, // no leading '?', may be empty
+      fragment: String,
+  )
+
+  // high-traffic slice of the public-suffix list; longest match wins
+  private val Suffixes: Set[String] = Set(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev",
+    "app", "info", "biz", "co", "me", "tv", "us", "uk", "de", "fr", "jp",
+    "cn", "ru", "br", "in", "au", "ca", "nl", "it", "es", "se", "ch",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx", "co.nz", "com.sg", "com.tw")
+
+  /** Lenient split; None only when there is no `scheme://host` shape. */
+  def parse(url: String): Option[ParsedUrl] = {
+    val sep = url.indexOf("://")
+    if (sep <= 0) return None
+    val scheme = url.substring(0, sep)
+    if (!scheme.forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+      return None
+    var rest = url.substring(sep + 3)
+    val frag = rest.indexOf('#')
+    val fragment = if (frag >= 0) { val f = rest.substring(frag + 1); rest = rest.substring(0, frag); f } else ""
+    val q = rest.indexOf('?')
+    val query = if (q >= 0) { val qq = rest.substring(q + 1); rest = rest.substring(0, q); qq } else ""
+    val slash = rest.indexOf('/')
+    val (authority, path) =
+      if (slash >= 0) (rest.substring(0, slash), rest.substring(slash)) else (rest, "")
+    if (authority.isEmpty) return None
+    val colon = authority.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0 && authority.substring(colon + 1).forall(_.isDigit) &&
+        colon + 1 < authority.length)
+        (authority.substring(0, colon),
+          try authority.substring(colon + 1).toInt
+          catch { case _: NumberFormatException => -1 })
+      else (authority, -1)
+    if (host.isEmpty) return None
+    Some(ParsedUrl(scheme, host, port, path, query, fragment))
+  }
+
+  /** `sub.example.co.uk` → `example.co.uk`; a bare or unknown-suffix
+    * host returns itself.
+    */
+  def registeredDomain(host: String): String = {
+    val h = host.toLowerCase
+    val labels = h.split('.')
+    if (labels.length < 2) return h
+    // longest suffix match, then one more label
+    var best = -1
+    var take = 1
+    while (take <= labels.length - 1) {
+      if (Suffixes.contains(labels.takeRight(take).mkString("."))) best = take
+      take += 1
+    }
+    if (best < 0) h
+    else labels.takeRight(best + 1).mkString(".")
+  }
+
+  /** Canonical form for URL-level dedup. None when unparseable. */
+  def normalize(url: String): Option[String] = parse(url).map { u =>
+    val scheme = u.scheme.toLowerCase
+    val host = u.host.toLowerCase
+    val keepPort = u.port >= 0 &&
+      !((scheme == "http" && u.port == 80) || (scheme == "https" && u.port == 443))
+    val port = if (keepPort) s":${u.port}" else ""
+    val path = if (u.path.isEmpty) "/" else u.path
+    val query =
+      if (u.query.isEmpty) ""
+      else "?" + u.query.split('&').filter(_.nonEmpty).sorted.mkString("&")
+    s"$scheme://$host$port$path$query"
+  }
+
+  def pathDepth(path: String): Int = path.split('/').count(_.nonEmpty)
+
+  def nQueryParams(query: String): Int =
+    if (query.isEmpty) 0 else query.split('&').count(_.nonEmpty)
+
+  // ----------------------------------------------------- Spark surface
+
+  /** (doc_id, url) → one row per PARSEABLE url: (doc_id, url, scheme,
+    * host, registered_domain, path_depth, n_query, normalized). Pure
+    * per-partition map; the production group-by-domain that follows
+    * shuffles on registered_domain — low-cardinality relative to URLs,
+    * the partitioning a domain-mix policy wants.
+    */
+  def features(urls: Dataset[(Long, String)]): DataFrame = {
+    import urls.sparkSession.implicits._
+    urls.mapPartitions { it =>
+      it.flatMap { case (id, url) =>
+        parse(url).map { u =>
+          (id, url, u.scheme.toLowerCase, u.host.toLowerCase,
+            registeredDomain(u.host), pathDepth(u.path).toLong,
+            nQueryParams(u.query).toLong, normalize(url).getOrElse(url))
+        }
+      }
+    }.toDF("doc_id", "url", "scheme", "host", "registered_domain",
+      "path_depth", "n_query", "normalized")
+  }
+}
+
+/** Planted URL fixtures: scheme case, subdomains, multi-label public
+  * suffixes, explicit ports (default and non-default), path depths,
+  * unsorted query params, and fragments all rotate on doc_id
+  * arithmetic the DuckDB oracle replays.
+  */
+object UrlFixtures {
+
+  def url(id: Long): String = {
+    val scheme = if (id % 2 == 0) "HTTP" else "https"
+    val host = (id % 3) match {
+      case 0 => "WWW.Example.com"
+      case 1 => "docs.example.co.uk"
+      case _ => "sub.example.org"
+    }
+    val port = if (id % 5 == 0) ":8080" else ""
+    val path = "/a" * (id % 4).toInt
+    val query = (id % 3) match {
+      case 1 => "?b=2&a=1"
+      case 2 => "?z=9"
+      case _ => ""
+    }
+    val fragment = if (id % 2 == 1) "#frag" else ""
+    s"$scheme://$host$port$path$query$fragment"
+  }
+}

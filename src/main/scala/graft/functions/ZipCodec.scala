@@ -52,19 +52,26 @@ object ZipCodec {
     * forward local-header scan otherwise.
     */
   def parseEntries(b: Array[Byte]): Seq[ZipEntry] = try {
-    findEocd(b).map(viaCentralDirectory(b, _, None))
-      .getOrElse(viaLocalScan(b, None))
+    findEocd(b).map(viaCentralDirectory(b, _, AnyName))
+      .getOrElse(viaLocalScan(b, AnyName))
   } catch { case _: RuntimeException => Nil }
 
   /** Extract ONLY the named member — the container-chain fast path
     * (e.g. [[DocxCodec]] wants `word/document.xml` and must not pay to
     * inflate the media parts that dominate a typical archive).
     */
-  def entryByName(b: Array[Byte], name: String): Option[ZipEntry] = try {
-    findEocd(b).map(viaCentralDirectory(b, _, Some(name)))
-      .getOrElse(viaLocalScan(b, Some(name)))
-      .find(e => e.name == name && e.data.isDefined)
-  } catch { case _: RuntimeException => None }
+  def entryByName(b: Array[Byte], name: String): Option[ZipEntry] =
+    entriesWhere(b, _ == name).find(_.data.isDefined)
+
+  /** Extract only the members whose names satisfy `want` — non-matching
+    * members are neither inflated nor surfaced.
+    */
+  def entriesWhere(b: Array[Byte], want: String => Boolean): Seq[ZipEntry] = try {
+    findEocd(b).map(viaCentralDirectory(b, _, want))
+      .getOrElse(viaLocalScan(b, want))
+  } catch { case _: RuntimeException => Nil }
+
+  private val AnyName: String => Boolean = _ => true
 
   /** Backward scan for PK\x05\x06 over the trailing comment span. */
   private def findEocd(b: Array[Byte]): Option[Int] = {
@@ -80,7 +87,7 @@ object ZipCodec {
   }
 
   private def viaCentralDirectory(b: Array[Byte], eocd: Int,
-      only: Option[String]): Seq[ZipEntry] = {
+      want: String => Boolean): Seq[ZipEntry] = {
     val n = math.min(u16(b, eocd + 10), MaxEntries)
     var cd = u32(b, eocd + 16).toInt
     val out = scala.collection.mutable.ArrayBuffer[ZipEntry]()
@@ -99,7 +106,7 @@ object ZipCodec {
       if (cd + 46 + nameLen > b.length) return out.toSeq
       val name = new String(b, cd + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
-      if (only.forall(_ == name)) {
+      if (want(name)) {
         val e = extract(b, i, name, method, lho, csize, usize, crc, budget)
         budget -= e.data.map(_.length.toLong).getOrElse(0L)
         out += e
@@ -115,7 +122,8 @@ object ZipCodec {
     * with bit 3 set — are skipped: without the central directory their
     * extent is not delimited).
     */
-  private def viaLocalScan(b: Array[Byte], only: Option[String]): Seq[ZipEntry] = {
+  private def viaLocalScan(b: Array[Byte],
+      want: String => Boolean): Seq[ZipEntry] = {
     val out = scala.collection.mutable.ArrayBuffer[ZipEntry]()
     var pos = 0
     var budget = MaxTotal
@@ -133,7 +141,7 @@ object ZipCodec {
       if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
       val name = new String(b, pos + 30, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
-      if (only.forall(_ == name)) {
+      if (want(name)) {
         val e = extract(b, idx, name, method, pos, csize, usize, crc, budget)
         budget -= e.data.map(_.length.toLong).getOrElse(0L)
         out += e

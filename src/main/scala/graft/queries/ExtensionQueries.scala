@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, DocxCodec, DocxFixtures, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, Similarity, TarCodec, TarFixtures, TextAnalytics, WarcCodec, WarcFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{Curation, Dedup, DocxCodec, DocxFixtures, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RtfCodec, RtfFixtures, Similarity, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -3808,6 +3808,107 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(p AS BIGINT) AS para_idx, text,
              |  CAST(length(text) AS BIGINT) AS n_chars
              |FROM v""".stripMargin),
+    ),
+
+    // RTF text extraction (the legacy office carrier): group/destination
+    // walk, control-word semantics, cp1252 \'hh and \uN escapes with
+    // \uc fallback skipping — encodings rotate per paragraph so every
+    // escape path sits under the oracle, which replays the planted
+    // per-paragraph strings.
+    QueryDef(
+      "rtf_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        RtfCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, RtfFixtures.rtfBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
+             |p AS (SELECT d.doc_id, pp.p FROM d, range(0, 3) AS pp(p)
+             |    WHERE pp.p < d.np),
+             |v AS (SELECT doc_id, p,
+             |    'rtf doc ' || doc_id || ' para ' || p || ' body & more'
+             |      AS text FROM p)
+             |SELECT doc_id, CAST(p AS BIGINT) AS para_idx, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM v""".stripMargin),
+    ),
+
+    // PPTX text extraction: the zip walk (slide parts ONLY — media
+    // decoys are never inflated) composed with the namespace-parametric
+    // OOXML scanner under DrawingML's a: prefix; slides ordered by
+    // numeric part suffix. The oracle replays the planted per-slide
+    // paragraph strings.
+    QueryDef(
+      "pptx_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        PptxCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, PptxFixtures.pptxBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS ns FROM documents),
+             |sl AS (SELECT d.doc_id, ss.s FROM d, range(0, 3) AS ss(s)
+             |    WHERE ss.s < d.ns),
+             |pa AS (SELECT sl.doc_id, sl.s, pp.p,
+             |    (sl.doc_id + sl.s) % 2 + 1 AS np
+             |  FROM sl, range(0, 2) AS pp(p)
+             |  WHERE pp.p < (sl.doc_id + sl.s) % 2 + 1),
+             |t AS (SELECT doc_id, s, p,
+             |    'pptx doc ' || doc_id || ' slide ' || s || ' para ' || p ||
+             |    ' body & more' AS para FROM pa),
+             |v AS (SELECT doc_id, s,
+             |    string_agg(para, chr(10) ORDER BY p) AS text,
+             |    count(*) AS np FROM t GROUP BY doc_id, s)
+             |SELECT doc_id, CAST(s AS BIGINT) AS slide_idx, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(np AS BIGINT) AS n_paras
+             |FROM v""".stripMargin),
+    ),
+
+    // URL canonicalization + registered-domain extraction: the
+    // primitives under domain mixing and URL-level dedup. Planted URLs
+    // rotate scheme case, multi-label public suffixes, explicit ports,
+    // path depth, unsorted query params, and fragments; the oracle
+    // replays the normalization arithmetic.
+    QueryDef(
+      "url_normalize",
+      (s, dir) => {
+        import s.implicits._
+        UrlFeatures.features(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, UrlFixtures.url(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END AS sraw,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS s,
+             |  CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.com'
+             |    WHEN 1 THEN 'docs.example.co.uk'
+             |    ELSE 'sub.example.org' END AS hraw,
+             |  CASE doc_id % 3 WHEN 0 THEN 'www.example.com'
+             |    WHEN 1 THEN 'docs.example.co.uk'
+             |    ELSE 'sub.example.org' END AS h,
+             |  CASE doc_id % 3 WHEN 0 THEN 'example.com'
+             |    WHEN 1 THEN 'example.co.uk'
+             |    ELSE 'example.org' END AS rd,
+             |  CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END AS port,
+             |  repeat('/a', CAST(doc_id % 4 AS INT)) AS path,
+             |  CASE doc_id % 3 WHEN 1 THEN '?b=2&a=1'
+             |    WHEN 2 THEN '?z=9' ELSE '' END AS qraw,
+             |  CASE doc_id % 3 WHEN 1 THEN '?a=1&b=2'
+             |    WHEN 2 THEN '?z=9' ELSE '' END AS qs,
+             |  CASE doc_id % 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS nq,
+             |  CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END AS frag
+             | FROM documents)
+             |SELECT doc_id,
+             |  sraw || '://' || hraw || port || path || qraw || frag AS url,
+             |  s AS scheme, h AS host, rd AS registered_domain,
+             |  CAST(doc_id % 4 AS BIGINT) AS path_depth,
+             |  CAST(nq AS BIGINT) AS n_query,
+             |  s || '://' || h || port ||
+             |    CASE WHEN path = '' THEN '/' ELSE path END || qs
+             |    AS normalized
+             |FROM d""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PPTX chain held to the planted fixtures, numeric slide
+  * ordering, the DrawingML namespace reuse, and hostile input.
+  */
+class PptxCodecSpec extends AnyFunSuite {
+
+  test("planted fixtures: slide order, paragraph text exact") {
+    for (id <- 0L until 24L) {
+      val slides = PptxCodec.extractSlides(PptxFixtures.pptxBytes(id))
+      assert(slides.length == PptxFixtures.nSlides(id), s"id=$id")
+      for (((num, paras), s) <- slides.zipWithIndex) {
+        assert(num == s + 1)
+        assert(paras.length == PptxFixtures.nParas(id, s), s"id=$id s=$s")
+        for ((t, p) <- paras.zipWithIndex)
+          assert(t == PptxFixtures.paraText(id, s, p), s"id=$id s=$s p=$p")
+      }
+    }
+  }
+
+  test("slides order numerically, not lexicographically") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    // write 12 slides in scrambled order; slide10..12 would sort before
+    // slide2 lexicographically
+    for (n <- Seq(10, 1, 12, 3, 2, 11, 5, 4, 7, 6, 9, 8)) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"ppt/slides/slide$n.xml"))
+      zos.write(s"<a:p><a:r><a:t>s$n</a:t></a:r></a:p>".getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val slides = PptxCodec.extractSlides(bos.toByteArray)
+    assert(slides.map(_._1) == (1 to 12))
+    assert(slides.map(_._2.head) == (1 to 12).map(n => s"s$n"))
+  }
+
+  test("a:br and a:tab are run content under the shared scanner") {
+    val xml = "<a:p><a:r><a:t>x</a:t><a:br/><a:t>y</a:t>" +
+      "<a:tab/><a:t>z</a:t></a:r></a:p>"
+    assert(DocxCodec.paragraphsNs(xml, "a") == Seq("x\ny\tz"))
+  }
+
+  test("media members are not surfaced; non-pptx zips yield no slides") {
+    assert(PptxCodec.extractSlides(ZipFixtures.zipBytes(3L)).isEmpty)
+    assert(PptxCodec.extractSlides(DocxFixtures.docxBytes(3L)).isEmpty)
+  }
+
+  test("fuzz: mutated decks and junk never throw") {
+    val rnd = new scala.util.Random(8086)
+    for (_ <- 0 until 200) {
+      val b = PptxFixtures.pptxBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      PptxCodec.extractSlides(b)
+      val full = PptxFixtures.pptxBytes(rnd.nextInt(32).toLong)
+      PptxCodec.extractSlides(
+        java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
+    }
+  }
+}

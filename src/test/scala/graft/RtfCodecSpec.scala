@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RTF walk held to the planted fixtures and the documented
+  * semantics: destinations, control words, cp1252 and unicode escapes,
+  * fallback skipping, group state, hostile input.
+  */
+class RtfCodecSpec extends AnyFunSuite {
+
+  private def rtf(body: String): Array[Byte] =
+    s"{\\rtf1\\ansi $body}".getBytes("ISO-8859-1")
+
+  test("planted fixtures: paragraph count and text exact, all encodings") {
+    for (id <- 0L until 24L) {
+      val paras = RtfCodec.extractParagraphs(RtfFixtures.rtfBytes(id))
+      assert(paras.length == RtfFixtures.nParas(id), s"id=$id")
+      for ((t, p) <- paras.zipWithIndex)
+        assert(t == RtfFixtures.paraText(id, p), s"id=$id p=$p got=$t")
+    }
+  }
+
+  test("destinations contribute nothing: fonttbl, info, \\* marker, pict") {
+    val doc = rtf("{\\fonttbl{\\f0 Arial;}}{\\info{\\title T}}" +
+      "{\\*\\generator X;}{\\pict 0102}kept\\par")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("kept"))
+  }
+
+  test("escaped braces, backslash, nbsp, nb-hyphen, tab") {
+    val doc = rtf("""a\{b\}c\\d\~e\_f\tab g\par""")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("a{b}c\\d e-f\tg"))
+  }
+
+  test("cp1252 hex escapes decode") {
+    val doc = rtf("""caf\'e9 \'26 done\par""")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("café & done"))
+  }
+
+  test("unicode escapes honor the group's \\uc fallback count") {
+    // \uc2: TWO fallback chars per \u (9731 = the snowman)
+    val doc = rtf("\\uc2\\u9731 ??x\\par")
+    assert(RtfCodec.extractParagraphs(doc) == Seq(0x2603.toChar + "x"))
+    // negative codepoint wraps to the 16-bit scalar (-4064 -> 0xF020)
+    val doc2 = rtf("\\uc1\\u-4064 ?y\\par")
+    assert(RtfCodec.extractParagraphs(doc2) == Seq(0xF020.toChar + "y"))
+    // \uc scoping: inner group's \uc0 does not leak out
+    val doc3 = rtf("{\\uc0\\u65 }\\u66 ?z\\par")
+    assert(RtfCodec.extractParagraphs(doc3) == Seq("ABz"))
+  }
+
+  test("\\par and \\line both break; their delimiter space is consumed") {
+    val doc = rtf("""one\par two\line three\par""")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("one", "two", "three"))
+  }
+
+  test("raw newlines are ignored; unterminated tail is kept") {
+    val doc = rtf("a\r\nb c")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("ab c"))
+  }
+
+  test("non-RTF and junk yield no rows, never throw") {
+    assert(RtfCodec.extractParagraphs("plain text".getBytes("UTF-8")).isEmpty)
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 300) {
+      val b = RtfFixtures.rtfBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      RtfCodec.extractParagraphs(b)
+      val full = RtfFixtures.rtfBytes(rnd.nextInt(32).toLong)
+      RtfCodec.extractParagraphs(
+        java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL parse / normalize / registered-domain semantics held to the
+  * documented contract and to crawl-shaped hostile input.
+  */
+class UrlFeaturesSpec extends AnyFunSuite {
+  import UrlFeatures._
+
+  test("planted fixtures parse and normalize exactly") {
+    for (id <- 0L until 30L) {
+      val u = UrlFixtures.url(id)
+      val p = parse(u).get
+      assert(p.scheme.toLowerCase == (if (id % 2 == 0) "http" else "https"))
+      assert(normalize(u).get.startsWith(
+        (if (id % 2 == 0) "http" else "https") + "://"))
+      assert(pathDepth(p.path) == (id % 4).toInt, s"id=$id")
+    }
+  }
+
+  test("normalization: case, default ports, empty path, query sort, fragment") {
+    assert(normalize("HTTP://Example.COM").contains("http://example.com/"))
+    assert(normalize("http://example.com:80/x").contains("http://example.com/x"))
+    assert(normalize("https://example.com:443/x").contains("https://example.com/x"))
+    assert(normalize("https://example.com:8443/x").contains("https://example.com:8443/x"))
+    assert(normalize("http://e.com/p?z=1&a=2&m=3").contains("http://e.com/p?a=2&m=3&z=1"))
+    assert(normalize("http://e.com/p#sec").contains("http://e.com/p"))
+    assert(normalize("not a url").isEmpty)
+    assert(normalize("://nohost").isEmpty)
+    assert(normalize("http://").isEmpty)
+  }
+
+  test("registered domain: multi-label suffixes, unknown suffixes, bare hosts") {
+    assert(registeredDomain("www.example.com") == "example.com")
+    assert(registeredDomain("a.b.c.example.co.uk") == "example.co.uk")
+    assert(registeredDomain("sub.example.org") == "example.org")
+    assert(registeredDomain("EXAMPLE.COM") == "example.com")
+    assert(registeredDomain("localhost") == "localhost")
+    assert(registeredDomain("host.internal") == "host.internal")
+    // 'co' and 'co.uk' are both suffixes: longest wins
+    assert(registeredDomain("x.example.co") == "example.co")
+  }
+
+  test("lenient parse: ports, deep paths, empty queries, weird fragments") {
+    val p = parse("https://h.example.io:9000/a/b/c?x=1#f/g?h").get
+    assert(p.host == "h.example.io" && p.port == 9000)
+    assert(p.path == "/a/b/c" && p.query == "x=1" && p.fragment == "f/g?h")
+    assert(nQueryParams("a=1&&b=2") == 2)
+    assert(nQueryParams("") == 0)
+    // IPv6-ish / garbage authorities must not throw
+    parse("http://[::1]:8080/x")
+    parse("http://:::/")
+    parse("ftp://user@host/ weird path")
+  }
+
+  test("fuzz: random strings never throw") {
+    val rnd = new scala.util.Random(64738)
+    val chars = "abc:/?#&=.%[]@!$ é中"
+    for (_ <- 0 until 2000) {
+      val s = (0 until rnd.nextInt(40)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      parse(s); normalize(s)
+      if (s.nonEmpty) registeredDomain(s)
+    }
+  }
+}
