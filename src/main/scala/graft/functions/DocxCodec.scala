@@ -52,6 +52,7 @@ object DocxCodec {
     val pTag = ns + ":p"
     val tTag = ns + ":t"
     val tabTag = ns + ":tab"
+    val tabTagSelf = tabTag + "/" // hoisted: the dispatch loop is hot
     val brTag = ns + ":br"
     val closeP = "/" + pTag
     val closeT = s"</$tTag>"
@@ -75,7 +76,7 @@ object DocxCodec {
           } else if (tag == closeP) {
             if (inPara) out += cur.toString
             inPara = false
-          } else if ((tag == tabTag || tag == tabTag + "/") && inPara) {
+          } else if ((tag == tabTag || tag == tabTagSelf) && inPara) {
             // a bare w:tab is run content; attributed ones are the
             // w:pPr/w:tabs PROPERTY entries and contribute nothing
             cur.append('\t')

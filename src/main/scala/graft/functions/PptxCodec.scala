@@ -26,9 +26,14 @@ object PptxCodec {
     ZipCodec.entriesWhere(b, n => SlideRe.pattern.matcher(n).matches())
       .flatMap { e =>
         e.name match {
-          case SlideRe(num) => e.data.map { d =>
-            (num.toInt, DocxCodec.paragraphsNs(
-              new String(d, java.nio.charset.StandardCharsets.UTF_8), "a"))
+          // toIntOption, not toInt: an over-long digit run still matches
+          // the regex, and a NumberFormatException here would void the
+          // WHOLE deck via the outer catch — skip just the hostile part.
+          case SlideRe(num) => num.toIntOption.flatMap { n =>
+            e.data.map { d =>
+              (n, DocxCodec.paragraphsNs(
+                new String(d, java.nio.charset.StandardCharsets.UTF_8), "a"))
+            }
           }
           case _ => None
         }

@@ -51,9 +51,16 @@ object RtfCodec {
           ucStack = ucStack.head :: ucStack
           if (skipDepth > 0) skipDepth += 1
           i += 1
-          // `{\*\dest ...}`: optional destination — skip the group
-          if (skipDepth == 0 && i + 1 < n && s.charAt(i) == '\\' &&
-            s.charAt(i + 1) == '*') skipDepth = 1
+          // `{\*\dest ...}`: optional destination — skip the group.
+          // Writers may line-wrap between the brace and the marker;
+          // raw CR/LF are ignorable there, so look past them (without
+          // consuming — the main loop drops them anyway).
+          if (skipDepth == 0) {
+            var k = i
+            while (k < n && (s.charAt(k) == '\r' || s.charAt(k) == '\n')) k += 1
+            if (k + 1 < n && s.charAt(k) == '\\' && s.charAt(k + 1) == '*')
+              skipDepth = 1
+          }
         case '}' =>
           ucStack = if (ucStack.tail.nonEmpty) ucStack.tail else ucStack
           if (skipDepth > 0) skipDepth -= 1
@@ -62,9 +69,13 @@ object RtfCodec {
           val d = s.charAt(i + 1)
           if (d == '\'') { // \'hh cp1252 byte
             if (i + 3 < n) {
-              val hex = Character.digit(s.charAt(i + 2), 16) * 16 +
-                Character.digit(s.charAt(i + 3), 16)
-              if (skipDepth == 0 && hex >= 0) cur.append(hex.toChar)
+              // BOTH digits must be hex: Character.digit's -1 on the
+              // low digit alone still leaves d1*16-1 >= 0, which would
+              // fabricate a character that was never in the document
+              val h1 = Character.digit(s.charAt(i + 2), 16)
+              val h2 = Character.digit(s.charAt(i + 3), 16)
+              if (skipDepth == 0 && h1 >= 0 && h2 >= 0)
+                cur.append((h1 * 16 + h2).toChar)
               i += 4
             } else i = n
           } else if (d == '\\' || d == '{' || d == '}') {

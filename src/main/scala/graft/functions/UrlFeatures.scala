@@ -60,14 +60,19 @@ object UrlFeatures {
     val (authority, path) =
       if (slash >= 0) (rest.substring(0, slash), rest.substring(slash)) else (rest, "")
     if (authority.isEmpty) return None
-    val colon = authority.lastIndexOf(':')
+    // strip userinfo — credentials in crawled URLs would otherwise
+    // poison host AND registered_domain (the grouping key downstream)
+    val at = authority.lastIndexOf('@')
+    val hostPort = if (at >= 0) authority.substring(at + 1) else authority
+    if (hostPort.isEmpty) return None
+    val colon = hostPort.lastIndexOf(':')
     val (host, port) =
-      if (colon >= 0 && authority.substring(colon + 1).forall(_.isDigit) &&
-        colon + 1 < authority.length)
-        (authority.substring(0, colon),
-          try authority.substring(colon + 1).toInt
+      if (colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit) &&
+        colon + 1 < hostPort.length)
+        (hostPort.substring(0, colon),
+          try hostPort.substring(colon + 1).toInt
           catch { case _: NumberFormatException => -1 })
-      else (authority, -1)
+      else (hostPort, -1)
     if (host.isEmpty) return None
     Some(ParsedUrl(scheme, host, port, path, query, fragment))
   }
@@ -91,7 +96,10 @@ object UrlFeatures {
   }
 
   /** Canonical form for URL-level dedup. None when unparseable. */
-  def normalize(url: String): Option[String] = parse(url).map { u =>
+  def normalize(url: String): Option[String] = parse(url).map(normalize)
+
+  /** The already-parsed overload — [[features]] parses each URL once. */
+  def normalize(u: ParsedUrl): String = {
     val scheme = u.scheme.toLowerCase
     val host = u.host.toLowerCase
     val keepPort = u.port >= 0 &&
@@ -100,7 +108,13 @@ object UrlFeatures {
     val path = if (u.path.isEmpty) "/" else u.path
     val query =
       if (u.query.isEmpty) ""
-      else "?" + u.query.split('&').filter(_.nonEmpty).sorted.mkString("&")
+      else "?" + u.query.split('&').filter(_.nonEmpty)
+        .sortBy { p => // by (key, value) — NOT the raw 'k=v' string,
+          // where '=' vs the key's own bytes can invert prefix keys
+          val eq = p.indexOf('=')
+          if (eq < 0) (p, "") else (p.substring(0, eq), p.substring(eq + 1))
+        }
+        .mkString("&")
     s"$scheme://$host$port$path$query"
   }
 
@@ -124,7 +138,7 @@ object UrlFeatures {
         parse(url).map { u =>
           (id, url, u.scheme.toLowerCase, u.host.toLowerCase,
             registeredDomain(u.host), pathDepth(u.path).toLong,
-            nQueryParams(u.query).toLong, normalize(url).getOrElse(url))
+            nQueryParams(u.query).toLong, normalize(u))
         }
       }
     }.toDF("doc_id", "url", "scheme", "host", "registered_domain",

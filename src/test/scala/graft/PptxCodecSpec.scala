@@ -42,6 +42,20 @@ class PptxCodecSpec extends AnyFunSuite {
     assert(DocxCodec.paragraphsNs(xml, "a") == Seq("x\ny\tz"))
   }
 
+  test("an over-long numeric slide suffix skips that part, not the deck") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    for (name <- Seq("ppt/slides/slide99999999999.xml", "ppt/slides/slide1.xml")) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write("<a:p><a:r><a:t>ok</a:t></a:r></a:p>".getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val slides = PptxCodec.extractSlides(bos.toByteArray)
+    assert(slides.map(_._1) == Seq(1))
+    assert(slides.head._2 == Seq("ok"))
+  }
+
   test("media members are not surfaced; non-pptx zips yield no slides") {
     assert(PptxCodec.extractSlides(ZipFixtures.zipBytes(3L)).isEmpty)
     assert(PptxCodec.extractSlides(DocxFixtures.docxBytes(3L)).isEmpty)

@@ -36,6 +36,19 @@ class RtfCodecSpec extends AnyFunSuite {
     assert(RtfCodec.extractParagraphs(doc) == Seq("café & done"))
   }
 
+  test("an invalid low hex digit fabricates nothing") {
+    // \'7Z: digit('Z')= -1 — 7*16-1 = 111 would fabricate 'o'
+    val doc = rtf("""a\'7Zb\par""")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("ab"))
+    val doc2 = rtf("""a\'Z7b\par""")
+    assert(RtfCodec.extractParagraphs(doc2) == Seq("ab"))
+  }
+
+  test("line-wrapped {\\* destination marker still skips the group") {
+    val doc = rtf("{\r\n\\*\\foo secret}visible\\par")
+    assert(RtfCodec.extractParagraphs(doc) == Seq("visible"))
+  }
+
   test("unicode escapes honor the group's \\uc fallback count") {
     // \uc2: TWO fallback chars per \u (9731 = the snowman)
     val doc = rtf("\\uc2\\u9731 ??x\\par")
