@@ -1,0 +1,253 @@
+package graft.functions
+
+import java.nio.charset.{Charset, StandardCharsets}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Charset detection and transcoding — a 100 TB crawl is NOT UTF-8:
+  * legacy cp1252/latin-1 pages, UTF-16 exports, and lying headers are
+  * routine, and every downstream text operator (dedup, quality,
+  * tokenization) assumes one canonical encoding. This is the WHATWG
+  * encoding-sniffing algorithm's deterministic core:
+  *
+  *   1. BOM (UTF-8 / UTF-16LE / UTF-16BE) — authoritative;
+  *   2. the transport's `Content-Type: ...; charset=` parameter;
+  *   3. an HTML `<meta charset>` / `http-equiv` sniff over the first
+  *      1024 bytes (ASCII-superset scan, the WHATWG prescan);
+  *   4. strict UTF-8 validation of the whole payload (overlongs,
+  *      surrogates, and range violations all reject — a hand-rolled
+  *      validator, not the JVM's lenient decoder);
+  *   5. fallback to windows-1252 (the HTML5 default; decoding NEVER
+  *      fails, so no byte is dropped at the front door).
+  *
+  * A declared (header/meta) UTF-8 that fails strict validation falls
+  * through to windows-1252 — the "source" column says `fallback`, the
+  * signal a curation policy uses to score trust in the origin server.
+  *
+  * Pure per-row byte work in `mapPartitions`: zero shuffle, bounded by
+  * the payload the container walk already bounded.
+  */
+object CharsetDetect {
+
+  /** (canonical charset name, detection source). */
+  def detect(b: Array[Byte], declaredContentType: String = ""): (String, String) = {
+    bomCharset(b) match {
+      case Some(cs) => return (cs, "bom")
+      case None =>
+    }
+    headerCharset(declaredContentType) match {
+      case Some(cs) => return validated(b, cs, "header")
+      case None =>
+    }
+    metaCharset(b) match {
+      case Some(cs) => return validated(b, cs, "meta")
+      case None =>
+    }
+    if (isValidUtf8(b, 0)) ("utf-8", "sniff") else ("windows-1252", "fallback")
+  }
+
+  /** A declared UTF-8 must actually validate; other declared charsets
+    * decode unconditionally (single-byte charsets never fail).
+    */
+  private def validated(b: Array[Byte], cs: String, source: String): (String, String) =
+    if (cs == "utf-8" && !isValidUtf8(b, 0)) ("windows-1252", "fallback")
+    else (cs, source)
+
+  /** (text, charset, source) — the BOM is not part of the text. */
+  def decode(b: Array[Byte], declaredContentType: String = ""): (String, String, String) = {
+    val (cs, source) = detect(b, declaredContentType)
+    val skip = bomCharset(b) match {
+      case Some("utf-8") => 3
+      case Some(_) => 2
+      case None => 0
+    }
+    val charset: Charset = cs match {
+      case "utf-8" => StandardCharsets.UTF_8
+      case "utf-16le" => StandardCharsets.UTF_16LE
+      case "utf-16be" => StandardCharsets.UTF_16BE
+      case "iso-8859-1" => StandardCharsets.ISO_8859_1
+      case "us-ascii" => StandardCharsets.US_ASCII
+      case _ => Charset.forName("windows-1252")
+    }
+    // UTF-16 with an odd tail: the dangling byte is noise, not a char
+    val len0 = b.length - skip
+    val len = if (cs.startsWith("utf-16")) len0 - (len0 & 1) else len0
+    (new String(b, skip, math.max(len, 0), charset), cs, source)
+  }
+
+  private def bomCharset(b: Array[Byte]): Option[String] =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte) Some("utf-8")
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      Some("utf-16le")
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      Some("utf-16be")
+    else None
+
+  /** `charset=` parameter of a Content-Type value; None when absent or
+    * naming an unsupported encoding.
+    */
+  def headerCharset(contentType: String): Option[String] = {
+    val lower = contentType.toLowerCase
+    val at = lower.indexOf("charset=")
+    if (at < 0) return None
+    var start = at + 8
+    var end = start
+    while (end < lower.length && lower.charAt(end) != ';' &&
+      lower.charAt(end) != ' ' && lower.charAt(end) != '"') end += 1
+    // a quoted value starts at a quote instead of ending at one
+    if (start < lower.length && lower.charAt(start) == '"') {
+      start += 1
+      end = lower.indexOf('"', start)
+      if (end < 0) return None
+    }
+    canonical(lower.substring(start, end))
+  }
+
+  /** WHATWG prescan: `<meta charset=...>` or
+    * `http-equiv="content-type"` content charset in the first 1 KiB.
+    */
+  def metaCharset(b: Array[Byte]): Option[String] = {
+    val head = new String(b, 0, math.min(b.length, 1024),
+      StandardCharsets.ISO_8859_1).toLowerCase
+    var i = 0
+    while (true) {
+      val at = head.indexOf("<meta", i)
+      if (at < 0) return None
+      val gt = head.indexOf('>', at)
+      val tag = if (gt < 0) head.substring(at) else head.substring(at, gt)
+      val cs = tag.indexOf("charset=")
+      if (cs >= 0) {
+        var start = cs + 8
+        // charset="x" / charset='x' / charset=x
+        if (start < tag.length && (tag.charAt(start) == '"' || tag.charAt(start) == '\'')) {
+          val quote = tag.charAt(start)
+          start += 1
+          val end = tag.indexOf(quote, start)
+          if (end > start) return canonical(tag.substring(start, end))
+        } else {
+          var end = start
+          while (end < tag.length && !" \"';/".contains(tag.charAt(end))) end += 1
+          if (end > start) return canonical(tag.substring(start, end))
+        }
+      }
+      if (gt < 0) return None
+      i = gt + 1
+    }
+    None
+  }
+
+  /** Canonical names for the supported encodings; None = unknown. */
+  def canonical(name: String): Option[String] =
+    name.trim.toLowerCase match {
+      case "utf-8" | "utf8" => Some("utf-8")
+      case "utf-16" | "utf-16le" => Some("utf-16le")
+      case "utf-16be" => Some("utf-16be")
+      case "iso-8859-1" | "latin-1" | "latin1" | "l1" => Some("iso-8859-1")
+      case "windows-1252" | "cp1252" | "x-cp1252" => Some("windows-1252")
+      case "us-ascii" | "ascii" => Some("us-ascii")
+      case _ => None
+    }
+
+  /** Strict UTF-8: overlong forms, surrogate range, > U+10FFFF, and
+    * truncated sequences all reject.
+    */
+  def isValidUtf8(b: Array[Byte], from: Int): Boolean = {
+    var i = from
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // continuation or overlong C0/C1
+      else if (c < 0xE0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xC0) != 0x80) return false
+        i += 2
+      } else if (c < 0xF0) { // 3-byte
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80) return false
+        if (c == 0xE0 && c1 < 0xA0) return false // overlong
+        if (c == 0xED && c1 >= 0xA0) return false // surrogates
+        i += 3
+      } else if (c < 0xF5) { // 4-byte
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xFF
+        if ((c1 & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80 ||
+          (b(i + 3) & 0xC0) != 0x80) return false
+        if (c == 0xF0 && c1 < 0x90) return false // overlong
+        if (c == 0xF4 && c1 >= 0x90) return false // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** (doc_id, payload, content_type) → (doc_id, charset, source, text,
+    * n_chars). Zero-shuffle partition pass.
+    */
+  def decodeAll(payloads: Dataset[(Long, Array[Byte], String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes, contentType) =>
+        val (text, cs, source) = decode(bytes, contentType)
+        (id, cs, source, text, text.length.toLong)
+      }
+    }.toDF("doc_id", "charset", "source", "text", "n_chars")
+  }
+}
+
+/** Planted charset fixtures rotating the detection path on id mod 6:
+  * UTF-8 BOM, UTF-16LE BOM, bare valid UTF-8 (sniff), a declared
+  * windows-1252 header (with a euro — the cp1252-not-latin-1 octet), a
+  * meta-declared latin-1 HTML page, and raw latin-1 bytes with no
+  * declaration at all (invalid as UTF-8 → cp1252 fallback).
+  */
+object CharsetFixtures {
+
+  def baseText(id: Long): String = s"charset doc $id café naïve ±5°"
+
+  /** The decoded text the oracle replays, per rotation. */
+  def expectedText(id: Long): String = (id % 6) match {
+    case 3 => baseText(id) + " €"
+    case 4 => s"<html><head><meta charset=\"iso-8859-1\"></head>" +
+      s"<body>${baseText(id)}</body></html>"
+    case _ => baseText(id)
+  }
+
+  def expectedCharset(id: Long): String = (id % 6) match {
+    case 0 => "utf-8"
+    case 1 => "utf-16le"
+    case 2 => "utf-8"
+    case 3 => "windows-1252"
+    case 4 => "iso-8859-1"
+    case _ => "windows-1252"
+  }
+
+  def expectedSource(id: Long): String = (id % 6) match {
+    case 0 | 1 => "bom"
+    case 2 => "sniff"
+    case 3 => "header"
+    case 4 => "meta"
+    case _ => "fallback"
+  }
+
+  def contentType(id: Long): String = (id % 6) match {
+    case 3 => "text/plain; charset=windows-1252"
+    case _ => "text/html"
+  }
+
+  def payload(id: Long): Array[Byte] = (id % 6) match {
+    case 0 =>
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        baseText(id).getBytes("UTF-8")
+    case 1 =>
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        baseText(id).getBytes("UTF-16LE")
+    case 2 => baseText(id).getBytes("UTF-8")
+    case 3 => expectedText(id).getBytes("windows-1252")
+    case 4 => expectedText(id).getBytes("ISO-8859-1")
+    case _ => baseText(id).getBytes("ISO-8859-1")
+  }
+}

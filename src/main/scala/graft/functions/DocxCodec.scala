@@ -96,7 +96,7 @@ object DocxCodec {
     out.toSeq
   }
 
-  private def tagNameIs(tag: String, name: String): Boolean = {
+  private[functions] def tagNameIs(tag: String, name: String): Boolean = {
     if (!tag.startsWith(name)) return false
     if (tag.length == name.length) return true
     val c = tag.charAt(name.length)

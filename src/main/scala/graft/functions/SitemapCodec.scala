@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Sitemap parsing (sitemaps.org XML) — the discovery feed a crawl
+  * frontier drains: `<urlset>` documents list page URLs with freshness
+  * hints, `<sitemapindex>` documents list child sitemaps. At corpus
+  * scale sitemaps seed the URL frontier and their `lastmod` drives
+  * re-crawl scheduling, so both shapes surface as rows.
+  *
+  * Same hand-rolled streaming tag scanner as the OOXML walks
+  * ([[DocxCodec]]): no DOM, entities decoded, damaged inputs degrade
+  * to the recoverable prefix, zero-shuffle partition pass.
+  *
+  * Extraction semantics:
+  *   - one row per `<url>` (from_index = false) or `<sitemap>`
+  *     (from_index = true) element carrying a non-empty `<loc>`;
+  *   - `<lastmod>`/`<changefreq>` surface as trimmed strings (empty
+  *     when absent — production parses lastmod lazily, W3C datetime
+  *     has too many valid shapes to force eagerly);
+  *   - `<priority>` parses to double, null when absent/invalid;
+  *   - elements outside `<url>`/`<sitemap>` contribute nothing.
+  */
+object SitemapCodec {
+
+  final case class Entry(loc: String, lastmod: String, changefreq: String,
+      priority: Option[Double], fromIndex: Boolean)
+
+  def parse(xml: String): Seq[Entry] = try {
+    val out = scala.collection.mutable.ArrayBuffer[Entry]()
+    var inEntry = false
+    var fromIndex = false
+    var loc = ""
+    var lastmod = ""
+    var changefreq = ""
+    var priority: Option[Double] = None
+    var i = 0
+    val n = xml.length
+
+    def reset(): Unit = { loc = ""; lastmod = ""; changefreq = ""; priority = None }
+
+    // the four simple child elements share one capture shape
+    def capture(gt: Int, closeTag: String): (String, Int) = {
+      val close = xml.indexOf(closeTag, gt + 1)
+      if (close < 0) ("", n)
+      else (DocxCodec.decodeEntities(xml.substring(gt + 1, close)).trim,
+        close + closeTag.length)
+    }
+
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) i = n
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          i = gt + 1
+          if (DocxCodec.tagNameIs(tag, "url") && !tag.endsWith("/")) {
+            inEntry = true; fromIndex = false; reset()
+          } else if (DocxCodec.tagNameIs(tag, "sitemap") && !tag.endsWith("/")) {
+            inEntry = true; fromIndex = true; reset()
+          } else if (tag == "/url" || tag == "/sitemap") {
+            if (inEntry && loc.nonEmpty)
+              out += Entry(loc, lastmod, changefreq, priority, fromIndex)
+            inEntry = false
+          } else if (inEntry && DocxCodec.tagNameIs(tag, "loc") && !tag.endsWith("/")) {
+            val (v, ni) = capture(gt, "</loc>"); loc = v; i = ni
+          } else if (inEntry && DocxCodec.tagNameIs(tag, "lastmod") && !tag.endsWith("/")) {
+            val (v, ni) = capture(gt, "</lastmod>"); lastmod = v; i = ni
+          } else if (inEntry && DocxCodec.tagNameIs(tag, "changefreq") && !tag.endsWith("/")) {
+            val (v, ni) = capture(gt, "</changefreq>"); changefreq = v; i = ni
+          } else if (inEntry && DocxCodec.tagNameIs(tag, "priority") && !tag.endsWith("/")) {
+            val (v, ni) = capture(gt, "</priority>")
+            priority = v.toDoubleOption.filter(_.isFinite)
+            i = ni
+          }
+        }
+      }
+    }
+    out.toSeq
+  } catch { case _: RuntimeException => Nil }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per entry: (doc_id, seq, loc, lastmod, changefreq,
+    * priority, from_index) — `seq` is the document-order position.
+    */
+  def entries(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, xml) =>
+        parse(xml).zipWithIndex.map { case (e, idx) =>
+          (id, idx.toLong, e.loc, e.lastmod, e.changefreq,
+            e.priority, e.fromIndex)
+        }
+      }
+    }.toDF("doc_id", "seq", "loc", "lastmod", "changefreq", "priority",
+      "from_index")
+  }
+}
+
+/** Planted sitemap fixtures: ids divisible by 5 are `<sitemapindex>`
+  * documents with two child-sitemap entries (loc + lastmod only);
+  * others are `<urlset>` documents with `id mod 3 + 1` url entries
+  * rotating lastmod day, changefreq, and priority on (id + u)
+  * arithmetic. Ampersands in locs ship as `&amp;`.
+  */
+object SitemapFixtures {
+
+  def isIndex(id: Long): Boolean = id % 5 == 0
+  def nUrls(id: Long): Int = (id % 3 + 1).toInt
+
+  def loc(id: Long, u: Int): String =
+    s"http://example$id.com/page/$u?a=1&b=2"
+
+  def lastmod(id: Long, u: Int): String =
+    f"2026-07-${(id + u) % 28 + 1}%02d"
+
+  def changefreq(id: Long, u: Int): String =
+    IndexedSeq("daily", "weekly", "monthly")(((id + u) % 3).toInt)
+
+  def priority(id: Long, u: Int): Double = ((id + u) % 10).toDouble / 10.0
+
+  def xml(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8"?>""")
+    if (isIndex(id)) {
+      sb.append("""<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""")
+      for (u <- 0 until 2) {
+        sb.append("<sitemap><loc>")
+        sb.append(s"http://example$id.com/sitemap$u.xml")
+        sb.append(s"</loc><lastmod>${lastmod(id, u)}</lastmod></sitemap>")
+      }
+      sb.append("</sitemapindex>")
+    } else {
+      sb.append("""<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""")
+      for (u <- 0 until nUrls(id)) {
+        sb.append("<url><loc>")
+        sb.append(s"http://example$id.com/page/$u?a=1&amp;b=2")
+        sb.append(s"</loc><lastmod>${lastmod(id, u)}</lastmod>")
+        sb.append(s"<changefreq>${changefreq(id, u)}</changefreq>")
+        sb.append(s"<priority>${priority(id, u)}</priority></url>")
+      }
+      sb.append("</urlset>")
+    }
+    sb.toString
+  }
+}

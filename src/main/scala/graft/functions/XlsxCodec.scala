@@ -1,0 +1,290 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** XLSX cell extraction — tabular corpora (pricing sheets, statistical
+  * releases, open-data drops) ship as SpreadsheetML (ECMA-376): a ZIP
+  * whose `xl/worksheets/sheetN.xml` parts hold typed cells and whose
+  * `xl/sharedStrings.xml` interns the string values. Composes the
+  * [[ZipCodec]] name-filtered walk (only the two part families are
+  * inflated — embedded media and styles are not) with the same
+  * hand-rolled streaming tag scanner as [[DocxCodec]]: one zero-shuffle
+  * partition pass, damaged inputs degrade to the recoverable prefix.
+  *
+  * Extraction semantics (deterministic, oracle-replayable):
+  *   - sheets order by the numeric part suffix ([[PptxCodec]]'s rule);
+  *   - a cell's position comes from its `r="A1"` reference (base-26
+  *     letters → 0-based column, digits → 0-based row);
+  *   - cell types: no `t` or `t="n"` → the raw `<v>` number text
+  *     (`is_number = true`); `t="s"` → the shared-string at index `<v>`
+  *     (an out-of-range index skips the cell, not the sheet);
+  *     `t="str"` → the `<v>` formula-result string; `t="inlineStr"` →
+  *     the concatenated `<is>` run text; `t="b"` → the raw 0/1;
+  *   - style-only cells (no value) and self-closed cells emit nothing;
+  *   - shared-string items concatenate their `<t>` runs, entities
+  *     decoded ([[DocxCodec.decodeEntities]]).
+  */
+object XlsxCodec {
+
+  private val SheetRe = """xl/worksheets/sheet(\d+)\.xml""".r
+
+  final case class Cell(sheet: Int, row: Int, col: Int, value: String,
+      isNumber: Boolean)
+
+  /** All cells of the workbook in (sheet, document) order; Nil when the
+    * blob is not XLSX-shaped.
+    */
+  def extractCells(b: Array[Byte]): Seq[Cell] = try {
+    val wanted = ZipCodec.entriesWhere(b, n =>
+      n == "xl/sharedStrings.xml" || SheetRe.pattern.matcher(n).matches())
+    val shared: Vector[String] = wanted
+      .find(_.name == "xl/sharedStrings.xml").flatMap(_.data)
+      .map(d => sharedStrings(new String(d,
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .getOrElse(Vector.empty)
+    wanted.flatMap { e =>
+      e.name match {
+        // toIntOption: an over-long digit suffix skips the part, not
+        // the workbook (the PptxCodec lesson)
+        case SheetRe(num) => num.toIntOption.flatMap(n =>
+          e.data.map(d => (n, d)))
+        case _ => None
+      }
+    }
+      .sortBy(_._1)
+      .zipWithIndex
+      .flatMap { case ((_, data), sheetIdx) =>
+        sheetCells(new String(data,
+          java.nio.charset.StandardCharsets.UTF_8), shared)
+          .map(c => c.copy(sheet = sheetIdx))
+      }
+  } catch { case _: RuntimeException => Nil }
+
+  /** `<si>` items of a sharedStrings part: each concatenates its `<t>`
+    * runs (plain items and rich-text runs look the same to the scan).
+    */
+  private[functions] def sharedStrings(xml: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) i = n
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          i = gt + 1
+          if (DocxCodec.tagNameIs(tag, "si")) {
+            if (tag.endsWith("/")) out += ""
+            else { inSi = true; cur.setLength(0) }
+          } else if (tag == "/si") {
+            if (inSi) out += cur.toString
+            inSi = false
+          } else if (DocxCodec.tagNameIs(tag, "t") && !tag.endsWith("/")) {
+            val close = xml.indexOf("</t>", gt + 1)
+            if (close < 0) i = n
+            else {
+              if (inSi)
+                cur.append(DocxCodec.decodeEntities(xml.substring(gt + 1, close)))
+              i = close + 4
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Cells of one worksheet part (sheet field left 0 for the caller). */
+  private[functions] def sheetCells(xml: String,
+      shared: Vector[String]): Seq[Cell] = {
+    val out = scala.collection.mutable.ArrayBuffer[Cell]()
+    var inCell = false
+    var cellRow = -1
+    var cellCol = -1
+    var cellType = "" // "" = number
+    var sawValue = false
+    val v = new StringBuilder
+    var i = 0
+    val n = xml.length
+
+    def emit(): Unit = {
+      if (inCell && sawValue && cellRow >= 0 && cellCol >= 0) {
+        val raw = v.toString
+        cellType match {
+          case "" | "n" =>
+            out += Cell(0, cellRow, cellCol, raw, isNumber = true)
+          case "s" =>
+            raw.toIntOption.filter(idx => idx >= 0 && idx < shared.length)
+              .foreach(idx =>
+                out += Cell(0, cellRow, cellCol, shared(idx), isNumber = false))
+          case "str" | "inlineStr" | "b" =>
+            out += Cell(0, cellRow, cellCol, raw, isNumber = false)
+          case _ => // unknown type: skip the cell, keep the sheet
+        }
+      }
+      inCell = false; sawValue = false; v.setLength(0)
+    }
+
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) i = n
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          i = gt + 1
+          if (DocxCodec.tagNameIs(tag, "c")) {
+            if (!tag.endsWith("/")) {
+              inCell = true; sawValue = false; v.setLength(0)
+              cellType = attr(tag, "t").getOrElse("")
+              attr(tag, "r").flatMap(parseRef) match {
+                case Some((r, c)) => cellRow = r; cellCol = c
+                case None => cellRow = -1; cellCol = -1
+              }
+            }
+          } else if (tag == "/c") {
+            emit()
+          } else if (DocxCodec.tagNameIs(tag, "v") && !tag.endsWith("/") && inCell) {
+            val close = xml.indexOf("</v>", gt + 1)
+            if (close < 0) i = n
+            else {
+              v.append(DocxCodec.decodeEntities(xml.substring(gt + 1, close)))
+              sawValue = true
+              i = close + 4
+            }
+          } else if (DocxCodec.tagNameIs(tag, "t") && !tag.endsWith("/") &&
+            inCell && cellType == "inlineStr") {
+            val close = xml.indexOf("</t>", gt + 1)
+            if (close < 0) i = n
+            else {
+              v.append(DocxCodec.decodeEntities(xml.substring(gt + 1, close)))
+              sawValue = true
+              i = close + 4
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** `name="value"` attribute lookup inside a raw tag body. */
+  private[functions] def attr(tag: String, name: String): Option[String] = {
+    val needle = " " + name + "=\""
+    val at = tag.indexOf(needle)
+    if (at < 0) return None
+    val start = at + needle.length
+    val end = tag.indexOf('"', start)
+    if (end < 0) None else Some(tag.substring(start, end))
+  }
+
+  /** `"B3"` → (row 2, col 1); None for malformed references. */
+  private[functions] def parseRef(ref: String): Option[(Int, Int)] = {
+    var i = 0
+    var col = 0L
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      val c = ref.charAt(i).toUpper
+      if (c < 'A' || c > 'Z') return None
+      col = col * 26 + (c - 'A' + 1)
+      if (col > Int.MaxValue / 26) return None // hostile over-long run
+      i += 1
+    }
+    if (i == 0 || i >= ref.length) return None
+    val digits = ref.substring(i)
+    if (!digits.forall(_.isDigit)) return None
+    digits.toIntOption.filter(_ >= 1).map(r => (r - 1, col.toInt - 1))
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per valued cell: (doc_id, sheet_idx, row_idx, col_idx,
+    * value, is_number) — `sheet_idx` is the 0-based position in numeric
+    * sheet order. Zero-shuffle partition walk.
+    */
+  def extractCellRows(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        extractCells(bytes).map(c =>
+          (id, c.sheet.toLong, c.row.toLong, c.col.toLong, c.value, c.isNumber))
+      }
+    }.toDF("doc_id", "sheet_idx", "row_idx", "col_idx", "value", "is_number")
+  }
+}
+
+/** Planted XLSX fixtures: a real ZIP with `id mod 2 + 1` sheets of
+  * `id mod 3 + 1` rows; row r carries a shared-string cell in column A
+  * (`"xlsx doc <id> sheet <s> row <r> name & co"`, ampersand interned
+  * as `&amp;`), a number in column B (`id*100 + s*10 + r`), and on odd
+  * rows an inlineStr in column C (`"inline note <r>"`). Shared strings
+  * are interned workbook-wide in (s, r) order, so cell `<v>` indexes
+  * exercise real cross-sheet interning.
+  */
+object XlsxFixtures {
+
+  def nSheets(id: Long): Int = (id % 2 + 1).toInt
+  def nRows(id: Long): Int = (id % 3 + 1).toInt
+
+  def stringCell(id: Long, s: Int, r: Int): String =
+    s"xlsx doc $id sheet $s row $r name & co"
+
+  def numberCell(id: Long, s: Int, r: Int): Long = id * 100 + s * 10 + r
+
+  def xlsxBytes(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def member(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    member("[Content_Types].xml",
+      """<?xml version="1.0"?><Types """ +
+        """xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    // workbook-wide interned strings in (s, r) order
+    val sst = new StringBuilder
+    sst.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sst.append("""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    var count = 0
+    for (s <- 0 until nSheets(id); r <- 0 until nRows(id)) {
+      val text = s"xlsx doc $id sheet $s row $r name &amp; co"
+      // rich-text runs on odd r: split at "name" — reader concatenates
+      if (r % 2 == 0)
+        sst.append(s"""<si><t xml:space="preserve">$text</t></si>""")
+      else {
+        val cut = text.indexOf("name")
+        sst.append(s"""<si><r><t xml:space="preserve">${text.substring(0, cut)}</t></r>""")
+        sst.append(s"""<r><t>${text.substring(cut)}</t></r></si>""")
+      }
+      count += 1
+    }
+    sst.append("</sst>")
+    member("xl/sharedStrings.xml", sst.toString)
+    for (s <- 0 until nSheets(id)) {
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      for (r <- 0 until nRows(id)) {
+        val si = s * nRows(id) + r
+        sb.append(s"""<row r="${r + 1}">""")
+        sb.append(s"""<c r="A${r + 1}" t="s"><v>$si</v></c>""")
+        sb.append(s"""<c r="B${r + 1}"><v>${numberCell(id, s, r)}</v></c>""")
+        if (r % 2 == 1)
+          sb.append(s"""<c r="C${r + 1}" t="inlineStr"><is><t>inline note $r</t></is></c>""")
+        // a style-only cell that must emit nothing
+        sb.append(s"""<c r="D${r + 1}" s="1"/>""")
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      member(s"xl/worksheets/sheet${s + 1}.xml", sb.toString)
+    }
+    zos.close()
+    bos.toByteArray
+  }
+}

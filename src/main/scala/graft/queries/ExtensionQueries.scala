@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Curation, Dedup, DocxCodec, DocxFixtures, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RtfCodec, RtfFixtures, Similarity, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, Curation, Dedup, DocxCodec, DocxFixtures, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, Similarity, SitemapCodec, SitemapFixtures, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -3909,6 +3909,150 @@ object ExtensionQueries {
              |    CASE WHEN path = '' THEN '/' ELSE path END || qs
              |    AS normalized
              |FROM d""".stripMargin),
+    ),
+
+    // XLSX typed-cell extraction: the zip walk inflating ONLY the
+    // sharedStrings + worksheet parts, workbook-wide string interning,
+    // base-26 references, number/shared/inlineStr cell types. The
+    // oracle replays the planted cell grid.
+    QueryDef(
+      "xlsx_extract_cells",
+      (s, dir) => {
+        import s.implicits._
+        XlsxCodec.extractCellRows(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, XlsxFixtures.xlsxBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS ns,
+             |    doc_id % 3 + 1 AS nr FROM documents),
+             |sh AS (SELECT d.doc_id, d.nr, ss.s FROM d, range(0, 2) AS ss(s)
+             |    WHERE ss.s < d.ns),
+             |rw AS (SELECT sh.doc_id, sh.s, rr.r FROM sh, range(0, 3) AS rr(r)
+             |    WHERE rr.r < sh.nr),
+             |cells AS (
+             |  SELECT doc_id, s, r, 0 AS c,
+             |    'xlsx doc ' || doc_id || ' sheet ' || s || ' row ' || r ||
+             |      ' name & co' AS v, false AS isn FROM rw
+             |  UNION ALL
+             |  SELECT doc_id, s, r, 1,
+             |    CAST(doc_id * 100 + s * 10 + r AS VARCHAR), true FROM rw
+             |  UNION ALL
+             |  SELECT doc_id, s, r, 2, 'inline note ' || r, false FROM rw
+             |    WHERE r % 2 = 1)
+             |SELECT doc_id, CAST(s AS BIGINT) AS sheet_idx,
+             |  CAST(r AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx,
+             |  v AS "value", isn AS is_number
+             |FROM cells""".stripMargin),
+    ),
+
+    // robots.txt access decisions (RFC 9309): group selection by
+    // longest agent-token prefix, longest-match rules with wildcard +
+    // anchor, tie -> Allow. Every doc probes all four planted paths so
+    // the whole truth table fires; the oracle replays it.
+    QueryDef(
+      "crawl_robots_decisions",
+      (s, dir) => {
+        import s.implicits._
+        RobotsTxt.decisions(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .flatMap(id => RobotsFixtures.Paths.indices.map(p =>
+            (id, RobotsFixtures.robotsTxt(id), RobotsFixtures.agent(id),
+              RobotsFixtures.Paths(p)))))
+      },
+      Some("""WITH pr AS (SELECT doc_id, pp.p FROM documents,
+             |    range(0, 4) AS pp(p)),
+             |d AS (SELECT doc_id, p,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'graftbot/1.0'
+             |    ELSE 'otherbot/2.0' END AS agent,
+             |  CASE p WHEN 0 THEN '/public/page' WHEN 1 THEN '/private/x'
+             |    WHEN 2 THEN '/private/ok' ELSE '/tmp/junk.html' END AS path,
+             |  doc_id % 2 = 0 AS gb FROM pr)
+             |SELECT doc_id, agent, path,
+             |  CASE WHEN gb THEN p != 3 ELSE p != 1 END AS allowed,
+             |  CASE WHEN gb THEN (CASE WHEN p = 3 THEN '/tmp/*' ELSE '/' END)
+             |    ELSE (CASE p WHEN 1 THEN '/private'
+             |      WHEN 2 THEN '/private/ok$' ELSE NULL END)
+             |  END AS matched_rule,
+             |  CASE WHEN gb THEN NULL
+             |    ELSE CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay,
+             |  CAST(1 AS BIGINT) AS n_sitemaps
+             |FROM d""".stripMargin),
+    ),
+
+    // Sitemap parsing: urlset rows with freshness hints, sitemapindex
+    // rows (the frontier's discovery feed). The oracle replays the
+    // planted arithmetic for both document shapes.
+    QueryDef(
+      "crawl_sitemap_urls",
+      (s, dir) => {
+        import s.implicits._
+        SitemapCodec.entries(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, SitemapFixtures.xml(id))))
+      },
+      Some("""WITH u AS (SELECT doc_id, uu.u FROM documents,
+             |    range(0, 3) AS uu(u)
+             |    WHERE doc_id % 5 != 0 AND uu.u < doc_id % 3 + 1),
+             |sx AS (SELECT doc_id, uu.u FROM documents,
+             |    range(0, 2) AS uu(u) WHERE doc_id % 5 = 0),
+             |urls AS (SELECT doc_id, CAST(u AS BIGINT) AS seq,
+             |  'http://example' || doc_id || '.com/page/' || u ||
+             |    '?a=1&b=2' AS loc,
+             |  '2026-07-' ||
+             |    lpad(CAST((doc_id + u) % 28 + 1 AS VARCHAR), 2, '0')
+             |    AS lastmod,
+             |  CASE (doc_id + u) % 3 WHEN 0 THEN 'daily'
+             |    WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+             |  CAST((doc_id + u) % 10 AS DOUBLE) / 10.0 AS priority,
+             |  false AS from_index FROM u),
+             |idx AS (SELECT doc_id, CAST(u AS BIGINT) AS seq,
+             |  'http://example' || doc_id || '.com/sitemap' || u || '.xml'
+             |    AS loc,
+             |  '2026-07-' ||
+             |    lpad(CAST((doc_id + u) % 28 + 1 AS VARCHAR), 2, '0')
+             |    AS lastmod,
+             |  '' AS changefreq, CAST(NULL AS DOUBLE) AS priority,
+             |  true AS from_index FROM sx)
+             |SELECT doc_id, seq, loc, lastmod, changefreq, priority,
+             |  from_index FROM urls
+             |UNION ALL
+             |SELECT doc_id, seq, loc, lastmod, changefreq, priority,
+             |  from_index FROM idx""".stripMargin),
+    ),
+
+    // Charset detection + transcoding (the WHATWG sniff core): BOM >
+    // header > meta prescan > strict UTF-8 validation > cp1252
+    // fallback. The rotation drives every path; the oracle replays the
+    // decoded text and the detection labels.
+    QueryDef(
+      "text_charset_decode",
+      (s, dir) => {
+        import s.implicits._
+        CharsetDetect.decodeAll(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, CharsetFixtures.payload(id),
+            CharsetFixtures.contentType(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 6 AS m,
+             |  'charset doc ' || doc_id || ' café naïve ±5°' AS base
+             |  FROM documents),
+             |t AS (SELECT doc_id, m,
+             |  CASE m WHEN 3 THEN base || ' €'
+             |    WHEN 4 THEN
+             |      '<html><head><meta charset="iso-8859-1"></head><body>'
+             |        || base || '</body></html>'
+             |    ELSE base END AS text FROM d)
+             |SELECT doc_id,
+             |  CASE m WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+             |    WHEN 2 THEN 'utf-8' WHEN 3 THEN 'windows-1252'
+             |    WHEN 4 THEN 'iso-8859-1' ELSE 'windows-1252'
+             |  END AS charset,
+             |  CASE m WHEN 0 THEN 'bom' WHEN 1 THEN 'bom'
+             |    WHEN 2 THEN 'sniff' WHEN 3 THEN 'header'
+             |    WHEN 4 THEN 'meta' ELSE 'fallback'
+             |  END AS source,
+             |  text, CAST(length(text) AS BIGINT) AS n_chars
+             |FROM t""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Detection precedence, the strict UTF-8 validator, and the decode
+  * round-trips held to the planted rotations and hand cases.
+  */
+class CharsetDetectSpec extends AnyFunSuite {
+  import CharsetDetect._
+
+  test("planted rotations: charset, source, text exact") {
+    for (id <- 0L until 30L) {
+      val (text, cs, source) =
+        decode(CharsetFixtures.payload(id), CharsetFixtures.contentType(id))
+      assert(cs == CharsetFixtures.expectedCharset(id), s"id=$id")
+      assert(source == CharsetFixtures.expectedSource(id), s"id=$id")
+      assert(text == CharsetFixtures.expectedText(id), s"id=$id")
+    }
+  }
+
+  test("BOM wins over header and meta; BOM is stripped from text") {
+    val b = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "<meta charset=\"utf-16le\">x".getBytes("UTF-8")
+    val (text, cs, source) = decode(b, "text/html; charset=iso-8859-1")
+    assert(cs == "utf-8" && source == "bom")
+    assert(text.startsWith("<meta")) // no U+FEFF prefix
+  }
+
+  test("declared utf-8 that fails strict validation falls back to cp1252") {
+    val b = "café".getBytes("ISO-8859-1") // 0xE9 raw: invalid UTF-8
+    val (text, cs, source) = decode(b, "text/html; charset=utf-8")
+    assert(cs == "windows-1252" && source == "fallback")
+    assert(text == "café")
+    // cp1252's C1 range maps to the windows glyphs, not controls
+    val euro = decode(Array(0x80.toByte), "")._1
+    assert(euro == "€")
+  }
+
+  test("strict utf-8 validator: overlongs, surrogates, range, truncation") {
+    def v(bytes: Int*): Boolean = isValidUtf8(bytes.map(_.toByte).toArray, 0)
+    assert(v(0x24))
+    assert(v(0xC3, 0xA9)) // é
+    assert(v(0xE2, 0x82, 0xAC)) // €
+    assert(v(0xF0, 0x9F, 0x98, 0x80)) // emoji
+    assert(!v(0xC0, 0xAF)) // overlong '/'
+    assert(!v(0xC1, 0xBF))
+    assert(!v(0xE0, 0x80, 0xAF)) // overlong 3-byte
+    assert(!v(0xED, 0xA0, 0x80)) // surrogate D800
+    assert(v(0xED, 0x9F, 0xBF)) // D7FF ok
+    assert(!v(0xF0, 0x8F, 0xBF, 0xBF)) // overlong 4-byte
+    assert(!v(0xF4, 0x90, 0x80, 0x80)) // > U+10FFFF
+    assert(v(0xF4, 0x8F, 0xBF, 0xBF)) // U+10FFFF ok
+    assert(!v(0xF5, 0x80, 0x80, 0x80))
+    assert(!v(0xC3)) // truncated
+    assert(!v(0xE2, 0x82)) // truncated
+    assert(!v(0x80)) // bare continuation
+  }
+
+  test("header charset parsing: quotes, params, unknown names") {
+    assert(headerCharset("text/html; charset=UTF-8").contains("utf-8"))
+    assert(headerCharset("text/html; charset=\"utf-8\"; x=1").contains("utf-8"))
+    assert(headerCharset("text/html; charset=latin1").contains("iso-8859-1"))
+    assert(headerCharset("text/html; charset=klingon").isEmpty)
+    assert(headerCharset("text/html").isEmpty)
+    assert(headerCharset("").isEmpty)
+  }
+
+  test("meta prescan: both forms, quoting styles, 1 KiB bound") {
+    def m(s: String) = metaCharset(s.getBytes("ISO-8859-1"))
+    assert(m("<html><meta charset=utf-8></html>").contains("utf-8"))
+    assert(m("<meta charset='cp1252'>").contains("windows-1252"))
+    assert(m("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\">").contains("iso-8859-1"))
+    assert(m("<meta name=\"viewport\" content=\"width=1\">" +
+      "<meta charset=\"utf-8\">").contains("utf-8"))
+    assert(m("no meta here").isEmpty)
+    // beyond the 1 KiB prescan window: not seen
+    assert(m(" " * 1200 + "<meta charset=utf-8>").isEmpty)
+  }
+
+  test("utf-16 odd tail byte is dropped, not a replacement char") {
+    val b = Array[Byte](0xFF.toByte, 0xFE.toByte, 'a', 0, 'b') // dangling 'b'
+    val (text, cs, _) = decode(b, "")
+    assert(cs == "utf-16le" && text == "a")
+  }
+
+  test("fuzz: random bytes always decode to SOMETHING, never throw") {
+    val rnd = new scala.util.Random(1252)
+    for (_ <- 0 until 500) {
+      val b = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val (text, cs, source) = decode(b, if (rnd.nextBoolean()) "text/html; charset=utf-8" else "")
+      assert(text != null && cs.nonEmpty && source.nonEmpty)
+      detect(b)
+    }
+  }
+}

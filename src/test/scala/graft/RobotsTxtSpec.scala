@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 semantics held to hand-built policies and the planted
+  * truth table.
+  */
+class RobotsTxtSpec extends AnyFunSuite {
+  import RobotsTxt._
+
+  test("parse: groups, comments, shared UA lines, global sitemaps") {
+    val r = parse(
+      """# top comment
+        |User-agent: a
+        |User-Agent: b
+        |Disallow: /x  # trailing comment
+        |Allow: /x/y
+        |Crawl-delay: 2.5
+        |
+        |Sitemap: http://h/s1.xml
+        |User-agent: c
+        |Disallow: /z
+        |User-agent: d
+        |Disallow: /w
+        |Sitemap: http://h/s2.xml
+        |""".stripMargin)
+    assert(r.groups.length == 3)
+    assert(r.groups(0).agents == Seq("a", "b"))
+    assert(r.groups(0).rules == Seq(Rule(false, "/x"), Rule(true, "/x/y")))
+    assert(r.groups(0).crawlDelay.contains(2.5))
+    // a rule line closed group c; 'd' starts a NEW group
+    assert(r.groups(1).agents == Seq("c"))
+    assert(r.groups(2).agents == Seq("d"))
+    assert(r.sitemaps == Seq("http://h/s1.xml", "http://h/s2.xml"))
+  }
+
+  test("matches: prefix, wildcard, anchor, wildcard-anchor, mid-$ literal") {
+    assert(matches("/priv", "/private/x"))
+    assert(!matches("/priv", "/pub"))
+    assert(matches("/a/*/c", "/a/b/c/d"))
+    assert(matches("/*.php", "/x/y.php?q=1"))
+    assert(!matches("/a/*/c", "/a/bc"))
+    assert(matches("/x$", "/x"))
+    assert(!matches("/x$", "/xy"))
+    assert(matches("/*.php$", "/dir/page.php"))
+    assert(!matches("/*.php$", "/dir/page.php?q=1"))
+    assert(matches("/*$", "/anything"))
+    // '$' not at pattern end is a literal octet
+    assert(matches("/a$b", "/a$b/c"))
+    assert(!matches("/a$b", "/ab"))
+    // empty pattern prefixes everything; '*' alone too
+    assert(matches("", "/x"))
+    assert(matches("*", "/x"))
+  }
+
+  test("group selection: longest agent-token prefix wins; * is fallback") {
+    val r = parse(
+      """User-agent: *
+        |Disallow: /all
+        |User-agent: graft
+        |Disallow: /g
+        |User-agent: graftbot
+        |Disallow: /gb
+        |""".stripMargin)
+    assert(selectGroup(r, "graftbot/1.0").get.rules.head.pattern == "/gb")
+    assert(selectGroup(r, "graftling/9").get.rules.head.pattern == "/g")
+    assert(selectGroup(r, "otherbot").get.rules.head.pattern == "/all")
+    assert(selectGroup(r, "GRAFTBOT/2").get.rules.head.pattern == "/gb")
+    val noStar = parse("User-agent: x\nDisallow: /\n")
+    assert(selectGroup(noStar, "y").isEmpty)
+    assert(decide(noStar, "y", "/anything") == (true, None))
+  }
+
+  test("decide: longest match wins, ties break to allow, empty disallow") {
+    val r = parse(
+      """User-agent: *
+        |Disallow: /p
+        |Allow: /p/ok
+        |Disallow: /p/ok
+        |""".stripMargin)
+    // /p/ok: allow and disallow tie at length 5 -> allow
+    assert(decide(r, "bot", "/p/ok/x") == (true, Some("/p/ok")))
+    assert(decide(r, "bot", "/p/no") == (false, Some("/p")))
+    assert(decide(r, "bot", "/q") == (true, None))
+    val empty = parse("User-agent: *\nDisallow:\n")
+    assert(decide(empty, "bot", "/anything") == (true, None))
+  }
+
+  test("planted truth table: both agents across all four paths") {
+    for (id <- 0L until 16L; p <- 0 until 4) {
+      val robots = parse(RobotsFixtures.robotsTxt(id))
+      val agent = RobotsFixtures.agent(id)
+      val (allowed, pat) = decide(robots, agent, RobotsFixtures.Paths(p))
+      if (id % 2 == 0) { // graftbot group
+        assert(allowed == (p != 3), s"id=$id p=$p")
+        assert(pat.contains(if (p == 3) "/tmp/*" else "/"))
+        assert(selectGroup(robots, agent).get.crawlDelay.isEmpty)
+      } else { // * group
+        assert(allowed == (p != 1), s"id=$id p=$p")
+        val expectPat = p match {
+          case 1 => Some("/private")
+          case 2 => Some("/private/ok$")
+          case _ => None
+        }
+        assert(pat == expectPat, s"id=$id p=$p")
+        assert(selectGroup(robots, agent).get.crawlDelay
+          .contains((id % 7 + 1).toDouble))
+      }
+      assert(robots.sitemaps == Seq(s"http://example$id.com/sitemap.xml"))
+    }
+  }
+
+  test("fuzz: junk policies and paths never throw") {
+    val rnd = new scala.util.Random(9309)
+    val chars = "Uabc:/*$#\n\r -.?=&\t"
+    for (_ <- 0 until 2000) {
+      val s = (0 until rnd.nextInt(120)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+      val r = parse(s)
+      decide(r, "graftbot", "/a/b*c$")
+      decide(r, "", "")
+      matches(s.take(20), "/x/y")
+    }
+  }
+}

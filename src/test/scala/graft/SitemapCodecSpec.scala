@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sitemap parse semantics held to the planted fixtures and hand
+  * documents.
+  */
+class SitemapCodecSpec extends AnyFunSuite {
+  import SitemapCodec._
+
+  test("planted urlset fixtures: entries, hints, priority exact") {
+    for (id <- 1L until 24L if !SitemapFixtures.isIndex(id)) {
+      val es = parse(SitemapFixtures.xml(id))
+      assert(es.length == SitemapFixtures.nUrls(id), s"id=$id")
+      for ((e, u) <- es.zipWithIndex) {
+        assert(e.loc == SitemapFixtures.loc(id, u)) // &amp; decoded
+        assert(e.lastmod == SitemapFixtures.lastmod(id, u))
+        assert(e.changefreq == SitemapFixtures.changefreq(id, u))
+        assert(e.priority.contains(SitemapFixtures.priority(id, u)))
+        assert(!e.fromIndex)
+      }
+    }
+  }
+
+  test("planted index fixtures: child sitemaps, no urlset fields") {
+    for (id <- Seq(0L, 5L, 10L, 15L)) {
+      val es = parse(SitemapFixtures.xml(id))
+      assert(es.length == 2)
+      for ((e, u) <- es.zipWithIndex) {
+        assert(e.loc == s"http://example$id.com/sitemap$u.xml")
+        assert(e.lastmod == SitemapFixtures.lastmod(id, u))
+        assert(e.changefreq == "" && e.priority.isEmpty && e.fromIndex)
+      }
+    }
+  }
+
+  test("loc-less entries drop; whitespace trims; bad priority is null") {
+    val es = parse(
+      """<urlset>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |<url><loc>  http://h/a  </loc><priority>high</priority></url>
+        |<url><loc>http://h/b</loc><priority>0.8</priority></url>
+        |</urlset>""".stripMargin)
+    assert(es.length == 2)
+    assert(es(0).loc == "http://h/a" && es(0).priority.isEmpty)
+    assert(es(1).priority.contains(0.8))
+  }
+
+  test("elements outside url/sitemap entries contribute nothing") {
+    val es = parse("<urlset><loc>http://stray/</loc>" +
+      "<url><loc>http://h/x</loc></url></urlset>")
+    assert(es.map(_.loc) == Seq("http://h/x"))
+  }
+
+  test("fuzz: junk and truncations never throw") {
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 0 until 300) {
+      val full = SitemapFixtures.xml(rnd.nextInt(32).toLong)
+      parse(full.substring(0, rnd.nextInt(full.length)))
+      val chars = "<>/ulrocsitemapx&#;\"= \n"
+      parse((0 until rnd.nextInt(80))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The XLSX chain held to the planted fixtures, the typed-cell
+  * semantics, reference parsing, and hostile input.
+  */
+class XlsxCodecSpec extends AnyFunSuite {
+  import XlsxCodec._
+
+  test("planted fixtures: sheets, rows, typed cells exact") {
+    for (id <- 0L until 24L) {
+      val cells = extractCells(XlsxFixtures.xlsxBytes(id))
+      val nS = XlsxFixtures.nSheets(id)
+      val nR = XlsxFixtures.nRows(id)
+      val expected = nS * nR * 2 + nS * (0 until nR).count(_ % 2 == 1)
+      assert(cells.length == expected, s"id=$id")
+      for (s <- 0 until nS; r <- 0 until nR) {
+        val a = cells.find(c => c.sheet == s && c.row == r && c.col == 0).get
+        assert(!a.isNumber && a.value == XlsxFixtures.stringCell(id, s, r))
+        val b = cells.find(c => c.sheet == s && c.row == r && c.col == 1).get
+        assert(b.isNumber &&
+          b.value == XlsxFixtures.numberCell(id, s, r).toString)
+        val c3 = cells.find(c => c.sheet == s && c.row == r && c.col == 2)
+        if (r % 2 == 1) assert(c3.get.value == s"inline note $r" && !c3.get.isNumber)
+        else assert(c3.isEmpty)
+        // the style-only D cell emits nothing
+        assert(!cells.exists(c => c.sheet == s && c.row == r && c.col == 3))
+      }
+    }
+  }
+
+  test("cell references: base-26 columns, 0-based conversion, malformed") {
+    assert(parseRef("A1").contains((0, 0)))
+    assert(parseRef("B3").contains((2, 1)))
+    assert(parseRef("Z10").contains((9, 25)))
+    assert(parseRef("AA1").contains((0, 26)))
+    assert(parseRef("AZ2").contains((1, 51)))
+    assert(parseRef("BA2").contains((1, 52)))
+    assert(parseRef("1").isEmpty)
+    assert(parseRef("A").isEmpty)
+    assert(parseRef("A0").isEmpty)
+    assert(parseRef("A1B").isEmpty)
+    assert(parseRef("").isEmpty)
+    assert(parseRef("AAAAAAAAAAAA99").isEmpty) // over-long column run
+    assert(parseRef("A99999999999999").isEmpty) // over-long row digits
+  }
+
+  test("shared strings: rich-text runs concatenate, entities decode") {
+    val xml = "<sst><si><t>plain &amp; one</t></si>" +
+      "<si><r><t>ri</t></r><r><t>ch</t></r></si><si/></sst>"
+    assert(sharedStrings(xml) == Vector("plain & one", "rich", ""))
+  }
+
+  test("out-of-range shared index and unknown type skip the cell only") {
+    val sheet = """<sheetData><row r="1">""" +
+      """<c r="A1" t="s"><v>99</v></c>""" +
+      """<c r="B1" t="e"><v>#REF!</v></c>""" +
+      """<c r="C1"><v>7</v></c></row></sheetData>"""
+    val cells = sheetCells(sheet, Vector("only"))
+    assert(cells == Seq(Cell(0, 0, 2, "7", isNumber = true)))
+  }
+
+  test("formula string results (t=str) and booleans surface as strings") {
+    val sheet = """<sheetData><row r="2">""" +
+      """<c r="A2" t="str"><v>computed</v></c>""" +
+      """<c r="B2" t="b"><v>1</v></c></row></sheetData>"""
+    val cells = sheetCells(sheet, Vector.empty)
+    assert(cells == Seq(Cell(0, 1, 0, "computed", isNumber = false),
+      Cell(0, 1, 1, "1", isNumber = false)))
+  }
+
+  test("sheets order numerically; an over-long suffix skips that part") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    for (n <- Seq("10", "2", "1", "99999999999")) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"xl/worksheets/sheet$n.xml"))
+      zos.write((s"""<sheetData><row r="1"><c r="A1"><v>$n</v></c>""" +
+        "</row></sheetData>").getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    val cells = XlsxCodec.extractCells(bos.toByteArray)
+    assert(cells.map(_.value) == Seq("1", "2", "10"))
+    assert(cells.map(_.sheet) == Seq(0, 1, 2))
+  }
+
+  test("non-xlsx zips and junk yield no cells, never throw") {
+    assert(extractCells(DocxFixtures.docxBytes(3L)).isEmpty)
+    assert(extractCells("not a zip".getBytes("UTF-8")).isEmpty)
+    val rnd = new scala.util.Random(4711)
+    for (_ <- 0 until 200) {
+      val b = XlsxFixtures.xlsxBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      extractCells(b)
+      val full = XlsxFixtures.xlsxBytes(rnd.nextInt(32).toLong)
+      extractCells(java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
+    }
+  }
+}
