@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** EPUB text extraction — book corpora are the long-document stratum
+  * of an LLM training mix, and EPUB (OCF/OPF, ISO 22424) is their
+  * dominant carrier: a ZIP whose `META-INF/container.xml` names an OPF
+  * package document whose `<spine>` orders the XHTML chapters.
+  *
+  * The chain composes three existing walks without new machinery:
+  * [[ZipCodec.entriesWhere]] (only container/OPF/markup members are
+  * inflated — cover art and fonts are not), the [[XlsxCodec.attr]]
+  * tag-attribute scan for the OPF manifest/spine, and
+  * [[WarcCodec.htmlToText]] for the chapter markup.
+  *
+  * Extraction semantics:
+  *   - chapter ORDER is spine order (`<itemref idref>`), not manifest
+  *     or zip order;
+  *   - manifest items absent from the spine (covers, TOC decoys) emit
+  *     nothing;
+  *   - hrefs resolve relative to the OPF's directory;
+  *   - a missing/rotted chapter member or unknown idref skips that
+  *     chapter, not the book.
+  */
+object EpubCodec {
+
+  private def isMarkup(n: String): Boolean =
+    n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm")
+
+  /** (href, text) per spine chapter; Nil when not EPUB-shaped. */
+  def extractChapters(b: Array[Byte]): Seq[(String, String)] = try {
+    val members = ZipCodec.entriesWhere(b, n =>
+      n == "META-INF/container.xml" || n.endsWith(".opf") || isMarkup(n))
+    def data(name: String): Option[String] =
+      members.find(_.name == name).flatMap(_.data)
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+
+    val opfPath = data("META-INF/container.xml").flatMap(rootfilePath)
+    opfPath.toSeq.flatMap { path =>
+      val opfDir = {
+        val slash = path.lastIndexOf('/')
+        if (slash < 0) "" else path.substring(0, slash + 1)
+      }
+      data(path).toSeq.flatMap { opf =>
+        val (manifest, spine) = parseOpf(opf)
+        spine.flatMap { idref =>
+          manifest.get(idref).flatMap { href =>
+            val full = if (href.startsWith("/")) href.substring(1)
+            else opfDir + href
+            data(full).map(html => (href, WarcCodec.htmlToText(html)))
+          }
+        }
+      }
+    }
+  } catch { case _: RuntimeException => Nil }
+
+  /** The first `<rootfile full-path=...>` of a container document. */
+  private[functions] def rootfilePath(xml: String): Option[String] =
+    scanTags(xml).collectFirst {
+      case tag if DocxCodec.tagNameIs(tag, "rootfile") =>
+        XlsxCodec.attr(tag, "full-path")
+    }.flatten
+
+  /** (manifest id → href, spine idrefs in order). */
+  private[functions] def parseOpf(xml: String): (Map[String, String], Seq[String]) = {
+    val manifest = Map.newBuilder[String, String]
+    val spine = Seq.newBuilder[String]
+    for (tag <- scanTags(xml)) {
+      if (DocxCodec.tagNameIs(tag, "item")) {
+        for (id <- XlsxCodec.attr(tag, "id");
+             href <- XlsxCodec.attr(tag, "href"))
+          manifest += id -> DocxCodec.decodeEntities(href)
+      } else if (DocxCodec.tagNameIs(tag, "itemref")) {
+        XlsxCodec.attr(tag, "idref").foreach(spine += _)
+      }
+    }
+    (manifest.result(), spine.result())
+  }
+
+  /** Raw tag bodies in document order (comments skipped). */
+  private def scanTags(xml: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (xml.startsWith("<!--", lt)) {
+        val end = xml.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) i = n
+        else { out += xml.substring(lt + 1, gt); i = gt + 1 }
+      }
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per spine chapter: (doc_id, chapter_idx, href, text,
+    * n_chars). Zero-shuffle partition walk.
+    */
+  def extractText(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        extractChapters(bytes).zipWithIndex.map { case ((href, text), c) =>
+          (id, c.toLong, href, text, text.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "chapter_idx", "href", "text", "n_chars")
+  }
+}
+
+/** Planted EPUB fixtures: a real OCF zip (mimetype, container.xml, an
+  * OPF under OEBPS/) with `id mod 3 + 1` spine chapters. The manifest
+  * lists the chapters in REVERSE plus a cover decoy that is not on the
+  * spine; chapter k's markup extracts exactly
+  * `"epub doc <id> chapter <k> body & more"`.
+  */
+object EpubFixtures {
+
+  def nChapters(id: Long): Int = (id % 3 + 1).toInt
+
+  def chapterText(id: Long, k: Int): String =
+    s"epub doc $id chapter $k body & more"
+
+  def epubBytes(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def member(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    member("mimetype", "application/epub+zip")
+    member("META-INF/container.xml",
+      """<?xml version="1.0"?><container version="1.0" """ +
+        """xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+        """<rootfiles><rootfile full-path="OEBPS/content.opf" """ +
+        """media-type="application/oebps-package+xml"/></rootfiles></container>""")
+    val n = nChapters(id)
+    val opf = new StringBuilder
+    opf.append("""<?xml version="1.0"?><package version="3.0"><manifest>""")
+    opf.append("""<item id="cover" href="cover.xhtml" media-type="application/xhtml+xml"/>""")
+    for (k <- (n - 1) to 0 by -1) // reverse: spine order must win
+      opf.append(s"""<item id="c$k" href="chap$k.xhtml" media-type="application/xhtml+xml"/>""")
+    opf.append("</manifest><spine>")
+    for (k <- 0 until n) opf.append(s"""<itemref idref="c$k"/>""")
+    opf.append("</spine></package>")
+    member("OEBPS/content.opf", opf.toString)
+    member("OEBPS/cover.xhtml",
+      "<html><body><p>decoy cover not on the spine</p></body></html>")
+    for (k <- 0 until n)
+      member(s"OEBPS/chap$k.xhtml",
+        s"<html><head><style>p{margin:0}</style></head><body>" +
+          s"<p>epub doc $id chapter $k body &amp; more</p></body></html>")
+    zos.close()
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** HTML main-content extraction (boilerplate removal) — the curation
+  * step between "strip the tags" ([[WarcCodec.htmlToText]]) and an LLM
+  * training corpus: navigation chrome, link farms, and teaser stubs
+  * are noise that survives naive tag-stripping and poisons dedup and
+  * quality statistics downstream.
+  *
+  * The heuristic is the block-segmentation + link-density core of the
+  * boilerpipe family (Kohlschütter et al., WSDM 2010), made fully
+  * deterministic so a DuckDB oracle can replay it:
+  *
+  *   - the page splits into text BLOCKS at block-level tags (p, div,
+  *     headings, list/table elements, section containers, br/hr);
+  *     inline markup (a, b, i, em, span, ...) does NOT split a block;
+  *   - `<script>`/`<style>`/`<noscript>` subtrees and comments vanish;
+  *   - blocks inside structural chrome containers (head, nav, header,
+  *     footer, aside) are boilerplate regardless of their text;
+  *   - a surviving block is CONTENT iff it carries at least `minWords`
+  *     whitespace words AND its link density (chars contributed inside
+  *     `<a>` over total chars, both measured on the whitespace-
+  *     collapsed decoded text) is at most `maxLinkDensity` — the
+  *     word floor kills teaser stubs, the density ceiling kills link
+  *     farms and nav strips that escaped a chrome container;
+  *   - main text = content blocks joined with newlines, in order.
+  *
+  * Entities decode through [[DocxCodec.decodeEntities]]. One
+  * zero-shuffle partition pass like every codec walk.
+  */
+object HtmlContent {
+
+  final case class Block(text: String, words: Int, linkDensity: Double,
+      inChrome: Boolean)
+
+  private val BlockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5",
+    "h6", "ul", "ol", "li", "dl", "dt", "dd", "table", "thead", "tbody",
+    "tr", "td", "th", "article", "section", "main", "header", "footer",
+    "nav", "aside", "blockquote", "pre", "br", "hr", "form", "body",
+    "html", "title", "figure", "figcaption")
+
+  private val ChromeTags = Set("head", "nav", "header", "footer", "aside")
+
+  private val SkipSubtree = Set("script", "style", "noscript")
+
+  /** All nonempty text blocks of the page, in document order. */
+  def blocks(html: String): Seq[Block] = {
+    val out = scala.collection.mutable.ArrayBuffer[Block]()
+    val all = new StringBuilder
+    val link = new StringBuilder
+    var chromeDepth = 0
+    var aDepth = 0
+    val lower = html.toLowerCase
+    var i = 0
+    val n = html.length
+
+    def collapse(s: String): String =
+      s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+    def flush(): Unit = {
+      val text = collapse(all.toString)
+      if (text.nonEmpty) {
+        val linkText = collapse(link.toString)
+        val density =
+          if (text.isEmpty) 0.0 else linkText.length.toDouble / text.length
+        out += Block(text, text.split(' ').count(_.nonEmpty), density,
+          chromeDepth > 0)
+      }
+      all.setLength(0); link.setLength(0)
+    }
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) {
+        appendText(html.substring(i), all, link, aDepth); i = n
+      } else {
+        if (lt > i) appendText(html.substring(i, lt), all, link, aDepth)
+        if (lower.startsWith("<!--", lt)) {
+          val end = lower.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val gt = html.indexOf('>', lt)
+          if (gt < 0) i = n
+          else {
+            val body = html.substring(lt + 1, gt)
+            val closing = body.startsWith("/")
+            val name = tagName(body)
+            i = gt + 1
+            if (!closing && SkipSubtree.contains(name)) {
+              val close = lower.indexOf("</" + name, i)
+              i = if (close < 0) n
+              else {
+                val cgt = html.indexOf('>', close)
+                if (cgt < 0) n else cgt + 1
+              }
+            } else if (BlockTags.contains(name)) {
+              flush()
+              if (ChromeTags.contains(name)) {
+                if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
+                else if (!body.endsWith("/")) chromeDepth += 1
+              }
+            } else if (name == "a") {
+              if (closing) { if (aDepth > 0) aDepth -= 1 }
+              else if (!body.endsWith("/")) aDepth += 1
+            }
+            // other inline/unknown tags: no block break, no text
+          }
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  private def appendText(run: String, all: StringBuilder,
+      link: StringBuilder, aDepth: Int): Unit = {
+    val decoded = DocxCodec.decodeEntities(run)
+    all.append(decoded).append(' ')
+    if (aDepth > 0) link.append(decoded).append(' ')
+  }
+
+  private def tagName(body: String): String = {
+    var s = if (body.startsWith("/")) 1 else 0
+    var e = s
+    while (e < body.length && (body.charAt(e).isLetterOrDigit)) e += 1
+    body.substring(s, e).toLowerCase
+  }
+
+  /** (main text, kept blocks, dropped nonempty blocks). */
+  def mainContent(html: String, minWords: Int = 8,
+      maxLinkDensity: Double = 0.4): (String, Int, Int) = {
+    val bs = blocks(html)
+    val kept = bs.filter(b =>
+      !b.inChrome && b.words >= minWords && b.linkDensity <= maxLinkDensity)
+    (kept.map(_.text).mkString("\n"), kept.length, bs.length - kept.length)
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per page: (doc_id, text, n_kept, n_dropped, n_chars). */
+  def extract(pages: Dataset[(Long, String)], minWords: Int = 8,
+      maxLinkDensity: Double = 0.4): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      it.map { case (id, html) =>
+        val (text, kept, dropped) = mainContent(html, minWords, maxLinkDensity)
+        (id, text, kept.toLong, dropped.toLong, text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "n_kept", "n_dropped", "n_chars")
+  }
+}
+
+/** Planted page fixtures: a head/title, a header nav strip, an
+  * `id mod 3 + 1`-paragraph article (odd ids use a plain div container;
+  * odd paragraphs carry inline `<b>` markup that must NOT split the
+  * block), a two-word teaser stub (killed by the word floor), a pure
+  * link farm (killed by the density ceiling), an aside and a footer
+  * (killed as chrome). Main content is exactly the article paragraphs.
+  */
+object HtmlContentFixtures {
+
+  def nParas(id: Long): Int = (id % 3 + 1).toInt
+
+  def paraText(id: Long, p: Int): String =
+    s"main content doc $id para $p carries enough plain words to stay"
+
+  def page(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append("<html><head><title>site ").append(id)
+    sb.append("</title><style>body{color:red}</style></head><body>")
+    sb.append("<header><nav><a href=\"/\">Home</a> <a href=\"/x\">X</a>")
+    sb.append("</nav></header>")
+    sb.append(if (id % 2 == 1) "<div class=\"post\">" else "<article>")
+    for (p <- 0 until nParas(id)) {
+      val t = paraText(id, p)
+      if (p % 2 == 1) {
+        val cut = t.indexOf("carries")
+        sb.append("<p>").append(t.substring(0, cut))
+          .append("<b>carries</b>").append(t.substring(cut + 7)).append("</p>")
+      } else sb.append("<p>").append(t).append("</p>")
+    }
+    sb.append(if (id % 2 == 1) "</div>" else "</article>")
+    sb.append("<div>short teaser</div>")
+    sb.append("<div>")
+    for (k <- 0 until 10)
+      sb.append("<a href=\"/l").append(k).append("\">link word ").append(k)
+        .append("</a> ")
+    sb.append("</div>")
+    sb.append("<aside>related stories that would otherwise have enough ")
+    sb.append("words to pass the floor</aside>")
+    sb.append("<footer>copyright ").append(id).append("</footer>")
+    sb.append("<script>var x=\"not content\";</script>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+}

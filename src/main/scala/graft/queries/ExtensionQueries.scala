@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, Curation, Dedup, DocxCodec, DocxFixtures, GifAnimFixtures, GifCodec, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, Similarity, SitemapCodec, SitemapFixtures, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, Curation, Dedup, DocxCodec, DocxFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, Similarity, SitemapCodec, SitemapFixtures, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -4053,6 +4053,57 @@ object ExtensionQueries {
              |  END AS source,
              |  text, CAST(length(text) AS BIGINT) AS n_chars
              |FROM t""".stripMargin),
+    ),
+
+    // HTML main-content extraction (boilerpipe-style): block
+    // segmentation, chrome containers, word floor, link-density
+    // ceiling. The planted pages bury the article between a nav strip,
+    // a teaser stub, a link farm, an aside and a footer — the oracle
+    // replays exactly the surviving paragraphs.
+    QueryDef(
+      "html_main_content",
+      (s, dir) => {
+        import s.implicits._
+        HtmlContent.extract(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, HtmlContentFixtures.page(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
+             |p AS (SELECT d.doc_id, pp.p FROM d, range(0, 3) AS pp(p)
+             |    WHERE pp.p < d.np),
+             |t AS (SELECT doc_id,
+             |  string_agg('main content doc ' || doc_id || ' para ' || p ||
+             |    ' carries enough plain words to stay', chr(10)
+             |    ORDER BY p) AS text,
+             |  count(*) AS np FROM p GROUP BY doc_id)
+             |SELECT doc_id, text, CAST(np AS BIGINT) AS n_kept,
+             |  CAST(6 AS BIGINT) AS n_dropped,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM t""".stripMargin),
+    ),
+
+    // EPUB chapter extraction: OCF container -> OPF spine -> XHTML
+    // chapters through the zip walk + htmlToText; manifest decoys off
+    // the spine never surface. The oracle replays the spine-ordered
+    // planted chapters.
+    QueryDef(
+      "epub_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        EpubCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, EpubFixtures.epubBytes(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nc FROM documents),
+             |c AS (SELECT d.doc_id, cc.c FROM d, range(0, 3) AS cc(c)
+             |    WHERE cc.c < d.nc),
+             |v AS (SELECT doc_id, c,
+             |    'epub doc ' || doc_id || ' chapter ' || c || ' body & more'
+             |      AS text FROM c)
+             |SELECT doc_id, CAST(c AS BIGINT) AS chapter_idx,
+             |  'chap' || c || '.xhtml' AS href, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM v""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The EPUB chain held to the planted fixtures, spine ordering, decoy
+  * exclusion, and hostile input.
+  */
+class EpubCodecSpec extends AnyFunSuite {
+  import EpubCodec._
+
+  test("planted fixtures: spine order, chapter text exact, decoy absent") {
+    for (id <- 0L until 24L) {
+      val chapters = extractChapters(EpubFixtures.epubBytes(id))
+      assert(chapters.length == EpubFixtures.nChapters(id), s"id=$id")
+      for (((href, text), k) <- chapters.zipWithIndex) {
+        assert(href == s"chap$k.xhtml")
+        assert(text == EpubFixtures.chapterText(id, k), s"id=$id k=$k")
+      }
+      assert(!chapters.exists(_._2.contains("decoy")))
+    }
+  }
+
+  test("spine order wins over manifest and zip order") {
+    // handcrafted: manifest a,b ; spine b,a
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def member(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    member("META-INF/container.xml",
+      """<container><rootfiles><rootfile full-path="book.opf"/></rootfiles></container>""")
+    member("book.opf",
+      """<package><manifest><item id="a" href="a.html"/>""" +
+        """<item id="b" href="b.html"/></manifest>""" +
+        """<spine><itemref idref="b"/><itemref idref="a"/>""" +
+        """<itemref idref="ghost"/></spine></package>""")
+    member("a.html", "<body>first file</body>")
+    member("b.html", "<body>second file</body>")
+    zos.close()
+    val chapters = extractChapters(bos.toByteArray)
+    // ghost idref skipped; order is spine's b, a
+    assert(chapters == Seq(("b.html", "second file"), ("a.html", "first file")))
+  }
+
+  test("container and opf parsing helpers") {
+    assert(rootfilePath(
+      """<rootfiles><rootfile full-path="x/y.opf" media-type="m"/></rootfiles>""")
+      .contains("x/y.opf"))
+    assert(rootfilePath("<container/>").isEmpty)
+    val (manifest, spine) = parseOpf(
+      """<manifest><item id="i1" href="a&amp;b.xhtml"/>""" +
+        """<item href="nohref-no-id"/></manifest>""" +
+        """<spine><itemref idref="i1"/></spine>""")
+    assert(manifest == Map("i1" -> "a&b.xhtml"))
+    assert(spine == Seq("i1"))
+  }
+
+  test("non-epub zips and junk yield no chapters, never throw") {
+    assert(extractChapters(DocxFixtures.docxBytes(3L)).isEmpty)
+    assert(extractChapters("junk".getBytes("UTF-8")).isEmpty)
+    val rnd = new scala.util.Random(22424)
+    for (_ <- 0 until 200) {
+      val b = EpubFixtures.epubBytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      extractChapters(b)
+      val full = EpubFixtures.epubBytes(rnd.nextInt(32).toLong)
+      extractChapters(java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
+    }
+  }
+}

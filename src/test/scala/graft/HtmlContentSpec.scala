@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Block segmentation, chrome containers, the word floor and link
+  * density ceiling, held to the planted pages and hand cases.
+  */
+class HtmlContentSpec extends AnyFunSuite {
+  import HtmlContent._
+
+  test("planted pages: main text is exactly the article paragraphs") {
+    for (id <- 0L until 24L) {
+      val (text, kept, dropped) = mainContent(HtmlContentFixtures.page(id))
+      val expect = (0 until HtmlContentFixtures.nParas(id))
+        .map(p => HtmlContentFixtures.paraText(id, p)).mkString("\n")
+      assert(text == expect, s"id=$id")
+      assert(kept == HtmlContentFixtures.nParas(id))
+      assert(dropped == 6, s"id=$id") // title, nav, teaser, farm, aside, footer
+    }
+  }
+
+  test("inline tags do not split a block; block tags do") {
+    val bs = blocks("<p>one <b>two</b> three</p><p>four</p>")
+    assert(bs.map(_.text) == Seq("one two three", "four"))
+    val br = blocks("<div>a<br/>b</div>")
+    assert(br.map(_.text) == Seq("a", "b"))
+  }
+
+  test("chrome containers mark their blocks; nesting and unbalanced closes") {
+    val bs = blocks("<nav><p>menu</p></nav><p>real</p></footer><p>still real</p>")
+    assert(bs.find(_.text == "menu").get.inChrome)
+    assert(!bs.find(_.text == "real").get.inChrome)
+    // the stray close must not drive the depth negative
+    assert(!bs.find(_.text == "still real").get.inChrome)
+  }
+
+  test("link density: anchors measured on collapsed text") {
+    val farm = blocks("<div><a>one two</a> <a>three four</a></div>").head
+    assert(farm.linkDensity > 0.9)
+    val mixed = blocks("<p>alpha beta gamma delta <a>link</a></p>").head
+    assert(mixed.linkDensity < 0.2)
+    assert(blocks("<p>plain words</p>").head.linkDensity == 0.0)
+  }
+
+  test("script, style, noscript subtrees and comments vanish") {
+    val bs = blocks("<p>keep</p><script>drop this</script>" +
+      "<style>.x{}</style><noscript>nope</noscript><!-- gone --><p>two</p>")
+    assert(bs.map(_.text) == Seq("keep", "two"))
+    // case-insensitive close tag
+    assert(blocks("<SCRIPT>x</SCRIPT><p>y</p>").map(_.text) == Seq("y"))
+  }
+
+  test("word floor and density ceiling are configurable") {
+    val html = "<p>five words in this block</p>"
+    assert(mainContent(html, minWords = 5)._1.nonEmpty)
+    assert(mainContent(html, minWords = 6)._1.isEmpty)
+  }
+
+  test("entities decode inside blocks") {
+    assert(blocks("<p>a &amp; b &#169; &#xA9;</p>").head.text == "a & b © ©")
+  }
+
+  test("fuzz: junk and truncations never throw") {
+    val rnd = new scala.util.Random(2010)
+    for (_ <- 0 until 300) {
+      val full = HtmlContentFixtures.page(rnd.nextInt(32).toLong)
+      mainContent(full.substring(0, rnd.nextInt(full.length)))
+      val chars = "<>/pdivnahbr &#;\"=!- x"
+      mainContent((0 until rnd.nextInt(100))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }
+  }
+}
