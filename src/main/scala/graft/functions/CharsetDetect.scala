@@ -85,51 +85,67 @@ object CharsetDetect {
     else None
 
   /** `charset=` parameter of a Content-Type value; None when absent or
-    * naming an unsupported encoding.
+    * naming an unsupported encoding. The parameter name must start at
+    * a token boundary — `xcharset=` is some other parameter.
     */
   def headerCharset(contentType: String): Option[String] = {
     val lower = contentType.toLowerCase
-    val at = lower.indexOf("charset=")
-    if (at < 0) return None
-    var start = at + 8
-    var end = start
-    while (end < lower.length && lower.charAt(end) != ';' &&
-      lower.charAt(end) != ' ' && lower.charAt(end) != '"') end += 1
-    // a quoted value starts at a quote instead of ending at one
-    if (start < lower.length && lower.charAt(start) == '"') {
-      start += 1
-      end = lower.indexOf('"', start)
-      if (end < 0) return None
+    var from = 0
+    while (true) {
+      val at = lower.indexOf("charset=", from)
+      if (at < 0) return None
+      val boundary = at == 0 || {
+        val c = lower.charAt(at - 1)
+        c == ';' || c == ' ' || c == '\t'
+      }
+      if (boundary) {
+        var start = at + 8
+        var end = start
+        while (end < lower.length && lower.charAt(end) != ';' &&
+          lower.charAt(end) != ' ' && lower.charAt(end) != '"') end += 1
+        // a quoted value starts at a quote instead of ending at one
+        if (start < lower.length && lower.charAt(start) == '"') {
+          start += 1
+          end = lower.indexOf('"', start)
+          if (end < 0) return None
+        }
+        return canonical(lower.substring(start, end))
+      }
+      from = at + 1
     }
-    canonical(lower.substring(start, end))
+    None
   }
 
-  /** WHATWG prescan: `<meta charset=...>` or
-    * `http-equiv="content-type"` content charset in the first 1 KiB.
+  /** WHATWG prescan: a `charset` ATTRIBUTE of a `<meta>` tag, or the
+    * `charset=` parameter of an `http-equiv="content-type"` meta's
+    * `content` attribute, in the first 1 KiB. A "charset=" inside an
+    * unrelated attribute value (a description mentioning charsets) is
+    * NOT a declaration. A UTF-16 family declaration found by this
+    * ASCII prescan resolves to UTF-8 (WHATWG: the tag being readable
+    * as ASCII disproves the claim).
     */
   def metaCharset(b: Array[Byte]): Option[String] = {
     val head = new String(b, 0, math.min(b.length, 1024),
-      StandardCharsets.ISO_8859_1).toLowerCase
+      StandardCharsets.ISO_8859_1)
+    val headLower = head.toLowerCase
     var i = 0
     while (true) {
-      val at = head.indexOf("<meta", i)
+      val at = headLower.indexOf("<meta", i)
       if (at < 0) return None
       val gt = head.indexOf('>', at)
-      val tag = if (gt < 0) head.substring(at) else head.substring(at, gt)
-      val cs = tag.indexOf("charset=")
-      if (cs >= 0) {
-        var start = cs + 8
-        // charset="x" / charset='x' / charset=x
-        if (start < tag.length && (tag.charAt(start) == '"' || tag.charAt(start) == '\'')) {
-          val quote = tag.charAt(start)
-          start += 1
-          val end = tag.indexOf(quote, start)
-          if (end > start) return canonical(tag.substring(start, end))
-        } else {
-          var end = start
-          while (end < tag.length && !" \"';/".contains(tag.charAt(end))) end += 1
-          if (end > start) return canonical(tag.substring(start, end))
+      val tag = if (gt < 0) head.substring(at + 1)
+      else head.substring(at + 1, gt)
+      val declared: Option[String] =
+        XlsxCodec.attr(tag, "charset").flatMap(canonical).orElse {
+          XlsxCodec.attr(tag, "http-equiv")
+            .filter(_.equalsIgnoreCase("content-type"))
+            .flatMap(_ => XlsxCodec.attr(tag, "content"))
+            .flatMap(headerCharset)
         }
+      declared match {
+        case Some(cs) =>
+          return Some(if (cs.startsWith("utf-16")) "utf-8" else cs)
+        case None =>
       }
       if (gt < 0) return None
       i = gt + 1

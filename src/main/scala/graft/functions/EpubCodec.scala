@@ -24,8 +24,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object EpubCodec {
 
+  /** Content documents are constrained by media-type, not extension:
+    * `.xml` chapters are legitimate (and produced by real tools), so
+    * they inflate too. container.xml is caught by its exact name.
+    */
   private def isMarkup(n: String): Boolean =
-    n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm")
+    n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm") ||
+      n.endsWith(".xml")
 
   /** (href, text) per spine chapter; Nil when not EPUB-shaped. */
   def extractChapters(b: Array[Byte]): Seq[(String, String)] = try {
@@ -54,12 +59,15 @@ object EpubCodec {
     }
   } catch { case _: RuntimeException => Nil }
 
-  /** The first `<rootfile full-path=...>` of a container document. */
+  /** The first `<rootfile>` that actually CARRIES a full-path — a
+    * malformed or attribute-less first rendition must not shadow a
+    * valid later one.
+    */
   private[functions] def rootfilePath(xml: String): Option[String] =
-    scanTags(xml).collectFirst {
-      case tag if DocxCodec.tagNameIs(tag, "rootfile") =>
-        XlsxCodec.attr(tag, "full-path")
-    }.flatten
+    scanTags(xml).iterator
+      .filter(DocxCodec.tagNameIs(_, "rootfile"))
+      .flatMap(XlsxCodec.attr(_, "full-path"))
+      .nextOption()
 
   /** (manifest id → href, spine idrefs in order). */
   private[functions] def parseOpf(xml: String): (Map[String, String], Seq[String]) = {

@@ -36,9 +36,9 @@ object HtmlContent {
 
   private val BlockTags = Set("p", "div", "h1", "h2", "h3", "h4", "h5",
     "h6", "ul", "ol", "li", "dl", "dt", "dd", "table", "thead", "tbody",
-    "tr", "td", "th", "article", "section", "main", "header", "footer",
-    "nav", "aside", "blockquote", "pre", "br", "hr", "form", "body",
-    "html", "title", "figure", "figcaption")
+    "tr", "td", "th", "article", "section", "main", "head", "header",
+    "footer", "nav", "aside", "blockquote", "pre", "br", "hr", "form",
+    "body", "html", "title", "figure", "figcaption")
 
   private val ChromeTags = Set("head", "nav", "header", "footer", "aside")
 
@@ -86,6 +86,16 @@ object HtmlContent {
             val body = html.substring(lt + 1, gt)
             val closing = body.startsWith("/")
             val name = tagName(body)
+            // HTML self-closing is only real when the trailing slash is
+            // its own token (<br/>, <nav />): an unquoted attribute
+            // value ending in '/' (<a href=/>) is an OPEN tag, and
+            // treating it as void would let a link farm's anchors skip
+            // the link accounting entirely
+            val selfClosed = body.endsWith("/") && body.length >= 2 && {
+              val before = body.charAt(body.length - 2)
+              body.length - 1 == name.length ||
+                before.isWhitespace || before == '"' || before == '\''
+            }
             i = gt + 1
             if (!closing && SkipSubtree.contains(name)) {
               val close = lower.indexOf("</" + name, i)
@@ -98,11 +108,11 @@ object HtmlContent {
               flush()
               if (ChromeTags.contains(name)) {
                 if (closing) { if (chromeDepth > 0) chromeDepth -= 1 }
-                else if (!body.endsWith("/")) chromeDepth += 1
+                else if (!selfClosed) chromeDepth += 1
               }
             } else if (name == "a") {
               if (closing) { if (aDepth > 0) aDepth -= 1 }
-              else if (!body.endsWith("/")) aDepth += 1
+              else if (!selfClosed) aDepth += 1
             }
             // other inline/unknown tags: no block break, no text
           }

@@ -35,7 +35,11 @@ object RobotsTxt {
   final case class Robots(groups: Seq[Group], sitemaps: Seq[String])
 
   /** Lenient line parse; never throws. */
-  def parse(content: String): Robots = {
+  def parse(content0: String): Robots = {
+    // a served-with-BOM robots.txt (common) must not turn the first
+    // User-agent key into "﻿user-agent" and void its whole group
+    val content =
+      if (content0.startsWith("﻿")) content0.substring(1) else content0
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     val sitemaps = scala.collection.mutable.ArrayBuffer[String]()
     var agents = List.empty[String]
@@ -113,27 +117,41 @@ object RobotsTxt {
 
   /** The group the agent resolves to: longest agent-token prefix of the
     * (lowercased) product token; `*` has specificity 0; None = no
-    * group governs this agent.
+    * group governs this agent. ALL groups carrying the winning token
+    * merge (RFC 9309 §2.2.1 — split `User-agent: *` sections combine,
+    * they don't shadow): rules concatenate in document order, the
+    * first declared crawl delay wins.
     */
   def selectGroup(robots: Robots, agent: String): Option[Group] = {
     val a = agent.toLowerCase
-    var best: Option[Group] = None
-    var bestScore = -1
-    for (g <- robots.groups; t <- g.agents) {
-      val score =
+    def score(g: Group): Int = g.agents.foldLeft(-1) { (acc, t) =>
+      val s =
         if (t == "*") 0
         else if (a.startsWith(t)) t.length
         else -1
-      if (score > bestScore) { bestScore = score; best = Some(g) }
+      math.max(acc, s)
     }
-    best
+    val scored = robots.groups.map(g => (g, score(g)))
+    val bestScore = scored.foldLeft(-1)((acc, gs) => math.max(acc, gs._2))
+    if (bestScore < 0) None
+    else {
+      val winners = scored.collect { case (g, s) if s == bestScore => g }
+      Some(Group(winners.flatMap(_.agents), winners.flatMap(_.rules),
+        winners.flatMap(_.crawlDelay).headOption))
+    }
   }
 
   /** (allowed, matched pattern) — longest-match, tie → Allow, no match
     * or no governing group → allowed.
     */
   def decide(robots: Robots, agent: String, path: String): (Boolean, Option[String]) =
-    selectGroup(robots, agent) match {
+    decideIn(selectGroup(robots, agent), path)
+
+  /** The per-path half of [[decide]], for callers that resolve the
+    * group once and probe many paths.
+    */
+  def decideIn(group: Option[Group], path: String): (Boolean, Option[String]) =
+    group match {
       case None => (true, None)
       case Some(g) =>
         var bestLen = -1
@@ -150,18 +168,24 @@ object RobotsTxt {
 
   // ----------------------------------------------------- Spark surface
 
-  /** One row per (doc_id, robots, agent, path) probe: (doc_id, agent,
-    * path, allowed, matched_rule, crawl_delay, n_sitemaps).
+  /** One row per probed path: (doc_id, agent, path, allowed,
+    * matched_rule, crawl_delay, n_sitemaps). The policy is parsed and
+    * the group resolved ONCE per input row, then every path probes the
+    * resolved group — the shape a frontier actually has (one policy,
+    * many candidate URLs).
     */
-  def decisions(probes: Dataset[(Long, String, String, String)]): DataFrame = {
+  def decisions(probes: Dataset[(Long, String, String, Seq[String])]): DataFrame = {
     import probes.sparkSession.implicits._
     probes.mapPartitions { it =>
-      it.map { case (id, robotsTxt, agent, path) =>
+      it.flatMap { case (id, robotsTxt, agent, paths) =>
         val robots = parse(robotsTxt)
-        val (allowed, pat) = decide(robots, agent, path)
-        val delay = selectGroup(robots, agent).flatMap(_.crawlDelay)
-        (id, agent, path, allowed, pat.orNull, delay,
-          robots.sitemaps.length.toLong)
+        val group = selectGroup(robots, agent)
+        val delay = group.flatMap(_.crawlDelay)
+        val nSitemaps = robots.sitemaps.length.toLong
+        paths.map { path =>
+          val (allowed, pat) = decideIn(group, path)
+          (id, agent, path, allowed, pat.orNull, delay, nSitemaps)
+        }
       }
     }.toDF("doc_id", "agent", "path", "allowed", "matched_rule",
       "crawl_delay", "n_sitemaps")

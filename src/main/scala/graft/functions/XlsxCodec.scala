@@ -174,14 +174,48 @@ object XlsxCodec {
     out.toSeq
   }
 
-  /** `name="value"` attribute lookup inside a raw tag body. */
+  /** Attribute lookup inside a raw tag body — a real attribute
+    * TOKENIZER, not a substring search: double/single/unquoted values
+    * all occur in crawled XML/HTML, `data-charset=` must never match
+    * `charset`, and a `charset=` INSIDE another attribute's value
+    * (e.g. a meta description mentioning charsets) is not an
+    * attribute at all.
+    */
   private[functions] def attr(tag: String, name: String): Option[String] = {
-    val needle = " " + name + "=\""
-    val at = tag.indexOf(needle)
-    if (at < 0) return None
-    val start = at + needle.length
-    val end = tag.indexOf('"', start)
-    if (end < 0) None else Some(tag.substring(start, end))
+    val n = tag.length
+    val target = name.toLowerCase
+    var i = 0
+    while (i < n && !tag.charAt(i).isWhitespace) i += 1 // the tag name
+    while (i < n) {
+      while (i < n && (tag.charAt(i).isWhitespace || tag.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val ns = i
+      while (i < n && tag.charAt(i) != '=' && !tag.charAt(i).isWhitespace &&
+        tag.charAt(i) != '/') i += 1
+      val attrName = tag.substring(ns, i).toLowerCase
+      while (i < n && tag.charAt(i).isWhitespace) i += 1
+      if (i < n && tag.charAt(i) == '=') {
+        i += 1
+        while (i < n && tag.charAt(i).isWhitespace) i += 1
+        var value = ""
+        if (i < n && (tag.charAt(i) == '"' || tag.charAt(i) == '\'')) {
+          val q = tag.charAt(i)
+          val end = tag.indexOf(q, i + 1)
+          if (end < 0) { value = tag.substring(i + 1); i = n }
+          else { value = tag.substring(i + 1, end); i = end + 1 }
+        } else {
+          val vs = i
+          while (i < n && !tag.charAt(i).isWhitespace) i += 1
+          value = tag.substring(vs, i)
+        }
+        if (attrName == target) return Some(value)
+      } else {
+        // a bare (valueless) attribute
+        if (attrName == target && attrName.nonEmpty) return Some("")
+        if (i == ns) i += 1 // stray punctuation: force progress
+      }
+    }
+    None
   }
 
   /** `"B3"` → (row 2, col 1); None for malformed references. */

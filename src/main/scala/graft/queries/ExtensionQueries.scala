@@ -3955,9 +3955,8 @@ object ExtensionQueries {
         import s.implicits._
         RobotsTxt.decisions(Tables.documents(s, dir)
           .select(col("doc_id")).as[Long]
-          .flatMap(id => RobotsFixtures.Paths.indices.map(p =>
-            (id, RobotsFixtures.robotsTxt(id), RobotsFixtures.agent(id),
-              RobotsFixtures.Paths(p)))))
+          .map(id => (id, RobotsFixtures.robotsTxt(id),
+            RobotsFixtures.agent(id), RobotsFixtures.Paths: Seq[String])))
       },
       Some("""WITH pr AS (SELECT doc_id, pp.p FROM documents,
              |    range(0, 4) AS pp(p)),

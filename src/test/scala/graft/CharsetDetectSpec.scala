@@ -78,6 +78,27 @@ class CharsetDetectSpec extends AnyFunSuite {
     assert(m(" " * 1200 + "<meta charset=utf-8>").isEmpty)
   }
 
+  test("charset= inside an unrelated attribute value is not a declaration") {
+    def m(s: String) = metaCharset(s.getBytes("ISO-8859-1"))
+    assert(m("<meta name=\"description\" content=\"how to set " +
+      "charset=iso-8859-1 in Apache\">").isEmpty)
+    assert(m("<meta data-charset=\"utf-16le\">").isEmpty)
+    // ...but the REAL declaration after it still wins
+    assert(m("<meta name=\"d\" content=\"charset=koi8-r talk\">" +
+      "<meta charset=utf-8>").contains("utf-8"))
+    assert(headerCharset("text/html; xcharset=utf-16le").isEmpty)
+  }
+
+  test("a meta-declared UTF-16 resolves to UTF-8 (WHATWG prescan rule)") {
+    val b = "<meta charset=\"utf-16\"><p>plain ascii</p>".getBytes("UTF-8")
+    val (text, cs, source) = decode(b, "")
+    assert(cs == "utf-8" && source == "meta")
+    assert(text.contains("plain ascii"))
+    // header-declared utf-16 is still honored (the transport knows)
+    assert(detect("ab".getBytes("UTF-8"),
+      "text/html; charset=utf-16be")._1 == "utf-16be")
+  }
+
   test("utf-16 odd tail byte is dropped, not a replacement char") {
     val b = Array[Byte](0xFF.toByte, 0xFE.toByte, 'a', 0, 'b') // dangling 'b'
     val (text, cs, _) = decode(b, "")

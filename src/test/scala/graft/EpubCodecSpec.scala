@@ -56,6 +56,26 @@ class EpubCodecSpec extends AnyFunSuite {
     assert(spine == Seq("i1"))
   }
 
+  test("single-quoted attributes, .xml chapters, rootfile fallback") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def member(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // first rootfile carries no full-path; the second must win
+    member("META-INF/container.xml",
+      "<container><rootfiles><rootfile media-type='broken'/>" +
+        "<rootfile full-path='book.opf'/></rootfiles></container>")
+    member("book.opf",
+      "<package><manifest><item id='c1' href='ch1.xml'/></manifest>" +
+        "<spine><itemref idref='c1'/></spine></package>")
+    member("ch1.xml", "<body>xml chapter text</body>")
+    zos.close()
+    assert(extractChapters(bos.toByteArray) ==
+      Seq(("ch1.xml", "xml chapter text")))
+  }
+
   test("non-epub zips and junk yield no chapters, never throw") {
     assert(extractChapters(DocxFixtures.docxBytes(3L)).isEmpty)
     assert(extractChapters("junk".getBytes("UTF-8")).isEmpty)

@@ -50,6 +50,26 @@ class HtmlContentSpec extends AnyFunSuite {
     assert(blocks("<SCRIPT>x</SCRIPT><p>y</p>").map(_.text) == Seq("y"))
   }
 
+  test("head content is chrome even when the title is long") {
+    val html = "<head><title>Ten word SEO title describing the page " +
+      "topic in detail</title></head><body><p>real body content with " +
+      "enough words to stay put</p></body>"
+    val (text, _, _) = mainContent(html)
+    assert(text == "real body content with enough words to stay put")
+  }
+
+  test("unquoted attribute values ending in '/' do not void the anchor") {
+    // every anchor written <a href=/...> — the farm must still be
+    // measured as links and dropped
+    val farm = "<div>" + (0 until 10)
+      .map(k => s"<a href=/l$k/>farm link $k</a>").mkString(" ") + "</div>"
+    val b = blocks(farm).head
+    assert(b.linkDensity > 0.9)
+    assert(mainContent(farm)._1.isEmpty)
+    // a genuinely self-closed void tag still is void
+    assert(blocks("<p>a<br/>b</p>").map(_.text) == Seq("a", "b"))
+  }
+
   test("word floor and density ceiling are configurable") {
     val html = "<p>five words in this block</p>"
     assert(mainContent(html, minWords = 5)._1.nonEmpty)

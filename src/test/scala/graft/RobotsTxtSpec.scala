@@ -71,6 +71,34 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(decide(noStar, "y", "/anything") == (true, None))
   }
 
+  test("a leading BOM does not void the first group") {
+    val r = parse("﻿User-agent: *\nDisallow: /private\n")
+    assert(decide(r, "bot", "/private/x") == (false, Some("/private")))
+  }
+
+  test("split same-token groups combine instead of shadowing (RFC 9309 §2.2.1)") {
+    val r = parse(
+      """User-agent: *
+        |Disallow: /a
+        |
+        |User-agent: *
+        |Disallow: /b
+        |Crawl-delay: 3
+        |""".stripMargin)
+    assert(decide(r, "bot", "/a/x")._1 == false)
+    assert(decide(r, "bot", "/b/x")._1 == false)
+    assert(selectGroup(r, "bot").get.crawlDelay.contains(3.0))
+    // but a MORE specific token does not merge with *
+    val r2 = parse(
+      """User-agent: *
+        |Disallow: /a
+        |User-agent: graft
+        |Disallow: /b
+        |""".stripMargin)
+    assert(decide(r2, "graftbot", "/a/x")._1 == true)
+    assert(decide(r2, "graftbot", "/b/x")._1 == false)
+  }
+
   test("decide: longest match wins, ties break to allow, empty disallow") {
     val r = parse(
       """User-agent: *

@@ -46,6 +46,15 @@ class XlsxCodecSpec extends AnyFunSuite {
     assert(parseRef("A99999999999999").isEmpty) // over-long row digits
   }
 
+  test("attr: quote styles, token boundary, absence") {
+    assert(attr("""c r="A1" t="s"""", "r").contains("A1"))
+    assert(attr("c r='A1'", "r").contains("A1"))
+    assert(attr("meta charset=utf-8", "charset").contains("utf-8"))
+    assert(attr("meta data-charset=\"x\"", "charset").isEmpty)
+    assert(attr("c t=\"s\"", "r").isEmpty)
+    assert(attr("""item href="a b.xhtml"""", "href").contains("a b.xhtml"))
+  }
+
   test("shared strings: rich-text runs concatenate, entities decode") {
     val xml = "<sst><si><t>plain &amp; one</t></si>" +
       "<si><r><t>ri</t></r><r><t>ch</t></r></si><si/></sst>"
