@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Jupyter-notebook cell extraction — `.ipynb` files are a major code
+  * training-data carrier (code + markdown interleaved with outputs to
+  * strip). Unlike the byte-walk codecs this one is FULLY declarative:
+  * the notebook is JSON, so the parse is Spark's codegen'd `from_json`
+  * (functions-not-UDFs — no custom code runs per row) and the cell
+  * fan-out is `posexplode`. Catalyst prunes the schema to the fields
+  * projected; outputs/attachments are never materialized because they
+  * are not in the read schema.
+  *
+  * Extraction semantics (nbformat 4):
+  *   - one row per cell in document order: type, source, line count;
+  *   - `source` is either an array of lines (the on-disk norm) or one
+  *     string (legal and produced by some exporters) — both parse.
+  *     The two shapes go through SEPARATE `from_json` schemas
+  *     normalized to one struct and coalesced, because a type
+  *     mismatch inside one parse must not poison the other;
+  *   - the kernel language comes from `metadata.kernelspec.language`
+  *     with the `language_info.name` fallback, parsed independently
+  *     so a hostile `cells` value cannot take the metadata with it;
+  *   - nbformat 3 (worksheets, no top-level cells) and junk parse to
+  *     null cells → zero rows: skip the notebook, not the corpus.
+  *
+  * 100 TB posture: narrow projection, zero shuffle; `from_json` is a
+  * per-row expression inside whole-stage codegen.
+  */
+object IpynbCells {
+
+  /** nbformat-4 cells, source as line array (the dominant form). */
+  private val arrForm: StructType = StructType(Seq(
+    StructField("cells", ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", ArrayType(StringType)),
+      StructField("execution_count", LongType)))))))
+
+  /** Variant with `source` as one string (exporter-produced). */
+  private val strForm: StructType = StructType(Seq(
+    StructField("cells", ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", StringType),
+      StructField("execution_count", LongType)))))))
+
+  /** Metadata parsed on its own so cell-shape mismatches can't null it. */
+  private val metaForm: StructType = StructType(Seq(
+    StructField("metadata", StructType(Seq(
+      StructField("kernelspec", StructType(Seq(
+        StructField("language", StringType)))),
+      StructField("language_info", StructType(Seq(
+        StructField("name", StringType)))))))))
+
+  /** One row per cell: (doc_id, cell_idx, cell_type, language, source,
+    * execution_count, n_lines, n_chars).
+    */
+  def cells(payloads: Dataset[(Long, String)]): DataFrame = {
+    val parsed = payloads.toDF("doc_id", "json").select(
+      col("doc_id"),
+      from_json(col("json"), arrForm).as("nba"),
+      from_json(col("json"), strForm).as("nbs"),
+      from_json(col("json"), metaForm).as("nbm"))
+
+    // normalize both source shapes to string, then prefer the array
+    // form; per-CELL null sources (a mixed-shape notebook) fall back
+    // to the string parse at the same position
+    val norm = parsed.select(
+      col("doc_id"),
+      coalesce(
+        col("nbm.metadata.kernelspec.language"),
+        col("nbm.metadata.language_info.name")).as("language"),
+      coalesce(
+        transform(col("nba.cells"), c => struct(
+          c.getField("cell_type").as("cell_type"),
+          when(c.getField("source").isNotNull,
+            concat_ws("", c.getField("source"))).as("source"),
+          c.getField("execution_count").as("execution_count"))),
+        col("nbs.cells")).as("cells"),
+      col("nbs.cells").as("scells"))
+
+    norm
+      .select(col("doc_id"), col("language"), col("scells"),
+        posexplode_outer(col("cells")).as(Seq("cell_idx", "cell")))
+      .where(col("cell").isNotNull)
+      .select(
+        col("doc_id"),
+        col("cell_idx").cast("long").as("cell_idx"),
+        col("cell.cell_type").as("cell_type"),
+        col("language"),
+        coalesce(
+          col("cell.source"),
+          element_at(col("scells"), (col("cell_idx") + 1).cast("int"))
+            .getField("source"),
+          lit("")).as("source"),
+        col("cell.execution_count").as("execution_count"))
+      .withColumn("n_lines",
+        when(col("source") === "", lit(0L)).otherwise(
+          (length(col("source")) -
+            length(replace(col("source"), lit("\n"), lit(""))) +
+            when(col("source").endsWith("\n"), lit(0)).otherwise(lit(1)))
+            .cast("long")))
+      .withColumn("n_chars", length(col("source")).cast("long"))
+  }
+}
+
+/** Planted notebook fixtures: `id mod 4 + 1` cells alternating
+  * code/markdown; cell k carries `(id + k) mod 2 + 1` source lines.
+  * Ids ≡ 3 (mod 5) ship `source` as ONE STRING (the exporter variant);
+  * ids ≡ 0 (mod 7) carry the language only in `language_info` (the
+  * kernelspec fallback path). All planted strings are JSON-safe ASCII.
+  */
+object IpynbFixtures {
+
+  def nCells(id: Long): Int = (id % 4 + 1).toInt
+  def nLines(id: Long, k: Int): Int = ((id + k) % 2 + 1).toInt
+  def cellType(k: Int): String = if (k % 2 == 0) "code" else "markdown"
+  def language(id: Long): String =
+    IndexedSeq("python", "scala", "r")((id % 3).toInt)
+  def stringForm(id: Long): Boolean = id % 5 == 3
+  def infoOnly(id: Long): Boolean = id % 7 == 0
+
+  def sourceLine(id: Long, k: Int, j: Int): String =
+    s"line $j of cell $k doc $id"
+
+  /** Joined source exactly as the extractor reconstructs it. */
+  def source(id: Long, k: Int): String =
+    (0 until nLines(id, k)).map(j =>
+      sourceLine(id, k, j) + (if (j < nLines(id, k) - 1) "\n" else ""))
+      .mkString
+
+  def json(id: Long): String = {
+    val cells = (0 until nCells(id)).map { k =>
+      val src =
+        if (stringForm(id))
+          "\"" + (0 until nLines(id, k)).map(j =>
+            sourceLine(id, k, j) +
+              (if (j < nLines(id, k) - 1) "\\n" else "")).mkString + "\""
+        else
+          (0 until nLines(id, k)).map(j =>
+            "\"" + sourceLine(id, k, j) +
+              (if (j < nLines(id, k) - 1) "\\n" else "") + "\"")
+            .mkString("[", ",", "]")
+      val exec =
+        if (cellType(k) == "code") s""""execution_count":${k + 1},""" else ""
+      s"""{"cell_type":"${cellType(k)}",$exec"source":$src,"outputs":[]}"""
+    }.mkString("[", ",", "]")
+    val meta =
+      if (infoOnly(id))
+        s"""{"language_info":{"name":"${language(id)}"}}"""
+      else
+        s"""{"kernelspec":{"name":"k1","language":"${language(id)}"},""" +
+          s""""language_info":{"name":"ignored"}}"""
+    s"""{"cells":$cells,"metadata":$meta,"nbformat":4,"nbformat_minor":5}"""
+  }
+}

@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Markdown text extraction — README/docs/forum corpora arrive as
+  * CommonMark-ish markdown, and a curation pipeline wants the PROSE
+  * (for quality scoring and dedup) separated from the fenced code (a
+  * different training stratum with different filters). The reference
+  * engine has no document pipeline (`script.js` moves API rows); this
+  * is the builder-brief text-analysis surface.
+  *
+  * Deterministic line-oriented walk, no AST: a plan-stable extraction
+  * the oracle can replay string-exactly, not a renderer.
+  *
+  * Extraction semantics:
+  *   - fenced code blocks (``` or ~~~, ≥3, CommonMark fence matching:
+  *     the closer is the same char, at least as long, nothing else on
+  *     the line) are EXCLUDED from prose; block count, line count, and
+  *     the info-string language are surfaced instead;
+  *   - ATX headings lose their `#` prefix (and optional closing run)
+  *     but keep their text; setext underlines (`===`/`---` under a
+  *     paragraph line) are dropped as markup;
+  *   - blockquote `>` markers and list markers (`-`/`*`/`+`/`N.` + a
+  *     space) strip, the item text stays;
+  *   - images `![alt](url)` keep the alt text, links `[text](url)`
+  *     keep the text; both are counted; reference-style `[text][ref]`
+  *     keeps text;
+  *   - inline code loses its backticks, emphasis loses `**`/`__`/`*`
+  *     runs (and `_` only at token edges — snake_case survives);
+  *   - thematic breaks (`---`, `***`, `___` alone) are dropped; blank
+  *     lines are dropped; surviving lines join with `\n`.
+  *
+  * 100 TB posture: pure per-blob map work inside `mapPartitions` —
+  * no shuffle, no state; scales with input splits like the WARC/PDF
+  * walks it sits beside.
+  */
+object MarkdownCodec {
+
+  final case class MdDoc(text: String, nHeadings: Long, nCodeBlocks: Long,
+      nCodeLines: Long, nLinks: Long, nImages: Long, nListItems: Long,
+      codeLangs: String)
+
+  private val Heading = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+  private val ListItem = "^\\s{0,3}(?:[-*+]|\\d{1,9}[.)])\\s+(.*)$".r
+  private val Image = "!\\[([^\\]]*)\\]\\(([^)]*)\\)".r
+  private val Link = "\\[([^\\]]*)\\]\\(([^)]*)\\)".r
+  private val RefLink = "\\[([^\\]]+)\\]\\[[^\\]]*\\]".r
+  private val InlineCode = "`+([^`]*)`+".r
+  private val Setext = "^\\s{0,3}(=+|-+)\\s*$".r
+  private val ThematicBreak = "^\\s{0,3}((\\*\\s*){3,}|(-\\s*){3,}|(_\\s*){3,})$".r
+
+  /** `_` strips only at token edges so identifiers keep their
+    * underscores; `*` always strips (it cannot appear in words).
+    */
+  private[functions] def stripEmphasis(s: String): String = {
+    val noStar = s.replace("*", "")
+    val sb = new StringBuilder(noStar.length)
+    var i = 0
+    val n = noStar.length
+    while (i < n) {
+      val c = noStar.charAt(i)
+      val edge = i == 0 || i == n - 1 ||
+        !Character.isLetterOrDigit(noStar.charAt(i - 1)) ||
+        !Character.isLetterOrDigit(noStar.charAt(i + 1))
+      if (c != '_' || !edge) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private[functions] def inline(line0: String): (String, Int, Int) = {
+    var nLinks = 0
+    var nImages = 0
+    // images BEFORE links: `![..](..)` contains a link-shaped suffix
+    var line = Image.replaceAllIn(line0, m => {
+      nImages += 1
+      java.util.regex.Matcher.quoteReplacement(m.group(1))
+    })
+    line = Link.replaceAllIn(line, m => {
+      nLinks += 1
+      java.util.regex.Matcher.quoteReplacement(m.group(1))
+    })
+    line = RefLink.replaceAllIn(line, m => {
+      nLinks += 1
+      java.util.regex.Matcher.quoteReplacement(m.group(1))
+    })
+    line = InlineCode.replaceAllIn(line,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    (stripEmphasis(line).trim, nLinks, nImages)
+  }
+
+  def extract(md: String): MdDoc = {
+    // a final newline is a line TERMINATOR: the empty split tail is not
+    // a line (it would count as a code line inside an unclosed fence)
+    val lines0 = md.split("\r?\n", -1)
+    val lines =
+      if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
+      else lines0
+    val prose = scala.collection.mutable.ArrayBuffer[String]()
+    val langs = scala.collection.mutable.ArrayBuffer[String]()
+    var nHeadings = 0L; var nCodeBlocks = 0L; var nCodeLines = 0L
+    var nLinks = 0L; var nImages = 0L; var nListItems = 0L
+    var fence: Option[(Char, Int)] = None // (fence char, run length)
+    var prevProse = false // a setext underline needs a paragraph above
+
+    def fenceRun(l: String): Option[(Char, Int, String)] = {
+      val t = l.trim
+      if (t.startsWith("```") || t.startsWith("~~~")) {
+        val c = t.charAt(0)
+        var k = 0
+        while (k < t.length && t.charAt(k) == c) k += 1
+        Some((c, k, t.substring(k).trim))
+      } else None
+    }
+
+    for (raw <- lines) {
+      fence match {
+        case Some((fc, fn)) =>
+          fenceRun(raw) match {
+            case Some((c, k, rest)) if c == fc && k >= fn && rest.isEmpty =>
+              fence = None
+            case _ => nCodeLines += 1
+          }
+          prevProse = false
+        case None =>
+          fenceRun(raw) match {
+            case Some((c, k, info)) =>
+              fence = Some((c, k))
+              nCodeBlocks += 1
+              // CommonMark: the language is the first info-string word
+              val lang = info.takeWhile(!_.isWhitespace)
+              if (lang.nonEmpty) langs += lang
+            case None =>
+              raw match {
+                case _ if raw.trim.isEmpty => prevProse = false
+                case Setext(_) if prevProse =>
+                  // the paragraph line above was really a heading; its
+                  // text is already in prose — count it, drop the rule
+                  nHeadings += 1
+                  prevProse = false
+                case ThematicBreak(_*) => prevProse = false
+                case Heading(_, body) =>
+                  nHeadings += 1
+                  val (t, l, im) = inline(body)
+                  nLinks += l; nImages += im
+                  if (t.nonEmpty) prose += t
+                  prevProse = false
+                case _ =>
+                  // strip nested blockquote markers, then a list marker
+                  var body = raw
+                  while (body.stripLeading().startsWith(">"))
+                    body = body.stripLeading().substring(1).stripPrefix(" ")
+                  body match {
+                    case ListItem(item) => nListItems += 1; body = item
+                    case _ =>
+                  }
+                  val (t, l, im) = inline(body)
+                  nLinks += l; nImages += im
+                  if (t.nonEmpty) { prose += t; prevProse = true }
+                  else prevProse = false
+              }
+          }
+      }
+    }
+    MdDoc(prose.mkString("\n"), nHeadings, nCodeBlocks, nCodeLines,
+      nLinks, nImages, nListItems, langs.mkString(","))
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per document: prose text + structure counters. */
+  def extractText(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, md) =>
+        val d = extract(md)
+        (id, d.text, d.text.length.toLong, d.nHeadings, d.nCodeBlocks,
+          d.nCodeLines, d.nLinks, d.nImages, d.nListItems, d.codeLangs)
+      }
+    }.toDF("doc_id", "text", "n_chars", "n_headings", "n_code_blocks",
+      "n_code_lines", "n_links", "n_images", "n_list_items", "code_langs")
+  }
+}
+
+/** Planted markdown fixtures: every feature fires on every document
+  * (heading, emphasis, inline code, link, image, two list forms, a
+  * blockquote, a thematic break, a setext underline) and even ids add
+  * a fenced python block of `id mod 3 + 1` lines — so the extraction
+  * truth table is non-vacuous row by row and the oracle replays the
+  * exact prose.
+  */
+object MarkdownFixtures {
+
+  def nCodeLines(id: Long): Int = (id % 3 + 1).toInt
+  def hasCode(id: Long): Boolean = id % 2 == 0
+
+  def markdown(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"# Heading doc $id ##\n\n")
+    sb.append(s"Setext title $id\n===\n\n")
+    sb.append(s"para doc $id with **bold** and `code span` plus ")
+    sb.append(s"[link $id](http://example.com/$id) and ")
+    sb.append(s"![logo $id](http://img.example.com/$id.png) tail_name\n\n")
+    if (hasCode(id)) {
+      sb.append("```python\n")
+      for (j <- 0 until nCodeLines(id)) sb.append(s"code line $j\n")
+      sb.append("```\n\n")
+    }
+    sb.append(s"- item one doc $id\n")
+    sb.append(s"2. item two doc $id\n\n")
+    sb.append("---\n\n")
+    sb.append(s"> quote doc $id & more\n")
+    sb.toString
+  }
+
+  /** The prose `extract` must produce for [[markdown]]. */
+  def expectedText(id: Long): String =
+    Seq(
+      s"Heading doc $id",
+      s"Setext title $id",
+      s"para doc $id with bold and code span plus link $id and " +
+        s"logo $id tail_name",
+      s"item one doc $id",
+      s"item two doc $id",
+      s"quote doc $id & more",
+    ).mkString("\n")
+}

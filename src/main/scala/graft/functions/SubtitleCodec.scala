@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Subtitle cue extraction (SRT + WebVTT) — the text stream PAIRED
+  * with video in a multimodal training corpus: cues carry the aligned
+  * transcript a caption/ASR pipeline trains against, and their
+  * timestamps are the alignment keys for frame sampling
+  * ([[Multimodal]] keyframes ↔ cue spans). This is the builder-brief
+  * multimodal surface; the reference has no document pipeline.
+  *
+  * Extraction semantics:
+  *   - SRT blocks: optional numeric counter line, `HH:MM:SS,mmm -->
+  *     HH:MM:SS,mmm` (dot accepted — players do), text lines until a
+  *     blank line; counter values are NOT trusted for ordering
+  *     (real-world files repeat and skip them) — document order wins;
+  *   - WebVTT: the `WEBVTT` magic (post-BOM), `NOTE`/`STYLE`/`REGION`
+  *     blocks skipped, optional cue identifier line (any non-blank
+  *     line without `-->`), `MM:SS.mmm` and `HH:MM:SS.mmm` timestamp
+  *     forms, cue settings after the end timestamp dropped;
+  *   - a malformed timestamp line drops that cue, not the file; cue
+  *     text keeps internal newlines;
+  *   - output times are integer milliseconds.
+  *
+  * 100 TB posture: pure per-blob map work in `mapPartitions`, no
+  * shuffle, no state.
+  */
+object SubtitleCodec {
+
+  final case class Cue(startMs: Long, endMs: Long, text: String)
+
+  /** `HH:MM:SS,mmm`, `HH:MM:SS.mmm`, or `MM:SS.mmm` → ms. */
+  private[functions] def parseTs(s0: String): Option[Long] = {
+    val s = s0.trim
+    val parts = s.split(':')
+    def msOf(sec: String): Option[Long] = {
+      val i = sec.indexWhere(c => c == ',' || c == '.')
+      if (i < 0) sec.toLongOption.map(_ * 1000L)
+      else for {
+        w <- sec.substring(0, i).toLongOption
+        f <- sec.substring(i + 1).toLongOption
+        if sec.length - i - 1 == 3
+      } yield w * 1000L + f
+    }
+    parts match {
+      case Array(h, m, sec) => for {
+        hh <- h.toLongOption; mm <- m.toLongOption; ss <- msOf(sec)
+        if hh >= 0 && mm >= 0 && mm < 60
+      } yield hh * 3600000L + mm * 60000L + ss
+      case Array(m, sec) => for {
+        mm <- m.toLongOption; ss <- msOf(sec)
+        if mm >= 0
+      } yield mm * 60000L + ss
+      case _ => None
+    }
+  }
+
+  /** `start --> end [settings]` → (startMs, endMs). */
+  private[functions] def parseCueTiming(line: String): Option[(Long, Long)] = {
+    val arrow = line.indexOf("-->")
+    if (arrow < 0) None
+    else {
+      val endPart = line.substring(arrow + 3).trim
+      // cue settings are space-separated after the end timestamp
+      val endTok = endPart.takeWhile(!_.isWhitespace)
+      for {
+        s <- parseTs(line.substring(0, arrow))
+        e <- parseTs(endTok)
+      } yield (s, e)
+    }
+  }
+
+  def parse(raw: String): Seq[Cue] = try {
+    val body =
+      if (raw.nonEmpty && raw.charAt(0) == '\uFEFF') raw.substring(1) else raw
+    val lines = body.split("\r?\n", -1)
+    val out = scala.collection.mutable.ArrayBuffer[Cue]()
+    val isVtt = lines.headOption.exists(_.startsWith("WEBVTT"))
+    var i = if (isVtt) 1 else 0
+    val n = lines.length
+
+    while (i < n) {
+      // skip blank separators
+      while (i < n && lines(i).trim.isEmpty) i += 1
+      if (i < n) {
+        val first = lines(i).trim
+        if (isVtt && (first.startsWith("NOTE") || first == "STYLE" ||
+          first.startsWith("REGION"))) {
+          // block comment/style: swallow until blank
+          while (i < n && lines(i).trim.nonEmpty) i += 1
+        } else {
+          // optional counter (SRT) / identifier (VTT) line
+          var timingLine = lines(i)
+          if (!timingLine.contains("-->") && i + 1 < n &&
+            lines(i + 1).contains("-->")) {
+            i += 1
+            timingLine = lines(i)
+          }
+          parseCueTiming(timingLine) match {
+            case Some((s, e)) =>
+              i += 1
+              val text = new StringBuilder
+              while (i < n && lines(i).trim.nonEmpty) {
+                if (text.nonEmpty) text.append('\n')
+                text.append(lines(i))
+                i += 1
+              }
+              out += Cue(s, e, text.toString)
+            case None =>
+              // not a cue: drop the stray line and resync
+              i += 1
+          }
+        }
+      }
+    }
+    out.toSeq
+  } catch { case _: RuntimeException => Nil }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per cue: (doc_id, cue_idx, start_ms, end_ms, dur_ms,
+    * text, n_chars) — `cue_idx` is document order.
+    */
+  def cues(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, raw) =>
+        parse(raw).zipWithIndex.map { case (c, idx) =>
+          (id, idx.toLong, c.startMs, c.endMs, c.endMs - c.startMs,
+            c.text, c.text.length.toLong)
+        }
+      }
+    }.toDF("doc_id", "cue_idx", "start_ms", "end_ms", "dur_ms", "text",
+      "n_chars")
+  }
+}
+
+/** Planted subtitle fixtures: even ids are SRT (counter lines, comma
+  * millis), odd ids are WebVTT (magic + a NOTE block; cue identifiers
+  * on even cues; `align:start` settings to strip; short `MM:SS.mmm`
+  * timestamps when the hour part is 0). `id mod 3 + 1` cues; odd cues
+  * carry a second text line.
+  */
+object SubtitleFixtures {
+
+  def nCues(id: Long): Int = (id % 3 + 1).toInt
+  def isVtt(id: Long): Boolean = id % 2 == 1
+  def hourPart(id: Long): Long = if (id % 3 == 0) 1L else 0L
+
+  def startMs(id: Long, k: Int): Long =
+    hourPart(id) * 3600000L + (id % 50) * 1000L + k * 2500L
+
+  def endMs(id: Long, k: Int): Long =
+    startMs(id, k) + 1500L + (id % 7) * 100L
+
+  def cueText(id: Long, k: Int): String =
+    s"subtitle doc $id cue $k" +
+      (if (k % 2 == 1) s"\nsecond line $k" else "")
+
+  private def fmt(ms: Long, sep: Char, short: Boolean): String = {
+    val h = ms / 3600000L
+    val m = (ms % 3600000L) / 60000L
+    val s = (ms % 60000L) / 1000L
+    val f = ms % 1000L
+    if (short && h == 0) f"$m%02d:$s%02d$sep$f%03d"
+    else f"$h%02d:$m%02d:$s%02d$sep$f%03d"
+  }
+
+  def subtitle(id: Long): String = {
+    val sb = new StringBuilder
+    if (isVtt(id)) {
+      sb.append("WEBVTT\n\n")
+      sb.append("NOTE\nthis comment block must not surface\n\n")
+      for (k <- 0 until nCues(id)) {
+        if (k % 2 == 0) sb.append(s"cue-ident-$k\n")
+        sb.append(fmt(startMs(id, k), '.', short = true))
+        sb.append(" --> ")
+        sb.append(fmt(endMs(id, k), '.', short = true))
+        sb.append(" align:start position:10%\n")
+        sb.append(cueText(id, k)).append("\n\n")
+      }
+    } else {
+      for (k <- 0 until nCues(id)) {
+        sb.append(s"${k + 1}\n")
+        sb.append(fmt(startMs(id, k), ',', short = false))
+        sb.append(" --> ")
+        sb.append(fmt(endMs(id, k), ',', short = false))
+        sb.append("\n")
+        sb.append(cueText(id, k)).append("\n\n")
+      }
+    }
+    sb.toString
+  }
+}

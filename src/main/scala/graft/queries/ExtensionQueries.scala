@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, Curation, Dedup, DocxCodec, DocxFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, Similarity, SitemapCodec, SitemapFixtures, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, Curation, Dedup, DocxCodec, DocxFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, IpynbCells, IpynbFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, Similarity, SitemapCodec, SitemapFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -4103,6 +4103,111 @@ object ExtensionQueries {
              |  'chap' || c || '.xhtml' AS href, text,
              |  CAST(length(text) AS BIGINT) AS n_chars
              |FROM v""".stripMargin),
+    ),
+
+    // Markdown prose extraction + structure counters: every feature
+    // fires on every doc (ATX + setext headings, emphasis, inline
+    // code, link, image, both list forms, blockquote, thematic break)
+    // and even ids add a fenced python block — the oracle replays the
+    // exact surviving prose and every counter.
+    QueryDef(
+      "md_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        MarkdownCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, MarkdownFixtures.markdown(id))))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  'Heading doc ' || doc_id || chr(10) ||
+             |  'Setext title ' || doc_id || chr(10) ||
+             |  'para doc ' || doc_id ||
+             |    ' with bold and code span plus link ' || doc_id ||
+             |    ' and logo ' || doc_id || ' tail_name' || chr(10) ||
+             |  'item one doc ' || doc_id || chr(10) ||
+             |  'item two doc ' || doc_id || chr(10) ||
+             |  'quote doc ' || doc_id || ' & more' AS text
+             |  FROM documents)
+             |SELECT doc_id, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(2 AS BIGINT) AS n_headings,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_code_blocks,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 1 ELSE 0 END
+             |    AS BIGINT) AS n_code_lines,
+             |  CAST(1 AS BIGINT) AS n_links,
+             |  CAST(1 AS BIGINT) AS n_images,
+             |  CAST(2 AS BIGINT) AS n_list_items,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'python' ELSE '' END
+             |    AS code_langs
+             |FROM t""".stripMargin),
+    ),
+
+    // Jupyter-notebook cell fan-out — fully declarative (from_json +
+    // posexplode, zero custom row code): both source shapes (line
+    // array / one string), the kernelspec->language_info fallback,
+    // markdown cells with null execution_count. The oracle replays the
+    // planted cell grid.
+    QueryDef(
+      "ipynb_extract_cells",
+      (s, dir) => {
+        import s.implicits._
+        IpynbCells.cells(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, IpynbFixtures.json(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nc FROM documents),
+             |c AS (SELECT d.doc_id, kk.k FROM d, range(0, 4) AS kk(k)
+             |    WHERE kk.k < d.nc),
+             |src AS (SELECT doc_id, k,
+             |  CASE WHEN (doc_id + k) % 2 = 0
+             |    THEN 'line 0 of cell ' || k || ' doc ' || doc_id
+             |    ELSE 'line 0 of cell ' || k || ' doc ' || doc_id ||
+             |      chr(10) || 'line 1 of cell ' || k || ' doc ' || doc_id
+             |  END AS source,
+             |  CAST((doc_id + k) % 2 + 1 AS BIGINT) AS n_lines FROM c)
+             |SELECT doc_id, CAST(k AS BIGINT) AS cell_idx,
+             |  CASE WHEN k % 2 = 0 THEN 'code' ELSE 'markdown' END
+             |    AS cell_type,
+             |  CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'scala'
+             |    ELSE 'r' END AS language,
+             |  source,
+             |  CASE WHEN k % 2 = 0 THEN CAST(k + 1 AS BIGINT)
+             |    ELSE NULL END AS execution_count,
+             |  n_lines,
+             |  CAST(length(source) AS BIGINT) AS n_chars
+             |FROM src""".stripMargin),
+    ),
+
+    // Subtitle cue extraction (SRT on even ids, WebVTT on odd): both
+    // timestamp forms, counter/identifier lines, NOTE blocks, cue
+    // settings, multi-line cue text. The oracle replays the planted
+    // millisecond arithmetic and cue strings.
+    QueryDef(
+      "subtitle_cues",
+      (s, dir) => {
+        import s.implicits._
+        SubtitleCodec.cues(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, SubtitleFixtures.subtitle(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nc FROM documents),
+             |c AS (SELECT d.doc_id, kk.k FROM d, range(0, 3) AS kk(k)
+             |    WHERE kk.k < d.nc),
+             |t AS (SELECT doc_id, k,
+             |  (CASE WHEN doc_id % 3 = 0 THEN 3600000 ELSE 0 END) +
+             |    (doc_id % 50) * 1000 + k * 2500 AS start_ms,
+             |  'subtitle doc ' || doc_id || ' cue ' || k ||
+             |    CASE WHEN k % 2 = 1 THEN chr(10) || 'second line ' || k
+             |      ELSE '' END AS text
+             |  FROM c)
+             |SELECT doc_id, CAST(k AS BIGINT) AS cue_idx,
+             |  CAST(start_ms AS BIGINT) AS start_ms,
+             |  CAST(start_ms + 1500 + (doc_id % 7) * 100 AS BIGINT)
+             |    AS end_ms,
+             |  CAST(1500 + (doc_id % 7) * 100 AS BIGINT) AS dur_ms,
+             |  text, CAST(length(text) AS BIGINT) AS n_chars
+             |FROM t""".stripMargin),
     ),
   )
 }

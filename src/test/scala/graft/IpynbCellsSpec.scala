@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{IpynbCells, IpynbFixtures}
+
+/** The declarative notebook parse held to the planted fixtures and the
+  * shape variants from_json must survive.
+  */
+class IpynbCellsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, String)]) =
+    IpynbCells.cells(spark.createDataset(pairs))
+      .orderBy("doc_id", "cell_idx").collect()
+
+  test("planted fixtures: cell grid exact over both source shapes") {
+    val got = run((0L until 36L).map(id => (id, IpynbFixtures.json(id))))
+    var i = 0
+    for (id <- 0L until 36L; k <- 0 until IpynbFixtures.nCells(id)) {
+      val r = got(i); i += 1
+      assert(r.getLong(0) == id && r.getLong(1) == k.toLong, s"id=$id k=$k")
+      assert(r.getString(2) == IpynbFixtures.cellType(k))
+      assert(r.getString(3) == IpynbFixtures.language(id), s"id=$id")
+      assert(r.getString(4) == IpynbFixtures.source(id, k), s"id=$id k=$k")
+      if (IpynbFixtures.cellType(k) == "code")
+        assert(r.getLong(5) == k + 1L)
+      else assert(r.isNullAt(5))
+      assert(r.getLong(6) == IpynbFixtures.nLines(id, k).toLong)
+      assert(r.getLong(7) == IpynbFixtures.source(id, k).length.toLong)
+    }
+    assert(i == got.length)
+  }
+
+  test("junk, nbformat-3, and empty notebooks yield zero rows") {
+    val got = run(Seq(
+      (1L, "not json at all"),
+      (2L, """{"worksheets":[{"cells":[{"cell_type":"code"}]}]}"""),
+      (3L, """{"cells":[]}"""),
+      (4L, "")))
+    assert(got.isEmpty)
+  }
+
+  test("string-form source parses via the fallback schema") {
+    val got = run(Seq((7L,
+      """{"cells":[{"cell_type":"code","source":"a\nb"}],""" +
+        """"metadata":{"kernelspec":{"language":"python"}}}""")))
+    assert(got.length == 1)
+    assert(got(0).getString(4) == "a\nb")
+    assert(got(0).getLong(6) == 2L)
+    assert(got(0).getString(3) == "python")
+  }
+
+  test("trailing-newline source counts terminated lines") {
+    val got = run(Seq((8L,
+      """{"cells":[{"cell_type":"code","source":["x\n","y\n"]}]}""")))
+    assert(got(0).getString(4) == "x\ny\n")
+    assert(got(0).getLong(6) == 2L)
+    assert(got(0).isNullAt(3)) // no metadata: language null, row kept
+  }
+
+  test("language_info fallback only when kernelspec absent") {
+    val got = run(Seq(
+      (1L, """{"cells":[{"cell_type":"code","source":["s"]}],""" +
+        """"metadata":{"language_info":{"name":"r"}}}""")))
+    assert(got(0).getString(3) == "r")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The markdown walk held to the planted fixtures, the per-feature
+  * stripping rules, fence matching, and hostile input.
+  */
+class MarkdownCodecSpec extends AnyFunSuite {
+  import MarkdownCodec._
+
+  test("planted fixtures: prose exact, every counter") {
+    for (id <- 0L until 24L) {
+      val d = extract(MarkdownFixtures.markdown(id))
+      assert(d.text == MarkdownFixtures.expectedText(id), s"id=$id")
+      assert(d.nHeadings == 2, s"id=$id") // ATX + setext
+      assert(d.nLinks == 1 && d.nImages == 1 && d.nListItems == 2)
+      if (MarkdownFixtures.hasCode(id)) {
+        assert(d.nCodeBlocks == 1)
+        assert(d.nCodeLines == MarkdownFixtures.nCodeLines(id))
+        assert(d.codeLangs == "python")
+      } else {
+        assert(d.nCodeBlocks == 0 && d.nCodeLines == 0 && d.codeLangs == "")
+      }
+    }
+  }
+
+  test("fence matching: closer must match char and length, info ignored") {
+    // 4-backtick fence is not closed by a 3-backtick line
+    val d = extract("````\ncode\n```\nstill code\n````\nafter\n")
+    assert(d.nCodeBlocks == 1 && d.nCodeLines == 3)
+    assert(d.text == "after")
+    // tilde fence is not closed by backticks
+    val d2 = extract("~~~\ncode\n```\n~~~\nprose\n")
+    assert(d2.nCodeBlocks == 1 && d2.nCodeLines == 2 && d2.text == "prose")
+    // unterminated fence: everything after is code, not prose
+    val d3 = extract("prose\n```scala\nval x = 1\n")
+    assert(d3.text == "prose" && d3.nCodeLines == 1 && d3.codeLangs == "scala")
+    // info string: first word only
+    val d4 = extract("```python title=x\npass\n```\n")
+    assert(d4.codeLangs == "python")
+  }
+
+  test("inline rules: images before links, ref links, code spans") {
+    val (t, links, images) = inline(
+      "see ![alt text](http://img) and [a](http://x) and [b][ref] `c`")
+    assert(t == "see alt text and a and b c")
+    assert(links == 2 && images == 1)
+  }
+
+  test("emphasis: * always strips, _ only at token edges") {
+    assert(stripEmphasis("**bold** and *i* and _edge_ and snake_case x_")
+      == "bold and i and edge and snake_case x")
+  }
+
+  test("nested blockquotes, numbered lists with paren, heading closing run") {
+    val d = extract("> > deep quote\n1) paren item\n### h3 ###\n")
+    assert(d.text == "deep quote\nparen item\nh3")
+    assert(d.nListItems == 1 && d.nHeadings == 1)
+  }
+
+  test("setext underline needs a paragraph; bare rules drop") {
+    // '---' after blank is a thematic break; '===' after blank leaks as
+    // text (documented line-walk approximation) but '---' never does
+    val d = extract("para\n---\n\n---\n")
+    assert(d.nHeadings == 1)
+    assert(d.text == "para")
+  }
+
+  test("hostile input never throws") {
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 300) {
+      val junk = (0 until rnd.nextInt(400)).map(_ =>
+        "#>*-_`[]()!~\n abc".charAt(rnd.nextInt(17))).mkString
+      extract(junk) // must not throw
+    }
+    extract("")
+    extract("\n\n\n")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SRT/VTT cue walk held to the planted fixtures, both timestamp
+  * forms, block skipping, and hostile input.
+  */
+class SubtitleCodecSpec extends AnyFunSuite {
+  import SubtitleCodec._
+
+  test("planted fixtures: cue times and text exact, both dialects") {
+    for (id <- 0L until 24L) {
+      val cues = parse(SubtitleFixtures.subtitle(id))
+      assert(cues.length == SubtitleFixtures.nCues(id), s"id=$id")
+      for ((c, k) <- cues.zipWithIndex) {
+        assert(c.startMs == SubtitleFixtures.startMs(id, k), s"id=$id k=$k")
+        assert(c.endMs == SubtitleFixtures.endMs(id, k), s"id=$id k=$k")
+        assert(c.text == SubtitleFixtures.cueText(id, k), s"id=$id k=$k")
+      }
+      assert(!cues.exists(_.text.contains("comment block")))
+    }
+  }
+
+  test("timestamp forms") {
+    assert(parseTs("01:02:03,456").contains(3723456L))
+    assert(parseTs("01:02:03.456").contains(3723456L))
+    assert(parseTs("02:03.456").contains(123456L))
+    assert(parseTs("99:59:59.999").contains(359999999L))
+    assert(parseTs("1:2:3.456").contains(3723456L)) // unpadded: players accept
+    assert(parseTs("01:60:00.000").isEmpty) // minutes out of range
+    assert(parseTs("01:02:03.45").isEmpty) // millis must be 3 digits
+    assert(parseTs("junk").isEmpty)
+    assert(parseTs("").isEmpty)
+  }
+
+  test("cue settings dropped; identifier lines never become text") {
+    val vtt = "WEBVTT\n\nid-1\n00:01.000 --> 00:02.000 align:start\nhello\n\n"
+    val cues = parse(vtt)
+    assert(cues == Seq(Cue(1000L, 2000L, "hello")))
+  }
+
+  test("BOM stripped; STYLE and REGION blocks skipped") {
+    val vtt = "﻿WEBVTT\n\nSTYLE\n::cue { color: red }\n\n" +
+      "REGION\nid:r1\n\n00:01.000 --> 00:02.000\ntext\n\n"
+    assert(parse(vtt) == Seq(Cue(1000L, 2000L, "text")))
+  }
+
+  test("malformed timestamp drops the cue, not the file") {
+    val srt = "1\nnot a timestamp\ntext\n\n2\n" +
+      "00:00:01,000 --> 00:00:02,000\nkept\n\n"
+    assert(parse(srt) == Seq(Cue(1000L, 2000L, "kept")))
+  }
+
+  test("multi-line cue text keeps internal newlines") {
+    val srt = "1\n00:00:01,000 --> 00:00:02,000\nline a\nline b\n\n"
+    assert(parse(srt) == Seq(Cue(1000L, 2000L, "line a\nline b")))
+  }
+
+  test("hostile input never throws") {
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 300) {
+      val junk = (0 until rnd.nextInt(300)).map(_ =>
+        "0123456789:,.->\nWEBVTT abc".charAt(rnd.nextInt(26))).mkString
+      parse(junk)
+      val full = SubtitleFixtures.subtitle(rnd.nextInt(32).toLong)
+      parse(full.substring(0, rnd.nextInt(full.length)))
+    }
+    assert(parse("").isEmpty)
+  }
+}
