@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Source-code file features — the per-file statistics a code
+  * training-data pipeline filters on (The Stack / StarCoder-style
+  * curation): language identification, comment/blank/code line split,
+  * line-length extremes. The reference engine has no code pipeline;
+  * this is the builder-brief text-analysis surface applied to the code
+  * stratum.
+  *
+  * Language identification precedence (deterministic, no ML):
+  *   1. shebang — `#!...python`/`node`/`bash`/`sh` on line one is
+  *      authoritative (extension lies on scripts without one);
+  *   2. extension — the dominant signal in a repo snapshot;
+  *   3. keyword heuristic — first match in a fixed probe order over
+  *      the first 64 lines (`def `/`import ` → python, `val `/`object `
+  *      → scala, `const `/`function ` → javascript, `#include` →
+  *      c, `public class`/`package ` → java);
+  *   4. `unknown`.
+  *
+  * Line classification: blank (trim-empty), comment (trimmed line
+  * STARTS with the language's line-comment marker, a block-comment
+  * opener, or a continuation star — block-comment INTERIORS without a
+  * leading marker stay code, the cheap deterministic rule real
+  * scanners like cloc apply line-locally), else code.
+  *
+  * 100 TB posture: per-blob map work in `mapPartitions`, no shuffle.
+  */
+object CodeFeatures {
+
+  final case class Feat(language: String, detectSource: String,
+      nLines: Long, nCode: Long, nComment: Long, nBlank: Long,
+      maxLineLen: Long, hasShebang: Boolean)
+
+  private val ExtLang = Map(
+    "py" -> "python", "scala" -> "scala", "js" -> "javascript",
+    "c" -> "c", "h" -> "c", "java" -> "java", "sh" -> "shell",
+    "rb" -> "ruby", "go" -> "go", "rs" -> "rust")
+
+  /** Line-comment markers per language; `#`-family and `//`-family. */
+  private def commentMarkers(lang: String): Seq[String] = lang match {
+    case "python" | "shell" | "ruby" | "unknown" => Seq("#")
+    case "c" | "java" | "javascript" | "scala" | "go" | "rust" =>
+      Seq("//", "/*", "*")
+    case _ => Seq("#", "//")
+  }
+
+  private def shebangLang(first: String): Option[String] =
+    if (!first.startsWith("#!")) None
+    else if (first.contains("python")) Some("python")
+    else if (first.contains("node")) Some("javascript")
+    else if (first.contains("bash") || first.endsWith("/sh") ||
+      first.contains("/sh ")) Some("shell")
+    else if (first.contains("ruby")) Some("ruby")
+    else Some("shell") // an unknown interpreter is still a script
+
+  private val KeywordProbes: Seq[(String, String)] = Seq(
+    "#include" -> "c",
+    "public class" -> "java",
+    "package " -> "java",
+    "val " -> "scala",
+    "object " -> "scala",
+    "const " -> "javascript",
+    "function " -> "javascript",
+    "def " -> "python",
+    "import " -> "python")
+
+  private def keywordLang(lines: Array[String]): Option[String] = {
+    val probe = lines.take(64)
+    KeywordProbes.collectFirst {
+      case (kw, lang) if probe.exists(_.startsWith(kw)) => lang
+    }
+  }
+
+  def analyze(path: String, content: String): Feat = {
+    val lines0 = content.split("\r?\n", -1)
+    val lines =
+      if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
+      else lines0
+    val first = lines.headOption.getOrElse("")
+    val hasShebang = first.startsWith("#!")
+
+    val ext = {
+      val dot = path.lastIndexOf('.')
+      if (dot < 0) "" else path.substring(dot + 1).toLowerCase
+    }
+    val (language, source) = shebangLang(first) match {
+      case Some(l) => (l, "shebang")
+      case None => ExtLang.get(ext) match {
+        case Some(l) => (l, "extension")
+        case None => keywordLang(lines) match {
+          case Some(l) => (l, "keywords")
+          case None => ("unknown", "none")
+        }
+      }
+    }
+
+    val markers = commentMarkers(language)
+    var nCode = 0L; var nComment = 0L; var nBlank = 0L; var maxLen = 0L
+    for (l <- lines) {
+      if (l.length > maxLen) maxLen = l.length
+      val t = l.trim
+      if (t.isEmpty) nBlank += 1
+      else if (t.startsWith("#!")) nCode += 1 // shebang is not a comment
+      else if (markers.exists(t.startsWith)) nComment += 1
+      else nCode += 1
+    }
+    Feat(language, source, lines.length.toLong, nCode, nComment, nBlank,
+      maxLen, hasShebang)
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per file: (doc_id, path, language, detect_source,
+    * n_lines, n_code, n_comment, n_blank, max_line_len, has_shebang).
+    */
+  def features(payloads: Dataset[(Long, String, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, path, content) =>
+        val f = analyze(path, content)
+        (id, path, f.language, f.detectSource, f.nLines, f.nCode,
+          f.nComment, f.nBlank, f.maxLineLen, f.hasShebang)
+      }
+    }.toDF("doc_id", "path", "language", "detect_source", "n_lines",
+      "n_code", "n_comment", "n_blank", "max_line_len", "has_shebang")
+  }
+}
+
+/** Planted source-file fixtures: language rotates by `id mod 4`
+  * (python/scala/javascript/c); ids ≡ 0 (mod 2) in the python class
+  * carry a shebang; ids ≡ 0 (mod 7) ship a lying `.txt` extension so
+  * detection must fall through to shebang or keywords. Comment count
+  * `id mod 3 + 1`, code count `id mod 5 + 1` (plus shebang), one blank
+  * line, and a final long line of planted length `id mod 20 + 40`.
+  */
+object CodeFixtures {
+
+  def langClass(id: Long): Int = (id % 4).toInt
+  def languageName(id: Long): String =
+    IndexedSeq("python", "scala", "javascript", "c")(langClass(id))
+  def hasShebang(id: Long): Boolean = langClass(id) == 0 && id % 2 == 0
+  def lyingExt(id: Long): Boolean = id % 7 == 0
+  def nComment(id: Long): Int = (id % 3 + 1).toInt
+  def nCodePlanted(id: Long): Int = (id % 5 + 1).toInt
+  def longLen(id: Long): Int = (id % 20 + 40).toInt
+
+  def path(id: Long): String = {
+    val ext =
+      if (lyingExt(id)) "txt"
+      else IndexedSeq("py", "scala", "js", "c")(langClass(id))
+    s"src/file$id.$ext"
+  }
+
+  /** The expected (language, detect_source) for [[content]]. */
+  def expected(id: Long): (String, String) = {
+    if (hasShebang(id)) ("python", "shebang")
+    else if (!lyingExt(id)) (languageName(id), "extension")
+    else (languageName(id), "keywords")
+  }
+
+  def content(id: Long): String = {
+    val sb = new StringBuilder
+    val lc = langClass(id)
+    if (hasShebang(id)) sb.append("#!/usr/bin/env python\n")
+    val marker = if (lc == 0) "# " else "// "
+    for (j <- 0 until nComment(id)) sb.append(s"${marker}comment $j doc $id\n")
+    sb.append("\n")
+    for (k <- 0 until nCodePlanted(id)) {
+      val line = lc match {
+        case 0 => s"import mod_$k"
+        case 1 => s"val x_$k = $k"
+        case 2 => s"const x_$k = $k;"
+        case _ => if (k == 0) s"#include <doc$id.h>" else s"int x_$k = $k;"
+      }
+      sb.append(line).append("\n")
+    }
+    sb.append("x" * longLen(id)).append("\n")
+    sb.toString
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** License detection for code corpora — permissive-vs-copyleft is a
+  * hard INCLUSION GATE in code training-data curation (The Stack
+  * filters on exactly this), so the detector is a first-class
+  * pipeline operator, not metadata trivia.
+  *
+  * Two evidence tiers, deterministic:
+  *   1. an `SPDX-License-Identifier:` tag (the machine-readable
+  *      convention) is AUTHORITATIVE — first tag wins, value taken
+  *      verbatim through the end of its line modulo comment-closer
+  *      trim;
+  *   2. characteristic license phrases in the head of the file (the
+  *      first [[HeadChars]] chars — license headers lead), probed in a
+  *      fixed order so multi-license files resolve deterministically:
+  *      Apache-2.0, GPL-3.0, MIT, BSD-3-Clause.
+  *
+  * No match → `none`. Output also says WHICH tier fired so a
+  * downstream gate can weigh tag vs phrase evidence.
+  *
+  * 100 TB posture: bounded head-scan per blob in `mapPartitions`,
+  * zero shuffle.
+  */
+object LicenseDetect {
+
+  private val HeadChars = 4096
+
+  private val SpdxTag =
+    "SPDX-License-Identifier:\\s*([A-Za-z0-9 .+-]+?)\\s*(?:\\*/|-->)?\\s*$".r
+
+  /** Probe order is detection PRIORITY: more-specific phrases first
+    * (Apache's phrase names its version; MIT's is the most generic).
+    */
+  private val Phrases: Seq[(String, String)] = Seq(
+    "Licensed under the Apache License, Version 2.0" -> "Apache-2.0",
+    "GNU General Public License as published by the Free Software Foundation, either version 3" -> "GPL-3.0-or-later",
+    "Permission is hereby granted, free of charge, to any person obtaining a copy" -> "MIT",
+    "Redistribution and use in source and binary forms, with or without modification" -> "BSD-3-Clause")
+
+  /** (license, evidence) — evidence ∈ {spdx_tag, phrase, none}. */
+  def detect(content: String): (String, String) = {
+    val head = content.substring(0, math.min(content.length, HeadChars))
+    val tag = head.linesIterator
+      .flatMap(l => SpdxTag.findFirstMatchIn(l))
+      .map(_.group(1).trim)
+      .find(_.nonEmpty)
+    tag match {
+      case Some(id) => (id, "spdx_tag")
+      case None =>
+        Phrases.collectFirst {
+          case (p, id) if head.contains(p) => (id, "phrase")
+        }.getOrElse(("none", "none"))
+    }
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per file: (doc_id, license, evidence). */
+  def licenses(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, content) =>
+        val (lic, ev) = detect(content)
+        (id, lic, ev)
+      }
+    }.toDF("doc_id", "license", "evidence")
+  }
+}
+
+/** Planted license fixtures rotating on `id mod 5`: Apache phrase /
+  * GPL phrase / MIT phrase / SPDX tag (BSD-3-Clause, inside a block
+  * comment so the tag parse must trim the comment closer) / no
+  * license. Ids ≡ 3 (mod 10) additionally plant a CONFLICTING MIT
+  * phrase after the tag — the tag must win.
+  */
+object LicenseFixtures {
+
+  def expected(id: Long): (String, String) = (id % 5) match {
+    case 0 => ("Apache-2.0", "phrase")
+    case 1 => ("GPL-3.0-or-later", "phrase")
+    case 2 => ("MIT", "phrase")
+    case 3 => ("BSD-3-Clause", "spdx_tag")
+    case _ => ("none", "none")
+  }
+
+  def content(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"/* source file doc $id */\n")
+    (id % 5) match {
+      case 0 => sb.append(
+        "/* Licensed under the Apache License, Version 2.0 (the \"License\") */\n")
+      case 1 => sb.append(
+        "/* This program is free software: you can redistribute it under the " +
+          "GNU General Public License as published by the Free Software " +
+          "Foundation, either version 3 of the License. */\n")
+      case 2 => sb.append(
+        "/* Permission is hereby granted, free of charge, to any person " +
+          "obtaining a copy of this software. */\n")
+      case 3 =>
+        sb.append("/* SPDX-License-Identifier: BSD-3-Clause */\n")
+        if (id % 10 == 3) sb.append(
+          "/* Permission is hereby granted, free of charge, to any person " +
+            "obtaining a copy of this software. */\n")
+      case _ => ()
+    }
+    sb.append(s"int main_$id() { return $id; }\n")
+    sb.toString
+  }
+}

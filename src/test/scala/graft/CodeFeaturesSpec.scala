@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The code-feature walk held to the planted fixtures and each
+  * detection tier.
+  */
+class CodeFeaturesSpec extends AnyFunSuite {
+  import CodeFeatures._
+
+  test("planted fixtures: language, tier, and every counter") {
+    for (id <- 0L until 32L) {
+      val f = analyze(CodeFixtures.path(id), CodeFixtures.content(id))
+      val (lang, src) = CodeFixtures.expected(id)
+      assert(f.language == lang && f.detectSource == src, s"id=$id")
+      val sheb = if (CodeFixtures.hasShebang(id)) 1 else 0
+      assert(f.nComment == CodeFixtures.nComment(id), s"id=$id")
+      assert(f.nBlank == 1)
+      assert(f.nCode == CodeFixtures.nCodePlanted(id) + 1 + sheb, s"id=$id")
+      assert(f.nLines == sheb + CodeFixtures.nComment(id) + 1 +
+        CodeFixtures.nCodePlanted(id) + 1)
+      assert(f.maxLineLen == CodeFixtures.longLen(id), s"id=$id")
+      assert(f.hasShebang == CodeFixtures.hasShebang(id))
+    }
+  }
+
+  test("shebang beats a lying extension; interpreter variants") {
+    assert(analyze("x.c", "#!/usr/bin/env python\nprint(1)\n")
+      .language == "python")
+    assert(analyze("x.py", "#!/usr/bin/env node\nlet a = 1\n")
+      .language == "javascript")
+    assert(analyze("x", "#!/bin/bash\necho hi\n").language == "shell")
+    assert(analyze("x", "#!/bin/sh\necho hi\n").language == "shell")
+    // unknown interpreter still marks a script
+    assert(analyze("x", "#!/opt/weird\n").language == "shell")
+  }
+
+  test("keyword fallback order and unknown") {
+    assert(analyze("x", "public class A {}\n").language == "java")
+    assert(analyze("x", "package a.b\nobject X\n").language == "java")
+    assert(analyze("x", "object X { }\n").language == "scala")
+    assert(analyze("x", "function f() {}\n").language == "javascript")
+    assert(analyze("x", "def f():\n  pass\n").language == "python")
+    val u = analyze("x.weird", "plain prose\n")
+    assert(u.language == "unknown" && u.detectSource == "none")
+  }
+
+  test("comment classification: markers per family, shebang is code") {
+    val f = analyze("a.scala",
+      "// line\n/* block open\ninterior no marker\n * starred\nval x = 1\n")
+    assert(f.nComment == 3) // "//", "/*", "*" lines; interior is code
+    assert(f.nCode == 2)
+    val p = analyze("a.py", "#!/usr/bin/env python\n# real comment\nx = 1\n")
+    assert(p.nComment == 1 && p.nCode == 2)
+  }
+
+  test("empty and hostile inputs never throw") {
+    assert(analyze("x.py", "").nLines == 0)
+    assert(analyze("", "x\n").language == "unknown")
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 200) {
+      val junk = (0 until rnd.nextInt(300)).map(_ =>
+        "#!/\nabc defconst ".charAt(rnd.nextInt(16))).mkString
+      analyze("f.txt", junk)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** License detection held to the planted fixtures, tag priority, and
+  * the bounded head scan.
+  */
+class LicenseDetectSpec extends AnyFunSuite {
+  import LicenseDetect._
+
+  test("planted fixtures: license and evidence tier exact") {
+    for (id <- 0L until 40L)
+      assert(detect(LicenseFixtures.content(id)) ==
+        LicenseFixtures.expected(id), s"id=$id")
+  }
+
+  test("spdx tag: comment closers trimmed, first tag wins, beats phrases") {
+    assert(detect("// SPDX-License-Identifier: MIT\n") == ("MIT", "spdx_tag"))
+    assert(detect("/* SPDX-License-Identifier: Apache-2.0 */\n") ==
+      ("Apache-2.0", "spdx_tag"))
+    assert(detect("<!-- SPDX-License-Identifier: GPL-3.0-only -->\n") ==
+      ("GPL-3.0-only", "spdx_tag"))
+    assert(detect("# SPDX-License-Identifier: MIT OR Apache-2.0\n") ==
+      ("MIT OR Apache-2.0", "spdx_tag"))
+    val multi = "// SPDX-License-Identifier: BSD-3-Clause\n" +
+      "// SPDX-License-Identifier: MIT\n" +
+      "/* Permission is hereby granted, free of charge, to any person obtaining a copy */\n"
+    assert(detect(multi) == ("BSD-3-Clause", "spdx_tag"))
+  }
+
+  test("phrase priority order resolves multi-license heads") {
+    val both = "Licensed under the Apache License, Version 2.0\n" +
+      "Permission is hereby granted, free of charge, to any person obtaining a copy\n"
+    assert(detect(both) == ("Apache-2.0", "phrase"))
+  }
+
+  test("head bound: evidence past 4096 chars is ignored") {
+    val far = ("x" * 5000) + "\n// SPDX-License-Identifier: MIT\n"
+    assert(detect(far) == ("none", "none"))
+    val near = ("x" * 100) + "\nLicensed under the Apache License, Version 2.0\n"
+    assert(detect(near) == ("Apache-2.0", "phrase"))
+  }
+
+  test("no match and hostile input") {
+    assert(detect("int main() { return 0; }\n") == ("none", "none"))
+    assert(detect("") == ("none", "none"))
+    assert(detect("SPDX-License-Identifier:\n") == ("none", "none"))
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 200) {
+      val junk = (0 until rnd.nextInt(500)).map(_ =>
+        "SPDX-License: Identifier\n/*".charAt(rnd.nextInt(26))).mkString
+      detect(junk)
+    }
+  }
+}
