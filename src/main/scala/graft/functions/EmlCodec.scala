@@ -1,0 +1,297 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Email (RFC 5322 + MIME) text extraction — mailing-list archives
+  * are a classic conversational training-data source, and `.eml`
+  * bodies hide behind MIME machinery a curation pipeline must unwind:
+  * multipart containers, transfer encodings, encoded-word headers.
+  *
+  * Extraction semantics:
+  *   - headers unfold (continuation lines joined), names
+  *     case-insensitive, first occurrence wins;
+  *   - RFC 2047 encoded-words in Subject decode (`=?charset?Q?..?=`
+  *     and `?B?..?=`; UTF-8/ISO-8859-1/ASCII charsets; `_` → space in
+  *     Q), adjacent encoded-words concatenate without the separating
+  *     whitespace per §6.2;
+  *   - the body part is chosen by a deterministic walk: a multipart
+  *     container recurses into its parts in order
+  *     (boundary from the Content-Type parameter, quoted or bare) and
+  *     the FIRST `text/plain` leaf wins, matching how readers pick
+  *     from `multipart/alternative`'s simplest-first convention;
+  *     non-multipart messages are their own leaf;
+  *   - `quoted-printable` (soft breaks, `=HH`) and `base64` transfer
+  *     encodings decode; `7bit`/`8bit`/absent pass through;
+  *   - decoded bytes become text via the part's `charset` parameter
+  *     (default us-ascii read as UTF-8 superset);
+  *   - a malformed message yields no row (skip the message, not the
+  *     mailbox).
+  *
+  * 100 TB posture: per-blob map work in `mapPartitions`, no shuffle.
+  */
+object EmlCodec {
+
+  final case class Mail(subject: String, from: String, contentType: String,
+      body: String)
+
+  /** Unfolded `name → value` (lowercased names, first wins) plus the
+    * index where the body starts.
+    */
+  private[functions] def parseHeaders(lines: Array[String])
+      : (Map[String, String], Int) = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    var curName: String = null
+    val curVal = new StringBuilder
+    def flush(): Unit = {
+      if (curName != null && !out.contains(curName))
+        out += curName -> curVal.toString.trim
+      curName = null; curVal.clear()
+    }
+    var done = false
+    while (i < lines.length && !done) {
+      val l = lines(i)
+      if (l.isEmpty) { flush(); done = true }
+      else if ((l.startsWith(" ") || l.startsWith("\t")) && curName != null) {
+        curVal.append(' ').append(l.trim)
+      } else {
+        val colon = l.indexOf(':')
+        if (colon <= 0) { flush(); done = true; i -= 1 } // not a header
+        else {
+          flush()
+          curName = l.substring(0, colon).trim.toLowerCase
+          curVal.append(l.substring(colon + 1).trim)
+        }
+      }
+      i += 1
+    }
+    if (!done) flush()
+    (out.toMap, i)
+  }
+
+  private val EncodedWord = "=\\?([^?]+)\\?([QqBb])\\?([^?]*)\\?=".r
+
+  private def charsetOf(name: String): java.nio.charset.Charset = {
+    val n = name.trim.toLowerCase
+    if (n == "utf-8" || n == "us-ascii" || n == "ascii")
+      java.nio.charset.StandardCharsets.UTF_8
+    else if (n == "iso-8859-1" || n == "latin1")
+      java.nio.charset.StandardCharsets.ISO_8859_1
+    else java.nio.charset.StandardCharsets.UTF_8
+  }
+
+  private def decodeQ(s: String, cs: java.nio.charset.Charset): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '_') { bos.write(' '); i += 1 }
+      else if (c == '=' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        bos.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16))
+        i += 3
+      } else { bos.write(c.toInt); i += 1 }
+    }
+    new String(bos.toByteArray, cs)
+  }
+
+  /** RFC 2047: decode encoded-words; whitespace BETWEEN two
+    * encoded-words disappears (§6.2).
+    */
+  private[functions] def decodeHeader(v: String): String = {
+    // drop whitespace between adjacent encoded-words first
+    val joined = v.replaceAll("\\?=\\s+=\\?", "?==?")
+    EncodedWord.replaceAllIn(joined, m => {
+      val cs = charsetOf(m.group(1))
+      val decoded = m.group(2).toLowerCase match {
+        case "q" => decodeQ(m.group(3), cs)
+        case _ => try {
+          new String(java.util.Base64.getMimeDecoder.decode(m.group(3)), cs)
+        } catch { case _: IllegalArgumentException => m.group(3) }
+      }
+      java.util.regex.Matcher.quoteReplacement(decoded)
+    })
+  }
+
+  /** `Content-Type` parameter (quoted or token form). */
+  private[functions] def ctParam(ct: String, name: String): Option[String] = {
+    val re = ("(?i)[;\\s]" + java.util.regex.Pattern.quote(name) +
+      "\\s*=\\s*(?:\"([^\"]*)\"|([^;\\s]+))").r
+    re.findFirstMatchIn(ct).map(m =>
+      Option(m.group(1)).getOrElse(m.group(2)))
+  }
+
+  private def mimeType(ct: String): String =
+    ct.split(';')(0).trim.toLowerCase
+
+  private def decodeBody(lines: Seq[String], encoding: String,
+      cs: java.nio.charset.Charset): String = encoding.toLowerCase match {
+    case "base64" =>
+      try new String(java.util.Base64.getMimeDecoder.decode(
+        lines.mkString("")), cs)
+      catch { case _: IllegalArgumentException => "" }
+    case "quoted-printable" =>
+      val bos = new java.io.ByteArrayOutputStream()
+      for ((l0, idx) <- lines.zipWithIndex) {
+        val soft = l0.endsWith("=") // soft break: continue without \n
+        val l = if (soft) l0.substring(0, l0.length - 1) else l0
+        var i = 0
+        while (i < l.length) {
+          val c = l.charAt(i)
+          if (c == '=' && i + 2 < l.length &&
+            Character.digit(l.charAt(i + 1), 16) >= 0 &&
+            Character.digit(l.charAt(i + 2), 16) >= 0) {
+            bos.write(Character.digit(l.charAt(i + 1), 16) * 16 +
+              Character.digit(l.charAt(i + 2), 16))
+            i += 3
+          } else { bos.write(c.toInt); i += 1 }
+        }
+        if (!soft && idx < lines.length - 1) bos.write('\n')
+      }
+      new String(bos.toByteArray, cs)
+    case _ => lines.mkString("\n")
+  }
+
+  /** First text/plain leaf of the (possibly nested) MIME tree. */
+  private def firstPlainLeaf(lines: Array[String], headers: Map[String, String],
+      bodyStart: Int, depth: Int): Option[(Map[String, String], Seq[String])] = {
+    if (depth > 8) return None // hostile nesting bound
+    val ct = headers.getOrElse("content-type", "text/plain")
+    val mt = mimeType(ct)
+    val body = lines.slice(bodyStart, lines.length).toSeq
+    if (mt.startsWith("multipart/")) {
+      ctParam(ct, "boundary").flatMap { b =>
+        val open = "--" + b
+        val close = "--" + b + "--"
+        // part ranges between boundary markers
+        val marks = body.zipWithIndex.collect {
+          case (l, i) if l == open || l == close => (l == close, i)
+        }
+        val starts = marks.collect { case (false, i) => i }
+        val endAt = marks.collectFirst { case (true, i) => i }
+          .getOrElse(body.length)
+        val ranges = starts.zipAll(starts.drop(1).map(Some(_)), -1, None)
+          .collect { case (s, nx) if s >= 0 =>
+            (s + 1, math.min(nx.getOrElse(endAt), endAt)) }
+        ranges.iterator.flatMap { case (from, until) =>
+          if (from >= until) None
+          else {
+            val part = body.slice(from, until).toArray
+            val (ph, pb) = parseHeaders(part)
+            firstPlainLeaf(part, ph, pb, depth + 1)
+          }
+        }.nextOption()
+      }
+    } else if (mt == "text/plain" || headers.get("content-type").isEmpty) {
+      // trailing blank separator lines are framing, not body
+      val trimmed = body.reverse.dropWhile(_.isEmpty).reverse
+      Some((headers, trimmed))
+    } else None
+  }
+
+  def parse(raw: String): Option[Mail] = try {
+    val lines = raw.split("\r?\n", -1)
+    val (headers, bodyStart) = parseHeaders(lines)
+    if (headers.isEmpty) None
+    else firstPlainLeaf(lines, headers, bodyStart, 0).map {
+      case (ph, bodyLines) =>
+        val enc = ph.getOrElse("content-transfer-encoding", "7bit")
+        val cs = charsetOf(
+          ctParam(ph.getOrElse("content-type", ""), "charset")
+            .getOrElse("utf-8"))
+        Mail(
+          decodeHeader(headers.getOrElse("subject", "")),
+          headers.getOrElse("from", ""),
+          mimeType(headers.getOrElse("content-type", "text/plain")),
+          decodeBody(bodyLines, enc, cs))
+    }
+  } catch { case _: RuntimeException => None }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per parseable message: (doc_id, subject, from_addr,
+    * content_type, body, n_chars).
+    */
+  def extractText(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, raw) =>
+        parse(raw).map(m =>
+          (id, m.subject, m.from, m.contentType, m.body,
+            m.body.length.toLong))
+      }
+    }.toDF("doc_id", "subject", "from_addr", "content_type", "body",
+      "n_chars")
+  }
+}
+
+/** Planted email fixtures rotating the MIME machinery on `id mod 3`:
+  * plain 7bit single-part / multipart-alternative whose text/plain
+  * part is quoted-printable (soft break + `=C3=A9` for U+00E9) behind
+  * an html decoy that must lose / base64 single-part. Odd ids carry an
+  * RFC 2047 Q-encoded subject split across two encoded-words (the
+  * inter-word whitespace must vanish); a folded `X-Folded` header
+  * exercises unfolding everywhere.
+  */
+object EmlFixtures {
+
+  def mode(id: Long): Int = (id % 3).toInt
+  def encodedSubject(id: Long): Boolean = id % 2 == 1
+
+  def subject(id: Long): String =
+    if (encodedSubject(id)) s"subject doc $id" else s"plain subject $id"
+
+  def fromAddr(id: Long): String = s"sender$id@example.com"
+
+  /** The body text the extractor must produce. */
+  def body(id: Long): String = mode(id) match {
+    case 0 => s"plain body doc $id line one\nline two"
+    case 1 => s"qp body doc $id caf\u00E9 softwrapped"
+    case _ => s"b64 body doc $id\nsecond line"
+  }
+
+  def contentType(id: Long): String = mode(id) match {
+    case 0 => "text/plain"
+    case 1 => "multipart/alternative"
+    case _ => "text/plain"
+  }
+
+  def eml(id: Long): String = {
+    val sb = new StringBuilder
+    val subj =
+      if (encodedSubject(id))
+        s"=?UTF-8?Q?subject_doc?= =?UTF-8?Q?_$id?="
+      else s"plain subject $id"
+    sb.append(s"From: ${fromAddr(id)}\n")
+    sb.append(s"Subject: $subj\n")
+    sb.append("X-Folded: first\n\tsecond\n")
+    mode(id) match {
+      case 0 =>
+        sb.append("Content-Type: text/plain; charset=utf-8\n\n")
+        sb.append(s"plain body doc $id line one\nline two\n")
+      case 1 =>
+        sb.append(s"""Content-Type: multipart/alternative; boundary="b$id"""")
+        sb.append("\nMIME-Version: 1.0\n\n")
+        sb.append("preamble to ignore\n")
+        sb.append(s"--b$id\n")
+        sb.append("Content-Type: text/html; charset=utf-8\n\n")
+        sb.append(s"<p>html decoy $id</p>\n")
+        sb.append(s"--b$id\n")
+        sb.append("Content-Type: text/plain; charset=utf-8\n")
+        sb.append("Content-Transfer-Encoding: quoted-printable\n\n")
+        sb.append(s"qp body doc $id caf=C3=A9 soft=\nwrapped\n")
+        sb.append(s"--b$id--\n")
+        sb.append("epilogue to ignore\n")
+      case _ =>
+        sb.append("Content-Type: text/plain; charset=utf-8\n")
+        sb.append("Content-Transfer-Encoding: base64\n\n")
+        val b = java.util.Base64.getEncoder.encodeToString(
+          s"b64 body doc $id\nsecond line".getBytes("UTF-8"))
+        // fold the base64 at 20 chars: the decoder must join lines
+        sb.append(b.grouped(20).mkString("\n")).append("\n")
+    }
+    sb.toString
+  }
+}

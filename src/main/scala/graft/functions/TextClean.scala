@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Unicode text cleaning — the canonicalization pass BEFORE hashing,
+  * dedup, and tokenization on a crawl corpus: the same visible string
+  * arrives in decomposed/composed forms, with typographic punctuation,
+  * zero-width intruders, and stray controls, and every one of those
+  * variants defeats exact-dedup ([[Dedup.exactGroups]]) and splits
+  * token statistics unless normalized first. Complements
+  * [[TextAnalytics.normalize]] (whitespace/case) at the CODEPOINT
+  * level.
+  *
+  * Pass order (each step's output feeds the next — order is part of
+  * the contract):
+  *   1. NFC normalization (`java.text.Normalizer` — combining
+  *      sequences compose; compatibility points stay, NFC not NFKC,
+  *      because ligature/width folding loses meaning dedup cares
+  *      about);
+  *   2. typographic mapping: curly double quotes U+201C/1D/1E and
+  *      low-9 U+201E → `"`, curly single quotes U+2018/19/1A and
+  *      low-9 U+201A → `'`, en/em/horizontal-bar dashes U+2013/14/15
+  *      and minus U+2212 → `-`, ellipsis U+2026 → `...`, NBSP U+00A0
+  *      and narrow NBSP U+202F → space;
+  *   3. strip zero-width characters (U+200B ZWSP, U+200C ZWNJ,
+  *      U+200D ZWJ, U+FEFF) and ISO controls except `\n` and `\t`.
+  *
+  * All non-ASCII codepoints appear as escapes in this source — a
+  * review lesson from the TAR header literal (an invisible byte in a
+  * string literal is invisible in diffs too).
+  *
+  * 100 TB posture: per-row map work, zero shuffle; the composition is
+  * a single `mapPartitions` pass like the codec walks.
+  */
+object TextClean {
+
+  private val TypoMap: Map[Char, String] = Map(
+    '\u201C' -> "\"", '\u201D' -> "\"", '\u201E' -> "\"",
+    '\u2018' -> "'", '\u2019' -> "'", '\u201A' -> "'",
+    '\u2013' -> "-", '\u2014' -> "-", '\u2015' -> "-", '\u2212' -> "-",
+    '\u2026' -> "...",
+    '\u00A0' -> " ", '\u202F' -> " ")
+
+  private def isZeroWidth(c: Char): Boolean =
+    (c >= '\u200B' && c <= '\u200D') || c == '\uFEFF'
+
+  private def isStripControl(c: Char): Boolean =
+    Character.isISOControl(c) && c != '\n' && c != '\t'
+
+  def clean(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val sb = new StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      TypoMap.get(c) match {
+        case Some(rep) => sb.append(rep)
+        case None =>
+          if (!isZeroWidth(c) && !isStripControl(c)) sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** (doc_id, text, n_chars) with `text` cleaned. */
+  def cleanText(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, s) =>
+        val t = clean(s)
+        (id, t, t.length.toLong)
+      }
+    }.toDF("doc_id", "text", "n_chars")
+  }
+}
+
+/** Planted dirty-text fixtures: the clean fixture text plus a suffix
+  * exercising every pass — curly quotes, an em dash, an NBSP, a
+  * zero-width space inside a word, a bell control, an ellipsis, and a
+  * DECOMPOSED `e + U+0301` that NFC must compose. The expected output
+  * is byte-stable so the oracle replays it with `chr()` arithmetic.
+  */
+object TextCleanFixtures {
+
+  def dirtySuffix: String =
+    " \u201Cquote\u201D \u2014 dash\u00A0nb zero\u200Bwidth" +
+      " ctl\u0007drop \u2026 cafe\u0301"
+
+  /** `clean(dirty(text)) == text + cleanedSuffix` — the composed
+    * U+00E9 arrives from NFC, everything else from mapping/stripping.
+    */
+  def cleanedSuffix: String =
+    " \"quote\" - dash nb zerowidth ctldrop ... caf\u00E9"
+
+  def dirty(text: String): String = text + dirtySuffix
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, Curation, Dedup, DocxCodec, DocxFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -4304,6 +4304,60 @@ object ExtensionQueries {
              |  CASE doc_id % 5 WHEN 3 THEN 'spdx_tag'
              |    WHEN 4 THEN 'none' ELSE 'phrase' END AS evidence
              |FROM documents""".stripMargin),
+    ),
+
+    // Codepoint-level canonicalization (the pass before hashing/dedup/
+    // tokenization): NFC composition, typographic-punctuation mapping,
+    // zero-width and control stripping. The fixture text is pure ASCII
+    // (verified — clean() is identity on it), so appending the dirty
+    // suffix makes every rule observable and the oracle replays the
+    // cleaned suffix with chr() arithmetic.
+    QueryDef(
+      "text_unicode_clean",
+      (s, dir) => {
+        import s.implicits._
+        TextClean.cleanText(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, t) => (id, TextCleanFixtures.dirty(t)) })
+      },
+      Some("""SELECT doc_id,
+             |  text || ' "quote" - dash nb zerowidth ctldrop ... caf' ||
+             |    chr(233) AS text,
+             |  CAST(length(text) + 45 AS BIGINT) AS n_chars
+             |FROM documents""".stripMargin),
+    ),
+
+    // Email/MIME extraction: multipart/alternative with an html decoy
+    // that must lose, quoted-printable (soft break + =C3=A9) and
+    // folded base64 transfer decodes, RFC 2047 Q-encoded subjects
+    // split across adjacent encoded-words. The oracle replays the
+    // planted header/body strings per mode.
+    QueryDef(
+      "eml_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        EmlCodec.extractText(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, EmlFixtures.eml(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m
+             |  FROM documents),
+             |b AS (SELECT doc_id, m,
+             |  CASE m
+             |    WHEN 0 THEN 'plain body doc ' || doc_id || ' line one' ||
+             |      chr(10) || 'line two'
+             |    WHEN 1 THEN 'qp body doc ' || doc_id || ' caf' ||
+             |      chr(233) || ' softwrapped'
+             |    ELSE 'b64 body doc ' || doc_id || chr(10) || 'second line'
+             |  END AS body FROM d)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 1 THEN 'subject doc ' || doc_id
+             |    ELSE 'plain subject ' || doc_id END AS subject,
+             |  'sender' || doc_id || '@example.com' AS from_addr,
+             |  CASE WHEN m = 1 THEN 'multipart/alternative'
+             |    ELSE 'text/plain' END AS content_type,
+             |  body, CAST(length(body) AS BIGINT) AS n_chars
+             |FROM b""".stripMargin),
     ),
   )
 }

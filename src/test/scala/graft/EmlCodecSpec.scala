@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MIME walk held to the planted fixtures, each decoder, and
+  * hostile input.
+  */
+class EmlCodecSpec extends AnyFunSuite {
+  import EmlCodec._
+
+  test("planted fixtures: subject, from, type, body exact") {
+    for (id <- 0L until 24L) {
+      val m = parse(EmlFixtures.eml(id))
+      assert(m.isDefined, s"id=$id")
+      assert(m.get.subject == EmlFixtures.subject(id), s"id=$id")
+      assert(m.get.from == EmlFixtures.fromAddr(id))
+      assert(m.get.contentType == EmlFixtures.contentType(id), s"id=$id")
+      assert(m.get.body == EmlFixtures.body(id), s"id=$id")
+      assert(!m.get.body.contains("decoy"))
+    }
+  }
+
+  test("header unfolding and first-wins") {
+    val (h, at) = parseHeaders(Array(
+      "A: one", " folded tail", "B: x", "B: shadowed", "", "body"))
+    assert(h("a") == "one folded tail")
+    assert(h("b") == "x")
+    assert(at == 5)
+  }
+
+  test("rfc2047: Q and B forms, charsets, adjacent-word join") {
+    assert(decodeHeader("=?utf-8?q?a_b?=") == "a b")
+    assert(decodeHeader("=?UTF-8?B?Y2Fmw6k=?=") == "caf\u00E9")
+    assert(decodeHeader("=?iso-8859-1?Q?caf=E9?=") == "caf\u00E9")
+    assert(decodeHeader("=?utf-8?Q?one?=   =?utf-8?Q?two?=") == "onetwo")
+    assert(decodeHeader("plain stays") == "plain stays")
+    assert(decodeHeader("=?utf-8?X?bad-enc?=") == "=?utf-8?X?bad-enc?=")
+  }
+
+  test("content-type parameters: quoted and bare") {
+    assert(ctParam("""multipart/mixed; boundary="a b"""", "boundary")
+      .contains("a b"))
+    assert(ctParam("text/plain; charset=utf-8; x=1", "charset")
+      .contains("utf-8"))
+    assert(ctParam("text/plain", "charset").isEmpty)
+  }
+
+  test("nested multipart: plain leaf found one level down") {
+    val eml = "From: a@b\nSubject: s\n" +
+      "Content-Type: multipart/mixed; boundary=outer\n\n" +
+      "--outer\n" +
+      "Content-Type: multipart/alternative; boundary=inner\n\n" +
+      "--inner\n" +
+      "Content-Type: text/html\n\n<p>no</p>\n" +
+      "--inner\n" +
+      "Content-Type: text/plain\n\nyes\n" +
+      "--inner--\n" +
+      "--outer--\n"
+    assert(parse(eml).map(_.body).contains("yes"))
+  }
+
+  test("quoted-printable edge shapes") {
+    val eml = "From: a@b\nContent-Type: text/plain\n" +
+      "Content-Transfer-Encoding: quoted-printable\n\n" +
+      "ends with literal =\n=ZZ stays\n"
+    // trailing '=' is a soft break joining the lines; =ZZ is not hex
+    assert(parse(eml).map(_.body).contains("ends with literal =ZZ stays"))
+  }
+
+  test("base64 junk yields empty body, not a crash; junk yields None") {
+    val eml = "From: a@b\nContent-Type: text/plain\n" +
+      "Content-Transfer-Encoding: base64\n\n!!!not base64!!!\n"
+    assert(parse(eml).map(_.body).contains(""))
+    assert(parse("no colon here").isEmpty)
+    assert(parse("").isEmpty)
+    // multipart without a boundary parameter: no leaf
+    assert(parse("From: a@b\nContent-Type: multipart/mixed\n\nx\n").isEmpty)
+  }
+
+  test("hostile input never throws") {
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 200) {
+      val junk = (0 until rnd.nextInt(400)).map(_ =>
+        "From:=?Q?b--\n \tabc".charAt(rnd.nextInt(18))).mkString
+      parse(junk)
+      val full = EmlFixtures.eml(rnd.nextInt(32).toLong)
+      parse(full.substring(0, rnd.nextInt(full.length)))
+    }
+  }
+}

@@ -40,7 +40,7 @@ class SubtitleCodecSpec extends AnyFunSuite {
   }
 
   test("BOM stripped; STYLE and REGION blocks skipped") {
-    val vtt = "﻿WEBVTT\n\nSTYLE\n::cue { color: red }\n\n" +
+    val vtt = "\uFEFFWEBVTT\n\nSTYLE\n::cue { color: red }\n\n" +
       "REGION\nid:r1\n\n00:01.000 --> 00:02.000\ntext\n\n"
     assert(parse(vtt) == Seq(Cue(1000L, 2000L, "text")))
   }

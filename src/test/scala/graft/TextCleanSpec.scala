@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codepoint-cleaning pass held to each rule and the fixture
+  * contract. All non-ASCII is escaped -- composed and decomposed
+  * forms are indistinguishable to the eye.
+  */
+class TextCleanSpec extends AnyFunSuite {
+  import TextClean._
+
+  test("fixture contract: clean(dirty(t)) == t + cleanedSuffix") {
+    for (t <- Seq("", "plain", "already caf\u00E9 composed",
+      "tab\tand\nnewline"))
+      assert(clean(TextCleanFixtures.dirty(t)) ==
+        t + TextCleanFixtures.cleanedSuffix)
+  }
+
+  test("NFC composes; composed input is untouched") {
+    assert(clean("cafe\u0301") == "caf\u00E9") // decomposed -> composed
+    assert(clean("caf\u00E9") == "caf\u00E9")
+    // Angstrom sign U+212B normalizes to A-ring U+00C5 under NFC
+    assert(clean("\u212B") == "\u00C5")
+  }
+
+  test("typographic mapping covers every mapped codepoint") {
+    assert(clean("\u201Ca\u201D \u201Eb") == "\"a\" \"b")
+    assert(clean("\u2018a\u2019 \u201Ab") == "'a' 'b")
+    assert(clean("a\u2013b\u2014c\u2015d\u2212e") == "a-b-c-d-e")
+    assert(clean("wait\u2026 what") == "wait... what")
+    assert(clean("a\u00A0b\u202Fc") == "a b c")
+  }
+
+  test("zero-width and control stripping keeps tab and newline") {
+    assert(clean("a\u200Bb\u200Cc\u200Dd\uFEFFe") == "abcde")
+    assert(clean("a\u0007b\u001Bc\u0000d") == "abcd")
+    assert(clean("a\tb\nc") == "a\tb\nc")
+    assert(clean("a\rb") == "ab") // bare CR is a stray control
+  }
+
+  test("NFC runs before stripping: mark after a zero-width survivor") {
+    // ZWSP + combining acute: NFC composes nothing here; the ZWSP
+    // strips and the bare combining mark stays (attaching to x)
+    assert(clean("x\u200B\u0301y") == "x\u0301y")
+  }
+
+  test("idempotent on already-clean text") {
+    val once = clean(TextCleanFixtures.dirty("t"))
+    assert(clean(once) == once)
+  }
+}
