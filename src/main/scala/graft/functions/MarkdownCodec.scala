@@ -71,31 +71,39 @@ object MarkdownCodec {
   private[functions] def inline(line0: String): (String, Int, Int) = {
     var nLinks = 0
     var nImages = 0
-    // images BEFORE links: `![..](..)` contains a link-shaped suffix
-    var line = Image.replaceAllIn(line0, m => {
-      nImages += 1
-      java.util.regex.Matcher.quoteReplacement(m.group(1))
-    })
-    line = Link.replaceAllIn(line, m => {
-      nLinks += 1
-      java.util.regex.Matcher.quoteReplacement(m.group(1))
-    })
-    line = RefLink.replaceAllIn(line, m => {
-      nLinks += 1
-      java.util.regex.Matcher.quoteReplacement(m.group(1))
-    })
-    line = InlineCode.replaceAllIn(line,
-      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
-    (stripEmphasis(line).trim, nLinks, nImages)
+    def prose(seg: String): String = {
+      // images BEFORE links: `![..](..)` contains a link-shaped suffix
+      var s = Image.replaceAllIn(seg, m => {
+        nImages += 1
+        java.util.regex.Matcher.quoteReplacement(m.group(1))
+      })
+      s = Link.replaceAllIn(s, m => {
+        nLinks += 1
+        java.util.regex.Matcher.quoteReplacement(m.group(1))
+      })
+      s = RefLink.replaceAllIn(s, m => {
+        nLinks += 1
+        java.util.regex.Matcher.quoteReplacement(m.group(1))
+      })
+      stripEmphasis(s)
+    }
+    // code spans are LITERAL: split the line around them so link and
+    // emphasis rules never fire inside; spans keep their raw content
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- InlineCode.findAllMatchIn(line0)) {
+      sb.append(prose(line0.substring(last, m.start)))
+      sb.append(m.group(1))
+      last = m.end
+    }
+    sb.append(prose(line0.substring(last)))
+    (sb.toString.trim, nLinks, nImages)
   }
 
   def extract(md: String): MdDoc = {
-    // a final newline is a line TERMINATOR: the empty split tail is not
-    // a line (it would count as a code line inside an unclosed fence)
-    val lines0 = md.split("\r?\n", -1)
-    val lines =
-      if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
-      else lines0
+    // terminator handling matters here: an empty split tail would
+    // count as a code line inside an unclosed fence
+    val lines = TextClean.terminatedLines(md)
     val prose = scala.collection.mutable.ArrayBuffer[String]()
     val langs = scala.collection.mutable.ArrayBuffer[String]()
     var nHeadings = 0L; var nCodeBlocks = 0L; var nCodeLines = 0L
@@ -148,16 +156,24 @@ object MarkdownCodec {
                 case _ =>
                   // strip nested blockquote markers, then a list marker
                   var body = raw
-                  while (body.stripLeading().startsWith(">"))
+                  var quoted = false
+                  var listed = false
+                  while (body.stripLeading().startsWith(">")) {
                     body = body.stripLeading().substring(1).stripPrefix(" ")
+                    quoted = true
+                  }
                   body match {
-                    case ListItem(item) => nListItems += 1; body = item
+                    case ListItem(item) =>
+                      nListItems += 1; body = item; listed = true
                     case _ =>
                   }
                   val (t, l, im) = inline(body)
                   nLinks += l; nImages += im
-                  if (t.nonEmpty) { prose += t; prevProse = true }
-                  else prevProse = false
+                  if (t.nonEmpty) prose += t
+                  // only a PLAIN paragraph line can take a setext
+                  // underline; after a list item or quote, `---` is a
+                  // thematic break (CommonMark)
+                  prevProse = t.nonEmpty && !quoted && !listed
               }
           }
       }

@@ -50,10 +50,7 @@ object SecretScan {
   private val MinEntropy = 3.0
 
   def scan(content: String): Seq[Finding] = {
-    val lines0 = content.split("\r?\n", -1)
-    val lines =
-      if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
-      else lines0
+    val lines = TextClean.terminatedLines(content)
     val out = scala.collection.mutable.ArrayBuffer[Finding]()
     for ((l, i) <- lines.zipWithIndex) {
       for (m <- AwsKey.findAllIn(l))
@@ -62,9 +59,11 @@ object SecretScan {
         out += Finding("private_key", m, i.toLong)
       for (m <- Assign.findAllMatchIn(l)) {
         val v = m.group(1)
-        // structured finds on the same line already cover their span
-        val isAws = AwsKey.pattern.matcher(v).matches()
-        if (!isAws && v.length >= MinLen && entropyBits(v) >= MinEntropy)
+        // a structured find ANYWHERE in the value already covers it —
+        // full-string matches() would double-report an AKIA token
+        // embedded in a longer quoted credential
+        val hasAws = AwsKey.findFirstIn(v).isDefined
+        if (!hasAws && v.length >= MinLen && entropyBits(v) >= MinEntropy)
           out += Finding("generic_api_key", v, i.toLong)
       }
     }

@@ -29,27 +29,32 @@ object SubtitleCodec {
 
   final case class Cue(startMs: Long, endMs: Long, text: String)
 
-  /** `HH:MM:SS,mmm`, `HH:MM:SS.mmm`, or `MM:SS.mmm` → ms. */
+  /** `HH:MM:SS,mmm`, `HH:MM:SS.mmm`, or `MM:SS.mmm` → ms. Every
+    * component must be a NON-NEGATIVE digit run — `toLongOption`
+    * alone would accept `-5` and emit garbage alignment keys instead
+    * of dropping the cue.
+    */
   private[functions] def parseTs(s0: String): Option[Long] = {
     val s = s0.trim
     val parts = s.split(':')
+    def digits(v: String): Option[Long] =
+      if (v.nonEmpty && v.forall(_.isDigit)) v.toLongOption else None
     def msOf(sec: String): Option[Long] = {
       val i = sec.indexWhere(c => c == ',' || c == '.')
-      if (i < 0) sec.toLongOption.map(_ * 1000L)
+      if (i < 0) digits(sec).map(_ * 1000L)
       else for {
-        w <- sec.substring(0, i).toLongOption
-        f <- sec.substring(i + 1).toLongOption
+        w <- digits(sec.substring(0, i))
+        f <- digits(sec.substring(i + 1))
         if sec.length - i - 1 == 3
       } yield w * 1000L + f
     }
     parts match {
       case Array(h, m, sec) => for {
-        hh <- h.toLongOption; mm <- m.toLongOption; ss <- msOf(sec)
-        if hh >= 0 && mm >= 0 && mm < 60
+        hh <- digits(h); mm <- digits(m); ss <- msOf(sec)
+        if mm < 60
       } yield hh * 3600000L + mm * 60000L + ss
       case Array(m, sec) => for {
-        mm <- m.toLongOption; ss <- msOf(sec)
-        if mm >= 0
+        mm <- digits(m); ss <- msOf(sec)
       } yield mm * 60000L + ss
       case _ => None
     }

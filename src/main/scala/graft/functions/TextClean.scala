@@ -34,6 +34,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object TextClean {
 
+  /** Shared line-splitting contract for the line-oriented walks
+    * ([[MarkdownCodec]], [[CodeFeatures]], [[SecretScan]]): a final
+    * newline is a line TERMINATOR, not the start of an empty line —
+    * one definition so CR/LF handling can never drift between walks.
+    */
+  private[functions] def terminatedLines(s: String): Array[String] = {
+    val lines = s.split("\r?\n", -1)
+    if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
+  }
+
   private val TypoMap: Map[Char, String] = Map(
     '\u201C' -> "\"", '\u201D' -> "\"", '\u201E' -> "\"",
     '\u2018' -> "'", '\u2019' -> "'", '\u201A' -> "'",

@@ -59,6 +59,15 @@ class EmlCodecSpec extends AnyFunSuite {
     assert(parse(eml).map(_.body).contains("yes"))
   }
 
+  test("boundary transport padding (RFC 2046) still matches") {
+    val eml = "From: a@b\n" +
+      "Content-Type: multipart/alternative; boundary=pad\n\n" +
+      "--pad  \n" + // trailing spaces from a padding relay
+      "Content-Type: text/plain\n\nstill found\n" +
+      "--pad-- \n"
+    assert(parse(eml).map(_.body).contains("still found"))
+  }
+
   test("quoted-printable edge shapes") {
     val eml = "From: a@b\nContent-Type: text/plain\n" +
       "Content-Transfer-Encoding: quoted-printable\n\n" +

@@ -58,6 +58,21 @@ class MarkdownCodecSpec extends AnyFunSuite {
     assert(d.nListItems == 1 && d.nHeadings == 1)
   }
 
+  test("code spans are literal: no links, no emphasis inside") {
+    val (t, links, images) = inline("run `ls [opts](here)` now")
+    assert(t == "run ls [opts](here) now")
+    assert(links == 0 && images == 0)
+    val (t2, _, _) = inline("keep `a*b` stars")
+    assert(t2 == "keep a*b stars")
+  }
+
+  test("--- after a list item or quote is a break, not a setext heading") {
+    val d = extract("- item\n---\n")
+    assert(d.nHeadings == 0 && d.text == "item")
+    val d2 = extract("> quoted\n---\n")
+    assert(d2.nHeadings == 0 && d2.text == "quoted")
+  }
+
   test("setext underline needs a paragraph; bare rules drop") {
     // '---' after blank is a thematic break; '===' after blank leaks as
     // text (documented line-walk approximation) but '---' never does

@@ -31,6 +31,11 @@ class SubtitleCodecSpec extends AnyFunSuite {
     assert(parseTs("01:02:03.45").isEmpty) // millis must be 3 digits
     assert(parseTs("junk").isEmpty)
     assert(parseTs("").isEmpty)
+    // negative components are malformed, not arithmetic
+    assert(parseTs("00:00:-5,000").isEmpty)
+    assert(parseTs("01:02:03.-12").isEmpty)
+    assert(parseTs("-1:02:03.456").isEmpty)
+    assert(parseTs("01:-2:03.456").isEmpty)
   }
 
   test("cue settings dropped; identifier lines never become text") {
