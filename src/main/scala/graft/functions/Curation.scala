@@ -356,4 +356,35 @@ object Curation {
         (col("n_sentences") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("__text"), lit("")).as("text_deduped"))
   }
+
+  /** Blocklist hits — the filter-list scan every curation pipeline
+    * runs (bad-word lists, known-contaminated phrases, URL denylists).
+    * FULLY declarative: the pattern list broadcasts against one
+    * narrow corpus scan and the count is pure string arithmetic
+    * (length delta / pattern length), all inside whole-stage codegen —
+    * no UDF, no regex compilation per row.
+    *
+    * Count semantics are NON-OVERLAPPING left-to-right occurrences
+    * (replace semantics) — the deterministic choice that both engines
+    * and any SQL oracle reproduce bit-exactly; for filter decisions
+    * (hit/no-hit, hit density) overlap distinctions never matter.
+    *
+    * 100 TB posture: broadcast(patterns) × corpus scan, zero shuffle;
+    * output is hits only, corpus-fraction sized.
+    */
+  def blocklistHits(docs: DataFrame, patterns: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "blocklist patterns must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = spark.createDataset(patterns).toDF("pattern")
+    docs.select(col("doc_id"), col(textCol).as("__text"))
+      .crossJoin(broadcast(pats))
+      .select(col("doc_id"), col("pattern"),
+        ((length(col("__text")) -
+          length(replace(col("__text"), col("pattern"), lit("")))) /
+          length(col("pattern"))).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
 }

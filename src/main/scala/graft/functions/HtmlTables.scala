@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** HTML table extraction — tables are their own training stratum
+  * (structured-QA, table-to-text) and the prose path
+  * ([[HtmlContent]]) deliberately flattens them; this walk keeps the
+  * grid. One row per CELL with its (table, row, column) coordinates
+  * so downstream can reassemble rows, columns, or linearized tables.
+  *
+  * Extraction semantics:
+  *   - tables are numbered in document order, rows by `<tr>` within
+  *     the table, cells by `<td>`/`<th>` within the row (nested
+  *     tables: the inner table's cells belong to the INNER table; its
+  *     text does not leak into the outer cell);
+  *   - `is_header` marks `<th>` cells (and carries through a
+  *     `<thead>` section's td cells — both conventions occur);
+  *   - `colspan` is surfaced (clamped to [1, 1000]) but NOT expanded:
+  *     the consumer chooses expansion policy; col_idx counts CELLS,
+  *     not occupied grid columns;
+  *   - cell text goes through the same [[WarcCodec.htmlToText]]
+  *     pipeline as every other markup path (entities, tag strip,
+  *     whitespace collapse).
+  *
+  * 100 TB posture: per-blob map work in `mapPartitions`, no shuffle.
+  */
+object HtmlTables {
+
+  final case class Cell(tableIdx: Long, rowIdx: Long, colIdx: Long,
+      isHeader: Boolean, colspan: Long, text: String)
+
+  def cells(html: String): Seq[Cell] = try {
+    val out = scala.collection.mutable.ArrayBuffer[Cell]()
+    var tableDepth = 0
+    var nTables = 0L
+    // per-depth state (nested tables push/pop)
+    val tableIdx = scala.collection.mutable.Stack[Long]()
+    val rowIdx = scala.collection.mutable.Stack[Long]()
+    val colIdx = scala.collection.mutable.Stack[Long]()
+    val inHead = scala.collection.mutable.Stack[Boolean]()
+    var cell: StringBuilder = null
+    var cellHeader = false
+    var cellColspan = 1L
+
+    def flushCell(): Unit = if (cell != null && tableDepth > 0) {
+      val text = WarcCodec.htmlToText(cell.toString)
+      out += Cell(tableIdx.top, rowIdx.top, colIdx.top,
+        cellHeader || inHead.top, cellColspan, text)
+      colIdx.push(colIdx.pop() + 1)
+      cell = null
+    }
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) {
+        if (cell != null) cell.append(html.substring(i))
+        i = n
+      } else {
+        if (cell != null) cell.append(html.substring(i, lt))
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val gt = html.indexOf('>', lt)
+          if (gt < 0) i = n
+          else {
+            val body = html.substring(lt + 1, gt)
+            val name = tagNameOf(body)
+            name match {
+              case "table" =>
+                // an open outer cell flushes with its pre-table text:
+                // the inner grid's text never leaks into the outer cell
+                flushCell()
+                tableDepth += 1
+                tableIdx.push(nTables); nTables += 1
+                rowIdx.push(-1L); colIdx.push(0L); inHead.push(false)
+              case "/table" if tableDepth > 0 =>
+                flushCell()
+                tableDepth -= 1
+                tableIdx.pop(); rowIdx.pop(); colIdx.pop(); inHead.pop()
+              case "tr" if tableDepth > 0 =>
+                flushCell()
+                rowIdx.push(rowIdx.pop() + 1)
+                colIdx.pop(); colIdx.push(0L)
+              case "td" | "th" if tableDepth > 0 =>
+                flushCell()
+                cell = new StringBuilder
+                cellHeader = name == "th"
+                cellColspan = XlsxCodec.attr(body, "colspan")
+                  .flatMap(_.toLongOption)
+                  .map(v => math.max(1L, math.min(1000L, v)))
+                  .getOrElse(1L)
+              case "/td" | "/th" => flushCell()
+              case "thead" if tableDepth > 0 =>
+                inHead.pop(); inHead.push(true)
+              case "/thead" | "tbody" if tableDepth > 0 =>
+                flushCell()
+                inHead.pop(); inHead.push(false)
+              case _ =>
+                // other markup inside a cell stays for htmlToText
+                if (cell != null) cell.append(html.substring(lt, gt + 1))
+            }
+            i = gt + 1
+          }
+        }
+      }
+    }
+    out.toSeq
+  } catch { case _: RuntimeException => Nil }
+
+  private def tagNameOf(body: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    if (i < body.length && body.charAt(i) == '/') { sb.append('/'); i += 1 }
+    while (i < body.length && (body.charAt(i).isLetterOrDigit)) {
+      sb.append(body.charAt(i).toLower); i += 1
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  /** One row per cell: (doc_id, table_idx, row_idx, col_idx,
+    * is_header, colspan, text).
+    */
+  def extractCells(payloads: Dataset[(Long, String)]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, html) =>
+        cells(html).map(c =>
+          (id, c.tableIdx, c.rowIdx, c.colIdx, c.isHeader, c.colspan,
+            c.text))
+      }
+    }.toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header",
+      "colspan", "text")
+  }
+}
+
+/** Planted HTML-table fixtures: `id mod 2 + 1` tables per page, each
+  * with a `<thead>` header row of 2 th cells and `id mod 3 + 1` body
+  * rows of 2 td cells (the second with `colspan="2"` on odd rows);
+  * prose between tables and a comment inside one cell must not
+  * surface. Cell text is planted arithmetic.
+  */
+object HtmlTableFixtures {
+
+  def nTables(id: Long): Int = (id % 2 + 1).toInt
+  def nRows(id: Long): Int = (id % 3 + 1).toInt
+
+  def headText(id: Long, t: Int, c: Int): String = s"h$c of table $t doc $id"
+  def cellText(id: Long, t: Int, r: Int, c: Int): String =
+    s"cell $r,$c of table $t doc $id"
+
+  def page(id: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"<html><body><p>prose before doc $id</p>")
+    for (t <- 0 until nTables(id)) {
+      sb.append("<table><thead><tr>")
+      sb.append(s"<th>${headText(id, t, 0)}</th>")
+      sb.append(s"<th>${headText(id, t, 1)}</th>")
+      sb.append("</tr></thead><tbody>")
+      for (r <- 0 until nRows(id)) {
+        sb.append("<tr>")
+        sb.append(s"<td>${cellText(id, t, r, 0)}<!-- hidden --></td>")
+        val span = if (r % 2 == 1) " colspan=\"2\"" else ""
+        sb.append(s"<td$span><b>${cellText(id, t, r, 1)}</b></td>")
+        sb.append("</tr>")
+      }
+      sb.append("</tbody></table>")
+      sb.append(s"<p>prose between doc $id</p>")
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+}

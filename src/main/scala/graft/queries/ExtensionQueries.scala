@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -4358,6 +4358,90 @@ object ExtensionQueries {
              |    ELSE 'text/plain' END AS content_type,
              |  body, CAST(length(body) AS BIGINT) AS n_chars
              |FROM b""".stripMargin),
+    ),
+
+    // HTML table extraction (the grid the prose path flattens): thead
+    // header rows, colspan surfaced, a comment inside a cell and bold
+    // markup that htmlToText must strip, prose between tables that
+    // must not surface. The oracle replays the planted grid.
+    QueryDef(
+      "html_table_cells",
+      (s, dir) => {
+        import s.implicits._
+        HtmlTables.extractCells(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, HtmlTableFixtures.page(id))))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS nt,
+             |    doc_id % 3 + 1 AS nr FROM documents),
+             |t AS (SELECT d.doc_id, d.nr, tt.t FROM d, range(0, 2) AS tt(t)
+             |    WHERE tt.t < d.nt),
+             |hdr AS (SELECT doc_id, t, CAST(0 AS BIGINT) AS row_idx,
+             |    cc.c AS col_idx, true AS is_header,
+             |    CAST(1 AS BIGINT) AS colspan,
+             |    'h' || cc.c || ' of table ' || t || ' doc ' || doc_id
+             |      AS text
+             |  FROM t, range(0, 2) AS cc(c)),
+             |bdy AS (SELECT doc_id, t, CAST(rr.r + 1 AS BIGINT) AS row_idx,
+             |    cc.c AS col_idx, false AS is_header,
+             |    CAST(CASE WHEN cc.c = 1 AND rr.r % 2 = 1 THEN 2 ELSE 1 END
+             |      AS BIGINT) AS colspan,
+             |    'cell ' || rr.r || ',' || cc.c || ' of table ' || t ||
+             |      ' doc ' || doc_id AS text
+             |  FROM t, range(0, 3) AS rr(r), range(0, 2) AS cc(c)
+             |  WHERE rr.r < t.nr)
+             |SELECT doc_id, CAST(t AS BIGINT) AS table_idx, row_idx,
+             |  CAST(col_idx AS BIGINT) AS col_idx, is_header, colspan, text
+             |FROM hdr
+             |UNION ALL
+             |SELECT doc_id, CAST(t AS BIGINT) AS table_idx, row_idx,
+             |  CAST(col_idx AS BIGINT) AS col_idx, is_header, colspan, text
+             |FROM bdy""".stripMargin),
+    ),
+
+    // CSV dialect sniffing (the schema-less-drop front door): the
+    // delimiter rotation, a quoted field containing the ACTIVE
+    // delimiter (naive splitting would break consistency on exactly
+    // those ids), and the numeric-second-line header heuristic. The
+    // oracle replays the planted dialect.
+    QueryDef(
+      "csv_sniff_dialect",
+      (s, dir) => {
+        import s.implicits._
+        CsvSniff.dialects(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, CsvFixtures.csv(id))))
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN chr(9)
+             |    WHEN 2 THEN ';' ELSE '|' END AS delimiter,
+             |  CASE WHEN doc_id % 3 = 0 THEN '"' ELSE '' END AS quote,
+             |  doc_id % 2 = 0 AS has_header,
+             |  CAST(doc_id % 3 + 2 AS BIGINT) AS n_cols,
+             |  CAST(doc_id % 5 + 2 +
+             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_rows
+             |FROM documents""".stripMargin),
+    ),
+
+    // Blocklist hits — fully declarative (broadcast patterns × one
+    // narrow scan, counts as codegen'd string arithmetic). Patterns
+    // are corpus-vocabulary words plus one phrase, so hits are dense
+    // and non-vacuous; the oracle replays the identical replace-count
+    // arithmetic.
+    QueryDef(
+      "curation_blocklist_hits",
+      (s, dir) => Curation.blocklistHits(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        Seq("table", "scan slow", "query", "spark")),
+      Some("""WITH pats AS (SELECT unnest(['table', 'scan slow', 'query',
+             |    'spark']) AS pattern)
+             |SELECT doc_id, pattern,
+             |  CAST((length(text) - length(replace(text, pattern, ''))) /
+             |    length(pattern) AS BIGINT) AS n_hits
+             |FROM documents, pats
+             |WHERE length(text) - length(replace(text, pattern, '')) > 0
+             |""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.Curation
+
+/** The declarative blocklist scan: counts, hit filtering, plan shape. */
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the table near the table is a table"),
+    (2L, "no hits here at all"),
+    (3L, "query query queryquery"),
+    (4L, " the the ")).toDF("doc_id", "text")
+
+  test("non-overlapping counts, zero-hit rows filtered") {
+    val got = Curation.blocklistHits(docs, Seq("table", "query"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "table", 3L), (3L, "query", 4L)))
+  }
+
+  test("replace semantics on self-overlapping patterns, documented") {
+    // " the the " holds two overlapping " the " matches; replace
+    // semantics count the left-to-right non-overlapping one
+    val got = Curation.blocklistHits(docs, Seq(" the "))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // doc 1 has one " the " (in "near the table"); doc 4's two
+    // overlapping matches count as the one non-overlapping replace
+    assert(got == Set((1L, 1L), (4L, 1L)))
+  }
+
+  test("empty patterns rejected") {
+    intercept[IllegalArgumentException] {
+      Curation.blocklistHits(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.blocklistHits(docs, Seq("ok", ""))
+    }
+  }
+
+  test("plan: pattern side broadcasts, no shuffle exchange") {
+    val plan = Curation.blocklistHits(docs, Seq("table"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("ShuffleExchange"), plan)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dialect sniffer held to the planted fixtures and each rule. */
+class CsvSniffSpec extends AnyFunSuite {
+  import CsvSniff._
+
+  test("planted fixtures: dialect exact") {
+    for (id <- 0L until 60L) {
+      val d = sniff(CsvFixtures.csv(id))
+      assert(d.delimiter.contains(CsvFixtures.delimiter(id).toString), s"id=$id")
+      assert(d.quote == (if (CsvFixtures.hasQuoted(id)) "\"" else ""), s"id=$id")
+      assert(d.hasHeader == CsvFixtures.hasHeader(id), s"id=$id")
+      assert(d.nCols == CsvFixtures.nCols(id).toLong, s"id=$id")
+      assert(d.nRows == CsvFixtures.nRows(id), s"id=$id")
+    }
+  }
+
+  test("quote-aware split: embedded delimiter and doubled quote") {
+    assert(splitLine("a,\"b,c\",d", ',') == Seq("a", "b,c", "d"))
+    assert(splitLine("\"he said \"\"hi\"\"\",x", ',') ==
+      Seq("he said \"hi\"", "x"))
+    assert(splitLine("plain,fields", ',') == Seq("plain", "fields"))
+    assert(splitLine("", ',') == Seq(""))
+    // a quote NOT at field start is literal
+    assert(splitLine("a\"b,c", ',') == Seq("a\"b", "c"))
+  }
+
+  test("no consistent candidate means not-a-CSV") {
+    val d = sniff("just prose with no structure\nanother line entirely\n")
+    assert(d.delimiter.isEmpty)
+    // a single column is not a CSV verdict either
+    assert(sniff("one\ntwo\nthree\n").delimiter.isEmpty)
+  }
+
+  test("header heuristic needs non-numeric first row AND numeric second") {
+    assert(sniff("a,b\n1,2\n").hasHeader)
+    assert(!sniff("1,2\n3,4\n").hasHeader)
+    assert(!sniff("a,b\nc,d\n").hasHeader) // all-text: no evidence
+    assert(!sniff("a,b\n").hasHeader) // no second line
+  }
+
+  test("most-fields wins among consistent candidates") {
+    // every line has 3 commas and 1 pipe consistently: comma wins
+    val d = sniff("a,b|c,d\ne,f|g,h\n")
+    assert(d.delimiter.contains(","))
+    assert(d.nCols == 3L)
+  }
+
+  test("blank lines are skipped, not counted") {
+    val d = sniff("a,b\n\n1,2\n\n")
+    assert(d.nRows == 2L && d.hasHeader)
+  }
+
+  test("hostile input never throws") {
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 200) {
+      val junk = (0 until rnd.nextInt(300)).map(_ =>
+        ",\t;|\"\n0a".charAt(rnd.nextInt(8))).mkString
+      sniff(junk)
+    }
+    assert(sniff("").delimiter.isEmpty)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The table-grid walk held to the planted fixtures, nesting, and
+  * hostile input.
+  */
+class HtmlTablesSpec extends AnyFunSuite {
+  import HtmlTables._
+
+  test("planted fixtures: full grid exact") {
+    for (id <- 0L until 24L) {
+      val got = cells(HtmlTableFixtures.page(id))
+      val expected = scala.collection.mutable.ArrayBuffer[Cell]()
+      for (t <- 0 until HtmlTableFixtures.nTables(id)) {
+        for (c <- 0 until 2)
+          expected += Cell(t.toLong, 0L, c.toLong, isHeader = true, 1L,
+            HtmlTableFixtures.headText(id, t, c))
+        for (r <- 0 until HtmlTableFixtures.nRows(id); c <- 0 until 2)
+          expected += Cell(t.toLong, r + 1L, c.toLong, isHeader = false,
+            if (c == 1 && r % 2 == 1) 2L else 1L,
+            HtmlTableFixtures.cellText(id, t, r, c))
+      }
+      assert(got == expected.toSeq, s"id=$id")
+      assert(!got.exists(_.text.contains("prose")))
+      assert(!got.exists(_.text.contains("hidden")))
+    }
+  }
+
+  test("nested table: inner cells belong to the inner table only") {
+    val html = "<table><tr><td>outer start" +
+      "<table><tr><td>inner</td></tr></table>" +
+      "</td></tr></table>"
+    val got = cells(html)
+    assert(got.map(c => (c.tableIdx, c.text)).toSet ==
+      Set((1L, "inner"), (0L, "outer start")))
+  }
+
+  test("th outside thead and td inside thead are both headers") {
+    val html = "<table><tr><th>a</th><td>b</td></tr>" +
+      "<thead><tr><td>c</td></tr></thead></table>"
+    val got = cells(html)
+    assert(got.map(c => (c.text, c.isHeader)).toSet ==
+      Set(("a", true), ("b", false), ("c", true)))
+  }
+
+  test("colspan clamped; junk colspan defaults to 1") {
+    val html = "<table><tr><td colspan=\"9999\">a</td>" +
+      "<td colspan=\"x\">b</td><td colspan='3'>c</td></tr></table>"
+    assert(cells(html).map(_.colspan) == Seq(1000L, 1L, 3L))
+  }
+
+  test("unclosed cells flush on tr/table; entities decode") {
+    val html = "<table><tr><td>a &amp; b<tr><td>next row</table>"
+    val got = cells(html)
+    assert(got.map(_.text) == Seq("a & b", "next row"))
+    assert(got.map(_.rowIdx) == Seq(0L, 1L))
+  }
+
+  test("no tables yields nothing; hostile input never throws") {
+    assert(cells("<p>just prose</p>").isEmpty)
+    assert(cells("").isEmpty)
+    assert(cells("</table></td></tr>").isEmpty) // stray closers
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 200) {
+      val junk = (0 until rnd.nextInt(400)).map(_ =>
+        "<table></tr><td>x!-".charAt(rnd.nextInt(19))).mkString
+      cells(junk)
+      val full = HtmlTableFixtures.page(rnd.nextInt(32).toLong)
+      cells(full.substring(0, rnd.nextInt(full.length)))
+    }
+  }
+}
