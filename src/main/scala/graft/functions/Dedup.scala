@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact hashing,
@@ -804,5 +805,83 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-document exact substring spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * operation, re-expressed relationally): for every document, the
+    * maximal character spans of length ≥ k that also occur VERBATIM
+    * in at least one other document — the spans a scrubbing pass then
+    * drops ([[Curation.dropDupSpans]] is the sentence-level cousin;
+    * this is exact at character granularity).
+    *
+    * Shape: k-gram inverted index, not suffix arrays and not pairs —
+    *   1. every position's k-gram, keyed by md5 (128-bit: collisions
+    *      are below data-corruption probability; no verify pass);
+    *   2. one hash-shuffle groupBy keeps k-grams spanning ≥ 2 DISTINCT
+    *      documents (internal repetition alone never fires);
+    *   3. marked positions shuffle back to their documents and
+    *      consecutive runs merge into maximal spans (a position run
+    *      [p₀..p₁] covers characters [p₀, p₁ + k)).
+    *
+    * Per-document output, NEVER per-pair — a boilerplate block shared
+    * by 10⁶ documents is 10⁶ rows here, not a 10¹²-row clique. At
+    * 100 TB the honest cost is the index itself (O(corpus chars) rows
+    * through one shuffle); production pre-filters candidate documents
+    * with winnowing fingerprints ([[TextAnalytics]]) and runs this
+    * exact pass on the candidate subset.
+    *
+    * Fully declarative — explode/substr/md5/window, all codegen.
+    */
+  def substringSpans(docs: DataFrame, k: Int = 40,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, "span length must be >= 2")
+    val positions = docs
+      .where(length(col(textCol)) >= k)
+      .select(col("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(0L), (length(col(textCol)) - k).cast("long")))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("__t").substr(col("pos").cast("int") + 1, lit(k))).as("__h"))
+    val crossDoc = positions
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("__h"))
+    val marked = positions.join(crossDoc, Seq("__h")).select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1L, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__run", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+}
+
+/** Planted substring-dedup fixtures: every document is 12 fixed-width
+  * (12-char) filler tokens carrying its OWN zero-padded id — so no two
+  * documents share any 40-char window from filler alone — and ids ≡ 0
+  * (mod 4) insert one fixed 64-char shared block at token position
+  * `(id mod 3)·4`. The expected maximal span is exactly the block:
+  * start = position·12, length 64.
+  */
+object SubstringFixtures {
+
+  /** 21·3 + 1 = 64 chars. */
+  val SharedBlock: String = "shared block payload " * 3 + "!"
+
+  def hasBlock(id: Long): Boolean = id % 4 == 0
+  def insertAt(id: Long): Int = ((id % 3) * 4).toInt
+
+  def text(id: Long): String = {
+    val tokens = (0 until 12).map(j => f"u$id%07dt$j%02d ")
+    val (before, after) = tokens.splitAt(insertAt(id))
+    (before.mkString + (if (hasBlock(id)) SharedBlock else "") +
+      after.mkString)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -4442,6 +4442,57 @@ object ExtensionQueries {
              |FROM documents, pats
              |WHERE length(text) - length(replace(text, pattern, '')) > 0
              |""".stripMargin),
+    ),
+
+    // Cross-document exact substring spans (Lee et al. 2022, as a
+    // k-gram inverted index + run merge — per-document output, never
+    // per-pair, so a block shared by a million docs is a million rows
+    // not a clique). The oracle replays the ALGORITHM in SQL (not the
+    // plant): maximal spans legitimately extend into id-independent
+    // characters bordering the planted block (token-boundary suffixes,
+    // shared zero-padding) by a corpus-dependent amount, and the
+    // algorithm-level oracle is exact on all of it.
+    QueryDef(
+      "dedup_substring_spans",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.substringSpans(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, SubstringFixtures.text(id)))
+          .toDF("doc_id", "text"), k = 40)
+      },
+      Some("""WITH d AS (SELECT doc_id, printf('%07d', doc_id) AS id7,
+             |    CAST((doc_id % 3) * 4 AS INT) AS ins,
+             |    doc_id % 4 = 0 AS hb
+             |  FROM documents),
+             |tok AS (SELECT doc_id, ins, hb, j.j,
+             |    'u' || id7 || 't' || printf('%02d', j.j) || ' ' AS tk
+             |  FROM d, range(0, 12) AS j(j)),
+             |txt AS (SELECT doc_id,
+             |    string_agg(CASE WHEN j < ins THEN tk ELSE '' END, ''
+             |      ORDER BY j) ||
+             |    CASE WHEN hb THEN
+             |      'shared block payload shared block payload ' ||
+             |      'shared block payload !' ELSE '' END ||
+             |    string_agg(CASE WHEN j >= ins THEN tk ELSE '' END, ''
+             |      ORDER BY j) AS text
+             |  FROM tok GROUP BY doc_id, ins, hb),
+             |px AS (SELECT doc_id, text,
+             |    unnest(range(0, length(text) - 39)) AS p FROM txt),
+             |pos AS (SELECT doc_id, p, substr(text, p + 1, 40) AS g
+             |  FROM px),
+             |dup AS (SELECT g FROM pos GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |mk AS (SELECT doc_id, p FROM pos JOIN dup USING (g)),
+             |r AS (SELECT doc_id, p,
+             |    CASE WHEN p - lag(p) OVER w = 1 THEN 0 ELSE 1 END AS nw
+             |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+             |runs AS (SELECT doc_id, p,
+             |    sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS run
+             |  FROM r)
+             |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+             |  CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
+             |FROM runs GROUP BY doc_id, run""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{Dedup, SubstringFixtures}
+
+/** The exact-substring span detector: planted recall/precision,
+  * maximality, and the never-fires guarantees.
+  */
+class SubstringSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, String)], k: Int = 40) =
+    Dedup.substringSpans(pairs.toDF("doc_id", "text"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("planted fixtures: one span per group doc, containing the block") {
+    val docs = (0L until 48L).map(id => (id, SubstringFixtures.text(id)))
+    val got = run(docs)
+    // non-group docs never emit; every group doc emits exactly one
+    // span that CONTAINS the planted block (maximality legitimately
+    // extends into id-independent boundary chars — token suffixes,
+    // shared zero-padding — by a corpus-dependent amount)
+    val groups = got.groupBy(_._1)
+    assert(groups.keySet == (0L until 48L).filter(SubstringFixtures.hasBlock).toSet)
+    for ((id, spans) <- groups) {
+      assert(spans.size == 1, s"id=$id spans=$spans")
+      val (_, start, len) = spans.head
+      val blockStart = SubstringFixtures.insertAt(id.toInt) * 12L
+      assert(start <= blockStart && start + len >= blockStart + 64,
+        s"id=$id got ($start,$len) block at $blockStart")
+      // and never wildly more than the block + both bounded margins
+      assert(len <= 64L + 24L, s"id=$id len=$len")
+    }
+  }
+
+  test("internal repetition within one document never fires") {
+    val docs = Seq(
+      (1L, ("repeat me " * 20) + "unique tail one"),
+      (2L, "entirely different content with no repeats at all here" * 2))
+    assert(run(docs).isEmpty)
+  }
+
+  test("two separate shared runs yield two maximal spans") {
+    // the fillers differ at EVERY character so the spans are exact
+    val blockA = "A" * 50
+    val blockB = "B" * 45
+    val docs = Seq(
+      (1L, blockA + ("1" * 60) + blockB),
+      (2L, blockA + ("2" * 60) + blockB))
+    val got = run(docs)
+    assert(got == Set(
+      (1L, 0L, 50L), (1L, 110L, 45L),
+      (2L, 0L, 50L), (2L, 110L, 45L)))
+  }
+
+  test("shared run shorter than k never fires; exactly k fires") {
+    val b39 = "C" * 39
+    val b40 = "D" * 40
+    assert(run(Seq((1L, b39 + "1 tail filler to reach length ok"),
+      (2L, b39 + "2 tail filler to reach length ok"))).isEmpty)
+    val got = run(Seq((1L, b40 + "1 tail filler to reach length ok"),
+      (2L, b40 + "2 tail filler to reach length ok")))
+    assert(got == Set((1L, 0L, 40L), (2L, 0L, 40L)))
+  }
+
+  test("documents shorter than k are skipped") {
+    assert(run(Seq((1L, "short"), (2L, "short"))).isEmpty)
+  }
+}
