@@ -861,6 +861,42 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + k).as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
+
+  /** Incremental form of [[substringSpans]]: spans in the NEW batch
+    * that duplicate the EXISTING corpus — the shape an append-only
+    * pipeline runs per ingest. Cost is O(batch grams) on the probe
+    * side: the corpus contributes only its DISTINCT gram hashes (a
+    * persisted index in production — recomputed here from the corpus
+    * frame, same semantics), and batch-internal duplication is
+    * deliberately out of scope (the batch joins the corpus next
+    * epoch). No distinct-doc-count condition applies: ONE corpus
+    * occurrence already makes a batch span a duplicate.
+    */
+  def substringSpansAgainst(corpus: DataFrame, batch: DataFrame,
+      k: Int = 40, textCol: String = "text"): DataFrame = {
+    require(k >= 2, "span length must be >= 2")
+    def grams(df: DataFrame) = df
+      .where(length(col(textCol)) >= k)
+      .select(col("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(0L), (length(col(textCol)) - k).cast("long")))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("__t").substr(col("pos").cast("int") + 1, lit(k))).as("__h"))
+    val index = grams(corpus).select(col("__h")).distinct()
+    val marked = grams(batch).join(index, Seq("__h"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1L, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__run", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
 }
 
 /** Planted substring-dedup fixtures: every document is 12 fixed-width
@@ -878,10 +914,20 @@ object SubstringFixtures {
   def hasBlock(id: Long): Boolean = id % 4 == 0
   def insertAt(id: Long): Int = ((id % 3) * 4).toInt
 
-  def text(id: Long): String = {
+  def text(id: Long): String = build(id, hasBlock(id))
+
+  /** Incremental twin: even ids form the corpus (blocks per
+    * [[hasBlock]]), odd ids the new batch — batch ids ≡ 1 (mod 8)
+    * carry the block and must surface spans against the corpus.
+    */
+  def batchHasBlock(id: Long): Boolean = id % 8 == 1
+
+  def buildFor(id: Long): String =
+    build(id, if (id % 2 == 0) hasBlock(id) else batchHasBlock(id))
+
+  private def build(id: Long, block: Boolean): String = {
     val tokens = (0 until 12).map(j => f"u$id%07dt$j%02d ")
     val (before, after) = tokens.splitAt(insertAt(id))
-    (before.mkString + (if (hasBlock(id)) SharedBlock else "") +
-      after.mkString)
+    (before.mkString + (if (block) SharedBlock else "") + after.mkString)
   }
 }

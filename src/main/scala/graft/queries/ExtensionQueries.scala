@@ -4494,5 +4494,57 @@ object ExtensionQueries {
              |  CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
              |FROM runs GROUP BY doc_id, run""".stripMargin),
     ),
+
+    // Incremental substring dedup: the O(batch) per-ingest form —
+    // batch grams probe the corpus's DISTINCT gram index, never the
+    // reverse; one corpus occurrence marks a batch span. Even ids are
+    // the corpus, odd the batch (blocks on ids mod 8 = 1). Same
+    // algorithm-replay oracle.
+    QueryDef(
+      "dedup_substring_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val all = Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, SubstringFixtures.buildFor(id)))
+          .toDF("doc_id", "text")
+        Dedup.substringSpansAgainst(
+          all.where(col("doc_id") % 2 === 0),
+          all.where(col("doc_id") % 2 === 1), k = 40)
+      },
+      Some("""WITH d AS (SELECT doc_id, printf('%07d', doc_id) AS id7,
+             |    CAST((doc_id % 3) * 4 AS INT) AS ins,
+             |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 = 0
+             |      ELSE doc_id % 8 = 1 END AS hb
+             |  FROM documents),
+             |tok AS (SELECT doc_id, ins, hb, j.j,
+             |    'u' || id7 || 't' || printf('%02d', j.j) || ' ' AS tk
+             |  FROM d, range(0, 12) AS j(j)),
+             |txt AS (SELECT doc_id,
+             |    string_agg(CASE WHEN j < ins THEN tk ELSE '' END, ''
+             |      ORDER BY j) ||
+             |    CASE WHEN hb THEN
+             |      'shared block payload shared block payload ' ||
+             |      'shared block payload !' ELSE '' END ||
+             |    string_agg(CASE WHEN j >= ins THEN tk ELSE '' END, ''
+             |      ORDER BY j) AS text
+             |  FROM tok GROUP BY doc_id, ins, hb),
+             |px AS (SELECT doc_id, text,
+             |    unnest(range(0, length(text) - 39)) AS p FROM txt),
+             |pos AS (SELECT doc_id, p, substr(text, p + 1, 40) AS g
+             |  FROM px),
+             |cg AS (SELECT DISTINCT g FROM pos WHERE doc_id % 2 = 0),
+             |mk AS (SELECT doc_id, p FROM pos
+             |  JOIN cg USING (g) WHERE doc_id % 2 = 1),
+             |r AS (SELECT doc_id, p,
+             |    CASE WHEN p - lag(p) OVER w = 1 THEN 0 ELSE 1 END AS nw
+             |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+             |runs AS (SELECT doc_id, p,
+             |    sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS run
+             |  FROM r)
+             |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+             |  CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
+             |FROM runs GROUP BY doc_id, run""".stripMargin),
+    ),
   )
 }

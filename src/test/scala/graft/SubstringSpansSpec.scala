@@ -65,4 +65,36 @@ class SubstringSpansSpec extends SparkSpec {
   test("documents shorter than k are skipped") {
     assert(run(Seq((1L, "short"), (2L, "short"))).isEmpty)
   }
+
+  test("incremental: batch probes corpus, direction and scope") {
+    val corpus = Seq(
+      (0L, ("E" * 50) + "0 corpus filler tail to pass length"),
+      (2L, "plain corpus doc with nothing shared xx")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, ("E" * 50) + "1 batch filler tail here to pass len"),
+      (3L, ("F" * 50) + "3 batch only block not in the corpus"),
+      (5L, ("F" * 50) + "5 batch only block not in the corpus")).toDF("doc_id", "text")
+    val got = Dedup.substringSpansAgainst(corpus, batch, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 matches the corpus E-block; docs 3/5 share F ONLY among
+    // the batch — out of scope for the incremental form
+    assert(got == Set((1L, 0L, 50L)))
+  }
+
+  test("incremental planted fixtures: only block-carrying batch docs emit") {
+    val all = (0L until 48L).map(id => (id, SubstringFixtures.buildFor(id)))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringSpansAgainst(
+      all.where($"doc_id" % 2 === 0), all.where($"doc_id" % 2 === 1), 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == (0L until 48L)
+      .filter(id => id % 2 == 1 && SubstringFixtures.batchHasBlock(id)).toSet)
+    for ((id, spans) <- byDoc) {
+      assert(spans.length == 1, s"id=$id")
+      val blockStart = SubstringFixtures.insertAt(id) * 12L
+      val (_, start, len) = spans.head
+      assert(start <= blockStart && start + len >= blockStart + 64, s"id=$id")
+    }
+  }
 }
