@@ -76,7 +76,7 @@ object CsvSniff {
       case None => Dialect(None, "", hasHeader = false, 0L, nRows)
       case Some((d, nCols)) =>
         val fields0 = splitLine(sample.head, d)
-        val quoted = sample.take(8).exists(l => splitRaw(l, d).exists(f =>
+        val quoted = sample.exists(l => splitRaw(l, d).exists(f =>
           f.length >= 2 && f.startsWith("\"") && f.endsWith("\"")))
         val hasHeader = !fields0.exists(isNumeric) && sample.length > 1 &&
           splitLine(sample(1), d).exists(isNumeric)

@@ -818,8 +818,11 @@ object Dedup {
     * Shape: k-gram inverted index, not suffix arrays and not pairs —
     *   1. every position's k-gram, keyed by md5 (128-bit: collisions
     *      are below data-corruption probability; no verify pass);
-    *   2. one hash-shuffle groupBy keeps k-grams spanning ≥ 2 DISTINCT
-    *      documents (internal repetition alone never fires);
+    *   2. ONE hash-shuffle window over the gram key marks positions
+    *      whose gram spans ≥ 2 DISTINCT documents (min(doc) ≠
+    *      max(doc) — constant memory per group, no set
+    *      materialization, and crucially no groupBy-plus-self-join
+    *      that would recompute the expensive gram subtree twice);
     *   3. marked positions shuffle back to their documents and
     *      consecutive runs merge into maximal spans (a position run
     *      [p₀..p₁] covers characters [p₀, p₁ + k)).
@@ -836,30 +839,13 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int = 40,
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
-    val positions = docs
-      .where(length(col(textCol)) >= k)
-      .select(col("doc_id"), col(textCol).as("__t"),
-        explode(sequence(lit(0L), (length(col(textCol)) - k).cast("long")))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(col("__t").substr(col("pos").cast("int") + 1, lit(k))).as("__h"))
-    val crossDoc = positions
-      .groupBy(col("__h"))
-      .agg(countDistinct(col("doc_id")).as("__nd"))
-      .where(col("__nd") >= 2)
-      .select(col("__h"))
-    val marked = positions.join(crossDoc, Seq("__h")).select(col("doc_id"), col("pos"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    marked
-      .withColumn("__new",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1L, lit(0L))
-          .otherwise(lit(1L)))
-      .withColumn("__run", sum(col("__new")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("__run"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) - min(col("pos")) + k).as("span_len"))
-      .select(col("doc_id"), col("span_start"), col("span_len"))
+    val byGram = Window.partitionBy(col("__h"))
+    val marked = gramPositions(docs, k, textCol)
+      .withColumn("__dmin", min(col("doc_id")).over(byGram))
+      .withColumn("__dmax", max(col("doc_id")).over(byGram))
+      .where(col("__dmin") =!= col("__dmax"))
+      .select(col("doc_id"), col("pos"))
+    mergeRuns(marked, k)
   }
 
   /** Incremental form of [[substringSpans]]: spans in the NEW batch
@@ -875,16 +861,47 @@ object Dedup {
   def substringSpansAgainst(corpus: DataFrame, batch: DataFrame,
       k: Int = 40, textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
-    def grams(df: DataFrame) = df
+    val index = gramPositions(corpus, k, textCol)
+      .select(col("__h")).distinct()
+    val marked = gramPositions(batch, k, textCol).join(index, Seq("__h"))
+      .select(col("doc_id"), col("pos"))
+    mergeRuns(marked, k)
+  }
+
+  /** Position chunk width for gram generation: `sequence()`
+    * materializes its whole array in one row before explode, so a
+    * single explode over a 50 MB document would build a ~50M-element
+    * array. Chunking bounds every per-row array to 64 Ki elements;
+    * positions are chunk-local and rebased.
+    */
+  private val GramChunk = 65536L
+
+  /** (doc_id, pos, __h): every k-gram position of every document of
+    * at least k chars, md5-keyed. Shared by the full and incremental
+    * span forms so their gram semantics can never diverge.
+    */
+  private def gramPositions(docs: DataFrame, k: Int,
+      textCol: String): DataFrame = {
+    val lastPos = (length(col(textCol)) - k).cast("long") // inclusive
+    docs
       .where(length(col(textCol)) >= k)
-      .select(col("doc_id"), col(textCol).as("__t"),
-        explode(sequence(lit(0L), (length(col(textCol)) - k).cast("long")))
+      .select(col("doc_id"), col(textCol).as("__t"), lastPos.as("__last"),
+        // Column./ is double division; truncate back to the integral
+        // chunk index (non-negative, so trunc == floor)
+        explode(sequence(lit(0L), (lastPos / GramChunk).cast("long")))
+          .as("__chunk"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(col("__chunk") * GramChunk,
+          least(col("__chunk") * GramChunk + (GramChunk - 1), col("__last"))))
           .as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(col("__t").substr(col("pos").cast("int") + 1, lit(k))).as("__h"))
-    val index = grams(corpus).select(col("__h")).distinct()
-    val marked = grams(batch).join(index, Seq("__h"))
-      .select(col("doc_id"), col("pos"))
+        md5(col("__t").substr((col("pos") + 1).cast("int"), lit(k))).as("__h"))
+  }
+
+  /** Merge consecutive marked positions per document into maximal
+    * spans: (doc_id, span_start, span_len).
+    */
+  private def mergeRuns(marked: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("__new",

@@ -41,6 +41,10 @@ object HtmlTables {
     var cell: StringBuilder = null
     var cellHeader = false
     var cellColspan = 1L
+    // an outer cell suspends across a nested table and resumes after
+    // it — its trailing text is content, only the INNER grid's text
+    // stays out of the outer cell
+    val cellStack = scala.collection.mutable.Stack[(StringBuilder, Boolean, Long)]()
 
     def flushCell(): Unit = if (cell != null && tableDepth > 0) {
       val text = WarcCodec.htmlToText(cell.toString)
@@ -70,9 +74,10 @@ object HtmlTables {
             val name = tagNameOf(body)
             name match {
               case "table" =>
-                // an open outer cell flushes with its pre-table text:
-                // the inner grid's text never leaks into the outer cell
-                flushCell()
+                if (cell != null) {
+                  cellStack.push((cell, cellHeader, cellColspan))
+                  cell = null
+                }
                 tableDepth += 1
                 tableIdx.push(nTables); nTables += 1
                 rowIdx.push(-1L); colIdx.push(0L); inHead.push(false)
@@ -80,12 +85,22 @@ object HtmlTables {
                 flushCell()
                 tableDepth -= 1
                 tableIdx.pop(); rowIdx.pop(); colIdx.pop(); inHead.pop()
+                if (cellStack.nonEmpty) {
+                  val (c, h, cs) = cellStack.pop()
+                  cell = c; cellHeader = h; cellColspan = cs
+                  // htmlToText collapses runs, so one space cleanly
+                  // separates pre- and post-table text
+                  if (cell.nonEmpty) cell.append(' ')
+                }
               case "tr" if tableDepth > 0 =>
                 flushCell()
                 rowIdx.push(rowIdx.pop() + 1)
                 colIdx.pop(); colIdx.push(0L)
               case "td" | "th" if tableDepth > 0 =>
                 flushCell()
+                // malformed crawl HTML drops the <tr>; browsers imply
+                // one, so a rowless cell lands in row 0, not row -1
+                if (rowIdx.top == -1L) { rowIdx.pop(); rowIdx.push(0L) }
                 cell = new StringBuilder
                 cellHeader = name == "th"
                 cellColspan = XlsxCodec.attr(body, "colspan")

@@ -48,6 +48,13 @@ class CsvSniffSpec extends AnyFunSuite {
     assert(d.nCols == 3L)
   }
 
+  test("quote detection covers the whole sample, not a prefix") {
+    // first 20 rows unquoted; a quoted field appears at row 21
+    val head = (0 until 20).map(r => s"$r,${r + 1}").mkString("\n")
+    val csv = head + "\n\"a,b\",9\n"
+    assert(sniff(csv).quote == "\"")
+  }
+
   test("blank lines are skipped, not counted") {
     val d = sniff("a,b\n\n1,2\n\n")
     assert(d.nRows == 2L && d.hasHeader)

@@ -36,6 +36,21 @@ class HtmlTablesSpec extends AnyFunSuite {
       Set((1L, "inner"), (0L, "outer start")))
   }
 
+  test("outer-cell text AFTER a nested table is kept, not dropped") {
+    val html = "<table><tr><td>before" +
+      "<table><tr><td>inner</td></tr></table>" +
+      "after</td></tr></table>"
+    val got = cells(html)
+    assert(got.map(c => (c.tableIdx, c.text)).toSet ==
+      Set((1L, "inner"), (0L, "before after")))
+  }
+
+  test("td without a tr lands in implied row 0, not -1") {
+    val got = cells("<table><td>x</td><td>y</td></table>")
+    assert(got.map(c => (c.rowIdx, c.colIdx, c.text)) ==
+      Seq((0L, 0L, "x"), (0L, 1L, "y")))
+  }
+
   test("th outside thead and td inside thead are both headers") {
     val html = "<table><tr><th>a</th><td>b</td></tr>" +
       "<thead><tr><td>c</td></tr></thead></table>"

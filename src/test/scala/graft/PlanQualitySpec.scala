@@ -69,6 +69,10 @@ class PlanQualitySpec extends SparkSpec {
     "text_surprisal_bits",
     // 1-row mixture-cap broadcast onto the tiny per-domain counts
     "curation_domain_mix",
+    // pattern-list broadcast (constant 4 rows) × one corpus scan — the
+    // documented shape of the blocklist operator (no join key exists:
+    // every pattern probes every doc by design)
+    "curation_blocklist_hits",
     // 1-row codebook + 1-row query broadcasts of the PQ scorer
     "embed_pq_topk",
     // nQueries-row (constant, 4) query-set broadcast of the batched PQ
