@@ -920,6 +920,98 @@ object AdpcmSamples {
   }
 }
 
+/** G.711 μ-law / A-law (WAV codecs 7 / 6) SAMPLE decode — the
+  * telephony-audio companded formats, which call-center and voicemail
+  * corpora arrive in. Unlike ADPCM the expansion is STATELESS (one
+  * byte → one 16-bit amplitude through the published piecewise-linear
+  * formulas), so the oracle replays it with plain integer arithmetic,
+  * no recursive CTE. Mono only, mirroring [[AdpcmSamples]]; anything
+  * else is data (no rows), not an exception.
+  */
+object G711Samples {
+
+  /** ITU-T G.711 μ-law expansion (the BIAS-0x84 form). */
+  def muLawToLinear(byte: Int): Int = {
+    val u = ~byte & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion (XOR-0x55 form; sign bit SET means
+    * positive on the wire).
+    */
+  def aLawToLinear(byte: Int): Int = {
+    val a = byte ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val man = a & 0x0f
+    val t =
+      if (seg == 0) (man << 4) + 8
+      else ((man << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && b(i) == s(0) && b(i + 1) == s(1) &&
+      b(i + 2) == s(2) && b(i + 3) == s(3)
+
+  /** One mono [[PcmStats]] row (with the codec name in `channel`'s
+    * place kept 0 — schema parity with the PCM/ADPCM stats) for a
+    * G.711 WAV; empty for anything else. Truncated data decodes the
+    * available prefix.
+    */
+  def decode(id: Long, b: Array[Byte]): Seq[PcmStats] = {
+    if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return Nil
+    var codec = 0
+    var channels = 0
+    var bits = 0
+    var dataOff = -1
+    var dataBytes = -1L
+    var pos = 12
+    var walking = true
+    while (walking && pos + 8 <= b.length && dataBytes < 0) {
+      val size = le32(b, pos + 4)
+      if (tag(b, pos, "fmt ") && pos + 8 + 16 <= b.length) {
+        codec = le16(b, pos + 8)
+        channels = le16(b, pos + 10)
+        bits = le16(b, pos + 22)
+      } else if (tag(b, pos, "data")) {
+        dataOff = pos + 8
+        dataBytes = size
+      }
+      if (size > b.length.toLong - pos - 8) walking = false
+      else pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    if ((codec != 6 && codec != 7) || bits != 8 || channels != 1 ||
+        dataOff < 0 || dataBytes < 0) return Nil
+    val avail = math.min(dataBytes, (b.length - dataOff).toLong).toInt
+    if (avail <= 0) return Nil
+    var n = 0L; var sum = 0L; var sumsq = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var i = 0
+    while (i < avail) {
+      val v =
+        (if (codec == 7) muLawToLinear(u8(b, dataOff + i))
+         else aLawToLinear(u8(b, dataOff + i))).toLong
+      n += 1; sum += v; sumsq += v * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    Seq(PcmStats(id, 0L, n, sum, mn, mx, sumsq))
+  }
+
+  /** Batch plumbing, same narrow shape as [[AdpcmSamples.adpcmStats]]. */
+  def g711Stats(payloads: Dataset[(Long, Array[Byte])]): Dataset[PcmStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, bytes) => decode(id, bytes) })
+  }
+}
+
 /** Real-decoder output for video containers. */
 final case class VideoMeta(
     doc_id: Long,
@@ -2248,6 +2340,31 @@ object MediaFixtures {
     }
     bb.array()
   }
+
+  /** Mono G.711 WAV: μ-law (codec 7) on even ids, A-law (6) on odd;
+    * data byte `i` of `n = id mod 50 + 1` is `(id·7 + i·13) mod 256`
+    * — the decoded amplitudes are stateless byte arithmetic the
+    * oracle replays with shifts and masks, no recursion.
+    */
+  def wavG711Bytes(id: Long): Array[Byte] = {
+    val n = (id % 50 + 1).toInt
+    val codec = if (id % 2 == 0) 7 else 6
+    val total = 44 + n + (n & 1)
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(codec.toShort).putShort(1).putInt(8000).putInt(8000)
+    bb.putShort(1).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.put(((id * 7 + i * 13) % 256).toByte)
+      i += 1
+    }
+    bb.array()
+  }
 }
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque
@@ -2433,6 +2550,13 @@ object Multimodal {
     val payloads = docs.select(col("doc_id")).as[Long]
       .map(id => (id, MediaFixtures.wavImaAdpcmBytes(id)))
     AdpcmSamples.adpcmStats(payloads).toDF()
+  }
+
+  def decodeAudioG711Real(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, MediaFixtures.wavG711Bytes(id)))
+    G711Samples.g711Stats(payloads).toDF()
   }
 
   /** Video NEAR-dup from REAL decoded frames: two videos are near-dups

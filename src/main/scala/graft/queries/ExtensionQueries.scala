@@ -2003,6 +2003,43 @@ object ExtensionQueries {
       },
     ),
 
+    // G.711 μ-law / A-law sample decode (telephony audio — the
+    // voicemail/call-center stratum): stateless companded expansion,
+    // so the oracle replays the published piecewise-linear formulas
+    // with shifts and masks on the planted byte sequence.
+    QueryDef(
+      "multimodal_audio_g711",
+      (s, dir) => Multimodal.decodeAudioG711Real(s, Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 50 + 1 AS INT) AS n,
+             |    doc_id % 2 = 0 AS mu FROM documents),
+             |s AS (SELECT doc_id, mu, unnest(range(0, n)) AS i FROM d),
+             |byt AS (SELECT doc_id, mu,
+             |    CAST((doc_id * 7 + i * 13) % 256 AS INT) AS b FROM s),
+             |u AS (SELECT doc_id, mu, 255 - b AS uu, xor(b, 85) AS aa
+             |  FROM byt),
+             |t AS (SELECT doc_id, mu, uu, aa,
+             |    ((((uu & 15) << 3) + 132) << ((uu & 112) >> 4)) AS tmu,
+             |    CASE WHEN ((aa & 112) >> 4) = 0 THEN ((aa & 15) << 4) + 8
+             |      ELSE (((aa & 15) << 4) + 264) << (((aa & 112) >> 4) - 1)
+             |    END AS ta
+             |  FROM u),
+             |amp AS (SELECT doc_id,
+             |    CASE WHEN mu THEN
+             |      CASE WHEN (uu & 128) != 0 THEN 132 - tmu
+             |        ELSE tmu - 132 END
+             |    ELSE
+             |      CASE WHEN (aa & 128) != 0 THEN ta ELSE -ta END
+             |    END AS amp
+             |  FROM t)
+             |SELECT doc_id, CAST(0 AS BIGINT) AS channel,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(amp) AS BIGINT) AS sum_amp,
+             |  CAST(min(amp) AS BIGINT) AS min_amp,
+             |  CAST(max(amp) AS BIGINT) AS max_amp,
+             |  CAST(sum(amp * amp) AS BIGINT) AS sumsq_amp
+             |FROM amp GROUP BY doc_id""".stripMargin),
+    ),
+
     // REAL FLAC sample decode (r8 verdict item 4): planted multi-frame
     // streams whose subframe plan (verbatim / fixed 0-4 / LPC), stereo
     // decorrelation mode (mono / independent / left-side / right-side /

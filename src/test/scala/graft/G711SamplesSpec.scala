@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G.711 expansion held to the ITU reference properties and the
+  * planted fixtures.
+  */
+class G711SamplesSpec extends AnyFunSuite {
+  import G711Samples._
+
+  test("mu-law reference points") {
+    // 0xFF encodes +0 under mu-law (bias form decodes to 0)
+    assert(muLawToLinear(0xFF) == 0)
+    assert(muLawToLinear(0x7F) == 0)
+    // full-scale codes
+    assert(muLawToLinear(0x80) == 0x7D7C) // +32124
+    assert(muLawToLinear(0x00) == -0x7D7C)
+    // sign symmetry: b and b^0x80 decode to negatives of each other
+    for (b <- 0 until 128)
+      assert(muLawToLinear(b) == -muLawToLinear(b | 0x80))
+  }
+
+  test("a-law reference points") {
+    assert(aLawToLinear(0xD5) == 8) // +0 region lower bound
+    assert(aLawToLinear(0x55) == -8)
+    assert(aLawToLinear(0xAA) == 32256) // full scale (4032 × 8)
+    assert(aLawToLinear(0x2A) == -32256)
+    for (b <- 0 until 128)
+      assert(aLawToLinear(b) == -aLawToLinear(b | 0x80))
+  }
+
+  test("full code range and strict monotonicity over positive codes") {
+    val all = (0 until 256).map(muLawToLinear)
+    assert(all.min == -32124 && all.max == 32124 && all.contains(0))
+    val allA = (0 until 256).map(aLawToLinear)
+    assert(allA.min == -32256 && allA.max == 32256)
+    // positive mu-law codes 0x80..0xFF decode DECREASING in the code
+    // (the companding convention: 0xFF is +0, 0x80 is full scale)
+    val pos = (0x80 to 0xFF).map(muLawToLinear)
+    assert(pos.zip(pos.tail).forall { case (a, b) => a > b })
+    assert(pos.forall(_ >= 0))
+  }
+
+  test("planted fixtures decode: stats match a direct replay") {
+    for (id <- 0L until 24L) {
+      val got = decode(id, MediaFixtures.wavG711Bytes(id))
+      assert(got.length == 1, s"id=$id")
+      val n = (id % 50 + 1).toInt
+      val vals = (0 until n).map { i =>
+        val b = ((id * 7 + i * 13) % 256).toInt
+        (if (id % 2 == 0) muLawToLinear(b) else aLawToLinear(b)).toLong
+      }
+      val s = got.head
+      assert(s.n_samples == n.toLong && s.sum_amp == vals.sum &&
+        s.min_amp == vals.min && s.max_amp == vals.max &&
+        s.sumsq_amp == vals.map(v => v * v).sum, s"id=$id")
+    }
+  }
+
+  test("non-g711, stereo, and junk yield no rows; truncation decodes prefix") {
+    assert(decode(1L, MediaFixtures.wavPcmBytes(2L)).isEmpty) // PCM codec
+    assert(decode(1L, "junk".getBytes("US-ASCII")).isEmpty)
+    val full = MediaFixtures.wavG711Bytes(20L) // n=21 samples + 1 pad
+    val cut = java.util.Arrays.copyOf(full, full.length - 10)
+    val got = decode(20L, cut)
+    assert(got.length == 1 && got.head.n_samples == 12L)
+    val rnd = new scala.util.Random(711)
+    for (_ <- 0 until 200) {
+      val b = MediaFixtures.wavG711Bytes(rnd.nextInt(32).toLong).clone()
+      for (_ <- 0 until 1 + rnd.nextInt(6))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      decode(1L, b)
+      decode(1L, java.util.Arrays.copyOf(b, rnd.nextInt(b.length)))
+    }
+  }
+}
