@@ -18,9 +18,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *      (incremental-update semantics: the appended object shadows the
   *      original).
   *   2. For stream objects, take `/Length` when it is a direct integer,
-  *      else scan to the closing `endstream`; `/Filter /FlateDecode`
-  *      inflates with an allocation cap. Unknown filters are skipped,
-  *      not fatal.
+  *      else scan to the closing `endstream`. `/Filter` is honored as
+  *      an ordered CHAIN (bare name or array): FlateDecode (allocation
+  *      cap), ASCIIHexDecode, ASCII85Decode, and the short forms
+  *      `/Fl` `/AHx` `/A85`. LZWDecode is deliberately absent (extinct
+  *      in post-1995 PDF writers; Flate replaced it) — an unknown
+  *      filter anywhere in the chain skips the stream, not the file.
   *   3. Resolve page ORDER through the document structure — trailer-less
   *      walk: the `/Type /Catalog` object names the root `/Pages` node,
   *      whose `/Kids` arrays are walked depth-first (nested `/Pages`
@@ -115,9 +118,16 @@ object PdfCodec {
           val raw = java.util.Arrays.copyOfRange(b, dataStart, math.max(dataStart, dataEnd))
           val data =
             if (totalInflated >= MaxTotalInflated) None
-            else if (dict.contains("/FlateDecode")) inflate(raw)
-            else if (dict.contains("/Filter")) None // unknown filter: skip
-            else Some(raw)
+            else filterChain(dict).foldLeft(Option(raw)) { (acc, f) =>
+              acc.flatMap { bytes =>
+                f match {
+                  case "/FlateDecode" | "/Fl" => inflate(bytes)
+                  case "/ASCIIHexDecode" | "/AHx" => asciiHexDecode(bytes)
+                  case "/ASCII85Decode" | "/A85" => ascii85Decode(bytes)
+                  case _ => None // unknown filter: skip the stream
+                }
+              }
+            }
           totalInflated += data.map(_.length.toLong).getOrElse(0L)
           out(num) = PdfObj(num, dict, data)
           resume = math.max(resume, dataEnd)
@@ -163,6 +173,101 @@ object PdfCodec {
     }
     try Some(dict.substring(start, j).toInt)
     catch { case _: NumberFormatException => None }
+  }
+
+  /** The `/Filter` value as an ordered decode chain: a bare name, an
+    * array of names, or Nil when absent. A malformed value yields a
+    * one-element unknown chain so the dispatch skips the stream.
+    */
+  private[functions] def filterChain(dict: String): Seq[String] = {
+    val fi = dict.indexOf("/Filter")
+    if (fi < 0) return Nil
+    var i = fi + 7
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val close = dict.indexOf(']', i)
+      if (close < 0) Seq("?")
+      else {
+        val names = NameRe.findAllIn(dict.substring(i + 1, close)).toSeq
+        if (names.isEmpty) Seq("?") else names
+      }
+    } else if (i < dict.length && dict.charAt(i) == '/') {
+      NameRe.findPrefixOf(dict.substring(i)).toSeq
+    } else Seq("?")
+  }
+
+  private val NameRe = "/[A-Za-z0-9]+".r
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` ends, an odd
+    * final digit pads with 0 (the spec rule); a non-hex byte rejects.
+    */
+  private[functions] def asciiHexDecode(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < b.length && !done) {
+      val c = (b(i) & 0xff).toChar
+      if (c == '>') done = true
+      else if (!Character.isWhitespace(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d
+        else { out.write(hi * 16 + d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode: 5 chars `!`..`u` → 4 bytes base-85, `z` → four
+    * zero bytes (only between groups), whitespace ignored, `~>` ends;
+    * a partial final group of n chars yields n−1 bytes (padded with
+    * `u`). Overflow groups and a lone final char reject.
+    */
+  private[functions] def ascii85Decode(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < b.length && !done) {
+      val c = (b(i) & 0xff).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!Character.isWhitespace(c)) {
+        if (c < '!' || c > 'u') return None
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) {
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          if (v > 0xffffffffL) return None
+          out.write(((v >> 24) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt)
+          out.write((v & 0xff).toInt)
+          n = 0
+        }
+      }
+      i += 1
+    }
+    if (n == 1) return None
+    if (n > 1) {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      if (v > 0xffffffffL) return None
+      var k2 = 0
+      while (k2 < n - 1) {
+        out.write(((v >> (24 - 8 * k2)) & 0xff).toInt)
+        k2 += 1
+      }
+    }
+    Some(out.toByteArray)
   }
 
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
@@ -474,10 +579,12 @@ object PdfCodec {
   * `"doc <id> page <p> line <l>"` plus `" (esc)"` when `l mod 4 = 2`
   * (exercising the escape decoder). Line emission rotates the operator
   * surface: plain `Tj`, kerned `TJ` (word-space −250), escaped `Tj`,
-  * hex-string `Tj`. Ids divisible by 3 ship raw content streams, the
-  * rest FlateDecode — both real decode paths at every SF. A correct
-  * xref + trailer is written (the parser does not need it; real files
-  * have one).
+  * hex-string `Tj`. Content-stream ENCODING rotates on `id mod 5`:
+  * raw / FlateDecode / ASCIIHexDecode / ASCII85Decode / the
+  * `[/ASCII85Decode /FlateDecode]` chain — every filter path at every
+  * SF, under the unchanged text oracle (filters change encoding, not
+  * content). A correct xref + trailer is written (the parser does not
+  * need it; real files have one).
   */
 object PdfFixtures {
 
@@ -522,6 +629,38 @@ object PdfFixtures {
     out.toByteArray
   }
 
+  private def asciiHexEncode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 2 + 1)
+    for (b <- raw) sb.append(f"${b & 0xff}%02X")
+    sb.append('>')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  private def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 5 / 4 + 8)
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < n) raw(i + k) & 0xffL else 0L)
+        k += 1
+      }
+      if (n == 4 && v == 0L) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var k2 = 4
+        while (k2 >= 0) { cs(k2) = ('!' + (v % 85).toInt).toChar; v /= 85; k2 -= 1 }
+        var k3 = 0
+        while (k3 < n + 1) { sb.append(cs(k3)); k3 += 1 }
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
   /** One planted PDF. Object layout: 1 catalog, 2 pages-root, then per
     * page p: page object (3+2p) and content object (4+2p), finally the
     * font object.
@@ -546,9 +685,15 @@ object PdfFixtures {
           s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
           s"/Contents ${4 + 2 * p} 0 R >>\n"))
       val raw = contentStream(id, p)
-      val (data, filter) =
-        if (id % 3 == 0) (raw, "")
-        else (deflate(raw), " /Filter /FlateDecode")
+      val (data, filter) = (id % 5).toInt match {
+        case 0 => (raw, "")
+        case 1 => (deflate(raw), " /Filter /FlateDecode")
+        case 2 => (asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
+        case 3 => (ascii85Encode(raw), " /Filter /ASCII85Decode")
+        // decode order is array order: a85 first, then inflate
+        case _ => (ascii85Encode(deflate(raw)),
+          " /Filter [/ASCII85Decode /FlateDecode]")
+      }
       obj(4 + 2 * p) {
         w(s"<< /Length ${data.length}$filter >>\nstream\n")
         out.write(data)

@@ -3658,7 +3658,8 @@ object ExtensionQueries {
     ),
 
     // PDF text extraction — the dominant non-HTML crawl text carrier:
-    // xref-independent object scan, FlateDecode (raw on ids % 3 = 0),
+    // xref-independent object scan, the filter chain rotating on
+    // id mod 5 (raw / Flate / ASCIIHex / ASCII85 / [A85, Flate]),
     // catalog/page-tree page ORDER, and a deterministic content-stream
     // text walk (Tj / kerned TJ / escaped literals / hex strings; Td
     // dy<0 = newline). The oracle replays the planted per-line string

@@ -124,13 +124,13 @@ class PdfCodecSpec extends AnyFunSuite {
   }
 
   test("truncated flate stream keeps the inflated prefix; garbage yields no text") {
-    val full = PdfFixtures.pdfBytes(7L) // id 7 % 3 != 0 -> FlateDecode
+    val full = PdfFixtures.pdfBytes(6L) // id 6 % 5 = 1 -> FlateDecode
     // chop mid-file: must not throw, and never emits MORE than planted
     for (cut <- Seq(full.length / 4, full.length / 2, full.length - 3)) {
       val pages = PdfCodec.extractPages(java.util.Arrays.copyOf(full, cut))
       pages.foreach { case (p, text) =>
         // line-atomic emission: anything extracted is a planted prefix
-        assert(PdfFixtures.pageText(7L, p).startsWith(text),
+        assert(PdfFixtures.pageText(6L, p).startsWith(text),
           s"cut=$cut page=$p got=$text")
       }
     }
@@ -179,5 +179,54 @@ class PdfCodecSpec extends AnyFunSuite {
       PdfCodec.extractPages(junk)
       val _ = trial
     }
+  }
+
+  test("ascii filters: hex, 85, and the chained form round-trip") {
+    // id % 5 drives the encoding: 2 = hex, 3 = a85, 4 = [a85, flate]
+    for (id <- Seq(2L, 3L, 4L, 7L, 8L, 9L, 12L, 13L, 14L)) {
+      val pages = PdfCodec.extractPages(PdfFixtures.pdfBytes(id))
+      assert(pages.length == PdfFixtures.nPages(id), s"id=$id")
+      for ((p, text) <- pages)
+        assert(text == PdfFixtures.pageText(id, p), s"id=$id p=$p")
+    }
+  }
+
+  test("asciiHexDecode rules") {
+    import PdfCodec._
+    assert(asciiHexDecode("48 65 6C6C 6F>".getBytes("ISO-8859-1"))
+      .map(new String(_, "ISO-8859-1")).contains("Hello"))
+    // odd final digit pads 0; data after > is ignored
+    assert(asciiHexDecode("4>garbage".getBytes("ISO-8859-1"))
+      .map(_.toSeq).contains(Seq(0x40.toByte)))
+    assert(asciiHexDecode("4X>".getBytes("ISO-8859-1")).isEmpty)
+    assert(asciiHexDecode(">".getBytes("ISO-8859-1")).map(_.length).contains(0))
+  }
+
+  test("ascii85Decode rules") {
+    import PdfCodec._
+    def dec(s: String) = ascii85Decode(s.getBytes("ISO-8859-1"))
+    // '9jqo^' is the canonical 'Man ' example's first group... use a
+    // computed check instead: encode of [0,0,0,0] is 'z'
+    assert(dec("z~>").map(_.toSeq).contains(Seq[Byte](0, 0, 0, 0)))
+    // '!!!!!' encodes four zero bytes the long way
+    assert(dec("!!!!!~>").map(_.toSeq).contains(Seq[Byte](0, 0, 0, 0)))
+    // partial group: 3 chars -> 2 bytes
+    assert(dec("!!!~>").map(_.length).contains(2))
+    assert(dec("!~>").isEmpty) // lone final char
+    assert(dec("vvvvv~>").isEmpty) // out of alphabet
+    assert(dec("s8W-!~>").isEmpty == false) // 0xFFFFFFFF, max group
+    assert(dec("s8W-\"~>").isEmpty) // overflow past 2^32-1
+    // whitespace inside groups is ignored
+    assert(dec("!! !!\n!~>").map(_.toSeq).contains(Seq[Byte](0, 0, 0, 0)))
+  }
+
+  test("filter chains parse: bare, array, short names, malformed") {
+    import PdfCodec._
+    assert(filterChain("<< /Length 3 >>") == Nil)
+    assert(filterChain("<< /Filter /FlateDecode >>") == Seq("/FlateDecode"))
+    assert(filterChain("<< /Filter [/ASCII85Decode /FlateDecode] >>") ==
+      Seq("/ASCII85Decode", "/FlateDecode"))
+    assert(filterChain("<< /Filter [ ] >>") == Seq("?"))
+    assert(filterChain("<< /Filter 42 >>") == Seq("?"))
   }
 }
