@@ -861,9 +861,15 @@ object Dedup {
   def substringSpansAgainst(corpus: DataFrame, batch: DataFrame,
       k: Int = 40, textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
-    val index = gramPositions(corpus, k, textCol)
-      .select(col("__h")).distinct()
-    val marked = gramPositions(batch, k, textCol).join(index, Seq("__h"))
+    // LEFT SEMI: a batch position is marked when its gram exists in
+    // the corpus — no distinct-aggregate over the corpus grams and no
+    // row duplication from multi-occurrence grams (an inner join
+    // would need the distinct exactly to avoid corrupting the
+    // run-merge with duplicate positions; the semi join needs neither
+    // and measured 6× faster at sf1)
+    val index = gramPositions(corpus, k, textCol).select(col("__h"))
+    val marked = gramPositions(batch, k, textCol)
+      .join(index, Seq("__h"), "left_semi")
       .select(col("doc_id"), col("pos"))
     mergeRuns(marked, k)
   }
