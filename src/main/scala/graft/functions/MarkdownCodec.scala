@@ -71,33 +71,45 @@ object MarkdownCodec {
   private[functions] def inline(line0: String): (String, Int, Int) = {
     var nLinks = 0
     var nImages = 0
+    // cheap character gates before each regex pass: most corpus lines
+    // carry no image/link/emphasis syntax, and the pattern engines
+    // dominate this walk's cost without them
     def prose(seg: String): String = {
-      // images BEFORE links: `![..](..)` contains a link-shaped suffix
-      var s = Image.replaceAllIn(seg, m => {
-        nImages += 1
-        java.util.regex.Matcher.quoteReplacement(m.group(1))
-      })
-      s = Link.replaceAllIn(s, m => {
-        nLinks += 1
-        java.util.regex.Matcher.quoteReplacement(m.group(1))
-      })
-      s = RefLink.replaceAllIn(s, m => {
-        nLinks += 1
-        java.util.regex.Matcher.quoteReplacement(m.group(1))
-      })
-      stripEmphasis(s)
+      var s = seg
+      if (s.indexOf('[') >= 0) {
+        // images BEFORE links: `![..](..)` contains a link-shaped suffix
+        s = Image.replaceAllIn(s, m => {
+          nImages += 1
+          java.util.regex.Matcher.quoteReplacement(m.group(1))
+        })
+        s = Link.replaceAllIn(s, m => {
+          nLinks += 1
+          java.util.regex.Matcher.quoteReplacement(m.group(1))
+        })
+        s = RefLink.replaceAllIn(s, m => {
+          nLinks += 1
+          java.util.regex.Matcher.quoteReplacement(m.group(1))
+        })
+      }
+      if (s.indexOf('*') >= 0 || s.indexOf('_') >= 0) stripEmphasis(s)
+      else s
     }
     // code spans are LITERAL: split the line around them so link and
     // emphasis rules never fire inside; spans keep their raw content
-    val sb = new StringBuilder
-    var last = 0
-    for (m <- InlineCode.findAllMatchIn(line0)) {
-      sb.append(prose(line0.substring(last, m.start)))
-      sb.append(m.group(1))
-      last = m.end
+    if (line0.indexOf('`') < 0) {
+      val t = prose(line0).trim
+      (t, nLinks, nImages)
+    } else {
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- InlineCode.findAllMatchIn(line0)) {
+        sb.append(prose(line0.substring(last, m.start)))
+        sb.append(m.group(1))
+        last = m.end
+      }
+      sb.append(prose(line0.substring(last)))
+      (sb.toString.trim, nLinks, nImages)
     }
-    sb.append(prose(line0.substring(last)))
-    (sb.toString.trim, nLinks, nImages)
   }
 
   def extract(md: String): MdDoc = {
@@ -139,41 +151,54 @@ object MarkdownCodec {
               val lang = info.takeWhile(!_.isWhitespace)
               if (lang.nonEmpty) langs += lang
             case None =>
-              raw match {
-                case _ if raw.trim.isEmpty => prevProse = false
-                case Setext(_) if prevProse =>
+              // plain prose line: blockquote markers, list marker, inline
+              def defaultLine(): Unit = {
+                var body = raw
+                var quoted = false
+                var listed = false
+                while (body.stripLeading().startsWith(">")) {
+                  body = body.stripLeading().substring(1).stripPrefix(" ")
+                  quoted = true
+                }
+                body match {
+                  case ListItem(item) =>
+                    nListItems += 1; body = item; listed = true
+                  case _ =>
+                }
+                val (t, l, im) = inline(body)
+                nLinks += l; nImages += im
+                if (t.nonEmpty) prose += t
+                // only a PLAIN paragraph line can take a setext
+                // underline; after a list item or quote, `---` is a
+                // thematic break (CommonMark)
+                prevProse = t.nonEmpty && !quoted && !listed
+              }
+              // first-char gates: the rule regexes only run on lines
+              // whose lead character can possibly match them
+              val tr = raw.trim
+              if (tr.isEmpty) prevProse = false
+              else {
+                val c0 = tr.charAt(0)
+                if (prevProse && (c0 == '=' || c0 == '-') &&
+                  Setext.pattern.matcher(raw).matches()) {
                   // the paragraph line above was really a heading; its
                   // text is already in prose — count it, drop the rule
                   nHeadings += 1
                   prevProse = false
-                case ThematicBreak(_*) => prevProse = false
-                case Heading(_, body) =>
-                  nHeadings += 1
-                  val (t, l, im) = inline(body)
-                  nLinks += l; nImages += im
-                  if (t.nonEmpty) prose += t
+                } else if ((c0 == '*' || c0 == '-' || c0 == '_') &&
+                  ThematicBreak.pattern.matcher(raw).matches()) {
                   prevProse = false
-                case _ =>
-                  // strip nested blockquote markers, then a list marker
-                  var body = raw
-                  var quoted = false
-                  var listed = false
-                  while (body.stripLeading().startsWith(">")) {
-                    body = body.stripLeading().substring(1).stripPrefix(" ")
-                    quoted = true
+                } else if (c0 == '#') {
+                  raw match {
+                    case Heading(_, body) =>
+                      nHeadings += 1
+                      val (t, l, im) = inline(body)
+                      nLinks += l; nImages += im
+                      if (t.nonEmpty) prose += t
+                      prevProse = false
+                    case _ => defaultLine() // '#' without a space: prose
                   }
-                  body match {
-                    case ListItem(item) =>
-                      nListItems += 1; body = item; listed = true
-                    case _ =>
-                  }
-                  val (t, l, im) = inline(body)
-                  nLinks += l; nImages += im
-                  if (t.nonEmpty) prose += t
-                  // only a PLAIN paragraph line can take a setext
-                  // underline; after a list item or quote, `---` is a
-                  // thematic break (CommonMark)
-                  prevProse = t.nonEmpty && !quoted && !listed
+                } else defaultLine()
               }
           }
       }
