@@ -1,0 +1,499 @@
+package graft.functions
+
+/** bzip2 DECOMPRESSION, pure JVM from the public format (the reference
+  * implementation's documented structure: block magic 0x314159265359,
+  * symbol-map bitmaps, MTF'd selectors, delta-coded Huffman lengths,
+  * RUNA/RUNB zero runs, inverse BWT by origPtr, RLE1, block and
+  * combined stream CRCs) — `.tar.bz2` is a standing crawl-archive
+  * transport next to gzip ([[Gunzip]]) and the JDK has no bzip2, so
+  * the engine carries its own, in the VP8L/FLAC/LZW discipline.
+  *
+  * Decode-side guarantees:
+  *   - every block's CRC and the stream's combined CRC are VERIFIED —
+  *     a mismatch rejects the stream (corruption is data, the caller
+  *     skips the blob);
+  *   - allocation is bounded by the declared block size (level ×
+  *     100 000) AND the caller's budget before any array is sized;
+  *   - the deprecated `randomized` block flag rejects (modern
+  *     encoders never set it).
+  *
+  * The fixture ENCODER writes conforming streams the simple way: two
+  * identical equal-length Huffman tables (the format transmits code
+  * LENGTHS, so any prefix code is legal), all selectors 0, one block.
+  * Cross-validation: the spec decodes byte vectors produced by
+  * CPython's libbz2 binding (planted constants), so the decoder is
+  * held to the reference encoder's real output — variable lengths,
+  * multiple groups, selector runs — not merely to its own twin.
+  */
+object BzipCodec {
+
+  private val BlockMagic = 0x314159265359L
+  private val FooterMagic = 0x177245385090L
+
+  // ------------------------------------------------------------- CRC
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i << 24
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 0x80000000) != 0) (c << 1) ^ 0x04c11db7 else c << 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  private final class Crc {
+    private var v = 0xffffffff
+    def update(b: Int): Unit =
+      v = (v << 8) ^ CrcTable(((v >>> 24) ^ (b & 0xff)) & 0xff)
+    def value: Int = ~v
+  }
+
+  // ------------------------------------------------------ bit reader
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    private var pos = startByte.toLong * 8
+    private val end = b.length.toLong * 8
+    def read(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= end) throw new ArrayIndexOutOfBoundsException("bit eof")
+        v = (v << 1) |
+          ((b((pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def readLong(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | read(1); i += 1 }
+      v
+    }
+  }
+
+  /** Whole-stream decompress with an output budget; None on any
+    * structural or CRC failure or budget breach.
+    */
+  def decompress(b: Array[Byte], maxOut: Int = 1 << 26): Option[Array[Byte]] = try {
+    if (b.length < 10 || b(0) != 'B' || b(1) != 'Z' || b(2) != 'h') return None
+    val level = b(3) - '0'
+    if (level < 1 || level > 9) return None
+    val br = new BitReader(b, 4)
+    val out = new java.io.ByteArrayOutputStream()
+    var combined = 0
+    var done = false
+    while (!done) {
+      val magic = br.readLong(48)
+      if (magic == BlockMagic) {
+        val crc = decodeBlock(br, level, out, maxOut)
+        if (crc == None) return None
+        combined = ((combined << 1) | (combined >>> 31)) ^ crc.get
+      } else if (magic == FooterMagic) {
+        val streamCrc = br.readLong(32).toInt
+        if (streamCrc != combined) return None
+        done = true
+      } else return None
+    }
+    Some(out.toByteArray)
+  } catch {
+    case _: RuntimeException | _: ArrayIndexOutOfBoundsException => None
+  }
+
+  /** One block: appends the decoded bytes, returns its verified CRC. */
+  private def decodeBlock(br: BitReader, level: Int,
+      out: java.io.ByteArrayOutputStream, maxOut: Int): Option[Int] = {
+    val declaredCrc = br.readLong(32).toInt
+    if (br.read(1) != 0) return None // deprecated randomized blocks
+    val origPtr = br.read(24)
+
+    // symbol map: 16 group bits, then 16 bits per present group
+    val groups16 = br.read(16)
+    val used = new Array[Boolean](256)
+    var nUsed = 0
+    var g = 0
+    while (g < 16) {
+      if ((groups16 & (0x8000 >>> g)) != 0) {
+        val bits = br.read(16)
+        var j = 0
+        while (j < 16) {
+          if ((bits & (0x8000 >>> j)) != 0) { used(16 * g + j) = true; nUsed += 1 }
+          j += 1
+        }
+      }
+      g += 1
+    }
+    if (nUsed == 0) return None
+    val alpha = nUsed + 2
+
+    val nGroups = br.read(3)
+    if (nGroups < 2 || nGroups > 6) return None
+    val nSelectors = br.read(15)
+    if (nSelectors < 1) return None
+
+    // selectors, MTF-coded over the group list
+    val selMtf = Array.tabulate(nGroups)(identity)
+    val selectors = new Array[Int](nSelectors)
+    var s = 0
+    while (s < nSelectors) {
+      var j = 0
+      while (br.read(1) == 1) { j += 1; if (j >= nGroups) return None }
+      val v = selMtf(j)
+      while (j > 0) { selMtf(j) = selMtf(j - 1); j -= 1 }
+      selMtf(0) = v
+      selectors(s) = v
+      s += 1
+    }
+
+    // delta-coded lengths per group
+    val lens = Array.ofDim[Int](nGroups, alpha)
+    var t = 0
+    while (t < nGroups) {
+      var cur = br.read(5)
+      var sym = 0
+      while (sym < alpha) {
+        var adjusting = true
+        while (adjusting) {
+          if (cur < 1 || cur > 20) return None
+          if (br.read(1) == 0) adjusting = false
+          else if (br.read(1) == 0) cur += 1
+          else cur -= 1
+        }
+        lens(t)(sym) = cur
+        sym += 1
+      }
+      t += 1
+    }
+
+    // canonical decode tables (the reference hbCreateDecodeTables)
+    val MaxLen = 23
+    val limit = Array.ofDim[Int](nGroups, MaxLen + 2)
+    val base = Array.ofDim[Int](nGroups, MaxLen + 2)
+    val perm = Array.ofDim[Int](nGroups, alpha)
+    val minLens = new Array[Int](nGroups)
+    t = 0
+    while (t < nGroups) {
+      var minLen = 32
+      var maxLen = 0
+      var i = 0
+      while (i < alpha) {
+        if (lens(t)(i) > maxLen) maxLen = lens(t)(i)
+        if (lens(t)(i) < minLen) minLen = lens(t)(i)
+        i += 1
+      }
+      minLens(t) = minLen
+      var pp = 0
+      var l = minLen
+      while (l <= maxLen) {
+        i = 0
+        while (i < alpha) {
+          if (lens(t)(i) == l) { perm(t)(pp) = i; pp += 1 }
+          i += 1
+        }
+        l += 1
+      }
+      val cnt = new Array[Int](MaxLen + 2)
+      i = 0
+      while (i < alpha) { cnt(lens(t)(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i < MaxLen + 2) { cnt(i) += cnt(i - 1); i += 1 }
+      var vec = 0
+      l = minLen
+      while (l <= maxLen) {
+        vec += cnt(l + 1) - cnt(l)
+        limit(t)(l) = vec - 1
+        vec <<= 1
+        l += 1
+      }
+      l = minLen + 1
+      while (l <= maxLen) {
+        base(t)(l) = ((limit(t)(l - 1) + 1) << 1) - cnt(l)
+        l += 1
+      }
+      t += 1
+    }
+
+    // MTF alphabet = the used byte values ascending
+    val mtf = new Array[Int](nUsed)
+    var mi = 0
+    var bv = 0
+    while (bv < 256) { if (used(bv)) { mtf(mi) = bv; mi += 1 }; bv += 1 }
+
+    val maxBlock = level * 100000
+    if (origPtr >= maxBlock) return None
+    val bwt = new Array[Byte](maxBlock)
+    var n = 0
+
+    def readSym(sel: Int): Int = {
+      var zn = minLens(sel)
+      var zvec = br.read(zn)
+      while (zvec > limit(sel)(zn)) {
+        zn += 1
+        if (zn > MaxLen) throw new ArrayIndexOutOfBoundsException("code len")
+        zvec = (zvec << 1) | br.read(1)
+      }
+      perm(sel)(zvec - base(sel)(zn))
+    }
+
+    var groupPos = 0
+    var selIdx = -1
+    def nextSym(): Int = {
+      if (groupPos == 0) {
+        selIdx += 1
+        if (selIdx >= nSelectors) throw new ArrayIndexOutOfBoundsException("selectors")
+        groupPos = 50
+      }
+      groupPos -= 1
+      readSym(selectors(selIdx))
+    }
+
+    val eob = alpha - 1
+    var sym = nextSym()
+    while (sym != eob) {
+      if (sym <= 1) {
+        // RUNA/RUNB zero run (bijective base 2)
+        var run = 0L
+        var shift = 0
+        while (sym <= 1) {
+          run += (sym + 1).toLong << shift
+          shift += 1
+          if (shift > 40) return None
+          sym = nextSym()
+        }
+        if (n + run > maxBlock) return None
+        val zb = mtf(0).toByte
+        var r = 0L
+        while (r < run) { bwt(n) = zb; n += 1; r += 1 }
+      } else {
+        // MTF value sym-1: move that byte to front, emit it
+        var j = sym - 1
+        if (j >= nUsed) return None
+        val v = mtf(j)
+        while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+        mtf(0) = v
+        if (n >= maxBlock) return None
+        bwt(n) = v.toByte
+        n += 1
+        sym = nextSym()
+      }
+    }
+    if (origPtr >= n || n == 0) return None
+
+    // inverse BWT
+    val cftab = new Array[Int](257)
+    var i2 = 0
+    while (i2 < n) { cftab((bwt(i2) & 0xff) + 1) += 1; i2 += 1 }
+    i2 = 1
+    while (i2 < 257) { cftab(i2) += cftab(i2 - 1); i2 += 1 }
+    val tt = new Array[Int](n)
+    i2 = 0
+    while (i2 < n) {
+      val c = bwt(i2) & 0xff
+      tt(cftab(c)) = i2
+      cftab(c) += 1
+      i2 += 1
+    }
+
+    // walk + RLE1 + CRC
+    val crc = new Crc()
+    var j2 = tt(origPtr)
+    var emitted = 0
+    var runByte = -1
+    var runLen = 0
+    while (emitted < n) {
+      val c = bwt(j2) & 0xff
+      j2 = tt(j2)
+      emitted += 1
+      if (runLen == 4) {
+        // the byte after 4 equal bytes is an extra-repeat count
+        if (out.size() + c > maxOut) return None
+        var r = 0
+        while (r < c) { out.write(runByte); crc.update(runByte); r += 1 }
+        runLen = 0
+        runByte = -1
+      } else {
+        if (c == runByte) runLen += 1
+        else { runByte = c; runLen = 1 }
+        if (out.size() >= maxOut) return None
+        out.write(c)
+        crc.update(c)
+      }
+    }
+    if (crc.value != declaredCrc) return None
+    Some(declaredCrc)
+  }
+
+  // ------------------------------------------------- fixture encoder
+
+  private final class BitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nBits += 1
+        if (nBits == 8) { out.write(acc); acc = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def writeLong(v: Long, n: Int): Unit = {
+      write(((v >> 32) & 0xffff).toInt, math.max(0, n - 32))
+      write((v & 0xffffffffL).toInt, math.min(32, n))
+    }
+    def pad(): Unit = if (nBits > 0) { acc <<= (8 - nBits); out.write(acc); acc = 0; nBits = 0 }
+  }
+
+  /** Single-block conforming stream (input must fit level 9's
+    * 900 000-byte block after RLE1 — fixtures are tiny).
+    */
+  def compress(raw: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter()
+    bw.out.write('B'); bw.out.write('Z'); bw.out.write('h'); bw.out.write('9')
+    var combined = 0
+    if (raw.nonEmpty) {
+      // RLE1
+      val rle = new java.io.ByteArrayOutputStream()
+      val crc = new Crc()
+      var i = 0
+      while (i < raw.length) {
+        val c = raw(i) & 0xff
+        crc.update(c)
+        var run = 1
+        while (i + run < raw.length && run < 255 + 4 &&
+          (raw(i + run) & 0xff) == c) run += 1
+        // CRC covers the ORIGINAL bytes
+        var k = 1
+        while (k < run) { crc.update(c); k += 1 }
+        if (run < 4) {
+          k = 0
+          while (k < run) { rle.write(c); k += 1 }
+        } else {
+          rle.write(c); rle.write(c); rle.write(c); rle.write(c)
+          rle.write(run - 4)
+        }
+        i += run
+      }
+      val block = rle.toByteArray
+      require(block.length <= 900000, "fixture block too large")
+      val blockCrc = crc.value
+      combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
+
+      // BWT
+      val nB = block.length
+      val idx = (0 until nB).sortWith { (a, c2) =>
+        var k = 0
+        var r = 0
+        while (k < nB && r == 0) {
+          r = (block((a + k) % nB) & 0xff) - (block((c2 + k) % nB) & 0xff)
+          k += 1
+        }
+        if (r != 0) r < 0 else a < c2
+      }
+      val last = new Array[Byte](nB)
+      var origPtr = 0
+      var p = 0
+      while (p < nB) {
+        if (idx(p) == 0) origPtr = p
+        last(p) = block((idx(p) + nB - 1) % nB)
+        p += 1
+      }
+
+      // MTF + RLE2
+      val used = new Array[Boolean](256)
+      p = 0
+      while (p < nB) { used(block(p) & 0xff) = true; p += 1 }
+      val mtf = (0 until 256).filter(used).toArray
+      val nUsed = mtf.length
+      val alpha = nUsed + 2
+      val eob = alpha - 1
+      val syms = scala.collection.mutable.ArrayBuffer[Int]()
+      var zeroRun = 0L
+      def flushRun(): Unit = {
+        var nr = zeroRun
+        while (nr > 0) {
+          if ((nr & 1L) == 1L) { syms += 0; nr = (nr - 1) / 2 }
+          else { syms += 1; nr = (nr - 2) / 2 }
+        }
+        zeroRun = 0
+      }
+      p = 0
+      while (p < nB) {
+        val c = last(p) & 0xff
+        var j = 0
+        while (mtf(j) != c) j += 1
+        if (j == 0) zeroRun += 1
+        else {
+          flushRun()
+          syms += (j + 1)
+          while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+          mtf(0) = c
+        }
+        p += 1
+      }
+      flushRun()
+      syms += eob
+
+      // block header
+      bw.writeLong(BlockMagic, 48)
+      bw.write(blockCrc, 32)
+      bw.write(0, 1) // not randomized
+      bw.write(origPtr, 24)
+      // symbol map
+      var groups16 = 0
+      var g = 0
+      while (g < 16) {
+        var j = 0
+        var any = false
+        while (j < 16) { if (used(16 * g + j)) any = true; j += 1 }
+        if (any) groups16 |= 0x8000 >>> g
+        g += 1
+      }
+      bw.write(groups16, 16)
+      g = 0
+      while (g < 16) {
+        var any = false
+        var bits = 0
+        var j = 0
+        while (j < 16) {
+          if (used(16 * g + j)) { any = true; bits |= 0x8000 >>> j }
+          j += 1
+        }
+        if (any) bw.write(bits, 16)
+        g += 1
+      }
+      // two identical equal-length tables, all selectors 0
+      val nGroups = 2
+      val nSel = (syms.length + 49) / 50
+      bw.write(nGroups, 3)
+      bw.write(nSel, 15)
+      var s2 = 0
+      while (s2 < nSel) { bw.write(0, 1); s2 += 1 } // MTF'd selector 0
+      val codeLen = {
+        var l = 1
+        while ((1 << l) < alpha) l += 1
+        l
+      }
+      var t2 = 0
+      while (t2 < nGroups) {
+        bw.write(codeLen, 5)
+        var sym2 = 0
+        while (sym2 < alpha) { bw.write(0, 1); sym2 += 1 } // no deltas
+        t2 += 1
+      }
+      // symbols, equal-length canonical codes = the symbol value itself
+      for (sy <- syms) bw.write(sy, codeLen)
+    }
+    bw.writeLong(FooterMagic, 48)
+    bw.write(combined, 32)
+    bw.pad()
+    bw.out.toByteArray
+  }
+}

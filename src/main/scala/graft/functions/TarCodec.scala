@@ -35,15 +35,18 @@ object TarCodec {
       data: Option[Array[Byte]],
   )
 
-  /** All members; gunzips first (shared bounded [[Gunzip]] transport
-    * helper) when the blob is gzip transport. The prefix-keeping
-    * variant: tar's walk stops cleanly at a cut member, so an archive
-    * unpacking past the cap still yields its complete leading members.
+  /** All members; decompresses the transport first — gzip (shared
+    * bounded [[Gunzip]] helper, prefix-keeping: tar's walk stops
+    * cleanly at a cut member) or bzip2 ([[BzipCodec]], whole-stream
+    * CRC-verified: a corrupt bz2 has no trustworthy prefix, so it
+    * yields nothing rather than salvage).
     */
   def parseEntries(b: Array[Byte]): Seq[TarEntry] = try {
     val raw =
       if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
         Gunzip.allPrefix(b, MaxArchive)
+      else if (b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
+        BzipCodec.decompress(b, MaxArchive.toInt).getOrElse(return Nil)
       else b
     walk(raw)
   } catch {
@@ -159,8 +162,9 @@ object TarCodec {
 
 /** Planted TAR fixtures: `id mod 4 + 1` regular members under a leading
   * directory entry; member i is `d/f<i>.txt` holding
-  * `"tar doc <id> entry <i> payload"`; odd ids ship the whole archive
-  * as gzip transport. USTAR headers with correct checksums.
+  * `"tar doc <id> entry <i> payload"`; `id mod 3` rotates the
+  * transport (plain / gzip / bzip2). USTAR headers with correct
+  * checksums.
   */
 object TarFixtures {
 
@@ -205,11 +209,16 @@ object TarFixtures {
     }
     out.write(new Array[Byte](1024), 0, 1024) // two zero blocks
     val plain = out.toByteArray
-    if (id % 2 == 1) {
-      val o = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(o)
-      gz.write(plain); gz.close()
-      o.toByteArray
-    } else plain
+    // transport rotates: plain / gzip / bzip2 — content (and so the
+    // oracle) is invariant under the wrapper
+    (id % 3).toInt match {
+      case 1 =>
+        val o = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(o)
+        gz.write(plain); gz.close()
+        o.toByteArray
+      case 2 => BzipCodec.compress(plain)
+      case _ => plain
+    }
   }
 }

@@ -3796,7 +3796,8 @@ object ExtensionQueries {
              |FROM v""".stripMargin),
     ),
 
-    // TAR walk (plain on even ids, gzip transport on odd): USTAR
+    // TAR walk (transport rotating plain/gzip/bzip2 on id mod 3 —
+    // bzip2 through the pure-JVM BzipCodec, CRC-verified): USTAR
     // headers checksum-verified, the leading directory entry surfaced
     // with size 0, member payloads extracted. Oracle replays the
     // planted names/payloads including the directory row.
