@@ -58,10 +58,9 @@ SETUP_SLACK_SEC = {"dedup_retract_stream": 2.0}
 # records everything in the adjudication artifact — the rebase is
 # visible, never silent.
 SEMANTICS_CHANGED = {
-    # (empty after the r9 closing baseline refresh: the refreshed
-    # medians now guard multimodal_audio_neardup's mixed WAV/FLAC
-    # semantics normally. r9's rebase is recorded in the committed
-    # BENCH_ADJUDICATION history.)
+    # (empty after the r9 third-leg baseline refresh: the refreshed
+    # medians guard tar_entries' plain/gzip/bzip2 transport normally.
+    # The rebase is recorded in the committed BENCH_ADJUDICATION.)
 }
 
 
