@@ -575,6 +575,25 @@ object AudioHeaders {
   * audio twin of [[PixelStats]]: exact integer sums/extrema an external
   * oracle recomputes from planted truth.
   */
+/** Per-plane integer stats of a decoded YUV 4:2:0 frame ([[Vp8Codec]]
+  * output): the luma plane is `width x height`, chroma planes are the
+  * halved grid; all sums are exact Longs an external oracle recomputes
+  * from the planted per-block arithmetic.
+  */
+final case class YuvPixelStats(
+    doc_id: Long,
+    format: String,
+    width: Long,
+    height: Long,
+    n_px: Long,
+    sum_y: Long,
+    sumsq_y: Long,
+    sum_u: Long,
+    sumsq_u: Long,
+    sum_v: Long,
+    sumsq_v: Long,
+)
+
 final case class PcmStats(
     doc_id: Long,
     channel: Long,
@@ -2841,6 +2860,61 @@ object Multimodal {
       .map(id => (id, PixelFixtures.webpPixelBytes(id,
         PixelFixtures.width(id), PixelFixtures.height(id))))
     PixelCodec.channelStats(payloads).toDF()
+  }
+
+  /** REAL lossy-WebP (VP8) pixel decode through the batch plumbing:
+    * [[PixelFixtures.webpLossyBytes]] plants per-4x4-block flat
+    * targets into genuine VP8 keyframes (boolean coder, B_PRED intra,
+    * token-coded DC coefficients); [[Vp8Codec]] decodes them inside
+    * the partition and the per-plane integer sums are pure target
+    * arithmetic the oracle recomputes without running any codec. The
+    * dominant modern web image format graduates from headers-only to
+    * decoded pixels (r9 verdict item 1).
+    *
+    * Output is YUV-plane stats (the decoder's native, bit-exact
+    * currency — the same planes libwebp's own `WebPDecodeYUV`
+    * exposes); the RGB presentation is a separate documented
+    * conversion exercised by the dHash row.
+    */
+  def decodeWebpLossyReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.webpLossyBytes(id)))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Vp8Codec.decodeYuv(bytes).map { f =>
+            def stats(p: Array[Byte]): (Long, Long) = {
+              var s = 0L; var s2 = 0L
+              var i = 0
+              while (i < p.length) {
+                val v = p(i) & 0xff
+                s += v; s2 += v.toLong * v
+                i += 1
+              }
+              (s, s2)
+            }
+            val (sy, sy2) = stats(f.y)
+            val (su, su2) = stats(f.u)
+            val (sv, sv2) = stats(f.v)
+            YuvPixelStats(id, "webp", f.w.toLong, f.h.toLong,
+              f.w.toLong * f.h, sy, sy2, su, su2, sv, sv2)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Perceptual dHash over REAL VP8-decoded pixels: the lossy-WebP
+    * fixtures run the full decode (boolean coder, intra prediction,
+    * inverse DCT) and the documented BT.601 integer RGB conversion,
+    * then the standard 9x8 dHash grid — every stage integer-exact, so
+    * the oracle replays planted-YUV -> RGB -> grayscale -> grid ->
+    * packed hash entirely in SQL.
+    */
+  def webpLossyDhashReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.webpLossyBytes(id)))
+    ImageDhash.dhashes(payloads).toDF("doc_id", "dhash")
   }
 
   /** REAL baseline-TIFF pixel decode through the same batch plumbing:

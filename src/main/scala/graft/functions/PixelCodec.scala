@@ -51,7 +51,7 @@ object PixelCodec {
         decodeJpegPixels(b)
       else if (b.length >= 21 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F')
-        Vp8lCodec.decode(b)
+        Vp8lCodec.decode(b).orElse(Vp8Codec.decode(b))
       else if (b.length >= 8 &&
         ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
           (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)))
@@ -1053,6 +1053,38 @@ object PixelFixtures {
     }
     Vp8lCodec.encode(w, h, argb, transform = (id % 4).toInt)
   }
+
+  /** Lossy-WebP (VP8) fixture geometry: 1..3 x 1..2 macroblocks, so
+    * the B_DC prediction chains cross macroblock boundaries in both
+    * axes and the token contexts exercise the left/above handoff.
+    */
+  def vp8MbW(id: Long): Int = (id % 3 + 1).toInt
+  def vp8MbH(id: Long): Int = (id % 2 + 1).toInt
+
+  /** Planted per-4x4-block flat targets for the three VP8 planes —
+    * free arithmetic (prediction and residuals are the codec's
+    * business; the decoded plane holds exactly these values, which is
+    * what the DuckDB oracle recomputes).
+    */
+  def vp8TargetY(id: Long, bx: Int, by: Int): Int =
+    ((id * 7 + bx * 13 + by * 31) % 256).toInt
+  def vp8TargetU(id: Long, bx: Int, by: Int): Int =
+    ((id * 11 + bx * 17 + by * 23) % 256).toInt
+  def vp8TargetV(id: Long, bx: Int, by: Int): Int =
+    ((id * 5 + bx * 19 + by * 29) % 256).toInt
+
+  /** Lossy-WebP fixture: a real VP8 keyframe (boolean-coded header,
+    * B_PRED modes, DC-only tokens at quantizer index 0) whose decoded
+    * Y/U/V planes are exactly the planted per-block targets — the
+    * lossy format held to a LOSSLESS planted oracle by construction
+    * (residuals scale to multiples of 8 before the inverse DCT's
+    * `(v+4)>>3`, so no rounding survives).
+    */
+  def webpLossyBytes(id: Long): Array[Byte] =
+    Vp8Codec.encodeFlatBlocks(vp8MbW(id), vp8MbH(id),
+      (bx, by) => vp8TargetY(id, bx, by),
+      (bx, by) => vp8TargetU(id, bx, by),
+      (bx, by) => vp8TargetV(id, bx, by))
 
   /** Baseline-TIFF fixture over the same planted formula: `id` cycles
     * byte order (id/2 even → little), compression (id mod 3: none /

@@ -1,0 +1,1407 @@
+package graft.functions
+
+/** Lossy WebP (VP8 keyframe, RFC 6386) still-image decoder, pure JVM.
+  *
+  * The reference pipeline (`script.js`) has no image surface at all —
+  * this operator belongs to the beyond-parity multimodal front door:
+  * the dominant modern web image format joins the same decoded-pixel
+  * dedup/dHash path that JPEG/PNG/GIF/BMP/TIFF/VP8L already feed
+  * (r9 verdict item 1).
+  *
+  * Decode surface: keyframe parsing (the only frame type a WebP still
+  * can contain) — boolean arithmetic decoder, segmentation (quant and
+  * loop-filter features, coded segment maps), loop-filter deltas,
+  * multiple token partitions, coefficient-probability updates, full
+  * intra prediction (16x16 DC/V/H/TM with availability variants, all
+  * ten 4x4 B_PRED modes against synthesized 127/129 borders, 8x8
+  * chroma), token/category coefficient decode with the per-position
+  * band contexts, dequantization with the Y2 and chroma specials,
+  * the exact integer inverse DCT and WHT, and both loop filters
+  * (simple and normal, macroblock and subblock edges) applied in
+  * raster order after full-frame reconstruction — VP8 intra
+  * prediction reads UNFILTERED neighbors, so reconstruction and
+  * filtering are two passes by construction.
+  *
+  * All constant tables live in [[Vp8Tables]] (RFC 6386 data,
+  * cross-checked byte-for-byte against the system libwebp's embedded
+  * copies). Correctness is held two independent ways:
+  *  - [[Vp8CodecSpec]] replays libwebp-encoded vectors (real encoder,
+  *    default settings: segmentation, loop filter, mixed intra modes)
+  *    and requires EXACTLY the Y/U/V planes libwebp's own decoder
+  *    produces, and
+  *  - the registry row plants per-4x4-block flat targets through
+  *    [[Vp8Codec.encodeFlatBlocks]] (B_PRED + B_DC_PRED + DC-only
+  *    coefficients, quantizer index 0, filter level 0), whose decoded
+  *    planes are closed-form doc_id arithmetic an external DuckDB
+  *    oracle recomputes without running any codec.
+  *
+  * 100 TB shape: decode + reduce stays inside `mapPartitions` — a
+  * frame becomes (doc_id, a few longs), never pixel rows; allocation
+  * is bounded by the declared dimensions (14-bit each, further capped
+  * below) before any buffer is sized.
+  */
+object Vp8Codec {
+
+  /** Hard cap on decoded pixels per frame (bomb guard — a 3-byte
+    * header can declare 16383x16383; refuse anything over ~16.7 MP
+    * before allocating).
+    */
+  private val MaxPixels = 1 << 24
+
+  // ------------------------------------------------------------------
+  // Boolean arithmetic coder (RFC 6386 section 7)
+  // ------------------------------------------------------------------
+
+  /** Range decoder. Reading past the end feeds zero bytes (a bounded
+    * number — enough for any legal tail) and then aborts the frame,
+    * so truncated payloads are data, not hangs.
+    */
+  final class BoolDecoder(buf: Array[Byte], start: Int, end: Int) {
+    private var range = 255
+    private var value = 0
+    private var bitCount = 0
+    private var pos = start
+    private var zeroFeed = 0
+    value = (nextByte() << 8) | nextByte()
+
+    private def nextByte(): Int =
+      if (pos < end) { val b = buf(pos) & 0xff; pos += 1; b }
+      else {
+        zeroFeed += 1
+        if (zeroFeed > 64) throw new TruncatedStream
+        0
+      }
+
+    def bit(prob: Int): Int = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      val bigSplit = split << 8
+      val ret = if (value >= bigSplit) {
+        range -= split; value -= bigSplit; 1
+      } else { range = split; 0 }
+      while (range < 128) {
+        value <<= 1; range <<= 1
+        bitCount += 1
+        if (bitCount == 8) { bitCount = 0; value |= nextByte() }
+      }
+      ret
+    }
+
+    /** n-bit big-endian literal, each bit at probability 128. */
+    def literal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(128); i += 1 }
+      v
+    }
+
+    /** Magnitude-then-sign value used by header deltas. */
+    def signedLiteral(n: Int): Int = {
+      val v = literal(n)
+      if (bit(128) == 1) -v else v
+    }
+
+    /** Flag-gated signed delta (0 when the flag is clear). */
+    def optionalSigned(n: Int): Int = if (bit(128) == 1) signedLiteral(n) else 0
+  }
+
+  private final class TruncatedStream extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Range encoder (fixture side), mirroring the RFC 6386 reference
+    * encoder's uint32 window: carry is detected at bit 31 before each
+    * renormalizing shift and walks back through emitted 0xff bytes;
+    * bytes leave the window at bits 24-31 once the initial 24-bit
+    * warm-up has passed. `stop()` flushes by coding 32 zero bits at
+    * probability 128 (the reference encoder's own stop sequence) —
+    * trailing zero bits are inert on decode.
+    */
+  final class BoolEncoder {
+    private var buf = new Array[Byte](1 << 10)
+    private var n = 0
+    private var range = 255
+    private var bottom = 0L // uint32 window
+    private var bitCount = 24
+
+    private def push(b: Int): Unit = {
+      if (n == buf.length) {
+        val bigger = new Array[Byte](buf.length * 2)
+        System.arraycopy(buf, 0, bigger, 0, n)
+        buf = bigger
+      }
+      buf(n) = b.toByte
+      n += 1
+    }
+
+    private def carry(): Unit = {
+      var i = n - 1
+      while (i >= 0 && buf(i) == -1) { buf(i) = 0; i -= 1 }
+      require(i >= 0, "carry out of encoded stream")
+      buf(i) = (buf(i) + 1).toByte
+    }
+
+    def bit(prob: Int, b: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (b != 0) { bottom += split; range -= split } else range = split
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & 0x80000000L) != 0) carry()
+        bottom = (bottom << 1) & 0xffffffffL
+        bitCount -= 1
+        if (bitCount == 0) {
+          push(((bottom >> 24) & 0xff).toInt)
+          bottom &= 0xffffffL
+          bitCount = 8
+        }
+      }
+    }
+
+    def literal(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) { bit(128, (v >> i) & 1); i -= 1 }
+    }
+
+    def stop(): Array[Byte] = {
+      var i = 0
+      while (i < 32) { bit(128, 0); i += 1 }
+      java.util.Arrays.copyOf(buf, n)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Decoded frame
+  // ------------------------------------------------------------------
+
+  /** Cropped planes: `y` is `w*h`, `u`/`v` are `cw*ch` with
+    * `cw = (w+1)/2`, `ch = (h+1)/2` (4:2:0).
+    */
+  final case class Yuv(w: Int, h: Int, y: Array[Byte], u: Array[Byte], v: Array[Byte]) {
+    def cw: Int = (w + 1) / 2
+    def ch: Int = (h + 1) / 2
+  }
+
+  // ------------------------------------------------------------------
+  // RIFF plumbing
+  // ------------------------------------------------------------------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le24(b: Array[Byte], i: Int): Int = le16(b, i) | (u8(b, i + 2) << 16)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (le24(b, i).toLong | (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** Locate the `VP8 ` chunk inside a RIFF/WEBP container (walking
+    * past VP8X/metadata chunks), or treat the buffer as a raw VP8
+    * frame when it is not RIFF at all.
+    */
+  private def vp8ChunkBounds(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'))
+      return Some((0, b.length))
+    if (b.length < 20 || !(b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
+      return None
+    var p = 12
+    while (p + 8 <= b.length) {
+      val isVp8 = b(p) == 'V' && b(p + 1) == 'P' && b(p + 2) == '8' && b(p + 3) == ' '
+      val size = le32(b, p + 4)
+      if (size > b.length.toLong) return None
+      val dataStart = p + 8
+      val dataEnd = dataStart + size.toInt
+      if (dataEnd > b.length) return None
+      if (isVp8) return Some((dataStart, dataEnd))
+      p = dataEnd + (size.toInt & 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------
+  // Public decode API
+  // ------------------------------------------------------------------
+
+  /** Decode to YUV 4:2:0 planes (bit-exact decoder output, the form
+    * libwebp's `WebPDecodeYUV` also exposes — the cross-validation
+    * currency).
+    */
+  def decodeYuv(bytes: Array[Byte]): Option[Yuv] =
+    try {
+      vp8ChunkBounds(bytes).flatMap { case (s, e) => decodeFrame(bytes, s, e) }
+    } catch {
+      case _: TruncatedStream | _: IndexOutOfBoundsException |
+          _: IllegalArgumentException | _: NegativeArraySizeException => None
+    }
+
+  /** Decode to top-down RGB for the [[PixelCodec]] dispatch (dHash /
+    * channel-stat paths). BT.601 studio-range integer conversion with
+    * nearest-neighbor chroma upsampling — documented, deterministic,
+    * and shared with nothing else (perceptual paths only need a fixed
+    * mapping, not a particular upsampler).
+    */
+  def decode(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    decodeYuv(bytes).map { f =>
+      val rgb = new Array[Byte](f.w * f.h * 3)
+      val cw = f.cw
+      var yy = 0
+      while (yy < f.h) {
+        var x = 0
+        while (x < f.w) {
+          val yv = (f.y(yy * f.w + x) & 0xff) - 16
+          val uv = (f.u((yy / 2) * cw + x / 2) & 0xff) - 128
+          val vv = (f.v((yy / 2) * cw + x / 2) & 0xff) - 128
+          val o = (yy * f.w + x) * 3
+          rgb(o) = clip255((298 * yv + 409 * vv + 128) >> 8).toByte
+          rgb(o + 1) = clip255((298 * yv - 100 * uv - 208 * vv + 128) >> 8).toByte
+          rgb(o + 2) = clip255((298 * yv + 516 * uv + 128) >> 8).toByte
+          x += 1
+        }
+        yy += 1
+      }
+      ("webp", f.w, f.h, rgb)
+    }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ------------------------------------------------------------------
+  // Frame decode
+  // ------------------------------------------------------------------
+
+  // ymode values (RFC 6386 intra_mbmode order)
+  private val DcPred = 0
+  private val VPred = 1
+  private val HPred = 2
+  private val TmPred = 3
+  private val BPred = 4
+
+  private def decodeFrame(b: Array[Byte], off: Int, end: Int): Option[Yuv] = {
+    if (end - off < 10) return None
+    val tag = le24(b, off)
+    val keyFrame = (tag & 1) == 0
+    val part1Len = tag >>> 5
+    if (!keyFrame) return None // WebP stills are always keyframes
+    if (!(u8(b, off + 3) == 0x9d && u8(b, off + 4) == 0x01 && u8(b, off + 5) == 0x2a))
+      return None
+    val w = le16(b, off + 6) & 0x3fff
+    val h = le16(b, off + 8) & 0x3fff
+    if (w == 0 || h == 0 || w.toLong * h > MaxPixels) return None
+    val part1Start = off + 10
+    val part1End = part1Start + part1Len
+    if (part1Len <= 0 || part1End > end) return None
+
+    val mbW = (w + 15) / 16
+    val mbH = (h + 15) / 16
+    val br = new BoolDecoder(b, part1Start, part1End)
+
+    br.bit(128) // color space (must be 0 for defined behavior; tolerated)
+    br.bit(128) // clamping type
+
+    // ---- segmentation
+    var segmentEnabled = false
+    var updateMap = false
+    val segTreeProbs = Array(255, 255, 255)
+    val segQuant = new Array[Int](4)
+    val segFilter = new Array[Int](4)
+    var segAbsDelta = false
+    if (br.bit(128) == 1) {
+      segmentEnabled = true
+      updateMap = br.bit(128) == 1
+      val updateData = br.bit(128) == 1
+      if (updateData) {
+        segAbsDelta = br.bit(128) == 1
+        var i = 0
+        while (i < 4) { segQuant(i) = br.optionalSigned(7); i += 1 }
+        i = 0
+        while (i < 4) { segFilter(i) = br.optionalSigned(6); i += 1 }
+      }
+      if (updateMap) {
+        var i = 0
+        while (i < 3) {
+          if (br.bit(128) == 1) segTreeProbs(i) = br.literal(8)
+          i += 1
+        }
+      }
+    }
+
+    // ---- loop filter header
+    val simpleFilter = br.bit(128) == 1
+    val filterLevel = br.literal(6)
+    val sharpness = br.literal(3)
+    var lfDeltaEnabled = false
+    val refLfDelta = new Array[Int](4)
+    val modeLfDelta = new Array[Int](4)
+    if (br.bit(128) == 1) {
+      lfDeltaEnabled = true
+      if (br.bit(128) == 1) { // update
+        var i = 0
+        while (i < 4) {
+          if (br.bit(128) == 1) refLfDelta(i) = br.signedLiteral(6)
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          if (br.bit(128) == 1) modeLfDelta(i) = br.signedLiteral(6)
+          i += 1
+        }
+      }
+    }
+
+    // ---- token partitions
+    val numParts = 1 << br.literal(2)
+    val sizesAt = part1End
+    val partStart = sizesAt + 3 * (numParts - 1)
+    if (partStart > end) return None
+    val partBounds = new Array[(Int, Int)](numParts)
+    var acc = partStart
+    var pi = 0
+    while (pi < numParts) {
+      val len =
+        if (pi == numParts - 1) end - acc
+        else le24(b, sizesAt + 3 * pi)
+      if (len < 0 || acc + len > end) return None
+      partBounds(pi) = (acc, acc + len)
+      acc += len
+      pi += 1
+    }
+    val tokenBr = partBounds.map { case (s, e) => new BoolDecoder(b, s, e) }
+
+    // ---- dequantization factors
+    val yAcQi = br.literal(7)
+    val yDcDelta = br.optionalSigned(4)
+    val y2DcDelta = br.optionalSigned(4)
+    val y2AcDelta = br.optionalSigned(4)
+    val uvDcDelta = br.optionalSigned(4)
+    val uvAcDelta = br.optionalSigned(4)
+
+    def clampQ(v: Int, hi: Int): Int = if (v < 0) 0 else if (v > hi) hi else v
+    // per segment: (yDc, yAc, y2Dc, y2Ac, uvDc, uvAc)
+    val dq = Array.tabulate(4) { s =>
+      val base =
+        if (!segmentEnabled) yAcQi
+        else if (segAbsDelta) segQuant(s)
+        else yAcQi + segQuant(s)
+      val q = clampQ(base, 127)
+      val yDc = Vp8Tables.DcQ(clampQ(q + yDcDelta, 127))
+      val yAc = Vp8Tables.AcQ(q)
+      val y2Dc = Vp8Tables.DcQ(clampQ(q + y2DcDelta, 127)) * 2
+      val y2AcRaw = (Vp8Tables.AcQ(clampQ(q + y2AcDelta, 127)) * 101581) >> 16
+      val y2Ac = if (y2AcRaw < 8) 8 else y2AcRaw
+      val uvDc = Vp8Tables.DcQ(clampQ(q + uvDcDelta, 117)) // value capped at 132
+      val uvAc = Vp8Tables.AcQ(clampQ(q + uvAcDelta, 127))
+      Array(yDc, yAc, y2Dc, y2Ac, uvDc, uvAc)
+    }
+
+    br.bit(128) // refresh entropy probs (keyframe: no-op for a still)
+
+    // ---- coefficient probability updates
+    val probs = Vp8Tables.CoeffProbs.clone()
+    var t = 0
+    var idx = 0
+    while (t < 4 * 8 * 3 * 11) {
+      if (br.bit(Vp8Tables.CoeffUpdateProbs(idx)) == 1) probs(idx) = br.literal(8)
+      t += 1
+      idx += 1
+    }
+
+    val useSkip = br.bit(128) == 1
+    val skipProb = if (useSkip) br.literal(8) else 0
+
+    // ---- per-MB mode parse (rest of partition 1, raster order)
+    val nMb = mbW * mbH
+    val mbSegment = new Array[Byte](nMb)
+    val mbSkip = new Array[Boolean](nMb)
+    val mbYMode = new Array[Byte](nMb)
+    val mbUvMode = new Array[Byte](nMb)
+    val mbBModes = new Array[Array[Byte]](nMb)
+    // b-mode context rows: above (per MB column, 4 entries), left (4)
+    val aboveBMode = new Array[Byte](mbW * 4)
+    val leftBMode = new Array[Byte](4)
+
+    def treeBMode(d: BoolDecoder, above: Int, left: Int): Int = {
+      val p = above * 90 + left * 9
+      val bm = Vp8Tables.BModeProbs
+      // Mode numbering note: values follow the context-table layout
+      // (DC,TM,VE,HE,RD,VR,LD,VL,HD,HU — the layout the extracted
+      // [[Vp8Tables.BModeProbs]] rows/columns are built for), not the
+      // RFC tree-listing order which writes LD before RD/VR. The tree
+      // SHAPE is identical; only the integer labels differ, and both
+      // the context lookup above and [[pred4]]'s dispatch use this
+      // numbering consistently.
+      if (d.bit(bm(p)) == 0) 0 // B_DC_PRED
+      else if (d.bit(bm(p + 1)) == 0) 1 // B_TM_PRED
+      else if (d.bit(bm(p + 2)) == 0) 2 // B_VE_PRED
+      else if (d.bit(bm(p + 3)) == 0) {
+        if (d.bit(bm(p + 4)) == 0) 3 // B_HE_PRED
+        else if (d.bit(bm(p + 5)) == 0) 4 // B_RD_PRED
+        else 5 // B_VR_PRED
+      } else if (d.bit(bm(p + 6)) == 0) 6 // B_LD_PRED
+      else if (d.bit(bm(p + 7)) == 0) 7 // B_VL_PRED
+      else if (d.bit(bm(p + 8)) == 0) 8 // B_HD_PRED
+      else 9 // B_HU_PRED
+    }
+
+    /** Implied per-subblock mode of a whole-MB intra mode, for the
+      * b-mode coding contexts of later macroblocks.
+      */
+    def impliedBMode(yMode: Int): Byte = yMode match {
+      case DcPred => 0 // B_DC_PRED
+      case VPred => 2 // B_VE_PRED
+      case HPred => 3 // B_HE_PRED
+      case _ => 1 // B_TM_PRED
+    }
+
+    var mbY = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(leftBMode, 0.toByte)
+      var mbX = 0
+      while (mbX < mbW) {
+        val mi = mbY * mbW + mbX
+        mbSegment(mi) =
+          (if (segmentEnabled && updateMap) {
+             if (br.bit(segTreeProbs(0)) == 0) br.bit(segTreeProbs(1))
+             else 2 + br.bit(segTreeProbs(2))
+           } else 0).toByte
+        mbSkip(mi) = useSkip && br.bit(skipProb) == 1
+        val ky = Vp8Tables.KfYModeProbs
+        val yMode =
+          if (br.bit(ky(0)) == 0) BPred
+          else if (br.bit(ky(1)) == 0) { if (br.bit(ky(2)) == 0) DcPred else VPred }
+          else { if (br.bit(ky(3)) == 0) HPred else TmPred }
+        mbYMode(mi) = yMode.toByte
+        if (yMode == BPred) {
+          val modes = new Array[Byte](16)
+          var sb = 0
+          while (sb < 16) {
+            val bx = sb & 3
+            val by = sb >> 2
+            val above =
+              if (by == 0) aboveBMode(mbX * 4 + bx) else modes((by - 1) * 4 + bx)
+            val left = if (bx == 0) leftBMode(by) else modes(by * 4 + bx - 1)
+            modes(sb) = treeBMode(br, above, left).toByte
+            sb += 1
+          }
+          mbBModes(mi) = modes
+          var i = 0
+          while (i < 4) {
+            aboveBMode(mbX * 4 + i) = modes(12 + i)
+            leftBMode(i) = modes(i * 4 + 3)
+            i += 1
+          }
+        } else {
+          val imp = impliedBMode(yMode)
+          var i = 0
+          while (i < 4) {
+            aboveBMode(mbX * 4 + i) = imp
+            leftBMode(i) = imp
+            i += 1
+          }
+        }
+        val ku = Vp8Tables.KfUvModeProbs
+        mbUvMode(mi) =
+          (if (br.bit(ku(0)) == 0) DcPred
+           else if (br.bit(ku(1)) == 0) VPred
+           else if (br.bit(ku(2)) == 0) HPred
+           else TmPred).toByte
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // ---- reconstruction buffers (border row 0 / col 0 baked in)
+    val w16 = mbW * 16
+    val h16 = mbH * 16
+    val yStride = w16 + 1 + 4 // left border + right extension for above-right
+    val uvStride = mbW * 8 + 1
+    val yBuf = new Array[Byte]((h16 + 1) * yStride)
+    val uBuf = new Array[Byte]((mbH * 8 + 1) * uvStride)
+    val vBuf = new Array[Byte]((mbH * 8 + 1) * uvStride)
+    // above border = 127 (including corner and right extension)
+    java.util.Arrays.fill(yBuf, 0, yStride, 127.toByte)
+    java.util.Arrays.fill(uBuf, 0, uvStride, 127.toByte)
+    java.util.Arrays.fill(vBuf, 0, uvStride, 127.toByte)
+    var r = 1
+    while (r <= h16) {
+      yBuf(r * yStride) = 129.toByte
+      // right extension beyond the frame: the above-right pixels of the
+      // rightmost macroblock column (127 per the synthesized border)
+      var k = 0
+      while (k < 4) { yBuf(r * yStride + 1 + w16 + k) = 127.toByte; k += 1 }
+      r += 1
+    }
+    r = 1
+    while (r <= mbH * 8) {
+      uBuf(r * uvStride) = 129.toByte
+      vBuf(r * uvStride) = 129.toByte
+      r += 1
+    }
+
+    // ---- nonzero contexts and per-MB filter metadata
+    // bit layout per MB column: bits 0-3 luma, 4-5 u, 6-7 v, bit 8 y2
+    val aboveNz = new Array[Int](mbW)
+    var leftNz = 0
+    val mbHasCoeffs = new Array[Boolean](nMb)
+    val coeffs = new Array[Int](25 * 16) // 24 blocks + y2 at index 24
+
+    // token decode for one block; returns end position (nonzero iff > first)
+    def getCoeffs(d: BoolDecoder, blockType: Int, ctx0: Int, first: Int,
+        dqDc: Int, dqAc: Int, out: Array[Int], outOff: Int): Int = {
+      val base = blockType * 8 * 3 * 11
+      var n = first
+      var ctx = ctx0
+      var pOff = base + Vp8Tables.Bands(n) * 3 * 11 + ctx * 11
+      while (n < 16) {
+        if (d.bit(probs(pOff)) == 0) return n // EOB
+        var v = 0
+        var cont = true
+        while (cont && d.bit(probs(pOff + 1)) == 0) { // zero token
+          n += 1
+          if (n == 16) return 16
+          pOff = base + Vp8Tables.Bands(n) * 3 * 11 // ctx 0
+          cont = true
+        }
+        if (n == 16) return 16
+        if (d.bit(probs(pOff + 2)) == 0) { v = 1; ctx = 1 }
+        else {
+          ctx = 2
+          if (d.bit(probs(pOff + 3)) == 0) {
+            if (d.bit(probs(pOff + 4)) == 0) v = 2
+            else v = 3 + d.bit(probs(pOff + 5))
+          } else {
+            if (d.bit(probs(pOff + 6)) == 0) {
+              if (d.bit(probs(pOff + 7)) == 0) v = 5 + d.bit(159)
+              else v = 7 + 2 * d.bit(165) + d.bit(145)
+            } else {
+              val b1 = d.bit(probs(pOff + 8))
+              val b0 = d.bit(probs(pOff + 9 + b1))
+              val cat = 2 * b1 + b0
+              val tab = cat match {
+                case 0 => Vp8Tables.Cat3
+                case 1 => Vp8Tables.Cat4
+                case 2 => Vp8Tables.Cat5
+                case _ => Vp8Tables.Cat6
+              }
+              var ext = 0
+              var i = 0
+              while (i < tab.length) { ext += ext + d.bit(tab(i)); i += 1 }
+              v = 3 + (8 << cat) + ext
+            }
+          }
+        }
+        val signed = if (d.bit(128) == 1) -v else v
+        val dqf = if (n == 0) dqDc else dqAc
+        out(outOff + Vp8Tables.Zigzag(n)) = signed * dqf
+        n += 1
+        if (n < 16) pOff = base + Vp8Tables.Bands(n) * 3 * 11 + ctx * 11
+      }
+      16
+    }
+
+    // ---- inverse transforms
+    def idctAdd(co: Array[Int], coOff: Int, dst: Array[Byte], dOff: Int, stride: Int): Unit = {
+      val tmp = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val a = co(coOff + i) + co(coOff + 8 + i)
+        val bb = co(coOff + i) - co(coOff + 8 + i)
+        val c = ((co(coOff + 4 + i) * 35468) >> 16) -
+          (((co(coOff + 12 + i) * 20091) >> 16) + co(coOff + 12 + i))
+        val d = (((co(coOff + 4 + i) * 20091) >> 16) + co(coOff + 4 + i)) +
+          ((co(coOff + 12 + i) * 35468) >> 16)
+        tmp(i * 4) = a + d; tmp(i * 4 + 1) = bb + c
+        tmp(i * 4 + 2) = bb - c; tmp(i * 4 + 3) = a - d
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val dc = tmp(i) + 4
+        val a = dc + tmp(8 + i)
+        val bb = dc - tmp(8 + i)
+        val c = ((tmp(4 + i) * 35468) >> 16) -
+          (((tmp(12 + i) * 20091) >> 16) + tmp(12 + i))
+        val d = (((tmp(4 + i) * 20091) >> 16) + tmp(4 + i)) +
+          ((tmp(12 + i) * 35468) >> 16)
+        val o = dOff + i * stride
+        dst(o) = clip255((dst(o) & 0xff) + ((a + d) >> 3)).toByte
+        dst(o + 1) = clip255((dst(o + 1) & 0xff) + ((bb + c) >> 3)).toByte
+        dst(o + 2) = clip255((dst(o + 2) & 0xff) + ((bb - c) >> 3)).toByte
+        dst(o + 3) = clip255((dst(o + 3) & 0xff) + ((a - d) >> 3)).toByte
+        i += 1
+      }
+    }
+
+    def iwht(in: Array[Int], inOff: Int, outDc: Array[Int]): Unit = {
+      val tmp = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        val a0 = in(inOff + i) + in(inOff + 12 + i)
+        val a1 = in(inOff + 4 + i) + in(inOff + 8 + i)
+        val a2 = in(inOff + 4 + i) - in(inOff + 8 + i)
+        val a3 = in(inOff + i) - in(inOff + 12 + i)
+        tmp(i) = a0 + a1
+        tmp(8 + i) = a0 - a1
+        tmp(4 + i) = a3 + a2
+        tmp(12 + i) = a3 - a2
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val dc = tmp(i * 4) + 3
+        val a0 = dc + tmp(i * 4 + 3)
+        val a1 = tmp(i * 4 + 1) + tmp(i * 4 + 2)
+        val a2 = tmp(i * 4 + 1) - tmp(i * 4 + 2)
+        val a3 = dc - tmp(i * 4 + 3)
+        outDc(i * 4) = (a0 + a1) >> 3
+        outDc(i * 4 + 1) = (a3 + a2) >> 3
+        outDc(i * 4 + 2) = (a0 - a1) >> 3
+        outDc(i * 4 + 3) = (a3 - a2) >> 3
+        i += 1
+      }
+    }
+
+    // ---- predictors (operate on bordered buffers; ox/oy are the
+    //      interior pixel coordinates of the block's top-left corner,
+    //      +1 offsets map into the bordered arrays)
+    def avg3(a: Int, bb: Int, c: Int): Int = (a + 2 * bb + c + 2) >> 2
+    def avg2(a: Int, bb: Int): Int = (a + bb + 1) >> 1
+
+    def predWhole(buf: Array[Byte], stride: Int, ox: Int, oy: Int, size: Int,
+        mode: Int, hasLeft: Boolean, hasTop: Boolean): Unit = {
+      val px = ox + 1
+      val py = oy + 1
+      mode match {
+        case DcPred =>
+          var sum = 0
+          var cnt = 0
+          if (hasTop) {
+            var i = 0
+            while (i < size) { sum += buf((py - 1) * stride + px + i) & 0xff; i += 1 }
+            cnt += size
+          }
+          if (hasLeft) {
+            var i = 0
+            while (i < size) { sum += buf((py + i) * stride + px - 1) & 0xff; i += 1 }
+            cnt += size
+          }
+          val dcv =
+            if (cnt == 0) 128
+            else (sum + cnt / 2) / cnt // power-of-two count: exact shift
+          var yy2 = 0
+          while (yy2 < size) {
+            java.util.Arrays.fill(buf, (py + yy2) * stride + px,
+              (py + yy2) * stride + px + size, dcv.toByte)
+            yy2 += 1
+          }
+        case VPred =>
+          var yy2 = 0
+          while (yy2 < size) {
+            System.arraycopy(buf, (py - 1) * stride + px,
+              buf, (py + yy2) * stride + px, size)
+            yy2 += 1
+          }
+        case HPred =>
+          var yy2 = 0
+          while (yy2 < size) {
+            val v = buf((py + yy2) * stride + px - 1)
+            java.util.Arrays.fill(buf, (py + yy2) * stride + px,
+              (py + yy2) * stride + px + size, v)
+            yy2 += 1
+          }
+        case _ => // TmPred
+          val tl = buf((py - 1) * stride + px - 1) & 0xff
+          var yy2 = 0
+          while (yy2 < size) {
+            val l = buf((py + yy2) * stride + px - 1) & 0xff
+            var x = 0
+            while (x < size) {
+              val top = buf((py - 1) * stride + px + x) & 0xff
+              buf((py + yy2) * stride + px + x) = clip255(l + top - tl).toByte
+              x += 1
+            }
+            yy2 += 1
+          }
+      }
+    }
+
+    /** The ten 4x4 intra modes. `arx` points at the four above-right
+      * pixels (already resolved by the caller — including the VP8
+      * quirk that the rightmost subblock column reuses the
+      * macroblock's frozen top-right row).
+      */
+    def pred4(mode: Int, dst: Array[Byte], o: Int, stride: Int,
+        top: Array[Int], tl: Int, left: Array[Int], ar: Array[Int]): Unit = {
+      def set(x: Int, y: Int, v: Int): Unit = dst(o + y * stride + x) = v.toByte
+      mode match {
+        case 0 => // B_DC_PRED
+          var s = 4
+          var i = 0
+          while (i < 4) { s += top(i) + left(i); i += 1 }
+          val v = s >> 3
+          var y2 = 0
+          while (y2 < 4) {
+            var x = 0
+            while (x < 4) { set(x, y2, v); x += 1 }
+            y2 += 1
+          }
+        case 1 => // B_TM_PRED
+          var y2 = 0
+          while (y2 < 4) {
+            var x = 0
+            while (x < 4) { set(x, y2, clip255(left(y2) + top(x) - tl)); x += 1 }
+            y2 += 1
+          }
+        case 2 => // B_VE_PRED (filtered vertical)
+          val v0 = avg3(tl, top(0), top(1))
+          val v1 = avg3(top(0), top(1), top(2))
+          val v2 = avg3(top(1), top(2), top(3))
+          val v3 = avg3(top(2), top(3), ar(0))
+          var y2 = 0
+          while (y2 < 4) { set(0, y2, v0); set(1, y2, v1); set(2, y2, v2); set(3, y2, v3); y2 += 1 }
+        case 3 => // B_HE_PRED (filtered horizontal)
+          val h0 = avg3(tl, left(0), left(1))
+          val h1 = avg3(left(0), left(1), left(2))
+          val h2 = avg3(left(1), left(2), left(3))
+          val h3 = avg3(left(2), left(3), left(3))
+          var x = 0
+          while (x < 4) { set(x, 0, h0); set(x, 1, h1); set(x, 2, h2); set(x, 3, h3); x += 1 }
+        case 6 => // B_LD_PRED (down-left)
+          val a = top(0); val bb = top(1); val c = top(2); val d = top(3)
+          val e = ar(0); val f = ar(1); val g = ar(2); val hh = ar(3)
+          set(0, 0, avg3(a, bb, c))
+          set(1, 0, avg3(bb, c, d)); set(0, 1, avg3(bb, c, d))
+          set(2, 0, avg3(c, d, e)); set(1, 1, avg3(c, d, e)); set(0, 2, avg3(c, d, e))
+          set(3, 0, avg3(d, e, f)); set(2, 1, avg3(d, e, f)); set(1, 2, avg3(d, e, f)); set(0, 3, avg3(d, e, f))
+          set(3, 1, avg3(e, f, g)); set(2, 2, avg3(e, f, g)); set(1, 3, avg3(e, f, g))
+          set(3, 2, avg3(f, g, hh)); set(2, 3, avg3(f, g, hh))
+          set(3, 3, avg3(g, hh, hh))
+        case 4 => // B_RD_PRED (down-right)
+          val i0 = left(0); val j = left(1); val k = left(2); val l = left(3)
+          val a = top(0); val bb = top(1); val c = top(2); val d = top(3)
+          set(0, 3, avg3(j, k, l))
+          set(0, 2, avg3(i0, j, k)); set(1, 3, avg3(i0, j, k))
+          set(0, 1, avg3(tl, i0, j)); set(1, 2, avg3(tl, i0, j)); set(2, 3, avg3(tl, i0, j))
+          set(0, 0, avg3(a, tl, i0)); set(1, 1, avg3(a, tl, i0)); set(2, 2, avg3(a, tl, i0)); set(3, 3, avg3(a, tl, i0))
+          set(1, 0, avg3(bb, a, tl)); set(2, 1, avg3(bb, a, tl)); set(3, 2, avg3(bb, a, tl))
+          set(2, 0, avg3(c, bb, a)); set(3, 1, avg3(c, bb, a))
+          set(3, 0, avg3(d, c, bb))
+        case 5 => // B_VR_PRED (vertical-right)
+          val i0 = left(0); val j = left(1); val k = left(2)
+          val a = top(0); val bb = top(1); val c = top(2); val d = top(3)
+          set(0, 0, avg2(tl, a)); set(1, 2, avg2(tl, a))
+          set(1, 0, avg2(a, bb)); set(2, 2, avg2(a, bb))
+          set(2, 0, avg2(bb, c)); set(3, 2, avg2(bb, c))
+          set(3, 0, avg2(c, d))
+          set(0, 2, avg3(j, i0, tl))
+          set(0, 3, avg3(k, j, i0))
+          set(0, 1, avg3(i0, tl, a)); set(1, 3, avg3(i0, tl, a))
+          set(1, 1, avg3(tl, a, bb)); set(2, 3, avg3(tl, a, bb))
+          set(2, 1, avg3(a, bb, c)); set(3, 3, avg3(a, bb, c))
+          set(3, 1, avg3(bb, c, d))
+        case 7 => // B_VL_PRED (vertical-left)
+          val a = top(0); val bb = top(1); val c = top(2); val d = top(3)
+          val e = ar(0); val f = ar(1); val g = ar(2); val hh = ar(3)
+          set(0, 0, avg2(a, bb))
+          set(1, 0, avg2(bb, c)); set(0, 2, avg2(bb, c))
+          set(2, 0, avg2(c, d)); set(1, 2, avg2(c, d))
+          set(3, 0, avg2(d, e)); set(2, 2, avg2(d, e))
+          set(0, 1, avg3(a, bb, c))
+          set(1, 1, avg3(bb, c, d)); set(0, 3, avg3(bb, c, d))
+          set(2, 1, avg3(c, d, e)); set(1, 3, avg3(c, d, e))
+          set(3, 1, avg3(d, e, f)); set(2, 3, avg3(d, e, f))
+          set(3, 2, avg3(e, f, g))
+          set(3, 3, avg3(f, g, hh))
+        case 8 => // B_HD_PRED (horizontal-down)
+          val i0 = left(0); val j = left(1); val k = left(2); val l = left(3)
+          val a = top(0); val bb = top(1); val c = top(2)
+          set(0, 0, avg2(i0, tl)); set(2, 1, avg2(i0, tl))
+          set(0, 1, avg2(j, i0)); set(2, 2, avg2(j, i0))
+          set(0, 2, avg2(k, j)); set(2, 3, avg2(k, j))
+          set(0, 3, avg2(l, k))
+          set(3, 0, avg3(a, bb, c))
+          set(2, 0, avg3(tl, a, bb))
+          set(1, 0, avg3(i0, tl, a)); set(3, 1, avg3(i0, tl, a))
+          set(1, 1, avg3(tl, i0, j)); set(3, 2, avg3(tl, i0, j))
+          set(1, 2, avg3(i0, j, k)); set(3, 3, avg3(i0, j, k))
+          set(1, 3, avg3(j, k, l))
+        case _ => // B_HU_PRED (horizontal-up)
+          val i0 = left(0); val j = left(1); val k = left(2); val l = left(3)
+          set(0, 0, avg2(i0, j))
+          set(2, 0, avg2(j, k)); set(0, 1, avg2(j, k))
+          set(2, 1, avg2(k, l)); set(0, 2, avg2(k, l))
+          set(1, 0, avg3(i0, j, k))
+          set(3, 0, avg3(j, k, l)); set(1, 1, avg3(j, k, l))
+          set(3, 1, avg3(k, l, l)); set(1, 2, avg3(k, l, l))
+          set(3, 2, l); set(0, 3, l); set(1, 3, l); set(2, 2, l); set(2, 3, l); set(3, 3, l)
+      }
+    }
+
+    // ---- per-MB reconstruction
+    val y2Dc = new Array[Int](16)
+    mbY = 0
+    while (mbY < mbH) {
+      if (mbY > 0) {
+        // Above-right of the rightmost macroblock: beyond the frame the
+        // previous row's last reconstructed pixel is replicated (the
+        // frame's synthesized 127 border applies only to row 0).
+        val borderRow = 16 * mbY
+        val last = yBuf(borderRow * yStride + w16)
+        var k = 0
+        while (k < 4) { yBuf(borderRow * yStride + 1 + w16 + k) = last; k += 1 }
+      }
+      leftNz = 0
+      var mbX = 0
+      while (mbX < mbW) {
+        val mi = mbY * mbW + mbX
+        val seg = mbSegment(mi)
+        val q = dq(seg)
+        val isI4 = mbYMode(mi) == BPred
+        java.util.Arrays.fill(coeffs, 0)
+        var nzAbove = aboveNz(mbX)
+        var nzLeft = leftNz
+        var anyCoeffs = false
+
+        if (mbSkip(mi)) {
+          // skipped MB: luma/chroma contexts reset; the Y2 context is
+          // also reset only when the MB actually carries a Y2 block
+          val keepDc = if (isI4) (nzAbove & 0x100) else 0
+          val keepDcL = if (isI4) (nzLeft & 0x100) else 0
+          nzAbove = keepDc
+          nzLeft = keepDcL
+        } else {
+          val d = tokenBr(mbY % numParts)
+          var first = 0
+          if (!isI4) {
+            // Y2 block (type 1)
+            val ctx = ((nzAbove >> 8) & 1) + ((nzLeft >> 8) & 1)
+            val nz = getCoeffs(d, 1, ctx, 0, q(2), q(3), coeffs, 24 * 16)
+            val f = if (nz > 0) 1 else 0
+            nzAbove = (nzAbove & 0xff) | (f << 8)
+            nzLeft = (nzLeft & 0xff) | (f << 8)
+            if (f == 1) anyCoeffs = true
+            iwht(coeffs, 24 * 16, y2Dc)
+            var i = 0
+            while (i < 16) { coeffs(i * 16) = y2Dc(i); i += 1 }
+            first = 1
+          }
+          val lumaType = if (isI4) 3 else 0
+          var sb = 0
+          while (sb < 16) {
+            val bx = sb & 3
+            val by = sb >> 2
+            val a = (nzAbove >> bx) & 1
+            val l = (nzLeft >> by) & 1
+            val nz = getCoeffs(d, lumaType, a + l, first, q(0), q(1), coeffs, sb * 16)
+            val f = if (nz > first) 1 else 0
+            nzAbove = (nzAbove & ~(1 << bx)) | (f << bx)
+            nzLeft = (nzLeft & ~(1 << by)) | (f << by)
+            if (f == 1) anyCoeffs = true
+            sb += 1
+          }
+          // chroma: u blocks 16-19, v blocks 20-23; ctx bits 4-5 / 6-7
+          var plane = 0
+          while (plane < 2) {
+            val bitBase = 4 + plane * 2
+            var cb = 0
+            while (cb < 4) {
+              val bx = cb & 1
+              val by = cb >> 1
+              val a = (nzAbove >> (bitBase + bx)) & 1
+              val l = (nzLeft >> (bitBase + by)) & 1
+              val nz = getCoeffs(d, 2, a + l, 0, q(4), q(5), coeffs,
+                (16 + plane * 4 + cb) * 16)
+              val f = if (nz > 0) 1 else 0
+              nzAbove = (nzAbove & ~(1 << (bitBase + bx))) | (f << (bitBase + bx))
+              nzLeft = (nzLeft & ~(1 << (bitBase + by))) | (f << (bitBase + by))
+              if (f == 1) anyCoeffs = true
+              cb += 1
+            }
+            plane += 1
+          }
+        }
+        aboveNz(mbX) = nzAbove
+        leftNz = nzLeft
+        mbHasCoeffs(mi) = anyCoeffs
+
+        // ---- predict + add
+        val ox = mbX * 16
+        val oy = mbY * 16
+        if (!isI4) {
+          predWhole(yBuf, yStride, ox, oy, 16, mbYMode(mi), mbX > 0, mbY > 0)
+          if (!mbSkip(mi)) {
+            var sb = 0
+            while (sb < 16) {
+              idctAdd(coeffs, sb * 16, yBuf,
+                (oy + (sb >> 2) * 4 + 1) * yStride + ox + (sb & 3) * 4 + 1, yStride)
+              sb += 1
+            }
+          }
+        } else {
+          val modes = mbBModes(mi)
+          val top = new Array[Int](4)
+          val left = new Array[Int](4)
+          val ar = new Array[Int](4)
+          var sb = 0
+          while (sb < 16) {
+            val bx = sb & 3
+            val by = sb >> 2
+            val px = ox + bx * 4 + 1
+            val py = oy + by * 4 + 1
+            var i = 0
+            while (i < 4) {
+              top(i) = yBuf((py - 1) * yStride + px + i) & 0xff
+              left(i) = yBuf((py + i) * yStride + px - 1) & 0xff
+              i += 1
+            }
+            val tl = yBuf((py - 1) * yStride + px - 1) & 0xff
+            // above-right: rightmost subblock column reuses the frozen
+            // macroblock top-right row (the VP8 quirk); interior
+            // columns read the natural neighbor
+            i = 0
+            if (bx == 3) {
+              while (i < 4) { ar(i) = yBuf((oy + 1 - 1) * yStride + ox + 16 + 1 + i) & 0xff; i += 1 }
+            } else {
+              while (i < 4) { ar(i) = yBuf((py - 1) * yStride + px + 4 + i) & 0xff; i += 1 }
+            }
+            pred4(modes(sb), yBuf, py * yStride + px, yStride, top, tl, left, ar)
+            if (!mbSkip(mi)) idctAdd(coeffs, sb * 16, yBuf, py * yStride + px, yStride)
+            sb += 1
+          }
+        }
+        val cox = mbX * 8
+        val coy = mbY * 8
+        predWhole(uBuf, uvStride, cox, coy, 8, mbUvMode(mi), mbX > 0, mbY > 0)
+        predWhole(vBuf, uvStride, cox, coy, 8, mbUvMode(mi), mbX > 0, mbY > 0)
+        if (!mbSkip(mi)) {
+          var cb = 0
+          while (cb < 4) {
+            val off = (coy + (cb >> 1) * 4 + 1) * uvStride + cox + (cb & 1) * 4 + 1
+            idctAdd(coeffs, (16 + cb) * 16, uBuf, off, uvStride)
+            idctAdd(coeffs, (20 + cb) * 16, vBuf, off, uvStride)
+            cb += 1
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // ---- loop filter (raster order over the finished frame)
+    if (filterLevel > 0)
+      loopFilter(yBuf, uBuf, vBuf, yStride, uvStride, mbW, mbH, simpleFilter,
+        filterLevel, sharpness, segmentEnabled, segAbsDelta, segFilter,
+        lfDeltaEnabled, refLfDelta, modeLfDelta, mbSegment, mbYMode, mbHasCoeffs)
+
+    // ---- crop
+    val y = new Array[Byte](w * h)
+    var row = 0
+    while (row < h) {
+      System.arraycopy(yBuf, (row + 1) * yStride + 1, y, row * w, w)
+      row += 1
+    }
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val u = new Array[Byte](cw * ch)
+    val v = new Array[Byte](cw * ch)
+    row = 0
+    while (row < ch) {
+      System.arraycopy(uBuf, (row + 1) * uvStride + 1, u, row * cw, cw)
+      System.arraycopy(vBuf, (row + 1) * uvStride + 1, v, row * cw, cw)
+      row += 1
+    }
+    Some(Yuv(w, h, y, u, v))
+  }
+
+  // ------------------------------------------------------------------
+  // Loop filter (RFC 6386 section 15)
+  // ------------------------------------------------------------------
+
+  private def c127(v: Int): Int = if (v > 127) 127 else if (v < -128) -128 else v
+
+  /** In-place edge filter over a bordered plane. `horizEdge` filters a
+    * horizontal edge (pixels vary vertically, `step` = stride);
+    * otherwise a vertical edge (`step` = 1). `at` indexes the first
+    * pixel ON the edge (q0); p pixels are at negative offsets.
+    */
+  private def filterEdge(buf: Array[Byte], at: Int, step: Int, count: Int,
+      lineStep: Int, edgeLimit: Int, interior: Int, hev: Int, mbEdge: Boolean): Unit = {
+    var i = 0
+    while (i < count) {
+      val o = at + i * lineStep
+      val p3 = buf(o - 4 * step) & 0xff
+      val p2 = buf(o - 3 * step) & 0xff
+      val p1 = buf(o - 2 * step) & 0xff
+      val p0 = buf(o - step) & 0xff
+      val q0 = buf(o) & 0xff
+      val q1 = buf(o + step) & 0xff
+      val q2 = buf(o + 2 * step) & 0xff
+      val q3 = buf(o + 3 * step) & 0xff
+      val mask =
+        math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edgeLimit &&
+          math.abs(p3 - p2) <= interior && math.abs(p2 - p1) <= interior &&
+          math.abs(p1 - p0) <= interior && math.abs(q1 - q0) <= interior &&
+          math.abs(q2 - q1) <= interior && math.abs(q3 - q2) <= interior
+      if (mask) {
+        val isHev = math.abs(p1 - p0) > hev || math.abs(q1 - q0) > hev
+        if (!mbEdge) {
+          // subblock edge
+          val base = if (isHev) c127(p1 - q1) else 0
+          val a = c127(base + 3 * (q0 - p0))
+          val f1 = c127(a + 4) >> 3
+          val f2 = c127(a + 3) >> 3
+          val nq0 = clip255s(q0 - f1)
+          val np0 = clip255s(p0 + f2)
+          buf(o) = nq0.toByte
+          buf(o - step) = np0.toByte
+          if (!isHev) {
+            val a2 = (f1 + 1) >> 1
+            buf(o + step) = clip255s(q1 - a2).toByte
+            buf(o - 2 * step) = clip255s(p1 + a2).toByte
+          }
+        } else {
+          if (isHev) {
+            val a = c127(c127(p1 - q1) + 3 * (q0 - p0))
+            val f1 = c127(a + 4) >> 3
+            val f2 = c127(a + 3) >> 3
+            buf(o) = clip255s(q0 - f1).toByte
+            buf(o - step) = clip255s(p0 + f2).toByte
+          } else {
+            val wv = c127(c127(p1 - q1) + 3 * (q0 - p0))
+            val a0 = (27 * wv + 63) >> 7
+            buf(o) = clip255s(q0 - a0).toByte
+            buf(o - step) = clip255s(p0 + a0).toByte
+            val a1 = (18 * wv + 63) >> 7
+            buf(o + step) = clip255s(q1 - a1).toByte
+            buf(o - 2 * step) = clip255s(p1 + a1).toByte
+            val a2 = (9 * wv + 63) >> 7
+            buf(o + 2 * step) = clip255s(q2 - a2).toByte
+            buf(o - 3 * step) = clip255s(p2 + a2).toByte
+          }
+        }
+      }
+      i += 1
+    }
+  }
+
+  private def clip255s(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def simpleEdge(buf: Array[Byte], at: Int, step: Int, count: Int,
+      lineStep: Int, edgeLimit: Int): Unit = {
+    var i = 0
+    while (i < count) {
+      val o = at + i * lineStep
+      val p1 = buf(o - 2 * step) & 0xff
+      val p0 = buf(o - step) & 0xff
+      val q0 = buf(o) & 0xff
+      val q1 = buf(o + step) & 0xff
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edgeLimit) {
+        val a = c127(c127(p1 - q1) + 3 * (q0 - p0))
+        val f1 = c127(a + 4) >> 3
+        val f2 = c127(a + 3) >> 3
+        buf(o) = clip255s(q0 - f1).toByte
+        buf(o - step) = clip255s(p0 + f2).toByte
+      }
+      i += 1
+    }
+  }
+
+  private def loopFilter(yBuf: Array[Byte], uBuf: Array[Byte], vBuf: Array[Byte],
+      yStride: Int, uvStride: Int, mbW: Int, mbH: Int, simple: Boolean,
+      baseLevel: Int, sharpness: Int, segEnabled: Boolean, segAbs: Boolean,
+      segFilter: Array[Int], lfDelta: Boolean, refDelta: Array[Int],
+      modeDelta: Array[Int], mbSegment: Array[Byte], mbYMode: Array[Byte],
+      mbHasCoeffs: Array[Boolean]): Unit = {
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mi = mbY * mbW + mbX
+        var level =
+          if (!segEnabled) baseLevel
+          else if (segAbs) segFilter(mbSegment(mi))
+          else baseLevel + segFilter(mbSegment(mi))
+        if (lfDelta) {
+          level += refDelta(0) // keyframe: INTRA_FRAME reference
+          if (mbYMode(mi) == BPred) level += modeDelta(0)
+        }
+        if (level < 0) level = 0
+        if (level > 63) level = 63
+        if (level > 0) {
+          var interior = level
+          if (sharpness > 0) {
+            interior >>= (if (sharpness > 4) 2 else 1)
+            if (interior > 9 - sharpness) interior = 9 - sharpness
+          }
+          if (interior < 1) interior = 1
+          val mbLimit = 2 * level + interior + 4
+          val subLimit = 2 * level + interior
+          val hev = if (level >= 40) 2 else if (level >= 15) 1 else 0
+          val innerEdges = mbHasCoeffs(mi) || mbYMode(mi) == BPred
+          val yo = (mbY * 16 + 1) * yStride + mbX * 16 + 1
+          val co = (mbY * 8 + 1) * uvStride + mbX * 8 + 1
+          if (simple) {
+            if (mbX > 0) simpleEdge(yBuf, yo, 1, 16, yStride, mbLimit)
+            if (innerEdges) {
+              var e = 4
+              while (e < 16) { simpleEdge(yBuf, yo + e, 1, 16, yStride, subLimit); e += 4 }
+            }
+            if (mbY > 0) simpleEdge(yBuf, yo, yStride, 16, 1, mbLimit)
+            if (innerEdges) {
+              var e = 4
+              while (e < 16) { simpleEdge(yBuf, yo + e * yStride, yStride, 16, 1, subLimit); e += 4 }
+            }
+          } else {
+            if (mbX > 0) {
+              filterEdge(yBuf, yo, 1, 16, yStride, mbLimit, interior, hev, mbEdge = true)
+              filterEdge(uBuf, co, 1, 8, uvStride, mbLimit, interior, hev, mbEdge = true)
+              filterEdge(vBuf, co, 1, 8, uvStride, mbLimit, interior, hev, mbEdge = true)
+            }
+            if (innerEdges) {
+              var e = 4
+              while (e < 16) {
+                filterEdge(yBuf, yo + e, 1, 16, yStride, subLimit, interior, hev, mbEdge = false)
+                e += 4
+              }
+              filterEdge(uBuf, co + 4, 1, 8, uvStride, subLimit, interior, hev, mbEdge = false)
+              filterEdge(vBuf, co + 4, 1, 8, uvStride, subLimit, interior, hev, mbEdge = false)
+            }
+            if (mbY > 0) {
+              filterEdge(yBuf, yo, yStride, 16, 1, mbLimit, interior, hev, mbEdge = true)
+              filterEdge(uBuf, co, uvStride, 8, 1, mbLimit, interior, hev, mbEdge = true)
+              filterEdge(vBuf, co, uvStride, 8, 1, mbLimit, interior, hev, mbEdge = true)
+            }
+            if (innerEdges) {
+              var e = 4
+              while (e < 16) {
+                filterEdge(yBuf, yo + e * yStride, yStride, 16, 1, subLimit, interior, hev, mbEdge = false)
+                e += 4
+              }
+              filterEdge(uBuf, co + 4 * uvStride, uvStride, 8, 1, subLimit, interior, hev, mbEdge = false)
+              filterEdge(vBuf, co + 4 * uvStride, uvStride, 8, 1, subLimit, interior, hev, mbEdge = false)
+            }
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture encoder
+  // ------------------------------------------------------------------
+
+  /** Encode a planted-arithmetic VP8 keyframe: every luma 4x4 block and
+    * every chroma 4x4 block is a flat patch holding exactly the target
+    * value the supplied functions return (B_PRED + B_DC_PRED luma,
+    * DC_PRED chroma, quantizer index 0, filter level 0, one token
+    * partition, DC-only coefficients scaled so the dequantized inverse
+    * DCT reproduces the residual without rounding). The decoded planes
+    * are therefore pure target arithmetic — the property the DuckDB
+    * oracle replays.
+    *
+    * `tY(bx, by)` indexes luma 4x4 blocks over a `(mbW*4) x (mbH*4)`
+    * grid; `tU`/`tV` index chroma 4x4 blocks over `(mbW*2) x (mbH*2)`.
+    * Targets must lie in [0, 255]. `cropW`/`cropH` default to the full
+    * macroblock surface.
+    */
+  def encodeFlatBlocks(mbW: Int, mbH: Int,
+      tY: (Int, Int) => Int, tU: (Int, Int) => Int, tV: (Int, Int) => Int,
+      cropW: Int = -1, cropH: Int = -1): Array[Byte] = {
+    require(mbW > 0 && mbH > 0 && mbW * 16 <= 16383 && mbH * 16 <= 16383)
+    val w = if (cropW > 0) cropW else mbW * 16
+    val h = if (cropH > 0) cropH else mbH * 16
+
+    // ---- header partition
+    val hdr = new BoolEncoder
+    hdr.bit(128, 0) // color space
+    hdr.bit(128, 0) // clamping
+    hdr.bit(128, 0) // segmentation disabled
+    hdr.bit(128, 0) // filter type: normal (level 0 => off)
+    hdr.literal(0, 6) // filter level 0
+    hdr.literal(0, 3) // sharpness
+    hdr.bit(128, 0) // no lf deltas
+    hdr.literal(0, 2) // one token partition
+    hdr.literal(0, 7) // y_ac_qi = 0 (dc quantizer 4)
+    var i = 0
+    while (i < 5) { hdr.bit(128, 0); i += 1 } // five quant deltas absent
+    hdr.bit(128, 1) // refresh entropy
+    i = 0
+    while (i < 4 * 8 * 3 * 11) { hdr.bit(Vp8Tables.CoeffUpdateProbs(i), 0); i += 1 }
+    hdr.bit(128, 0) // mb_no_coeff_skip = 0 (every MB carries tokens)
+
+    // per-MB modes: all B_PRED, all-B_DC_PRED subblocks, DC chroma.
+    // Every b-mode context stays (B_DC, B_DC) => first tree probability
+    // of the [0][0] context.
+    val pBDc = Vp8Tables.BModeProbs(0)
+    var mb = 0
+    while (mb < mbW * mbH) {
+      hdr.bit(Vp8Tables.KfYModeProbs(0), 0) // B_PRED
+      var sb = 0
+      while (sb < 16) { hdr.bit(pBDc, 0); sb += 1 }
+      hdr.bit(Vp8Tables.KfUvModeProbs(0), 0) // DC_PRED
+      mb += 1
+    }
+    val part1 = hdr.stop()
+
+    // ---- token partition: mirror the decoder's prediction arithmetic
+    // to turn targets into residuals (all DC-only at quantizer 4:
+    // coefficient = 2*residual dequantizes to 8*residual, whose inverse
+    // DCT is exactly the residual in every pixel).
+    val tok = new BoolEncoder
+    val probs = Vp8Tables.CoeffProbs
+
+    def encodeDcBlock(blockType: Int, ctx: Int, resid: Int): Boolean = {
+      val base = blockType * 8 * 3 * 11
+      val p0 = base + ctx * 11 // band 0
+      val c = 2 * resid
+      if (c == 0) { tok.bit(probs(p0), 0); return false }
+      tok.bit(probs(p0), 1) // not EOB
+      tok.bit(probs(p0 + 1), 1) // nonzero
+      val v = math.abs(c)
+      if (v == 1) tok.bit(probs(p0 + 2), 0)
+      else {
+        tok.bit(probs(p0 + 2), 1)
+        if (v <= 4) {
+          tok.bit(probs(p0 + 3), 0)
+          if (v == 2) tok.bit(probs(p0 + 4), 0)
+          else { tok.bit(probs(p0 + 4), 1); tok.bit(probs(p0 + 5), v - 3) }
+        } else {
+          tok.bit(probs(p0 + 3), 1)
+          if (v <= 10) {
+            tok.bit(probs(p0 + 6), 0)
+            if (v <= 6) { tok.bit(probs(p0 + 7), 0); tok.bit(159, v - 5) }
+            else {
+              tok.bit(probs(p0 + 7), 1)
+              tok.bit(165, (v - 7) >> 1); tok.bit(145, (v - 7) & 1)
+            }
+          } else {
+            tok.bit(probs(p0 + 6), 1)
+            val (cat, tab, baseV) =
+              if (v <= 18) (0, Vp8Tables.Cat3, 11)
+              else if (v <= 34) (1, Vp8Tables.Cat4, 19)
+              else if (v <= 66) (2, Vp8Tables.Cat5, 35)
+              else (3, Vp8Tables.Cat6, 67)
+            tok.bit(probs(p0 + 8), cat >> 1)
+            tok.bit(probs(p0 + 9 + (cat >> 1)), cat & 1)
+            val ext = v - baseV
+            var bi = tab.length - 1
+            var k = 0
+            while (bi >= 0) { tok.bit(tab(k), (ext >> bi) & 1); bi -= 1; k += 1 }
+          }
+        }
+      }
+      tok.bit(128, if (c < 0) 1 else 0) // sign
+      // EOB at position 1 (band 1, context from the magnitude)
+      val eobCtx = if (v == 1) 1 else 2
+      tok.bit(probs(base + 1 * 3 * 11 + eobCtx * 11), 0)
+      true
+    }
+
+    // planted value planes at block granularity
+    val ybx = mbW * 4
+    val yVals = Array.tabulate(mbH * 4, ybx)((by, bx) => tY(bx, by))
+    val cbx = mbW * 2
+    val uVals = Array.tabulate(mbH * 2, cbx)((by, bx) => tU(bx, by))
+    val vVals = Array.tabulate(mbH * 2, cbx)((by, bx) => tV(bx, by))
+
+    def bDcPred(vals: Array[Array[Int]], bx: Int, by: Int): Int = {
+      val top = if (by == 0) 127 else vals(by - 1)(bx)
+      val left = if (bx == 0) 129 else vals(by)(bx - 1)
+      (4 * top + 4 * left + 4) >> 3
+    }
+
+    def chromaDcPred(vals: Array[Array[Int]], mbX: Int, mbY: Int): Int = {
+      // 8x8 DC over actual availability (no synthesized borders)
+      val hasTop = mbY > 0
+      val hasLeft = mbX > 0
+      if (!hasTop && !hasLeft) 128
+      else {
+        var sum = 0
+        var cnt = 0
+        if (hasTop) {
+          sum += 4 * vals(mbY * 2 - 1)(mbX * 2) + 4 * vals(mbY * 2 - 1)(mbX * 2 + 1)
+          cnt += 8
+        }
+        if (hasLeft) {
+          sum += 4 * vals(mbY * 2)(mbX * 2 - 1) + 4 * vals(mbY * 2 + 1)(mbX * 2 - 1)
+          cnt += 8
+        }
+        (sum + cnt / 2) / cnt
+      }
+    }
+
+    val aboveNz = new Array[Int](mbW)
+    var leftNz = 0
+    var mbY = 0
+    while (mbY < mbH) {
+      leftNz = 0
+      var mbX = 0
+      while (mbX < mbW) {
+        var nzA = aboveNz(mbX)
+        var nzL = leftNz
+        var sb = 0
+        while (sb < 16) {
+          val bx = sb & 3
+          val by = sb >> 2
+          val gbx = mbX * 4 + bx
+          val gby = mbY * 4 + by
+          val ctx = ((nzA >> bx) & 1) + ((nzL >> by) & 1)
+          val resid = yVals(gby)(gbx) - bDcPred(yVals, gbx, gby)
+          val f = if (encodeDcBlock(3, ctx, resid)) 1 else 0
+          nzA = (nzA & ~(1 << bx)) | (f << bx)
+          nzL = (nzL & ~(1 << by)) | (f << by)
+          sb += 1
+        }
+        var plane = 0
+        while (plane < 2) {
+          val vals = if (plane == 0) uVals else vVals
+          val pred = chromaDcPred(vals, mbX, mbY)
+          val bitBase = 4 + plane * 2
+          var cb = 0
+          while (cb < 4) {
+            val bx = cb & 1
+            val by = cb >> 1
+            val ctx = ((nzA >> (bitBase + bx)) & 1) + ((nzL >> (bitBase + by)) & 1)
+            val resid = vals(mbY * 2 + by)(mbX * 2 + bx) - pred
+            val f = if (encodeDcBlock(2, ctx, resid)) 1 else 0
+            nzA = (nzA & ~(1 << (bitBase + bx))) | (f << (bitBase + bx))
+            nzL = (nzL & ~(1 << (bitBase + by))) | (f << (bitBase + by))
+            cb += 1
+          }
+          plane += 1
+        }
+        aboveNz(mbX) = nzA
+        leftNz = nzL
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val part2 = tok.stop()
+
+    // ---- assemble frame + RIFF
+    val frame = new java.io.ByteArrayOutputStream()
+    val tag = part1.length << 5 | (1 << 4) // keyframe, show_frame, version 0
+    frame.write(tag & 0xff); frame.write((tag >> 8) & 0xff); frame.write((tag >> 16) & 0xff)
+    frame.write(0x9d); frame.write(0x01); frame.write(0x2a)
+    frame.write(w & 0xff); frame.write((w >> 8) & 0x3f)
+    frame.write(h & 0xff); frame.write((h >> 8) & 0x3f)
+    frame.write(part1, 0, part1.length)
+    frame.write(part2, 0, part2.length)
+    val payload = frame.toByteArray
+    riffWrap(payload)
+  }
+
+  private def riffWrap(vp8: Array[Byte]): Array[Byte] = {
+    val chunkLen = vp8.length
+    val padded = chunkLen + (chunkLen & 1)
+    val total = 4 + 8 + padded
+    val out = new Array[Byte](8 + total)
+    def putLe32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(4, total)
+    out(8) = 'W'; out(9) = 'E'; out(10) = 'B'; out(11) = 'P'
+    out(12) = 'V'; out(13) = 'P'; out(14) = '8'; out(15) = ' '
+    putLe32(16, chunkLen)
+    System.arraycopy(vp8, 0, out, 20, vp8.length)
+    out
+  }
+}

@@ -77,9 +77,17 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
       val tb = PixelFixtures.tiffPixelBytes(id,
         PixelFixtures.width(id), PixelFixtures.height(id))
       val tcut = (tb.length * fr).toInt.min(tb.length)
+      // the VP8 lossy path (boolean-arithmetic-coded stream — zero-fed
+      // on exhaustion, then bounded abort) at the same cut
+      val vb = PixelFixtures.webpLossyBytes(id)
+      val vcut = (vb.length * fr).toInt.min(vb.length)
       PixelCodec.decodePixels(java.util.Arrays.copyOf(bytes, cut))
         .forall(r => sanePixels(r) &&
           r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
+        PixelCodec.decodePixels(java.util.Arrays.copyOf(vb, vcut))
+          .forall(r => sanePixels(r) &&
+            r._2 == PixelFixtures.vp8MbW(id) * 16 &&
+            r._3 == PixelFixtures.vp8MbH(id) * 16) &&
         PixelCodec.decodePixels(java.util.Arrays.copyOf(wb, wcut))
           .forall(r => sanePixels(r) &&
             r._2 == PixelFixtures.width(id) && r._3 == PixelFixtures.height(id)) &&
@@ -119,6 +127,9 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
           PixelFixtures.width(id), PixelFixtures.height(id))
         val tmut = tb.clone()
         tmut(posSeed % tb.length) = newByte.toByte
+        val vb = PixelFixtures.webpLossyBytes(id)
+        val vmut = vb.clone()
+        vmut(posSeed % vb.length) = newByte.toByte
         val hdr = ImageHeaders.decode(mutated)
         // a flipped byte may corrupt dims, palettes, filters, or
         // entropy bits — the theorems: nothing throws, any Some keeps
@@ -127,6 +138,7 @@ class ImageWalkPropertiesSpec extends AnyFunSuite {
         PixelCodec.decodePixels(mutated).forall(sanePixels) &&
           PixelCodec.decodePixels(wmut).forall(sanePixels) &&
           PixelCodec.decodePixels(tmut).forall(sanePixels) &&
+          PixelCodec.decodePixels(vmut).forall(sanePixels) &&
           JpegCodec.decode(jmut).forall { case (w, h, nc, px) =>
             w > 0 && h > 0 && (nc == 1 || nc == 3) &&
               w.toLong * h <= (1L << 26) && px.length == w * h * nc

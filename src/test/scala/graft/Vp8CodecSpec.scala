@@ -1,0 +1,207 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The VP8 (lossy WebP) decoder held to truth two independent ways:
+  *
+  *  1. Cross-validation vectors: 22 WebP files produced by the system
+  *     libwebp ENCODER (default settings — segmentation, loop filter,
+  *     mixed 16x16/4x4 intra modes, multiple quantizers, qualities
+  *     0..100, dimensions 1x1 .. 256x192 including non-multiple-of-16
+  *     crops), each stored beside the Y/U/V planes libwebp's own
+  *     DECODER produced. [[Vp8Codec.decodeYuv]] must reproduce every
+  *     plane byte-for-byte — VP8 decoding is bit-exact by spec, so
+  *     equality (not tolerance) is the contract.
+  *  2. Planted arithmetic: [[Vp8Codec.encodeFlatBlocks]] builds real
+  *     keyframes whose decoded planes are exactly the per-4x4-block
+  *     targets (the registry oracle's currency), across every
+  *     macroblock geometry the fixtures use plus crop edges.
+  *
+  * Robustness: the boolean coder round-trips arbitrary bit/probability
+  * sequences, and truncation or byte mutation of valid frames never
+  * throws (bounded-allocation contract; corrupt blobs are data).
+  */
+class Vp8CodecSpec extends AnyFunSuite {
+
+  private val vectorDir = Paths.get("src/test/resources/vp8")
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ------------------------------------------------------ vectors
+
+  test("22 libwebp-encoded vectors decode to bit-exact Y/U/V planes") {
+    for (i <- 0 to 21) {
+      val webp = Files.readAllBytes(vectorDir.resolve(s"case_$i.webp"))
+      val yuv = Files.readAllBytes(vectorDir.resolve(s"case_$i.yuv"))
+      def le32(o: Int) = (yuv(o) & 0xff) | ((yuv(o + 1) & 0xff) << 8) |
+        ((yuv(o + 2) & 0xff) << 16) | ((yuv(o + 3) & 0xff) << 24)
+      val w = le32(0)
+      val h = le32(4)
+      val cw = (w + 1) / 2
+      val ch = (h + 1) / 2
+      val dec = Vp8Codec.decodeYuv(webp)
+      assert(dec.isDefined, s"case $i must decode")
+      val f = dec.get
+      assert((f.w, f.h) == ((w, h)), s"case $i dims")
+      assert(yuv.length == 8 + w * h + 2 * cw * ch, s"case $i vector size")
+      def cmp(name: String, mine: Array[Byte], off: Int, len: Int): Unit = {
+        var k = 0
+        while (k < len) {
+          assert(mine(k) == yuv(8 + off + k),
+            s"case $i $name byte $k: got ${mine(k) & 0xff} want ${yuv(8 + off + k) & 0xff}")
+          k += 1
+        }
+      }
+      cmp("Y", f.y, 0, w * h)
+      cmp("U", f.u, w * h, cw * ch)
+      cmp("V", f.v, w * h + cw * ch, cw * ch)
+    }
+  }
+
+  test("vectors also decode through the RGB dispatch (PixelCodec path)") {
+    for (i <- 0 to 21) {
+      val webp = Files.readAllBytes(vectorDir.resolve(s"case_$i.webp"))
+      val out = PixelCodec.decodePixels(webp)
+      assert(out.isDefined, s"case $i RGB decode")
+      val (fmt, w, h, rgb) = out.get
+      assert(fmt == "webp" && w > 0 && h > 0 && rgb.length == w * h * 3)
+    }
+  }
+
+  // ------------------------------------------- planted arithmetic
+
+  private def plantedAsserts(id: Long, mbW: Int, mbH: Int,
+      cropW: Int = -1, cropH: Int = -1): Unit = {
+    def tY(bx: Int, by: Int) = PixelFixtures.vp8TargetY(id, bx, by)
+    def tU(bx: Int, by: Int) = PixelFixtures.vp8TargetU(id, bx, by)
+    def tV(bx: Int, by: Int) = PixelFixtures.vp8TargetV(id, bx, by)
+    val bytes = Vp8Codec.encodeFlatBlocks(mbW, mbH, tY, tU, tV, cropW, cropH)
+    val f = Vp8Codec.decodeYuv(bytes).getOrElse(fail(s"id=$id must decode"))
+    val w = if (cropW > 0) cropW else mbW * 16
+    val h = if (cropH > 0) cropH else mbH * 16
+    assert((f.w, f.h) == ((w, h)), s"id=$id dims")
+    for (y <- 0 until h; x <- 0 until w)
+      assert((f.y(y * w + x) & 0xff) == tY(x / 4, y / 4), s"id=$id Y($x,$y)")
+    for (y <- 0 until f.ch; x <- 0 until f.cw) {
+      assert((f.u(y * f.cw + x) & 0xff) == tU(x / 4, y / 4), s"id=$id U($x,$y)")
+      assert((f.v(y * f.cw + x) & 0xff) == tV(x / 4, y / 4), s"id=$id V($x,$y)")
+    }
+  }
+
+  test("planted flat-block frames decode to exact targets across geometries") {
+    for (id <- 0L until 30L)
+      plantedAsserts(id, PixelFixtures.vp8MbW(id), PixelFixtures.vp8MbH(id))
+    plantedAsserts(99L, 4, 3)
+  }
+
+  test("cropped declared dimensions cut the macroblock surface exactly") {
+    plantedAsserts(5L, 2, 2, cropW = 17, cropH = 19)
+    plantedAsserts(6L, 1, 1, cropW = 1, cropH = 1)
+    plantedAsserts(7L, 3, 1, cropW = 33, cropH = 15)
+  }
+
+  test("fixture channel sums equal the oracle's closed form") {
+    for (id <- 0L until 12L) {
+      val f = Vp8Codec.decodeYuv(PixelFixtures.webpLossyBytes(id)).get
+      val mbW = PixelFixtures.vp8MbW(id)
+      val mbH = PixelFixtures.vp8MbH(id)
+      val expY = (for (bx <- 0 until mbW * 4; by <- 0 until mbH * 4)
+        yield 16L * PixelFixtures.vp8TargetY(id, bx, by)).sum
+      assert(f.y.map(_ & 0xff).map(_.toLong).sum == expY, s"id=$id ySum")
+      val expU = (for (bx <- 0 until mbW * 2; by <- 0 until mbH * 2)
+        yield 16L * PixelFixtures.vp8TargetU(id, bx, by)).sum
+      assert(f.u.map(_ & 0xff).map(_.toLong).sum == expU, s"id=$id uSum")
+    }
+  }
+
+  test("the dHash path hashes VP8 fixtures (full decode + RGB + grid)") {
+    for (id <- 0L until 10L) {
+      val bytes = PixelFixtures.webpLossyBytes(id)
+      val dec = PixelCodec.decodePixels(bytes)
+      assert(dec.isDefined, s"id=$id")
+      val (_, w, h, rgb) = dec.get
+      val hash = ImageDhash.dhash64(w, h, rgb)
+      assert(hash.isDefined, s"id=$id hash (w=$w h=$h)")
+    }
+  }
+
+  // ------------------------------------------------ boolean coder
+
+  test("boolean coder round-trips arbitrary bit/probability sequences") {
+    val bitGen = Gen.listOfN(500,
+      Gen.zip(Gen.chooseNum(1, 254), Gen.oneOf(0, 1)))
+    check(Prop.forAll(bitGen) { bits =>
+      val enc = new Vp8Codec.BoolEncoder
+      bits.foreach { case (p, b) => enc.bit(p, b) }
+      val buf = enc.stop()
+      val dec = new Vp8Codec.BoolDecoder(buf, 0, buf.length)
+      bits.forall { case (p, b) => dec.bit(p) == b }
+    })
+  }
+
+  test("encoder literals round-trip through decoder literals") {
+    check(Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0, 255))) { vals =>
+      val enc = new Vp8Codec.BoolEncoder
+      vals.foreach(v => enc.literal(v, 8))
+      val buf = enc.stop()
+      val dec = new Vp8Codec.BoolDecoder(buf, 0, buf.length)
+      vals.forall(v => dec.literal(8) == v)
+    })
+  }
+
+  // -------------------------------------------------------- fuzz
+
+  test("truncation at any byte: no throw, any Some is a complete frame") {
+    check(Prop.forAll(Gen.chooseNum(0L, 100L), Gen.chooseNum(0.0, 1.0)) {
+      (id, fr) =>
+        val bytes = PixelFixtures.webpLossyBytes(id)
+        val cut = (bytes.length * fr).toInt.min(bytes.length)
+        Vp8Codec.decodeYuv(java.util.Arrays.copyOf(bytes, cut)).forall { f =>
+          f.w == PixelFixtures.vp8MbW(id) * 16 &&
+            f.h == PixelFixtures.vp8MbH(id) * 16 &&
+            f.y.length == f.w * f.h && f.u.length == f.cw * f.ch
+        }
+    })
+  }
+
+  test("single-byte mutation of real libwebp frames: no throw, sane buffers") {
+    val vectors = (0 to 21).map(i =>
+      Files.readAllBytes(vectorDir.resolve(s"case_$i.webp")))
+    check(Prop.forAll(Gen.chooseNum(0, 21), Gen.chooseNum(0, Int.MaxValue),
+      Gen.chooseNum(0, 255)) { (vi, posSeed, nb) =>
+      val mutated = vectors(vi).clone()
+      mutated(posSeed % mutated.length) = nb.toByte
+      Vp8Codec.decodeYuv(mutated).forall { f =>
+        f.w > 0 && f.h > 0 && f.w.toLong * f.h <= (1L << 24) &&
+          f.y.length == f.w * f.h &&
+          f.u.length == f.cw * f.ch && f.v.length == f.cw * f.ch
+      }
+    })
+  }
+
+  test("garbage RIFF shells and random bytes decode to None, never throw") {
+    check(Prop.forAll(Gen.listOfN(64, Gen.chooseNum(0, 255))) { tail =>
+      val garbage = ("RIFF".getBytes ++ Array[Byte](64, 0, 0, 0) ++
+        "WEBPVP8 ".getBytes ++ tail.map(_.toByte)).toArray
+      Vp8Codec.decodeYuv(garbage)
+      val raw = tail.map(_.toByte).toArray
+      Vp8Codec.decodeYuv(raw)
+      true
+    })
+  }
+
+  test("declared-dimension bomb guard refuses oversized frames") {
+    // a forged frame tag declaring 16383x16383 must be rejected before
+    // any plane allocation (MaxPixels)
+    val hdr = Array[Byte](0x11, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      0xff.toByte, 0x3f, 0xff.toByte, 0x3f) ++ Array.fill[Byte](32)(0)
+    assert(Vp8Codec.decodeYuv(hdr).isEmpty)
+  }
+}
