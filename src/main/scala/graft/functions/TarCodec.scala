@@ -37,9 +37,11 @@ object TarCodec {
 
   /** All members; decompresses the transport first — gzip (shared
     * bounded [[Gunzip]] helper, prefix-keeping: tar's walk stops
-    * cleanly at a cut member) or bzip2 ([[BzipCodec]], whole-stream
+    * cleanly at a cut member), bzip2 ([[BzipCodec]], whole-stream
     * CRC-verified: a corrupt bz2 has no trustworthy prefix, so it
-    * yields nothing rather than salvage).
+    * yields nothing rather than salvage), or zstd ([[ZstdCodec]],
+    * checksum-verified whole frames — the `.tar.zst` convention of
+    * modern corpus distributions).
     */
   def parseEntries(b: Array[Byte]): Seq[TarEntry] = try {
     val raw =
@@ -47,6 +49,9 @@ object TarCodec {
         Gunzip.allPrefix(b, MaxArchive)
       else if (b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
         BzipCodec.decompress(b, MaxArchive.toInt).getOrElse(return Nil)
+      else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+        (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+        ZstdCodec.decompress(b, MaxArchive.toInt).getOrElse(return Nil)
       else b
     walk(raw)
   } catch {
@@ -209,15 +214,17 @@ object TarFixtures {
     }
     out.write(new Array[Byte](1024), 0, 1024) // two zero blocks
     val plain = out.toByteArray
-    // transport rotates: plain / gzip / bzip2 — content (and so the
-    // oracle) is invariant under the wrapper
-    (id % 3).toInt match {
+    // transport rotates on id % 5 (decorrelated from the id % 4 entry
+    // count): plain / gzip / bzip2 / zstd / plain — content (and so
+    // the oracle) is invariant under the wrapper
+    (id % 5).toInt match {
       case 1 =>
         val o = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(o)
         gz.write(plain); gz.close()
         o.toByteArray
       case 2 => BzipCodec.compress(plain)
+      case 3 => ZstdCodec.compress(plain)
       case _ => plain
     }
   }

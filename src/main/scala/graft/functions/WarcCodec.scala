@@ -57,6 +57,9 @@ object WarcCodec {
       val plain =
         if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
           gunzipAll(b)
+        else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+          (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+          ZstdCodec.decompress(b, MaxInflatedBytes).orNull // .warc.zst
         else b
       if (plain == null) Nil else walk(plain)
     } catch {
@@ -294,10 +297,15 @@ object WarcFixtures {
     out.toByteArray
   }
 
-  /** One planted WARC blob; odd ids use per-record gzip members. */
+  /** One planted WARC blob; odd ids use per-record gzip members, and
+    * id % 8 == 2 ships as a whole-file `.warc.zst` frame (decorrelated
+    * from the id % 4 record count so every count appears under every
+    * transport).
+    */
   def warcBytes(id: Long): Array[Byte] = {
     val recs = (0 until nRecords(id)).map(i => record(id, i))
-    if (id % 2 == 1) recs.map(gzipMember).reduce(_ ++ _)
+    if (id % 8 == 2) ZstdCodec.compress(recs.reduce(_ ++ _))
+    else if (id % 2 == 1) recs.map(gzipMember).reduce(_ ++ _)
     else recs.reduce(_ ++ _)
   }
 }

@@ -119,7 +119,7 @@ class TarCodecSpec extends AnyFunSuite {
   }
 
   test("checksum mismatch is flagged, not fatal") {
-    val full = TarFixtures.tarBytes(3L).clone() // id % 3 = 0: plain
+    val full = TarFixtures.tarBytes(5L).clone() // id % 5 = 0: plain
     full(148) = '7' // corrupt the stored checksum of the dir header
     val es = TarCodec.parseEntries(full)
     assert(es.nonEmpty && !es.head.checksumOk)
@@ -127,7 +127,7 @@ class TarCodecSpec extends AnyFunSuite {
   }
 
   test("truncation drops the cut member, keeps leading ones, never throws") {
-    val full = TarFixtures.tarBytes(7L) // gzip transport, 4 members
+    val full = TarFixtures.tarBytes(11L) // gzip transport, 4 members
     val plainLen = TarCodec.parseEntries(full).length
     assert(plainLen == 5)
     for (cut <- Seq(full.length / 4, full.length / 2, full.length - 3)) {
@@ -135,7 +135,7 @@ class TarCodecSpec extends AnyFunSuite {
       assert(es.length <= plainLen)
       for (e <- es if e.typeflag == '0')
         assert(new String(e.data.get, "UTF-8") ==
-          TarFixtures.content(7L, e.idx - 1))
+          TarFixtures.content(11L, e.idx - 1))
     }
   }
 

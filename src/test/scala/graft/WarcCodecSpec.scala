@@ -80,7 +80,7 @@ class WarcCodecSpec extends AnyFunSuite {
     }
     // a Content-Length pointing past the buffer ends the walk at the
     // previous record
-    val r2 = WarcFixtures.warcBytes(2L) // 3 records, plain
+    val r2 = WarcFixtures.warcBytes(6L) // 3 records, plain
     val idx = new String(r2, "ISO-8859-1").indexOf("Content-Length: ")
     val evil = r2.clone()
     evil(idx + 16) = '9'
