@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** One extracted text unit of a routed document: `part` is the
+  * format's natural ordinal (PDF page, DOCX paragraph, archive member,
+  * WARC response, sheet row, subtitle cue; single-text formats emit
+  * part 0).
+  */
+final case class IngestedText(
+    doc_id: Long,
+    format: String,
+    part: Long,
+    text: String,
+    n_chars: Long,
+)
+
+/** The unified ingest front door (r9 verdict item 4): ONE
+  * magic-sniffing router that takes a mixed-container corpus —
+  * `(doc_id, bytes)` in whatever formats a crawl actually delivers —
+  * to typed text rows in a single `mapPartitions` pass. This is the
+  * operator a real pipeline calls first: upstream nobody tags blobs
+  * with their format; the bytes say what they are.
+  *
+  * Detection is CONTENT-based, never extension-based: binary magics
+  * first (`%PDF-`, zip local headers — refined to DOCX/PPTX/XLSX/EPUB
+  * by package structure — `{\rtf`, `WARC/`, USTAR at offset 257, and
+  * the gzip/bzip2/zstd transport magics, which are unwrapped ONCE and
+  * re-sniffed so `.tar.zst` and per-record-gzip WARC route
+  * correctly), then text heuristics (WebVTT/SRT cue timing, HTML
+  * document markers, RFC 5322 header blocks) with Markdown/plain text
+  * as the fallback — the order a production router needs, most
+  * specific first.
+  *
+  * Extraction reuses the per-document walks of the format codecs
+  * verbatim ([[PdfCodec.extractPages]], [[DocxCodec.extractParagraphs]],
+  * [[TarCodec.parseEntries]], [[WarcCodec.parseRecords]] +
+  * [[WarcCodec.htmlToText]], [[EpubCodec.extractChapters]], ...), so
+  * `ingest_any` composes the same code paths the per-format oracles
+  * already hold to truth — the router adds dispatch, not a second
+  * implementation.
+  *
+  * 100 TB shape: zero shuffles — pure map work over input splits; each
+  * document decodes once inside the partition and emits only its text
+  * rows. Transport unwrapping is budget-bounded by the codecs' own
+  * guards; a blob that sniffs as nothing falls back to plain text
+  * rather than erroring the task.
+  */
+object IngestRouter {
+
+  /** Formats the router can emit (the fallback is "markdown"). */
+  val Formats: Seq[String] = Seq("pdf", "docx", "rtf", "zip", "tar", "warc",
+    "epub", "markdown", "eml", "subtitle", "html", "pptx", "xlsx")
+
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length &&
+      (0 until s.length).forall(i => (b(off + i) & 0xff) == s.charAt(i))
+
+  /** Refine a zip container by its package structure. */
+  private def sniffZip(b: Array[Byte]): String = {
+    val names = ZipCodec.parseEntries(b).map(_.name)
+    if (names.contains("mimetype") &&
+      ZipCodec.entryByName(b, "mimetype").flatMap(_.data)
+        .exists(d => new String(d, "UTF-8").trim == "application/epub+zip"))
+      "epub"
+    else if (names.exists(_.startsWith("word/"))) "docx"
+    else if (names.exists(_.startsWith("ppt/"))) "pptx"
+    else if (names.exists(_.startsWith("xl/"))) "xlsx"
+    else "zip"
+  }
+
+  /** Content-based format detection. Transport magics (gzip / bzip2 /
+    * zstd) unwrap once and re-sniff the inner bytes.
+    */
+  def sniff(b: Array[Byte]): String = {
+    if (ascii(b, 0, "%PDF-")) "pdf"
+    else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)
+      sniffZip(b)
+    else if (ascii(b, 0, "{\\rtf")) "rtf"
+    else if (ascii(b, 0, "WARC/")) "warc"
+    else if (b.length > 262 && ascii(b, 257, "ustar")) "tar"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      innerSniff(Gunzip.all(b, 1 << 26).getOrElse(Array.emptyByteArray))
+    else if (b.length >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
+      innerSniff(BzipCodec.decompress(b, 1 << 26).getOrElse(Array.emptyByteArray))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
+      innerSniff(ZstdCodec.decompress(b, 1 << 26).getOrElse(Array.emptyByteArray))
+    else sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** After a transport unwrap: the inner bytes must be one of the
+    * archive shapes the transports legitimately carry.
+    */
+  private def innerSniff(inner: Array[Byte]): String =
+    if (ascii(inner, 0, "WARC/")) "warc"
+    else if (inner.length > 262 && ascii(inner, 257, "ustar")) "tar"
+    else if (inner.isEmpty) "markdown"
+    else "tar" // headerless pre-USTAR tar: let the walk decide
+
+  private def sniffText(s: String): String = {
+    val t = s.dropWhile(_.isWhitespace)
+    val lower = t.take(256).toLowerCase
+    if (t.startsWith("WEBVTT")) "subtitle"
+    else if (isSrtHead(t)) "subtitle"
+    else if (lower.startsWith("<!doctype html") || lower.startsWith("<html"))
+      "html"
+    else if (isHeaderBlock(t)) "eml"
+    else "markdown"
+  }
+
+  /** SRT: a bare counter line followed by a `-->` timing line. */
+  private def isSrtHead(t: String): Boolean = {
+    val lines = t.linesIterator.take(2).toSeq
+    lines.length == 2 && lines.head.trim.nonEmpty &&
+      lines.head.trim.forall(_.isDigit) && lines(1).contains("-->")
+  }
+
+  /** RFC 5322-ish: the leading lines are `Name: value` headers and the
+    * block names a Subject or From.
+    */
+  private def isHeaderBlock(t: String): Boolean = {
+    val head = t.linesIterator.takeWhile(_.nonEmpty).take(16).toSeq
+    head.nonEmpty && head.count(l =>
+      l.takeWhile(_ != ':').nonEmpty &&
+        l.takeWhile(_ != ':').forall(c => c.isLetterOrDigit || c == '-') &&
+        l.contains(": ")) >= math.min(head.length, 2) &&
+      head.exists(l => l.startsWith("Subject:") || l.startsWith("From:"))
+  }
+
+  /** Route one document to its text units. */
+  def extract(id: Long, b: Array[Byte]): Seq[IngestedText] = {
+    val fmt = sniff(b)
+    def rows(parts: Seq[String]): Seq[IngestedText] =
+      parts.zipWithIndex.map { case (t, i) =>
+        IngestedText(id, fmt, i.toLong, t, t.length.toLong)
+      }
+    val units: Seq[IngestedText] = fmt match {
+      case "pdf" =>
+        PdfCodec.extractPages(b).map { case (p, t) =>
+          IngestedText(id, fmt, p.toLong, t, t.length.toLong)
+        }
+      case "docx" => rows(DocxCodec.extractParagraphs(b))
+      case "rtf" => rows(RtfCodec.extractParagraphs(b))
+      case "zip" =>
+        rows(ZipCodec.parseEntries(b).flatMap(_.data)
+          .map(new String(_, "UTF-8")))
+      case "tar" =>
+        rows(TarCodec.parseEntries(b).filter(_.typeflag == '0')
+          .flatMap(_.data).map(new String(_, "UTF-8")))
+      case "warc" =>
+        WarcCodec.parseRecords(b).zipWithIndex.collect {
+          case (r, i) if r.recordType == "response" && r.httpStatus == 200 &&
+            r.httpContentType.toLowerCase.startsWith("text/html") =>
+            val t = WarcCodec.htmlToText(new String(r.payload, "UTF-8"))
+            IngestedText(id, fmt, i.toLong, t, t.length.toLong)
+        }
+      case "epub" => rows(EpubCodec.extractChapters(b).map(_._2))
+      case "eml" =>
+        EmlCodec.parse(new String(b, "UTF-8")).toSeq.map(m =>
+          IngestedText(id, fmt, 0L, m.body, m.body.length.toLong))
+      case "subtitle" =>
+        rows(SubtitleCodec.parse(new String(b, "UTF-8")).map(_.text))
+      case "html" =>
+        val (t, _, _) = HtmlContent.mainContent(new String(b, "UTF-8"))
+        Seq(IngestedText(id, fmt, 0L, t, t.length.toLong))
+      case "pptx" =>
+        // part = 0-based position in numeric slide order (the slide
+        // NUMBER in the member name is 1-based)
+        PptxCodec.extractSlides(b).zipWithIndex.map { case ((_, paras), s) =>
+          val t = paras.mkString("\n")
+          IngestedText(id, fmt, s.toLong, t, t.length.toLong)
+        }
+      case "xlsx" =>
+        XlsxCodec.extractCells(b).groupBy(c => (c.sheet, c.row)).toSeq
+          .sortBy(_._1).map { case ((s, r), cells) =>
+            val t = cells.sortBy(_.col).map(_.value).mkString("\t")
+            IngestedText(id, fmt, s.toLong * 3 + r, t, t.length.toLong)
+          }
+      case _ => // markdown / plain-text fallback
+        val t = MarkdownCodec.extract(new String(b, "UTF-8")).text
+        Seq(IngestedText(id, "markdown", 0L, t, t.length.toLong))
+    }
+    units
+  }
+
+  /** The dataset form: mixed-format corpus in, typed text rows out —
+    * one partition pass, zero shuffles.
+    */
+  def extractAll(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, b) => extract(id, b) })
+      .toDF()
+  }
+}
+
+/** Mixed-format fixture corpus: doc_id rotates through THIRTEEN
+  * container formats (every text-bearing codec the repo ships), each
+  * generated by that format's own planted fixture builder — so the
+  * router's output is the union of the per-format planted texts, and
+  * one DuckDB oracle replays all thirteen branches.
+  */
+object IngestFixtures {
+  def bytes(id: Long): Array[Byte] = (id % 13).toInt match {
+    case 0 => PdfFixtures.pdfBytes(id)
+    case 1 => DocxFixtures.docxBytes(id)
+    case 2 => RtfFixtures.rtfBytes(id)
+    case 3 => ZipFixtures.zipBytes(id)
+    case 4 => TarFixtures.tarBytes(id)
+    case 5 => WarcFixtures.warcBytes(id)
+    case 6 => EpubFixtures.epubBytes(id)
+    case 7 => MarkdownFixtures.markdown(id)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case 8 => EmlFixtures.eml(id)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case 9 => SubtitleFixtures.subtitle(id)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case 10 => HtmlContentFixtures.page(id)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case 11 => PptxFixtures.pptxBytes(id)
+    case _ => XlsxFixtures.xlsxBytes(id)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -169,6 +169,105 @@ object ExtensionQueries {
     * accumulation, two's-complement wrap at 2^63). Ends in CTE `hs`
     * (doc_id, dhash).
     */
+  /** Shared oracle WITH-body for the mixed ingest corpus: the planted
+    * text units of all THIRTEEN routed formats, ending in CTE
+    * `u (doc_id, format, part, text)`. Used by `ingest_any` and the
+    * `pipeline_ingest_corpus` composition.
+    */
+  private val ingestUnionCte: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 13 AS INT) AS f
+      |    FROM documents),
+      |pl AS (SELECT d.doc_id, pp.p, ll.l
+      |  FROM d, range(0, 3) AS pp(p), range(0, 4) AS ll(l)
+      |  WHERE d.f = 0 AND pp.p < d.doc_id % 3 + 1
+      |    AND ll.l < (d.doc_id + pp.p) % 4 + 1),
+      |pdfb AS (SELECT doc_id, 'pdf' AS format, p AS part,
+      |  string_agg('doc ' || doc_id || ' page ' || p || ' line ' || l ||
+      |    CASE WHEN l % 4 = 2 THEN ' (esc)' ELSE '' END,
+      |    chr(10) ORDER BY l) AS text
+      |  FROM pl GROUP BY doc_id, p),
+      |docxb AS (SELECT d.doc_id, 'docx', pp.p,
+      |    'docx doc ' || d.doc_id || ' para ' || pp.p || ' body & more'
+      |  FROM d, range(0, 3) AS pp(p)
+      |  WHERE d.f = 1 AND pp.p < d.doc_id % 3 + 1),
+      |rtfb AS (SELECT d.doc_id, 'rtf', pp.p,
+      |    'rtf doc ' || d.doc_id || ' para ' || pp.p || ' body & more'
+      |  FROM d, range(0, 3) AS pp(p)
+      |  WHERE d.f = 2 AND pp.p < d.doc_id % 3 + 1),
+      |zipb AS (SELECT d.doc_id, 'zip', ii.i,
+      |    'zip doc ' || d.doc_id || ' entry ' || ii.i || ' payload'
+      |  FROM d, range(0, 4) AS ii(i)
+      |  WHERE d.f = 3 AND ii.i < d.doc_id % 4 + 1),
+      |tarb AS (SELECT d.doc_id, 'tar', ii.i,
+      |    'tar doc ' || d.doc_id || ' entry ' || ii.i || ' payload'
+      |  FROM d, range(0, 4) AS ii(i)
+      |  WHERE d.f = 4 AND ii.i < d.doc_id % 4 + 1),
+      |warcb AS (SELECT d.doc_id, 'warc', ii.i,
+      |    't doc ' || d.doc_id || ' rec ' || ii.i || ' body & more'
+      |  FROM d, range(0, 4) AS ii(i)
+      |  WHERE d.f = 5 AND ii.i < d.doc_id % 4 + 1 AND ii.i % 3 = 0),
+      |epubb AS (SELECT d.doc_id, 'epub', cc.c,
+      |    'epub doc ' || d.doc_id || ' chapter ' || cc.c || ' body & more'
+      |  FROM d, range(0, 3) AS cc(c)
+      |  WHERE d.f = 6 AND cc.c < d.doc_id % 3 + 1),
+      |mdb AS (SELECT doc_id, 'markdown', 0,
+      |  'Heading doc ' || doc_id || chr(10) ||
+      |  'Setext title ' || doc_id || chr(10) ||
+      |  'para doc ' || doc_id ||
+      |    ' with bold and code span plus link ' || doc_id ||
+      |    ' and logo ' || doc_id || ' tail_name' || chr(10) ||
+      |  'item one doc ' || doc_id || chr(10) ||
+      |  'item two doc ' || doc_id || chr(10) ||
+      |  'quote doc ' || doc_id || ' & more'
+      |  FROM d WHERE f = 7),
+      |emlb AS (SELECT doc_id, 'eml', 0,
+      |  CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN 'plain body doc ' || doc_id || ' line one' ||
+      |      chr(10) || 'line two'
+      |    WHEN 1 THEN 'qp body doc ' || doc_id || ' caf' ||
+      |      chr(233) || ' softwrapped'
+      |    ELSE 'b64 body doc ' || doc_id || chr(10) || 'second line'
+      |  END
+      |  FROM d WHERE f = 8),
+      |subb AS (SELECT d.doc_id, 'subtitle', kk.k,
+      |  'subtitle doc ' || d.doc_id || ' cue ' || kk.k ||
+      |    CASE WHEN kk.k % 2 = 1 THEN chr(10) || 'second line ' || kk.k
+      |      ELSE '' END
+      |  FROM d, range(0, 3) AS kk(k)
+      |  WHERE d.f = 9 AND kk.k < d.doc_id % 3 + 1),
+      |htmlp AS (SELECT d.doc_id, pp.p FROM d, range(0, 3) AS pp(p)
+      |  WHERE d.f = 10 AND pp.p < d.doc_id % 3 + 1),
+      |htmlb AS (SELECT doc_id, 'html' AS format, 0 AS part,
+      |  string_agg('main content doc ' || doc_id || ' para ' || p ||
+      |    ' carries enough plain words to stay', chr(10) ORDER BY p)
+      |    AS text
+      |  FROM htmlp GROUP BY doc_id),
+      |pptxp AS (SELECT d.doc_id, ss.s, pp.p
+      |  FROM d, range(0, 3) AS ss(s), range(0, 2) AS pp(p)
+      |  WHERE d.f = 11 AND ss.s < d.doc_id % 3 + 1
+      |    AND pp.p < (d.doc_id + ss.s) % 2 + 1),
+      |pptxb AS (SELECT doc_id, 'pptx' AS format, s AS part,
+      |  string_agg('pptx doc ' || doc_id || ' slide ' || s ||
+      |    ' para ' || p || ' body & more', chr(10) ORDER BY p) AS text
+      |  FROM pptxp GROUP BY doc_id, s),
+      |xlsxb AS (SELECT d.doc_id, 'xlsx', ss.s * 3 + rr.r,
+      |  'xlsx doc ' || d.doc_id || ' sheet ' || ss.s || ' row ' ||
+      |    rr.r || ' name & co' || chr(9) ||
+      |    CAST(d.doc_id * 100 + ss.s * 10 + rr.r AS VARCHAR) ||
+      |    CASE WHEN rr.r % 2 = 1 THEN chr(9) || 'inline note ' || rr.r
+      |      ELSE '' END
+      |  FROM d, range(0, 2) AS ss(s), range(0, 3) AS rr(r)
+      |  WHERE d.f = 12 AND ss.s < d.doc_id % 2 + 1
+      |    AND rr.r < d.doc_id % 3 + 1),
+      |u AS (
+      |  SELECT * FROM pdfb UNION ALL SELECT * FROM docxb
+      |  UNION ALL SELECT * FROM rtfb UNION ALL SELECT * FROM zipb
+      |  UNION ALL SELECT * FROM tarb UNION ALL SELECT * FROM warcb
+      |  UNION ALL SELECT * FROM epubb UNION ALL SELECT * FROM mdb
+      |  UNION ALL SELECT * FROM emlb UNION ALL SELECT * FROM subb
+      |  UNION ALL SELECT * FROM htmlb UNION ALL SELECT * FROM pptxb
+      |  UNION ALL SELECT * FROM xlsxb)""".stripMargin
+
   private val dhashOracleCte: String = {
     def chan(c: Int) =
       s"((base + 1)*(x + 3)*(y + 5)*${c + 7}" +
@@ -2571,6 +2670,85 @@ object ExtensionQueries {
              |  FROM r)
              |SELECT doc_id, CAST(i AS BIGINT) AS rec_idx, uri, text,
              |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin),
+    ),
+
+    // The unified ingest front door (r9 verdict item 4): ONE
+    // magic-sniffing router over a MIXED corpus — doc_id rotates
+    // through all thirteen text-bearing container formats, the router
+    // detects each purely from bytes (binary magics, zip package
+    // refinement, transport unwrap + re-sniff, text heuristics) and
+    // dispatches to that codec's own walk, one mapPartitions pass.
+    // The oracle replays every branch's planted text arithmetic,
+    // UNION'd — string-exact across all thirteen formats.
+    QueryDef(
+      "ingest_any",
+      (s, dir) => {
+        import s.implicits._
+        IngestRouter.extractAll(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, IngestFixtures.bytes(id))))
+      },
+      Some(s"""$ingestUnionCte
+             |SELECT doc_id, format, CAST(part AS BIGINT) AS part, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars
+             |FROM u""".stripMargin),
+    ),
+
+    // The front door COMPOSED (r9 verdict item 4, second half): mixed
+    // corpus -> magic-routed ingest -> charset detection on the unit
+    // bytes (CharsetDetect.detect; every planted unit validates as
+    // UTF-8, so the column is structurally exercised and the oracle
+    // pins the constant) -> quality gate (whitespace token floor 6 —
+    // short subtitle cues genuinely drop) -> digit-canonical exact
+    // dedup (regexp classes SHARED across documents, so the dedup leg
+    // really collapses) -> per-format corpus stats. One shuffle for
+    // the final aggregate; everything upstream is partition-local.
+    QueryDef(
+      "pipeline_ingest_corpus",
+      (s, dir) => {
+        import s.implicits._
+        val units = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .map(id => (id, IngestFixtures.bytes(id)))
+          .mapPartitions { it =>
+            it.flatMap { case (id, b) =>
+              IngestRouter.extract(id, b).map { u =>
+                val cs = CharsetDetect.detect(u.text.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))._1
+                (u.doc_id, u.format, u.part, u.text, cs)
+              }
+            }
+          }.toDF("doc_id", "format", "part", "text", "charset")
+        val q = units.withColumn("ntok",
+          size(split(col("text"), "[ \n\t]+")).cast("bigint"))
+        val kept = q.filter(col("ntok") >= 6)
+          .withColumn("canon", regexp_replace(col("text"), "[0-9]+", "#"))
+        val nu = q.groupBy("format", "charset").agg(count(lit(1)).as("n_units"))
+        val ka = kept.groupBy("format", "charset")
+          .agg(count(lit(1)).as("n_kept"),
+            countDistinct(col("canon")).as("n_classes"),
+            sum(col("ntok")).as("total_tokens"))
+        nu.join(ka, Seq("format", "charset"), "left")
+          .select(col("format"), col("charset"), col("n_units"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("n_classes"), lit(0L)).as("n_classes"),
+            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+      },
+      Some(s"""$ingestUnionCte,
+             |q AS (SELECT doc_id, format, part, text,
+             |    len(string_split_regex(text, '[ \n\t]+')) AS ntok FROM u),
+             |k AS (SELECT format,
+             |    regexp_replace(text, '[0-9]+', '#', 'g') AS canon, ntok
+             |  FROM q WHERE ntok >= 6),
+             |nu AS (SELECT format, count(*) AS n_units FROM q GROUP BY 1),
+             |ka AS (SELECT format, count(*) AS n_kept,
+             |    count(DISTINCT canon) AS n_classes, SUM(ntok) AS total_tokens
+             |  FROM k GROUP BY 1)
+             |SELECT nu.format, 'utf-8' AS charset,
+             |  CAST(n_units AS BIGINT) AS n_units,
+             |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(coalesce(n_classes, 0) AS BIGINT) AS n_classes,
+             |  CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens
+             |FROM nu LEFT JOIN ka ON nu.format = ka.format""".stripMargin),
     ),
 
     // The ingest chain COMPOSED: WARC -> HTTP -> HTML -> text ->

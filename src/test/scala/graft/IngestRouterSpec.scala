@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The magic-sniffing ingest router: every fixture family must route
+  * to its own codec purely from bytes (including zip-package
+  * refinement and transport unwrap + re-sniff), the extracted units
+  * must equal the per-format walks' output, and junk must fall back
+  * to plain text rather than throw.
+  */
+class IngestRouterSpec extends AnyFunSuite {
+
+  test("every fixture family routes to its format from bytes alone") {
+    for (id <- 0L until 52L) {
+      val expected = (id % 13).toInt match {
+        case 0 => "pdf"
+        case 1 => "docx"
+        case 2 => "rtf"
+        case 3 => "zip"
+        case 4 => "tar"
+        case 5 => "warc"
+        case 6 => "epub"
+        case 7 => "markdown"
+        case 8 => "eml"
+        case 9 => "subtitle"
+        case 10 => "html"
+        case 11 => "pptx"
+        case _ => "xlsx"
+      }
+      assert(IngestRouter.sniff(IngestFixtures.bytes(id)) == expected,
+        s"id=$id")
+    }
+  }
+
+  test("transport-wrapped archives unwrap and re-sniff correctly") {
+    // tar ids rotate gzip/bzip2/zstd transports on id % 5; warc id%8==2
+    // is whole-file zstd, odd warc ids are per-record gzip members
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(11L)) == "tar") // gzip
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(12L)) == "tar") // bzip2
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(13L)) == "tar") // zstd
+    assert(IngestRouter.sniff(WarcFixtures.warcBytes(10L)) == "warc") // zstd
+    assert(IngestRouter.sniff(WarcFixtures.warcBytes(7L)) == "warc") // gzip members
+  }
+
+  test("routed extraction equals the per-format walk") {
+    // docx example: the router's units are exactly extractParagraphs
+    val id = 14L // 14 % 13 = 1 -> docx
+    val b = IngestFixtures.bytes(id)
+    val units = IngestRouter.extract(id, b)
+    assert(units.map(_.text) == DocxCodec.extractParagraphs(b))
+    assert(units.forall(_.format == "docx"))
+    // tar example: file members only
+    val tid = 17L // 17 % 13 = 4 -> tar
+    val tb = IngestFixtures.bytes(tid)
+    val tunits = IngestRouter.extract(tid, tb)
+    assert(tunits.map(_.text) ==
+      TarCodec.parseEntries(tb).filter(_.typeflag == '0')
+        .flatMap(_.data).map(new String(_, "UTF-8")))
+  }
+
+  test("junk falls back to markdown/plain text; nothing throws") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      IngestRouter.extract(rnd.nextLong().abs, junk) // must not throw
+    }
+    assert(IngestRouter.sniff("just some plain prose".getBytes) == "markdown")
+    assert(IngestRouter.sniff(Array.emptyByteArray) == "markdown")
+  }
+
+  test("truncated fixtures never throw and keep their formats' bounds") {
+    for (id <- 0L until 26L; frac <- Seq(0.2, 0.6, 0.95)) {
+      val b = IngestFixtures.bytes(id)
+      val cut = java.util.Arrays.copyOf(b, (b.length * frac).toInt)
+      IngestRouter.extract(id, cut).foreach { u =>
+        assert(u.n_chars == u.text.length.toLong)
+      }
+    }
+  }
+
+  test("eml and subtitle heuristics hold against lookalikes") {
+    assert(IngestRouter.sniff(
+      "From: a@b.c\r\nSubject: hi\r\n\r\nbody".getBytes) == "eml")
+    assert(IngestRouter.sniff("WEBVTT\n\n00:00.000 --> 00:01.000\nhi"
+      .getBytes) == "subtitle")
+    assert(IngestRouter.sniff("1\n00:00:00,000 --> 00:00:01,000\nhi"
+      .getBytes) == "subtitle")
+    // a markdown doc mentioning From: mid-text must NOT route as eml
+    assert(IngestRouter.sniff(
+      "# Title\n\nFrom: here to there we walk\n".getBytes) == "markdown")
+    assert(IngestRouter.sniff("<!DOCTYPE html><html><body>x</body></html>"
+      .getBytes) == "html")
+  }
+}
