@@ -867,9 +867,40 @@ object Dedup {
     // would need the distinct exactly to avoid corrupting the
     // run-merge with duplicate positions; the semi join needs neither
     // and measured 6× faster at sf1)
-    val index = gramPositions(corpus, k, textCol).select(col("__h"))
+    spansAgainstHashes(gramPositions(corpus, k, textCol).select(col("__h")),
+      batch, k, textCol)
+  }
+
+  /** The persistable form of the corpus side: distinct per-document
+    * gram hashes — `(doc_id, gram_hash)`. Keeping the doc attribution
+    * (rather than a bare hash set) is what makes the index
+    * RETRACTABLE: a tombstoned document's grams stop matching while a
+    * gram shared with a live document keeps matching. One shuffle
+    * (the distinct); size is O(total characters) like the transient
+    * index the recompute builds.
+    */
+  def gramIndex(docs: DataFrame, k: Int = 40,
+      textCol: String = "text"): DataFrame =
+    gramPositions(docs, k, textCol)
+      .select(col("doc_id"), col("__h").as("gram_hash")).distinct()
+
+  /** [[substringSpansAgainst]] with the corpus side REPLACED by a
+    * persisted [[gramIndex]] frame (column `gram_hash`) — the
+    * O(batch) incremental form with no corpus rescan at all
+    * ([[graft.pipeline.CurationPipeline.substringSpansFromState]]
+    * supplies the tombstone-masked state table).
+    */
+  def substringSpansAgainstIndex(index: DataFrame, batch: DataFrame,
+      k: Int = 40, textCol: String = "text"): DataFrame = {
+    require(k >= 2, "span length must be >= 2")
+    spansAgainstHashes(index.select(col("gram_hash").as("__h")),
+      batch, k, textCol)
+  }
+
+  private def spansAgainstHashes(hashes: DataFrame, batch: DataFrame,
+      k: Int, textCol: String): DataFrame = {
     val marked = gramPositions(batch, k, textCol)
-      .join(index, Seq("__h"), "left_semi")
+      .join(hashes, Seq("__h"), "left_semi")
       .select(col("doc_id"), col("pos"))
     mergeRuns(marked, k)
   }

@@ -50,6 +50,9 @@ object CurationPipeline {
     def digestsPath: String = s"$dir/digests"
     def indexPath: String = s"$dir/index"
     def tombstonesPath: String = s"$dir/tombstones"
+
+    /** Optional substring-dedup gram index ([[enableGramIndex]]). */
+    def gramsPath: String = s"$dir/grams"
   }
 
   /** Create empty state tables so the first batch runs the same code
@@ -361,6 +364,60 @@ object CurationPipeline {
     (accepted, out)
   }
 
+  // ------------------------------------------------- gram-index state
+
+  /** Opt-in substring-dedup state (r9 verdict item 5): create the
+    * persisted k-gram index table so
+    * [[substringSpansFromState]] answers the incremental span query
+    * with NO corpus rescan. Opt-in because the index is
+    * O(total characters) rows — a pipeline enables it when
+    * cross-document substring dedup is part of its policy; once
+    * enabled it rides the same commit protocol, tombstone mask,
+    * purge, and compaction as digests/index.
+    */
+  def enableGramIndex(spark: SparkSession, state: State): Unit = {
+    import spark.implicits._
+    val fs = new Path(state.dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(state.gramsPath)))
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "gram_hash", "epoch")
+        .write.mode(SaveMode.Overwrite).parquet(state.gramsPath)
+  }
+
+  private def hasGramIndex(spark: SparkSession, state: State): Boolean =
+    new Path(state.dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(state.gramsPath))
+
+  /** Append the accepted documents' gram index under the commit
+    * protocol (its own transaction — callers run it after
+    * [[runBatch]] on the accepted frame, or on any corpus slice when
+    * backfilling). Returns the publish epoch.
+    */
+  def appendGramIndex(spark: SparkSession, state: State, docs: DataFrame,
+      k: Int = 40): Long = {
+    StateCommit.requireVersioned(spark, state.dir)
+    enableGramIndex(spark, state)
+    StateCommit.commit(spark, state.dir) { (txn, epoch) =>
+      Dedup.gramIndex(docs, k).withColumn("epoch", lit(epoch))
+        .write.parquet(StateCommit.stagePath(state.dir, txn, "grams"))
+      Some(Seq(StateCommit.Op("publish", "grams")))
+    }
+  }
+
+  /** Spans in `batch` duplicating the LIVE persisted corpus index —
+    * [[graft.functions.Dedup.substringSpansAgainst]] semantics with
+    * the corpus side read from state (epoch-masked against the shared
+    * tombstone table) instead of recomputed: the O(batch) claim with
+    * no corpus rescan. `(doc_id, span_start, span_len)`.
+    */
+  def substringSpansFromState(spark: SparkSession, state: State,
+      batch: DataFrame, k: Int = 40): DataFrame = {
+    val tomb = tombstoneRelation(spark, state.tombstonesPath, "doc_id")
+    val live = maskTombstoned(readState(spark, state.gramsPath), tomb, "doc_id")
+      .select("doc_id", "gram_hash")
+    Dedup.substringSpansAgainstIndex(live, batch, k)
+  }
+
   /** Logically delete documents from the accumulated state: append
     * `(doc_id, epoch)` tombstones. Every state read applies the epoch
     * mask, so the retracted documents stop suppressing their exact- and
@@ -423,7 +480,8 @@ object CurationPipeline {
   def purgeTombstoned(spark: SparkSession, state: State): Unit = {
     StateCommit.requireVersioned(spark, state.dir)
     purgeTables(spark, state.dir, "tombstones", "doc_id",
-      Seq("digests", "index"))
+      Seq("digests", "index") ++
+        (if (hasGramIndex(spark, state)) Seq("grams") else Nil))
   }
 
   private def purgeTables(spark: SparkSession, dir: String,
@@ -742,7 +800,8 @@ object CurationPipeline {
     StateCommit.requireVersioned(spark, state.dir)
     StateCommit.recover(spark, state.dir)
     purgeTombstoned(spark, state)
-    for (t <- Seq("digests", "index"))
+    for (t <- Seq("digests", "index") ++
+        (if (hasGramIndex(spark, state)) Seq("grams") else Nil))
       if (dataFilesOrZero(spark, s"${state.dir}/$t") > compactOver)
         compactState(spark, state.dir, t)
     StateCommit.vacuumStaged(spark, state.dir, stagedTtlMs)

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+import graft.pipeline.CurationPipeline
+
+/** The persisted substring-dedup gram index (r9 verdict item 5): spans
+  * answered from STATE must equal the recomputed
+  * [[Dedup.substringSpansAgainst]] form at every point of the state's
+  * life — after appends, after retraction (tombstone masking), and
+  * after physical purge + compaction — while never rescanning the
+  * corpus frames.
+  */
+class GramStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 12
+
+  /** Corpus with real cross-document shared blocks: doc i shares a
+    * long planted block with doc i+3, plus unique filler.
+    */
+  private def doc(id: Long): (Long, String) = {
+    val shared = s"shared-block-${id % 3}-" + ("x" * 30)
+    val unique = s"unique text of document $id " + (s"u$id" * 10)
+    (id, unique + shared + s" tail $id")
+  }
+
+  private def frame(ids: Seq[Long]) =
+    ids.map(doc).toDF("doc_id", "text")
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_id", "span_start", "span_len")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("state-backed spans equal the recomputed incremental form") {
+    val dir = Files.createTempDirectory("gram-state").toString
+    val st = CurationPipeline.init(spark, dir)
+    CurationPipeline.enableGramIndex(spark, st)
+
+    val b1 = frame(0L until 6L)
+    val b2 = frame(6L until 12L)
+    CurationPipeline.appendGramIndex(spark, st, b1, K)
+    CurationPipeline.appendGramIndex(spark, st, b2, K)
+
+    val batch = frame(12L until 18L)
+    val fromState = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+    val recomputed = spansOf(
+      Dedup.substringSpansAgainst(b1.unionByName(b2), batch, K))
+    assert(fromState == recomputed)
+    assert(fromState.nonEmpty, "fixture must actually share blocks")
+  }
+
+  test("retraction masks a document's grams; shared grams survive via live docs") {
+    val dir = Files.createTempDirectory("gram-state").toString
+    val st = CurationPipeline.init(spark, dir)
+    CurationPipeline.enableGramIndex(spark, st)
+
+    // corpus: docs 0..5; doc 0 and doc 3 share block 0, doc 1/4 block 1...
+    val corpus = frame(0L until 6L)
+    CurationPipeline.appendGramIndex(spark, st, corpus, K)
+
+    val batch = frame(Seq(21L)) // 21 % 3 = 0 -> shares block 0
+    val before = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+    assert(before.nonEmpty)
+
+    // retract doc 0: block 0 still lives in doc 3 -> spans unchanged
+    CurationPipeline.retract(spark, st, Seq(0L).toDF("doc_id"))
+    val afterOne = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+    assert(afterOne == before, "a block shared with a live doc must survive")
+
+    // retract doc 3 too: block 0 has no live holder -> spans shrink to
+    // exactly the recompute against the masked corpus
+    CurationPipeline.retract(spark, st, Seq(3L).toDF("doc_id"))
+    val afterBoth = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+    val recomputed = spansOf(Dedup.substringSpansAgainst(
+      frame(Seq(1L, 2L, 4L, 5L)), batch, K))
+    assert(afterBoth == recomputed)
+    assert(afterBoth != before, "retraction of the last holder must show")
+  }
+
+  test("purge + compaction preserve state-backed span semantics") {
+    val dir = Files.createTempDirectory("gram-state").toString
+    val st = CurationPipeline.init(spark, dir)
+    CurationPipeline.enableGramIndex(spark, st)
+    for (b <- 0 until 4)
+      CurationPipeline.appendGramIndex(spark, st,
+        frame((b * 3).toLong until (b * 3 + 3).toLong), K)
+    CurationPipeline.retract(spark, st, Seq(2L, 5L).toDF("doc_id"))
+    val batch = frame(Seq(30L, 31L))
+    val masked = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+
+    CurationPipeline.maintain(spark, st, compactOver = 1)
+    val afterMaintain = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+    assert(afterMaintain == masked)
+
+    // and the physical purge really dropped the tombstoned rows
+    val live = spark.read.parquet(st.gramsPath)
+      .filter(col("doc_id").isin(2L, 5L))
+    assert(live.isEmpty, "purge must remove tombstoned gram rows")
+
+    val recomputed = spansOf(Dedup.substringSpansAgainst(
+      frame((0L until 12L).filterNot(Set(2L, 5L))), batch, K))
+    assert(afterMaintain == recomputed)
+  }
+
+  test("appendGramIndex is re-enable-safe and epoch-correct on re-ingest") {
+    val dir = Files.createTempDirectory("gram-state").toString
+    val st = CurationPipeline.init(spark, dir)
+    CurationPipeline.enableGramIndex(spark, st)
+    CurationPipeline.enableGramIndex(spark, st) // idempotent
+
+    CurationPipeline.appendGramIndex(spark, st, frame(Seq(0L)), K)
+    CurationPipeline.retract(spark, st, Seq(0L).toDF("doc_id"))
+    // re-ingest the same doc AFTER the tombstone: later epoch wins
+    CurationPipeline.appendGramIndex(spark, st, frame(Seq(0L)), K)
+    val batch = frame(Seq(3L)) // 3 % 3 = 0 -> shares doc 0's block
+    val spans = spansOf(
+      CurationPipeline.substringSpansFromState(spark, st, batch, K))
+    assert(spans.nonEmpty, "re-ingested grams must be live again")
+  }
+}
