@@ -216,6 +216,14 @@ object TextAnalytics {
     * practice and only perturbs merges whose pair counts depend on
     * the dropped tail.
     */
+  /** SEMANTICS NOTE (r9): this default changed from unbounded
+    * (Int.MaxValue — exact over any corpus) to 1M as the driver-safety
+    * fix for the unbounded vocabulary collect. Callers training on
+    * corpora with more than 1M distinct words now get capped-vocabulary
+    * merge semantics unless they pass a larger cap explicitly; the
+    * registry oracles pin the cap at call sites so a future default
+    * change cannot drift them silently (ADVICE r9).
+    */
   val DefaultBpeMaxVocab: Int = 1 << 20
 
   def trainBpeMerges(docs: DataFrame, k: Int = 6, textCol: String = "text",

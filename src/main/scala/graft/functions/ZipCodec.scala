@@ -118,9 +118,14 @@ object ZipCodec {
   }
 
   /** Truncated-archive fallback: walk PK\x03\x04 local headers front to
-    * back, trusting local sizes (data-descriptor members — local size 0
-    * with bit 3 set — are skipped: without the central directory their
-    * extent is not delimited).
+    * back, trusting local sizes. A data-descriptor member (bit 3 set —
+    * its sizes live AFTER the data, so its extent is undelimited
+    * without the central directory) is skipped by RESYNCING on the
+    * next local-header signature, salvaging every later member whose
+    * header is intact (ADVICE r9: the walk previously stopped at the
+    * first such member). A signature byte pattern inside the
+    * undelimited payload can false-resync; the header sanity checks
+    * then end the walk with what was salvaged so far.
     */
   private def viaLocalScan(b: Array[Byte],
       want: String => Boolean): Seq[ZipEntry] = {
@@ -137,17 +142,31 @@ object ZipCodec {
       val usize = u32(b, pos + 22)
       val nameLen = u16(b, pos + 26)
       val extraLen = u16(b, pos + 28)
-      if ((flags & 0x08) != 0) return out.toSeq // data descriptor: undelimited
-      if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
-      val name = new String(b, pos + 30, nameLen,
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (want(name)) {
-        val e = extract(b, idx, name, method, pos, csize, usize, crc, budget)
-        budget -= e.data.map(_.length.toLong).getOrElse(0L)
-        out += e
+      if ((flags & 0x08) != 0) {
+        // data descriptor: this member is undelimited — resync on the
+        // next local-header signature and continue the walk there
+        var scan = pos + 30 + nameLen + extraLen
+        var next = -1
+        while (next < 0 && scan + 4 <= b.length) {
+          if (b(scan) == 'P' && b(scan + 1) == 'K' && b(scan + 2) == 3 &&
+            b(scan + 3) == 4) next = scan
+          else scan += 1
+        }
+        if (next < 0) return out.toSeq
+        pos = next
+        idx += 1
+      } else {
+        if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
+        val name = new String(b, pos + 30, nameLen,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (want(name)) {
+          val e = extract(b, idx, name, method, pos, csize, usize, crc, budget)
+          budget -= e.data.map(_.length.toLong).getOrElse(0L)
+          out += e
+        }
+        pos += 30 + nameLen + extraLen + csize.toInt
+        idx += 1
       }
-      pos += 30 + nameLen + extraLen + csize.toInt
-      idx += 1
     }
     out.toSeq
   }

@@ -100,8 +100,20 @@ object StateCommit {
   private val vacuumLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** NOTE: like `tryClaim`, the cross-process half of this lock is a
+    * java.nio file lock and therefore provides real exclusion on LOCAL
+    * filesystems only — on a remote Hadoop FS the JVM-wide monitor
+    * still serializes in-process sweeps, and cross-process safety
+    * falls back to the staged-TTL discipline (vacuum only sweeps
+    * staging older than the TTL, which a live commit never holds).
+    */
   private def withVacuumLock[T](dir: String)(f: => T): T = {
-    val mon = vacuumLocks.computeIfAbsent(dir, _ => new Object)
+    // normalize the monitor key: two aliases of the same state dir
+    // (trailing slash, relative vs absolute) must map to ONE monitor,
+    // or both threads reach FileChannel.lock() and one dies with
+    // OverlappingFileLockException instead of waiting (ADVICE r9)
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    val mon = vacuumLocks.computeIfAbsent(key, _ => new Object)
     mon.synchronized {
       val lockPath = Paths.get(dir, "_staged", ".vacuum-lock")
       Files.createDirectories(lockPath.getParent)
@@ -109,7 +121,20 @@ object StateCommit {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val l = ch.lock()
+        // belt over the braces: if an unnormalizable alias still slips
+        // past the monitor (symlinks), wait out the overlapping holder
+        // instead of dying
+        var l: java.nio.channels.FileLock = null
+        var waited = 0
+        while (l == null) {
+          try l = ch.lock()
+          catch {
+            case _: java.nio.channels.OverlappingFileLockException =>
+              waited += 1
+              require(waited < 1200, s"vacuum lock on $dir held too long")
+              Thread.sleep(50)
+          }
+        }
         try f finally l.release()
       } finally ch.close()
     }
@@ -321,8 +346,16 @@ object StateCommit {
     def leaseOwner(): String =
       try new String(Files.readAllBytes(lease), StandardCharsets.UTF_8)
       catch { case _: java.io.IOException => "" }
+    val strictLoss = cd.resolve(versionName(v) + ".strict-loss")
     while (true) {
       if (Files.exists(done)) return
+      // a recorded strict loss is permanent until an operator
+      // intervenes: re-raise the ORIGINAL failure rather than
+      // strict-failing on some earlier op's legitimately consumed
+      // staging (which would name the wrong op/table — ADVICE r9)
+      if (Files.exists(strictLoss))
+        throw new StrictApplyLoss(new String(
+          Files.readAllBytes(strictLoss), StandardCharsets.UTF_8))
       val claimed =
         try {
           Files.createFile(lease)
@@ -371,6 +404,14 @@ object StateCommit {
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
         } catch {
           case e: StrictApplyLoss =>
+            // persist the loss BEFORE releasing the lease: a strict
+            // failure on a later op can follow earlier ops that
+            // already published, and without the marker every
+            // subsequent first-apply would strict-fail on THOSE ops'
+            // consumed staging, masking which data was actually lost
+            try Files.write(strictLoss,
+              e.getMessage.getBytes(StandardCharsets.UTF_8))
+            catch { case _: java.io.IOException => () }
             throw e // loud and repeatable: release the lease below
           case e: Throwable =>
             // ANY other mid-apply failure may have consumed part of the

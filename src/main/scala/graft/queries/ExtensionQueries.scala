@@ -1762,7 +1762,10 @@ object ExtensionQueries {
     // consecutive candidate runs.
     QueryDef(
       "text_bpe_merges",
-      (s, dir) => TextAnalytics.trainBpeMerges(Tables.documents(s, dir), k = 6),
+      // maxVocab pinned explicitly: the oracle must not drift if the
+      // trainer default evolves (ADVICE r9)
+      (s, dir) => TextAnalytics.trainBpeMerges(Tables.documents(s, dir),
+        k = 6, maxVocab = 1 << 20),
       Some(TextAnalytics.bpeMergesOracleSql(6)),
     ),
 
@@ -1833,9 +1836,9 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val m256 = TextAnalytics.trainBpeMerges(docs, k = 256)
+        val m256 = TextAnalytics.trainBpeMerges(docs, k = 256, maxVocab = 1 << 20)
           .as[(Int, String, String, Long)].collect().sortBy(_._1)
-        val m6 = TextAnalytics.trainBpeMerges(docs, k = 6)
+        val m6 = TextAnalytics.trainBpeMerges(docs, k = 6, maxVocab = 1 << 20)
           .as[(Int, String, String, Long)].collect().sortBy(_._1)
         val known = scala.collection.mutable.HashSet.empty[String]
         var constructible = true

@@ -522,6 +522,35 @@ class StateCommitSpec extends SparkSpec {
       .toSeq == Seq(1L), "the stale table is still there — just not lied about")
   }
 
+  test("strict loss on a LATER op persists a marker; replays re-raise the original, not the earlier op") {
+    // two-op commit: op1's staging intact, op2's swept. The first apply
+    // publishes op1 (consuming its staging), strict-fails on op2, and
+    // must record the loss — otherwise every later first-apply would
+    // strict-fail on op1's now-consumed staging, naming the WRONG
+    // table (ADVICE r9).
+    val dir = Files.createTempDirectory("statecommit-strictmark").toString
+    StateCommit.initDir(spark, dir)
+    Seq((1L, 1L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "half-lost", "t1"))
+    Seq((2L, 2L)).toDF("a", "b")
+      .write.parquet(StateCommit.stagePath(dir, "half-lost", "t2"))
+    assert(StateCommit.tryClaim(dir, 1L, StateCommit.Record("half-lost",
+      Seq(StateCommit.Op("publish", "t1"), StateCommit.Op("publish", "t2")))))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      StateCommit.stagePath(dir, "half-lost", "t2")), true)
+    val e1 = intercept[RuntimeException](StateCommit.recover(spark, dir))
+    assert(e1.getMessage.contains("t2"), s"got: ${e1.getMessage}")
+    // op1 really landed before the failure
+    assert(spark.read.parquet(s"$dir/t1").count() == 1)
+    // the replay re-raises the ORIGINAL t2 loss — it does not
+    // misattribute the failure to t1's legitimately consumed staging
+    val e2 = intercept[RuntimeException](StateCommit.recover(spark, dir))
+    assert(e2.getMessage.contains("t2"), s"got: ${e2.getMessage}")
+    assert(!e2.getMessage.contains("t1"), s"got: ${e2.getMessage}")
+  }
+
   test("commit() re-prepares when a standalone vacuum sweeps its staging pre-claim") {
     // a prepare() that outlives the vacuum TTL loses its staging while
     // still unclaimed; the commit loop must detect the sweep BEFORE

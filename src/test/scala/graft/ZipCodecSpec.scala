@@ -57,6 +57,44 @@ class ZipCodecSpec extends AnyFunSuite {
       assert(new String(e.data.get, "UTF-8") == ZipFixtures.content(id, e.idx))
   }
 
+  test("data-descriptor member: local scan resyncs and salvages later members") {
+    // hand-build: member A with bit 3 (sizes deferred to a descriptor),
+    // then a normal stored member B. The walk must skip A and still
+    // surface B (ADVICE r9: it previously stopped at A).
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def w(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val aPayload = "descriptor member payload".getBytes("UTF-8")
+    out.write("PK".getBytes("ISO-8859-1"))
+    w(le16(20)); w(le16(0x08)) // version, flags: bit 3
+    w(le16(0)) // stored
+    w(le16(0)); w(le16(0)) // time, date
+    w(le32(0)); w(le32(0)); w(le32(0)) // crc/sizes deferred
+    w(le16(5)); w(le16(0))
+    w("a.txt".getBytes("UTF-8"))
+    w(aPayload)
+    // the data descriptor itself (optional signature form)
+    w(le32(0x08074b50)); w(le32(0))
+    w(le32(aPayload.length)); w(le32(aPayload.length))
+    val bPayload = "salvaged member".getBytes("UTF-8")
+    val crcB = { val c = new java.util.zip.CRC32(); c.update(bPayload); c.getValue }
+    out.write("PK".getBytes("ISO-8859-1"))
+    w(le16(20)); w(le16(0)); w(le16(0))
+    w(le16(0)); w(le16(0))
+    w(le32(crcB.toInt)); w(le32(bPayload.length)); w(le32(bPayload.length))
+    w(le16(5)); w(le16(0))
+    w("b.txt".getBytes("UTF-8"))
+    w(bPayload)
+    val es = ZipCodec.parseEntries(out.toByteArray) // no central dir at all
+    assert(es.map(_.name) == Seq("b.txt"),
+      s"descriptor member skipped, later member salvaged; got ${es.map(_.name)}")
+    assert(new String(es.head.data.get, "UTF-8") == "salvaged member")
+    assert(es.head.crcOk)
+  }
+
   test("CRC mismatch is flagged, not dropped") {
     val full = ZipFixtures.zipBytes(2L) // 3 members, first stored
     // flip a payload byte of the first (stored) member: local header is
