@@ -171,6 +171,34 @@ object ScaleProbe {
         TextAnalytics.trainedBpeMerges(
           docs.filter(col("doc_id") < 1000000L), k = 6)).count())
 
+    // Round-10 probes (VERDICT r9 #7): the ingest front-door walks at
+    // N× — pure map work over per-doc container fixtures regenerated
+    // from the salted doc_ids (cardinality = the same per-id
+    // arithmetic summed over the N× id set), plus the cross-document
+    // substring index, whose copy-salted token spaces keep gram
+    // collisions within copies, so span counts scale exactly N×.
+    locally {
+      import spark.implicits._
+      timed("warc_extract_text")(
+        graft.functions.WarcCodec.extractText(
+          docs.select(col("doc_id")).as[Long]
+            .map(id => (id, graft.functions.WarcFixtures.warcBytes(id)))).count())
+      timed("pdf_extract_text")(
+        graft.functions.PdfCodec.extractText(
+          docs.select(col("doc_id")).as[Long]
+            .map(id => (id, graft.functions.PdfFixtures.pdfBytes(id)))).count())
+      timed("tar_entries")(
+        graft.functions.TarCodec.entries(
+          docs.select(col("doc_id")).as[Long]
+            .map(id => (id, graft.functions.TarFixtures.tarBytes(id)))).count())
+      timed("ingest_any_routed")(
+        graft.functions.IngestRouter.extractAll(
+          docs.select(col("doc_id")).as[Long]
+            .map(id => (id, graft.functions.IngestFixtures.bytes(id)))).count())
+      timed("dedup_substring_spans")(
+        Dedup.substringSpans(docs, k = 40).count())
+    }
+
     spark.stop()
   }
 }

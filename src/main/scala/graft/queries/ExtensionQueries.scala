@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, VorbisCodec, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -2103,6 +2103,47 @@ object ExtensionQueries {
            |  CAST(sum(pred * pred) AS BIGINT) AS sumsq_amp
            |FROM dec GROUP BY doc_id""".stripMargin
       },
+    ),
+
+    // OGG Vorbis SAMPLE decode (r9 verdict item 8): the full pipeline
+    // — Ogg packet reassembly, self-describing codebooks (first-fit
+    // canonical codewords, packed-float VQ lookups), floor-1 curve,
+    // residue accumulation, inverse MDCT, Vorbis window, overlap-add
+    // — held to a LOSSLESS planted oracle: the fixture plants one
+    // dyadic spectral line under an exact-unity floor, so the decoded
+    // samples ARE the closed-form windowed cosine the oracle replays
+    // with SQL trigonometry. Quantization at 4096 steps carries a
+    // spec-asserted >= 5e-4 margin to every rounding boundary, nine
+    // orders above cross-engine double noise, so the hash compare is
+    // deterministic.
+    QueryDef(
+      "multimodal_audio_vorbis_samples",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap(id =>
+            VorbisCodec.quantizedStats(id, VorbisCodec.fixtureBytes(id))))
+          .toDF("doc_id", "n_samples", "sum_q", "sumsq_q", "min_q", "max_q")
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 16) * 2 AS k0,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0.25
+             |      WHEN 1 THEN 0.5 ELSE -0.25 END AS v
+             |  FROM documents),
+             |g AS (SELECT doc_id, k0, v, n.n FROM d, range(0, 32) AS n(n)),
+             |q AS (SELECT doc_id,
+             |    CAST(floor(v * (
+             |      sin(pi()/2 * pow(sin(pi()/64 * (n + 32 + 0.5)), 2)) *
+             |        cos(pi()/128 * (2*(n+32) + 1 + 64) * (2*k0 + 1)) +
+             |      sin(pi()/2 * pow(sin(pi()/64 * (n + 0.5)), 2)) *
+             |        cos(pi()/128 * (2*n + 1 + 64) * (2*k0 + 1))
+             |    ) * 4096 + 0.5) AS BIGINT) AS q
+             |  FROM g)
+             |SELECT doc_id, CAST(96 AS BIGINT) AS n_samples,
+             |  CAST(sum(q) * 3 AS BIGINT) AS sum_q,
+             |  CAST(sum(q * q) * 3 AS BIGINT) AS sumsq_q,
+             |  CAST(min(q) AS BIGINT) AS min_q,
+             |  CAST(max(q) AS BIGINT) AS max_q
+             |FROM q GROUP BY doc_id""".stripMargin),
     ),
 
     // G.711 μ-law / A-law sample decode (telephony audio — the
