@@ -56,9 +56,18 @@ object IngestRouter {
     b.length >= off + s.length &&
       (0 until s.length).forall(i => (b(off + i) & 0xff) == s.charAt(i))
 
-  /** Refine a zip container by its package structure. */
+  /** Transport-unwrap budget: matches the largest downstream archive
+    * budget (TarCodec's 256 MiB), so a tar that TAR itself would
+    * accept never misroutes on a smaller sniff ceiling.
+    */
+  private val UnwrapBudget = 1 << 28
+
+  /** Refine a zip container by its package structure — a
+    * central-directory NAME walk plus at most the one-member
+    * `mimetype` probe, never a full archive inflation.
+    */
   private def sniffZip(b: Array[Byte]): String = {
-    val names = ZipCodec.parseEntries(b).map(_.name)
+    val names = ZipCodec.entryNames(b)
     if (names.contains("mimetype") &&
       ZipCodec.entryByName(b, "mimetype").flatMap(_.data)
         .exists(d => new String(d, "UTF-8").trim == "application/epub+zip"))
@@ -69,34 +78,52 @@ object IngestRouter {
     else "zip"
   }
 
-  /** Content-based format detection. Transport magics (gzip / bzip2 /
-    * zstd) unwrap once and re-sniff the inner bytes.
+  /** Content-based routing: (format, bytes the extractor should use).
+    * A transport magic (gzip / bzip2 / zstd) is unwrapped ONCE and the
+    * INNER bytes are both re-sniffed and handed to the extractor — so
+    * `.warc.bz2` reaches the WARC walk even though that walk only
+    * unwraps gzip/zstd itself, nothing is decompressed twice, and a
+    * gzipped plain document (`.html.gz`, `.md.gz` — common crawl
+    * shapes) falls through to the text heuristics instead of dying in
+    * a tar walk. Depth-capped: one transport layer (nested transports
+    * are not a crawl shape; a second layer lands on the text
+    * fallback).
     */
-  def sniff(b: Array[Byte]): String = {
-    if (ascii(b, 0, "%PDF-")) "pdf"
+  def route(b: Array[Byte]): (String, Array[Byte]) = routeAt(b, depth = 0)
+
+  /** Format name only (the routing decision, for tests/telemetry). */
+  def sniff(b: Array[Byte]): String = route(b)._1
+
+  private def routeAt(b: Array[Byte], depth: Int): (String, Array[Byte]) = {
+    if (ascii(b, 0, "%PDF-")) ("pdf", b)
     else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)
-      sniffZip(b)
-    else if (ascii(b, 0, "{\\rtf")) "rtf"
-    else if (ascii(b, 0, "WARC/")) "warc"
-    else if (b.length > 262 && ascii(b, 257, "ustar")) "tar"
-    else if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
-      innerSniff(Gunzip.all(b, 1 << 26).getOrElse(Array.emptyByteArray))
-    else if (b.length >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
-      innerSniff(BzipCodec.decompress(b, 1 << 26).getOrElse(Array.emptyByteArray))
-    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (sniffZip(b), b)
+    else if (ascii(b, 0, "{\\rtf")) ("rtf", b)
+    else if (ascii(b, 0, "WARC/")) ("warc", b)
+    else if (b.length > 262 && ascii(b, 257, "ustar")) ("tar", b)
+    else if (depth == 0 &&
+      b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
+      unwrapped(Gunzip.all(b, UnwrapBudget), b)
+    else if (depth == 0 &&
+      b.length >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
+      unwrapped(BzipCodec.decompress(b, UnwrapBudget), b)
+    else if (depth == 0 &&
+      b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
       (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
-      innerSniff(ZstdCodec.decompress(b, 1 << 26).getOrElse(Array.emptyByteArray))
-    else sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      unwrapped(ZstdCodec.decompress(b, UnwrapBudget), b)
+    else ((sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8)), b))
   }
 
-  /** After a transport unwrap: the inner bytes must be one of the
-    * archive shapes the transports legitimately carry.
+  /** Route the unwrapped payload; an undecodable or over-budget
+    * transport falls back to the RAW bytes as text (the conservative
+    * no-data-loss default — better one mojibake unit than a silent
+    * drop).
     */
-  private def innerSniff(inner: Array[Byte]): String =
-    if (ascii(inner, 0, "WARC/")) "warc"
-    else if (inner.length > 262 && ascii(inner, 257, "ustar")) "tar"
-    else if (inner.isEmpty) "markdown"
-    else "tar" // headerless pre-USTAR tar: let the walk decide
+  private def unwrapped(inner: Option[Array[Byte]],
+      raw: Array[Byte]): (String, Array[Byte]) = inner match {
+    case Some(i) if i.nonEmpty => routeAt(i, depth = 1)
+    case _ => ("markdown", raw)
+  }
 
   private def sniffText(s: String): String = {
     val t = s.dropWhile(_.isWhitespace)
@@ -129,8 +156,8 @@ object IngestRouter {
   }
 
   /** Route one document to its text units. */
-  def extract(id: Long, b: Array[Byte]): Seq[IngestedText] = {
-    val fmt = sniff(b)
+  def extract(id: Long, raw: Array[Byte]): Seq[IngestedText] = {
+    val (fmt, b) = route(raw)
     def rows(parts: Seq[String]): Seq[IngestedText] =
       parts.zipWithIndex.map { case (t, i) =>
         IngestedText(id, fmt, i.toLong, t, t.length.toLong)
@@ -172,10 +199,12 @@ object IngestRouter {
           IngestedText(id, fmt, s.toLong, t, t.length.toLong)
         }
       case "xlsx" =>
+        // part = dense ordinal over (sheet, row) — an arbitrary real
+        // sheet cannot collide parts the way a fixed stride would
         XlsxCodec.extractCells(b).groupBy(c => (c.sheet, c.row)).toSeq
-          .sortBy(_._1).map { case ((s, r), cells) =>
+          .sortBy(_._1).zipWithIndex.map { case ((_, cells), ord) =>
             val t = cells.sortBy(_.col).map(_.value).mkString("\t")
-            IngestedText(id, fmt, s.toLong * 3 + r, t, t.length.toLong)
+            IngestedText(id, fmt, ord.toLong, t, t.length.toLong)
           }
       case _ => // markdown / plain-text fallback
         val t = MarkdownCodec.extract(new String(b, "UTF-8")).text

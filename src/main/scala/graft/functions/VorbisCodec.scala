@@ -703,12 +703,35 @@ object VorbisCodec {
   // Synthesis
   // ------------------------------------------------------------------
 
-  /** The Vorbis window over block size n. */
-  private def windowOf(n: Int): Array[Double] =
-    Array.tabulate(n) { i =>
-      val s = math.sin(math.Pi / n * (i + 0.5))
-      math.sin(math.Pi / 2 * s * s)
+  /** The Vorbis window for a block of size `n` whose left slope lap
+    * is `leftN/2` wide and right slope lap `rightN/2` wide (the
+    * long/short hybrid shapes: a long block adjacent to a short one
+    * centers the short slope at the quarter points and is zero
+    * outside it, 1.0 across the middle). `leftN == rightN == n`
+    * degenerates to the full symmetric window.
+    */
+  private def windowFor(n: Int, leftN: Int, rightN: Int): Array[Double] = {
+    val w = new Array[Double](n)
+    val l1 = leftN / 2
+    val leftStart = n / 4 - leftN / 4
+    var j = 0
+    while (j < l1) {
+      val s = math.sin(math.Pi / (2.0 * l1) * (j + 0.5))
+      w(leftStart + j) = math.sin(math.Pi / 2 * s * s)
+      j += 1
     }
+    val rightStart = 3 * n / 4 - rightN / 4
+    var i = leftStart + l1
+    while (i < rightStart) { w(i) = 1.0; i += 1 }
+    val l2 = rightN / 2
+    j = 0
+    while (j < l2) {
+      val s = math.sin(math.Pi / (2.0 * l2) * (l2 - j - 0.5))
+      w(rightStart + j) = math.sin(math.Pi / 2 * s * s)
+      j += 1
+    }
+    w
+  }
 
   /** Direct inverse MDCT: n/2 spectral lines -> n time samples.
     * y[i] = sum_k X[k] cos(pi/(2n) (2i + 1 + n)(2k + 1)). O(n^2) —
@@ -744,12 +767,17 @@ object VorbisCodec {
       val setup = readSetup(packets(0), packets(2))
       val n0 = setup.blocksizes(0)
       val n1 = setup.blocksizes(1)
-      val win0 = windowOf(n0)
-      val win1 = windowOf(n1)
+      val winCache = new java.util.HashMap[Long, Array[Double]]()
+      def win(n: Int, leftN: Int, rightN: Int): Array[Double] = {
+        val key = (n.toLong << 32) | (leftN.toLong << 16) | rightN
+        var w = winCache.get(key)
+        if (w == null) { w = windowFor(n, leftN, rightN); winCache.put(key, w) }
+        w
+      }
       val out = Array.fill(setup.channels)(
         new scala.collection.mutable.ArrayBuffer[Double]())
-      // lapping state: right half of the previous window, plus its size
-      var prevRight: Array[Array[Double]] = null
+      // lapping state: the previous block's full windowed output
+      var prevFull: Array[Array[Double]] = null
       var prevN = 0
       for (pkt <- packets.drop(3)) {
         val br = new BitReader(pkt)
@@ -824,41 +852,45 @@ object VorbisCodec {
             }
             ch += 1
           }
-          // IMDCT + window + overlap-add
-          val win = if (mode.blockFlag) win1 else win0
+          // IMDCT + window + overlap-add: the spec aligns the 3/4
+          // point of the previous window with the 1/4 point of the
+          // current one and returns [prev center, cur center) — for
+          // equal blocksizes this is the plain 50% overlap-add; for
+          // long/short transitions the hybrid windows are zero
+          // outside their laps so the same alignment sums correctly
+          val leftN = if (mode.blockFlag && !longPrev) n0 else n
+          val rightN = if (mode.blockFlag && !longNext) n0 else n
+          val w = win(n, leftN, rightN)
           val cur = vectors.map(v => {
             val y = imdct(v, n)
             var i = 0
-            while (i < n) { y(i) *= win(i); i += 1 }
+            while (i < n) { y(i) *= w(i); i += 1 }
             y
           })
-          if (prevRight != null) {
-            // overlap region length = min(prevN, n)/2 centered per the
-            // lapping rules; for equal blocksizes this is the plain
-            // 50% overlap-add
-            val lap = math.min(prevN, n) / 2
+          if (prevFull != null) {
+            val lapLen = prevN / 4 + n / 4
             ch = 0
             while (ch < setup.channels) {
               val o = out(ch)
-              val pr = prevRight(ch)
+              val pv = prevFull(ch)
               var i = 0
-              // previous right half begins at prevN/2; current left
-              // half begins at (n - lap*2)/2 = 0 for equal sizes
-              val prOff = pr.length - prevN / 2
-              val curOff = n / 2 - lap
-              while (i < lap) {
-                o += pr(prOff + i) + cur(ch)(curOff + i)
+              while (i < lapLen) {
+                val pi = prevN / 2 + i
+                val a = if (pi < prevN) pv(pi) else 0.0
+                val ci = i + n / 4 - prevN / 4
+                val bv = if (ci >= 0 && ci < n) cur(ch)(ci) else 0.0
+                o += a + bv
                 i += 1
               }
               ch += 1
             }
           }
-          prevRight = cur.map(y => java.util.Arrays.copyOfRange(y, n / 2, n))
+          prevFull = cur
           prevN = n
           if (out(0).length > MaxSamples) return None
         }
       }
-      if (out(0).isEmpty && prevRight == null) None
+      if (out(0).isEmpty && prevFull == null) None
       else Some(Pcm(setup.channels, setup.sampleRate,
         out.map(_.toArray).toArray))
     } catch {
@@ -1238,6 +1270,93 @@ object VorbisCodec {
     val page0 = oggPage(Seq(idPkt), 2, 0L, serial, 0)
     val page1 = oggPage(Seq(commentPkt, setupPkt), 0, 0L, serial, 1)
     val page2 = oggPage(audio, 4, (nPackets - 1).toLong * 32L, serial, 2)
+    page0 ++ page1 ++ page2
+  }
+
+  /** Dual-blocksize variant (64/128) exercising the long/short
+    * lapping rules the equal-size fixtures cannot: packets alternate
+    * short/long modes, the long blocks carry hybrid windows (short
+    * slopes centered at the quarter points), and the overlap-add
+    * crosses three distinct segment shapes. Plants the same spectral
+    * line in every block.
+    */
+  def encodeFixtureDual(k0: Int, vSel: Int): Array[Byte] = {
+    require(k0 >= 0 && k0 < 32 && k0 % 2 == 0 && vSel >= 0 && vSel < 3)
+    val idB = new BitWriter
+    idB.write(1, 8)
+    "vorbis".getBytes("US-ASCII").foreach(c => idB.write(c & 0xff, 8))
+    idB.write(0, 32)
+    idB.write(1, 8)
+    idB.writeL(8000L, 32)
+    idB.write(0, 32); idB.write(0, 32); idB.write(0, 32)
+    idB.write(6, 4); idB.write(7, 4) // blocksizes 64 / 128
+    idB.write(1, 1)
+    val idPkt = idB.finish()
+
+    val cB = new BitWriter
+    cB.write(3, 8)
+    "vorbis".getBytes("US-ASCII").foreach(c => cB.write(c & 0xff, 8))
+    cB.write(0, 32); cB.write(0, 32); cB.write(1, 1)
+    val commentPkt = cB.finish()
+
+    val s = new BitWriter
+    s.write(5, 8)
+    "vorbis".getBytes("US-ASCII").foreach(c => s.write(c & 0xff, 8))
+    s.write(1, 8)
+    s.write(0x564342, 24); s.write(4, 16); s.write(16, 24)
+    s.write(0, 1); s.write(0, 1)
+    for (_ <- 0 until 16) s.write(3, 5)
+    s.write(0, 4)
+    s.write(0x564342, 24); s.write(2, 16); s.write(4, 24)
+    s.write(0, 1); s.write(0, 1)
+    for (_ <- 0 until 4) s.write(1, 5)
+    s.write(2, 4)
+    s.writeL(packFloat(-1, -2), 32)
+    s.writeL(packFloat(1, -2), 32)
+    s.write(1, 4); s.write(0, 1)
+    for (e <- 0 until 4) { s.write(e, 2); s.write(1, 2) }
+    s.write(0, 6); s.write(0, 16)
+    s.write(0, 6); s.write(1, 16)
+    s.write(0, 5); s.write(0, 2); s.write(6, 4)
+    s.write(0, 6); s.write(1, 16)
+    s.write(0, 24); s.write(32, 24); s.write(7, 24)
+    s.write(1, 6); s.write(0, 8)
+    s.write(0, 3); s.write(0, 1)
+    s.write(1, 3); s.write(0, 1)
+    s.write(1, 8)
+    s.write(0, 6); s.write(0, 16)
+    s.write(0, 1); s.write(0, 1); s.write(0, 2)
+    s.write(0, 8); s.write(0, 8); s.write(0, 8)
+    // TWO modes: 0 = short, 1 = long
+    s.write(1, 6)
+    s.write(0, 1); s.write(0, 16); s.write(0, 16); s.write(0, 8)
+    s.write(1, 1); s.write(0, 16); s.write(0, 16); s.write(0, 8)
+    s.write(1, 1)
+    val setupPkt = s.finish()
+
+    val p0 = k0 / 8
+    val q = k0 % 8
+    val hotEntry = Seq(2, 3, 0)(vSel)
+    def audioPacket(long: Boolean): Array[Byte] = {
+      val a = new BitWriter
+      a.writeBit(0)
+      a.writeBit(if (long) 1 else 0) // mode number (1 bit, two modes)
+      if (long) { a.writeBit(0); a.writeBit(0) } // short prev, short next
+      a.writeBit(1)
+      a.write(255, 8); a.write(255, 8)
+      val entry = 1 << (3 - p0)
+      a.writeCode(entry, 4)
+      val hot = q / 2
+      for (r <- 0 until 4)
+        a.writeCode(if (r == hot) hotEntry else 1, 2)
+      a.finish()
+    }
+    val audio = Seq(audioPacket(false), audioPacket(true),
+      audioPacket(false), audioPacket(true))
+    val serial = 0x67726166
+    val page0 = oggPage(Seq(idPkt), 2, 0L, serial, 0)
+    val page1 = oggPage(Seq(commentPkt, setupPkt), 0, 0L, serial, 1)
+    val page2 = oggPage(audio, 4, 144L, serial, 2)
     page0 ++ page1 ++ page2
   }
 

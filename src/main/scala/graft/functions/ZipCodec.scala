@@ -73,6 +73,50 @@ object ZipCodec {
 
   private val AnyName: String => Boolean = _ => true
 
+  /** Member names only — NO member is inflated (the cheap probe a
+    * format sniffer needs: package-structure refinement costs a
+    * central-directory walk, not an archive extraction).
+    */
+  def entryNames(b: Array[Byte]): Seq[String] = try {
+    findEocd(b) match {
+      case Some(eocd) =>
+        val n = math.min(u16(b, eocd + 10), MaxEntries)
+        var cd = u32(b, eocd + 16).toInt
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < n && cd >= 0 && cd + 46 <= b.length &&
+          b(cd) == 'P' && b(cd + 1) == 'K' && b(cd + 2) == 1 && b(cd + 3) == 2) {
+          val nameLen = u16(b, cd + 28)
+          if (cd + 46 + nameLen > b.length) return out.toSeq
+          out += new String(b, cd + 46, nameLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+          cd += 46 + nameLen + u16(b, cd + 30) + u16(b, cd + 32)
+          i += 1
+        }
+        out.toSeq
+      case None =>
+        // truncated archive: local headers carry the names too — the
+        // same walk shape as viaLocalScan, minus every inflation
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var pos = 0
+        var idx = 0
+        while (pos + 30 <= b.length && idx < MaxEntries &&
+          b(pos) == 'P' && b(pos + 1) == 'K' && b(pos + 2) == 3 && b(pos + 3) == 4) {
+          val flags = u16(b, pos + 6)
+          val csize = u32(b, pos + 18)
+          val nameLen = u16(b, pos + 26)
+          val extraLen = u16(b, pos + 28)
+          if ((flags & 0x08) != 0) return out.toSeq
+          if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
+          out += new String(b, pos + 30, nameLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+          pos += 30 + nameLen + extraLen + csize.toInt
+          idx += 1
+        }
+        out.toSeq
+    }
+  } catch { case _: RuntimeException => Nil }
+
   /** Backward scan for PK\x05\x06 over the trailing comment span. */
   private def findEocd(b: Array[Byte]): Option[Int] = {
     val min = math.max(0, b.length - 22 - 0xffff)

@@ -413,7 +413,7 @@ object ZstdCodec {
         val sz = le32(b, p + 4)
         p += 8 + sz.toInt
       } else if (magic == 0xfd2fb528L) {
-        p = decodeFrame(b, p + 4, out, maxOut).getOrElse(
+        p = decodeFrame(b, p + 4, out, maxOut - out.size()).getOrElse(
           throw new IllegalStateException(s"frame returned None at $p"))
       } else throw new IllegalStateException(f"bad magic $magic%x at $p")
     }
@@ -433,7 +433,9 @@ object ZstdCodec {
           if (p + 8 + sz > b.length) return None
           p += 8 + sz.toInt
         } else if (magic == 0xfd2fb528L) {
-          p = decodeFrame(b, p + 4, out, maxOut).getOrElse(return None)
+          // budget is for the whole BLOB: concatenated frames share it
+          p = decodeFrame(b, p + 4, out, maxOut - out.size())
+            .getOrElse(return None)
         } else return None
       }
       if (p != b.length) None else Some(out.toByteArray)
@@ -565,8 +567,6 @@ object ZstdCodec {
             comp = ((v >> (4 + n)) & ((1 << n) - 1)).toInt
             fourStreams = sf != 0
           }
-          if (sys.props.get("zstd.debug").isDefined)
-            println(s"DBG block litType=$litType sf=$sf regen=$regen comp=$comp four=$fourStreams")
           if (regen > (1 << 20) || outLen + regen > maxOut) return None
           val literals = new Array[Byte](regen)
           litType match {
@@ -641,8 +641,6 @@ object ZstdCodec {
                 require(prev != null, "repeat without prior table")
                 prev
             }
-            if (sys.props.get("zstd.debug").isDefined)
-              println(s"DBG seq nbSeq=$nbSeq modes ll=${(modes >> 6) & 3} of=${(modes >> 4) & 3} ml=${(modes >> 2) & 3}")
             llState = tableFor((modes >> 6) & 3, LlPre, 9, 35, llState)
             ofState = tableFor((modes >> 4) & 3, OfPre, 8, 31, ofState)
             mlState = tableFor((modes >> 2) & 3, MlPre, 9, 52, mlState)

@@ -250,7 +250,7 @@ object ExtensionQueries {
       |  string_agg('pptx doc ' || doc_id || ' slide ' || s ||
       |    ' para ' || p || ' body & more', chr(10) ORDER BY p) AS text
       |  FROM pptxp GROUP BY doc_id, s),
-      |xlsxb AS (SELECT d.doc_id, 'xlsx', ss.s * 3 + rr.r,
+      |xlsxb AS (SELECT d.doc_id, 'xlsx', ss.s * (d.doc_id % 3 + 1) + rr.r,
       |  'xlsx doc ' || d.doc_id || ' sheet ' || ss.s || ' row ' ||
       |    rr.r || ' name & co' || chr(9) ||
       |    CAST(d.doc_id * 100 + ss.s * 10 + rr.r AS VARCHAR) ||

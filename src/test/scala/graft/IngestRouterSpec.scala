@@ -58,6 +58,40 @@ class IngestRouterSpec extends AnyFunSuite {
         .flatMap(_.data).map(new String(_, "UTF-8")))
   }
 
+  test("transport-wrapped content extracts through the INNER bytes") {
+    // .warc.bz2: the WARC walk itself only unwraps gzip/zstd — the
+    // router must hand it the decompressed bytes (review r10)
+    val plainWarc = WarcFixtures.warcBytes(4L) // 1 record, plain
+    val bz = BzipCodec.compress(plainWarc)
+    assert(IngestRouter.sniff(bz) == "warc")
+    val units = IngestRouter.extract(99L, bz)
+    assert(units.nonEmpty && units.forall(_.format == "warc"),
+      s"warc.bz2 must extract records; got ${units.length}")
+    // .md.gz: a gzipped plain document must fall through to the text
+    // heuristics, not die inside a tar walk (review r10)
+    val md = MarkdownFixtures.markdown(3L).getBytes("UTF-8")
+    val gz = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(md); g.close(); o.toByteArray
+    }
+    assert(IngestRouter.sniff(gz) == "markdown")
+    val mdUnits = IngestRouter.extract(3L, gz)
+    assert(mdUnits.nonEmpty && mdUnits.head.text ==
+      IngestRouter.extract(3L, md).head.text,
+      "gzipped markdown must extract the same text as plain")
+    // .html.gz likewise
+    val html = HtmlContentFixtures.page(5L).getBytes("UTF-8")
+    val hgz = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(html); g.close(); o.toByteArray
+    }
+    assert(IngestRouter.sniff(hgz) == "html")
+    assert(IngestRouter.extract(5L, hgz).head.text ==
+      IngestRouter.extract(5L, html).head.text)
+  }
+
   test("junk falls back to markdown/plain text; nothing throws") {
     val rnd = new scala.util.Random(1234)
     for (_ <- 0 until 200) {

@@ -63,6 +63,47 @@ class VorbisCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("dual blocksizes: long/short hybrid windows and lapping match the spec formulas") {
+    // independent reconstruction from the spec equations: full window
+    // for short blocks, hybrid (short slopes at the quarter points,
+    // flat middle, zero skirts) for long blocks with short neighbors,
+    // 3/4-to-1/4 alignment, [prev center, cur center) returned
+    def slope(j: Double, l: Int): Double = {
+      val s = math.sin(math.Pi / (2.0 * l) * j)
+      math.sin(math.Pi / 2 * s * s)
+    }
+    def wShort(i: Int): Double =
+      if (i < 32) slope(i + 0.5, 32) else slope(64 - i - 0.5, 32)
+    def wLong(i: Int): Double =
+      if (i < 16 || i >= 112) 0.0
+      else if (i < 48) slope(i - 16 + 0.5, 32)
+      else if (i < 80) 1.0
+      else slope(112 - i - 0.5, 32)
+    def yS(k0: Int, v: Double, i: Int): Double =
+      v * math.cos(math.Pi / 128.0 * (2 * i + 1 + 64) * (2 * k0 + 1)) * wShort(i)
+    def yL(k0: Int, v: Double, i: Int): Double =
+      v * math.cos(math.Pi / 256.0 * (2 * i + 1 + 128) * (2 * k0 + 1)) * wLong(i)
+    for (k0 <- Seq(0, 8, 22); vSel <- 0 until 3) {
+      val v = values(vSel)
+      val pcm = VorbisCodec.decode(VorbisCodec.encodeFixtureDual(k0, vSel))
+        .getOrElse(fail(s"dual k0=$k0 vSel=$vSel must decode"))
+      val s = pcm.samples(0)
+      // packets: S(64) L(128) S(64) L(128) -> segments of 48/48/48
+      assert(s.length == 144, s"k0=$k0 got ${s.length}")
+      for (i <- 0 until 48) {
+        // S -> L: prev right from 32+i; cur index 16+i
+        val exp1 = (if (32 + i < 64) yS(k0, v, 32 + i) else 0.0) + yL(k0, v, 16 + i)
+        assert(math.abs(s(i) - exp1) < 1e-9, s"k0=$k0 vSel=$vSel seg1 i=$i")
+        // L -> S: prev from 64+i; cur index i-16 (zero-padded below 0)
+        val exp2 = yL(k0, v, 64 + i) +
+          (if (i >= 16) yS(k0, v, i - 16) else 0.0)
+        assert(math.abs(s(48 + i) - exp2) < 1e-9, s"k0=$k0 vSel=$vSel seg2 i=$i")
+        // S -> L again
+        assert(math.abs(s(96 + i) - exp1) < 1e-9, s"k0=$k0 vSel=$vSel seg3 i=$i")
+      }
+    }
+  }
+
   test("quantizedStats equals the oracle aggregation formula") {
     for (id <- 0L until 48L) {
       val (_, n, sum, sumsq, mn, mx) =

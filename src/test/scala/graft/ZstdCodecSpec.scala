@@ -122,6 +122,17 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(ZstdCodec.decompress(comp, maxOut = 4096).isDefined)
   }
 
+  test("budget guard covers the WHOLE blob: concatenated frames share it") {
+    // each frame alone fits the budget; together they must not — the
+    // review-r10 bomb shape (N frames x just-under-budget each)
+    val raw = new Array[Byte](4096)
+    val one = ZstdCodec.compress(raw)
+    val four = one ++ one ++ one ++ one
+    assert(ZstdCodec.decompress(four, maxOut = 4 * 4096).isDefined)
+    assert(ZstdCodec.decompress(four, maxOut = 4 * 4096 - 1).isEmpty,
+      "16 KiB across four frames must not pass a 16 KiB - 1 budget")
+  }
+
   test("truncation at any byte: no throw, None or a complete prefix-frame") {
     val vectors = (0 until 15).map(i =>
       Files.readAllBytes(vectorDir.resolve(s"case_$i.zst")))
