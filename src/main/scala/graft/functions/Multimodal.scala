@@ -759,17 +759,26 @@ object AudioFingerprint {
     Some(hash)
   }
 
-  /** Mono samples from whatever container the blob is: 16-bit PCM WAV
-    * or FLAC (full frame decode — [[FlacCodec]]); None otherwise. The
-    * fingerprint is a function of the WAVEFORM, so a lossless FLAC of
-    * the same audio fingerprints identically to its WAV — which is
-    * exactly what dedup needs from a mixed-format crawl.
+  /** Mono samples from whatever container the blob is: 16-bit PCM WAV,
+    * FLAC (full frame decode — [[FlacCodec]]), or Ogg Vorbis (full
+    * pipeline decode — [[VorbisCodec]], floats quantized at 4096 steps
+    * — the scale whose rounding margins the Vorbis spec proves);
+    * None otherwise. The fingerprint is a function of the WAVEFORM,
+    * so a lossless FLAC of the same audio fingerprints identically to
+    * its WAV — which is exactly what dedup needs from a mixed-format
+    * crawl — and a Vorbis encode joins the same comparison space.
     */
   private[functions] def monoSamples(bytes: Array[Byte]): Option[Array[Int]] =
     if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C')
       FlacCodec.decodeSamples(bytes).collect {
         case a if a.channels == 1 => a.samples(0)
+      }
+    else if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'g' &&
+      bytes(2) == 'g' && bytes(3) == 'S')
+      VorbisCodec.decode(bytes).collect {
+        case pcm if pcm.channels == 1 =>
+          pcm.samples(0).map(s => math.floor(s * 4096 + 0.5).toInt)
       }
     else PcmSamples.decodeMonoSamples(bytes)
 

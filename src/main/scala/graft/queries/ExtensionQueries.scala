@@ -2146,6 +2146,48 @@ object ExtensionQueries {
              |FROM q GROUP BY doc_id""".stripMargin),
     ),
 
+    // The Vorbis stream through the PERCEPTUAL fingerprint path: the
+    // same 65-chunk energy-difference print WAV/FLAC ride, over the
+    // fully decoded + quantized Vorbis samples — the lossy carrier
+    // joins the near-dup comparison space. The oracle replays the
+    // closed-form samples, the proven 4096-step quantization, the
+    // floor-boundary chunk grid, the integer energy averages, and the
+    // bit packing — every bit externally verified.
+    QueryDef(
+      "multimodal_vorbis_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.AudioFingerprint.fingerprints(
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .map(id => (id, VorbisCodec.fixtureBytes(id))))
+          .toDF("doc_id", "afp")
+      },
+      Some {
+        s"""WITH p AS (SELECT doc_id FROM documents),
+           |d AS (SELECT doc_id, (doc_id % 16) * 2 AS k0,
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0.25
+           |      WHEN 1 THEN 0.5 ELSE -0.25 END AS v
+           |  FROM documents),
+           |g AS (SELECT doc_id, k0, v, n.n, n.n % 32 AS m
+           |  FROM d, range(0, 96) AS n(n)),
+           |q AS (SELECT doc_id, n,
+           |    CAST(floor(v * (
+           |      sin(pi()/2 * pow(sin(pi()/64 * (m + 32 + 0.5)), 2)) *
+           |        cos(pi()/128 * (2*(m+32) + 1 + 64) * (2*k0 + 1)) +
+           |      sin(pi()/2 * pow(sin(pi()/64 * (m + 0.5)), 2)) *
+           |        cos(pi()/128 * (2*m + 1 + 64) * (2*k0 + 1))
+           |    ) * 4096 + 0.5) AS BIGINT) AS q
+           |  FROM g),
+           |ch AS (SELECT doc_id, ((n+1)*65 - 1) // 96 AS k,
+           |    sum(q*q) // count(*) AS e FROM q GROUP BY 1, 2),
+           |bits AS (SELECT a.doc_id, a.k AS i
+           |  FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+           |  WHERE a.k < 64 AND a.e < b.e),
+           |$packBitsTailSql
+           |SELECT doc_id, dhash AS afp FROM hs""".stripMargin
+      },
+    ),
+
     // G.711 μ-law / A-law sample decode (telephony audio — the
     // voicemail/call-center stratum): stateless companded expansion,
     // so the oracle replays the published piecewise-linear formulas
