@@ -2926,6 +2926,21 @@ object Multimodal {
     ImageDhash.dhashes(payloads).toDF("doc_id", "dhash")
   }
 
+  /** VP8 perceptual near-dup pairs: dHashes over the perturbed-variant
+    * VP8 family ([[PixelFixtures.webpNearDupBytes]]), banded 4x16 bits
+    * and equi-joined (pigeonhole recall through Hamming 3), popcount
+    * verified — the lossy web image format rides the SAME near-dup
+    * plan the PNG/BMP/GIF family does.
+    */
+  def webpNearDupReal(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, PixelFixtures.webpNearDupBytes(id)))
+    val hashes = ImageDhash.dhashes(payloads).toDF("doc_id", "simhash")
+    Dedup.bandedHammingPairs(hashes, bits = 64, maxHamming)
+  }
+
   /** REAL baseline-TIFF pixel decode through the same batch plumbing:
     * [[PixelFixtures.tiffPixelBytes]] plants the gradient formula into
     * both byte orders, none/PackBits compression, and multi-strip

@@ -1086,6 +1086,23 @@ object PixelFixtures {
       (bx, by) => vp8TargetU(id, bx, by),
       (bx, by) => vp8TargetV(id, bx, by))
 
+  /** Near-dup VP8 family: four variants per base image — variant v
+    * perturbs ONLY the top-left luma block by +2v (mod 256), so
+    * within-family dHashes land a few bits apart while cross-family
+    * hashes stay random. The perceptual-pair oracle replays the
+    * perturbation exactly.
+    */
+  def webpNearDupBytes(id: Long): Array[Byte] = {
+    val base = id / 4
+    val variant = (id % 4).toInt
+    Vp8Codec.encodeFlatBlocks(vp8MbW(base), vp8MbH(base),
+      (bx, by) =>
+        if (bx == 0 && by == 0) (vp8TargetY(base, 0, 0) + variant * 2) % 256
+        else vp8TargetY(base, bx, by),
+      (bx, by) => vp8TargetU(base, bx, by),
+      (bx, by) => vp8TargetV(base, bx, by))
+  }
+
   /** Baseline-TIFF fixture over the same planted formula: `id` cycles
     * byte order (id/2 even → little), compression (id mod 3: none /
     * PackBits / LZW — the LZW third with the horizontal-differencing

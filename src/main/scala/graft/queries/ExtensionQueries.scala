@@ -2639,6 +2639,50 @@ object ExtensionQueries {
       },
     ),
 
+    // VP8 perceptual NEAR-DUP pairs: four perturbed variants per base
+    // image (one luma block shifted +2v), the full decode -> RGB ->
+    // dHash -> 4x16-band equi-join pipeline — the lossy web format
+    // rides the same banded near-dup plan as the PNG/BMP/GIF family.
+    // The oracle replays perturbation, decode arithmetic, hashes, and
+    // the Hamming-3 pair semantics end-to-end.
+    QueryDef(
+      "multimodal_webp_neardup",
+      (s, dir) => Multimodal.webpNearDupReal(s, Tables.documents(s, dir)),
+      Some {
+        val clip = (e: String) => s"GREATEST(0, LEAST(255, $e))"
+        val r = clip("(298 * cy + 409 * ev + 128) // 256")
+        val g = clip("(298 * cy - 100 * du - 208 * ev + 128) // 256")
+        val b = clip("(298 * cy + 516 * du + 128) // 256")
+        s"""WITH p AS (SELECT doc_id, doc_id // 4 AS base,
+           |    CAST(doc_id % 4 AS INT) AS variant,
+           |    ((doc_id // 4) % 3 + 1) * 16 AS w,
+           |    ((doc_id // 4) % 2 + 1) * 16 AS h FROM documents),
+           |g AS (SELECT p.doc_id, p.base, p.variant, p.w, p.h, x.x, y.y
+           |  FROM p, range(0, 48) AS x(x), range(0, 32) AS y(y)
+           |  WHERE x.x < p.w AND y.y < p.h),
+           |yuv AS (SELECT doc_id, w, h, x, y,
+           |    ((base * 7 + (x // 4) * 13 + (y // 4) * 31) % 256 +
+           |     CASE WHEN x < 4 AND y < 4 THEN variant * 2 ELSE 0 END) % 256
+           |      - 16 AS cy,
+           |    (base * 11 + (x // 8) * 17 + (y // 8) * 23) % 256 - 128 AS du,
+           |    (base * 5 + (x // 8) * 19 + (y // 8) * 29) % 256 - 128 AS ev
+           |  FROM g),
+           |v AS (SELECT doc_id, w, h, x, y,
+           |    (($r) + ($g) + ($b)) // 3 AS grey FROM yuv),
+           |cell AS (SELECT doc_id, ((x+1)*9 - 1) // w AS gx, ((y+1)*8 - 1) // h AS gy,
+           |    sum(grey) // count(*) AS avg FROM v GROUP BY 1, 2, 3),
+           |bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS i
+           |  FROM cell a JOIN cell b ON a.doc_id = b.doc_id AND a.gy = b.gy
+           |    AND b.gx = a.gx + 1
+           |  WHERE a.gx < 8 AND a.avg < b.avg),
+           |$packBitsTailSql
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+           |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+      },
+    ),
+
     // REAL baseline-TIFF pixel decode: planted gradients through both
     // byte orders, none/PackBits compression, and multi-strip layouts
     // (doc_id cycles all three), decoded by the from-spec TiffCodec
