@@ -169,29 +169,59 @@ object VorbisCodec {
       val lookup: Int,
       val values: Array[Array[Double]]) { // per entry, lookup != 0
 
-    // (length, codeword) -> entry, via first-fit canonical assignment
+    // (length, codeword) -> entry, via the spec's first-fit canonical
+    // assignment: each entry takes the LOWEST available leaf of its
+    // length. A running left-justified counter is NOT equivalent when
+    // a shorter length follows a longer one at a non-aligned code
+    // point (it would hand out an overlapping prefix); the spec form
+    // keeps one available leaf per depth (at most one can be free at
+    // any level) and propagates freed sub-leaves back down — the
+    // stb_vorbis compute_codewords shape.
     private val decodeMap = new java.util.HashMap[Long, Integer]()
     locally {
-      var avail = 0L // next code point, left-justified in 32 bits
-      val used = lengths.count(_ > 0)
+      // available(z) = left-justified code point of the single free
+      // leaf at depth z, or 0 = none. Code point 0 is only ever free
+      // before the first entry, which is special-cased (it takes the
+      // all-zeros codeword of its length, freeing one leaf per depth
+      // 1..l along the right spine).
+      val available = new Array[Long](33)
+      var first = true
       var e = 0
       while (e < entries) {
         val l = lengths(e)
         if (l > 0) {
-          if (used == 1) {
-            // single-entry book: the spec assigns the zero-bit... one
-            // codeword of its stated length, all zeros
+          if (first) {
             decodeMap.put((l.toLong << 32) | 0L, e)
-            avail += 1L << (32 - l)
+            var i = 1
+            while (i <= l) { available(i) = 1L << (32 - i); i += 1 }
+            first = false
           } else {
-            require(avail < (1L << 32), "overspecified codebook")
-            val word = (avail >>> (32 - l)) & ((1L << l) - 1)
-            decodeMap.put((l.toLong << 32) | word, e)
-            avail += 1L << (32 - l)
+            // deepest free leaf at depth <= l (first-fit: it is also
+            // the lowest-valued available leaf)
+            var z = l
+            while (z > 0 && available(z) == 0L) z -= 1
+            require(z > 0, "overspecified codebook")
+            val res = available(z)
+            available(z) = 0L
+            decodeMap.put((l.toLong << 32) | (res >>> (32 - l)), e)
+            // splitting the depth-z leaf down to depth l frees one
+            // sibling leaf at every depth in (z, l]
+            var y = l
+            while (y > z) { available(y) = res + (1L << (32 - y)); y -= 1 }
           }
         }
         e += 1
       }
+    }
+
+    /** Test hook: the assignment as (entry, length, codeword) rows,
+      * codeword read root-first.
+      */
+    private[functions] def assignments: Seq[(Int, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      decodeMap.forEach((k, e) =>
+        out += ((e.intValue, (k >> 32).toInt, (k & 0xffffffffL).toInt)))
+      out.sortBy(_._1).toSeq
     }
 
     def decode(br: BitReader): Int = {
@@ -734,9 +764,12 @@ object VorbisCodec {
   }
 
   /** Direct inverse MDCT: n/2 spectral lines -> n time samples.
-    * y[i] = sum_k X[k] cos(pi/(2n) (2i + 1 + n)(2k + 1)). O(n^2) —
-    * exactly the closed form the planted oracle replays; block sizes
-    * are spec-capped at 8192 so the cost is bounded per packet.
+    * y[i] = sum_k X[k] cos(pi/(2n) (2i + 1 + n/2)(2k + 1)) — the
+    * Vorbis I spec phase (the n/4 + 1/2 time shift that makes TDAC
+    * cancel across the 50% lap; libvorbis/stb_vorbis compute the same
+    * form). O(n^2) — exactly the closed form the planted oracle
+    * replays; block sizes are spec-capped at 8192 so the cost is
+    * bounded per packet.
     */
   private def imdct(spec: Array[Double], n: Int): Array[Double] = {
     val out = new Array[Double](n)
@@ -748,7 +781,7 @@ object VorbisCodec {
       while (k < n2) {
         if (spec(k) != 0.0)
           acc += spec(k) * math.cos(
-            math.Pi / (2.0 * n) * (2 * i + 1 + n) * (2 * k + 1))
+            math.Pi / (2.0 * n) * (2 * i + 1 + n2) * (2 * k + 1))
         k += 1
       }
       out(i) = acc
@@ -756,6 +789,16 @@ object VorbisCodec {
     }
     out
   }
+
+  /** Test hook: first-fit canonical assignment for a raw length list
+    * (0 = unused entry); returns (entry, length, codeword) rows and a
+    * decoder over them.
+    */
+  private[functions] def assignCodewords(lengths: Array[Int]): Seq[(Int, Int, Int)] =
+    new Codebook(1, lengths.length, lengths, 0, null).assignments
+
+  private[functions] def decodeWith(lengths: Array[Int], bits: Array[Byte]): Int =
+    new Codebook(1, lengths.length, lengths, 0, null).decode(new BitReader(bits))
 
   /** Decoded stream: per-channel PCM as doubles. */
   final case class Pcm(channels: Int, sampleRate: Int, samples: Array[Array[Double]])
@@ -786,7 +829,11 @@ object VorbisCodec {
           val n = if (mode.blockFlag) n1 else n0
           var longPrev = true
           var longNext = true
-          if (mode.blockFlag && n1 != n0) {
+          if (mode.blockFlag) {
+            // the spec reads the two window flags whenever the mode's
+            // blockflag is set — including when the two declared
+            // blocksizes are equal (gating on n1 != n0 would desync
+            // such streams by two bits)
             longPrev = br.bit() == 1
             longNext = br.bit() == 1
           }
@@ -1127,7 +1174,7 @@ object VorbisCodec {
       math.sin(math.Pi / 2 * s * s)
     }
     def c(i: Int): Double =
-      math.cos(math.Pi / 128.0 * (2 * i + 1 + 64) * (2 * k0 + 1))
+      math.cos(math.Pi / 128.0 * (2 * i + 1 + 32) * (2 * k0 + 1))
     v * (w(n + 32) * c(n + 32) + w(n) * c(n))
   }
 

@@ -106,12 +106,34 @@ object ZipCodec {
           val csize = u32(b, pos + 18)
           val nameLen = u16(b, pos + 26)
           val extraLen = u16(b, pos + 28)
-          if ((flags & 0x08) != 0) return out.toSeq
-          if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
-          out += new String(b, pos + 30, nameLen,
-            java.nio.charset.StandardCharsets.UTF_8)
-          pos += 30 + nameLen + extraLen + csize.toInt
-          idx += 1
+          if ((flags & 0x08) != 0) {
+            // data-descriptor member: its extent is undelimited, but
+            // the NAME sits before the payload and is readable — keep
+            // it, then resync on the next local-header signature the
+            // same way viaLocalScan does, so the sniffer sees the
+            // same name set the extractor salvages (ADVICE r10: this
+            // walk previously stopped here and could under-report the
+            // package type)
+            if (pos + 30 + nameLen > b.length) return out.toSeq
+            out += new String(b, pos + 30, nameLen,
+              java.nio.charset.StandardCharsets.UTF_8)
+            var scan = pos + 30 + nameLen + extraLen
+            var next = -1
+            while (next < 0 && scan + 4 <= b.length) {
+              if (b(scan) == 'P' && b(scan + 1) == 'K' && b(scan + 2) == 3 &&
+                b(scan + 3) == 4) next = scan
+              else scan += 1
+            }
+            if (next < 0) return out.toSeq
+            pos = next
+            idx += 1
+          } else {
+            if (pos + 30 + nameLen + extraLen + csize > b.length) return out.toSeq
+            out += new String(b, pos + 30, nameLen,
+              java.nio.charset.StandardCharsets.UTF_8)
+            pos += 30 + nameLen + extraLen + csize.toInt
+            idx += 1
+          }
         }
         out.toSeq
     }

@@ -2133,9 +2133,9 @@ object ExtensionQueries {
              |q AS (SELECT doc_id,
              |    CAST(floor(v * (
              |      sin(pi()/2 * pow(sin(pi()/64 * (n + 32 + 0.5)), 2)) *
-             |        cos(pi()/128 * (2*(n+32) + 1 + 64) * (2*k0 + 1)) +
+             |        cos(pi()/128 * (2*(n+32) + 1 + 32) * (2*k0 + 1)) +
              |      sin(pi()/2 * pow(sin(pi()/64 * (n + 0.5)), 2)) *
-             |        cos(pi()/128 * (2*n + 1 + 64) * (2*k0 + 1))
+             |        cos(pi()/128 * (2*n + 1 + 32) * (2*k0 + 1))
              |    ) * 4096 + 0.5) AS BIGINT) AS q
              |  FROM g)
              |SELECT doc_id, CAST(96 AS BIGINT) AS n_samples,
@@ -2173,9 +2173,9 @@ object ExtensionQueries {
            |q AS (SELECT doc_id, n,
            |    CAST(floor(v * (
            |      sin(pi()/2 * pow(sin(pi()/64 * (m + 32 + 0.5)), 2)) *
-           |        cos(pi()/128 * (2*(m+32) + 1 + 64) * (2*k0 + 1)) +
+           |        cos(pi()/128 * (2*(m+32) + 1 + 32) * (2*k0 + 1)) +
            |      sin(pi()/2 * pow(sin(pi()/64 * (m + 0.5)), 2)) *
-           |        cos(pi()/128 * (2*m + 1 + 64) * (2*k0 + 1))
+           |        cos(pi()/128 * (2*m + 1 + 32) * (2*k0 + 1))
            |    ) * 4096 + 0.5) AS BIGINT) AS q
            |  FROM g),
            |ch AS (SELECT doc_id, ((n+1)*65 - 1) // 96 AS k,

@@ -80,9 +80,9 @@ class VorbisCodecSpec extends AnyFunSuite {
       else if (i < 80) 1.0
       else slope(112 - i - 0.5, 32)
     def yS(k0: Int, v: Double, i: Int): Double =
-      v * math.cos(math.Pi / 128.0 * (2 * i + 1 + 64) * (2 * k0 + 1)) * wShort(i)
+      v * math.cos(math.Pi / 128.0 * (2 * i + 1 + 32) * (2 * k0 + 1)) * wShort(i)
     def yL(k0: Int, v: Double, i: Int): Double =
-      v * math.cos(math.Pi / 256.0 * (2 * i + 1 + 128) * (2 * k0 + 1)) * wLong(i)
+      v * math.cos(math.Pi / 256.0 * (2 * i + 1 + 64) * (2 * k0 + 1)) * wLong(i)
     for (k0 <- Seq(0, 8, 22); vSel <- 0 until 3) {
       val v = values(vSel)
       val pcm = VorbisCodec.decode(VorbisCodec.encodeFixtureDual(k0, vSel))
@@ -114,6 +114,60 @@ class VorbisCodecSpec extends AnyFunSuite {
         math.floor(VorbisCodec.plantedSample(k0, v, nn) * 4096 + 0.5).toLong)
       assert(n == 96 && sum == qs.sum * 3 && sumsq == qs.map(q => q * q).sum * 3)
       assert(mn == qs.min && mx == qs.max, s"id=$id")
+    }
+  }
+
+  test("huffman first-fit: non-length-ordered codebooks get spec codewords") {
+    // the advisor's counterexample: lengths [2,1,3,3]. Spec first-fit
+    // assigns e0='00', e1='1', e2='010', e3='011' — a left-justified
+    // running counter would hand e1 the overlapping prefix '0'.
+    val rows = VorbisCodec.assignCodewords(Array(2, 1, 3, 3))
+    assert(rows == Seq((0, 2, 0), (1, 1, 1), (2, 3, 2), (3, 3, 3)))
+    // decode round-trip for each entry (codewords written root-first)
+    for ((e, l, w) <- rows) {
+      val bw = new VorbisCodec.BitWriter
+      bw.writeCode(w, l)
+      bw.writeBit(1) // padding past the codeword
+      assert(VorbisCodec.decodeWith(Array(2, 1, 3, 3), bw.finish()) == e)
+    }
+    // descending lengths and a gap-unused entry
+    val rows2 = VorbisCodec.assignCodewords(Array(3, 0, 3, 2, 1))
+    assert(rows2.map(_._1) == Seq(0, 2, 3, 4))
+    checkPrefixFree(rows2)
+  }
+
+  private def checkPrefixFree(rows: Seq[(Int, Int, Int)]): Unit =
+    for (Seq((e1, l1, w1), (e2, l2, w2)) <- rows.combinations(2)) {
+      val (sl, ss, ll, ls) =
+        if (l1 <= l2) (l1, w1, l2, w2) else (l2, w2, l1, w1)
+      assert((ls >>> (ll - sl)) != ss,
+        s"codeword of entry $e1 prefixes entry $e2")
+    }
+
+  test("huffman first-fit: random Kraft-exact length lists stay prefix-free and round-trip") {
+    val rnd = new scala.util.Random(4711)
+    for (_ <- 0 until 200) {
+      // grow a random full prefix code by repeatedly splitting a leaf
+      val leaves = scala.collection.mutable.ArrayBuffer(1, 1)
+      for (_ <- 0 until rnd.nextInt(24)) {
+        val i = rnd.nextInt(leaves.length)
+        if (leaves(i) < 28) {
+          val l = leaves.remove(i)
+          leaves += l + 1
+          leaves += l + 1
+        }
+      }
+      // shuffle so lengths are NOT sorted (the regression class)
+      val lengths = rnd.shuffle(leaves.toSeq).toArray
+      val rows = VorbisCodec.assignCodewords(lengths)
+      assert(rows.length == lengths.length)
+      checkPrefixFree(rows)
+      for ((e, l, w) <- rows if l <= 24) {
+        val bw = new VorbisCodec.BitWriter
+        bw.writeCode(w, l)
+        bw.writeBit(0)
+        assert(VorbisCodec.decodeWith(lengths, bw.finish()) == e, s"entry $e")
+      }
     }
   }
 

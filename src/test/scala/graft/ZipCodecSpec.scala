@@ -93,6 +93,11 @@ class ZipCodecSpec extends AnyFunSuite {
       s"descriptor member skipped, later member salvaged; got ${es.map(_.name)}")
     assert(new String(es.head.data.get, "UTF-8") == "salvaged member")
     assert(es.head.crcOk)
+    // the sniffer's name walk rides the same resync — AND keeps the
+    // descriptor member's own name, which is readable before its
+    // undelimited payload (ADVICE r10: entryNames previously stopped
+    // at a.txt and the sniffer could under-see the package structure)
+    assert(ZipCodec.entryNames(out.toByteArray) == Seq("a.txt", "b.txt"))
   }
 
   test("CRC mismatch is flagged, not dropped") {
