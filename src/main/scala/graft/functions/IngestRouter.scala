@@ -28,9 +28,10 @@ final case class IngestedText(
   * the gzip/bzip2/zstd transport magics, which are unwrapped ONCE and
   * re-sniffed so `.tar.zst` and per-record-gzip WARC route
   * correctly), then text heuristics (WebVTT/SRT cue timing, HTML
-  * document markers, RFC 5322 header blocks) with Markdown/plain text
-  * as the fallback — the order a production router needs, most
-  * specific first.
+  * document markers, nbformat notebook JSON, JSONL/NDJSON record
+  * dumps, RFC 5322 header blocks, consistent-delimiter CSV) with
+  * Markdown/plain text as the fallback — the order a production
+  * router needs, most specific first.
   *
   * Extraction reuses the per-document walks of the format codecs
   * verbatim ([[PdfCodec.extractPages]], [[DocxCodec.extractParagraphs]],
@@ -50,7 +51,11 @@ object IngestRouter {
 
   /** Formats the router can emit (the fallback is "markdown"). */
   val Formats: Seq[String] = Seq("pdf", "docx", "rtf", "zip", "tar", "warc",
-    "epub", "markdown", "eml", "subtitle", "html", "pptx", "xlsx")
+    "epub", "markdown", "eml", "subtitle", "html", "pptx", "xlsx",
+    "jsonl", "csv", "ipynb")
+
+  /** Default JSONL text field (the corpus-dump convention). */
+  val DefaultJsonlField: String = "text"
 
   private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
     b.length >= off + s.length &&
@@ -132,9 +137,49 @@ object IngestRouter {
     else if (isSrtHead(t)) "subtitle"
     else if (lower.startsWith("<!doctype html") || lower.startsWith("<html"))
       "html"
+    else if (isIpynb(t)) "ipynb"
+    else if (isJsonl(t)) "jsonl"
     else if (isHeaderBlock(t)) "eml"
+    else if (isCsv(s)) "csv"
     else "markdown"
   }
+
+  /** nbformat notebook: one JSON object whose top level carries a
+    * `cells` ARRAY and an `nbformat` number. The substring pre-check
+    * keeps the full parse off non-JSON text; checked BEFORE the JSONL
+    * probe because a one-line notebook is also a valid JSONL record.
+    */
+  private def isIpynb(t: String): Boolean =
+    t.startsWith("{") && t.contains("\"nbformat\"") &&
+      t.contains("\"cells\"") &&
+      JsonLite.parse(t).exists(v =>
+        v.get("cells").exists(_.asArray.isDefined) &&
+          v.get("nbformat").isDefined)
+
+  /** JSONL/NDJSON: every sampled non-empty line is a complete JSON
+    * OBJECT (the sample is bounded like the CSV sniffer's — routing
+    * must not parse a 1 GB dump twice). Objects only: a file of bare
+    * strings or numbers is far likelier prose/CSV than a record dump.
+    */
+  private def isJsonl(t: String): Boolean = {
+    if (!t.startsWith("{")) return false
+    val sample = t.linesIterator.filter(_.trim.nonEmpty).take(SniffLines)
+      .toSeq
+    sample.nonEmpty && sample.forall(l =>
+      JsonLite.parse(l).exists(_.isInstanceOf[JsonVal.JObj]))
+  }
+
+  /** Tabular text: the dialect sniffer found a consistent delimiter
+    * over at least two lines (one delimited line is everyday prose;
+    * two consistent ones are a table). Probed LAST before the
+    * markdown fallback — every structured-text magic outranks it.
+    */
+  private def isCsv(s: String): Boolean = {
+    val lines = TextClean.terminatedLines(s).filter(_.nonEmpty)
+    lines.length >= 2 && CsvSniff.sniff(s).delimiter.isDefined
+  }
+
+  private val SniffLines = 64
 
   /** SRT: a bare counter line followed by a `-->` timing line. */
   private def isSrtHead(t: String): Boolean = {
@@ -155,8 +200,12 @@ object IngestRouter {
       head.exists(l => l.startsWith("Subject:") || l.startsWith("From:"))
   }
 
-  /** Route one document to its text units. */
-  def extract(id: Long, raw: Array[Byte]): Seq[IngestedText] = {
+  /** Route one document to its text units. `jsonlField` names the
+    * JSONL record field to extract (the corpus convention is `text`;
+    * dumps differ, so it is a parameter, not a constant).
+    */
+  def extract(id: Long, raw: Array[Byte],
+      jsonlField: String = DefaultJsonlField): Seq[IngestedText] = {
     val (fmt, b) = route(raw)
     def rows(parts: Seq[String]): Seq[IngestedText] =
       parts.zipWithIndex.map { case (t, i) =>
@@ -206,6 +255,46 @@ object IngestRouter {
             val t = cells.sortBy(_.col).map(_.value).mkString("\t")
             IngestedText(id, fmt, ord.toLong, t, t.length.toLong)
           }
+      case "jsonl" =>
+        // part = ORIGINAL record ordinal (it addresses the record in
+        // the source dump even when field-less records interleave); a
+        // record without a string at `jsonlField` keeps its raw line
+        // — the router's conservative no-data-loss default
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.trim.nonEmpty).zipWithIndex.map {
+            case (line, i) =>
+              val t = JsonLite.parse(line)
+                .flatMap(_.get(jsonlField)).flatMap(_.asString)
+                .getOrElse(line)
+              IngestedText(id, fmt, i.toLong, t, t.length.toLong)
+          }.toSeq
+      case "csv" =>
+        // dialect-aware record walk: header row dropped when the
+        // sniffer detected one, fields re-joined with a tab (the same
+        // row presentation the xlsx walk emits)
+        val content = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        val dialect = CsvSniff.sniff(content)
+        val lines = TextClean.terminatedLines(content).filter(_.nonEmpty)
+        val data = if (dialect.hasHeader) lines.drop(1) else lines
+        val d = dialect.delimiter.map(_.charAt(0)).getOrElse(',')
+        rows(data.map(l => CsvSniff.splitLine(l, d).mkString("\t")))
+      case "ipynb" =>
+        // one unit per cell in document order; both source shapes
+        // (line array / single string) reconstruct to one string, the
+        // same normalization the declarative IpynbCells surface does
+        val cells = JsonLite.parse(
+          new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          .flatMap(_.get("cells")).flatMap(_.asArray)
+          .getOrElse(Vector.empty)
+        cells.zipWithIndex.map { case (c, k) =>
+          val t = c.get("source") match {
+            case Some(JsonVal.JStr(s)) => s
+            case Some(JsonVal.JArr(ls)) =>
+              ls.flatMap(_.asString).mkString
+            case _ => ""
+          }
+          IngestedText(id, fmt, k.toLong, t, t.length.toLong)
+        }
       case _ => // markdown / plain-text fallback
         val t = MarkdownCodec.extract(new String(b, "UTF-8")).text
         Seq(IngestedText(id, "markdown", 0L, t, t.length.toLong))
@@ -216,21 +305,56 @@ object IngestRouter {
   /** The dataset form: mixed-format corpus in, typed text rows out —
     * one partition pass, zero shuffles.
     */
-  def extractAll(payloads: Dataset[(Long, Array[Byte])]): DataFrame = {
+  def extractAll(payloads: Dataset[(Long, Array[Byte])],
+      jsonlField: String = DefaultJsonlField): DataFrame = {
     import payloads.sparkSession.implicits._
-    payloads.mapPartitions(it => it.flatMap { case (id, b) => extract(id, b) })
+    payloads.mapPartitions(it =>
+      it.flatMap { case (id, b) => extract(id, b, jsonlField) })
       .toDF()
   }
 }
 
-/** Mixed-format fixture corpus: doc_id rotates through THIRTEEN
+/** Planted JSONL fixtures: `id mod 4 + 1` records, each carrying the
+  * default `text` field plus numeric/boolean noise fields the
+  * extractor must skip; ODD record ordinals ALSO carry a decoy
+  * nested object so field lookup stays top-level (rotation ids are
+  * 16k+13 = 2 records each, so r = 1 exists and the decoy FIRES on
+  * every rotation document). Ids with
+  * `(id / 16) mod 2 = 1` ship gzip-wrapped (`.jsonl.gz`, the common
+  * dump shape) and ride the router's transport unwrap + re-sniff.
+  */
+object JsonlFixtures {
+  def nRecords(id: Long): Int = (id % 4 + 1).toInt
+  def gzipped(id: Long): Boolean = (id / 16) % 2 == 1
+  def text(id: Long, r: Int): String = s"jsonl doc $id rec $r body & more"
+
+  def jsonl(id: Long): String =
+    (0 until nRecords(id)).map { r =>
+      val decoy =
+        if (r % 2 == 1) s""","meta":{"text":"decoy $r","lang":"en"}"""
+        else ""
+      s"""{"id":${id * 10 + r},"text":"${text(id, r)}","ok":true$decoy}"""
+    }.mkString("\n")
+
+  def bytes(id: Long): Array[Byte] = {
+    val plain = jsonl(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!gzipped(id)) plain
+    else {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(plain); g.close(); o.toByteArray
+    }
+  }
+}
+
+/** Mixed-format fixture corpus: doc_id rotates through SIXTEEN
   * container formats (every text-bearing codec the repo ships), each
   * generated by that format's own planted fixture builder — so the
   * router's output is the union of the per-format planted texts, and
-  * one DuckDB oracle replays all thirteen branches.
+  * one DuckDB oracle replays all sixteen branches.
   */
 object IngestFixtures {
-  def bytes(id: Long): Array[Byte] = (id % 13).toInt match {
+  def bytes(id: Long): Array[Byte] = (id % 16).toInt match {
     case 0 => PdfFixtures.pdfBytes(id)
     case 1 => DocxFixtures.docxBytes(id)
     case 2 => RtfFixtures.rtfBytes(id)
@@ -247,6 +371,11 @@ object IngestFixtures {
     case 10 => HtmlContentFixtures.page(id)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     case 11 => PptxFixtures.pptxBytes(id)
-    case _ => XlsxFixtures.xlsxBytes(id)
+    case 12 => XlsxFixtures.xlsxBytes(id)
+    case 13 => JsonlFixtures.bytes(id)
+    case 14 => CsvFixtures.csv(id)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case _ => IpynbFixtures.json(id)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 }

@@ -1,0 +1,197 @@
+package graft.functions
+
+/** Minimal JSON value model for the PER-DOCUMENT walks (the ingest
+  * router's JSONL and notebook branches run inside `mapPartitions`,
+  * where the declarative `from_json` path is not reachable). Field
+  * order is preserved; duplicate keys keep the LAST occurrence, the
+  * behavior of every mainstream parser (and of DuckDB's
+  * `json_extract`), so an oracle replay cannot diverge on hostile
+  * inputs.
+  */
+sealed trait JsonVal {
+  /** Object-field lookup (None off-objects and on absent keys). */
+  def get(key: String): Option[JsonVal] = this match {
+    case JsonVal.JObj(fields) =>
+      // last occurrence wins (RFC 8259 leaves it open; this matches
+      // the common parse-to-map behavior the oracle replays)
+      var hit: Option[JsonVal] = None
+      fields.foreach { case (k, v) => if (k == key) hit = Some(v) }
+      hit
+    case _ => None
+  }
+  def asString: Option[String] = this match {
+    case JsonVal.JStr(s) => Some(s)
+    case _ => None
+  }
+  def asArray: Option[Vector[JsonVal]] = this match {
+    case JsonVal.JArr(items) => Some(items)
+    case _ => None
+  }
+}
+
+object JsonVal {
+  case object JNull extends JsonVal
+  final case class JBool(v: Boolean) extends JsonVal
+  /** Numbers keep their raw lexeme — extraction re-emits text, so no
+    * double round-trip may rewrite `1e2` or lose 19-digit longs.
+    */
+  final case class JNum(raw: String) extends JsonVal
+  final case class JStr(v: String) extends JsonVal
+  final case class JArr(items: Vector[JsonVal]) extends JsonVal
+  final case class JObj(fields: Vector[(String, JsonVal)]) extends JsonVal
+}
+
+/** Strict RFC 8259 recursive-descent parser, sized for untrusted
+  * crawl bytes: one forward pass, no regex, a hard nesting cap (a
+  * 10 MB `[[[[...` bomb fails the parse instead of the task stack),
+  * and whole-input consumption (trailing garbage -> None, which is
+  * what lets the router use "parses as JSON" as a ROUTING signal
+  * without false-accepting prose that merely starts with a brace).
+  *
+  * 100 TB posture: called per record inside a partition pass; O(n)
+  * over the record bytes, allocation bounded by the record itself.
+  */
+object JsonLite {
+
+  private val MaxDepth = 64
+
+  /** Parse a complete JSON text (one value + optional whitespace). */
+  def parse(s: String): Option[JsonVal] =
+    try {
+      val p = new P(s)
+      p.ws()
+      val v = p.value(0)
+      p.ws()
+      if (p.pos == s.length) Some(v) else None
+    } catch { case _: ParseFail.type | _: StackOverflowError => None }
+
+  private object ParseFail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    private def fail(): Nothing = throw ParseFail
+    private def peek: Char = if (pos < s.length) s.charAt(pos) else 0.toChar
+    private def next(): Char = {
+      if (pos >= s.length) fail()
+      val c = s.charAt(pos); pos += 1; c
+    }
+    def ws(): Unit =
+      while (pos < s.length && (peek == ' ' || peek == '\t' ||
+        peek == '\n' || peek == '\r')) pos += 1
+
+    def value(depth: Int): JsonVal = {
+      if (depth > MaxDepth) fail()
+      peek match {
+        case '{' => obj(depth)
+        case '[' => arr(depth)
+        case '"' => JsonVal.JStr(string())
+        case 't' => lit("true"); JsonVal.JBool(true)
+        case 'f' => lit("false"); JsonVal.JBool(false)
+        case 'n' => lit("null"); JsonVal.JNull
+        case c if c == '-' || (c >= '0' && c <= '9') => num()
+        case _ => fail()
+      }
+    }
+
+    private def lit(l: String): Unit = {
+      if (!s.startsWith(l, pos)) fail()
+      pos += l.length
+    }
+
+    private def obj(depth: Int): JsonVal = {
+      next() // '{'
+      ws()
+      val fields = Vector.newBuilder[(String, JsonVal)]
+      if (peek == '}') { pos += 1; return JsonVal.JObj(Vector.empty) }
+      var more = true
+      while (more) {
+        ws()
+        if (peek != '"') fail()
+        val k = string()
+        ws()
+        if (next() != ':') fail()
+        ws()
+        fields += ((k, value(depth + 1)))
+        ws()
+        next() match {
+          case ',' => ()
+          case '}' => more = false
+          case _ => fail()
+        }
+      }
+      JsonVal.JObj(fields.result())
+    }
+
+    private def arr(depth: Int): JsonVal = {
+      next() // '['
+      ws()
+      val items = Vector.newBuilder[JsonVal]
+      if (peek == ']') { pos += 1; return JsonVal.JArr(Vector.empty) }
+      var more = true
+      while (more) {
+        ws()
+        items += value(depth + 1)
+        ws()
+        next() match {
+          case ',' => ()
+          case ']' => more = false
+          case _ => fail()
+        }
+      }
+      JsonVal.JArr(items.result())
+    }
+
+    private def string(): String = {
+      next() // '"'
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        val c = next()
+        if (c == '"') done = true
+        else if (c == '\\') next() match {
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/' => sb.append('/')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case 'u' =>
+            if (pos + 4 > s.length) fail()
+            val h = s.substring(pos, pos + 4)
+            if (!h.forall(ch => Character.digit(ch, 16) >= 0)) fail()
+            sb.append(Integer.parseInt(h, 16).toChar)
+            pos += 4
+          case _ => fail()
+        }
+        else if (c < ' ') fail() // raw control chars are invalid JSON
+        else sb.append(c)
+      }
+      sb.toString
+    }
+
+    private def num(): JsonVal = {
+      val start = pos
+      if (peek == '-') pos += 1
+      if (peek == '0') pos += 1
+      else if (peek >= '1' && peek <= '9') {
+        while (peek >= '0' && peek <= '9') pos += 1
+      } else fail()
+      if (peek == '.') {
+        pos += 1
+        if (!(peek >= '0' && peek <= '9')) fail()
+        while (peek >= '0' && peek <= '9') pos += 1
+      }
+      if (peek == 'e' || peek == 'E') {
+        pos += 1
+        if (peek == '+' || peek == '-') pos += 1
+        if (!(peek >= '0' && peek <= '9')) fail()
+        while (peek >= '0' && peek <= '9') pos += 1
+      }
+      JsonVal.JNum(s.substring(start, pos))
+    }
+  }
+}

@@ -170,12 +170,12 @@ object ExtensionQueries {
     * (doc_id, dhash).
     */
   /** Shared oracle WITH-body for the mixed ingest corpus: the planted
-    * text units of all THIRTEEN routed formats, ending in CTE
+    * text units of all SIXTEEN routed formats, ending in CTE
     * `u (doc_id, format, part, text)`. Used by `ingest_any` and the
     * `pipeline_ingest_corpus` composition.
     */
   private val ingestUnionCte: String =
-    """WITH d AS (SELECT doc_id, CAST(doc_id % 13 AS INT) AS f
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 16 AS INT) AS f
       |    FROM documents),
       |pl AS (SELECT d.doc_id, pp.p, ll.l
       |  FROM d, range(0, 3) AS pp(p), range(0, 4) AS ll(l)
@@ -259,6 +259,28 @@ object ExtensionQueries {
       |  FROM d, range(0, 2) AS ss(s), range(0, 3) AS rr(r)
       |  WHERE d.f = 12 AND ss.s < d.doc_id % 2 + 1
       |    AND rr.r < d.doc_id % 3 + 1),
+      |jsonlb AS (SELECT d.doc_id, 'jsonl', rr.r,
+      |    'jsonl doc ' || d.doc_id || ' rec ' || rr.r || ' body & more'
+      |  FROM d, range(0, 4) AS rr(r)
+      |  WHERE d.f = 13 AND rr.r < d.doc_id % 4 + 1),
+      |csvp AS (SELECT d.doc_id, rr.r, cc.c
+      |  FROM d, range(0, 7) AS rr(r), range(0, 5) AS cc(c)
+      |  WHERE d.f = 14 AND rr.r < d.doc_id % 5 + 2
+      |    AND cc.c < d.doc_id % 3 + 2),
+      |csvb AS (SELECT doc_id, 'csv' AS format, r AS part,
+      |  string_agg(CASE WHEN doc_id % 3 = 0 AND c = 1
+      |      THEN 'quoted;val ' || r || ' of ' || doc_id
+      |      ELSE CAST(doc_id + r * 10 + c AS VARCHAR) END,
+      |    chr(9) ORDER BY c) AS text
+      |  FROM csvp GROUP BY doc_id, r),
+      |ipyp AS (SELECT d.doc_id, kk.k, jj.j
+      |  FROM d, range(0, 4) AS kk(k), range(0, 2) AS jj(j)
+      |  WHERE d.f = 15 AND kk.k < d.doc_id % 4 + 1
+      |    AND jj.j < (d.doc_id + kk.k) % 2 + 1),
+      |ipynbb AS (SELECT doc_id, 'ipynb' AS format, k AS part,
+      |  string_agg('line ' || j || ' of cell ' || k || ' doc ' || doc_id,
+      |    chr(10) ORDER BY j) AS text
+      |  FROM ipyp GROUP BY doc_id, k),
       |u AS (
       |  SELECT * FROM pdfb UNION ALL SELECT * FROM docxb
       |  UNION ALL SELECT * FROM rtfb UNION ALL SELECT * FROM zipb
@@ -266,7 +288,8 @@ object ExtensionQueries {
       |  UNION ALL SELECT * FROM epubb UNION ALL SELECT * FROM mdb
       |  UNION ALL SELECT * FROM emlb UNION ALL SELECT * FROM subb
       |  UNION ALL SELECT * FROM htmlb UNION ALL SELECT * FROM pptxb
-      |  UNION ALL SELECT * FROM xlsxb)""".stripMargin
+      |  UNION ALL SELECT * FROM xlsxb UNION ALL SELECT * FROM jsonlb
+      |  UNION ALL SELECT * FROM csvb UNION ALL SELECT * FROM ipynbb)""".stripMargin
 
   private val dhashOracleCte: String = {
     def chan(c: Int) =
@@ -2802,14 +2825,16 @@ object ExtensionQueries {
              |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin),
     ),
 
-    // The unified ingest front door (r9 verdict item 4): ONE
-    // magic-sniffing router over a MIXED corpus — doc_id rotates
-    // through all thirteen text-bearing container formats, the router
+    // The unified ingest front door (r9 verdict item 4; widened to
+    // sixteen formats in r11): ONE magic-sniffing router over a MIXED
+    // corpus — doc_id rotates through all sixteen text-bearing
+    // container formats (incl. JSONL record dumps — gzip-wrapped on
+    // half the ids — CSV tables and nbformat notebooks), the router
     // detects each purely from bytes (binary magics, zip package
     // refinement, transport unwrap + re-sniff, text heuristics) and
     // dispatches to that codec's own walk, one mapPartitions pass.
     // The oracle replays every branch's planted text arithmetic,
-    // UNION'd — string-exact across all thirteen formats.
+    // UNION'd — string-exact across all sixteen formats.
     QueryDef(
       "ingest_any",
       (s, dir) => {

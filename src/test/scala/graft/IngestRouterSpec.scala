@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class IngestRouterSpec extends AnyFunSuite {
 
   test("every fixture family routes to its format from bytes alone") {
-    for (id <- 0L until 52L) {
-      val expected = (id % 13).toInt match {
+    // 64 ids = four full rotations, covering both jsonl transport legs
+    // (plain on even id/16, gzip-wrapped on odd)
+    for (id <- 0L until 64L) {
+      val expected = (id % 16).toInt match {
         case 0 => "pdf"
         case 1 => "docx"
         case 2 => "rtf"
@@ -25,7 +27,10 @@ class IngestRouterSpec extends AnyFunSuite {
         case 9 => "subtitle"
         case 10 => "html"
         case 11 => "pptx"
-        case _ => "xlsx"
+        case 12 => "xlsx"
+        case 13 => "jsonl"
+        case 14 => "csv"
+        case _ => "ipynb"
       }
       assert(IngestRouter.sniff(IngestFixtures.bytes(id)) == expected,
         s"id=$id")
@@ -44,13 +49,13 @@ class IngestRouterSpec extends AnyFunSuite {
 
   test("routed extraction equals the per-format walk") {
     // docx example: the router's units are exactly extractParagraphs
-    val id = 14L // 14 % 13 = 1 -> docx
+    val id = 17L // 17 % 16 = 1 -> docx
     val b = IngestFixtures.bytes(id)
     val units = IngestRouter.extract(id, b)
     assert(units.map(_.text) == DocxCodec.extractParagraphs(b))
     assert(units.forall(_.format == "docx"))
     // tar example: file members only
-    val tid = 17L // 17 % 13 = 4 -> tar
+    val tid = 20L // 20 % 16 = 4 -> tar
     val tb = IngestFixtures.bytes(tid)
     val tunits = IngestRouter.extract(tid, tb)
     assert(tunits.map(_.text) ==
@@ -111,6 +116,89 @@ class IngestRouterSpec extends AnyFunSuite {
         assert(u.n_chars == u.text.length.toLong)
       }
     }
+  }
+
+  test("jsonl route: field extraction, decoys, transport, config") {
+    // plain leg (id/16 even) and gzip leg (id/16 odd) extract the same
+    val plainId = 13L
+    val gzId = 29L // 29 % 16 = 13, 29/16 = 1 -> gzipped
+    assert(JsonlFixtures.gzipped(gzId) && !JsonlFixtures.gzipped(plainId))
+    val pu = IngestRouter.extract(plainId, IngestFixtures.bytes(plainId))
+    assert(pu.map(_.text) ==
+      (0 until JsonlFixtures.nRecords(plainId))
+        .map(r => JsonlFixtures.text(plainId, r)))
+    assert(pu.forall(_.format == "jsonl"))
+    val gu = IngestRouter.extract(gzId, IngestFixtures.bytes(gzId))
+    assert(gu.map(_.text) ==
+      (0 until JsonlFixtures.nRecords(gzId))
+        .map(r => JsonlFixtures.text(gzId, r)),
+      ".jsonl.gz must unwrap and extract like plain jsonl")
+    // the decoy nested object must not shadow the top-level field —
+    // every rotation doc has 2 records, and r=1 carries meta.text
+    assert(JsonlFixtures.jsonl(plainId).contains("\"text\":\"decoy 1\""))
+    assert(pu(1).text == JsonlFixtures.text(plainId, 1),
+      "nested meta.text decoy must not shadow the top-level field")
+    // configurable field: extract `lang` from a custom dump
+    val dump = "{\"lang\":\"en\",\"text\":\"a\"}\n{\"lang\":\"fr\",\"text\":\"b\"}"
+    val langs = IngestRouter.extract(1L, dump.getBytes, jsonlField = "lang")
+    assert(langs.map(_.text) == Seq("en", "fr"))
+    // a record without the field keeps its raw line (no data loss)
+    val mixed = "{\"text\":\"has\"}\n{\"other\":1}"
+    val mu = IngestRouter.extract(1L, mixed.getBytes)
+    assert(mu.map(_.text) == Seq("has", "{\"other\":1}"))
+    assert(mu.map(_.part) == Seq(0L, 1L))
+  }
+
+  test("csv route: dialect-aware rows, header drop, quoted delimiter") {
+    val id = 30L // 30 % 16 = 14 -> csv; 30 % 3 = 0 -> quoted fields
+    assert(CsvFixtures.hasQuoted(id) && CsvFixtures.hasHeader(id))
+    val units = IngestRouter.extract(id, IngestFixtures.bytes(id))
+    assert(units.forall(_.format == "csv"))
+    assert(units.length == CsvFixtures.nDataRows(id),
+      "header row must be dropped")
+    // row 0: quoted field keeps its EMBEDDED delimiter after unquote
+    assert(units.head.text.split('\t').toSeq ==
+      Seq("30", "quoted;val 0 of 30"))
+    // an unquoted fixture keeps plain positional fields
+    val pid = 46L // 46 % 16 = 14; 46 % 3 = 1 -> unquoted, 3 cols
+    assert(!CsvFixtures.hasQuoted(pid))
+    assert(IngestRouter.extract(pid, IngestFixtures.bytes(pid))
+      .head.text.split('\t').toSeq == Seq("46", "47", "48"))
+    // a headerless all-numeric table keeps every row
+    val bare = "1,2\n3,4\n5,6"
+    val bu = IngestRouter.extract(2L, bare.getBytes)
+    assert(bu.map(_.text) == Seq("1\t2", "3\t4", "5\t6"))
+  }
+
+  test("ipynb route: cell walk over both source shapes") {
+    for (id <- Seq(15L, 31L, 63L, 47L)) { // 63 % 5 = 3 -> string form
+      assert(id % 16 == 15)
+      val units = IngestRouter.extract(id, IngestFixtures.bytes(id))
+      assert(units.forall(_.format == "ipynb"))
+      assert(units.length == IpynbFixtures.nCells(id))
+      units.zipWithIndex.foreach { case (u, k) =>
+        assert(u.text == IpynbFixtures.source(id, k), s"id=$id cell=$k")
+        assert(u.part == k.toLong)
+      }
+    }
+  }
+
+  test("json-shaped lookalikes stay out of the jsonl/ipynb routes") {
+    // prose opening with a brace is not a record dump
+    assert(IngestRouter.sniff("{note to self} buy milk\nand bread"
+      .getBytes) == "markdown")
+    // a JSON ARRAY document is not JSONL (records must be objects)
+    assert(IngestRouter.sniff("[1, 2, 3]".getBytes) == "markdown")
+    // nbformat mentioned in prose must not trip the notebook probe
+    assert(IngestRouter.sniff(
+      "{\"nbformat\": stuff} \"cells\" are discussed here\nmore prose"
+        .getBytes) == "markdown")
+    // a real one-line notebook routes ipynb, not jsonl
+    val nb = IpynbFixtures.json(15L)
+    assert(!nb.contains("\n"))
+    assert(IngestRouter.sniff(nb.getBytes) == "ipynb")
+    // trailing garbage after a JSON object fails the strict parse
+    assert(IngestRouter.sniff("{\"a\":1} trailing".getBytes) == "markdown")
   }
 
   test("eml and subtitle heuristics hold against lookalikes") {

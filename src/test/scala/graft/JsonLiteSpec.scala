@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The per-document JSON parser behind the router's JSONL/notebook
+  * routes: strict RFC 8259 acceptance (whole input, no trailing
+  * garbage), exact string unescaping, raw number lexemes, last-key
+  * wins, and the nesting cap that keeps crawl bombs out of the task
+  * stack.
+  */
+class JsonLiteSpec extends AnyFunSuite {
+  import JsonVal._
+
+  private def p(s: String) = JsonLite.parse(s)
+
+  test("scalars, arrays, objects round-trip structurally") {
+    assert(p("null").contains(JNull))
+    assert(p("true").contains(JBool(true)))
+    assert(p(" false ").contains(JBool(false)))
+    assert(p("42").contains(JNum("42")))
+    assert(p("-0.5e+3").contains(JNum("-0.5e+3")))
+    assert(p("\"hi\"").contains(JStr("hi")))
+    assert(p("[1, \"a\", null]").contains(
+      JArr(Vector(JNum("1"), JStr("a"), JNull))))
+    assert(p("{\"a\": 1, \"b\": [true]}").contains(
+      JObj(Vector("a" -> JNum("1"), "b" -> JArr(Vector(JBool(true)))))))
+    assert(p("{}").contains(JObj(Vector.empty)))
+    assert(p("[]").contains(JArr(Vector.empty)))
+  }
+
+  test("string escapes decode exactly") {
+    assert(p("\"a\\n\\t\\\"\\\\\\/\\b\\f\\r\"")
+      .contains(JStr("a\n\t\"\\/\b\f\r")))
+    assert(p("\"\\u0041\\u00e9\"").contains(JStr("A" + 0xe9.toChar)))
+    // surrogate pair: two \\u escapes concatenate to one code point
+    assert(p("\"\\ud83d\\ude00\"").map(_.asString.get.codePointAt(0))
+      .contains(0x1f600))
+  }
+
+  test("invalid inputs parse to None, never throw") {
+    for (bad <- Seq("", "{", "}", "[1,]", "{\"a\":}", "{\"a\" 1}",
+      "{'a':1}", "nul", "tru", "01", "1.", ".5", "+1", "1e", "--1",
+      "\"unterminated", "\"bad \\x escape\"",
+      "\"ctrl " + 1.toChar + " char\"", // raw control char in string
+      "{\"a\":1} trailing", "[1] [2]", "{\"a\":1,}"))
+      assert(p(bad).isEmpty, s"<$bad> must not parse")
+  }
+
+  test("nesting cap rejects depth bombs instead of overflowing") {
+    val deep = "[" * 100000 + "]" * 100000
+    assert(p(deep).isEmpty)
+    val ok = "[" * 60 + "1" + "]" * 60
+    assert(p(ok).isDefined)
+  }
+
+  test("duplicate keys: last occurrence wins on lookup") {
+    val v = p("{\"k\":\"first\",\"k\":\"second\"}").get
+    assert(v.get("k").flatMap(_.asString).contains("second"))
+  }
+
+  test("get/asString/asArray are total and type-safe") {
+    val v = p("{\"s\":\"x\",\"n\":1,\"a\":[2]}").get
+    assert(v.get("s").flatMap(_.asString).contains("x"))
+    assert(v.get("n").flatMap(_.asString).isEmpty)
+    assert(v.get("a").flatMap(_.asArray).contains(Vector(JNum("2"))))
+    assert(v.get("missing").isEmpty)
+    assert(JNum("1").get("k").isEmpty)
+  }
+}
