@@ -25,8 +25,8 @@ final case class IngestedText(
   * Detection is CONTENT-based, never extension-based: binary magics
   * first (`%PDF-`, zip local headers — refined to DOCX/PPTX/XLSX/EPUB
   * by package structure — `{\rtf`, `WARC/`, USTAR at offset 257, and
-  * the gzip/bzip2/zstd transport magics, which are unwrapped ONCE and
-  * re-sniffed so `.tar.zst` and per-record-gzip WARC route
+  * the gzip/bzip2/zstd/xz transport magics, which are unwrapped ONCE
+  * and re-sniffed so `.tar.zst` and per-record-gzip WARC route
   * correctly), then text heuristics (WebVTT/SRT cue timing, HTML
   * document markers, nbformat notebook JSON, JSONL/NDJSON record
   * dumps, RFC 5322 header blocks, consistent-delimiter CSV) with
@@ -116,6 +116,10 @@ object IngestRouter {
       b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
       (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
       unwrapped(ZstdCodec.decompress(b, UnwrapBudget), b)
+    else if (depth == 0 &&
+      b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' && b(2) == 'z' &&
+      b(3) == 'X' && b(4) == 'Z' && b(5) == 0)
+      unwrapped(XzCodec.decompress(b, UnwrapBudget), b)
     else ((sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8)), b))
   }
 

@@ -39,9 +39,11 @@ object TarCodec {
     * bounded [[Gunzip]] helper, prefix-keeping: tar's walk stops
     * cleanly at a cut member), bzip2 ([[BzipCodec]], whole-stream
     * CRC-verified: a corrupt bz2 has no trustworthy prefix, so it
-    * yields nothing rather than salvage), or zstd ([[ZstdCodec]],
+    * yields nothing rather than salvage), zstd ([[ZstdCodec]],
     * checksum-verified whole frames — the `.tar.zst` convention of
-    * modern corpus distributions).
+    * modern corpus distributions), or xz ([[XzCodec]], per-block
+    * check-verified — the `.tar.xz` convention of software archives
+    * and encyclopedia dumps).
     */
   def parseEntries(b: Array[Byte]): Seq[TarEntry] = try {
     val raw =
@@ -52,6 +54,9 @@ object TarCodec {
       else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
         (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
         ZstdCodec.decompress(b, MaxArchive.toInt).getOrElse(return Nil)
+      else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
+        b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0)
+        XzCodec.decompress(b, MaxArchive.toInt).getOrElse(return Nil)
       else b
     walk(raw)
   } catch {
@@ -214,10 +219,10 @@ object TarFixtures {
     }
     out.write(new Array[Byte](1024), 0, 1024) // two zero blocks
     val plain = out.toByteArray
-    // transport rotates on id % 5 (decorrelated from the id % 4 entry
-    // count): plain / gzip / bzip2 / zstd / plain — content (and so
-    // the oracle) is invariant under the wrapper
-    (id % 5).toInt match {
+    // transport rotates on id % 6 (decorrelated from the id % 4 entry
+    // count): plain / gzip / bzip2 / zstd / xz / plain — content (and
+    // so the oracle) is invariant under the wrapper
+    (id % 6).toInt match {
       case 1 =>
         val o = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(o)
@@ -225,6 +230,7 @@ object TarFixtures {
         o.toByteArray
       case 2 => BzipCodec.compress(plain)
       case 3 => ZstdCodec.compress(plain)
+      case 4 => XzCodec.compress(plain)
       case _ => plain
     }
   }

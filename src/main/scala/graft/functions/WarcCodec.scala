@@ -60,6 +60,9 @@ object WarcCodec {
         else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
           (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd)
           ZstdCodec.decompress(b, MaxInflatedBytes).orNull // .warc.zst
+        else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
+          b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0)
+          XzCodec.decompress(b, MaxInflatedBytes).orNull // .warc.xz
         else b
       if (plain == null) Nil else walk(plain)
     } catch {
@@ -297,14 +300,16 @@ object WarcFixtures {
     out.toByteArray
   }
 
-  /** One planted WARC blob; odd ids use per-record gzip members, and
-    * id % 8 == 2 ships as a whole-file `.warc.zst` frame (decorrelated
+  /** One planted WARC blob; odd ids use per-record gzip members,
+    * id % 8 == 2 ships as a whole-file `.warc.zst` frame and
+    * id % 8 == 6 as a whole-file `.warc.xz` stream (decorrelated
     * from the id % 4 record count so every count appears under every
     * transport).
     */
   def warcBytes(id: Long): Array[Byte] = {
     val recs = (0 until nRecords(id)).map(i => record(id, i))
     if (id % 8 == 2) ZstdCodec.compress(recs.reduce(_ ++ _))
+    else if (id % 8 == 6) XzCodec.compress(recs.reduce(_ ++ _))
     else if (id % 2 == 1) recs.map(gzipMember).reduce(_ ++ _)
     else recs.reduce(_ ++ _)
   }

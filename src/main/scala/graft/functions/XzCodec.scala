@@ -1,0 +1,663 @@
+package graft.functions
+
+/** XZ (.xz) decompression, pure JVM — the fourth archive transport
+  * beside gzip ([[Gunzip]]), bzip2 ([[BzipCodec]]) and zstd
+  * ([[ZstdCodec]]): `.tar.xz` / `.warc.xz` are the long-standing
+  * distribution shapes of software archives and Wikipedia/CC dumps
+  * (r10 verdict item 3).
+  *
+  * Decode surface, from the public xz file-format spec
+  * (tukaani.org `xz-file-format.txt`) and the public LZMA reference
+  * specification (7-Zip `lzma-specification.txt`):
+  * stream header/footer with flag CRC32s, multi-block streams, block
+  * headers with optional compressed/uncompressed sizes, the LZMA2
+  * filter (id 0x21) — uncompressed chunks, LZMA chunks with the full
+  * state/props/dict reset ladder — and the complete LZMA range
+  * decoder: 12-state machine, lc/lp literal contexts with
+  * matched-literal decoding, match/rep0-3 distances via position
+  * slots + reverse bit-trees + aligned/direct bits, choice/choice2
+  * length coders; per-block CRC32 / CRC64 (ECMA-182 reflected) /
+  * SHA-256 check verification; index + footer walk; concatenated
+  * streams with stream padding.
+  *
+  * Held to truth against the system liblzma (via the Python `lzma`
+  * module that binds it): `XzCodecSpec` replays stored vectors
+  * produced by liblzma 5.4.1 across presets 0–9+extreme, custom
+  * lc/lp/pb combinations, dict sizes, check types (none / CRC32 /
+  * CRC64 / SHA-256) and concatenated streams — decompression must be
+  * byte-exact. The fixture writer ([[XzCodec.compress]]) emits spec
+  * XZ frames carrying LZMA2 uncompressed chunks, validated during
+  * vector generation to round-trip byte-identically through liblzma
+  * in BOTH directions.
+  *
+  * Not supported (returns None, never throws): filter chains other
+  * than a single LZMA2 filter (BCJ/delta prefilters are executable
+  * re-arrangers, not text-corpus transports).
+  *
+  * 100 TB shape: a transport decode is per-document map work inside
+  * the archive walks' `mapPartitions`; the output budget (`maxOut`)
+  * is enforced BEFORE every allocation and during every chunk copy,
+  * so neither a lying block header nor a deep LZMA match chain can
+  * balloon an executor.
+  */
+object XzCodec {
+
+  private val Magic = Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0)
+
+  // ------------------------------------------------------------------
+  // CRC64 (ECMA-182 reflected, init/xorout ~0 — the xz variant)
+  // ------------------------------------------------------------------
+
+  private val crc64Table: Array[Long] = {
+    val poly = 0xc96c5795d7870f42L // reflected ECMA-182
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var c = i.toLong
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1L) != 0) (c >>> 1) ^ poly else c >>> 1
+        k += 1
+      }
+      t(i) = c
+      i += 1
+    }
+    t
+  }
+
+  def crc64(b: Array[Byte], off: Int, len: Int): Long = {
+    var c = -1L
+    var i = off
+    while (i < off + len) {
+      c = crc64Table(((c ^ b(i)) & 0xff).toInt) ^ (c >>> 8)
+      i += 1
+    }
+    ~c
+  }
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  // ------------------------------------------------------------------
+  // Container walk
+  // ------------------------------------------------------------------
+
+  private final class Fail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fail(): Nothing = throw new Fail
+
+  /** Decompress a complete .xz file (one or more concatenated
+    * streams). None on malformed input, failed checks, unsupported
+    * filters, or output exceeding `maxOut`.
+    */
+  def decompress(xz: Array[Byte], maxOut: Int): Option[Array[Byte]] =
+    try {
+      val out = new Out(maxOut)
+      var pos = 0
+      var streams = 0
+      while (pos < xz.length) {
+        pos = stream(xz, pos, out)
+        streams += 1
+        // stream padding: four-byte groups of nulls before EOF or the
+        // next stream's magic
+        while (pos + 4 <= xz.length && xz(pos) == 0 && xz(pos + 1) == 0 &&
+          xz(pos + 2) == 0 && xz(pos + 3) == 0) pos += 4
+      }
+      if (streams == 0) fail()
+      Some(out.result())
+    } catch { case _: Fail | _: IndexOutOfBoundsException => None }
+
+  private def u8(b: Array[Byte], i: Int): Int = {
+    if (i >= b.length) fail()
+    b(i) & 0xff
+  }
+
+  private def le32(b: Array[Byte], i: Int): Long = {
+    if (i + 4 > b.length) fail()
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+  }
+
+  private def le64(b: Array[Byte], i: Int): Long = {
+    le32(b, i) | (le32(b, i + 4) << 32)
+  }
+
+  /** Variable-length integer: 7 bits per byte, LE groups, max 9. */
+  private def vli(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    var p = pos
+    while (i < 9) {
+      val c = u8(b, p)
+      v |= (c & 0x7fL) << (7 * i)
+      p += 1
+      if ((c & 0x80) == 0) {
+        if (c == 0 && i > 0) fail() // non-minimal encoding
+        return (v, p)
+      }
+      i += 1
+    }
+    fail()
+  }
+
+  /** One stream: header, blocks, index, footer. Returns the offset
+    * just past the footer.
+    */
+  private def stream(b: Array[Byte], start: Int, out: Out): Int = {
+    var pos = start
+    var i = 0
+    while (i < 6) { if (u8(b, pos + i) != (Magic(i) & 0xff)) fail(); i += 1 }
+    pos += 6
+    if (u8(b, pos) != 0) fail()
+    val checkId = u8(b, pos + 1)
+    val checkLen = checkId match {
+      case 0x00 => 0
+      case 0x01 => 4
+      case 0x04 => 8
+      case 0x0a => 32
+      case _ => fail() // unsupported check type
+    }
+    if (le32(b, pos + 2) != crc32(b, pos, 2)) fail()
+    pos += 6
+
+    var nBlocks = 0L
+    while (u8(b, pos) != 0x00) {
+      pos = block(b, pos, checkId, checkLen, out)
+      nBlocks += 1
+    }
+
+    // index: indicator already seen
+    val idxStart = pos
+    pos += 1
+    val (cnt, p1) = vli(b, pos)
+    if (cnt != nBlocks) fail()
+    pos = p1
+    var k = 0L
+    while (k < cnt) {
+      val (_, pa) = vli(b, pos) // unpadded size
+      val (_, pb2) = vli(b, pa) // uncompressed size
+      pos = pb2
+      k += 1
+    }
+    while ((pos - idxStart) % 4 != 0) { if (u8(b, pos) != 0) fail(); pos += 1 }
+    if (le32(b, pos) != crc32(b, idxStart, pos - idxStart)) fail()
+    pos += 4
+
+    // footer: crc32(backward size + flags), backward size, flags, "YZ"
+    if (le32(b, pos) != crc32(b, pos + 4, 6)) fail()
+    val backward = (le32(b, pos + 4) + 1) * 4
+    if (backward != (pos - idxStart)) fail()
+    if (u8(b, pos + 8) != 0 || u8(b, pos + 9) != checkId) fail()
+    if (u8(b, pos + 10) != 'Y' || u8(b, pos + 11) != 'Z') fail()
+    pos + 12
+  }
+
+  private def block(b: Array[Byte], start: Int, checkId: Int,
+      checkLen: Int, out: Out): Int = {
+    val headerSize = (u8(b, start) + 1) * 4
+    if (start + headerSize > b.length) fail()
+    if (le32(b, start + headerSize - 4) !=
+      crc32(b, start, headerSize - 4)) fail()
+    val flags = u8(b, start + 1)
+    if ((flags & 0x3c) != 0) fail() // reserved bits
+    val nFilters = (flags & 0x03) + 1
+    var pos = start + 2
+    var declaredComp = -1L
+    var declaredUnc = -1L
+    if ((flags & 0x40) != 0) { val (v, p) = vli(b, pos); declaredComp = v; pos = p }
+    if ((flags & 0x80) != 0) { val (v, p) = vli(b, pos); declaredUnc = v; pos = p }
+    // single LZMA2 filter only
+    if (nFilters != 1) fail()
+    val (fid, p2) = vli(b, pos)
+    if (fid != 0x21) fail()
+    val (propLen, p3) = vli(b, p2)
+    if (propLen != 1) fail()
+    val dictProp = u8(b, p3)
+    if (dictProp > 40) fail()
+    pos = p3 + 1
+    // the filter list must FIT inside the declared header (a header
+    // whose CRC bytes double as filter fields is malformed)
+    if (pos > start + headerSize - 4) fail()
+    while (pos < start + headerSize - 4) { if (u8(b, pos) != 0) fail(); pos += 1 }
+
+    val blockUncStart = out.size
+    val dataStart = start + headerSize
+    val dataEnd = lzma2(b, dataStart, out)
+    val compSize = dataEnd - dataStart
+    if (declaredComp >= 0 && declaredComp != compSize) fail()
+    if (declaredUnc >= 0 && declaredUnc != out.size - blockUncStart) fail()
+
+    // block padding aligns (header + compressed data) to 4
+    var q = dataEnd
+    while ((q - start) % 4 != 0) { if (u8(b, q) != 0) fail(); q += 1 }
+
+    // verify the integrity check over this block's uncompressed bytes
+    checkId match {
+      case 0x00 => ()
+      case 0x01 =>
+        val c = new java.util.zip.CRC32
+        c.update(out.buf, blockUncStart, out.size - blockUncStart)
+        if (le32(b, q) != c.getValue) fail()
+      case 0x04 =>
+        if (le64(b, q) != crc64(out.buf, blockUncStart,
+          out.size - blockUncStart)) fail()
+      case 0x0a =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(out.buf, blockUncStart, out.size - blockUncStart)
+        val d = md.digest()
+        var i = 0
+        while (i < 32) { if (u8(b, q + i) != (d(i) & 0xff)) fail(); i += 1 }
+    }
+    q + checkLen
+  }
+
+  // ------------------------------------------------------------------
+  // Output window (the LZMA dictionary IS the produced output)
+  // ------------------------------------------------------------------
+
+  private final class Out(maxOut: Int) {
+    var buf = new Array[Byte](math.min(1 << 16, math.max(maxOut, 16)))
+    var size = 0
+    var dictStart = 0 // last LZMA2 dictionary reset
+
+    def ensure(n: Int): Unit = {
+      if (size + n > maxOut) fail()
+      if (size + n > buf.length) {
+        var cap = buf.length.toLong
+        while (cap < size + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, math.min(cap, maxOut.toLong).toInt)
+      }
+    }
+    def put(v: Byte): Unit = { buf(size) = v; size += 1 }
+    /** byte `dist+1` positions back (dist = 0 is the previous byte) */
+    def back(dist: Int): Byte = buf(size - dist - 1)
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, size)
+  }
+
+  // ------------------------------------------------------------------
+  // LZMA2 chunk layer
+  // ------------------------------------------------------------------
+
+  /** Decode one LZMA2 stream starting at `pos`; returns the offset
+    * just past its 0x00 terminator.
+    */
+  private def lzma2(b: Array[Byte], start: Int, out: Out): Int = {
+    var pos = start
+    var lzma: Lzma = null
+    var havePropsEver = false
+    while (true) {
+      val control = u8(b, pos)
+      pos += 1
+      if (control == 0x00) return pos
+      else if (control == 0x01 || control == 0x02) {
+        if (control == 0x01) out.dictStart = out.size
+        val n = ((u8(b, pos) << 8) | u8(b, pos + 1)) + 1
+        pos += 2
+        if (pos + n > b.length) fail()
+        out.ensure(n)
+        System.arraycopy(b, pos, out.buf, out.size, n)
+        out.size += n
+        pos += n
+        // an uncompressed chunk invalidates the LZMA state; the next
+        // LZMA chunk must carry a state reset (spec contract)
+        if (lzma != null) lzma.needStateReset = true
+      } else if ((control & 0x80) != 0) {
+        val unpackedSize = (((control & 0x1f) << 16) |
+          (u8(b, pos) << 8) | u8(b, pos + 1)) + 1
+        val packedSize = ((u8(b, pos + 2) << 8) | u8(b, pos + 3)) + 1
+        pos += 4
+        val resetBits = (control >> 5) & 3
+        if (resetBits >= 2) {
+          val p = u8(b, pos)
+          pos += 1
+          if (p >= 225) fail()
+          val lc = p % 9
+          val lp = (p / 9) % 5
+          val pb = p / 45
+          if (lc + lp > 4) fail()
+          lzma = new Lzma(lc, lp, pb)
+          havePropsEver = true
+        } else if (lzma == null) fail()
+        else if (resetBits == 1) lzma.resetState()
+        else if (lzma.needStateReset) fail() // encoder contract violated
+        if (resetBits == 3) out.dictStart = out.size
+        if (pos + packedSize > b.length) fail()
+        lzma.decodeChunk(b, pos, packedSize, unpackedSize, out)
+        pos += packedSize
+      } else fail()
+    }
+    fail()
+  }
+
+  // ------------------------------------------------------------------
+  // LZMA decoder (public reference: 7-Zip lzma-specification.txt)
+  // ------------------------------------------------------------------
+
+  private final class Lzma(lc: Int, lp: Int, pb: Int) {
+    var needStateReset = false
+    private val posMask = (1 << pb) - 1
+    private val litPosMask = (1 << lp) - 1
+
+    // probability arrays, 11-bit, init 1024
+    private val isMatch = new Array[Short](12 << 4)
+    private val isRep = new Array[Short](12)
+    private val isRepG0 = new Array[Short](12)
+    private val isRepG1 = new Array[Short](12)
+    private val isRepG2 = new Array[Short](12)
+    private val isRep0Long = new Array[Short](12 << 4)
+    private val posSlot = new Array[Short](4 * 64)
+    private val specPos = new Array[Short](115)
+    private val align = new Array[Short](16)
+    private val lenChoice = new Array[Short](2)
+    private val lenChoice2 = new Array[Short](2)
+    private val lenLow = new Array[Short](2 * 16 * 8)
+    private val lenMid = new Array[Short](2 * 16 * 8)
+    private val lenHigh = new Array[Short](2 * 256)
+    private val lit = new Array[Short](0x300 << (lc + lp))
+
+    private var state = 0
+    private var rep0, rep1, rep2, rep3 = 0
+
+    resetState()
+
+    def resetState(): Unit = {
+      state = 0
+      rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+      def f(a: Array[Short]): Unit = java.util.Arrays.fill(a, 1024.toShort)
+      f(isMatch); f(isRep); f(isRepG0); f(isRepG1); f(isRepG2)
+      f(isRep0Long); f(posSlot); f(specPos); f(align)
+      f(lenChoice); f(lenChoice2); f(lenLow); f(lenMid); f(lenHigh); f(lit)
+      needStateReset = false
+    }
+
+    // range decoder state (per chunk)
+    private var in: Array[Byte] = _
+    private var inPos = 0
+    private var inEnd = 0
+    private var range = 0L
+    private var code = 0L
+
+    private def rcInit(b: Array[Byte], pos: Int, len: Int): Unit = {
+      in = b; inPos = pos; inEnd = pos + len
+      if (u8(b, pos) != 0) fail()
+      range = 0xffffffffL
+      code = ((u8(b, pos + 1).toLong << 24) | (u8(b, pos + 2).toLong << 16) |
+        (u8(b, pos + 3).toLong << 8) | u8(b, pos + 4).toLong)
+      inPos = pos + 5
+    }
+
+    private def nextIn(): Long = {
+      if (inPos >= inEnd) fail()
+      val v = in(inPos) & 0xffL
+      inPos += 1
+      v
+    }
+
+    private def normalize(): Unit =
+      if (range < 0x1000000L) {
+        range <<= 8
+        code = ((code << 8) | nextIn()) & 0xffffffffL
+      }
+
+    private def bit(probs: Array[Short], i: Int): Int = {
+      val p = probs(i) & 0xffff
+      val bound = (range >>> 11) * p
+      if (code < bound) {
+        range = bound
+        probs(i) = (p + ((2048 - p) >> 5)).toShort
+        normalize()
+        0
+      } else {
+        range -= bound
+        code -= bound
+        probs(i) = (p - (p >> 5)).toShort
+        normalize()
+        1
+      }
+    }
+
+    private def direct(n: Int): Int = {
+      var res = 0
+      var i = n
+      while (i > 0) {
+        range >>>= 1
+        code = (code - range) & 0xffffffffL
+        val t = code >>> 31 // 1 when the subtract underflowed
+        if (t == 1) code = (code + range) & 0xffffffffL
+        res = (res << 1) | (1 - t.toInt)
+        normalize()
+        i -= 1
+      }
+      res
+    }
+
+    private def tree(probs: Array[Short], off: Int, n: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < n) { m = (m << 1) | bit(probs, off + m); i += 1 }
+      m - (1 << n)
+    }
+
+    private def revTree(probs: Array[Short], off: Int, n: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < n) {
+        val x = bit(probs, off + m)
+        m = (m << 1) | x
+        sym |= x << i
+        i += 1
+      }
+      sym
+    }
+
+    private def decodeLen(choice: Array[Short], choice2: Array[Short],
+        low: Array[Short], mid: Array[Short], high: Array[Short],
+        which: Int, posState: Int): Int =
+      if (bit(choice, which) == 0)
+        tree(low, (which * 16 + posState) * 8, 3)
+      else if (bit(choice2, which) == 0)
+        8 + tree(mid, (which * 16 + posState) * 8, 3)
+      else
+        16 + tree(high, which * 256, 8)
+
+    /** Decode exactly `unpackedSize` bytes of one LZMA2 chunk. */
+    def decodeChunk(b: Array[Byte], pos: Int, packedSize: Int,
+        unpackedSize: Int, out: Out): Unit = {
+      rcInit(b, pos, packedSize)
+      out.ensure(unpackedSize)
+      val target = out.size + unpackedSize
+      while (out.size < target) {
+        val totalPos = out.size - out.dictStart
+        val posState = totalPos & posMask
+        if (bit(isMatch, (state << 4) + posState) == 0) {
+          // literal
+          val prev =
+            if (totalPos == 0) 0 else out.back(0) & 0xff
+          val litState =
+            ((totalPos & litPosMask) << lc) + (prev >>> (8 - lc))
+          val off = 0x300 * litState
+          var symbol = 1
+          if (state >= 7) {
+            if (rep0 >= totalPos) fail()
+            var matchByte = (out.back(rep0) & 0xff) << 1
+            var break = false
+            while (!break && symbol < 0x100) {
+              val matchBit = (matchByte >> 8) & 1
+              matchByte = (matchByte << 1) & 0x3ff
+              val x = bit(lit, off + ((1 + matchBit) << 8) + symbol)
+              symbol = (symbol << 1) | x
+              if (matchBit != x) break = true
+            }
+          }
+          while (symbol < 0x100) symbol = (symbol << 1) | bit(lit, off + symbol)
+          out.put((symbol & 0xff).toByte)
+          state = if (state < 4) 0 else if (state < 10) state - 3 else state - 6
+        } else {
+          var len = 0
+          if (bit(isRep, state) == 0) {
+            // new match
+            rep3 = rep2; rep2 = rep1; rep1 = rep0
+            len = 2 + decodeLen(lenChoice, lenChoice2, lenLow, lenMid,
+              lenHigh, 0, posState)
+            val lenState = math.min(len - 2, 3)
+            val slot = tree(posSlot, lenState * 64, 6)
+            if (slot < 4) rep0 = slot
+            else {
+              val nd = (slot >> 1) - 1
+              var dist = (2 | (slot & 1)) << nd
+              if (slot < 14)
+                // reference: PosDecoders + dist - posSlot, probed at
+                // index m starting from 1 (lzma-specification.txt)
+                dist += revTree(specPos, dist - slot, nd)
+              else {
+                dist += direct(nd - 4) << 4
+                dist += revTree(align, 0, 4)
+              }
+              // 0xFFFFFFFF is the end marker (invalid inside sized
+              // LZMA2 chunks); any other wrapped value is a >2 GiB
+              // distance no bounded decode can satisfy
+              if (dist < 0) fail()
+              rep0 = dist
+            }
+            state = if (state < 7) 7 else 10
+          } else {
+            // rep match
+            if (bit(isRepG0, state) == 0) {
+              if (bit(isRep0Long, (state << 4) + posState) == 0) {
+                // short rep: one byte at rep0
+                if (rep0 >= totalPos) fail()
+                state = if (state < 7) 9 else 11
+                out.put(out.back(rep0))
+                len = -1 // handled
+              }
+            } else {
+              val dist =
+                if (bit(isRepG1, state) == 0) rep1
+                else if (bit(isRepG2, state) == 0) { val d = rep2; rep2 = rep1; d }
+                else { val d = rep3; rep3 = rep2; rep2 = rep1; d }
+              rep1 = rep0
+              rep0 = dist
+            }
+            if (len == 0) {
+              len = 2 + decodeLen(lenChoice, lenChoice2, lenLow, lenMid,
+                lenHigh, 1, posState)
+              state = if (state < 7) 8 else 11
+            }
+          }
+          if (len > 0) {
+            if (out.size + len > target) fail() // chunk overrun
+            if (rep0 >= out.size - out.dictStart) fail()
+            var i = 0
+            while (i < len) { out.put(out.back(rep0)); i += 1 }
+          }
+        }
+      }
+      // the encoder may pad the packed stream; require the range
+      // decoder to have stayed within its chunk
+      if (inPos > inEnd) fail()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture writer: spec XZ frames over LZMA2 uncompressed chunks
+  // ------------------------------------------------------------------
+
+  /** Encode `data` as a valid single-stream .xz file (CRC32 check,
+    * one block, LZMA2 uncompressed chunks). Validated during vector
+    * generation to decode byte-identically through liblzma.
+    */
+  def compress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32le(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    // stream header: magic, flags (check = CRC32), CRC32 of flags
+    out.write(Magic, 0, 6)
+    val flags = Array[Byte](0, 0x01)
+    out.write(flags, 0, 2)
+    w32le(crc32(flags, 0, 2))
+
+    if (data.isEmpty) {
+      // empty input: a stream with ZERO blocks (the spec forbids
+      // empty blocks; this is what liblzma itself emits)
+      val idx = Array[Byte](0x00, 0x00, 0, 0) // indicator, count 0, pad
+      out.write(idx, 0, 4)
+      w32le(crc32(idx, 0, 4))
+      val tail = Array[Byte](1, 0, 0, 0, 0, 0x01) // backward=(8/4)-1
+      w32le(crc32(tail, 0, 6))
+      out.write(tail, 0, 6)
+      out.write('Y'); out.write('Z')
+      return out.toByteArray
+    }
+
+    // block header (12 bytes): size, flags (no sizes), LZMA2 filter
+    // (id 0x21, 1 props byte: dict-size code 12 = 256 KiB), 3 padding
+    // nulls, CRC32 of the first 8 bytes
+    val bhLen = 12
+    val bh = new Array[Byte](bhLen)
+    bh(0) = ((bhLen / 4) - 1).toByte
+    bh(1) = 0 // one filter, no size fields
+    bh(2) = 0x21; bh(3) = 1; bh(4) = 12
+    val bhCrc = crc32(bh, 0, bhLen - 4)
+    bh(8) = (bhCrc & 0xff).toByte
+    bh(9) = ((bhCrc >> 8) & 0xff).toByte
+    bh(10) = ((bhCrc >> 16) & 0xff).toByte
+    bh(11) = ((bhCrc >> 24) & 0xff).toByte
+    out.write(bh, 0, bhLen)
+
+    // LZMA2 uncompressed chunks (first resets the dictionary)
+    var off = 0
+    var first = true
+    val dataStart = out.size()
+    while (off < data.length) {
+      val n = math.min(1 << 16, data.length - off)
+      out.write(if (first) 0x01 else 0x02)
+      out.write((n - 1) >> 8)
+      out.write((n - 1) & 0xff)
+      out.write(data, off, n)
+      off += n
+      first = false
+    }
+    out.write(0x00) // terminator
+    val compSize = out.size() - dataStart
+    var pad = (4 - ((bhLen + compSize) % 4)) % 4
+    val unpaddedSize = bhLen.toLong + compSize + 4 // + CRC32 check
+    while (pad > 0) { out.write(0); pad -= 1 }
+    w32le(crc32(data, 0, data.length))
+
+    // index
+    val idx = new java.io.ByteArrayOutputStream()
+    idx.write(0x00)
+    def vliW(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while (v >= 0x80) { o.write(((v & 0x7f) | 0x80).toInt); v >>= 7 }
+      o.write(v.toInt)
+    }
+    vliW(idx, 1L)
+    vliW(idx, unpaddedSize)
+    vliW(idx, data.length.toLong)
+    while (idx.size() % 4 != 0) idx.write(0)
+    val idxBytes = idx.toByteArray
+    out.write(idxBytes, 0, idxBytes.length)
+    w32le(crc32(idxBytes, 0, idxBytes.length))
+
+    // footer
+    val tail = new Array[Byte](6)
+    val backward = (idxBytes.length + 4) / 4 - 1
+    tail(0) = (backward & 0xff).toByte
+    tail(1) = ((backward >> 8) & 0xff).toByte
+    tail(2) = ((backward >> 16) & 0xff).toByte
+    tail(3) = ((backward >> 24) & 0xff).toByte
+    tail(4) = 0; tail(5) = 0x01
+    w32le(crc32(tail, 0, 6))
+    out.write(tail, 0, 6)
+    out.write('Y'); out.write('Z')
+    out.toByteArray
+  }
+}

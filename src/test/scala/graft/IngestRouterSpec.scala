@@ -38,12 +38,15 @@ class IngestRouterSpec extends AnyFunSuite {
   }
 
   test("transport-wrapped archives unwrap and re-sniff correctly") {
-    // tar ids rotate gzip/bzip2/zstd transports on id % 5; warc id%8==2
-    // is whole-file zstd, odd warc ids are per-record gzip members
-    assert(IngestRouter.sniff(TarFixtures.tarBytes(11L)) == "tar") // gzip
-    assert(IngestRouter.sniff(TarFixtures.tarBytes(12L)) == "tar") // bzip2
-    assert(IngestRouter.sniff(TarFixtures.tarBytes(13L)) == "tar") // zstd
+    // tar ids rotate gzip/bzip2/zstd/xz transports on id % 6; warc
+    // id%8==2 is whole-file zstd, id%8==6 whole-file xz, odd warc ids
+    // are per-record gzip members
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(13L)) == "tar") // gzip
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(14L)) == "tar") // bzip2
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(15L)) == "tar") // zstd
+    assert(IngestRouter.sniff(TarFixtures.tarBytes(16L)) == "tar") // xz
     assert(IngestRouter.sniff(WarcFixtures.warcBytes(10L)) == "warc") // zstd
+    assert(IngestRouter.sniff(WarcFixtures.warcBytes(14L)) == "warc") // xz
     assert(IngestRouter.sniff(WarcFixtures.warcBytes(7L)) == "warc") // gzip members
   }
 

@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The xz transport held to truth against the system liblzma (5.4.1,
+  * via the Python `lzma` binding) two ways:
+  *
+  *  1. 20 stored vectors across presets 0-9+extreme, payload kinds
+  *     (repetitive text, structured records, pseudo-random, RLE runs,
+  *     mixed), custom lc/lp/pb + small-dict filter settings, all four
+  *     check types (none / CRC32 / CRC64 / SHA-256), concatenated
+  *     streams with and without stream padding, and the empty stream
+  *     — decompression must be byte-exact.
+  *  2. The fixture writer's frames were validated during vector
+  *     generation to decompress byte-identically through liblzma
+  *     itself (see FIXTURES.md) — both directions agree with the
+  *     reference implementation.
+  *
+  * Plus CRC64 known answers, JVM round-trips across payload shapes,
+  * and truncation/mutation robustness (bounded allocation, None not
+  * throw).
+  */
+class XzCodecSpec extends AnyFunSuite {
+
+  private val vectorDir = Paths.get("src/test/resources/xz")
+  private val MaxOut = 1 << 22
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("20 liblzma vectors decompress byte-exactly") {
+    for (i <- 0 until 20) {
+      val comp = Files.readAllBytes(vectorDir.resolve(s"case_$i.xz"))
+      val raw = Files.readAllBytes(vectorDir.resolve(s"case_$i.raw"))
+      val out = XzCodec.decompress(comp, MaxOut)
+      assert(out.isDefined, s"case $i must decode")
+      assert(java.util.Arrays.equals(out.get, raw), s"case $i content")
+    }
+  }
+
+  test("crc64 known answers (xz variant of ECMA-182)") {
+    // the widely published check value for "123456789"
+    assert(XzCodec.crc64("123456789".getBytes("US-ASCII"), 0, 9) ==
+      0x995dc9bbdf1939faL)
+    assert(XzCodec.crc64(Array.emptyByteArray, 0, 0) == 0L)
+  }
+
+  test("fixture writer round-trips through the decoder across shapes") {
+    for (seed <- 0 until 20) {
+      val n = seed match {
+        case 0 => 0
+        case 1 => 1
+        case 2 => 3
+        case k => k * k * 173
+      }
+      val raw = Array.tabulate[Byte](n) { j =>
+        val words = "the quick brown xz spark engine data pipeline corpus "
+        ((seed % 4): @unchecked) match {
+          case 0 => words(j % words.length).toByte
+          case 1 => ((j * 31 + seed * 7) & 0xff).toByte
+          case 2 => 'A'.toByte
+          case 3 =>
+            if ((j / 50) % 2 == 0) words(j % words.length).toByte
+            else ((j * 131) & 0xff).toByte
+        }
+      }
+      val comp = XzCodec.compress(raw)
+      val out = XzCodec.decompress(comp, MaxOut)
+      assert(out.isDefined, s"seed=$seed n=$n")
+      assert(java.util.Arrays.equals(out.get, raw), s"seed=$seed n=$n")
+    }
+  }
+
+  test("a >64 KiB payload spans multiple LZMA2 uncompressed chunks") {
+    val raw = Array.tabulate[Byte](200000)(j => ((j * 7) & 0xff).toByte)
+    val comp = XzCodec.compress(raw)
+    assert(XzCodec.decompress(comp, MaxOut).exists(
+      java.util.Arrays.equals(_, raw)))
+  }
+
+  test("output budget rejects oversized content, not crashes") {
+    val raw = new Array[Byte](100000)
+    val comp = XzCodec.compress(raw)
+    assert(XzCodec.decompress(comp, maxOut = 50000).isEmpty)
+    // liblzma-compressed RLE inflates far beyond its packed size —
+    // the budget must bind on the UNPACKED side
+    val v4 = Files.readAllBytes(vectorDir.resolve("case_4.xz")) // 80k RLE
+    assert(XzCodec.decompress(v4, maxOut = 1000).isEmpty)
+  }
+
+  test("truncations of every vector return None or a prefix, never throw") {
+    for (i <- 0 until 20) {
+      val comp = Files.readAllBytes(vectorDir.resolve(s"case_$i.xz"))
+      for (frac <- Seq(0.1, 0.3, 0.5, 0.8, 0.97)) {
+        val cut = java.util.Arrays.copyOf(comp, (comp.length * frac).toInt)
+        XzCodec.decompress(cut, MaxOut) // must not throw
+      }
+    }
+  }
+
+  test("random mutations never throw and never over-allocate") {
+    val base = Files.readAllBytes(vectorDir.resolve("case_1.xz"))
+    val gen = for {
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut, for {
+        p <- Gen.choose(0, base.length - 1)
+        v <- Gen.choose(0, 255)
+      } yield (p, v))
+    } yield muts
+    check(Prop.forAll(gen) { muts =>
+      val b = base.clone()
+      muts.foreach { case (p, v) => b(p) = v.toByte }
+      XzCodec.decompress(b, MaxOut) // throw = failure
+      true
+    })
+  }
+
+  test("random garbage is rejected (including the empty input)") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 200) {
+      val junk = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(junk)
+      assert(XzCodec.decompress(junk, MaxOut).isEmpty)
+    }
+    assert(XzCodec.decompress(Array.emptyByteArray, MaxOut).isEmpty)
+  }
+
+  test("tar and warc transports route .xz") {
+    // rotation leg id % 6 == 4 is xz-wrapped
+    val id = 16L
+    assert((id % 6) == 4)
+    val entries = TarCodec.parseEntries(TarFixtures.tarBytes(id))
+    assert(entries.nonEmpty)
+    val files = entries.filter(_.typeflag == '0')
+    assert(files.map(e => new String(e.data.get, "UTF-8")) ==
+      (0 until TarFixtures.nEntries(id)).map(i => TarFixtures.content(id, i)))
+    // warc whole-file xz (id % 8 == 6)
+    val wid = 6L
+    val recs = WarcCodec.parseRecords(WarcFixtures.warcBytes(wid))
+    assert(recs.nonEmpty)
+  }
+}
