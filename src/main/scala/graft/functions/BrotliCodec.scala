@@ -1,0 +1,710 @@
+package graft.functions
+
+/** Brotli (RFC 7932) decompression, pure JVM — the fifth archive
+  * transport beside gzip, bzip2, zstd and xz: `.br` sidecars and WARC
+  * `Content-Encoding: br` HTTP payloads are the modern web-crawl
+  * shapes (r10 verdict item 4).
+  *
+  * Decode surface, from RFC 7932: stream header (all window sizes
+  * 10–24), uncompressed / metadata / compressed meta-blocks; prefix
+  * codes in simple (1–4 symbols, tree-select) and complex form (the
+  * 18-symbol code-length code with HSKIP, 16/17 repeat codes and the
+  * accumulating repeat rule); block switching over three categories
+  * with type/count trees; literal context modes LSB6/MSB6/UTF8/Signed
+  * with context maps (RLE + inverse-MTF); the 704-symbol insert&copy
+  * command alphabet; distance codes with the four-slot ring buffer
+  * (±1..3 composites), NPOSTFIX/NDIRECT parameterization; and the
+  * STATIC DICTIONARY with all 121 word transforms (prefix/suffix +
+  * identity / omit-first-N / omit-last-N / uppercase-first /
+  * uppercase-all).
+  *
+  * Held to truth against the system libbrotli 1.0.9 (FIXTURES.md):
+  * the dictionary (122 784 bytes), the 121-transform table and the
+  * 2 KiB context-lookup table are EXTRACTED from `libbrotlicommon`
+  * via its public API (`BrotliGetDictionary` / `BrotliGetTransforms`)
+  * and checked in as resources; the transform replica was verified
+  * exhaustively against `BrotliTransformDictionaryWord` over every
+  * dictionary word x every transform (1 633 984 applications, zero
+  * mismatches). 21 stored vectors from `BrotliEncoderCompress`
+  * (qualities 0–11, windows 10–24, small texts that lean hard on the
+  * dictionary+transforms) must decode byte-exactly, and the fixture
+  * writer's uncompressed-meta-block frames decode byte-identically
+  * through `BrotliDecoderDecompress`.
+  *
+  * 100 TB shape: per-document map work inside the archive walks; the
+  * output budget (`maxOut`) is enforced before every write, so a
+  * hostile command stream cannot balloon an executor.
+  */
+object BrotliCodec {
+
+  // ------------------------------------------------------------------
+  // Extracted tables (see FIXTURES.md round 11): loaded once per JVM
+  // ------------------------------------------------------------------
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/brotli/$name")
+    require(in != null, s"missing resource $name")
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** 122 784 dictionary bytes (words of length 4..24). */
+  private lazy val dict: Array[Byte] = resource("dictionary.bin")
+
+  /** Bits of word-count per word length (0 = no words of that len). */
+  private val sizeBits: Array[Int] = Array(
+    0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9, 8, 7, 7, 8, 7,
+    7, 6, 6, 5, 5)
+
+  private val dictOffset: Array[Int] = {
+    val o = new Array[Int](26)
+    var acc = 0
+    var l = 0
+    while (l <= 24) {
+      o(l) = acc
+      if (l >= 4) acc += l << sizeBits(l)
+      l += 1
+    }
+    o(25) = acc
+    o
+  }
+
+  /** (prefix, op, suffix) x 121; ops: 0 identity, 1..9 omit-last-N,
+    * 10 uppercase-first, 11 uppercase-all, 12..20 omit-first-N.
+    */
+  private lazy val transforms: Array[(Array[Byte], Int, Array[Byte])] = {
+    val b = resource("transforms.bin")
+    val n = (b(0) & 0xff) | ((b(1) & 0xff) << 8)
+    val out = new Array[(Array[Byte], Int, Array[Byte])](n)
+    var pos = 2
+    var t = 0
+    while (t < n) {
+      val pl = b(pos) & 0xff
+      val p = java.util.Arrays.copyOfRange(b, pos + 1, pos + 1 + pl)
+      pos += 1 + pl
+      val op = b(pos) & 0xff
+      pos += 1
+      val sl = b(pos) & 0xff
+      val s = java.util.Arrays.copyOfRange(b, pos + 1, pos + 1 + sl)
+      pos += 1 + sl
+      out(t) = (p, op, s)
+      t += 1
+    }
+    out
+  }
+
+  /** 2048-byte context lookup: mode*512 + p1 and mode*512 + 256 + p2. */
+  private lazy val contextLut: Array[Byte] = resource("context_lut.bin")
+
+  /** Block-count code ranges (26 symbols): offset, extra bits —
+    * extracted `_kBrotliPrefixCodeRanges`.
+    */
+  private val blockLenOffset = Array(1, 5, 9, 13, 17, 25, 33, 41, 49, 65,
+    81, 97, 113, 145, 177, 209, 241, 305, 369, 497, 753, 1265, 2289,
+    4337, 8433, 16625)
+  private val blockLenBits = Array(2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5,
+    5, 5, 5, 6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
+
+  // insert / copy length codes (RFC 7932 section 5)
+  private val insBase = Array(0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34,
+    50, 66, 98, 130, 194, 322, 578, 1090, 2114, 6210, 22594)
+  private val insBits = Array(0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5,
+    5, 6, 7, 8, 9, 10, 12, 14, 24)
+  private val copyBase = Array(2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22,
+    30, 38, 54, 70, 102, 134, 198, 326, 582, 1094, 2118)
+  private val copyBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3,
+    4, 4, 5, 5, 6, 7, 8, 9, 10, 24)
+  private val insRangeLut = Array(0, 0, 8, 8, 0, 16, 8, 16, 16)
+  private val copyRangeLut = Array(0, 8, 0, 8, 16, 0, 16, 8, 16)
+
+  private val codeLengthOrder =
+    Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+  // two-bit heads of the code-length code's fixed VLC (LSB-first)
+  private val clPrefixValue = Array(0, 4, 3)
+
+  private final class Fail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fail(): Nothing = throw new Fail
+
+
+  // ------------------------------------------------------------------
+  // LSB-first bit reader
+  // ------------------------------------------------------------------
+
+  private final class Bits(b: Array[Byte]) {
+    var bytePos = 0
+    var bitPos = 0
+    def bits(n: Int): Int = {
+      var v = 0
+      var got = 0
+      while (got < n) {
+        if (bytePos >= b.length) fail()
+        val avail = 8 - bitPos
+        val take = math.min(avail, n - got)
+        v |= (((b(bytePos) & 0xff) >> bitPos) & ((1 << take) - 1)) << got
+        bitPos += take
+        got += take
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      }
+      v
+    }
+    def bit(): Int = bits(1)
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  // ------------------------------------------------------------------
+  // Canonical prefix codes (DEFLATE-style: MSB-first code packing)
+  // ------------------------------------------------------------------
+
+  /** lengths: per-symbol code length (0 = unused), max 15. A code with
+    * exactly one used symbol is ZERO-bit (reads nothing).
+    */
+  private final class Prefix(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    private val count = new Array[Int](maxLen + 1)
+    locally { lengths.foreach(l => if (l > 0) count(l) += 1) }
+    private val single = {
+      var used = 0
+      var sym = -1
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) > 0) { used += 1; sym = i }
+        i += 1
+      }
+      if (used == 1) sym else -1
+    }
+    // Kraft check: reject over-subscribed codes; under-full codes are
+    // only legal in the single-symbol form
+    locally {
+      if (single < 0) {
+        var space = 1L << 15
+        var l = 1
+        while (l <= maxLen) { space -= count(l).toLong << (15 - l); l += 1 }
+        if (space != 0) fail()
+      }
+    }
+    // symbols sorted by (length, symbol) = canonical order
+    private val offsets = new Array[Int](maxLen + 2)
+    locally {
+      var l = 1
+      while (l <= maxLen) { offsets(l + 1) = offsets(l) + count(l); l += 1 }
+    }
+    private val sorted = new Array[Int](offsets(maxLen + 1))
+    locally {
+      val fill = offsets.clone()
+      var s = 0
+      while (s < lengths.length) {
+        val l = lengths(s)
+        if (l > 0) { sorted(fill(l)) = s; fill(l) += 1 }
+        s += 1
+      }
+    }
+    // first canonical code per length
+    private val firstCode = new Array[Int](maxLen + 2)
+    locally {
+      var code = 0
+      var l = 1
+      while (l <= maxLen) {
+        firstCode(l) = code
+        code = (code + count(l)) << 1
+        l += 1
+      }
+    }
+
+    def read(br: Bits): Int = {
+      if (single >= 0) return single
+      var code = 0
+      var l = 1
+      while (l <= maxLen) {
+        code = (code << 1) | br.bit()
+        val idx = code - firstCode(l)
+        if (idx >= 0 && idx < count(l)) return sorted(offsets(l) + idx)
+        l += 1
+      }
+      fail()
+    }
+  }
+
+  private def alphabetBits(size: Int): Int = {
+    var b = 0
+    while ((1 << b) < size) b += 1
+    b
+  }
+
+  /** Read one prefix code over `alphabet` symbols (RFC 7932 3.4/3.5). */
+  private def readPrefixCode(br: Bits, alphabet: Int): Prefix = {
+    val lengths = new Array[Int](alphabet)
+    val sel = br.bits(2)
+    if (sel == 1) {
+      // simple code: 1..4 symbols listed explicitly
+      val nsym = br.bits(2) + 1
+      val abits = alphabetBits(alphabet)
+      val syms = new Array[Int](nsym)
+      var i = 0
+      while (i < nsym) {
+        val s = br.bits(abits)
+        if (s >= alphabet) fail()
+        syms(i) = s
+        i += 1
+      }
+      // duplicate symbols are invalid
+      if (syms.distinct.length != nsym) fail()
+      nsym match {
+        case 1 => lengths(syms(0)) = 1 // single-symbol: zero-bit read
+        case 2 =>
+          lengths(syms(0)) = 1; lengths(syms(1)) = 1
+        case 3 =>
+          lengths(syms(0)) = 1; lengths(syms(1)) = 2; lengths(syms(2)) = 2
+        case _ =>
+          if (br.bit() == 1) {
+            lengths(syms(0)) = 1; lengths(syms(1)) = 2
+            lengths(syms(2)) = 3; lengths(syms(3)) = 3
+          } else {
+            var j = 0
+            while (j < 4) { lengths(syms(j)) = 2; j += 1 }
+          }
+      }
+      // canonical-by-(length, symbol) equals the spec assignment: the
+      // reference sorts symbols within each length class before the
+      // canonical walk
+      new Prefix(lengths)
+    } else {
+      // complex code: code-length code first (18 symbols, HSKIP = sel)
+      val clLens = new Array[Int](18)
+      var space = 32
+      var numCl = 0
+      var i = sel
+      while (i < 18 && space > 0) {
+        // the code-length code's own fixed VLC, read LSB-first:
+        // '00'->0 '01'(=2)->3 '10'(=1)->4 '011'->2 '0111'->1 '1111'->5
+        val v2 = br.bits(2)
+        val v =
+          if (v2 != 3) clPrefixValue(v2)
+          else if (br.bit() == 0) 2
+          else if (br.bit() == 0) 1
+          else 5
+        clLens(codeLengthOrder(i)) = v
+        if (v != 0) { space -= 32 >> v; numCl += 1 }
+        i += 1
+      }
+      if (space < 0) fail()
+      if (space != 0 && numCl != 1) fail()
+      val clCode = new Prefix(clLens)
+
+      // symbol lengths via the code-length code
+      var sym = 0
+      var prevLen = 8
+      var repeat = 0
+      var repeatLen = 0
+      var hspace = 1 << 15
+      while (sym < alphabet && hspace > 0) {
+        val v = clCode.read(br)
+        if (v < 16) {
+          lengths(sym) = v
+          sym += 1
+          if (v != 0) { hspace -= (1 << 15) >> v; prevLen = v }
+          repeat = 0
+        } else {
+          val extra = v - 14 // 16 -> 2 bits, 17 -> 3 bits
+          val newLen = if (v == 16) prevLen else 0
+          if (repeatLen != newLen) { repeat = 0; repeatLen = newLen }
+          val old = repeat
+          if (repeat > 0) { repeat -= 2; repeat <<= extra }
+          repeat += br.bits(extra) + 3
+          val n = repeat - old
+          if (sym + n > alphabet) fail()
+          var j = 0
+          while (j < n) { lengths(sym) = repeatLen; sym += 1; j += 1 }
+          if (repeatLen != 0) hspace -= n << (15 - repeatLen)
+        }
+      }
+      if (hspace < 0) fail()
+      // under-full is legal only as a single-symbol code (Prefix checks)
+      new Prefix(lengths)
+    }
+  }
+
+  /** Context map (RFC 7932 7.3): RLE of zeros + inverse MTF. */
+  private def readContextMap(br: Bits, size: Int, nTrees: Int): Array[Int] = {
+    val map = new Array[Int](size)
+    if (nTrees == 1) return map
+    val rleMax = if (br.bit() == 1) br.bits(4) + 1 else 0
+    val code = readPrefixCode(br, nTrees + rleMax)
+    var i = 0
+    while (i < size) {
+      val v = code.read(br)
+      if (v == 0) { map(i) = 0; i += 1 }
+      else if (v <= rleMax) {
+        var reps = (1 << v) + br.bits(v)
+        if (i + reps > size) fail()
+        while (reps > 0) { map(i) = 0; i += 1; reps -= 1 }
+      } else {
+        map(i) = v - rleMax
+        i += 1
+      }
+    }
+    if (br.bit() == 1) {
+      // inverse move-to-front
+      val mtf = Array.tabulate(256)(identity)
+      var k = 0
+      while (k < size) {
+        val idx = map(k)
+        val v = mtf(idx)
+        var j = idx
+        while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+        mtf(0) = v
+        map(k) = v
+        k += 1
+      }
+    }
+    map
+  }
+
+  // ------------------------------------------------------------------
+  // Decoder
+  // ------------------------------------------------------------------
+
+  def decompress(comp: Array[Byte], maxOut: Int): Option[Array[Byte]] =
+    try {
+      if (comp.isEmpty) fail()
+      val br = new Bits(comp)
+      // window bits (decode.c DecodeWindowBits shape)
+      val wbits =
+        if (br.bit() == 0) 16
+        else {
+          val n = br.bits(3)
+          if (n != 0) 17 + n
+          else {
+            val m = br.bits(3)
+            if (m == 1) fail() // reserved
+            else if (m != 0) 8 + m
+            else 17
+          }
+        }
+      val window = (1 << wbits) - 16
+
+      var buf = new Array[Byte](math.min(1 << 16, math.max(maxOut, 16)))
+      var outPos = 0
+      def ensure(n: Int): Unit = {
+        if (outPos + n > maxOut) fail()
+        if (outPos + n > buf.length) {
+          var cap = buf.length.toLong
+          while (cap < outPos + n) cap *= 2
+          buf = java.util.Arrays.copyOf(buf, math.min(cap, maxOut.toLong).toInt)
+        }
+      }
+
+      // distance ring buffer, most recent first. The RFC's init list
+      // "16, 15, 11, 4" is in ring-ARRAY order with the write index
+      // at 0 — the most recent is 4 (verified against libbrotlidec
+      // with crafted streams: initial dcode 3 resolves to 16)
+      val rb = Array(4, 11, 15, 16)
+      def pushDistance(d: Int): Unit = {
+        rb(3) = rb(2); rb(2) = rb(1); rb(1) = rb(0); rb(0) = d
+      }
+
+      var isLast = false
+      while (!isLast) {
+        isLast = br.bit() == 1
+        if (isLast && br.bit() == 1) {
+          // ISLASTEMPTY
+        } else {
+          val mnibCode = br.bits(2)
+          if (mnibCode == 3) {
+            // metadata meta-block: skip
+            if (isLast) fail()
+            if (br.bit() != 0) fail() // reserved
+            val skipBytes = br.bits(2)
+            var skipLen = 0
+            if (skipBytes > 0) {
+              skipLen = br.bits(8 * skipBytes)
+              if (skipBytes > 1 && (skipLen >> (8 * (skipBytes - 1))) == 0)
+                fail() // non-minimal
+              skipLen += 1
+            }
+            br.align()
+            br.bytePos += skipLen
+            if (br.bytePos > comp.length) fail()
+          } else {
+            val mnibbles = 4 + mnibCode
+            val mlenM1 = br.bits(4 * mnibbles)
+            if (mnibbles > 4 && (mlenM1 >> (4 * (mnibbles - 1))) == 0)
+              fail() // non-minimal nibble count
+            val mlen = mlenM1 + 1
+            val uncompressed = !isLast && br.bit() == 1
+            if (uncompressed) {
+              br.align()
+              if (br.bytePos + mlen > comp.length) fail()
+              ensure(mlen)
+              System.arraycopy(comp, br.bytePos, buf, outPos, mlen)
+              outPos += mlen
+              br.bytePos += mlen
+            } else {
+              // ---- compressed meta-block ----
+              def varLenUint8(): Int =
+                if (br.bit() == 0) 0
+                else {
+                  val n = br.bits(3)
+                  if (n == 0) 1 else br.bits(n) + (1 << n)
+                }
+
+              val nbl = new Array[Int](3) // block type counts: L, I, D
+              val btype = Array(0, 0, 0)
+              val btypePrev = Array(1, 1, 1)
+              val blockLen = Array(1 << 28, 1 << 28, 1 << 28)
+              val typeTrees = new Array[Prefix](3)
+              val countTrees = new Array[Prefix](3)
+
+              def readBlockLen(tree: Prefix): Int = {
+                val s = tree.read(br)
+                blockLenOffset(s) + br.bits(blockLenBits(s))
+              }
+
+              var c = 0
+              while (c < 3) {
+                nbl(c) = varLenUint8() + 1
+                if (nbl(c) >= 2) {
+                  typeTrees(c) = readPrefixCode(br, nbl(c) + 2)
+                  countTrees(c) = readPrefixCode(br, 26)
+                  blockLen(c) = readBlockLen(countTrees(c))
+                }
+                c += 1
+              }
+
+              def switchBlock(cat: Int): Unit = {
+                val s = typeTrees(cat).read(br)
+                val nt =
+                  if (s == 0) btypePrev(cat)
+                  else if (s == 1) (btype(cat) + 1) % nbl(cat)
+                  else s - 2
+                btypePrev(cat) = btype(cat)
+                btype(cat) = nt
+                blockLen(cat) = readBlockLen(countTrees(cat))
+              }
+
+              val npostfix = br.bits(2)
+              val ndirect = br.bits(4) << npostfix
+              val postfixMask = (1 << npostfix) - 1
+
+              val contextModes = new Array[Int](nbl(0))
+              var t = 0
+              while (t < nbl(0)) { contextModes(t) = br.bits(2); t += 1 }
+
+              val nTreesL = varLenUint8() + 1
+              val cmapL = readContextMap(br, 64 * nbl(0), nTreesL)
+              val nTreesD = varLenUint8() + 1
+              val cmapD = readContextMap(br, 4 * nbl(2), nTreesD)
+
+              val litTrees = Array.fill(nTreesL)(readPrefixCode(br, 256))
+              val cmdTrees = Array.fill(nbl(1))(readPrefixCode(br, 704))
+              val distAlphabet = 16 + ndirect + (48 << npostfix)
+              val distTrees = Array.fill(nTreesD)(readPrefixCode(br, distAlphabet))
+
+              var mleft = mlen
+              while (mleft > 0) {
+                if (blockLen(1) == 0) switchBlock(1)
+                blockLen(1) -= 1
+                val cmd = cmdTrees(btype(1)).read(br)
+                val rangeIdx0 = cmd >> 6
+                val implicitDist = rangeIdx0 < 2
+                val rangeIdx = if (implicitDist) rangeIdx0 else rangeIdx0 - 2
+                val insCode = insRangeLut(rangeIdx) + ((cmd >> 3) & 7)
+                val copyCode = copyRangeLut(rangeIdx) + (cmd & 7)
+                var insLen = insBase(insCode) + br.bits(insBits(insCode))
+                var copyLen = copyBase(copyCode) + br.bits(copyBits(copyCode))
+
+                // literals
+                while (insLen > 0 && mleft > 0) {
+                  if (blockLen(0) == 0) switchBlock(0)
+                  blockLen(0) -= 1
+                  val p1 = if (outPos > 0) buf(outPos - 1) & 0xff else 0
+                  val p2 = if (outPos > 1) buf(outPos - 2) & 0xff else 0
+                  val mode = contextModes(btype(0))
+                  val ctx = (contextLut((mode << 9) + p1) & 0xff) |
+                    (contextLut((mode << 9) + 256 + p2) & 0xff)
+                  val tree = litTrees(cmapL(btype(0) * 64 + ctx))
+                  ensure(1)
+                  buf(outPos) = tree.read(br).toByte
+                  outPos += 1
+                  mleft -= 1
+                  insLen -= 1
+                }
+                if (insLen > 0) fail() // insert ran past the meta-block
+
+                if (mleft > 0) {
+                  val maxDistance = math.min(outPos, window)
+                  var distance = 0
+                  var pushable = false
+                  if (implicitDist) distance = rb(0)
+                  else {
+                    if (blockLen(2) == 0) switchBlock(2)
+                    blockLen(2) -= 1
+                    val dctx = if (copyLen <= 4) copyLen - 2 else 3
+                    val tree = distTrees(cmapD(btype(2) * 4 + dctx))
+                    val dcode = tree.read(br)
+                    if (dcode < 16) {
+                      distance = dcode match {
+                        case 0 => rb(0)
+                        case 1 => rb(1)
+                        case 2 => rb(2)
+                        case 3 => rb(3)
+                        case _ =>
+                          val base = if (dcode < 10) rb(0) else rb(1)
+                          val k = if (dcode < 10) dcode - 4 else dcode - 10
+                          val delta = (k >> 1) + 1
+                          if ((k & 1) == 0) base - delta else base + delta
+                      }
+                      if (distance <= 0) fail()
+                      pushable = dcode != 0
+                    } else if (dcode < 16 + ndirect) {
+                      distance = dcode - 16 + 1
+                      pushable = true
+                    } else {
+                      val x = dcode - ndirect - 16
+                      val hcode = x >> npostfix
+                      val lcode = x & postfixMask
+                      val ndistbits = 1 + (hcode >> 1)
+                      val offset = ((2 + (hcode & 1)) << ndistbits) - 4
+                      distance = ((offset + br.bits(ndistbits)) << npostfix) +
+                        lcode + ndirect + 1
+                      if (distance <= 0) fail()
+                      pushable = true
+                    }
+                  }
+
+                  if (distance <= maxDistance) {
+                    // a real window copy with a non-zero distance code
+                    // enters the ring buffer; static-dictionary
+                    // distances never do (both verified against
+                    // libbrotlidec with crafted streams)
+                    if (pushable) pushDistance(distance)
+                    // backward copy (overlap-safe byte walk)
+                    if (copyLen > mleft) fail()
+                    ensure(copyLen)
+                    var i = 0
+                    while (i < copyLen) {
+                      buf(outPos) = buf(outPos - distance)
+                      outPos += 1
+                      i += 1
+                    }
+                    mleft -= copyLen
+                  } else {
+                    // static dictionary reference
+                    if (copyLen < 4 || copyLen > 24) fail()
+                    val sb = sizeBits(copyLen)
+                    if (sb == 0) fail()
+                    val address = distance - maxDistance - 1
+                    val wordIdx = address & ((1 << sb) - 1)
+                    val tIdx = address >>> sb
+                    if (tIdx >= transforms.length) fail()
+                    val wOff = dictOffset(copyLen) + wordIdx * copyLen
+                    val (pre, op, suf) = transforms(tIdx)
+                    // apply transform into a scratch (max 24+13+13)
+                    val scratch = new Array[Byte](64)
+                    var n = 0
+                    var i = 0
+                    while (i < pre.length) { scratch(n) = pre(i); n += 1; i += 1 }
+                    var ws = wOff
+                    var we = wOff + copyLen
+                    if (op >= 12 && op <= 20) ws += math.min(copyLen, op - 11)
+                    else if (op >= 1 && op <= 9) we -= math.min(copyLen, op)
+                    val wStart = n
+                    i = ws
+                    while (i < we) { scratch(n) = dict(i); n += 1; i += 1 }
+                    if (op == 10) ferment(scratch, wStart, n)
+                    else if (op == 11) {
+                      var j = wStart
+                      while (j < n) j += fermentAt(scratch, j, n)
+                    }
+                    i = 0
+                    while (i < suf.length) { scratch(n) = suf(i); n += 1; i += 1 }
+                    if (n > mleft) fail()
+                    ensure(n)
+                    System.arraycopy(scratch, 0, buf, outPos, n)
+                    outPos += n
+                    mleft -= n
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      // whole-input acceptance: a brotli stream ends at its last
+      // meta-block — trailing bytes are not part of the format (and
+      // the ingest router relies on strictness as a routing signal)
+      br.align()
+      if (br.bytePos != comp.length) fail()
+      Some(java.util.Arrays.copyOf(buf, outPos))
+    } catch {
+      case _: Fail | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+
+  /** Uppercase-first: ferment only the leading code point. */
+  private def ferment(b: Array[Byte], start: Int, end: Int): Unit =
+    if (start < end) { fermentAt(b, start, end); () }
+
+  /** The RFC 7932 "ferment" step at `i`; returns code-point width. */
+  private def fermentAt(b: Array[Byte], i: Int, end: Int): Int = {
+    val c = b(i) & 0xff
+    if (c < 192) {
+      if (c >= 'a' && c <= 'z') b(i) = (c ^ 32).toByte
+      1
+    } else if (c < 224) {
+      if (i + 1 < end) b(i + 1) = (b(i + 1) ^ 32).toByte
+      2
+    } else {
+      if (i + 2 < end) b(i + 2) = (b(i + 2) ^ 5).toByte
+      3
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture writer: uncompressed meta-blocks (spec form)
+  // ------------------------------------------------------------------
+
+  /** Encode `data` as a valid brotli stream of uncompressed
+    * meta-blocks (window bits 22). Validated during vector generation
+    * to decode byte-identically through libbrotli.
+    */
+  def compress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var bits = 0
+    def w(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << bits
+        bits += 1
+        if (bits == 8) { out.write(cur); cur = 0; bits = 0 }
+        i += 1
+      }
+    }
+    def align(): Unit = if (bits != 0) { out.write(cur); cur = 0; bits = 0 }
+
+    // WBITS 22 = '1' + 3 bits of 5 (17 + 5)
+    w(1, 1); w(5, 3)
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(1 << 16, data.length - off)
+      w(0, 1) // ISLAST = 0
+      w(0, 2) // MNIBBLES code 0 -> 4 nibbles
+      w(n - 1, 16)
+      w(1, 1) // ISUNCOMPRESSED
+      align()
+      out.write(data, off, n)
+      off += n
+    }
+    w(1, 1) // ISLAST
+    w(1, 1) // ISLASTEMPTY
+    align()
+    out.toByteArray
+  }
+}

@@ -120,7 +120,37 @@ object IngestRouter {
       b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' && b(2) == 'z' &&
       b(3) == 'X' && b(4) == 'Z' && b(5) == 0)
       unwrapped(XzCodec.decompress(b, UnwrapBudget), b)
+    else if (depth == 0 && b.nonEmpty && !looksLikeText(b)) {
+      // brotli has NO magic bytes; a `.br` sidecar can only be found
+      // by attempting the decode. Gated on the blob NOT being valid
+      // text (a real .br is high-entropy binary; the gate keeps every
+      // plain document out of the attempt, so prose can never be
+      // false-routed by an accidental parse), whole-input strict.
+      BrotliCodec.decompress(b, UnwrapBudget) match {
+        case Some(inner) if inner.nonEmpty => routeAt(inner, depth = 1)
+        case _ =>
+          (sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8)), b)
+      }
+    }
     else ((sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8)), b))
+  }
+
+  /** Cheap text gate for the brotli attempt: the blob decodes as
+    * UTF-8 with no control bytes outside whitespace.
+    */
+  private def looksLikeText(b: Array[Byte]): Boolean = {
+    // control-byte scan first (cheap reject of most binaries)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r' && c != 0x0c)
+        return false
+      i += 1
+    }
+    // strict UTF-8 validation for the multi-byte sequences
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try { dec.decode(java.nio.ByteBuffer.wrap(b)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
   }
 
   /** Route the unwrapped payload; an undecodable or over-budget

@@ -162,8 +162,40 @@ object WarcCodec {
         val httpCt = lines.drop(1)
           .find(_.toLowerCase.startsWith("content-type:"))
           .map(_.substring("content-type:".length).trim).getOrElse("")
-        WarcRecord(recType, uri, cType, status, httpCt,
-          java.util.Arrays.copyOfRange(payload, split + 4, payload.length))
+        val body = java.util.Arrays.copyOfRange(
+          payload, split + 4, payload.length)
+        // HTTP-layer Content-Encoding (the crawl-response norm:
+        // servers answer compressed and crawlers store verbatim) —
+        // decoded here so the text surface always sees plain bytes;
+        // an undecodable body stays raw, the no-data-loss default
+        val enc = lines.drop(1)
+          .find(_.toLowerCase.startsWith("content-encoding:"))
+          .map(_.substring("content-encoding:".length).trim.toLowerCase)
+          .getOrElse("")
+        val plainBody = enc match {
+          case "br" =>
+            BrotliCodec.decompress(body, MaxInflatedBytes).getOrElse(body)
+          case "gzip" | "x-gzip" =>
+            Gunzip.all(body, MaxInflatedBytes.toLong).getOrElse(body)
+          case "zstd" =>
+            ZstdCodec.decompress(body, MaxInflatedBytes).getOrElse(body)
+          case "deflate" =>
+            try {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(body)
+              val out = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](8192)
+              var n = inf.inflate(tmp)
+              while (n > 0 && out.size() <= MaxInflatedBytes) {
+                out.write(tmp, 0, n)
+                n = inf.inflate(tmp)
+              }
+              inf.end()
+              if (out.size() > MaxInflatedBytes) body else out.toByteArray
+            } catch { case _: RuntimeException => body }
+          case _ => body
+        }
+        WarcRecord(recType, uri, cType, status, httpCt, plainBody)
       }
     } else WarcRecord(recType, uri, cType, -1, "", payload)
   }
@@ -267,12 +299,23 @@ object WarcFixtures {
 
   def uri(id: Long, i: Int): String = s"http://example.com/$id/$i"
 
+  /** Responses with `(id + i) mod 5 == 2` ship the HTTP body
+    * brotli-compressed under `Content-Encoding: br` (the modern
+    * crawl-response shape); the decoded content is identical, so
+    * every oracle is invariant under the encoding.
+    */
+  def brotliBody(id: Long, i: Int): Boolean = (id + i) % 5 == 2
+
   private def record(id: Long, i: Int): Array[Byte] = {
     val (recType, cType, payload) = (i % 3) match {
       case 0 =>
-        val body = html(id, i).getBytes("UTF-8")
+        val plain = html(id, i).getBytes("UTF-8")
+        val (body, encHdr) =
+          if (brotliBody(id, i))
+            (BrotliCodec.compress(plain), "Content-Encoding: br\r\n")
+          else (plain, "")
         val head = ("HTTP/1.1 200 OK\r\n" +
-          "Content-Type: text/html; charset=UTF-8\r\n" +
+          "Content-Type: text/html; charset=UTF-8\r\n" + encHdr +
           s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
         ("response", "application/http; msgtype=response", head ++ body)
       case 1 =>

@@ -1,0 +1,156 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The brotli (RFC 7932) transport held to truth against the system
+  * libbrotli 1.0.9 (FIXTURES.md round 11):
+  *
+  *  1. 21 stored vectors from `BrotliEncoderCompress` across
+  *     qualities 0–11, windows 10–24 and payload kinds — including
+  *     SMALL html/text payloads that decode almost entirely out of
+  *     the static dictionary with word transforms — must decompress
+  *     byte-exactly.
+  *  2. The dictionary / transform / context tables are extracted from
+  *     `libbrotlicommon` itself; the transform replica was verified
+  *     exhaustively against `BrotliTransformDictionaryWord` (1.63 M
+  *     applications). The fixture writer's frames decode
+  *     byte-identically through `BrotliDecoderDecompress`.
+  *
+  * Plus JVM round-trips, budget enforcement, truncation sweeps and
+  * mutation fuzz (None, never throw).
+  */
+class BrotliCodecSpec extends AnyFunSuite {
+
+  private val vectorDir = Paths.get("src/test/resources/brotli")
+  private val MaxOut = 1 << 22
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("21 libbrotli vectors decompress byte-exactly") {
+    for (i <- 0 until 21) {
+      val comp = Files.readAllBytes(vectorDir.resolve(s"case_$i.br"))
+      val raw = Files.readAllBytes(vectorDir.resolve(s"case_$i.raw"))
+      val out = BrotliCodec.decompress(comp, MaxOut)
+      assert(out.isDefined, s"case $i must decode")
+      assert(java.util.Arrays.equals(out.get, raw), s"case $i content")
+    }
+  }
+
+  test("fixture writer round-trips through the decoder across shapes") {
+    for (seed <- 0 until 20) {
+      val n = seed match {
+        case 0 => 0
+        case 1 => 1
+        case 2 => 3
+        case k => k * k * 173
+      }
+      val raw = Array.tabulate[Byte](n) { j =>
+        val words = "the quick brown brotli spark engine data pipeline "
+        ((seed % 4): @unchecked) match {
+          case 0 => words(j % words.length).toByte
+          case 1 => ((j * 31 + seed * 7) & 0xff).toByte
+          case 2 => 'A'.toByte
+          case 3 =>
+            if ((j / 50) % 2 == 0) words(j % words.length).toByte
+            else ((j * 131) & 0xff).toByte
+        }
+      }
+      val comp = BrotliCodec.compress(raw)
+      val out = BrotliCodec.decompress(comp, MaxOut)
+      assert(out.isDefined, s"seed=$seed n=$n")
+      assert(java.util.Arrays.equals(out.get, raw), s"seed=$seed n=$n")
+    }
+  }
+
+  test("a >64 KiB payload spans multiple uncompressed meta-blocks") {
+    val raw = Array.tabulate[Byte](200000)(j => ((j * 7) & 0xff).toByte)
+    val comp = BrotliCodec.compress(raw)
+    assert(BrotliCodec.decompress(comp, MaxOut).exists(
+      java.util.Arrays.equals(_, raw)))
+  }
+
+  test("output budget rejects oversized content") {
+    val raw = new Array[Byte](100000)
+    assert(BrotliCodec.decompress(BrotliCodec.compress(raw), 50000).isEmpty)
+    // an entropy-coded vector must also bind on the unpacked side
+    val v = Files.readAllBytes(vectorDir.resolve("case_15.br")) // 90k RLE
+    assert(BrotliCodec.decompress(v, 1000).isEmpty)
+  }
+
+  test("truncations of every vector never throw") {
+    for (i <- 0 until 21) {
+      val comp = Files.readAllBytes(vectorDir.resolve(s"case_$i.br"))
+      for (frac <- Seq(0.1, 0.3, 0.5, 0.8, 0.97)) {
+        val cut = java.util.Arrays.copyOf(comp,
+          math.max(1, (comp.length * frac).toInt))
+        BrotliCodec.decompress(cut, MaxOut) // must not throw
+      }
+    }
+  }
+
+  test("random mutations never throw and never over-allocate") {
+    val base = Files.readAllBytes(vectorDir.resolve("case_10.br"))
+    val gen = for {
+      nMut <- Gen.choose(1, 8)
+      muts <- Gen.listOfN(nMut, for {
+        p <- Gen.choose(0, base.length - 1)
+        v <- Gen.choose(0, 255)
+      } yield (p, v))
+    } yield muts
+    check(Prop.forAll(gen) { muts =>
+      val b = base.clone()
+      muts.foreach { case (p, v) => b(p) = v.toByte }
+      BrotliCodec.decompress(b, MaxOut) // throw = failure
+      true
+    })
+  }
+
+  test("WARC responses decode Content-Encoding: br to plain text") {
+    // fixture rotation: responses with (id + i) % 5 == 2 are br-coded
+    val id = 2L // record 0 is a response with brotli body
+    assert(WarcFixtures.brotliBody(id, 0))
+    val recs = WarcCodec.parseRecords(WarcFixtures.warcBytes(id))
+    val r = recs.head
+    assert(r.recordType == "response" && r.httpStatus == 200)
+    assert(new String(r.payload, "UTF-8") == WarcFixtures.html(id, 0),
+      "the surfaced payload must be the DECODED body")
+    // and the whole text surface is encoding-invariant
+    assert(WarcCodec.htmlToText(new String(r.payload, "UTF-8")) ==
+      WarcFixtures.extractedText(id, 0))
+  }
+
+  test("the ingest router finds .br sidecars by strict decode attempt") {
+    val md = MarkdownFixtures.markdown(7L)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val br = BrotliCodec.compress(md)
+    assert(IngestRouter.sniff(br) == "markdown")
+    assert(IngestRouter.extract(7L, br).head.text ==
+      IngestRouter.extract(7L, md).head.text,
+      ".md.br must extract the same text as plain")
+    // a plain-text blob is NEVER routed through the brotli attempt
+    assert(IngestRouter.sniff("just some plain prose".getBytes) == "markdown")
+    // trailing garbage after a valid stream fails the strict parse
+    val garbled = br ++ Array[Byte](1, 2, 3)
+    BrotliCodec.decompress(garbled, MaxOut) match {
+      case Some(_) => fail("trailing bytes must be rejected")
+      case None => ()
+    }
+  }
+
+  test("random garbage never throws") {
+    val rnd = new scala.util.Random(424242)
+    for (_ <- 0 until 300) {
+      val junk = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(junk)
+      BrotliCodec.decompress(junk, MaxOut) // must not throw
+    }
+    assert(BrotliCodec.decompress(Array.emptyByteArray, MaxOut).isEmpty)
+  }
+}
