@@ -199,6 +199,119 @@ object ScaleProbe {
         Dedup.substringSpans(docs, k = 40).count())
     }
 
+    // Round-11 probes (VERDICT r10 #6): the two operator shapes §6.2
+    // still lacked — the ITERATIVE connected-components labeler
+    // (convergence-barrier count + per-round shuffle volume) and the
+    // STREAMING retract pipeline (state-store rows vs watermark
+    // horizon).
+    locally {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val readB = new java.util.concurrent.atomic.LongAdder
+      val writeB = new java.util.concurrent.atomic.LongAdder
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            readB.add(m.shuffleReadMetrics.totalBytesRead)
+            writeB.add(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      val pairs = Dedup.jaccardPairs(docs, n = 3, threshold = 0.05,
+        maxDf = Some(1000)).select("doc_a", "doc_b")
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val nonSingleton = Dedup.clusterAssign(pairs, docs.select("doc_id"))
+        .groupBy("cluster").count().filter(col("count") > 1).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async — poll until totals stop moving
+      var last = -1L
+      var spins = 0
+      while (readB.sum() + writeB.sum() != last && spins < 50) {
+        last = readB.sum() + writeB.sum()
+        Thread.sleep(100)
+        spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val barriers = Dedup.lastClusterAssignBarriers
+      println(f"cluster_assign_instrumented n=$nonSingleton%-8d $sec%.2f s " +
+        f"barriers=$barriers (2 propagation rounds each) " +
+        f"shuffle_read=${readB.sum() / 1e6}%.1f MB " +
+        f"shuffle_write=${writeB.sum() / 1e6}%.1f MB " +
+        f"per_barrier_read=${readB.sum() / math.max(1, barriers) / 1e6}%.1f MB")
+      // applyClusters = the same fixpoint plus a free projection; its
+      // probe is the equality of the two counts
+      timed("apply_clusters_kept")(
+        Dedup.applyClusters(pairs, docs.select("doc_id"))
+          .groupBy("cluster").count().count())
+    }
+
+    locally {
+      import spark.implicits._
+      // streaming retract shape: state rows vs horizon. Run the LSH
+      // candidate stream twice over the same N x corpus: (a) every ts
+      // inside ONE watermark horizon (state ceiling = every distinct
+      // pair), (b) ts spread across 4 days with a 1-day watermark
+      // (state at end of run holds only the un-evicted tail).
+      val tomb = docs.filter(col("doc_id") % 6 === 0).select("doc_id")
+      val masked = Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0))
+        .join(tomb, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      masked.count()
+      def stateRows(spreadDays: Boolean): (Long, Long) = {
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("probe-retract-src").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("probe-retract-ckpt").toString
+        val staged = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            (if (spreadDays)
+              timestamp_seconds(
+                lit("2024-01-01 00:00:00").cast("timestamp").cast("long") +
+                  (col("doc_id") % 4) * 86400L)
+            else lit("2024-01-01 00:00:00").cast("timestamp")).as("ts"),
+            col("text"))
+        // one file per day, written in day order so the watermark
+        // advances monotonically across the 4 micro-batches
+        for (d <- 0 until 4)
+          staged.filter(col("doc_id") % 4 === d).coalesce(1)
+            .write.mode("append").parquet(srcDir)
+        val stream = spark.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        val sink = "probe_retract_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = graft.streaming.StreamingIngest
+          .nearDupCandidatesStream(stream, masked, horizon = "1 day")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val emitted = spark.table(sink).count()
+        val state = q.recentProgress.reverse
+          .flatMap(_.stateOperators).headOption
+          .map(_.numRowsTotal).getOrElse(-1L)
+        spark.catalog.dropTempView(sink)
+        for (d <- Seq(srcDir, ckpt)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try walk.sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        (emitted, state)
+      }
+      val (e1, s1) = stateRows(spreadDays = false)
+      println(s"retract_stream_one_horizon   pairs=$e1 state_rows_final=$s1")
+      val (e2, s2) = stateRows(spreadDays = true)
+      println(s"retract_stream_4day_spread   pairs=$e2 state_rows_final=$s2 " +
+        s"(1-day watermark evicts the older days)")
+      masked.unpersist()
+    }
+
     spark.stop()
   }
 }

@@ -600,7 +600,9 @@ object Dedup {
           least(ls("cluster"), coalesce(col("nmin"), ls("cluster"))).as("cluster"): _*)
     }
     var changed = 1L
+    var barriers = 0
     while (changed > 0) {
+      barriers += 1
       // TWO propagation steps per convergence barrier: each
       // checkpoint+count is a cluster-wide barrier at scale, and labels
       // reach fixpoint in O(diameter) steps — doubling steps-per-barrier
@@ -616,11 +618,19 @@ object Dedup {
       changed = step.filter(col("cluster") =!= col("old")).count()
       labels = step.select(col("doc_id"), col("cluster"))
     }
+    lastClusterAssignBarriers = barriers
     nodes.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
+
+  /** Probe telemetry (ScaleProbe / SURVEY §6.2): convergence barriers
+    * of the LAST [[clusterAssign]] run on this driver — each barrier
+    * is one checkpoint+count over TWO propagation rounds. Driver-local
+    * diagnostics only; not part of any query result.
+    */
+  @volatile private[graft] var lastClusterAssignBarriers: Int = 0
 
   /** Materialize the dedup decision from [[clusterAssign]]: every
     * document labels with its component's min-id representative and

@@ -2370,6 +2370,38 @@ object ExtensionQueries {
              |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
     ),
 
+    // Frame dedup on DECODED LUMA (r10 verdict item 5's frame-dedup
+    // leg): every frame pixel-decoded by the real RIFF+JPEG chain,
+    // fingerprinted by exact luma stats, grouped; classes with >1
+    // member are the duplicate-frame inventory. Non-vacuous: the
+    // near-dup family's groups-of-4 share every non-variant frame.
+    // Oracle replays each frame's planted block grid into the same
+    // classes.
+    QueryDef(
+      "multimodal_frame_dedup_luma",
+      (s, dir) => Multimodal.frameDedupLumaReal(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+             |    6 + (doc_id // 4) % 3 AS nf, (doc_id // 4) % 3 + 1 AS wb,
+             |    (doc_id // 4) % 2 + 1 AS hb FROM documents),
+             |fb AS (SELECT p.doc_id, p.base, p.variant, p.wb, p.hb, f.f, bx.bx, by.by
+             |  FROM p, range(0, 8) AS f(f), range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |  WHERE f.f < p.nf AND bx.bx < p.wb AND by.by < p.hb),
+             |fv AS (SELECT doc_id, f, wb * 8 AS w, hb * 8 AS h, wb * hb * 64 AS n_px,
+             |    ((base + 1)*(f + 2)*(bx + 3)*(by + 5)
+             |      + CASE WHEN f = 1 THEN variant*50 ELSE 0 END) % 251 AS grey
+             |  FROM fb),
+             |fs AS (SELECT doc_id, f, w, h, n_px,
+             |    sum(64*grey) AS s, sum(64*grey*grey) AS sq
+             |  FROM fv GROUP BY 1, 2, 3, 4, 5)
+             |SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(n_px AS BIGINT) AS n_px, CAST(s AS BIGINT) AS sum_s,
+             |  CAST(sq AS BIGINT) AS sumsq_s,
+             |  CAST(count(*) AS BIGINT) AS n_dups,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos
+             |FROM fs GROUP BY w, h, n_px, s, sq
+             |HAVING count(*) > 1""".stripMargin),
+    ),
+
     // Scene segmentation from REAL decoded frames across ALL THREE
     // frame containers (doc_id mod 3: MJPEG-in-AVI via the RIFF walk,
     // MJPEG-in-Matroska via the EBML SimpleBlock walk, MJPEG-in-MP4
