@@ -624,7 +624,12 @@ object BrotliCodec {
                     }
                     i = 0
                     while (i < suf.length) { scratch(n) = suf(i); n += 1; i += 1 }
-                    if (n > mleft) fail()
+                    // a zero-length transformed word makes no
+                    // progress: with zero-bit command/distance codes a
+                    // crafted stream could loop forever (and exhaust
+                    // blockLen into a null switchBlock) — no real
+                    // encoder emits pointless empty references
+                    if (n == 0 || n > mleft) fail()
                     ensure(n)
                     System.arraycopy(scratch, 0, buf, outPos, n)
                     outPos += n
@@ -644,7 +649,7 @@ object BrotliCodec {
       Some(java.util.Arrays.copyOf(buf, outPos))
     } catch {
       case _: Fail | _: IndexOutOfBoundsException |
-        _: NegativeArraySizeException => None
+        _: NegativeArraySizeException | _: NullPointerException => None
     }
 
   /** Uppercase-first: ferment only the leading code point. */

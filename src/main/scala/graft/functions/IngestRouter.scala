@@ -135,21 +135,38 @@ object IngestRouter {
     else ((sniffText(new String(b, java.nio.charset.StandardCharsets.UTF_8)), b))
   }
 
-  /** Cheap text gate for the brotli attempt: the blob decodes as
-    * UTF-8 with no control bytes outside whitespace.
+  /** Cheap text gate for the brotli attempt: a bounded PREFIX of the
+    * blob decodes as UTF-8 with no control bytes outside whitespace.
+    * Sampled, not whole-document — this runs for every plain text
+    * document at depth 0, and a brotli stream is high-entropy from
+    * its first bytes, so 8 KiB decides with the same fidelity as a
+    * full scan at a fraction of the hot-path cost. The sample is
+    * trimmed back to a UTF-8 code-point boundary so a multi-byte
+    * sequence cut at the sample edge cannot false-reject real text
+    * (a false reject only costs one failed brotli attempt anyway —
+    * the fallback re-sniffs as text).
     */
   private def looksLikeText(b: Array[Byte]): Boolean = {
-    // control-byte scan first (cheap reject of most binaries)
+    val sample = math.min(b.length, 8192)
     var i = 0
-    while (i < b.length) {
+    while (i < sample) {
       val c = b(i) & 0xff
       if (c < 0x20 && c != '\t' && c != '\n' && c != '\r' && c != 0x0c)
         return false
       i += 1
     }
-    // strict UTF-8 validation for the multi-byte sequences
+    // trim a trailing partial multi-byte sequence (max 3 bytes)
+    var end = sample
+    if (end < b.length) {
+      var back = 0
+      while (back < 3 && end > 0 && (b(end - 1) & 0xc0) == 0x80) {
+        end -= 1; back += 1
+      }
+      if (end > 0 && (b(end - 1) & 0x80) != 0 && (b(end - 1) & 0xc0) != 0x80)
+        end -= 1 // the lead byte of the cut sequence
+    }
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-    try { dec.decode(java.nio.ByteBuffer.wrap(b)); true }
+    try { dec.decode(java.nio.ByteBuffer.wrap(b, 0, end)); true }
     catch { case _: java.nio.charset.CharacterCodingException => false }
   }
 
@@ -203,14 +220,18 @@ object IngestRouter {
       JsonLite.parse(l).exists(_.isInstanceOf[JsonVal.JObj]))
   }
 
-  /** Tabular text: the dialect sniffer found a consistent delimiter
-    * over at least two lines (one delimited line is everyday prose;
-    * two consistent ones are a table). Probed LAST before the
-    * markdown fallback — every structured-text magic outranks it.
+  /** Tabular text: the dialect sniffer found a consistent delimiter,
+    * with enough evidence that short prose cannot satisfy it by
+    * accident — at least THREE consistent lines, or two lines of
+    * three-plus fields ("Hello, world / Goodbye, moon" is two
+    * one-comma lines and must stay prose; a header plus one wide data
+    * row is a table). Probed LAST before the markdown fallback —
+    * every structured-text magic outranks it. One sniff per document:
+    * the Dialect's own nRows/nCols carry the line evidence.
     */
   private def isCsv(s: String): Boolean = {
-    val lines = TextClean.terminatedLines(s).filter(_.nonEmpty)
-    lines.length >= 2 && CsvSniff.sniff(s).delimiter.isDefined
+    val d = CsvSniff.sniff(s)
+    d.delimiter.isDefined && d.nRows >= 2 && (d.nRows >= 3 || d.nCols >= 3)
   }
 
   private val SniffLines = 64

@@ -180,19 +180,28 @@ object WarcCodec {
           case "zstd" =>
             ZstdCodec.decompress(body, MaxInflatedBytes).getOrElse(body)
           case "deflate" =>
+            // DataFormatException is CHECKED — it must be caught here
+            // or it escapes parseRecords' filter and kills the task;
+            // and a truncated stream that merely exhausts its input is
+            // NOT finished, so it too falls back to the raw bytes
             try {
               val inf = new java.util.zip.Inflater()
-              inf.setInput(body)
-              val out = new java.io.ByteArrayOutputStream()
-              val tmp = new Array[Byte](8192)
-              var n = inf.inflate(tmp)
-              while (n > 0 && out.size() <= MaxInflatedBytes) {
-                out.write(tmp, 0, n)
-                n = inf.inflate(tmp)
-              }
-              inf.end()
-              if (out.size() > MaxInflatedBytes) body else out.toByteArray
-            } catch { case _: RuntimeException => body }
+              try {
+                inf.setInput(body)
+                val out = new java.io.ByteArrayOutputStream()
+                val tmp = new Array[Byte](8192)
+                var n = inf.inflate(tmp)
+                while (n > 0 && out.size() <= MaxInflatedBytes) {
+                  out.write(tmp, 0, n)
+                  n = inf.inflate(tmp)
+                }
+                if (!inf.finished() || out.size() > MaxInflatedBytes) body
+                else out.toByteArray
+              } finally inf.end()
+            } catch {
+              case _: java.util.zip.DataFormatException |
+                _: RuntimeException => body
+            }
           case _ => body
         }
         WarcRecord(recType, uri, cType, status, httpCt, plainBody)

@@ -164,22 +164,27 @@ object XzCodec {
     if (le32(b, pos + 2) != crc32(b, pos, 2)) fail()
     pos += 6
 
-    var nBlocks = 0L
+    val blockSizes = Vector.newBuilder[(Long, Long)]
     while (u8(b, pos) != 0x00) {
-      pos = block(b, pos, checkId, checkLen, out)
-      nBlocks += 1
+      val (next, unpadded, uncompressed) =
+        block(b, pos, checkId, checkLen, out)
+      blockSizes += ((unpadded, uncompressed))
+      pos = next
     }
+    val actual = blockSizes.result()
 
-    // index: indicator already seen
+    // index: indicator already seen; every record must match the
+    // decoded blocks (the spec's cross-check against torn files)
     val idxStart = pos
     pos += 1
     val (cnt, p1) = vli(b, pos)
-    if (cnt != nBlocks) fail()
+    if (cnt != actual.length) fail()
     pos = p1
-    var k = 0L
+    var k = 0
     while (k < cnt) {
-      val (_, pa) = vli(b, pos) // unpadded size
-      val (_, pb2) = vli(b, pa) // uncompressed size
+      val (unp, pa) = vli(b, pos)
+      val (unc, pb2) = vli(b, pa)
+      if (unp != actual(k)._1 || unc != actual(k)._2) fail()
       pos = pb2
       k += 1
     }
@@ -196,8 +201,11 @@ object XzCodec {
     pos + 12
   }
 
+  /** Returns (offset past the block, unpadded size, uncompressed
+    * size) — the two sizes the stream's index must confirm.
+    */
   private def block(b: Array[Byte], start: Int, checkId: Int,
-      checkLen: Int, out: Out): Int = {
+      checkLen: Int, out: Out): (Int, Long, Long) = {
     val headerSize = (u8(b, start) + 1) * 4
     if (start + headerSize > b.length) fail()
     if (le32(b, start + headerSize - 4) !=
@@ -252,7 +260,8 @@ object XzCodec {
         var i = 0
         while (i < 32) { if (u8(b, q + i) != (d(i) & 0xff)) fail(); i += 1 }
     }
-    q + checkLen
+    (q + checkLen, headerSize.toLong + compSize + checkLen,
+      (out.size - blockUncStart).toLong)
   }
 
   // ------------------------------------------------------------------
@@ -288,12 +297,17 @@ object XzCodec {
   private def lzma2(b: Array[Byte], start: Int, out: Out): Int = {
     var pos = start
     var lzma: Lzma = null
-    var havePropsEver = false
+    var firstChunk = true
     while (true) {
       val control = u8(b, pos)
       pos += 1
       if (control == 0x00) return pos
       else if (control == 0x01 || control == 0x02) {
+        // the block's first chunk must reset the dictionary (0x01 or
+        // an LZMA chunk with the full reset ladder) — blocks are
+        // independently decodable by spec
+        if (firstChunk && control != 0x01) fail()
+        firstChunk = false
         if (control == 0x01) out.dictStart = out.size
         val n = ((u8(b, pos) << 8) | u8(b, pos + 1)) + 1
         pos += 2
@@ -311,6 +325,8 @@ object XzCodec {
         val packedSize = ((u8(b, pos + 2) << 8) | u8(b, pos + 3)) + 1
         pos += 4
         val resetBits = (control >> 5) & 3
+        if (firstChunk && resetBits != 3) fail() // first chunk: full reset
+        firstChunk = false
         if (resetBits >= 2) {
           val p = u8(b, pos)
           pos += 1
@@ -320,7 +336,6 @@ object XzCodec {
           val pb = p / 45
           if (lc + lp > 4) fail()
           lzma = new Lzma(lc, lp, pb)
-          havePropsEver = true
         } else if (lzma == null) fail()
         else if (resetBits == 1) lzma.resetState()
         else if (lzma.needStateReset) fail() // encoder contract violated

@@ -171,6 +171,15 @@ class IngestRouterSpec extends AnyFunSuite {
     val bare = "1,2\n3,4\n5,6"
     val bu = IngestRouter.extract(2L, bare.getBytes)
     assert(bu.map(_.text) == Seq("1\t2", "3\t4", "5\t6"))
+    // delimiter-consistent SHORT prose is NOT a table (review r11):
+    // two lines of one comma each must stay markdown untouched
+    assert(IngestRouter.sniff("Hello, world\nGoodbye, moon".getBytes)
+      == "markdown")
+    assert(IngestRouter.sniff("Item, Qty\nApples, 3".getBytes)
+      == "markdown")
+    // but a two-line WIDE table (header + one data row) is one
+    assert(IngestRouter.sniff("name,qty,price\nApples,3,1.50".getBytes)
+      == "csv")
   }
 
   test("ipynb route: cell walk over both source shapes") {

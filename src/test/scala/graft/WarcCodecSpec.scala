@@ -89,6 +89,42 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.parseRecords("not a warc".getBytes).isEmpty)
   }
 
+  test("Content-Encoding: deflate — malformed and truncated bodies stay RAW") {
+    def responseRecord(body: Array[Byte]): Array[Byte] = {
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n" +
+        "Content-Encoding: deflate\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+      val payload = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://x/\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    // valid zlib decodes
+    val plain = "hello deflate body".getBytes("UTF-8")
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val ok = WarcCodec.parseRecords(responseRecord(defl))
+    assert(ok.head.payload.toSeq == plain.toSeq)
+    // malformed: DataFormatException is CHECKED — must not escape
+    // (review r11), body stays raw
+    val junk = Array[Byte](0x12, 0x34, 0x56, 0x78, 0x01)
+    val bad = WarcCodec.parseRecords(responseRecord(junk))
+    assert(bad.head.payload.toSeq == junk.toSeq)
+    // truncated: inflater exhausts input without finishing — the
+    // partial prefix must NOT be surfaced as the payload
+    val cut = java.util.Arrays.copyOf(defl, defl.length / 2)
+    val trunc = WarcCodec.parseRecords(responseRecord(cut))
+    assert(trunc.head.payload.toSeq == cut.toSeq)
+  }
+
   test("gzip bomb guard: decompressed size is bounded before parsing") {
     // ~67 MB of zeros compresses to ~65 KB; the guard must stop at
     // MaxInflatedBytes, not materialize the bomb

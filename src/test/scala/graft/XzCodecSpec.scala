@@ -94,6 +94,35 @@ class XzCodecSpec extends AnyFunSuite {
     assert(XzCodec.decompress(v4, maxOut = 1000).isEmpty)
   }
 
+  test("an index record that contradicts the decoded blocks is rejected") {
+    // take a fixture-writer frame and lie in its index: bump the
+    // uncompressed-size VLI (single byte here), re-CRC the index so
+    // only the cross-check — not the checksum — can catch it
+    val raw = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val xz = XzCodec.compress(raw)
+    assert(XzCodec.decompress(xz, MaxOut).isDefined)
+    // index layout in the writer: [0x00][cnt=1][unpadded][unc=100]...
+    // find it: the index starts right after the check (CRC32) bytes;
+    // easier: locate the 0x64 (=100) VLI by searching back from the
+    // footer (index = last 12 footer bytes - backward size)
+    val backward = ((xz(xz.length - 8) & 0xff) + 1) * 4
+    val idxStart = xz.length - 12 - backward
+    assert(xz(idxStart) == 0x00)
+    val tampered = xz.clone()
+    // [idxStart+1]=cnt, [+2]=unpadded vli (1 byte), [+3]=unc vli
+    assert((tampered(idxStart + 3) & 0xff) == 100)
+    tampered(idxStart + 3) = 99.toByte
+    // recompute the index CRC32 so only the block cross-check fires
+    val idxLen = backward - 4
+    val c = new java.util.zip.CRC32
+    c.update(tampered, idxStart, idxLen)
+    val v = c.getValue
+    for (i <- 0 until 4)
+      tampered(idxStart + idxLen + i) = ((v >> (8 * i)) & 0xff).toByte
+    assert(XzCodec.decompress(tampered, MaxOut).isEmpty,
+      "a lying index must fail the decode even with a valid CRC")
+  }
+
   test("truncations of every vector return None or a prefix, never throw") {
     for (i <- 0 until 20) {
       val comp = Files.readAllBytes(vectorDir.resolve(s"case_$i.xz"))
