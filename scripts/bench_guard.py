@@ -58,9 +58,23 @@ SETUP_SLACK_SEC = {"dedup_retract_stream": 2.0}
 # records everything in the adjudication artifact — the rebase is
 # visible, never silent.
 SEMANTICS_CHANGED = {
-    # (empty after the r9 third-leg baseline refresh: the refreshed
-    # medians guard tar_entries' plain/gzip/bzip2 transport normally.
-    # The rebase is recorded in the committed BENCH_ADJUDICATION.)
+    # Round-11 intentional cost changes (entries EXPIRE at the
+    # baseline refresh; empty the dict in the refresh commit):
+    "tar_entries":
+        "r11: transport rotation widened to id%6 adding an xz/LZMA2 "
+        "leg - a real range-decode cost on one in six fixtures",
+    "warc_records":
+        "r11: HTTP bodies now decode Content-Encoding (fixture "
+        "responses rotate brotli bodies on (id+i)%5==2)",
+    "warc_extract_text":
+        "r11: same Content-Encoding decode on the response bodies",
+    "warc_text_quality":
+        "r11: same Content-Encoding decode on the response bodies",
+    "ingest_any":
+        "r11: rotation widened 13 -> 16 formats (jsonl incl. gzip "
+        "leg, csv, ipynb) plus the xz transport on the tar leg",
+    "pipeline_ingest_corpus":
+        "r11: same 16-format rotation through the composed pipeline",
 }
 
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, VorbisCodec, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, JsonlFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, VorbisCodec, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -2879,6 +2879,57 @@ object ExtensionQueries {
              |SELECT doc_id, format, CAST(part AS BIGINT) AS part, text,
              |  CAST(length(text) AS BIGINT) AS n_chars
              |FROM u""".stripMargin),
+    ),
+
+    // JSONL extraction as its own surface (r11): the highest-volume
+    // LLM-corpus format front to back — line-split, strict JSON
+    // parse, configurable-field text extraction — over a pure-JSONL
+    // corpus where HALF the docs arrive gzip-wrapped (the (id/16)%2
+    // legs of JsonlFixtures) and every record carries decoy nested
+    // objects the field lookup must not descend into. String-exact
+    // planted oracle; the transport leg is content-invariant.
+    QueryDef(
+      "jsonl_extract_text",
+      (s, dir) => {
+        import s.implicits._
+        IngestRouter.extractAll(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, JsonlFixtures.bytes(id))))
+          .select(col("doc_id"), col("part"), col("text"), col("n_chars"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
+             |r AS (SELECT d.doc_id, rr.r FROM d, range(0, 4) AS rr(r)
+             |    WHERE rr.r < d.n),
+             |v AS (SELECT doc_id, r,
+             |    'jsonl doc ' || doc_id || ' rec ' || r || ' body & more'
+             |      AS text FROM r)
+             |SELECT doc_id, CAST(r AS BIGINT) AS part, text,
+             |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin),
+    ),
+
+    // The router's format census — the first dashboard a corpus
+    // operator reads off a mixed drop: per detected format, how many
+    // documents, text units, and characters the front door yields.
+    // One partition-local decode pass, ONE tiny aggregate shuffle
+    // (16 format keys); the oracle aggregates the same sixteen-branch
+    // union the ingest_any oracle replays string-exactly.
+    QueryDef(
+      "ingest_format_census",
+      (s, dir) => {
+        import s.implicits._
+        IngestRouter.extractAll(Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, IngestFixtures.bytes(id))))
+          .groupBy(col("format"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_units"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some(s"""$ingestUnionCte
+             |SELECT format, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_units,
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+             |FROM u GROUP BY format""".stripMargin),
     ),
 
     // The front door COMPOSED (r9 verdict item 4, second half): mixed
