@@ -58,23 +58,12 @@ SETUP_SLACK_SEC = {"dedup_retract_stream": 2.0}
 # records everything in the adjudication artifact — the rebase is
 # visible, never silent.
 SEMANTICS_CHANGED = {
-    # Round-11 intentional cost changes (entries EXPIRE at the
-    # baseline refresh; empty the dict in the refresh commit):
-    "tar_entries":
-        "r11: transport rotation widened to id%6 adding an xz/LZMA2 "
-        "leg - a real range-decode cost on one in six fixtures",
-    "warc_records":
-        "r11: HTTP bodies now decode Content-Encoding (fixture "
-        "responses rotate brotli bodies on (id+i)%5==2)",
-    "warc_extract_text":
-        "r11: same Content-Encoding decode on the response bodies",
-    "warc_text_quality":
-        "r11: same Content-Encoding decode on the response bodies",
-    "ingest_any":
-        "r11: rotation widened 13 -> 16 formats (jsonl incl. gzip "
-        "leg, csv, ipynb) plus the xz transport on the tar leg",
-    "pipeline_ingest_corpus":
-        "r11: same 16-format rotation through the composed pipeline",
+    # (empty after the r11 baseline refresh. The r11 closing run
+    # needed NO rebase: every intentionally-changed row - tar xz leg,
+    # WARC Content-Encoding decode, the 16-format rotation - stayed
+    # under the 2x guard on its own; the staged entries were removed
+    # unused at the refresh, and the refreshed medians guard the new
+    # costs normally from round 12 on.)
 }
 
 
