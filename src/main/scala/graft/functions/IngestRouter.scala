@@ -52,7 +52,7 @@ object IngestRouter {
   /** Formats the router can emit (the fallback is "markdown"). */
   val Formats: Seq[String] = Seq("pdf", "docx", "rtf", "zip", "tar", "warc",
     "epub", "markdown", "eml", "subtitle", "html", "pptx", "xlsx",
-    "jsonl", "csv", "ipynb")
+    "jsonl", "csv", "ipynb", "sqlite")
 
   /** Default JSONL text field (the corpus-dump convention). */
   val DefaultJsonlField: String = "text"
@@ -106,6 +106,7 @@ object IngestRouter {
     else if (ascii(b, 0, "{\\rtf")) ("rtf", b)
     else if (ascii(b, 0, "WARC/")) ("warc", b)
     else if (b.length > 262 && ascii(b, 257, "ustar")) ("tar", b)
+    else if (SqliteCodec.isSqlite(b)) ("sqlite", b)
     else if (depth == 0 &&
       b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b)
       unwrapped(Gunzip.all(b, UnwrapBudget), b)
@@ -333,6 +334,22 @@ object IngestRouter {
         val data = if (dialect.hasHeader) lines.drop(1) else lines
         val d = dialect.delimiter.map(_.charAt(0)).getOrElse(',')
         rows(data.map(l => CsvSniff.splitLine(l, d).mkString("\t")))
+      case "sqlite" =>
+        // one unit per table row: the row's TEXT-typed columns
+        // tab-joined (the serial types distinguish text from the
+        // blob/int renderings); rows with no text columns are skipped
+        // — column layouts vary per table, text is what trains
+        val units = Seq.newBuilder[String]
+        SqliteCodec.tables(b).foreach { case (name, _) =>
+          SqliteCodec.typedRows(b, name).getOrElse(Nil).foreach {
+            case (_, cols) =>
+              val texts = cols.collect {
+                case (t, Some(v)) if t >= 13 && t % 2 == 1 => v
+              }
+              if (texts.nonEmpty) units += texts.mkString("\t")
+          }
+        }
+        rows(units.result())
       case "ipynb" =>
         // one unit per cell in document order; both source shapes
         // (line array / single string) reconstruct to one string, the

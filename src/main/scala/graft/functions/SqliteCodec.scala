@@ -1,0 +1,422 @@
+package graft.functions
+
+/** SQLite database-file reading, pure JVM — corpora routinely ship as
+  * `.sqlite`/`.db` dumps (annotation stores, crawl frontiers, app
+  * exports), and the front door must read their tables as text rows
+  * without an embedded C library.
+  *
+  * Decode surface, from the public file-format spec
+  * (sqlite.org `fileformat2.html`): the 100-byte header (page size
+  * incl. the 1 = 65536 encoding, reserved-space, text encoding),
+  * table b-trees (interior + leaf pages, cell pointer arrays), the
+  * record format (all serial types: NULL, 1/2/3/4/6/8-byte
+  * big-endian ints, float64, the 0/1 constants, text and blob), cell
+  * payload OVERFLOW chains with the spec's exact local-payload
+  * formula, and the `sqlite_master` schema walk that maps table
+  * names to root pages. WAL-journaled files read their committed
+  * main-file content (the WAL itself is a sidecar this reader never
+  * sees); freelist and pointer-map pages are skipped by construction
+  * (only reachable b-tree pages are walked).
+  *
+  * Held to truth against the system SQLite (3.40.1, via the Python
+  * `sqlite3` stdlib binding): stored vectors cover multi-page trees
+  * (interior levels), overflow payloads, all column types, page
+  * sizes 512–65536, UTF-8 text, NULLs, and negative/large rowids —
+  * `SqliteCodecSpec` requires value-exact row recovery against the
+  * JSON dumps `sqlite3` itself produced (FIXTURES.md round 11).
+  *
+  * 100 TB shape: a database blob decodes inside the partition like
+  * every other container walk — the page budget is enforced BEFORE
+  * following any page pointer, so a corrupt header or a pointer loop
+  * cannot balloon an executor.
+  */
+object SqliteCodec {
+
+  private val Magic =
+    "SQLite format 3".getBytes("ISO-8859-1") :+ 0.toByte
+
+  /** One decoded column value: NULL -> None; ints/floats render via
+    * their canonical Java string; text decodes UTF-8; blobs render as
+    * lowercase hex (a deterministic, oracle-replayable presentation).
+    */
+  type Row = (Long, Seq[Option[String]]) // (rowid, column values)
+  /** Typed form: each value with its record serial type. */
+  type TypedRow = (Long, Seq[(Long, Option[String])])
+
+  private final class Fail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def fail(): Nothing = throw new Fail
+
+  /** Guard: maximum pages this reader will touch per database. */
+  private val MaxPages = 1 << 16
+
+  def isSqlite(b: Array[Byte]): Boolean =
+    b.length >= 16 && (0 until 16).forall(i => b(i) == Magic(i))
+
+  private def u16(b: Array[Byte], i: Int): Int = {
+    if (i + 2 > b.length) fail()
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  }
+  private def u32(b: Array[Byte], i: Int): Long = {
+    if (i + 4 > b.length) fail()
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  }
+
+  /** SQLite varint: 1–9 bytes, big-endian 7-bit groups; the 9th byte
+    * contributes all 8 bits.
+    */
+  private def varint(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    var p = pos
+    while (i < 8) {
+      if (p >= b.length) fail()
+      val c = b(p) & 0xff
+      p += 1
+      if ((c & 0x80) == 0) return ((v << 7) | c, p)
+      v = (v << 7) | (c & 0x7f)
+      i += 1
+    }
+    if (p >= b.length) fail()
+    ((v << 8) | (b(p) & 0xffL), p + 1)
+  }
+
+  private final class Db(val b: Array[Byte]) {
+    if (!isSqlite(b) || b.length < 100) fail()
+    val pageSize: Int = {
+      val raw = u16(b, 16)
+      if (raw == 1) 65536 else raw
+    }
+    if (pageSize < 512 || (pageSize & (pageSize - 1)) != 0) fail()
+    val reserved: Int = b(20) & 0xff
+    val usable: Int = pageSize - reserved
+    if (usable < 480) fail()
+    val textEncoding: Long = u32(b, 56)
+    if (textEncoding != 1) fail() // UTF-8 only (the corpus norm)
+    val nPages: Int =
+      math.min(u32(b, 28), (b.length.toLong + pageSize - 1) / pageSize).toInt
+
+    /** Absolute offset of page `pno` (1-based); page 1 carries the
+      * 100-byte file header before its b-tree content.
+      */
+    def pageStart(pno: Long): Int = {
+      if (pno < 1 || pno > math.min(nPages.toLong, MaxPages)) fail()
+      val off = (pno - 1) * pageSize
+      if (off + pageSize > b.length) fail()
+      off.toInt
+    }
+
+    /** Read a full cell payload, following overflow pages per the
+      * spec's local-payload formula for TABLE leaves.
+      */
+    def tablePayload(cellPos: Int, payloadLen: Long,
+        contentStart: Int): Array[Byte] = {
+      val x = usable - 35
+      if (payloadLen <= x) {
+        if (cellPos + payloadLen > b.length) fail()
+        return java.util.Arrays.copyOfRange(b, cellPos,
+          cellPos + payloadLen.toInt)
+      }
+      val m = ((usable - 12) * 32 / 255) - 23
+      val k = m + ((payloadLen - m) % (usable - 4))
+      val local = if (k <= x) k.toInt else m
+      if (payloadLen > (1L << 28)) fail() // budget: 256 MiB payload cap
+      val out = new Array[Byte](payloadLen.toInt)
+      if (cellPos + local + 4 > b.length) fail()
+      System.arraycopy(b, cellPos, out, 0, local)
+      var got = local
+      var next = u32(b, cellPos + local)
+      var hops = 0
+      while (got < payloadLen) {
+        if (next == 0 || hops > MaxPages) fail()
+        val ps = pageStart(next)
+        next = u32(b, ps)
+        val take = math.min(usable - 4, payloadLen.toInt - got)
+        System.arraycopy(b, ps + 4, out, got, take)
+        got += take
+        hops += 1
+      }
+      out
+    }
+  }
+
+  /** Decode one record payload to (serial type, value) pairs. */
+  private def record(p: Array[Byte]): Seq[(Long, Option[String])] = {
+    val (hdrLen, afterHdrLen) = varint(p, 0)
+    if (hdrLen < 1 || hdrLen > p.length) fail()
+    val types = Vector.newBuilder[Long]
+    var pos = afterHdrLen
+    while (pos < hdrLen) {
+      val (t, np) = varint(p, pos)
+      types += t
+      pos = np
+    }
+    var body = hdrLen.toInt
+    types.result().map { t =>
+      def beInt(n: Int): Long = {
+        if (body + n > p.length) fail()
+        var v = if ((p(body) & 0x80) != 0) -1L else 0L
+        var i = 0
+        while (i < n) { v = (v << 8) | (p(body + i) & 0xffL); i += 1 }
+        body += n
+        v
+      }
+      val v: Option[String] = t match {
+        case 0 => None
+        case 1 => Some(beInt(1).toString)
+        case 2 => Some(beInt(2).toString)
+        case 3 => Some(beInt(3).toString)
+        case 4 => Some(beInt(4).toString)
+        case 5 => Some(beInt(6).toString)
+        case 6 => Some(beInt(8).toString)
+        case 7 =>
+          if (body + 8 > p.length) fail()
+          var bits = 0L
+          var i = 0
+          while (i < 8) { bits = (bits << 8) | (p(body + i) & 0xffL); i += 1 }
+          body += 8
+          Some(java.lang.Double.longBitsToDouble(bits).toString)
+        case 8 => Some("0")
+        case 9 => Some("1")
+        case n if n >= 12 && n % 2 == 0 =>
+          val len = ((n - 12) / 2).toInt
+          if (body + len > p.length) fail()
+          val hex = new StringBuilder(len * 2)
+          var i = 0
+          while (i < len) {
+            hex.append("%02x".format(p(body + i) & 0xff)); i += 1
+          }
+          body += len
+          Some(hex.toString)
+        case n if n >= 13 =>
+          val len = ((n - 13) / 2).toInt
+          if (body + len > p.length) fail()
+          val s = new String(p, body, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+          body += len
+          Some(s)
+        case _ => fail() // 10/11 reserved
+      }
+      (t, v)
+    }
+  }
+
+  /** Walk one table b-tree, emitting leaf rows in rowid order. */
+  private def walkTable(db: Db, rootPage: Long): Seq[TypedRow] = {
+    val out = Seq.newBuilder[TypedRow]
+    var visited = 0
+    def page(pno: Long): Unit = {
+      visited += 1
+      if (visited > MaxPages) fail()
+      val ps = db.pageStart(pno)
+      val hdr = if (pno == 1) ps + 100 else ps
+      val ptype = db.b(hdr) & 0xff
+      val nCells = u16(db.b, hdr + 3)
+      ptype match {
+        case 13 => // table leaf
+          var c = 0
+          while (c < nCells) {
+            val cp = ps + u16(db.b, hdr + 8 + 2 * c)
+            val (plen, p1) = varint(db.b, cp)
+            val (rowid, p2) = varint(db.b, p1)
+            out += ((rowid, record(db.tablePayload(p2, plen, 0))))
+            c += 1
+          }
+        case 5 => // table interior
+          var c = 0
+          while (c < nCells) {
+            val cp = ps + u16(db.b, hdr + 12 + 2 * c)
+            page(u32(db.b, cp))
+            c += 1
+          }
+          page(u32(db.b, hdr + 8)) // right-most child
+        case _ => fail() // index pages are not table rows
+      }
+    }
+    page(rootPage)
+    out.result()
+  }
+
+  /** The schema: (name, rootpage, CREATE sql) of every TABLE. */
+  def tablesWithSql(b: Array[Byte]): Seq[(String, Long, String)] =
+    try {
+      val db = new Db(b)
+      walkTable(db, 1L).flatMap { case (_, cols0) =>
+        val cols = cols0.map(_._2)
+        // sqlite_master: (type, name, tbl_name, rootpage, sql)
+        (cols.lift(0).flatten, cols.lift(1).flatten,
+          cols.lift(3).flatten, cols.lift(4).flatten) match {
+          case (Some("table"), Some(name), Some(root), sql) =>
+            root.toLongOption.map(r => (name, r, sql.getOrElse("")))
+          case _ => None
+        }
+      }
+    } catch {
+      case _: Fail | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException | _: StackOverflowError => Nil
+    }
+
+  /** The schema: (name, rootpage) of every TABLE in sqlite_master. */
+  def tables(b: Array[Byte]): Seq[(String, Long)] =
+    tablesWithSql(b).map { case (n, r, _) => (n, r) }
+
+  /** Per-column REAL-affinity flags from a CREATE TABLE statement
+    * (the spec's affinity rules: a declared type containing REAL /
+    * FLOA / DOUB). Needed because SQLite stores integral REAL values
+    * as record INTEGERS and converts on read — the serial type alone
+    * cannot reproduce what sqlite3 returns.
+    */
+  private def realAffinity(sql: String): IndexedSeq[Boolean] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return IndexedSeq.empty
+    val inner = sql.substring(open + 1, close)
+    // split top-level commas (ignore nesting inside parens)
+    val parts = Vector.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    inner.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    parts += cur.toString
+    val constraint = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN",
+      "CONSTRAINT")
+    parts.result()
+      .map(_.trim)
+      .filter(p => p.nonEmpty &&
+        !constraint(p.split("[\\s(]+").head.toUpperCase))
+      .map { col =>
+        val u = col.toUpperCase
+        u.contains("REAL") || u.contains("FLOA") || u.contains("DOUB")
+      }.toIndexedSeq
+  }
+
+  /** All rows of `table` (None if absent/corrupt): (rowid, values). */
+  def rows(b: Array[Byte], table: String): Option[Seq[Row]] =
+    typedRows(b, table).map(_.map { case (rid, cs) => (rid, cs.map(_._2)) })
+
+  /** All rows with their serial types (the TEXT/BLOB distinction the
+    * ingest route needs — post-hoc strings cannot recover it).
+    */
+  def typedRows(b: Array[Byte], table: String): Option[Seq[TypedRow]] =
+    try {
+      val db = new Db(b)
+      tablesWithSql(b).find(_._1 == table).map { case (_, root, sql) =>
+        val real = realAffinity(sql)
+        walkTable(db, root).map { case (rid, cols) =>
+          (rid, cols.zipWithIndex.map { case ((t, v), i) =>
+            if (t >= 1 && t <= 9 && t != 7 &&
+              real.lift(i).getOrElse(false))
+              (t, v.map(x => x.toDouble.toString))
+            else (t, v)
+          })
+        }
+      }
+    } catch {
+      case _: Fail | _: IndexOutOfBoundsException |
+        _: NegativeArraySizeException | _: StackOverflowError => None
+    }
+}
+
+/** Planted SQLite fixtures, built PAGE-EXACT in the JVM: a two-page
+  * database (page 1 = schema leaf, page 2 = `docs` table leaf) whose
+  * `docs(id INTEGER, body TEXT)` rows are doc_id arithmetic —
+  * `id mod 3 + 1` rows, row r's body = `"sqlite doc <id> row <r>
+  * body & more"`; rows where `(id + r) mod 4 == 0` plant a NULL id
+  * column (the serial-type-0 path). Validated during vector
+  * generation to read back identically through the system sqlite3.
+  */
+object SqliteFixtures {
+
+  def nRows(id: Long): Int = (id % 3 + 1).toInt
+  def body(id: Long, r: Int): String = s"sqlite doc $id row $r body & more"
+  def nullId(id: Long, r: Int): Boolean = (id + r) % 4 == 0
+
+  private def varintBytes(v: Long): Array[Byte] = {
+    // values here are small; 1–2 byte forms suffice
+    if (v < 0x80) Array(v.toByte)
+    else Array((0x80 | (v >> 7)).toByte, (v & 0x7f).toByte)
+  }
+
+  /** A table-leaf record of (INTEGER|NULL, TEXT). */
+  private def docRecord(idVal: Option[Long], body: String): Array[Byte] = {
+    val text = body.getBytes("UTF-8")
+    val textType = 13L + 2L * text.length
+    val idType = if (idVal.isDefined) 6L else 0L
+    val hdr = varintBytes(idType) ++ varintBytes(textType)
+    val hdrLen = varintBytes(1L + hdr.length)
+    require(hdrLen.length == 1)
+    val idBytes = idVal.map { v =>
+      (7 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    }.getOrElse(Array.emptyByteArray)
+    hdrLen ++ hdr ++ idBytes ++ text
+  }
+
+  /** sqlite_master record: (type,name,tbl_name,rootpage,sql). */
+  private def masterRecord(name: String, root: Long, sql: String): Array[Byte] = {
+    def t(s: String) = (13L + 2L * s.getBytes("UTF-8").length, s.getBytes("UTF-8"))
+    val (tt, tb) = t("table")
+    val (nt, nb) = t(name)
+    val (st, sb) = t(sql)
+    val hdr = varintBytes(tt) ++ varintBytes(nt) ++ varintBytes(nt) ++
+      Array(1.toByte) ++ varintBytes(st)
+    val hdrLen = varintBytes(1L + hdr.length)
+    require(hdrLen.length == 1)
+    hdrLen ++ hdr ++ tb ++ nb ++ nb ++ Array(root.toByte) ++ sb
+  }
+
+  private def leafPage(pageSize: Int, headerAt: Int,
+      cells: Seq[Array[Byte]], rowids: Seq[Long]): Array[Byte] = {
+    val page = new Array[Byte](pageSize)
+    var content = pageSize
+    val ptrs = Vector.newBuilder[Int]
+    for ((rec, rid) <- cells.zip(rowids)) {
+      val cell = varintBytes(rec.length.toLong) ++ varintBytes(rid) ++ rec
+      content -= cell.length
+      System.arraycopy(cell, 0, page, content, cell.length)
+      ptrs += content
+    }
+    page(headerAt) = 13 // table leaf
+    page(headerAt + 3) = ((cells.length >> 8) & 0xff).toByte
+    page(headerAt + 4) = (cells.length & 0xff).toByte
+    page(headerAt + 5) = ((content >> 8) & 0xff).toByte
+    page(headerAt + 6) = (content & 0xff).toByte
+    val pl = ptrs.result()
+    for ((p, i) <- pl.zipWithIndex) {
+      page(headerAt + 8 + 2 * i) = ((p >> 8) & 0xff).toByte
+      page(headerAt + 8 + 2 * i + 1) = (p & 0xff).toByte
+    }
+    page
+  }
+
+  def dbBytes(id: Long): Array[Byte] = {
+    val pageSize = 4096
+    // page 2: the docs leaf
+    val recs = (0 until nRows(id)).map { r =>
+      docRecord(if (nullId(id, r)) None else Some(id * 10 + r), body(id, r))
+    }
+    val page2 = leafPage(pageSize, 0, recs, (1 to recs.length).map(_.toLong))
+    // page 1: header + schema leaf
+    val sql = "CREATE TABLE docs(id INTEGER, body TEXT)"
+    val page1 = leafPage(pageSize, 100,
+      Seq(masterRecord("docs", 2L, sql)), Seq(1L))
+    // file header over the first 100 bytes
+    System.arraycopy(
+      "SQLite format 3".getBytes("ISO-8859-1") :+ 0.toByte, 0,
+      page1, 0, 16)
+    page1(16) = ((pageSize >> 8) & 0xff).toByte
+    page1(17) = (pageSize & 0xff).toByte
+    page1(18) = 1; page1(19) = 1 // read/write versions: legacy
+    page1(21) = 64; page1(22) = 32; page1(23) = 32 // payload fractions
+    // database size in pages (header offset 28, u32 BE)
+    page1(31) = 2
+    // text encoding = 1 (UTF-8) at offset 56
+    page1(59) = 1
+    page1 ++ page2
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, JsonlFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, VorbisCodec, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
+import graft.functions.{CharsetDetect, CharsetFixtures, IngestFixtures, IngestRouter, JsonlFixtures, SqliteCodec, SqliteFixtures, CodeFeatures, CodeFixtures, CsvFixtures, CsvSniff, Curation, Dedup, DocxCodec, DocxFixtures, EmlCodec, EmlFixtures, EpubCodec, EpubFixtures, GifAnimFixtures, GifCodec, HtmlContent, HtmlContentFixtures, HtmlTableFixtures, HtmlTables, IpynbCells, IpynbFixtures, LicenseDetect, LicenseFixtures, MarkdownCodec, MarkdownFixtures, Multimodal, PdfCodec, PdfFixtures, PptxCodec, PptxFixtures, RobotsFixtures, RobotsTxt, RtfCodec, RtfFixtures, SecretFixtures, SecretScan, Similarity, SitemapCodec, SitemapFixtures, SubstringFixtures, SubtitleCodec, SubtitleFixtures, TarCodec, TarFixtures, TextAnalytics, TextClean, TextCleanFixtures, UrlFeatures, UrlFixtures, VorbisCodec, WarcCodec, WarcFixtures, XlsxCodec, XlsxFixtures, ZipCodec, ZipFixtures}
 import graft.model.Tables
 
 /** The training-data-pipeline extension surface (SURVEY §7.5 + north
@@ -2905,6 +2905,41 @@ object ExtensionQueries {
              |      AS text FROM r)
              |SELECT doc_id, CAST(r AS BIGINT) AS part, text,
              |  CAST(length(text) AS BIGINT) AS n_chars FROM v""".stripMargin),
+    ),
+
+    // SQLite table extraction (r11): corpora ship as .sqlite dumps,
+    // and the engine reads them pure-JVM — header, table b-trees,
+    // the record format with all serial types incl. the
+    // REAL-affinity integer-storage conversion, overflow chains.
+    // Held to the system sqlite3 via 8 checked-in databases
+    // (SqliteCodecSpec, value-exact) and the fixture builder's
+    // 24-database reverse validation (FIXTURES.md); this row replays
+    // the planted two-page fixture family, NULL ids included.
+    QueryDef(
+      "sqlite_extract_rows",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.flatMap { id =>
+            SqliteCodec.rows(SqliteFixtures.dbBytes(id), "docs")
+              .getOrElse(Nil).map { case (rowid, cols) =>
+                (id, rowid, cols.head.map(_.toLong), cols(1).getOrElse(""))
+              }
+          })
+          .toDF("doc_id", "row_id", "id_val", "body")
+          .withColumn("n_chars", length(col("body")).cast("long"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS n FROM documents),
+             |r AS (SELECT d.doc_id, rr.r FROM d, range(0, 3) AS rr(r)
+             |    WHERE rr.r < d.n),
+             |v AS (SELECT doc_id, r,
+             |    CASE WHEN (doc_id + r) % 4 = 0 THEN NULL
+             |         ELSE doc_id * 10 + r END AS id_val,
+             |    'sqlite doc ' || doc_id || ' row ' || r || ' body & more'
+             |      AS body FROM r)
+             |SELECT doc_id, CAST(r + 1 AS BIGINT) AS row_id,
+             |  CAST(id_val AS BIGINT) AS id_val, body,
+             |  CAST(length(body) AS BIGINT) AS n_chars FROM v""".stripMargin),
     ),
 
     // The router's format census — the first dashboard a corpus
