@@ -160,10 +160,24 @@ object JsonLite {
           case 'r' => sb.append('\r')
           case 't' => sb.append('\t')
           case 'u' =>
+            // ASCII hex only: Character.digit/Integer.parseInt accept
+            // non-ASCII Unicode digits (e.g. Arabic-Indic), which RFC
+            // 8259 forbids — and parse success is a routing signal, so
+            // leniency here would diverge from the DuckDB oracle.
             if (pos + 4 > s.length) fail()
-            val h = s.substring(pos, pos + 4)
-            if (!h.forall(ch => Character.digit(ch, 16) >= 0)) fail()
-            sb.append(Integer.parseInt(h, 16).toChar)
+            var cp = 0
+            var i = 0
+            while (i < 4) {
+              val ch = s.charAt(pos + i)
+              val d =
+                if (ch >= '0' && ch <= '9') ch - '0'
+                else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+                else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+                else fail()
+              cp = (cp << 4) | d
+              i += 1
+            }
+            sb.append(cp.toChar)
             pos += 4
           case _ => fail()
         }

@@ -95,8 +95,17 @@ object SqliteCodec {
     if (usable < 480) fail()
     val textEncoding: Long = u32(b, 56)
     if (textEncoding != 1) fail() // UTF-8 only (the corpus norm)
-    val nPages: Int =
-      math.min(u32(b, 28), (b.length.toLong + pageSize - 1) / pageSize).toInt
+    val nPages: Int = {
+      // The in-header page count (offset 28) is only trustworthy when
+      // non-zero AND the file-change counter (offset 24) matches
+      // version-valid-for (offset 92); legacy/stale headers (pre-3.7
+      // writers stamp 0, or a hot-journal-era mismatch) must fall back
+      // to the file size, exactly as sqlite3 does.
+      val hdr = u32(b, 28)
+      val fileBased = (b.length.toLong + pageSize - 1) / pageSize
+      val trusted = hdr != 0 && u32(b, 24) == u32(b, 92)
+      (if (trusted) math.min(hdr, fileBased) else fileBased).toInt
+    }
 
     /** Absolute offset of page `pno` (1-based); page 1 carries the
       * 100-byte file header before its b-tree content.
@@ -143,7 +152,7 @@ object SqliteCodec {
   }
 
   /** Decode one record payload to (serial type, value) pairs. */
-  private def record(p: Array[Byte]): Seq[(Long, Option[String])] = {
+  private[functions] def record(p: Array[Byte]): Seq[(Long, Option[String])] = {
     val (hdrLen, afterHdrLen) = varint(p, 0)
     if (hdrLen < 1 || hdrLen > p.length) fail()
     val types = Vector.newBuilder[Long]
@@ -181,7 +190,12 @@ object SqliteCodec {
         case 8 => Some("0")
         case 9 => Some("1")
         case n if n >= 12 && n % 2 == 0 =>
-          val len = ((n - 12) / 2).toInt
+          // Guard the Long->Int truncation: a corrupt serial type like
+          // 2^33+12 would wrap toInt to 0 and silently decode an empty
+          // value where sqlite3 errors. Bound by the payload first.
+          val lenL = (n - 12) / 2
+          if (lenL > p.length - body) fail()
+          val len = lenL.toInt
           if (body + len > p.length) fail()
           val hex = new StringBuilder(len * 2)
           var i = 0
@@ -191,7 +205,9 @@ object SqliteCodec {
           body += len
           Some(hex.toString)
         case n if n >= 13 =>
-          val len = ((n - 13) / 2).toInt
+          val lenL = (n - 13) / 2
+          if (lenL > p.length - body) fail()
+          val len = lenL.toInt
           if (body + len > p.length) fail()
           val s = new String(p, body, len,
             java.nio.charset.StandardCharsets.UTF_8)

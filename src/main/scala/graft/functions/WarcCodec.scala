@@ -180,34 +180,46 @@ object WarcCodec {
           case "zstd" =>
             ZstdCodec.decompress(body, MaxInflatedBytes).getOrElse(body)
           case "deflate" =>
-            // DataFormatException is CHECKED — it must be caught here
-            // or it escapes parseRecords' filter and kills the task;
-            // and a truncated stream that merely exhausts its input is
-            // NOT finished, so it too falls back to the raw bytes
-            try {
-              val inf = new java.util.zip.Inflater()
-              try {
-                inf.setInput(body)
-                val out = new java.io.ByteArrayOutputStream()
-                val tmp = new Array[Byte](8192)
-                var n = inf.inflate(tmp)
-                while (n > 0 && out.size() <= MaxInflatedBytes) {
-                  out.write(tmp, 0, n)
-                  n = inf.inflate(tmp)
-                }
-                if (!inf.finished() || out.size() > MaxInflatedBytes) body
-                else out.toByteArray
-              } finally inf.end()
-            } catch {
-              case _: java.util.zip.DataFormatException |
-                _: RuntimeException => body
-            }
+            // Try zlib-wrapped first (the spec meaning of "deflate"),
+            // then RAW deflate — a well-known real-server deviation
+            // that browsers/crawlers tolerate; without the retry those
+            // responses fall back to compressed bytes and surface as
+            // mojibake text units (ADVICE r11)
+            inflateFully(body, raw = false)
+              .orElse(inflateFully(body, raw = true))
+              .getOrElse(body)
           case _ => body
         }
         WarcRecord(recType, uri, cType, status, httpCt, plainBody)
       }
     } else WarcRecord(recType, uri, cType, -1, "", payload)
   }
+
+  /** One complete inflate pass. DataFormatException is CHECKED — it
+    * must be caught here or it escapes parseRecords' filter and kills
+    * the task; a truncated stream that merely exhausts its input is NOT
+    * finished, so it too yields None.
+    */
+  private def inflateFully(body: Array[Byte],
+      raw: Boolean): Option[Array[Byte]] =
+    try {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(body)
+        val out = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = inf.inflate(tmp)
+        while (n > 0 && out.size() <= MaxInflatedBytes) {
+          out.write(tmp, 0, n)
+          n = inf.inflate(tmp)
+        }
+        if (!inf.finished() || out.size() > MaxInflatedBytes) None
+        else Some(out.toByteArray)
+      } finally inf.end()
+    } catch {
+      case _: java.util.zip.DataFormatException | _: RuntimeException =>
+        None
+    }
 
   // ------------------------------------------------------ html → text
 

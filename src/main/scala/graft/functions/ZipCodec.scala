@@ -117,13 +117,7 @@ object ZipCodec {
             if (pos + 30 + nameLen > b.length) return out.toSeq
             out += new String(b, pos + 30, nameLen,
               java.nio.charset.StandardCharsets.UTF_8)
-            var scan = pos + 30 + nameLen + extraLen
-            var next = -1
-            while (next < 0 && scan + 4 <= b.length) {
-              if (b(scan) == 'P' && b(scan + 1) == 'K' && b(scan + 2) == 3 &&
-                b(scan + 3) == 4) next = scan
-              else scan += 1
-            }
+            val next = resyncAfterDescriptor(b, pos, nameLen, extraLen, csize)
             if (next < 0) return out.toSeq
             pos = next
             idx += 1
@@ -183,6 +177,59 @@ object ZipCodec {
     out.toSeq
   }
 
+  /** Advance past a data-descriptor member whose local header starts at
+    * `pos`. The spec allows a writer to stamp the real csize even with
+    * bit 3 set — when present, trust it and step over payload plus the
+    * (optionally PK\x07\x08-signed) descriptor. Otherwise scan forward
+    * for the next PK\x03\x04 — but the 4 signature bytes can occur
+    * inside the compressed payload (a payload containing
+    * `PK\x03\x04...word/` could mis-route zip→docx via sniffZip's
+    * package refinement), so a resync candidate is only accepted if it
+    * passes local-header sanity checks. Returns -1 when no plausible
+    * next header exists.
+    */
+  private def resyncAfterDescriptor(b: Array[Byte], pos: Int, nameLen: Int,
+      extraLen: Int, csize: Long): Int = {
+    val dataOff = pos.toLong + 30 + nameLen + extraLen
+    if (csize > 0 && dataOff + csize <= b.length) {
+      var p = dataOff + csize
+      // descriptor = optional PK\x07\x08 signature + crc/csize/usize
+      if (p + 4 <= b.length && b(p.toInt) == 'P' && b(p.toInt + 1) == 'K' &&
+        b(p.toInt + 2) == 7 && b(p.toInt + 3) == 8) p += 16
+      else p += 12
+      if (p + 30 <= b.length && plausibleLocalHeader(b, p.toInt))
+        return p.toInt
+      // sizes lied (or the walk hit the central directory): fall
+      // through to the validated scan
+    }
+    var scan = math.min(dataOff, b.length.toLong).toInt
+    while (scan + 4 <= b.length) {
+      if (b(scan) == 'P' && b(scan + 1) == 'K' && b(scan + 2) == 3 &&
+        b(scan + 3) == 4 && plausibleLocalHeader(b, scan)) return scan
+      scan += 1
+    }
+    -1
+  }
+
+  /** Sanity checks distinguishing a real local header from 4 signature
+    * bytes that happen to occur inside a compressed payload.
+    */
+  private def plausibleLocalHeader(b: Array[Byte], p: Int): Boolean = {
+    if (p + 30 > b.length) return false
+    if (!(b(p) == 'P' && b(p + 1) == 'K' && b(p + 2) == 3 &&
+      b(p + 3) == 4)) return false
+    val version = u16(b, p + 4)
+    val method = u16(b, p + 8)
+    val nameLen = u16(b, p + 26)
+    // version-needed caps at 6.3 in the spec; methods beyond the
+    // common set (store/deflate/deflate64/bzip2/lzma/zstd/xz/ppmd)
+    // mark a false sync; a real member always has a non-empty name
+    version <= 63 &&
+      (method == 0 || method == 8 || method == 9 || method == 12 ||
+        method == 14 || method == 93 || method == 95 || method == 98) &&
+      nameLen > 0 && p + 30 + nameLen <= b.length
+  }
+
   /** Truncated-archive fallback: walk PK\x03\x04 local headers front to
     * back, trusting local sizes. A data-descriptor member (bit 3 set —
     * its sizes live AFTER the data, so its extent is undelimited
@@ -211,13 +258,7 @@ object ZipCodec {
       if ((flags & 0x08) != 0) {
         // data descriptor: this member is undelimited — resync on the
         // next local-header signature and continue the walk there
-        var scan = pos + 30 + nameLen + extraLen
-        var next = -1
-        while (next < 0 && scan + 4 <= b.length) {
-          if (b(scan) == 'P' && b(scan + 1) == 'K' && b(scan + 2) == 3 &&
-            b(scan + 3) == 4) next = scan
-          else scan += 1
-        }
+        val next = resyncAfterDescriptor(b, pos, nameLen, extraLen, csize)
         if (next < 0) return out.toSeq
         pos = next
         idx += 1

@@ -35,6 +35,13 @@ class JsonLiteSpec extends AnyFunSuite {
     // surrogate pair: two \\u escapes concatenate to one code point
     assert(p("\"\\ud83d\\ude00\"").map(_.asString.get.codePointAt(0))
       .contains(0x1f600))
+    // RFC 8259 hex is ASCII-only: Character.digit would accept
+    // Arabic-Indic digits (U+0660) and parse success is a routing
+    // signal the DuckDB oracle would diverge on (ADVICE r11)
+    assert(p("\"\\u\u0660\u066041\"").isEmpty)
+    assert(p("\"\\u00\u06604\"").isEmpty)
+    // fullwidth digits (U+FF10) are likewise rejected
+    assert(p("\"\\u\uff10\uff1041\"").isEmpty)
   }
 
   test("invalid inputs parse to None, never throw") {

@@ -105,6 +105,45 @@ class SqliteCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("stale header page counts fall back to the file size (ADVICE r11)") {
+    // Legacy pre-3.7 writers stamp 0 at offset 28: the count is only
+    // valid when non-zero AND the change counter (24) matches
+    // version-valid-for (92). Both stale shapes must read back full.
+    val full = SqliteCodec.rows(SqliteFixtures.dbBytes(5L), "docs").get
+
+    val zeroed = SqliteFixtures.dbBytes(5L)
+    for (i <- 28 until 32) zeroed(i) = 0 // counters still match (0==0)
+    assert(SqliteCodec.rows(zeroed, "docs").contains(full),
+      "zero page count must fall back to file-size pages")
+
+    val stale = SqliteFixtures.dbBytes(5L)
+    stale(31) = 1 // header says 1 page — would hide the docs leaf…
+    stale(27) = 1 // …but change counter 1 != version-valid-for 0
+    assert(SqliteCodec.rows(stale, "docs").contains(full),
+      "mismatched change counters must distrust the header count")
+
+    // control: counters matching keeps the header count authoritative
+    val trusted = SqliteFixtures.dbBytes(5L)
+    trusted(31) = 1
+    assert(SqliteCodec.rows(trusted, "docs").isEmpty,
+      "a trusted 1-page count hides page 2 by design")
+  }
+
+  test("overflow-length serial types fail instead of wrapping to empty") {
+    // A corrupt serial type like 2^33+13 used to truncate toInt to
+    // len 0 and silently decode "" where sqlite3 errors (ADVICE r11).
+    // 2^33+13 as a 5-byte varint: A0 80 80 80 0D; +12 ends 0x0C.
+    for (tail <- Seq(0x0D, 0x0C)) {
+      val hdr = Array[Byte](7, 0, 0xA0.toByte, 0x80.toByte, 0x80.toByte,
+        0x80.toByte, tail.toByte)
+      val payload = hdr ++ "abcd".getBytes("UTF-8")
+      assertThrows[RuntimeException](SqliteCodec.record(payload))
+    }
+    // sanity: a well-formed record of the same shape still decodes
+    val ok = Array[Byte](3, 0, (13 + 8).toByte) ++ "abcd".getBytes("UTF-8")
+    assert(SqliteCodec.record(ok).map(_._2) == Seq(None, Some("abcd")))
+  }
+
   test("the ingest router detects and extracts sqlite text columns") {
     val b = SqliteFixtures.dbBytes(9L)
     assert(IngestRouter.sniff(b) == "sqlite")

@@ -123,6 +123,23 @@ class WarcCodecSpec extends AnyFunSuite {
     val cut = java.util.Arrays.copyOf(defl, defl.length / 2)
     val trunc = WarcCodec.parseRecords(responseRecord(cut))
     assert(trunc.head.payload.toSeq == cut.toSeq)
+    // RAW deflate (no zlib wrapper): a well-known real-server
+    // deviation browsers tolerate — must decode on retry, not surface
+    // mojibake (ADVICE r11)
+    val rawDefl = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val rawOk = WarcCodec.parseRecords(responseRecord(rawDefl))
+    assert(rawOk.head.payload.toSeq == plain.toSeq)
+    // and a truncated raw stream still stays raw
+    val rawCut = java.util.Arrays.copyOf(rawDefl, rawDefl.length / 2)
+    val rawTrunc = WarcCodec.parseRecords(responseRecord(rawCut))
+    assert(rawTrunc.head.payload.toSeq == rawCut.toSeq)
   }
 
   test("gzip bomb guard: decompressed size is bounded before parsing") {

@@ -100,6 +100,65 @@ class ZipCodecSpec extends AnyFunSuite {
     assert(ZipCodec.entryNames(out.toByteArray) == Seq("a.txt", "b.txt"))
   }
 
+  test("descriptor resync rejects signature bytes inside the payload") {
+    // PK\x03\x04 can legitimately occur INSIDE a member's compressed
+    // payload; a blind resync there emits garbage entry names (a
+    // payload containing PK\x03\x04...word/ could mis-route zip→docx
+    // via sniffZip). The resync must (a) trust a stamped csize when
+    // the writer provides one despite bit 3, and (b) otherwise
+    // validate the candidate header before accepting it (ADVICE r11).
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def member(name: String, payload: Array[Byte], flags: Int,
+        csize: Int, withDescriptor: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(a: Array[Byte]): Unit = out.write(a, 0, a.length)
+      val crc = { val c = new java.util.zip.CRC32(); c.update(payload); c.getValue }
+      out.write("PK".getBytes("ISO-8859-1")); out.write(3); out.write(4)
+      w(le16(20)); w(le16(flags)); w(le16(0)) // version, flags, stored
+      w(le16(0)); w(le16(0)) // time, date
+      w(le32(if (csize > 0) crc.toInt else 0)); w(le32(csize)); w(le32(csize))
+      w(le16(name.length)); w(le16(0))
+      w(name.getBytes("UTF-8"))
+      w(payload)
+      if (withDescriptor) {
+        w(le32(0x08074b50)); w(le32(crc.toInt))
+        w(le32(payload.length)); w(le32(payload.length))
+      }
+      out.toByteArray
+    }
+    // an IMPLAUSIBLE fake header inside the payload: version 9999
+    val fakeBad = "xx".getBytes("UTF-8") ++
+      "PK".getBytes("ISO-8859-1") ++ Array[Byte](3, 4) ++ le16(9999) ++
+      le16(0) ++ le16(77) ++ new Array[Byte](18) ++
+      "word/evil".getBytes("UTF-8") ++ "yy".getBytes("UTF-8")
+    val real = member("b.txt", "salvaged".getBytes("UTF-8"), 0,
+      "salvaged".length, withDescriptor = false)
+    // case (b): csize unknown (0) — the scan must reject the fake
+    val archiveB = member("a.txt", fakeBad, 0x08, 0,
+      withDescriptor = true) ++ real
+    assert(ZipCodec.entryNames(archiveB) == Seq("a.txt", "b.txt"),
+      "implausible embedded signature must not resync")
+    val esB = ZipCodec.parseEntries(archiveB)
+    assert(esB.map(_.name) == Seq("b.txt") && esB.head.crcOk)
+    // case (a): a PLAUSIBLE fake header in the payload, but the writer
+    // stamped the true csize — the stamped size wins, the fake is
+    // never consulted
+    val fakePlausible = "xx".getBytes("UTF-8") ++
+      "PK".getBytes("ISO-8859-1") ++ Array[Byte](3, 4) ++ le16(20) ++
+      le16(0) ++ le16(0) ++ new Array[Byte](16) ++ le16(9) ++ le16(0) ++
+      "word/evil".getBytes("UTF-8") ++ "yy".getBytes("UTF-8")
+    val archiveA = member("a.txt", fakePlausible, 0x08,
+      fakePlausible.length, withDescriptor = true) ++ real
+    assert(ZipCodec.entryNames(archiveA) == Seq("a.txt", "b.txt"),
+      "stamped csize must step exactly over the payload")
+    val esA = ZipCodec.parseEntries(archiveA)
+    assert(esA.map(_.name) == Seq("b.txt") && esA.head.crcOk)
+  }
+
   test("CRC mismatch is flagged, not dropped") {
     val full = ZipFixtures.zipBytes(2L) // 3 members, first stored
     // flip a payload byte of the first (stored) member: local header is
