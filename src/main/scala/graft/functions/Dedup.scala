@@ -534,14 +534,27 @@ object Dedup {
     *    `spark.sparkContext.setCheckpointDir(...)` (and optionally
     *    `spark.cleaner.referenceTracking.cleanCheckpoints` to reap
     *    finished rounds).
+    *
+    * Mode selection: the per-call `reliable` parameter, OR'd with the
+    * session conf `spark.graft.reliableCut` (default false) — so a
+    * cluster session flips EVERY lineage cut in the engine to the
+    * fault-tolerant mode with one `spark.conf.set`, without threading
+    * the flag through each registry query. The registry/bench default
+    * stays executor-local (right for local mode; zero external
+    * storage), and results are identical in both modes by construction
+    * (the cut changes storage, not the plan's semantics) —
+    * `DedupSpec` proves it.
     */
-  private def lineageCut(op: String, reliable: Boolean): DataFrame => DataFrame =
-    if (reliable) { df =>
+  private def lineageCut(op: String, reliable: Boolean): DataFrame => DataFrame = { df =>
+    val useReliable = reliable ||
+      df.sparkSession.conf.get("spark.graft.reliableCut", "false").toBoolean
+    if (useReliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$op(reliable = true) needs a reliable checkpoint location: " +
           "call spark.sparkContext.setCheckpointDir(<dir>) first")
       df.checkpoint(true)
-    } else _.localCheckpoint(true)
+    } else df.localCheckpoint(true)
+  }
 
   /** Connected components over an undirected near-dup pair list: every
     * document gets the minimum doc_id of its component as `cluster` —

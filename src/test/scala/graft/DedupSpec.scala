@@ -192,6 +192,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spark.graft.reliableCut flips every lineage cut per session, results identical") {
+    // VERDICT r11 #4: a cluster session must be able to select the
+    // fault-tolerant cut mode once, without threading reliable=true
+    // through each registry query. The conf is read at cut-apply time,
+    // so the SAME default-parameter calls route through the reliable
+    // store — and produce identical results (the cut changes storage,
+    // not semantics).
+    val defEst = Dedup.minhashEstimatedJaccard(docs)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val defClusters = Dedup.clusterAssign(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b"),
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")).as[(Long, Long)]
+      .collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCut", "true")
+    try {
+      val est = Dedup.minhashEstimatedJaccard(docs) // default params!
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(est == defEst)
+      val clusters = Dedup.clusterAssign(
+        Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b"),
+        Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")).as[(Long, Long)]
+        .collect().toMap
+      assert(clusters == defClusters)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "conf-selected reliable mode must hit the reliable store")
+    } finally {
+      spark.conf.set("spark.graft.reliableCut", "false")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("native md5 signature == declarative chain, row for row") {
     val native = Dedup.minhashSignaturesMd5(docs).orderBy("doc_id").collect().toSeq
     val decl = Dedup.minhashSignaturesMd5Declarative(docs).orderBy("doc_id").collect().toSeq
