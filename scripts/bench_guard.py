@@ -41,14 +41,12 @@ THRESHOLD = 2.0   # max allowed per-query slowdown vs baseline median
 FLOOR_SEC = 0.3   # ignore regressions that stay under this absolute time
 
 # Rows that pay REAL per-execution environment setup the 2x ratio should
-# not amplify (VERDICT r8 #8): dedup_retract_stream starts an actual
-# Structured Streaming job per rep — checkpoint-dir creation, file-source
-# write + listing, memory-sink init — ~1-2 s of filesystem work that is
-# machine-bound, not plan-bound. The guard allows that much ADDITIVE
-# slack on top of the ratio so setup jitter alone can never trip it,
-# while a genuine 2x plan regression (which scales the multiplicative
-# part) still does.
-SETUP_SLACK_SEC = {"dedup_retract_stream": 2.0}
+# not amplify (VERDICT r8 #8). Empty since round 12: the one former
+# entry (dedup_retract_stream, 2.0 s) was retired by memoizing the
+# staged file source across reps (VERDICT r11 #6) — only the per-run
+# checkpoint dir remains per-execution, and the row guards within 2x
+# unaided.
+SETUP_SLACK_SEC = {}
 
 # Rows whose OPERATOR SEMANTICS changed this round: the baseline medians
 # measure the old semantics, so a ratio against them grades the feature,

@@ -32,6 +32,30 @@ object ExtensionQueries {
     */
   def clearBpeIncrementalMemo(): Unit = bpeIncrementalMergesCache.clear()
 
+  /** Memoized staged source dir for `dedup_retract_stream`, keyed by
+    * data dir: the staged parquet write is deterministic in the data
+    * dir, so bench reps re-run the STREAMING JOB (the thing being
+    * measured) against the same files instead of paying a fresh
+    * environment build per rep (VERDICT r11 #6). Reaped at JVM exit.
+    */
+  private val retractStreamSrcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      retractStreamSrcMemo.values.asScala.foreach { d =>
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try walk.sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }
+    }))
+  }
+
   /** Cache key binding a memo to the current on-disk fixture content:
     * path + last-modified + total length (recursive for a parquet
     * directory). Collision requires a same-size regeneration within the
@@ -810,12 +834,14 @@ object ExtensionQueries {
     // DuckDB oracle replays the mask as plain SQL — identical to the
     // batch twin above.
     //
-    // BENCH TIMING NOTE: each execution starts a REAL streaming job —
-    // checkpoint-dir creation, file-source write + listing, memory-sink
-    // init — so ~1-2 s of the measured time is per-run environment
-    // setup, not plan time. bench_guard.py grants this row an additive
-    // setup slack (SETUP_SLACK_SEC) so filesystem jitter alone cannot
-    // trip the 2x guard; a genuine plan regression still does.
+    // BENCH TIMING NOTE: the staged file source is MEMOIZED per data
+    // dir (the write is deterministic in `dir`), so reps 2..n time the
+    // streaming job itself — 4 micro-batches against the persisted
+    // index — not the per-run environment build. Only the checkpoint
+    // dir is per-run (it must be: AvailableNow against a reused
+    // checkpoint would consider every file already processed and emit
+    // nothing). This retired the row's former bench_guard setup slack
+    // (VERDICT r11 #6).
     QueryDef(
       "dedup_retract_stream",
       (s, dir) => {
@@ -823,17 +849,23 @@ object ExtensionQueries {
         val tomb = docs.filter(col("doc_id") % 6 === 0).select("doc_id")
         val masked = Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0))
           .join(tomb, Seq("doc_id"), "left_anti")
-        val srcDir = java.nio.file.Files
-          .createTempDirectory("retract-stream-src").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("retract-stream-ckpt").toString
-        // 4 files → 4 micro-batches under maxFilesPerTrigger=1: the
-        // arrival order genuinely exercises multi-batch execution
         val staged = docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"),
             lit("2024-01-01 00:00:00").cast("timestamp").as("ts"), col("text"))
-        staged.repartitionByRange(4, col("doc_id"))
-          .write.mode("overwrite").parquet(srcDir)
+        // 4 files → 4 micro-batches under maxFilesPerTrigger=1: the
+        // arrival order genuinely exercises multi-batch execution
+        // keyed on fixture content (mtime+size), not just the path, so
+        // a driver-regenerated fixture invalidates the staged copy
+        val srcDir = retractStreamSrcMemo.computeIfAbsent(
+          fixtureCacheKey(dir, "documents.parquet"), { _ =>
+            val d = java.nio.file.Files
+              .createTempDirectory("retract-stream-src").toString
+            staged.repartitionByRange(4, col("doc_id"))
+              .write.mode("overwrite").parquet(d)
+            d
+          })
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("retract-stream-ckpt").toString
         val stream = s.readStream.schema(staged.schema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir)
         val sink = "retract_stream_" +
@@ -857,15 +889,15 @@ object ExtensionQueries {
               .as[(Long, Long)].collect().toSeq
           } finally {
             try s.catalog.dropTempView(sink) catch { case _: Throwable => () }
-            for (d <- Seq(srcDir, ckpt)) {
-              import scala.jdk.CollectionConverters._
-              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
-              try walk.sorted(
-                  java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .iterator().asScala
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
-              finally walk.close()
-            }
+            // only the per-run checkpoint is scratch here; the staged
+            // source is shared across reps and reaped at JVM exit
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+            try walk.sorted(
+                java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
           }
         pairs.toDF("new_doc", "old_doc")
       },
