@@ -100,8 +100,12 @@ object PdfCodec {
           // follows it (crawled PDFs ship broken lengths routinely; an
           // overshooting length would swallow — and an undershooting one
           // expose — real object frames to the phantom guard below)
+          // Long arithmetic: a hostile /Length near Int.MaxValue would
+          // wrap `dataStart + len` negative, pass the bound check, and
+          // throw out of endstreamAt — killing the whole document's
+          // extraction instead of falling back (fuzz find, r12)
           val viaDeclared = declared.collect {
-            case len if len >= 0 && dataStart + len <= b.length &&
+            case len if len >= 0 && dataStart.toLong + len <= b.length &&
               endstreamAt(s, dataStart + len) => dataStart + len
           }
           val dataEnd = viaDeclared.getOrElse {

@@ -65,4 +65,26 @@ class DocxCodecSpec extends AnyFunSuite {
         java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
     }
   }
+
+  test("lying declared lengths are bombs, not allocations (VERDICT r11 #7)") {
+    // A hostile container can DECLARE sizes that dwarf the actual
+    // bytes: the walk must bound by real payload, never trust-allocate.
+    val base = DocxFixtures.docxBytes(7L)
+    for ((off, v) <- ZipTamper.lyingSizeVariants(base)) {
+      val b = base.clone()
+      ZipTamper.putLe32(b, off, v)
+      DocxCodec.extractParagraphs(b) // must not throw or over-allocate
+    }
+    // soak: every central/local size field of every entry, several lies
+    val rnd = new scala.util.Random(7007)
+    for (_ <- 0 until 100) {
+      val b = DocxFixtures.docxBytes(rnd.nextInt(32).toLong).clone()
+      val fields = ZipTamper.sizeFieldOffsets(b)
+      if (fields.nonEmpty) {
+        ZipTamper.putLe32(b, fields(rnd.nextInt(fields.length)),
+          Seq(0x7fffffffL, 0xffffffffL, 0L, 1L << 20)(rnd.nextInt(4)))
+        DocxCodec.extractParagraphs(b)
+      }
+    }
+  }
 }

@@ -89,4 +89,23 @@ class EpubCodecSpec extends AnyFunSuite {
       extractChapters(java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
     }
   }
+
+  test("lying declared lengths are bombs, not allocations (VERDICT r11 #7)") {
+    val base = EpubFixtures.epubBytes(11L)
+    for ((off, v) <- ZipTamper.lyingSizeVariants(base)) {
+      val b = base.clone()
+      ZipTamper.putLe32(b, off, v)
+      extractChapters(b) // must not throw or over-allocate
+    }
+    val rnd = new scala.util.Random(1101)
+    for (_ <- 0 until 100) {
+      val b = EpubFixtures.epubBytes(rnd.nextInt(32).toLong).clone()
+      val fields = ZipTamper.sizeFieldOffsets(b)
+      if (fields.nonEmpty) {
+        ZipTamper.putLe32(b, fields(rnd.nextInt(fields.length)),
+          Seq(0x7fffffffL, 0xffffffffL, 0L, 1L << 20)(rnd.nextInt(4)))
+        extractChapters(b)
+      }
+    }
+  }
 }

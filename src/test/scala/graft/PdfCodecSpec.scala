@@ -148,6 +148,42 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.extractPages(doc) == Seq((0, "font dict")))
   }
 
+  test("lying /Length values: bombs, negatives, over/undershoot (VERDICT r11 #7)") {
+    val content = "BT (survives) Tj ET"
+    def docWithLen(len: String): Array[Byte] = pdfOf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length $len >>\n" +
+        s"stream\n$content\nendstream\nendobj\n")
+    // a declared length is only trusted when `endstream` actually
+    // follows it — every lie below must fall back to the endstream
+    // scan and still extract the planted text, allocating nothing
+    // proportional to the lie
+    for (lie <- Seq("999999999", "2147483647", "-5", "0", "7",
+      (content.length + 4).toString))
+      assert(PdfCodec.extractPages(docWithLen(lie)) == Seq((0, "survives")),
+        s"/Length $lie")
+    // lying length on a FLATE stream: declared cut lands mid-zlib —
+    // the inflate of the mangled extent must not throw
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      new String(java.util.Arrays.copyOf(buf, n), "ISO-8859-1")
+    }
+    for (lie <- Seq(3, deflated.length / 2, deflated.length + 9)) {
+      val doc = pdfOf(
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+          "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+          "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+          s"4 0 obj << /Length $lie /Filter /FlateDecode >>\n" +
+          s"stream\n$deflated\nendstream\nendobj\n")
+      PdfCodec.extractPages(doc) // must not throw
+    }
+  }
+
   test("obj-looking bytes inside a stream payload do not shadow real objects") {
     // a stream payload containing the ASCII frame `1 0 obj ... endobj`
     // must not overwrite the real catalog under later-duplicate-wins;

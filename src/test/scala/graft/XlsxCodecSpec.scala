@@ -107,4 +107,23 @@ class XlsxCodecSpec extends AnyFunSuite {
       extractCells(java.util.Arrays.copyOf(full, rnd.nextInt(full.length)))
     }
   }
+
+  test("lying declared lengths are bombs, not allocations (VERDICT r11 #7)") {
+    val base = XlsxFixtures.xlsxBytes(9L)
+    for ((off, v) <- ZipTamper.lyingSizeVariants(base)) {
+      val b = base.clone()
+      ZipTamper.putLe32(b, off, v)
+      extractCells(b) // must not throw or over-allocate
+    }
+    val rnd = new scala.util.Random(9009)
+    for (_ <- 0 until 100) {
+      val b = XlsxFixtures.xlsxBytes(rnd.nextInt(32).toLong).clone()
+      val fields = ZipTamper.sizeFieldOffsets(b)
+      if (fields.nonEmpty) {
+        ZipTamper.putLe32(b, fields(rnd.nextInt(fields.length)),
+          Seq(0x7fffffffL, 0xffffffffL, 0L, 1L << 20)(rnd.nextInt(4)))
+        extractCells(b)
+      }
+    }
+  }
 }

@@ -1,0 +1,48 @@
+package graft.functions
+
+/** Test helper for lying-length soaks over zip-based document formats
+  * (VERDICT r11 #7): locates every size field a hostile archive could
+  * inflate — central-directory csize/usize (PK\x01\x02 +20/+24) and
+  * local-header csize/usize (PK\x03\x04 +18/+22) — so specs can patch
+  * them with bomb values and assert the walk bounds allocations by the
+  * real payload instead of trusting the declaration.
+  */
+object ZipTamper {
+
+  def putLe32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** All csize/usize field offsets in central-directory and
+    * local-file headers (signature-scanned; good enough for the
+    * well-formed fixtures the soaks start from).
+    */
+  def sizeFieldOffsets(b: Array[Byte]): IndexedSeq[Int] = {
+    val out = Vector.newBuilder[Int]
+    var i = 0
+    while (i + 4 <= b.length) {
+      if (b(i) == 'P' && b(i + 1) == 'K') {
+        if (b(i + 2) == 1 && b(i + 3) == 2 && i + 28 <= b.length) {
+          out += i + 20; out += i + 24
+        } else if (b(i + 2) == 3 && b(i + 3) == 4 && i + 26 <= b.length) {
+          out += i + 18; out += i + 22
+        }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** A deterministic set of single-field lies covering the classic
+    * bombs: huge usize (trust-allocate), huge csize (read past end),
+    * zero sizes on a non-empty member, and a just-past-end csize.
+    */
+  def lyingSizeVariants(b: Array[Byte]): Seq[(Int, Long)] = {
+    val fields = sizeFieldOffsets(b)
+    val bombs = Seq(0x7fffffffL, 0xfffffffeL, 0L, b.length.toLong + 1)
+    for (f <- fields; v <- bombs) yield (f, v)
+  }
+}
