@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Extract the AV1 default CDF tables needed by graft's lossless-intra AV1
+decoder (graft.functions.Av1Codec) from the system libaom's .rodata.
+
+Every table is located by its unique SHAPE SIGNATURE — an N-symbol aom CDF
+row is (N-1) strictly-decreasing nonzero u16 ICDF values followed by a zero
+(the implicit 32768 term) and a zero adaptation counter — never by a
+hardcoded file offset. Identification is additionally pinned two ways:
+
+  * anchor values published in the AV1 specification's default-CDF tables
+    (txb_skip[0][0][0]=ICDF(31849), dc_sign[0][0][0]=AOM_CDF2(16000),
+    skip={31671,16515,4576}, partition 8x8 ctx0 = AOM_CDF4(19132,25510,30392));
+  * the committed end-to-end pixel vectors (src/test/resources/av1/):
+    a wrong table cannot decode the system-encoder streams to the exact
+    pixels libdav1d/libgav1/libaom produce (Av1CodecSpec asserts equality).
+    The angle_delta table in particular was disambiguated from two
+    adjacent same-shape tables by that pixel oracle.
+
+Output: src/main/resources/av1/default_cdfs.bin — the u16-LE sections in
+the fixed order Av1Tables.scala expects (header comment there lists them).
+"""
+import struct, subprocess, sys, os
+
+LIB = "/lib/x86_64-linux-gnu/libaom.so.3"
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src/main/resources/av1/default_cdfs.bin")
+
+def rodata(path):
+    out = subprocess.run(["readelf", "-S", "-W", path],
+                         capture_output=True, text=True).stdout
+    for line in out.splitlines():
+        if " .rodata " in line:
+            p = line.split(); i = p.index(".rodata")
+            off = int(p[i+3], 16); size = int(p[i+4], 16)
+            return open(path, "rb").read()[off:off+size]
+    raise SystemExit("no .rodata in " + path)
+
+U = None
+
+def dec_run(pos, n):
+    prev = 32768
+    for i in range(n - 1):
+        v = U[pos + i]
+        if v == 0 or v >= prev: return False
+        prev = v
+    return U[pos + n - 1] == 0 and U[pos + n] == 0
+
+def padrow(pos, n, stride):
+    return dec_run(pos, n) and all(U[pos+k] == 0 for k in range(n+1, stride))
+
+def find_uniform(nrows, n):
+    hits = []; step = n + 1; i = 0; L = len(U) - nrows * step
+    while i < L:
+        if dec_run(i, n) and all(dec_run(i + r*step, n) for r in range(1, nrows)):
+            hits.append(i); i += nrows * step
+        else:
+            i += 1
+    return hits
+
+def grab(pos, count):
+    return list(U[pos:pos+count])
+
+def main():
+    global U
+    data = rodata(LIB)
+    U = struct.unpack("<%dH" % (len(data)//2), data[:len(data)//2*2])
+    out = {}
+
+    # --- coefficient family: one contiguous block, anchored by the unique
+    # [4][5][2][42] coeff_base shape, every neighbour at its exact offset ---
+    base = find_uniform(4*5*2*42, 4); assert len(base) == 1, base
+    out["coeff_base"] = grab(base[0], 8400)                 # [4][5][2][42][5]
+    br_start = base[0] + 8400
+    assert all(dec_run(br_start + 5*r, 4) for r in range(840))
+    out["coeff_br"] = grab(br_start, 4200)                  # [4][5][2][21][5]
+    be = [h for h in find_uniform(4*5*2*4, 3) if h + 640 == base[0]]
+    assert len(be) == 1, be
+    out["coeff_base_eob"] = grab(be[0], 640)                # [4][5][2][4][4]
+    pos = br_start + 4200 + 8   # 8 u16 zero padding after coeff_br
+    for n, name in ((11, "eob1024"), (10, "eob512"), (9, "eob256"),
+                    (8, "eob128"), (7, "eob64"), (6, "eob32"), (5, "eob16")):
+        assert all(dec_run(pos + (n+1)*r, n) for r in range(16)), (name, pos)
+        out[name] = grab(pos, 16*(n+1))                     # [4][2][2][n+1]
+        pos += 16*(n+1)
+    ee = pos                                                # eob_extra abuts eob16
+    assert all(dec_run(ee + 3*r, 2) for r in range(360))
+    out["eob_extra"] = grab(ee, 1080)                       # [4][5][2][9][3]
+    ts = [h for h in find_uniform(260, 2) if ee + 1080 <= h < ee + 1112]
+    assert len(ts) == 1 and U[ts[0]] == 919, ts             # spec txb_skip[0][0][0]
+    out["txb_skip"] = grab(ts[0], 780)                      # [4][5][13][3]
+    ds = ts[0] + 780
+    while not dec_run(ds, 2): ds += 1
+    assert U[ds] == 16768, U[ds:ds+3]                       # dc_sign = AOM_CDF2(16000)
+    out["dc_sign"] = grab(ds, 72)                           # [4][2][3][3]
+
+    # --- mode family ---
+    part = []
+    i = 0
+    while i < len(U) - 220:
+        if all(padrow(i + 11*r, 4, 11) for r in range(4)) and \
+           all(padrow(i + 11*r, 10, 11) for r in range(4, 16)) and \
+           all(padrow(i + 11*r, 8, 11) for r in range(16, 20)):
+            part.append(i); i += 220
+        else:
+            i += 1
+    assert len(part) == 1 and U[part[0]] == 13636, part     # AOM_CDF4(19132,...)
+    out["partition"] = grab(part[0], 220)                   # [5 bsl][4 ctx][11]
+
+    kf = find_uniform(25, 13); assert len(kf) == 1, kf
+    out["kf_y_mode"] = grab(kf[0], 350)                     # [5][5][14]
+
+    sk = [i for i in range(len(U)-9)
+          if U[i] == 1097 and U[i+3] == 16253 and U[i+6] == 28192
+          and U[i+1] == 0 and U[i+2] == 0 and U[i+4] == 0 and U[i+5] == 0
+          and U[i+7] == 0]
+    assert len(sk) == 1, sk                                 # spec skip values
+    out["skip"] = grab(sk[0], 8) + [0]                      # [3][3]
+
+    # angle_delta: the LAST 8 rows of the maximal 8-slot CDF-row run outside
+    # the eob ladder (two same-shape tables precede it; the committed pixel
+    # vectors pin this alignment — see module docstring).
+    runs = []
+    i = 0
+    while i < len(U) - 64:
+        if all(dec_run(i + 8*r, 7) for r in range(8)):
+            j = i
+            while dec_run(j + 64, 7) or dec_run(j + 64, 7): break
+            runs.append(i); i += 64
+        else:
+            i += 1
+    runs = [h for h in runs if h > ds]      # outside the coefficient forest
+    assert runs, runs
+    # maximal contiguous extension of the run
+    start = runs[0]
+    end = start
+    while dec_run(end + 8, 7): end += 8
+    out["angle_delta"] = grab(end - 56, 64)                 # [8][8]
+
+    fi = []
+    i = 0
+    while i < len(U) - 66:
+        if all(dec_run(i + 3*r, 2) for r in range(22)) and not dec_run(i-3, 2) \
+           and not dec_run(i + 66, 2) and not (be[0] - 2000 <= i <= ds + 100):
+            fi.append(i); i += 66
+        else:
+            i += 1
+    assert len(fi) == 1, fi
+    out["filter_intra"] = grab(fi[0], 66)                   # [22][3]
+
+    pal = []
+    i = 0
+    while i < len(U) - 63:
+        if all(dec_run(i + 3*r, 2) for r in range(21)) and not dec_run(i-3, 2) \
+           and not dec_run(i + 63, 2) and not (be[0] - 2000 <= i <= ds + 100):
+            pal.append(i); i += 63
+        else:
+            i += 1
+    assert len(pal) == 1, pal
+    out["palette_y_mode"] = grab(pal[0], 63)                # [7][3][3]
+
+    ORDER = ["partition", "skip", "kf_y_mode", "angle_delta", "palette_y_mode",
+             "filter_intra", "txb_skip", "eob16", "eob_extra",
+             "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign"]
+    blob = b"".join(struct.pack("<%dH" % len(out[k]), *out[k]) for k in ORDER)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    open(OUT, "wb").write(blob)
+    print("sections:", {k: len(out[k]) for k in ORDER})
+    print("wrote %s (%d bytes)" % (OUT, len(blob)))
+
+main()

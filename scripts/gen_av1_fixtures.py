@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Generate the AV1 cross-validation fixtures under src/test/resources/av1/.
+
+Deterministic synthetic gray images (no external content) are encoded
+LOSSLESS MONOCHROME by the system libaom (via libavif 0.11.1, ctypes over
+the public API; struct offsets verified against avifImageCreate /
+avifEncoderCreate anchor defaults), then decoded back through THREE
+independent system decoders — dav1d 1.0.0, libgav1 0.18.0 and libaom
+3.6.0 — which must agree bit-exactly with the input before a fixture is
+written (lossless AV1 decode is bit-exact by spec, so equality, not
+tolerance, is the contract Av1CodecSpec enforces).
+
+Encoder toolset pinned per fixture family (aom codec-specific options):
+lossless=1 always; the "minimal" family also pins enable-filter-intra=0,
+enable-intra-edge-filter=0, enable-angle-delta=0 — the toolset
+graft.functions.Av1Codec supports (palette / intra-bc / filter-intra /
+edge-filter streams decode to None, a documented unsupported-tool bail).
+
+Outputs per case: case_N.avif (full AVIF container), case_N.gray (the
+truth luma plane, top-down row-major), plus two IVF-wrapped copies
+(ivf_N.ivf) exercising the raw-OBU path, and manifest.json.
+"""
+import ctypes as C, struct, os, json, sys
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48   # verified offsets, libavif 0.11.1
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+def mk_image(w, h, y):
+    img = AV.avifImageCreate(w, h, 8, 4)          # YUV400
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    for row in range(h):
+        C.memmove(ptr + row*rb, y[row*w:(row+1)*w], w)
+    return img
+
+def encode(img, speed, opts):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)   # speed @8 (default -1)
+    for k, v in opts:
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), k.encode(), v.encode())
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+def decode_luma(data, codec):   # codec: 1 aom, 2 dav1d, 3 libgav1
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    rows = b"".join(C.string_at(ptr + y*rb, w) for y in range(h))
+    AV.avifDecoderDestroy(C.c_void_p(dec)); AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, rows
+
+def extract_obu(avif):
+    """Primary av01 item out of the ISOBMFF wrapper (meta/iloc/pitm walk)."""
+    b = avif
+    def boxes(off, end):
+        while off + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", b, off)
+            hdr = 8
+            if size == 1:
+                size = struct.unpack_from(">Q", b, off+8)[0]; hdr = 16
+            yield typ.decode("latin1"), off+hdr, off+size
+            off += size
+    meta = next((s, e) for t, s, e in boxes(0, len(b)) if t == "meta")
+    iloc = pitm = None
+    for t, s, e in boxes(meta[0]+4, meta[1]):
+        if t == "iloc": iloc = (s, e)
+        if t == "pitm": pitm = (s, e)
+    s, _ = iloc
+    ver = b[s]; s += 4
+    osz = b[s] >> 4; lsz = b[s] & 15; bsz = b[s+1] >> 4
+    isz = (b[s+1] & 15) if ver in (1, 2) else 0
+    s += 2
+    count = struct.unpack_from(">H" if ver < 2 else ">I", b, s)[0]
+    s += 2 if ver < 2 else 4
+    def rd(n, p): return int.from_bytes(b[p:p+n], "big"), p+n
+    items = {}
+    for _ in range(count):
+        iid, s = rd(2 if ver < 2 else 4, s)
+        if ver in (1, 2): s += 2
+        s += 2
+        base, s = rd(bsz, s)
+        ec, s = rd(2, s)
+        data = b""
+        for _ in range(ec):
+            if isz: _, s = rd(isz, s)
+            off, s = rd(osz, s); ln, s = rd(lsz, s)
+            data += b[base+off:base+off+ln]
+        items[iid] = data
+    pid = struct.unpack_from(">H" if b[pitm[0]] == 0 else ">I", b, pitm[0]+4)[0] if pitm else 1
+    return items[pid]
+
+def ivf_wrap(obu, w, h):
+    hdr = struct.pack("<4sHH4sHHIIIi", b"DKIF", 0, 32, b"AV01", w, h, 30, 1, 1, 0)
+    return hdr + struct.pack("<IQ", len(obu), 0) + obu
+
+def lcg(n, seed):
+    out = bytearray(n); s = seed & 0xFFFFFFFF
+    for i in range(n):
+        s = (s * 1103515245 + 12345) & 0xFFFFFFFF
+        out[i] = (s >> 16) & 0xFF
+    return bytes(out)
+
+def gray(w, h, kind, seed):
+    if kind == "const": return bytes([128]) * (w*h)
+    if kind == "hgrad": return bytes((x*255//max(w-1, 1)) for y in range(h) for x in range(w))
+    if kind == "vgrad": return bytes((y*255//max(h-1, 1)) for y in range(h) for x in range(w))
+    if kind == "diag":  return bytes(((x*3+y*5) & 0xFF) for y in range(h) for x in range(w))
+    if kind == "d45":   return bytes((((x+y)*9) & 0xFF) for y in range(h) for x in range(w))
+    if kind == "d135":  return bytes((((x-y)*9) & 0xFF) for y in range(h) for x in range(w))
+    if kind == "d203":  return bytes((((x-2*y)*9) & 0xFF) for y in range(h) for x in range(w))
+    if kind == "d67":   return bytes((((2*x+y)*9) & 0xFF) for y in range(h) for x in range(w))
+    if kind == "noise": return lcg(w*h, seed)
+    if kind == "blocks+dither":
+        nz = lcg(w*h, seed)
+        bl = bytes((((x//8)+(y//8)) % 2 * 200 + 28) for y in range(h) for x in range(w))
+        return bytes(min(255, max(0, b + (n & 15) - 8)) for b, n in zip(bl, nz))
+    if kind == "mixed":
+        nz = lcg(w*h, seed)
+        return bytes(((x*2+y) & 0xFF) if (x//16+y//16) % 2 == 0 else nz[y*w+x]
+                     for y in range(h) for x in range(w))
+    raise ValueError(kind)
+
+MIN_OPTS = [("lossless", "1"), ("enable-filter-intra", "0"),
+            ("enable-intra-edge-filter", "0"), ("enable-angle-delta", "0")]
+
+CASES = [
+    (4, 4, "const", 6, 1), (4, 4, "noise", 6, 2), (8, 8, "hgrad", 6, 1),
+    (8, 8, "noise", 6, 3), (16, 16, "diag", 6, 1), (16, 16, "noise", 8, 4),
+    (32, 32, "blocks+dither", 6, 1), (33, 17, "diag", 6, 1),
+    (64, 48, "mixed", 6, 5), (64, 64, "noise", 2, 6),
+    (128, 96, "blocks+dither", 8, 7), (5, 3, "diag", 6, 1),
+    (1, 1, "const", 6, 1), (2, 2, "noise", 6, 10), (96, 80, "hgrad", 6, 1),
+    (128, 128, "mixed", 2, 8),
+    (8, 8, "d45", 6, 1), (16, 16, "d135", 6, 1), (8, 8, "d203", 6, 1),
+    (16, 16, "d67", 6, 1), (16, 16, "vgrad", 6, 1), (160, 112, "mixed", 6, 11),
+]
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/av1")
+    os.makedirs(outdir, exist_ok=True)
+    man = []
+    for k, (w, h, kind, speed, seed) in enumerate(CASES):
+        y = gray(w, h, kind, seed)
+        img = mk_image(w, h, y)
+        data = encode(img, speed, MIN_OPTS)
+        for codec in (2, 3, 1):
+            dw, dh, luma = decode_luma(data, codec)
+            assert (dw, dh) == (w, h) and luma == y, (k, codec)
+        open(os.path.join(outdir, f"case_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"case_{k}.gray"), "wb").write(y)
+        man.append({"k": k, "w": w, "h": h, "kind": kind, "speed": speed})
+    for j, k in enumerate((8, 15)):   # two IVF-wrapped copies
+        w, h, kind, speed, seed = CASES[k]
+        avif = open(os.path.join(outdir, f"case_{k}.avif"), "rb").read()
+        open(os.path.join(outdir, f"ivf_{j}.ivf"), "wb").write(
+            ivf_wrap(extract_obu(avif), w, h))
+        man.append({"ivf": j, "case": k, "w": w, "h": h})
+    json.dump(man, open(os.path.join(outdir, "manifest.json"), "w"), indent=1)
+    print(f"{len(CASES)} avif + 2 ivf fixtures written (3-decoder agreement)")
+
+main()
