@@ -1,0 +1,983 @@
+package graft.functions
+
+/** Pure-JVM AV1 intra still-picture decoder for the LOSSLESS MONOCHROME
+  * subset — the toolset graft's multimodal fixtures are encoded with
+  * (AVIF/IVF stills from libaom with `lossless=1`, monochrome,
+  * filter-intra / intra-edge-filter / angle-delta search disabled).
+  *
+  * What is REAL here: OBU + reduced-still-picture header parsing, the
+  * daala range decoder with per-symbol adaptive CDFs, the full
+  * partition tree (all ten partition types incl. edge-of-frame
+  * gathered binary reads), keyframe intra mode coding, angle deltas,
+  * the 4x4 coefficient pipeline (txb_skip / EOB classes / base + BR
+  * level maps in reverse scan / DC-sign contexts / Golomb tails), the
+  * lossless 4x4 Walsh-Hadamard reconstruction, and the full intra
+  * predictor set (DC/V/H/directional zones 1-3/SMOOTH{,V,H}/PAETH) at
+  * transform-block granularity. Default CDFs come from [[Av1Tables]]
+  * (extracted from the system libaom, pinned by pixel vectors).
+  *
+  * Honest bails (decode returns None, never a task failure): lossy
+  * streams (base_q_idx > 0), chroma, palette and intra-block-copy
+  * blocks, filter-intra blocks, non-reduced headers, tiled frames.
+  * Reference behaviour cross-validated bit-exactly against dav1d,
+  * libgav1 AND libaom over the committed vectors (`FIXTURES.md`).
+  */
+object Av1Codec {
+  private final class Bail extends RuntimeException("av1 bail", null, false, false)
+  private def bail(): Nothing = throw new Bail
+
+  // ---------------- bit reader (MSB first) ----------------
+  private final class Bits(val d: Array[Byte], var p: Int) {
+    def f(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val byte = p >> 3
+        if (byte >= d.length) bail()
+        v = (v << 1) | ((d(byte) >> (7 - (p & 7))) & 1)
+        p += 1
+        k += 1
+      }
+      v
+    }
+  }
+
+  // ---------------- daala range decoder ----------------
+  private final class Ec(d: Array[Byte]) {
+    private var bptr = 0
+    var dif: Long = (1L << 31) - 1
+    var rng: Int = 0x8000
+    var cnt: Int = -15
+    refill()
+
+    private def refill(): Unit = {
+      var s = 32 - 9 - (cnt + 15)
+      while (s >= 0 && bptr < d.length) {
+        dif ^= (d(bptr) & 0xffL) << s
+        cnt += 8; bptr += 1; s -= 8
+      }
+      if (bptr >= d.length) cnt = 16384 // zero-fill past the end
+    }
+
+    private def normalize(difIn: Long, rngIn: Int): Unit = {
+      val bl = 32 - Integer.numberOfLeadingZeros(rngIn)
+      val s = 16 - bl
+      cnt -= s
+      dif = (((difIn + 1) << s) - 1) & 0xffffffffL
+      rng = rngIn << s
+      if (cnt < 0) refill()
+    }
+
+    /** Raw (non-adaptive) read against an ICDF row; returns the symbol. */
+    def decodeCdf(cdf: Array[Int], n: Int): Int = {
+      val c = dif >>> 16
+      var v = rng
+      var u = v
+      var ret = -1
+      do {
+        u = v
+        ret += 1
+        v = ((rng >> 8) * (cdf(ret) >> 6)) >> 1
+        v += 4 * (n - ret - 1)
+      } while (c < v)
+      rng = u - v
+      dif -= v.toLong << 16
+      normalize(dif, rng)
+      ret
+    }
+
+    def readSymbol(cdf: Array[Int], n: Int): Int = {
+      val ret = decodeCdf(cdf, n)
+      updateCdf(cdf, ret, n)
+      ret
+    }
+
+    def readBool(cdf: Array[Int]): Int = readSymbol(cdf, 2)
+
+    private val half = Array(16384, 0, 0)
+    def readBit(): Int = decodeCdf(half, 2)
+
+    def readLiteral(n: Int): Int = {
+      var x = 0
+      var k = 0
+      while (k < n) { x = (x << 1) | readBit(); k += 1 }
+      x
+    }
+
+    def readGolomb(): Int = {
+      var length = 0
+      var i = 0
+      while (i == 0 && length < 20) { i = readBit(); length += 1 }
+      var x = 1
+      var k = 0
+      while (k < length - 1) { x = (x << 1) | readBit(); k += 1 }
+      x - 1
+    }
+  }
+
+  private def updateCdf(cdf: Array[Int], value: Int, n: Int): Unit = {
+    val count = cdf(n)
+    val rate = 3 + (if (count > 15) 1 else 0) + (if (count > 31) 1 else 0) +
+      math.min(31 - Integer.numberOfLeadingZeros(n), 2)
+    var tmp = 32768
+    var i = 0
+    while (i < n - 1) {
+      if (i == value) tmp = 0
+      if (tmp < cdf(i)) cdf(i) -= (cdf(i) - tmp) >> rate
+      else cdf(i) += (tmp - cdf(i)) >> rate
+      i += 1
+    }
+    if (count < 32) cdf(n) = count + 1
+  }
+
+  // ---------------- constant tables ----------------
+  private val IntraModeContext = Array(0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0)
+  private val Scan4 = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+  private val NzOff4 = Array(0, 1, 6, 6, 1, 6, 6, 21, 6, 6, 21, 21, 6, 21, 21, 21)
+  private val SkipContexts = Array(
+    Array(1, 2, 2, 2, 3), Array(1, 4, 4, 4, 5), Array(1, 4, 4, 4, 5),
+    Array(1, 4, 4, 4, 5), Array(1, 4, 4, 4, 6))
+  /** angle for directional modes 1..8 (V,H,D45,D135,D113,D157,D203,D67) */
+  private val ModeAngle = Array(0, 90, 180, 45, 135, 113, 157, 203, 67)
+  private val Sm4 = Array(255, 149, 85, 64)
+  private val DrDeriv: Array[Int] = {
+    val t = new Array[Int](90)
+    val as = Array(3, 6, 9, 14, 17, 20, 23, 26, 29, 32, 36, 39, 42, 45, 48, 51,
+      54, 58, 61, 64, 67, 70, 73, 76, 81, 84, 87)
+    val vs = Array(1023, 547, 372, 273, 215, 178, 151, 132, 116, 102, 90, 80,
+      71, 64, 57, 51, 45, 40, 35, 31, 27, 23, 19, 15, 11, 7, 3)
+    var i = 0
+    while (i < as.length) { t(as(i)) = vs(i); i += 1 }
+    t
+  }
+
+  // ---------------- headers ----------------
+  private final class Seq {
+    var maxW = 0; var maxH = 0
+    var use128 = false
+    var enableFilterIntra = false
+    var enableIntraEdgeFilter = false
+  }
+
+  private final class FrameHdr {
+    var w = 0; var h = 0
+    var miCols = 0; var miRows = 0
+    var sbCols = 0; var sbRows = 0; var sbSize4 = 0
+    var allowSct = false
+    var headerBits = 0
+  }
+
+  private def parseSeq(b: Array[Byte]): Seq = {
+    val r = new Bits(b, 0)
+    val s = new Seq
+    val profile = r.f(3)
+    r.f(1) // still_picture
+    val reduced = r.f(1)
+    if (reduced != 1 || profile != 0) bail()
+    r.f(5) // level
+    val wb = r.f(4) + 1; val hb = r.f(4) + 1
+    s.maxW = r.f(wb) + 1
+    s.maxH = r.f(hb) + 1
+    s.use128 = r.f(1) == 1
+    s.enableFilterIntra = r.f(1) == 1
+    s.enableIntraEdgeFilter = r.f(1) == 1
+    if (r.f(1) == 1) bail() // superres
+    r.f(1) // enable_cdef (moot: lossless skips cdef params)
+    r.f(1) // enable_restoration (ditto)
+    if (r.f(1) == 1) bail() // high_bitdepth
+    if (r.f(1) != 1) bail() // mono_chrome required
+    if (r.f(1) == 1) { r.f(8); r.f(8); r.f(8) } // color description
+    r.f(1) // color_range
+    r.f(1) // film_grain_params_present (still picture: no grain on lossless path)
+    s
+  }
+
+  private def tileLog2(blkSize: Int, target: Int): Int = {
+    var k = 0
+    while ((blkSize << k) < target) k += 1
+    k
+  }
+
+  private def parseFrameHeader(b: Array[Byte], s: Seq): FrameHdr = {
+    val r = new Bits(b, 0)
+    val fr = new FrameHdr
+    r.f(1) // disable_cdf_update (adaptation below is correct either way at
+    //        frame scope; per-frame init is always from defaults)
+    fr.allowSct = r.f(1) == 1
+    if (fr.allowSct) r.f(1) // force_integer_mv (SELECT in reduced header)
+    fr.w = s.maxW; fr.h = s.maxH
+    if (r.f(1) == 1) { r.f(16); r.f(16) } // render size
+    if (fr.allowSct && r.f(1) == 1) bail() // allow_intrabc
+    fr.miCols = 2 * ((fr.w + 7) >> 3)
+    fr.miRows = 2 * ((fr.h + 7) >> 3)
+    fr.sbSize4 = if (s.use128) 32 else 16
+    fr.sbCols = (fr.miCols + fr.sbSize4 - 1) / fr.sbSize4
+    fr.sbRows = (fr.miRows + fr.sbSize4 - 1) / fr.sbSize4
+    if (r.f(1) != 1) bail() // uniform tile spacing only
+    val maxTileWidthSb = 4096 >> (if (s.use128) 7 else 6)
+    val minLog2Cols = tileLog2(maxTileWidthSb, fr.sbCols)
+    val maxLog2Cols = tileLog2(1, math.min(fr.sbCols, 64))
+    var colsLog2 = minLog2Cols
+    var more = true
+    while (more && colsLog2 < maxLog2Cols) {
+      if (r.f(1) == 1) colsLog2 += 1 else more = false
+    }
+    val maxTileAreaSb = (4096 * 2304) >> (2 * (if (s.use128) 7 else 6))
+    val minLog2Tiles = math.max(minLog2Cols, tileLog2(maxTileAreaSb, fr.sbRows * fr.sbCols))
+    val maxLog2Rows = tileLog2(1, math.min(fr.sbRows, 64))
+    var rowsLog2 = math.max(minLog2Tiles - colsLog2, 0)
+    more = true
+    while (more && rowsLog2 < maxLog2Rows) {
+      if (r.f(1) == 1) rowsLog2 += 1 else more = false
+    }
+    if (colsLog2 != 0 || rowsLog2 != 0) bail() // single tile only
+    if (r.f(8) != 0) bail() // base_q_idx: lossless only
+    if (r.f(1) != 0) bail() // DeltaQYDc
+    if (r.f(1) != 0) bail() // using_qmatrix
+    if (r.f(1) != 0) bail() // segmentation_enabled
+    // base_q_idx==0: delta_q_present not coded; CodedLossless=1 so the
+    // loop-filter / cdef / lr params are absent; TxMode=ONLY_4X4 implicit
+    r.f(1) // reduced_tx_set (irrelevant: lossless implies WHT)
+    fr.headerBits = r.p
+    fr
+  }
+
+  // ---------------- per-frame adaptive CDFs ----------------
+  private final class Cdfs {
+    private def cp(t: Array[Array[Int]]) = t.map(_.clone())
+    val partition = cp(Av1Tables.partition)
+    val skip = cp(Av1Tables.skip)
+    val kfY = cp(Av1Tables.kfYMode)
+    val angle = cp(Av1Tables.angleDelta)
+    val paletteY = cp(Av1Tables.paletteYMode)
+    val filterIntra = cp(Av1Tables.filterIntra)
+    val txbSkip = cp(Av1Tables.txbSkip)
+    val eob16 = cp(Av1Tables.eob16)
+    val eobExtra = cp(Av1Tables.eobExtra)
+    val baseEob = cp(Av1Tables.coeffBaseEob)
+    val base = cp(Av1Tables.coeffBase)
+    val br = cp(Av1Tables.coeffBr)
+    val dcSign = cp(Av1Tables.dcSign)
+  }
+
+  // ---------------- frame decoder ----------------
+  private final class Dec(s: Seq, fr: FrameHdr, tile: Array[Byte]) {
+    private val ec = new Ec(tile)
+    private val cdf = new Cdfs
+    private val miCols = fr.miCols
+    private val miRows = fr.miRows
+    private val padW = miCols * 4
+    val pix = new Array[Byte](padW * miRows * 4)
+    private val modeAt = new Array[Byte](miRows * miCols)
+    private val skipAt = new Array[Byte](miRows * miCols)
+    private val decoded = new Array[Boolean](miRows * miCols)
+    private val abovePart = new Array[Byte](miCols)
+    private val leftPart = new Array[Byte](miRows)
+    private val aboveLvl = new Array[Int](miCols)
+    private val leftLvl = new Array[Int](miRows)
+
+    def decodeFrame(): Unit = {
+      val s4 = fr.sbSize4
+      var sr = 0
+      while (sr < fr.sbRows) {
+        var sc = 0
+        while (sc < fr.sbCols) {
+          decodePartition(sr * s4, sc * s4, s4)
+          sc += 1
+        }
+        sr += 1
+      }
+    }
+
+    private def decodePartition(r: Int, c: Int, s4: Int): Unit = {
+      if (r >= miRows || c >= miCols) return
+      val hasRows = (r + s4 / 2) < miRows
+      val hasCols = (c + s4 / 2) < miCols
+      val bsl = (32 - Integer.numberOfLeadingZeros(s4)) - 2 // 8x8->0 .. 128->4
+      val nsym = if (s4 == 2) 4 else if (s4 == 32) 8 else 10
+      val ctx = ((leftPart(r) >> bsl) & 1) * 2 + ((abovePart(c) >> bsl) & 1)
+      val row = cdf.partition(bsl * 4 + ctx)
+      val p =
+        if (hasRows && hasCols) ec.readSymbol(row, nsym)
+        else if (hasCols) { if (gatheredBool(row, vertAlike = true) == 1) 3 else 1 }
+        else if (hasRows) { if (gatheredBool(row, vertAlike = false) == 1) 3 else 2 }
+        else 3
+      val h = s4 / 2
+      val q = s4 / 4
+      p match {
+        case 0 => decodeBlock(r, c, s4, s4)
+        case 1 =>
+          decodeBlock(r, c, s4, h)
+          if (r + h < miRows) decodeBlock(r + h, c, s4, h)
+        case 2 =>
+          decodeBlock(r, c, h, s4)
+          if (c + h < miCols) decodeBlock(r, c + h, h, s4)
+        case 3 =>
+          if (s4 == 2) {
+            decodeBlock(r, c, 1, 1); decodeBlock(r, c + 1, 1, 1)
+            decodeBlock(r + 1, c, 1, 1); decodeBlock(r + 1, c + 1, 1, 1)
+          } else {
+            decodePartition(r, c, h); decodePartition(r, c + h, h)
+            decodePartition(r + h, c, h); decodePartition(r + h, c + h, h)
+          }
+        case 4 =>
+          decodeBlock(r, c, h, h); decodeBlock(r, c + h, h, h)
+          decodeBlock(r + h, c, s4, h)
+        case 5 =>
+          decodeBlock(r, c, s4, h)
+          decodeBlock(r + h, c, h, h); decodeBlock(r + h, c + h, h, h)
+        case 6 =>
+          decodeBlock(r, c, h, h); decodeBlock(r + h, c, h, h)
+          decodeBlock(r, c + h, h, s4)
+        case 7 =>
+          decodeBlock(r, c, h, s4)
+          decodeBlock(r, c + h, h, h); decodeBlock(r + h, c + h, h, h)
+        case 8 =>
+          var i = 0
+          while (i < 4) {
+            if (r + i * q < miRows) decodeBlock(r + i * q, c, s4, q)
+            i += 1
+          }
+        case 9 =>
+          var i = 0
+          while (i < 4) {
+            if (c + i * q < miCols) decodeBlock(r, c + i * q, q, s4)
+            i += 1
+          }
+        case _ => bail()
+      }
+    }
+
+    /** Edge-of-frame partition: partitions whose frame-side edge is
+      * subdivided act like SPLIT; the gathered two-symbol cdf is read
+      * WITHOUT adaptation. `_4` terms vanish at 128x128 via the
+      * zero-padded 8-symbol rows.
+      */
+    private def gatheredBool(row: Array[Int], vertAlike: Boolean): Int = {
+      def pr(x: Int): Int = (if (x == 0) 32768 else row(x - 1)) - row(x)
+      val ps =
+        if (vertAlike) pr(2) + pr(3) + pr(4) + pr(6) + pr(7) + pr(9)
+        else pr(1) + pr(3) + pr(4) + pr(5) + pr(6) + pr(8)
+      ec.decodeCdf(Array(ps, 0, 0), 2)
+    }
+
+    private def decodeBlock(r: Int, c: Int, w4in: Int, h4in: Int): Unit = {
+      val w4 = math.min(w4in, miCols - c)
+      val h4 = math.min(h4in, miRows - r)
+      val askip = if (r > 0) skipAt((r - 1) * miCols + c) else 0
+      val lskip = if (c > 0) skipAt(r * miCols + c - 1) else 0
+      val skip = ec.readBool(cdf.skip(askip + lskip))
+      val amode = if (r > 0) modeAt((r - 1) * miCols + c) else 0
+      val lmode = if (c > 0) modeAt(r * miCols + c - 1) else 0
+      val mode = ec.readSymbol(
+        cdf.kfY(IntraModeContext(amode) * 5 + IntraModeContext(lmode)), 13)
+      var angle = 0
+      // MiSize >= BLOCK_8X8 in BLOCK_SIZES_ALL order: only 4x4/4x8/8x4 are below
+      val ge8x8 = w4in + h4in > 3
+      if (mode >= 1 && mode <= 8 && ge8x8)
+        angle = ec.readSymbol(cdf.angle(mode - 1), 7) - 3
+      if (fr.allowSct && mode == 0 && ge8x8 && w4in <= 16 && h4in <= 16) {
+        // palette_y_mode; neighbours never use palette on the supported path
+        val bctx = (31 - Integer.numberOfLeadingZeros(w4in * h4in * 16)) - 6
+        if (ec.readBool(cdf.paletteY(bctx * 3)) == 1) bail() // palette block
+      }
+      if (s.enableFilterIntra && mode == 0 && math.max(w4in, h4in) <= 8) {
+        val bidx = bsizeIndex(w4in, h4in)
+        if (ec.readBool(cdf.filterIntra(bidx)) == 1) bail() // filter-intra block
+      }
+      var rr = r
+      while (rr < r + h4) {
+        var cc = c
+        while (cc < c + w4) {
+          modeAt(rr * miCols + cc) = mode.toByte
+          skipAt(rr * miCols + cc) = skip.toByte
+          cc += 1
+        }
+        rr += 1
+      }
+      val ab = ((31 << (32 - Integer.numberOfLeadingZeros(w4in) - 1)) & 31).toByte
+      val lb = ((31 << (32 - Integer.numberOfLeadingZeros(h4in) - 1)) & 31).toByte
+      java.util.Arrays.fill(abovePart, c, c + w4, ab)
+      java.util.Arrays.fill(leftPart, r, r + h4, lb)
+      var ty = 0
+      while (ty < h4) {
+        var tx = 0
+        while (tx < w4) {
+          predict4(r + ty, c + tx, mode, angle)
+          if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
+          else { aboveLvl(c + tx) = 0; leftLvl(r + ty) = 0 }
+          decoded((r + ty) * miCols + c + tx) = true
+          tx += 1
+        }
+        ty += 1
+      }
+    }
+
+    private def bsizeIndex(w4: Int, h4: Int): Int = (w4, h4) match {
+      case (1, 1) => 0; case (1, 2) => 1; case (2, 1) => 2; case (2, 2) => 3
+      case (2, 4) => 4; case (4, 2) => 5; case (4, 4) => 6; case (4, 8) => 7
+      case (8, 4) => 8; case (8, 8) => 9; case (8, 16) => 10; case (16, 8) => 11
+      case (16, 16) => 12; case (16, 32) => 13; case (32, 16) => 14
+      case (32, 32) => 15; case (1, 4) => 16; case (4, 1) => 17
+      case (2, 8) => 18; case (8, 2) => 19; case (4, 16) => 20; case (16, 4) => 21
+      case _ => bail()
+    }
+
+    // ---------------- coefficients: one 4x4 lossless luma tx ----------------
+    private def coeffs4(rr: Int, cc: Int, bw4: Int, bh4: Int): Unit = {
+      val ctx =
+        if (bw4 == 1 && bh4 == 1) 0
+        else {
+          val top = aboveLvl(cc) & 63
+          val left = leftLvl(rr) & 63
+          SkipContexts(math.min(math.min(top, left), 4))(math.min(top | left, 4))
+        }
+      if (ec.readBool(cdf.txbSkip(ctx)) == 1) {
+        aboveLvl(cc) = 0; leftLvl(rr) = 0
+        return
+      }
+      val eobPt = ec.readSymbol(cdf.eob16(0), 5) + 1
+      val eob =
+        if (eobPt <= 2) eobPt
+        else {
+          val n = eobPt - 2
+          var off = ec.readBool(cdf.eobExtra(eobPt - 3)) << (n - 1)
+          var b = n - 2
+          while (b >= 0) { off |= ec.readBit() << b; b -= 1 }
+          (1 << (eobPt - 2)) + 1 + off
+        }
+      val lev = new Array[Int](16)
+      def nzMag(pos: Int): Int = {
+        val row = pos >> 2; val col = pos & 3
+        var m = 0
+        if (col + 1 < 4) m += math.min(lev(pos + 1), 3)
+        if (row + 1 < 4) m += math.min(lev(pos + 4), 3)
+        if (col + 1 < 4 && row + 1 < 4) m += math.min(lev(pos + 5), 3)
+        if (col + 2 < 4) m += math.min(lev(pos + 2), 3)
+        if (row + 2 < 4) m += math.min(lev(pos + 8), 3)
+        m
+      }
+      def brCtx(pos: Int): Int = {
+        val row = pos >> 2; val col = pos & 3
+        var m = 0
+        if (col + 1 < 4) m += math.min(lev(pos + 1), 15)
+        if (row + 1 < 4) m += math.min(lev(pos + 4), 15)
+        if (col + 1 < 4 && row + 1 < 4) m += math.min(lev(pos + 5), 15)
+        m = math.min((m + 1) >> 1, 6)
+        if (pos == 0) m
+        else if (row < 2 && col < 2) m + 7
+        else m + 14
+      }
+      def readBr(levelIn: Int, pos: Int): Int = {
+        var level = levelIn
+        var round = 0
+        var k = 3
+        while (round < 4 && k == 3) {
+          k = ec.readSymbol(cdf.br(brCtx(pos)), 4)
+          level += k
+          round += 1
+        }
+        level
+      }
+      var si = eob - 1
+      var pos = Scan4(si)
+      val ectx = if (si == 0) 0 else if (si <= 2) 1 else if (si <= 4) 2 else 3
+      var level = ec.readSymbol(cdf.baseEob(ectx), 3) + 1
+      if (level > 2) level = readBr(level, pos)
+      lev(pos) = math.min(level, 15)
+      si = eob - 2
+      while (si >= 0) {
+        pos = Scan4(si)
+        val bctx =
+          if (pos == 0) 0
+          else math.min((nzMag(pos) + 1) >> 1, 4) + NzOff4(pos)
+        level = ec.readSymbol(cdf.base(bctx), 4)
+        if (level > 2) level = readBr(level, pos)
+        lev(pos) = math.min(level, 15)
+        si -= 1
+      }
+      val coef = new Array[Int](16)
+      var culacc = 0
+      var dcval = 0
+      si = 0
+      while (si < eob) {
+        pos = Scan4(si)
+        level = lev(pos)
+        if (level != 0) {
+          val sign =
+            if (si == 0) {
+              val a = aboveLvl(cc) >> 6
+              val l = leftLvl(rr) >> 6
+              var cntS = 0
+              if (a == 2) cntS += 1 else if (a == 1) cntS -= 1
+              if (l == 2) cntS += 1 else if (l == 1) cntS -= 1
+              val dctx = if (cntS == 0) 0 else if (cntS > 0) 2 else 1
+              ec.readBool(cdf.dcSign(dctx))
+            } else ec.readBit()
+          if (level == 15) level += ec.readGolomb()
+          culacc += level
+          val v = if (sign == 1) -level else level
+          if (si == 0) dcval = v
+          coef(pos) = v * 4 // dequant: dc_q(0) = ac_q(0) = 4
+        }
+        si += 1
+      }
+      var cul = math.min(culacc, 63)
+      if (dcval < 0) cul |= 1 << 6 else if (dcval > 0) cul += 2 << 6
+      aboveLvl(cc) = cul
+      leftLvl(rr) = cul
+      iwhtAdd(rr, cc, coef)
+    }
+
+    /** Lossless 4x4 inverse Walsh-Hadamard, residual added in place. */
+    private def iwhtAdd(rr: Int, cc: Int, coef: Array[Int]): Unit = {
+      val t = new Array[Int](16)
+      var i = 0
+      while (i < 4) {
+        var a1 = coef(i * 4) >> 2
+        var c1 = coef(i * 4 + 1) >> 2
+        var d1 = coef(i * 4 + 2) >> 2
+        var b1 = coef(i * 4 + 3) >> 2
+        a1 += c1; d1 -= b1
+        val e1 = (a1 - d1) >> 1
+        b1 = e1 - b1; c1 = e1 - c1
+        a1 -= b1; d1 += c1
+        t(i * 4) = a1; t(i * 4 + 1) = b1; t(i * 4 + 2) = c1; t(i * 4 + 3) = d1
+        i += 1
+      }
+      var j = 0
+      while (j < 4) {
+        var a1 = t(j); var c1 = t(4 + j); var d1 = t(8 + j); var b1 = t(12 + j)
+        a1 += c1; d1 -= b1
+        val e1 = (a1 - d1) >> 1
+        b1 = e1 - b1; c1 = e1 - c1
+        a1 -= b1; d1 += c1
+        val x = cc * 4 + j
+        var k = 0
+        while (k < 4) {
+          val y = rr * 4 + k
+          val idx = y * padW + x
+          val out = k match { case 0 => a1; case 1 => b1; case 2 => c1; case _ => d1 }
+          val p = (pix(idx) & 0xff) + out
+          pix(idx) = (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+          k += 1
+        }
+        j += 1
+      }
+    }
+
+    // ---------------- intra prediction: one 4x4 tx unit ----------------
+    private def predict4(rr: Int, cc: Int, mode: Int, angle: Int): Unit = {
+      val x0 = cc * 4; val y0 = rr * 4
+      val haveA = rr > 0 && decoded((rr - 1) * miCols + cc)
+      val haveL = cc > 0 && decoded(rr * miCols + cc - 1)
+      val haveAR = rr > 0 && cc + 1 < miCols && decoded((rr - 1) * miCols + cc + 1)
+      val haveBL = cc > 0 && rr + 1 < miRows && decoded((rr + 1) * miCols + cc - 1)
+      val A = new Array[Int](8)
+      val L = new Array[Int](8)
+      if (haveA) {
+        var i = 0
+        while (i < 4) { A(i) = pix((y0 - 1) * padW + x0 + i) & 0xff; i += 1 }
+        if (haveAR) {
+          i = 0
+          while (i < 4) { A(4 + i) = pix((y0 - 1) * padW + x0 + 4 + i) & 0xff; i += 1 }
+        } else { i = 0; while (i < 4) { A(4 + i) = A(3); i += 1 } }
+      } else if (haveL) {
+        val v = pix(y0 * padW + x0 - 1) & 0xff
+        java.util.Arrays.fill(A, v)
+      } else java.util.Arrays.fill(A, 127)
+      if (haveL) {
+        var i = 0
+        while (i < 4) { L(i) = pix((y0 + i) * padW + x0 - 1) & 0xff; i += 1 }
+        if (haveBL) {
+          i = 0
+          while (i < 4) { L(4 + i) = pix((y0 + 4 + i) * padW + x0 - 1) & 0xff; i += 1 }
+        } else { i = 0; while (i < 4) { L(4 + i) = L(3); i += 1 } }
+      } else if (haveA) {
+        java.util.Arrays.fill(L, pix((y0 - 1) * padW + x0) & 0xff)
+      } else java.util.Arrays.fill(L, 129)
+      val corner =
+        if (haveA && haveL) pix((y0 - 1) * padW + x0 - 1) & 0xff
+        else if (haveA) pix((y0 - 1) * padW + x0) & 0xff
+        else if (haveL) pix(y0 * padW + x0 - 1) & 0xff
+        else 128
+      val pred = new Array[Int](16)
+      mode match {
+        case 0 =>
+          val v =
+            if (haveA && haveL) (A(0) + A(1) + A(2) + A(3) + L(0) + L(1) + L(2) + L(3) + 4) >> 3
+            else if (haveA) (A(0) + A(1) + A(2) + A(3) + 2) >> 2
+            else if (haveL) (L(0) + L(1) + L(2) + L(3) + 2) >> 2
+            else 128
+          java.util.Arrays.fill(pred, v)
+        case 1 =>
+          var i = 0
+          while (i < 16) { pred(i) = A(i & 3); i += 1 }
+        case 2 =>
+          var i = 0
+          while (i < 16) { pred(i) = L(i >> 2); i += 1 }
+        case m if m >= 3 && m <= 8 =>
+          drPred(pred, A, L, corner, ModeAngle(m) + angle * 3)
+        case 9 =>
+          var i = 0
+          while (i < 4) {
+            var j = 0
+            while (j < 4) {
+              val sHere = Sm4(i) * A(j) + (256 - Sm4(i)) * L(3) +
+                Sm4(j) * L(i) + (256 - Sm4(j)) * A(3)
+              pred(i * 4 + j) = (sHere + 256) >> 9
+              j += 1
+            }
+            i += 1
+          }
+        case 10 =>
+          var i = 0
+          while (i < 4) {
+            var j = 0
+            while (j < 4) {
+              pred(i * 4 + j) = (Sm4(i) * A(j) + (256 - Sm4(i)) * L(3) + 128) >> 8
+              j += 1
+            }
+            i += 1
+          }
+        case 11 =>
+          var i = 0
+          while (i < 4) {
+            var j = 0
+            while (j < 4) {
+              pred(i * 4 + j) = (Sm4(j) * L(i) + (256 - Sm4(j)) * A(3) + 128) >> 8
+              j += 1
+            }
+            i += 1
+          }
+        case 12 =>
+          var i = 0
+          while (i < 4) {
+            var j = 0
+            while (j < 4) {
+              val base = A(j) + L(i) - corner
+              val pl = math.abs(base - L(i))
+              val pt = math.abs(base - A(j))
+              val ptl = math.abs(base - corner)
+              pred(i * 4 + j) =
+                if (pl <= pt && pl <= ptl) L(i)
+                else if (pt <= ptl) A(j)
+                else corner
+              j += 1
+            }
+            i += 1
+          }
+        case _ => bail()
+      }
+      var i = 0
+      while (i < 4) {
+        var j = 0
+        while (j < 4) {
+          pix((y0 + i) * padW + x0 + j) = pred(i * 4 + j).toByte
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    /** Directional prediction, zones 1-3 (edge filter / upsampling are
+      * sequence-disabled on the supported toolset).
+      */
+    private def drPred(pred: Array[Int], A: Array[Int], L: Array[Int],
+        corner: Int, pa: Int): Unit = {
+      if (pa < 90) {
+        val dx = DrDeriv(pa)
+        var i = 0
+        while (i < 4) {
+          var j = 0
+          while (j < 4) {
+            val idx = (i + 1) * dx
+            val base = (idx >> 6) + j
+            pred(i * 4 + j) =
+              if (base >= 7) A(7)
+              else {
+                val sh = (idx >> 1) & 31
+                (A(base) * (32 - sh) + A(base + 1) * sh + 16) >> 5
+              }
+            j += 1
+          }
+          i += 1
+        }
+      } else if (pa == 90) {
+        var i = 0
+        while (i < 16) { pred(i) = A(i & 3); i += 1 }
+      } else if (pa < 180) {
+        val dx = DrDeriv(180 - pa)
+        val dy = DrDeriv(pa - 90)
+        def aa(k: Int): Int = if (k < 0) corner else A(k)
+        def ll(k: Int): Int = if (k < 0) corner else L(k)
+        var i = 0
+        while (i < 4) {
+          var j = 0
+          while (j < 4) {
+            val idx = (j << 6) - (i + 1) * dx
+            val base = idx >> 6
+            pred(i * 4 + j) =
+              if (base >= -1) {
+                val sh = (idx >> 1) & 31
+                (aa(base) * (32 - sh) + aa(base + 1) * sh + 16) >> 5
+              } else {
+                val idx2 = (i << 6) - (j + 1) * dy
+                val base2 = idx2 >> 6
+                val sh = (idx2 >> 1) & 31
+                (ll(base2) * (32 - sh) + ll(base2 + 1) * sh + 16) >> 5
+              }
+            j += 1
+          }
+          i += 1
+        }
+      } else if (pa == 180) {
+        var i = 0
+        while (i < 16) { pred(i) = L(i >> 2); i += 1 }
+      } else {
+        val dy = DrDeriv(270 - pa)
+        var i = 0
+        while (i < 4) {
+          var j = 0
+          while (j < 4) {
+            val idx = (j + 1) * dy
+            val base = (idx >> 6) + i
+            pred(i * 4 + j) =
+              if (base >= 7) L(7)
+              else {
+                val sh = (idx >> 1) & 31
+                (L(base) * (32 - sh) + L(base + 1) * sh + 16) >> 5
+              }
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+  }
+
+  // ---------------- containers ----------------
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) |
+      u8(b, i + 3)) & 0xffffffffL
+
+  /** Primary item payload (the av01 OBUs) out of an AVIF/ISOBMFF file:
+    * ftyp brand check, then the meta box's pitm + iloc walk.
+    */
+  private[functions] def avifPrimaryItem(b: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+        return None
+      val ftypSize = be32(b, 0).toInt
+      var brandOk = false
+      var i = 8
+      while (i + 4 <= ftypSize) {
+        if (b(i) == 'a' && b(i + 1) == 'v' && b(i + 2) == 'i' &&
+          (b(i + 3) == 'f' || b(i + 3) == 's')) brandOk = true
+        i += 4
+      }
+      if (!brandOk) return None
+      var metaS = -1; var metaE = -1
+      var off = 0
+      while (off + 8 <= b.length) {
+        val size = be32(b, off).toInt
+        if (size < 8) return None
+        if (b(off + 4) == 'm' && b(off + 5) == 'e' && b(off + 6) == 't' && b(off + 7) == 'a') {
+          metaS = off + 12; metaE = off + size // fullbox: skip version/flags
+        }
+        off += size
+      }
+      if (metaS < 0) return None
+      var ilocS = -1; var pitmS = -1
+      off = metaS
+      while (off + 8 <= metaE) {
+        val size = be32(b, off).toInt
+        if (size < 8) return None
+        val t = new String(b, off + 4, 4, "ISO-8859-1")
+        if (t == "iloc") ilocS = off + 8
+        if (t == "pitm") pitmS = off + 8
+        off += size
+      }
+      if (ilocS < 0) return None
+      var s = ilocS
+      val ver = u8(b, s); s += 4
+      val offSize = u8(b, s) >> 4
+      val lenSize = u8(b, s) & 15
+      val baseSize = u8(b, s + 1) >> 4
+      val idxSize = if (ver == 1 || ver == 2) u8(b, s + 1) & 15 else 0
+      s += 2
+      val count = if (ver < 2) { val v = (u8(b, s) << 8) | u8(b, s + 1); s += 2; v }
+        else { val v = be32(b, s).toInt; s += 4; v }
+      def rd(n: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < n) { v = (v << 8) | u8(b, s); s += 1; k += 1 }
+        v
+      }
+      val pid =
+        if (pitmS < 0) 1L
+        else if (u8(b, pitmS) == 0) (u8(b, pitmS + 4) << 8) | u8(b, pitmS + 5)
+        else be32(b, pitmS + 4)
+      var item: Array[Byte] = null
+      var n = 0
+      while (n < count) {
+        val iid = rd(if (ver < 2) 2 else 4)
+        if (ver == 1 || ver == 2) s += 2 // construction_method
+        s += 2 // data_reference_index
+        val base = rd(baseSize)
+        val extents = rd(2).toInt
+        val buf = new java.io.ByteArrayOutputStream()
+        var e = 0
+        while (e < extents) {
+          if (idxSize > 0) rd(idxSize)
+          val eo = rd(offSize)
+          val el = rd(lenSize)
+          val lo = (base + eo).toInt
+          if (lo < 0 || lo + el.toInt > b.length || el < 0) return None
+          buf.write(b, lo, el.toInt)
+          e += 1
+        }
+        if (iid == pid) item = buf.toByteArray
+        n += 1
+      }
+      Option(item)
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** First frame payload of an IVF file (DKIF header, AV01 fourcc). */
+  private def ivfFirstFrame(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 44 || b(0) != 'D' || b(1) != 'K' || b(2) != 'I' || b(3) != 'F')
+      return None
+    if (!(b(8) == 'A' && b(9) == 'V' && b(10) == '0' && b(11) == '1')) return None
+    val hdr = u8(b, 6) | (u8(b, 7) << 8)
+    val size = u8(b, hdr) | (u8(b, hdr + 1) << 8) | (u8(b, hdr + 2) << 16) | (u8(b, hdr + 3) << 24)
+    if (size <= 0 || hdr + 12 + size > b.length) return None
+    Some(java.util.Arrays.copyOfRange(b, hdr + 12, hdr + 12 + size))
+  }
+
+  // ---------------- public API ----------------
+  /** Decode the luma plane of an AVIF / IVF / raw-OBU lossless
+    * monochrome intra still: (width, height, top-down row-major gray).
+    */
+  def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val obu: Array[Byte] =
+        if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+          avifPrimaryItem(bytes).getOrElse(return None)
+        else if (bytes.length >= 4 && bytes(0) == 'D' && bytes(1) == 'K')
+          ivfFirstFrame(bytes).getOrElse(return None)
+        else bytes
+      var seqHdr: Seq = null
+      var frame: Array[Byte] = null
+      var i = 0
+      while (i < obu.length) {
+        val hdr = u8(obu, i)
+        if ((hdr & 0x81) != 0) return None // forbidden bit / reserved
+        val typ = (hdr >> 3) & 0xf
+        val ext = (hdr >> 2) & 1
+        if (((hdr >> 1) & 1) != 1) return None // need obu_has_size_field
+        var j = i + 1 + ext
+        var size = 0
+        var shift = 0
+        var more = true
+        while (more) {
+          if (j >= obu.length || shift > 28) return None
+          val bb = u8(obu, j); j += 1
+          size |= (bb & 0x7f) << shift
+          shift += 7
+          more = (bb & 0x80) != 0
+        }
+        if (size < 0 || j + size > obu.length) return None
+        typ match {
+          case 1 => seqHdr = parseSeq(java.util.Arrays.copyOfRange(obu, j, j + size))
+          case 6 => frame = java.util.Arrays.copyOfRange(obu, j, j + size)
+          case 3 => return None // standalone frame header unsupported
+          case _ => ()
+        }
+        i = j + size
+      }
+      if (seqHdr == null || frame == null) return None
+      val fr = parseFrameHeader(frame, seqHdr)
+      val tile = java.util.Arrays.copyOfRange(frame, (fr.headerBits + 7) / 8, frame.length)
+      val dec = new Dec(seqHdr, fr, tile)
+      dec.decodeFrame()
+      val out = new Array[Byte](fr.w * fr.h)
+      val padW = fr.miCols * 4
+      var y = 0
+      while (y < fr.h) {
+        System.arraycopy(dec.pix, y * padW, out, y * fr.w, fr.w)
+        y += 1
+      }
+      Some((fr.w, fr.h, out))
+    } catch {
+      case _: Bail | _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: ArithmeticException => None
+    }
+
+  /** [[PixelCodec]]-style decode: gray replicated to RGB. */
+  def decode(bytes: Array[Byte]): Option[(String, Int, Int, Array[Byte])] =
+    decodeLuma(bytes).map { case (w, h, luma) =>
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < luma.length) {
+        rgb(3 * i) = luma(i); rgb(3 * i + 1) = luma(i); rgb(3 * i + 2) = luma(i)
+        i += 1
+      }
+      ("avif", w, h, rgb)
+    }
+}
+
+/** The checked-in AV1 cross-validation corpus (see `FIXTURES.md` and
+  * `scripts/gen_av1_fixtures.py`): 22 lossless monochrome AVIF stills
+  * whose luma every system decoder (dav1d/libgav1/libaom) reproduces
+  * bit-exactly. Registry rows rotate each document through the three
+  * container forms (AVIF / raw OBU / IVF) so all ingest paths decode
+  * under oracle check; payloads load from the library classpath on
+  * each executor — nothing is shipped through the plan.
+  */
+object Av1Fixtures {
+  val count = 22
+  private val dims: Array[(Int, Int)] = Array(
+    (4, 4), (4, 4), (8, 8), (8, 8), (16, 16), (16, 16), (32, 32), (33, 17),
+    (64, 48), (64, 64), (128, 96), (5, 3), (1, 1), (2, 2), (96, 80),
+    (128, 128), (8, 8), (16, 16), (8, 8), (16, 16), (16, 16), (160, 112))
+
+  private lazy val avifs: Array[Array[Byte]] = Array.tabulate(count) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/case_$i.avif")
+    require(in != null, s"av1 fixture case_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val obus: Array[Array[Byte]] =
+    avifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  private def ivfWrap(obu: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + obu.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("DKIF".getBytes("US-ASCII")).putShort(0).putShort(32)
+      .put("AV01".getBytes("US-ASCII"))
+      .putShort(w.toShort).putShort(h.toShort)
+      .putInt(30).putInt(1).putInt(1).putInt(0)
+      .putInt(obu.length).putLong(0L).put(obu)
+    bb.array()
+  }
+
+  /** Fixture payload for a document: case doc_id % 22 in container
+    * doc_id % 3 (0 = AVIF, 1 = raw OBU temporal unit, 2 = IVF).
+    */
+  def payload(id: Long): Array[Byte] = {
+    val k = ((id % count) + count).toInt % count
+    (id % 3).toInt match {
+      case 0 => avifs(k)
+      case 1 => obus(k)
+      case _ => ivfWrap(obus(k), dims(k)._1, dims(k)._2)
+    }
+  }
+
+  def containerName(id: Long): String = (id % 3).toInt match {
+    case 0 => "avif"
+    case 1 => "obu"
+    case _ => "ivf"
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+/** Default CDF tables for the AV1 lossless-intra decode path
+  * ([[Av1Codec]]), loaded from `av1/default_cdfs.bin`.
+  *
+  * The resource is EXTRACTED from the system libaom's `.rodata` by
+  * `scripts/extract_av1_cdfs.py` — located by unique shape signatures
+  * (an N-symbol aom CDF row is N-1 strictly-decreasing nonzero u16
+  * ICDF values, then a zero for the implicit 32768 term, then a zero
+  * adaptation counter), anchored on values published in the AV1
+  * specification's default-CDF tables, and pinned end-to-end by the
+  * committed pixel vectors under `src/test/resources/av1/`
+  * (`Av1CodecSpec` requires bit-exact luma agreement with what
+  * dav1d/libgav1/libaom decode — a wrong table cannot pass).
+  *
+  * Section order and shapes (u16 LE, concatenated):
+  *   partition[5 bsl][4 ctx][11], skip[3][3], kf_y_mode[5][5][14],
+  *   angle_delta[8][8], palette_y_mode[7][3][3], filter_intra[22][3],
+  *   txb_skip[4 q][5 txs][13][3], eob16[4 q][2 plane][2 cls][6],
+  *   eob_extra[4 q][5 txs][2 plane][9][3],
+  *   coeff_base_eob[4 q][5 txs][2 plane][4][4],
+  *   coeff_base[4 q][5 txs][2 plane][42][5],
+  *   coeff_br[4 q][5 txs][2 plane][21][5], dc_sign[4 q][2 plane][3][3].
+  *
+  * Only the q_ctx=0 / TX_4X4 / plane-0 slices are used (lossless
+  * monochrome intra), but the tables are stored whole so a lossy or
+  * chroma extension reuses the same resource.
+  */
+private[functions] object Av1Tables {
+  private val all: Array[Int] = {
+    val in = getClass.getResourceAsStream("/av1/default_cdfs.bin")
+    require(in != null, "av1/default_cdfs.bin missing from classpath")
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+      i += 1
+    }
+    out
+  }
+
+  private var pos = 0
+  private def table(nRows: Int, width: Int): Array[Array[Int]] = {
+    val rows = Array.tabulate(nRows)(r =>
+      java.util.Arrays.copyOfRange(all, pos + r * width, pos + (r + 1) * width))
+    pos += nRows * width
+    rows
+  }
+
+  // defaults; [[Av1Codec]] clones per frame before adaptation
+  val partition: Array[Array[Int]] = table(20, 11)
+  val skip: Array[Array[Int]] = table(3, 3)
+  val kfYMode: Array[Array[Int]] = table(25, 14)
+  val angleDelta: Array[Array[Int]] = table(8, 8)
+  val paletteYMode: Array[Array[Int]] = table(21, 3)
+  val filterIntra: Array[Array[Int]] = table(22, 3)
+  private val txbSkipAll = table(260, 3)
+  private val eob16All = table(16, 6)
+  private val eobExtraAll = table(360, 3)
+  private val baseEobAll = table(160, 4)
+  private val coeffBaseAll = table(1680, 5)
+  private val coeffBrAll = table(840, 5)
+  private val dcSignAll = table(24, 3)
+  require(pos == all.length, s"resource size mismatch: $pos vs ${all.length}")
+
+  // q_ctx 0 / TX_4X4 / plane 0 slices
+  val txbSkip: Array[Array[Int]] = txbSkipAll.take(13)
+  val eob16: Array[Array[Int]] = eob16All.take(2)
+  val eobExtra: Array[Array[Int]] = eobExtraAll.take(9)
+  val coeffBaseEob: Array[Array[Int]] = baseEobAll.take(4)
+  val coeffBase: Array[Array[Int]] = coeffBaseAll.take(42)
+  val coeffBr: Array[Array[Int]] = coeffBrAll.take(21)
+  val dcSign: Array[Array[Int]] = dcSignAll.take(3)
+}

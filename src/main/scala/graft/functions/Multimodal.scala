@@ -2906,6 +2906,56 @@ object Multimodal {
     PixelCodec.channelStats(payloads).toDF()
   }
 
+  /** REAL AV1 pixel decode through the batch plumbing: every document
+    * carries one of the 22 cross-validated lossless monochrome stills
+    * ([[Av1Fixtures]]) rotated through all three container forms
+    * (AVIF / raw OBU / IVF by doc_id % 3); [[Av1Codec]] — the
+    * from-spec OBU + daala-EC + partition/intra/WHT decoder — decodes
+    * the luma inside the partition and reduces it to integer sums.
+    * The oracle joins the planted per-fixture constants (the same
+    * sums dav1d/libgav1/libaom's decodes carry, captured at fixture
+    * generation) — a decode that is not bit-exact cannot match.
+    */
+  def decodeAvifPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeLuma(Av1Fixtures.payload(id)).map { case (w, h, luma) =>
+            var s = 0L; var sq = 0L
+            var i = 0
+            while (i < luma.length) {
+              val v = (luma(i) & 0xff).toLong
+              s += v; sq += v * v
+              i += 1
+            }
+            (id, id % Av1Fixtures.count, Av1Fixtures.containerName(id),
+              w.toLong, h.toLong, luma.length.toLong, s, sq)
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height", "n_px",
+        "sum_y", "sumsq_y")
+  }
+
+  /** AV1 near-dup from REAL decoded luma: documents carrying the same
+    * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
+    * into one class once fingerprinted by exact decoded-luma stats —
+    * the container bytes differ, the decoded content does not. The
+    * grouped fingerprint classes (the dedup plan shape: map-side
+    * partial aggregation on the decoded stats, no pixel ever becomes
+    * an engine row) must recover exactly the planted fixture classes.
+    */
+  def avifNearDupReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val stats = decodeAvifPixelsReal(spark, docs)
+    stats
+      .groupBy(col("width"), col("height"), col("n_px"), col("sum_y"), col("sumsq_y"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        countDistinct(col("container")).as("n_containers"))
+      .where(col("n_dups") > 1)
+  }
+
   /** REAL lossy-WebP (VP8) pixel decode through the batch plumbing:
     * [[PixelFixtures.webpLossyBytes]] plants per-4x4-block flat
     * targets into genuine VP8 keyframes (boolean coder, B_PRED intra,

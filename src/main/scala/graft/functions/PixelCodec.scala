@@ -56,6 +56,9 @@ object PixelCodec {
         ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
           (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)))
         TiffCodec.decode(b)
+      else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p')
+        Av1Codec.decode(b) // AVIF still (lossless monochrome subset)
       else None
     } catch { // truncated buffers / corrupt deflate streams are data
       case _: IndexOutOfBoundsException | _: java.util.zip.DataFormatException |

@@ -75,6 +75,28 @@ object ExtensionQueries {
     * corpus vocabulary (real hits) and one absent from it (exercises the
     * zero-hit path).
     */
+  /** Planted truth for the AV1 fixture corpus: per-fixture luma sums
+    * captured at `scripts/gen_av1_fixtures.py` time from the planes
+    * dav1d, libgav1 AND libaom all decoded bit-identically. The
+    * engine's Av1Codec decode must reproduce these exactly.
+    */
+  private val Av1FixtureConstants: String = Seq(
+    (0, 4, 4, 16, 2048L, 262144L), (1, 4, 4, 16, 2098L, 400210L),
+    (2, 8, 8, 64, 8136L, 1480472L), (3, 8, 8, 64, 8404L, 1431930L),
+    (4, 16, 16, 256, 15360L, 1106560L), (5, 16, 16, 256, 31852L, 5329500L),
+    (6, 32, 32, 1024, 130457L, 26888153L), (7, 33, 17, 561, 49368L, 5138760L),
+    (8, 64, 48, 3072, 320831L, 45956933L), (9, 64, 64, 4096, 525372L, 89476900L),
+    (10, 128, 96, 12288, 1566485L, 322956209L), (11, 5, 3, 15, 165L, 2335L),
+    (12, 1, 1, 1, 128L, 16384L), (13, 2, 2, 4, 648L, 123122L),
+    (14, 96, 80, 7680, 975600L, 166414800L),
+    (15, 128, 128, 16384, 2081989L, 353641565L),
+    (16, 8, 8, 64, 4032L, 308448L), (17, 16, 16, 256, 30720L, 5612160L),
+    (18, 8, 8, 64, 9248L, 1820576L), (19, 16, 16, 256, 31360L, 5207168L),
+    (20, 16, 16, 256, 32640L, 5733760L),
+    (21, 160, 112, 17920, 2204827L, 364641725L),
+  ).map { case (k, w, h, n, s, sq) => s"  ($k, $w, $h, $n, $s, $sq)" }
+    .mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2644,6 +2666,55 @@ object ExtensionQueries {
              |  CAST(sum(g2) AS BIGINT) AS sum_g, CAST(sum(g2 * g2) AS BIGINT) AS sumsq_g,
              |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(b * b) AS BIGINT) AS sumsq_b
              |FROM v GROUP BY doc_id, w, h""".stripMargin),
+    ),
+
+    // REAL AV1 pixel decode (r11 verdict item 2): the 22 cross-validated
+    // lossless monochrome stills (encoded by the system libaom, decoded
+    // bit-exact by dav1d AND libgav1 AND libaom at generation time)
+    // rotated through AVIF / raw-OBU / IVF containers by doc_id, decoded
+    // by the from-spec Av1Codec (daala range decoder with adaptive CDFs,
+    // full partition tree, keyframe intra modes, 4x4 coefficient
+    // pipeline, lossless Walsh-Hadamard, all intra predictors) and
+    // reduced to integer luma sums. The oracle joins the planted
+    // per-fixture constants captured at generation — bit-exactness or
+    // hash mismatch.
+    QueryDef(
+      "multimodal_avif_pixels_real",
+      (s, dir) => Multimodal.decodeAvifPixelsReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
+             |$Av1FixtureConstants),
+             |d AS (SELECT doc_id, doc_id % 22 AS fixture,
+             |    CASE doc_id % 3 WHEN 0 THEN 'avif' WHEN 1 THEN 'obu'
+             |      ELSE 'ivf' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.n_px AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y,
+             |  CAST(c.sumsq_y AS BIGINT) AS sumsq_y
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // AV1 near-dup on REAL decoded luma (r11 verdict item 2's near-dup
+    // leg): the same still in different containers (AVIF vs OBU vs IVF)
+    // collapses into one fingerprint class from actual decode; the
+    // recovered classes must equal the planted fixture classes. The
+    // oracle replays the expected class census from the constants.
+    QueryDef(
+      "multimodal_avif_neardup",
+      (s, dir) => Multimodal.avifNearDupReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
+             |$Av1FixtureConstants),
+             |d AS (SELECT doc_id, doc_id % 22 AS fixture,
+             |    doc_id % 3 AS container FROM documents),
+             |cls AS (SELECT d.fixture, count(*) AS n_dups,
+             |    count(DISTINCT d.container) AS n_containers
+             |  FROM d GROUP BY d.fixture HAVING count(*) > 1)
+             |SELECT CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.n_px AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y,
+             |  CAST(c.sumsq_y AS BIGINT) AS sumsq_y,
+             |  CAST(cls.n_dups AS BIGINT) AS n_dups,
+             |  CAST(cls.n_containers AS BIGINT) AS n_containers
+             |FROM cls JOIN c ON c.fixture = cls.fixture""".stripMargin),
     ),
 
     // REAL lossy-WebP (VP8) pixel decode (r9 verdict item 1): planted

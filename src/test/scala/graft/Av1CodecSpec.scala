@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The AV1 lossless-monochrome intra decoder held to truth:
+  *
+  *  1. Cross-validation vectors: 22 AVIF stills produced by the system
+  *     libaom encoder (lossless, monochrome, speeds 2-8, 1x1..160x112
+  *     including non-multiple-of-64 and non-multiple-of-4 crops,
+  *     screen-content frames exercising the SCT syntax path, and
+  *     targeted directional-gradient images covering every angular
+  *     predictor zone). Each fixture was verified bit-exact through
+  *     THREE independent decoders (dav1d, libgav1, libaom) at
+  *     generation time (`scripts/gen_av1_fixtures.py`); [[Av1Codec]]
+  *     must reproduce the same luma byte-for-byte — lossless AV1
+  *     decode is bit-exact by spec, so equality is the contract.
+  *     A wrong default-CDF table extraction cannot pass this test
+  *     (the symbol decoder diverges immediately), which is what pins
+  *     the `scripts/extract_av1_cdfs.py` table identification.
+  *  2. IVF wrapping: the same coded frames inside a DKIF/AV01 wrapper
+  *     decode identically (exercises the raw-OBU path).
+  *
+  * Robustness: truncation at every length and single-byte mutation
+  * soaks must never throw — corrupt or unsupported-tool payloads
+  * (lossy, chroma, palette, intra-bc) decode to None, not to an
+  * executor task failure.
+  */
+class Av1CodecSpec extends AnyFunSuite {
+
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/$name")
+    assert(in != null, s"fixture $name missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  test("22 libaom-encoded AVIF vectors decode to bit-exact luma") {
+    for (i <- 0 to 21) {
+      val avif = res(s"case_$i.avif")
+      val gray = res(s"case_$i.gray")
+      val dec = Av1Codec.decodeLuma(avif)
+      assert(dec.isDefined, s"case $i must decode")
+      val (w, h, luma) = dec.get
+      assert(w * h == gray.length, s"case $i geometry $w x $h")
+      assert(java.util.Arrays.equals(luma, gray), s"case $i luma differs")
+    }
+  }
+
+  test("IVF-wrapped frames decode identically to their AVIF source") {
+    for ((j, k) <- Seq((0, 8), (1, 15))) {
+      val ivf = res(s"ivf_$j.ivf")
+      val gray = res(s"case_$k.gray")
+      val dec = Av1Codec.decodeLuma(ivf)
+      assert(dec.isDefined, s"ivf $j must decode")
+      assert(java.util.Arrays.equals(dec.get._3, gray), s"ivf $j luma differs")
+    }
+  }
+
+  test("decode() replicates gray to RGB for the pixel-stats path") {
+    val avif = res("case_4.avif")
+    val gray = res("case_4.gray")
+    val Some((fmt, w, h, rgb)) = Av1Codec.decode(avif)
+    assert(fmt == "avif" && w == 16 && h == 16)
+    assert(rgb.length == gray.length * 3)
+    for (i <- gray.indices)
+      assert(rgb(3 * i) == gray(i) && rgb(3 * i + 1) == gray(i) && rgb(3 * i + 2) == gray(i))
+  }
+
+  test("truncation at every length never throws; most lengths yield None") {
+    val avif = res("case_8.avif")
+    for (len <- 0 until avif.length) {
+      val cut = java.util.Arrays.copyOf(avif, len)
+      Av1Codec.decodeLuma(cut) // must not throw; None or a short decode
+    }
+  }
+
+  test("single-byte mutation soak never throws") {
+    val avif = res("case_15.avif")
+    val rnd = new scala.util.Random(0xA51)
+    for (_ <- 1 to 400) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeLuma(m)
+    }
+    val obu = Av1Codec.avifPrimaryItem(avif).get
+    for (_ <- 1 to 400) {
+      val m = obu.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeLuma(m)
+    }
+  }
+
+  test("non-AV1 and empty payloads decode to None") {
+    assert(Av1Codec.decodeLuma(Array.emptyByteArray).isEmpty)
+    assert(Av1Codec.decodeLuma(Array.fill[Byte](64)(0x55)).isEmpty)
+    assert(Av1Codec.decodeLuma("not an avif at all, just text".getBytes).isEmpty)
+  }
+}
