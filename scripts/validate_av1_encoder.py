@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Hold graft's AV1 ENCODER (graft.functions.Av1Encoder) to system truth:
+run `sbt "runMain graft.Av1EncoderProbe <dir>"` first, then this script
+wraps each emitted temporal unit in a minimal AVIF container and decodes
+it through all three system decoders — dav1d, libgav1 and libaom —
+requiring bit-exact luma agreement with the planted image. This is the
+reverse direction of the discipline in FIXTURES.md: the committed
+fixture corpus pins the DECODER to system truth; this run pins the
+encoder's streams to system decodability.
+
+Usage: python3 scripts/validate_av1_encoder.py [/tmp/av1_enc_out]
+"""
+import ctypes as C, struct, json, os, sys
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+AV.avifImageCreateEmpty.restype = C.c_void_p
+AV.avifDecoderCreate.restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48
+
+TEMPLATE = os.path.join(os.path.dirname(__file__), "..",
+                        "src/main/resources/av1/fixtures/case_0.avif")
+
+def wrap(obu, w, h):
+    b = bytearray(open(TEMPLATE, "rb").read())
+    i = b.find(b"ispe")
+    struct.pack_into(">II", b, i + 8, w, h)
+    m = b.find(b"mdat")
+    new = bytearray(bytes(b[:m - 4]) + struct.pack(">I", 8 + len(obu)) + b"mdat" + obu)
+    il = new.find(b"iloc")
+    s = il + 4 + 4
+    osz = new[s] >> 4
+    s += 2 + 2 + 2 + 2 + 0 + 2  # count(2), item_id(2), dri(2), [base 0B], extent_count(2)
+    struct.pack_into(">I", new, s, m + 4)
+    struct.pack_into(">I", new, s + osz, len(obu))
+    return bytes(new)
+
+def decode_luma(data, codec):
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, AV.avifResultToString(r)
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    rows = b"".join(C.string_at(ptr + y * rb, w) for y in range(h))
+    AV.avifDecoderDestroy(C.c_void_p(dec))
+    AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, rows
+
+def main():
+    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/av1_enc_out"
+    man = json.load(open(os.path.join(d, "manifest.json")))
+    n_ok = 0
+    for m in man:
+        k, w, h = m["k"], m["w"], m["h"]
+        obu = open(os.path.join(d, f"enc_{k}.obu"), "rb").read()
+        truth = open(os.path.join(d, f"enc_{k}.gray"), "rb").read()
+        avif = wrap(obu, w, h)
+        for codec, name in ((2, "dav1d"), (3, "libgav1"), (1, "aom")):
+            dw, dh, luma = decode_luma(avif, codec)
+            assert (dw, dh) == (w, h) and luma == truth, (k, name)
+        n_ok += 1
+        print(f"enc_{k} ({w}x{h}): bit-exact through dav1d, libgav1, aom")
+    print(f"== all {n_ok} encoder streams system-validated ==")
+
+main()

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.functions.{Av1Codec, Av1Encoder}
+
+/** Emit [[Av1Encoder]] streams for external validation: deterministic
+  * planted images across the registry's geometries, each self-checked
+  * through [[Av1Codec]] first, written as raw temporal units for
+  * `scripts/validate_av1_encoder.py` to wrap and push through the
+  * system decoders (dav1d / libgav1 / libaom). Usage:
+  *
+  *   sbt "runMain graft.Av1EncoderProbe /tmp/av1_enc_out"
+  */
+object Av1EncoderProbe {
+  def main(args: Array[String]): Unit = {
+    val outDir = Paths.get(args.headOption.getOrElse("/tmp/av1_enc_out"))
+    Files.createDirectories(outDir)
+    val rnd = new scala.util.Random(0xA71E)
+    val geoms = Seq((4, 4), (8, 8), (16, 16), (24, 16), (64, 48), (33, 17),
+      (5, 3), (1, 1), (128, 96), (2, 2), (23, 9), (160, 112))
+    var manifest = List.empty[String]
+    geoms.zipWithIndex.foreach { case ((w, h), k) =>
+      val pix = k % 3 match {
+        case 0 => Array.tabulate[Byte](w * h)(i => ((i % w * 3 + i / w * 5) & 0xff).toByte)
+        case 1 => Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+        case _ => Array.tabulate[Byte](w * h)(i =>
+          (((i % w / 8) + (i / w / 8)) % 2 * 180 + 40 + rnd.nextInt(16)).toByte)
+      }
+      val obu = Av1Encoder.encode(w, h, pix)
+      val dec = Av1Codec.decodeLuma(obu)
+      require(dec.exists(d => java.util.Arrays.equals(d._3, pix)),
+        s"self-decode failed for case $k")
+      Files.write(outDir.resolve(s"enc_$k.obu"), obu)
+      Files.write(outDir.resolve(s"enc_$k.gray"), pix)
+      manifest ::= s"""{"k": $k, "w": $w, "h": $h}"""
+    }
+    Files.write(outDir.resolve("manifest.json"),
+      manifest.reverse.mkString("[", ",", "]").getBytes("UTF-8"))
+    println(s"wrote ${geoms.length} encoder streams to $outDir (all self-decode exact)")
+  }
+}

@@ -115,7 +115,7 @@ object Av1Codec {
     }
   }
 
-  private def updateCdf(cdf: Array[Int], value: Int, n: Int): Unit = {
+  private[functions] def updateCdf(cdf: Array[Int], value: Int, n: Int): Unit = {
     val count = cdf(n)
     val rate = 3 + (if (count > 15) 1 else 0) + (if (count > 31) 1 else 0) +
       math.min(31 - Integer.numberOfLeadingZeros(n), 2)
@@ -860,14 +860,42 @@ object Av1Codec {
   /** Decode the luma plane of an AVIF / IVF / raw-OBU lossless
     * monochrome intra still: (width, height, top-down row-major gray).
     */
-  def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+  def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val obu: Array[Byte] =
+      if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+        avifPrimaryItem(bytes).getOrElse(return None)
+      else if (bytes.length >= 4 && bytes(0) == 'D' && bytes(1) == 'K')
+        ivfFirstFrame(bytes).getOrElse(return None)
+      else bytes
+    decodeTu(obu)
+  }
+
+  /** Decode every frame of an all-intra AV1-in-IVF stream (a still-AV1
+    * "video"): one (w, h, luma) per decodable IVF frame, in stream
+    * order; frames that fail to decode are dropped without shifting
+    * the walk; malformed containers produce an empty list.
+    */
+  def decodeIvfFrames(b: Array[Byte]): List[(Int, Int, Array[Byte])] = {
+    if (b.length < 44 || b(0) != 'D' || b(1) != 'K' || b(2) != 'I' || b(3) != 'F')
+      return Nil
+    if (!(b(8) == 'A' && b(9) == 'V' && b(10) == '0' && b(11) == '1')) return Nil
+    val hdr = u8(b, 6) | (u8(b, 7) << 8)
+    var pos = hdr
+    val out = List.newBuilder[(Int, Int, Array[Byte])]
+    while (pos + 12 <= b.length) {
+      val size = u8(b, pos) | (u8(b, pos + 1) << 8) | (u8(b, pos + 2) << 16) |
+        (u8(b, pos + 3) << 24)
+      if (size <= 0 || pos + 12 + size > b.length) return out.result()
+      decodeTu(java.util.Arrays.copyOfRange(b, pos + 12, pos + 12 + size))
+        .foreach(out += _)
+      pos += 12 + size
+    }
+    out.result()
+  }
+
+  /** Decode one temporal unit (TD/sequence/frame OBUs). */
+  private def decodeTu(obu: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
-      val obu: Array[Byte] =
-        if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
-          avifPrimaryItem(bytes).getOrElse(return None)
-        else if (bytes.length >= 4 && bytes(0) == 'D' && bytes(1) == 'K')
-          ivfFirstFrame(bytes).getOrElse(return None)
-        else bytes
       var seqHdr: Seq = null
       var frame: Array[Byte] = null
       var i = 0

@@ -1,0 +1,484 @@
+package graft.functions
+
+/** Minimal AV1 lossless-monochrome intra ENCODER — the
+  * [[Vp8Codec.encodeFlatBlocks]] analogue for AV1: real spec-valid
+  * bitstreams whose decoded luma is EXACTLY the planted input, so
+  * registry oracles stay pure arithmetic while the engine runs the
+  * full entropy-decode path.
+  *
+  * Coding decisions are deliberately simple (every mode-info block is
+  * a 4x4 DC_PRED leaf under an all-SPLIT partition tree; residuals are
+  * forward-Walsh-Hadamard levels at the lossless quantizer), but the
+  * STREAM is fully real: daala range encoder with carry-correct byte
+  * output and per-symbol adaptive CDF updates, reduced
+  * still-picture sequence/frame headers, partition syntax including
+  * the gathered edge-of-frame binary writes, keyframe mode coding,
+  * and the complete 4x4 coefficient pipeline mirroring
+  * [[Av1Codec]]'s contexts symbol for symbol.
+  *
+  * Validity is held two ways: `Av1CodecSpec` round-trips arbitrary
+  * images through [[Av1Codec]] (itself pinned bit-exact to dav1d /
+  * libgav1 / libaom over the committed vectors), and
+  * `scripts/validate_av1_encoder.py` feeds THIS encoder's streams to
+  * all three system decoders directly (run recorded in FIXTURES.md).
+  */
+object Av1Encoder {
+
+  // ---------------- MSB-first bit writer ----------------
+  private final class BitW {
+    private val bits = new java.util.BitSet()
+    private var n = 0
+    def f(v: Int, width: Int): Unit = {
+      var i = width - 1
+      while (i >= 0) {
+        if (((v >> i) & 1) == 1) bits.set(n)
+        n += 1
+        i -= 1
+      }
+    }
+    def toBytes: Array[Byte] = {
+      val out = new Array[Byte]((n + 7) / 8)
+      var i = 0
+      while (i < n) {
+        if (bits.get(i)) out(i / 8) = (out(i / 8) | (0x80 >> (i % 8))).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  // ---------------- daala range encoder ----------------
+  private final class EcEnc {
+    private var low: Long = 0
+    private var rng: Int = 0x8000
+    private var cnt: Int = -9
+    private val pre = scala.collection.mutable.ArrayBuffer.empty[Int] // precarry u16
+
+    private def normalize(lowIn: Long, rngIn: Int): Unit = {
+      val d = 16 - (32 - Integer.numberOfLeadingZeros(rngIn))
+      var c = cnt
+      var s = c + d
+      var l = lowIn
+      if (s >= 0) {
+        c += 16
+        var m = (1L << c) - 1
+        if (s >= 8) {
+          pre += ((l >> c) & 0xffff).toInt
+          l &= m
+          c -= 8
+          m >>= 8
+        }
+        pre += ((l >> c) & 0xffff).toInt
+        s = c + d - 24
+        l &= m
+      }
+      low = (l << d) & ((1L << 48) - 1)
+      rng = rngIn << d
+      cnt = s
+    }
+
+    def encodeCdf(cdf: Array[Int], s: Int, n: Int): Unit = {
+      var l = low
+      var r = rng
+      val fh = cdf(s)
+      if (s > 0) {
+        val fl = cdf(s - 1)
+        val u = (((r >> 8) * (fl >> 6)) >> 1) + 4 * (n - s)
+        val v = (((r >> 8) * (fh >> 6)) >> 1) + 4 * (n - s - 1)
+        l += r - u
+        r = u - v
+      } else {
+        val v = (((r >> 8) * (fh >> 6)) >> 1) + 4 * (n - 1)
+        r -= v
+      }
+      normalize(l, r)
+    }
+
+    def writeSymbol(cdf: Array[Int], s: Int, n: Int): Unit = {
+      encodeCdf(cdf, s, n)
+      Av1Codec.updateCdf(cdf, s, n)
+    }
+
+    def writeBool(cdf: Array[Int], b: Int): Unit = writeSymbol(cdf, b, 2)
+
+    private val half = Array(16384, 0, 0)
+    def writeBit(b: Int): Unit = encodeCdf(half, b, 2)
+
+    def writeGolomb(v: Int): Unit = {
+      val x = v + 1
+      val length = 32 - Integer.numberOfLeadingZeros(x)
+      var i = 0
+      while (i < length - 1) { writeBit(0); i += 1 }
+      i = length - 1
+      while (i >= 0) { writeBit((x >> i) & 1); i -= 1 }
+    }
+
+    def done(): Array[Byte] = {
+      val l = low
+      var c = cnt
+      var s = 10 + c
+      val m = 0x3fffL
+      var e = ((l + m) & ~m) | (m + 1)
+      if (s > 0) {
+        var nMask = (1L << (c + 16)) - 1
+        var continue = true
+        while (continue) {
+          pre += ((e >> (c + 16)) & 0xffff).toInt
+          e &= nMask
+          s -= 8
+          c -= 8
+          nMask >>= 8
+          continue = s > 0
+        }
+      }
+      val out = new Array[Byte](pre.length)
+      var carry = 0
+      var i = pre.length - 1
+      while (i >= 0) {
+        val v = pre(i) + carry
+        carry = v >> 8
+        out(i) = (v & 0xff).toByte
+        i -= 1
+      }
+      out
+    }
+  }
+
+  // ---------------- forward 4x4 Walsh-Hadamard ----------------
+  /** Exact inverse of the decoder's lossless iWHT (levels = out / 4). */
+  private def fwht(res: Array[Int]): Array[Int] = {
+    val inter = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // columns
+      var a1 = res(i); var b1 = res(4 + i); var c1 = res(8 + i); var d1 = res(12 + i)
+      a1 += b1; d1 -= c1
+      val e1 = (a1 - d1) >> 1
+      b1 = e1 - b1; c1 = e1 - c1
+      a1 -= c1; d1 += b1
+      inter(i) = a1; inter(4 + i) = c1; inter(8 + i) = d1; inter(12 + i) = b1
+      i += 1
+    }
+    val out = new Array[Int](16)
+    i = 0
+    while (i < 4) { // rows
+      var a1 = inter(i * 4); var b1 = inter(i * 4 + 1)
+      var c1 = inter(i * 4 + 2); var d1 = inter(i * 4 + 3)
+      a1 += b1; d1 -= c1
+      val e1 = (a1 - d1) >> 1
+      b1 = e1 - b1; c1 = e1 - c1
+      a1 -= c1; d1 += b1
+      out(i * 4) = a1 * 4; out(i * 4 + 1) = c1 * 4
+      out(i * 4 + 2) = d1 * 4; out(i * 4 + 3) = b1 * 4
+      i += 1
+    }
+    out
+  }
+
+  private def leb128(n: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var v = n
+    var continue = true
+    while (continue) {
+      val b = v & 0x7f
+      v >>= 7
+      if (v != 0) out += (b | 0x80).toByte
+      else { out += b.toByte; continue = false }
+    }
+    out.toArray
+  }
+
+  private val Scan4 = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+  private val NzOff4 = Array(0, 1, 6, 6, 1, 6, 6, 21, 6, 6, 21, 21, 6, 21, 21, 21)
+
+  // ---------------- frame encoder ----------------
+  private final class Enc(w: Int, h: Int, gray: Array[Byte]) {
+    private val miCols = 2 * ((w + 7) >> 3)
+    private val miRows = 2 * ((h + 7) >> 3)
+    private val padW = miCols * 4
+    private val pix = new Array[Int](padW * miRows * 4)
+    locally { // edge-replicated padding; the decoder crops it away
+      var y = 0
+      while (y < miRows * 4) {
+        var x = 0
+        while (x < padW) {
+          pix(y * padW + x) = gray(math.min(y, h - 1) * w + math.min(x, w - 1)) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+    }
+    private def cp(t: Array[Array[Int]]) = t.map(_.clone())
+    private val cdfPartition = cp(Av1Tables.partition)
+    private val cdfSkip = cp(Av1Tables.skip)
+    private val cdfKfY = cp(Av1Tables.kfYMode)
+    private val cdfTxbSkip = cp(Av1Tables.txbSkip)
+    private val cdfEob16 = cp(Av1Tables.eob16)
+    private val cdfEobExtra = cp(Av1Tables.eobExtra)
+    private val cdfBaseEob = cp(Av1Tables.coeffBaseEob)
+    private val cdfBase = cp(Av1Tables.coeffBase)
+    private val cdfBr = cp(Av1Tables.coeffBr)
+    private val cdfDcSign = cp(Av1Tables.dcSign)
+    private val ec = new EcEnc
+    private val skipAt = new Array[Byte](miRows * miCols)
+    private val abovePart = new Array[Byte](miCols)
+    private val leftPart = new Array[Byte](miRows)
+    private val aboveLvl = new Array[Int](miCols)
+    private val leftLvl = new Array[Int](miRows)
+
+    def encode(): Array[Byte] = {
+      var sr = 0
+      while (sr < (miRows + 15) / 16) {
+        var sc = 0
+        while (sc < (miCols + 15) / 16) {
+          part(sr * 16, sc * 16, 16)
+          sc += 1
+        }
+        sr += 1
+      }
+      val tile = ec.done()
+      val seq = seqHeader()
+      val frame = frameHeader() ++ tile
+      Array[Byte](0x12, 0x00) ++
+        (Array[Byte](0x0a) ++ leb128(seq.length) ++ seq) ++
+        (Array[Byte](0x32) ++ leb128(frame.length) ++ frame)
+    }
+
+    private def seqHeader(): Array[Byte] = {
+      val b = new BitW
+      b.f(0, 3); b.f(1, 1); b.f(1, 1) // profile 0, still, reduced
+      b.f(0, 5)                       // level
+      b.f(15, 4); b.f(15, 4)          // 16-bit dimension fields
+      b.f(w - 1, 16); b.f(h - 1, 16)
+      b.f(0, 1)                       // 64x64 superblocks
+      b.f(0, 1); b.f(0, 1)            // filter_intra, intra_edge_filter off
+      b.f(0, 1); b.f(0, 1); b.f(0, 1) // superres, cdef, restoration
+      b.f(0, 1); b.f(1, 1)            // 8-bit, monochrome
+      b.f(0, 1)                       // no color description
+      b.f(1, 1)                       // full range
+      b.f(0, 1)                       // no film grain
+      b.f(1, 1)                       // trailing bit
+      b.toBytes
+    }
+
+    private def frameHeader(): Array[Byte] = {
+      val b = new BitW
+      b.f(0, 1) // disable_cdf_update
+      b.f(0, 1) // allow_screen_content_tools
+      b.f(0, 1) // render_and_frame_size_different
+      b.f(1, 1) // uniform tile spacing
+      val sbCols = (miCols + 15) / 16
+      val sbRows = (miRows + 15) / 16
+      def tlog2(blk: Int, tgt: Int): Int = {
+        var k = 0
+        while ((blk << k) < tgt) k += 1
+        k
+      }
+      val minLog2Cols = tlog2(64, sbCols)
+      if (minLog2Cols < tlog2(1, math.min(sbCols, 64))) b.f(0, 1)
+      val minLog2Tiles = math.max(minLog2Cols, tlog2((4096 * 2304) >> 12, sbRows * sbCols))
+      if (math.max(minLog2Tiles, 0) < tlog2(1, math.min(sbRows, 64))) b.f(0, 1)
+      b.f(0, 8) // base_q_idx = 0 (lossless)
+      b.f(0, 1) // DeltaQYDc
+      b.f(0, 1) // using_qmatrix
+      b.f(0, 1) // segmentation_enabled
+      b.f(0, 1) // reduced_tx_set
+      b.toBytes
+    }
+
+    private def part(r: Int, c: Int, s4: Int): Unit = {
+      if (r >= miRows || c >= miCols) return
+      val hasRows = (r + s4 / 2) < miRows
+      val hasCols = (c + s4 / 2) < miCols
+      val bsl = (32 - Integer.numberOfLeadingZeros(s4)) - 2
+      val nsym = if (s4 == 2) 4 else if (s4 == 32) 8 else 10
+      val ctx = ((leftPart(r) >> bsl) & 1) * 2 + ((abovePart(c) >> bsl) & 1)
+      val row = cdfPartition(bsl * 4 + ctx)
+      if (hasRows && hasCols) ec.writeSymbol(row, 3, nsym) // SPLIT
+      else if (hasCols) gathered(row, vertAlike = true)
+      else if (hasRows) gathered(row, vertAlike = false)
+      val half = s4 / 2
+      if (s4 == 2) {
+        block(r, c); block(r, c + 1); block(r + 1, c); block(r + 1, c + 1)
+      } else {
+        part(r, c, half); part(r, c + half, half)
+        part(r + half, c, half); part(r + half, c + half, half)
+      }
+    }
+
+    private def gathered(row: Array[Int], vertAlike: Boolean): Unit = {
+      def pr(x: Int): Int = (if (x == 0) 32768 else row(x - 1)) - row(x)
+      val ps =
+        if (vertAlike) pr(2) + pr(3) + pr(4) + pr(6) + pr(7) + pr(9)
+        else pr(1) + pr(3) + pr(4) + pr(5) + pr(6) + pr(8)
+      ec.encodeCdf(Array(ps, 0, 0), 1, 2) // symbol 1 = SPLIT, no adaptation
+    }
+
+    private def predictDc(rr: Int, cc: Int): Int = {
+      val x0 = cc * 4; val y0 = rr * 4
+      val haveA = rr > 0; val haveL = cc > 0
+      if (haveA && haveL) {
+        var s = 0
+        var i = 0
+        while (i < 4) { s += pix((y0 - 1) * padW + x0 + i) + pix((y0 + i) * padW + x0 - 1); i += 1 }
+        (s + 4) >> 3
+      } else if (haveA) {
+        var s = 0; var i = 0
+        while (i < 4) { s += pix((y0 - 1) * padW + x0 + i); i += 1 }
+        (s + 2) >> 2
+      } else if (haveL) {
+        var s = 0; var i = 0
+        while (i < 4) { s += pix((y0 + i) * padW + x0 - 1); i += 1 }
+        (s + 2) >> 2
+      } else 128
+    }
+
+    private def block(r: Int, c: Int): Unit = {
+      if (r >= miRows || c >= miCols) return
+      val x0 = c * 4; val y0 = r * 4
+      val dc = predictDc(r, c)
+      val res = new Array[Int](16)
+      var i = 0
+      while (i < 16) {
+        res(i) = pix((y0 + i / 4) * padW + x0 + (i % 4)) - dc
+        i += 1
+      }
+      val q = fwht(res)
+      val levFull = new Array[Int](16)
+      var allZero = true
+      i = 0
+      while (i < 16) {
+        levFull(i) = q(i) / 4 // exact by WHT construction
+        if (levFull(i) != 0) allZero = false
+        i += 1
+      }
+      val skip = if (allZero) 1 else 0
+      val askip = if (r > 0) skipAt((r - 1) * miCols + c) else 0
+      val lskip = if (c > 0) skipAt(r * miCols + c - 1) else 0
+      ec.writeBool(cdfSkip(askip + lskip), skip)
+      ec.writeSymbol(cdfKfY(0), 0, 13) // DC_PRED; all neighbours DC -> ctx 0
+      skipAt(r * miCols + c) = skip.toByte
+      abovePart(c) = 31; leftPart(r) = 31 // 4x4 context bytes
+      if (skip == 1) { aboveLvl(c) = 0; leftLvl(r) = 0 }
+      else coeffs(r, c, levFull)
+    }
+
+    private def coeffs(rr: Int, cc: Int, levFull: Array[Int]): Unit = {
+      ec.writeBool(cdfTxbSkip(0), 0) // 4x4 block => ctx 0, not all-zero
+      var eob = 0
+      var si = 0
+      while (si < 16) { if (levFull(Scan4(si)) != 0) eob = si + 1; si += 1 }
+      val pt =
+        if (eob == 1) 1
+        else if (eob == 2) 2
+        else (32 - Integer.numberOfLeadingZeros(eob - 1)) + 1
+      ec.writeSymbol(cdfEob16(0), pt - 1, 5)
+      if (pt >= 3) {
+        val n = pt - 2
+        val off = eob - (1 << (pt - 2)) - 1
+        ec.writeBool(cdfEobExtra(pt - 3), (off >> (n - 1)) & 1)
+        var b = n - 2
+        while (b >= 0) { ec.writeBit((off >> b) & 1); b -= 1 }
+      }
+      val lev = new Array[Int](16)
+      def nzMag(pos: Int): Int = {
+        val row = pos >> 2; val col = pos & 3
+        var m = 0
+        if (col + 1 < 4) m += math.min(lev(pos + 1), 3)
+        if (row + 1 < 4) m += math.min(lev(pos + 4), 3)
+        if (col + 1 < 4 && row + 1 < 4) m += math.min(lev(pos + 5), 3)
+        if (col + 2 < 4) m += math.min(lev(pos + 2), 3)
+        if (row + 2 < 4) m += math.min(lev(pos + 8), 3)
+        m
+      }
+      def brCtx(pos: Int): Int = {
+        val row = pos >> 2; val col = pos & 3
+        var m = 0
+        if (col + 1 < 4) m += math.min(lev(pos + 1), 15)
+        if (row + 1 < 4) m += math.min(lev(pos + 4), 15)
+        if (col + 1 < 4 && row + 1 < 4) m += math.min(lev(pos + 5), 15)
+        m = math.min((m + 1) >> 1, 6)
+        if (pos == 0) m
+        else if (row < 2 && col < 2) m + 7
+        else m + 14
+      }
+      def writeBr(mag: Int, pos: Int): Unit = {
+        var rem = math.min(mag, 15) - 3
+        var round = 0
+        var continue = true
+        while (round < 4 && continue) {
+          val k = math.min(rem, 3)
+          ec.writeSymbol(cdfBr(brCtx(pos)), k, 4)
+          rem -= k
+          round += 1
+          continue = k == 3
+        }
+      }
+      si = eob - 1
+      var pos = Scan4(si)
+      var mag = math.abs(levFull(pos))
+      val ectx = if (si == 0) 0 else if (si <= 2) 1 else if (si <= 4) 2 else 3
+      ec.writeSymbol(cdfBaseEob(ectx), math.min(mag, 3) - 1, 3)
+      if (mag > 2) writeBr(mag, pos)
+      lev(pos) = math.min(mag, 15)
+      si = eob - 2
+      while (si >= 0) {
+        pos = Scan4(si)
+        mag = math.abs(levFull(pos))
+        val bctx = if (pos == 0) 0 else math.min((nzMag(pos) + 1) >> 1, 4) + NzOff4(pos)
+        ec.writeSymbol(cdfBase(bctx), math.min(mag, 3), 4)
+        if (mag > 2) writeBr(mag, pos)
+        lev(pos) = math.min(mag, 15)
+        si -= 1
+      }
+      var culacc = 0
+      var dcval = 0
+      si = 0
+      while (si < eob) {
+        pos = Scan4(si)
+        mag = math.abs(levFull(pos))
+        if (mag != 0) {
+          val sign = if (levFull(pos) < 0) 1 else 0
+          if (si == 0) {
+            val a = aboveLvl(cc) >> 6
+            val l = leftLvl(rr) >> 6
+            var cntS = 0
+            if (a == 2) cntS += 1 else if (a == 1) cntS -= 1
+            if (l == 2) cntS += 1 else if (l == 1) cntS -= 1
+            val dctx = if (cntS == 0) 0 else if (cntS > 0) 2 else 1
+            ec.writeBool(cdfDcSign(dctx), sign)
+          } else ec.writeBit(sign)
+          if (mag >= 15) ec.writeGolomb(mag - 15)
+          culacc += mag
+          if (si == 0) dcval = levFull(pos)
+        }
+        si += 1
+      }
+      var cul = math.min(culacc, 63)
+      if (dcval < 0) cul |= 1 << 6 else if (dcval > 0) cul += 2 << 6
+      aboveLvl(cc) = cul
+      leftLvl(rr) = cul
+    }
+  }
+
+  /** Encode one gray frame as a raw AV1 temporal unit (TD + sequence +
+    * frame OBUs). The decoded luma is bit-exactly `gray`.
+    */
+  def encode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h)
+    new Enc(w, h, gray).encode()
+  }
+
+  /** Pack per-frame temporal units as an all-intra AV1 IVF stream. */
+  def ivf(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val total = 44 + frames.map(12 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("DKIF".getBytes("US-ASCII")).putShort(0).putShort(32)
+      .put("AV01".getBytes("US-ASCII"))
+      .putShort(w.toShort).putShort(h.toShort)
+      .putInt(30).putInt(1).putInt(frames.length).putInt(0)
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      bb.putInt(fr.length).putLong(i.toLong).put(fr)
+    }
+    bb.array()
+  }
+}

@@ -2600,6 +2600,77 @@ object Multimodal {
     * distinct frames BEFORE the cap, so capping can only drop pairs,
     * never inflate overlap.
     */
+  /** The near-dup family's planted frames as an all-intra AV1-in-IVF
+    * stream: every frame is the SAME flat 8x8-block grid
+    * [[MediaFixtures.nearDupAviBytes]] plants into MJPEG, rendered as
+    * raw gray and encoded by [[Av1Encoder]] (spec-valid lossless
+    * streams, system-validated — see `scripts/validate_av1_encoder.py`).
+    * The oracle for the MJPEG legs therefore covers this leg verbatim.
+    */
+  def nearDupAv1IvfBytes(id: Long): Array[Byte] = {
+    val base = id / 4
+    val nFrames = (6 + base % 3).toInt
+    val w = 8 * (base % 3 + 1).toInt
+    val h = 8 * (base % 2 + 1).toInt
+    val frames = (0 until nFrames).map { f =>
+      val gray = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bx = x / 8; val by = y / 8
+          gray(y * w + x) = (((base + 1) * (f + 2) * (bx + 3) * (by + 5)
+            + (if (f == 1) (id % 4) * 50 else 0)) % 251L).toInt.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Av1Encoder.encode(w, h, gray)
+    }
+    Av1Encoder.ivf(frames, w, h)
+  }
+
+  /** Per-frame luma stats from a REAL AV1 decode of an all-intra IVF
+    * stream — the AV1 twin of [[MjpegFrames.frameStats]]: the same
+    * partition-local map shape (only 8-long stat rows ever leave the
+    * decode), `frame_idx` in stream order, undecodable frames dropped
+    * without shifting indices.
+    */
+  def av1FrameStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[FramePixelStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(it => it.flatMap { case (id, bytes) =>
+      Av1Codec.decodeIvfFrames(bytes).zipWithIndex.map { case ((w, h, luma), idx) =>
+        var s = 0L; var sq = 0L
+        var i = 0
+        while (i < luma.length) {
+          val v = (luma(i) & 0xff).toLong
+          s += v; sq += v * v
+          i += 1
+        }
+        FramePixelStats(id, idx.toLong, w.toLong, h.toLong, 1L,
+          luma.length.toLong, s, sq)
+      }
+    })
+  }
+
+  /** [[videoNearDupPairs]] over the planted near-dup family carried as
+    * all-intra AV1 IVF, frames decoded by the from-spec [[Av1Codec]].
+    */
+  def videoNearDupAv1Real(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, nearDupAv1IvfBytes(id)))
+    videoNearDupPairs(av1FrameStats(payloads).toDF())
+  }
+
+  /** [[frameDedupLuma]] over the same AV1-carried frames. */
+  def frameDedupAv1Real(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, nearDupAv1IvfBytes(id)))
+    frameDedupLuma(av1FrameStats(payloads).toDF())
+  }
+
   def videoNearDupPairs(frames: DataFrame, maxDf: Int = 64): DataFrame = {
     val fpNames = Seq("width", "height", "sum_s", "sumsq_s")
     // The distinct fingerprint table feeds FOUR consumers (sizes, the

@@ -2424,6 +2424,75 @@ object ExtensionQueries {
              |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
     ),
 
+    // The near-dup family carried as ALL-INTRA AV1 (r11 verdict item
+    // 2's near-dup leg on decoded AV1 luma): the SAME planted frames
+    // as multimodal_video_neardup, but encoded as real lossless AV1
+    // streams by the system-validated Av1Encoder and pixel-decoded by
+    // the from-spec Av1Codec entropy/intra/WHT pipeline — so the MJPEG
+    // oracle covers this leg verbatim (identical planted content,
+    // identical cap/majority replay).
+    QueryDef(
+      "multimodal_video_neardup_av1",
+      (s, dir) => Multimodal.videoNearDupAv1Real(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+             |    6 + (doc_id // 4) % 3 AS nf, (doc_id // 4) % 3 + 1 AS wb,
+             |    (doc_id // 4) % 2 + 1 AS hb FROM documents),
+             |fb AS (SELECT p.doc_id, p.base, p.variant, p.wb, p.hb, f.f, bx.bx, by.by
+             |  FROM p, range(0, 8) AS f(f), range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |  WHERE f.f < p.nf AND bx.bx < p.wb AND by.by < p.hb),
+             |fv AS (SELECT doc_id, f, wb * 8 AS w, hb * 8 AS h,
+             |    ((base + 1)*(f + 2)*(bx + 3)*(by + 5)
+             |      + CASE WHEN f = 1 THEN variant*50 ELSE 0 END) % 251 AS grey
+             |  FROM fb),
+             |fs AS (SELECT doc_id, f, w, h, sum(64*grey) AS s, sum(64*grey*grey) AS sq
+             |  FROM fv GROUP BY 1, 2, 3, 4),
+             |keys AS (SELECT DISTINCT doc_id, w, h, s, sq FROM fs),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM keys GROUP BY 1),
+             |hot AS (SELECT w, h, s, sq FROM keys GROUP BY 1, 2, 3, 4
+             |  HAVING count(*) > 64),
+             |capped AS (SELECT k.* FROM keys k LEFT JOIN hot
+             |  ON k.w = hot.w AND k.h = hot.h AND k.s = hot.s AND k.sq = hot.sq
+             |  WHERE hot.w IS NULL),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    count(*) AS n_shared
+             |  FROM capped a JOIN capped b ON a.w = b.w AND a.h = b.h
+             |    AND a.s = b.s AND a.sq = b.sq AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+             |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+             |FROM pairs
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE 3*n_shared >= sa.n + sb.n""".stripMargin),
+    ),
+
+    // Frame dedup on decoded AV1 luma — the same planted classes as
+    // multimodal_frame_dedup_luma recovered from the AV1 carrier.
+    QueryDef(
+      "multimodal_frame_dedup_av1",
+      (s, dir) => Multimodal.frameDedupAv1Real(s, Tables.documents(s, dir)),
+      Some("""WITH p AS (SELECT doc_id, doc_id // 4 AS base, doc_id % 4 AS variant,
+             |    6 + (doc_id // 4) % 3 AS nf, (doc_id // 4) % 3 + 1 AS wb,
+             |    (doc_id // 4) % 2 + 1 AS hb FROM documents),
+             |fb AS (SELECT p.doc_id, p.base, p.variant, p.wb, p.hb, f.f, bx.bx, by.by
+             |  FROM p, range(0, 8) AS f(f), range(0, 3) AS bx(bx), range(0, 2) AS by(by)
+             |  WHERE f.f < p.nf AND bx.bx < p.wb AND by.by < p.hb),
+             |fv AS (SELECT doc_id, f, wb * 8 AS w, hb * 8 AS h, wb * hb * 64 AS n_px,
+             |    ((base + 1)*(f + 2)*(bx + 3)*(by + 5)
+             |      + CASE WHEN f = 1 THEN variant*50 ELSE 0 END) % 251 AS grey
+             |  FROM fb),
+             |fs AS (SELECT doc_id, f, w, h, n_px,
+             |    sum(64*grey) AS s, sum(64*grey*grey) AS sq
+             |  FROM fv GROUP BY 1, 2, 3, 4, 5)
+             |SELECT CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(n_px AS BIGINT) AS n_px, CAST(s AS BIGINT) AS sum_s,
+             |  CAST(sq AS BIGINT) AS sumsq_s,
+             |  CAST(count(*) AS BIGINT) AS n_dups,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos
+             |FROM fs GROUP BY w, h, n_px, s, sq
+             |HAVING count(*) > 1""".stripMargin),
+    ),
+
     // Frame dedup on DECODED LUMA (r10 verdict item 5's frame-dedup
     // leg): every frame pixel-decoded by the real RIFF+JPEG chain,
     // fingerprinted by exact luma stats, grouped; classes with >1
