@@ -10,7 +10,7 @@ hardcoded file offset. Identification is additionally pinned two ways:
   * anchor values published in the AV1 specification's default-CDF tables
     (txb_skip[0][0][0]=ICDF(31849), dc_sign[0][0][0]=AOM_CDF2(16000),
     skip={31671,16515,4576}, partition 8x8 ctx0 = AOM_CDF4(19132,25510,30392));
-  * the committed end-to-end pixel vectors (src/test/resources/av1/):
+  * the committed end-to-end pixel vectors (src/main/resources/av1/fixtures/):
     a wrong table cannot decode the system-encoder streams to the exact
     pixels libdav1d/libgav1/libaom produce (Av1CodecSpec asserts equality).
     The angle_delta table in particular was disambiguated from two

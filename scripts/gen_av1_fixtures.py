@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Generate the AV1 cross-validation fixtures under src/test/resources/av1/.
+"""Generate the AV1 cross-validation fixtures under src/main/resources/av1/fixtures/.
 
 Deterministic synthetic gray images (no external content) are encoded
 LOSSLESS MONOCHROME by the system libaom (via libavif 0.11.1, ctypes over
@@ -155,7 +155,7 @@ CASES = [
 ]
 
 def main():
-    outdir = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/av1")
+    outdir = os.path.join(os.path.dirname(__file__), "..", "src/main/resources/av1/fixtures")
     os.makedirs(outdir, exist_ok=True)
     man = []
     for k, (w, h, kind, speed, seed) in enumerate(CASES):

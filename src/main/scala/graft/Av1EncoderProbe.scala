@@ -34,9 +34,20 @@ object Av1EncoderProbe {
       Files.write(outDir.resolve(s"enc_$k.obu"), obu)
       Files.write(outDir.resolve(s"enc_$k.gray"), pix)
       manifest ::= s"""{"k": $k, "w": $w, "h": $h}"""
+      // frozen-CDF twin: pins the decoder's disable_cdf_update handling
+      // to system truth through the same external validation pass
+      val kF = k + geoms.length
+      val frozen = Av1Encoder.encode(w, h, pix, disableCdfUpdate = true)
+      val decF = Av1Codec.decodeLuma(frozen)
+      require(decF.exists(d => java.util.Arrays.equals(d._3, pix)),
+        s"frozen-CDF self-decode failed for case $k")
+      Files.write(outDir.resolve(s"enc_$kF.obu"), frozen)
+      Files.write(outDir.resolve(s"enc_$kF.gray"), pix)
+      manifest ::= s"""{"k": $kF, "w": $w, "h": $h}"""
     }
     Files.write(outDir.resolve("manifest.json"),
       manifest.reverse.mkString("[", ",", "]").getBytes("UTF-8"))
-    println(s"wrote ${geoms.length} encoder streams to $outDir (all self-decode exact)")
+    println(s"wrote ${2 * geoms.length} encoder streams to $outDir " +
+      "(adaptive + frozen-CDF twins, all self-decode exact)")
   }
 }

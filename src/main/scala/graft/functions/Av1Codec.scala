@@ -18,7 +18,11 @@ package graft.functions
   *
   * Honest bails (decode returns None, never a task failure): lossy
   * streams (base_q_idx > 0), chroma, palette and intra-block-copy
-  * blocks, filter-intra blocks, non-reduced headers, tiled frames.
+  * blocks, filter-intra blocks, non-reduced headers, tiled frames,
+  * film-grain streams, and directional (non-V/H) prediction when the
+  * sequence enables the intra edge filter (the filtered path is not
+  * implemented). `disable_cdf_update=1` is HONORED, not bailed —
+  * adaptation is simply switched off, system-validated.
   * Reference behaviour cross-validated bit-exactly against dav1d,
   * libgav1 AND libaom over the committed vectors (`FIXTURES.md`).
   */
@@ -43,7 +47,7 @@ object Av1Codec {
   }
 
   // ---------------- daala range decoder ----------------
-  private final class Ec(d: Array[Byte]) {
+  private final class Ec(d: Array[Byte], adapt: Boolean = true) {
     private var bptr = 0
     var dif: Long = (1L << 31) - 1
     var rng: Int = 0x8000
@@ -88,7 +92,7 @@ object Av1Codec {
 
     def readSymbol(cdf: Array[Int], n: Int): Int = {
       val ret = decodeCdf(cdf, n)
-      updateCdf(cdf, ret, n)
+      if (adapt) updateCdf(cdf, ret, n)
       ret
     }
 
@@ -164,6 +168,7 @@ object Av1Codec {
     var miCols = 0; var miRows = 0
     var sbCols = 0; var sbRows = 0; var sbSize4 = 0
     var allowSct = false
+    var disableCdf = false
     var headerBits = 0
   }
 
@@ -188,7 +193,10 @@ object Av1Codec {
     if (r.f(1) != 1) bail() // mono_chrome required
     if (r.f(1) == 1) { r.f(8); r.f(8); r.f(8) } // color description
     r.f(1) // color_range
-    r.f(1) // film_grain_params_present (still picture: no grain on lossless path)
+    // film_grain_params_present: when set, the FRAME header carries grain
+    // params this parser does not read — every later header bit would be
+    // misaligned, so this must be an honest bail, not an ignored flag.
+    if (r.f(1) == 1) bail()
     s
   }
 
@@ -201,8 +209,12 @@ object Av1Codec {
   private def parseFrameHeader(b: Array[Byte], s: Seq): FrameHdr = {
     val r = new Bits(b, 0)
     val fr = new FrameHdr
-    r.f(1) // disable_cdf_update (adaptation below is correct either way at
-    //        frame scope; per-frame init is always from defaults)
+    // disable_cdf_update=1 means symbol CDFs must NOT adapt within the
+    // frame (AV1 spec 8.4: update_cdf is skipped). Honored via Ec's
+    // adapt flag — validated bit-exactly against dav1d/libgav1/libaom
+    // over Av1Encoder streams that set this bit (Av1CodecSpec,
+    // scripts/validate_av1_encoder.py).
+    fr.disableCdf = r.f(1) == 1
     fr.allowSct = r.f(1) == 1
     if (fr.allowSct) r.f(1) // force_integer_mv (SELECT in reduced header)
     fr.w = s.maxW; fr.h = s.maxH
@@ -262,7 +274,7 @@ object Av1Codec {
 
   // ---------------- frame decoder ----------------
   private final class Dec(s: Seq, fr: FrameHdr, tile: Array[Byte]) {
-    private val ec = new Ec(tile)
+    private val ec = new Ec(tile, adapt = !fr.disableCdf)
     private val cdf = new Cdfs
     private val miCols = fr.miCols
     private val miRows = fr.miRows
@@ -376,6 +388,14 @@ object Av1Codec {
       val ge8x8 = w4in + h4in > 3
       if (mode >= 1 && mode <= 8 && ge8x8)
         angle = ec.readSymbol(cdf.angle(mode - 1), 7) - 3
+      // Directional prediction with enable_intra_edge_filter=1 (libaom's
+      // default) runs the spec's edge filter / upsampling first; predict4
+      // below implements the unfiltered path only, so any angle other
+      // than pure V/H would decode to silently wrong pixels — bail.
+      if (s.enableIntraEdgeFilter && mode >= 1 && mode <= 8) {
+        val pAngle = ModeAngle(mode) + angle * 3
+        if (pAngle != 90 && pAngle != 180) bail()
+      }
       if (fr.allowSct && mode == 0 && ge8x8 && w4in <= 16 && h4in <= 16) {
         // palette_y_mode; neighbours never use palette on the supported path
         val bctx = (31 - Integer.numberOfLeadingZeros(w4in * h4in * 16)) - 6
@@ -871,23 +891,27 @@ object Av1Codec {
   }
 
   /** Decode every frame of an all-intra AV1-in-IVF stream (a still-AV1
-    * "video"): one (w, h, luma) per decodable IVF frame, in stream
-    * order; frames that fail to decode are dropped without shifting
-    * the walk; malformed containers produce an empty list.
+    * "video"): one (streamIdx, w, h, luma) per decodable IVF frame, in
+    * stream order. `streamIdx` is the frame's position in the CONTAINER
+    * walk, so undecodable frames are dropped without shifting later
+    * frames' indices; malformed containers produce an empty list.
     */
-  def decodeIvfFrames(b: Array[Byte]): List[(Int, Int, Array[Byte])] = {
+  def decodeIvfFrames(b: Array[Byte]): List[(Int, Int, Int, Array[Byte])] = {
     if (b.length < 44 || b(0) != 'D' || b(1) != 'K' || b(2) != 'I' || b(3) != 'F')
       return Nil
     if (!(b(8) == 'A' && b(9) == 'V' && b(10) == '0' && b(11) == '1')) return Nil
     val hdr = u8(b, 6) | (u8(b, 7) << 8)
     var pos = hdr
-    val out = List.newBuilder[(Int, Int, Array[Byte])]
+    var idx = 0
+    val out = List.newBuilder[(Int, Int, Int, Array[Byte])]
     while (pos + 12 <= b.length) {
       val size = u8(b, pos) | (u8(b, pos + 1) << 8) | (u8(b, pos + 2) << 16) |
         (u8(b, pos + 3) << 24)
       if (size <= 0 || pos + 12 + size > b.length) return out.result()
+      val i = idx
       decodeTu(java.util.Arrays.copyOfRange(b, pos + 12, pos + 12 + size))
-        .foreach(out += _)
+        .foreach { case (w, h, luma) => out += ((i, w, h, luma)) }
+      idx += 1
       pos += 12 + size
     }
     out.result()

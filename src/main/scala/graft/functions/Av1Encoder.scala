@@ -48,7 +48,7 @@ object Av1Encoder {
   }
 
   // ---------------- daala range encoder ----------------
-  private final class EcEnc {
+  private final class EcEnc(adapt: Boolean = true) {
     private var low: Long = 0
     private var rng: Int = 0x8000
     private var cnt: Int = -9
@@ -96,7 +96,7 @@ object Av1Encoder {
 
     def writeSymbol(cdf: Array[Int], s: Int, n: Int): Unit = {
       encodeCdf(cdf, s, n)
-      Av1Codec.updateCdf(cdf, s, n)
+      if (adapt) Av1Codec.updateCdf(cdf, s, n)
     }
 
     def writeBool(cdf: Array[Int], b: Int): Unit = writeSymbol(cdf, b, 2)
@@ -191,7 +191,8 @@ object Av1Encoder {
   private val NzOff4 = Array(0, 1, 6, 6, 1, 6, 6, 21, 6, 6, 21, 21, 6, 21, 21, 21)
 
   // ---------------- frame encoder ----------------
-  private final class Enc(w: Int, h: Int, gray: Array[Byte]) {
+  private final class Enc(w: Int, h: Int, gray: Array[Byte],
+                          disableCdfUpdate: Boolean) {
     private val miCols = 2 * ((w + 7) >> 3)
     private val miRows = 2 * ((h + 7) >> 3)
     private val padW = miCols * 4
@@ -218,7 +219,7 @@ object Av1Encoder {
     private val cdfBase = cp(Av1Tables.coeffBase)
     private val cdfBr = cp(Av1Tables.coeffBr)
     private val cdfDcSign = cp(Av1Tables.dcSign)
-    private val ec = new EcEnc
+    private val ec = new EcEnc(adapt = !disableCdfUpdate)
     private val skipAt = new Array[Byte](miRows * miCols)
     private val abovePart = new Array[Byte](miCols)
     private val leftPart = new Array[Byte](miRows)
@@ -262,7 +263,7 @@ object Av1Encoder {
 
     private def frameHeader(): Array[Byte] = {
       val b = new BitW
-      b.f(0, 1) // disable_cdf_update
+      b.f(if (disableCdfUpdate) 1 else 0, 1) // disable_cdf_update
       b.f(0, 1) // allow_screen_content_tools
       b.f(0, 1) // render_and_frame_size_different
       b.f(1, 1) // uniform tile spacing
@@ -462,10 +463,27 @@ object Av1Encoder {
 
   /** Encode one gray frame as a raw AV1 temporal unit (TD + sequence +
     * frame OBUs). The decoded luma is bit-exactly `gray`.
+    *
+    * `disableCdfUpdate=true` sets the frame header's disable_cdf_update
+    * bit and freezes symbol CDFs at their defaults for the whole frame
+    * (AV1 spec 8.4) — slightly worse compression, used to pin the
+    * decoder's handling of that flag against the system decoders.
+    *
+    * Dimension bound: the frame header always emits single-tile
+    * tile_info with zero increment bits, which is only a conforming
+    * encoding while minLog2Cols == 0 and minLog2Tiles == 0 — i.e.
+    * width <= 4096 and at most 2304 64x64 superblocks (AV1 spec 5.9.15
+    * with MAX_TILE_WIDTH=4096, MAX_TILE_AREA=4096*2304). Larger frames
+    * would produce a stream whose tile layout a conforming decoder
+    * derives differently, so they are rejected up front.
     */
-  def encode(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+  def encode(w: Int, h: Int, gray: Array[Byte],
+             disableCdfUpdate: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && gray.length == w * h)
-    new Enc(w, h, gray).encode()
+    val sbCols = (w + 63) >> 6; val sbRows = (h + 63) >> 6
+    require(w <= 4096 && sbCols * sbRows <= 2304,
+      s"frame ${w}x$h exceeds the single-tile bound (width<=4096, <=2304 superblocks)")
+    new Enc(w, h, gray, disableCdfUpdate).encode()
   }
 
   /** Pack per-frame temporal units as an all-intra AV1 IVF stream. */

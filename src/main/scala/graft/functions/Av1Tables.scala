@@ -9,7 +9,7 @@ package graft.functions
   * ICDF values, then a zero for the implicit 32768 term, then a zero
   * adaptation counter), anchored on values published in the AV1
   * specification's default-CDF tables, and pinned end-to-end by the
-  * committed pixel vectors under `src/test/resources/av1/`
+  * committed pixel vectors under `src/main/resources/av1/fixtures/`
   * (`Av1CodecSpec` requires bit-exact luma agreement with what
   * dav1d/libgav1/libaom decode — a wrong table cannot pass).
   *

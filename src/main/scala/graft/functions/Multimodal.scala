@@ -2639,7 +2639,7 @@ object Multimodal {
   def av1FrameStats(payloads: Dataset[(Long, Array[Byte])]): Dataset[FramePixelStats] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions(it => it.flatMap { case (id, bytes) =>
-      Av1Codec.decodeIvfFrames(bytes).zipWithIndex.map { case ((w, h, luma), idx) =>
+      Av1Codec.decodeIvfFrames(bytes).map { case (idx, w, h, luma) =>
         var s = 0L; var sq = 0L
         var i = 0
         while (i < luma.length) {

@@ -115,8 +115,9 @@ class Av1CodecSpec extends AnyFunSuite {
     val ivf = Av1Encoder.ivf(frames.map(Av1Encoder.encode(w, h, _)), w, h)
     val out = Av1Codec.decodeIvfFrames(ivf)
     assert(out.length == 7)
+    assert(out.map(_._1) == (0 until 7).toList) // stream indices, in order
     for ((dec, src) <- out.zip(frames))
-      assert(dec._1 == w && dec._2 == h && java.util.Arrays.equals(dec._3, src))
+      assert(dec._2 == w && dec._3 == h && java.util.Arrays.equals(dec._4, src))
     // decodeLuma on the same stream yields the first frame
     val first = Av1Codec.decodeLuma(ivf)
     assert(first.isDefined && java.util.Arrays.equals(first.get._3, frames.head))
@@ -137,5 +138,61 @@ class Av1CodecSpec extends AnyFunSuite {
     assert(Av1Codec.decodeLuma(Array.emptyByteArray).isEmpty)
     assert(Av1Codec.decodeLuma(Array.fill[Byte](64)(0x55)).isEmpty)
     assert(Av1Codec.decodeLuma("not an avif at all, just text".getBytes).isEmpty)
+  }
+
+  test("disable_cdf_update=1 streams round-trip with frozen CDFs") {
+    val rnd = new scala.util.Random(0xCDF)
+    for ((w, h) <- Seq((24, 16), (64, 48), (17, 9))) {
+      val pix = Array.tabulate[Byte](w * h)(i =>
+        ((i * 37 + rnd.nextInt(80)) & 0xff).toByte)
+      val frozen = Av1Encoder.encode(w, h, pix, disableCdfUpdate = true)
+      val adaptive = Av1Encoder.encode(w, h, pix)
+      // the flag must actually take: bitstreams differ beyond the header bit
+      assert(!java.util.Arrays.equals(frozen, adaptive))
+      val dec = Av1Codec.decodeLuma(frozen)
+      assert(dec.isDefined, s"$w x $h frozen-CDF stream must decode")
+      assert(java.util.Arrays.equals(dec.get._3, pix), s"$w x $h differs")
+    }
+  }
+
+  /** Flip one bit of the sequence-header OBU payload in an encoder
+    * stream. Layout (reduced still-picture header the encoder emits):
+    * profile[0,3) still[3] reduced[4] level[5,10) wBits[10,14)
+    * hBits[14,18) w[18,34) h[34,50) use128[50] filterIntra[51]
+    * intraEdgeFilter[52] superres[53] cdef[54] restoration[55]
+    * highBd[56] mono[57] colorDesc[58] range[59] filmGrain[60].
+    * The seq OBU payload starts at byte 4 of the temporal unit
+    * (TD 2 bytes + obu header 1 + leb128 size 1).
+    */
+  private def flipSeqBit(tu: Array[Byte], bit: Int): Array[Byte] = {
+    val m = tu.clone()
+    val base = 4 * 8
+    m(( base + bit) >> 3) = (m((base + bit) >> 3) ^ (0x80 >> (bit & 7))).toByte
+    m
+  }
+
+  test("film_grain_params_present=1 is an honest bail, not wrong pixels") {
+    val pix = Array.tabulate[Byte](32 * 24)(i => (i * 11 & 0xff).toByte)
+    val tu = Av1Encoder.encode(32, 24, pix)
+    assert(Av1Codec.decodeLuma(tu).isDefined)
+    assert(Av1Codec.decodeLuma(flipSeqBit(tu, 60)).isEmpty)
+  }
+
+  test("enable_intra_edge_filter only bails DIRECTIONAL prediction") {
+    // the encoder emits DC-only frames: with the edge-filter bit forced
+    // on they must still decode (V/H/DC are unfiltered by spec)...
+    val pix = Array.tabulate[Byte](32 * 24)(i => (i * 11 & 0xff).toByte)
+    val tu = Av1Encoder.encode(32, 24, pix)
+    val dec = Av1Codec.decodeLuma(flipSeqBit(tu, 52))
+    assert(dec.isDefined && java.util.Arrays.equals(dec.get._3, pix))
+  }
+
+  test("encoder rejects frames beyond the single-tile bound") {
+    intercept[IllegalArgumentException] {
+      Av1Encoder.encode(4160, 16, new Array[Byte](4160 * 16))
+    }
+    intercept[IllegalArgumentException] {
+      Av1Encoder.encode(4096, 2368, new Array[Byte](4096 * 2368))
+    }
   }
 }
