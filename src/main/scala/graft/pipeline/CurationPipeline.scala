@@ -181,16 +181,36 @@ object CurationPipeline {
     case _ => false
   }
 
+  /** Hard cap on driver-collected tombstone rows. Takedown feeds are
+    * tiny by contract; this turns a misuse (pointing the tombstone
+    * state at a corpus-sized table) into a clear error instead of a
+    * driver OOM. Raise with spark.graft.maxTombstones if a legitimate
+    * feed ever approaches it — 10M (id, epoch) pairs ≈ 160 MB heap,
+    * still broadcast-join sized.
+    */
+  private val DefaultMaxTombstones = 10L * 1000 * 1000
+
   /** The tombstone table collected to the driver — takedown-sized by
-    * contract (the same bound the broadcast anti-join relies on). The
-    * single reader of the raw (id, epoch) rows behind every mask,
-    * retraction dedup, and purge snapshot.
+    * contract (the same bound the broadcast anti-join relies on), now
+    * ENFORCED by a count check before the collect. The single reader
+    * of the raw (id, epoch) rows behind every mask, retraction dedup,
+    * and purge snapshot.
     */
   private def collectTombstones(spark: SparkSession, path: String,
-      idCol: String): Seq[(Long, Long)] =
-    readState(spark, path)
+      idCol: String): Seq[(Long, Long)] = {
+    val df = readState(spark, path)
       .select(col(idCol).cast("long"), col("epoch").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cap = spark.conf.getOption("spark.graft.maxTombstones")
+      .map(_.toLong).getOrElse(DefaultMaxTombstones)
+    // limit(cap+1).count() scans at most cap+1 rows — the guard never
+    // pays more than the collect it protects would have.
+    val n = df.limit((cap + 1).min(Int.MaxValue).toInt).count()
+    require(n <= cap,
+      s"tombstone state at $path exceeds the driver-collect cap ($cap rows); " +
+        "this feed is corpus-sized, not takedown-sized - raise spark.graft.maxTombstones " +
+        "only if the broadcast mask can genuinely hold it")
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
 
   private def maxEpochById(rows: Seq[(Long, Long)]): Seq[(Long, Long)] =
     rows.groupBy(_._1).map { case (id, rs) => (id, rs.map(_._2).max) }.toSeq

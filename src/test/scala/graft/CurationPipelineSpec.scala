@@ -369,4 +369,29 @@ class CurationPipelineSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(after.map(_._2).contains(42L))
   }
+
+  test("corpus-sized tombstone feeds fail the driver-collect cap loudly") {
+    val dir = Files.createTempDirectory("curation-tombcap").toString
+    val st = CurationPipeline.init(spark, dir)
+    CurationPipeline.runBatch(spark, docs.filter($"doc_id" < 100), st)
+    spark.conf.set("spark.graft.maxTombstones", "3")
+    try {
+      // within cap: fine (the pre-retract collect sees 0 rows)
+      assert(CurationPipeline.retract(spark, st,
+        Seq(1L, 2L, 3L).toDF("doc_id")) == 3L)
+      // the NEXT reader of the now-3-row table is still within cap
+      assert(CurationPipeline.retract(spark, st, Seq(4L).toDF("doc_id")) == 1L)
+      // 4 tombstoned rows now exceed the cap of 3: any further state
+      // read must refuse rather than collect unbounded
+      val e = intercept[IllegalArgumentException] {
+        CurationPipeline.retract(spark, st, Seq(5L).toDF("doc_id"))
+      }
+      assert(e.getMessage.contains("driver-collect cap"))
+      val e2 = intercept[IllegalArgumentException] {
+        CurationPipeline.runBatch(spark, docs.filter($"doc_id" === 200L), st,
+          appendState = false)
+      }
+      assert(e2.getMessage.contains("driver-collect cap"))
+    } finally spark.conf.unset("spark.graft.maxTombstones")
+  }
 }
