@@ -147,20 +147,49 @@ def main():
     assert len(fi) == 1, fi
     out["filter_intra"] = grab(fi[0], 66)                   # [22][3]
 
-    pal = []
-    i = 0
-    while i < len(U) - 63:
-        if all(dec_run(i + 3*r, 2) for r in range(21)) and not dec_run(i-3, 2) \
-           and not dec_run(i + 63, 2) and not (be[0] - 2000 <= i <= ds + 100):
-            pal.append(i); i += 63
-        else:
-            i += 1
-    assert len(pal) == 1, pal
-    out["palette_y_mode"] = grab(pal[0], 63)                # [7][3][3]
+    # palette_y_mode[7 bsize][3 ctx]: the round-12 shape-scan (uniform
+    # [v,0,0]x21) uniquely matched a DIFFERENT cdf2 family — the real
+    # table's last two rows sit at shifted padding in .rodata, so the
+    # uniform signature skips it. Locate by its first two rows instead
+    # (cross-validated byte-identical in libgav1 0.18.0 at offset 849840,
+    # and pixel-pinned by the palette fixture corpus: P(palette) rises
+    # with the neighbour-palette count in every bsize triplet), then
+    # collect the 21 nonzero values and re-normalize to [v,0,0] rows.
+    pm = [i for i in range(len(U) - 66)
+          if U[i] == 1092 and U[i+1] == 0 and U[i+2] == 0 and U[i+3] == 29349]
+    assert len(pm) == 1, pm
+    pm_vals = [v for v in grab(pm[0], 66) if v != 0][:21]
+    assert len(pm_vals) == 21 and pm_vals[2] == 31507 and pm_vals[20] == 32639, pm_vals
+    out["palette_y_mode"] = [x for v in pm_vals for x in (v, 0, 0)]   # [7][3][3]
+
+    # palette_y_size[7 bsize]: first 7 of the 14 consecutive 7-symbol rows
+    # (y then uv), anchored on the spec row {24816,19768,14619,...} and
+    # cross-validated in libgav1 at 849968.
+    ps = [i for i in range(len(U) - 112)
+          if U[i] == 24816 and U[i+1] == 19768 and U[i+2] == 14619]
+    assert len(ps) == 1, ps
+    assert all(dec_run(ps[0] + 8*r, 7) for r in range(14))
+    out["palette_y_size"] = grab(ps[0], 56)                 # [7][8]
+
+    # palette_y_color_index[7 size][5 ctx][9]: the Y family DIRECTLY
+    # PRECEDES the same-shape UV family (the round-12 extraction grabbed
+    # the UV one). Anchor on the size-4 ctx-0 row {7196,4722,2723}
+    # (cross-validated in libgav1 at 795456; pinned bit-exact by the
+    # palette fixtures and a 120-stream random soak through dav1d).
+    ci = [i for i in range(len(U) - 315)
+          if U[i] == 7196 and U[i+1] == 4722 and U[i+2] == 2723]
+    assert len(ci) == 1, ci
+    ci_base = ci[0] - 2*5*9                                 # back to size-2 ctx-0
+    for r in range(35):                                     # per-row shape check
+        s = 2 + r // 5
+        row = grab(ci_base + 9*r, 9)
+        assert all(row[k] > row[k+1] for k in range(s-2)) and row[s-1] == 0, (r, row)
+    out["palette_y_color_index"] = grab(ci_base, 315)       # [7][5][9]
 
     ORDER = ["partition", "skip", "kf_y_mode", "angle_delta", "palette_y_mode",
              "filter_intra", "txb_skip", "eob16", "eob_extra",
-             "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign"]
+             "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
+             "palette_y_size", "palette_y_color_index"]
     blob = b"".join(struct.pack("<%dH" % len(out[k]), *out[k]) for k in ORDER)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     open(OUT, "wb").write(blob)

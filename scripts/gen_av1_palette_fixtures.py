@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Generate the AV1 PALETTE fixture family under
+src/main/resources/av1/fixtures/ (pal_N.avif / pal_N.gray), leaving the
+existing case_N corpus untouched.
+
+Deterministic synthetic screen-content images (flat color tiles — the
+content class for which libaom chooses palette blocks even at default
+settings) are encoded LOSSLESS MONOCHROME by the system libaom via
+libavif, with filter-intra and the intra edge filter pinned OFF (the
+graft decoder's supported toolset; palette itself is left free). Every
+fixture is decoded back through dav1d, libgav1 AND libaom and must agree
+bit-exactly with the input before it is written.
+
+The family covers: palette sizes 2-8 (including 3/5/6/7, whose FIRST map
+sample is a genuine NS() code, not a plain literal), multi-block frames
+exercising the color cache (left + above-within-superblock merge),
+non-square and frame-edge-clipped palette blocks, and quadrant/stripe/
+random-tile maps exercising every color-index context (single-neighbour,
+all-same, two-same, left-top-same).
+"""
+import ctypes as C, struct, os, json, random
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48   # verified offsets, libavif 0.11.1
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+OPTS = [("lossless", "1"), ("enable-filter-intra", "0"),
+        ("enable-intra-edge-filter", "0")]
+
+def mk_image(w, h, y):
+    img = AV.avifImageCreate(w, h, 8, 4)          # YUV400
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    for row in range(h):
+        C.memmove(ptr + row*rb, y[row*w:(row+1)*w], w)
+    return img
+
+def encode(img, speed):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)
+    for k, v in OPTS:
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), k.encode(), v.encode())
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+def decode_luma(data, codec):   # codec: 1 aom, 2 dav1d, 3 libgav1
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    rows = b"".join(C.string_at(ptr + y*rb, w) for y in range(h))
+    AV.avifDecoderDestroy(C.c_void_p(dec)); AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, rows
+
+def tiles(w, h, pal, ts, seed):
+    rnd = random.Random(seed)
+    t, y = {}, bytearray(w*h)
+    for yy in range(h):
+        for x in range(w):
+            k = (yy//ts, x//ts)
+            if k not in t: t[k] = rnd.choice(pal)
+            y[yy*w+x] = t[k]
+    return bytes(y)
+
+def hunted(seed, ncol):
+    """Seed-hunted 64x64 random-tile images whose aom encode contains
+    size-7 (seed 101: rnd.choice-of-[7,8] first) and size-8 (seed 214)
+    palette blocks — the large sizes the plainer content never hits."""
+    rnd = random.Random(seed)
+    if ncol is None: ncol = rnd.choice([7, 8])
+    pal = sorted(rnd.sample(range(256), ncol))
+    t, y = {}, bytearray(64*64)
+    for yy in range(64):
+        for x in range(64):
+            k = (yy//8, x//8)
+            if k not in t: t[k] = rnd.choice(pal)
+            y[yy*64+x] = t[k]
+    return bytes(y)
+
+def quadrants(w, h, a, b):
+    return bytes((a if ((x < w//2) == (yy < h//2)) else b)
+                 for yy in range(h) for x in range(w))
+
+def stripes(w, h, pal, vertical, sw):
+    return bytes(pal[(x//sw if vertical else yy//sw) % len(pal)]
+                 for yy in range(h) for x in range(w))
+
+CASES = [
+    # (w, h, speed, image): sizes 2-8 incl. the NS-odd 3/5/6/7
+    (16, 16, 6, quadrants(16, 16, 28, 228)),
+    (16, 16, 6, tiles(16, 16, [20, 80, 140], 4, 3)),
+    (16, 16, 6, tiles(16, 16, [20, 80, 140, 200], 2, 7)),
+    (16, 16, 4, tiles(16, 16, [10, 60, 110, 160, 210], 4, 11)),
+    (32, 32, 6, tiles(32, 32, [5, 45, 85, 125, 165, 205], 4, 13)),
+    (64, 64, 6, hunted(101, None)),   # contains a size-7 palette block
+    (64, 64, 6, hunted(214, 8)),      # contains a size-8 palette block
+    (16, 16, 6, stripes(16, 16, [20, 80, 140, 200], True, 1)),
+    (16, 16, 6, stripes(16, 16, [20, 80, 140, 200], False, 1)),
+    # multi-superblock + clipped palette blocks + cache across blocks
+    (40, 24, 6, tiles(40, 24, [20, 80, 140, 200], 4, 23)),
+    (80, 48, 6, tiles(80, 48, [15, 70, 130, 190, 245], 8, 29)),
+    (33, 17, 6, tiles(33, 17, [25, 120, 215], 4, 31)),
+]
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src/main/resources/av1/fixtures")
+    os.makedirs(outdir, exist_ok=True)
+    man = []
+    for k, (w, h, speed, y) in enumerate(CASES):
+        img = mk_image(w, h, y)
+        data = encode(img, speed)
+        for codec in (2, 3, 1):
+            dw, dh, luma = decode_luma(data, codec)
+            assert (dw, dh) == (w, h) and luma == y, (k, codec)
+        open(os.path.join(outdir, f"pal_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"pal_{k}.gray"), "wb").write(y)
+        man.append({"k": k, "w": w, "h": h, "speed": speed,
+                    "luma_sum": sum(y)})
+        print(f"pal_{k}: {w}x{h} ok (3 system decoders bit-exact)")
+    json.dump(man, open(os.path.join(outdir, "palette_manifest.json"), "w"),
+              indent=1)
+    print(f"wrote {len(CASES)} palette fixtures")
+
+main()

@@ -16,9 +16,16 @@ package graft.functions
   * transform-block granularity. Default CDFs come from [[Av1Tables]]
   * (extracted from the system libaom, pinned by pixel vectors).
   *
+  * PALETTE blocks decode for real since round 13 (sizes 2-8, color
+  * cache across blocks, NS-coded first index, anti-diagonal wavefront
+  * with neighbour-score ordering) — pinned bit-exact against
+  * dav1d/libgav1/libaom over the committed palette fixtures after the
+  * round-12 table misidentification (the Y color-index family directly
+  * precedes the same-shape UV family in both system binaries).
+  *
   * Honest bails (decode returns None, never a task failure): lossy
-  * streams (base_q_idx > 0), chroma, palette and intra-block-copy
-  * blocks, filter-intra blocks, non-reduced headers, tiled frames,
+  * streams (base_q_idx > 0), chroma, intra-block-copy blocks,
+  * filter-intra blocks, non-reduced headers, tiled frames,
   * film-grain streams, and directional (non-V/H) prediction when the
   * sequence enables the intra edge filter (the filtered path is not
   * implemented). `disable_cdf_update=1` is HONORED, not bailed —
@@ -108,6 +115,17 @@ object Av1Codec {
       x
     }
 
+    /** NS(n), AV1 spec 4.10.7: w = FloorLog2(n)+1, m = (1<<w)-n. Equals a
+      * plain (w-1)-bit literal when n is a power of two; shorter-codes the
+      * low values otherwise (sizes 3/5/6/7 palettes hit this).
+      */
+    def readNS(n: Int): Int = {
+      val w = 32 - Integer.numberOfLeadingZeros(n)
+      val m = (1 << w) - n
+      val v = readLiteral(w - 1)
+      if (v < m) v else (v << 1) - m + readBit()
+    }
+
     def readGolomb(): Int = {
       var length = 0
       var i = 0
@@ -143,6 +161,11 @@ object Av1Codec {
     Array(1, 4, 4, 4, 5), Array(1, 4, 4, 4, 6))
   /** angle for directional modes 1..8 (V,H,D45,D135,D113,D157,D203,D67) */
   private val ModeAngle = Array(0, 90, 180, 45, 135, 113, 157, 203, 67)
+  /** Palette_Color_Hash_Multipliers-hash -> color-index ctx; reachable
+    * hashes are 2,5,6,7,8 only (single neighbour / all-same / two-same /
+    * left-top-same / all-distinct).
+    */
+  private val PaletteCtxLookup = Array(-1, -1, 0, -1, -1, 4, 3, 2, 1)
   private val Sm4 = Array(255, 149, 85, 64)
   private val DrDeriv: Array[Int] = {
     val t = new Array[Int](90)
@@ -262,6 +285,8 @@ object Av1Codec {
     val kfY = cp(Av1Tables.kfYMode)
     val angle = cp(Av1Tables.angleDelta)
     val paletteY = cp(Av1Tables.paletteYMode)
+    val palSize = cp(Av1Tables.paletteYSize)
+    val palIdx = cp(Av1Tables.paletteYColorIndex)
     val filterIntra = cp(Av1Tables.filterIntra)
     val txbSkip = cp(Av1Tables.txbSkip)
     val eob16 = cp(Av1Tables.eob16)
@@ -287,6 +312,10 @@ object Av1Codec {
     private val leftPart = new Array[Byte](miRows)
     private val aboveLvl = new Array[Int](miCols)
     private val leftLvl = new Array[Int](miRows)
+    // per-mi palette state: flag feeds palette_y_mode's neighbour ctx,
+    // colors feed the next block's color cache
+    private val palAt = new Array[Boolean](miRows * miCols)
+    private val palColorsAt = new Array[Array[Int]](miRows * miCols)
 
     def decodeFrame(): Unit = {
       val s4 = fr.sbSize4
@@ -396,12 +425,17 @@ object Av1Codec {
         val pAngle = ModeAngle(mode) + angle * 3
         if (pAngle != 90 && pAngle != 180) bail()
       }
+      var palColors: Array[Int] = null
       if (fr.allowSct && mode == 0 && ge8x8 && w4in <= 16 && h4in <= 16) {
-        // palette_y_mode; neighbours never use palette on the supported path
         val bctx = (31 - Integer.numberOfLeadingZeros(w4in * h4in * 16)) - 6
-        if (ec.readBool(cdf.paletteY(bctx * 3)) == 1) bail() // palette block
+        val pctx = (if (r > 0 && palAt((r - 1) * miCols + c)) 1 else 0) +
+          (if (c > 0 && palAt(r * miCols + c - 1)) 1 else 0)
+        if (ec.readBool(cdf.paletteY(bctx * 3 + pctx)) == 1)
+          palColors = readPalette(r, c, bctx)
       }
-      if (s.enableFilterIntra && mode == 0 && math.max(w4in, h4in) <= 8) {
+      // filter_intra is NOT coded for palette blocks (spec 5.11.46)
+      if (s.enableFilterIntra && mode == 0 && palColors == null &&
+          math.max(w4in, h4in) <= 8) {
         val bidx = bsizeIndex(w4in, h4in)
         if (ec.readBool(cdf.filterIntra(bidx)) == 1) bail() // filter-intra block
       }
@@ -411,6 +445,8 @@ object Av1Codec {
         while (cc < c + w4) {
           modeAt(rr * miCols + cc) = mode.toByte
           skipAt(rr * miCols + cc) = skip.toByte
+          palAt(rr * miCols + cc) = palColors != null
+          palColorsAt(rr * miCols + cc) = palColors
           cc += 1
         }
         rr += 1
@@ -419,17 +455,122 @@ object Av1Codec {
       val lb = ((31 << (32 - Integer.numberOfLeadingZeros(h4in) - 1)) & 31).toByte
       java.util.Arrays.fill(abovePart, c, c + w4, ab)
       java.util.Arrays.fill(leftPart, r, r + h4, lb)
+      if (palColors != null) readColorMap(r, c, w4, h4, palColors)
       var ty = 0
       while (ty < h4) {
         var tx = 0
         while (tx < w4) {
-          predict4(r + ty, c + tx, mode, angle)
+          if (palColors == null) predict4(r + ty, c + tx, mode, angle)
           if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
           else { aboveLvl(c + tx) = 0; leftLvl(r + ty) = 0 }
           decoded((r + ty) * miCols + c + tx) = true
           tx += 1
         }
         ty += 1
+      }
+    }
+
+    /** Palette size + colors (AV1 spec 5.11.46/5.11.43). The color cache
+      * merges the above neighbour's palette (only within the same 64-px
+      * superblock row) with the left neighbour's, ascending and deduped;
+      * non-cached colors arrive as an 8-bit literal plus ascending deltas
+      * whose width shrinks with the remaining value range.
+      */
+    private def readPalette(r: Int, c: Int, bctx: Int): Array[Int] = {
+      val size = ec.readSymbol(cdf.palSize(bctx), 7) + 2
+      var cache: List[Int] = Nil
+      if (c > 0 && palColorsAt(r * miCols + c - 1) != null)
+        cache = palColorsAt(r * miCols + c - 1).toList
+      if ((r * 4) % 64 != 0 && r > 0 && palColorsAt((r - 1) * miCols + c) != null)
+        cache = (cache ++ palColorsAt((r - 1) * miCols + c).toList).distinct
+      cache = cache.distinct.sorted
+      val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = cache.iterator
+      while (got.size < size && it.hasNext) {
+        val col = it.next()
+        if (ec.readBit() == 1) got += col
+      }
+      if (got.size < size) {
+        var prev = ec.readLiteral(8)
+        got += prev
+        if (got.size < size) {
+          var bits = 5 + ec.readLiteral(2)
+          var range = 255 - prev
+          while (got.size < size) {
+            val d = ec.readLiteral(bits) + 1
+            prev = math.min(prev + d, 255)
+            got += prev
+            range -= d
+            bits = math.min(bits, if (range >= 1) 32 - Integer.numberOfLeadingZeros(math.max(range - 1, 0)) else 0)
+          }
+        }
+      }
+      got.sorted.toArray
+    }
+
+    /** The palette color index map (AV1 spec 5.11.49/5.11.50): NS-coded
+      * first sample, then an anti-diagonal wavefront where each sample's
+      * symbol indexes a neighbour-score ordering of the palette (left and
+      * top weigh 2, top-left 1; top-3 rotation partial sort; context from
+      * the hash lookup {-1,-1,0,-1,-1,4,3,2,1}). Writes reconstructed
+      * pixels directly; residual (if skip=0) adds on top via coeffs4.
+      */
+    private def readColorMap(r: Int, c: Int, w4: Int, h4: Int,
+                             colors: Array[Int]): Unit = {
+      val size = colors.length
+      val cols = w4 * 4
+      val rows = h4 * 4
+      val m = new Array[Byte](rows * cols)
+      m(0) = ec.readNS(size).toByte
+      val scores = new Array[Int](size)
+      val order = new Array[Int](size)
+      var k = 1
+      while (k < rows + cols - 1) {
+        var j = math.min(k, cols - 1)
+        val jEnd = math.max(0, k - rows + 1)
+        while (j >= jEnd) {
+          val i = k - j
+          java.util.Arrays.fill(scores, 0)
+          if (j > 0) scores(m(i * cols + j - 1)) += 2
+          if (i > 0 && j > 0) scores(m((i - 1) * cols + j - 1)) += 1
+          if (i > 0) scores(m((i - 1) * cols + j)) += 2
+          var q = 0
+          while (q < size) { order(q) = q; q += 1 }
+          q = 0
+          val top = math.min(3, size)
+          while (q < top) {
+            var mx = scores(q); var mi = q
+            var w = q + 1
+            while (w < size) {
+              if (scores(w) > mx) { mx = scores(w); mi = w }
+              w += 1
+            }
+            if (mi != q) {
+              val ov = order(mi)
+              var z = mi
+              while (z > q) { scores(z) = scores(z - 1); order(z) = order(z - 1); z -= 1 }
+              scores(q) = mx; order(q) = ov
+            }
+            q += 1
+          }
+          val h = scores(0) + 2 * (if (size > 1) scores(1) else 0) +
+            2 * (if (size > 2) scores(2) else 0)
+          val ctx = PaletteCtxLookup(h)
+          if (ctx < 0) bail()
+          val sym = ec.readSymbol(cdf.palIdx((size - 2) * 5 + ctx), size)
+          m(i * cols + j) = order(sym).toByte
+          j -= 1
+        }
+        k += 1
+      }
+      var i = 0
+      while (i < rows) {
+        var j = 0
+        while (j < cols) {
+          pix((r * 4 + i) * padW + c * 4 + j) = colors(m(i * cols + j)).toByte
+          j += 1
+        }
+        i += 1
       }
     }
 
@@ -1032,4 +1173,30 @@ object Av1Fixtures {
     case 1 => "obu"
     case _ => "ivf"
   }
+
+  /** The round-13 PALETTE fixture family (`pal_N.avif`): aom-encoded
+    * screen content whose 43 palette blocks cover every palette size
+    * 2-8, the NS-coded first index, cross-block color caches and
+    * frame-edge-clipped palette blocks. 3-decoder-validated at
+    * generation (`scripts/gen_av1_palette_fixtures.py`).
+    */
+  val paletteCount = 12
+
+  private lazy val paletteAvifs: Array[Array[Byte]] = Array.tabulate(paletteCount) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/pal_$i.avif")
+    require(in != null, s"av1 palette fixture pal_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val paletteObus: Array[Array[Byte]] =
+    paletteAvifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** Palette fixture payload: pal doc_id % 12, AVIF or raw-OBU container. */
+  def palettePayload(id: Long): Array[Byte] = {
+    val k = ((id % paletteCount) + paletteCount).toInt % paletteCount
+    if (id % 2 == 0) paletteAvifs(k) else paletteObus(k)
+  }
+
+  def paletteContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
 }

@@ -20,7 +20,8 @@ package graft.functions
   *   eob_extra[4 q][5 txs][2 plane][9][3],
   *   coeff_base_eob[4 q][5 txs][2 plane][4][4],
   *   coeff_base[4 q][5 txs][2 plane][42][5],
-  *   coeff_br[4 q][5 txs][2 plane][21][5], dc_sign[4 q][2 plane][3][3].
+  *   coeff_br[4 q][5 txs][2 plane][21][5], dc_sign[4 q][2 plane][3][3],
+  *   palette_y_size[7 bsize][8], palette_y_color_index[7 size][5 ctx][9].
   *
   * Only the q_ctx=0 / TX_4X4 / plane-0 slices are used (lossless
   * monochrome intra), but the tables are stored whole so a lossy or
@@ -64,6 +65,12 @@ private[functions] object Av1Tables {
   private val coeffBaseAll = table(1680, 5)
   private val coeffBrAll = table(840, 5)
   private val dcSignAll = table(24, 3)
+  // appended round 13 (palette decode): size[7 bsize][8];
+  // color index[7 size][5 ctx][9] — the Y family, which in both system
+  // binaries directly PRECEDES the same-shape UV family the round-12
+  // extraction had mistaken for it.
+  val paletteYSize: Array[Array[Int]] = table(7, 8)
+  val paletteYColorIndex: Array[Array[Int]] = table(35, 9)
   require(pos == all.length, s"resource size mismatch: $pos vs ${all.length}")
 
   // q_ctx 0 / TX_4X4 / plane 0 slices

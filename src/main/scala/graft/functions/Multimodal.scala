@@ -3009,6 +3009,38 @@ object Multimodal {
         "sum_y", "sumsq_y")
   }
 
+  /** REAL AV1 PALETTE decode (round 13): the screen-content fixture
+    * family whose blocks are coded with the palette tool — size symbol,
+    * color cache merge, delta-coded colors, NS-coded first index and the
+    * anti-diagonal color-index wavefront — decoded by [[Av1Codec]] and
+    * reduced to integer luma sums. The oracle joins the per-fixture
+    * constants captured at generation from the planes dav1d, libgav1 and
+    * libaom all decoded bit-identically; any palette-path deviation
+    * breaks the sums. Same 100 TB shape as the other decode rows:
+    * partition-local decode, only 8-column stat rows reach the exchange.
+    */
+  def decodeAvifPaletteReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeLuma(Av1Fixtures.palettePayload(id)).map { case (w, h, luma) =>
+            var s = 0L; var sq = 0L
+            var i = 0
+            while (i < luma.length) {
+              val v = (luma(i) & 0xff).toLong
+              s += v; sq += v * v
+              i += 1
+            }
+            (id, id % Av1Fixtures.paletteCount, Av1Fixtures.paletteContainerName(id),
+              w.toLong, h.toLong, luma.length.toLong, s, sq)
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height", "n_px",
+        "sum_y", "sumsq_y")
+  }
+
   /** AV1 near-dup from REAL decoded luma: documents carrying the same
     * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
     * into one class once fingerprinted by exact decoded-luma stats —

@@ -97,6 +97,21 @@ object ExtensionQueries {
   ).map { case (k, w, h, n, s, sq) => s"  ($k, $w, $h, $n, $s, $sq)" }
     .mkString(",\n")
 
+  /** Planted truth for the round-13 AV1 PALETTE fixture family —
+    * per-fixture luma sums captured at `scripts/gen_av1_palette_fixtures
+    * .py` time from planes dav1d, libgav1 AND libaom decoded
+    * bit-identically (43 palette blocks, every size 2-8).
+    */
+  private val Av1PaletteFixtureConstants: String = Seq(
+    (0, 16, 16, 256, 32768L, 6754304L), (1, 16, 16, 256, 22400L, 2636800L),
+    (2, 16, 16, 256, 25280L, 3760000L), (3, 16, 16, 256, 35360L, 6001600L),
+    (4, 32, 32, 1024, 120960L, 18976000L), (5, 64, 64, 4096, 606400L, 111324992L),
+    (6, 64, 64, 4096, 601088L, 108378880L), (7, 16, 16, 256, 28160L, 4249600L),
+    (8, 16, 16, 256, 28160L, 4249600L), (9, 40, 24, 960, 100800L, 14764800L),
+    (10, 80, 48, 3840, 566400L, 106979200L), (11, 33, 17, 561, 53355L, 8670725L),
+  ).map { case (k, w, h, n, s, sq) => s"  ($k, $w, $h, $n, $s, $sq)" }
+    .mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2755,6 +2770,28 @@ object ExtensionQueries {
              |d AS (SELECT doc_id, doc_id % 22 AS fixture,
              |    CASE doc_id % 3 WHEN 0 THEN 'avif' WHEN 1 THEN 'obu'
              |      ELSE 'ivf' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.n_px AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y,
+             |  CAST(c.sumsq_y AS BIGINT) AS sumsq_y
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 PALETTE decode (round 13): screen-content fixtures whose
+    // blocks use the palette tool — size/cache/delta-coded colors,
+    // NS-coded first index, anti-diagonal color-index wavefront with
+    // neighbour-score ordering — rotated through AVIF / raw-OBU
+    // containers, decoded by the from-spec Av1Codec, reduced to luma
+    // sums joined against generation-time constants (the values dav1d,
+    // libgav1 AND libaom agreed on bit-exactly).
+    QueryDef(
+      "multimodal_avif_palette",
+      (s, dir) => Multimodal.decodeAvifPaletteReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
+             |$Av1PaletteFixtureConstants),
+             |d AS (SELECT doc_id, doc_id % 12 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
              |  FROM documents)
              |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
              |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,

@@ -140,6 +140,36 @@ class Av1CodecSpec extends AnyFunSuite {
     assert(Av1Codec.decodeLuma("not an avif at all, just text".getBytes).isEmpty)
   }
 
+  test("12 palette fixtures decode to bit-exact luma (sizes 2-8, caches)") {
+    // aom-encoded screen content: 43 palette blocks across the family,
+    // covering every palette size 2-8 (7/8 via seed-hunted 64x64 cases),
+    // the NS-coded first index for odd sizes, cross-block color caches,
+    // multi-superblock frames, and frame-edge-clipped palette blocks.
+    // Validated bit-exact through dav1d+libgav1+aom at generation time
+    // (scripts/gen_av1_palette_fixtures.py).
+    for (i <- 0 to 11) {
+      val avif = res(s"pal_$i.avif")
+      val gray = res(s"pal_$i.gray")
+      val dec = Av1Codec.decodeLuma(avif)
+      assert(dec.isDefined, s"pal_$i must decode")
+      val (w, h, luma) = dec.get
+      assert(w * h == gray.length, s"pal_$i geometry $w x $h")
+      assert(java.util.Arrays.equals(luma, gray), s"pal_$i luma differs")
+    }
+  }
+
+  test("palette fixtures survive truncation and mutation without throwing") {
+    val avif = res("pal_9.avif")
+    for (len <- 0 until avif.length by 7)
+      Av1Codec.decodeLuma(java.util.Arrays.copyOf(avif, len))
+    val rnd = new scala.util.Random(0xAB1)
+    for (_ <- 1 to 200) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeLuma(m)
+    }
+  }
+
   test("disable_cdf_update=1 streams round-trip with frozen CDFs") {
     val rnd = new scala.util.Random(0xCDF)
     for ((w, h) <- Seq((24, 16), (64, 48), (17, 9))) {
