@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Generate the AV1 INTRA-EDGE-FILTER fixture family under
+src/main/resources/av1/fixtures/ (edge_N.avif / edge_N.gray).
+
+Directional-gradient and mixed screen/gradient images encoded LOSSLESS
+MONOCHROME by the system libaom with the intra edge filter LEFT ON
+(its default; filter-intra stays off — that tool is a separate,
+still-unsupported path). The content drives libaom into directional
+modes with nonzero angle deltas, so the streams exercise the edge
+filter's whole 4x4-transform parameter space: upsampling (0 < d < 40),
+the type-0 strength bucket (d >= 56 -> 1) and the type-1 buckets
+(d >= 40 -> 1, d >= 64 -> 2, reachable when a SMOOTH-coded neighbour
+flips the filter type), plus zone-2 mixed upsample/filter edges.
+
+Every fixture is decoded through dav1d, libgav1 AND libaom and must be
+bit-exact with the input before it is written. The two seeded gradient
+cases are the streams that pinned the type-1 strength table during
+development (seeds 302/370 of the round-13 soak).
+"""
+import ctypes as C, struct, os, math, random, json
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+OPTS = [("lossless", "1"), ("enable-filter-intra", "0")]
+
+def mk_image(w, h, y):
+    img = AV.avifImageCreate(w, h, 8, 4)
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    for row in range(h):
+        C.memmove(ptr + row*rb, y[row*w:(row+1)*w], w)
+    return img
+
+def encode(img, speed):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)
+    for k, v in OPTS:
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), k.encode(), v.encode())
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+def decode_luma(data, codec):
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    rows = b"".join(C.string_at(ptr + y*rb, w) for y in range(h))
+    AV.avifDecoderDestroy(C.c_void_p(dec)); AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, rows
+
+def diag(w, h, ang_deg):
+    a = math.radians(ang_deg)
+    dx, dy = math.cos(a), math.sin(a)
+    return bytes(int(40 + 25*((x*dy - yy*dx) % 8)) & 0xff
+                 for yy in range(h) for x in range(w))
+
+def seeded_grad(seed):
+    rnd = random.Random(seed)
+    w = rnd.choice([16, 32, 24, 48]); h = rnd.choice([16, 32, 24])
+    a = math.radians(rnd.uniform(0, 360)); f = rnd.uniform(0.1, 0.9)
+    y = bytes(int(120 + 90*math.sin(f*(x*math.cos(a) + yy*math.sin(a)))) & 0xff
+              for yy in range(h) for x in range(w))
+    rnd.choice([4, 6])   # keep the rng sequence of the dev soak
+    return w, h, y
+
+CASES = ([(16, 16, 6, diag(16, 16, a)) for a in (30, 60, 70, 110, 120,
+                                                 150, 160, 170, 190, 200)]
+         + [(8, 8, 6, diag(8, 8, 60)), (8, 8, 6, diag(8, 8, 190))])
+for seed in (302, 370):
+    w, h, y = seeded_grad(seed)
+    CASES.append((w, h, 6 if seed == 302 else 4, y))
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src/main/resources/av1/fixtures")
+    man = []
+    for k, (w, h, speed, y) in enumerate(CASES):
+        img = mk_image(w, h, y)
+        data = encode(img, speed)
+        for codec in (2, 3, 1):
+            dw, dh, luma = decode_luma(data, codec)
+            assert (dw, dh) == (w, h) and luma == y, (k, codec)
+        open(os.path.join(outdir, f"edge_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"edge_{k}.gray"), "wb").write(y)
+        man.append({"k": k, "w": w, "h": h})
+        print(f"edge_{k}: {w}x{h} ok")
+    json.dump(man, open(os.path.join(outdir, "edge_manifest.json"), "w"), indent=1)
+    print(f"wrote {len(CASES)} edge-filter fixtures")
+
+main()

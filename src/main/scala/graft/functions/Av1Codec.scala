@@ -23,13 +23,17 @@ package graft.functions
   * round-12 table misidentification (the Y color-index family directly
   * precedes the same-shape UV family in both system binaries).
   *
+  * The INTRA EDGE FILTER (libaom's default toolset) is implemented
+  * since round 13 for the 4x4-transform world: strength-kernel edge
+  * smoothing, 2x edge upsampling for small angle deltas, and the
+  * three-zone directional walk with per-edge upsample shifts — pinned
+  * bit-exact by the committed edge fixtures and 360+ soak streams.
+  *
   * Honest bails (decode returns None, never a task failure): lossy
   * streams (base_q_idx > 0), chroma, intra-block-copy blocks,
-  * filter-intra blocks, non-reduced headers, tiled frames,
-  * film-grain streams, and directional (non-V/H) prediction when the
-  * sequence enables the intra edge filter (the filtered path is not
-  * implemented). `disable_cdf_update=1` is HONORED, not bailed —
-  * adaptation is simply switched off, system-validated.
+  * filter-intra blocks, non-reduced headers, tiled frames, and
+  * film-grain streams. `disable_cdf_update=1` is HONORED, not
+  * bailed — adaptation is simply switched off, system-validated.
   * Reference behaviour cross-validated bit-exactly against dav1d,
   * libgav1 AND libaom over the committed vectors (`FIXTURES.md`).
   */
@@ -166,6 +170,9 @@ object Av1Codec {
     * left-top-same / all-distinct).
     */
   private val PaletteCtxLookup = Array(-1, -1, 0, -1, -1, 4, 3, 2, 1)
+  /** Intra_Edge_Kernel rows for filter strengths 1..3 (sum 16). */
+  private val EdgeKernels = Array(
+    Array(0, 4, 8, 4, 0), Array(0, 5, 6, 5, 0), Array(2, 4, 4, 4, 2))
   private val Sm4 = Array(255, 149, 85, 64)
   private val DrDeriv: Array[Int] = {
     val t = new Array[Int](90)
@@ -417,14 +424,12 @@ object Av1Codec {
       val ge8x8 = w4in + h4in > 3
       if (mode >= 1 && mode <= 8 && ge8x8)
         angle = ec.readSymbol(cdf.angle(mode - 1), 7) - 3
-      // Directional prediction with enable_intra_edge_filter=1 (libaom's
-      // default) runs the spec's edge filter / upsampling first; predict4
-      // below implements the unfiltered path only, so any angle other
-      // than pure V/H would decode to silently wrong pixels — bail.
-      if (s.enableIntraEdgeFilter && mode >= 1 && mode <= 8) {
-        val pAngle = ModeAngle(mode) + angle * 3
-        if (pAngle != 90 && pAngle != 180) bail()
-      }
+      // intra-edge-filter type (spec 7.11.2.8): 1 when the block's above
+      // or left neighbour used a SMOOTH-family mode, else 0
+      val aMode = if (r > 0) modeAt((r - 1) * miCols + c).toInt else -1
+      val lMode = if (c > 0) modeAt(r * miCols + c - 1).toInt else -1
+      val ftype =
+        if ((aMode >= 9 && aMode <= 11) || (lMode >= 9 && lMode <= 11)) 1 else 0
       var palColors: Array[Int] = null
       if (fr.allowSct && mode == 0 && ge8x8 && w4in <= 16 && h4in <= 16) {
         val bctx = (31 - Integer.numberOfLeadingZeros(w4in * h4in * 16)) - 6
@@ -460,7 +465,7 @@ object Av1Codec {
       while (ty < h4) {
         var tx = 0
         while (tx < w4) {
-          if (palColors == null) predict4(r + ty, c + tx, mode, angle)
+          if (palColors == null) predict4(r + ty, c + tx, mode, angle, ftype)
           if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
           else { aboveLvl(c + tx) = 0; leftLvl(r + ty) = 0 }
           decoded((r + ty) * miCols + c + tx) = true
@@ -728,7 +733,8 @@ object Av1Codec {
     }
 
     // ---------------- intra prediction: one 4x4 tx unit ----------------
-    private def predict4(rr: Int, cc: Int, mode: Int, angle: Int): Unit = {
+    private def predict4(rr: Int, cc: Int, mode: Int, angle: Int,
+                         ftype: Int): Unit = {
       val x0 = cc * 4; val y0 = rr * 4
       val haveA = rr > 0 && decoded((rr - 1) * miCols + cc)
       val haveL = cc > 0 && decoded(rr * miCols + cc - 1)
@@ -771,14 +777,18 @@ object Av1Codec {
             else if (haveL) (L(0) + L(1) + L(2) + L(3) + 2) >> 2
             else 128
           java.util.Arrays.fill(pred, v)
-        case 1 =>
+        case 1 if angle == 0 =>
           var i = 0
           while (i < 16) { pred(i) = A(i & 3); i += 1 }
-        case 2 =>
+        case 2 if angle == 0 =>
           var i = 0
           while (i < 16) { pred(i) = L(i >> 2); i += 1 }
-        case m if m >= 3 && m <= 8 =>
-          drPred(pred, A, L, corner, ModeAngle(m) + angle * 3)
+        case m if m >= 1 && m <= 8 =>
+          val pAngle = ModeAngle(m) + angle * 3
+          if (s.enableIntraEdgeFilter && pAngle != 90 && pAngle != 180)
+            drPredEdge(pred, A, L, corner, pAngle, ftype)
+          else
+            drPred(pred, A, L, corner, pAngle)
         case 9 =>
           var i = 0
           while (i < 4) {
@@ -844,6 +854,147 @@ object Av1Codec {
     /** Directional prediction, zones 1-3 (edge filter / upsampling are
       * sequence-disabled on the supported toolset).
       */
+    /** Directional prediction WITH the intra edge filter (AV1 spec
+      * 7.11.2.7-7.11.2.12) for 4x4 transforms (blkWh = 8): edge
+      * smoothing by the strength kernels when the angle delta from
+      * V/H is large (type 0: d>=56 -> strength 1; type 1, i.e. a
+      * SMOOTH-coded neighbour: d>=40 -> 1, d>=64 -> 2 — the type-1
+      * buckets were PINNED by the committed edge fixtures, not
+      * transcribed), then 2x edge upsampling when 0 < d < 40, then the
+      * three-zone directional walk with per-edge upsample shifts.
+      * Pixel-pinned bit-exact by edge_0..13 plus 360+ soak streams
+      * through dav1d/libgav1/libaom.
+      */
+    private def drPredEdge(pred: Array[Int], A0: Array[Int], L0: Array[Int],
+                           corner: Int, pa: Int, ftype: Int): Unit = {
+      val dA = math.abs(pa - 90)
+      val dL = math.abs(pa - 180)
+      val needR = pa < 90
+      val needB = pa > 180
+      // working buffers, corner at OFF-1; room for 2x upsample plus pads
+      val OFF = 4
+      var Ax = new Array[Int](OFF + 17)
+      var Lx = new Array[Int](OFF + 17)
+      Ax(OFF - 1) = corner; Lx(OFF - 1) = corner
+      var i = 0
+      while (i < 8) { Ax(OFF + i) = A0(i); Lx(OFF + i) = L0(i); i += 1 }
+      i = OFF + 8
+      while (i < Ax.length) { Ax(i) = Ax(OFF + 7); Lx(i) = Lx(OFF + 7); i += 1 }
+      def strength(d: Int): Int =
+        if (ftype == 0) { if (d >= 56) 1 else 0 }
+        else { if (d >= 64) 2 else if (d >= 40) 1 else 0 }
+      def edgeFilter(buf: Array[Int], sz: Int, st: Int): Unit = {
+        if (st == 0) return
+        val kern = EdgeKernels(st - 1)
+        val e = java.util.Arrays.copyOfRange(buf, OFF - 1, OFF - 1 + sz)
+        var p = 1
+        while (p < sz) {
+          var sAcc = 0
+          var j = 0
+          while (j < 5) {
+            val k = math.min(math.max(p - 2 + j, 0), sz - 1)
+            sAcc += kern(j) * e(k)
+            j += 1
+          }
+          buf(OFF - 1 + p) = (sAcc + 8) >> 4
+          p += 1
+        }
+      }
+      def upsample(buf: Array[Int], numPx: Int): Array[Int] = {
+        val dup = new Array[Int](numPx + 3)
+        dup(0) = buf(OFF - 1); dup(1) = buf(OFF - 1)
+        var k = 0
+        while (k < numPx) { dup(2 + k) = buf(OFF + k); k += 1 }
+        dup(numPx + 2) = buf(OFF + numPx - 1)
+        val out = new Array[Int](OFF + 2 * numPx + 2)
+        out(OFF - 2) = dup(0)
+        k = 0
+        while (k < numPx) {
+          var sAcc = -dup(k) + 9 * dup(k + 1) + 9 * dup(k + 2) - dup(k + 3)
+          sAcc = math.min(math.max((sAcc + 8) >> 4, 0), 255)
+          out(OFF + 2 * k - 1) = sAcc
+          out(OFF + 2 * k) = dup(k + 2)
+          k += 1
+        }
+        k = OFF + 2 * numPx - 1
+        while (k < out.length) { out(k) = out(OFF + 2 * numPx - 2); k += 1 }
+        out
+      }
+      if (pa > 90 && pa < 180 && 8 >= 24) { /* corner filter: never at 4x4 */ }
+      val numA = 4 + (if (needR) 4 else 0)
+      val numL = 4 + (if (needB) 4 else 0)
+      if (pa < 180 && dA > 0) edgeFilter(Ax, numA + 1, strength(dA))
+      if (pa > 90 && dL > 0) edgeFilter(Lx, numL + 1, strength(dL))
+      val upA = if (dA > 0 && dA < 40 && pa < 180) 1 else 0
+      val upL = if (dL > 0 && dL < 40 && pa > 90) 1 else 0
+      if (upA == 1) Ax = upsample(Ax, 4 + (if (needR) 4 else 0))
+      if (upL == 1) Lx = upsample(Lx, 4 + (if (needB) 4 else 0))
+      @inline def ax(k: Int) = Ax(OFF + k)
+      @inline def lx(k: Int) = Lx(OFF + k)
+      if (pa < 90) {
+        val dx = DrDeriv(pa)
+        val maxBase = 7 << upA
+        var ii = 0
+        while (ii < 4) {
+          var j = 0
+          while (j < 4) {
+            val idx = (ii + 1) * dx
+            val base = (idx >> (6 - upA)) + (j << upA)
+            pred(ii * 4 + j) =
+              if (base >= maxBase) ax(maxBase)
+              else {
+                val sh = ((idx << upA) >> 1) & 31
+                (ax(base) * (32 - sh) + ax(base + 1) * sh + 16) >> 5
+              }
+            j += 1
+          }
+          ii += 1
+        }
+      } else if (pa < 180) {
+        val dx = DrDeriv(180 - pa)
+        val dy = DrDeriv(pa - 90)
+        var ii = 0
+        while (ii < 4) {
+          var j = 0
+          while (j < 4) {
+            val idx = (j << 6) - (ii + 1) * dx
+            val base = idx >> (6 - upA)
+            pred(ii * 4 + j) =
+              if (base >= -(1 << upA)) {
+                val sh = ((idx << upA) >> 1) & 31
+                (ax(base) * (32 - sh) + ax(base + 1) * sh + 16) >> 5
+              } else {
+                val idx2 = (ii << 6) - (j + 1) * dy
+                val base2 = idx2 >> (6 - upL)
+                val sh = ((idx2 << upL) >> 1) & 31
+                (lx(base2) * (32 - sh) + lx(base2 + 1) * sh + 16) >> 5
+              }
+            j += 1
+          }
+          ii += 1
+        }
+      } else {
+        val dy = DrDeriv(270 - pa)
+        val maxBase = 7 << upL
+        var ii = 0
+        while (ii < 4) {
+          var j = 0
+          while (j < 4) {
+            val idx = (j + 1) * dy
+            val base = (idx >> (6 - upL)) + (ii << upL)
+            pred(ii * 4 + j) =
+              if (base >= maxBase) lx(maxBase)
+              else {
+                val sh = ((idx << upL) >> 1) & 31
+                (lx(base) * (32 - sh) + lx(base + 1) * sh + 16) >> 5
+              }
+            j += 1
+          }
+          ii += 1
+        }
+      }
+    }
+
     private def drPred(pred: Array[Int], A: Array[Int], L: Array[Int],
         corner: Int, pa: Int): Unit = {
       if (pa < 90) {

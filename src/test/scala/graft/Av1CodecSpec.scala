@@ -170,6 +170,21 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("14 edge-filter fixtures decode to bit-exact luma") {
+    // directional gradients encoded with the intra edge filter ON
+    // (libaom's default): upsampled edges (0 < d < 40), the type-0
+    // strength bucket, and the seeded cases that pinned the type-1
+    // strength buckets (a SMOOTH neighbour flips the filter type).
+    // 3-decoder-validated at generation (scripts/gen_av1_edge_fixtures.py).
+    for (i <- 0 to 13) {
+      val avif = res(s"edge_$i.avif")
+      val gray = res(s"edge_$i.gray")
+      val dec = Av1Codec.decodeLuma(avif)
+      assert(dec.isDefined, s"edge_$i must decode")
+      assert(java.util.Arrays.equals(dec.get._3, gray), s"edge_$i luma differs")
+    }
+  }
+
   test("disable_cdf_update=1 streams round-trip with frozen CDFs") {
     val rnd = new scala.util.Random(0xCDF)
     for ((w, h) <- Seq((24, 16), (64, 48), (17, 9))) {
@@ -208,9 +223,10 @@ class Av1CodecSpec extends AnyFunSuite {
     assert(Av1Codec.decodeLuma(flipSeqBit(tu, 60)).isEmpty)
   }
 
-  test("enable_intra_edge_filter only bails DIRECTIONAL prediction") {
+  test("enable_intra_edge_filter=1 leaves DC/V/H prediction untouched") {
     // the encoder emits DC-only frames: with the edge-filter bit forced
-    // on they must still decode (V/H/DC are unfiltered by spec)...
+    // on they must still decode identically (DC and exact-V/H are
+    // unfiltered by spec; directional angles go through drPredEdge)
     val pix = Array.tabulate[Byte](32 * 24)(i => (i * 11 & 0xff).toByte)
     val tu = Av1Encoder.encode(32, 24, pix)
     val dec = Av1Codec.decodeLuma(flipSeqBit(tu, 52))
