@@ -13,9 +13,23 @@ automatically re-measured ISOLATED (median of 3 via `graft.BenchOne`, a
 fresh JVM with nothing else running in it) before the guard fails. A
 query whose isolated median is back under threshold is reported as
 RECOVERED (noise — a loaded machine or JVM-heap artifact, see
-memory: full-registry runs inflate small queries); only CONFIRMED
-regressions fail the guard. Set BENCH_GUARD_NO_RERUN=1 to skip the
-re-measure pass (pure comparison mode).
+memory: full-registry runs inflate small queries). A query that still
+confirms at 3 reps gets a DEEP-WARM pass (the r11-r13 floor-judgment
+rule, promoted here per VERDICT r13 #7): the name is repeated 3x to
+BenchOne (9 timed runs in one JVM) and the FLOOR of the series is
+judged against the threshold — this container needs ~6-9 runs to reach
+the warm floor, so a 3-rep "CONFIRMED" can be a shallow-warmup
+artifact. Only a floor that stays over threshold is CONFIRMED and
+fails the guard; the full series is recorded in the adjudication
+artifact either way. Set BENCH_GUARD_NO_RERUN=1 to skip both
+re-measure passes (pure comparison mode).
+
+Isolated reruns are LOAD-GATED: if the 1-min loadavg exceeds
+LOAD_GATE when the rerun pass starts, the guard waits (up to
+LOAD_GATE_WAIT_SEC, polling every 30 s) for the machine to drain —
+the 1-min loadavg lies while prior JVM threads exit, so a fixed
+settle sleep runs first. The observed gate values land in the
+artifact.
 
 Every run writes the per-query verdicts to BENCH_ADJUDICATION.json
 (override with BENCH_ADJUDICATION_OUT) so the adjudication is a
@@ -39,6 +53,10 @@ import time
 
 THRESHOLD = 2.0   # max allowed per-query slowdown vs baseline median
 FLOOR_SEC = 0.3   # ignore regressions that stay under this absolute time
+LOAD_GATE = 0.5          # 1-min loadavg above this delays isolated reruns
+LOAD_GATE_WAIT_SEC = 300  # give up waiting for idle after this long
+SETTLE_SEC = 60           # always settle this long before the rerun JVM
+                          # (loadavg lies while prior JVM threads drain)
 
 # Rows that pay REAL per-execution environment setup the 2x ratio should
 # not amplify (VERDICT r8 #8). Empty since round 12: the one former
@@ -69,10 +87,33 @@ def allowed_sec(q, t_base):
     return THRESHOLD * t_base + SETUP_SLACK_SEC.get(q, 0.0)
 
 
-def isolated_medians(queries):
+def gate_on_load(stage):
+    """Record the loadavg for `stage`; if the machine is busy, wait (up
+    to LOAD_GATE_WAIT_SEC) for it to drain before launching the rerun
+    JVM. Returns (load_at_start, load_at_launch, waited_sec)."""
+    start = os.getloadavg()[0]
+    waited = 0
+    time.sleep(min(SETTLE_SEC, LOAD_GATE_WAIT_SEC))
+    waited += min(SETTLE_SEC, LOAD_GATE_WAIT_SEC)
+    load = os.getloadavg()[0]
+    while load > LOAD_GATE and waited < LOAD_GATE_WAIT_SEC:
+        print(f"load gate ({stage}): loadavg {load:.2f} > {LOAD_GATE}, "
+              f"waiting ({waited}s elapsed)")
+        time.sleep(30)
+        waited += 30
+        load = os.getloadavg()[0]
+    if load > LOAD_GATE:
+        print(f"load gate ({stage}): still {load:.2f} after {waited}s — "
+              "proceeding anyway (verdicts may be pessimistic, never lax)")
+    return start, load, waited
+
+
+def isolated_series(queries):
     """Re-measure `queries` in one fresh, idle JVM (graft.BenchOne: warm
-    once, 3 timed runs each) and return {query: median_sec}. Any query
-    missing from the output (e.g. it threw) is absent from the result.
+    once, 3 timed runs per occurrence of the name) and return
+    {query: [run_sec, ...]}. Repeat a name to deepen the warm-up (3
+    occurrences = 9 timed runs). Any query missing from the output
+    (e.g. it threw) is absent from the result.
     """
     cmd = ["sbt", "-batch", "runMain graft.BenchOne " + " ".join(queries)]
     try:
@@ -88,7 +129,12 @@ def isolated_medians(queries):
         m = re.search(r"(?:^|\s)([a-z][a-z0-9_]*) run\d+ ([0-9.]+) s", line.strip())
         if m:
             times.setdefault(m.group(1), []).append(float(m.group(2)))
-    return {q: statistics.median(ts) for q, ts in times.items() if ts}
+    return {q: ts for q, ts in times.items() if ts}
+
+
+def isolated_medians(queries):
+    return {q: statistics.median(ts)
+            for q, ts in isolated_series(queries).items()}
 
 
 def main() -> int:
@@ -127,29 +173,63 @@ def main() -> int:
     # pass was skipped (r9 review)
     rebased = [f for f in flagged if f[0] in SEMANTICS_CHANGED]
     flagged = [f for f in flagged if f[0] not in SEMANTICS_CHANGED]
+    load_gates = {}
     if flagged and not os.environ.get("BENCH_GUARD_NO_RERUN"):
         names = [q for q, _, _ in flagged]
         print(f"flagged {len(names)} query/queries, re-measuring isolated: "
               + " ".join(names))
-        iso = isolated_medians(names)
+        g0, g1, gw = gate_on_load("isolated-3rep")
+        load_gates["isolated_3rep"] = {"load_before": g0, "load_at_launch": g1,
+                                       "waited_sec": gw}
+        series = isolated_series(names)
+        iso = {q: statistics.median(ts) for q, ts in series.items()}
+        # first pass: 3-rep medians; collect rows still over for deep-warm
+        pending_deep = []
         for q, t_base, t_new in flagged:
             t_iso = iso.get(q)
-            if t_iso is None:
-                print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
-                      "(isolated re-measure produced no result)")
-                confirmed.append((q, t_base, t_new))
-                verdict = "CONFIRMED"
-            elif t_iso > allowed_sec(q, t_base) and t_iso > FLOOR_SEC:
-                print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
-                      f"(isolated median {t_iso:.2f}s still over)")
-                confirmed.append((q, t_base, t_iso))
-                verdict = "CONFIRMED"
-            else:
+            if t_iso is not None and not (t_iso > allowed_sec(q, t_base)
+                                          and t_iso > FLOOR_SEC):
                 print(f"RECOVERED  {q}: {t_base:.2f}s -> {t_new:.2f}s in the "
                       f"full run, isolated median {t_iso:.2f}s — noise")
-                verdict = "RECOVERED"
+                rows.append({"query": q, "baseline_sec": t_base,
+                             "in_run_sec": t_new, "isolated_median_sec": t_iso,
+                             "isolated_series_sec": series.get(q),
+                             "verdict": "RECOVERED"})
+            else:
+                pending_deep.append((q, t_base, t_new, t_iso))
+        # second pass: deep-warm floor judgment (VERDICT r13 #7). Repeat
+        # each still-over name 3x -> 9 timed runs in one JVM; the FLOOR of
+        # the series is what a warmed executor would see, so judge that.
+        deep = {}
+        if pending_deep:
+            deep_names = [q for q, _, _, _ in pending_deep]
+            print(f"{len(deep_names)} still over at 3 reps, deep-warm pass "
+                  "(9 runs each, floor-judged): " + " ".join(deep_names))
+            g0, g1, gw = gate_on_load("deep-warm")
+            load_gates["deep_warm"] = {"load_before": g0,
+                                       "load_at_launch": g1, "waited_sec": gw}
+            deep = isolated_series([q for q in deep_names for _ in range(3)])
+        for q, t_base, t_new, t_iso in pending_deep:
+            ts = deep.get(q)
+            floor = min(ts) if ts else None
+            if floor is not None and not (floor > allowed_sec(q, t_base)
+                                          and floor > FLOOR_SEC):
+                print(f"RECOVERED  {q}: {t_base:.2f}s -> {t_new:.2f}s, 3-rep "
+                      f"median {t_iso if t_iso is None else f'{t_iso:.2f}'}s, "
+                      f"deep-warm floor {floor:.2f}s over {len(ts)} runs — "
+                      "warm-up artifact")
+                verdict = "RECOVERED_DEEP_WARM"
+            else:
+                fl = "none" if floor is None else f"{floor:.2f}s"
+                print(f"CONFIRMED  {q}: {t_base:.2f}s -> {t_new:.2f}s "
+                      f"(deep-warm floor {fl} still over)")
+                confirmed.append((q, t_base, floor if floor is not None
+                                  else (t_iso if t_iso is not None else t_new)))
+                verdict = "CONFIRMED"
             rows.append({"query": q, "baseline_sec": t_base,
                          "in_run_sec": t_new, "isolated_median_sec": t_iso,
+                         "deep_warm_series_sec": ts,
+                         "deep_warm_floor_sec": floor,
                          "verdict": verdict})
     else:
         confirmed = flagged
@@ -192,6 +272,7 @@ def main() -> int:
             "semantics_changed": SEMANTICS_CHANGED,
             "adjudicated_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
             "load_avg_at_adjudication": os.getloadavg()[0],
+            "load_gates": load_gates,
             "total_new_sec": tot_new,
             "total_baseline_sec": tot_base,
             "flagged": rows,

@@ -786,7 +786,7 @@ object Av1Codec {
         case m if m >= 1 && m <= 8 =>
           val pAngle = ModeAngle(m) + angle * 3
           if (s.enableIntraEdgeFilter && pAngle != 90 && pAngle != 180)
-            drPredEdge(pred, A, L, corner, pAngle, ftype)
+            drPredEdge(pred, A, L, corner, pAngle, ftype, haveA, haveL)
           else
             drPred(pred, A, L, corner, pAngle)
         case 9 =>
@@ -866,7 +866,8 @@ object Av1Codec {
       * through dav1d/libgav1/libaom.
       */
     private def drPredEdge(pred: Array[Int], A0: Array[Int], L0: Array[Int],
-                           corner: Int, pa: Int, ftype: Int): Unit = {
+                           corner: Int, pa: Int, ftype: Int,
+                           haveA: Boolean, haveL: Boolean): Unit = {
       val dA = math.abs(pa - 90)
       val dL = math.abs(pa - 180)
       val needR = pa < 90
@@ -920,7 +921,27 @@ object Av1Codec {
         while (k < out.length) { out(k) = out(OFF + 2 * numPx - 2); k += 1 }
         out
       }
-      if (pa > 90 && pa < 180 && 8 >= 24) { /* corner filter: never at 4x4 */ }
+      // The corner filter (spec 7.11.2.4 step 1) requires w + h >= 24 and
+      // is therefore unreachable at 4x4-only transforms (w + h = 8).
+      //
+      // Availability gating, DELIBERATELY not applied: libaom gates the
+      // buffer FILTER/UPSAMPLE on n_top_px/n_left_px > 0 but passes the
+      // upsample flags to the directional predictor UN-gated, so the
+      // prediction's index/shift math always uses the un-gated flags.
+      // Filtering+upsampling our constant unavailable-edge fills (the
+      // 127/128/129 spec values, corner included) reproduces exactly
+      // what the system decoders read through that index math — this
+      // form is pinned bit-exact against dav1d + libgav1 + libaom over
+      // the 14 committed edge fixtures and 360+ soak streams. Gating
+      // BOTH the buffer and the flags on haveA/haveL (the naive spec
+      // reading) was tried in round 14 and breaks edge_1: with an
+      // unavailable edge the upsample flag changes the interpolation
+      // shift `sh`, so it is NOT a no-op. haveA/haveL are threaded in
+      // and asserted here to document the invariant the no-gate form
+      // relies on: an unavailable edge is always a constant fill whose
+      // corner matches the spec corner rules (predict4 guarantees it).
+      if (!haveA) { var q = 0; while (q < 7) { assert(A0(q) == A0(q + 1)); q += 1 } }
+      if (!haveL) { var q = 0; while (q < 7) { assert(L0(q) == L0(q + 1)); q += 1 } }
       val numA = 4 + (if (needR) 4 else 0)
       val numL = 4 + (if (needB) 4 else 0)
       if (pa < 180 && dA > 0) edgeFilter(Ax, numA + 1, strength(dA))

@@ -3000,7 +3000,10 @@ object Multimodal {
               s += v; sq += v * v
               i += 1
             }
-            (id, id % Av1Fixtures.count, Av1Fixtures.containerName(id),
+            // floor-positive modulus: must match the fixture payload()
+            // actually selected (and the oracle SQL) for negative doc_ids
+            (id, ((id % Av1Fixtures.count) + Av1Fixtures.count) % Av1Fixtures.count,
+              Av1Fixtures.containerName(id),
               w.toLong, h.toLong, luma.length.toLong, s, sq)
           }
         }
@@ -3032,7 +3035,10 @@ object Multimodal {
               s += v; sq += v * v
               i += 1
             }
-            (id, id % Av1Fixtures.paletteCount, Av1Fixtures.paletteContainerName(id),
+            // floor-positive modulus: must match the fixture palettePayload
+            // actually selected (and the oracle SQL) for negative doc_ids
+            (id, ((id % Av1Fixtures.paletteCount) + Av1Fixtures.paletteCount) % Av1Fixtures.paletteCount,
+              Av1Fixtures.paletteContainerName(id),
               w.toLong, h.toLong, luma.length.toLong, s, sq)
           }
         }

@@ -2767,7 +2767,7 @@ object ExtensionQueries {
       (s, dir) => Multimodal.decodeAvifPixelsReal(s, Tables.documents(s, dir)),
       Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
              |$Av1FixtureConstants),
-             |d AS (SELECT doc_id, doc_id % 22 AS fixture,
+             |d AS (SELECT doc_id, (doc_id % 22 + 22) % 22 AS fixture,
              |    CASE doc_id % 3 WHEN 0 THEN 'avif' WHEN 1 THEN 'obu'
              |      ELSE 'ivf' END AS container
              |  FROM documents)
@@ -2790,7 +2790,7 @@ object ExtensionQueries {
       (s, dir) => Multimodal.decodeAvifPaletteReal(s, Tables.documents(s, dir)),
       Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
              |$Av1PaletteFixtureConstants),
-             |d AS (SELECT doc_id, doc_id % 12 AS fixture,
+             |d AS (SELECT doc_id, (doc_id % 12 + 12) % 12 AS fixture,
              |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
              |  FROM documents)
              |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
@@ -2810,7 +2810,7 @@ object ExtensionQueries {
       (s, dir) => Multimodal.avifNearDupReal(s, Tables.documents(s, dir)),
       Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
              |$Av1FixtureConstants),
-             |d AS (SELECT doc_id, doc_id % 22 AS fixture,
+             |d AS (SELECT doc_id, (doc_id % 22 + 22) % 22 AS fixture,
              |    doc_id % 3 AS container FROM documents),
              |cls AS (SELECT d.fixture, count(*) AS n_dups,
              |    count(DISTINCT d.container) AS n_containers
