@@ -60,6 +60,74 @@ def find_uniform(nrows, n):
 def grab(pos, count):
     return list(U[pos:pos+count])
 
+GAV1 = "/lib/x86_64-linux-gnu/libgav1.so.1"
+
+# libgav1's width-major block order for the first 19 rows (through 64x64);
+# value = the aom BLOCK_SIZES_ALL index each row maps to.
+GAV1_TO_AOM = [0, 1, 16, 2, 3, 4, 18, 17, 5, 6, 7, 20, 19, 8, 9, 10,
+               # one u16 alignment pad sits here in libgav1's rodata
+               21, 11, 12]
+
+def extract_filter_intra():
+    g = open(GAV1, "rb").read()
+    gu = struct.unpack("<%dH" % (len(g)//2), g[:len(g)//2*2])
+    aom_has = set()
+    for i in range(len(U) - 6):
+        if U[i] and U[i+1] == 0 and U[i+2] == 0 and U[i+3] and \
+           U[i+4] == 0 and U[i+5] == 0:
+            aom_has.add((U[i], U[i+3]))
+    cands = []
+    for i in range(len(gu) - 70):
+        # 16 contiguous [v,0,0] rows, a one-u16 alignment pad, then two
+        # more [v,0,0] rows — libgav1's layout — with the five row pairs
+        # that are adjacent in BOTH block orders (gav1 width-major rows
+        # 0/4/8/9/13 = aom pairs 0-1/3-4/5-6/6-7/8-9) byte-identical in
+        # libaom's .rodata (one pair can coincide, five cannot)
+        if all(gu[i+3*r] != 0 and gu[i+3*r+1] == 0 and gu[i+3*r+2] == 0
+               for r in range(16)) and gu[i+48] == 0 and \
+           all(gu[i+49+3*r] != 0 and gu[i+49+3*r+1] == 0 and gu[i+49+3*r+2] == 0
+               for r in range(2)) and \
+           all((gu[i+3*r], gu[i+3*r+3]) in aom_has for r in (0, 4, 8, 9, 13)) and \
+           all(gu[i+3*r] == 16384 for r in (11, 15)) and \
+           all(gu[i+3*r] != 16384 for r in range(11)) and gu[i+3*12] != 16384:
+            # rows 11 (16x64) and 15 (32x64) are fi-INELIGIBLE sizes (a
+            # dimension > 32) and must be the uniform placeholder; every
+            # eligible size carries a learned (non-uniform) probability —
+            # a structural consequence of the eligibility rule that
+            # separates this table from other contiguous cdf2 families
+            cands.append(i)
+    assert len(cands) == 1, cands
+    base = cands[0]
+    vals = [16384] * 22                      # rows 13..15 never consulted
+    for gi, ai in enumerate(GAV1_TO_AOM):
+        pos = base + 3*gi + (1 if gi >= 16 else 0)   # skip the pad u16
+        vals[ai] = gu[pos]
+    assert vals[0] != 16384 and vals[3] != 16384, vals
+    return [x for v in vals for x in (v, 0, 0)]
+
+def extract_filter_intra_mode():
+    """filter_intra_mode_cdf[5]: present in libaom only as an inlined
+    initializer immediate — a `movabs $imm64, %reg` in init_mode_probs
+    whose 8-byte immediate is the 4-value ICDF row, stored right after
+    the filter_intra_cdfs block in the frame context (disassembly:
+    the movabs at the lone 4-strictly-decreasing-u16 immediate in the
+    whole binary, stored to fc+0x3196 = fc_filter_intra_cdfs_end).
+    Located by that shape signature over ALL movabs immediates in the
+    file; pinned by the committed fi fixtures and the 240-stream soak
+    (wrong 4th values 2792/3676 each break multiple soak streams)."""
+    raw = open(LIB, "rb").read()
+    hits = []
+    for reg in range(0xb8, 0xc0):
+        pat = bytes([0x48, reg])
+        j = raw.find(pat)
+        while j != -1:
+            v = struct.unpack_from("<4H", raw, j + 2)
+            if 0 < v[3] < v[2] < v[1] < v[0] < 32768:
+                hits.append(v)
+            j = raw.find(pat, j + 1)
+    assert len(hits) == 1, hits
+    return list(hits[0]) + [0, 0]
+
 def main():
     global U
     data = rodata(LIB)
@@ -136,16 +204,22 @@ def main():
     while dec_run(end + 8, 7): end += 8
     out["angle_delta"] = grab(end - 56, 64)                 # [8][8]
 
-    fi = []
-    i = 0
-    while i < len(U) - 66:
-        if all(dec_run(i + 3*r, 2) for r in range(22)) and not dec_run(i-3, 2) \
-           and not dec_run(i + 66, 2) and not (be[0] - 2000 <= i <= ds + 100):
-            fi.append(i); i += 66
-        else:
-            i += 1
-    assert len(fi) == 1, fi
-    out["filter_intra"] = grab(fi[0], 66)                   # [22][3]
+    # filter_intra (use_filter_intra[22 bsize]): the round-12-style trap,
+    # AGAIN — the uniform [v,0,0]x22 shape-scan of earlier rounds uniquely
+    # matched a DIFFERENT cdf2 family (libaom's .rodata copy of the true
+    # table is fragmented by the compiler's inlined-initializer stores,
+    # so the contiguous scan cannot see it). Extract from LIBGAV1 instead,
+    # where the table is one contiguous rodata array in WIDTH-MAJOR block
+    # order (4x4,4x8,4x16,8x4,...) with a one-u16 alignment pad after the
+    # 16th row; cross-anchor: its first rows reappear as a byte-identical
+    # [v,0,0,w,0,0] fragment in libaom's .rodata. Pinned end-to-end by
+    # the committed filter-intra fixtures (fi_*.avif): the bool gates
+    # every DC block under enable_filter_intra=1, so a wrong row cannot
+    # decode them. Block sizes with a dimension > 32 can never code
+    # filter_intra (eligibility caps both dims at 32), so the aom-order
+    # rows 13..15 (64x128/128x64/128x128, which sit past further libgav1
+    # padding) are stored as the uniform 16384 placeholder — never read.
+    out["filter_intra"] = extract_filter_intra()            # [22][3]
 
     # palette_y_mode[7 bsize][3 ctx]: the round-12 shape-scan (uniform
     # [v,0,0]x21) uniquely matched a DIFFERENT cdf2 family — the real
@@ -186,10 +260,12 @@ def main():
         assert all(row[k] > row[k+1] for k in range(s-2)) and row[s-1] == 0, (r, row)
     out["palette_y_color_index"] = grab(ci_base, 315)       # [7][5][9]
 
+    out["filter_intra_mode"] = extract_filter_intra_mode()  # [6]
+
     ORDER = ["partition", "skip", "kf_y_mode", "angle_delta", "palette_y_mode",
              "filter_intra", "txb_skip", "eob16", "eob_extra",
              "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
-             "palette_y_size", "palette_y_color_index"]
+             "palette_y_size", "palette_y_color_index", "filter_intra_mode"]
     blob = b"".join(struct.pack("<%dH" % len(out[k]), *out[k]) for k in ORDER)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     open(OUT, "wb").write(blob)

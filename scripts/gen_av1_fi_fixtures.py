@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Generate the AV1 FILTER-INTRA fixture family under
+src/main/resources/av1/fixtures/ (fi_N.avif / fi_N.gray), leaving the
+existing case_N / pal_N / edge_N corpora untouched.
+
+Deterministic synthetic images are encoded LOSSLESS MONOCHROME by the
+system libaom via libavif with the DEFAULT intra toolset (filter-intra
+and the intra edge filter both ON — this family exists precisely to
+exercise the use_filter_intra bool on every eligible DC block and the
+5-symbol filter_intra_mode read plus the two-cell 7-tap recursive
+prediction). Low encoder speeds (0-2) make libaom's RD search actually
+pick FILTER_INTRA blocks; the two seed-hunted noise cases below carry
+24 and 19 filter-intra blocks between them and cover all five modes
+(DC/V/H/D157/PAETH — verified at hunt time with the instrumented
+prototype decoder). The flat cases pin the OTHER half of the syntax:
+the bool is read (and its cdf adapted) on every eligible DC block even
+when the answer is 0, so a wrong use_filter_intra table breaks these
+streams too — exactly the round-13 blocker this family regression-pins.
+
+Every fixture is decoded back through dav1d, libgav1 AND libaom and
+must agree bit-exactly with the input before it is written.
+"""
+import ctypes as C, struct, os, json
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48   # verified offsets, libavif 0.11.1
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+OPTS = [("lossless", "1")]   # DEFAULT toolset: filter-intra + edge filter ON
+
+def mk_image(w, h, y):
+    img = AV.avifImageCreate(w, h, 8, 4)          # YUV400
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    for row in range(h):
+        C.memmove(ptr + row*rb, y[row*w:(row+1)*w], w)
+    return img
+
+def encode(img, speed):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)
+    for k, v in OPTS:
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), k.encode(), v.encode())
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+def decode_luma(data, codec):   # codec: 1 aom, 2 dav1d, 3 libgav1
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    ptr = struct.unpack_from("<Q", b, IMG_PLANES)[0]
+    rb = struct.unpack_from("<I", b, IMG_ROWBYTES)[0]
+    luma = b"".join(C.string_at(ptr + row*rb, w) for row in range(h))
+    AV.avifDecoderDestroy(C.c_void_p(dec))
+    AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, luma
+
+def lcg(n, seed):
+    out = bytearray(n); s = seed & 0xFFFFFFFF
+    for i in range(n):
+        s = (s * 1103515245 + 12345) & 0xFFFFFFFF
+        out[i] = (s >> 16) & 0xFF
+    return bytes(out)
+
+def flatish(w, h, v, seed, dens=7):
+    nz = lcg(w*h, seed)
+    return bytes(min(255, max(0, v + (nz[i] % 5 - 2 if nz[i] % dens == 0 else 0)))
+                 for i in range(w*h))
+
+def mixed(w, h, seed):
+    nz = lcg(w*h, seed)
+    return bytes((200 if (x//8 + y//8) % 3 == 0
+                  else (x*2 + y) & 0xFF if (x//8 + y//8) % 3 == 1
+                  else nz[y*w + x])
+                 for y in range(h) for x in range(w))
+
+CASES = [
+    # (w, h, speed, image)
+    (8, 8, 6, bytes([128])*64),          # skip=1 DC + fi bool, 1-byte tile
+    (8, 8, 6, bytes([219])*64),          # fi bool + large DC residual
+    (16, 16, 6, bytes([90])*256),
+    (16, 16, 4, lcg(256, 9)),            # 1 fi block (mode 0)
+    (48, 40, 0, lcg(48*40, 455616346)),  # 24 fi blocks, modes 0-3 (hunted)
+    (48, 32, 1, lcg(48*32, 953733625)),  # 19 fi blocks incl. mode 4 (hunted)
+    (33, 17, 6, flatish(33, 17, 140, 61)),   # odd dims, edge-clipped blocks
+    (32, 24, 6, mixed(32, 24, 41)),      # fi-eligible DC next to directional
+    (24, 16, 2, lcg(24*16, 81)),
+    (28, 20, 8, flatish(28, 20, 200, 71, 5)),
+]
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src/main/resources/av1/fixtures")
+    os.makedirs(outdir, exist_ok=True)
+    man = []
+    for k, (w, h, speed, y) in enumerate(CASES):
+        img = mk_image(w, h, y)
+        data = encode(img, speed)
+        for codec in (2, 3, 1):
+            dw, dh, luma = decode_luma(data, codec)
+            assert (dw, dh) == (w, h) and luma == y, (k, codec)
+        open(os.path.join(outdir, f"fi_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"fi_{k}.gray"), "wb").write(y)
+        man.append({"k": k, "w": w, "h": h, "speed": speed, "luma_sum": sum(y)})
+        print(f"fi_{k}: {w}x{h} ok (3 system decoders bit-exact)")
+    json.dump(man, open(os.path.join(outdir, "fi_manifest.json"), "w"), indent=1)
+    print(f"wrote {len(CASES)} filter-intra fixtures")
+
+main()

@@ -29,9 +29,20 @@ package graft.functions
   * three-zone directional walk with per-edge upsample shifts — pinned
   * bit-exact by the committed edge fixtures and 360+ soak streams.
   *
+  * FILTER_INTRA blocks decode for real since round 14 (the last
+  * default-toolset gap): the use_filter_intra bool per eligible DC
+  * block, the 5-symbol mode read, and the two-cell 7-tap recursive
+  * prediction ([[predictFi]]). The round-13 blocker was ANOTHER table
+  * misidentification pair: the use_filter_intra[22] family (fragmented
+  * in libaom's .rodata by inlined-initializer stores, extracted from
+  * libgav1 with cross-binary anchors) and the 5-symbol mode row (which
+  * exists in libaom only as a movabs immediate in init_mode_probs —
+  * see `extract_av1_cdfs.py`). Pinned bit-exact by the committed fi
+  * fixtures and a 240-stream random soak through dav1d.
+  *
   * Honest bails (decode returns None, never a task failure): lossy
   * streams (base_q_idx > 0), chroma, intra-block-copy blocks,
-  * filter-intra blocks, non-reduced headers, tiled frames, and
+  * non-reduced headers, tiled frames, and
   * film-grain streams. `disable_cdf_update=1` is HONORED, not
   * bailed — adaptation is simply switched off, system-validated.
   * Reference behaviour cross-validated bit-exactly against dav1d,
@@ -173,6 +184,38 @@ object Av1Codec {
   /** Intra_Edge_Kernel rows for filter strengths 1..3 (sum 16). */
   private val EdgeKernels = Array(
     Array(0, 4, 8, 4, 0), Array(0, 5, 6, 5, 0), Array(2, 4, 4, 4, 2))
+  /** Intra_Filter_Taps (AV1 spec 7.11.2.3, recursive intra prediction):
+    * [5 modes][8 outputs][7 taps over (topleft, top0..3, left0, left1)],
+    * each row summing to 16. Cross-checked byte-identical against the
+    * i8[5][8][8] block in the system libaom's .rodata (unique signature:
+    * forty 8-byte rows whose first 7 signed bytes sum to 16, 8th zero).
+    */
+  private val FiTaps: Array[Array[Array[Int]]] = Array(
+    Array( // FILTER_DC_PRED
+      Array(-6, 10, 0, 0, 0, 12, 0), Array(-5, 2, 10, 0, 0, 9, 0),
+      Array(-3, 1, 1, 10, 0, 7, 0), Array(-3, 1, 1, 2, 10, 5, 0),
+      Array(-4, 6, 0, 0, 0, 2, 12), Array(-3, 2, 6, 0, 0, 2, 9),
+      Array(-3, 2, 2, 6, 0, 2, 7), Array(-3, 1, 2, 2, 6, 3, 5)),
+    Array( // FILTER_V_PRED
+      Array(-10, 16, 0, 0, 0, 10, 0), Array(-6, 0, 16, 0, 0, 6, 0),
+      Array(-4, 0, 0, 16, 0, 4, 0), Array(-2, 0, 0, 0, 16, 2, 0),
+      Array(-10, 16, 0, 0, 0, 0, 10), Array(-6, 0, 16, 0, 0, 0, 6),
+      Array(-4, 0, 0, 16, 0, 0, 4), Array(-2, 0, 0, 0, 16, 0, 2)),
+    Array( // FILTER_H_PRED
+      Array(-8, 8, 0, 0, 0, 16, 0), Array(-8, 0, 8, 0, 0, 16, 0),
+      Array(-8, 0, 0, 8, 0, 16, 0), Array(-8, 0, 0, 0, 8, 16, 0),
+      Array(-4, 4, 0, 0, 0, 0, 16), Array(-4, 0, 4, 0, 0, 0, 16),
+      Array(-4, 0, 0, 4, 0, 0, 16), Array(-4, 0, 0, 0, 4, 0, 16)),
+    Array( // FILTER_D157_PRED
+      Array(-2, 8, 0, 0, 0, 10, 0), Array(-1, 3, 8, 0, 0, 6, 0),
+      Array(-1, 2, 3, 8, 0, 4, 0), Array(0, 1, 2, 3, 8, 2, 0),
+      Array(-1, 4, 0, 0, 0, 3, 10), Array(-1, 3, 4, 0, 0, 4, 6),
+      Array(-1, 2, 3, 4, 0, 4, 4), Array(-1, 2, 2, 3, 4, 3, 3)),
+    Array( // FILTER_PAETH_PRED
+      Array(-12, 14, 0, 0, 0, 14, 0), Array(-10, 0, 14, 0, 0, 12, 0),
+      Array(-9, 0, 0, 14, 0, 11, 0), Array(-8, 0, 0, 0, 14, 10, 0),
+      Array(-10, 12, 0, 0, 0, 0, 14), Array(-9, 1, 12, 0, 0, 0, 12),
+      Array(-8, 0, 0, 12, 0, 1, 11), Array(-7, 0, 0, 1, 12, 1, 9)))
   private val Sm4 = Array(255, 149, 85, 64)
   private val DrDeriv: Array[Int] = {
     val t = new Array[Int](90)
@@ -295,6 +338,7 @@ object Av1Codec {
     val palSize = cp(Av1Tables.paletteYSize)
     val palIdx = cp(Av1Tables.paletteYColorIndex)
     val filterIntra = cp(Av1Tables.filterIntra)
+    val filterIntraMode = cp(Av1Tables.filterIntraMode)
     val txbSkip = cp(Av1Tables.txbSkip)
     val eob16 = cp(Av1Tables.eob16)
     val eobExtra = cp(Av1Tables.eobExtra)
@@ -438,11 +482,15 @@ object Av1Codec {
         if (ec.readBool(cdf.paletteY(bctx * 3 + pctx)) == 1)
           palColors = readPalette(r, c, bctx)
       }
-      // filter_intra is NOT coded for palette blocks (spec 5.11.46)
+      // filter_intra (spec 5.11.7): coded for DC blocks up to 32x32,
+      // NOT coded for palette blocks (spec 5.11.46). Eligibility and the
+      // bool's cdf row both use the UNCLIPPED block size (r13 lesson).
+      var fiMode = -1
       if (s.enableFilterIntra && mode == 0 && palColors == null &&
           math.max(w4in, h4in) <= 8) {
         val bidx = bsizeIndex(w4in, h4in)
-        if (ec.readBool(cdf.filterIntra(bidx)) == 1) bail() // filter-intra block
+        if (ec.readBool(cdf.filterIntra(bidx)) == 1)
+          fiMode = ec.readSymbol(cdf.filterIntraMode(0), 5)
       }
       var rr = r
       while (rr < r + h4) {
@@ -465,7 +513,10 @@ object Av1Codec {
       while (ty < h4) {
         var tx = 0
         while (tx < w4) {
-          if (palColors == null) predict4(r + ty, c + tx, mode, angle, ftype)
+          if (palColors == null) {
+            if (fiMode >= 0) predictFi(r + ty, c + tx, fiMode)
+            else predict4(r + ty, c + tx, mode, angle, ftype)
+          }
           if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
           else { aboveLvl(c + tx) = 0; leftLvl(r + ty) = 0 }
           decoded((r + ty) * miCols + c + tx) = true
@@ -845,6 +896,73 @@ object Av1Codec {
         var j = 0
         while (j < 4) {
           pix((y0 + i) * padW + x0 + j) = pred(i * 4 + j).toByte
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    /** FILTER_INTRA prediction for one 4x4 tx (AV1 spec 7.11.2.3,
+      * recursive intra): the block is processed as two 4x2 cells; each
+      * cell's 8 outputs are 7-tap mixes of (topleft, top0..3, left0,
+      * left1) with signed rounding (ROUND_POWER_OF_TWO_SIGNED), the
+      * second cell re-using the first cell's bottom row as its top
+      * edge. Availability fills follow the same spec rules as
+      * [[predict4]] (127/129/corner). Pinned bit-exact by the committed
+      * fi fixtures and a 240-stream random soak through dav1d.
+      */
+    private def predictFi(rr: Int, cc: Int, fiMode: Int): Unit = {
+      val x0 = cc * 4; val y0 = rr * 4
+      val haveA = rr > 0 && decoded((rr - 1) * miCols + cc)
+      val haveL = cc > 0 && decoded(rr * miCols + cc - 1)
+      val A = new Array[Int](4)
+      val L = new Array[Int](4)
+      if (haveA) {
+        var i = 0
+        while (i < 4) { A(i) = pix((y0 - 1) * padW + x0 + i) & 0xff; i += 1 }
+      } else if (haveL) java.util.Arrays.fill(A, pix(y0 * padW + x0 - 1) & 0xff)
+      else java.util.Arrays.fill(A, 127)
+      if (haveL) {
+        var i = 0
+        while (i < 4) { L(i) = pix((y0 + i) * padW + x0 - 1) & 0xff; i += 1 }
+      } else if (haveA) java.util.Arrays.fill(L, pix((y0 - 1) * padW + x0) & 0xff)
+      else java.util.Arrays.fill(L, 129)
+      val corner =
+        if (haveA && haveL) pix((y0 - 1) * padW + x0 - 1) & 0xff
+        else if (haveA) pix((y0 - 1) * padW + x0) & 0xff
+        else if (haveL) pix(y0 * padW + x0 - 1) & 0xff
+        else 128
+      val taps = FiTaps(fiMode)
+      val buf = Array.ofDim[Int](4, 4)
+      val p = new Array[Int](7)
+      var cr = 0
+      while (cr <= 2) {
+        if (cr == 0) {
+          p(0) = corner
+          p(1) = A(0); p(2) = A(1); p(3) = A(2); p(4) = A(3)
+          p(5) = L(0); p(6) = L(1)
+        } else {
+          p(0) = L(1)
+          p(1) = buf(1)(0); p(2) = buf(1)(1); p(3) = buf(1)(2); p(4) = buf(1)(3)
+          p(5) = L(2); p(6) = L(3)
+        }
+        var k = 0
+        while (k < 8) {
+          val t = taps(k)
+          var sAcc = 0
+          var j = 0
+          while (j < 7) { sAcc += t(j) * p(j); j += 1 }
+          val r2 = if (sAcc >= 0) (sAcc + 8) >> 4 else -((-sAcc + 8) >> 4)
+          buf(cr + (k >> 2))(k & 3) = math.min(math.max(r2, 0), 255)
+          k += 1
+        }
+        cr += 2
+      }
+      var i = 0
+      while (i < 4) {
+        var j = 0
+        while (j < 4) {
+          pix((y0 + i) * padW + x0 + j) = buf(i)(j).toByte
           j += 1
         }
         i += 1
@@ -1370,5 +1488,32 @@ object Av1Fixtures {
   }
 
   def paletteContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
+
+  /** The round-14 FILTER-INTRA fixture family (`fi_N.avif`): stills
+    * encoded with libaom's DEFAULT intra toolset (filter-intra + edge
+    * filter ON), carrying 40+ filter-intra blocks across all five
+    * modes plus the flat cases that pin the use_filter_intra bool's
+    * cdf on fi=0 reads. 3-decoder-validated at generation
+    * (`scripts/gen_av1_fi_fixtures.py`).
+    */
+  val fiCount = 10
+
+  private lazy val fiAvifs: Array[Array[Byte]] = Array.tabulate(fiCount) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/fi_$i.avif")
+    require(in != null, s"av1 filter-intra fixture fi_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val fiObus: Array[Array[Byte]] =
+    fiAvifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** Filter-intra fixture payload: fi doc_id % 10, AVIF or raw-OBU. */
+  def fiPayload(id: Long): Array[Byte] = {
+    val k = ((id % fiCount) + fiCount).toInt % fiCount
+    if (id % 2 == 0) fiAvifs(k) else fiObus(k)
+  }
+
+  def fiContainerName(id: Long): String =
     if (id % 2 == 0) "avif" else "obu"
 }

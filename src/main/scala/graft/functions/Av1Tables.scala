@@ -21,7 +21,8 @@ package graft.functions
   *   coeff_base_eob[4 q][5 txs][2 plane][4][4],
   *   coeff_base[4 q][5 txs][2 plane][42][5],
   *   coeff_br[4 q][5 txs][2 plane][21][5], dc_sign[4 q][2 plane][3][3],
-  *   palette_y_size[7 bsize][8], palette_y_color_index[7 size][5 ctx][9].
+  *   palette_y_size[7 bsize][8], palette_y_color_index[7 size][5 ctx][9],
+  *   filter_intra_mode[1][6].
   *
   * Only the q_ctx=0 / TX_4X4 / plane-0 slices are used (lossless
   * monochrome intra), but the tables are stored whole so a lossy or
@@ -71,6 +72,15 @@ private[functions] object Av1Tables {
   // extraction had mistaken for it.
   val paletteYSize: Array[Array[Int]] = table(7, 8)
   val paletteYColorIndex: Array[Array[Int]] = table(35, 9)
+  // appended round 14 (filter-intra decode): the 5-symbol
+  // filter_intra_mode row. It exists in libaom only as an inlined
+  // initializer immediate (the lone movabs in the whole binary whose
+  // 8 bytes form 4 strictly-decreasing u16 ICDFs, stored right after
+  // filter_intra_cdfs in the frame context) — extract_av1_cdfs.py
+  // documents the disassembly signature. The 4th value (3210) is
+  // load-bearing: the shape-scan candidates 2792/3676 each break
+  // several soak streams.
+  val filterIntraMode: Array[Array[Int]] = table(1, 6)
   require(pos == all.length, s"resource size mismatch: $pos vs ${all.length}")
 
   // q_ctx 0 / TX_4X4 / plane 0 slices

@@ -3047,6 +3047,40 @@ object Multimodal {
         "sum_y", "sumsq_y")
   }
 
+  /** REAL AV1 FILTER-INTRA decode (round 14): the default-toolset
+    * fixture family whose DC blocks code the use_filter_intra bool and
+    * whose 40+ filter-intra blocks (all five modes) run the two-cell
+    * 7-tap recursive prediction — decoded by [[Av1Codec]] and reduced
+    * to integer luma sums. The oracle joins per-fixture constants from
+    * generation time (dav1d/libgav1/libaom all bit-identical), so any
+    * deviation in the bool's cdf, the 5-symbol mode row, or the taps
+    * hash-mismatches. Same 100 TB shape as the other decode rows:
+    * partition-local decode, only 8-column stat rows reach the
+    * exchange.
+    */
+  def decodeAvifFilterIntraReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeLuma(Av1Fixtures.fiPayload(id)).map { case (w, h, luma) =>
+            var s = 0L; var sq = 0L
+            var i = 0
+            while (i < luma.length) {
+              val v = (luma(i) & 0xff).toLong
+              s += v; sq += v * v
+              i += 1
+            }
+            (id, ((id % Av1Fixtures.fiCount) + Av1Fixtures.fiCount) % Av1Fixtures.fiCount,
+              Av1Fixtures.fiContainerName(id),
+              w.toLong, h.toLong, luma.length.toLong, s, sq)
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height", "n_px",
+        "sum_y", "sumsq_y")
+  }
+
   /** AV1 near-dup from REAL decoded luma: documents carrying the same
     * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
     * into one class once fingerprinted by exact decoded-luma stats —

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,8 +226,34 @@ object TextAnalytics {
     */
   val DefaultBpeMaxVocab: Int = 1 << 20
 
+  /** Sentinel default for `maxVocab` parameters: resolve the cap from
+    * the session conf `spark.graft.bpeMaxVocab`, falling back to
+    * [[DefaultBpeMaxVocab]] when the conf is unset. Explicit caps at
+    * call sites (the registry rows pass `1 << 20` literally) win over
+    * the conf, so an operator tuned per-job cannot be drifted by a
+    * session-wide setting.
+    *
+    * MEASURED driver footprint at the 1M default (the envelope the cap
+    * bounds; see SURVEY §6.3m): the collected `Array[(String, Long)]`
+    * of 1M (word, freq) rows retains ~104 MB at 10-char average words
+    * (~104 B/entry: tuple + boxed Long + String header/bytes), and the
+    * in-memory trainer's pair/occurrence indexes peak at a further
+    * ~3x the vocabulary's character count. Both scale linearly in the
+    * cap, so `spark.graft.bpeMaxVocab` IS the driver-memory knob.
+    */
+  val SessionBpeMaxVocab: Int = -1
+
+  private def resolveMaxVocab(spark: SparkSession, maxVocab: Int): Int = {
+    val v =
+      if (maxVocab != SessionBpeMaxVocab) maxVocab
+      else spark.conf.getOption("spark.graft.bpeMaxVocab")
+        .map(_.trim.toInt).getOrElse(DefaultBpeMaxVocab)
+    require(v > 0, s"maxVocab must be positive, got $v")
+    v
+  }
+
   def trainBpeMerges(docs: DataFrame, k: Int = 6, textCol: String = "text",
-      maxVocab: Int = DefaultBpeMaxVocab): DataFrame = {
+      maxVocab: Int = SessionBpeMaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val merges = trainBpeMergeList(docs, k, textCol, maxVocab)
@@ -240,10 +266,10 @@ object TextAnalytics {
     * a tokenizer's merge table is small by construction).
     */
   private def trainBpeMergeList(docs: DataFrame, k: Int, textCol: String,
-      maxVocab: Int = DefaultBpeMaxVocab): Seq[(Int, String, String, Long)] = {
+      maxVocab: Int = SessionBpeMaxVocab): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val cap = resolveMaxVocab(spark, maxVocab)
     // The cap bounds the COLLECT, not just the trained vocabulary: the
     // orderBy+limit runs distributed (TakeOrderedAndProject / sort +
     // GlobalLimit), so at most maxVocab (word, freq) rows ever reach
@@ -252,7 +278,7 @@ object TextAnalytics {
       .select(explode(bpeishTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
-      .limit(maxVocab)
+      .limit(cap)
       .as[(String, Long)].collect()
     trainInMemory(vocab, k)
   }
@@ -269,13 +295,43 @@ object TextAnalytics {
     * merged away inside that word) cost a net-zero delta, never
     * wrongness.
     */
+  /** Growable unboxed int buffer (ArrayBuffer[Int] boxes). */
+  private final class IntBuf {
+    private var a = new Array[Int](8)
+    var size = 0
+    def +=(v: Int): Unit = {
+      if (size == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(size) = v; size += 1
+    }
+    def apply(i: Int): Int = a(i)
+  }
+
   private def trainInMemory(vocab: Array[(String, Long)],
       k: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
     val freqs = vocab.map(_._2)
-    val words: Array[Array[String]] = vocab.map(_._1.map(_.toString).toArray)
+    // single-char symbol strings are SHARED across all words: a 1M-word
+    // vocabulary holds ~10M symbol slots, and a fresh String per slot
+    // retains ~600 MB for nothing (measured round 14)
+    val charStr = new Array[String](Char.MaxValue + 1)
+    def sym(c: Char): String = {
+      var s = charStr(c)
+      if (s == null) { s = String.valueOf(c); charStr(c) = s }
+      s
+    }
+    val words: Array[Array[String]] = vocab.map(_._1.toCharArray.map(sym(_)))
     val counts = mutable.HashMap.empty[(String, String), Long]
-    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // pair -> word indices, APPEND-ONLY with duplicates allowed (deduped
+    // at merge time by a per-word round stamp; a duplicate or stale
+    // entry re-scans to a net-zero count delta, never a wrong count).
+    // The former representation — a dense mutable.BitSet per pair —
+    // paid O(maxVocab/8) bytes for EVERY pair the moment one high-index
+    // word joined it; with the thousands of pairs k=256 training
+    // creates, those dense sets held multi-GB live and OOM'd a 6 GB
+    // driver at the 1M-word default cap (measured round 14). Sparse
+    // buffers bound `occurs` by total scanned positions instead:
+    // O(vocab chars + k * touched positions) ints.
+    val occurs = mutable.HashMap.empty[(String, String), IntBuf]
     def scan(i: Int, sign: Long): Unit = {
       val s = words(i)
       val f = freqs(i)
@@ -284,13 +340,15 @@ object TextAnalytics {
         val p = (s(j), s(j + 1))
         val c = counts.getOrElse(p, 0L) + sign * f
         if (c == 0L) counts.remove(p) else counts(p) = c
-        if (sign > 0L) occurs.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        if (sign > 0L) occurs.getOrElseUpdate(p, new IntBuf) += i
         j += 1
       }
     }
     var i = 0
     while (i < words.length) { scan(i, 1L); i += 1 }
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // last round that re-scanned each word (0 = never; rounds start at 1)
+    val touched = new Array[Int](words.length)
     var r = 1
     while (r <= k && counts.nonEmpty) {
       var bestP: (String, String) = null
@@ -300,10 +358,18 @@ object TextAnalytics {
             (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2))))
           { bestP = p; bestN = n }
       merges += ((r, bestP._1, bestP._2, bestN))
-      for (w <- occurs.getOrElse(bestP, mutable.BitSet.empty)) {
-        scan(w, -1L)
-        words(w) = applyMerge(words(w).toSeq, bestP._1, bestP._2).toArray
-        scan(w, 1L)
+      occurs.get(bestP).foreach { buf =>
+        var bi = 0
+        while (bi < buf.size) {
+          val w = buf(bi)
+          if (touched(w) != r) {
+            touched(w) = r
+            scan(w, -1L)
+            words(w) = applyMerge(words(w).toSeq, bestP._1, bestP._2).toArray
+            scan(w, 1L)
+          }
+          bi += 1
+        }
       }
       occurs.remove(bestP)
       r += 1

@@ -112,6 +112,20 @@ object ExtensionQueries {
   ).map { case (k, w, h, n, s, sq) => s"  ($k, $w, $h, $n, $s, $sq)" }
     .mkString(",\n")
 
+  /** Planted truth for the round-14 AV1 FILTER-INTRA fixture family —
+    * per-fixture luma sums captured at `scripts/gen_av1_fi_fixtures.py`
+    * time from planes dav1d, libgav1 AND libaom decoded bit-identically
+    * (default intra toolset; 40+ filter-intra blocks, all five modes).
+    */
+  private val Av1FiFixtureConstants: String = Seq(
+    (0, 8, 8, 64, 8192L, 1048576L), (1, 8, 8, 64, 14016L, 3069504L),
+    (2, 16, 16, 256, 23040L, 2073600L), (3, 16, 16, 256, 33061L, 5708479L),
+    (4, 48, 40, 1920, 245511L, 41646479L), (5, 48, 32, 1536, 196508L, 33520060L),
+    (6, 33, 17, 561, 78532L, 10993528L), (7, 32, 24, 768, 95599L, 16521155L),
+    (8, 24, 16, 384, 52104L, 9085618L), (9, 28, 20, 560, 111758L, 22303684L),
+  ).map { case (k, w, h, n, s, sq) => s"  ($k, $w, $h, $n, $s, $sq)" }
+    .mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2791,6 +2805,26 @@ object ExtensionQueries {
       Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
              |$Av1PaletteFixtureConstants),
              |d AS (SELECT doc_id, (doc_id % 12 + 12) % 12 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.n_px AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y,
+             |  CAST(c.sumsq_y AS BIGINT) AS sumsq_y
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 FILTER-INTRA decode (round 14): the default-toolset
+    // fixtures whose DC blocks read use_filter_intra (regression-pinning
+    // the table whose misidentification blocked round 13) and whose
+    // filter-intra blocks run the 7-tap recursive prediction across all
+    // five modes; luma sums joined against generation-time constants.
+    QueryDef(
+      "multimodal_avif_filter_intra",
+      (s, dir) => Multimodal.decodeAvifFilterIntraReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, n_px, sum_y, sumsq_y) AS (VALUES
+             |$Av1FiFixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 10 + 10) % 10 AS fixture,
              |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
              |  FROM documents)
              |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,

@@ -170,6 +170,36 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("10 filter-intra fixtures decode to bit-exact luma (all 5 modes)") {
+    // DEFAULT-toolset streams (filter-intra + edge filter ON): the flat
+    // cases pin the use_filter_intra bool's cdf on fi=0 reads (the
+    // round-13 blocker — a wrong table desyncs every DC block); the
+    // seed-hunted noise cases carry 40+ filter-intra blocks across all
+    // five modes through the two-cell 7-tap recursive prediction.
+    // 3-decoder-validated at generation (scripts/gen_av1_fi_fixtures.py).
+    for (i <- 0 to 9) {
+      val avif = res(s"fi_$i.avif")
+      val gray = res(s"fi_$i.gray")
+      val dec = Av1Codec.decodeLuma(avif)
+      assert(dec.isDefined, s"fi_$i must decode")
+      val (w, h, luma) = dec.get
+      assert(w * h == gray.length, s"fi_$i geometry $w x $h")
+      assert(java.util.Arrays.equals(luma, gray), s"fi_$i luma differs")
+    }
+  }
+
+  test("filter-intra fixtures survive truncation and mutation without throwing") {
+    val avif = res("fi_4.avif")
+    for (len <- 0 until avif.length by 7)
+      Av1Codec.decodeLuma(java.util.Arrays.copyOf(avif, len))
+    val rnd = new scala.util.Random(0xF1)
+    for (_ <- 1 to 200) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeLuma(m)
+    }
+  }
+
   test("14 edge-filter fixtures decode to bit-exact luma") {
     // directional gradients encoded with the intra edge filter ON
     // (libaom's default): upsampled edges (0 < d < 40), the type-0

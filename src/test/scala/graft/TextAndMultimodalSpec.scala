@@ -1083,6 +1083,34 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(raw(2L) == 8L) // l,o,w + l,o,w,e,r
   }
 
+  test("spark.graft.bpeMaxVocab caps the vocabulary collect (session conf)") {
+    // "low" is the most frequent word; with the cap at 1 only it
+    // reaches the trainer, so the merges come from "low" alone and
+    // carry only its frequency (3) — no "lower"/"lowest" contributions.
+    val corpus = Seq((1L, "low lower lowest low"), (2L, "low lower")).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.bpeMaxVocab", "1")
+    try {
+      val capped = TextAnalytics.trainBpeMerges(corpus, k = 3)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(capped == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L)),
+        s"cap=1 must train on 'low' only, got $capped")
+      // an EXPLICIT cap at a call site wins over the session conf
+      val explicit = TextAnalytics.trainBpeMerges(corpus, k = 3, maxVocab = 1 << 20)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(explicit.take(3).map(m => (m._2, m._3)) ==
+        Seq(("l", "o"), ("lo", "w"), ("low", "e")),
+        s"explicit maxVocab must ignore the conf, got $explicit")
+    } finally spark.conf.unset("spark.graft.bpeMaxVocab")
+    // conf unset again: the 1M default applies and all words train
+    val merges = TextAnalytics.trainedBpeMerges(corpus, k = 3)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    // a non-positive conf value is rejected loudly, not truncated to 0
+    spark.conf.set("spark.graft.bpeMaxVocab", "0")
+    try intercept[IllegalArgumentException] {
+      TextAnalytics.trainBpeMerges(corpus, k = 1).collect()
+    } finally spark.conf.unset("spark.graft.bpeMaxVocab")
+  }
+
   test("bpeEncodeWithMerges: frozen tokenizer on a new batch, OOV segments as chars") {
     val history = Seq((1L, "low lower lowest low"), (2L, "low lower")).toDF("doc_id", "text")
     val merges = TextAnalytics.trainedBpeMerges(history, k = 3) // l+o, lo+w, low+e
