@@ -312,6 +312,20 @@ object ScaleProbe {
       masked.unpersist()
     }
 
+    // Round-14 probes (VERDICT r13 #8): the AV1 entropy-decode legs that
+    // were missing their synthetic-N× datapoints — the 22-fixture
+    // pixel row, the palette family, and the new filter-intra family.
+    // All three are the same shape: partition-local decode of
+    // classpath fixtures keyed by doc_id, 8-column stat rows through
+    // the exchange — N× ids = N× embarrassingly parallel decode work,
+    // constant shuffle.
+    timed("avif_pixels_real")(
+      graft.functions.Multimodal.decodeAvifPixelsReal(spark, docs).count())
+    timed("avif_palette_real")(
+      graft.functions.Multimodal.decodeAvifPaletteReal(spark, docs).count())
+    timed("avif_filter_intra_real")(
+      graft.functions.Multimodal.decodeAvifFilterIntraReal(spark, docs).count())
+
     spark.stop()
   }
 }
