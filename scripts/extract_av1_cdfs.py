@@ -105,6 +105,82 @@ def extract_filter_intra():
     assert vals[0] != 16384 and vals[3] != 16384, vals
     return [x for v in vals for x in (v, 0, 0)]
 
+def extract_chroma_tables():
+    """uv_mode[2][13][CDF_SIZE(14)=15] (both sub-tables contiguous, the
+    cfl-not-allowed rows padded to the same 15-u16 stride),
+    cfl_sign[CDF_SIZE(8)] and cfl_alpha[6][CDF_SIZE(16)=17] — all three
+    located by shape + cross-binary byte-identity with libgav1.
+
+    cfl_alpha row 5 carries an OVERLAPPED-STORE DUPLICATION in BOTH
+    binaries' .rodata (the compiler copies the 34-byte row as
+    overlapping 16-byte chunks, so one adjacent value pair appears
+    twice and the row reads 2 u16 long / non-monotone). The true row
+    is recovered by removing the duplicated pair and re-asserting
+    strict monotonicity — the fix is pinned by the chroma fixtures
+    (the both-positive CfL joint sign is the only reader of row 5,
+    and the duplicated form decodes the V alpha one symbol low)."""
+    g = open(GAV1, "rb").read()
+    gu = struct.unpack("<%dH" % (len(g)//2), g[:len(g)//2*2])
+
+    def find_all(hay, seq):
+        out = []
+        for i in range(len(hay) - len(seq)):
+            if list(hay[i:i+len(seq)]) == list(seq):
+                out.append(i)
+        return out
+
+    # uv_mode: 13 rows of [12-decreasing, 0, 0, pad] then 13 rows of
+    # [13-decreasing, 0, 0], contiguous, byte-identical in both binaries
+    uv = []
+    for i in range(len(U) - 390):
+        ok = True
+        for r2 in range(13):
+            p = i + 15*r2
+            if not (dec_run(p, 13) and U[p+14] == 0): ok = False; break
+        if ok:
+            for r2 in range(13):
+                p = i + 195 + 15*r2
+                if not dec_run(p, 14): ok = False; break
+        if ok:
+            uv.append(i)
+    assert len(uv) == 1, uv
+    uv_vals = grab(uv[0], 390)
+    assert find_all(gu, uv_vals[:30]), "uv_mode not cross-validated in libgav1"
+
+    # cfl_sign: the 8-symbol row directly PRECEDING cfl_alpha; anchor on
+    # the pair's adjacency (sign row = 7 decreasing + zero, then alpha
+    # row 0 = 15 decreasing + two zeros), cross-checked in libgav1
+    cs = []
+    for i in range(len(U) - 8 - 102):
+        # sign row: 7 strictly-decreasing values + ONE zero (the alpha
+        # family abuts directly, so there is no trailing counter slot)
+        if all(0 < U[i+k+1] < U[i+k] for k in range(6)) and U[i+7] == 0 \
+           and dec_run(i + 8, 16):
+            cs.append(i)
+    cs = [i for i in cs if find_all(gu, list(U[i:i+25]))]
+    assert len(cs) == 1, cs
+    sign_vals = grab(cs[0], 8) + [0]          # pad to CDF_SIZE(8)=9
+    a0 = cs[0] + 8
+    raw = grab(a0, 104)                       # 6 rows + the 2-u16 overlap
+    alpha_rows = []
+    p = 0
+    for r2 in range(6):
+        row = raw[p:p+17]
+        if all(row[k] > row[k+1] for k in range(14)) and row[15] == 0 and row[16] == 0:
+            alpha_rows.append(row); p += 17
+        else:
+            # overlapped-store duplication: one adjacent pair repeats
+            ext = raw[p:p+19]
+            dup = [k for k in range(1, 15)
+                   if ext[k] == ext[k+2] and ext[k+1] == ext[k+3]]
+            assert len(dup) >= 1, (r2, ext)
+            k = dup[0]
+            row = ext[:k+2] + ext[k+4:19]
+            assert all(row[j] > row[j+1] for j in range(14)) and \
+                row[15] == 0 and row[16] == 0, (r2, row)
+            alpha_rows.append(row); p += 19
+    return uv_vals, sign_vals, [x for row in alpha_rows for x in row]
+
 def extract_filter_intra_mode():
     """filter_intra_mode_cdf[5]: present in libaom only as an inlined
     initializer immediate — a `movabs $imm64, %reg` in init_mode_probs
@@ -261,11 +337,16 @@ def main():
     out["palette_y_color_index"] = grab(ci_base, 315)       # [7][5][9]
 
     out["filter_intra_mode"] = extract_filter_intra_mode()  # [6]
+    uv_vals, sign_vals, alpha_vals = extract_chroma_tables()
+    out["uv_mode"] = uv_vals                                 # [2][13][15]
+    out["cfl_sign"] = sign_vals                              # [9]
+    out["cfl_alpha"] = alpha_vals                            # [6][17]
 
     ORDER = ["partition", "skip", "kf_y_mode", "angle_delta", "palette_y_mode",
              "filter_intra", "txb_skip", "eob16", "eob_extra",
              "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
-             "palette_y_size", "palette_y_color_index", "filter_intra_mode"]
+             "palette_y_size", "palette_y_color_index", "filter_intra_mode",
+             "uv_mode", "cfl_sign", "cfl_alpha"]
     blob = b"".join(struct.pack("<%dH" % len(out[k]), *out[k]) for k in ORDER)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     open(OUT, "wb").write(blob)

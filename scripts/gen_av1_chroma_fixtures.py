@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Generate the AV1 lossless 4:2:0 CHROMA fixture family under
+src/main/resources/av1/fixtures/ (cr_N.avif / cr_N.yuv), leaving the
+existing case_N / pal_N / edge_N / fi_N corpora untouched.
+
+Deterministic synthetic YUV 4:2:0 images are encoded LOSSLESS by the
+system libaom via libavif (default intra toolset). The family covers
+the chroma decode surface: UV DC with residuals, directional UV modes
+with angle deltas, CfL in every sign combination — including the
+BOTH-POSITIVE joint sign, the only reader of cfl_alpha context row 5,
+whose .rodata storage carries an overlapped-store duplication that
+extract_av1_cdfs.py must repair (a wrong row 5 decodes the V alpha one
+symbol low and desyncs everything after) — plus sub-8x8 luma splits
+exercising the HasChroma last-subblock rule, odd frame dims with
+clipped chroma cells, and flat/noise content at low speeds.
+
+Every fixture is decoded back through dav1d, libgav1 AND libaom and
+all three planes must agree bit-exactly with the input before it is
+written. The .yuv twin is the concatenation y | u | v with chroma
+planes ceil(w/2) x ceil(h/2).
+"""
+import ctypes as C, struct, os, json
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48   # verified offsets, libavif 0.11.1
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+OPTS = [("lossless", "1")]
+
+def mk_image(w, h, y, u, v):
+    img = AV.avifImageCreate(w, h, 8, 3)          # YUV420
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    for i, (px, pw, ph) in enumerate(((y, w, h), (u, cw, ch), (v, cw, ch))):
+        ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8*i)[0]
+        rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4*i)[0]
+        for row in range(ph):
+            C.memmove(ptr + row*rb, px[row*pw:(row+1)*pw], pw)
+    return img
+
+def encode(img, speed):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)
+    for k, val in OPTS:
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), k.encode(), val.encode())
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+def decode_planes(data, codec):   # codec: 1 aom, 2 dav1d, 3 libgav1
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    planes = []
+    for i in range(3):
+        pw, ph = (w, h) if i == 0 else ((w + 1) // 2, (h + 1) // 2)
+        ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8*i)[0]
+        rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4*i)[0]
+        planes.append(b"".join(C.string_at(ptr + row*rb, pw) for row in range(ph)))
+    AV.avifDecoderDestroy(C.c_void_p(dec))
+    AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, planes
+
+def lcg(n, seed):
+    out = bytearray(n); sd = seed & 0xFFFFFFFF
+    for i in range(n):
+        sd = (sd * 1103515245 + 12345) & 0xFFFFFFFF
+        out[i] = (sd >> 16) & 0xFF
+    return bytes(out)
+
+def grad(w, h, fx, fy, base=0):
+    return bytes(((base + x*fx + y*fy) & 0xFF) for y in range(h) for x in range(w))
+
+def corr(y, w, h, scale_num, scale_den, off):
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    return bytes(min(255, max(0, y[min(yy*2, h-1)*w + min(x*2, w-1)]
+                              * scale_num // scale_den + off))
+                 for yy in range(ch) for x in range(cw))
+
+def cases():
+    out = []
+    # flat chroma offsets (UV DC + residual; the minimal chroma path)
+    out.append((16, 16, 6, bytes([128])*256, bytes([90])*64, bytes([200])*64))
+    # directional UV (H and V gradients on the chroma planes)
+    y = grad(16, 16, 3, 5)
+    out.append((16, 16, 6, y, grad(8, 8, 9, 0), grad(8, 8, 0, 11)))
+    # CfL BOTH-POSITIVE joint sign (cfl_alpha ctx row 5 — the repaired row)
+    yg = grad(8, 8, 8, 8)
+    uc = corr(yg, 8, 8, 1, 2, 0)
+    out.append((8, 8, 6, yg, uc, uc))
+    # CfL mixed signs (pos/neg) and V-only
+    yg2 = grad(16, 16, 6, 6)
+    uc2 = corr(yg2, 16, 16, 1, 2, 0)
+    un2 = bytes(255 - b for b in uc2)
+    out.append((16, 16, 6, yg2, uc2, un2))
+    out.append((16, 16, 4, yg2, bytes([128])*64, uc2))
+    # noise at speed 0: sub-8x8 splits + HasChroma last-subblock rule
+    out.append((24, 16, 0, lcg(24*16, 41), lcg(12*8, 42), lcg(12*8, 43)))
+    out.append((16, 16, 2, lcg(256, 51), lcg(64, 52), lcg(64, 53)))
+    # odd dims: clipped chroma cells
+    out.append((33, 17, 6, grad(33, 17, 5, 3), grad(17, 9, 7, 2), grad(17, 9, 1, 9)))
+    # tiny frames
+    out.append((2, 2, 6, bytes([10, 60, 110, 160]), bytes([77]), bytes([177])))
+    out.append((4, 4, 6, grad(4, 4, 20, 10), bytes([90, 91, 92, 93]), bytes([201, 202, 203, 204])))
+    # larger mixed frame
+    nz = lcg(64*48, 61)
+    ym = bytes((200 if (x//8 + yy//8) % 3 == 0 else nz[yy*64+x])
+               for yy in range(48) for x in range(64))
+    out.append((64, 48, 4, ym, lcg(32*24, 62), grad(32, 24, 4, 4)))
+    return out
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src/main/resources/av1/fixtures")
+    os.makedirs(outdir, exist_ok=True)
+    man = []
+    for k, (w, h, speed, y, u, v) in enumerate(cases()):
+        img = mk_image(w, h, y, u, v)
+        data = encode(img, speed)
+        for codec in (2, 3, 1):
+            dw, dh, planes = decode_planes(data, codec)
+            assert (dw, dh) == (w, h) and planes == [y, u, v], (k, codec)
+        open(os.path.join(outdir, f"cr_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"cr_{k}.yuv"), "wb").write(y + u + v)
+        man.append({"k": k, "w": w, "h": h, "speed": speed,
+                    "sum_y": sum(y), "sum_u": sum(u), "sum_v": sum(v)})
+        print(f"cr_{k}: {w}x{h} ok (3 system decoders bit-exact, 3 planes)")
+    json.dump(man, open(os.path.join(outdir, "chroma_manifest.json"), "w"),
+              indent=1)
+    print(f"wrote {len(man)} chroma fixtures")
+
+main()

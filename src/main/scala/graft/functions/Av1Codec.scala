@@ -234,6 +234,8 @@ object Av1Codec {
     var use128 = false
     var enableFilterIntra = false
     var enableIntraEdgeFilter = false
+    var mono = true
+    var separateUvDeltaQ = false
   }
 
   private final class FrameHdr {
@@ -263,9 +265,13 @@ object Av1Codec {
     r.f(1) // enable_cdef (moot: lossless skips cdef params)
     r.f(1) // enable_restoration (ditto)
     if (r.f(1) == 1) bail() // high_bitdepth
-    if (r.f(1) != 1) bail() // mono_chrome required
+    s.mono = r.f(1) == 1    // mono_chrome; profile-0 color implies 4:2:0
     if (r.f(1) == 1) { r.f(8); r.f(8); r.f(8) } // color description
     r.f(1) // color_range
+    if (!s.mono) {
+      r.f(2) // chroma_sample_position (profile 0: 4:2:0 subsampling implied)
+      s.separateUvDeltaQ = r.f(1) == 1
+    }
     // film_grain_params_present: when set, the FRAME header carries grain
     // params this parser does not read — every later header bit would be
     // misaligned, so this must be an honest bail, not an ignored flag.
@@ -318,6 +324,11 @@ object Av1Codec {
     if (colsLog2 != 0 || rowsLog2 != 0) bail() // single tile only
     if (r.f(8) != 0) bail() // base_q_idx: lossless only
     if (r.f(1) != 0) bail() // DeltaQYDc
+    if (!s.mono) {
+      val diffUv = if (s.separateUvDeltaQ) r.f(1) else 0
+      if (r.f(1) != 0 || r.f(1) != 0) bail() // DeltaQUDc, DeltaQUAc
+      if (diffUv == 1 && (r.f(1) != 0 || r.f(1) != 0)) bail() // V deltas
+    }
     if (r.f(1) != 0) bail() // using_qmatrix
     if (r.f(1) != 0) bail() // segmentation_enabled
     // base_q_idx==0: delta_q_present not coded; CodedLossless=1 so the
@@ -339,30 +350,51 @@ object Av1Codec {
     val palIdx = cp(Av1Tables.paletteYColorIndex)
     val filterIntra = cp(Av1Tables.filterIntra)
     val filterIntraMode = cp(Av1Tables.filterIntraMode)
+    val uvMode = cp(Av1Tables.uvMode)
+    val cflSign = cp(Av1Tables.cflSign)
+    val cflAlpha = cp(Av1Tables.cflAlpha)
     val txbSkip = cp(Av1Tables.txbSkip)
-    val eob16 = cp(Av1Tables.eob16)
-    val eobExtra = cp(Av1Tables.eobExtra)
-    val baseEob = cp(Av1Tables.coeffBaseEob)
-    val base = cp(Av1Tables.coeffBase)
-    val br = cp(Av1Tables.coeffBr)
-    val dcSign = cp(Av1Tables.dcSign)
+    val eob16P = Av1Tables.eob16P.map(cp)
+    val eobExtraP = Av1Tables.eobExtraP.map(cp)
+    val baseEobP = Av1Tables.coeffBaseEobP.map(cp)
+    val baseP = Av1Tables.coeffBaseP.map(cp)
+    val brP = Av1Tables.coeffBrP.map(cp)
+    val dcSignP = Av1Tables.dcSignP.map(cp)
   }
 
   // ---------------- frame decoder ----------------
+  /** Per-plane reconstruction + entropy-context state: pidx is the
+    * PLANE TYPE (0 = luma, 1 = chroma) selecting cdf slices; u and v
+    * share pidx 1 but carry separate state.
+    */
+  private final class Plane(val mc: Int, val mr: Int, val pidx: Int) {
+    val padW = mc * 4
+    val pix = new Array[Byte](padW * mr * 4)
+    val decoded = new Array[Boolean](mr * mc)
+    val aboveLvl = new Array[Int](mc)
+    val leftLvl = new Array[Int](mr)
+  }
+
   private final class Dec(s: Seq, fr: FrameHdr, tile: Array[Byte]) {
     private val ec = new Ec(tile, adapt = !fr.disableCdf)
     private val cdf = new Cdfs
     private val miCols = fr.miCols
     private val miRows = fr.miRows
-    private val padW = miCols * 4
-    val pix = new Array[Byte](padW * miRows * 4)
+    val planes: Array[Plane] = {
+      val y = new Plane(miCols, miRows, 0)
+      if (s.mono) Array(y)
+      else Array(y, new Plane((miCols + 1) >> 1, (miRows + 1) >> 1, 1),
+        new Plane((miCols + 1) >> 1, (miRows + 1) >> 1, 1))
+    }
+    private var cur: Plane = planes(0)
+    // uv mode per chroma-mi cell (feeds the chroma edge-filter type)
+    private val uvModeAt: Array[Byte] =
+      if (s.mono) null
+      else Array.fill((((miRows + 1) >> 1) * ((miCols + 1) >> 1)))(-1: Byte)
     private val modeAt = new Array[Byte](miRows * miCols)
     private val skipAt = new Array[Byte](miRows * miCols)
-    private val decoded = new Array[Boolean](miRows * miCols)
     private val abovePart = new Array[Byte](miCols)
     private val leftPart = new Array[Byte](miRows)
-    private val aboveLvl = new Array[Int](miCols)
-    private val leftLvl = new Array[Int](miRows)
     // per-mi palette state: flag feeds palette_y_mode's neighbour ctx,
     // colors feed the next block's color cache
     private val palAt = new Array[Boolean](miRows * miCols)
@@ -468,6 +500,32 @@ object Av1Codec {
       val ge8x8 = w4in + h4in > 3
       if (mode >= 1 && mode <= 8 && ge8x8)
         angle = ec.readSymbol(cdf.angle(mode - 1), 7) - 3
+      // ---- chroma mode info (only when this block carries chroma) ----
+      var uv = 0; var uvAngle = 0; var cflAu = 0; var cflAv = 0
+      val hasChroma = !s.mono &&
+        ((r % 2 == 1) || (h4in % 2 == 0)) && ((c % 2 == 1) || (w4in % 2 == 0))
+      if (hasChroma) {
+        // LOSSLESS CfL rule (libaom is_cfl_allowed): allowed only when
+        // the chroma plane block equals the transform size, i.e. the
+        // 4:2:0 chroma block is 4x4 (luma block <= 8x8)
+        val cflAllowed = if (w4in <= 2 && h4in <= 2) 1 else 0
+        uv = ec.readSymbol(cdf.uvMode(cflAllowed * 13 + mode),
+          if (cflAllowed == 1) 14 else 13)
+        if (uv == 13) { // UV_CFL_PRED
+          val js = ec.readSymbol(cdf.cflSign(0), 8)
+          val su = (js + 1) / 3; val sv = (js + 1) % 3
+          if (su != 0) {
+            val au = 1 + ec.readSymbol(cdf.cflAlpha(js - 2), 16)
+            cflAu = if (su == 1) -au else au
+          }
+          if (sv != 0) {
+            val av = 1 + ec.readSymbol(cdf.cflAlpha(sv * 3 + su - 3), 16)
+            cflAv = if (sv == 1) -av else av
+          }
+        } else if (uv >= 1 && uv <= 8 && ge8x8) {
+          uvAngle = ec.readSymbol(cdf.angle(uv - 1), 7) - 3
+        }
+      }
       // intra-edge-filter type (spec 7.11.2.8): 1 when the block's above
       // or left neighbour used a SMOOTH-family mode, else 0
       val aMode = if (r > 0) modeAt((r - 1) * miCols + c).toInt else -1
@@ -481,6 +539,9 @@ object Av1Codec {
           (if (c > 0 && palAt(r * miCols + c - 1)) 1 else 0)
         if (ec.readBool(cdf.paletteY(bctx * 3 + pctx)) == 1)
           palColors = readPalette(r, c, bctx)
+        // the UV palette bool would be coded next for chroma DC blocks;
+        // its tables are not carried yet, so this must be an honest bail
+        if (hasChroma && uv == 0) bail()
       }
       // filter_intra (spec 5.11.7): coded for DC blocks up to 32x32,
       // NOT coded for palette blocks (spec 5.11.46). Eligibility and the
@@ -518,11 +579,55 @@ object Av1Codec {
             else predict4(r + ty, c + tx, mode, angle, ftype)
           }
           if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
-          else { aboveLvl(c + tx) = 0; leftLvl(r + ty) = 0 }
-          decoded((r + ty) * miCols + c + tx) = true
+          else { cur.aboveLvl(c + tx) = 0; cur.leftLvl(r + ty) = 0 }
+          cur.decoded((r + ty) * cur.mc + c + tx) = true
           tx += 1
         }
         ty += 1
+      }
+      // ---- chroma planes: prediction + residual per 4x4 chroma tx ----
+      if (hasChroma) {
+        val cx0 = c >> 1; val cy0 = r >> 1
+        val cw = (w4 + (c & 1) + 1) >> 1
+        val ch = (h4 + (r & 1) + 1) >> 1
+        val cmc = planes(1).mc
+        val aUv = if (cy0 > 0) uvModeAt((cy0 - 1) * cmc + cx0).toInt else -1
+        val lUv = if (cx0 > 0) uvModeAt(cy0 * cmc + cx0 - 1).toInt else -1
+        val uft = if ((aUv >= 9 && aUv <= 11) || (lUv >= 9 && lUv <= 11)) 1 else 0
+        var pi = 1
+        while (pi <= 2) {
+          val pl = planes(pi)
+          cur = pl
+          val alpha = if (pi == 1) cflAu else cflAv
+          var ty2 = 0
+          while (ty2 < ch) {
+            var tx2 = 0
+            while (tx2 < cw) {
+              val crr = cy0 + ty2; val ccc = cx0 + tx2
+              if (crr < pl.mr && ccc < pl.mc) {
+                if (uv == 13) predictCfl(crr, ccc, alpha)
+                else predict4(crr, ccc, uv, uvAngle, uft)
+                if (skip == 0) coeffs4(crr, ccc, cw, ch)
+                else { pl.aboveLvl(ccc) = 0; pl.leftLvl(crr) = 0 }
+                pl.decoded(crr * pl.mc + ccc) = true
+              }
+              tx2 += 1
+            }
+            ty2 += 1
+          }
+          pi += 1
+        }
+        cur = planes(0)
+        var ty3 = 0
+        while (ty3 < ch) {
+          var tx3 = 0
+          while (tx3 < cw) {
+            if (cy0 + ty3 < planes(1).mr && cx0 + tx3 < cmc)
+              uvModeAt((cy0 + ty3) * cmc + cx0 + tx3) = uv.toByte
+            tx3 += 1
+          }
+          ty3 += 1
+        }
       }
     }
 
@@ -623,7 +728,7 @@ object Av1Codec {
       while (i < rows) {
         var j = 0
         while (j < cols) {
-          pix((r * 4 + i) * padW + c * 4 + j) = colors(m(i * cols + j)).toByte
+          cur.pix((r * 4 + i) * cur.padW + c * 4 + j) = colors(m(i * cols + j)).toByte
           j += 1
         }
         i += 1
@@ -640,25 +745,34 @@ object Av1Codec {
       case _ => bail()
     }
 
-    // ---------------- coefficients: one 4x4 lossless luma tx ----------------
+    // ---------------- coefficients: one 4x4 lossless tx (any plane) ----------------
     private def coeffs4(rr: Int, cc: Int, bw4: Int, bh4: Int): Unit = {
+      // all_zero ctx: luma uses SKIP_CONTEXTS over the block extent;
+      // chroma uses offset + above-nonzero + left-nonzero, with offset
+      // 7 when the plane block equals the tx size and 10 when larger
+      // (libaom av1_get_txb_skip_ctx)
       val ctx =
-        if (bw4 == 1 && bh4 == 1) 0
+        if (cur.pidx == 1) {
+          val top = cur.aboveLvl(cc) & 63
+          val left = cur.leftLvl(rr) & 63
+          val off = if (bw4 == 1 && bh4 == 1) 7 else 10
+          off + (if (top != 0) 1 else 0) + (if (left != 0) 1 else 0)
+        } else if (bw4 == 1 && bh4 == 1) 0
         else {
-          val top = aboveLvl(cc) & 63
-          val left = leftLvl(rr) & 63
+          val top = cur.aboveLvl(cc) & 63
+          val left = cur.leftLvl(rr) & 63
           SkipContexts(math.min(math.min(top, left), 4))(math.min(top | left, 4))
         }
       if (ec.readBool(cdf.txbSkip(ctx)) == 1) {
-        aboveLvl(cc) = 0; leftLvl(rr) = 0
+        cur.aboveLvl(cc) = 0; cur.leftLvl(rr) = 0
         return
       }
-      val eobPt = ec.readSymbol(cdf.eob16(0), 5) + 1
+      val eobPt = ec.readSymbol(cdf.eob16P(cur.pidx)(0), 5) + 1
       val eob =
         if (eobPt <= 2) eobPt
         else {
           val n = eobPt - 2
-          var off = ec.readBool(cdf.eobExtra(eobPt - 3)) << (n - 1)
+          var off = ec.readBool(cdf.eobExtraP(cur.pidx)(eobPt - 3)) << (n - 1)
           var b = n - 2
           while (b >= 0) { off |= ec.readBit() << b; b -= 1 }
           (1 << (eobPt - 2)) + 1 + off
@@ -690,7 +804,7 @@ object Av1Codec {
         var round = 0
         var k = 3
         while (round < 4 && k == 3) {
-          k = ec.readSymbol(cdf.br(brCtx(pos)), 4)
+          k = ec.readSymbol(cdf.brP(cur.pidx)(brCtx(pos)), 4)
           level += k
           round += 1
         }
@@ -699,7 +813,7 @@ object Av1Codec {
       var si = eob - 1
       var pos = Scan4(si)
       val ectx = if (si == 0) 0 else if (si <= 2) 1 else if (si <= 4) 2 else 3
-      var level = ec.readSymbol(cdf.baseEob(ectx), 3) + 1
+      var level = ec.readSymbol(cdf.baseEobP(cur.pidx)(ectx), 3) + 1
       if (level > 2) level = readBr(level, pos)
       lev(pos) = math.min(level, 15)
       si = eob - 2
@@ -708,7 +822,7 @@ object Av1Codec {
         val bctx =
           if (pos == 0) 0
           else math.min((nzMag(pos) + 1) >> 1, 4) + NzOff4(pos)
-        level = ec.readSymbol(cdf.base(bctx), 4)
+        level = ec.readSymbol(cdf.baseP(cur.pidx)(bctx), 4)
         if (level > 2) level = readBr(level, pos)
         lev(pos) = math.min(level, 15)
         si -= 1
@@ -723,13 +837,13 @@ object Av1Codec {
         if (level != 0) {
           val sign =
             if (si == 0) {
-              val a = aboveLvl(cc) >> 6
-              val l = leftLvl(rr) >> 6
+              val a = cur.aboveLvl(cc) >> 6
+              val l = cur.leftLvl(rr) >> 6
               var cntS = 0
               if (a == 2) cntS += 1 else if (a == 1) cntS -= 1
               if (l == 2) cntS += 1 else if (l == 1) cntS -= 1
               val dctx = if (cntS == 0) 0 else if (cntS > 0) 2 else 1
-              ec.readBool(cdf.dcSign(dctx))
+              ec.readBool(cdf.dcSignP(cur.pidx)(dctx))
             } else ec.readBit()
           if (level == 15) level += ec.readGolomb()
           culacc += level
@@ -741,8 +855,8 @@ object Av1Codec {
       }
       var cul = math.min(culacc, 63)
       if (dcval < 0) cul |= 1 << 6 else if (dcval > 0) cul += 2 << 6
-      aboveLvl(cc) = cul
-      leftLvl(rr) = cul
+      cur.aboveLvl(cc) = cul
+      cur.leftLvl(rr) = cul
       iwhtAdd(rr, cc, coef)
     }
 
@@ -773,10 +887,10 @@ object Av1Codec {
         var k = 0
         while (k < 4) {
           val y = rr * 4 + k
-          val idx = y * padW + x
+          val idx = y * cur.padW + x
           val out = k match { case 0 => a1; case 1 => b1; case 2 => c1; case _ => d1 }
-          val p = (pix(idx) & 0xff) + out
-          pix(idx) = (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+          val p = (cur.pix(idx) & 0xff) + out
+          cur.pix(idx) = (if (p < 0) 0 else if (p > 255) 255 else p).toByte
           k += 1
         }
         j += 1
@@ -787,37 +901,37 @@ object Av1Codec {
     private def predict4(rr: Int, cc: Int, mode: Int, angle: Int,
                          ftype: Int): Unit = {
       val x0 = cc * 4; val y0 = rr * 4
-      val haveA = rr > 0 && decoded((rr - 1) * miCols + cc)
-      val haveL = cc > 0 && decoded(rr * miCols + cc - 1)
-      val haveAR = rr > 0 && cc + 1 < miCols && decoded((rr - 1) * miCols + cc + 1)
-      val haveBL = cc > 0 && rr + 1 < miRows && decoded((rr + 1) * miCols + cc - 1)
+      val haveA = rr > 0 && cur.decoded((rr - 1) * cur.mc + cc)
+      val haveL = cc > 0 && cur.decoded(rr * cur.mc + cc - 1)
+      val haveAR = rr > 0 && cc + 1 < cur.mc && cur.decoded((rr - 1) * cur.mc + cc + 1)
+      val haveBL = cc > 0 && rr + 1 < cur.mr && cur.decoded((rr + 1) * cur.mc + cc - 1)
       val A = new Array[Int](8)
       val L = new Array[Int](8)
       if (haveA) {
         var i = 0
-        while (i < 4) { A(i) = pix((y0 - 1) * padW + x0 + i) & 0xff; i += 1 }
+        while (i < 4) { A(i) = cur.pix((y0 - 1) * cur.padW + x0 + i) & 0xff; i += 1 }
         if (haveAR) {
           i = 0
-          while (i < 4) { A(4 + i) = pix((y0 - 1) * padW + x0 + 4 + i) & 0xff; i += 1 }
+          while (i < 4) { A(4 + i) = cur.pix((y0 - 1) * cur.padW + x0 + 4 + i) & 0xff; i += 1 }
         } else { i = 0; while (i < 4) { A(4 + i) = A(3); i += 1 } }
       } else if (haveL) {
-        val v = pix(y0 * padW + x0 - 1) & 0xff
+        val v = cur.pix(y0 * cur.padW + x0 - 1) & 0xff
         java.util.Arrays.fill(A, v)
       } else java.util.Arrays.fill(A, 127)
       if (haveL) {
         var i = 0
-        while (i < 4) { L(i) = pix((y0 + i) * padW + x0 - 1) & 0xff; i += 1 }
+        while (i < 4) { L(i) = cur.pix((y0 + i) * cur.padW + x0 - 1) & 0xff; i += 1 }
         if (haveBL) {
           i = 0
-          while (i < 4) { L(4 + i) = pix((y0 + 4 + i) * padW + x0 - 1) & 0xff; i += 1 }
+          while (i < 4) { L(4 + i) = cur.pix((y0 + 4 + i) * cur.padW + x0 - 1) & 0xff; i += 1 }
         } else { i = 0; while (i < 4) { L(4 + i) = L(3); i += 1 } }
       } else if (haveA) {
-        java.util.Arrays.fill(L, pix((y0 - 1) * padW + x0) & 0xff)
+        java.util.Arrays.fill(L, cur.pix((y0 - 1) * cur.padW + x0) & 0xff)
       } else java.util.Arrays.fill(L, 129)
       val corner =
-        if (haveA && haveL) pix((y0 - 1) * padW + x0 - 1) & 0xff
-        else if (haveA) pix((y0 - 1) * padW + x0) & 0xff
-        else if (haveL) pix(y0 * padW + x0 - 1) & 0xff
+        if (haveA && haveL) cur.pix((y0 - 1) * cur.padW + x0 - 1) & 0xff
+        else if (haveA) cur.pix((y0 - 1) * cur.padW + x0) & 0xff
+        else if (haveL) cur.pix(y0 * cur.padW + x0 - 1) & 0xff
         else 128
       val pred = new Array[Int](16)
       mode match {
@@ -895,7 +1009,76 @@ object Av1Codec {
       while (i < 4) {
         var j = 0
         while (j < 4) {
-          pix((y0 + i) * padW + x0 + j) = pred(i * 4 + j).toByte
+          cur.pix((y0 + i) * cur.padW + x0 + j) = pred(i * 4 + j).toByte
+          j += 1
+        }
+        i += 1
+      }
+    }
+
+    /** CfL prediction for one 4x4 chroma tx (AV1 spec 7.11.5): DC
+      * prediction of the chroma block plus alpha-scaled, average-
+      * subtracted subsampled luma (4:2:0: 2x2 luma sum << 1 = q3
+      * values; alpha in q3 via the >> 6 with signed rounding). In
+      * lossless, CfL blocks are always exactly one 4x4 chroma tx
+      * (is_cfl_allowed), so the luma average is per-tx by construction.
+      */
+    private def predictCfl(crr: Int, ccc: Int, alpha: Int): Unit = {
+      val pl = cur
+      val w = pl.padW
+      val x0 = ccc * 4; val y0 = crr * 4
+      val haveA = crr > 0 && pl.decoded((crr - 1) * pl.mc + ccc)
+      val haveL = ccc > 0 && pl.decoded(crr * pl.mc + ccc - 1)
+      var dc = 128
+      if (haveA && haveL) {
+        var sum = 4
+        var i = 0
+        while (i < 4) {
+          sum += (pl.pix((y0 - 1) * w + x0 + i) & 0xff) +
+            (pl.pix((y0 + i) * w + x0 - 1) & 0xff)
+          i += 1
+        }
+        dc = sum >> 3
+      } else if (haveA) {
+        var sum = 2
+        var i = 0
+        while (i < 4) { sum += pl.pix((y0 - 1) * w + x0 + i) & 0xff; i += 1 }
+        dc = sum >> 2
+      } else if (haveL) {
+        var sum = 2
+        var i = 0
+        while (i < 4) { sum += pl.pix((y0 + i) * w + x0 - 1) & 0xff; i += 1 }
+        dc = sum >> 2
+      }
+      val luma = planes(0)
+      val lw = luma.padW
+      val l = new Array[Int](16)
+      var ssum = 0
+      var i = 0
+      while (i < 4) {
+        var j = 0
+        while (j < 4) {
+          val ly = (crr * 4 + i) * 2; val lx = (ccc * 4 + j) * 2
+          val v = ((luma.pix(ly * lw + lx) & 0xff) +
+            (luma.pix(ly * lw + lx + 1) & 0xff) +
+            (luma.pix((ly + 1) * lw + lx) & 0xff) +
+            (luma.pix((ly + 1) * lw + lx + 1) & 0xff)) << 1
+          l(i * 4 + j) = v
+          ssum += v
+          j += 1
+        }
+        i += 1
+      }
+      val avg = (ssum + 8) >> 4
+      i = 0
+      while (i < 4) {
+        var j = 0
+        while (j < 4) {
+          val d0 = alpha * (l(i * 4 + j) - avg)
+          val d = if (d0 >= 0) (d0 + 32) >> 6 else -((-d0 + 32) >> 6)
+          val p2 = dc + d
+          pl.pix((y0 + i) * w + x0 + j) =
+            (if (p2 < 0) 0 else if (p2 > 255) 255 else p2).toByte
           j += 1
         }
         i += 1
@@ -913,24 +1096,24 @@ object Av1Codec {
       */
     private def predictFi(rr: Int, cc: Int, fiMode: Int): Unit = {
       val x0 = cc * 4; val y0 = rr * 4
-      val haveA = rr > 0 && decoded((rr - 1) * miCols + cc)
-      val haveL = cc > 0 && decoded(rr * miCols + cc - 1)
+      val haveA = rr > 0 && cur.decoded((rr - 1) * cur.mc + cc)
+      val haveL = cc > 0 && cur.decoded(rr * cur.mc + cc - 1)
       val A = new Array[Int](4)
       val L = new Array[Int](4)
       if (haveA) {
         var i = 0
-        while (i < 4) { A(i) = pix((y0 - 1) * padW + x0 + i) & 0xff; i += 1 }
-      } else if (haveL) java.util.Arrays.fill(A, pix(y0 * padW + x0 - 1) & 0xff)
+        while (i < 4) { A(i) = cur.pix((y0 - 1) * cur.padW + x0 + i) & 0xff; i += 1 }
+      } else if (haveL) java.util.Arrays.fill(A, cur.pix(y0 * cur.padW + x0 - 1) & 0xff)
       else java.util.Arrays.fill(A, 127)
       if (haveL) {
         var i = 0
-        while (i < 4) { L(i) = pix((y0 + i) * padW + x0 - 1) & 0xff; i += 1 }
-      } else if (haveA) java.util.Arrays.fill(L, pix((y0 - 1) * padW + x0) & 0xff)
+        while (i < 4) { L(i) = cur.pix((y0 + i) * cur.padW + x0 - 1) & 0xff; i += 1 }
+      } else if (haveA) java.util.Arrays.fill(L, cur.pix((y0 - 1) * cur.padW + x0) & 0xff)
       else java.util.Arrays.fill(L, 129)
       val corner =
-        if (haveA && haveL) pix((y0 - 1) * padW + x0 - 1) & 0xff
-        else if (haveA) pix((y0 - 1) * padW + x0) & 0xff
-        else if (haveL) pix(y0 * padW + x0 - 1) & 0xff
+        if (haveA && haveL) cur.pix((y0 - 1) * cur.padW + x0 - 1) & 0xff
+        else if (haveA) cur.pix((y0 - 1) * cur.padW + x0) & 0xff
+        else if (haveL) cur.pix(y0 * cur.padW + x0 - 1) & 0xff
         else 128
       val taps = FiTaps(fiMode)
       val buf = Array.ofDim[Int](4, 4)
@@ -962,7 +1145,7 @@ object Av1Codec {
       while (i < 4) {
         var j = 0
         while (j < 4) {
-          pix((y0 + i) * padW + x0 + j) = buf(i)(j).toByte
+          cur.pix((y0 + i) * cur.padW + x0 + j) = buf(i)(j).toByte
           j += 1
         }
         i += 1
@@ -1321,6 +1504,21 @@ object Av1Codec {
     decodeTu(obu)
   }
 
+  /** Full-plane decode (round 14): `(w, h, planes)` where planes is
+    * `[y]` for monochrome streams and `[y, u, v]` for 4:2:0 — chroma
+    * planes are `ceil(w/2) x ceil(h/2)`. Same container sniffing as
+    * [[decodeLuma]]; None on any unsupported or corrupt stream.
+    */
+  def decodeYuv(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+    val obu: Array[Byte] =
+      if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+        avifPrimaryItem(bytes).getOrElse(return None)
+      else if (bytes.length >= 4 && bytes(0) == 'D' && bytes(1) == 'K')
+        ivfFirstFrame(bytes).getOrElse(return None)
+      else bytes
+    decodeTuPlanes(obu)
+  }
+
   /** Decode every frame of an all-intra AV1-in-IVF stream (a still-AV1
     * "video"): one (streamIdx, w, h, luma) per decodable IVF frame, in
     * stream order. `streamIdx` is the frame's position in the CONTAINER
@@ -1350,6 +1548,9 @@ object Av1Codec {
 
   /** Decode one temporal unit (TD/sequence/frame OBUs). */
   private def decodeTu(obu: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeTuPlanes(obu).map { case (w, h, planes) => (w, h, planes(0)) }
+
+  private def decodeTuPlanes(obu: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
     try {
       var seqHdr: Seq = null
       var frame: Array[Byte] = null
@@ -1385,12 +1586,16 @@ object Av1Codec {
       val tile = java.util.Arrays.copyOfRange(frame, (fr.headerBits + 7) / 8, frame.length)
       val dec = new Dec(seqHdr, fr, tile)
       dec.decodeFrame()
-      val out = new Array[Byte](fr.w * fr.h)
-      val padW = fr.miCols * 4
-      var y = 0
-      while (y < fr.h) {
-        System.arraycopy(dec.pix, y * padW, out, y * fr.w, fr.w)
-        y += 1
+      val out = dec.planes.zipWithIndex.map { case (pl, pi) =>
+        val w = if (pi == 0) fr.w else (fr.w + 1) >> 1
+        val h = if (pi == 0) fr.h else (fr.h + 1) >> 1
+        val cropped = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(pl.pix, y * pl.padW, cropped, y * w, w)
+          y += 1
+        }
+        cropped
       }
       Some((fr.w, fr.h, out))
     } catch {
@@ -1515,5 +1720,33 @@ object Av1Fixtures {
   }
 
   def fiContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
+
+  /** The round-14 lossless 4:2:0 CHROMA fixture family (`cr_N.avif`):
+    * three-plane stills covering UV DC, directional UV with angle
+    * deltas, every CfL sign combination (incl. the both-positive joint
+    * sign pinning the repaired cfl_alpha row 5), sub-8x8 HasChroma
+    * semantics, odd dims, and 2x2/64x48 extremes.
+    * 3-decoder-validated on all three planes at generation
+    * (`scripts/gen_av1_chroma_fixtures.py`).
+    */
+  val chromaCount = 11
+
+  private lazy val chromaAvifs: Array[Array[Byte]] = Array.tabulate(chromaCount) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/cr_$i.avif")
+    require(in != null, s"av1 chroma fixture cr_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val chromaObus: Array[Array[Byte]] =
+    chromaAvifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** Chroma fixture payload: cr doc_id % 11, AVIF or raw-OBU. */
+  def chromaPayload(id: Long): Array[Byte] = {
+    val k = ((id % chromaCount) + chromaCount).toInt % chromaCount
+    if (id % 2 == 0) chromaAvifs(k) else chromaObus(k)
+  }
+
+  def chromaContainerName(id: Long): String =
     if (id % 2 == 0) "avif" else "obu"
 }

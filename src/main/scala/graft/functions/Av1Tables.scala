@@ -81,14 +81,39 @@ private[functions] object Av1Tables {
   // load-bearing: the shape-scan candidates 2792/3676 each break
   // several soak streams.
   val filterIntraMode: Array[Array[Int]] = table(1, 6)
+  // appended round 14 (lossless 4:2:0 chroma): uv_mode[2 cfl][13 y][15]
+  // (the cfl-not-allowed rows are 13-symbol, padded to the allowed
+  // rows' 15-u16 stride), cfl_sign[9], cfl_alpha[6 ctx][17].
+  // cfl_alpha row 5 is stored in BOTH system binaries' .rodata with an
+  // overlapped-store duplication (a repeated adjacent value pair from
+  // the compiler's 16-byte chunk copies); extract_av1_cdfs.py recovers
+  // the true row — the fix is pinned by the chroma fixtures (only the
+  // both-positive CfL joint sign reads row 5).
+  val uvMode: Array[Array[Int]] = table(26, 15)
+  val cflSign: Array[Array[Int]] = table(1, 9)
+  val cflAlpha: Array[Array[Int]] = table(6, 17)
   require(pos == all.length, s"resource size mismatch: $pos vs ${all.length}")
 
-  // q_ctx 0 / TX_4X4 / plane 0 slices
+  // q_ctx 0 / TX_4X4 slices, per PLANE TYPE (0 = luma, 1 = chroma);
+  // txb_skip has no plane dimension (chroma uses ctx rows 7..12)
   val txbSkip: Array[Array[Int]] = txbSkipAll.take(13)
-  val eob16: Array[Array[Int]] = eob16All.take(2)
-  val eobExtra: Array[Array[Int]] = eobExtraAll.take(9)
-  val coeffBaseEob: Array[Array[Int]] = baseEobAll.take(4)
-  val coeffBase: Array[Array[Int]] = coeffBaseAll.take(42)
-  val coeffBr: Array[Array[Int]] = coeffBrAll.take(21)
-  val dcSign: Array[Array[Int]] = dcSignAll.take(3)
+  val eob16P: Array[Array[Array[Int]]] =
+    Array(eob16All.take(2), eob16All.slice(2, 4))
+  val eobExtraP: Array[Array[Array[Int]]] =
+    Array(eobExtraAll.take(9), eobExtraAll.slice(9, 18))
+  val coeffBaseEobP: Array[Array[Array[Int]]] =
+    Array(baseEobAll.take(4), baseEobAll.slice(4, 8))
+  val coeffBaseP: Array[Array[Array[Int]]] =
+    Array(coeffBaseAll.take(42), coeffBaseAll.slice(42, 84))
+  val coeffBrP: Array[Array[Array[Int]]] =
+    Array(coeffBrAll.take(21), coeffBrAll.slice(21, 42))
+  val dcSignP: Array[Array[Array[Int]]] =
+    Array(dcSignAll.take(3), dcSignAll.slice(3, 6))
+  // plane-0 aliases (the luma-only call sites predate chroma)
+  val eob16: Array[Array[Int]] = eob16P(0)
+  val eobExtra: Array[Array[Int]] = eobExtraP(0)
+  val coeffBaseEob: Array[Array[Int]] = coeffBaseEobP(0)
+  val coeffBase: Array[Array[Int]] = coeffBaseP(0)
+  val coeffBr: Array[Array[Int]] = coeffBrP(0)
+  val dcSign: Array[Array[Int]] = dcSignP(0)
 }

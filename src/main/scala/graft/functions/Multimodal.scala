@@ -3081,6 +3081,38 @@ object Multimodal {
         "sum_y", "sumsq_y")
   }
 
+  /** REAL AV1 4:2:0 CHROMA decode (round 14): the three-plane fixture
+    * family — UV modes, every CfL sign combination, sub-8x8 HasChroma
+    * semantics — decoded by [[Av1Codec.decodeYuv]] and reduced to
+    * per-plane integer sums. The oracle joins per-fixture constants
+    * from generation time (dav1d/libgav1/libaom all bit-identical on
+    * ALL THREE planes), so any deviation in the uv_mode/cfl tables,
+    * the chroma coefficient contexts, or the CfL prediction
+    * hash-mismatches. Same 100 TB shape as the other decode rows:
+    * partition-local decode, only stat rows reach the exchange.
+    */
+  def decodeAvifChromaReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeYuv(Av1Fixtures.chromaPayload(id)).collect {
+            case (w, h, planes) if planes.length == 3 =>
+              def psum(a: Array[Byte]): Long = {
+                var s = 0L; var i = 0
+                while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                s
+              }
+              (id, ((id % Av1Fixtures.chromaCount) + Av1Fixtures.chromaCount) % Av1Fixtures.chromaCount,
+                Av1Fixtures.chromaContainerName(id), w.toLong, h.toLong,
+                psum(planes(0)), psum(planes(1)), psum(planes(2)))
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height",
+        "sum_y", "sum_u", "sum_v")
+  }
+
   /** AV1 near-dup from REAL decoded luma: documents carrying the same
     * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
     * into one class once fingerprinted by exact decoded-luma stats —

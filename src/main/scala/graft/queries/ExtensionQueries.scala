@@ -126,6 +126,21 @@ object ExtensionQueries {
   ).map { case (k, w, h, n, s, sq) => s"  ($k, $w, $h, $n, $s, $sq)" }
     .mkString(",\n")
 
+  /** Planted truth for the round-14 AV1 lossless 4:2:0 CHROMA fixture
+    * family — per-fixture per-plane sums captured at
+    * `scripts/gen_av1_chroma_fixtures.py` time from planes dav1d,
+    * libgav1 AND libaom decoded bit-identically on all three planes.
+    */
+  private val Av1ChromaFixtureConstants: String = Seq(
+    (0, 16, 16, 32768L, 5760L, 12800L), (1, 16, 16, 15360L, 2016L, 2464L),
+    (2, 8, 8, 3584L, 384L, 384L), (3, 16, 16, 23040L, 2688L, 13632L),
+    (4, 16, 16, 23040L, 8192L, 2688L), (5, 24, 16, 47368L, 12574L, 12640L),
+    (6, 16, 16, 31468L, 8656L, 6634L), (7, 33, 17, 58344L, 9792L, 6732L),
+    (8, 2, 2, 340L, 77L, 177L), (9, 4, 4, 720L, 366L, 810L),
+    (10, 64, 48, 470876L, 98738L, 82944L),
+  ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
+    .mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2831,6 +2846,25 @@ object ExtensionQueries {
              |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
              |  CAST(c.n_px AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y,
              |  CAST(c.sumsq_y AS BIGINT) AS sumsq_y
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 4:2:0 CHROMA decode (round 14): the three-plane fixture
+    // family through the full chroma surface — uv modes, CfL in every
+    // sign combination, sub-8x8 HasChroma — with per-plane sums joined
+    // against generation-time constants.
+    QueryDef(
+      "multimodal_avif_chroma",
+      (s, dir) => Multimodal.decodeAvifChromaReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
+             |$Av1ChromaFixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 11 + 11) % 11 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.sum_y AS BIGINT) AS sum_y, CAST(c.sum_u AS BIGINT) AS sum_u,
+             |  CAST(c.sum_v AS BIGINT) AS sum_v
              |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
     ),
 

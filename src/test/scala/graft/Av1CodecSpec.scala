@@ -200,6 +200,48 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("11 chroma fixtures decode to bit-exact Y+U+V (4:2:0)") {
+    // Lossless 4:2:0 streams through the full chroma surface: UV DC,
+    // directional UV with angle deltas, CfL in every sign combination
+    // (the both-positive joint sign is the sole reader of cfl_alpha
+    // ctx row 5, whose .rodata storage needs the overlapped-store
+    // repair), sub-8x8 HasChroma semantics, odd dims, 2x2/64x48
+    // extremes. 3-decoder-validated on all three planes at generation
+    // (scripts/gen_av1_chroma_fixtures.py).
+    for (i <- 0 to 10) {
+      val avif = res(s"cr_$i.avif")
+      val yuv = res(s"cr_$i.yuv")
+      val dec = Av1Codec.decodeYuv(avif)
+      assert(dec.isDefined, s"cr_$i must decode")
+      val (w, h, planes) = dec.get
+      assert(planes.length == 3, s"cr_$i must carry chroma")
+      val got = planes(0) ++ planes(1) ++ planes(2)
+      assert(w * h + 2 * (((w + 1) / 2) * ((h + 1) / 2)) == yuv.length,
+        s"cr_$i geometry $w x $h")
+      assert(java.util.Arrays.equals(got, yuv), s"cr_$i planes differ")
+    }
+  }
+
+  test("chroma fixtures survive truncation and mutation without throwing") {
+    val avif = res("cr_6.avif")
+    for (len <- 0 until avif.length by 7)
+      Av1Codec.decodeYuv(java.util.Arrays.copyOf(avif, len))
+    val rnd = new scala.util.Random(0xC4)
+    for (_ <- 1 to 200) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeYuv(m)
+    }
+  }
+
+  test("decodeYuv on monochrome streams returns exactly one plane") {
+    val avif = res("fi_1.avif")
+    val dec = Av1Codec.decodeYuv(avif)
+    assert(dec.isDefined)
+    assert(dec.get._3.length == 1)
+    assert(java.util.Arrays.equals(dec.get._3(0), res("fi_1.gray")))
+  }
+
   test("14 edge-filter fixtures decode to bit-exact luma") {
     // directional gradients encoded with the intra edge filter ON
     // (libaom's default): upsampled edges (0 < d < 40), the type-0
