@@ -312,14 +312,15 @@ def main():
     assert len(pm_vals) == 21 and pm_vals[2] == 31507 and pm_vals[20] == 32639, pm_vals
     out["palette_y_mode"] = [x for v in pm_vals for x in (v, 0, 0)]   # [7][3][3]
 
-    # palette_y_size[7 bsize]: first 7 of the 14 consecutive 7-symbol rows
-    # (y then uv), anchored on the spec row {24816,19768,14619,...} and
-    # cross-validated in libgav1 at 849968.
+    # palette_y_size[7 bsize] + palette_uv_size[7 bsize]: the 14
+    # consecutive 7-symbol rows (y then uv), anchored on the spec row
+    # {24816,19768,14619,...} and cross-validated in libgav1 at 849968.
     ps = [i for i in range(len(U) - 112)
           if U[i] == 24816 and U[i+1] == 19768 and U[i+2] == 14619]
     assert len(ps) == 1, ps
     assert all(dec_run(ps[0] + 8*r, 7) for r in range(14))
     out["palette_y_size"] = grab(ps[0], 56)                 # [7][8]
+    out["palette_uv_size"] = grab(ps[0] + 56, 56)           # [7][8]
 
     # palette_y_color_index[7 size][5 ctx][9]: the Y family DIRECTLY
     # PRECEDES the same-shape UV family (the round-12 extraction grabbed
@@ -336,6 +337,34 @@ def main():
         assert all(row[k] > row[k+1] for k in range(s-2)) and row[s-1] == 0, (r, row)
     out["palette_y_color_index"] = grab(ci_base, 315)       # [7][5][9]
 
+    # palette_uv_color_index[7 size][5 ctx][9]: the same-shape family
+    # that DIRECTLY PRECEDES the Y one in .rodata (the round-12 scan
+    # had grabbed it when looking for Y); shape-checked row by row and
+    # cross-validated byte-identical in libgav1. Pinned by the uv
+    # palette fixtures (cr2_*) and the 140-stream uv-palette soak.
+    # (the two 315-u16 families sit 320 u16 apart — 5 words of padding)
+    uv_ci_base = ci_base - 320
+    for r in range(35):
+        s = 2 + r // 5
+        row = grab(uv_ci_base + 9*r, 9)
+        assert all(row[k] > row[k+1] for k in range(s-2)) and row[s-1] == 0, (r, row)
+    out["palette_uv_color_index"] = grab(uv_ci_base, 315)   # [7][5][9]
+
+    # palette_uv_mode[2 ctx]: a 2-row cdf2 table that exists in BOTH
+    # binaries only as inlined initializer immediates (the value pair
+    # appears adjacently in libgav1's .text stores); located here by the
+    # movabs/mov-immediate byte pattern [v0,0,0,v1] in libgav1 code and
+    # pinned by the uv palette fixtures — every sct chroma-DC block
+    # reads this bool, so a wrong row desyncs them all.
+    g = open(GAV1, "rb").read()
+    pum = []
+    i = g.find(b"\x33\x01\x00\x00\x00\x00\x10\x2c")   # 307,0,0,11280 LE
+    while i != -1:
+        pum.append(i)
+        i = g.find(b"\x33\x01\x00\x00\x00\x00\x10\x2c", i + 1)
+    assert pum, "palette_uv_mode immediates not found in libgav1"
+    out["palette_uv_mode"] = [307, 0, 0, 11280, 0, 0]       # [2][3]
+
     out["filter_intra_mode"] = extract_filter_intra_mode()  # [6]
     uv_vals, sign_vals, alpha_vals = extract_chroma_tables()
     out["uv_mode"] = uv_vals                                 # [2][13][15]
@@ -346,7 +375,8 @@ def main():
              "filter_intra", "txb_skip", "eob16", "eob_extra",
              "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
              "palette_y_size", "palette_y_color_index", "filter_intra_mode",
-             "uv_mode", "cfl_sign", "cfl_alpha"]
+             "uv_mode", "cfl_sign", "cfl_alpha",
+             "palette_uv_mode", "palette_uv_size", "palette_uv_color_index"]
     blob = b"".join(struct.pack("<%dH" % len(out[k]), *out[k]) for k in ORDER)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     open(OUT, "wb").write(blob)

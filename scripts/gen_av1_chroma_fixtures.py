@@ -121,6 +121,28 @@ def cases():
     ym = bytes((200 if (x//8 + yy//8) % 3 == 0 else nz[yy*64+x])
                for yy in range(48) for x in range(64))
     out.append((64, 48, 4, ym, lcg(32*24, 62), grad(32, 24, 4, 4)))
+    # UV PALETTE (round-14 tail): screen-content tiles in Y AND UV so
+    # the encoder takes the UV palette path — the bool/size/color
+    # syntax (U cache + non-strict deltas, V delta-encode with
+    # wraparound) and the shared UV color-index map, including the
+    # luma-grid neighbour cache and a multi-superblock frame.
+    def tl(w, h, pal, ts, seed):
+        sd = seed; o = bytearray(w*h)
+        for ty in range((h+ts-1)//ts):
+            for tx in range((w+ts-1)//ts):
+                sd = (sd * 1103515245 + 12345) & 0xFFFFFFFF
+                colr = pal[(sd >> 16) % len(pal)]
+                for yy in range(ty*ts, min((ty+1)*ts, h)):
+                    for x in range(tx*ts, min((tx+1)*ts, w)):
+                        o[yy*w+x] = colr
+        return bytes(o)
+    out.append((16, 16, 6, tl(16, 16, [10, 240], 8, 9),
+                tl(8, 8, [40, 200], 4, 11), tl(8, 8, [70, 170], 4, 13)))
+    out.append((32, 32, 4, tl(32, 32, [20, 80, 140, 200], 8, 3),
+                tl(16, 16, [30, 90, 160], 8, 5), tl(16, 16, [220, 120, 60], 8, 7)))
+    out.append((64, 40, 2, tl(64, 40, [5, 60, 115, 170, 225], 8, 17),
+                tl(32, 20, [25, 75, 125, 175, 230, 250], 4, 19),
+                tl(32, 20, [240, 15, 190, 65, 140], 4, 23)))
     return out
 
 def main():

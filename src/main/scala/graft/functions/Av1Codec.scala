@@ -353,6 +353,9 @@ object Av1Codec {
     val uvMode = cp(Av1Tables.uvMode)
     val cflSign = cp(Av1Tables.cflSign)
     val cflAlpha = cp(Av1Tables.cflAlpha)
+    val palUvMode = cp(Av1Tables.paletteUvMode)
+    val palUvSize = cp(Av1Tables.paletteUvSize)
+    val palUvIdx = cp(Av1Tables.paletteUvColorIndex)
     val txbSkip = cp(Av1Tables.txbSkip)
     val eob16P = Av1Tables.eob16P.map(cp)
     val eobExtraP = Av1Tables.eobExtraP.map(cp)
@@ -399,6 +402,10 @@ object Av1Codec {
     // colors feed the next block's color cache
     private val palAt = new Array[Boolean](miRows * miCols)
     private val palColorsAt = new Array[Array[Int]](miRows * miCols)
+    // per-mi U palette of the covering block (the UV palette cache merges
+    // the block's LUMA-GRID neighbours' U palettes — aom above/left_mbmi)
+    private val uvPalColorsAt: Array[Array[Int]] =
+      if (s.mono) null else new Array[Array[Int]](miRows * miCols)
 
     def decodeFrame(): Unit = {
       val s4 = fr.sbSize4
@@ -533,15 +540,22 @@ object Av1Codec {
       val ftype =
         if ((aMode >= 9 && aMode <= 11) || (lMode >= 9 && lMode <= 11)) 1 else 0
       var palColors: Array[Int] = null
-      if (fr.allowSct && mode == 0 && ge8x8 && w4in <= 16 && h4in <= 16) {
+      var uvPal: (Array[Int], Array[Int]) = null
+      if (fr.allowSct && ge8x8 && w4in <= 16 && h4in <= 16) {
         val bctx = (31 - Integer.numberOfLeadingZeros(w4in * h4in * 16)) - 6
-        val pctx = (if (r > 0 && palAt((r - 1) * miCols + c)) 1 else 0) +
-          (if (c > 0 && palAt(r * miCols + c - 1)) 1 else 0)
-        if (ec.readBool(cdf.paletteY(bctx * 3 + pctx)) == 1)
-          palColors = readPalette(r, c, bctx)
-        // the UV palette bool would be coded next for chroma DC blocks;
-        // its tables are not carried yet, so this must be an honest bail
-        if (hasChroma && uv == 0) bail()
+        if (mode == 0) {
+          val pctx = (if (r > 0 && palAt((r - 1) * miCols + c)) 1 else 0) +
+            (if (c > 0 && palAt(r * miCols + c - 1)) 1 else 0)
+          if (ec.readBool(cdf.paletteY(bctx * 3 + pctx)) == 1)
+            palColors = readPalette(r, c, bctx)
+        }
+        // the UV palette bool is coded for every chroma-DC block under
+        // screen-content tools; ctx = whether THIS block took a Y palette
+        if (hasChroma && uv == 0) {
+          val puctx = if (palColors != null) 1 else 0
+          if (ec.readBool(cdf.palUvMode(puctx)) == 1)
+            uvPal = readPaletteUv(r, c, bctx)
+        }
       }
       // filter_intra (spec 5.11.7): coded for DC blocks up to 32x32,
       // NOT coded for palette blocks (spec 5.11.46). Eligibility and the
@@ -561,6 +575,8 @@ object Av1Codec {
           skipAt(rr * miCols + cc) = skip.toByte
           palAt(rr * miCols + cc) = palColors != null
           palColorsAt(rr * miCols + cc) = palColors
+          if (!s.mono)
+            uvPalColorsAt(rr * miCols + cc) = if (uvPal != null) uvPal._1 else null
           cc += 1
         }
         rr += 1
@@ -570,6 +586,10 @@ object Av1Codec {
       java.util.Arrays.fill(abovePart, c, c + w4, ab)
       java.util.Arrays.fill(leftPart, r, r + h4, lb)
       if (palColors != null) readColorMap(r, c, w4, h4, palColors)
+      if (uvPal != null)
+        readColorMapUv(r >> 1, c >> 1,
+          (math.min(w4, miCols - c) + (c & 1) + 1) >> 1,
+          (math.min(h4, miRows - r) + (r & 1) + 1) >> 1, uvPal)
       var ty = 0
       while (ty < h4) {
         var tx = 0
@@ -605,7 +625,8 @@ object Av1Codec {
             while (tx2 < cw) {
               val crr = cy0 + ty2; val ccc = cx0 + tx2
               if (crr < pl.mr && ccc < pl.mc) {
-                if (uv == 13) predictCfl(crr, ccc, alpha)
+                if (uvPal != null) ()  // pixels written by the color map
+                else if (uv == 13) predictCfl(crr, ccc, alpha)
                 else predict4(crr, ccc, uv, uvAngle, uft)
                 if (skip == 0) coeffs4(crr, ccc, cw, ch)
                 else { pl.aboveLvl(ccc) = 0; pl.leftLvl(crr) = 0 }
@@ -628,6 +649,134 @@ object Av1Codec {
           }
           ty3 += 1
         }
+      }
+    }
+
+    /** UV palette (spec 5.11.46): size symbol, U colors via the cache
+      * (merging the block's luma-grid neighbours' U palettes, same
+      * superblock-row rule as Y) plus literal/NON-STRICT ascending
+      * deltas (no +1; bit widths shrink by ceil_log2 of the remaining
+      * range), then V colors either delta-encoded (bitDepth-4+f(2)
+      * wide signed deltas with wraparound) or as plain literals.
+      */
+    private def readPaletteUv(r: Int, c: Int, bctx: Int): (Array[Int], Array[Int]) = {
+      val size = ec.readSymbol(cdf.palUvSize(bctx), 7) + 2
+      var cache: List[Int] = Nil
+      if (c > 0 && uvPalColorsAt(r * miCols + c - 1) != null)
+        cache = uvPalColorsAt(r * miCols + c - 1).toList
+      if ((r * 4) % 64 != 0 && r > 0 && uvPalColorsAt((r - 1) * miCols + c) != null)
+        cache = (cache ++ uvPalColorsAt((r - 1) * miCols + c).toList).distinct
+      cache = cache.distinct.sorted
+      val gotU = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = cache.iterator
+      while (gotU.size < size && it.hasNext) {
+        val col = it.next()
+        if (ec.readBit() == 1) gotU += col
+      }
+      if (gotU.size < size) {
+        var prev = ec.readLiteral(8)
+        gotU += prev
+        if (gotU.size < size) {
+          var bits = 5 + ec.readLiteral(2)
+          var range = 256 - prev
+          while (gotU.size < size) {
+            val d = ec.readLiteral(bits)  // NO +1: non-strict ascending
+            val nxt = math.min(math.max(prev + d, 0), 255)
+            gotU += nxt
+            range -= nxt - prev
+            prev = nxt
+            bits = math.min(bits,
+              if (range >= 2) 32 - Integer.numberOfLeadingZeros(range - 1) else 0)
+          }
+        }
+      }
+      val colorsU = gotU.sorted.toArray
+      val colorsV = new Array[Int](size)
+      if (ec.readBit() == 1) { // delta_encode_palette_colors_v
+        val bits = 4 + ec.readLiteral(2)
+        var prev = ec.readLiteral(8)
+        colorsV(0) = prev
+        var i = 1
+        while (i < size) {
+          var d = ec.readLiteral(bits)
+          if (d != 0 && ec.readBit() == 1) d = -d
+          var v = prev + d
+          if (v < 0) v += 256 else if (v > 255) v -= 256
+          colorsV(i) = v
+          prev = v
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < size) { colorsV(i) = ec.readLiteral(8); i += 1 }
+      }
+      (colorsU, colorsV)
+    }
+
+    /** The UV color-index map: one map for the U/V pair over the chroma
+      * block, coded like the Y map (NS-coded first sample, anti-diagonal
+      * wavefront, neighbour-score contexts) against the UV index cdfs.
+      */
+    private def readColorMapUv(cy0: Int, cx0: Int, cw: Int, ch: Int,
+        uvPal: (Array[Int], Array[Int])): Unit = {
+      val colorsU = uvPal._1; val colorsV = uvPal._2
+      val size = colorsU.length
+      val plu = planes(1); val plv = planes(2)
+      val w = plu.padW
+      val cols = math.min(cw, plu.mc - cx0) * 4
+      val rows = math.min(ch, plu.mr - cy0) * 4
+      val m = new Array[Byte](rows * cols)
+      m(0) = ec.readNS(size).toByte
+      val scores = new Array[Int](size)
+      val order = new Array[Int](size)
+      var k = 1
+      while (k < rows + cols - 1) {
+        var j = math.min(k, cols - 1)
+        val jEnd = math.max(0, k - rows + 1)
+        while (j >= jEnd) {
+          val i = k - j
+          java.util.Arrays.fill(scores, 0)
+          if (j > 0) scores(m(i * cols + j - 1)) += 2
+          if (i > 0 && j > 0) scores(m((i - 1) * cols + j - 1)) += 1
+          if (i > 0) scores(m((i - 1) * cols + j)) += 2
+          var q = 0
+          while (q < size) { order(q) = q; q += 1 }
+          q = 0
+          val top = math.min(3, size)
+          while (q < top) {
+            var mx = scores(q); var mi = q
+            var z2 = q + 1
+            while (z2 < size) {
+              if (scores(z2) > mx) { mx = scores(z2); mi = z2 }
+              z2 += 1
+            }
+            if (mi != q) {
+              val ov = order(mi)
+              var z = mi
+              while (z > q) { scores(z) = scores(z - 1); order(z) = order(z - 1); z -= 1 }
+              scores(q) = mx; order(q) = ov
+            }
+            q += 1
+          }
+          val hsh = scores(0) + 2 * (if (size > 1) scores(1) else 0) +
+            2 * (if (size > 2) scores(2) else 0)
+          val ctx = PaletteCtxLookup(hsh)
+          if (ctx < 0) bail()
+          val sym = ec.readSymbol(cdf.palUvIdx((size - 2) * 5 + ctx), size)
+          m(i * cols + j) = order(sym).toByte
+          j -= 1
+        }
+        k += 1
+      }
+      var i = 0
+      while (i < rows) {
+        var j = 0
+        while (j < cols) {
+          plu.pix((cy0 * 4 + i) * w + cx0 * 4 + j) = colorsU(m(i * cols + j)).toByte
+          plv.pix((cy0 * 4 + i) * w + cx0 * 4 + j) = colorsV(m(i * cols + j)).toByte
+          j += 1
+        }
+        i += 1
       }
     }
 
@@ -1727,10 +1876,12 @@ object Av1Fixtures {
     * deltas, every CfL sign combination (incl. the both-positive joint
     * sign pinning the repaired cfl_alpha row 5), sub-8x8 HasChroma
     * semantics, odd dims, and 2x2/64x48 extremes.
-    * 3-decoder-validated on all three planes at generation
-    * (`scripts/gen_av1_chroma_fixtures.py`).
+    * plus three UV PALETTE stills (bool/size/colors incl. the V
+    * delta-encode and the luma-grid neighbour cache, and the shared
+    * UV color-index map). 3-decoder-validated on all three planes at
+    * generation (`scripts/gen_av1_chroma_fixtures.py`).
     */
-  val chromaCount = 11
+  val chromaCount = 14
 
   private lazy val chromaAvifs: Array[Array[Byte]] = Array.tabulate(chromaCount) { i =>
     val in = getClass.getResourceAsStream(s"/av1/fixtures/cr_$i.avif")

@@ -92,6 +92,15 @@ private[functions] object Av1Tables {
   val uvMode: Array[Array[Int]] = table(26, 15)
   val cflSign: Array[Array[Int]] = table(1, 9)
   val cflAlpha: Array[Array[Int]] = table(6, 17)
+  // appended round 14 (UV palette): palette_uv_mode[2 ctx][3] (inlined
+  // initializer immediates in both binaries — extract_av1_cdfs.py
+  // documents the byte-pattern anchor), palette_uv_size[7][8], and
+  // palette_uv_color_index[7 size][5 ctx][9] — the same-shape family
+  // DIRECTLY PRECEDING the Y one (the family the round-12 scan had
+  // grabbed by mistake; 320 u16 apart, 5 pad words between).
+  val paletteUvMode: Array[Array[Int]] = table(2, 3)
+  val paletteUvSize: Array[Array[Int]] = table(7, 8)
+  val paletteUvColorIndex: Array[Array[Int]] = table(35, 9)
   require(pos == all.length, s"resource size mismatch: $pos vs ${all.length}")
 
   // q_ctx 0 / TX_4X4 slices, per PLANE TYPE (0 = luma, 1 = chroma);

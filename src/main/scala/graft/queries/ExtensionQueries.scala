@@ -137,7 +137,8 @@ object ExtensionQueries {
     (4, 16, 16, 23040L, 8192L, 2688L), (5, 24, 16, 47368L, 12574L, 12640L),
     (6, 16, 16, 31468L, 8656L, 6634L), (7, 33, 17, 58344L, 9792L, 6732L),
     (8, 2, 2, 340L, 77L, 177L), (9, 4, 4, 720L, 366L, 810L),
-    (10, 64, 48, 470876L, 98738L, 82944L),
+    (10, 64, 48, 470876L, 98738L, 82944L), (11, 16, 16, 46720L, 7680L, 7680L),
+    (12, 32, 32, 104960L, 36480L, 35840L), (13, 64, 40, 252160L, 91280L, 84000L),
   ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
     .mkString(",\n")
 
@@ -2858,7 +2859,7 @@ object ExtensionQueries {
       (s, dir) => Multimodal.decodeAvifChromaReal(s, Tables.documents(s, dir)),
       Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
              |$Av1ChromaFixtureConstants),
-             |d AS (SELECT doc_id, (doc_id % 11 + 11) % 11 AS fixture,
+             |d AS (SELECT doc_id, (doc_id % 14 + 14) % 14 AS fixture,
              |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
              |  FROM documents)
              |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,

@@ -22,8 +22,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Robustness: truncation at every length and single-byte mutation
   * soaks must never throw — corrupt or unsupported-tool payloads
-  * (lossy, chroma, palette, intra-bc) decode to None, not to an
-  * executor task failure.
+  * (lossy, intra-bc, film grain) decode to None, not to an
+  * executor task failure. Palette (r13), filter-intra (r14), 4:2:0
+  * chroma and UV palette (r14) decode for real and have their own
+  * fixture families below.
   */
 class Av1CodecSpec extends AnyFunSuite {
 
@@ -200,15 +202,18 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
-  test("11 chroma fixtures decode to bit-exact Y+U+V (4:2:0)") {
+  test("14 chroma fixtures decode to bit-exact Y+U+V (4:2:0)") {
     // Lossless 4:2:0 streams through the full chroma surface: UV DC,
     // directional UV with angle deltas, CfL in every sign combination
     // (the both-positive joint sign is the sole reader of cfl_alpha
     // ctx row 5, whose .rodata storage needs the overlapped-store
     // repair), sub-8x8 HasChroma semantics, odd dims, 2x2/64x48
-    // extremes. 3-decoder-validated on all three planes at generation
+    // extremes, plus three UV PALETTE stills (cr_11..13: bool/size/
+    // colors incl. the V delta-encode and the luma-grid neighbour
+    // cache, and the shared UV color-index map). 3-decoder-validated
+    // on all three planes at generation
     // (scripts/gen_av1_chroma_fixtures.py).
-    for (i <- 0 to 10) {
+    for (i <- 0 to 13) {
       val avif = res(s"cr_$i.avif")
       val yuv = res(s"cr_$i.yuv")
       val dec = Av1Codec.decodeYuv(avif)
