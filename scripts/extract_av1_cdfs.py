@@ -365,6 +365,72 @@ def main():
     assert pum, "palette_uv_mode immediates not found in libgav1"
     out["palette_uv_mode"] = [307, 0, 0, 11280, 0, 0]       # [2][3]
 
+    # --- MV / intrabc family (round 15) ---
+    # libaom's `default_nmv_context` is a u16-packed struct: joints
+    # CDF_SIZE(4), then two identical nmv_component blocks of
+    # classes[12] class0_fr[2][5] fr[5] sign[3] class0_hp[3] hp[3]
+    # class0[3] bits[10][3] = 69 u16 each. Anchored on the spec's
+    # published joints row AOM_CDF4(4096,11264,19328) and the 11-class
+    # row; every extracted row is additionally required to appear
+    # byte-identically inside libgav1.
+    gbytes = open(GAV1, "rb").read()
+    def in_gav1(vals):
+        return gbytes.find(struct.pack("<%dH" % len(vals), *vals)) != -1
+    joints_anchor = (28672, 21504, 13440, 0, 0)             # icdf of spec values
+    nmv = [i for i in range(len(U) - 143)
+           if tuple(U[i:i+5]) == joints_anchor
+           and dec_run(i + 5, 11) and dec_run(i + 5 + 69, 11)]
+    assert len(nmv) == 1, nmv
+    p = nmv[0]
+    out["mv_joint"] = grab(p, 5)                            # [4+1]
+    classes_anchor = (4096, 1792, 910, 448, 217, 112, 28, 11, 6, 1, 0, 0)
+    comps = []
+    for ci in range(2):
+        cp0 = p + 5 + 69 * ci
+        assert tuple(U[cp0:cp0+12]) == classes_anchor, (ci, U[cp0:cp0+12])
+        classes = grab(cp0, 12)
+        q = cp0 + 12
+        for rows, n in ((2, 4), (1, 4)):                    # class0_fr, fr
+            for r in range(rows):
+                assert dec_run(q, n), (ci, q)
+                q += n + 1
+        sign = grab(q, 3); assert sign[0] == 16384, sign    # AOM_CDF2(1<<14)
+        q += 3
+        assert U[q] == 12288, U[q]                          # class0_hp
+        q += 3
+        assert U[q] == 16384, U[q]                          # hp
+        q += 3
+        class0 = grab(q, 3); assert class0[0] == 5120, class0
+        q += 3
+        bits = grab(q, 30)                                  # [10][2+1]
+        assert bits[0] == 15360 and bits[27] == 2048, bits
+        comps.append((classes, sign, class0, bits))
+    # cross-binary anchors in libgav1 (its rodata keeps the same VALUES
+    # under a different layout: the classes row is followed directly by
+    # the next table and the bits rows carry one 2-u16 alignment pad
+    # between rows 7 and 8 — the same quirk GAV1_TO_AOM documents):
+    assert in_gav1(classes_anchor[:8]), "classes head not in libgav1"
+    assert in_gav1((15360, 0, 0, 14848, 0, 0, 13824, 0, 0, 12288, 0, 0,
+                    10240, 0, 0, 8192, 0, 0, 4096, 0, 0, 2816, 0, 0, 0, 0,
+                    2816, 0, 0, 2048)), "bits rows not in libgav1"
+    assert in_gav1((28672, 21504, 13440)), "joints values not in libgav1"
+    out["mv_class"] = comps[0][0] + comps[1][0]             # [2][12]
+    out["mv_sign"] = comps[0][1] + comps[1][1]              # [2][3]
+    out["mv_class0_bit"] = comps[0][2] + comps[1][2]        # [2][3]
+    out["mv_bits"] = comps[0][3] + comps[1][3]              # [2][10][3]
+    # use_intrabc bool: default_intrabc_cdf = AOM_CDF2(30531) -> icdf
+    # 2237. The 6-byte struct never reaches .rodata in ANY of the three
+    # system binaries — each compiler inlined the initializer as a
+    # 32-bit store immediate (the same fragmentation the r14
+    # use_filter_intra hunt dealt with) — so hunt the little-endian
+    # `bd 08 00 00` immediate in all three .text sections; pinned
+    # end-to-end by the intrabc fixtures (a wrong bool cdf desyncs
+    # every block's first symbol under allow_intrabc).
+    for lib in (LIB, GAV1, "/lib/x86_64-linux-gnu/libdav1d.so.6"):
+        raw = open(lib, "rb").read()
+        assert raw.find(b"\xbd\x08\x00\x00") != -1, "no 2237 imm in " + lib
+    out["intrabc"] = [2237, 0, 0]                           # [2+1]
+
     out["filter_intra_mode"] = extract_filter_intra_mode()  # [6]
     uv_vals, sign_vals, alpha_vals = extract_chroma_tables()
     out["uv_mode"] = uv_vals                                 # [2][13][15]
@@ -376,7 +442,9 @@ def main():
              "coeff_base_eob", "coeff_base", "coeff_br", "dc_sign",
              "palette_y_size", "palette_y_color_index", "filter_intra_mode",
              "uv_mode", "cfl_sign", "cfl_alpha",
-             "palette_uv_mode", "palette_uv_size", "palette_uv_color_index"]
+             "palette_uv_mode", "palette_uv_size", "palette_uv_color_index",
+             "mv_joint", "mv_class", "mv_sign", "mv_class0_bit", "mv_bits",
+             "intrabc"]
     blob = b"".join(struct.pack("<%dH" % len(out[k]), *out[k]) for k in ORDER)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     open(OUT, "wb").write(blob)

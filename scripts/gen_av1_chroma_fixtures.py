@@ -33,11 +33,11 @@ class RWData(C.Structure):
 
 OPTS = [("lossless", "1")]
 
-def mk_image(w, h, y, u, v):
-    img = AV.avifImageCreate(w, h, 8, 3)          # YUV420
+def mk_image(w, h, y, u, v, fmt=3):
+    img = AV.avifImageCreate(w, h, 8, fmt)        # 3 = YUV420, 1 = YUV444
     assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
     b = bytes((C.c_uint8 * 64).from_address(img))
-    cw, ch = (w + 1) // 2, (h + 1) // 2
+    cw, ch = ((w + 1) // 2, (h + 1) // 2) if fmt == 3 else (w, h)
     for i, (px, pw, ph) in enumerate(((y, w, h), (u, cw, ch), (v, cw, ch))):
         ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8*i)[0]
         rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4*i)[0]
@@ -65,9 +65,10 @@ def decode_planes(data, codec):   # codec: 1 aom, 2 dav1d, 3 libgav1
     assert r == 0, (codec, AV.avifResultToString(r))
     b = bytes((C.c_uint8 * 64).from_address(img))
     w, h = struct.unpack_from("<2I", b, 0)
+    fmt = struct.unpack_from("<I", b, 12)[0]      # avifPixelFormat
     planes = []
     for i in range(3):
-        pw, ph = (w, h) if i == 0 else ((w + 1) // 2, (h + 1) // 2)
+        pw, ph = (w, h) if (i == 0 or fmt == 1) else ((w + 1) // 2, (h + 1) // 2)
         ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8*i)[0]
         rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4*i)[0]
         planes.append(b"".join(C.string_at(ptr + row*rb, pw) for row in range(ph)))
@@ -145,24 +146,107 @@ def cases():
                 tl(32, 20, [240, 15, 190, 65, 140], 4, 23)))
     return out
 
+def set_cicp(img, cp, tc, mc):
+    """Write colorPrimaries/transferCharacteristics/matrixCoefficients
+    (three consecutive u16s). Located by scanning for avifImageCreate's
+    defaults (all three UNSPECIFIED=2 in this libavif 0.11.1 build,
+    observed at offset 104 — the only nonzero u16 run past the plane
+    pointers) so the offset never goes stale."""
+    b = bytes((C.c_uint8 * 160).from_address(img))
+    hits = [o for o in range(100, 140, 2)
+            if struct.unpack_from("<3H", b, o) == (2, 2, 2)]
+    assert len(hits) == 1, hits
+    C.memmove(img + hits[0], struct.pack("<3H", cp, tc, mc), 6)
+
+def cases444():
+    """Profile-1 (4:4:4) lossless family: full-resolution chroma planes.
+    Covers UV DC + residual, directional UV, CfL at the 4:4:4 lossless
+    eligibility (luma block == 4x4 only), Y+UV palette tiles, odd dims,
+    tiny frames, a multi-superblock frame, and two sRGB-CICP streams
+    (CP=1/TC=13/MC=0) whose color_config skips color_range/csp entirely.
+    Tuple: (w, h, speed, y, u, v, srgb)."""
+    out = []
+    out.append((16, 16, 6, bytes([128])*256, bytes([90])*256, bytes([200])*256, False))
+    y = grad(16, 16, 3, 5)
+    out.append((16, 16, 6, y, grad(16, 16, 9, 0), grad(16, 16, 0, 11), False))
+    # correlated chroma at noisy 4x4 splits: the CfL-eligible shape
+    yg = lcg(16*16, 77)
+    uc = bytes(min(255, v // 2 + 30) for v in yg)
+    vc = bytes(255 - min(255, v // 2) for v in yg)
+    out.append((16, 16, 0, yg, uc, vc, False))
+    out.append((8, 8, 2, grad(8, 8, 8, 8), corr444(grad(8, 8, 8, 8), 1, 2, 0),
+                corr444(grad(8, 8, 8, 8), 1, 2, 100), False))
+    # noise: sub-8x8 splits (every 4x4 luma block carries its own chroma)
+    out.append((24, 16, 0, lcg(24*16, 141), lcg(24*16, 142), lcg(24*16, 143), False))
+    out.append((16, 16, 2, lcg(256, 151), lcg(256, 152), lcg(256, 153), False))
+    # odd dims: chroma plane is clipped exactly like luma
+    out.append((33, 17, 6, grad(33, 17, 5, 3), grad(33, 17, 7, 2),
+                grad(33, 17, 1, 9), False))
+    out.append((2, 2, 6, bytes([10, 60, 110, 160]), bytes([77, 78, 79, 80]),
+                bytes([177, 178, 179, 180]), False))
+    # Y+UV palette tiles at full chroma resolution
+    def tl(w, h, pal, ts, seed):
+        sd = seed; o = bytearray(w*h)
+        for ty in range((h+ts-1)//ts):
+            for tx in range((w+ts-1)//ts):
+                sd = (sd * 1103515245 + 12345) & 0xFFFFFFFF
+                colr = pal[(sd >> 16) % len(pal)]
+                for yy in range(ty*ts, min((ty+1)*ts, h)):
+                    for x in range(tx*ts, min((tx+1)*ts, w)):
+                        o[yy*w+x] = colr
+        return bytes(o)
+    out.append((32, 32, 4, tl(32, 32, [20, 80, 140, 200], 8, 3),
+                tl(32, 32, [30, 90, 160], 8, 5), tl(32, 32, [220, 120, 60], 8, 7), False))
+    # multi-superblock
+    out.append((96, 72, 4, lcg(96*72, 161), grad(96, 72, 2, 3),
+                lcg(96*72, 163), False))
+    # sRGB CICP (identity matrix): the header branch with no
+    # color_range/chroma_sample_position bits
+    out.append((16, 16, 6, grad(16, 16, 4, 7), grad(16, 16, 6, 1),
+                grad(16, 16, 2, 5), True))
+    out.append((24, 24, 2, lcg(24*24, 171), lcg(24*24, 172), lcg(24*24, 173), True))
+    return out
+
+def corr444(y, num, den, off):
+    return bytes(min(255, max(0, v * num // den + off)) for v in y)
+
 def main():
     outdir = os.path.join(os.path.dirname(__file__), "..",
                           "src/main/resources/av1/fixtures")
     os.makedirs(outdir, exist_ok=True)
-    man = []
-    for k, (w, h, speed, y, u, v) in enumerate(cases()):
-        img = mk_image(w, h, y, u, v)
+    import sys
+    if "444" not in sys.argv:
+        man = []
+        for k, (w, h, speed, y, u, v) in enumerate(cases()):
+            img = mk_image(w, h, y, u, v)
+            data = encode(img, speed)
+            for codec in (2, 3, 1):
+                dw, dh, planes = decode_planes(data, codec)
+                assert (dw, dh) == (w, h) and planes == [y, u, v], (k, codec)
+            open(os.path.join(outdir, f"cr_{k}.avif"), "wb").write(data)
+            open(os.path.join(outdir, f"cr_{k}.yuv"), "wb").write(y + u + v)
+            man.append({"k": k, "w": w, "h": h, "speed": speed,
+                        "sum_y": sum(y), "sum_u": sum(u), "sum_v": sum(v)})
+            print(f"cr_{k}: {w}x{h} ok (3 system decoders bit-exact, 3 planes)")
+        json.dump(man, open(os.path.join(outdir, "chroma_manifest.json"), "w"),
+                  indent=1)
+        print(f"wrote {len(man)} chroma fixtures")
+    man4 = []
+    for k, (w, h, speed, y, u, v, srgb) in enumerate(cases444()):
+        img = mk_image(w, h, y, u, v, fmt=1)
+        if srgb:
+            set_cicp(img, 1, 13, 0)
         data = encode(img, speed)
         for codec in (2, 3, 1):
             dw, dh, planes = decode_planes(data, codec)
             assert (dw, dh) == (w, h) and planes == [y, u, v], (k, codec)
-        open(os.path.join(outdir, f"cr_{k}.avif"), "wb").write(data)
-        open(os.path.join(outdir, f"cr_{k}.yuv"), "wb").write(y + u + v)
-        man.append({"k": k, "w": w, "h": h, "speed": speed,
-                    "sum_y": sum(y), "sum_u": sum(u), "sum_v": sum(v)})
-        print(f"cr_{k}: {w}x{h} ok (3 system decoders bit-exact, 3 planes)")
-    json.dump(man, open(os.path.join(outdir, "chroma_manifest.json"), "w"),
+        open(os.path.join(outdir, f"cr444_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"cr444_{k}.yuv"), "wb").write(y + u + v)
+        man4.append({"k": k, "w": w, "h": h, "speed": speed, "srgb": srgb,
+                     "sum_y": sum(y), "sum_u": sum(u), "sum_v": sum(v)})
+        print(f"cr444_{k}: {w}x{h} ok (3 system decoders bit-exact, 3 planes)")
+    json.dump(man4, open(os.path.join(outdir, "chroma444_manifest.json"), "w"),
               indent=1)
-    print(f"wrote {len(man)} chroma fixtures")
+    print(f"wrote {len(man4)} 4:4:4 chroma fixtures")
 
 main()

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Commit the residual-CHUNK-ORDER regression fixtures (`chunk_N.avif`
+/ `.yuv` under src/main/resources/av1/fixtures/).
+
+AV1's residual() codes blocks larger than 64 px in 64x64 chunks, each
+chunk's Y transforms followed by that same chunk's U and V transforms
+(spec 5.11.34) — an order that only differs from naive
+all-Y-then-all-U-then-all-V when a >64px block carries chroma, which on
+lossless 128-superblock streams happens exactly when one frame
+dimension is under 64 px (the frame-edge partition keeps a 128-wide or
+128-tall block alive). The round-15 4:4:4 soak caught four such
+streams decoding desynced; the same 4:2:0 geometry was latent since
+round 14.
+
+These six fixtures are the exact streams the seeded soak generator
+(`gen_av1_soak.py`, seed 0x444) produced at those geometries — four
+4:4:4 (indices 93/112/190/215 of the 300-stream 444 run) and two 4:2:0
+(indices 17/35 of the 40-stream 420 run) — each already cross-validated
+bit-exact through dav1d, libgav1 AND libaom at generation. This script
+reproduces them deterministically by replaying the seeded runs.
+"""
+import os, sys, json, subprocess, tempfile, shutil
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "..", "src/main/resources/av1/fixtures")
+PICKS = [  # (fmt flag, soak stream count, wanted indices 1-based)
+    ("444", 300, [93, 112, 190, 215]),
+    ("420", 40, [17, 35]),
+]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    man = []
+    n = 0
+    for fmt, count, wanted in PICKS:
+        tmp = tempfile.mkdtemp(prefix=f"av1chunk{fmt}_")
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "gen_av1_soak.py"),
+             str(count), tmp, "--fmt", fmt],
+            check=True, stdout=subprocess.DEVNULL)
+        streams = {int(f.split("_")[0][1:]): f[:-5]
+                   for f in os.listdir(tmp) if f.endswith(".avif")}
+        for k in wanted:
+            base = streams[k]
+            _, dims, sp, _ = base.split("_")
+            w, h = map(int, dims.split("x"))
+            yuv = open(os.path.join(tmp, base + ".yuv"), "rb").read()
+            shutil.copy(os.path.join(tmp, base + ".avif"),
+                        os.path.join(OUT, f"chunk_{n}.avif"))
+            open(os.path.join(OUT, f"chunk_{n}.yuv"), "wb").write(yuv)
+            ylen = w * h
+            clen = ylen if fmt == "444" else ((w + 1) // 2) * ((h + 1) // 2)
+            man.append({
+                "k": n, "w": w, "h": h, "fmt": fmt, "soak_index": k,
+                "speed": int(sp[2:]),
+                "sum_y": sum(yuv[:ylen]),
+                "sum_u": sum(yuv[ylen:ylen + clen]),
+                "sum_v": sum(yuv[ylen + clen:]),
+            })
+            print(f"chunk_{n}: {w}x{h} {fmt} (soak #{k})")
+            n += 1
+        shutil.rmtree(tmp)
+    json.dump(man, open(os.path.join(OUT, "chunk_manifest.json"), "w"),
+              indent=1)
+    print(f"wrote {n} chunk-order fixtures")
+
+
+main()

@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Generate a random AV1 lossless soak corpus under a target dir
+(default /tmp/av1_soak): N seeded-random images encoded lossless by the
+system libaom via libavif, each cross-validated bit-exact through
+dav1d, libgav1 AND libaom before its .avif/.yuv pair is written. Run
+`Test/runMain graft.functions.Av1SoakCheck <dir>` to hold Av1Codec to
+the same planes.
+
+Usage: gen_av1_soak.py [N] [dir] [--fmt 444|420|both]
+
+Content classes rotate through noise, gradients, flat, screen-content
+tiles, and luma-correlated chroma (the CfL shape) at speeds 0-8, dims
+1..96 including odd crops. The generator never writes a stream the
+three system decoders disagree on.
+"""
+import ctypes as C, struct, os, sys, random
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48
+
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+
+def mk_image(w, h, y, u, v, fmt):
+    img = AV.avifImageCreate(w, h, 8, fmt)
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    cw, ch = ((w + 1) // 2, (h + 1) // 2) if fmt == 3 else (w, h)
+    planes = ((y, w, h),) if fmt == 4 else ((y, w, h), (u, cw, ch), (v, cw, ch))
+    for i, (px, pw, ph) in enumerate(planes):
+        ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8 * i)[0]
+        rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4 * i)[0]
+        for row in range(ph):
+            C.memmove(ptr + row * rb, px[row * pw:(row + 1) * pw], pw)
+    return img
+
+
+def encode(img, speed):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)
+    AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"lossless", b"1")
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+
+def decode_planes(data, codec):
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    fmt = struct.unpack_from("<I", b, 12)[0]
+    nplanes = 1 if fmt == 4 else 3
+    planes = []
+    for i in range(nplanes):
+        pw, ph = (w, h) if (i == 0 or fmt == 1) else ((w + 1) // 2, (h + 1) // 2)
+        ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8 * i)[0]
+        rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4 * i)[0]
+        planes.append(b"".join(C.string_at(ptr + row * rb, pw) for row in range(ph)))
+    AV.avifDecoderDestroy(C.c_void_p(dec))
+    AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, planes
+
+
+def content(rnd, w, h, cls):
+    n = w * h
+    if cls == 0:
+        return bytes(rnd.randrange(256) for _ in range(n))
+    if cls == 1:
+        fx, fy, base = rnd.randrange(1, 12), rnd.randrange(1, 12), rnd.randrange(256)
+        return bytes(((base + x * fx + y * fy) & 0xFF) for y in range(h) for x in range(w))
+    if cls == 2:
+        return bytes([rnd.randrange(256)]) * n
+    # screen-content tiles
+    pal = [rnd.randrange(256) for _ in range(rnd.randrange(2, 7))]
+    ts = rnd.choice([4, 8])
+    o = bytearray(n)
+    for ty in range((h + ts - 1) // ts):
+        for tx in range((w + ts - 1) // ts):
+            colr = rnd.choice(pal)
+            for yy in range(ty * ts, min((ty + 1) * ts, h)):
+                for x in range(tx * ts, min((tx + 1) * ts, w)):
+                    o[yy * w + x] = colr
+    return bytes(o)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/av1_soak"
+    fmt_arg = sys.argv[sys.argv.index("--fmt") + 1] if "--fmt" in sys.argv else "444"
+    os.makedirs(outdir, exist_ok=True)
+    rnd = random.Random(0x444)
+    written = 0
+    k = 0
+    while written < n:
+        k += 1
+        fmt = {"444": 1, "420": 3}.get(fmt_arg) or rnd.choice([1, 3])
+        w, h = rnd.randrange(1, 97), rnd.randrange(1, 97)
+        speed = rnd.randrange(0, 9)
+        cls = rnd.randrange(4)
+        y = content(rnd, w, h, cls)
+        if fmt == 3:
+            cw, ch = (w + 1) // 2, (h + 1) // 2
+        else:
+            cw, ch = w, h
+        # chroma: sometimes luma-correlated (CfL bait), else its own class
+        if rnd.random() < 0.4:
+            num, den, off = rnd.randrange(1, 4), rnd.randrange(2, 5), rnd.randrange(64)
+            u = bytes(min(255, y[min(yy * (h // ch or 1), h - 1) * w +
+                                 min(x * (w // cw or 1), w - 1)] * num // den + off)
+                      for yy in range(ch) for x in range(cw))
+            v = bytes(255 - b for b in u)
+        else:
+            u = content(rnd, cw, ch, rnd.randrange(4))
+            v = content(rnd, cw, ch, rnd.randrange(4))
+        img = mk_image(w, h, y, u, v, fmt)
+        data = encode(img, speed)
+        good = True
+        for codec in (2, 3, 1):
+            dw, dh, planes = decode_planes(data, codec)
+            if (dw, dh) != (w, h) or planes != [y, u, v]:
+                good = False
+                break
+        assert good, f"system decoders disagree on seed case {k}"
+        tag = f"s{k:04d}_{w}x{h}_sp{speed}_f{fmt}"
+        open(os.path.join(outdir, f"{tag}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"{tag}.yuv"), "wb").write(y + u + v)
+        written += 1
+        if written % 50 == 0:
+            print(f"{written}/{n}")
+    print(f"wrote {written} cross-validated streams to {outdir}")
+
+
+main()

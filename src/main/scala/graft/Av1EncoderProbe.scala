@@ -45,9 +45,46 @@ object Av1EncoderProbe {
       Files.write(outDir.resolve(s"enc_$kF.gray"), pix)
       manifest ::= s"""{"k": $kF, "w": $w, "h": $h}"""
     }
+    // --- intrabc streams (round 15): use_intrabc + DV stack + MV coding ---
+    // Plans propose DVs in full px; Av1Encoder falls back to DC where a
+    // proposal fails conformance (256-px wavefront delay, bounds), so
+    // each stream mixes intrabc and DC blocks. Coverage: same-row refs
+    // past the delay (classes via varied |dx|), refs rows above, odd
+    // (mono-legal) components, single-axis joints, and constant-DV runs
+    // whose later blocks hit joint-ZERO against the stack predictor.
+    val ibcCases: Seq[(Int, Int, String, (Int, Int) => Option[(Int, Int)])] = Seq(
+      (448, 64, "same-row", (r: Int, c: Int) =>
+        if (c >= 80 && (r + c) % 3 != 0)
+          Some((-(r % 8) - 1, -(c * 4) + ((c * 7) % 64)))
+        else None),
+      (128, 384, "rows-above", (r: Int, c: Int) =>
+        if (r >= 48 && (r + c) % 4 != 0)
+          Some((-(r * 4) + ((r * 3) % 56), -(c * 4) + ((c * 5) % 120)))
+        else None),
+      (384, 128, "constant-dv", (r: Int, c: Int) =>
+        if (c >= 96) Some((0, -320)) else None),
+      (448, 96, "mixed-joints", (r: Int, c: Int) =>
+        if (c >= 84) {
+          if (c % 3 == 0) Some((0, -((c / 3) * 4)))       // col-only joint
+          else if (c % 3 == 1) Some((-(math.min(r, 8) * 4), -336)) // both / row-heavy
+          else Some((-(r % 4) * 8, -344))
+        } else None),
+    )
+    var kI = 2 * geoms.length
+    ibcCases.foreach { case (w, h, tag, plan) =>
+      val pix = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val obu = Av1Encoder.encodeIntrabc(w, h, pix, plan)
+      val dec = Av1Codec.decodeLuma(obu)
+      require(dec.exists(d => java.util.Arrays.equals(d._3, pix)),
+        s"intrabc self-decode failed for $tag")
+      Files.write(outDir.resolve(s"enc_$kI.obu"), obu)
+      Files.write(outDir.resolve(s"enc_$kI.gray"), pix)
+      manifest ::= s"""{"k": $kI, "w": $w, "h": $h}"""
+      kI += 1
+    }
     Files.write(outDir.resolve("manifest.json"),
       manifest.reverse.mkString("[", ",", "]").getBytes("UTF-8"))
-    println(s"wrote ${2 * geoms.length} encoder streams to $outDir " +
-      "(adaptive + frozen-CDF twins, all self-decode exact)")
+    println(s"wrote ${2 * geoms.length} encoder streams + ${ibcCases.length} " +
+      s"intrabc streams to $outDir (all self-decode exact)")
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.functions.{Av1Codec, Av1Encoder}
+
+/** Generate the committed INTRABC fixture family
+  * (`src/main/resources/av1/fixtures/ibc_N.obu` / `.gray` +
+  * `ibc_manifest.json`) — lossless monochrome streams from
+  * [[Av1Encoder.encodeIntrabc]] whose blocks mix intra-block-copy
+  * (use_intrabc, the DV reference stack, MV joint/class coding, copy
+  * prediction) with plain DC, under deterministic DV plans.
+  *
+  * Run `sbt "runMain graft.Av1IntrabcFixtures"`, then system-validate
+  * the twin dump with
+  * `python3 scripts/validate_av1_encoder.py /tmp/av1_ibc_fixtures_val`
+  * (dav1d + libgav1 + libaom must reproduce every .gray bit-exactly)
+  * BEFORE committing. The libaom encoder cannot emit these itself —
+  * its ALL_INTRA usage mode never sets allow_intrabc — so this is the
+  * only generator; system truth comes from the three DECODERS.
+  */
+object Av1IntrabcFixtures {
+  def main(args: Array[String]): Unit = {
+    val resDir = Paths.get("src/main/resources/av1/fixtures")
+    val valDir = Paths.get(args.headOption.getOrElse("/tmp/av1_ibc_fixtures_val"))
+    Files.createDirectories(valDir)
+    val rnd = new scala.util.Random(0x1BCF)
+
+    // low-entropy content on purpose: the row's job is to pin the
+    // intrabc machinery (DV stack, MV coding, copy), not to maximize
+    // coefficient work — full-amplitude residuals are covered by the
+    // 120-stream random soak. Sparse speckles keep SOME blocks carrying
+    // residual over the copy (the copy+residual path stays exercised)
+    // while most blocks skip, so the committed bench row decodes in
+    // registry-row time.
+    // speckle amplitude stays under 12 so coefficient levels never
+    // reach the golomb tail — large-amplitude residual coding is the
+    // soak's job, not this bench-weighted row's
+    def noise(w: Int, h: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h)(i =>
+        (if (rnd.nextInt(16) == 0) 100 + rnd.nextInt(12) else 100).toByte)
+    def tiles(w: Int, h: Int, ts: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h) { i =>
+        (((i % w / ts) * 41 + (i / w / ts) * 97) % 256).toByte
+      }
+
+    // (w, h, content, plan): same-row refs past the 256-px delay,
+    // refs rows above, constant-DV runs (joint-ZERO diffs), mixed
+    // single-axis joints, a first-SB-row stream hitting the
+    // empty-stack default DV, and a dense random-plan frame. Dims are
+    // the MINIMUM the 256-px wavefront runway allows in each shape —
+    // the registry row decodes every fixture per document, so pixel
+    // count is the row's unit cost.
+    val cases: Seq[(Int, Int, Array[Byte], (Int, Int) => Option[(Int, Int)])] = Seq(
+      (384, 32, noise(384, 32), (r: Int, c: Int) =>
+        if (c >= 80 && (r + c) % 3 != 0)
+          Some((-(r % 4) - 1, -(c * 4) + ((c * 7) % 64))) else None),
+      (32, 384, noise(32, 384), (r: Int, c: Int) =>
+        if (r >= 80 && (r + c) % 4 != 0)
+          Some((-(r * 4) + ((r * 3) % 56), -(c * 4) + ((c * 5) % 24))) else None),
+      (384, 32, tiles(384, 32, 8), (r: Int, c: Int) =>
+        if (c >= 80) Some((0, -320)) else None),
+      (448, 16, tiles(448, 16, 16), (r: Int, c: Int) =>
+        if (c >= 84) {
+          if (c % 3 == 0) Some((0, -((c / 3) * 4)))
+          else if (c % 3 == 1) Some((-(math.min(r, 2) * 4), -336))
+          else Some((-(r % 2) * 8, -344))
+        } else None),
+      // first-SB-row intrabc: the very first eligible block has an
+      // empty stack, so its predictor is the default DV (0, -320 px)
+      (512, 16, noise(512, 16), (r: Int, c: Int) =>
+        if (c >= 96 && c % 5 == 0) Some((0, -(320 + (c % 3) * 8))) else None),
+      (32, 384, tiles(32, 384, 4), (r: Int, c: Int) => {
+        val cell = new scala.util.Random(r * 4096L + c)
+        if (r >= 80 && cell.nextInt(3) > 0)
+          Some((-cell.nextInt(384), cell.nextInt(16) - 16)) else None
+      }),
+    )
+    val man = new StringBuilder("[")
+    cases.zipWithIndex.foreach { case ((w, h, pix, plan), k) =>
+      val obu = Av1Encoder.encodeIntrabc(w, h, pix, plan)
+      val dec = Av1Codec.decodeLuma(obu)
+      require(dec.exists(d => java.util.Arrays.equals(d._3, pix)),
+        s"ibc_$k self-decode failed")
+      Files.write(resDir.resolve(s"ibc_$k.obu"), obu)
+      Files.write(resDir.resolve(s"ibc_$k.gray"), pix)
+      Files.write(valDir.resolve(s"enc_$k.obu"), obu)
+      Files.write(valDir.resolve(s"enc_$k.gray"), pix)
+      var sum = 0L
+      pix.foreach(b => sum += b & 0xff)
+      if (k > 0) man.append(",")
+      man.append(s"""{"k": $k, "w": $w, "h": $h, "sum_y": $sum}""")
+      println(s"ibc_$k: ${w}x$h sum_y=$sum")
+    }
+    man.append("]")
+    Files.write(resDir.resolve("ibc_manifest.json"), man.toString.getBytes("UTF-8"))
+    Files.write(valDir.resolve("manifest.json"),
+      man.toString.getBytes("UTF-8"))
+    println(s"wrote ${cases.length} intrabc fixtures; now run " +
+      s"python3 scripts/validate_av1_encoder.py $valDir")
+  }
+}

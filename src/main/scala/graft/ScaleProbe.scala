@@ -325,6 +325,14 @@ object ScaleProbe {
       graft.functions.Multimodal.decodeAvifPaletteReal(spark, docs).count())
     timed("avif_filter_intra_real")(
       graft.functions.Multimodal.decodeAvifFilterIntraReal(spark, docs).count())
+    timed("avif_chroma_real")(
+      graft.functions.Multimodal.decodeAvifChromaReal(spark, docs).count())
+    timed("avif_chroma444_real")(
+      graft.functions.Multimodal.decodeAvifChroma444Real(spark, docs).count())
+    timed("avif_chunk_order_real")(
+      graft.functions.Multimodal.decodeAvifChunkOrderReal(spark, docs).count())
+    timed("avif_intrabc_real")(
+      graft.functions.Multimodal.decodeAvifIntrabcReal(spark, docs).count())
 
     spark.stop()
   }

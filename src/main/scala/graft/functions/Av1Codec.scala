@@ -40,9 +40,25 @@ package graft.functions
   * see `extract_av1_cdfs.py`). Pinned bit-exact by the committed fi
   * fixtures and a 240-stream random soak through dav1d.
   *
+  * CHROMA decodes for real since round 14 (4:2:0) and round 15
+  * (4:4:4, profile 1): the subsampling-parameterized plane pipeline —
+  * uv modes, CfL in every sign combination, UV palette, sub-8x8
+  * HasChroma — covers both geometries, including the profile-1 sRGB
+  * CICP header branch that skips color_range/chroma_sample_position.
+  *
+  * INTRA BLOCK COPY decodes for real since round 15 (monochrome):
+  * the use_intrabc bool, the DV reference-stack process (spatial
+  * scans, nearest boost, ranking, default DV — [[Av1Dv]], shared with
+  * the write side), MV joint/class coding, and the copy prediction —
+  * pinned bit-exact through dav1d/libgav1/libaom over the committed
+  * `ibc_N` fixtures and a 120-stream random soak (the system encoder
+  * never emits intrabc in ALL_INTRA usage, so the repo's own encoder
+  * generates and the system DECODERS arbitrate).
+  *
   * Honest bails (decode returns None, never a task failure): lossy
-  * streams (base_q_idx > 0), chroma, intra-block-copy blocks,
-  * non-reduced headers, tiled frames, and
+  * streams (base_q_idx > 0), profile-2 streams (4:2:2 / 12-bit),
+  * COLOR intra-block-copy streams (no generator exists to validate
+  * the chroma copy), non-reduced headers, tiled frames, and
   * film-grain streams. `disable_cdf_update=1` is HONORED, not
   * bailed — adaptation is simply switched off, system-validated.
   * Reference behaviour cross-validated bit-exactly against dav1d,
@@ -235,6 +251,7 @@ object Av1Codec {
     var enableFilterIntra = false
     var enableIntraEdgeFilter = false
     var mono = true
+    var ssx = 1; var ssy = 1 // chroma subsampling (1,1 = 4:2:0; 0,0 = 4:4:4)
     var separateUvDeltaQ = false
   }
 
@@ -243,6 +260,7 @@ object Av1Codec {
     var miCols = 0; var miRows = 0
     var sbCols = 0; var sbRows = 0; var sbSize4 = 0
     var allowSct = false
+    var allowIntrabc = false
     var disableCdf = false
     var headerBits = 0
   }
@@ -253,7 +271,9 @@ object Av1Codec {
     val profile = r.f(3)
     r.f(1) // still_picture
     val reduced = r.f(1)
-    if (reduced != 1 || profile != 0) bail()
+    // profile 0 = 4:2:0/mono, profile 1 = 4:4:4; profile 2 (4:2:2 /
+    // 12-bit) stays an honest bail
+    if (reduced != 1 || profile > 1) bail()
     r.f(5) // level
     val wb = r.f(4) + 1; val hb = r.f(4) + 1
     s.maxW = r.f(wb) + 1
@@ -265,11 +285,29 @@ object Av1Codec {
     r.f(1) // enable_cdef (moot: lossless skips cdef params)
     r.f(1) // enable_restoration (ditto)
     if (r.f(1) == 1) bail() // high_bitdepth
-    s.mono = r.f(1) == 1    // mono_chrome; profile-0 color implies 4:2:0
-    if (r.f(1) == 1) { r.f(8); r.f(8); r.f(8) } // color description
-    r.f(1) // color_range
-    if (!s.mono) {
-      r.f(2) // chroma_sample_position (profile 0: 4:2:0 subsampling implied)
+    // mono_chrome is not coded in profile 1 (spec 5.5.2): always color
+    s.mono = if (profile == 1) false else r.f(1) == 1
+    var srgb = false        // CP_BT_709 + TC_SRGB + MC_IDENTITY (spec 5.5.2)
+    if (r.f(1) == 1) {      // color_description_present_flag
+      val cp = r.f(8); val tc = r.f(8); val mc = r.f(8)
+      srgb = cp == 1 && tc == 13 && mc == 0
+    }
+    if (s.mono) {
+      r.f(1) // color_range (mono: spec returns here; separate_uv_delta_q=0)
+    } else {
+      if (srgb) {
+        // The sRGB triple skips color_range AND chroma_sample_position
+        // and forces 4:4:4 — which profile 0 cannot carry. Syntactically
+        // reachable there, so it must be an honest bail: reading the two
+        // skipped fields would misalign every later header bit.
+        if (profile == 0) bail()
+        s.ssx = 0; s.ssy = 0
+      } else {
+        r.f(1) // color_range
+        if (profile == 0) { s.ssx = 1; s.ssy = 1 } // 4:2:0 implied
+        else { s.ssx = 0; s.ssy = 0 }              // profile 1: 4:4:4
+        if (s.ssx == 1 && s.ssy == 1) r.f(2) // chroma_sample_position
+      }
       s.separateUvDeltaQ = r.f(1) == 1
     }
     // film_grain_params_present: when set, the FRAME header carries grain
@@ -298,7 +336,18 @@ object Av1Codec {
     if (fr.allowSct) r.f(1) // force_integer_mv (SELECT in reduced header)
     fr.w = s.maxW; fr.h = s.maxH
     if (r.f(1) == 1) { r.f(16); r.f(16) } // render size
-    if (fr.allowSct && r.f(1) == 1) bail() // allow_intrabc
+    // intra block copy (decodes for real since round 15): prediction
+    // copies from the already-decoded area of the same frame; DVs are
+    // full-pel (force_integer_mv = 1 on intra frames, spec 5.9.2).
+    // MONOCHROME only: no generator for COLOR intrabc streams exists
+    // (the system libaom's ALL_INTRA usage never sets allow_intrabc,
+    // and the repo's own encoder is luma-only), so the chroma copy —
+    // whose 4:2:0 half-pel case additionally needs the bilinear
+    // convolve — would be unvalidatable; honest bail instead.
+    if (fr.allowSct && r.f(1) == 1) {
+      if (!s.mono) bail()
+      fr.allowIntrabc = true
+    }
     fr.miCols = 2 * ((fr.w + 7) >> 3)
     fr.miRows = 2 * ((fr.h + 7) >> 3)
     fr.sbSize4 = if (s.use128) 32 else 16
@@ -356,6 +405,12 @@ object Av1Codec {
     val palUvMode = cp(Av1Tables.paletteUvMode)
     val palUvSize = cp(Av1Tables.paletteUvSize)
     val palUvIdx = cp(Av1Tables.paletteUvColorIndex)
+    val intrabc = cp(Av1Tables.intrabc)
+    val mvJoint = cp(Av1Tables.mvJoint)
+    val mvClass = cp(Av1Tables.mvClass)
+    val mvSign = cp(Av1Tables.mvSign)
+    val mvClass0Bit = cp(Av1Tables.mvClass0Bit)
+    val mvBits = Av1Tables.mvBits.map(cp)
     val txbSkip = cp(Av1Tables.txbSkip)
     val eob16P = Av1Tables.eob16P.map(cp)
     val eobExtraP = Av1Tables.eobExtraP.map(cp)
@@ -383,17 +438,20 @@ object Av1Codec {
     private val cdf = new Cdfs
     private val miCols = fr.miCols
     private val miRows = fr.miRows
+    // chroma subsampling shifts: (1,1) for 4:2:0, (0,0) for 4:4:4
+    private val csx = s.ssx
+    private val csy = s.ssy
     val planes: Array[Plane] = {
       val y = new Plane(miCols, miRows, 0)
       if (s.mono) Array(y)
-      else Array(y, new Plane((miCols + 1) >> 1, (miRows + 1) >> 1, 1),
-        new Plane((miCols + 1) >> 1, (miRows + 1) >> 1, 1))
+      else Array(y, new Plane((miCols + csx) >> csx, (miRows + csy) >> csy, 1),
+        new Plane((miCols + csx) >> csx, (miRows + csy) >> csy, 1))
     }
     private var cur: Plane = planes(0)
     // uv mode per chroma-mi cell (feeds the chroma edge-filter type)
     private val uvModeAt: Array[Byte] =
       if (s.mono) null
-      else Array.fill((((miRows + 1) >> 1) * ((miCols + 1) >> 1)))(-1: Byte)
+      else Array.fill(planes(1).mr * planes(1).mc)(-1: Byte)
     private val modeAt = new Array[Byte](miRows * miCols)
     private val skipAt = new Array[Byte](miRows * miCols)
     private val abovePart = new Array[Byte](miCols)
@@ -406,6 +464,16 @@ object Av1Codec {
     // the block's LUMA-GRID neighbours' U palettes — aom above/left_mbmi)
     private val uvPalColorsAt: Array[Array[Int]] =
       if (s.mono) null else new Array[Array[Int]](miRows * miCols)
+    // per-mi intrabc state feeding the DV reference process (Av1Dv):
+    // the covering block's UNCLIPPED mi dims (0 = cell undecoded) and
+    // the cell's DV in 1/8-px units when the block used intrabc
+    private val bw4At = new Array[Byte](miRows * miCols)
+    private val bh4At = new Array[Byte](miRows * miCols)
+    private val isIbcAt = new Array[Boolean](miRows * miCols)
+    private val dvRowAt = new Array[Int](miRows * miCols)
+    private val dvColAt = new Array[Int](miRows * miCols)
+    private lazy val dvPred = new Av1Dv(miCols, miRows, isIbcAt,
+      dvRowAt, dvColAt, bw4At, bh4At, s.use128)
 
     def decodeFrame(): Unit = {
       val s4 = fr.sbSize4
@@ -498,24 +566,43 @@ object Av1Codec {
       val askip = if (r > 0) skipAt((r - 1) * miCols + c) else 0
       val lskip = if (c > 0) skipAt(r * miCols + c - 1) else 0
       val skip = ec.readBool(cdf.skip(askip + lskip))
-      val amode = if (r > 0) modeAt((r - 1) * miCols + c) else 0
-      val lmode = if (c > 0) modeAt(r * miCols + c - 1) else 0
-      val mode = ec.readSymbol(
-        cdf.kfY(IntraModeContext(amode) * 5 + IntraModeContext(lmode)), 13)
+      // use_intrabc (spec 5.11.10): read for EVERY block once the frame
+      // header sets allow_intrabc; an intrabc block skips all intra mode
+      // syntax (YMode/UVMode forced DC) and reads a DV instead
+      var useIbc = false
+      var dvR = 0; var dvC = 0
+      if (fr.allowIntrabc && ec.readBool(cdf.intrabc(0)) == 1) {
+        useIbc = true
+        val (pr, pc) = dvPred.predDv(r, c, w4in, h4in)
+        val (diffR, diffC) = readMv()
+        dvR = pr + diffR; dvC = pc + diffC
+        if ((dvR & 7) != 0 || (dvC & 7) != 0) bail() // full-pel only on stills
+      }
+      var mode = 0
       var angle = 0
       // MiSize >= BLOCK_8X8 in BLOCK_SIZES_ALL order: only 4x4/4x8/8x4 are below
       val ge8x8 = w4in + h4in > 3
-      if (mode >= 1 && mode <= 8 && ge8x8)
-        angle = ec.readSymbol(cdf.angle(mode - 1), 7) - 3
+      if (!useIbc) {
+        val amode = if (r > 0) modeAt((r - 1) * miCols + c) else 0
+        val lmode = if (c > 0) modeAt(r * miCols + c - 1) else 0
+        mode = ec.readSymbol(
+          cdf.kfY(IntraModeContext(amode) * 5 + IntraModeContext(lmode)), 13)
+        if (mode >= 1 && mode <= 8 && ge8x8)
+          angle = ec.readSymbol(cdf.angle(mode - 1), 7) - 3
+      }
       // ---- chroma mode info (only when this block carries chroma) ----
       var uv = 0; var uvAngle = 0; var cflAu = 0; var cflAv = 0
+      // HasChroma (spec 5.11.5): with subsampling, sub-8x8 blocks carry
+      // chroma only on the last covering subblock; without (4:4:4),
+      // every block carries its own chroma
       val hasChroma = !s.mono &&
-        ((r % 2 == 1) || (h4in % 2 == 0)) && ((c % 2 == 1) || (w4in % 2 == 0))
-      if (hasChroma) {
+        ((r % 2 == 1) || (h4in % 2 == 0) || csy == 0) &&
+        ((c % 2 == 1) || (w4in % 2 == 0) || csx == 0)
+      if (hasChroma && !useIbc) {
         // LOSSLESS CfL rule (libaom is_cfl_allowed): allowed only when
         // the chroma plane block equals the transform size, i.e. the
-        // 4:2:0 chroma block is 4x4 (luma block <= 8x8)
-        val cflAllowed = if (w4in <= 2 && h4in <= 2) 1 else 0
+        // chroma block is 4x4 (4:2:0: luma <= 8x8; 4:4:4: luma == 4x4)
+        val cflAllowed = if ((w4in >> csx) <= 1 && (h4in >> csy) <= 1) 1 else 0
         uv = ec.readSymbol(cdf.uvMode(cflAllowed * 13 + mode),
           if (cflAllowed == 1) 14 else 13)
         if (uv == 13) { // UV_CFL_PRED
@@ -541,7 +628,7 @@ object Av1Codec {
         if ((aMode >= 9 && aMode <= 11) || (lMode >= 9 && lMode <= 11)) 1 else 0
       var palColors: Array[Int] = null
       var uvPal: (Array[Int], Array[Int]) = null
-      if (fr.allowSct && ge8x8 && w4in <= 16 && h4in <= 16) {
+      if (!useIbc && fr.allowSct && ge8x8 && w4in <= 16 && h4in <= 16) {
         val bctx = (31 - Integer.numberOfLeadingZeros(w4in * h4in * 16)) - 6
         if (mode == 0) {
           val pctx = (if (r > 0 && palAt((r - 1) * miCols + c)) 1 else 0) +
@@ -561,7 +648,7 @@ object Av1Codec {
       // NOT coded for palette blocks (spec 5.11.46). Eligibility and the
       // bool's cdf row both use the UNCLIPPED block size (r13 lesson).
       var fiMode = -1
-      if (s.enableFilterIntra && mode == 0 && palColors == null &&
+      if (!useIbc && s.enableFilterIntra && mode == 0 && palColors == null &&
           math.max(w4in, h4in) <= 8) {
         val bidx = bsizeIndex(w4in, h4in)
         if (ec.readBool(cdf.filterIntra(bidx)) == 1)
@@ -577,6 +664,13 @@ object Av1Codec {
           palColorsAt(rr * miCols + cc) = palColors
           if (!s.mono)
             uvPalColorsAt(rr * miCols + cc) = if (uvPal != null) uvPal._1 else null
+          bw4At(rr * miCols + cc) = w4in.toByte
+          bh4At(rr * miCols + cc) = h4in.toByte
+          isIbcAt(rr * miCols + cc) = useIbc
+          if (useIbc) {
+            dvRowAt(rr * miCols + cc) = dvR
+            dvColAt(rr * miCols + cc) = dvC
+          }
           cc += 1
         }
         rr += 1
@@ -587,58 +681,89 @@ object Av1Codec {
       java.util.Arrays.fill(leftPart, r, r + h4, lb)
       if (palColors != null) readColorMap(r, c, w4, h4, palColors)
       if (uvPal != null)
-        readColorMapUv(r >> 1, c >> 1,
-          (math.min(w4, miCols - c) + (c & 1) + 1) >> 1,
-          (math.min(h4, miRows - r) + (r & 1) + 1) >> 1, uvPal)
-      var ty = 0
-      while (ty < h4) {
-        var tx = 0
-        while (tx < w4) {
-          if (palColors == null) {
-            if (fiMode >= 0) predictFi(r + ty, c + tx, fiMode)
-            else predict4(r + ty, c + tx, mode, angle, ftype)
-          }
-          if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
-          else { cur.aboveLvl(c + tx) = 0; cur.leftLvl(r + ty) = 0 }
-          cur.decoded((r + ty) * cur.mc + c + tx) = true
-          tx += 1
-        }
-        ty += 1
-      }
-      // ---- chroma planes: prediction + residual per 4x4 chroma tx ----
+        readColorMapUv(r >> csy, c >> csx,
+          (w4 + (c & csx) + csx) >> csx,
+          (h4 + (r & csy) + csy) >> csy, uvPal)
+      // ---- residual + reconstruction in 64x64 CHUNK order ----
+      // Spec residual(): a block wider or taller than 64 px codes each
+      // 64x64 chunk's Y transforms, then that SAME chunk's U and V
+      // transforms, before moving to the next chunk (row-major over
+      // chunks). For blocks <= 64x64 this is a single chunk and reduces
+      // to plain per-plane row-major — which is why the old
+      // all-Y-then-all-U-then-all-V order survived every stream whose
+      // partitions stayed <= 64 px and only desynced on 128-superblock
+      // frames with one dimension under 64 px (where the edge partition
+      // keeps a 128-wide/tall block alive; caught by the round-15
+      // 4:4:4 soak, latent for 4:2:0 as well).
+      val cx0 = c >> csx; val cy0 = r >> csy
+      val cw = (w4 + (c & csx) + csx) >> csx
+      val ch = (h4 + (r & csy) + csy) >> csy
+      val cmc = if (s.mono) 0 else planes(1).mc
+      var uft = 0
       if (hasChroma) {
-        val cx0 = c >> 1; val cy0 = r >> 1
-        val cw = (w4 + (c & 1) + 1) >> 1
-        val ch = (h4 + (r & 1) + 1) >> 1
-        val cmc = planes(1).mc
         val aUv = if (cy0 > 0) uvModeAt((cy0 - 1) * cmc + cx0).toInt else -1
         val lUv = if (cx0 > 0) uvModeAt(cy0 * cmc + cx0 - 1).toInt else -1
-        val uft = if ((aUv >= 9 && aUv <= 11) || (lUv >= 9 && lUv <= 11)) 1 else 0
-        var pi = 1
-        while (pi <= 2) {
-          val pl = planes(pi)
-          cur = pl
-          val alpha = if (pi == 1) cflAu else cflAv
-          var ty2 = 0
-          while (ty2 < ch) {
-            var tx2 = 0
-            while (tx2 < cw) {
-              val crr = cy0 + ty2; val ccc = cx0 + tx2
-              if (crr < pl.mr && ccc < pl.mc) {
-                if (uvPal != null) ()  // pixels written by the color map
-                else if (uv == 13) predictCfl(crr, ccc, alpha)
-                else predict4(crr, ccc, uv, uvAngle, uft)
-                if (skip == 0) coeffs4(crr, ccc, cw, ch)
-                else { pl.aboveLvl(ccc) = 0; pl.leftLvl(crr) = 0 }
-                pl.decoded(crr * pl.mc + ccc) = true
+        uft = if ((aUv >= 9 && aUv <= 11) || (lUv >= 9 && lUv <= 11)) 1 else 0
+      }
+      // intrabc prediction: the whole referenced region is decoded
+      // (256-px wavefront delay), so the copy happens up front; the
+      // residual below then adds on top in chunk order as usual
+      if (useIbc) copyIbc(r, c, w4, h4, dvR, dvC)
+      var by = 0
+      while (by < h4) {
+        var bx = 0
+        while (bx < w4) {
+          val ey = math.min(by + 16, h4); val ex = math.min(bx + 16, w4)
+          var ty = by
+          while (ty < ey) {
+            var tx = bx
+            while (tx < ex) {
+              if (palColors == null && !useIbc) {
+                if (fiMode >= 0) predictFi(r + ty, c + tx, fiMode)
+                else predict4(r + ty, c + tx, mode, angle, ftype)
               }
-              tx2 += 1
+              if (skip == 0) coeffs4(r + ty, c + tx, w4, h4)
+              else { cur.aboveLvl(c + tx) = 0; cur.leftLvl(r + ty) = 0 }
+              cur.decoded((r + ty) * cur.mc + c + tx) = true
+              tx += 1
             }
-            ty2 += 1
+            ty += 1
           }
-          pi += 1
+          // this chunk's chroma txs (the chunk area subsampled)
+          if (hasChroma) {
+            val cby = cy0 + (by >> csy); val cbx = cx0 + (bx >> csx)
+            val cey = cy0 + math.min((by + 16) >> csy, ch)
+            val cex = cx0 + math.min((bx + 16) >> csx, cw)
+            var pi = 1
+            while (pi <= 2) {
+              val pl = planes(pi)
+              cur = pl
+              val alpha = if (pi == 1) cflAu else cflAv
+              var ty2 = cby
+              while (ty2 < cey) {
+                var tx2 = cbx
+                while (tx2 < cex) {
+                  if (ty2 < pl.mr && tx2 < pl.mc) {
+                    if (uvPal != null) ()  // pixels written by the color map
+                    else if (uv == 13) predictCfl(ty2, tx2, alpha)
+                    else predict4(ty2, tx2, uv, uvAngle, uft)
+                    if (skip == 0) coeffs4(ty2, tx2, cw, ch)
+                    else { pl.aboveLvl(tx2) = 0; pl.leftLvl(ty2) = 0 }
+                    pl.decoded(ty2 * pl.mc + tx2) = true
+                  }
+                  tx2 += 1
+                }
+                ty2 += 1
+              }
+              pi += 1
+            }
+            cur = planes(0)
+          }
+          bx += 16
         }
-        cur = planes(0)
+        by += 16
+      }
+      if (hasChroma) {
         var ty3 = 0
         while (ty3 < ch) {
           var tx3 = 0
@@ -649,6 +774,62 @@ object Av1Codec {
           }
           ty3 += 1
         }
+      }
+    }
+
+    /** read_mv for the intrabc DV (spec 5.11.32): joint symbol, then a
+      * component read per nonzero axis. Returns (diffRow, diffCol) in
+      * 1/8-px units. MV_JOINTS order: ZERO, HNZVZ (col only), HZVNZ
+      * (row only), HNZVNZ (both).
+      */
+    private def readMv(): (Int, Int) = {
+      val joint = ec.readSymbol(cdf.mvJoint(0), 4)
+      val dr = if (joint == 2 || joint == 3) readMvComponent(0) else 0
+      val dc = if (joint == 1 || joint == 3) readMvComponent(1) else 0
+      (dr, dc)
+    }
+
+    /** read_mv_component (spec 5.11.33), integer-MV form: sign, an
+      * 11-symbol class, then class-0's single bit or class-k's k offset
+      * bits; fr/hp collapse to 3/1 because force_integer_mv = 1 on
+      * still frames — magnitudes are always multiples of 8 (full pel).
+      */
+    private def readMvComponent(comp: Int): Int = {
+      val sign = ec.readBool(cdf.mvSign(comp))
+      val cls = ec.readSymbol(cdf.mvClass(comp), 11)
+      val mag =
+        if (cls == 0) ((ec.readBool(cdf.mvClass0Bit(comp)) << 3) | 7) + 1
+        else {
+          var d = 0
+          var i = 0
+          while (i < cls) { d |= ec.readBool(cdf.mvBits(comp)(i)) << i; i += 1 }
+          (2 << (cls + 2)) + ((d << 3) | 7) + 1
+        }
+      if (sign == 1) -mag else mag
+    }
+
+    /** Intra-block-copy prediction: copy the referenced region of the
+      * SAME frame's decoded area into place (a full-pel DV means no
+      * interpolation — BILINEAR is moot). The 256-px wavefront delay
+      * (bitstream conformance) guarantees the source never overlaps
+      * undecoded pixels; source bounds are still guarded against the
+      * mi-padded plane so a nonconforming DV bails instead of reading
+      * garbage. Luma-only by scope: color intrabc streams bail at the
+      * frame header (see [[parseFrameHeader]]).
+      */
+    private def copyIbc(r: Int, c: Int, w4: Int, h4: Int,
+                        dvR: Int, dvC: Int): Unit = {
+      val dy = dvR >> 3; val dx = dvC >> 3
+      val y = planes(0)
+      val x0 = c * 4; val y0 = r * 4
+      val sw = w4 * 4; val sh = h4 * 4
+      if (y0 + dy < 0 || x0 + dx < 0 || y0 + dy + sh > y.mr * 4 ||
+          x0 + dx + sw > y.padW) bail()
+      var i = 0
+      while (i < sh) {
+        System.arraycopy(y.pix, (y0 + dy + i) * y.padW + x0 + dx,
+          y.pix, (y0 + i) * y.padW + x0, sw)
+        i += 1
       }
     }
 
@@ -1207,11 +1388,15 @@ object Av1Codec {
       while (i < 4) {
         var j = 0
         while (j < 4) {
-          val ly = (crr * 4 + i) * 2; val lx = (ccc * 4 + j) * 2
-          val v = ((luma.pix(ly * lw + lx) & 0xff) +
-            (luma.pix(ly * lw + lx + 1) & 0xff) +
-            (luma.pix((ly + 1) * lw + lx) & 0xff) +
-            (luma.pix((ly + 1) * lw + lx + 1) & 0xff)) << 1
+          val ly = (crr * 4 + i) << csy; val lx = (ccc * 4 + j) << csx
+          // subsampled luma in q3: 4:2:0 = 2x2 sum << 1; 4:4:4 = px << 3
+          val v =
+            if (csx == 1 && csy == 1)
+              ((luma.pix(ly * lw + lx) & 0xff) +
+                (luma.pix(ly * lw + lx + 1) & 0xff) +
+                (luma.pix((ly + 1) * lw + lx) & 0xff) +
+                (luma.pix((ly + 1) * lw + lx + 1) & 0xff)) << 1
+            else (luma.pix(ly * lw + lx) & 0xff) << 3
           l(i * 4 + j) = v
           ssum += v
           j += 1
@@ -1653,10 +1838,12 @@ object Av1Codec {
     decodeTu(obu)
   }
 
-  /** Full-plane decode (round 14): `(w, h, planes)` where planes is
-    * `[y]` for monochrome streams and `[y, u, v]` for 4:2:0 — chroma
-    * planes are `ceil(w/2) x ceil(h/2)`. Same container sniffing as
-    * [[decodeLuma]]; None on any unsupported or corrupt stream.
+  /** Full-plane decode (round 14; 4:4:4 since round 15): `(w, h,
+    * planes)` where planes is `[y]` for monochrome streams and
+    * `[y, u, v]` for color — chroma planes are `ceil(w/2) x ceil(h/2)`
+    * for 4:2:0 (profile 0) and `w x h` for 4:4:4 (profile 1). Same
+    * container sniffing as [[decodeLuma]]; None on any unsupported or
+    * corrupt stream.
     */
   def decodeYuv(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
     val obu: Array[Byte] =
@@ -1736,8 +1923,8 @@ object Av1Codec {
       val dec = new Dec(seqHdr, fr, tile)
       dec.decodeFrame()
       val out = dec.planes.zipWithIndex.map { case (pl, pi) =>
-        val w = if (pi == 0) fr.w else (fr.w + 1) >> 1
-        val h = if (pi == 0) fr.h else (fr.h + 1) >> 1
+        val w = if (pi == 0) fr.w else (fr.w + seqHdr.ssx) >> seqHdr.ssx
+        val h = if (pi == 0) fr.h else (fr.h + seqHdr.ssy) >> seqHdr.ssy
         val cropped = new Array[Byte](w * h)
         var y = 0
         while (y < h) {
@@ -1763,6 +1950,236 @@ object Av1Codec {
       }
       ("avif", w, h, rgb)
     }
+}
+
+/** The intrabc DV reference process (AV1 spec 7.10.2 find_mv_stack,
+  * restricted to the intra-block-copy case: single ref INTRA_FRAME, no
+  * temporal or extra-candidate stages), shared verbatim between
+  * [[Av1Codec]]'s read side and [[Av1Encoder]]'s write side so both
+  * derive the identical predictor the system decoders derive.
+  *
+  * State is carried as flat per-mi arrays over the frame grid:
+  * `isIbc` marks intrabc cells (the only is_inter blocks on a still
+  * frame), `mvR`/`mvC` hold the cell's DV in 1/8-px units, and
+  * `bw4A`/`bh4A` hold the covering block's UNCLIPPED mi dims (0 =
+  * cell not yet decoded — standing in for the spec's availability
+  * checks, incl. the has-top-right rule, which is computed
+  * structurally below exactly as the reference implementation does).
+  */
+private[functions] final class Av1Dv(miCols: Int, miRows: Int,
+    isIbc: Array[Boolean], mvR: Array[Int], mvC: Array[Int],
+    bw4A: Array[Byte], bh4A: Array[Byte], use128: Boolean) {
+  // one instance per frame: the stack scratch and per-call cursor live
+  // in fields so the per-intrabc-block predictor is allocation-free
+  // (closure-captured locals would box; this method runs per block)
+  private val stackR = new Array[Int](8)
+  private val stackC = new Array[Int](8)
+  private val weight = new Array[Int](8)
+  private var count = 0
+  private var matchIsRow = false
+  private var r = 0; private var c = 0
+  private var bw4 = 0; private var bh4 = 0
+  private var maxRowOffset = 0; private var maxColOffset = 0
+  private var processedRows = 0; private var processedCols = 0
+
+  private def addCand(mr: Int, mc: Int, w: Int): Unit = {
+    val idx = mr * miCols + mc
+    if (bw4A(idx) != 0 && isIbc(idx)) {
+      val cr = mvR(idx); val cc = mvC(idx)
+      var i = 0
+      var found = false
+      while (i < count && !found) {
+        if (stackR(i) == cr && stackC(i) == cc) {
+          weight(i) += w; found = true
+        }
+        i += 1
+      }
+      if (!found && count < 8) {
+        stackR(count) = cr; stackC(count) = cc; weight(count) = w
+        count += 1
+      }
+    }
+  }
+
+  // spec is_inside over the (single) tile
+  private def inside(mr: Int, mc: Int): Boolean =
+    mr >= 0 && mc >= 0 && mr < miRows && mc < miCols
+
+  private def scanRow(rowOffset: Int): Unit = {
+    val end4 = math.min(math.min(bw4, miCols - c), 16)
+    var colOffset = 0
+    if (math.abs(rowOffset) > 1) {
+      colOffset = 1
+      if ((c & 1) == 1 && bw4 < 2) colOffset -= 1
+    }
+    val useStep16 = bw4 >= 16
+    var i = 0
+    while (i < end4) {
+      val mr = r + rowOffset
+      val mc = c + colOffset + i
+      if (!inside(mr, mc)) return
+      val idx = mr * miCols + mc
+      val n4w = math.max(bw4A(idx).toInt, 1)
+      var len = math.min(bw4, n4w)
+      if (useStep16) len = math.max(4, len)
+      else if (math.abs(rowOffset) > 1) len = math.max(2, len)
+      var w = 2
+      if (bw4 >= 2 && bw4 <= n4w) {
+        val inc = math.min(-maxRowOffset + rowOffset + 1,
+          math.max(bh4A(idx).toInt, 1))
+        w = math.max(w, inc)
+        processedRows = inc - rowOffset - 1
+      }
+      addCand(mr, mc, len * w)
+      i += len
+    }
+  }
+
+  private def scanCol(colOffset: Int): Unit = {
+    val end4 = math.min(math.min(bh4, miRows - r), 16)
+    var rowOffset = 0
+    if (math.abs(colOffset) > 1) {
+      rowOffset = 1
+      if ((r & 1) == 1 && bh4 < 2) rowOffset -= 1
+    }
+    val useStep16 = bh4 >= 16
+    var i = 0
+    while (i < end4) {
+      val mr = r + rowOffset + i
+      val mc = c + colOffset
+      if (!inside(mr, mc)) return
+      val idx = mr * miCols + mc
+      val n4h = math.max(bh4A(idx).toInt, 1)
+      var len = math.min(bh4, n4h)
+      if (useStep16) len = math.max(4, len)
+      else if (math.abs(colOffset) > 1) len = math.max(2, len)
+      var w = 2
+      if (bh4 >= 2 && bh4 <= n4h) {
+        val inc = math.min(-maxColOffset + colOffset + 1,
+          math.max(bw4A(idx).toInt, 1))
+        w = math.max(w, inc)
+        processedCols = inc - colOffset - 1
+      }
+      addCand(mr, mc, len * w)
+      i += len
+    }
+  }
+
+  private def scanPoint(rowOffset: Int, colOffset: Int): Unit = {
+    val mr = r + rowOffset
+    val mc = c + colOffset
+    if (inside(mr, mc) && bw4A(mr * miCols + mc) != 0)
+      addCand(mr, mc, 4)
+  }
+
+  // has-top-right (reference implementation's structural rule): in a
+  // recursive split the bottom-right square lacks a decoded top-right;
+  // rectangles follow the first/second-half rule.
+  private def hasTopRight: Boolean = {
+    val sb4 = if (use128) 32 else 16
+    val bs = math.max(bw4, bh4)
+    if (bs > 16) return false
+    val maskRow = r & (sb4 - 1)
+    val maskCol = c & (sb4 - 1)
+    var hasTr = !(((maskRow & bs) != 0) && ((maskCol & bs) != 0))
+    var b = bs
+    var break = false
+    while (b < sb4 && !break) {
+      if ((maskCol & b) != 0) {
+        if ((maskCol & (2 * b)) != 0 && (maskRow & (2 * b)) != 0) {
+          hasTr = false; break = true
+        }
+      } else break = true
+      if (!break) b <<= 1
+    }
+    val isSecRect =
+      if (bw4 < bh4) (c & (bh4 - 1)) != 0
+      else if (bw4 > bh4) (r & (bw4 - 1)) != 0
+      else false
+    if (bw4 < bh4 && !isSecRect) hasTr = true
+    if (bw4 > bh4 && isSecRect) hasTr = false
+    hasTr
+  }
+
+  // stable weight ranking: bubble within [from, to)
+  private def rank(from: Int, to: Int): Unit = {
+    var len = to
+    while (len > from) {
+      var nr = from
+      var j = from + 1
+      while (j < len) {
+        if (weight(j - 1) < weight(j)) {
+          val tr = stackR(j - 1); stackR(j - 1) = stackR(j); stackR(j) = tr
+          val tc = stackC(j - 1); stackC(j - 1) = stackC(j); stackC(j) = tc
+          val tw = weight(j - 1); weight(j - 1) = weight(j); weight(j) = tw
+          nr = j
+        }
+        j += 1
+      }
+      len = nr
+    }
+  }
+
+  /** Top-of-stack DV predictor for the block at (r, c) with unclipped
+    * mi dims (bw4, bh4): the weighted spatial scan over intrabc
+    * neighbours, nearest-boost 640, bubble-ranked, clamped; falls back
+    * to the first-superblock-row / previous-row default DV when the
+    * stack is empty (spec av1_find_ref_dv, INTRABC_DELAY 256 px).
+    * Returns (predRow, predCol) in 1/8-px units.
+    */
+  def predDv(rIn: Int, cIn: Int, bw4In: Int, bh4In: Int): (Int, Int) = {
+    r = rIn; c = cIn; bw4 = bw4In; bh4 = bh4In
+    count = 0
+    val rowAdj = if (bh4 < 2 && (r & 1) == 1) 1 else 0
+    val colAdj = if (bw4 < 2 && (c & 1) == 1) 1 else 0
+    maxRowOffset = 0
+    if (r > 0) {
+      maxRowOffset = (if (bh4 < 2) -4 else -6) + rowAdj
+      maxRowOffset = math.max(maxRowOffset, -r)
+    }
+    maxColOffset = 0
+    if (c > 0) {
+      maxColOffset = (if (bw4 < 2) -4 else -6) + colAdj
+      maxColOffset = math.max(maxColOffset, -c)
+    }
+    processedRows = 0
+    processedCols = 0
+
+    if (math.abs(maxRowOffset) >= 1) scanRow(-1)
+    if (math.abs(maxColOffset) >= 1) scanCol(-1)
+    if (hasTopRight) scanPoint(-1, bw4)
+    val nearestCount = count
+    var i = 0
+    while (i < nearestCount) { weight(i) += 640; i += 1 }
+    // (temporal scan: still frames carry no reference MVs)
+    scanPoint(-1, -1)
+    var idx2 = 2
+    while (idx2 <= 3) {
+      val rowOffset = -(idx2 << 1) + 1 + rowAdj
+      val colOffset = -(idx2 << 1) + 1 + colAdj
+      if (math.abs(rowOffset) <= math.abs(maxRowOffset) &&
+          math.abs(rowOffset) > processedRows) scanRow(rowOffset)
+      if (math.abs(colOffset) <= math.abs(maxColOffset) &&
+          math.abs(colOffset) > processedCols) scanCol(colOffset)
+      idx2 += 1
+    }
+    rank(0, nearestCount)
+    rank(nearestCount, count)
+
+    if (count > 0) {
+      // clamp_mv_ref: frame bounds extended by the block size + 16 px
+      val minR = -(r * 32) - bh4 * 32 - 128
+      val maxR = (miRows - bh4 - r) * 32 + bh4 * 32 + 128
+      val minC = -(c * 32) - bw4 * 32 - 128
+      val maxC = (miCols - bw4 - c) * 32 + bw4 * 32 + 128
+      (math.max(minR, math.min(maxR, stackR(0))),
+        math.max(minC, math.min(maxC, stackC(0))))
+    } else {
+      val sb4 = if (use128) 32 else 16
+      if (r - sb4 < 0) (0, -(sb4 * 4 + 256) * 8)
+      else (-(sb4 * 4) * 8, 0)
+    }
+  }
 }
 
 /** The checked-in AV1 cross-validation corpus (see `FIXTURES.md` and
@@ -1892,7 +2309,7 @@ object Av1Fixtures {
   private lazy val chromaObus: Array[Array[Byte]] =
     chromaAvifs.map(b => Av1Codec.avifPrimaryItem(b).get)
 
-  /** Chroma fixture payload: cr doc_id % 11, AVIF or raw-OBU. */
+  /** Chroma fixture payload: cr doc_id % 14, AVIF or raw-OBU. */
   def chromaPayload(id: Long): Array[Byte] = {
     val k = ((id % chromaCount) + chromaCount).toInt % chromaCount
     if (id % 2 == 0) chromaAvifs(k) else chromaObus(k)
@@ -1900,4 +2317,93 @@ object Av1Fixtures {
 
   def chromaContainerName(id: Long): String =
     if (id % 2 == 0) "avif" else "obu"
+
+  /** The round-15 lossless 4:4:4 (profile 1) fixture family
+    * (`cr444_N.avif`): full-resolution chroma stills covering UV DC,
+    * directional UV, CfL at the 4:4:4 lossless eligibility (luma block
+    * == 4x4), Y+UV palette tiles, odd/tiny dims, a multi-superblock
+    * frame, and two sRGB-CICP streams (CP=1/TC=13/MC=0) whose
+    * color_config skips color_range/chroma_sample_position entirely.
+    * 3-decoder-validated on all three planes at generation
+    * (`scripts/gen_av1_chroma_fixtures.py 444`).
+    */
+  val chroma444Count = 12
+
+  private lazy val chroma444Avifs: Array[Array[Byte]] = Array.tabulate(chroma444Count) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/cr444_$i.avif")
+    require(in != null, s"av1 4:4:4 fixture cr444_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val chroma444Obus: Array[Array[Byte]] =
+    chroma444Avifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** 4:4:4 fixture payload: cr444 doc_id % 12, AVIF or raw-OBU. */
+  def chroma444Payload(id: Long): Array[Byte] = {
+    val k = ((id % chroma444Count) + chroma444Count).toInt % chroma444Count
+    if (id % 2 == 0) chroma444Avifs(k) else chroma444Obus(k)
+  }
+
+  def chroma444ContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
+
+  /** The residual-CHUNK-ORDER regression family (`chunk_N.avif`):
+    * 128-superblock lossless streams with one frame dimension under
+    * 64 px, whose frame-edge partition keeps a >64px block alive —
+    * the only shape where spec 5.11.34's per-64x64-chunk Y/U/V
+    * interleave differs from naive per-plane order (four 4:4:4, two
+    * 4:2:0 streams; picked from the seeded soak by
+    * `scripts/gen_av1_chunk_fixtures.py`, 3-decoder-validated).
+    */
+  val chunkCount = 6
+
+  private lazy val chunkAvifs: Array[Array[Byte]] = Array.tabulate(chunkCount) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/chunk_$i.avif")
+    require(in != null, s"av1 chunk-order fixture chunk_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val chunkObus: Array[Array[Byte]] =
+    chunkAvifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** Chunk-order fixture payload: chunk doc_id % 6, AVIF or raw-OBU. */
+  def chunkPayload(id: Long): Array[Byte] = {
+    val k = ((id % chunkCount) + chunkCount).toInt % chunkCount
+    if (id % 2 == 0) chunkAvifs(k) else chunkObus(k)
+  }
+
+  def chunkContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
+
+  /** The round-15 INTRABC fixture family (`ibc_N.obu`): lossless
+    * monochrome streams from [[Av1Encoder.encodeIntrabc]] mixing
+    * intra-block-copy blocks (use_intrabc, DV reference stack, MV
+    * joint/class coding, copy prediction — incl. constant-DV
+    * joint-ZERO runs and the empty-stack first-superblock-row default
+    * DV) with plain DC blocks. The system libaom cannot emit intrabc
+    * in its ALL_INTRA usage mode, so these are the only obtainable
+    * streams; truth is the three system DECODERS, which reproduce
+    * every fixture's luma bit-exactly at generation
+    * (`graft.Av1IntrabcFixtures` + `validate_av1_encoder.py`).
+    */
+  val ibcCount = 6
+  private val ibcDims: Array[(Int, Int)] = Array(
+    (384, 32), (32, 384), (384, 32), (448, 16), (512, 16), (32, 384))
+
+  private lazy val ibcObus: Array[Array[Byte]] = Array.tabulate(ibcCount) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/ibc_$i.obu")
+    require(in != null, s"av1 intrabc fixture ibc_$i.obu missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  /** Intrabc fixture payload: ibc doc_id % 6, raw OBU or IVF. */
+  def ibcPayload(id: Long): Array[Byte] = {
+    val k = ((id % ibcCount) + ibcCount).toInt % ibcCount
+    if (id % 2 == 0) ibcObus(k)
+    else ivfWrap(ibcObus(k), ibcDims(k)._1, ibcDims(k)._2)
+  }
+
+  def ibcContainerName(id: Long): String =
+    if (id % 2 == 0) "obu" else "ivf"
 }

@@ -191,8 +191,18 @@ object Av1Encoder {
   private val NzOff4 = Array(0, 1, 6, 6, 1, 6, 6, 21, 6, 6, 21, 21, 6, 21, 21, 21)
 
   // ---------------- frame encoder ----------------
+  /** `dvPlan`, when non-null, turns on screen-content tools +
+    * allow_intrabc and asks, per 4x4 block, for a desired DV in FULL
+    * PIXELS (dyPx, dxPx); blocks answering None — or whose DV fails
+    * the conformance rules (source inside the mi-padded frame, 256-px
+    * wavefront delay, no overlap with the current block) — encode as
+    * plain DC. The DV predictor is derived through the SAME
+    * [[Av1Dv.predDv]] process the decoder (and the system decoders)
+    * run, so only the residual diff is written.
+    */
   private final class Enc(w: Int, h: Int, gray: Array[Byte],
-                          disableCdfUpdate: Boolean) {
+                          disableCdfUpdate: Boolean,
+                          dvPlan: (Int, Int) => Option[(Int, Int)] = null) {
     private val miCols = 2 * ((w + 7) >> 3)
     private val miRows = 2 * ((h + 7) >> 3)
     private val padW = miCols * 4
@@ -225,6 +235,22 @@ object Av1Encoder {
     private val leftPart = new Array[Byte](miRows)
     private val aboveLvl = new Array[Int](miCols)
     private val leftLvl = new Array[Int](miRows)
+    // intrabc (round 15): adaptive MV cdfs + the per-mi state mirror
+    // that keeps Av1Dv.predDv identical between write and read sides
+    private val allowIntrabc = dvPlan != null
+    private val cdfIntrabc = cp(Av1Tables.intrabc)
+    private val cdfMvJoint = cp(Av1Tables.mvJoint)
+    private val cdfMvClass = cp(Av1Tables.mvClass)
+    private val cdfMvSign = cp(Av1Tables.mvSign)
+    private val cdfMvClass0Bit = cp(Av1Tables.mvClass0Bit)
+    private val cdfMvBits = Av1Tables.mvBits.map(cp)
+    private val isIbcAt = new Array[Boolean](miRows * miCols)
+    private val dvRowAt = new Array[Int](miRows * miCols)
+    private val dvColAt = new Array[Int](miRows * miCols)
+    private val bw4At = new Array[Byte](miRows * miCols)
+    private val bh4At = new Array[Byte](miRows * miCols)
+    private lazy val dvPred = new Av1Dv(miCols, miRows, isIbcAt,
+      dvRowAt, dvColAt, bw4At, bh4At, use128 = false)
 
     def encode(): Array[Byte] = {
       var sr = 0
@@ -264,8 +290,10 @@ object Av1Encoder {
     private def frameHeader(): Array[Byte] = {
       val b = new BitW
       b.f(if (disableCdfUpdate) 1 else 0, 1) // disable_cdf_update
-      b.f(0, 1) // allow_screen_content_tools
+      b.f(if (allowIntrabc) 1 else 0, 1) // allow_screen_content_tools
+      if (allowIntrabc) b.f(1, 1) // force_integer_mv (intra frames force 1 anyway)
       b.f(0, 1) // render_and_frame_size_different
+      if (allowIntrabc) b.f(1, 1) // allow_intrabc
       b.f(1, 1) // uniform tile spacing
       val sbCols = (miCols + 15) / 16
       val sbRows = (miRows + 15) / 16
@@ -333,14 +361,76 @@ object Av1Encoder {
       } else 128
     }
 
+    /** Conformance check for a planned DV (libaom av1_is_dv_valid on a
+      * 64-px-superblock single-tile frame): source 4x4 inside the
+      * mi-padded frame and at least INTRABC_DELAY_SB64 (4) 64-px
+      * superblock units behind the active one.
+      */
+    private def dvValid(r: Int, c: Int, dyPx: Int, dxPx: Int): Boolean = {
+      val sx = c * 4 + dxPx; val sy = r * 4 + dyPx
+      if (sx < 0 || sy < 0 || sx + 4 > padW || sy + 4 > miRows * 4) return false
+      val tot = (miCols + 15) / 16
+      val activeRow = r >> 4; val activeCol = c >> 4
+      val srcRow = (sy + 3) >> 6; val srcCol = (sx + 3) >> 6
+      if (srcRow * tot + srcCol >= activeRow * tot + activeCol - 4) return false
+      // second wavefront constraint (hardware-decoder friendliness):
+      // sources must stay in the top-left staircase — per row of
+      // vertical distance the column bound relaxes by gradient = 5
+      if (srcRow > activeRow) return false
+      srcCol < activeCol - 4 + 5 * (activeRow - srcRow)
+    }
+
+    private def writeMv(dr: Int, dc: Int): Unit = {
+      val joint = (if (dc != 0) 1 else 0) | (if (dr != 0) 2 else 0)
+      ec.writeSymbol(cdfMvJoint(0), joint, 4)
+      if (dr != 0) writeMvComponent(0, dr)
+      if (dc != 0) writeMvComponent(1, dc)
+    }
+
+    /** Integer-MV component write, the exact inverse of the decoder's
+      * read_mv_component: class 0 covers magnitudes 8/16 (1/2 px),
+      * class k covers (2^(k+3), 2^(k+4)] with k offset bits; the fr/hp
+      * fields collapse to 3/1 on still frames, making every magnitude
+      * `(d << 3) | 7) + 1` — a multiple of 8.
+      */
+    private def writeMvComponent(comp: Int, v: Int): Unit = {
+      ec.writeBool(cdfMvSign(comp), if (v < 0) 1 else 0)
+      val mag = math.abs(v)
+      if (mag <= 16) {
+        ec.writeSymbol(cdfMvClass(comp), 0, 11)
+        ec.writeBool(cdfMvClass0Bit(comp), (mag >> 3) - 1)
+      } else {
+        val cls = 31 - Integer.numberOfLeadingZeros(mag - 1) - 3
+        ec.writeSymbol(cdfMvClass(comp), cls, 11)
+        val d = (mag - (2 << (cls + 2)) - 8) >> 3
+        var i = 0
+        while (i < cls) { ec.writeBool(cdfMvBits(comp)(i), (d >> i) & 1); i += 1 }
+      }
+    }
+
     private def block(r: Int, c: Int): Unit = {
       if (r >= miRows || c >= miCols) return
       val x0 = c * 4; val y0 = r * 4
-      val dc = predictDc(r, c)
+      var ibc = false
+      var dvR8 = 0; var dvC8 = 0
+      if (allowIntrabc) dvPlan(r, c) match {
+        case Some((dyPx, dxPx)) if dvValid(r, c, dyPx, dxPx) =>
+          ibc = true; dvR8 = dyPx * 8; dvC8 = dxPx * 8
+        case _ => ()
+      }
+      val pred = new Array[Int](16)
+      if (ibc) {
+        val dy = dvR8 >> 3; val dx = dvC8 >> 3
+        var i = 0
+        while (i < 16) {
+          pred(i) = pix((y0 + dy + i / 4) * padW + x0 + dx + (i % 4))
+          i += 1
+        }
+      } else java.util.Arrays.fill(pred, predictDc(r, c))
       val res = new Array[Int](16)
       var i = 0
       while (i < 16) {
-        res(i) = pix((y0 + i / 4) * padW + x0 + (i % 4)) - dc
+        res(i) = pix((y0 + i / 4) * padW + x0 + (i % 4)) - pred(i)
         i += 1
       }
       val q = fwht(res)
@@ -356,8 +446,18 @@ object Av1Encoder {
       val askip = if (r > 0) skipAt((r - 1) * miCols + c) else 0
       val lskip = if (c > 0) skipAt(r * miCols + c - 1) else 0
       ec.writeBool(cdfSkip(askip + lskip), skip)
-      ec.writeSymbol(cdfKfY(0), 0, 13) // DC_PRED; all neighbours DC -> ctx 0
+      if (allowIntrabc) ec.writeBool(cdfIntrabc(0), if (ibc) 1 else 0)
+      if (ibc) {
+        val (pr, pc) = dvPred.predDv(r, c, 1, 1)
+        writeMv(dvR8 - pr, dvC8 - pc)
+      } else {
+        ec.writeSymbol(cdfKfY(0), 0, 13) // DC_PRED; all neighbours DC -> ctx 0
+      }
       skipAt(r * miCols + c) = skip.toByte
+      val idx = r * miCols + c
+      bw4At(idx) = 1; bh4At(idx) = 1
+      isIbcAt(idx) = ibc
+      if (ibc) { dvRowAt(idx) = dvR8; dvColAt(idx) = dvC8 }
       abovePart(c) = 31; leftPart(r) = 31 // 4x4 context bytes
       if (skip == 1) { aboveLvl(c) = 0; leftLvl(r) = 0 }
       else coeffs(r, c, levFull)
@@ -484,6 +584,23 @@ object Av1Encoder {
     require(w <= 4096 && sbCols * sbRows <= 2304,
       s"frame ${w}x$h exceeds the single-tile bound (width<=4096, <=2304 superblocks)")
     new Enc(w, h, gray, disableCdfUpdate).encode()
+  }
+
+  /** Encode with intra block copy: `dvPlan(miRow, miCol)` proposes a DV
+    * in full pixels (dyPx, dxPx) per 4x4 block; nonconformant or None
+    * answers fall back to DC. Decoded luma is still bit-exactly `gray`
+    * (the WHT residual absorbs any prediction), so planted oracles stay
+    * pure arithmetic while the stream exercises use_intrabc, the DV
+    * reference stack, MV joint/class coding, and the copy prediction.
+    */
+  def encodeIntrabc(w: Int, h: Int, gray: Array[Byte],
+                    dvPlan: (Int, Int) => Option[(Int, Int)],
+                    disableCdfUpdate: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h && dvPlan != null)
+    val sbCols = (w + 63) >> 6; val sbRows = (h + 63) >> 6
+    require(w <= 4096 && sbCols * sbRows <= 2304,
+      s"frame ${w}x$h exceeds the single-tile bound (width<=4096, <=2304 superblocks)")
+    new Enc(w, h, gray, disableCdfUpdate, dvPlan).encode()
   }
 
   /** Pack per-frame temporal units as an all-intra AV1 IVF stream. */

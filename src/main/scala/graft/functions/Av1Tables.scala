@@ -101,6 +101,22 @@ private[functions] object Av1Tables {
   val paletteUvMode: Array[Array[Int]] = table(2, 3)
   val paletteUvSize: Array[Array[Int]] = table(7, 8)
   val paletteUvColorIndex: Array[Array[Int]] = table(35, 9)
+  // appended round 15 (intra block copy): the MV-coding family from
+  // libaom's default_nmv_context struct walk (joints anchored on the
+  // spec's AOM_CDF4(4096,11264,19328); per-component classes / sign /
+  // class0_bit / bits[10], comps 0=row 1=col) plus the use_intrabc
+  // bool, whose 6-byte initializer is inlined as a `bd 08 00 00`
+  // store immediate in ALL THREE system binaries (no .rodata copy).
+  // Integer-MV only: class0_fr/fr/hp tables are never read on still
+  // frames (force_integer_mv = 1 when FrameIsIntra, spec 5.9.2).
+  val mvJoint: Array[Array[Int]] = table(1, 5)
+  val mvClass: Array[Array[Int]] = table(2, 12)
+  val mvSign: Array[Array[Int]] = table(2, 3)
+  val mvClass0Bit: Array[Array[Int]] = table(2, 3)
+  private val mvBitsAll = table(20, 3)
+  val mvBits: Array[Array[Array[Int]]] =
+    Array(mvBitsAll.take(10), mvBitsAll.slice(10, 20))
+  val intrabc: Array[Array[Int]] = table(1, 3)
   require(pos == all.length, s"resource size mismatch: $pos vs ${all.length}")
 
   // q_ctx 0 / TX_4X4 slices, per PLANE TYPE (0 = luma, 1 = chroma);

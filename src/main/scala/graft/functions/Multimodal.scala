@@ -3113,6 +3113,93 @@ object Multimodal {
         "sum_y", "sum_u", "sum_v")
   }
 
+  /** REAL AV1 lossless 4:4:4 (profile 1) decode over the round-15
+    * `cr444_N` family — full-resolution chroma planes through the
+    * subsampling-parameterized pipeline, incl. the profile-1 header
+    * (no mono_chrome bit; sRGB CICP branch) — decoded by
+    * [[Av1Codec.decodeYuv]] and reduced to per-plane integer sums
+    * joined against generation-time 3-decoder-validated constants.
+    * Same 100 TB shape: partition-local decode, stat rows only.
+    */
+  def decodeAvifChroma444Real(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeYuv(Av1Fixtures.chroma444Payload(id)).collect {
+            case (w, h, planes) if planes.length == 3 =>
+              def psum(a: Array[Byte]): Long = {
+                var s = 0L; var i = 0
+                while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                s
+              }
+              (id, ((id % Av1Fixtures.chroma444Count) + Av1Fixtures.chroma444Count) % Av1Fixtures.chroma444Count,
+                Av1Fixtures.chroma444ContainerName(id), w.toLong, h.toLong,
+                psum(planes(0)), psum(planes(1)), psum(planes(2)))
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height",
+        "sum_y", "sum_u", "sum_v")
+  }
+
+  /** REAL AV1 residual-chunk-order decode over the round-15 `chunk_N`
+    * regression family — 128-superblock streams whose frame-edge
+    * partitions keep >64px chroma-bearing blocks alive, the only shape
+    * where spec 5.11.34's per-64x64-chunk Y/U/V interleave differs
+    * from naive per-plane order. Plane sums joined against
+    * generation-time 3-decoder-validated constants; mixed 4:4:4 and
+    * 4:2:0 geometries in one row. Same 100 TB shape: partition-local
+    * decode, stat rows only.
+    */
+  def decodeAvifChunkOrderReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeYuv(Av1Fixtures.chunkPayload(id)).collect {
+            case (w, h, planes) if planes.length == 3 =>
+              def psum(a: Array[Byte]): Long = {
+                var s = 0L; var i = 0
+                while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                s
+              }
+              (id, ((id % Av1Fixtures.chunkCount) + Av1Fixtures.chunkCount) % Av1Fixtures.chunkCount,
+                Av1Fixtures.chunkContainerName(id), w.toLong, h.toLong,
+                psum(planes(0)), psum(planes(1)), psum(planes(2)))
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height",
+        "sum_y", "sum_u", "sum_v")
+  }
+
+  /** REAL AV1 INTRABC decode over the round-15 `ibc_N` family — streams
+    * whose blocks copy from the decoded area of the same frame
+    * (use_intrabc, the DV reference stack, MV joint/class coding) —
+    * rotated through raw-OBU / IVF containers, decoded by
+    * [[Av1Codec.decodeLuma]] and reduced to luma sums joined against
+    * generation-time constants (the values dav1d, libgav1 AND libaom
+    * reproduced bit-exactly). Same 100 TB shape: partition-local
+    * decode, stat rows only.
+    */
+  def decodeAvifIntrabcReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeLuma(Av1Fixtures.ibcPayload(id)).map { case (w, h, luma) =>
+            var s = 0L; var i = 0
+            while (i < luma.length) { s += luma(i) & 0xff; i += 1 }
+            (id, ((id % Av1Fixtures.ibcCount) + Av1Fixtures.ibcCount) % Av1Fixtures.ibcCount,
+              Av1Fixtures.ibcContainerName(id), w.toLong, h.toLong,
+              (w.toLong * h), s)
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height", "n_px", "sum_y")
+  }
+
   /** AV1 near-dup from REAL decoded luma: documents carrying the same
     * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
     * into one class once fingerprinted by exact decoded-luma stats —

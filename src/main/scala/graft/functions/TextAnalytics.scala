@@ -247,7 +247,13 @@ object TextAnalytics {
     val v =
       if (maxVocab != SessionBpeMaxVocab) maxVocab
       else spark.conf.getOption("spark.graft.bpeMaxVocab")
-        .map(_.trim.toInt).getOrElse(DefaultBpeMaxVocab)
+        .map { raw =>
+          try raw.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"spark.graft.bpeMaxVocab must be an integer, got '$raw'")
+          }
+        }.getOrElse(DefaultBpeMaxVocab)
     require(v > 0, s"maxVocab must be positive, got $v")
     v
   }

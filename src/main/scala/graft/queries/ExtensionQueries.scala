@@ -142,6 +142,45 @@ object ExtensionQueries {
   ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
     .mkString(",\n")
 
+  /** Planted truth for the round-15 AV1 lossless 4:4:4 (profile 1)
+    * fixture family — full-resolution chroma planes, incl. two sRGB-CICP
+    * streams — per-plane sums captured at
+    * `scripts/gen_av1_chroma_fixtures.py 444` time from planes dav1d,
+    * libgav1 AND libaom decoded bit-identically on all three planes.
+    */
+  private val Av1Chroma444FixtureConstants: String = Seq(
+    (0, 16, 16, 32768L, 23040L, 51200L), (1, 16, 16, 15360L, 17280L, 21120L),
+    (2, 16, 16, 34437L, 24834L, 48126L), (3, 8, 8, 3584L, 1792L, 8192L),
+    (4, 24, 16, 49458L, 50084L, 49695L), (5, 16, 16, 32163L, 30361L, 32386L),
+    (6, 33, 17, 58344L, 71552L, 49368L), (7, 2, 2, 340L, 314L, 714L),
+    (8, 32, 32, 104960L, 120960L, 121600L), (9, 96, 72, 885067L, 912768L, 876863L),
+    (10, 16, 16, 21120L, 13440L, 13440L), (11, 24, 24, 73481L, 70688L, 73562L),
+  ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
+    .mkString(",\n")
+
+  /** Planted truth for the round-15 residual-CHUNK-ORDER regression
+    * family — 128-superblock streams with one dimension under 64 px,
+    * the only shape where the per-64x64-chunk Y/U/V interleave (spec
+    * 5.11.34) differs from per-plane order. Captured at
+    * `scripts/gen_av1_chunk_fixtures.py` time, 3-decoder-validated.
+    */
+  private val Av1ChunkFixtureConstants: String = Seq(
+    (0, 38, 77, 623238L, 234080L, 512050L), (1, 55, 92, 1047420L, 465520L, 824780L),
+    (2, 45, 73, 62415L, 141255L, 696420L), (3, 90, 16, 128160L, 154080L, 213120L),
+    (4, 20, 80, 390400L, 102000L, 0L), (5, 42, 96, 721728L, 110880L, 146160L),
+  ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
+    .mkString(",\n")
+
+  /** Planted truth for the round-15 INTRABC fixture family — luma sums
+    * captured at `graft.Av1IntrabcFixtures` generation time, every
+    * stream reproduced bit-exactly by dav1d, libgav1 AND libaom
+    * (`validate_av1_encoder.py`).
+    */
+  private val Av1IbcFixtureConstants: String = Seq(
+    (0, 384, 32, 1233121L), (1, 32, 384, 1232828L), (2, 384, 32, 1536000L),
+    (3, 448, 16, 821760L), (4, 512, 16, 822089L), (5, 32, 384, 1564672L),
+  ).map { case (k, w, h, s) => s"  ($k, $w, $h, $s)" }.mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2866,6 +2905,69 @@ object ExtensionQueries {
              |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
              |  CAST(c.sum_y AS BIGINT) AS sum_y, CAST(c.sum_u AS BIGINT) AS sum_u,
              |  CAST(c.sum_v AS BIGINT) AS sum_v
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 4:4:4 (profile 1) decode (round 15): full-resolution
+    // chroma through the subsampling-parameterized pipeline — profile-1
+    // header parsing (no mono_chrome bit, incl. the sRGB CICP branch
+    // that skips color_range/chroma_sample_position), per-4x4-block
+    // chroma, CfL at the 4:4:4 lossless eligibility, Y+UV palette —
+    // with per-plane sums joined against generation-time constants.
+    QueryDef(
+      "multimodal_avif_chroma444",
+      (s, dir) => Multimodal.decodeAvifChroma444Real(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
+             |$Av1Chroma444FixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 12 + 12) % 12 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.sum_y AS BIGINT) AS sum_y, CAST(c.sum_u AS BIGINT) AS sum_u,
+             |  CAST(c.sum_v AS BIGINT) AS sum_v
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 residual-chunk-order decode (round 15): the regression
+    // family pinning spec 5.11.34's per-64x64-chunk Y/U/V interleave on
+    // >64px chroma-bearing blocks (128-superblock frames with one
+    // dimension under 64 px) — the soak-caught desync that was latent
+    // for 4:2:0 since round 14. Mixed 4:4:4/4:2:0; per-plane sums
+    // joined against generation-time constants.
+    QueryDef(
+      "multimodal_avif_chunk_order",
+      (s, dir) => Multimodal.decodeAvifChunkOrderReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
+             |$Av1ChunkFixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 6 + 6) % 6 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.sum_y AS BIGINT) AS sum_y, CAST(c.sum_u AS BIGINT) AS sum_u,
+             |  CAST(c.sum_v AS BIGINT) AS sum_v
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 INTRABC decode (round 15): streams whose blocks copy
+    // from the decoded area of the same frame — use_intrabc bool, the
+    // DV reference stack (spatial scans, nearest boost, default DV),
+    // MV joint/class coding, copy prediction — from the repo's own
+    // system-validated encoder (the system libaom's ALL_INTRA mode
+    // never emits intrabc, so the three system DECODERS are the truth
+    // anchor). Luma sums joined against generation-time constants.
+    QueryDef(
+      "multimodal_avif_intrabc",
+      (s, dir) => Multimodal.decodeAvifIntrabcReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, sum_y) AS (VALUES
+             |$Av1IbcFixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 6 + 6) % 6 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'obu' ELSE 'ivf' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.w * c.h AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y
              |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
     ),
 

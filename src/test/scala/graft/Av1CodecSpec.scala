@@ -227,6 +227,112 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("12 profile-1 fixtures decode to bit-exact Y+U+V (4:4:4)") {
+    // Lossless 4:4:4 (profile 1) streams: full-resolution chroma planes
+    // through the subsampling-parameterized pipeline — profile-1 header
+    // (no mono_chrome bit), per-4x4-block chroma, CfL at the 4:4:4
+    // lossless eligibility (luma block == 4x4), Y+UV palette tiles, odd
+    // and tiny dims, a multi-superblock 96x72 frame, and two sRGB-CICP
+    // streams (cr444_10/11: CP=1/TC=13/MC=0, whose color_config skips
+    // color_range and chroma_sample_position). 3-decoder-validated on
+    // all three planes at generation
+    // (scripts/gen_av1_chroma_fixtures.py 444).
+    for (i <- 0 to 11) {
+      val avif = res(s"cr444_$i.avif")
+      val yuv = res(s"cr444_$i.yuv")
+      val dec = Av1Codec.decodeYuv(avif)
+      assert(dec.isDefined, s"cr444_$i must decode")
+      val (w, h, planes) = dec.get
+      assert(planes.length == 3, s"cr444_$i must carry chroma")
+      val got = planes(0) ++ planes(1) ++ planes(2)
+      assert(3 * w * h == yuv.length, s"cr444_$i geometry $w x $h")
+      assert(java.util.Arrays.equals(got, yuv), s"cr444_$i planes differ")
+    }
+  }
+
+  test("6 chunk-order fixtures decode to bit-exact Y+U+V") {
+    // The residual-chunk-order regression family: 128-superblock
+    // lossless streams with one frame dimension under 64 px, where the
+    // frame-edge partition keeps a >64px chroma-bearing block alive —
+    // the only shape where spec 5.11.34's per-64x64-chunk Y/U/V
+    // interleave differs from naive per-plane order. chunk_0..3 are
+    // 4:4:4, chunk_4..5 are 4:2:0 (the same desync latent since
+    // round 14). Picked from the seeded soak by
+    // scripts/gen_av1_chunk_fixtures.py; 3-decoder-validated.
+    for (i <- 0 to 5) {
+      val avif = res(s"chunk_$i.avif")
+      val yuv = res(s"chunk_$i.yuv")
+      val dec = Av1Codec.decodeYuv(avif)
+      assert(dec.isDefined, s"chunk_$i must decode")
+      val (w, h, planes) = dec.get
+      assert(planes.length == 3, s"chunk_$i must carry chroma")
+      val got = planes(0) ++ planes(1) ++ planes(2)
+      assert(got.length == yuv.length, s"chunk_$i geometry $w x $h")
+      assert(java.util.Arrays.equals(got, yuv), s"chunk_$i planes differ")
+    }
+  }
+
+  test("6 intrabc fixtures decode to bit-exact luma") {
+    // Streams whose blocks copy from the decoded area of the same
+    // frame: use_intrabc bool (every block reads it once the frame
+    // header sets allow_intrabc), the DV reference stack (spatial
+    // scans + nearest boost + ranking; constant-DV runs hit joint-ZERO
+    // diffs; ibc_4's first eligible block hits the empty-stack
+    // first-superblock-row default DV), MV joint/class coding, and the
+    // copy prediction with residual on top. Every stream reproduced
+    // bit-exactly by dav1d, libgav1 AND libaom at generation
+    // (graft.Av1IntrabcFixtures + validate_av1_encoder.py).
+    for (i <- 0 to 5) {
+      val obu = res(s"ibc_$i.obu")
+      val gray = res(s"ibc_$i.gray")
+      val dec = Av1Codec.decodeLuma(obu)
+      assert(dec.isDefined, s"ibc_$i must decode")
+      assert(java.util.Arrays.equals(dec.get._3, gray), s"ibc_$i luma differs")
+    }
+  }
+
+  test("intrabc fixtures survive truncation and mutation without throwing") {
+    val obu = res("ibc_0.obu")
+    for (len <- 0 until obu.length by 7)
+      Av1Codec.decodeLuma(java.util.Arrays.copyOf(obu, len))
+    val rnd = new scala.util.Random(0x1BC)
+    for (_ <- 1 to 200) {
+      val m = obu.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeLuma(m)
+    }
+  }
+
+  test("encodeIntrabc round-trips random plans through the decoder") {
+    val rnd = new scala.util.Random(0x5eed)
+    for (trial <- 1 to 6) {
+      val w = 384 + rnd.nextInt(64); val h = 32 + rnd.nextInt(96)
+      val pix = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val seed = rnd.nextInt(1 << 16)
+      val plan: (Int, Int) => Option[(Int, Int)] = (r, c) => {
+        val cell = new scala.util.Random(seed * 65536L + r * 256 + c)
+        if (cell.nextInt(2) == 0) Some((-cell.nextInt(h), -cell.nextInt(w)))
+        else None
+      }
+      val obu = Av1Encoder.encodeIntrabc(w, h, pix, plan)
+      val dec = Av1Codec.decodeLuma(obu)
+      assert(dec.isDefined, s"trial $trial must decode")
+      assert(java.util.Arrays.equals(dec.get._3, pix), s"trial $trial differs")
+    }
+  }
+
+  test("4:4:4 fixtures survive truncation and mutation without throwing") {
+    val avif = res("cr444_9.avif")
+    for (len <- 0 until avif.length by 7)
+      Av1Codec.decodeYuv(java.util.Arrays.copyOf(avif, len))
+    val rnd = new scala.util.Random(0x44)
+    for (_ <- 1 to 200) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeYuv(m)
+    }
+  }
+
   test("chroma fixtures survive truncation and mutation without throwing") {
     val avif = res("cr_6.avif")
     for (len <- 0 until avif.length by 7)

@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.nio.file.{Files, Paths}
+
+/** Randomized intrabc stream soak (dev tool, Test/runMain): emits N
+  * seeded-random [[Av1Encoder.encodeIntrabc]] streams in the
+  * `validate_av1_encoder.py` manifest format, self-decode-checked
+  * here, then held to dav1d/libgav1/libaom by that script. Plans are
+  * random per block (random magnitudes, joints, odd components,
+  * eligible-region shapes, frames whose FIRST intrabc block sits on
+  * the first superblock row to hit the empty-stack default-DV path),
+  * with the encoder's conformance check silently converting invalid
+  * proposals to DC — so every stream mixes the paths.
+  */
+object Av1IbcSoak {
+  def main(args: Array[String]): Unit = {
+    val outDir = Paths.get(args.headOption.getOrElse("/tmp/av1_ibc_soak"))
+    val n = args.lift(1).map(_.toInt).getOrElse(120)
+    Files.createDirectories(outDir)
+    val rnd = new scala.util.Random(0x1BC)
+    var manifest = List.empty[String]
+    var k = 0
+    while (k < n) {
+      // frames big enough for the 256-px wavefront delay to leave an
+      // eligible region: wide, tall, or both
+      val (w, h) = rnd.nextInt(3) match {
+        case 0 => (384 + rnd.nextInt(160), 16 + rnd.nextInt(112))
+        case 1 => (64 + rnd.nextInt(128), 320 + rnd.nextInt(192))
+        case _ => (320 + rnd.nextInt(160), 128 + rnd.nextInt(192))
+      }
+      val pix = rnd.nextInt(3) match {
+        case 0 => Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+        case 1 => Array.tabulate[Byte](w * h)(i =>
+          ((i % w * (1 + k % 7) + i / w * (2 + k % 5)) & 0xff).toByte)
+        case _ => Array.tabulate[Byte](w * h)(i =>
+          (((i % w / 8) + (i / w / 8)) % 3 * 100 + rnd.nextInt(8)).toByte)
+      }
+      val density = 1 + rnd.nextInt(4)
+      val seed = rnd.nextInt(1 << 20)
+      val plan: (Int, Int) => Option[(Int, Int)] = (r, c) => {
+        val cell = new scala.util.Random(seed.toLong * 1048576 + r * 4096 + c)
+        if (cell.nextInt(4) < density) {
+          // random proposals; dvValid in the encoder filters to DC
+          val dy = -cell.nextInt(h + 64)
+          val dx =
+            if (cell.nextBoolean()) -cell.nextInt(w + 64)
+            else cell.nextInt(64) - (if (dy == 0) 384 else 0)
+          if (dy == 0 && dx == 0) None else Some((dy, dx))
+        } else None
+      }
+      val obu = Av1Encoder.encodeIntrabc(w, h, pix, plan)
+      val dec = Av1Codec.decodeLuma(obu)
+      require(dec.exists(d => java.util.Arrays.equals(d._3, pix)),
+        s"intrabc soak self-decode failed: case $k (${w}x$h)")
+      Files.write(outDir.resolve(s"enc_$k.obu"), obu)
+      Files.write(outDir.resolve(s"enc_$k.gray"), pix)
+      manifest ::= s"""{"k": $k, "w": $w, "h": $h}"""
+      k += 1
+    }
+    Files.write(outDir.resolve("manifest.json"),
+      manifest.reverse.mkString("[", ",", "]").getBytes("UTF-8"))
+    println(s"wrote $n intrabc soak streams to $outDir (all self-decode exact)")
+  }
+}

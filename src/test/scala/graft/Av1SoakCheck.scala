@@ -1,0 +1,52 @@
+package graft.functions
+
+/** Bulk decoder-vs-system-truth soak runner (dev tool, Test/runMain):
+  * walks a directory of `*.avif` streams, each with a `*.yuv` twin
+  * holding the planes the system decoders (dav1d/libgav1/libaom)
+  * agreed on bit-exactly at generation time (see
+  * `scripts/gen_av1_soak.py`), and requires [[Av1Codec.decodeYuv]] to
+  * reproduce every decodable stream byte-for-byte.
+  *
+  * Honest bails (streams using tools outside the decoder's documented
+  * scope, e.g. intrabc picked by libaom on screen content) are counted
+  * and reported but do not fail the soak — a MISMATCH on a decoded
+  * stream always does.
+  */
+object Av1SoakCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(args.headOption.getOrElse("/tmp/av1_soak"))
+    val avifs = dir.listFiles().filter(_.getName.endsWith(".avif")).sortBy(_.getName)
+    require(avifs.nonEmpty, s"no .avif streams under $dir")
+    var ok = 0; var bails = 0; var fail = 0
+    for (f <- avifs) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val yuv = java.nio.file.Files.readAllBytes(
+        new java.io.File(f.getPath.stripSuffix(".avif") + ".yuv").toPath)
+      Av1Codec.decodeYuv(bytes) match {
+        case Some((w, h, planes)) =>
+          if (java.util.Arrays.equals(planes.reduce(_ ++ _), yuv)) ok += 1
+          else {
+            fail += 1
+            // locate the first diff per plane for debugging
+            var off = 0
+            val det = planes.zipWithIndex.map { case (p, pi) =>
+              val exp = java.util.Arrays.copyOfRange(yuv, off, off + p.length)
+              off += p.length
+              val d = p.indices.find(i => p(i) != exp(i))
+              val pw = if (pi == 0) w else p.length / (if (p.length == w * h) h else (h + 1) / 2)
+              d.map(i => s"p$pi@(${i % pw},${i / pw}) got=${p(i) & 0xff} exp=${exp(i) & 0xff}").getOrElse(s"p$pi=ok")
+            }
+            println(s"MISMATCH ${f.getName} ${det.mkString(" ")}")
+            if (sys.env.contains("AV1_SOAK_DUMP"))
+              java.nio.file.Files.write(
+                new java.io.File(f.getPath.stripSuffix(".avif") + ".got").toPath,
+                planes.reduce(_ ++ _))
+          }
+        case None =>
+          bails += 1; println(s"BAIL ${f.getName}")
+      }
+    }
+    println(s"soak: $ok bit-exact, $bails honest bails, $fail mismatches of ${avifs.length}")
+    if (fail > 0) sys.exit(1)
+  }
+}
