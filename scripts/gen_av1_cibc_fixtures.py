@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Commit the COLOR-intrabc regression fixtures (`cibc_N.avif` / `.yuv`
+under src/main/resources/av1/fixtures/).
+
+The system libaom DOES set allow_intrabc on large lossless
+screen-content color encodes (unlike the 128-px probes suggested), so
+color intra-block-copy is generatable and 3-decoder-validatable after
+all. These six fixtures are exact picks from the seeded soak
+generator's runs (`gen_av1_soak.py`, seed 0x444 with --scc and seed
+0x711E with --tiles), chosen to pin each chroma-copy shape the
+round-15 work landed:
+
+  * 4:4:4 intrabc (direct chroma copy at luma resolution),
+  * 4:2:0 with chroma-aligned (even) DVs (direct subsampled copy),
+  * 4:2:0 merged sub-8x8 chroma (the spec's some_use_intra rule
+    collapses piecewise prediction to one carrier-DV copy),
+  * 4:2:0 odd DVs (half-pel chroma through the BILINEAR convolve,
+    H-then-V with InterRound0=3 / InterRound1=11).
+
+Each stream was already decoded bit-exactly by dav1d, libgav1 AND
+libaom at soak-generation time; this script reproduces them
+deterministically by replaying the seeded runs.
+"""
+import os, sys, json, subprocess, tempfile, shutil
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "..", "src/main/resources/av1/fixtures")
+PICKS = [  # (soak args, wanted 1-based indices, shape tag per index)
+    (["120", None, "--fmt", "both", "--scc"],
+     {2: "merged-sub8x8", 91: "odd-dv-halfpel", 97: "merged-sub8x8",
+      102: "odd-dv-halfpel"}),
+    (["150", None, "--fmt", "both", "--tiles"],
+     {18: "444-direct", 63: "420-aligned"}),
+]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    man = []
+    n = 0
+    for args, wanted in PICKS:
+        tmp = tempfile.mkdtemp(prefix="av1cibc_")
+        args = [a if a is not None else tmp for a in args]
+        subprocess.run([sys.executable, os.path.join(HERE, "gen_av1_soak.py")]
+                       + args, check=True, stdout=subprocess.DEVNULL)
+        streams = {int(f.split("_")[0][1:]): f[:-5]
+                   for f in os.listdir(tmp) if f.endswith(".avif")}
+        for k in sorted(wanted):
+            base = streams[k]
+            _, dims, sp, fm = base.split("_")
+            w, h = map(int, dims.split("x"))
+            fmt = int(fm[1:])
+            yuv = open(os.path.join(tmp, base + ".yuv"), "rb").read()
+            shutil.copy(os.path.join(tmp, base + ".avif"),
+                        os.path.join(OUT, f"cibc_{n}.avif"))
+            open(os.path.join(OUT, f"cibc_{n}.yuv"), "wb").write(yuv)
+            man.append({"k": n, "w": w, "h": h, "fmt": fmt,
+                        "shape": wanted[k], "soak_index": k,
+                        "speed": int(sp[2:])})
+            print(f"cibc_{n}: {w}x{h} f{fmt} {wanted[k]} (soak #{k})")
+            n += 1
+        shutil.rmtree(tmp)
+    json.dump(man, open(os.path.join(OUT, "cibc_manifest.json"), "w"),
+              indent=1)
+    print(f"wrote {n} color-intrabc fixtures")
+
+
+main()

@@ -41,10 +41,15 @@ def mk_image(w, h, y, u, v, fmt):
     return img
 
 
-def encode(img, speed):
+def encode(img, speed, tiles=(0, 0)):
     enc = AV.avifEncoderCreate()
     C.memmove(enc + 8, struct.pack("<i", speed), 4)
     AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"lossless", b"1")
+    if tiles != (0, 0):
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"tile-columns",
+                                             str(tiles[0]).encode())
+        AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"tile-rows",
+                                             str(tiles[1]).encode())
     out = RWData()
     r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
     assert r == 0, AV.avifResultToString(r)
@@ -100,16 +105,24 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/av1_soak"
     fmt_arg = sys.argv[sys.argv.index("--fmt") + 1] if "--fmt" in sys.argv else "444"
+    tiled = "--tiles" in sys.argv
+    scc = "--scc" in sys.argv
     os.makedirs(outdir, exist_ok=True)
-    rnd = random.Random(0x444)
+    rnd = random.Random(0x711E if tiled else 0x444)
     written = 0
     k = 0
     while written < n:
         k += 1
-        fmt = {"444": 1, "420": 3}.get(fmt_arg) or rnd.choice([1, 3])
-        w, h = rnd.randrange(1, 97), rnd.randrange(1, 97)
+        fmt = {"444": 1, "420": 3, "400": 4}.get(fmt_arg) or rnd.choice([1, 3, 4])
+        if tiled or scc:
+            # big enough that the requested grid actually materializes
+            # (and that libaom turns allow_intrabc on for screen content)
+            w, h = 65 + rnd.randrange(320), 65 + rnd.randrange(320)
+        else:
+            w, h = rnd.randrange(1, 97), rnd.randrange(1, 97)
         speed = rnd.randrange(0, 9)
-        cls = rnd.randrange(4)
+        grid = (rnd.randrange(3), rnd.randrange(3)) if tiled else (0, 0)
+        cls = 3 if scc and rnd.randrange(3) > 0 else rnd.randrange(4)
         y = content(rnd, w, h, cls)
         if fmt == 3:
             cw, ch = (w + 1) // 2, (h + 1) // 2
@@ -126,17 +139,18 @@ def main():
             u = content(rnd, cw, ch, rnd.randrange(4))
             v = content(rnd, cw, ch, rnd.randrange(4))
         img = mk_image(w, h, y, u, v, fmt)
-        data = encode(img, speed)
+        data = encode(img, speed, grid)
+        want = [y] if fmt == 4 else [y, u, v]
         good = True
         for codec in (2, 3, 1):
             dw, dh, planes = decode_planes(data, codec)
-            if (dw, dh) != (w, h) or planes != [y, u, v]:
+            if (dw, dh) != (w, h) or planes != want:
                 good = False
                 break
         assert good, f"system decoders disagree on seed case {k}"
         tag = f"s{k:04d}_{w}x{h}_sp{speed}_f{fmt}"
         open(os.path.join(outdir, f"{tag}.avif"), "wb").write(data)
-        open(os.path.join(outdir, f"{tag}.yuv"), "wb").write(y + u + v)
+        open(os.path.join(outdir, f"{tag}.yuv"), "wb").write(b"".join(want))
         written += 1
         if written % 50 == 0:
             print(f"{written}/{n}")

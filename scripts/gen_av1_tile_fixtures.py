@@ -1,0 +1,223 @@
+#!/usr/bin/env python3
+"""Generate the AV1 multi-TILE lossless fixture family
+(`tile_N.avif` / `.yuv` under src/main/resources/av1/fixtures/).
+
+Tiles decode independently — per-tile range decoder, fresh CDFs,
+fresh neighbour contexts, prediction that never crosses a tile
+boundary — and the frame header carries the uniform tile grid plus
+per-tile size prefixes (spec 5.9.15 / 5.11.1). The system libaom tiles
+on request via the `tile-columns` / `tile-rows` codec options (log2
+counts), so this family is generated exactly like the chroma ones:
+encode lossless, decode back through dav1d, libgav1 AND libaom, and
+only write fixtures all three reproduce bit-exactly.
+
+Covers: 2x1 / 1x2 / 2x2 / 4x1 grids, uneven last-tile widths (frame
+not a multiple of the tile span), monochrome + 4:2:0 + 4:4:4, noise /
+gradient / screen-content tiles, odd crop dims.
+"""
+import ctypes as C, struct, os, json, random
+
+AV = C.CDLL("/lib/x86_64-linux-gnu/libavif.so.15")
+for f in ("avifImageCreate", "avifImageCreateEmpty", "avifEncoderCreate",
+          "avifDecoderCreate"):
+    getattr(AV, f).restype = C.c_void_p
+AV.avifResultToString.restype = C.c_char_p
+IMG_PLANES, IMG_ROWBYTES = 24, 48
+
+
+class RWData(C.Structure):
+    _fields_ = [("data", C.c_void_p), ("size", C.c_size_t)]
+
+
+def mk_image(w, h, y, u, v, fmt):
+    img = AV.avifImageCreate(w, h, 8, fmt)
+    assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    cw, ch = ((w + 1) // 2, (h + 1) // 2) if fmt == 3 else (w, h)
+    planes = ((y, w, h),) if fmt == 4 else ((y, w, h), (u, cw, ch), (v, cw, ch))
+    for i, (px, pw, ph) in enumerate(planes):
+        ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8 * i)[0]
+        rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4 * i)[0]
+        for row in range(ph):
+            C.memmove(ptr + row * rb, px[row * pw:(row + 1) * pw], pw)
+    return img
+
+
+def encode(img, speed, tile_cols_log2, tile_rows_log2):
+    enc = AV.avifEncoderCreate()
+    C.memmove(enc + 8, struct.pack("<i", speed), 4)
+    AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"lossless", b"1")
+    AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"tile-columns",
+                                         str(tile_cols_log2).encode())
+    AV.avifEncoderSetCodecSpecificOption(C.c_void_p(enc), b"tile-rows",
+                                         str(tile_rows_log2).encode())
+    out = RWData()
+    r = AV.avifEncoderWrite(C.c_void_p(enc), C.c_void_p(img), C.byref(out))
+    assert r == 0, AV.avifResultToString(r)
+    data = C.string_at(out.data, out.size)
+    AV.avifEncoderDestroy(C.c_void_p(enc))
+    return data
+
+
+def decode_planes(data, codec):
+    dec = AV.avifDecoderCreate()
+    C.memmove(dec, struct.pack("<i", codec), 4)
+    img = AV.avifImageCreateEmpty()
+    r = AV.avifDecoderReadMemory(C.c_void_p(dec), C.c_void_p(img), data, len(data))
+    assert r == 0, (codec, AV.avifResultToString(r))
+    b = bytes((C.c_uint8 * 64).from_address(img))
+    w, h = struct.unpack_from("<2I", b, 0)
+    fmt = struct.unpack_from("<I", b, 12)[0]
+    nplanes = 1 if fmt == 4 else 3
+    planes = []
+    for i in range(nplanes):
+        pw, ph = (w, h) if (i == 0 or fmt == 1) else ((w + 1) // 2, (h + 1) // 2)
+        ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8 * i)[0]
+        rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4 * i)[0]
+        planes.append(b"".join(C.string_at(ptr + row * rb, pw) for row in range(ph)))
+    AV.avifDecoderDestroy(C.c_void_p(dec))
+    AV.avifImageDestroy(C.c_void_p(img))
+    return w, h, planes
+
+
+rnd = random.Random(0x711E)
+
+
+def noise(n):
+    # sparse low-amplitude speckles: keeps residual coding exercised
+    # while the registry bench row stays in family time — the row's
+    # unit cost is the NON-SKIP block count, so fixture content must be
+    # mostly skip (full-amplitude noise and dense gradients are the
+    # soaks' job)
+    return bytes((128 + rnd.randrange(12) if rnd.randrange(64) == 0 else 128)
+                 for _ in range(n))
+
+
+def grad(w, h, fx, fy):
+    return bytes(((x * fx + y * fy) & 0xFF) for y in range(h) for x in range(w))
+
+
+def tiles_px(w, h, pal, ts):
+    o = bytearray(w * h)
+    for ty in range((h + ts - 1) // ts):
+        for tx in range((w + ts - 1) // ts):
+            colr = pal[(tx * 7 + ty * 13) % len(pal)]
+            for yy in range(ty * ts, min((ty + 1) * ts, h)):
+                for x in range(tx * ts, min((tx + 1) * ts, w)):
+                    o[yy * w + x] = colr
+    return bytes(o)
+
+
+def cases():
+    # (w, h, fmt, speed, cols_log2, rows_log2, y, u, v). Small frames on
+    # purpose — a tile only needs one superblock, and the registry row's
+    # unit cost is total pixels — with extreme uneven splits (65 px =
+    # a 64-px tile + a 1-px tile).
+    out = []
+    out.append((65, 64, 4, 6, 1, 0, tiles_px(65, 64, [40, 200], 16), None, None))
+    out.append((64, 130, 4, 6, 0, 1, noise(64 * 130), None, None))
+    out.append((129, 129, 4, 4, 1, 1, tiles_px(129, 129, [10, 120, 230], 8),
+                None, None))
+    # 3 single-superblock tile columns
+    out.append((192, 64, 4, 6, 2, 0, tiles_px(192, 64, [5, 90, 175, 250], 32),
+                None, None))
+    # 4:2:0 color, 2x2 grid, odd crop
+    out.append((130, 66, 3, 6, 1, 1, tiles_px(130, 66, [60, 180], 16),
+                noise(65 * 33), tiles_px(65, 33, [90, 210], 16)))
+    # 4:4:4 color, 2x2 grid of 64+32
+    out.append((96, 96, 1, 4, 1, 1, tiles_px(96, 96, [20, 90, 160, 240], 16),
+                tiles_px(96, 96, [30, 150], 16), tiles_px(96, 96, [220, 110], 32)))
+    out.append((256, 64, 4, 6, 1, 0, tiles_px(256, 64, [128, 15], 32), None, None))
+    return out
+
+
+def stream_grid(data):
+    """Parse the emitted stream's tile grid (cols_log2, rows_log2 as
+    actually coded) so a silently-untiled encode cannot masquerade as a
+    tile fixture."""
+    k = data.find(b"mdat")
+    d = data[k + 4:]
+    pos = [0]
+    seq = frm = None
+    i = 0
+    while i < len(d):
+        hdr = d[i]; typ = (hdr >> 3) & 0xf; ext = (hdr >> 2) & 1
+        j = i + 1 + ext; size = 0; sh = 0
+        while True:
+            bb = d[j]; j += 1; size |= (bb & 0x7f) << sh; sh += 7
+            if not bb & 0x80:
+                break
+        if typ == 1:
+            seq = d[j:j + size]
+        if typ == 6:
+            frm = d[j:j + size]
+        i = j + size
+
+    def bits(b):
+        p = [0]
+        def f(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | ((b[p[0] >> 3] >> (7 - (p[0] & 7))) & 1)
+                p[0] += 1
+            return v
+        return f
+    f = bits(seq)
+    prof = f(3); f(1); f(1); f(5)
+    wb = f(4) + 1; hb = f(4) + 1; w = f(wb) + 1; h = f(hb) + 1
+    use128 = f(1); f(6)  # fi/ief/sr/cdef/lr/hbd
+    g = bits(frm)
+    g(1)  # disable_cdf_update
+    sct = g(1)
+    if sct:
+        g(1)
+    if g(1):
+        g(16); g(16)
+    if sct:
+        g(1)
+    assert g(1) == 1  # uniform
+    sb = 32 if use128 else 16
+    miC = 2 * ((w + 7) >> 3); miR = 2 * ((h + 7) >> 3)
+    sbC = (miC + sb - 1) // sb; sbR = (miR + sb - 1) // sb
+
+    def tl(blk, tgt):
+        kk = 0
+        while (blk << kk) < tgt:
+            kk += 1
+        return kk
+    maxW = 4096 >> (7 if use128 else 6)
+    cols = tl(maxW, sbC)
+    while cols < tl(1, min(sbC, 64)) and g(1) == 1:
+        cols += 1
+    minT = max(tl(maxW, sbC), tl((4096 * 2304) >> (2 * (7 if use128 else 6)),
+                                 sbR * sbC))
+    rows = max(minT - cols, 0)
+    while rows < tl(1, min(sbR, 64)) and g(1) == 1:
+        rows += 1
+    return cols, rows
+
+
+def main():
+    outdir = os.path.join(os.path.dirname(__file__), "..",
+                          "src/main/resources/av1/fixtures")
+    man = []
+    for k, (w, h, fmt, speed, cl, rl, y, u, v) in enumerate(cases()):
+        img = mk_image(w, h, y, u, v, fmt)
+        data = encode(img, speed, cl, rl)
+        want = [y] if fmt == 4 else [y, u, v]
+        assert stream_grid(data) == (cl, rl), (k, stream_grid(data))
+        for codec in (2, 3, 1):
+            dw, dh, planes = decode_planes(data, codec)
+            assert (dw, dh) == (w, h) and planes == want, (k, codec)
+        open(os.path.join(outdir, f"tile_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"tile_{k}.yuv"), "wb").write(b"".join(want))
+        man.append({"k": k, "w": w, "h": h, "fmt": fmt, "cols_log2": cl,
+                    "rows_log2": rl, "sum_y": sum(y),
+                    "sum_u": sum(u) if u else 0, "sum_v": sum(v) if v else 0})
+        print(f"tile_{k}: {w}x{h} fmt={fmt} grid=2^{cl}x2^{rl} ok (3 decoders)")
+    json.dump(man, open(os.path.join(outdir, "tile_manifest.json"), "w"),
+              indent=1)
+    print(f"wrote {len(man)} tile fixtures")
+
+
+main()

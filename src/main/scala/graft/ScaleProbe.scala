@@ -333,6 +333,8 @@ object ScaleProbe {
       graft.functions.Multimodal.decodeAvifChunkOrderReal(spark, docs).count())
     timed("avif_intrabc_real")(
       graft.functions.Multimodal.decodeAvifIntrabcReal(spark, docs).count())
+    timed("avif_tiles_real")(
+      graft.functions.Multimodal.decodeAvifTilesReal(spark, docs).count())
 
     spark.stop()
   }

@@ -46,26 +46,37 @@ package graft.functions
   * HasChroma — covers both geometries, including the profile-1 sRGB
   * CICP header branch that skips color_range/chroma_sample_position.
   *
-  * INTRA BLOCK COPY decodes for real since round 15 (monochrome):
-  * the use_intrabc bool, the DV reference-stack process (spatial
-  * scans, nearest boost, ranking, default DV — [[Av1Dv]], shared with
-  * the write side), MV joint/class coding, and the copy prediction —
-  * pinned bit-exact through dav1d/libgav1/libaom over the committed
-  * `ibc_N` fixtures and a 120-stream random soak (the system encoder
-  * never emits intrabc in ALL_INTRA usage, so the repo's own encoder
-  * generates and the system DECODERS arbitrate).
+  * INTRA BLOCK COPY decodes for real since round 15: the use_intrabc
+  * bool, the DV reference-stack process (spatial scans, nearest
+  * boost, ranking, default DV — [[Av1Dv]], shared with the write
+  * side), MV joint/class coding, and the copy prediction — including
+  * COLOR: 4:4:4 direct, 4:2:0 aligned-DV direct, the merged sub-8x8
+  * carrier (some_use_intra collapses piecewise prediction to one
+  * carrier-DV copy), and odd-DV half-pel chroma through the BILINEAR
+  * convolve. Pinned bit-exact through dav1d/libgav1/libaom over the
+  * committed `ibc_N` (mono, from the repo's own encoder — the system
+  * encoder never emits intrabc in ALL_INTRA usage) and `cibc_N`
+  * (color, from the system encoder on large screen-content frames)
+  * fixtures plus 120-stream random soaks of each kind.
+  *
+  * MULTI-TILE frames decode for real since round 15: the uniform tile
+  * grid (spec 5.9.15), per-tile size prefixes, and one independent
+  * range decoder + CDF set + neighbour contexts per tile (prediction
+  * never crosses a tile boundary; pixels land in shared plane
+  * buffers). Pinned by the committed `tile_N` fixtures (mono / 4:2:0 /
+  * 4:4:4 across 2x1 / 1x2 / 2x2 / 4x1 grids incl. 64+1-px uneven
+  * splits) and a 150-stream random tiled soak.
   *
   * Honest bails (decode returns None, never a task failure): lossy
   * streams (base_q_idx > 0), profile-2 streams (4:2:2 / 12-bit),
-  * COLOR intra-block-copy streams (no generator exists to validate
-  * the chroma copy), non-reduced headers, tiled frames, and
-  * film-grain streams. `disable_cdf_update=1` is HONORED, not
+  * non-reduced headers, non-uniform tile spacing, and film-grain
+  * streams. `disable_cdf_update=1` is HONORED, not
   * bailed — adaptation is simply switched off, system-validated.
   * Reference behaviour cross-validated bit-exactly against dav1d,
   * libgav1 AND libaom over the committed vectors (`FIXTURES.md`).
   */
 object Av1Codec {
-  private final class Bail extends RuntimeException("av1 bail", null, false, false)
+  private final class Bail extends RuntimeException("av1 bail", null, false, java.lang.Boolean.getBoolean("graft.av1.bailTrace"))
   private def bail(): Nothing = throw new Bail
 
   // ---------------- bit reader (MSB first) ----------------
@@ -263,6 +274,12 @@ object Av1Codec {
     var allowIntrabc = false
     var disableCdf = false
     var headerBits = 0
+    // uniform tile grid (round 15): per-axis tile counts and the mi
+    // start offsets (length tileCols+1 / tileRows+1, last = frame end)
+    var tileCols = 1; var tileRows = 1
+    var tileSizeBytes = 1
+    var miColStarts: Array[Int] = null
+    var miRowStarts: Array[Int] = null
   }
 
   private def parseSeq(b: Array[Byte]): Seq = {
@@ -339,15 +356,11 @@ object Av1Codec {
     // intra block copy (decodes for real since round 15): prediction
     // copies from the already-decoded area of the same frame; DVs are
     // full-pel (force_integer_mv = 1 on intra frames, spec 5.9.2).
-    // MONOCHROME only: no generator for COLOR intrabc streams exists
-    // (the system libaom's ALL_INTRA usage never sets allow_intrabc,
-    // and the repo's own encoder is luma-only), so the chroma copy —
-    // whose 4:2:0 half-pel case additionally needs the bilinear
-    // convolve — would be unvalidatable; honest bail instead.
-    if (fr.allowSct && r.f(1) == 1) {
-      if (!s.mono) bail()
-      fr.allowIntrabc = true
-    }
+    // Color frames carry allow_intrabc too (the system libaom sets it
+    // on large screen-content lossless encodes) — the chroma copy is
+    // real for chroma-aligned DVs; the half-pel 4:2:0 case and the
+    // merged sub-8x8 chroma case bail per frame (see copyIbc).
+    if (fr.allowSct && r.f(1) == 1) fr.allowIntrabc = true
     fr.miCols = 2 * ((fr.w + 7) >> 3)
     fr.miRows = 2 * ((fr.h + 7) >> 3)
     fr.sbSize4 = if (s.use128) 32 else 16
@@ -370,7 +383,26 @@ object Av1Codec {
     while (more && rowsLog2 < maxLog2Rows) {
       if (r.f(1) == 1) rowsLog2 += 1 else more = false
     }
-    if (colsLog2 != 0 || rowsLog2 != 0) bail() // single tile only
+    // uniform tile grid (spec 5.9.15): tiles decode independently since
+    // round 15 — per-tile range decoder, CDFs, and contexts
+    val tileWidthSb = (fr.sbCols + (1 << colsLog2) - 1) >> colsLog2
+    val tileHeightSb = (fr.sbRows + (1 << rowsLog2) - 1) >> rowsLog2
+    val colStarts = Array.newBuilder[Int]
+    var sb = 0
+    while (sb < fr.sbCols) { colStarts += sb * fr.sbSize4; sb += tileWidthSb }
+    colStarts += fr.miCols
+    fr.miColStarts = colStarts.result()
+    val rowStarts = Array.newBuilder[Int]
+    sb = 0
+    while (sb < fr.sbRows) { rowStarts += sb * fr.sbSize4; sb += tileHeightSb }
+    rowStarts += fr.miRows
+    fr.miRowStarts = rowStarts.result()
+    fr.tileCols = fr.miColStarts.length - 1
+    fr.tileRows = fr.miRowStarts.length - 1
+    if (fr.tileCols * fr.tileRows > 1) {
+      r.f(colsLog2 + rowsLog2) // context_update_tile_id (frame-end CDF owner; moot)
+      fr.tileSizeBytes = r.f(2) + 1
+    }
     if (r.f(8) != 0) bail() // base_q_idx: lossless only
     if (r.f(1) != 0) bail() // DeltaQYDc
     if (!s.mono) {
@@ -423,17 +455,27 @@ object Av1Codec {
   // ---------------- frame decoder ----------------
   /** Per-plane reconstruction + entropy-context state: pidx is the
     * PLANE TYPE (0 = luma, 1 = chroma) selecting cdf slices; u and v
-    * share pidx 1 but carry separate state.
+    * share pidx 1 but carry separate state. The PIXEL buffer is shared
+    * across tiles (each tile writes its own region); the decoded flags
+    * and level contexts are per-tile — fresh per [[Dec]] — which IS
+    * the spec's tile isolation (prediction and contexts never cross a
+    * tile boundary).
     */
-  private final class Plane(val mc: Int, val mr: Int, val pidx: Int) {
+  private final class Plane(val mc: Int, val mr: Int, val pidx: Int,
+                            val pix: Array[Byte]) {
     val padW = mc * 4
-    val pix = new Array[Byte](padW * mr * 4)
     val decoded = new Array[Boolean](mr * mc)
     val aboveLvl = new Array[Int](mc)
     val leftLvl = new Array[Int](mr)
   }
 
-  private final class Dec(s: Seq, fr: FrameHdr, tile: Array[Byte]) {
+  /** One TILE's decoder: own range decoder, own CDFs, own neighbour
+    * contexts; pixels land in the shared plane buffers. Bounds are the
+    * tile's mi rectangle [tc0, tc1) x [tr0, tr1).
+    */
+  private final class Dec(s: Seq, fr: FrameHdr, tile: Array[Byte],
+                          pixPlanes: Array[Array[Byte]],
+                          tc0: Int, tc1: Int, tr0: Int, tr1: Int) {
     private val ec = new Ec(tile, adapt = !fr.disableCdf)
     private val cdf = new Cdfs
     private val miCols = fr.miCols
@@ -442,10 +484,11 @@ object Av1Codec {
     private val csx = s.ssx
     private val csy = s.ssy
     val planes: Array[Plane] = {
-      val y = new Plane(miCols, miRows, 0)
+      val y = new Plane(miCols, miRows, 0, pixPlanes(0))
       if (s.mono) Array(y)
-      else Array(y, new Plane((miCols + csx) >> csx, (miRows + csy) >> csy, 1),
-        new Plane((miCols + csx) >> csx, (miRows + csy) >> csy, 1))
+      else Array(y,
+        new Plane((miCols + csx) >> csx, (miRows + csy) >> csy, 1, pixPlanes(1)),
+        new Plane((miCols + csx) >> csx, (miRows + csy) >> csy, 1, pixPlanes(2)))
     }
     private var cur: Plane = planes(0)
     // uv mode per chroma-mi cell (feeds the chroma edge-filter type)
@@ -473,18 +516,18 @@ object Av1Codec {
     private val dvRowAt = new Array[Int](miRows * miCols)
     private val dvColAt = new Array[Int](miRows * miCols)
     private lazy val dvPred = new Av1Dv(miCols, miRows, isIbcAt,
-      dvRowAt, dvColAt, bw4At, bh4At, s.use128)
+      dvRowAt, dvColAt, bw4At, bh4At, s.use128, tr0, tr1, tc0, tc1)
 
-    def decodeFrame(): Unit = {
+    def decodeTile(): Unit = {
       val s4 = fr.sbSize4
-      var sr = 0
-      while (sr < fr.sbRows) {
-        var sc = 0
-        while (sc < fr.sbCols) {
-          decodePartition(sr * s4, sc * s4, s4)
-          sc += 1
+      var sr = tr0
+      while (sr < tr1) {
+        var sc = tc0
+        while (sc < tc1) {
+          decodePartition(sr, sc, s4)
+          sc += s4
         }
-        sr += 1
+        sr += s4
       }
     }
 
@@ -708,7 +751,8 @@ object Av1Codec {
       // intrabc prediction: the whole referenced region is decoded
       // (256-px wavefront delay), so the copy happens up front; the
       // residual below then adds on top in chunk order as usual
-      if (useIbc) copyIbc(r, c, w4, h4, dvR, dvC)
+      if (useIbc) copyIbc(r, c, w4, h4, dvR, dvC, hasChroma,
+        w4in, h4in, cx0, cy0, cw, ch)
       var by = 0
       while (by < h4) {
         var bx = 0
@@ -744,7 +788,7 @@ object Av1Codec {
                 var tx2 = cbx
                 while (tx2 < cex) {
                   if (ty2 < pl.mr && tx2 < pl.mc) {
-                    if (uvPal != null) ()  // pixels written by the color map
+                    if (uvPal != null || useIbc) () // color map / DV copy wrote them
                     else if (uv == 13) predictCfl(ty2, tx2, alpha)
                     else predict4(ty2, tx2, uv, uvAngle, uft)
                     if (skip == 0) coeffs4(ty2, tx2, cw, ch)
@@ -809,17 +853,27 @@ object Av1Codec {
     }
 
     /** Intra-block-copy prediction: copy the referenced region of the
-      * SAME frame's decoded area into place (a full-pel DV means no
-      * interpolation — BILINEAR is moot). The 256-px wavefront delay
-      * (bitstream conformance) guarantees the source never overlaps
-      * undecoded pixels; source bounds are still guarded against the
-      * mi-padded plane so a nonconforming DV bails instead of reading
-      * garbage. Luma-only by scope: color intrabc streams bail at the
-      * frame header (see [[parseFrameHeader]]).
+      * SAME frame's decoded area into place, all planes (a full-pel DV
+      * means no luma interpolation — BILINEAR is moot there). The
+      * 256-px wavefront delay (bitstream conformance) guarantees the
+      * source never overlaps undecoded pixels; source bounds are still
+      * guarded against the mi-padded plane so a nonconforming DV bails
+      * instead of reading garbage.
+      *
+      * Chroma scope: 4:4:4 copies directly (chroma grid == luma grid);
+      * 4:2:0 copies directly when the DV is even on the subsampled
+      * axes. The two remaining shapes bail the frame honestly: an ODD
+      * 4:2:0 DV (chroma lands between pixels — needs the half-pel
+      * bilinear convolve) and a sub-8x8 4:2:0 intrabc block carrying
+      * MERGED chroma (the spec predicts that chroma from the covering
+      * subblocks' individual DVs).
       */
-    private def copyIbc(r: Int, c: Int, w4: Int, h4: Int,
-                        dvR: Int, dvC: Int): Unit = {
+    private def copyIbc(r: Int, c: Int, w4: Int, h4: Int, dvR: Int, dvC: Int,
+                        hasChroma: Boolean, w4in: Int, h4in: Int,
+                        cx0: Int, cy0: Int, cw: Int, ch: Int): Unit = {
       val dy = dvR >> 3; val dx = dvC >> 3
+      if (java.lang.Boolean.getBoolean("graft.av1.ibcTrace"))
+        System.err.println(s"ibc r=$r c=$c w4in=$w4in h4in=$h4in dv=($dvR,$dvC) px=(${dvC>>3},${dvR>>3})")
       val y = planes(0)
       val x0 = c * 4; val y0 = r * 4
       val sw = w4 * 4; val sh = h4 * 4
@@ -830,6 +884,76 @@ object Av1Codec {
         System.arraycopy(y.pix, (y0 + dy + i) * y.padW + x0 + dx,
           y.pix, (y0 + i) * y.padW + x0, sw)
         i += 1
+      }
+      if (hasChroma) {
+        // merged sub-8x8 chroma: on an intra frame EVERY covering
+        // subblock has RefFrame INTRA_FRAME, so the spec's
+        // some_use_intra rule (7.11.3) collapses the piecewise
+        // per-subblock prediction to ONE copy with the carrier's own
+        // DV over the merged block — which is exactly this path
+        // (cx0/cw already span the merge); soak-verified bit-exact.
+        // An ODD 4:2:0 DV lands chroma on half-pel positions: the
+        // BILINEAR convolve (H then V, InterRound0=3 / InterRound1=11,
+        // taps {64,64} at phase 8) — also soak-verified bit-exact.
+        val fracX = (dx & csx) != 0
+        val fracY = (dy & csy) != 0
+        val cdx = dx >> csx; val cdy = dy >> csy
+        var pi = 1
+        while (pi <= 2) {
+          val pl = planes(pi)
+          val cx = cx0 * 4; val cy = cy0 * 4
+          val cwPx = math.min(cw * 4, pl.padW - cx)
+          val chPx = math.min(ch * 4, pl.mr * 4 - cy)
+          if (cy + cdy < 0 || cx + cdx < 0 || cy + cdy + chPx > pl.mr * 4 ||
+              cx + cdx + cwPx > pl.padW) bail()
+          if (!fracX && !fracY) {
+            var j = 0
+            while (j < chPx) {
+              System.arraycopy(pl.pix, (cy + cdy + j) * pl.padW + cx + cdx,
+                pl.pix, (cy + j) * pl.padW + cx, cwPx)
+              j += 1
+            }
+          } else {
+            val lastX = pl.padW - 1
+            val lastY = pl.mr * 4 - 1
+            // horizontal pass into FILTER_BITS-3 intermediates
+            val rows = chPx + (if (fracY) 1 else 0)
+            val im = new Array[Int](rows * cwPx)
+            var j = 0
+            while (j < rows) {
+              val sy = math.min(math.max(cy + cdy + j, 0), lastY)
+              var x = 0
+              while (x < cwPx) {
+                val sx = math.min(math.max(cx + cdx + x, 0), lastX)
+                val v =
+                  if (fracX) {
+                    val sx1 = math.min(sx + 1, lastX)
+                    64 * (pl.pix(sy * pl.padW + sx) & 0xff) +
+                      64 * (pl.pix(sy * pl.padW + sx1) & 0xff)
+                  } else 128 * (pl.pix(sy * pl.padW + sx) & 0xff)
+                im(j * cwPx + x) = (v + 4) >> 3
+                x += 1
+              }
+              j += 1
+            }
+            // vertical pass
+            j = 0
+            while (j < chPx) {
+              var x = 0
+              while (x < cwPx) {
+                val v =
+                  if (fracY) 64 * im(j * cwPx + x) + 64 * im((j + 1) * cwPx + x)
+                  else 128 * im(j * cwPx + x)
+                val p = (v + 1024) >> 11
+                pl.pix((cy + j) * pl.padW + cx + x) =
+                  (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+                x += 1
+              }
+              j += 1
+            }
+          }
+          pi += 1
+        }
       }
     }
 
@@ -1919,24 +2043,70 @@ object Av1Codec {
       }
       if (seqHdr == null || frame == null) return None
       val fr = parseFrameHeader(frame, seqHdr)
-      val tile = java.util.Arrays.copyOfRange(frame, (fr.headerBits + 7) / 8, frame.length)
-      val dec = new Dec(seqHdr, fr, tile)
-      dec.decodeFrame()
-      val out = dec.planes.zipWithIndex.map { case (pl, pi) =>
+      val tileData = java.util.Arrays.copyOfRange(frame, (fr.headerBits + 7) / 8, frame.length)
+      // shared pixel buffers (mi-padded); per-tile Decs write their regions
+      val cMiCols = (fr.miCols + seqHdr.ssx) >> seqHdr.ssx
+      val cMiRows = (fr.miRows + seqHdr.ssy) >> seqHdr.ssy
+      val pixPlanes: Array[Array[Byte]] =
+        if (seqHdr.mono) Array(new Array[Byte](fr.miCols * 4 * fr.miRows * 4))
+        else Array(new Array[Byte](fr.miCols * 4 * fr.miRows * 4),
+          new Array[Byte](cMiCols * 4 * cMiRows * 4),
+          new Array[Byte](cMiCols * 4 * cMiRows * 4))
+      val nTiles = fr.tileCols * fr.tileRows
+      if (nTiles == 1) {
+        new Dec(seqHdr, fr, tileData, pixPlanes,
+          0, fr.miCols, 0, fr.miRows).decodeTile()
+      } else {
+        // tile_group inside OBU_FRAME (spec 5.11.1):
+        // tile_start_and_end_present_flag must be 0; byte-align; then
+        // each tile except the last is prefixed by its size,
+        // little-endian in TileSizeBytes bytes, minus one
+        if (tileData.length == 0 || (tileData(0) & 0x80) != 0) return None
+        var pos = 1
+        var t = 0
+        while (t < nTiles) {
+          val last = t == nTiles - 1
+          var size = 0
+          if (!last) {
+            if (pos + fr.tileSizeBytes > tileData.length) return None
+            var v = 0L
+            var i = 0
+            while (i < fr.tileSizeBytes) {
+              v |= (tileData(pos + i) & 0xffL) << (8 * i); i += 1
+            }
+            pos += fr.tileSizeBytes
+            size = v.toInt + 1
+          } else size = tileData.length - pos
+          if (size <= 0 || pos + size > tileData.length) return None
+          val trI = t / fr.tileCols; val tcI = t % fr.tileCols
+          new Dec(seqHdr, fr,
+            java.util.Arrays.copyOfRange(tileData, pos, pos + size), pixPlanes,
+            fr.miColStarts(tcI), fr.miColStarts(tcI + 1),
+            fr.miRowStarts(trI), fr.miRowStarts(trI + 1)).decodeTile()
+          pos += size
+          t += 1
+        }
+      }
+      val out = pixPlanes.zipWithIndex.map { case (pix, pi) =>
         val w = if (pi == 0) fr.w else (fr.w + seqHdr.ssx) >> seqHdr.ssx
         val h = if (pi == 0) fr.h else (fr.h + seqHdr.ssy) >> seqHdr.ssy
+        val padW = if (pi == 0) fr.miCols * 4 else cMiCols * 4
         val cropped = new Array[Byte](w * h)
         var y = 0
         while (y < h) {
-          System.arraycopy(pl.pix, y * pl.padW, cropped, y * w, w)
+          System.arraycopy(pix, y * padW, cropped, y * w, w)
           y += 1
         }
         cropped
       }
       Some((fr.w, fr.h, out))
     } catch {
-      case _: Bail | _: IndexOutOfBoundsException | _: NegativeArraySizeException |
-          _: ArithmeticException => None
+      case e @ (_: Bail | _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: ArithmeticException) =>
+        // dev aid: -Dgraft.av1.bailTrace=true prints where a stream bailed
+        if (java.lang.Boolean.getBoolean("graft.av1.bailTrace"))
+          e.getStackTrace.take(5).foreach(f => System.err.println(s"  bail at $f"))
+        None
     }
 
   /** [[PixelCodec]]-style decode: gray replicated to RGB. */
@@ -1968,7 +2138,8 @@ object Av1Codec {
   */
 private[functions] final class Av1Dv(miCols: Int, miRows: Int,
     isIbc: Array[Boolean], mvR: Array[Int], mvC: Array[Int],
-    bw4A: Array[Byte], bh4A: Array[Byte], use128: Boolean) {
+    bw4A: Array[Byte], bh4A: Array[Byte], use128: Boolean,
+    tileRowStart: Int, tileRowEnd: Int, tileColStart: Int, tileColEnd: Int) {
   // one instance per frame: the stack scratch and per-call cursor live
   // in fields so the per-intrabc-block predictor is allocation-free
   // (closure-captured locals would box; this method runs per block)
@@ -2001,9 +2172,10 @@ private[functions] final class Av1Dv(miCols: Int, miRows: Int,
     }
   }
 
-  // spec is_inside over the (single) tile
+  // spec is_inside over the current tile
   private def inside(mr: Int, mc: Int): Boolean =
-    mr >= 0 && mc >= 0 && mr < miRows && mc < miCols
+    mr >= tileRowStart && mc >= tileColStart &&
+      mr < tileRowEnd && mc < tileColEnd
 
   private def scanRow(rowOffset: Int): Unit = {
     val end4 = math.min(math.min(bw4, miCols - c), 16)
@@ -2176,7 +2348,7 @@ private[functions] final class Av1Dv(miCols: Int, miRows: Int,
         math.max(minC, math.min(maxC, stackC(0))))
     } else {
       val sb4 = if (use128) 32 else 16
-      if (r - sb4 < 0) (0, -(sb4 * 4 + 256) * 8)
+      if (r - sb4 < tileRowStart) (0, -(sb4 * 4 + 256) * 8)
       else (-(sb4 * 4) * 8, 0)
     }
   }
@@ -2406,4 +2578,32 @@ object Av1Fixtures {
 
   def ibcContainerName(id: Long): String =
     if (id % 2 == 0) "obu" else "ivf"
+
+  /** The round-15 multi-TILE fixture family (`tile_N.avif`): lossless
+    * stills whose frames split into uniform 2x1 / 1x2 / 2x2 / 4x1 tile
+    * grids (incl. an uneven 128+64 split and an odd crop height) —
+    * per-tile range decoder, fresh CDFs and neighbour contexts, size
+    * prefixes between tiles. Monochrome, 4:2:0 and 4:4:4 variants.
+    * 3-decoder-validated at generation
+    * (`scripts/gen_av1_tile_fixtures.py`).
+    */
+  val tileCount = 7
+
+  private lazy val tileAvifs: Array[Array[Byte]] = Array.tabulate(tileCount) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/tile_$i.avif")
+    require(in != null, s"av1 tile fixture tile_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val tileObus: Array[Array[Byte]] =
+    tileAvifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** Tile fixture payload: tile doc_id % 7, AVIF or raw-OBU. */
+  def tilePayload(id: Long): Array[Byte] = {
+    val k = ((id % tileCount) + tileCount).toInt % tileCount
+    if (id % 2 == 0) tileAvifs(k) else tileObus(k)
+  }
+
+  def tileContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
 }

@@ -250,7 +250,8 @@ object Av1Encoder {
     private val bw4At = new Array[Byte](miRows * miCols)
     private val bh4At = new Array[Byte](miRows * miCols)
     private lazy val dvPred = new Av1Dv(miCols, miRows, isIbcAt,
-      dvRowAt, dvColAt, bw4At, bh4At, use128 = false)
+      dvRowAt, dvColAt, bw4At, bh4At, use128 = false,
+      0, miRows, 0, miCols)
 
     def encode(): Array[Byte] = {
       var sr = 0

@@ -3200,6 +3200,37 @@ object Multimodal {
       .toDF("doc_id", "fixture", "container", "width", "height", "n_px", "sum_y")
   }
 
+  /** REAL AV1 multi-TILE decode over the round-15 `tile_N` family —
+    * frames split into uniform tile grids, each tile an independent
+    * range decoder with fresh CDFs and contexts — decoded by
+    * [[Av1Codec.decodeYuv]] and reduced to per-plane sums (0 for the
+    * monochrome fixtures' absent chroma) joined against
+    * generation-time 3-decoder-validated constants. Same 100 TB shape:
+    * partition-local decode, stat rows only.
+    */
+  def decodeAvifTilesReal(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeYuv(Av1Fixtures.tilePayload(id)).map { case (w, h, planes) =>
+            def psum(a: Array[Byte]): Long = {
+              var s = 0L; var i = 0
+              while (i < a.length) { s += a(i) & 0xff; i += 1 }
+              s
+            }
+            (id, ((id % Av1Fixtures.tileCount) + Av1Fixtures.tileCount) % Av1Fixtures.tileCount,
+              Av1Fixtures.tileContainerName(id), w.toLong, h.toLong,
+              psum(planes(0)),
+              if (planes.length == 3) psum(planes(1)) else 0L,
+              if (planes.length == 3) psum(planes(2)) else 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height",
+        "sum_y", "sum_u", "sum_v")
+  }
+
   /** AV1 near-dup from REAL decoded luma: documents carrying the same
     * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
     * into one class once fingerprinted by exact decoded-luma stats —

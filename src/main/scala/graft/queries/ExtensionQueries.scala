@@ -181,6 +181,19 @@ object ExtensionQueries {
     (3, 448, 16, 821760L), (4, 512, 16, 822089L), (5, 32, 384, 1564672L),
   ).map { case (k, w, h, s) => s"  ($k, $w, $h, $s)" }.mkString(",\n")
 
+  /** Planted truth for the round-15 multi-TILE fixture family —
+    * per-plane sums (0 for monochrome chroma) captured at
+    * `scripts/gen_av1_tile_fixtures.py` time, every stream reproduced
+    * bit-exactly by dav1d, libgav1 AND libaom.
+    */
+  private val Av1TileFixtureConstants: String = Seq(
+    (0, 65, 64, 499200L, 0L, 0L), (1, 64, 130, 1065676L, 0L, 0L),
+    (2, 129, 129, 1989990L, 0L, 0L), (3, 192, 64, 1423360L, 0L, 0L),
+    (4, 130, 66, 1029360L, 274808L, 321690L),
+    (5, 96, 96, 1139200L, 829440L, 1576960L), (6, 256, 64, 1171456L, 0L, 0L),
+  ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
+    .mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2968,6 +2981,27 @@ object ExtensionQueries {
              |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
              |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
              |  CAST(c.w * c.h AS BIGINT) AS n_px, CAST(c.sum_y AS BIGINT) AS sum_y
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 multi-TILE decode (round 15): frames split into uniform
+    // tile grids — per-tile range decoder, fresh CDFs, fresh neighbour
+    // contexts, per-tile size prefixes, prediction that never crosses
+    // a tile boundary — across monochrome / 4:2:0 / 4:4:4 and uneven
+    // edge tiles. Per-plane sums joined against generation-time
+    // constants.
+    QueryDef(
+      "multimodal_avif_tiles",
+      (s, dir) => Multimodal.decodeAvifTilesReal(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
+             |$Av1TileFixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 7 + 7) % 7 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.sum_y AS BIGINT) AS sum_y, CAST(c.sum_u AS BIGINT) AS sum_u,
+             |  CAST(c.sum_v AS BIGINT) AS sum_v
              |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
     ),
 

@@ -272,6 +272,55 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("7 tile fixtures decode to bit-exact planes") {
+    // Multi-tile lossless streams (uniform grids 2x1 / 1x2 / 2x2 / 4x1,
+    // incl. an uneven 128+64 split and an odd crop height): per-tile
+    // range decoder + fresh CDFs + fresh neighbour contexts, size
+    // prefixes between tiles, prediction that never crosses a tile
+    // boundary. Monochrome, 4:2:0 AND 4:4:4 variants,
+    // 3-decoder-validated at generation (scripts/gen_av1_tile_fixtures.py).
+    for (i <- 0 to 6) {
+      val avif = res(s"tile_$i.avif")
+      val yuv = res(s"tile_$i.yuv")
+      val dec = Av1Codec.decodeYuv(avif)
+      assert(dec.isDefined, s"tile_$i must decode")
+      val (_, _, planes) = dec.get
+      assert(java.util.Arrays.equals(planes.reduce(_ ++ _), yuv),
+        s"tile_$i planes differ")
+    }
+  }
+
+  test("6 color-intrabc fixtures decode to bit-exact planes") {
+    // The system libaom DOES set allow_intrabc on large lossless
+    // screen-content color encodes — these seeded-soak picks pin every
+    // chroma-copy shape: 4:4:4 direct, 4:2:0 chroma-aligned DVs, the
+    // merged sub-8x8 carrier (some_use_intra collapses piecewise
+    // prediction to one carrier-DV copy), and odd DVs through the
+    // half-pel BILINEAR convolve. 3-decoder-validated at generation
+    // (scripts/gen_av1_cibc_fixtures.py).
+    for (i <- 0 to 5) {
+      val avif = res(s"cibc_$i.avif")
+      val yuv = res(s"cibc_$i.yuv")
+      val dec = Av1Codec.decodeYuv(avif)
+      assert(dec.isDefined, s"cibc_$i must decode")
+      val (_, _, planes) = dec.get
+      assert(java.util.Arrays.equals(planes.reduce(_ ++ _), yuv),
+        s"cibc_$i planes differ")
+    }
+  }
+
+  test("tile fixtures survive truncation and mutation without throwing") {
+    val avif = res("tile_3.avif")
+    for (len <- 0 until avif.length by 7)
+      Av1Codec.decodeYuv(java.util.Arrays.copyOf(avif, len))
+    val rnd = new scala.util.Random(0x711E)
+    for (_ <- 1 to 200) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeYuv(m)
+    }
+  }
+
   test("6 intrabc fixtures decode to bit-exact luma") {
     // Streams whose blocks copy from the decoded area of the same
     // frame: use_intrabc bool (every block reads it once the frame

@@ -15,13 +15,17 @@ package graft.functions
 object Av1SoakCheck {
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(args.headOption.getOrElse("/tmp/av1_soak"))
-    val avifs = dir.listFiles().filter(_.getName.endsWith(".avif")).sortBy(_.getName)
-    require(avifs.nonEmpty, s"no .avif streams under $dir")
+    val avifs = dir.listFiles()
+      .filter(f => f.getName.endsWith(".avif") || f.getName.endsWith(".obu"))
+      .sortBy(_.getName)
+    require(avifs.nonEmpty, s"no .avif/.obu streams under $dir")
     var ok = 0; var bails = 0; var fail = 0
     for (f <- avifs) {
       val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      val yuv = java.nio.file.Files.readAllBytes(
-        new java.io.File(f.getPath.stripSuffix(".avif") + ".yuv").toPath)
+      val base = f.getPath.stripSuffix(".avif").stripSuffix(".obu")
+      val twin = Seq(base + ".yuv", base + ".gray")
+        .map(new java.io.File(_)).find(_.exists()).get
+      val yuv = java.nio.file.Files.readAllBytes(twin.toPath)
       Av1Codec.decodeYuv(bytes) match {
         case Some((w, h, planes)) =>
           if (java.util.Arrays.equals(planes.reduce(_ ++ _), yuv)) ok += 1
