@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins BenchOne's multi-query name dispatch (VERDICT r14 #8): the
+  * guard's deep-warm adjudication replays flagged rows through
+  * `BenchOne <name> <name> ...`, and in round 14 a single unhandled
+  * name (the bench-synthetic `text_bpe_encode_incremental_cold` row)
+  * killed the rerun JVM and silently voided the deep-warm stage. The
+  * dispatch contract: the memo-cold row replays inside BenchOne,
+  * every registry name runs, and anything else is skipped — never a
+  * throw.
+  */
+class BenchOneSpec extends AnyFunSuite {
+  test("the bench-synthetic memo-cold BPE row replays instead of skipping") {
+    assert(BenchOne.dispatch("text_bpe_encode_incremental_cold") == "cold")
+  }
+
+  test("every registry query name dispatches to a registry run") {
+    val bad = SparkEntry.queries.keys.filterNot(n => BenchOne.dispatch(n) == "registry")
+    assert(bad.isEmpty, s"registry names not runnable by BenchOne: $bad")
+  }
+
+  test("unknown names are skipped, not fatal") {
+    assert(BenchOne.dispatch("no_such_query") == "unknown")
+    assert(BenchOne.dispatch("") == "unknown")
+    // a plausible typo of the synthetic row must not crash the rerun
+    assert(BenchOne.dispatch("text_bpe_encode_incremental_col") == "unknown")
+  }
+
+  test("a guard-style name list containing the synthetic row is fully handled") {
+    val names = Seq("text_bpe_encode_incremental_cold", "i1_high_water_mark",
+      "multimodal_avif_tiles", "definitely_not_a_query")
+    val modes = names.map(BenchOne.dispatch)
+    assert(modes == Seq("cold", "registry", "registry", "unknown"))
+  }
+}
