@@ -34,10 +34,10 @@ class RWData(C.Structure):
 OPTS = [("lossless", "1")]
 
 def mk_image(w, h, y, u, v, fmt=3):
-    img = AV.avifImageCreate(w, h, 8, fmt)        # 3 = YUV420, 1 = YUV444
+    img = AV.avifImageCreate(w, h, 8, fmt)  # 3 = YUV420, 2 = YUV422, 1 = YUV444
     assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
     b = bytes((C.c_uint8 * 64).from_address(img))
-    cw, ch = ((w + 1) // 2, (h + 1) // 2) if fmt == 3 else (w, h)
+    cw, ch = {3: ((w + 1) // 2, (h + 1) // 2), 2: ((w + 1) // 2, h)}.get(fmt, (w, h))
     for i, (px, pw, ph) in enumerate(((y, w, h), (u, cw, ch), (v, cw, ch))):
         ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8*i)[0]
         rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4*i)[0]
@@ -68,7 +68,8 @@ def decode_planes(data, codec):   # codec: 1 aom, 2 dav1d, 3 libgav1
     fmt = struct.unpack_from("<I", b, 12)[0]      # avifPixelFormat
     planes = []
     for i in range(3):
-        pw, ph = (w, h) if (i == 0 or fmt == 1) else ((w + 1) // 2, (h + 1) // 2)
+        pw, ph = (w, h) if (i == 0 or fmt == 1) else \
+            (((w + 1) // 2, (h + 1) // 2) if fmt == 3 else ((w + 1) // 2, h))
         ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8*i)[0]
         rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4*i)[0]
         planes.append(b"".join(C.string_at(ptr + row*rb, pw) for row in range(ph)))
@@ -210,6 +211,43 @@ def cases444():
 def corr444(y, num, den, off):
     return bytes(min(255, max(0, v * num // den + off)) for v in y)
 
+def cases422():
+    """Profile-2 8-bit (4:2:2) family: half-width full-height chroma.
+    Covers UV DC + residual, directional UV, CfL at the 4:2:2 lossless
+    eligibility (the horizontal-pair luma subsample), Y+UV palette
+    tiles, odd dims with clipped half-width chroma, tiny frames, and a
+    multi-superblock frame. Tuple: (w, h, speed, y, u, v)."""
+    def tl2(w, h, pal, ts, seed):
+        sd = seed; o = bytearray(w*h)
+        for ty in range((h+ts-1)//ts):
+            for tx in range((w+ts-1)//ts):
+                sd = (sd * 1103515245 + 12345) & 0xFFFFFFFF
+                colr = pal[(sd >> 16) % len(pal)]
+                for yy in range(ty*ts, min((ty+1)*ts, h)):
+                    for x in range(tx*ts, min((tx+1)*ts, w)):
+                        o[yy*w+x] = colr
+        return bytes(o)
+    out = []
+    out.append((16, 16, 6, bytes([128])*256, bytes([90])*128, bytes([200])*128))
+    out.append((16, 16, 6, grad(16, 16, 3, 5), grad(8, 16, 9, 0), grad(8, 16, 0, 11)))
+    # noisy 4x4 splits: the CfL-eligible shape at 4:2:2
+    yg = lcg(16*16, 277)
+    uc = bytes(min(255, v // 2 + 30) for v in yg[:128])
+    out.append((16, 16, 0, yg, uc, bytes(255 - b for b in uc)))
+    out.append((24, 16, 0, lcg(24*16, 241), lcg(12*16, 242), lcg(12*16, 243)))
+    # odd dims: half-width chroma is clipped
+    out.append((33, 17, 6, grad(33, 17, 5, 3), grad(17, 17, 7, 2), grad(17, 17, 1, 9)))
+    out.append((2, 2, 6, bytes([10, 60, 110, 160]), bytes([77, 78]), bytes([177, 178])))
+    # Y+UV palette tiles at half chroma width
+    out.append((32, 32, 4, tl2(32, 32, [20, 80, 140, 200], 8, 3),
+                tl2(16, 32, [30, 90, 160], 8, 5), tl2(16, 32, [220, 120, 60], 8, 7)))
+    # multi-superblock (screen-content tiles: the registry row's unit
+    # cost is nonskip blocks, so the big frame stays mostly-skip)
+    out.append((96, 72, 4, tl2(96, 72, [15, 85, 155, 225], 16, 29),
+                grad(48, 72, 2, 3), tl2(48, 72, [200, 40, 120], 16, 31)))
+    return out
+
+
 def main():
     outdir = os.path.join(os.path.dirname(__file__), "..",
                           "src/main/resources/av1/fixtures")
@@ -248,5 +286,21 @@ def main():
     json.dump(man4, open(os.path.join(outdir, "chroma444_manifest.json"), "w"),
               indent=1)
     print(f"wrote {len(man4)} 4:4:4 chroma fixtures")
+    # ---- profile-2 8-bit 4:2:2 family (round 15): half-width chroma ----
+    man2 = []
+    for k, (w, h, speed, y, u, v) in enumerate(cases422()):
+        img = mk_image(w, h, y, u, v, fmt=2)
+        data = encode(img, speed)
+        for codec in (2, 3, 1):
+            dw, dh, planes = decode_planes(data, codec)
+            assert (dw, dh) == (w, h) and planes == [y, u, v], (k, codec)
+        open(os.path.join(outdir, f"cr422_{k}.avif"), "wb").write(data)
+        open(os.path.join(outdir, f"cr422_{k}.yuv"), "wb").write(y + u + v)
+        man2.append({"k": k, "w": w, "h": h, "speed": speed,
+                     "sum_y": sum(y), "sum_u": sum(u), "sum_v": sum(v)})
+        print(f"cr422_{k}: {w}x{h} ok (3 system decoders bit-exact, 3 planes)")
+    json.dump(man2, open(os.path.join(outdir, "chroma422_manifest.json"), "w"),
+              indent=1)
+    print(f"wrote {len(man2)} 4:2:2 chroma fixtures")
 
 main()

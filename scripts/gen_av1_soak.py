@@ -31,7 +31,7 @@ def mk_image(w, h, y, u, v, fmt):
     img = AV.avifImageCreate(w, h, 8, fmt)
     assert AV.avifImageAllocatePlanes(C.c_void_p(img), 1) == 0
     b = bytes((C.c_uint8 * 64).from_address(img))
-    cw, ch = ((w + 1) // 2, (h + 1) // 2) if fmt == 3 else (w, h)
+    cw, ch = {3: ((w + 1) // 2, (h + 1) // 2), 2: ((w + 1) // 2, h)}.get(fmt, (w, h))
     planes = ((y, w, h),) if fmt == 4 else ((y, w, h), (u, cw, ch), (v, cw, ch))
     for i, (px, pw, ph) in enumerate(planes):
         ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8 * i)[0]
@@ -70,7 +70,8 @@ def decode_planes(data, codec):
     nplanes = 1 if fmt == 4 else 3
     planes = []
     for i in range(nplanes):
-        pw, ph = (w, h) if (i == 0 or fmt == 1) else ((w + 1) // 2, (h + 1) // 2)
+        pw, ph = (w, h) if (i == 0 or fmt == 1) else \
+            (((w + 1) // 2, (h + 1) // 2) if fmt == 3 else ((w + 1) // 2, h))
         ptr = struct.unpack_from("<Q", b, IMG_PLANES + 8 * i)[0]
         rb = struct.unpack_from("<I", b, IMG_ROWBYTES + 4 * i)[0]
         planes.append(b"".join(C.string_at(ptr + row * rb, pw) for row in range(ph)))
@@ -113,7 +114,7 @@ def main():
     k = 0
     while written < n:
         k += 1
-        fmt = {"444": 1, "420": 3, "400": 4}.get(fmt_arg) or rnd.choice([1, 3, 4])
+        fmt = {"444": 1, "422": 2, "420": 3, "400": 4}.get(fmt_arg) or rnd.choice([1, 2, 3, 4])
         if tiled or scc:
             # big enough that the requested grid actually materializes
             # (and that libaom turns allow_intrabc on for screen content)
@@ -126,6 +127,8 @@ def main():
         y = content(rnd, w, h, cls)
         if fmt == 3:
             cw, ch = (w + 1) // 2, (h + 1) // 2
+        elif fmt == 2:
+            cw, ch = (w + 1) // 2, h
         else:
             cw, ch = w, h
         # chroma: sometimes luma-correlated (CfL bait), else its own class

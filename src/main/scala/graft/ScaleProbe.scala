@@ -335,6 +335,8 @@ object ScaleProbe {
       graft.functions.Multimodal.decodeAvifIntrabcReal(spark, docs).count())
     timed("avif_tiles_real")(
       graft.functions.Multimodal.decodeAvifTilesReal(spark, docs).count())
+    timed("avif_chroma422_real")(
+      graft.functions.Multimodal.decodeAvifChroma422Real(spark, docs).count())
 
     spark.stop()
   }

@@ -41,10 +41,12 @@ package graft.functions
   * fixtures and a 240-stream random soak through dav1d.
   *
   * CHROMA decodes for real since round 14 (4:2:0) and round 15
-  * (4:4:4, profile 1): the subsampling-parameterized plane pipeline —
-  * uv modes, CfL in every sign combination, UV palette, sub-8x8
-  * HasChroma — covers both geometries, including the profile-1 sRGB
-  * CICP header branch that skips color_range/chroma_sample_position.
+  * (4:4:4 via profile 1 AND 4:2:2 via profile 2 at 8 bit): the
+  * subsampling-parameterized plane pipeline — uv modes, CfL in every
+  * sign combination (2x2 / horizontal-pair / direct luma subsample by
+  * geometry), UV palette, sub-8x8 HasChroma — covers all three
+  * geometries, including the profile-1 sRGB CICP header branch that
+  * skips color_range/chroma_sample_position.
   *
   * INTRA BLOCK COPY decodes for real since round 15: the use_intrabc
   * bool, the DV reference-stack process (spatial scans, nearest
@@ -68,9 +70,9 @@ package graft.functions
   * splits) and a 150-stream random tiled soak.
   *
   * Honest bails (decode returns None, never a task failure): lossy
-  * streams (base_q_idx > 0), profile-2 streams (4:2:2 / 12-bit),
-  * non-reduced headers, non-uniform tile spacing, and film-grain
-  * streams. `disable_cdf_update=1` is HONORED, not
+  * streams (base_q_idx > 0), high-bitdepth streams (10/12-bit, incl.
+  * profile 2's 12-bit form), non-reduced headers, non-uniform tile
+  * spacing, and film-grain streams. `disable_cdf_update=1` is HONORED, not
   * bailed — adaptation is simply switched off, system-validated.
   * Reference behaviour cross-validated bit-exactly against dav1d,
   * libgav1 AND libaom over the committed vectors (`FIXTURES.md`).
@@ -288,9 +290,9 @@ object Av1Codec {
     val profile = r.f(3)
     r.f(1) // still_picture
     val reduced = r.f(1)
-    // profile 0 = 4:2:0/mono, profile 1 = 4:4:4; profile 2 (4:2:2 /
-    // 12-bit) stays an honest bail
-    if (reduced != 1 || profile > 1) bail()
+    // profile 0 = 4:2:0/mono, profile 1 = 4:4:4, profile 2 at 8 bit =
+    // 4:2:2 (its 12-bit form falls under the high_bitdepth bail below)
+    if (reduced != 1 || profile > 2) bail()
     r.f(5) // level
     val wb = r.f(4) + 1; val hb = r.f(4) + 1
     s.maxW = r.f(wb) + 1
@@ -314,15 +316,17 @@ object Av1Codec {
     } else {
       if (srgb) {
         // The sRGB triple skips color_range AND chroma_sample_position
-        // and forces 4:4:4 — which profile 0 cannot carry. Syntactically
-        // reachable there, so it must be an honest bail: reading the two
-        // skipped fields would misalign every later header bit.
-        if (profile == 0) bail()
+        // and forces 4:4:4 — which profiles 0 and 2-at-8-bit cannot
+        // carry. Syntactically reachable there, so it must be an honest
+        // bail: reading the two skipped fields would misalign every
+        // later header bit.
+        if (profile != 1) bail()
         s.ssx = 0; s.ssy = 0
       } else {
         r.f(1) // color_range
-        if (profile == 0) { s.ssx = 1; s.ssy = 1 } // 4:2:0 implied
-        else { s.ssx = 0; s.ssy = 0 }              // profile 1: 4:4:4
+        if (profile == 0) { s.ssx = 1; s.ssy = 1 }      // 4:2:0 implied
+        else if (profile == 1) { s.ssx = 0; s.ssy = 0 } // 4:4:4
+        else { s.ssx = 1; s.ssy = 0 }                   // profile 2 @ 8 bit: 4:2:2
         if (s.ssx == 1 && s.ssy == 1) r.f(2) // chroma_sample_position
       }
       s.separateUvDeltaQ = r.f(1) == 1
@@ -1513,13 +1517,17 @@ object Av1Codec {
         var j = 0
         while (j < 4) {
           val ly = (crr * 4 + i) << csy; val lx = (ccc * 4 + j) << csx
-          // subsampled luma in q3: 4:2:0 = 2x2 sum << 1; 4:4:4 = px << 3
+          // subsampled luma in q3: 4:2:0 = 2x2 sum << 1; 4:2:2 =
+          // horizontal pair << 2; 4:4:4 = px << 3
           val v =
             if (csx == 1 && csy == 1)
               ((luma.pix(ly * lw + lx) & 0xff) +
                 (luma.pix(ly * lw + lx + 1) & 0xff) +
                 (luma.pix((ly + 1) * lw + lx) & 0xff) +
                 (luma.pix((ly + 1) * lw + lx + 1) & 0xff)) << 1
+            else if (csx == 1)
+              ((luma.pix(ly * lw + lx) & 0xff) +
+                (luma.pix(ly * lw + lx + 1) & 0xff)) << 2
             else (luma.pix(ly * lw + lx) & 0xff) << 3
           l(i * 4 + j) = v
           ssum += v
@@ -2605,5 +2613,34 @@ object Av1Fixtures {
   }
 
   def tileContainerName(id: Long): String =
+    if (id % 2 == 0) "avif" else "obu"
+
+  /** The round-15 profile-2 8-bit (4:2:2) fixture family
+    * (`cr422_N.avif`): half-width full-height chroma through the
+    * subsampling-parameterized pipeline — UV DC, directional UV, CfL
+    * with the horizontal-pair luma subsample, Y+UV palette, odd dims
+    * with clipped half-width chroma, a multi-superblock frame.
+    * 3-decoder-validated on all three planes at generation
+    * (`scripts/gen_av1_chroma_fixtures.py 444` — the run emits all
+    * three chroma families).
+    */
+  val chroma422Count = 8
+
+  private lazy val chroma422Avifs: Array[Array[Byte]] = Array.tabulate(chroma422Count) { i =>
+    val in = getClass.getResourceAsStream(s"/av1/fixtures/cr422_$i.avif")
+    require(in != null, s"av1 4:2:2 fixture cr422_$i.avif missing")
+    try in.readAllBytes()
+    finally in.close()
+  }
+  private lazy val chroma422Obus: Array[Array[Byte]] =
+    chroma422Avifs.map(b => Av1Codec.avifPrimaryItem(b).get)
+
+  /** 4:2:2 fixture payload: cr422 doc_id % 8, AVIF or raw-OBU. */
+  def chroma422Payload(id: Long): Array[Byte] = {
+    val k = ((id % chroma422Count) + chroma422Count).toInt % chroma422Count
+    if (id % 2 == 0) chroma422Avifs(k) else chroma422Obus(k)
+  }
+
+  def chroma422ContainerName(id: Long): String =
     if (id % 2 == 0) "avif" else "obu"
 }

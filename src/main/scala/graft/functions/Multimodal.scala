@@ -3231,6 +3231,36 @@ object Multimodal {
         "sum_y", "sum_u", "sum_v")
   }
 
+  /** REAL AV1 profile-2 8-bit (4:2:2) decode over the round-15
+    * `cr422_N` family — half-width full-height chroma through the
+    * subsampling-parameterized pipeline, incl. the profile-2 header
+    * and the CfL horizontal-pair luma subsample — decoded by
+    * [[Av1Codec.decodeYuv]] and reduced to per-plane sums joined
+    * against generation-time 3-decoder-validated constants. Same
+    * 100 TB shape: partition-local decode, stat rows only.
+    */
+  def decodeAvifChroma422Real(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Av1Codec.decodeYuv(Av1Fixtures.chroma422Payload(id)).collect {
+            case (w, h, planes) if planes.length == 3 =>
+              def psum(a: Array[Byte]): Long = {
+                var s = 0L; var i = 0
+                while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                s
+              }
+              (id, ((id % Av1Fixtures.chroma422Count) + Av1Fixtures.chroma422Count) % Av1Fixtures.chroma422Count,
+                Av1Fixtures.chroma422ContainerName(id), w.toLong, h.toLong,
+                psum(planes(0)), psum(planes(1)), psum(planes(2)))
+          }
+        }
+      }
+      .toDF("doc_id", "fixture", "container", "width", "height",
+        "sum_y", "sum_u", "sum_v")
+  }
+
   /** AV1 near-dup from REAL decoded luma: documents carrying the same
     * still in DIFFERENT containers (AVIF vs raw OBU vs IVF) collapse
     * into one class once fingerprinted by exact decoded-luma stats —

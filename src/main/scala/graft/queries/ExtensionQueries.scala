@@ -194,6 +194,19 @@ object ExtensionQueries {
   ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
     .mkString(",\n")
 
+  /** Planted truth for the round-15 profile-2 8-bit (4:2:2) fixture
+    * family — per-plane sums captured at
+    * `scripts/gen_av1_chroma_fixtures.py` time, every stream
+    * reproduced bit-exactly by dav1d, libgav1 AND libaom.
+    */
+  private val Av1Chroma422FixtureConstants: String = Seq(
+    (0, 16, 16, 32768L, 11520L, 25600L), (1, 16, 16, 15360L, 4032L, 10560L),
+    (2, 16, 16, 31473L, 11591L, 21049L), (3, 24, 16, 50261L, 24751L, 23421L),
+    (4, 33, 17, 58344L, 20808L, 23120L), (5, 2, 2, 340L, 155L, 355L),
+    (6, 32, 32, 104960L, 68480L, 65280L), (7, 96, 72, 892160L, 468288L, 363520L),
+  ).map { case (k, w, h, sy, su, sv) => s"  ($k, $w, $h, $sy, $su, $sv)" }
+    .mkString(",\n")
+
   private val ContaminationProbes = Seq(
     "key agg row scan",
     "batch window spark",
@@ -2996,6 +3009,26 @@ object ExtensionQueries {
       Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
              |$Av1TileFixtureConstants),
              |d AS (SELECT doc_id, (doc_id % 7 + 7) % 7 AS fixture,
+             |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
+             |  FROM documents)
+             |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,
+             |  CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+             |  CAST(c.sum_y AS BIGINT) AS sum_y, CAST(c.sum_u AS BIGINT) AS sum_u,
+             |  CAST(c.sum_v AS BIGINT) AS sum_v
+             |FROM d JOIN c ON c.fixture = d.fixture""".stripMargin),
+    ),
+
+    // REAL AV1 profile-2 8-bit (4:2:2) decode (round 15): half-width
+    // full-height chroma through the subsampling-parameterized
+    // pipeline — profile-2 header, CfL horizontal-pair luma subsample,
+    // Y+UV palette, clipped half-width chroma at odd dims. Per-plane
+    // sums joined against generation-time constants.
+    QueryDef(
+      "multimodal_avif_chroma422",
+      (s, dir) => Multimodal.decodeAvifChroma422Real(s, Tables.documents(s, dir)),
+      Some(s"""WITH c(fixture, w, h, sum_y, sum_u, sum_v) AS (VALUES
+             |$Av1Chroma422FixtureConstants),
+             |d AS (SELECT doc_id, (doc_id % 8 + 8) % 8 AS fixture,
              |    CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'obu' END AS container
              |  FROM documents)
              |SELECT d.doc_id, CAST(d.fixture AS BIGINT) AS fixture, d.container,

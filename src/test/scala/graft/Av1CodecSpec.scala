@@ -250,6 +250,39 @@ class Av1CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("8 profile-2 fixtures decode to bit-exact Y+U+V (4:2:2)") {
+    // Profile-2 8-bit streams: half-width full-height chroma through
+    // the subsampling-parameterized pipeline — the profile-2 header
+    // path (mono_chrome bit present, no chroma_sample_position since
+    // only ssx is set), CfL with the horizontal-pair luma subsample,
+    // Y+UV palette tiles, clipped half-width chroma at odd dims, and a
+    // multi-superblock 96x72 frame. 3-decoder-validated at generation.
+    for (i <- 0 to 7) {
+      val avif = res(s"cr422_$i.avif")
+      val yuv = res(s"cr422_$i.yuv")
+      val dec = Av1Codec.decodeYuv(avif)
+      assert(dec.isDefined, s"cr422_$i must decode")
+      val (w, h, planes) = dec.get
+      assert(planes.length == 3, s"cr422_$i must carry chroma")
+      val got = planes(0) ++ planes(1) ++ planes(2)
+      assert(w * h + 2 * (((w + 1) / 2) * h) == yuv.length,
+        s"cr422_$i geometry $w x $h")
+      assert(java.util.Arrays.equals(got, yuv), s"cr422_$i planes differ")
+    }
+  }
+
+  test("4:2:2 fixtures survive truncation and mutation without throwing") {
+    val avif = res("cr422_7.avif")
+    for (len <- 0 until avif.length by 7)
+      Av1Codec.decodeYuv(java.util.Arrays.copyOf(avif, len))
+    val rnd = new scala.util.Random(0x422)
+    for (_ <- 1 to 200) {
+      val m = avif.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Av1Codec.decodeYuv(m)
+    }
+  }
+
   test("6 chunk-order fixtures decode to bit-exact Y+U+V") {
     // The residual-chunk-order regression family: 128-superblock
     // lossless streams with one frame dimension under 64 px, where the
