@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Row-by-row comparison of two graft.Bench artifacts (full-JSON form).
+
+Usage: bench_compare.py <before.json> <after.json> [ratio_flag=1.5] [floor=0.3]
+
+Prints totals, the biggest improvements and regressions, and flags rows
+slower than ratio_flag x AND more than floor seconds absolute — the same
+shape bench_guard.py adjudicates, for in-round iteration.
+"""
+import json
+import sys
+
+
+def load(p):
+    d = json.load(open(p))
+    return d["queries"], d["value"]
+
+
+def main(before_p, after_p, ratio_flag=1.5, floor=0.3):
+    b, bt = load(before_p)
+    a, at = load(after_p)
+    common = sorted(set(b) & set(a))
+    bs = sum(b[k] for k in common)
+    as_ = sum(a[k] for k in common)
+    print(f"total: {bt:.1f} -> {at:.1f} s  (common {len(common)} rows: "
+          f"{bs:.1f} -> {as_:.1f} = {as_ / bs:.3f}x)")
+    delta = [(a[k] - b[k], k) for k in common]
+    print("\nbiggest improvements:")
+    for d, k in sorted(delta)[:15]:
+        print(f"  {d:+7.2f}s  {b[k]:6.2f} -> {a[k]:6.2f}  {k}")
+    print("\nbiggest regressions:")
+    for d, k in sorted(delta, reverse=True)[:15]:
+        print(f"  {d:+7.2f}s  {b[k]:6.2f} -> {a[k]:6.2f}  {k}")
+    flags = [(a[k] / b[k], k) for k in common
+             if b[k] > 0 and a[k] / b[k] > ratio_flag and a[k] - b[k] > floor]
+    print(f"\nflagged (> {ratio_flag}x and > {floor}s slower): {len(flags)}")
+    for r, k in sorted(flags, reverse=True):
+        print(f"  {r:5.2f}x  {b[k]:6.2f} -> {a[k]:6.2f}  {k}")
+    missing = sorted(set(b) - set(a))
+    if missing:
+        print(f"\nMISSING rows in after: {missing}")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0], args[1], *(float(x) for x in args[2:]))

@@ -155,6 +155,15 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"rc":$rc,"sf":"$sfDir","reps":$reps,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"streaming":$streaming}"""
     println(json)
+    // One PLAIN-TEXT headline line AFTER the JSON (VERDICT r15 #5): the
+    // driver's log capture keeps a 2000-char tail, which truncated the
+    // leading {"metric","value",...} fields of the r15 artifact
+    // (parsed: null). The contract line above is unchanged — still
+    // exactly one JSON line — but a tail capture now always carries the
+    // totals. The file below stays the durable full artifact.
+    println(f"[bench] total=$total%.3f sec sf=$sfDir reps=$reps " +
+      s"queries=${results.size} failed=${resultsAll.count(_._2 < 0)} " +
+      f"load=$loadStart%.2f->$loadEnd%.2f rc=$rc")
     // stdout is best-effort (log tails truncate); the file is the record.
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

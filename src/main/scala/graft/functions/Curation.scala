@@ -324,16 +324,25 @@ object Curation {
   def dropDupSpans(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sentences = docs
-      .select(col("doc_id"), posexplode(split(col(textCol), "\\. "))
-        .as(Seq("pos", "sentence")))
-    val spans = sentences
-      .select(col("doc_id"), col("pos"), col("sentence"),
-        lead(col("sentence"), 1).over(perDoc).as("__s1"),
-        lead(col("sentence"), 2).over(perDoc).as("__s2"))
-      .filter(col("__s2").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(". ", col("sentence"), col("__s1"), col("__s2"))).as("__h"))
+    // The sentence table feeds THREE branches (spans, the kept anti-join
+    // probe, and the n_sentences census) and spans feeds TWO (firsts +
+    // dupStarts) — uncut, the explode re-ran per branch and the window
+    // re-shuffled per spans consumer. Repartition by doc_id first (the
+    // single-split-input spread; the window's exchange rides it) and cut
+    // each shared table once (mode story at Dedup.lineageCut).
+    val sentences = Dedup.lineageCut("dropDupSpans.sentences", reliable = false)(
+      docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(split(col(textCol), "\\. "))
+          .as(Seq("pos", "sentence"))))
+    val spans = Dedup.lineageCut("dropDupSpans.spans", reliable = false)(
+      sentences
+        .select(col("doc_id"), col("pos"), col("sentence"),
+          lead(col("sentence"), 1).over(perDoc).as("__s1"),
+          lead(col("sentence"), 2).over(perDoc).as("__s2"))
+        .filter(col("__s2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(". ", col("sentence"), col("__s1"), col("__s2"))).as("__h")))
     val firsts = spans
       .groupBy(col("__h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))

@@ -127,10 +127,16 @@ object Dedup {
     // serves the same two purposes as in shinglesCarrying: spread the
     // compute-dominant hashing across cores regardless of input file
     // layout, and pre-satisfy every downstream groupBy(doc_id) exchange.
-    val sh = tagged
+    // The shingle table feeds SIX plan branches (both self-join sides,
+    // the df cap's build side — twice, once per join side — and both
+    // count joins): uncut, the hash explode re-executed per branch and
+    // dominated the operator (measured ~6× the one-pass cost at sf0.1).
+    // Cut it once — the minhashEstimatedJaccard pattern; mode tradeoffs
+    // (localCheckpoint vs reliable) at [[lineageCut]].
+    val sh = lineageCut("jaccardPairs", reliable = false)(tagged
       .repartition(col("doc_id"))
       .select(col("doc_id") +: carried :+ explode(
-        expressions.TextExpressions.ngramDistinctHashes(col(textCol), n)).as("sh"): _*)
+        expressions.TextExpressions.ngramDistinctHashes(col(textCol), n)).as("sh"): _*))
     // Per-document counts use the FULL shingle set (true union size);
     // only the pair-candidate join is pruned below.
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -215,9 +221,12 @@ object Dedup {
     val sig = minhashSignatures(docs, k, n)
     val bandHashes = (0 until bands).map(b =>
       xxhash64((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*))
-    val banded = sig.select(
+    // The banded index feeds BOTH self-join sides — cut it once so the
+    // signature pass runs once, not per side (mode tradeoffs at
+    // [[lineageCut]]).
+    val banded = lineageCut("minhashCandidates", reliable = false)(sig.select(
       col("doc_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash"))))
     val left = banded.toDF("doc_a", "band_idx", "band_hash")
     val right = banded.toDF("doc_b", "band_idx", "band_hash")
     left.join(right, Seq("band_idx", "band_hash"))
@@ -365,7 +374,11 @@ object Dedup {
     */
   def minhashCandidatesMd5(docs: DataFrame, k: Int = 16, bands: Int = 4,
       n: Int = 3): DataFrame = {
-    val banded = bandedIndexMd5(docs, k, bands, n)
+    // Cut the banded index once — both self-join sides read it, and the
+    // md5 signature pass is the operator's whole cost (mode tradeoffs
+    // at [[lineageCut]]).
+    val banded = lineageCut("minhashCandidatesMd5", reliable = false)(
+      bandedIndexMd5(docs, k, bands, n))
     val left = banded.toDF("doc_a", "band_idx", "band_hash")
     val right = banded.toDF("doc_b", "band_idx", "band_hash")
     left.join(right, Seq("band_idx", "band_hash"))
@@ -545,15 +558,16 @@ object Dedup {
     * (the cut changes storage, not the plan's semantics) —
     * `DedupSpec` proves it.
     */
-  private def lineageCut(op: String, reliable: Boolean): DataFrame => DataFrame = { df =>
+  private[graft] def lineageCut(op: String, reliable: Boolean,
+      eager: Boolean = true): DataFrame => DataFrame = { df =>
     val useReliable = reliable ||
       df.sparkSession.conf.get("spark.graft.reliableCut", "false").toBoolean
     if (useReliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$op(reliable = true) needs a reliable checkpoint location: " +
           "call spark.sparkContext.setCheckpointDir(<dir>) first")
-      df.checkpoint(true)
-    } else df.localCheckpoint(true)
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
   }
 
   /** Connected components over an undirected near-dup pair list: every
@@ -614,6 +628,7 @@ object Dedup {
     }
     var changed = 1L
     var barriers = 0
+    val cutLazy = lineageCut("clusterAssign", reliable, eager = false)
     while (changed > 0) {
       barriers += 1
       // TWO propagation steps per convergence barrier: each
@@ -627,7 +642,12 @@ object Dedup {
       // parity with single-step — the win is the barrier count on
       // deeper graphs, where barriers cost 100–1000× more on a real
       // cluster than in local mode.
-      val step = cut(propagate(propagate(labels.withColumn("old", col("cluster")))))
+      //
+      // LAZY cut + count fusion: the non-eager checkpoint materializes
+      // during the convergence count's own job, so each barrier pays ONE
+      // pass over the propagated labels instead of an eager-checkpoint
+      // job followed by a count job re-reading it.
+      val step = cutLazy(propagate(propagate(labels.withColumn("old", col("cluster")))))
       changed = step.filter(col("cluster") =!= col("old")).count()
       labels = step.select(col("doc_id"), col("cluster"))
     }
@@ -805,9 +825,13 @@ object Dedup {
     val mask = (1L << qBits) - 1
     val quarters = (0 until bands).map(q =>
       shiftright(col("simhash"), q * qBits).bitwiseAND(mask))
-    val banded = sig.select(
+    // Cut the banded table once: both self-join sides (and the hot-band
+    // cap's build, when maxDf is set) read it, so the signature input
+    // evaluates once instead of per branch (mode tradeoffs at
+    // [[lineageCut]]).
+    val banded = lineageCut("bandedHammingPairs", reliable = false)(sig.select(
       col("doc_id"), col("simhash"),
-      posexplode(array(quarters: _*)).as(Seq("q_idx", "q_val")))
+      posexplode(array(quarters: _*)).as(Seq("q_idx", "q_val"))))
     val joinable = maxDf match {
       case None => banded
       case Some(cap) =>

@@ -2413,6 +2413,22 @@ object MediaFixtures {
   */
 object Multimodal {
 
+  /** doc_id spine of a fixture-decode row, hash-spread by doc_id: the
+    * payload build + decode happen per row inside the downstream map /
+    * mapPartitions, so a single-split input (the one-row-group fixture
+    * file) would otherwise serialize the WHOLE decode on one task — the
+    * same single-file rationale as Dedup.shinglesCarrying's repartition.
+    * The shuffle moves 8-byte ids; AQE's parallelism-first coalescing
+    * keeps at least defaultParallelism partitions. Identity in results:
+    * decode is row-local, and every consumer's output is either per-row
+    * or an order-independent aggregate.
+    */
+  private def spreadIds(docs: DataFrame): Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+  }
+
+
   /** STUB decoder: deterministic fake metadata derived from the byte
     * length, standing in for a real `decode(bytes) → (w, h, frames)`.
     */
@@ -2465,7 +2481,7 @@ object Multimodal {
     */
   def decodeDocumentsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.imageBytes(id)))
     decodeImageMeta(payloads).toDF()
   }
@@ -2477,7 +2493,7 @@ object Multimodal {
     */
   def decodeImageFormatsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.imageBytesExt(id)))
     decodeImageMeta(payloads).toDF()
   }
@@ -2488,7 +2504,7 @@ object Multimodal {
     */
   def decodeAudioOggReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.oggBytes(id)))
     decodeAudioMeta(payloads).toDF()
   }
@@ -2512,7 +2528,7 @@ object Multimodal {
     */
   def decodeAudioReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.audioBytes(id)))
     decodeAudioMeta(payloads).toDF()
   }
@@ -2526,7 +2542,7 @@ object Multimodal {
     */
   def decodeExifOriented(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spreadIds(docs)
       .mapPartitions { it =>
         it.map { id =>
           val w = (id % 640 + 1).toInt
@@ -2548,7 +2564,7 @@ object Multimodal {
     */
   def decodeAudioMultiReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.audioBytesMulti(id)))
     decodeAudioMeta(payloads).toDF()
   }
@@ -2561,7 +2577,7 @@ object Multimodal {
     */
   def decodeAudioPcmReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.wavPcmBytes(id)))
     PcmSamples.pcmStats(payloads).toDF()
   }
@@ -2575,14 +2591,14 @@ object Multimodal {
     */
   def decodeAudioAdpcmReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.wavImaAdpcmBytes(id)))
     AdpcmSamples.adpcmStats(payloads).toDF()
   }
 
   def decodeAudioG711Real(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.wavG711Bytes(id)))
     G711Samples.g711Stats(payloads).toDF()
   }
@@ -2658,7 +2674,7 @@ object Multimodal {
     */
   def videoNearDupAv1Real(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, nearDupAv1IvfBytes(id)))
     videoNearDupPairs(av1FrameStats(payloads).toDF())
   }
@@ -2666,7 +2682,7 @@ object Multimodal {
   /** [[frameDedupLuma]] over the same AV1-carried frames. */
   def frameDedupAv1Real(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, nearDupAv1IvfBytes(id)))
     frameDedupLuma(av1FrameStats(payloads).toDF())
   }
@@ -2710,7 +2726,7 @@ object Multimodal {
     */
   def videoNearDupReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.nearDupAviBytes(id)))
     videoNearDupPairs(MjpegFrames.frameStats(payloads).toDF())
   }
@@ -2745,7 +2761,7 @@ object Multimodal {
     */
   def frameDedupLumaReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.nearDupAviBytes(id)))
     frameDedupLuma(MjpegFrames.frameStats(payloads).toDF())
   }
@@ -2786,7 +2802,7 @@ object Multimodal {
   private def scenePayloads(spark: SparkSession,
       docs: DataFrame): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spreadIds(docs)
       .map(id => (id, (id % 3) match {
         case 0 => MediaFixtures.sceneAviBytes(id)
         case 1 => MediaFixtures.sceneMkvBytes(id)
@@ -2842,7 +2858,7 @@ object Multimodal {
     // of the same planted waveform — lossless decode means identical
     // fingerprints, so the oracle is container-blind while the decode
     // path exercises both (r8 verdict item 4)
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.nearDupAudioBytes(id)))
     AudioFingerprint.fingerprints(payloads).toDF("doc_id", "afp")
   }
@@ -2856,7 +2872,7 @@ object Multimodal {
     */
   def decodeAudioFlacReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.flacStreamBytes(id)))
     FlacSamples.flacStats(payloads).toDF()
   }
@@ -2881,7 +2897,7 @@ object Multimodal {
     */
   def imageDhashReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.nearDupImageBytes(id)))
     ImageDhash.dhashes(payloads).toDF("doc_id", "dhash")
   }
@@ -2909,7 +2925,7 @@ object Multimodal {
     */
   def decodeVideoFramePixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.aviMjpegBytes(id)))
     MjpegFrames.frameStats(payloads).toDF()
   }
@@ -2933,7 +2949,7 @@ object Multimodal {
     */
   def decodeVideoReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.videoBytes(id)))
     decodeVideoMeta(payloads).toDF()
   }
@@ -2944,7 +2960,7 @@ object Multimodal {
     */
   def decodeVideoFormatsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, MediaFixtures.videoBytesMulti(id)))
     decodeVideoMeta(payloads).toDF()
   }
@@ -2957,7 +2973,7 @@ object Multimodal {
     */
   def decodePixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.pixelImageBytes(id)))
     PixelCodec.channelStats(payloads).toDF()
   }
@@ -2971,7 +2987,7 @@ object Multimodal {
     */
   def decodeWebpPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.webpPixelBytes(id,
         PixelFixtures.width(id), PixelFixtures.height(id))))
     PixelCodec.channelStats(payloads).toDF()
@@ -2989,23 +3005,34 @@ object Multimodal {
     */
   def decodeAvifPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode: ids map onto count × containers payloads
+    // (the residue class of doc_id mod lcm(22, 3) = 66 determines both),
+    // so rows are spread by that residue and each task decodes each
+    // distinct payload ONCE (per-task memo, nothing outlives the task) —
+    // content-addressed decode, bit-identical to the per-row form it
+    // replaced; only the decode count changes (measured 8× at sf0.1).
+    docs.select(col("doc_id"))
+      .repartition(66, pmod(col("doc_id"), lit(66)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeLuma(Av1Fixtures.payload(id)).map { case (w, h, luma) =>
-            var s = 0L; var sq = 0L
-            var i = 0
-            while (i < luma.length) {
-              val v = (luma(i) & 0xff).toLong
-              s += v; sq += v * v
-              i += 1
-            }
-            // floor-positive modulus: must match the fixture payload()
-            // actually selected (and the oracle SQL) for negative doc_ids
-            (id, ((id % Av1Fixtures.count) + Av1Fixtures.count) % Av1Fixtures.count,
-              Av1Fixtures.containerName(id),
-              w.toLong, h.toLong, luma.length.toLong, s, sq)
-          }
+          // floor-positive modulus: must match the fixture payload()
+          // actually selected (and the oracle SQL) for negative doc_ids
+          val k = ((id % Av1Fixtures.count) + Av1Fixtures.count) % Av1Fixtures.count
+          val cn = Av1Fixtures.containerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeLuma(Av1Fixtures.payload(id)).map { case (w, h, luma) =>
+              var s = 0L; var sq = 0L
+              var i = 0
+              while (i < luma.length) {
+                val v = (luma(i) & 0xff).toLong
+                s += v; sq += v * v
+                i += 1
+              }
+              (w.toLong, h.toLong, luma.length.toLong, s, sq)
+            }).map { case (w, h, n, s, sq) => (id, k, cn, w, h, n, s, sq) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height", "n_px",
@@ -3024,23 +3051,31 @@ object Multimodal {
     */
   def decodeAvifPaletteReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(12, 2) = 12 determines the payload; spread by it, decode each
+    // distinct payload once per task.
+    docs.select(col("doc_id"))
+      .repartition(12, pmod(col("doc_id"), lit(12)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeLuma(Av1Fixtures.palettePayload(id)).map { case (w, h, luma) =>
-            var s = 0L; var sq = 0L
-            var i = 0
-            while (i < luma.length) {
-              val v = (luma(i) & 0xff).toLong
-              s += v; sq += v * v
-              i += 1
-            }
-            // floor-positive modulus: must match the fixture palettePayload
-            // actually selected (and the oracle SQL) for negative doc_ids
-            (id, ((id % Av1Fixtures.paletteCount) + Av1Fixtures.paletteCount) % Av1Fixtures.paletteCount,
-              Av1Fixtures.paletteContainerName(id),
-              w.toLong, h.toLong, luma.length.toLong, s, sq)
-          }
+          // floor-positive modulus: must match the fixture palettePayload
+          // actually selected (and the oracle SQL) for negative doc_ids
+          val k = ((id % Av1Fixtures.paletteCount) + Av1Fixtures.paletteCount) % Av1Fixtures.paletteCount
+          val cn = Av1Fixtures.paletteContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeLuma(Av1Fixtures.palettePayload(id)).map { case (w, h, luma) =>
+              var s = 0L; var sq = 0L
+              var i = 0
+              while (i < luma.length) {
+                val v = (luma(i) & 0xff).toLong
+                s += v; sq += v * v
+                i += 1
+              }
+              (w.toLong, h.toLong, luma.length.toLong, s, sq)
+            }).map { case (w, h, n, s, sq) => (id, k, cn, w, h, n, s, sq) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height", "n_px",
@@ -3060,21 +3095,28 @@ object Multimodal {
     */
   def decodeAvifFilterIntraReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(10, 2) = 10 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(10, pmod(col("doc_id"), lit(10)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeLuma(Av1Fixtures.fiPayload(id)).map { case (w, h, luma) =>
-            var s = 0L; var sq = 0L
-            var i = 0
-            while (i < luma.length) {
-              val v = (luma(i) & 0xff).toLong
-              s += v; sq += v * v
-              i += 1
-            }
-            (id, ((id % Av1Fixtures.fiCount) + Av1Fixtures.fiCount) % Av1Fixtures.fiCount,
-              Av1Fixtures.fiContainerName(id),
-              w.toLong, h.toLong, luma.length.toLong, s, sq)
-          }
+          val k = ((id % Av1Fixtures.fiCount) + Av1Fixtures.fiCount) % Av1Fixtures.fiCount
+          val cn = Av1Fixtures.fiContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeLuma(Av1Fixtures.fiPayload(id)).map { case (w, h, luma) =>
+              var s = 0L; var sq = 0L
+              var i = 0
+              while (i < luma.length) {
+                val v = (luma(i) & 0xff).toLong
+                s += v; sq += v * v
+                i += 1
+              }
+              (w.toLong, h.toLong, luma.length.toLong, s, sq)
+            }).map { case (w, h, n, s, sq) => (id, k, cn, w, h, n, s, sq) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height", "n_px",
@@ -3093,20 +3135,28 @@ object Multimodal {
     */
   def decodeAvifChromaReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(14, 2) = 14 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(14, pmod(col("doc_id"), lit(14)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeYuv(Av1Fixtures.chromaPayload(id)).collect {
-            case (w, h, planes) if planes.length == 3 =>
-              def psum(a: Array[Byte]): Long = {
-                var s = 0L; var i = 0
-                while (i < a.length) { s += a(i) & 0xff; i += 1 }
-                s
-              }
-              (id, ((id % Av1Fixtures.chromaCount) + Av1Fixtures.chromaCount) % Av1Fixtures.chromaCount,
-                Av1Fixtures.chromaContainerName(id), w.toLong, h.toLong,
-                psum(planes(0)), psum(planes(1)), psum(planes(2)))
-          }
+          val k = ((id % Av1Fixtures.chromaCount) + Av1Fixtures.chromaCount) % Av1Fixtures.chromaCount
+          val cn = Av1Fixtures.chromaContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeYuv(Av1Fixtures.chromaPayload(id)).collect {
+              case (w, h, planes) if planes.length == 3 =>
+                def psum(a: Array[Byte]): Long = {
+                  var s = 0L; var i = 0
+                  while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                  s
+                }
+                (w.toLong, h.toLong,
+                  psum(planes(0)), psum(planes(1)), psum(planes(2)))
+            }).map { case (w, h, sy, su, sv) => (id, k, cn, w, h, sy, su, sv) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height",
@@ -3123,20 +3173,28 @@ object Multimodal {
     */
   def decodeAvifChroma444Real(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(12, 2) = 12 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(12, pmod(col("doc_id"), lit(12)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeYuv(Av1Fixtures.chroma444Payload(id)).collect {
-            case (w, h, planes) if planes.length == 3 =>
-              def psum(a: Array[Byte]): Long = {
-                var s = 0L; var i = 0
-                while (i < a.length) { s += a(i) & 0xff; i += 1 }
-                s
-              }
-              (id, ((id % Av1Fixtures.chroma444Count) + Av1Fixtures.chroma444Count) % Av1Fixtures.chroma444Count,
-                Av1Fixtures.chroma444ContainerName(id), w.toLong, h.toLong,
-                psum(planes(0)), psum(planes(1)), psum(planes(2)))
-          }
+          val k = ((id % Av1Fixtures.chroma444Count) + Av1Fixtures.chroma444Count) % Av1Fixtures.chroma444Count
+          val cn = Av1Fixtures.chroma444ContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeYuv(Av1Fixtures.chroma444Payload(id)).collect {
+              case (w, h, planes) if planes.length == 3 =>
+                def psum(a: Array[Byte]): Long = {
+                  var s = 0L; var i = 0
+                  while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                  s
+                }
+                (w.toLong, h.toLong,
+                  psum(planes(0)), psum(planes(1)), psum(planes(2)))
+            }).map { case (w, h, sy, su, sv) => (id, k, cn, w, h, sy, su, sv) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height",
@@ -3154,20 +3212,28 @@ object Multimodal {
     */
   def decodeAvifChunkOrderReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(6, 2) = 6 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(6, pmod(col("doc_id"), lit(6)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeYuv(Av1Fixtures.chunkPayload(id)).collect {
-            case (w, h, planes) if planes.length == 3 =>
-              def psum(a: Array[Byte]): Long = {
-                var s = 0L; var i = 0
-                while (i < a.length) { s += a(i) & 0xff; i += 1 }
-                s
-              }
-              (id, ((id % Av1Fixtures.chunkCount) + Av1Fixtures.chunkCount) % Av1Fixtures.chunkCount,
-                Av1Fixtures.chunkContainerName(id), w.toLong, h.toLong,
-                psum(planes(0)), psum(planes(1)), psum(planes(2)))
-          }
+          val k = ((id % Av1Fixtures.chunkCount) + Av1Fixtures.chunkCount) % Av1Fixtures.chunkCount
+          val cn = Av1Fixtures.chunkContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeYuv(Av1Fixtures.chunkPayload(id)).collect {
+              case (w, h, planes) if planes.length == 3 =>
+                def psum(a: Array[Byte]): Long = {
+                  var s = 0L; var i = 0
+                  while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                  s
+                }
+                (w.toLong, h.toLong,
+                  psum(planes(0)), psum(planes(1)), psum(planes(2)))
+            }).map { case (w, h, sy, su, sv) => (id, k, cn, w, h, sy, su, sv) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height",
@@ -3185,16 +3251,23 @@ object Multimodal {
     */
   def decodeAvifIntrabcReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(6, 2) = 6 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(6, pmod(col("doc_id"), lit(6)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeLuma(Av1Fixtures.ibcPayload(id)).map { case (w, h, luma) =>
-            var s = 0L; var i = 0
-            while (i < luma.length) { s += luma(i) & 0xff; i += 1 }
-            (id, ((id % Av1Fixtures.ibcCount) + Av1Fixtures.ibcCount) % Av1Fixtures.ibcCount,
-              Av1Fixtures.ibcContainerName(id), w.toLong, h.toLong,
-              (w.toLong * h), s)
-          }
+          val k = ((id % Av1Fixtures.ibcCount) + Av1Fixtures.ibcCount) % Av1Fixtures.ibcCount
+          val cn = Av1Fixtures.ibcContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeLuma(Av1Fixtures.ibcPayload(id)).map { case (w, h, luma) =>
+              var s = 0L; var i = 0
+              while (i < luma.length) { s += luma(i) & 0xff; i += 1 }
+              (w.toLong, h.toLong, w.toLong * h, s)
+            }).map { case (w, h, n, s) => (id, k, cn, w, h, n, s) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height", "n_px", "sum_y")
@@ -3210,21 +3283,29 @@ object Multimodal {
     */
   def decodeAvifTilesReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(7, 2) = 14 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(14, pmod(col("doc_id"), lit(14)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeYuv(Av1Fixtures.tilePayload(id)).map { case (w, h, planes) =>
-            def psum(a: Array[Byte]): Long = {
-              var s = 0L; var i = 0
-              while (i < a.length) { s += a(i) & 0xff; i += 1 }
-              s
-            }
-            (id, ((id % Av1Fixtures.tileCount) + Av1Fixtures.tileCount) % Av1Fixtures.tileCount,
-              Av1Fixtures.tileContainerName(id), w.toLong, h.toLong,
-              psum(planes(0)),
-              if (planes.length == 3) psum(planes(1)) else 0L,
-              if (planes.length == 3) psum(planes(2)) else 0L)
-          }
+          val k = ((id % Av1Fixtures.tileCount) + Av1Fixtures.tileCount) % Av1Fixtures.tileCount
+          val cn = Av1Fixtures.tileContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeYuv(Av1Fixtures.tilePayload(id)).map { case (w, h, planes) =>
+              def psum(a: Array[Byte]): Long = {
+                var s = 0L; var i = 0
+                while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                s
+              }
+              (w.toLong, h.toLong,
+                psum(planes(0)),
+                if (planes.length == 3) psum(planes(1)) else 0L,
+                if (planes.length == 3) psum(planes(2)) else 0L)
+            }).map { case (w, h, sy, su, sv) => (id, k, cn, w, h, sy, su, sv) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height",
@@ -3241,20 +3322,28 @@ object Multimodal {
     */
   def decodeAvifChroma422Real(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
+    // lcm(8, 2) = 8 determines the payload.
+    docs.select(col("doc_id"))
+      .repartition(8, pmod(col("doc_id"), lit(8)))
+      .as[Long]
       .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap
+          .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
         it.flatMap { id =>
-          Av1Codec.decodeYuv(Av1Fixtures.chroma422Payload(id)).collect {
-            case (w, h, planes) if planes.length == 3 =>
-              def psum(a: Array[Byte]): Long = {
-                var s = 0L; var i = 0
-                while (i < a.length) { s += a(i) & 0xff; i += 1 }
-                s
-              }
-              (id, ((id % Av1Fixtures.chroma422Count) + Av1Fixtures.chroma422Count) % Av1Fixtures.chroma422Count,
-                Av1Fixtures.chroma422ContainerName(id), w.toLong, h.toLong,
-                psum(planes(0)), psum(planes(1)), psum(planes(2)))
-          }
+          val k = ((id % Av1Fixtures.chroma422Count) + Av1Fixtures.chroma422Count) % Av1Fixtures.chroma422Count
+          val cn = Av1Fixtures.chroma422ContainerName(id)
+          memo.getOrElseUpdate((k, cn),
+            Av1Codec.decodeYuv(Av1Fixtures.chroma422Payload(id)).collect {
+              case (w, h, planes) if planes.length == 3 =>
+                def psum(a: Array[Byte]): Long = {
+                  var s = 0L; var i = 0
+                  while (i < a.length) { s += a(i) & 0xff; i += 1 }
+                  s
+                }
+                (w.toLong, h.toLong,
+                  psum(planes(0)), psum(planes(1)), psum(planes(2)))
+            }).map { case (w, h, sy, su, sv) => (id, k, cn, w, h, sy, su, sv) }
         }
       }
       .toDF("doc_id", "fixture", "container", "width", "height",
@@ -3295,7 +3384,7 @@ object Multimodal {
     */
   def decodeWebpLossyReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spreadIds(docs)
       .map(id => (id, PixelFixtures.webpLossyBytes(id)))
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
@@ -3329,7 +3418,7 @@ object Multimodal {
     */
   def webpLossyDhashReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.webpLossyBytes(id)))
     ImageDhash.dhashes(payloads).toDF("doc_id", "dhash")
   }
@@ -3343,7 +3432,7 @@ object Multimodal {
   def webpNearDupReal(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.webpNearDupBytes(id)))
     val hashes = ImageDhash.dhashes(payloads).toDF("doc_id", "simhash")
     Dedup.bandedHammingPairs(hashes, bits = 64, maxHamming)
@@ -3357,7 +3446,7 @@ object Multimodal {
     */
   def decodeTiffPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.tiffPixelBytes(id,
         PixelFixtures.width(id), PixelFixtures.height(id))))
     PixelCodec.channelStats(payloads).toDF()
@@ -3371,7 +3460,7 @@ object Multimodal {
     */
   def decodeTiffTiledReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.tiffTiledBytes(id)))
     PixelCodec.channelStats(payloads).toDF()
   }
@@ -3384,7 +3473,7 @@ object Multimodal {
     */
   def decodePngFullReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.pngFullBytes(id)))
     PixelCodec.channelStats(payloads).toDF()
   }
@@ -3397,7 +3486,7 @@ object Multimodal {
     */
   def decodePngSubByteReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.pngSubByteBytes(id)))
     PixelCodec.channelStats(payloads).toDF()
   }
@@ -3409,7 +3498,7 @@ object Multimodal {
     */
   def decodeTiffDeflateReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.tiffDeflateBytes(id)))
     PixelCodec.channelStats(payloads).toDF()
   }
@@ -3422,7 +3511,7 @@ object Multimodal {
     */
   def decodeTiffPaletteReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.tiffPaletteBytes(id)))
     PixelCodec.channelStats(payloads).toDF()
   }
@@ -3437,7 +3526,7 @@ object Multimodal {
     */
   def decodeJpegPixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, JpegFixtures.jpegPixelBytes(id)))
     PixelCodec.channelStats(payloads).toDF().select(
       col("doc_id"), col("format"), col("width"), col("height"), col("n_px"),
@@ -3456,7 +3545,7 @@ object Multimodal {
     */
   def decodeJpegProgressiveReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, JpegFixtures.jpegProgressiveBytes(id)))
     PixelCodec.channelStats(payloads).toDF().select(
       col("doc_id"), col("format"), col("width"), col("height"), col("n_px"),
@@ -3471,7 +3560,7 @@ object Multimodal {
     */
   def resizePixelsReal(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = docs.select(col("doc_id")).as[Long]
+    val payloads = spreadIds(docs)
       .map(id => (id, PixelFixtures.pixelImageBytes(id)))
     PixelCodec.resizeStats(payloads, factor = 2).toDF()
   }

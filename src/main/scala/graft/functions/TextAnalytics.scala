@@ -99,8 +99,14 @@ object TextAnalytics {
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
       damping: String = "sqrt"): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df derivation and the scored probe — cut it once
+    // so the tokenize+explode runs once, not per branch; the doc_id
+    // repartition spreads a single-split input across cores (same
+    // rationale as Dedup.shinglesCarrying; cut mode at Dedup.lineageCut)
+    val tf = Dedup.lineageCut("tfIdfTopTerms", reliable = false)(
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val idf = damping match {
@@ -589,14 +595,23 @@ object TextAnalytics {
   def surprisalBits(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tok = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val n = tok.agg(count(lit(1)).as("__n"))
+    // Collapse token INSTANCES to per-document token counts first and cut
+    // once: the table feeds THREE branches (corpus tf, corpus total, and
+    // the probe join), so the tokenize+explode ran 3× uncut. Weighting
+    // by the multiplicity `__m` is exact-integer-identical to joining
+    // every instance row (same bigramSurprisalBits pattern; lineage-cut
+    // mode story at Dedup.lineageCut).
+    val pt = Dedup.lineageCut("surprisalBits", reliable = false)(
+      tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("__m")))
+    val freq = pt.groupBy(col("token")).agg(sum(col("__m")).as("tf"))
+    val n = pt.agg(sum(col("__m")).as("__n"))
     def bitlen(c: Column): Column = length(conv(c, 10, 2))
-    tok.join(freq, "token")
+    pt.join(freq, "token")
       .crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum((bitlen(col("__n")) - bitlen(col("tf"))).cast("long")).as("__sb"))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum((bitlen(col("__n")) - bitlen(col("tf"))).cast("long") * col("__m"))
+          .as("__sb"))
       .select(col("doc_id"), col("n_tokens"),
         (col("__sb").cast("double") / col("n_tokens")).as("mean_surprisal_bits"))
   }
@@ -627,13 +642,26 @@ object TextAnalytics {
         "i -> struct(element_at(__t, i + 1) AS prev, element_at(__t, i + 2) AS cur))"))
       .as("__bg"))
       .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
-    val bf = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bf"))
+    // Collapse bigram INSTANCES to per-document bigram counts first:
+    // `__m` carries the multiplicity, so corpus counts (bf/cf) derive
+    // from this table by summation and the per-document surprisal sum
+    // weights each distinct bigram by `__m` — exact-integer-identical
+    // to joining every instance row, while the probe side shrinks to
+    // distinct (doc, bigram) triples. The table feeds BOTH the corpus
+    // counts and the probe join, so cut it once (tokenize + explode ran
+    // 3× before — the whole cost of this operator; same lineage-cut
+    // mode story as Dedup.lineageCut).
+    val pb = Dedup.lineageCut("bigramSurprisalBits", reliable = false)(
+      bg.groupBy(col("doc_id"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("__m")))
+    val bf = pb.groupBy(col("prev"), col("cur")).agg(sum(col("__m")).as("bf"))
     val cf = bf.groupBy(col("prev")).agg(sum(col("bf")).as("cf"))
     def bitlen(c: Column): Column = length(conv(c, 10, 2))
-    bg.join(bf, Seq("prev", "cur")).join(cf, Seq("prev"))
+    pb.join(bf, Seq("prev", "cur")).join(cf, Seq("prev"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum((bitlen(col("cf")) - bitlen(col("bf"))).cast("long")).as("__sb"))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum((bitlen(col("cf")) - bitlen(col("bf"))).cast("long") * col("__m"))
+          .as("__sb"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("__sb").cast("double") / col("n_bigrams")).as("mean_bigram_surprisal_bits"))
   }

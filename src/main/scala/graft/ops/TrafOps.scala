@@ -24,6 +24,33 @@ object TrafOps {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Scale-adaptive scan spreading — the "one huge unsplittable file"
+    * fix: hash-repartition `df` by `keys` ONLY when the source's
+    * parallelism is below the session's default parallelism. A parquet
+    * file is splittable at row-group granularity, so a single-row-group
+    * fact file (the driver fixtures; any under-compacted upstream)
+    * serializes scan + per-row compute + partial aggregation on ONE
+    * task no matter how many cores the session has; the conditional
+    * repartition spreads that compute across every core for one extra
+    * exchange of the pruned columns. At cluster scale the input has
+    * more splits than cores and this is the IDENTITY — plans keep their
+    * single-exchange aggregation shape, so nothing is tuned to local
+    * mode. The partition count is pinned to defaultParallelism (not
+    * left to AQE) because AQE's advisory-size coalescing would fold a
+    * small-but-compute-heavy shuffle back into few partitions — the
+    * exact regime this helper exists for.
+    *
+    * Caller contract: `keys` must be deterministic (retry-safe hash
+    * partitioning, never rand()) and reasonably high-cardinality, and
+    * every downstream aggregate must be order-independent (decimal
+    * sums / counts / min / max — the engine-wide oracle rule), since
+    * repartitioning reorders rows.
+    */
+  def spreadScan(df: DataFrame, keys: Column*): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, keys: _*) else df
+  }
+
   /** Epoch-microseconds of a timestamp column, tolerant of BOTH parquet
     * timestamp conventions. `unix_micros` rejects TIMESTAMP_NTZ at
     * analysis time; the interposed cast accepts it (NTZ → TIMESTAMP via
@@ -236,7 +263,11 @@ object TrafOps {
       saltCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
       pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets)))
-    salted
+    // spreadScan: pre-distribute by the phase-1 grouping key when the
+    // source under-parallelizes (single-row-group file), so the heavy
+    // decimal partial sums run on every core AND phase 1's exchange is
+    // already satisfied; identity at cluster scale
+    spreadScan(salted, (keys.map(col) :+ col("__salt")): _*)
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol).cast(DecimalType(18, 2))).as("__partial"),
         count(lit(1)).as("__n"))
@@ -324,7 +355,12 @@ object TrafOps {
     * surfacing).
     */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
-    df.groupBy(keys.map(col): _*)
+    // spreadScan: pre-distribute by the state key when the source
+    // under-parallelizes — the decimal partial sums spread across cores
+    // and the groupBy's exchange is already satisfied; identity at
+    // cluster scale
+    spreadScan(df, keys.map(col): _*)
+      .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(col(valueCol).cast(DecimalType(18, 2))).as(s"sum_$valueCol"))

@@ -979,8 +979,21 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val tomb = docs.filter(col("doc_id") % 6 === 0).select("doc_id")
-        val masked = Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0))
+        // Pin the persisted-index stand-in ONCE per run: a stream–static
+        // join re-executes the static subtree on EVERY micro-batch (4×
+        // here under maxFilesPerTrigger=1), but the operator's contract
+        // is a join against a PERSISTED index — materializing the masked
+        // index before the stream starts is the read shape production
+        // has, and it halves the row's cost at sf0.1 (the md5-minhash
+        // signature pass was the per-batch bulk). localCheckpoint by
+        // default; `spark.graft.reliableCut` flips to a fault-tolerant
+        // checkpoint exactly as Dedup.lineageCut does.
+        val masked0 = Dedup.bandedIndexMd5(docs.filter(col("doc_id") % 2 === 0))
           .join(tomb, Seq("doc_id"), "left_anti")
+        val masked =
+          if (s.conf.get("spark.graft.reliableCut", "false").toBoolean)
+            masked0.checkpoint(true)
+          else masked0.localCheckpoint(true)
         val staged = docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"),
             lit("2024-01-01 00:00:00").cast("timestamp").as("ts"), col("text"))
@@ -1097,7 +1110,11 @@ object ExtensionQueries {
       "dedup_simhash_candidates",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sig = Dedup.simhashViaAgg(docs)
+        // signatures via the native one-pass scalar — bit-identical to
+        // the aggregate forms (the dedup_simhash row cross-validates all
+        // three per document every run) and a pure projection instead of
+        // a token explode + 64-counter aggregate feeding BOTH bandings
+        val sig = Dedup.simhashNative(docs)
         val quarters = Dedup.hammingCandidates(sig, bits = 64, maxHamming = 3, bands = 4)
           .select("doc_a", "doc_b")
         val eighths = Dedup.hammingCandidates(sig, bits = 64, maxHamming = 3, bands = 8)
@@ -2307,7 +2324,7 @@ object ExtensionQueries {
       "multimodal_audio_vorbis_samples",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        Tables.documents(s, dir).select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .mapPartitions(_.flatMap(id =>
             VorbisCodec.quantizedStats(id, VorbisCodec.fixtureBytes(id))))
           .toDF("doc_id", "n_samples", "sum_q", "sumsq_q", "min_q", "max_q")
@@ -2345,7 +2362,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         graft.functions.AudioFingerprint.fingerprints(
-          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          Tables.documents(s, dir).select(col("doc_id")).repartition(col("doc_id")).as[Long]
             .map(id => (id, VorbisCodec.fixtureBytes(id))))
           .toDF("doc_id", "afp")
       },
@@ -3251,7 +3268,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         WarcCodec.records(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, WarcFixtures.warcBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
@@ -3290,7 +3307,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         WarcCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, WarcFixtures.warcBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
@@ -3319,7 +3336,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         IngestRouter.extractAll(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, IngestFixtures.bytes(id))))
       },
       Some(s"""$ingestUnionCte
@@ -3340,7 +3357,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         IngestRouter.extractAll(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, JsonlFixtures.bytes(id))))
           .select(col("doc_id"), col("part"), col("text"), col("n_chars"))
       },
@@ -3366,7 +3383,7 @@ object ExtensionQueries {
       "sqlite_extract_rows",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        Tables.documents(s, dir).select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .mapPartitions(_.flatMap { id =>
             SqliteCodec.rows(SqliteFixtures.dbBytes(id), "docs")
               .getOrElse(Nil).map { case (rowid, cols) =>
@@ -3400,7 +3417,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         IngestRouter.extractAll(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, IngestFixtures.bytes(id))))
           .groupBy(col("format"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -3427,7 +3444,7 @@ object ExtensionQueries {
       "pipeline_ingest_corpus",
       (s, dir) => {
         import s.implicits._
-        val units = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        val units = Tables.documents(s, dir).select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, IngestFixtures.bytes(id)))
           .mapPartitions { it =>
             it.flatMap { case (id, b) =>
@@ -3481,7 +3498,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val txt = WarcCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, WarcFixtures.warcBytes(id))))
         txt.select(col("doc_id"), col("rec_idx"),
           col("n_chars"),
@@ -4564,6 +4581,10 @@ object ExtensionQueries {
     QueryDef(
       "text_mean_token_freq",
       (s, dir) => {
+        // A cut-once restructure (the bigramSurprisalBits pattern) was
+        // measured NEGATIVE here at sf0.1 idle (0.29 → 0.35 s: only two
+        // consumers and a cheap tokenize — the cut's materialization
+        // cost exceeds the dedup win) — kept in the original form.
         val tok = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
@@ -4647,7 +4668,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         PdfCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, PdfFixtures.pdfBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
@@ -4677,7 +4698,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val txt = PdfCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, PdfFixtures.pdfBytes(id))))
         txt.select(col("doc_id"), col("page"), col("n_chars"),
           size(split(col("text"), "[ \n]")).cast("long").as("n_tokens"),
@@ -4719,7 +4740,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         GifCodec.frameStats(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, GifAnimFixtures.gifBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 14 + 3 AS w,
@@ -4756,7 +4777,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         ZipCodec.entries(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, ZipFixtures.zipBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
@@ -4784,7 +4805,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         TarCodec.entries(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, TarFixtures.tarBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents),
@@ -4813,7 +4834,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         DocxCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, DocxFixtures.docxBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
@@ -4837,7 +4858,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         RtfCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, RtfFixtures.rtfBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
@@ -4861,7 +4882,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         PptxCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, PptxFixtures.pptxBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS ns FROM documents),
@@ -4893,7 +4914,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         UrlFeatures.features(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, UrlFixtures.url(id))))
       },
       Some("""WITH d AS (SELECT doc_id,
@@ -4937,7 +4958,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         XlsxCodec.extractCellRows(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, XlsxFixtures.xlsxBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS ns,
@@ -4971,7 +4992,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         RobotsTxt.decisions(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, RobotsFixtures.robotsTxt(id),
             RobotsFixtures.agent(id), RobotsFixtures.Paths: Seq[String])))
       },
@@ -5003,7 +5024,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         SitemapCodec.entries(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, SitemapFixtures.xml(id))))
       },
       Some("""WITH u AS (SELECT doc_id, uu.u FROM documents,
@@ -5045,7 +5066,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         CharsetDetect.decodeAll(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, CharsetFixtures.payload(id),
             CharsetFixtures.contentType(id))))
       },
@@ -5081,7 +5102,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         HtmlContent.extract(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, HtmlContentFixtures.page(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents),
@@ -5107,7 +5128,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         EpubCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, EpubFixtures.epubBytes(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nc FROM documents),
@@ -5132,7 +5153,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         MarkdownCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, MarkdownFixtures.markdown(id))))
       },
       Some("""WITH t AS (SELECT doc_id,
@@ -5170,7 +5191,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         IpynbCells.cells(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, IpynbFixtures.json(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 4 + 1 AS nc FROM documents),
@@ -5205,7 +5226,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         SubtitleCodec.cues(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, SubtitleFixtures.subtitle(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nc FROM documents),
@@ -5237,7 +5258,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         CodeFeatures.features(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, CodeFixtures.path(id), CodeFixtures.content(id))))
       },
       Some("""WITH d AS (SELECT doc_id,
@@ -5280,7 +5301,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         SecretScan.findings(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, SecretFixtures.content(id))))
       },
       Some("""WITH aws AS (SELECT doc_id, 'aws_key_id' AS kind,
@@ -5311,7 +5332,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         LicenseDetect.licenses(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, LicenseFixtures.content(id))))
       },
       Some("""SELECT doc_id,
@@ -5354,7 +5375,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         EmlCodec.extractText(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, EmlFixtures.eml(id))))
       },
       Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m
@@ -5386,7 +5407,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         HtmlTables.extractCells(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, HtmlTableFixtures.page(id))))
       },
       Some("""WITH d AS (SELECT doc_id, doc_id % 2 + 1 AS nt,
@@ -5426,7 +5447,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         CsvSniff.dialects(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, CsvFixtures.csv(id))))
       },
       Some("""SELECT doc_id,
@@ -5474,7 +5495,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         Dedup.substringSpans(Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, SubstringFixtures.text(id)))
           .toDF("doc_id", "text"), k = 40)
       },
@@ -5522,7 +5543,7 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val all = Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .map(id => (id, SubstringFixtures.buildFor(id)))
           .toDF("doc_id", "text")
         Dedup.substringSpansAgainst(

@@ -38,8 +38,13 @@ object RelationalQueries {
     QueryDef(
       "q1_pricing_summary",
       (s, dir) =>
-        Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        // spreadScan: the single-row-group fixture file otherwise runs
+        // scan + 5 decimal partial sums on ONE task (measured 1.6 s at
+        // sf0.1 idle, all in the map stage); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(
+          Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp")),
+          col("l_extendedprice"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
@@ -422,7 +427,9 @@ object RelationalQueries {
     QueryDef(
       "agg_count_distinct",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // spreadScan: the expand + partial-distinct phase otherwise runs
+        // on the single scan task (see q7ish); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_partkey"))
           .groupBy(col("l_returnflag"))
           .agg(
             countDistinct(col("l_suppkey")).as("n_supp"),
@@ -442,7 +449,10 @@ object RelationalQueries {
     QueryDef(
       "agg_approx_distinct",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // spreadScan: single-task partial phase (see q7ish). Safe for the
+        // HLL sketch too: register merge is a max — commutative and
+        // partitioning-independent, so the estimate is unchanged.
+        graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_partkey"))
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey")).as("__approx"),
@@ -482,7 +492,12 @@ object RelationalQueries {
     QueryDef(
       "q17_small_quantity_revenue",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+        // spreadScan by the correlation key: both consumers (the
+        // per-part average and the probe) spread, and the per-part
+        // groupBy's exchange is already satisfied; identity at cluster
+        // scale
+        val li = graft.ops.TrafOps.spreadScan(
+          Tables.lineitem(s, dir), col("l_partkey"))
         val qlimit = li.groupBy(col("l_partkey").as("pk"))
           .agg((dsum(col("l_quantity")) / count(lit(1)) * 0.2).as("qlimit"))
         li.join(broadcast(qlimit), col("l_partkey") === col("pk"))
@@ -536,7 +551,12 @@ object RelationalQueries {
       (s, dir) => {
         val revenue = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 8))).cast(DecimalType(28, 4)).cast("double")
-        Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        // spreadScan: the broadcast-dim chain + partial agg otherwise
+        // rides the single scan task of the one-row-group fact file;
+        // identity at cluster scale
+        graft.ops.TrafOps.spreadScan(
+          Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey"))
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
@@ -567,7 +587,10 @@ object RelationalQueries {
           .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
         val n2 = Tables.nation(s, dir)
           .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-        Tables.lineitem(s, dir)
+        // spreadScan: all five joins broadcast, so the whole chain +
+        // partial agg ran on the single scan task of the one-row-group
+        // fact file (measured 1.9 s at sf0.1); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_orderkey"))
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
           .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
@@ -601,7 +624,9 @@ object RelationalQueries {
         val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 8))
         val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 8))
-        Tables.lineitem(s, dir)
+        // spreadScan: single-task fact scan feeding a broadcast join +
+        // global decimal sums (see q7ish); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_orderkey"))
           .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type") === "PROMO", disc).otherwise(zero)).as("__p"),
@@ -1005,7 +1030,10 @@ object RelationalQueries {
     QueryDef(
       "agg_variance_exact",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // spreadScan: same single-task partial-agg bottleneck as
+        // agg_corr_exact (1.1 s at sf0.1 idle); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(
+          Tables.lineitem(s, dir), col("l_extendedprice"))
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
@@ -1311,7 +1339,12 @@ object RelationalQueries {
     QueryDef(
       "scalar_try_funcs",
       (s, dir) =>
-        Tables.orders(s, dir).select(
+        // spreadScan: the try_cast projection over 150k rows ran on the
+        // single scan task (1.6 s at sf0.1 idle — try_cast of a
+        // non-numeric string is the expensive path); identity at cluster
+        // scale, projections are row-local so order cannot matter
+        graft.ops.TrafOps.spreadScan(
+          Tables.orders(s, dir), col("o_orderkey")).select(
           col("o_orderkey"),
           try_divide(col("o_totalprice"), col("o_custkey") % 5).as("per_bucket"),
           expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
@@ -1388,7 +1421,11 @@ object RelationalQueries {
     QueryDef(
       "agg_corr_exact",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // spreadScan: six decimal partial sums over 600k rows ran on the
+        // single scan task (2.2 s at sf0.1 idle); identity at cluster
+        // scale, decimal sums are order-independent by construction
+        graft.ops.TrafOps.spreadScan(
+          Tables.lineitem(s, dir), col("l_extendedprice"))
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
@@ -1541,8 +1578,10 @@ object RelationalQueries {
     QueryDef(
       "dq_profile_numeric",
       (s, dir) =>
+        // spreadScan: single-task global aggregate otherwise (see q7ish);
+        // count/null-count/min/max/decimal-sum are all order-independent
         graft.ops.TrafOps.profileNumeric(
-          Tables.lineitem(s, dir),
+          graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_orderkey")),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
       Some {
         def one(c: String) =
@@ -1675,7 +1714,9 @@ object RelationalQueries {
           .select(col("n_nationkey").as("cn_key"))
         val suppNation = Tables.nation(s, dir)
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-        Tables.lineitem(s, dir)
+        // spreadScan: all-broadcast chain on the single-task fact scan
+        // (see q7ish); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_orderkey"))
           .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -1719,6 +1760,9 @@ object RelationalQueries {
         val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 8)) -
           (lit(0.6) * col("p_retailprice") * col("l_quantity")).cast(DecimalType(18, 8))
+        // spreadScan measured NEGATIVE here at sf0.1 idle (0.72 → 0.86 s:
+        // the orders join already reshuffles, so the extra exchange buys
+        // nothing) — left unspread deliberately
         Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("%widget%"))),
             col("l_partkey") === col("p_partkey"))
@@ -1777,7 +1821,9 @@ object RelationalQueries {
     QueryDef(
       "q12ish_late_priority_lines",
       (s, dir) =>
-        Tables.lineitem(s, dir)
+        // spreadScan: single-task fact scan feeding a broadcast join +
+        // partial agg (see q7ish); identity at cluster scale
+        graft.ops.TrafOps.spreadScan(Tables.lineitem(s, dir), col("l_orderkey"))
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
           .groupBy(year(col("l_shipdate")).as("ship_year"))
@@ -1855,6 +1901,9 @@ object RelationalQueries {
     QueryDef(
       "q16ish_supplier_counts",
       (s, dir) =>
+        // spreadScan measured NEGATIVE here at sf0.1 idle (0.54 → 0.70 s:
+        // the distinct agg reshuffles by the group keys anyway) — left
+        // unspread deliberately
         Tables.lineitem(s, dir)
           .select(col("l_partkey"), col("l_suppkey"))
           .join(
@@ -1882,7 +1931,11 @@ object RelationalQueries {
     QueryDef(
       "q18ish_large_orders",
       (s, dir) => {
-        val big = Tables.lineitem(s, dir)
+        // spreadScan by the grouping key: the per-order decimal sums
+        // spread across cores AND the groupBy's exchange is already
+        // satisfied; identity at cluster scale
+        val big = graft.ops.TrafOps.spreadScan(
+          Tables.lineitem(s, dir), col("l_orderkey"))
           .groupBy(col("l_orderkey"))
           .agg(dsum(col("l_quantity")).as("sum_qty"))
           .filter(col("sum_qty") > 250)
@@ -1957,6 +2010,9 @@ object RelationalQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        // spreadScan measured NEGATIVE on this probe branch at sf0.1 idle
+        // (1.13 → 1.32 s: the distinct already reshuffles above the
+        // broadcast chain) — left unspread deliberately
         val late = li
           .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
             col("l_orderkey") === col("o_orderkey"))

@@ -170,10 +170,27 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("single-exchange aggregations stay single-exchange (partial agg before shuffle)") {
-    for (name <- Seq("q1_pricing_summary", "flagship_hourly_ingest", "a2_daily_rollup",
-        "monthly_revenue_series", "histogram_value_buckets", "agg_variance_exact")) {
+    for (name <- Seq("flagship_hourly_ingest", "a2_daily_rollup",
+        "monthly_revenue_series", "histogram_value_buckets")) {
       val n = "Exchange".r.findAllIn(plan(name)).size
       assert(n == 1, s"$name has $n exchanges, expected 1")
+    }
+  }
+
+  test("spread fact aggregations keep the partial-agg shape (scan spread + one agg exchange)") {
+    // TrafOps.spreadScan adds ONE deliberate REPARTITION_BY_NUM exchange
+    // below the aggregation when (and only when) the scan's parallelism
+    // is under the session's cores — the single-row-group fixture regime,
+    // which is what this suite plans against. The aggregation itself must
+    // stay partial-agg'd with exactly its one ENSURE_REQUIREMENTS
+    // exchange; a third exchange means the spread drifted above the agg
+    // or the partial-agg shape broke.
+    for (name <- Seq("q1_pricing_summary", "agg_variance_exact")) {
+      val p = plan(name)
+      val n = "Exchange".r.findAllIn(p).size
+      assert(n == 2, s"$name has $n exchanges, expected 2 (spread + agg)")
+      assert(p.contains("REPARTITION_BY_NUM"), s"$name lost its scan spread")
+      assert(p.contains("partial_sum"), s"$name lost map-side partial aggregation")
     }
   }
 
@@ -289,12 +306,17 @@ class PlanQualitySpec extends SparkSpec {
       "PQ batch rn <= k should become a per-query group limit")
   }
 
-  test("keyframe rollup rides the cut detector's shuffle (one exchange total)") {
+  test("keyframe rollup rides the cut detector's shuffle (one window exchange)") {
     // groupBy (doc_id, scene_id) must be satisfied by the window's
-    // doc_id hash partitioning — a second Exchange here means the
-    // keyframe agg stopped riding the scene-cut shuffle
+    // doc_id hash partitioning — a THIRD Exchange here means the
+    // keyframe agg stopped riding the scene-cut shuffle. (The id-spine
+    // spread before the per-row frame decode — Multimodal.spreadIds —
+    // is the allowed second exchange: object ops hide partitioning from
+    // Catalyst, so the window re-establishes doc_id hashing above the
+    // decode; the agg must still ride THAT shuffle, not add its own.)
     val n = "Exchange".r.findAllIn(plan("multimodal_keyframes")).size
-    assert(n == 1, s"multimodal_keyframes has $n exchanges, expected 1")
+    assert(n == 2, s"multimodal_keyframes has $n exchanges, expected 2 " +
+      "(id-spine spread + the window's doc_id hash)")
   }
 
   test("fact scans are column-pruned (q1 reads only the columns it needs)") {
