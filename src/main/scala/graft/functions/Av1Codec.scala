@@ -362,8 +362,10 @@ object Av1Codec {
     // full-pel (force_integer_mv = 1 on intra frames, spec 5.9.2).
     // Color frames carry allow_intrabc too (the system libaom sets it
     // on large screen-content lossless encodes) — the chroma copy is
-    // real for chroma-aligned DVs; the half-pel 4:2:0 case and the
-    // merged sub-8x8 chroma case bail per frame (see copyIbc).
+    // real for EVERY in-scope shape: chroma-aligned DVs copy directly,
+    // odd subsampled-axis DVs run the half-pel BILINEAR convolve, and
+    // merged sub-8x8 chroma copies with the carrier DV (all
+    // soak-verified; see copyIbc).
     if (fr.allowSct && r.f(1) == 1) fr.allowIntrabc = true
     fr.miCols = 2 * ((fr.w + 7) >> 3)
     fr.miRows = 2 * ((fr.h + 7) >> 3)
@@ -864,13 +866,14 @@ object Av1Codec {
       * guarded against the mi-padded plane so a nonconforming DV bails
       * instead of reading garbage.
       *
-      * Chroma scope: 4:4:4 copies directly (chroma grid == luma grid);
-      * 4:2:0 copies directly when the DV is even on the subsampled
-      * axes. The two remaining shapes bail the frame honestly: an ODD
-      * 4:2:0 DV (chroma lands between pixels — needs the half-pel
-      * bilinear convolve) and a sub-8x8 4:2:0 intrabc block carrying
-      * MERGED chroma (the spec predicts that chroma from the covering
-      * subblocks' individual DVs).
+      * Chroma scope — all three shapes decode for real (soak-verified
+      * vs the system decoders): 4:4:4 copies directly (chroma grid ==
+      * luma grid); 4:2:0/4:2:2 copy directly when the DV is even on
+      * the subsampled axes; an ODD subsampled-axis DV (chroma lands
+      * between pixels) runs the half-pel BILINEAR convolve below
+      * (fracX/fracY path, InterRound0=3 / InterRound1=11); and a
+      * sub-8x8 block carrying MERGED chroma collapses to ONE copy
+      * with the carrier subblock's DV (some_use_intra semantics).
       */
     private def copyIbc(r: Int, c: Int, w4: Int, h4: Int, dvR: Int, dvC: Int,
                         hasChroma: Boolean, w4in: Int, h4in: Int,
