@@ -22,8 +22,9 @@ def main(before_p, after_p, ratio_flag=1.5, floor=0.3):
     common = sorted(set(b) & set(a))
     bs = sum(b[k] for k in common)
     as_ = sum(a[k] for k in common)
+    ratio = f"{as_ / bs:.3f}x" if bs > 0 else "n/a (zero/empty baseline)"
     print(f"total: {bt:.1f} -> {at:.1f} s  (common {len(common)} rows: "
-          f"{bs:.1f} -> {as_:.1f} = {as_ / bs:.3f}x)")
+          f"{bs:.1f} -> {as_:.1f} = {ratio})")
     delta = [(a[k] - b[k], k) for k in common]
     print("\nbiggest improvements:")
     for d, k in sorted(delta)[:15]:
@@ -39,6 +40,9 @@ def main(before_p, after_p, ratio_flag=1.5, floor=0.3):
     missing = sorted(set(b) - set(a))
     if missing:
         print(f"\nMISSING rows in after: {missing}")
+    new = sorted(set(a) - set(b))
+    if new:
+        print(f"\nNEW rows in after (excluded from totals above): {new}")
 
 
 if __name__ == "__main__":

@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Runtime profile of one or more registry queries: wall time plus the
@@ -54,8 +54,15 @@ object Profile {
     val readBytes = new LongAdder; val readRecs = new LongAdder
     val writeBytes = new LongAdder; val writeRecs = new LongAdder
     val spill = new LongAdder; val tasks = new LongAdder
+    // Job/stage counts: the cluster-scheduling-barrier signal for the
+    // iterative operators (each job is a driver round trip; VERDICT r16
+    // item 1 judges the cluster_assign rework by this counter).
+    val jobs = new LongAdder; val stages = new LongAdder
     @volatile var maxTaskReadRecs = 0L
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.increment()
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        stages.increment()
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
@@ -89,7 +96,8 @@ object Profile {
     val skewFrac =
       if (readRecs.sum() == 0) 0.0 else maxTaskReadRecs.toDouble / readRecs.sum()
     println(
-      f"""{"query":"$name","sec":$sec%.3f,"tasks":${tasks.sum()},""" +
+      f"""{"query":"$name","sec":$sec%.3f,"jobs":${jobs.sum()},""" +
+        f""""stages":${stages.sum()},"tasks":${tasks.sum()},""" +
         f""""shuffle_read_mb":${readBytes.sum() / 1e6}%.2f,""" +
         f""""shuffle_write_mb":${writeBytes.sum() / 1e6}%.2f,""" +
         f""""shuffle_read_records":${readRecs.sum()},""" +

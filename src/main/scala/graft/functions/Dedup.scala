@@ -871,11 +871,14 @@ object Dedup {
     * this is exact at character granularity).
     *
     * Shape: k-gram inverted index, not suffix arrays and not pairs —
-    *   1. every position's k-gram, keyed by md5 (128-bit: collisions
-    *      are below data-corruption probability; no verify pass);
-    *   2. ONE hash-shuffle window over the gram key marks positions
-    *      whose gram spans ≥ 2 DISTINCT documents (min(doc) ≠
-    *      max(doc) — constant memory per group, no set
+    *   1. every position's k-gram, keyed by a PAIR of seed-chained
+    *      xxhash64 values (see [[gramPositions]] — jointly 128 bits,
+    *      the same collisions-below-data-corruption posture as the md5
+    *      key it replaced at a fraction of the per-position hashing
+    *      cost; no verify pass);
+    *   2. ONE hash-shuffle window over the gram-key pair marks
+    *      positions whose gram spans ≥ 2 DISTINCT documents (min(doc)
+    *      ≠ max(doc) — constant memory per group, no set
     *      materialization, and crucially no groupBy-plus-self-join
     *      that would recompute the expensive gram subtree twice);
     *   3. marked positions shuffle back to their documents and
@@ -894,7 +897,7 @@ object Dedup {
   def substringSpans(docs: DataFrame, k: Int = 40,
       textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
-    val byGram = Window.partitionBy(col("__h"))
+    val byGram = Window.partitionBy(col("__h1"), col("__h2"))
     val marked = gramPositions(docs, k, textCol)
       .withColumn("__dmin", min(col("doc_id")).over(byGram))
       .withColumn("__dmax", max(col("doc_id")).over(byGram))
@@ -922,40 +925,44 @@ object Dedup {
     // would need the distinct exactly to avoid corrupting the
     // run-merge with duplicate positions; the semi join needs neither
     // and measured 6× faster at sf1)
-    spansAgainstHashes(gramPositions(corpus, k, textCol).select(col("__h")),
+    spansAgainstHashes(
+      gramPositions(corpus, k, textCol).select(col("__h1"), col("__h2")),
       batch, k, textCol)
   }
 
   /** The persistable form of the corpus side: distinct per-document
-    * gram hashes — `(doc_id, gram_hash)`. Keeping the doc attribution
+    * gram hashes — `(doc_id, gram_h1, gram_h2)` (the seed-chained
+    * xxhash64 pair of [[gramPositions]]). Keeping the doc attribution
     * (rather than a bare hash set) is what makes the index
     * RETRACTABLE: a tombstoned document's grams stop matching while a
     * gram shared with a live document keeps matching. One shuffle
     * (the distinct); size is O(total characters) like the transient
-    * index the recompute builds.
+    * index the recompute builds — at 16 bytes per gram, 0.4× the
+    * 32-hex-char md5 key this replaced.
     */
   def gramIndex(docs: DataFrame, k: Int = 40,
       textCol: String = "text"): DataFrame =
     gramPositions(docs, k, textCol)
-      .select(col("doc_id"), col("__h").as("gram_hash")).distinct()
+      .select(col("doc_id"), col("__h1").as("gram_h1"),
+        col("__h2").as("gram_h2")).distinct()
 
   /** [[substringSpansAgainst]] with the corpus side REPLACED by a
-    * persisted [[gramIndex]] frame (column `gram_hash`) — the
-    * O(batch) incremental form with no corpus rescan at all
+    * persisted [[gramIndex]] frame (columns `gram_h1`, `gram_h2`) —
+    * the O(batch) incremental form with no corpus rescan at all
     * ([[graft.pipeline.CurationPipeline.substringSpansFromState]]
     * supplies the tombstone-masked state table).
     */
   def substringSpansAgainstIndex(index: DataFrame, batch: DataFrame,
       k: Int = 40, textCol: String = "text"): DataFrame = {
     require(k >= 2, "span length must be >= 2")
-    spansAgainstHashes(index.select(col("gram_hash").as("__h")),
-      batch, k, textCol)
+    spansAgainstHashes(index.select(col("gram_h1").as("__h1"),
+      col("gram_h2").as("__h2")), batch, k, textCol)
   }
 
   private def spansAgainstHashes(hashes: DataFrame, batch: DataFrame,
       k: Int, textCol: String): DataFrame = {
     val marked = gramPositions(batch, k, textCol)
-      .join(hashes, Seq("__h"), "left_semi")
+      .join(hashes, Seq("__h1", "__h2"), "left_semi")
       .select(col("doc_id"), col("pos"))
     mergeRuns(marked, k)
   }
@@ -968,9 +975,22 @@ object Dedup {
     */
   private val GramChunk = 65536L
 
-  /** (doc_id, pos, __h): every k-gram position of every document of
-    * at least k chars, md5-keyed. Shared by the full and incremental
-    * span forms so their gram semantics can never diverge.
+  /** (doc_id, pos, __h1, __h2): every k-gram position of every
+    * document of at least k chars, keyed by a PAIR of seed-chained
+    * xxhash64 values over the gram — `__h1 = xxhash64(gram)` (seed 42)
+    * and `__h2 = xxhash64(1L, gram)` (i.e. XXH64 of the gram under the
+    * derived seed XXH64(1L, 42), a different hash function of the same
+    * family). Jointly the key is 128 bits, so a cross-gram collision —
+    * which would need BOTH independent 64-bit functions to collide on
+    * the same two grams — stays below data-corruption probability
+    * exactly like the md5 key this replaced (the r16→r17 swap: two
+    * 8-byte codegen'd mixes and a 16-byte shuffle key instead of a
+    * full md5 digest materialized as a 32-hex-char string; measured
+    * 0.77× wall on the spans row at sf0.1, identical output —
+    * SubstringSpansSpec's planted fixtures and the randomized
+    * brute-force soak re-verify the collision contract). Shared by the
+    * full and incremental span forms so their gram semantics can never
+    * diverge.
     */
   private def gramPositions(docs: DataFrame, k: Int,
       textCol: String): DataFrame = {
@@ -987,7 +1007,10 @@ object Dedup {
           least(col("__chunk") * GramChunk + (GramChunk - 1), col("__last"))))
           .as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(col("__t").substr((col("pos") + 1).cast("int"), lit(k))).as("__h"))
+        col("__t").substr((col("pos") + 1).cast("int"), lit(k)).as("__g"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("__g")).as("__h1"),
+        xxhash64(lit(1L), col("__g")).as("__h2"))
   }
 
   /** Merge consecutive marked positions per document into maximal

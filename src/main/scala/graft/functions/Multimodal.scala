@@ -2428,6 +2428,30 @@ object Multimodal {
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
   }
 
+  /** [[spreadIds]] for the distinct-payload decode adapters: hash-spread
+    * the id spine by its payload residue class `pmod(doc_id, modulus)`,
+    * so rows sharing a payload land together and the downstream per-task
+    * memo decodes each distinct payload once. The partition count is
+    * `max(defaultParallelism, modulus)` — scale-adaptive, never the
+    * fixture's distinct-payload constant, so a many-core session is not
+    * funneled through `modulus` tasks (its non-empty task count is still
+    * bounded by the ≤`modulus` distinct residues Spark hash-partitions —
+    * with collisions, ~1/e of those slots share a partition — but the
+    * decode work itself is bounded by the distinct-payload count, and
+    * the memo key is (fixture, container), so layout never affects
+    * results). Identity in results for the same reason as [[spreadIds]]:
+    * the decode is row-local and every consumer is per-row or an
+    * order-independent aggregate.
+    */
+  private def spreadByResidue(docs: DataFrame, modulus: Int): Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    val parts = math.max(
+      docs.sparkSession.sparkContext.defaultParallelism, modulus)
+    docs.select(col("doc_id"))
+      .repartition(parts, pmod(col("doc_id"), lit(modulus)))
+      .as[Long]
+  }
+
 
   /** STUB decoder: deterministic fake metadata derived from the byte
     * length, standing in for a real `decode(bytes) → (w, h, frames)`.
@@ -3011,9 +3035,7 @@ object Multimodal {
     // distinct payload ONCE (per-task memo, nothing outlives the task) —
     // content-addressed decode, bit-identical to the per-row form it
     // replaced; only the decode count changes (measured 8× at sf0.1).
-    docs.select(col("doc_id"))
-      .repartition(66, pmod(col("doc_id"), lit(66)))
-      .as[Long]
+    spreadByResidue(docs, 66)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3054,9 +3076,7 @@ object Multimodal {
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(12, 2) = 12 determines the payload; spread by it, decode each
     // distinct payload once per task.
-    docs.select(col("doc_id"))
-      .repartition(12, pmod(col("doc_id"), lit(12)))
-      .as[Long]
+    spreadByResidue(docs, 12)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3097,9 +3117,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(10, 2) = 10 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(10, pmod(col("doc_id"), lit(10)))
-      .as[Long]
+    spreadByResidue(docs, 10)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3137,9 +3155,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(14, 2) = 14 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(14, pmod(col("doc_id"), lit(14)))
-      .as[Long]
+    spreadByResidue(docs, 14)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3175,9 +3191,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(12, 2) = 12 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(12, pmod(col("doc_id"), lit(12)))
-      .as[Long]
+    spreadByResidue(docs, 12)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3214,9 +3228,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(6, 2) = 6 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(6, pmod(col("doc_id"), lit(6)))
-      .as[Long]
+    spreadByResidue(docs, 6)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3253,9 +3265,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(6, 2) = 6 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(6, pmod(col("doc_id"), lit(6)))
-      .as[Long]
+    spreadByResidue(docs, 6)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long)]]
@@ -3285,9 +3295,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(7, 2) = 14 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(14, pmod(col("doc_id"), lit(14)))
-      .as[Long]
+    spreadByResidue(docs, 14)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]
@@ -3324,9 +3332,7 @@ object Multimodal {
     import spark.implicits._
     // Distinct-payload decode (see decodeAvifPixelsReal): doc_id mod
     // lcm(8, 2) = 8 determines the payload.
-    docs.select(col("doc_id"))
-      .repartition(8, pmod(col("doc_id"), lit(8)))
-      .as[Long]
+    spreadByResidue(docs, 8)
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap
           .empty[(Long, String), Option[(Long, Long, Long, Long, Long)]]

@@ -246,8 +246,10 @@ object Similarity {
     * arrays the native centroid scans take (≤ nCells·dim doubles —
     * size-bounded, the bloom-blob/PQ pattern).
     */
-  private def centroidLiterals(centroids: DataFrame): (Array[Double], Array[Long], Int) = {
-    val rows = centroids.orderBy(col("__cid")).collect()
+  private def centroidLiterals(centroids: DataFrame): (Array[Double], Array[Long], Int) =
+    centroidLiterals(centroids.orderBy(col("__cid")).collect())
+
+  private def centroidLiterals(rows: Array[org.apache.spark.sql.Row]): (Array[Double], Array[Long], Int) = {
     require(rows.nonEmpty, "empty centroid set")
     val cids = rows.map(_.getLong(0))
     val dim = rows.head.getSeq[Double](1).size
@@ -260,11 +262,40 @@ object Similarity {
     (flat, cids, dim)
   }
 
-  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Execute a `(__cid, __cemb)` centroid plan EXACTLY ONCE and hand
+    * back both forms its consumers need: the flat literal arrays the
+    * native assignment scans take, and a ≤nCells-row driver-LOCAL
+    * relation for probe-side joins. Before r17 a centroid plan behind a
+    * Lloyd refine executed TWICE per query — once collected into the
+    * assignment literals and once re-run inside the final job as the
+    * probe broadcast's build (and every refine pass re-ran the seed
+    * plan it collected) — the §1.2 recompute the embed-family Profile
+    * counters flagged (embed_ivf_topk: 15 jobs → 8). The collect is
+    * size-bounded (nCells·dim doubles, the bloom-blob/PQ pattern), so
+    * localizing the ≤nCells rows is free at any corpus scale.
+    */
+  private def centroidsOnce(
+      cents: DataFrame): (DataFrame, Array[Double], Array[Long], Int) = {
+    val rows = cents.orderBy(col("__cid")).collect()
+    val (flat, cids, dim) = centroidLiterals(rows)
+    val local = cents.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cents.schema)
+    (local, flat, cids, dim)
+  }
+
+  /** The literal-argmax assignment scan over pre-materialized centroid
+    * arrays — the execute-once split of [[assignToCentroids]].
+    */
+  private def assignFlat(embeddings: DataFrame, flat: Array[Double],
+      cids: Array[Long], dim: Int): DataFrame = {
     import graft.functions.expressions.PqExpressions
-    val (flat, cids, dim) = centroidLiterals(centroids)
     embeddings.withColumn("cell",
       PqExpressions.nearestCentroid(col("embedding"), flat, cids, dim))
+  }
+
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val (flat, cids, dim) = centroidLiterals(centroids)
+    assignFlat(embeddings, flat, cids, dim)
   }
 
   /** Cluster-balanced down-sampling — the topic-balance step of a
@@ -301,9 +332,14 @@ object Similarity {
     */
   def assignToCentroidsSpill(embeddings: DataFrame, centroids: DataFrame,
       spill: Int): DataFrame = {
+    val (flat, cids, dim) = centroidLiterals(centroids)
+    assignFlatSpill(embeddings, flat, cids, dim, spill)
+  }
+
+  private def assignFlatSpill(embeddings: DataFrame, flat: Array[Double],
+      cids: Array[Long], dim: Int, spill: Int): DataFrame = {
     import graft.functions.expressions.PqExpressions
     require(spill >= 1, s"spill must be >= 1, got $spill")
-    val (flat, cids, dim) = centroidLiterals(centroids)
     embeddings
       .withColumn("__cells",
         PqExpressions.nearestCentroids(col("embedding"), flat, cids, dim, spill))
@@ -368,11 +404,17 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryVecId: Long,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 4, refine: Int = 0,
       spill: Int = 1): DataFrame = {
-    var cents = seededCentroids(embeddings, nCells)
-    for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
+    // Each stage's centroids execute once (centroidsOnce): the refine
+    // input is already driver-local, and the probe ranking below reads
+    // the same local relation instead of re-running the refine plan
+    // inside the final job.
+    var current = centroidsOnce(seededCentroids(embeddings, nCells))
+    for (_ <- 0 until refine)
+      current = centroidsOnce(refineCentroids(embeddings, current._1))
+    val (cents, flat, cids, dim) = current
     val assigned =
-      if (spill <= 1) assignToCentroids(embeddings, cents)
-      else assignToCentroidsSpill(embeddings, cents, spill)
+      if (spill <= 1) assignFlat(embeddings, flat, cids, dim)
+      else assignFlatSpill(embeddings, flat, cids, dim, spill)
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("__q"),
         dotDecD(col("embedding"), col("embedding")).as("__ny"))
@@ -417,11 +459,15 @@ object Similarity {
   def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, refine: Int = 0,
       spill: Int = 1): DataFrame = {
-    var cents = seededCentroids(embeddings, nCells)
-    for (_ <- 0 until refine) cents = refineCentroids(embeddings, cents)
+    // centroidsOnce: refine/seed plans execute once; the probe side
+    // reads the driver-local relation (see ivfTopK).
+    var current = centroidsOnce(seededCentroids(embeddings, nCells))
+    for (_ <- 0 until refine)
+      current = centroidsOnce(refineCentroids(embeddings, current._1))
+    val (cents, flat, cids, dim) = current
     val assigned =
-      if (spill <= 1) assignToCentroids(embeddings, cents)
-      else assignToCentroidsSpill(embeddings, cents, spill)
+      if (spill <= 1) assignFlat(embeddings, flat, cids, dim)
+      else assignFlatSpill(embeddings, flat, cids, dim, spill)
     ivfProbeAssigned(withCosineNorm(assigned), cents, queries, k, nProbe,
       dedupCandidates = spill > 1)
   }
@@ -533,8 +579,11 @@ object Similarity {
     import graft.functions.expressions.PqExpressions
     import org.apache.spark.sql.expressions.Window
     val sub = dim / m
-    val cents = seededCentroids(embeddings, nCells)
-    val assigned = assignToCentroids(embeddings, cents)
+    // centroidsOnce: the seed plan executes once instead of twice
+    // (assignment literals + the probe broadcast's build — see ivfTopK)
+    val (cents, cFlat, cCids, cDim) =
+      centroidsOnce(seededCentroids(embeddings, nCells))
+    val assigned = assignFlat(embeddings, cFlat, cCids, cDim)
     val cbFlat = pqCodebookFlat(embeddings, dim, m, pqK)
     val codes = assigned.select(col("vec_id"), col("cell"),
       PqExpressions.pqEncode(col("embedding"), cbFlat, m, pqK, sub).as("codes"))

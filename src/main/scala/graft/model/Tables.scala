@@ -62,6 +62,34 @@ object Tables {
     */
   private val confLock = new Object
 
+  /** Memoized INFERRED SCHEMA per fixture file — metadata only, never
+    * rows. `spark.read.parquet(path)` runs one footer-read Spark job per
+    * call for schema inference, and the bench constructs every query
+    * fresh inside every timed rep, so a full-registry run paid one such
+    * job per table construction (~10–30 ms each × ≈1,600 constructions
+    * at sf0.1 — the dominant share of the 122 floor rows' fixed cost;
+    * VERDICT r16 item 6 asked for exactly this class of engine-level
+    * cache, like the codegen/plan caches the run already hits). The key
+    * carries the file set's (name, mtime, length) plus the
+    * inference-affecting conf, so a driver-regenerated fixture or a
+    * different read convention re-infers — the same content-keyed
+    * discipline as the retract-stream staging memo. Passing the
+    * memoized schema to `spark.read.schema(...)` skips ONLY the
+    * inference job; listing, pushdown, and execution semantics are
+    * untouched (execution always ran with the conf window already
+    * restored, so the captured schema was the conf's only effect).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]
+
+  private def fixtureKey(path: String, conf: String): String = {
+    val f = new java.io.File(path)
+    val entries =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+    path + "|" + conf + "|" + entries.map(e =>
+      s"${e.getName}:${e.lastModified}:${e.length}").mkString(",")
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Parquet writers disagree on whether a timestamp column is annotated
     // `isAdjustedToUTC` (Spark's own writer) or not (DuckDB, Arrow, Hive
@@ -80,11 +108,22 @@ object Tables {
     // a user's own NTZ parquet read through the same session keeps
     // stock Spark semantics.
     val conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
-    confLock.synchronized {
+    val path = s"$sfDir/$name.parquet"
+    // the nanos legacy conf changes what inference yields for the events
+    // fixture, so it is part of the memo key
+    val nanosConf = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = fixtureKey(path, nanosConf)
+    val cached = schemaMemo.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else confLock.synchronized {
       val prev = spark.conf.getOption(conf)
       spark.conf.set(conf, "false")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
-      finally prev match {
+      try {
+        val df = spark.read.parquet(path)
+        schemaMemo.put(key, df.schema)
+        df
+      } finally prev match {
         case Some(v) => spark.conf.set(conf, v)
         case None => spark.conf.unset(conf)
       }

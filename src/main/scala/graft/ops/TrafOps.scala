@@ -45,10 +45,38 @@ object TrafOps {
     * every downstream aggregate must be order-independent (decimal
     * sums / counts / min / max — the engine-wide oracle rule), since
     * repartitioning reorders rows.
+    *
+    * Only SCAN-ROOTED inputs are probed (see [[scanRooted]]): a frame
+    * with a join/aggregate below it was already distributed by its own
+    * shuffle, so the single-split-file pathology cannot apply — and
+    * probing it with `Dataset.rdd` would, under AQE, EXECUTE those
+    * upstream shuffle stages at plan-build time and then discard the
+    * work (ADVICE r16). Such frames are returned unchanged.
     */
   def spreadScan(df: DataFrame, keys: Column*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores, keys: _*) else df
+    if (scanRooted(df.queryExecution.analyzed) &&
+      df.rdd.getNumPartitions < cores) df.repartition(cores, keys: _*)
+    else df
+  }
+
+  /** True when `plan` is nothing but per-row ops (project / filter /
+    * alias) over a single leaf relation — the only shape whose
+    * `Dataset.rdd` partition-count probe is free of hidden jobs: a
+    * narrow plan has no shuffle stages for AQE to execute during
+    * `toRdd`, so the probe costs one physical planning pass and zero
+    * Spark jobs.
+    */
+  private def scanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
+    plan match {
+      case p: Project       => scanRooted(p.child)
+      case f: Filter        => scanRooted(f.child)
+      case a: SubqueryAlias => scanRooted(a.child)
+      case _: LeafNode      => true
+      case _                => false
+    }
   }
 
   /** Epoch-microseconds of a timestamp column, tolerant of BOTH parquet

@@ -400,7 +400,8 @@ object CurationPipeline {
     val fs = new Path(state.dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(state.gramsPath)))
-      Seq.empty[(Long, String, Long)].toDF("doc_id", "gram_hash", "epoch")
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc_id", "gram_h1", "gram_h2", "epoch")
         .write.mode(SaveMode.Overwrite).parquet(state.gramsPath)
   }
 
@@ -434,7 +435,7 @@ object CurationPipeline {
       batch: DataFrame, k: Int = 40): DataFrame = {
     val tomb = tombstoneRelation(spark, state.tombstonesPath, "doc_id")
     val live = maskTombstoned(readState(spark, state.gramsPath), tomb, "doc_id")
-      .select("doc_id", "gram_hash")
+      .select("doc_id", "gram_h1", "gram_h2")
     Dedup.substringSpansAgainstIndex(live, batch, k)
   }
 

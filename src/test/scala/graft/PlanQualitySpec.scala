@@ -185,6 +185,12 @@ class PlanQualitySpec extends SparkSpec {
     // stay partial-agg'd with exactly its one ENSURE_REQUIREMENTS
     // exchange; a third exchange means the spread drifted above the agg
     // or the partial-agg shape broke.
+    //
+    // On a 1-core host the scan's single split is NOT < cores, spreadScan
+    // is (correctly) the identity and the REPARTITION_BY_NUM disappears —
+    // skip rather than fail there (ADVICE r16).
+    assume(spark.sparkContext.defaultParallelism > 1,
+      "spread shape only exists when the session has more cores than the scan has splits")
     for (name <- Seq("q1_pricing_summary", "agg_variance_exact")) {
       val p = plan(name)
       val n = "Exchange".r.findAllIn(p).size

@@ -97,4 +97,86 @@ class SubstringSpansSpec extends SparkSpec {
       assert(start <= blockStart && start + len >= blockStart + 64, s"id=$id")
     }
   }
+
+  // ---------------------------------------------------------- hash soak
+  //
+  // The gram key is a PAIR of seed-chained xxhash64 values (r17: the md5
+  // swap — see Dedup.gramPositions). The collision contract — marked
+  // positions are exactly the positions whose gram STRING occurs
+  // elsewhere, never a hash artifact — is re-verified here against a
+  // hash-free brute force over randomized small-alphabet corpora, the
+  // nastiest collision regime a corpus can offer (tiny alphabet, heavy
+  // repetition, shared blocks at every offset parity).
+
+  /** Deterministic pseudo-random corpus over the alphabet {a,b}, with
+    * planted cross-document blocks: doc i shares block (i mod 7) with
+    * every other doc of the same residue. k stays small so grams are
+    * dense and near-collisions abound.
+    */
+  private def soakCorpus(seed: Long, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val blocks = (0 until 7).map(b =>
+      (0 until 24).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    (0 until nDocs).map { i =>
+      val filler1 = (0 until 8 + rnd.nextInt(20))
+        .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      val filler2 = (0 until 8 + rnd.nextInt(20))
+        .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      (i.toLong, filler1 + blocks(i % 7) + filler2)
+    }
+  }
+
+  /** Hash-free reference: mark every position whose k-gram string
+    * occurs in ≥2 distinct docs (or in the corpus, for the incremental
+    * form), then merge consecutive runs — the definition itself.
+    */
+  private def bruteSpans(marked: Seq[(Long, Long)], k: Int): Set[(Long, Long, Long)] =
+    marked.groupBy(_._1).flatMap { case (doc, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val runs = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: t, p) if p == e + 1 => (s, p) :: t
+        case (acc, p)                       => (p, p) :: acc
+      }
+      runs.map { case (s, e) => (doc, s, e - s + k) }
+    }.toSet
+
+  test("randomized soak: spans equal the hash-free brute force (3 seeds)") {
+    val k = 12
+    for (seed <- Seq(7L, 1234L, 999983L)) {
+      val corpus = soakCorpus(seed, 40)
+      val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      for ((id, t) <- corpus; p <- 0 to t.length - k)
+        gramDocs.updateWith(t.substring(p, p + k))(old => Some(old.getOrElse(Set.empty) + id))
+      val expected = bruteSpans(
+        for {
+          (id, t) <- corpus
+          p <- 0 to t.length - k
+          if (gramDocs(t.substring(p, p + k)) - id).nonEmpty
+        } yield (id, p.toLong), k)
+      val got = Dedup.substringSpans(corpus.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("randomized soak: incremental spans equal the brute force (3 seeds)") {
+    val k = 12
+    for (seed <- Seq(11L, 4242L, 31337L)) {
+      val all = soakCorpus(seed, 40)
+      val corpus = all.filter(_._1 % 2 == 0)
+      val batch = all.filter(_._1 % 2 == 1)
+      val corpusGrams = (for ((_, t) <- corpus; p <- 0 to t.length - k)
+        yield t.substring(p, p + k)).toSet
+      val expected = bruteSpans(
+        for {
+          (id, t) <- batch
+          p <- 0 to t.length - k
+          if corpusGrams(t.substring(p, p + k))
+        } yield (id, p.toLong), k)
+      val got = Dedup.substringSpansAgainst(
+        corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
 }
