@@ -611,18 +611,21 @@ object Dedup {
     // join+checkpoint+count round (a cluster-wide barrier at scale)
     // disappears. The fixpoint is iteration-schedule-independent, so
     // results are unchanged.
-    // The seed is NOT cut: it is a single cheap groupBy over the cut
-    // edges blocks, and the first barrier's double-propagate re-derives
-    // it (≤4 re-reads of materialized blocks) instead of paying an
-    // eager checkpoint JOB — measured parity at sf0.1 (the re-reads
-    // cost what the job did) but one fewer cluster-wide scheduling
-    // barrier per run, the same count-over-local-seconds rationale as
-    // the double-step barriers below; the barrier's own lazy cut
-    // flattens the plan before round 2, so depth stays bounded.
-    var labels = edges.groupBy(col("src"))
+    // The seed is cut LAZILY (no eager checkpoint JOB — r16 measured
+    // that job as pure loss; the blocks materialize inside barrier 1's
+    // own count job, the same cut+count fusion as the loop below), so
+    // the first barrier's double-propagate reads the seed's blocks
+    // instead of re-deriving its groupBy per plan branch (≤4 subtree
+    // instances). Measured r17 at the bench config (32 cores, fresh
+    // construction per rep): 3.4–3.9 s → 3.1–3.3 s on the
+    // dedup_cluster_assign row, no job-count change.
+    var changed = 1L
+    var barriers = 0
+    val cutLazy = lineageCut("clusterAssign", reliable, eager = false)
+    var labels = cutLazy(edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("doc_id"),
-        least(col("src"), col("nmin")).as("cluster"))
+        least(col("src"), col("nmin")).as("cluster")))
     // one propagation: every node takes min(self, neighbors' labels);
     // pass-through columns (the pre-round `old` label) ride along so no
     // extra join is ever needed to compare states
@@ -634,9 +637,6 @@ object Dedup {
         .select(ls.columns.filter(_ != "cluster").map(ls(_)) :+
           least(ls("cluster"), coalesce(col("nmin"), ls("cluster"))).as("cluster"): _*)
     }
-    var changed = 1L
-    var barriers = 0
-    val cutLazy = lineageCut("clusterAssign", reliable, eager = false)
     while (changed > 0) {
       barriers += 1
       // TWO propagation steps per convergence barrier: each
@@ -646,10 +646,18 @@ object Dedup {
       // one (cheap) wasted propagate on the already-converged pass. The
       // fixpoint test stays exact: a double-step that changes nothing
       // proves single-step convergence too (labels only ever decrease).
-      // Measured at sf0.1 (near-dup graphs converge in 1–2 rounds):
-      // parity with single-step — the win is the barrier count on
-      // deeper graphs, where barriers cost 100–1000× more on a real
-      // cluster than in local mode.
+      // Measured at sf0.1: the jaccard graph has ~10-hop chain
+      // components, so the loop runs FIVE double-step barriers (r17
+      // telemetry — the r16 "1–2 rounds" note underestimated the
+      // diameter). Deeper steps per barrier were A/B'd in r17
+      // (propagate³, propagate⁴, and pointer-jump shortcut variants —
+      // all result-identical): they cut barriers to 4/3 but measured
+      // SLOWER end-to-end at the bench config (3.4–3.9 s → 3.2–3.8 s
+      // at best, 6.8 s at worst), because each extra step doubles the
+      // per-barrier plan's subtree instances and the planning/codegen
+      // cost outgrows the saved barrier. Two steps is the measured
+      // optimum here; on a real cluster, where a barrier costs
+      // 100–1000× more, re-evaluate toward deeper steps.
       //
       // LAZY cut + count fusion: the non-eager checkpoint materializes
       // during the convergence count's own job, so each barrier pays ONE
